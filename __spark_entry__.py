@@ -1,38 +1,610 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Spark side: woodwork_spark engine (typed layer + Spark-native statistics
++ relational substrate from Spark SQL).  Oracle side: equivalent ANSI SQL
+run by DuckDB on the same parquet.  Column names/aliases match exactly in
+both; float aggregates are rounded identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from woodwork_spark.io import read_parquet  # noqa: E402
+from woodwork_spark.statistics.profile import numeric_profile_df  # noqa: E402
+from woodwork_spark.statistics.value_counts import value_counts_df  # noqa: E402
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    """Pin the configs correctness depends on: UTC session timezone (so
+    timestamp semantics match DuckDB's naive timestamps) and AQE on."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Relational queries (SURVEY §2.B surface on the driver's star schema)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: single scan, partial-agg friendly."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2,
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax")),
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: 3-way join, top-10 by revenue (deterministic ties)."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"),
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2,
+            ).alias("revenue"),
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    """TPC-H Q5-style: 6-way join with broadcast dims, revenue per nation."""
+    _prep(spark)
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-style: pure scan+filter+agg — predicate pushdown showcase."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 25),
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue",
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_returned_customers(spark, sf_dir):
+    """TPC-H Q10-style: top-20 customers by returned-item revenue."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2,
+            ).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """Window top-n-per-group: 3 largest orders per customer."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"),
+    )
+    return (
+        orders.withColumn("rank_in_customer", F.row_number().over(w))
+        .filter(F.col("rank_in_customer") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rank_in_customer",
+        )
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling 1h windows over the event stream (batch view): epoch-hour
+    buckets are timezone-free in both engines."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "hour_bucket", F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000),
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user via lag + running sum."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Typed-layer / profiling queries (SURVEY §2.A statistics surface)
+# ---------------------------------------------------------------------------
+
+_LINEITEM_NUMERICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile_lineitem(spark, sf_dir):
+    """woodwork describe() as a Spark-native profile: one wide agg exploded
+    to one row per column (statistics/profile.py)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return numeric_profile_df(li, _LINEITEM_NUMERICS, round_to=4)
+
+
+def q_value_counts(spark, sf_dir):
+    """woodwork value_counts(): top-10 per categorical column, one melt +
+    one shuffle for all columns (statistics/value_counts.py)."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    out_o = value_counts_df(orders, ["o_orderpriority", "o_orderstatus"], top_n=10)
+    cust = _t(spark, sf_dir, "customer")
+    out_c = value_counts_df(cust, ["c_mktsegment"], top_n=10)
+    return out_o.unionByName(out_c)
+
+
+def q_histogram_price(spark, sf_dir):
+    """woodwork histogram (10 equal-width bins) on l_extendedprice."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx"),
+    )
+    binned = (
+        li.select("l_extendedprice")
+        .join(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / 10),
+                ),
+                F.lit(9),
+            ).alias("bin"),
+        )
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("count"))
+
+
+def q_boxplot_acctbal(spark, sf_dir):
+    """woodwork box_plot_dict as a Spark-native query on two tables."""
+    from woodwork_spark.statistics.outliers import box_plot_stats_df
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    a = box_plot_stats_df(cust, "c_acctbal").select(
+        F.lit("c_acctbal").alias("column_name"),
+        *[
+            F.round(F.col(x), 4).alias(x)
+            for x in ["min", "q1", "median", "q3", "max", "low_bound", "high_bound"]
+        ],
+        "n_outliers",
+    )
+    b = box_plot_stats_df(sup, "s_acctbal").select(
+        F.lit("s_acctbal").alias("column_name"),
+        *[
+            F.round(F.col(x), 4).alias(x)
+            for x in ["min", "q1", "median", "q3", "max", "low_bound", "high_bound"]
+        ],
+        "n_outliers",
+    )
+    return a.unionByName(b)
+
+
+def q_corr_lineitem(spark, sf_dir):
+    """woodwork pearson_correlation(): all pairs in ONE aggregation pass."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    cols = _LINEITEM_NUMERICS
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [
+        F.round(F.corr(a, b), 4).alias(f"{a}__{b}") for a, b in pairs
+    ]
+    aggd = li.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(a).alias("column_a"),
+            F.lit(b).alias("column_b"),
+            F.col(f"{a}__{b}").alias("pearson"),
+        )
+        for a, b in pairs
+    ]
+    return aggd.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup profile per source: md5 content hashing (hash-groupBy)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5(F.col("text"))).alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5(F.col("text")))).alias("n_dups"),
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    """Token/char statistics per language (text-analysis operator set)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), " "))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.max(F.length("text")).alias("max_chars"),
+    )
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "nation_revenue": q_nation_revenue,
+    "forecast_revenue": q_forecast_revenue,
+    "returned_customers": q_returned_customers,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "profile_lineitem": q_profile_lineitem,
+    "value_counts": q_value_counts,
+    "histogram_price": q_histogram_price,
+    "boxplot_acctbal": q_boxplot_acctbal,
+    "corr_lineitem": q_corr_lineitem,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+}
+
+ORACLE = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "nation_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name IN ('ASIA', 'EUROPE')
+        GROUP BY n_name
+    """,
+    "forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 25
+    """,
+    "returned_customers": """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice, 2) AS o_totalprice,
+               rank_in_customer
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rank_in_customer
+            FROM orders
+        )
+        WHERE rank_in_customer <= 3
+    """,
+    "events_hourly": """
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type, hour_bucket
+    """,
+    "events_sessions": """
+        WITH e AS (
+            SELECT user_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               sum(new_session) AS n_sessions,
+               count(*) AS n_events,
+               round(avg(value), 4) AS avg_value
+        FROM e GROUP BY user_id
+    """,
+    "profile_lineitem": """
+        WITH cols(column_name) AS (VALUES ('l_quantity'), ('l_extendedprice'), ('l_discount'), ('l_tax'))
+        SELECT column_name,
+               count(*) AS count,
+               CASE column_name
+                   WHEN 'l_quantity' THEN count(DISTINCT l_quantity)
+                   WHEN 'l_extendedprice' THEN count(DISTINCT l_extendedprice)
+                   WHEN 'l_discount' THEN count(DISTINCT l_discount)
+                   WHEN 'l_tax' THEN count(DISTINCT l_tax)
+               END AS nunique,
+               0 AS nan_count,
+               round(avg(v), 4) AS mean,
+               round(stddev_samp(v), 4) AS std,
+               round(min(v), 4) AS min,
+               round(quantile_cont(v, 0.25), 4) AS q1,
+               round(quantile_cont(v, 0.5), 4) AS median,
+               round(quantile_cont(v, 0.75), 4) AS q3,
+               round(max(v), 4) AS max
+        FROM (
+            SELECT c.column_name,
+                   CASE c.column_name
+                       WHEN 'l_quantity' THEN l_quantity
+                       WHEN 'l_extendedprice' THEN l_extendedprice
+                       WHEN 'l_discount' THEN l_discount
+                       WHEN 'l_tax' THEN l_tax
+                   END AS v,
+                   l_quantity, l_extendedprice, l_discount, l_tax
+            FROM lineitem CROSS JOIN cols c
+        ) GROUP BY column_name
+    """,
+    "value_counts": """
+        WITH melted AS (
+            SELECT 'o_orderpriority' AS column_name, o_orderpriority AS value FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', o_orderstatus FROM orders
+            UNION ALL
+            SELECT 'c_mktsegment', c_mktsegment FROM customer
+        ), counts AS (
+            SELECT column_name, value, count(*) AS count
+            FROM melted GROUP BY column_name, value
+        )
+        SELECT column_name, value, count FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY column_name ORDER BY count DESC, value ASC
+            ) AS rn FROM counts
+        ) WHERE rn <= 10
+    """,
+    "histogram_price": """
+        WITH s AS (
+            SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem
+        )
+        SELECT least(floor((l_extendedprice - mn) / ((mx - mn) / 10)), 9) AS bin,
+               count(*) AS count
+        FROM lineitem CROSS JOIN s
+        GROUP BY bin
+    """,
+    "boxplot_acctbal": """
+        WITH stats AS (
+            SELECT 'c_acctbal' AS column_name,
+                   min(c_acctbal) AS mn, max(c_acctbal) AS mx,
+                   quantile_cont(c_acctbal, 0.25) AS q1,
+                   quantile_cont(c_acctbal, 0.5) AS median,
+                   quantile_cont(c_acctbal, 0.75) AS q3
+            FROM customer
+            UNION ALL
+            SELECT 's_acctbal',
+                   min(s_acctbal), max(s_acctbal),
+                   quantile_cont(s_acctbal, 0.25),
+                   quantile_cont(s_acctbal, 0.5),
+                   quantile_cont(s_acctbal, 0.75)
+            FROM supplier
+        ), bounds AS (
+            SELECT column_name, mn, mx, q1, median, q3,
+                   greatest(round(q1 - 1.5 * (q3 - q1), 10), mn) AS low_bound,
+                   least(round(q3 + 1.5 * (q3 - q1), 10), mx) AS high_bound
+            FROM stats
+        ), outliers AS (
+            SELECT b.column_name,
+                   sum(CASE WHEN v < b.low_bound OR v > b.high_bound THEN 1 ELSE 0 END) AS n_outliers
+            FROM (
+                SELECT 'c_acctbal' AS column_name, c_acctbal AS v FROM customer
+                UNION ALL
+                SELECT 's_acctbal', s_acctbal FROM supplier
+            ) vals JOIN bounds b ON vals.column_name = b.column_name
+            GROUP BY b.column_name
+        )
+        SELECT b.column_name,
+               round(mn, 4) AS min, round(q1, 4) AS q1, round(median, 4) AS median,
+               round(q3, 4) AS q3, round(mx, 4) AS max,
+               round(low_bound, 4) AS low_bound, round(high_bound, 4) AS high_bound,
+               n_outliers
+        FROM bounds b JOIN outliers o ON b.column_name = o.column_name
+    """,
+    "corr_lineitem": """
+        SELECT * FROM (
+            SELECT 'l_quantity' AS column_a, 'l_extendedprice' AS column_b,
+                   round(corr(l_quantity, l_extendedprice), 4) AS pearson FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 4) FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 4) FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 4) FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 4) FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 4) FROM lineitem
+        )
+    """,
+    "dedup_exact": """
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_distinct_texts,
+               count(*) - count(DISTINCT md5(text)) AS n_dups
+        FROM documents GROUP BY source
+    """,
+    "text_stats": """
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(len(string_split(trim(text), ' '))) AS total_tokens,
+               round(avg(len(string_split(trim(text), ' '))), 4) AS avg_tokens,
+               round(avg(length(text)), 4) AS avg_chars,
+               max(length(text)) AS max_chars
+        FROM documents GROUP BY lang
+    """,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE)

@@ -1,0 +1,205 @@
+"""describe / describe_dict — per-column profiling.
+
+Reference: /root/reference/woodwork/table_accessor.py:1454-1567 +
+statistics_utils/_get_describe_dict.py:51-231.
+
+Distributed design (SURVEY §3.3): the reference loops columns issuing
+pandas ops; here ALL per-column statistics are computed in ONE wide
+``df.agg`` (count/nunique/mean/std/min/max/exact percentiles/bool
+counts), plus ONE melt-based job for modes — two Spark jobs total for any
+table width.  Exact `percentile` matches pandas linear interpolation
+(reference `percentile` helper _get_describe_dict.py:27-48).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STAT_ORDER = [
+    "physical_type",
+    "logical_type",
+    "semantic_tags",
+    "count",
+    "nunique",
+    "nan_count",
+    "mean",
+    "mode",
+    "std",
+    "min",
+    "first_quartile",
+    "second_quartile",
+    "third_quartile",
+    "max",
+    "num_true",
+    "num_false",
+]
+
+
+def _classify(cs):
+    if cs.is_numeric:
+        return "numeric"
+    if cs.is_boolean:
+        return "boolean"
+    if cs.is_datetime:
+        return "datetime"
+    if cs.is_categorical:
+        return "category"
+    return "other"
+
+
+def describe_dict(ww_df, include=None):
+    schema = ww_df.schema
+    df = ww_df.raw
+    cols = list(ww_df.columns)
+    if include is not None:
+        matched = ww_df._filter_cols(
+            include if isinstance(include, list) else [include],
+        )
+        cols = [c for c in cols if c in matched]
+    index = schema.index
+    kinds = {c: _classify(schema.columns[c]) for c in cols}
+
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        col = F.col(c)
+        kind = kinds[c]
+        aggs.append(F.count(col).alias(f"{c}__count"))
+        if kind in ("numeric", "category", "datetime", "other"):
+            aggs.append(F.count_distinct(col).alias(f"{c}__nunique"))
+        if kind == "numeric":
+            aggs += [
+                F.mean(col).alias(f"{c}__mean"),
+                F.stddev_samp(col).alias(f"{c}__std"),
+                F.min(col).alias(f"{c}__min"),
+                F.max(col).alias(f"{c}__max"),
+                F.percentile(col, F.lit([0.25, 0.5, 0.75])).alias(f"{c}__quartiles"),
+            ]
+        elif kind == "datetime":
+            aggs += [
+                F.avg(F.unix_micros(col)).alias(f"{c}__mean_us"),
+                F.min(col).alias(f"{c}__min"),
+                F.max(col).alias(f"{c}__max"),
+            ]
+        elif kind == "boolean":
+            aggs += [
+                F.sum(F.when(col, 1).otherwise(0)).alias(f"{c}__num_true"),
+                F.sum(F.when(~col, 1).otherwise(0)).alias(f"{c}__num_false"),
+            ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    total = row["__total"]
+
+    modes = _modes(df, [c for c in cols if kinds[c] != "other" or True], kinds)
+
+    phys = ww_df.physical_types
+    out = {}
+    for c in cols:
+        kind = kinds[c]
+        cs = schema.columns[c]
+        stats = {
+            "physical_type": phys[c].simpleString(),
+            "logical_type": cs.logical_type,
+            "semantic_tags": set(cs.semantic_tags),
+            "count": row[f"{c}__count"],
+            "nan_count": total - row[f"{c}__count"],
+        }
+        if f"{c}__nunique" in row:
+            stats["nunique"] = row[f"{c}__nunique"]
+        if kind == "numeric":
+            q = row[f"{c}__quartiles"] or [None, None, None]
+            stats.update(
+                mean=row[f"{c}__mean"],
+                std=row[f"{c}__std"],
+                min=row[f"{c}__min"],
+                max=row[f"{c}__max"],
+                first_quartile=q[0],
+                second_quartile=q[1],
+                third_quartile=q[2],
+            )
+        elif kind == "datetime":
+            us = row[f"{c}__mean_us"]
+            stats.update(
+                mean=(
+                    _dt.datetime.utcfromtimestamp(us / 1_000_000) if us is not None else None
+                ),
+                min=row[f"{c}__min"],
+                max=row[f"{c}__max"],
+            )
+        elif kind == "boolean":
+            stats.update(
+                num_true=row[f"{c}__num_true"] or 0,
+                num_false=row[f"{c}__num_false"] or 0,
+            )
+        if c in modes:
+            stats["mode"] = modes[c]
+        out[c] = stats
+    if index is not None and index in out:
+        del out[index]
+    return out
+
+
+def _modes(df, cols, kinds):
+    """Most frequent value per column in ONE job via melt + window.
+
+    Tie-break: smallest value first, matching pandas ``Series.mode()[0]``
+    (reference _get_mode.py:1-6).  Values travel as strings; numeric ties
+    are ordered numerically via a cast sort key.
+    """
+    from pyspark.sql import Window as W
+
+    if not cols:
+        return {}
+    pairs = []
+    for c in cols:
+        pairs.append(F.lit(c))
+        pairs.append(F.col(c).cast("string"))
+    melted = df.select(
+        F.stack(F.lit(len(cols)), *pairs).alias("__col", "__val"),
+    ).filter(F.col("__val").isNotNull())
+    counts = melted.groupBy("__col", "__val").agg(F.count(F.lit(1)).alias("__n"))
+    w = W.partitionBy("__col").orderBy(
+        F.desc("__n"),
+        F.col("__val").try_cast("double").asc_nulls_last(),
+        F.col("__val").asc(),
+    )
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__col", "__val")
+        .collect()
+    )
+    raw = {r["__col"]: r["__val"] for r in top}
+    out = {}
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    for c, v in raw.items():
+        out[c] = _from_string(v, dtypes[c], kinds.get(c))
+    return out
+
+
+def _from_string(v, dtype, kind):
+    if v is None:
+        return None
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return int(float(v))
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(v)
+    if isinstance(dtype, T.BooleanType):
+        return v == "true"
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return pd.Timestamp(v)
+    if isinstance(dtype, T.DateType):
+        return pd.Timestamp(v).date()
+    return v
+
+
+def describe(ww_df, include=None):
+    """Pandas DataFrame shaped like the reference's describe output:
+    statistics as rows (fixed order), columns as columns
+    (reference table_accessor.py:1549-1567)."""
+    d = describe_dict(ww_df, include=include)
+    frame = pd.DataFrame(d)
+    return frame.reindex(STAT_ORDER)

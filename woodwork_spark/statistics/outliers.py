@@ -1,0 +1,220 @@
+"""Box-plot (IQR) and medcouple outlier detection.
+
+Reference: column_accessor.py:389-546 +
+statistics_utils/_get_box_plot_info_for_column.py:19-237,
+_medcouple_implementation.py:4-39, _get_medcouple_statistic.py:19-45.
+
+Distributed design: quantiles are ONE exact-percentile aggregation;
+outlier values come back as filters on the bounds (predicate-pushed
+scans), never a full collect.  The medcouple kernel is O(N²) memory by
+construction, so — exactly like the reference — it runs on a bounded
+sample (config medcouple_sample_size, default 10k) on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from woodwork_spark.config import config
+
+_QUANTILES = [0.0, 0.25, 0.5, 0.75, 1.0]
+
+
+def _numeric_col_or_raise(ww_df, column):
+    cs = ww_df.schema.columns.get(column)
+    if cs is None:
+        from woodwork_spark.exceptions import ColumnNotPresentError
+
+        raise ColumnNotPresentError(column)
+    if not cs.is_numeric:
+        raise TypeError("Cannot calculate box plot statistics for non-numeric column")
+    return cs
+
+
+def box_plot_stats_df(df: DataFrame, column: str, whisker=1.5) -> DataFrame:
+    """Spark-native single-row DataFrame of box-plot stats for ``column``:
+    (min, q1, median, q3, max, iqr, low_bound, high_bound, n_outliers).
+
+    Bounds are clamped to [min, max] (reference
+    _get_box_plot_info_for_column.py:174-206).  One aggregation for the
+    quantiles + one broadcast-joined filter count for the outliers.
+    """
+    c = F.col(column)
+    stats = df.agg(
+        F.min(c).cast("double").alias("min"),
+        F.percentile(c, F.lit(0.25)).alias("q1"),
+        F.percentile(c, F.lit(0.5)).alias("median"),
+        F.percentile(c, F.lit(0.75)).alias("q3"),
+        F.max(c).cast("double").alias("max"),
+    ).withColumn("iqr", F.col("q3") - F.col("q1"))
+    stats = stats.withColumn(
+        "low_bound",
+        F.greatest(F.round(F.col("q1") - whisker * F.col("iqr"), 10), F.col("min")),
+    ).withColumn(
+        "high_bound",
+        F.least(F.round(F.col("q3") + whisker * F.col("iqr"), 10), F.col("max")),
+    )
+    counted = (
+        df.select(c.alias("__v"))
+        .join(F.broadcast(stats))
+        .agg(
+            F.first("min").alias("min"),
+            F.first("q1").alias("q1"),
+            F.first("median").alias("median"),
+            F.first("q3").alias("q3"),
+            F.first("max").alias("max"),
+            F.first("iqr").alias("iqr"),
+            F.first("low_bound").alias("low_bound"),
+            F.first("high_bound").alias("high_bound"),
+            F.sum(
+                F.when(
+                    (F.col("__v") < F.col("low_bound"))
+                    | (F.col("__v") > F.col("high_bound")),
+                    1,
+                ).otherwise(0),
+            ).alias("n_outliers"),
+        )
+    )
+    return counted
+
+
+def box_plot_dict(ww_df, column, quantiles=None, include_indices_and_values=True):
+    """Reference column_accessor.py:441-492 shape: quantiles dict, bounds,
+    and (optionally) the low/high outlier values."""
+    _numeric_col_or_raise(ww_df, column)
+    df = ww_df.raw
+    c = F.col(column)
+    nonnull = df.filter(c.isNotNull())
+    row = nonnull.agg(
+        F.count(c).alias("n"),
+        *[F.percentile(c, F.lit(q)).alias(f"q{int(q * 100)}") for q in _QUANTILES],
+    ).collect()[0]
+    if row["n"] == 0:
+        out = {
+            "low_bound": float("nan"),
+            "high_bound": float("nan"),
+            "quantiles": {q: float("nan") for q in _QUANTILES},
+        }
+        if include_indices_and_values:
+            out["low_values"] = []
+            out["high_values"] = []
+        return out
+    q = {qq: row[f"q{int(qq * 100)}"] for qq in _QUANTILES}
+    iqr = q[0.75] - q[0.25]
+    low_bound = max(round(q[0.25] - 1.5 * iqr, 10), q[0.0])
+    high_bound = min(round(q[0.75] + 1.5 * iqr, 10), q[1.0])
+    out = {"low_bound": low_bound, "high_bound": high_bound, "quantiles": q}
+    if include_indices_and_values:
+        out["low_values"] = [
+            r[0] for r in nonnull.filter(c < low_bound).select(c).collect()
+        ]
+        out["high_values"] = [
+            r[0] for r in nonnull.filter(c > high_bound).select(c).collect()
+        ]
+    return out
+
+
+def _medcouple(values: np.ndarray) -> float:
+    """Medcouple statistic — robust skewness kernel on a bounded sample
+    (same O(N²) formulation as the reference
+    _medcouple_implementation.py:4-39)."""
+    x = np.sort(values)[::-1]
+    n = x.shape[0]
+    if n == 0:
+        return float("nan")
+    med = np.median(x)
+    z = x - med
+    upper = z[z >= 0.0]
+    lower = z[z <= 0.0]
+    p = upper.shape[0]
+    q = lower.shape[0]
+    u = np.tile(upper, (q, 1)).T
+    v = np.tile(lower, (p, 1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h = (u + v) / (u - v)
+    # ties at the median: special kernel sign matrix
+    num_ties = np.sum(z == 0.0)
+    if num_ties:
+        sign = np.zeros((num_ties, num_ties))
+        idx = np.triu_indices(num_ties, 1)
+        sign[idx] = -1.0
+        sign = sign - sign.T
+        h[p - num_ties:, :num_ties] = sign[::-1, ::-1]
+    return float(np.median(h))
+
+
+def medcouple_dict(ww_df, column):
+    """Medcouple-adjusted outlier bounds
+    (reference column_accessor.py:494-546): bounds
+    q1 - 1.5*exp(∓a*mc)*IQR with the skewness coefficient clamped to 3.5
+    (reference _get_box_plot_info_for_column.py:42-66)."""
+    _numeric_col_or_raise(ww_df, column)
+    df = ww_df.raw
+    c = F.col(column)
+    nonnull = df.filter(c.isNotNull())
+    sample_size = config.get_option("medcouple_sample_size")
+    pdf = nonnull.select(c).limit(sample_size).toPandas()[column]
+    values = pdf.to_numpy(dtype="float64")
+    if values.size == 0:
+        return {
+            "low_bound": float("nan"),
+            "high_bound": float("nan"),
+            "quantiles": {q: float("nan") for q in _QUANTILES},
+            "medcouple_stat": float("nan"),
+            "low_values": [],
+            "high_values": [],
+        }
+    mc = round(_medcouple(values), 3)
+    from scipy import stats as _sps
+
+    skew = _sps.skew(values, bias=False) if values.size > 2 else 0.0
+    coeff = min(abs(skew), 3.5)
+    row = nonnull.agg(
+        *[F.percentile(c, F.lit(q)).alias(f"q{int(q * 100)}") for q in _QUANTILES],
+    ).collect()[0]
+    q = {qq: row[f"q{int(qq * 100)}"] for qq in _QUANTILES}
+    iqr = q[0.75] - q[0.25]
+    if mc >= 0:
+        low = q[0.25] - 1.5 * np.exp(-coeff * mc) * iqr
+        high = q[0.75] + 1.5 * np.exp(coeff * mc) * iqr
+    else:
+        low = q[0.25] - 1.5 * np.exp(-coeff * mc) * iqr
+        high = q[0.75] + 1.5 * np.exp(coeff * mc) * iqr
+    low = max(round(float(low), 10), q[0.0])
+    high = min(round(float(high), 10), q[1.0])
+    return {
+        "low_bound": low,
+        "high_bound": high,
+        "quantiles": q,
+        "medcouple_stat": mc,
+        "low_values": [r[0] for r in nonnull.filter(c < low).select(c).collect()],
+        "high_values": [r[0] for r in nonnull.filter(c > high).select(c).collect()],
+    }
+
+
+def get_outliers(ww_df, column, method="best"):
+    """Heuristic method choice (reference column_accessor.py:389-439 +
+    _get_box_plot_info_for_column.py:19-39): medcouple when |mc| >=
+    medcouple_threshold, else box plot."""
+    if method not in ("best", "box_plot", "medcouple"):
+        raise ValueError(
+            f"Acceptable values for method are 'best', 'box_plot', or 'medcouple'. Got: {method}",
+        )
+    if method == "box_plot":
+        return box_plot_dict(ww_df, column)
+    if method == "medcouple":
+        return medcouple_dict(ww_df, column)
+    _numeric_col_or_raise(ww_df, column)
+    c = F.col(column)
+    sample_size = config.get_option("medcouple_sample_size")
+    values = (
+        ww_df.raw.filter(c.isNotNull()).select(c).limit(sample_size).toPandas()[column]
+    ).to_numpy(dtype="float64")
+    mc = _medcouple(values) if values.size else float("nan")
+    threshold = config.get_option("medcouple_threshold")
+    if np.isnan(mc) or abs(mc) < threshold:
+        return box_plot_dict(ww_df, column)
+    return medcouple_dict(ww_df, column)
