@@ -1,0 +1,152 @@
+"""Schema lifecycle ops (reference test_table_accessor.py analog)."""
+
+import pytest
+
+import woodwork_spark as ww
+from woodwork_spark.exceptions import ColumnNotPresentError
+from woodwork_spark.logical_types import Categorical, Double
+
+
+@pytest.fixture()
+def typed(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a@x.com", 25, 1.5, "red", True),
+            (1, "b@y.com", 30, 2.5, "blue", False),
+            (2, "c@z.com", 35, 3.5, "red", True),
+            (3, "d@w.com", 40, 4.5, "blue", False),
+        ],
+        schema="id long, email string, age long, score double, color string, flag boolean",
+    )
+    return ww.init(
+        df,
+        name="t",
+        index="id",
+        logical_types={"email": "EmailAddress", "color": "Categorical"},
+        semantic_tags={"score": "target"},
+    )
+
+
+def test_init_basic(typed):
+    assert typed.name == "t"
+    assert typed.index == "id"
+    assert "index" in typed.semantic_tags["id"]
+    assert type(typed.logical_types["email"]).__name__ == "EmailAddress"
+    assert "target" in typed.semantic_tags["score"]
+    assert "numeric" in typed.semantic_tags["score"]
+
+
+def test_index_uniqueness_enforced(spark):
+    df = spark.createDataFrame([(1,), (1,)], schema="id long")
+    with pytest.raises(IndexError, match="unique"):
+        ww.init(df, index="id")
+
+
+def test_index_null_enforced(spark):
+    df = spark.createDataFrame([(1,), (None,)], schema="id long")
+    with pytest.raises(IndexError, match="null"):
+        ww.init(df, index="id")
+
+
+def test_select_by_tag_and_type(typed):
+    numeric = typed.select("numeric")
+    assert set(numeric.columns) == {"age", "score"}
+    cats = typed.select(Categorical)
+    assert cats.columns == ["color"]
+    excluded = typed.select(exclude="numeric")
+    assert set(excluded.columns) == {"id", "email", "color", "flag"}
+
+
+def test_set_types_recasts(typed):
+    out = typed.set_types(logical_types={"age": "Double"})
+    assert type(out.logical_types["age"]) is Double
+    assert out.physical_types["age"].simpleString() == "double"
+    # original untouched (immutability)
+    assert typed.physical_types["age"].simpleString() == "bigint"
+
+
+def test_semantic_tag_algebra(typed):
+    out = typed.add_semantic_tags({"age": {"years"}})
+    assert "years" in out.semantic_tags["age"]
+    out2 = out.remove_semantic_tags({"age": {"years"}})
+    assert "years" not in out2.semantic_tags["age"]
+    with pytest.raises(LookupError):
+        out2.remove_semantic_tags({"age": {"notthere"}})
+    with pytest.raises(ValueError, match="standard"):
+        out2.remove_semantic_tags({"age": {"numeric"}})
+    reset = out.reset_semantic_tags("score")
+    assert reset.semantic_tags["score"] == {"numeric"}
+
+
+def test_index_tag_protection(typed):
+    with pytest.raises(ValueError, match="set_index"):
+        typed.add_semantic_tags({"age": {"index"}})
+
+
+def test_rename_drop_pop(typed):
+    renamed = typed.rename({"score": "points"})
+    assert "points" in renamed.columns
+    assert "target" in renamed.semantic_tags["points"]
+    dropped = typed.drop("flag")
+    assert "flag" not in dropped.columns
+    popped, rest = typed.pop("color")
+    assert popped.columns == ["color"]
+    assert "color" not in rest.columns
+    with pytest.raises(ColumnNotPresentError):
+        typed.drop("nope")
+
+
+def test_getitem(typed):
+    sub = typed[["id", "email"]]
+    assert sub.columns == ["id", "email"]
+    assert type(sub.logical_types["email"]).__name__ == "EmailAddress"
+
+
+def test_passthrough_preserves_schema(typed):
+    filtered = typed.filter("age > 26")
+    assert isinstance(filtered, ww.WWDataFrame)
+    assert type(filtered.logical_types["email"]).__name__ == "EmailAddress"
+    assert filtered.raw.count() == 3
+    limited = typed.limit(2)
+    assert isinstance(limited, ww.WWDataFrame)
+
+
+def test_passthrough_partial_schema(typed):
+    # groupBy agg produces new columns: schema carries for surviving cols
+    agged = typed.groupBy("color").count()
+    assert "color" in agged.columns
+
+
+def test_with_column_infers(typed):
+    out = typed.with_column("age2", typed.raw["age"] * 2)
+    assert type(out.logical_types["age2"]).__name__ == "Integer"
+
+
+def test_set_time_index_type_check(spark):
+    df = spark.createDataFrame([(1, "x")], schema="id long, s string")
+    t = ww.init(df, validate=False)
+    with pytest.raises(TypeError):
+        t.set_time_index("s")
+
+
+def test_metadata_travels_through_spark_df(typed):
+    meta_df = typed.df
+    field = {f.name: f for f in meta_df.schema.fields}["email"]
+    assert field.metadata["ww"]["logical_type"]["type"] == "EmailAddress"
+    # survives a select on the raw Spark DataFrame
+    sel = meta_df.select("email")
+    assert sel.schema.fields[0].metadata["ww"]["logical_type"]["type"] == "EmailAddress"
+
+
+def test_to_dictionary_shape(typed):
+    d = typed.to_dictionary()
+    assert d["schema_version"] == "12.0.0"
+    assert d["index"] == "id"
+    names = [c["name"] for c in d["column_typing_info"]]
+    assert names == typed.columns
+
+
+def test_duplicate_columns_rejected(spark):
+    df = spark.createDataFrame([(1, 2)], schema="a long, a long")
+    with pytest.raises(IndexError, match="duplicate"):
+        ww.init(df)

@@ -1,0 +1,183 @@
+"""Statistics goldens (reference test_statistics.py analog, fixtures
+F3/F4/F5): exact values checked against pandas-computed references."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import woodwork_spark as ww
+
+
+@pytest.fixture()
+def numeric_table(spark):
+    vals = [10.0, 20.0, 17.0, 32.0, None, 1.0, 56.0, 10.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "idx long, numeric_col double")
+    return ww.init(df, index="idx"), pd.Series(vals, dtype="float64")
+
+
+def test_describe_numeric_golden(numeric_table):
+    t, s = numeric_table
+    d = t.describe_dict()
+    stats = d["numeric_col"]
+    assert stats["count"] == 7
+    assert stats["nan_count"] == 1
+    assert stats["nunique"] == 6
+    assert stats["mean"] == pytest.approx(s.mean())
+    assert stats["std"] == pytest.approx(s.std())
+    assert stats["min"] == s.min()
+    assert stats["max"] == s.max()
+    assert stats["first_quartile"] == pytest.approx(s.quantile(0.25))
+    assert stats["second_quartile"] == pytest.approx(s.quantile(0.5))
+    assert stats["third_quartile"] == pytest.approx(s.quantile(0.75))
+    assert stats["mode"] == 10.0
+
+
+def test_describe_boolean_and_categorical(spark):
+    df = spark.createDataFrame(
+        [(True, "red"), (False, "red"), (True, "blue"), (None, None)],
+        "b boolean, c string",
+    )
+    t = ww.init(
+        df,
+        logical_types={"b": "BooleanNullable", "c": "Categorical"},
+        validate=False,
+    )
+    d = t.describe_dict()
+    assert d["b"]["num_true"] == 2
+    assert d["b"]["num_false"] == 1
+    assert d["b"]["nan_count"] == 1
+    assert d["c"]["nunique"] == 2
+    assert d["c"]["mode"] == "red"
+
+
+def test_box_plot_golden(spark):
+    vals = [93.0, 42.0, 37.0, -16.0, 49.0, 42.0, 36.0, 57.0, 60.0, 23.0]
+    s = pd.Series(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "has_outliers double")
+    t = ww.init(df, validate=False)
+    out = t.box_plot_dict("has_outliers")
+    q1, med, q3 = s.quantile(0.25), s.quantile(0.5), s.quantile(0.75)
+    iqr = q3 - q1
+    assert out["quantiles"][0.25] == pytest.approx(q1)
+    assert out["quantiles"][0.75] == pytest.approx(q3)
+    assert out["low_bound"] == pytest.approx(max(q1 - 1.5 * iqr, s.min()))
+    assert out["high_bound"] == pytest.approx(min(q3 + 1.5 * iqr, s.max()))
+    assert sorted(out["low_values"]) == [-16.0]
+    assert sorted(out["high_values"]) == [93.0]
+
+
+def test_box_plot_non_numeric_raises(spark):
+    df = spark.createDataFrame([("a",)], "s string")
+    t = ww.init(df, validate=False)
+    with pytest.raises(TypeError):
+        t.box_plot_dict("s")
+
+
+def test_medcouple_skewed(spark):
+    vals = [1.0] * 2 + [2.0] * 6 + [3.0] * 20 + [4.0] * 12 + [5.0] * 8 + [8.0] * 2
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    t = ww.init(df, validate=False)
+    out = t.medcouple_dict("x")
+    assert "medcouple_stat" in out
+    best = t.get_outliers("x", method="best")
+    assert "quantiles" in best
+
+
+def test_value_counts(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), ("a",), ("b",)], "cat string",
+    )
+    t = ww.init(df, logical_types={"cat": "Categorical"}, validate=False)
+    vc = t.value_counts()
+    assert vc["cat"][0] == {"value": "a", "count": 3}
+    assert vc["cat"][1] == {"value": "b", "count": 2}
+
+
+def test_dependence_pearson_spearman_match_pandas(spark):
+    rng = np.random.default_rng(7)
+    x = rng.random(60)
+    y = 2 * x + rng.random(60) * 0.1
+    z = rng.random(60)
+    pdf = pd.DataFrame({"x": x, "y": y, "z": z})
+    t = ww.init(spark.createDataFrame(pdf), validate=False)
+    dep = t.dependence(measures=["pearson", "spearman"])
+    got = {
+        (r.column_1, r.column_2): (r.pearson, r.spearman) for r in dep.itertuples()
+    }
+    for a, b in [("x", "y"), ("x", "z"), ("y", "z")]:
+        key = (a, b) if (a, b) in got else (b, a)
+        assert got[key][0] == pytest.approx(pdf[a].corr(pdf[b]), abs=1e-9)
+        # spearman == pearson on average ranks (no scipy in this env)
+        expected_sp = pdf[a].rank().corr(pdf[b].rank())
+        assert got[key][1] == pytest.approx(expected_sp, abs=1e-9)
+
+
+def test_dependence_spearman_with_nulls(spark):
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, 2.0, None, 4.0, 5.0, 6.0, 7.0, 8.0] * 5,
+            "b": [2.0, 4.0, 6.0, None, 10.0, 12.0, 14.0, 16.0] * 5,
+        },
+    )
+    t = ww.init(spark.createDataFrame(pdf), validate=False)
+    dep = t.dependence(measures=["spearman"], min_shared=5)
+    mask = pdf["a"].notna() & pdf["b"].notna()
+    expected = pdf.loc[mask, "a"].rank().corr(pdf.loc[mask, "b"].rank())
+    assert dep.iloc[0]["spearman"] == pytest.approx(
+        expected * (30 / 40), abs=1e-9,  # scaled by shared/union rows
+    )
+
+
+def test_dependence_mutual_info_detects_dependency(spark):
+    # strs2 perfectly dependent with ints (fixture F4 semantics)
+    pdf = pd.DataFrame(
+        {
+            "ints": [1, 2, 1] * 12,
+            "strs2": ["bye", "hi", "bye"] * 12,
+            "rand": list(np.random.default_rng(0).integers(0, 100, 36)),
+        },
+    )
+    df = spark.createDataFrame(pdf)
+    t = ww.init(
+        df, logical_types={"strs2": "Categorical"}, validate=False,
+    )
+    dep = t.mutual_information()
+    got = {frozenset((r.column_1, r.column_2)): r.mutual_info for r in dep.itertuples()}
+    strong = got[frozenset(("ints", "strs2"))]
+    assert strong == pytest.approx(1.0, abs=0.01)
+    assert abs(got[frozenset(("ints", "rand"))]) < 0.3
+
+
+def test_dependence_min_shared_nan(spark):
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0] * 5 + [None] * 35,
+            "b": [None] * 35 + [2.0] * 5,
+        },
+    )
+    t = ww.init(spark.createDataFrame(pdf), validate=False)
+    with pytest.warns(Warning):
+        dep = t.dependence(measures=["pearson"])
+    assert np.isnan(dep.iloc[0]["pearson"])
+
+
+def test_frequency_inference_clean(spark):
+    idx = pd.date_range("2020-01-01", periods=80, freq="D")
+    df = spark.createDataFrame([(ts.to_pydatetime(),) for ts in idx], "ts timestamp")
+    t = ww.init(df, validate=False)
+    out = t.infer_temporal_frequencies()
+    assert out["ts"] == "D"
+
+
+def test_frequency_inference_corrupted_debug(spark):
+    # long enough that the clean windows dominate the 0.9 vote threshold
+    idx = list(pd.date_range("2020-01-01", periods=300, freq="D"))
+    corrupted = idx[:150] + idx[155:]  # 5-day missing range
+    df = spark.createDataFrame([(ts.to_pydatetime(),) for ts in corrupted], "ts timestamp")
+    t = ww.init(df, validate=False)
+    out = t.infer_temporal_frequencies(debug=True)
+    freq, debug = out["ts"]
+    assert freq is None
+    assert debug["estimated_freq"] == "D"
+    assert len(debug["missing_values"]) == 1
+    assert debug["missing_values"][0]["range"] == 5

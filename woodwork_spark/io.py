@@ -57,20 +57,37 @@ def _nano_timestamp_columns(path: str) -> list[str]:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates TIMESTAMP(NANOS) columns.
+
+    Try the plain (fully vectorized) read first; only on
+    [PARQUET_TYPE_ILLEGAL] fall back to nanosAsLong + micros conversion.
+    (Footer sniffing alone is not enough: Spark-written INT96 timestamps
+    also appear as timestamp[ns] to pyarrow but read natively fine.)
+    """
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force analysis so schema errors surface here
+        return df
+    except Exception as e:  # noqa: BLE001
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
     nano_cols = _nano_timestamp_columns(path)
-    if not nano_cols:
-        return spark.read.parquet(path)
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         df = spark.read.parquet(path)
+        df.schema
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    long_cols = {
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"
+    }
     for c in nano_cols:
-        df = df.withColumn(
-            c,
-            F.timestamp_micros((F.col(c) / 1000).cast("long")),
-        )
+        if c in long_cols:
+            df = df.withColumn(
+                c,
+                F.timestamp_micros((F.col(c) / 1000).cast("long")),
+            )
     return df
 
 

@@ -1,0 +1,134 @@
+"""Schema-preserving serialization.
+
+Reference: table_accessor.py:654-697, serializers/serializer_base.py:24-186,
+deserialize.py:1-66.
+
+Two complementary channels:
+1. parquet/orc: per-column typing info rides inside
+   ``StructField.metadata["ww"]`` — Spark embeds its full StructType
+   (including metadata) in the file footer, so a plain
+   ``spark.read.parquet`` round-trips it with zero extra I/O.
+2. every format: a ``woodwork_typing_info.json`` sidecar (the reference's
+   typing-info dict, schema_version 12.0.0) written next to the data —
+   covers csv/json and preserves table-level name/index/metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from woodwork_spark.schema import SCHEMA_VERSION, TableSchema
+
+TYPING_INFO_FILENAME = "woodwork_typing_info.json"
+
+
+def to_disk(ww_df, path, format="parquet", mode="overwrite", **options):
+    """Write data + typing info.  ``path`` becomes a directory containing
+    the Spark output under ``data/`` and the typing-info JSON."""
+    os.makedirs(path, exist_ok=True)
+    data_path = os.path.join(path, "data")
+    df = ww_df.df  # metadata-embedded
+    writer = df.write.mode(mode)
+    fmt = format.lower()
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        writer.csv(data_path)
+    elif fmt == "parquet":
+        writer.parquet(data_path)
+    elif fmt == "orc":
+        writer.orc(data_path)
+    elif fmt == "json":
+        writer.json(data_path)
+    else:
+        raise ValueError(f"could not determine format: {format}")
+    info = ww_df.to_dictionary()
+    info["loading_info"] = {
+        "table_type": "spark",
+        "location": "data",
+        "type": fmt,
+    }
+    with open(os.path.join(path, TYPING_INFO_FILENAME), "w") as f:
+        json.dump(info, f, indent=2, default=str)
+    return path
+
+
+def from_disk(spark: SparkSession, path, validate=True):
+    """Read data + typing info back into a WWDataFrame
+    (reference read_woodwork_table deserialize.py:1-66)."""
+    from woodwork_spark.accessor import init_with_full_schema
+    from woodwork_spark.io import read_parquet
+
+    info_path = os.path.join(path, TYPING_INFO_FILENAME)
+    info = None
+    if os.path.exists(info_path):
+        with open(info_path) as f:
+            info = json.load(f)
+        version = info.get("schema_version", SCHEMA_VERSION)
+        supported = tuple(int(x) for x in SCHEMA_VERSION.split("."))
+        if tuple(int(x) for x in version.split(".")) > supported:
+            import warnings
+
+            from woodwork_spark.exceptions import UpgradeSchemaWarning
+
+            warnings.warn(
+                f"The schema version of the saved woodwork table {version} "
+                f"is greater than the latest supported {SCHEMA_VERSION}",
+                UpgradeSchemaWarning,
+            )
+        fmt = info.get("loading_info", {}).get("type", "parquet")
+        data_path = os.path.join(path, info.get("loading_info", {}).get("location", "data"))
+    else:
+        fmt = "parquet"
+        data_path = os.path.join(path, "data")
+        if not os.path.exists(data_path):
+            data_path = path
+
+    if fmt == "parquet":
+        df = read_parquet(spark, data_path)
+    elif fmt == "orc":
+        df = spark.read.orc(data_path)
+    elif fmt == "csv":
+        df = spark.read.option("header", "true").csv(data_path)
+    elif fmt == "json":
+        df = spark.read.json(data_path)
+    else:
+        raise ValueError(f"could not determine format: {fmt}")
+
+    if info is not None:
+        schema = TableSchema.from_dictionary(info)
+        if fmt in ("csv", "json"):
+            # text formats lose physical types: re-coerce through transforms
+            from woodwork_spark.accessor import init
+
+            lt_map = {
+                name: cs.logical_type for name, cs in schema.columns.items()
+            }
+            out = init(
+                df,
+                name=schema.name,
+                logical_types=lt_map,
+                table_metadata=schema.metadata,
+                validate=False,
+            )
+            # restore tags/index
+            for name, cs in schema.columns.items():
+                out.schema.columns[name].semantic_tags = set(cs.semantic_tags)
+                out.schema.columns[name].description = cs.description
+                out.schema.columns[name].origin = cs.origin
+                out.schema.columns[name].metadata = cs.metadata
+                out.schema.columns[name].use_standard_tags = cs.use_standard_tags
+            return out
+        return init_with_full_schema(df, schema, validate=validate)
+
+    # no sidecar: rebuild from StructField metadata (parquet channel)
+    schema = TableSchema.from_struct(df.schema)
+    if schema is None:
+        from woodwork_spark.accessor import init
+
+        return init(df, validate=False)
+    return init_with_full_schema(df, schema, validate=validate)

@@ -1,0 +1,440 @@
+"""Pairwise dependence measures: pearson, spearman, mutual_info, max.
+
+Reference: table_accessor.py:882-1433 +
+statistics_utils/_get_dependence_dict.py:31-299,
+_calculate_dependence_measure.py:11-91,
+_bin_numeric_cols_into_categories.py:4-27.
+
+Distributed design:
+- Pearson: ALL pairs in ONE aggregation pass (`corr(a,b)` per pair plus
+  shared/union row counts) — one job for the whole matrix.
+- Spearman: average-rank transform per column via groupBy(value) + a
+  cumulative-count window over DISTINCT values (bounded by column
+  cardinality, not row count), then the same one-pass corr.  Pairs where
+  either column has nulls recompute ranks on the pair's shared rows
+  (pairwise-dropna semantics, reference _calculate_dependence_measure).
+- Mutual info: exact quantile bin edges (one percentile agg for all
+  numeric columns, parity with pd.qcut), per-pair contingency via
+  groupBy(bin_a, bin_b) — contingencies are tiny (≤ num_bins² or
+  category cardinalities, guarded by the 800/6000 rule) and adjusted
+  mutual information is computed from them in numpy on the driver.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from woodwork_spark.exceptions import SparseDataWarning
+from woodwork_spark.logical_types import (
+    BooleanNullable,
+    Categorical,
+    Datetime,
+    Ordinal,
+)
+
+
+def _parse_measures(measures):
+    """Reference _parse_measures semantics: 'all' -> every measure + max."""
+    if isinstance(measures, str):
+        measures = [measures]
+    out = []
+    for m in measures:
+        if m == "all":
+            return ["max", "pearson", "spearman", "mutual_info"], True
+        if m not in ("pearson", "spearman", "mutual_info", "max"):
+            raise ValueError(f"Unrecognized dependence measure {m}")
+        out.append(m)
+    if "max" in out and len(out) == 1:
+        return ["max", "pearson", "spearman", "mutual_info"], False
+    return out, False
+
+
+def _measure_columns(ww_df, measures):
+    """Valid columns per measure (reference utils.py:330-399): numeric +
+    boolean + datetime for correlations; + categorical/ordinal for MI.
+    Index/time-index columns are dropped."""
+    schema = ww_df.schema
+    valid = {"pearson": [], "spearman": [], "mutual_info": []}
+    for name, cs in schema.columns.items():
+        if "index" in cs.semantic_tags or "time_index" in cs.semantic_tags:
+            continue
+        lt = cs.logical_type
+        numericish = (
+            cs.is_numeric
+            or isinstance(lt, BooleanNullable)
+            or isinstance(lt, Datetime)
+        )
+        if numericish:
+            valid["pearson"].append(name)
+            valid["spearman"].append(name)
+            valid["mutual_info"].append(name)
+        elif isinstance(lt, Ordinal):
+            valid["spearman"].append(name)
+            valid["mutual_info"].append(name)
+        elif isinstance(lt, Categorical) or cs.is_categorical:
+            valid["mutual_info"].append(name)
+    return valid
+
+
+def _numeric_view(ww_df, cols):
+    """Project each column to a double 'numeric signal' column:
+    bool -> 0/1, datetime -> epoch micros, ordinal -> declared rank
+    (reference casts _cast_nullable_int_and_datetime_to_int.py,
+    _convert_ordinal_to_numeric.py)."""
+    schema = ww_df.schema
+    exprs = []
+    for c in cols:
+        lt = schema.columns[c].logical_type
+        col = F.col(c)
+        if isinstance(lt, Datetime):
+            exprs.append(F.unix_micros(col).cast("double").alias(c))
+        elif isinstance(lt, Ordinal):
+            exprs.append(lt.rank_expr(col).cast("double").alias(c))
+        elif isinstance(lt, BooleanNullable):
+            exprs.append(col.cast("int").cast("double").alias(c))
+        else:
+            exprs.append(col.cast("double").alias(c))
+    return ww_df.raw.select(*exprs)
+
+
+def _rank_column(df, col):
+    """Average-rank transform (ties get mean rank, scipy.rankdata
+    semantics): cumulative count over DISTINCT values + join back.
+    The window runs over distinct values only — cardinality-bounded."""
+    counts = df.filter(F.col(col).isNotNull()).groupBy(col).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    w = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+    ranked = counts.withColumn(
+        "__rank",
+        (F.coalesce(F.sum("__cnt").over(w), F.lit(0)) + (F.col("__cnt") + 1) / 2.0),
+    ).select(F.col(col).alias("__val"), "__rank")
+    return df.join(
+        ranked,
+        df[col].eqNullSafe(F.col("__val")),
+        "left",
+    ).drop("__val")
+
+
+def _pairwise_corr(df, pairs, rank=False):
+    """All pair correlations + shared/union counts in ONE agg pass."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (a, b) in enumerate(pairs):
+        ca, cb = F.col(a), F.col(b)
+        both = ca.isNotNull() & cb.isNotNull()
+        either = ca.isNotNull() | cb.isNotNull()
+        aggs += [
+            F.corr(a, b).alias(f"corr_{i}"),
+            F.sum(both.cast("long")).alias(f"shared_{i}"),
+            F.sum(either.cast("long")).alias(f"union_{i}"),
+        ]
+    return df.agg(*aggs).collect()[0].asDict()
+
+
+def _spearman_pair(df, a, b):
+    """Pairwise-dropna spearman for a pair with nulls: filter shared rows,
+    rank both columns, correlate."""
+    pair_df = df.select(a, b).filter(
+        F.col(a).isNotNull() & F.col(b).isNotNull(),
+    )
+    ranked = _rank_column(pair_df.withColumnRenamed(a, "__a"), "__a")
+    ranked = ranked.withColumnRenamed("__rank", "__rank_a")
+    ranked = _rank_column(ranked.withColumnRenamed(b, "__b"), "__b")
+    row = ranked.agg(F.corr("__rank_a", "__rank").alias("c")).collect()[0]
+    return row["c"]
+
+
+# -- adjusted mutual information (numpy; no sklearn in this env) -------------
+
+
+def _entropy(counts, n):
+    p = counts[counts > 0] / n
+    return float(-(p * np.log(p)).sum())
+
+
+def _expected_mutual_information(a_marg, b_marg, n):
+    """E[MI] under the permutation model (hypergeometric), the quantity
+    sklearn uses for AMI; direct numpy evaluation of the standard
+    formula."""
+    from numpy import log
+    from math import lgamma
+
+    emi = 0.0
+    lg = lgamma
+    for ai in a_marg:
+        for bj in b_marg:
+            lo = max(1, ai + bj - n)
+            hi = min(ai, bj)
+            if hi < lo:
+                continue
+            nij = np.arange(lo, hi + 1, dtype="float64")
+            term1 = nij / n * (log(nij * n) - log(float(ai) * bj))
+            base = (
+                lg(ai + 1)
+                + lg(bj + 1)
+                + lg(n - ai + 1)
+                + lg(n - bj + 1)
+                - lg(n + 1)
+            )
+            logweights = np.array(
+                [
+                    base
+                    - (
+                        lg(x + 1)
+                        + lg(ai - x + 1)
+                        + lg(bj - x + 1)
+                        + lg(n - ai - bj + x + 1)
+                    )
+                    for x in nij
+                ],
+            )
+            emi += float((term1 * np.exp(logweights)).sum())
+    return emi
+
+
+def adjusted_mutual_info_from_contingency(table: np.ndarray) -> float:
+    """AMI from a contingency table (arithmetic mean normalization, same
+    definition sklearn's adjusted_mutual_info_score uses — the reference
+    calls that at _calculate_dependence_measure.py:76)."""
+    n = table.sum()
+    if n == 0:
+        return float("nan")
+    a_marg = table.sum(axis=1)
+    b_marg = table.sum(axis=0)
+    mi = 0.0
+    for i in range(table.shape[0]):
+        if a_marg[i] == 0:
+            continue
+        for j in range(table.shape[1]):
+            nij = table[i, j]
+            if nij == 0:
+                continue
+            mi += nij / n * np.log(n * nij / (a_marg[i] * b_marg[j]))
+    h_a = _entropy(a_marg, n)
+    h_b = _entropy(b_marg, n)
+    if h_a == 0.0 and h_b == 0.0:
+        # both single-cluster: define AMI = 1 (sklearn convention)
+        return 1.0
+    emi = _expected_mutual_information(
+        a_marg.astype("int64"), b_marg.astype("int64"), int(n),
+    )
+    denom = (h_a + h_b) / 2 - emi
+    if denom == 0:
+        denom = np.finfo("float64").eps
+    return float((mi - emi) / denom)
+
+
+def _bin_exprs(df, numeric_cols, num_bins):
+    """Exact quantile bin edges for every numeric column in ONE percentile
+    agg (parity with pd.qcut: right-closed bins, duplicate edges
+    dropped)."""
+    if not numeric_cols:
+        return {}
+    qs = [i / num_bins for i in range(1, num_bins)]
+    row = df.agg(
+        *[F.percentile(F.col(c), F.lit(qs)).alias(c) for c in numeric_cols],
+    ).collect()[0]
+    exprs = {}
+    for c in numeric_cols:
+        edges = row[c]
+        if edges is None:
+            exprs[c] = F.lit(None).cast("int")
+            continue
+        uniq = sorted(set(edges))
+        bin_expr = F.lit(0)
+        for e in uniq:
+            bin_expr = bin_expr + (F.col(c) > F.lit(float(e))).cast("int")
+        exprs[c] = F.when(F.col(c).isNotNull(), bin_expr)
+    return exprs
+
+
+def dependence(
+    ww_df,
+    measures="all",
+    num_bins=10,
+    nrows=None,
+    min_shared=25,
+    random_seed=0,
+    max_nunique=6000,
+    target_col=None,
+):
+    """Pairwise dependence DataFrame (column_1, column_2, measures...),
+    sorted by |first measure| desc (reference _get_dependence_dict.py).
+    Scores are scaled by shared_rows/union_rows; pairs with
+    < min_shared shared rows get NaN + SparseDataWarning."""
+    measures, _ = _parse_measures(measures)
+    real_measures = [m for m in measures if m != "max"]
+    valid = _measure_columns(ww_df, real_measures)
+    union_cols = sorted(
+        {c for m in real_measures for c in valid[m]},
+        key=list(ww_df.columns).index,
+    )
+    if target_col is not None and target_col not in union_cols:
+        raise ValueError(f"target_col '{target_col}' not a valid column for measures")
+    df = _numeric_view_mixed(ww_df, union_cols)
+    if nrows is not None:
+        df = df.limit(nrows)
+    df = df.cache()
+
+    # cardinality guard for MI (reference 800-unique / 6000-total rule)
+    mi_cols = [c for c in union_cols if c in valid.get("mutual_info", [])]
+    dropped = []
+    if "mutual_info" in real_measures and mi_cols:
+        card = df.agg(
+            *[F.count_distinct(F.col(c)).alias(c) for c in mi_cols],
+        ).collect()[0].asDict()
+        total = sum(card.values())
+        for c in sorted(mi_cols, key=lambda c: -card[c]):
+            if total <= max_nunique:
+                break
+            if card[c] > 800:
+                dropped.append(c)
+                total -= card[c]
+        valid["mutual_info"] = [c for c in valid["mutual_info"] if c not in dropped]
+
+    def pairs_for(cols):
+        if target_col is not None:
+            return [(target_col, c) for c in cols if c != target_col]
+        return [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+
+    results = {}
+
+    def record(pair, measure, value, shared, union):
+        key = pair
+        d = results.setdefault(key, {})
+        if shared < min_shared:
+            warnings.warn(
+                f"One or more pairs of columns did not share enough rows"
+                f" ({shared} < {min_shared})",
+                SparseDataWarning,
+            )
+            d[measure] = float("nan")
+        elif value is None or (isinstance(value, float) and np.isnan(value)):
+            d[measure] = float("nan")
+        else:
+            d[measure] = float(value) * (shared / union if union else 0.0)
+
+    if "pearson" in real_measures:
+        pairs = pairs_for(valid["pearson"])
+        if pairs:
+            row = _pairwise_corr(df, pairs)
+            for i, p in enumerate(pairs):
+                record(p, "pearson", row[f"corr_{i}"], row[f"shared_{i}"], row[f"union_{i}"])
+
+    if "spearman" in real_measures:
+        pairs = pairs_for(valid["spearman"])
+        if pairs:
+            nullc = df.agg(
+                *[
+                    (F.count(F.lit(1)) - F.count(F.col(c))).alias(c)
+                    for c in valid["spearman"]
+                ],
+            ).collect()[0].asDict()
+            no_null_cols = [c for c in valid["spearman"] if nullc[c] == 0]
+            fast = [p for p in pairs if p[0] in no_null_cols and p[1] in no_null_cols]
+            slow = [p for p in pairs if p not in fast]
+            if fast:
+                ranked = df
+                for c in sorted({c for p in fast for c in p}):
+                    ranked = _rank_column(ranked, c).withColumnRenamed(
+                        "__rank", f"__rk_{c}",
+                    )
+                rpairs = [(f"__rk_{a}", f"__rk_{b}") for a, b in fast]
+                row = _pairwise_corr(ranked, rpairs)
+                for i, p in enumerate(fast):
+                    record(p, "spearman", row[f"corr_{i}"], row[f"shared_{i}"], row[f"union_{i}"])
+            for a, b in slow:
+                both = df.agg(
+                    F.sum((F.col(a).isNotNull() & F.col(b).isNotNull()).cast("long")).alias("s"),
+                    F.sum((F.col(a).isNotNull() | F.col(b).isNotNull()).cast("long")).alias("u"),
+                ).collect()[0]
+                corr = _spearman_pair(df, a, b) if both["s"] >= min_shared else None
+                record((a, b), "spearman", corr, both["s"], both["u"])
+
+    if "mutual_info" in real_measures:
+        pairs = pairs_for(valid["mutual_info"])
+        if pairs:
+            schema = ww_df.schema
+            numeric_like = [
+                c
+                for c in valid["mutual_info"]
+                if schema.columns[c].is_numeric
+                or isinstance(schema.columns[c].logical_type, (Datetime, BooleanNullable))
+            ]
+            bins = _bin_exprs(df, numeric_like, num_bins)
+            binned = df.select(
+                *[
+                    bins.get(c, F.col(c)).alias(c) if c in bins else F.col(c).cast("string").alias(c)
+                    for c in valid["mutual_info"]
+                ],
+            )
+            for a, b in pairs:
+                cont = (
+                    binned.filter(F.col(a).isNotNull() & F.col(b).isNotNull())
+                    .groupBy(a, b)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                shared = sum(r["n"] for r in cont)
+                union_row = df.agg(
+                    F.sum((F.col(a).isNotNull() | F.col(b).isNotNull()).cast("long")).alias("u"),
+                ).collect()[0]
+                if shared == 0:
+                    record((a, b), "mutual_info", None, shared, union_row["u"])
+                    continue
+                avals = sorted({r[a] for r in cont}, key=lambda v: (v is None, str(v)))
+                bvals = sorted({r[b] for r in cont}, key=lambda v: (v is None, str(v)))
+                table = np.zeros((len(avals), len(bvals)), dtype="int64")
+                ai = {v: i for i, v in enumerate(avals)}
+                bi = {v: i for i, v in enumerate(bvals)}
+                for r in cont:
+                    table[ai[r[a]], bi[r[b]]] = r["n"]
+                ami = adjusted_mutual_info_from_contingency(table)
+                record((a, b), "mutual_info", ami, shared, union_row["u"])
+
+    df.unpersist()
+    rows = []
+    for (a, b), vals in results.items():
+        row = {"column_1": a, "column_2": b}
+        for m in real_measures:
+            row[m] = vals.get(m, float("nan"))
+        if "max" in measures:
+            present = [v for v in (vals.get(m) for m in real_measures) if v is not None]
+            present = [v for v in present if not np.isnan(v)]
+            row["max"] = max(present, key=abs) if present else float("nan")
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    if len(out):
+        first = measures[0] if measures[0] != "max" or "max" in out.columns else real_measures[0]
+        out = out.reindex(
+            out[first].abs().sort_values(ascending=False, na_position="last").index,
+        ).reset_index(drop=True)
+    return out
+
+
+def _numeric_view_mixed(ww_df, cols):
+    """Like _numeric_view but keeps Categorical columns as strings (for
+    MI) while converting numeric-like columns to doubles."""
+    schema = ww_df.schema
+    exprs = []
+    for c in cols:
+        cs = schema.columns[c]
+        lt = cs.logical_type
+        col = F.col(c)
+        if isinstance(lt, Datetime):
+            exprs.append(F.unix_micros(col).cast("double").alias(c))
+        elif isinstance(lt, Ordinal):
+            exprs.append(lt.rank_expr(col).cast("double").alias(c))
+        elif isinstance(lt, BooleanNullable):
+            exprs.append(col.cast("int").cast("double").alias(c))
+        elif cs.is_numeric:
+            exprs.append(col.cast("double").alias(c))
+        else:
+            exprs.append(col.cast("string").alias(c))
+    return ww_df.raw.select(*exprs)

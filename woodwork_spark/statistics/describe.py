@@ -64,13 +64,17 @@ def describe_dict(ww_df, include=None):
     index = schema.index
     kinds = {c: _classify(schema.columns[c]) for c in cols}
 
+    # count_distinct lives in its own agg pass: combined with exact
+    # percentile it forces the percentile buffers through an Expand
+    # (see profile.py) — two clean jobs beat one poisoned one.
     aggs = [F.count(F.lit(1)).alias("__total")]
+    distinct_aggs = []
     for c in cols:
         col = F.col(c)
         kind = kinds[c]
         aggs.append(F.count(col).alias(f"{c}__count"))
         if kind in ("numeric", "category", "datetime", "other"):
-            aggs.append(F.count_distinct(col).alias(f"{c}__nunique"))
+            distinct_aggs.append(F.count_distinct(col).alias(f"{c}__nunique"))
         if kind == "numeric":
             aggs += [
                 F.mean(col).alias(f"{c}__mean"),
@@ -91,6 +95,8 @@ def describe_dict(ww_df, include=None):
                 F.sum(F.when(~col, 1).otherwise(0)).alias(f"{c}__num_false"),
             ]
     row = df.agg(*aggs).collect()[0].asDict()
+    if distinct_aggs:
+        row.update(df.agg(*distinct_aggs).collect()[0].asDict())
     total = row["__total"]
 
     modes = _modes(df, [c for c in cols if kinds[c] != "other" or True], kinds)

@@ -146,6 +146,20 @@ def _medcouple(values: np.ndarray) -> float:
     return float(np.median(h))
 
 
+def _sample_skewness(values: np.ndarray) -> float:
+    """Bias-corrected sample skewness G1 (same statistic as
+    scipy.stats.skew(bias=False), used by the reference
+    _get_box_plot_info_for_column.py:42-66; no scipy in this env)."""
+    n = values.size
+    mean = values.mean()
+    m2 = ((values - mean) ** 2).mean()
+    m3 = ((values - mean) ** 3).mean()
+    if m2 == 0:
+        return 0.0
+    g1 = m3 / m2**1.5
+    return float(g1 * np.sqrt(n * (n - 1)) / (n - 2))
+
+
 def medcouple_dict(ww_df, column):
     """Medcouple-adjusted outlier bounds
     (reference column_accessor.py:494-546): bounds
@@ -168,9 +182,7 @@ def medcouple_dict(ww_df, column):
             "high_values": [],
         }
     mc = round(_medcouple(values), 3)
-    from scipy import stats as _sps
-
-    skew = _sps.skew(values, bias=False) if values.size > 2 else 0.0
+    skew = _sample_skewness(values) if values.size > 2 else 0.0
     coeff = min(abs(skew), 3.5)
     row = nonnull.agg(
         *[F.percentile(c, F.lit(q)).alias(f"q{int(q * 100)}") for q in _QUANTILES],

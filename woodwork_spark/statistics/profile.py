@@ -21,37 +21,44 @@ def numeric_profile_df(df: DataFrame, columns, round_to=4) -> DataFrame:
     `percentile`), matching pandas/DuckDB ``quantile_cont`` semantics
     (reference percentile helper _get_describe_dict.py:27-48).
     """
+    # Two separate single-row aggs, cross-joined: mixing count_distinct
+    # (Expand, 1 extra row-multiple per distinct) with exact percentile
+    # (ObjectHashAggregate) in ONE agg forces every percentile buffer
+    # through the expanded grouped path — measured 3-10x slower.  Split,
+    # each pass is clean: pass 1 ordinary aggs + ONE array-percentile per
+    # column; pass 2 all distinct counts in a single Expand.
     aggs = [F.count(F.lit(1)).alias("__total")]
     for c in columns:
         col = F.col(c)
         aggs.append(
             F.struct(
                 F.count(col).alias("count"),
-                F.count_distinct(col).alias("nunique"),
                 F.mean(col).alias("mean"),
                 F.stddev_samp(col).alias("std"),
                 F.min(col).cast("double").alias("min"),
-                F.percentile(col, F.lit(0.25)).alias("q1"),
-                F.percentile(col, F.lit(0.5)).alias("median"),
-                F.percentile(col, F.lit(0.75)).alias("q3"),
+                F.percentile(col, F.lit([0.25, 0.5, 0.75])).alias("q"),
                 F.max(col).cast("double").alias("max"),
             ).alias(c),
         )
     aggd = df.agg(*aggs)
+    distincts = df.agg(
+        *[F.count_distinct(F.col(c)).alias(f"__nu_{c}") for c in columns],
+    )
+    joined = aggd.join(F.broadcast(distincts))
     structs = [
         F.struct(
             F.lit(c).alias("column_name"),
             F.col(f"{c}.count").alias("count"),
-            F.col(f"{c}.nunique").alias("nunique"),
+            F.col(f"__nu_{c}").alias("nunique"),
             (F.col("__total") - F.col(f"{c}.count")).alias("nan_count"),
             F.round(F.col(f"{c}.mean"), round_to).alias("mean"),
             F.round(F.col(f"{c}.std"), round_to).alias("std"),
             F.round(F.col(f"{c}.min"), round_to).alias("min"),
-            F.round(F.col(f"{c}.q1"), round_to).alias("q1"),
-            F.round(F.col(f"{c}.median"), round_to).alias("median"),
-            F.round(F.col(f"{c}.q3"), round_to).alias("q3"),
+            F.round(F.col(f"{c}.q")[0], round_to).alias("q1"),
+            F.round(F.col(f"{c}.q")[1], round_to).alias("median"),
+            F.round(F.col(f"{c}.q")[2], round_to).alias("q3"),
             F.round(F.col(f"{c}.max"), round_to).alias("max"),
         )
         for c in columns
     ]
-    return aggd.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    return joined.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

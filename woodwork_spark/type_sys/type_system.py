@@ -192,39 +192,56 @@ class TypeSystem:
         return bool(func(profile))
 
     def infer_from_profile(self, profile):
-        """Tree walk matching reference type_system.py:360-437."""
-        matches = []
+        """Breadth-first tree walk + resolution, same algorithm as the
+        reference (type_system.py:360-437): a type with no inference
+        function still forwards its children for checking; resolution
+        prefers IntegerNullable over Categorical/Double, Double over
+        Categorical, then the deepest match (first at that depth wins)."""
+        if profile.nonnull == 0:
+            return self.default_type()
 
-        def walk(node, depth):
-            if self._run(node, profile):
-                matches.append((node, depth))
-                for child in self._get_children(node):
-                    walk(child, depth + 1)
+        type_matches = []
 
-        for root in self.root_types:
-            if root in (NaturalLanguage, self.default_type):
-                continue
-            walk(root, 0)
+        def check_level(types_to_check):
+            check_next = []
+            for lt in types_to_check:
+                func = self.inference_functions.get(lt)
+                if func:
+                    matched = self._run(lt, profile)
+                    if matched:
+                        type_matches.append(lt)
+                        check_next.extend(self._get_children(lt))
+                else:
+                    # no inference function: children may still match
+                    check_next.extend(self._get_children(lt))
+            if check_next:
+                check_level(check_next)
 
-        if matches:
-            best_depth = max(d for _, d in matches)
-            finalists = [t for t, d in matches if d == best_depth]
-            if len(finalists) > 1:
-                # tie-breaks (reference type_system.py:421-428)
-                for preferred in (IntegerNullable, Integer, Datetime):
-                    if preferred in finalists:
-                        return preferred()
-                for t in finalists:
-                    if t not in (Categorical,):
-                        return t()
-            return finalists[0]()
-        # NaturalLanguage only as last resort (reference :401-413)
-        if NaturalLanguage in self.inference_functions and self._run(
-            NaturalLanguage,
-            profile,
-        ):
-            return NaturalLanguage()
-        return self.default_type()
+        check_level([t for t in self.root_types if t is not NaturalLanguage])
+
+        if not type_matches:
+            if self.inference_functions.get(NaturalLanguage) and self._run(
+                NaturalLanguage,
+                profile,
+            ):
+                return NaturalLanguage()
+            return self.default_type()
+        if len(type_matches) == 1:
+            return type_matches[0]()
+        if (
+            Categorical in type_matches or Double in type_matches
+        ) and IntegerNullable in type_matches:
+            best = IntegerNullable
+        elif Categorical in type_matches and Double in type_matches:
+            best = Double
+        else:
+            best = type_matches[0]
+        best_depth = self._get_depth(best)
+        for lt in type_matches[1:]:
+            d = self._get_depth(lt)
+            if d > best_depth:
+                best, best_depth = lt, d
+        return best()
 
     def infer_logical_types(self, df, columns=None, sample_size=None):
         """Infer LogicalTypes for ``columns`` of a Spark DataFrame.
