@@ -348,6 +348,236 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Relational coverage: semi/anti joins, set ops, rollup, pivot, as-of
+# ---------------------------------------------------------------------------
+
+
+def q_semi_anti_join(spark, sf_dir):
+    """Left-semi + left-anti joins: customer segments by has-orders."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    without = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return (
+        with_orders.join(without, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation with grouping ids (subtotals + grand total)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("grp_id"),
+        )
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    """Pivot order status per priority (conditional aggregation)."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT over key sets."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("k"),
+    )
+    active = orders.select(F.col("o_custkey").alias("k")).distinct()
+    return (
+        rich.intersect(active)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("rich_and_active").alias("set_op"), "n")
+        .unionByName(
+            rich.exceptAll(active)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("rich_not_active").alias("set_op"), "n"),
+        )
+        .unionByName(
+            active.exceptAll(rich)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("active_not_rich").alias("set_op"), "n"),
+        )
+    )
+
+
+def q_asof_last_event(spark, sf_dir):
+    """As-of (point-in-time) self join: each purchase paired with the
+    user's most recent prior login — the nearest-key merge pattern, via
+    a running window (no shuffle beyond the per-user sort)."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, -1,
+    )
+    last_login = F.max(
+        F.when(F.col("event_type") == "login", F.col("ts")),
+    ).over(w)
+    return (
+        ev.withColumn("last_login_ts", last_login)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.unix_micros("last_login_ts").alias("last_login_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Typed-layer inference exposed to the harness
+# ---------------------------------------------------------------------------
+
+
+def q_typing_profile(spark, sf_dir):
+    """woodwork init + inference on lineitem: the inferred logical types
+    are deterministic, so the oracle is a literal VALUES table."""
+    import woodwork_spark as ww
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    t = ww.init(li, name="lineitem", validate=False)
+    rows = [
+        (c, type(t.logical_types[c]).__name__, t.physical_types[c].simpleString())
+        for c in t.columns
+    ]
+    return spark.createDataFrame(
+        rows, schema="column_name string, logical_type string, physical_type string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: dedup / fingerprint / ANN / quality
+# ---------------------------------------------------------------------------
+
+
+def q_fingerprint_dedup(spark, sf_dir):
+    """Content fingerprinting (md5 of case/whitespace-normalized text):
+    distinct fingerprints + docs per language."""
+    from woodwork_spark.operators.text import fingerprint_expr
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(fingerprint_expr("text")).alias("n_fingerprints"),
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for the first 5 vectors
+    (exact baseline of the similarity-search operator)."""
+    from woodwork_spark.operators.similarity import cosine_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank",
+    )
+
+
+def q_minhash_dedup_pairs(spark, sf_dir):
+    """MinHash+LSH near-duplicate pairs (non-SQL-expressible: banded
+    signature join; driver records rows-only check)."""
+    from woodwork_spark.operators.dedup import minhash_dedup_pairs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+def q_simhash_clusters(spark, sf_dir):
+    """SimHash fingerprints: distribution of fingerprint collisions
+    (non-SQL-expressible; rows-only check)."""
+    from woodwork_spark.operators.dedup import simhash_expr
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(simhash_expr("text").alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-score profile per language (text-analysis operator)."""
+    from woodwork_spark.operators.text import quality_score_exprs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score_exprs("text")
+    scored = docs.select(
+        "lang",
+        q["n_tokens"].alias("n_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+    )
+    return scored.groupBy("lang").agg(
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic vs the labeled lang column (rows-only:
+    argmax-over-stopword-sets is not cleanly SQL-portable)."""
+    from woodwork_spark.operators.text import lang_id_expr
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id_expr("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -364,6 +594,18 @@ QUERIES = {
     "corr_lineitem": q_corr_lineitem,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
+    "semi_anti_join": q_semi_anti_join,
+    "rollup_revenue": q_rollup_revenue,
+    "pivot_status": q_pivot_status,
+    "set_ops": q_set_ops,
+    "asof_last_event": q_asof_last_event,
+    "typing_profile": q_typing_profile,
+    "fingerprint_dedup": q_fingerprint_dedup,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "simhash_clusters": q_simhash_clusters,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
 }
 
 ORACLE = {
@@ -593,6 +835,120 @@ ORACLE = {
                round(avg(length(text)), 4) AS avg_chars,
                max(length(text)) AS max_chars
         FROM documents GROUP BY lang
+    """,
+    "semi_anti_join": """
+        WITH w AS (
+            SELECT c_mktsegment, count(*) AS n_with_orders
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        ), wo AS (
+            SELECT c_mktsegment, count(*) AS n_without_orders
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        )
+        SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+               coalesce(n_with_orders, 0) AS n_with_orders,
+               coalesce(n_without_orders, 0) AS n_without_orders
+        FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+    """,
+    "rollup_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_rows,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS grp_id
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "pivot_status": """
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "set_ops": """
+        WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+             active AS (SELECT DISTINCT o_custkey AS k FROM orders)
+        SELECT 'rich_and_active' AS set_op,
+               (SELECT count(*) FROM (SELECT k FROM rich INTERSECT SELECT k FROM active)) AS n
+        UNION ALL
+        SELECT 'rich_not_active',
+               (SELECT count(*) FROM (SELECT k FROM rich EXCEPT ALL SELECT k FROM active))
+        UNION ALL
+        SELECT 'active_not_rich',
+               (SELECT count(*) FROM (SELECT k FROM active EXCEPT ALL SELECT k FROM rich))
+    """,
+    "asof_last_event": """
+        WITH e AS (
+            SELECT event_id, user_id, event_type, value,
+                   max(CASE WHEN event_type = 'login' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS last_login_ts
+            FROM events
+        )
+        SELECT event_id, user_id, round(value, 2) AS value,
+               epoch_us(last_login_ts) AS last_login_us
+        FROM e WHERE event_type = 'purchase'
+    """,
+    "typing_profile": """
+        SELECT * FROM (VALUES
+            ('l_orderkey',    'Integer',     'bigint'),
+            ('l_partkey',     'Integer',     'bigint'),
+            ('l_suppkey',     'Integer',     'bigint'),
+            ('l_linenumber',  'Integer',     'bigint'),
+            ('l_quantity',    'Double',      'double'),
+            ('l_extendedprice', 'Double',    'double'),
+            ('l_discount',    'Double',      'double'),
+            ('l_tax',         'Double',      'double'),
+            ('l_returnflag',  'Categorical', 'string'),
+            ('l_linestatus',  'Categorical', 'string'),
+            ('l_shipdate',    'Datetime',    'timestamp')
+        ) AS t(column_name, logical_type, physical_type)
+    """,
+    "fingerprint_dedup": """
+        SELECT lang,
+               count(*) AS n_docs,
+               count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_fingerprints
+        FROM documents GROUP BY lang
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))) AS cos
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+            ) AS rank FROM scored
+        ) WHERE rank <= 5
+    """,
+    "text_quality": """
+        WITH scored AS (
+            SELECT lang,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   (length(text) - length(regexp_replace(text, '[\\.,!\\?;:]', '', 'g')))
+                       / greatest(length(text), 1) AS punct_ratio,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> lower(t) IN ('the','and','of','to','in','is','that','it','was','for','with','are','this','have','not')))
+                       / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS stopword_ratio
+            FROM documents
+        )
+        SELECT lang,
+               round(avg(n_tokens), 4) AS avg_tokens,
+               round(avg(punct_ratio), 6) AS avg_punct_ratio,
+               round(avg(stopword_ratio), 6) AS avg_stopword_ratio
+        FROM scored GROUP BY lang
     """,
 }
 

@@ -1,0 +1,169 @@
+"""Beyond-reference operators: dedup, similarity, text, multimodal."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from woodwork_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the green hills of the quiet valley tonight"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("quick", "fast")),  # near dup of 0
+        (3, "completely different text about spark query engines and joins"),
+        (4, "another unrelated document mentioning parquet files and shuffles"),
+        (5, base.replace("dog", "cat").replace("sun", "moon")),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, columns=["text"], id_col="doc_id")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [0, 2, 3, 4, 5]  # doc 1 (exact dup, higher id) dropped
+
+
+def test_minhash_pairs_find_near_dups(docs):
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5, bands=16,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found  # exact dup: jaccard 1.0
+    assert (0, 2) in found or (1, 2) in found  # near dup
+    for a, b in found:
+        assert {a, b} <= {0, 1, 2, 5}  # unrelated docs never pair
+
+
+def test_minhash_dedup_drops_losers(docs):
+    out = dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert 0 in kept  # chain head survives
+    assert 1 not in kept
+    assert 3 in kept and 4 in kept
+
+
+def test_simhash_pairs(docs):
+    pairs = dedup.simhash_dedup_pairs(
+        docs, "doc_id", "text", max_hamming=10,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found.get((0, 1)) == 0  # identical text -> identical simhash
+    for (a, b) in found:
+        assert {a, b} <= {0, 1, 2, 5}
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.4,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert found.get((0, 1)) == pytest.approx(1.0)
+    assert any(a in (0, 1) and b == 2 for a, b in found)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(50):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    # 50/51: near-identical pair
+    rows.append((50, rows[0][1]))
+    rows.append((51, [x + 0.001 for x in rows[0][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(vectors, queries, k=3).collect()
+    assert [r["vec_id"] for r in out][:2] == [50, 51]  # identical then near
+    assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    assert all(out[i]["rank"] == i + 1 for i in range(3))
+
+
+def test_ivf_topk_finds_near_neighbor(vectors):
+    assigned, cents = similarity.ivf_index(vectors, nlist=4)
+    queries = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.ivf_topk(assigned, cents, queries, k=3, nprobe=4).collect()
+    # nprobe == nlist -> exhaustive -> must match brute force
+    assert [r["vec_id"] for r in out][:2] == [50, 51]
+
+
+def test_embedding_near_dup_pairs(vectors):
+    pairs = dedup.embedding_near_dup_pairs(
+        vectors, "vec_id", "embedding", threshold=0.999,
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 50) in found and (0, 51) in found
+
+
+def test_text_profile(docs):
+    prof = {r["doc_id"]: r for r in text.text_profile(docs, "text", "doc_id").collect()}
+    assert prof[0]["n_tokens"] == 23
+    assert prof[0]["lang_guess"] == "en"
+    assert prof[0]["fingerprint"] == prof[1]["fingerprint"]  # same text
+    assert prof[0]["fingerprint"] != prof[3]["fingerprint"]
+    assert 0.0 <= prof[0]["quality_score"] <= 1.0
+    assert prof[0]["quality_score"] > 0.5  # real English sentence
+
+
+def test_lang_id_multilang(spark):
+    rows = [
+        (0, "el perro corre en la casa y es un dia para los amigos"),
+        (1, "der hund ist nicht mit der katze auf dem dach und das ist gut"),
+        (2, "the cat is on the mat and it is a good day for all of us"),
+        (3, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["lang"] for r in df.select("id", text.lang_id_expr("text").alias("lang")).collect()}
+    assert out[0] == "es"
+    assert out[1] == "de"
+    assert out[2] == "en"
+    assert out[3] == "und"
+
+
+def test_rolling_fingerprint_overlap(docs, spark):
+    fp = docs.select(
+        "doc_id", text.rolling_fingerprint_expr("text", keep=8).alias("fp"),
+    )
+    rows = {r["doc_id"]: set(r["fp"]) for r in fp.collect()}
+    # near-dups share most of the sketch; unrelated share none
+    assert len(rows[0] & rows[2]) >= 4
+    assert len(rows[0] & rows[3]) == 0
+
+
+def test_multimodal_image_features(spark):
+    rows = [(0, b"\x01\x02\x03\x04" * 32), (1, b"\xff\xfe" * 64), (2, None)]
+    df = spark.createDataFrame(rows, "id long, img binary")
+    df = multimodal.attach_image_metadata(df, "img", width=8, height=8)
+    assert "img_meta" in df.columns
+    feats = multimodal.image_features(df, "img", "id", n_features=16).collect()
+    got = {r["id"]: r["features"] for r in feats}
+    assert len(got) == 3
+    assert len(got[0]) == 16
+    assert got[2] == [0.0] * 16  # null payload -> zero vector
+    # deterministic
+    feats2 = multimodal.image_features(df, "img", "id", n_features=16).collect()
+    assert {r["id"]: r["features"] for r in feats2} == got
+
+
+def test_multimodal_real_decoder_raises(spark):
+    df = spark.createDataFrame([(0, b"x")], "id long, img binary")
+    with pytest.raises(Exception, match="NotImplementedError|PIL|opencv"):
+        multimodal.image_features(df, "img", "id", decoder="real").collect()
+
+
+def test_frame_sample_plumbing(spark):
+    df = spark.createDataFrame([(0, bytes(range(256)) * 4)], "id long, vid binary")
+    frames = multimodal.frame_sample(df, "vid", "id", every_n=4).collect()
+    assert len(frames) == 4  # 16 pseudo-frames / every 4
+    assert all(len(r["frame"]) == 64 for r in frames)

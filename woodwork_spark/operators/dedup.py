@@ -1,0 +1,410 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard joins —
+all expressed as DataFrame transformations that shuffle only on
+hash/bucket keys, never materialize the O(N²) pair space, and keep the
+hot path JVM-side (xxhash64 / array exprs inside whole-stage codegen; no
+Python UDFs).
+
+Scale design notes (100 TB):
+- Candidate generation is bucket-local: explode (band, band_hash) then
+  self-join per bucket.  Buckets are capped (``max_bucket_size``) so a
+  degenerate bucket (e.g. empty documents) cannot produce a quadratic
+  blowup — the cap drops only pathological buckets and is logged in the
+  result's lineage, the standard guard in production LSH dedup.
+- Signatures/shingles are computed in one projection per document
+  (Catalyst-fused), then only (id, band_hash) pairs shuffle — bytes per
+  row are tens, not the document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame,
+    columns=None,
+    id_col: str = None,
+    keep: str = "first",
+) -> DataFrame:
+    """Exact deduplication by content hash.
+
+    With an ``id_col``: keeps the row with the MIN id per duplicate group
+    (deterministic, distributed — a groupBy + semi-join, no window over
+    the full table needed).  Without: plain ``dropDuplicates``.
+    """
+    if columns is None:
+        columns = [c for c in df.columns if c != id_col]
+    if id_col is None:
+        return df.dropDuplicates(columns)
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in columns]))
+    keeper = (
+        df.select(F.col(id_col), key.alias("__k"))
+        .groupBy("__k")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keeper, on=id_col, how="left_semi")
+
+
+def char_shingles_expr(text_col: str, k: int = 5):
+    """Distinct character k-shingles of a text column as an array
+    (JVM-side: sequence + transform + substring, no UDF)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> substring({text_col}, i, {k})))",
+    )
+
+
+def word_shingles_expr(text_col: str, k: int = 3):
+    """Distinct word k-shingles — ~6x fewer shingles than char 5-grams on
+    typical prose for near-identical dedup quality, so the default for
+    the MinHash pipeline."""
+    words = f"split(trim({text_col}), ' ')"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({words}) - {k - 1}, 1)), "
+        f"i -> array_join(slice({words}, i, {k}), ' ')))",
+    )
+
+
+def shingles_expr(text_col: str, k: int, use_words: bool):
+    return word_shingles_expr(text_col, k) if use_words else char_shingles_expr(text_col, k)
+
+
+def minhash_signature_expr(shingles_col: str, num_perm: int = 64):
+    """MinHash signature from a shingle array: ONE xxhash64 over each
+    shingle STRING, then num_perm re-hashes of that 8-byte long
+    (xxhash64(h, i)) + array_min.  Hashing the string once and permuting
+    longs is far cheaper than num_perm string hashes; the hash array is
+    bound once via a lambda variable so it is computed a single time per
+    row.  (Affine a*h+b permutations would be cheaper still but ANSI mode
+    forbids the intentional long wraparound.)"""
+    hashes = f"transform({shingles_col}, s -> xxhash64(s))"
+    mins = ", ".join(
+        f"array_min(transform(hs, h -> xxhash64(h, {i})))" for i in range(num_perm)
+    )
+    return F.expr(f"transform(array({hashes}), hs -> array({mins}))[0]")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket_size: int = 1000,
+    use_words: bool = True,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
+
+    rows_per_band = num_perm // bands; a pair collides if any band's
+    signature slice hashes equal.  Shuffle is on (band, band_hash) only.
+    """
+    rows_per_band = num_perm // bands
+    sig = (
+        df.select(
+            F.col(id_col),
+            shingles_expr(text_col, shingle_k, use_words).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+        .select(id_col, minhash_signature_expr("__sh", num_perm).alias("__sig"))
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ],
+            ),
+        ).alias("e"),
+    ).select(id_col, "e.band", "e.bh")
+    # cap pathological buckets before the quadratic self-join
+    sized = banded.withColumn(
+        "__bs", F.count(F.lit(1)).over(W.partitionBy("band", "bh")),
+    ).filter(F.col("__bs") <= max_bucket_size)
+    a = sized.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = sized.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    use_words: bool = True,
+) -> DataFrame:
+    """Verified near-duplicate pairs: LSH candidates -> exact Jaccard on
+    the shingle sets (array_intersect/array_union sizes)."""
+    shingled = df.select(
+        F.col(id_col),
+        shingles_expr(text_col, shingle_k, use_words).alias("__sh"),
+    )
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, shingle_k, num_perm, bands, use_words=use_words,
+    )
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b"),
+    )
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: every doc that matches a lower-id doc goes
+    (single-pass min-neighbor rule; transitive clusters keep one row per
+    chain head, the standard one-sweep approximation of connected
+    components used by large-scale dedup pipelines)."""
+    pairs = minhash_dedup_pairs(df, id_col, text_col, threshold, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_expr(text_col: str, bits: int = 64):
+    """SimHash of the token multiset of a text column, as a signed long.
+
+    bit_b(simhash) = sign of sum over tokens of (+1 if bit_b(xxhash64(t))
+    else -1).  Pure array expressions (aggregate over the token array);
+    one projection, no shuffle, no UDF."""
+    hashes = f"transform(split(trim(lower({text_col})), '\\\\s+'), t -> xxhash64(t))"
+    # bind the token-hash array ONCE via a lambda variable: without the
+    # wrapper the {hashes} subtree would be re-evaluated per bit (64x)
+    return F.expr(
+        f"transform(array({hashes}), hs -> "
+        f"  aggregate("
+        f"    transform(sequence(0, {bits - 1}), b -> "
+        f"      IF(aggregate(hs, 0L, "
+        f"           (s, h) -> s + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0, "
+        f"         shiftleft(1L, b), 0L)), "
+        f"    0L, (a, x) -> a | x))[0]",
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    ``bands`` chunks (pigeonhole: hamming <= bands-1 guarantees an exact
+    chunk match), bucket-join on matching chunks, verify exact hamming
+    via bit_count(xor)."""
+    width = 64 // bands
+    sh = df.select(F.col(id_col), simhash_expr(text_col).alias("__sh"))
+    chunks = sh.select(
+        id_col,
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(__sh >> {b * width}) & {(1 << width) - 1}").alias("ch"),
+                    )
+                    for b in range(bands)
+                ],
+            ),
+        ).alias("e"),
+    ).select(id_col, "__sh", "e.band", "e.ch")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"), "band", "ch",
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"), "band", "ch",
+    )
+    return (
+        a.join(b, ["band", "ch"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.expr("sh_a ^ sh_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard set-similarity join (exact, inverted-index style)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    use_words: bool = True,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over word (or char) k-gram sets via an
+    inverted index: explode grams, join on gram, count co-occurrences,
+    then |A∩B| / (|A|+|B|-|A∩B|).  Only rows sharing >= 1 gram ever meet
+    — no cross join."""
+    if use_words:
+        grams = F.expr(
+            f"array_distinct(transform(sequence(1, greatest(size(split(trim({text_col}), ' ')) - {k - 1}, 1)), "
+            f"i -> array_join(slice(split(trim({text_col}), ' '), i, {k}), ' ')))",
+        )
+    else:
+        grams = char_shingles_expr(text_col, k)
+    g = df.select(F.col(id_col), grams.alias("__g")).filter(F.size("__g") > 0)
+    sizes = g.select(id_col, F.size("__g").alias("__n"))
+    inv = g.select(id_col, F.explode("__g").alias("gram"))
+    a = inv.select(F.col(id_col).alias("id_a"), "gram")
+    b = inv.select(F.col(id_col).alias("id_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__shared")
+                / (F.col("__na") + F.col("__nb") - F.col("__shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 16,
+    bands: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicates by cosine: random-hyperplane LSH sketch
+    (sign bits of dot products with deterministic pseudo-random planes)
+    -> banded bucket join -> exact cosine verification."""
+    import numpy as np
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], schema=f"id_a long, id_b long, cosine double",
+        )
+    dim = first["d"]
+    rng = np.random.default_rng(seed)
+    plane_mat = rng.standard_normal((planes, dim))
+    sketch = F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.lit(plane_mat[p].tolist()).cast("array<double>"),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0
+            ).cast("int")
+            for p in range(planes)
+        ],
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sketch.alias("__sk"),
+        norm.alias("__norm"),
+    )
+    width = planes // bands
+    banded = base.select(
+        id_col,
+        vec_col,
+        "__norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bd).alias("band"),
+                        F.hash(F.slice("__sk", bd * width + 1, width)).alias("bh"),
+                    )
+                    for bd in range(bands)
+                ],
+            ),
+        ).alias("e"),
+    ).select(id_col, vec_col, "__norm", "e.band", "e.bh")
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__norm").alias("na"),
+        "band",
+        "bh",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__norm").alias("nb"),
+        "band",
+        "bh",
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,162 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure Column expressions (split/regexp/aggregate/xxhash64) — the
+whole module is UDF-free, so every operator runs inside whole-stage
+codegen and composes with any DataFrame plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Small stopword sets per language (public common-word lists) for the
+# n-gram/stopword-overlap language heuristic.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "with", "are", "this", "have", "not"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "las",
+           "es", "por", "con", "para", "como"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht",
+           "ein", "eine", "auf", "als", "auch", "sich"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "en", "un", "une",
+           "que", "pour", "dans", "par", "sur"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "他",
+           "就", "人", "都", "一", "也"],
+}
+
+
+def tokens_expr(text_col):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_count_expr(text_col):
+    """Whitespace token count."""
+    return F.size(tokens_expr(text_col))
+
+
+def bpe_ish_token_count_expr(text_col):
+    """Sub-word-ish token estimate: split on whitespace AND
+    punctuation/digit boundaries (a cheap BPE-ish proxy: words plus
+    punctuation marks count separately)."""
+    return F.size(
+        F.filter(
+            F.split(
+                F.col(text_col),
+                r"(\s+|(?<=[\p{Punct}])|(?=[\p{Punct}]))",
+            ),
+            lambda t: t != "",
+        ),
+    )
+
+
+def quality_score_exprs(text_col):
+    """Heuristic quality signals (length, punctuation density, stopword
+    ratio, mean word length, uppercase ratio) + a composite [0,1] score —
+    the standard cheap pre-filters for LLM training corpora."""
+    toks = tokens_expr(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(F.regexp_replace(text_col, r"[\.,!\?;:]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text_col, r"[A-Z]", ""))
+    en_stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(LANG_STOPWORDS["en"])),
+    )
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+        / F.greatest(n_tokens, F.lit(1))
+    )
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    upper_ratio = n_upper / F.greatest(n_chars, F.lit(1))
+    stop_ratio = en_stop / F.greatest(n_tokens, F.lit(1))
+    composite = (
+        F.when(n_tokens < 5, 0.0)
+        .when(mean_word_len < 2, 0.2)
+        .when(mean_word_len > 12, 0.2)
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                0.4
+                + 0.4 * F.least(stop_ratio * 3, F.lit(1.0))
+                + 0.2 * (1 - F.least(punct_ratio * 5, F.lit(1.0))),
+            ),
+        )
+    )
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "mean_word_len": mean_word_len,
+        "punct_ratio": punct_ratio,
+        "upper_ratio": upper_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": composite,
+    }
+
+
+def lang_scores_expr(text_col):
+    """Per-language stopword-hit counts as a map expression."""
+    toks = F.transform(tokens_expr(text_col), lambda t: F.lower(t))
+    return F.create_map(
+        *[
+            x
+            for lang, words in LANG_STOPWORDS.items()
+            for x in (
+                F.lit(lang),
+                F.size(F.filter(toks, lambda t: t.isin(words))),
+            )
+        ],
+    )
+
+
+def lang_id_expr(text_col):
+    """argmax language by stopword overlap; 'und' (undetermined) when no
+    stopword hits at all."""
+    toks = F.transform(tokens_expr(text_col), lambda t: F.lower(t))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, lambda t: t.isin(words))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in LANG_STOPWORDS.items()
+        ],
+    )
+    best = F.array_max(scores)
+    return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def fingerprint_expr(text_col):
+    """Canonical content fingerprint: md5 of the case/whitespace
+    normalized text (exact-dup key robust to formatting noise)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def rolling_fingerprint_expr(text_col, k: int = 8, keep: int = 4):
+    """Winnowing-style robust fingerprint: the ``keep`` smallest
+    xxhash64 values over the char k-gram stream, as an array (documents
+    sharing most content share most of the sketch)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> xxhash64(substring({text_col}, i, {k})))",
+    )
+    return F.slice(F.array_sort(F.array_distinct(grams)), 1, keep)
+
+
+def text_profile(df: DataFrame, text_col: str, id_col: str = None) -> DataFrame:
+    """One-projection text profile: id, token counts, quality signals,
+    language guess, fingerprint."""
+    q = quality_score_exprs(text_col)
+    cols = [F.col(id_col)] if id_col else []
+    cols += [
+        q["n_tokens"].alias("n_tokens"),
+        q["n_chars"].alias("n_chars"),
+        F.round(q["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(q["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(q["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(q["quality_score"], 4).alias("quality_score"),
+        lang_id_expr(text_col).alias("lang_guess"),
+        fingerprint_expr(text_col).alias("fingerprint"),
+    ]
+    return df.select(*cols)

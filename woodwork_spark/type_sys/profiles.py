@@ -1,14 +1,31 @@
-"""Column inference profiles computed as ONE wide Spark aggregation.
+"""Column inference profiles computed in two bounded Spark passes.
 
 The reference infers types by running pandas predicates per column over a
 100k-row sample (/root/reference/woodwork/type_sys/type_system.py:335-437,
-inference_functions.py:27-222).  Per-column pandas scans don't distribute,
-so here every predicate each default inference function needs is expressed
-as a Spark aggregate; ALL columns are profiled in a single `df.agg(...)`
-pass over one cached sample — one job, regardless of width.
+inference_functions.py:27-222).  Per-column pandas scans don't
+distribute, so here the predicates are Spark aggregates over ONE cached
+sample, organized for scale:
+
+- Phase A (one wide agg): cheap facts for every column — counts,
+  distincts, integral-ness, int/float-string and boolean-vocabulary
+  match counts.
+- Probe (one tiny driver-side collect, ~100 non-null values per string
+  column): decides which EXPENSIVE checks (email/phone/postal/url/ip
+  regexes, multi-format datetime parsing) can possibly succeed.  The
+  full check requires ALL non-null values to match, so any probe miss
+  soundly prunes the full aggregate — this is what keeps the IPv6
+  monster-regex and the 11-format timestamp parse off columns that are
+  obviously names/categories.  (Same spirit as the reference's own
+  100-row datetime-format sampling, utils.py:595-650.)
+- Phase B (one wide agg): only the surviving expensive checks.
+
+Cost is 2 aggregation jobs + 1 bounded collect regardless of column
+count.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,6 +44,9 @@ _BOOL_SETS = [
     frozenset(["true", "false"]),
     frozenset(["t", "f"]),
 ]
+
+_PROBE_ROWS = 1000
+_PROBE_PER_COL = 100
 
 
 class ColumnProfile:
@@ -73,13 +93,36 @@ class ColumnProfile:
         return self._pandas
 
 
-def _agg_exprs_for_column(name: str, dtype: T.DataType):
-    """Aggregate expressions for one column, keyed ``{name}__{stat}``."""
+def _regexes():
+    return {
+        "email": config.get_option("email_inference_regex"),
+        "phone": config.get_option("phone_inference_regex"),
+        "postal": config.get_option("postal_code_inference_regex"),
+        # reference uses Series.str.match (start-anchored): anchor here too
+        "url": "^(?:" + config.get_option("url_inference_regex") + ")",
+        "ip": (
+            "^(?:"
+            + config.get_option("ipv4_inference_regex")
+            + "|"
+            + config.get_option("ipv6_inference_regex")
+            + ")"
+        ),
+    }
+
+
+def _base_exprs(name: str, dtype: T.DataType):
+    """All Expand-free: distinct counts use approx_count_distinct (rsd 5%)
+    — exact multi-column count_distinct would force an Expand multiplying
+    the sample by (n_distinct_aggs + 1); inference only needs the
+    unique/total RATIO against the 0.2 categorical threshold, well within
+    HLL accuracy (tighter precision costs 8x: rsd 0.02 sketches are 256KB
+    dense arrays per column).  Boolean-vocabulary set equality is per-value presence
+    flags (max of indicator), not a distinct count."""
     c = F.col(name)
     exprs = [
         F.count(F.lit(1)).alias(f"{name}__total"),
         F.count(c).alias(f"{name}__nonnull"),
-        F.count_distinct(c).alias(f"{name}__nunique"),
+        F.approx_count_distinct(c, 0.05).alias(f"{name}__nunique"),
     ]
     if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
         exprs.append(
@@ -90,7 +133,7 @@ def _agg_exprs_for_column(name: str, dtype: T.DataType):
         low = F.lower(F.trim(s))
         exprs += [
             F.count(s).alias(f"{name}__nonnull_norm"),
-            F.count_distinct(s).alias(f"{name}__nunique_norm"),
+            F.approx_count_distinct(s, 0.05).alias(f"{name}__nunique_norm"),
             F.sum(F.when(s.rlike(_INT_STRING_RE), 1).otherwise(0)).alias(
                 f"{name}__int_str",
             ),
@@ -103,6 +146,37 @@ def _agg_exprs_for_column(name: str, dtype: T.DataType):
                     1,
                 ).otherwise(0),
             ).alias(f"{name}__float_nonint_str"),
+        ]
+        for i, bs in enumerate(_BOOL_SETS):
+            vals = sorted(bs)
+            exprs.append(
+                F.sum(F.when(~low.isin(vals) & s.isNotNull(), 1).otherwise(0)).alias(
+                    f"{name}__bool_out{i}",
+                ),
+            )
+            for j, v in enumerate(vals):
+                exprs.append(
+                    F.max(F.when(low == v, 1).otherwise(0)).alias(
+                        f"{name}__bool_v{i}_{j}",
+                    ),
+                )
+    return exprs
+
+
+def _expensive_exprs(name: str, checks: set):
+    """Full-sample aggregates for the checks that survived the probe."""
+    s = nan_normalize(F.col(name))
+    exprs = []
+    regexes = _regexes()
+    for key in ("email", "phone", "postal", "url", "ip"):
+        if key in checks:
+            exprs.append(
+                F.sum(F.when(s.rlike(regexes[key]), 1).otherwise(0)).alias(
+                    f"{name}__{key}",
+                ),
+            )
+    if "datetime" in checks:
+        exprs.append(
             F.count(
                 F.coalesce(
                     F.try_to_timestamp(s),
@@ -112,56 +186,70 @@ def _agg_exprs_for_column(name: str, dtype: T.DataType):
                     ],
                 ),
             ).alias(f"{name}__dt_parse"),
-        ]
-        for regex_key, stat in [
-            ("email_inference_regex", "email"),
-            ("phone_inference_regex", "phone"),
-            ("postal_code_inference_regex", "postal"),
-            ("url_inference_regex", "url"),
-        ]:
-            rx = config.get_option(regex_key)
-            exprs.append(
-                F.sum(F.when(s.rlike(rx), 1).otherwise(0)).alias(f"{name}__{stat}"),
-            )
-        ip_rx = (
-            "("
-            + config.get_option("ipv4_inference_regex")
-            + "|"
-            + config.get_option("ipv6_inference_regex")
-            + ")"
         )
-        exprs.append(F.sum(F.when(s.rlike(ip_rx), 1).otherwise(0)).alias(f"{name}__ip"))
-        for i, bs in enumerate(_BOOL_SETS):
-            vals = sorted(bs)
-            exprs.append(
-                F.sum(F.when(~low.isin(vals) & s.isNotNull(), 1).otherwise(0)).alias(
-                    f"{name}__bool_out{i}",
-                ),
-            )
-            exprs.append(
-                F.count_distinct(F.when(low.isin(vals), low)).alias(
-                    f"{name}__bool_in{i}",
-                ),
-            )
     return exprs
 
 
-def build_profiles(df: DataFrame, columns=None, sample_size=None) -> dict:
-    """Profile ``columns`` of ``df`` in one aggregation over one sample.
+def _probe_checks(values) -> set:
+    """Decide which expensive checks could pass, from a bounded probe.
+    Sound pruning: a full check needs ALL non-null values to match, so
+    one probe miss rules it out."""
+    import pandas as pd
 
-    Scale design: the sample is bounded (default 100k rows, reference
-    INFERENCE_SAMPLE_SIZE type_system.py:101) and cached once; the single
-    wide agg is a map-side-combinable job whose cost is independent of the
-    number of columns profiled.
-    """
+    checks = set()
+    regexes = _regexes()
+    str_vals = [str(v) for v in values]
+    for key, rx in regexes.items():
+        try:
+            crx = re.compile(rx)
+        except re.error:
+            checks.add(key)
+            continue
+        if all(crx.search(v) for v in str_vals):
+            checks.add(key)
+    # datetime: pandas parse as the (more lenient) probe; Spark agg stays
+    # the ground truth for survivors
+    if str_vals:
+        parsed = pd.to_datetime(pd.Series(str_vals), errors="coerce", format="mixed")
+        if not parsed.isna().any():
+            checks.add("datetime")
+    return checks
+
+
+def build_profiles(df: DataFrame, columns=None, sample_size=None) -> dict:
+    """Profile ``columns`` of ``df``: 2 aggregation jobs + 1 bounded
+    collect over one cached sample, independent of column count."""
     columns = list(columns) if columns is not None else df.columns
     sample_size = sample_size or config.get_option("inference_sample_size")
-    sample = df.select(columns).limit(sample_size).cache()
+    # limit() materializes through ONE partition; repartition spreads the
+    # bounded sample back across cores before the (CPU-heavy) agg passes
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sample = df.select(columns).limit(sample_size).repartition(parallelism).cache()
     dtypes = {f.name: f.dataType for f in sample.schema.fields}
+
     all_exprs = []
     for name in columns:
-        all_exprs.extend(_agg_exprs_for_column(name, dtypes[name]))
+        all_exprs.extend(_base_exprs(name, dtypes[name]))
     row = sample.agg(*all_exprs).collect()[0].asDict()
+
+    string_cols = [c for c in columns if isinstance(dtypes[c], T.StringType)]
+    phase_b = []
+    scheduled: dict[str, set] = {}
+    if string_cols:
+        probe_pdf = sample.select(string_cols).limit(_PROBE_ROWS).toPandas()
+        for c in string_cols:
+            vals = probe_pdf[c].dropna()
+            vals = vals[vals.astype(str).str.strip() != ""].head(_PROBE_PER_COL)
+            if len(vals) == 0:
+                # cannot prune soundly without evidence: check everything
+                checks = {"email", "phone", "postal", "url", "ip", "datetime"}
+            else:
+                checks = _probe_checks(list(vals))
+            scheduled[c] = checks
+            phase_b.extend(_expensive_exprs(c, checks))
+    if phase_b:
+        row.update(sample.agg(*phase_b).collect()[0].asDict())
+
     profiles = {}
     for name in columns:
         prefix = f"{name}__"
@@ -170,5 +258,14 @@ def build_profiles(df: DataFrame, columns=None, sample_size=None) -> dict:
             for k, v in row.items()
             if k.startswith(prefix)
         }
+        # fold per-value presence flags into the set-cardinality stat
+        for i, bs in enumerate(_BOOL_SETS):
+            flags = [stats.pop(f"bool_v{i}_{j}", 0) for j in range(len(bs))]
+            if f"bool_out{i}" in stats:
+                stats[f"bool_in{i}"] = sum(flags)
+        # pruned checks: definitively not-all-matching
+        for key in ("email", "phone", "postal", "url", "ip"):
+            stats.setdefault(key, 0)
+        stats.setdefault("dt_parse", 0)
         profiles[name] = ColumnProfile(name, dtypes[name], stats, sample_df=sample)
     return profiles
