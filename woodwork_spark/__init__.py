@@ -17,6 +17,7 @@ from woodwork_spark.schema import ColumnSchema, TableSchema
 from woodwork_spark.type_sys.type_system import type_system
 from woodwork_spark import logical_types
 from woodwork_spark.type_sys.utils import list_logical_types, list_semantic_tags
+from woodwork_spark.table_utils import concat_columns, init_series
 
 __version__ = "0.1.0"
 
@@ -32,4 +33,6 @@ __all__ = [
     "logical_types",
     "list_logical_types",
     "list_semantic_tags",
+    "concat_columns",
+    "init_series",
 ]

@@ -90,6 +90,28 @@ def init(
         else:
             resolved[col] = inferred[col]
 
+    # string columns resolving to Datetime without an explicit format:
+    # infer the strftime format from a bounded sample and pin it (the
+    # reference does the same inside Datetime.transform,
+    # logical_types.py:326-369) — the pinned format makes the coercion a
+    # single to_timestamp instead of a coalesce over fallback patterns
+    src_types_pre = {f.name: f.dataType for f in df.schema.fields}
+    for col, lt in resolved.items():
+        if (
+            isinstance(lt, Datetime)
+            and lt.datetime_format is None
+            and isinstance(src_types_pre[col], T.StringType)
+        ):
+            from woodwork_spark.table_utils import infer_datetime_format
+
+            sample_vals = [
+                r[0]
+                for r in df.select(col).filter(F.col(col).isNotNull()).limit(100).collect()
+            ]
+            fmt = infer_datetime_format(sample_vals)
+            if fmt:
+                resolved[col] = Datetime(datetime_format=fmt, timezone=lt.timezone)
+
     # Single projection applying every transform — one Catalyst-fused pass.
     src_types = {f.name: f.dataType for f in df.schema.fields}
     exprs = []

@@ -67,6 +67,17 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     try:
         df = spark.read.parquet(path)
         df.schema  # force analysis so schema errors surface here
+        # nanosAsLong may already be on session-wide (a running stream
+        # needs it): nano columns then surface as bigint — still convert
+        long_cols = {
+            f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"
+        }
+        for c in _nano_timestamp_columns(path):
+            if c in long_cols:
+                df = df.withColumn(
+                    c,
+                    F.timestamp_micros((F.col(c) / 1000).cast("long")),
+                )
         return df
     except Exception as e:  # noqa: BLE001
         if "PARQUET_TYPE_ILLEGAL" not in str(e):

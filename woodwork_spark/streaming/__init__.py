@@ -1,0 +1,13 @@
+from woodwork_spark.streaming.events import (
+    read_event_stream,
+    hourly_rollup_stream,
+    sessionize_stream,
+    late_data_counts_stream,
+)
+
+__all__ = [
+    "read_event_stream",
+    "hourly_rollup_stream",
+    "sessionize_stream",
+    "late_data_counts_stream",
+]

@@ -1,0 +1,232 @@
+"""Structured Streaming operators over the event stream.
+
+The reference has no streaming surface (SURVEY §2.B); these are the
+Spark-first stream analogs of the batch operators the engine exposes on
+the ``events`` table: tumbling/sliding windowed rollups with watermarked
+late-data handling, and session windows (both the built-in
+``session_window`` and a custom stateful sessionizer via
+``applyInPandasWithState`` for semantics the built-in can't express).
+
+All transformations are source-agnostic: they take any streaming (or
+batch — the plans are identical) DataFrame with the events schema
+(event_id long, ts timestamp, user_id long, event_type string,
+value double).  Tests drive them with a file source + Trigger.AvailableNow
+over the driver's events.parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ],
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source event stream (parquet directory).  For the driver's
+    nano-timestamp events.parquet, ts arrives as long nanos and is
+    converted — the streaming twin of io.read_parquet."""
+    from woodwork_spark.io import _nano_timestamp_columns
+
+    nano_cols = _nano_timestamp_columns(path)
+    schema = EVENT_SCHEMA
+    if nano_cols:
+        fields = [
+            T.StructField(f.name, T.LongType() if f.name in nano_cols else f.dataType)
+            for f in EVENT_SCHEMA.fields
+        ]
+        schema = T.StructType(fields)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger,
+    )
+    if os.path.isfile(path):
+        # file sources stream DIRECTORIES; target a single file via glob
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        df = reader.parquet(os.path.dirname(path))
+    else:
+        df = reader.parquet(path)
+    for c in nano_cols:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def hourly_rollup_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    slide: str = None,
+) -> DataFrame:
+    """Watermarked tumbling (or sliding) window rollup per event type.
+
+    Late rows beyond the watermark are dropped by the engine; state is
+    bounded by (watermark + window) per key — the standard scalable
+    shape for continuous rollups."""
+    w = (
+        F.window("ts", window, slide)
+        if slide
+        else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("event_type"), w.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user via the built-in ``session_window``
+    (gap-based, watermark-bounded state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = "last_ts timestamp, n_events long, sum_value double"
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double, closed_by string"
+)
+
+
+def sessionize_stream_custom(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful sessionizer via ``applyInPandasWithState`` — the
+    escape hatch for session semantics the built-in can't express (here:
+    emitting whether a session closed by gap or by state timeout).
+
+    State per user: (last_ts, n_events, sum_value); a new event beyond
+    the gap emits the closed session and restarts state; processing-time
+    timeout flushes idle sessions.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        user_id = key[0]
+        out = []
+        if state.hasTimedOut:
+            if state.exists:
+                last_ts, n, sv, start = state.get
+                out.append((user_id, start, last_ts, n, sv, "timeout"))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdf_iter)).sort_values("ts")
+            if state.exists:
+                last_ts, n, sv, start = state.get
+            else:
+                last_ts, n, sv, start = None, 0, 0.0, None
+            gap = pd.Timedelta(minutes=gap_minutes)
+            for r in rows.itertuples():
+                ts = r.ts
+                if last_ts is not None and (ts - last_ts) > gap:
+                    out.append((user_id, start, last_ts, n, sv, "gap"))
+                    n, sv, start = 0, 0.0, None
+                if start is None:
+                    start = ts
+                last_ts = ts
+                n += 1
+                sv += float(r.value or 0.0)
+            state.update((last_ts, n, sv, start))
+            state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "session_start",
+                    "session_end",
+                    "n_events",
+                    "sum_value",
+                    "closed_by",
+                ],
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType="last_ts timestamp, n_events long, sum_value double, session_start timestamp",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def late_data_counts_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Windowed counts in UPDATE mode with a tight watermark — the
+    canonical late-data demonstration: rows later than the watermark are
+    dropped, on-time stragglers update their window row."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120):
+    """Run a streaming query to completion with Trigger.AvailableNow into
+    an in-memory sink; returns the result rows (test/bench harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if "session" in name else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

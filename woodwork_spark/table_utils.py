@@ -1,0 +1,158 @@
+"""Table-level utilities: concat_columns, init_series, datetime-format
+inference.
+
+Reference: ww.concat_columns (utils.py:422-541), init_series
+(accessor_utils.py:10-69), datetime format inference (utils.py:595-650).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from woodwork_spark.accessor import WWDataFrame, init
+from woodwork_spark.schema import TableSchema
+
+
+def concat_columns(objs, validate_schema=True) -> WWDataFrame:
+    """Width-wise concatenation of typed tables (reference
+    utils.py:422-541): joins on the (single, shared) index column when
+    every input has one, else zips by ``monotonically_increasing_id`` +
+    row_number (positional concat — requires equal row counts and stable
+    input ordering, like the pandas original).
+
+    Rules preserved from the reference: at most one index and one
+    time_index across inputs; duplicate column names rejected; table
+    name/metadata taken from the first object carrying them.
+    """
+    if not objs:
+        raise ValueError("No objects to concatenate")
+    wws = list(objs)
+    seen_cols = set()
+    index_owner = None
+    time_index_owner = None
+    name = None
+    metadata = {}
+    for o in wws:
+        if not isinstance(o, WWDataFrame):
+            raise TypeError("concat_columns expects WWDataFrame inputs")
+        dup = seen_cols & set(o.columns) - (
+            {o.index} if o.index and index_owner is not None else set()
+        )
+        for c in o.columns:
+            if o.index == c:
+                continue
+            if c in seen_cols:
+                raise ValueError(
+                    f"Duplicate column '{c}' has been found in more than one DataFrame",
+                )
+            seen_cols.add(c)
+        if o.index is not None:
+            if index_owner is not None and index_owner.index != o.index:
+                raise IndexError(
+                    "Cannot set the Woodwork index of multiple input objects",
+                )
+            index_owner = index_owner or o
+        if o.time_index is not None:
+            if time_index_owner is not None:
+                raise IndexError(
+                    "Cannot set the Woodwork time index of multiple input objects",
+                )
+            time_index_owner = o
+        if name is None and o.name is not None:
+            name = o.name
+        if not metadata and o.metadata:
+            metadata = dict(o.metadata)
+
+    index = index_owner.index if index_owner is not None else None
+    all_have_index = index is not None and all(
+        index in o.columns for o in wws
+    )
+    if all_have_index:
+        joined = wws[0].raw
+        for o in wws[1:]:
+            joined = joined.join(o.raw, on=index, how="outer")
+    else:
+        # positional zip: stable per-input row numbering
+        from pyspark.sql import Window as W
+
+        frames = []
+        for o in wws:
+            w = W.orderBy(F.monotonically_increasing_id())
+            frames.append(
+                o.raw.withColumn("__pos", F.row_number().over(w) - 1),
+            )
+        joined = frames[0]
+        for f in frames[1:]:
+            joined = joined.join(f, on="__pos", how="outer")
+        joined = joined.drop("__pos")
+
+    columns = {}
+    for o in wws:
+        for c, cs in o.schema.columns.items():
+            if c not in columns:
+                import copy
+
+                columns[c] = copy.deepcopy(cs)
+    schema = TableSchema(name=name, table_metadata=metadata, columns=columns)
+    out = WWDataFrame(joined.select(*columns.keys()), schema)
+    if validate_schema and index is not None:
+        out._validate_index(index)
+    return out
+
+
+def init_series(df, column, logical_type=None, **kwargs) -> WWDataFrame:
+    """Single-column init (reference init_series accessor_utils.py:10-69):
+    returns a one-column typed table."""
+    single = df.select(column)
+    lts = {column: logical_type} if logical_type is not None else None
+    return init(single, logical_types=lts, **kwargs)
+
+
+# -- datetime format inference ------------------------------------------------
+
+_CANDIDATE_FORMATS = [
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%d",
+    "%Y/%m/%d",
+    "%m/%d/%Y %H:%M:%S",
+    "%m/%d/%Y",
+    "%m-%d-%Y",
+    "%m-%d-%y",
+    "%m/%d/%y",
+    "%d/%m/%Y",
+    "%d-%m-%Y",
+    "%Y%m%d",
+    "%b %d, %Y",
+    "%Y~%m~%d",
+]
+
+
+def infer_datetime_format(values, n=100):
+    """Infer a strftime format from a bounded sample of string values
+    (reference utils.py:595-650: 100-row sample).  Tries the candidate
+    formats plus separator-generalized variants; returns the first format
+    that parses every sampled value, else None."""
+    import pandas as pd
+
+    sample = [str(v) for v in values[:n] if v is not None]
+    if not sample:
+        return None
+    candidates = list(_CANDIDATE_FORMATS)
+    # generalize separators seen in the data
+    probe = sample[0]
+    seps = set(re.findall(r"[^0-9A-Za-z]", probe))
+    for sep in seps:
+        if sep not in "-/~ :":
+            candidates.extend(
+                [f.replace("-", sep) for f in _CANDIDATE_FORMATS if "-" in f],
+            )
+    for fmt in candidates:
+        try:
+            parsed = pd.to_datetime(pd.Series(sample), format=fmt, errors="coerce")
+        except (ValueError, TypeError):
+            continue
+        if not parsed.isna().any():
+            return fmt
+    return None

@@ -163,7 +163,7 @@ def _base_exprs(name: str, dtype: T.DataType):
     return exprs
 
 
-def _expensive_exprs(name: str, checks: set):
+def _expensive_exprs(name: str, checks: set, custom_fmt: str = None):
     """Full-sample aggregates for the checks that survived the probe."""
     s = nan_normalize(F.col(name))
     exprs = []
@@ -176,16 +176,20 @@ def _expensive_exprs(name: str, checks: set):
                 ),
             )
     if "datetime" in checks:
+        fallbacks = [
+            F.try_to_timestamp(s, F.lit(fmt)) for fmt in Datetime._FALLBACK_FORMATS
+        ]
+        if custom_fmt:
+            from woodwork_spark.logical_types import _to_spark_datetime_format
+
+            fallbacks.insert(
+                0,
+                F.try_to_timestamp(s, F.lit(_to_spark_datetime_format(custom_fmt))),
+            )
         exprs.append(
-            F.count(
-                F.coalesce(
-                    F.try_to_timestamp(s),
-                    *[
-                        F.try_to_timestamp(s, F.lit(fmt))
-                        for fmt in Datetime._FALLBACK_FORMATS
-                    ],
-                ),
-            ).alias(f"{name}__dt_parse"),
+            F.count(F.coalesce(F.try_to_timestamp(s), *fallbacks)).alias(
+                f"{name}__dt_parse",
+            ),
         )
     return exprs
 
@@ -208,12 +212,21 @@ def _probe_checks(values) -> set:
         if all(crx.search(v) for v in str_vals):
             checks.add(key)
     # datetime: pandas parse as the (more lenient) probe; Spark agg stays
-    # the ground truth for survivors
+    # the ground truth for survivors.  Also try explicit-format discovery
+    # (reference utils.py:595-650) so custom separators ("2020~01~01")
+    # are caught — the found format joins the Spark-side parse coalesce.
+    fmt = None
     if str_vals:
         parsed = pd.to_datetime(pd.Series(str_vals), errors="coerce", format="mixed")
         if not parsed.isna().any():
             checks.add("datetime")
-    return checks
+        else:
+            from woodwork_spark.table_utils import infer_datetime_format
+
+            fmt = infer_datetime_format(str_vals)
+            if fmt:
+                checks.add("datetime")
+    return checks, fmt
 
 
 def build_profiles(df: DataFrame, columns=None, sample_size=None) -> dict:
@@ -242,11 +255,11 @@ def build_profiles(df: DataFrame, columns=None, sample_size=None) -> dict:
             vals = vals[vals.astype(str).str.strip() != ""].head(_PROBE_PER_COL)
             if len(vals) == 0:
                 # cannot prune soundly without evidence: check everything
-                checks = {"email", "phone", "postal", "url", "ip", "datetime"}
+                checks, fmt = {"email", "phone", "postal", "url", "ip", "datetime"}, None
             else:
-                checks = _probe_checks(list(vals))
+                checks, fmt = _probe_checks(list(vals))
             scheduled[c] = checks
-            phase_b.extend(_expensive_exprs(c, checks))
+            phase_b.extend(_expensive_exprs(c, checks, custom_fmt=fmt))
     if phase_b:
         row.update(sample.agg(*phase_b).collect()[0].asDict())
 
