@@ -578,6 +578,99 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_spearman_lineitem(spark, sf_dir):
+    """woodwork spearman_correlation(): cardinality-bounded average-rank
+    transform (statistics/dependence.py) + one corr pass."""
+    from woodwork_spark.statistics.dependence import _pairwise_corr, _rank_column
+
+    _prep(spark)
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    li = _t(spark, sf_dir, "lineitem").select(*cols)
+    ranked = li
+    for c in cols:
+        ranked = _rank_column(ranked, c).withColumnRenamed("__rank", f"__rk_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    rpairs = [(f"__rk_{a}", f"__rk_{b}") for a, b in pairs]
+    row = _pairwise_corr(ranked, rpairs)
+    rows = [
+        (a, b, round(row[f"corr_{i}"], 4)) for i, (a, b) in enumerate(pairs)
+    ]
+    return spark.createDataFrame(
+        rows, schema="column_a string, column_b string, spearman double",
+    )
+
+
+def q_mode_columns(spark, sf_dir):
+    """woodwork describe's mode statistic: melt + one groupBy + window,
+    deterministic tie-break (count desc, value asc)."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = (
+        orders.select(
+            F.stack(
+                F.lit(2),
+                F.lit("o_orderstatus"), F.col("o_orderstatus"),
+                F.lit("o_orderpriority"), F.col("o_orderpriority"),
+            ).alias("column_name", "value"),
+        )
+    )
+    l = (
+        li.select(
+            F.stack(
+                F.lit(2),
+                F.lit("l_returnflag"), F.col("l_returnflag"),
+                F.lit("l_linestatus"), F.col("l_linestatus"),
+            ).alias("column_name", "value"),
+        )
+    )
+    melted = o.unionByName(l)
+    counts = melted.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("mode_count"),
+    )
+    w = W.partitionBy("column_name").orderBy(F.desc("mode_count"), F.asc("value"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("column_name", F.col("value").alias("mode_value"), "mode_count")
+    )
+
+
+def q_int_value_counts_range(spark, sf_dir):
+    """woodwork integer value counts in [min,max] including zero-count
+    values (reference _get_numeric_value_counts_in_range): counts joined
+    against a generated sequence."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    bounds = cust.agg(
+        F.min("c_nationkey").alias("mn"), F.max("c_nationkey").alias("mx"),
+    )
+    domain = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("c_nationkey"),
+    )
+    counts = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        domain.join(counts, "c_nationkey", "left")
+        .select(
+            F.col("c_nationkey").cast("long").alias("value"),
+            F.coalesce("n", F.lit(0)).alias("count"),
+        )
+    )
+
+
+def q_recent_dates(spark, sf_dir):
+    """woodwork recent datetime value counts: k most recent dates
+    (reference _get_recent_value_counts)."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("order_day"))
+        .limit(10)
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -606,6 +699,10 @@ QUERIES = {
     "simhash_clusters": q_simhash_clusters,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
+    "spearman_lineitem": q_spearman_lineitem,
+    "mode_columns": q_mode_columns,
+    "int_value_counts_range": q_int_value_counts_range,
+    "recent_dates": q_recent_dates,
 }
 
 ORACLE = {
@@ -949,6 +1046,57 @@ ORACLE = {
                round(avg(punct_ratio), 6) AS avg_punct_ratio,
                round(avg(stopword_ratio), 6) AS avg_stopword_ratio
         FROM scored GROUP BY lang
+    """,
+    "spearman_lineitem": """
+        WITH ranked AS (
+            SELECT
+                rank() OVER (ORDER BY l_quantity)
+                    + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS r_quantity,
+                rank() OVER (ORDER BY l_discount)
+                    + (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS r_discount,
+                rank() OVER (ORDER BY l_tax)
+                    + (count(*) OVER (PARTITION BY l_tax) - 1) / 2.0 AS r_tax
+            FROM lineitem
+        )
+        SELECT 'l_quantity' AS column_a, 'l_discount' AS column_b,
+               round(corr(r_quantity, r_discount), 4) AS spearman FROM ranked
+        UNION ALL
+        SELECT 'l_quantity', 'l_tax', round(corr(r_quantity, r_tax), 4) FROM ranked
+        UNION ALL
+        SELECT 'l_discount', 'l_tax', round(corr(r_discount, r_tax), 4) FROM ranked
+    """,
+    "mode_columns": """
+        WITH melted AS (
+            SELECT 'o_orderstatus' AS column_name, o_orderstatus AS value FROM orders
+            UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+            UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+            UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+        ), counts AS (
+            SELECT column_name, value, count(*) AS mode_count
+            FROM melted GROUP BY column_name, value
+        )
+        SELECT column_name, value AS mode_value, mode_count FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY column_name ORDER BY mode_count DESC, value ASC
+            ) AS rn FROM counts
+        ) WHERE rn = 1
+    """,
+    "int_value_counts_range": """
+        WITH b AS (
+            SELECT min(c_nationkey) AS mn, max(c_nationkey) AS mx FROM customer
+        ), domain AS (
+            SELECT unnest(generate_series(mn, mx)) AS value FROM b
+        ), counts AS (
+            SELECT c_nationkey AS value, count(*) AS n FROM customer GROUP BY c_nationkey
+        )
+        SELECT CAST(d.value AS BIGINT) AS value, coalesce(n, 0) AS count
+        FROM domain d LEFT JOIN counts c ON d.value = c.value
+    """,
+    "recent_dates": """
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+               count(*) AS count
+        FROM orders GROUP BY order_day
+        ORDER BY order_day DESC LIMIT 10
     """,
 }
 
