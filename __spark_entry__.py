@@ -671,6 +671,57 @@ def q_recent_dates(spark, sf_dir):
     )
 
 
+def q_events_json(spark, sf_dir):
+    """Semi-structured scalar functions: JSON extraction from the props
+    column, grouped rollup."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", (k % 10).alias("k_bucket"), "value")
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF (cluster-pruned) approximate nearest neighbors — the ANN
+    scale path (rows-only: centroid assignment is not SQL-expressible)."""
+    from woodwork_spark.operators.similarity import ivf_index, ivf_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = ivf_index(emb, nlist=8)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk(assigned, cents, queries, k=5, nprobe=2)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard set-similarity join (inverted index;
+    rows-only)."""
+    from woodwork_spark.operators.dedup import ngram_jaccard_pairs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH +
+    exact verify (rows-only: approximate candidate generation)."""
+    from woodwork_spark.operators.dedup import embedding_near_dup_pairs
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.95)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -703,6 +754,10 @@ QUERIES = {
     "mode_columns": q_mode_columns,
     "int_value_counts_range": q_int_value_counts_range,
     "recent_dates": q_recent_dates,
+    "events_json": q_events_json,
+    "ivf_ann": q_ivf_ann,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLE = {
@@ -1097,6 +1152,14 @@ ORACLE = {
                count(*) AS count
         FROM orders GROUP BY order_day
         ORDER BY order_day DESC LIMIT 10
+    """,
+    "events_json": """
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               count(*) AS n_events,
+               round(avg(value), 4) AS avg_value
+        FROM events
+        GROUP BY event_type, k_bucket
     """,
 }
 
