@@ -173,7 +173,7 @@ def q_top_orders_per_customer(spark, sf_dir):
         F.desc("o_totalprice"), F.asc("o_orderkey"),
     )
     return (
-        orders.withColumn("rank_in_customer", F.row_number().over(w))
+        orders.withColumn("rank_in_customer", F.row_number().over(w).cast("long"))
         .filter(F.col("rank_in_customer") <= 3)
         .select(
             "o_custkey",
@@ -344,7 +344,7 @@ def q_text_stats(spark, sf_dir):
         F.sum(toks).alias("total_tokens"),
         F.round(F.avg(toks), 4).alias("avg_tokens"),
         F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
-        F.max(F.length("text")).alias("max_chars"),
+        F.max(F.length("text")).cast("long").alias("max_chars"),
     )
 
 
@@ -511,7 +511,8 @@ def q_ann_cosine_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5)
     out = cosine_topk(emb, queries, k=5)
     return out.select(
-        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank",
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -697,7 +698,10 @@ def q_ivf_ann(spark, sf_dir):
     assigned, cents = ivf_index(emb, nlist=8)
     queries = emb.filter(F.col("vec_id") < 3)
     out = ivf_topk(assigned, cents, queries, k=5, nprobe=2)
-    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -858,7 +862,7 @@ ORACLE = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
         SELECT user_id,
-               sum(new_session) AS n_sessions,
+               CAST(sum(new_session) AS BIGINT) AS n_sessions,
                count(*) AS n_events,
                round(avg(value), 4) AS avg_value
         FROM e GROUP BY user_id
@@ -873,7 +877,7 @@ ORACLE = {
                    WHEN 'l_discount' THEN count(DISTINCT l_discount)
                    WHEN 'l_tax' THEN count(DISTINCT l_tax)
                END AS nunique,
-               0 AS nan_count,
+               CAST(0 AS BIGINT) AS nan_count,
                round(avg(v), 4) AS mean,
                round(stddev_samp(v), 4) AS std,
                round(min(v), 4) AS min,
@@ -914,7 +918,7 @@ ORACLE = {
         WITH s AS (
             SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem
         )
-        SELECT least(floor((l_extendedprice - mn) / ((mx - mn) / 10)), 9) AS bin,
+        SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 10)), 9) AS BIGINT) AS bin,
                count(*) AS count
         FROM lineitem CROSS JOIN s
         GROUP BY bin
@@ -941,7 +945,7 @@ ORACLE = {
             FROM stats
         ), outliers AS (
             SELECT b.column_name,
-                   sum(CASE WHEN v < b.low_bound OR v > b.high_bound THEN 1 ELSE 0 END) AS n_outliers
+                   CAST(sum(CASE WHEN v < b.low_bound OR v > b.high_bound THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
             FROM (
                 SELECT 'c_acctbal' AS column_name, c_acctbal AS v FROM customer
                 UNION ALL
@@ -982,7 +986,7 @@ ORACLE = {
     "text_stats": """
         SELECT lang,
                count(*) AS n_docs,
-               sum(len(string_split(trim(text), ' '))) AS total_tokens,
+               CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
                round(avg(len(string_split(trim(text), ' '))), 4) AS avg_tokens,
                round(avg(length(text)), 4) AS avg_chars,
                max(length(text)) AS max_chars
@@ -1015,9 +1019,9 @@ ORACLE = {
     """,
     "pivot_status": """
         SELECT o_orderpriority,
-               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
         FROM orders GROUP BY o_orderpriority
     """,
     "set_ops": """

@@ -55,16 +55,33 @@ QUERY_NAMES = sorted(entrymod.queries().keys())
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, name):
     q = entrymod.queries()[name]
-    sdf = q(spark, SF).toPandas()
+    spark_df = q(spark, SF)
+    sdf = spark_df.toPandas()
     oracle = entrymod.oracle_sql().get(name)
     if oracle is None:
         assert len(sdf) >= 0  # weaker rows-only check, like the driver
         return
     con = _duck(SF)
-    ddf = con.sql(oracle).df()
+    rel = con.sql(oracle)
+    ddf = rel.df()
     assert sorted(sdf.columns) == sorted(ddf.columns), (
         f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
     )
+    # strict dtype parity: the driver hashes typed values, so 3 vs 3.0 or
+    # int32 vs int64 could mismatch even when values agree
+    duck_map = {
+        "BIGINT": "bigint", "DOUBLE": "double", "VARCHAR": "string",
+        "INTEGER": "int", "HUGEINT": "hugeint", "FLOAT": "float",
+        "TIMESTAMP": "timestamp", "DATE": "date", "BOOLEAN": "boolean",
+    }
+    spark_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    dtypes = {c: duck_map.get(str(t), str(t)) for c, t in zip(rel.columns, rel.types)}
+    mismatches = {
+        c: (spark_types.get(c), dtypes.get(c))
+        for c in spark_types
+        if spark_types.get(c) != dtypes.get(c)
+    }
+    assert not mismatches, f"{name}: dtype mismatch {mismatches}"
     assert len(sdf) == len(ddf), f"{name}: row count {len(sdf)} vs {len(ddf)}"
     a, b = _normalize(sdf), _normalize(ddf)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
