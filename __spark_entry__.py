@@ -24,10 +24,18 @@ from woodwork_spark.statistics.value_counts import value_counts_df  # noqa: E402
 
 
 def _prep(spark: SparkSession) -> SparkSession:
-    """Pin the configs correctness depends on: UTC session timezone (so
-    timestamp semantics match DuckDB's naive timestamps) and AQE on."""
+    """Pin the configs correctness/performance depend on: UTC session
+    timezone (timestamp semantics match DuckDB's naive timestamps), AQE
+    on, and shuffle partitions sized to the actual core count instead of
+    the 200 default (the driver's session config is unknown)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    except Exception:
+        pass
     return spark
 
 
@@ -726,6 +734,36 @@ def q_embedding_near_dup(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_stream_hourly(spark, sf_dir):
+    """Structured Streaming tumbling-window rollup, run to completion with
+    Trigger.AvailableNow into a memory sink.  A finite stream must equal
+    the batch computation — the oracle IS the batch SQL."""
+    import uuid
+
+    from woodwork_spark.streaming import hourly_rollup_stream, read_event_stream
+
+    _prep(spark)
+    stream = read_event_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), max_files_per_trigger=10,
+    )
+    rolled = hourly_rollup_stream(stream).select(
+        "event_type",
+        F.unix_micros("window_start").alias("window_start_us"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -762,6 +800,7 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
+    "stream_hourly": q_stream_hourly,
 }
 
 ORACLE = {
@@ -1156,6 +1195,15 @@ ORACLE = {
                count(*) AS count
         FROM orders GROUP BY order_day
         ORDER BY order_day DESC LIMIT 10
+    """,
+    "stream_hourly": """
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 3600000000) * 3600000000 AS BIGINT)
+                   AS window_start_us,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY event_type, window_start_us
     """,
     "events_json": """
         SELECT event_type,

@@ -61,11 +61,14 @@ def char_shingles_expr(text_col: str, k: int = 5):
 def word_shingles_expr(text_col: str, k: int = 3):
     """Distinct word k-shingles — ~6x fewer shingles than char 5-grams on
     typical prose for near-identical dedup quality, so the default for
-    the MinHash pipeline."""
+    the MinHash pipeline.  The word array is bound ONCE via a lambda
+    variable: inlining the split inside the per-gram transform would
+    re-split the text per gram (O(words²) per document)."""
     words = f"split(trim({text_col}), ' ')"
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size({words}) - {k - 1}, 1)), "
-        f"i -> array_join(slice({words}, i, {k}), ' ')))",
+        f"transform(array({words}), ws -> "
+        f"array_distinct(transform(sequence(1, greatest(size(ws) - {k - 1}, 1)), "
+        f"i -> array_join(slice(ws, i, {k}), ' '))))[0]",
     )
 
 
@@ -278,35 +281,46 @@ def ngram_jaccard_pairs(
     inverted index: explode grams, join on gram, count co-occurrences,
     then |A∩B| / (|A|+|B|-|A∩B|).  Only rows sharing >= 1 gram ever meet
     — no cross join."""
-    if use_words:
-        grams = F.expr(
-            f"array_distinct(transform(sequence(1, greatest(size(split(trim({text_col}), ' ')) - {k - 1}, 1)), "
-            f"i -> array_join(slice(split(trim({text_col}), ' '), i, {k}), ' ')))",
-        )
-    else:
-        grams = char_shingles_expr(text_col, k)
-    g = df.select(F.col(id_col), grams.alias("__g")).filter(F.size("__g") > 0)
+    grams = shingles_expr(text_col, k, use_words)
+    g = df.select(F.col(id_col), grams.alias("__g")).filter(F.size("__g") > 0).cache()
     sizes = g.select(id_col, F.size("__g").alias("__n"))
-    inv = g.select(id_col, F.explode("__g").alias("gram"))
-    a = inv.select(F.col(id_col).alias("id_a"), "gram")
-    b = inv.select(F.col(id_col).alias("id_b"), "gram")
-    shared = (
+    inv = g.select(id_col, F.size("__g").alias("__n"), F.explode("__g").alias("gram"))
+
+    # Prefix filtering (AllPairs/PPJoin): two sets with jaccard >= t MUST
+    # share a gram among each one's (1-t)*|g|+1 globally-RAREST grams, so
+    # only that prefix is indexed — candidate pairs collapse from
+    # "share any gram" (quadratic on common grams) to "share a rare gram",
+    # while the final jaccard check keeps the join exact.
+    freq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = inv.join(freq, "gram").withColumn(
+        "__rk",
+        F.row_number().over(
+            W.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("gram")),
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("__rk") <= F.floor((1 - threshold) * F.col("__n")) + 1,
+    ).select(id_col, "gram")
+
+    a = prefix.select(F.col(id_col).alias("id_a"), "gram")
+    b = prefix.select(F.col(id_col).alias("id_b"), "gram")
+    cand = (
         a.join(b, "gram")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__shared"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    ga = g.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
+    gb = g.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("__shared")
-                / (F.col("__na") + F.col("__nb") - F.col("__shared"))
+                F.size(F.array_intersect("__ga", "__gb"))
+                / F.size(F.array_union("__ga", "__gb"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
