@@ -1,0 +1,118 @@
+"""Scale utilities: salted join / two-phase agg correctness, partitioned
+writes (pruning), bucketed tables (Exchange elimination), typed init on
+every driver table."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from woodwork_spark.operators.scale import (
+    salted_join,
+    two_phase_agg,
+    write_bucketed_table,
+    write_partitioned,
+)
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = spark.range(0, 10000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [(i, f"name_{i}") for i in range(5)], "k long, name string",
+    )
+    plain = fact.join(dim, "k").agg(F.count(F.lit(1)), F.sum("v")).collect()[0]
+    salted = salted_join(fact, dim, "k", salt=4).agg(
+        F.count(F.lit(1)), F.sum("v"),
+    ).collect()[0]
+    assert tuple(plain) == tuple(salted)
+
+
+def test_two_phase_agg_matches_plain(spark):
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v"),
+    )
+    plain = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    twop = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in two_phase_agg(
+            df, ["k"], {"n": ("v", "count"), "s": ("v", "sum"), "mx": ("v", "max")},
+        ).collect()
+    }
+    assert plain == twop
+
+
+def test_write_partitioned_prunes(spark):
+    from woodwork_spark.io import read_parquet
+
+    orders = read_parquet(spark, "/root/testdata/sf0.001/orders.parquet")
+    path = tempfile.mkdtemp(prefix="ww_part_")
+    try:
+        write_partitioned(orders, path, ["o_orderstatus"])
+        back = spark.read.parquet(path)
+        filtered = back.filter(F.col("o_orderstatus") == "O")
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        # partition pruning: the scan must carry a PartitionFilter
+        assert "PartitionFilters: [" in plan
+        assert "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+        assert filtered.count() == orders.filter(F.col("o_orderstatus") == "O").count()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_bucketed_join_skips_exchange(spark):
+    from woodwork_spark.io import read_parquet
+
+    cust = read_parquet(spark, "/root/testdata/sf0.001/customer.parquet")
+    orders = read_parquet(spark, "/root/testdata/sf0.001/orders.parquet")
+    write_bucketed_table(cust, "b_cust", "c_custkey", num_buckets=4)
+    write_bucketed_table(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        "b_orders",
+        "c_custkey",
+        num_buckets=4,
+    )
+    try:
+        a = spark.table("b_cust")
+        b = spark.table("b_orders")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        joined = a.join(b, "c_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # both sides bucketed on the join key: no shuffle Exchange
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_init_on_every_driver_table(spark):
+    import woodwork_spark as ww
+    from woodwork_spark.io import load_tables
+
+    tables = load_tables(spark, "/root/testdata/sf0.001")
+    assert len(tables) == 10
+    expectations = {
+        "lineitem": ("l_quantity", "Double"),
+        "orders": ("o_orderdate", "Datetime"),
+        "customer": ("c_mktsegment", "Categorical"),
+        "events": ("ts", "Datetime"),
+        "documents": ("lang", "Categorical"),
+        "embeddings": ("embedding", "Unknown"),  # array<float> has no ltype
+    }
+    for name, df in tables.items():
+        t = ww.init(df, name=name, validate=False)
+        assert len(t.columns) == len(df.columns)
+        if name in expectations:
+            col, expected = expectations[name]
+            assert type(t.logical_types[col]).__name__ == expected, (name, col)

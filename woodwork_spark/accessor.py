@@ -299,6 +299,11 @@ class WWDataFrame:
     def metadata(self):
         return self._schema.metadata
 
+    @property
+    def shape(self):
+        """(n_rows, n_columns) — row count is an action."""
+        return (self._df.count(), len(self.columns))
+
     def __repr__(self):
         return f"<WWDataFrame name={self.name!r} cols={len(self.columns)}>"
 
@@ -608,6 +613,10 @@ class WWDataFrame:
             random_seed=random_seed,
         )
 
+    def dependence_dict(self, **kwargs):
+        """List-of-dicts shape (reference dependence_dict)."""
+        return self.dependence(**kwargs).to_dict(orient="records")
+
     def mutual_information(self, num_bins=10, nrows=None, min_shared=25, random_seed=0):
         return self.dependence(
             measures=["mutual_info"],
@@ -616,6 +625,9 @@ class WWDataFrame:
             min_shared=min_shared,
             random_seed=random_seed,
         )
+
+    def mutual_information_dict(self, **kwargs):
+        return self.mutual_information(**kwargs).to_dict(orient="records")
 
     def pearson_correlation(self, nrows=None, min_shared=25, random_seed=0):
         return self.dependence(
