@@ -246,11 +246,18 @@ class TypeSystem:
     def infer_logical_types(self, df, columns=None, sample_size=None):
         """Infer LogicalTypes for ``columns`` of a Spark DataFrame.
 
-        One sample + one wide aggregation for every column (profiles.py),
-        then a driver-side tree walk per column.
+        One sample + two wide aggregations for every column (profiles.py),
+        then a driver-side tree walk per column.  The cached sample is
+        released once every column is resolved.
         """
         profiles = build_profiles(df, columns=columns, sample_size=sample_size)
-        return {name: self.infer_from_profile(p) for name, p in profiles.items()}
+        try:
+            return {name: self.infer_from_profile(p) for name, p in profiles.items()}
+        finally:
+            for p in profiles.values():
+                if p._sample_df is not None:
+                    p._sample_df.unpersist()
+                break  # all profiles share one sample
 
 
 type_system = TypeSystem()
