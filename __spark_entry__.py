@@ -764,6 +764,22 @@ def q_stream_hourly(spark, sf_dir):
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted join (operators/scale.py): customer fact side
+    salted, nation dim replicated — must equal the plain join, so the
+    oracle is the plain SQL join."""
+    from woodwork_spark.operators.scale import salted_join
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed("c_nationkey", "nk")
+    nation = _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "nk")
+    joined = salted_join(cust, nation, "nk", salt=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -801,6 +817,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
     "stream_hourly": q_stream_hourly,
+    "salted_join": q_salted_join,
 }
 
 ORACLE = {
@@ -1195,6 +1212,13 @@ ORACLE = {
                count(*) AS count
         FROM orders GROUP BY order_day
         ORDER BY order_day DESC LIMIT 10
+    """,
+    "salted_join": """
+        SELECT n_name,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
     """,
     "stream_hourly": """
         SELECT event_type,

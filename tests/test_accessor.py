@@ -150,3 +150,26 @@ def test_duplicate_columns_rejected(spark):
     df = spark.createDataFrame([(1, 2)], schema="a long, a long")
     with pytest.raises(IndexError, match="duplicate"):
         ww.init(df)
+
+
+def test_nullable_property(typed):
+    n = typed.nullable
+    assert n["age"] is False  # Integer (non-nullable variant)
+    assert n["email"] is True
+    assert n["score"] is True
+
+
+def test_ordinal_set_types_validates_membership(spark):
+    import woodwork_spark as ww
+    from woodwork_spark.exceptions import TypeValidationError
+    from woodwork_spark.logical_types import Ordinal
+
+    df = spark.createDataFrame([("low",), ("bogus",)], "lvl string")
+    t = ww.init(df, validate=False)
+    with pytest.raises(TypeValidationError, match="bogus"):
+        t.set_types(logical_types={"lvl": Ordinal(order=["low", "high"])})
+    ok = spark.createDataFrame([("low",), ("high",)], "lvl string")
+    t2 = ww.init(ok, validate=False).set_types(
+        logical_types={"lvl": Ordinal(order=["low", "high"])},
+    )
+    assert "category" in t2.semantic_tags["lvl"]

@@ -164,7 +164,33 @@ def init(
         ww_df._validate_index(index)
     if validate:
         ww_df._validate_logical_type_constraints(resolved)
+        _validate_ordinals(out, resolved)
     return ww_df
+
+
+def _validate_ordinals(df: DataFrame, resolved: dict):
+    """Ordinal membership check (reference Ordinal._validate_data
+    logical_types.py:639-645): every non-null value must appear in the
+    declared order.  One filtered distinct per ordinal column, bounded."""
+    from woodwork_spark.exceptions import TypeValidationError
+
+    for col, lt in resolved.items():
+        if isinstance(lt, Ordinal):
+            bad = (
+                df.select(col)
+                .filter(
+                    F.col(col).isNotNull()
+                    & ~F.col(col).cast("string").isin([str(v) for v in lt.order]),
+                )
+                .distinct()
+                .limit(10)
+                .collect()
+            )
+            if bad:
+                raise TypeValidationError(
+                    f"Ordinal column {col} contains values not present in the "
+                    f"order values provided: {sorted(r[0] for r in bad)}",
+                )
 
 
 def init_with_full_schema(df: DataFrame, schema: TableSchema, validate=True) -> "WWDataFrame":
@@ -304,6 +330,20 @@ class WWDataFrame:
         """(n_rows, n_columns) — row count is an action."""
         return (self._df.count(), len(self.columns))
 
+    @property
+    def nullable(self):
+        """Per-column nullability by LOGICAL type (reference
+        series.ww.nullable, column_accessor.py:138-141): Spark columns
+        are physically always nullable; Integer/Boolean (non-nullable
+        variants) declare the logical contract."""
+        from woodwork_spark.logical_types import Boolean, Integer
+
+        out = {}
+        for c, cs in self._schema.columns.items():
+            lt = cs.logical_type
+            out[c] = not (type(lt) in (Integer, Boolean))
+        return out
+
     def __repr__(self):
         return f"<WWDataFrame name={self.name!r} cols={len(self.columns)}>"
 
@@ -401,6 +441,7 @@ class WWDataFrame:
             if old_time_index is not None:
                 schema.set_time_index(old_time_index)
         df = self._df.select(*exprs) if logical_types else self._df
+        _validate_ordinals(df, logical_types)
         return self._with(df=df, schema=schema)
 
     def add_semantic_tags(self, semantic_tags: dict) -> "WWDataFrame":
