@@ -167,3 +167,37 @@ def test_frame_sample_plumbing(spark):
     frames = multimodal.frame_sample(df, "vid", "id", every_n=4).collect()
     assert len(frames) == 4  # 16 pseudo-frames / every 4
     assert all(len(r["frame"]) == 64 for r in frames)
+
+
+def test_connected_components_chain(spark):
+    """Transitive chain a-b, b-c, c-d plus separate pair e-f."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    comps = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comps == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_minhash_dedup_transitive(spark):
+    words = [f"w{i}" for i in range(40)]
+    base = " ".join(words)
+    chain1 = " ".join(["X0"] + words[1:])           # differs in word 0
+    chain2 = " ".join(["X0", "X1"] + words[2:])     # differs in words 0,1
+    rows = [
+        (0, base),
+        (1, chain1),   # ~ 0 (jaccard ~ 0.85)
+        (2, chain2),   # ~ 1, but still ~0 transitively via 1
+        (3, "completely different text with no shared shingles at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.minhash_dedup(df, "doc_id", "text", threshold=0.7, transitive=True)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [0, 3]  # whole chain collapses to its min id

@@ -176,19 +176,94 @@ def minhash_dedup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 12,
+) -> DataFrame:
+    """Connected components over an (id_a, id_b) edge list via iterative
+    min-label propagation (the alternating large-star/small-star
+    construction collapses to this star-contraction loop for undirected
+    edges).  Returns (id, component) with component = min id reachable.
+
+    Each iteration is two shuffles (groupBy min + join); converges in
+    O(log(longest path)) iterations, checked by a count of changed
+    labels.  Scales: state is one (id, label) row per vertex.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # candidate label per vertex: min over neighbors' labels and own
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        # propagate through label pointers (path halving): component of
+        # my component
+        ptr = updated.select(
+            F.col("id").alias("pid"), F.col("component").alias("pcomp"),
+        )
+        resolved = (
+            updated.join(ptr, updated.component == ptr.pid, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("pcomp"), F.col("component")).alias("component"),
+            )
+        )
+        changed = (
+            resolved.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = resolved.cache()
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
+    transitive: bool = False,
     **kwargs,
 ) -> DataFrame:
-    """Drop near-duplicates: every doc that matches a lower-id doc goes
-    (single-pass min-neighbor rule; transitive clusters keep one row per
-    chain head, the standard one-sweep approximation of connected
-    components used by large-scale dedup pipelines)."""
+    """Drop near-duplicates, keeping the min-id representative.
+
+    Default: single-pass min-neighbor rule (every doc matching a
+    lower-id doc is dropped) — one sweep, the common production
+    approximation.  ``transitive=True`` runs full connected components
+    so each CLUSTER keeps exactly one representative even across chains
+    (a~b, b~c but not a~c)."""
     pairs = minhash_dedup_pairs(df, id_col, text_col, threshold, **kwargs)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        comps = connected_components(pairs)
+        losers = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col),
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 
