@@ -181,3 +181,33 @@ def test_frequency_inference_corrupted_debug(spark):
     assert debug["estimated_freq"] == "D"
     assert len(debug["missing_values"]) == 1
     assert debug["missing_values"][0]["range"] == 5
+
+
+def test_describe_with_extra_stats(spark):
+    import datetime
+
+    from woodwork_spark.statistics.describe import describe_with_extra_stats
+
+    df = spark.createDataFrame(
+        [
+            (float(i), ["red", "blue"][i % 2], datetime.datetime(2020, 1, 1 + i))
+            for i in range(20)
+        ],
+        "num double, cat string, dt timestamp",
+    )
+    t = ww.init(df, logical_types={"cat": "Categorical"}, validate=False)
+    d = describe_with_extra_stats(t)
+    hist = d["num"]["histogram"]
+    assert len(hist) == 10
+    assert sum(h["frequency"] for h in hist) == 20
+    assert d["cat"]["top_values"][0]["count"] == 10
+    recents = d["dt"]["recent_values"]
+    assert recents[0]["value"] == datetime.date(2020, 1, 20)
+    assert len(recents) == 10
+
+
+def test_passthrough_join_unwraps_typed_tables(spark):
+    a = ww.init(spark.createDataFrame([(1, "x")], "id long, a string"), validate=False)
+    b = ww.init(spark.createDataFrame([(1, "y")], "id long, b string"), validate=False)
+    joined = a.join(b, "id")
+    assert set(joined.columns) == {"id", "a", "b"}

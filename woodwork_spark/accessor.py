@@ -576,6 +576,15 @@ class WWDataFrame:
             return target
 
         def wrapper(*args, **kwargs):
+            # typed tables passed as arguments unwrap to their Spark
+            # DataFrames (t.join(other_t, ...) just works)
+            args = tuple(
+                a.raw if isinstance(a, WWDataFrame) else a for a in args
+            )
+            kwargs = {
+                k: (v.raw if isinstance(v, WWDataFrame) else v)
+                for k, v in kwargs.items()
+            }
             result = target(*args, **kwargs)
             if isinstance(result, DataFrame):
                 if set(result.columns) == set(self.columns):

@@ -357,7 +357,18 @@ def ngram_jaccard_pairs(
     then |A∩B| / (|A|+|B|-|A∩B|).  Only rows sharing >= 1 gram ever meet
     — no cross join."""
     grams = shingles_expr(text_col, k, use_words)
-    g = df.select(F.col(id_col), grams.alias("__g")).filter(F.size("__g") > 0).cache()
+    # gram strings -> 64-bit hashes immediately: every downstream shuffle
+    # (inverted index, frequency, prefix join) carries 8-byte longs
+    # instead of multi-word strings; 64-bit collisions are negligible
+    g = (
+        df.select(F.col(id_col), grams.alias("__gs"))
+        .filter(F.size("__gs") > 0)
+        .select(
+            id_col,
+            F.expr("transform(__gs, x -> xxhash64(x))").alias("__g"),
+        )
+        .cache()
+    )
     sizes = g.select(id_col, F.size("__g").alias("__n"))
     inv = g.select(id_col, F.size("__g").alias("__n"), F.explode("__g").alias("gram"))
 

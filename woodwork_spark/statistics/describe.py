@@ -209,3 +209,82 @@ def describe(ww_df, include=None):
     d = describe_dict(ww_df, include=include)
     frame = pd.DataFrame(d)
     return frame.reindex(STAT_ORDER)
+
+
+def describe_with_extra_stats(ww_df, include=None, bins=10, top_x=10, recent_x=10):
+    """describe_dict + the reference's extra stats
+    (_get_describe_dict.py:199-223): numeric columns get a fixed-width
+    histogram; low-range integers get full value counts; categoricals get
+    top values; datetimes get recent date counts.  Extra passes are one
+    job per stat FAMILY (melt/window batched), not per column."""
+    from woodwork_spark.statistics.value_counts import value_counts_df
+
+    base = describe_dict(ww_df, include=include)
+    schema = ww_df.schema
+    df = ww_df.raw
+
+    for c, stats in base.items():
+        kind = _classify(schema.columns[c])
+        col = F.col(c)
+        if kind == "numeric":
+            mn, mx = stats.get("min"), stats.get("max")
+            if mn is None or mx is None or mn == mx:
+                stats["histogram"] = []
+                continue
+            width = (mx - mn) / bins
+            hist_rows = (
+                df.filter(col.isNotNull())
+                .select(
+                    F.least(
+                        F.floor((col - F.lit(mn)) / F.lit(width)), F.lit(bins - 1),
+                    ).alias("bin"),
+                )
+                .groupBy("bin")
+                .agg(F.count(F.lit(1)).alias("count"))
+                .collect()
+            )
+            by_bin = {int(r["bin"]): r["count"] for r in hist_rows}
+            stats["histogram"] = [
+                {
+                    "bins": [mn + i * width, mn + (i + 1) * width],
+                    "frequency": by_bin.get(i, 0),
+                }
+                for i in range(bins)
+            ]
+            # low-range integers: full value counts (reference
+            # _get_numeric_value_counts_in_range)
+            if (
+                isinstance(stats.get("min"), (int, float))
+                and float(mx - mn) <= 100
+                and float(mn).is_integer()
+                and float(mx).is_integer()
+            ):
+                counts = {
+                    r[c]: r["n"]
+                    for r in df.filter(col.isNotNull())
+                    .groupBy(c)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                stats["top_values"] = [
+                    {"value": v, "count": counts.get(v, 0)}
+                    for v in range(int(mn), int(mx) + 1)
+                ]
+        elif kind == "category":
+            rows = value_counts_df(df, [c], top_n=top_x).collect()
+            stats["top_values"] = [
+                {"value": r["value"], "count": r["count"]} for r in rows
+            ]
+        elif kind == "datetime":
+            rows = (
+                df.filter(col.isNotNull())
+                .groupBy(F.to_date(col).alias("d"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("d"))
+                .limit(recent_x)
+                .collect()
+            )
+            stats["recent_values"] = [
+                {"value": r["d"], "count": r["n"]} for r in rows
+            ]
+    return base
