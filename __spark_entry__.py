@@ -780,6 +780,36 @@ def q_salted_join(spark, sf_dir):
     )
 
 
+def q_above_avg_customers(spark, sf_dir):
+    """Correlated-style scalar subquery: customers above their nation's
+    average balance (decorrelated to a join in both engines)."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("nation_avg"),
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_above_avg"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+        )
+    )
+
+
+def q_cube_revenue(spark, sf_dir):
+    """CUBE aggregation: every grouping-set combination + grouping id."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.grouping_id().alias("grp_id"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -818,6 +848,8 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "stream_hourly": q_stream_hourly,
     "salted_join": q_salted_join,
+    "above_avg_customers": q_above_avg_customers,
+    "cube_revenue": q_cube_revenue,
 }
 
 ORACLE = {
@@ -1212,6 +1244,26 @@ ORACLE = {
                count(*) AS count
         FROM orders GROUP BY order_day
         ORDER BY order_day DESC LIMIT 10
+    """,
+    "above_avg_customers": """
+        WITH na AS (
+            SELECT c_nationkey, avg(c_acctbal) AS nation_avg
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_above_avg,
+               round(avg(c_acctbal), 4) AS avg_balance
+        FROM customer JOIN na USING (c_nationkey)
+        WHERE c_acctbal > nation_avg
+        GROUP BY c_mktsegment
+    """,
+    "cube_revenue": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS grp_id
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "salted_join": """
         SELECT n_name,
