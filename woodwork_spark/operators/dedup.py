@@ -365,28 +365,28 @@ def ngram_jaccard_pairs(
         .filter(F.size("__gs") > 0)
         .select(
             id_col,
-            F.expr("transform(__gs, x -> xxhash64(x))").alias("__g"),
+            F.expr("array_sort(transform(__gs, x -> xxhash64(x)))").alias("__g"),
         )
         .cache()
     )
-    sizes = g.select(id_col, F.size("__g").alias("__n"))
-    inv = g.select(id_col, F.size("__g").alias("__n"), F.explode("__g").alias("gram"))
 
-    # Prefix filtering (AllPairs/PPJoin): two sets with jaccard >= t MUST
-    # share a gram among each one's (1-t)*|g|+1 globally-RAREST grams, so
-    # only that prefix is indexed — candidate pairs collapse from
-    # "share any gram" (quadratic on common grams) to "share a rare gram",
-    # while the final jaccard check keeps the join exact.
-    freq = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
-    ranked = inv.join(freq, "gram").withColumn(
-        "__rk",
-        F.row_number().over(
-            W.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("gram")),
-        ),
+    # Prefix filtering (AllPairs): under ANY fixed global total order, a
+    # pair with jaccard >= t must share a gram inside each side's first
+    # (1-t)*|g|+1 grams.  Using the hash-value order lets the prefix be a
+    # pure array expression (array_sort + slice) — no global-frequency
+    # groupBy, no per-doc ranking window, zero extra shuffles; the final
+    # jaccard check keeps the join exact.  (Frequency order would shrink
+    # candidates further at the cost of two more shuffles.)
+    prefix = g.select(
+        id_col,
+        F.explode(
+            F.slice(
+                "__g",
+                1,
+                (F.floor((1 - threshold) * F.size("__g")) + 1).cast("int"),
+            ),
+        ).alias("gram"),
     )
-    prefix = ranked.filter(
-        F.col("__rk") <= F.floor((1 - threshold) * F.col("__n")) + 1,
-    ).select(id_col, "gram")
 
     a = prefix.select(F.col(id_col).alias("id_a"), "gram")
     b = prefix.select(F.col(id_col).alias("id_b"), "gram")
