@@ -211,3 +211,53 @@ def test_passthrough_join_unwraps_typed_tables(spark):
     b = ww.init(spark.createDataFrame([(1, "y")], "id long, b string"), validate=False)
     joined = a.join(b, "id")
     assert set(joined.columns) == {"id", "a", "b"}
+
+
+def test_dependence_reference_goldens(spark):
+    """Exact golden values from the reference's df_mi fixture
+    (reference tests/accessor/test_statistics.py:144-190,
+    conftest.py:409-422): 12 rows, every measure."""
+    pdf = pd.DataFrame(
+        {
+            "ints": [1, 2, 1] * 4,
+            "ints2": [2, 2, 2] * 4,
+            "bools": [True, False, True] * 4,
+            "strs2": ["bye", "hi", "bye"] * 4,
+            "strs": ["hi", "hi", "hi"] * 4,
+            "dates": ["2020-01-01", "2020-01-01", "1997-01-04"] * 4,
+        },
+    )
+    t = ww.init(
+        spark.createDataFrame(pdf),
+        logical_types={
+            "dates": "Datetime",
+            "strs": "Categorical",
+            "strs2": "Categorical",
+        },
+        validate=False,
+    )
+    dep = t.dependence(measures="all", min_shared=12)
+    assert sorted(dep.columns) == [
+        "column_1", "column_2", "max", "mutual_info", "pearson", "spearman",
+    ]
+    assert len(dep) == 15  # MI pairs; pearson/spearman only on numeric-like
+
+    got = {
+        frozenset((r.column_1, r.column_2)): r for r in dep.itertuples()
+    }
+
+    def val(a, b, m):
+        return getattr(got[frozenset((a, b))], m)
+
+    assert val("ints", "bools", "mutual_info") == pytest.approx(1.0, abs=1e-3)
+    assert val("ints", "bools", "pearson") == pytest.approx(-1.0, abs=1e-9)
+    assert val("ints", "bools", "spearman") == pytest.approx(-1.0, abs=1e-9)
+    assert val("ints", "strs", "mutual_info") == pytest.approx(0.0, abs=1e-3)
+    assert val("strs", "bools", "mutual_info") == pytest.approx(0.0, abs=1e-3)
+    assert val("dates", "ints", "pearson") == pytest.approx(0.5, abs=1e-9)
+    assert val("dates", "bools", "pearson") == pytest.approx(-0.5, abs=1e-9)
+    assert val("dates", "ints", "spearman") == pytest.approx(0.5, abs=1e-9)
+    assert val("dates", "bools", "spearman") == pytest.approx(-0.5, abs=1e-9)
+    # AMI goldens from the reference's sklearn-based implementation
+    assert val("dates", "ints", "mutual_info") == pytest.approx(0.208, abs=1e-2)
+    assert val("dates", "bools", "mutual_info") == pytest.approx(0.208, abs=1e-2)

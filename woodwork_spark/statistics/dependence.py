@@ -123,7 +123,12 @@ def _rank_column(df, col):
 
 
 def _pairwise_corr(df, pairs, rank=False):
-    """All pair correlations + shared/union counts in ONE agg pass."""
+    """All pair correlations + shared/union counts in ONE agg pass.
+
+    ANSI mode makes `corr` throw DIVIDE_BY_ZERO on zero-variance columns
+    where the semantics (pandas, the reference) are NaN — disable ANSI
+    around this aggregation only (Welford-based corr stays numerically
+    stable, unlike a naive sums formula)."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (a, b) in enumerate(pairs):
         ca, cb = F.col(a), F.col(b)
@@ -134,7 +139,13 @@ def _pairwise_corr(df, pairs, rank=False):
             F.sum(both.cast("long")).alias(f"shared_{i}"),
             F.sum(either.cast("long")).alias(f"union_{i}"),
         ]
-    return df.agg(*aggs).collect()[0].asDict()
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        return df.agg(*aggs).collect()[0].asDict()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
 def _spearman_pair(df, a, b):
@@ -146,7 +157,13 @@ def _spearman_pair(df, a, b):
     ranked = _rank_column(pair_df.withColumnRenamed(a, "__a"), "__a")
     ranked = ranked.withColumnRenamed("__rank", "__rank_a")
     ranked = _rank_column(ranked.withColumnRenamed(b, "__b"), "__b")
-    row = ranked.agg(F.corr("__rank_a", "__rank").alias("c")).collect()[0]
+    spark = ranked.sparkSession
+    prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        row = ranked.agg(F.corr("__rank_a", "__rank").alias("c")).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
     return row["c"]
 
 
