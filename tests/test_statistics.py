@@ -261,3 +261,14 @@ def test_dependence_reference_goldens(spark):
     # AMI goldens from the reference's sklearn-based implementation
     assert val("dates", "ints", "mutual_info") == pytest.approx(0.208, abs=1e-2)
     assert val("dates", "bools", "mutual_info") == pytest.approx(0.208, abs=1e-2)
+
+
+def test_box_plot_with_precomputed_quantiles(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    t = ww.init(df, validate=False)
+    out = t.box_plot_dict(
+        "x", quantiles={0.0: 0.0, 0.25: 24.75, 0.5: 49.5, 0.75: 74.25, 1.0: 99.0},
+    )
+    assert out["low_bound"] == 0.0 and out["high_bound"] == 99.0
+    with pytest.raises(ValueError, match="minimum necessary"):
+        t.box_plot_dict("x", quantiles={0.5: 49.5})

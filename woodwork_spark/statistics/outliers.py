@@ -83,15 +83,29 @@ def box_plot_stats_df(df: DataFrame, column: str, whisker=1.5) -> DataFrame:
 
 def box_plot_dict(ww_df, column, quantiles=None, include_indices_and_values=True):
     """Reference column_accessor.py:441-492 shape: quantiles dict, bounds,
-    and (optionally) the low/high outlier values."""
+    and (optionally) the low/high outlier values.  ``quantiles`` may
+    pre-supply computed quantiles (dict q->value) to skip the agg, same
+    as the reference's parameter."""
     _numeric_col_or_raise(ww_df, column)
     df = ww_df.raw
     c = F.col(column)
     nonnull = df.filter(c.isNotNull())
-    row = nonnull.agg(
-        F.count(c).alias("n"),
-        *[F.percentile(c, F.lit(q)).alias(f"q{int(q * 100)}") for q in _QUANTILES],
-    ).collect()[0]
+    if quantiles is not None:
+        needed = {0.0, 0.25, 0.75, 1.0} - set(quantiles)
+        if needed:
+            raise ValueError(
+                "Input quantiles do not contain the minimum necessary quantiles",
+            )
+        q = dict(quantiles)
+        row = {"n": 1}
+    else:
+        row = nonnull.agg(
+            F.count(c).alias("n"),
+            *[
+                F.percentile(c, F.lit(qq)).alias(f"q{int(qq * 100)}")
+                for qq in _QUANTILES
+            ],
+        ).collect()[0]
     if row["n"] == 0:
         out = {
             "low_bound": float("nan"),
@@ -102,7 +116,8 @@ def box_plot_dict(ww_df, column, quantiles=None, include_indices_and_values=True
             out["low_values"] = []
             out["high_values"] = []
         return out
-    q = {qq: row[f"q{int(qq * 100)}"] for qq in _QUANTILES}
+    if quantiles is None:
+        q = {qq: row[f"q{int(qq * 100)}"] for qq in _QUANTILES}
     iqr = q[0.75] - q[0.25]
     low_bound = max(round(q[0.25] - 1.5 * iqr, 10), q[0.0])
     high_bound = min(round(q[0.75] + 1.5 * iqr, 10), q[1.0])
