@@ -272,3 +272,56 @@ def test_box_plot_with_precomputed_quantiles(spark):
     assert out["low_bound"] == 0.0 and out["high_bound"] == 99.0
     with pytest.raises(ValueError, match="minimum necessary"):
         t.box_plot_dict("x", quantiles={0.5: 49.5})
+
+
+def test_dependence_same_reference_golden(spark):
+    """Reference df_same_mi (conftest.py:390-406): all-null and
+    natural-language columns excluded; aligned nulls; perfect
+    dependence = 1.0 on the one valid pair."""
+    pdf = pd.DataFrame(
+        {
+            "ints": [2.0, None, 5.0, 2.0],
+            "floats": [1.0, None, 100.0, 1.0],
+            "nans": pd.Series([None, None, None, None], dtype="float64"),
+            "nat_lang": [
+                "this is a very long sentence inferred as a string",
+                None,
+                "test",
+                "test",
+            ],
+        },
+    )
+    t = ww.init(
+        spark.createDataFrame(pdf),
+        logical_types={"ints": "IntegerNullable", "nat_lang": "NaturalLanguage"},
+        validate=False,
+    )
+    dep = t.dependence(measures=["pearson"], min_shared=3)
+    cols_used = set(dep["column_1"]) | set(dep["column_2"])
+    assert "nat_lang" not in cols_used
+    assert len(dep) == 1  # nans has no valid values -> shared=0 pair is NaN? ints-floats only meaningful
+    row = dep[
+        (dep.column_1.isin(["ints", "floats"])) & (dep.column_2.isin(["ints", "floats"]))
+    ].iloc[0]
+    assert row["pearson"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dependence_unique_cols_reference(spark):
+    """Reference df_mi_unique: all-unique categoricals give AMI ~ 0
+    after the expected-MI adjustment."""
+    pdf = pd.DataFrame(
+        {
+            "unique": ["hi", "bye", "hello", "goodbye"] * 5,
+            "ints": [1, 2, 1, 2] * 5,
+        },
+    )
+    # make 'unique' genuinely unique per row
+    pdf["unique"] = [f"{v}_{i}" for i, v in enumerate(pdf["unique"])]
+    t = ww.init(
+        spark.createDataFrame(pdf),
+        logical_types={"unique": "Categorical"},
+        validate=False,
+    )
+    dep = t.mutual_information(min_shared=10)  # 20 rows < default 25
+    val = dep.iloc[0]["mutual_info"]
+    assert abs(val) < 0.05  # unique labels carry no adjusted information
