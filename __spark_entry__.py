@@ -23,6 +23,19 @@ from woodwork_spark.statistics.profile import numeric_profile_df  # noqa: E402
 from woodwork_spark.statistics.value_counts import value_counts_df  # noqa: E402
 
 
+
+# Averages of 2-decimal (money-like) data often land EXACTLY on a rounding
+# boundary (sum/n = x.xxxx5), where Spark's partial-sum ordering vs
+# DuckDB's sequential sum differ by ~1ulp and the rounding coin-flips.
+# Shifting by an epsilon that is >> accumulated float noise (~1e-10) and
+# << one rounding step, applied IDENTICALLY in the oracle SQL, makes the
+# rounding deterministic on both sides.
+ROUND_EPS = 1e-7
+
+
+def _ravg(col, k):
+    return F.round(col + ROUND_EPS, k)
+
 def _prep(spark: SparkSession) -> SparkSession:
     """Pin the configs correctness/performance depend on: UTC session
     timezone (timestamp semantics match DuckDB's naive timestamps), AQE
@@ -69,9 +82,9 @@ def q_pricing_summary(spark, sf_dir):
                 ),
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.avg("l_quantity") + ROUND_EPS, 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice") + ROUND_EPS, 4).alias("avg_price"),
+            F.round(F.avg("l_discount") + ROUND_EPS, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -225,7 +238,7 @@ def q_events_sessions(spark, sf_dir):
         .agg(
             F.sum("new_session").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.avg("value") + ROUND_EPS, 4).alias("avg_value"),
         )
     )
 
@@ -312,7 +325,7 @@ def q_corr_lineitem(spark, sf_dir):
     cols = _LINEITEM_NUMERICS
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     aggs = [
-        F.round(F.corr(a, b), 4).alias(f"{a}__{b}") for a, b in pairs
+        F.round(F.corr(a, b) + ROUND_EPS, 4).alias(f"{a}__{b}") for a, b in pairs
     ]
     aggd = li.agg(*aggs)
     structs = [
@@ -350,8 +363,8 @@ def q_text_stats(spark, sf_dir):
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).alias("total_tokens"),
-        F.round(F.avg(toks), 4).alias("avg_tokens"),
-        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.round(F.avg(toks) + ROUND_EPS, 4).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")) + ROUND_EPS, 4).alias("avg_chars"),
         F.max(F.length("text")).cast("long").alias("max_chars"),
     )
 
@@ -567,9 +580,9 @@ def q_text_quality(spark, sf_dir):
         q["stopword_ratio"].alias("stopword_ratio"),
     )
     return scored.groupBy("lang").agg(
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
-        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg("n_tokens") + ROUND_EPS, 4).alias("avg_tokens"),
+        F.round(F.avg("punct_ratio") + ROUND_EPS, 6).alias("avg_punct_ratio"),
+        F.round(F.avg("stopword_ratio") + ROUND_EPS, 6).alias("avg_stopword_ratio"),
     )
 
 
@@ -602,7 +615,7 @@ def q_spearman_lineitem(spark, sf_dir):
     rpairs = [(f"__rk_{a}", f"__rk_{b}") for a, b in pairs]
     row = _pairwise_corr(ranked, rpairs)
     rows = [
-        (a, b, round(row[f"corr_{i}"], 4)) for i, (a, b) in enumerate(pairs)
+        (a, b, round(row[f"corr_{i}"] + ROUND_EPS, 4)) for i, (a, b) in enumerate(pairs)
     ]
     return spark.createDataFrame(
         rows, schema="column_a string, column_b string, spearman double",
@@ -691,7 +704,7 @@ def q_events_json(spark, sf_dir):
         .groupBy("event_type", "k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.avg("value") + ROUND_EPS, 4).alias("avg_value"),
         )
     )
 
@@ -794,7 +807,7 @@ def q_above_avg_customers(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_above_avg"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+            F.round(F.avg("c_acctbal") + ROUND_EPS, 4).alias("avg_balance"),
         )
     )
 
@@ -807,6 +820,31 @@ def q_cube_revenue(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         F.grouping_id().alias("grp_id"),
+    )
+
+
+def q_vocabulary(spark, sf_dir):
+    """Corpus vocabulary building: top-50 tokens by frequency with
+    deterministic ids (tokenizer-training first step)."""
+    from woodwork_spark.operators.text import build_vocabulary
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return build_vocabulary(docs, "text", top_n=50)
+
+
+def q_quality_filter(spark, sf_dir):
+    """Corpus cleaning: documents surviving the quality filter, per
+    language (SQL-oracle-able subset of quality_score_exprs)."""
+    from woodwork_spark.operators.text import quality_score_exprs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score_exprs("text")
+    return (
+        docs.filter(q["n_tokens"] >= 30)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs_kept"))
     )
 
 
@@ -850,6 +888,8 @@ QUERIES = {
     "salted_join": q_salted_join,
     "above_avg_customers": q_above_avg_customers,
     "cube_revenue": q_cube_revenue,
+    "vocabulary": q_vocabulary,
+    "quality_filter": q_quality_filter,
 }
 
 ORACLE = {
@@ -859,9 +899,9 @@ ORACLE = {
                round(sum(l_extendedprice), 2) AS sum_base_price,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               round(avg(l_quantity) + 0.0000001, 4) AS avg_qty,
+               round(avg(l_extendedprice) + 0.0000001, 4) AS avg_price,
+               round(avg(l_discount) + 0.0000001, 4) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -952,7 +992,7 @@ ORACLE = {
         SELECT user_id,
                CAST(sum(new_session) AS BIGINT) AS n_sessions,
                count(*) AS n_events,
-               round(avg(value), 4) AS avg_value
+               round(avg(value) + 0.0000001, 4) AS avg_value
         FROM e GROUP BY user_id
     """,
     "profile_lineitem": """
@@ -1051,17 +1091,17 @@ ORACLE = {
     "corr_lineitem": """
         SELECT * FROM (
             SELECT 'l_quantity' AS column_a, 'l_extendedprice' AS column_b,
-                   round(corr(l_quantity, l_extendedprice), 4) AS pearson FROM lineitem
+                   round(corr(l_quantity, l_extendedprice) + 0.0000001, 4) AS pearson FROM lineitem
             UNION ALL
-            SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 4) FROM lineitem
+            SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount) + 0.0000001, 4) FROM lineitem
             UNION ALL
-            SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 4) FROM lineitem
+            SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax) + 0.0000001, 4) FROM lineitem
             UNION ALL
-            SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 4) FROM lineitem
+            SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount) + 0.0000001, 4) FROM lineitem
             UNION ALL
-            SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 4) FROM lineitem
+            SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax) + 0.0000001, 4) FROM lineitem
             UNION ALL
-            SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 4) FROM lineitem
+            SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax) + 0.0000001, 4) FROM lineitem
         )
     """,
     "dedup_exact": """
@@ -1075,8 +1115,8 @@ ORACLE = {
         SELECT lang,
                count(*) AS n_docs,
                CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
-               round(avg(len(string_split(trim(text), ' '))), 4) AS avg_tokens,
-               round(avg(length(text)), 4) AS avg_chars,
+               round(avg(len(string_split(trim(text), ' '))) + 0.0000001, 4) AS avg_tokens,
+               round(avg(length(text)) + 0.0000001, 4) AS avg_chars,
                max(length(text)) AS max_chars
         FROM documents GROUP BY lang
     """,
@@ -1189,9 +1229,9 @@ ORACLE = {
             FROM documents
         )
         SELECT lang,
-               round(avg(n_tokens), 4) AS avg_tokens,
-               round(avg(punct_ratio), 6) AS avg_punct_ratio,
-               round(avg(stopword_ratio), 6) AS avg_stopword_ratio
+               round(avg(n_tokens) + 0.0000001, 4) AS avg_tokens,
+               round(avg(punct_ratio) + 0.0000001, 6) AS avg_punct_ratio,
+               round(avg(stopword_ratio) + 0.0000001, 6) AS avg_stopword_ratio
         FROM scored GROUP BY lang
     """,
     "spearman_lineitem": """
@@ -1206,11 +1246,11 @@ ORACLE = {
             FROM lineitem
         )
         SELECT 'l_quantity' AS column_a, 'l_discount' AS column_b,
-               round(corr(r_quantity, r_discount), 4) AS spearman FROM ranked
+               round(corr(r_quantity, r_discount) + 0.0000001, 4) AS spearman FROM ranked
         UNION ALL
-        SELECT 'l_quantity', 'l_tax', round(corr(r_quantity, r_tax), 4) FROM ranked
+        SELECT 'l_quantity', 'l_tax', round(corr(r_quantity, r_tax) + 0.0000001, 4) FROM ranked
         UNION ALL
-        SELECT 'l_discount', 'l_tax', round(corr(r_discount, r_tax), 4) FROM ranked
+        SELECT 'l_discount', 'l_tax', round(corr(r_discount, r_tax) + 0.0000001, 4) FROM ranked
     """,
     "mode_columns": """
         WITH melted AS (
@@ -1245,6 +1285,25 @@ ORACLE = {
         FROM orders GROUP BY order_day
         ORDER BY order_day DESC LIMIT 10
     """,
+    "vocabulary": """
+        WITH toks AS (
+            SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+            FROM documents
+        ), counts AS (
+            SELECT token, count(*) AS count FROM toks
+            WHERE token != '' GROUP BY token
+        )
+        SELECT token, count,
+               CAST(row_number() OVER (ORDER BY count DESC, token ASC) - 1 AS BIGINT) AS token_id
+        FROM counts
+        QUALIFY token_id < 50
+    """,
+    "quality_filter": """
+        SELECT lang, count(*) AS n_docs_kept
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= 30
+        GROUP BY lang
+    """,
     "above_avg_customers": """
         WITH na AS (
             SELECT c_nationkey, avg(c_acctbal) AS nation_avg
@@ -1252,7 +1311,7 @@ ORACLE = {
         )
         SELECT c_mktsegment,
                count(*) AS n_above_avg,
-               round(avg(c_acctbal), 4) AS avg_balance
+               round(avg(c_acctbal) + 0.0000001, 4) AS avg_balance
         FROM customer JOIN na USING (c_nationkey)
         WHERE c_acctbal > nation_avg
         GROUP BY c_mktsegment
@@ -1285,7 +1344,7 @@ ORACLE = {
         SELECT event_type,
                CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
                count(*) AS n_events,
-               round(avg(value), 4) AS avg_value
+               round(avg(value) + 0.0000001, 4) AS avg_value
         FROM events
         GROUP BY event_type, k_bucket
     """,

@@ -201,3 +201,28 @@ def test_minhash_dedup_transitive(spark):
     out = dedup.minhash_dedup(df, "doc_id", "text", threshold=0.7, transitive=True)
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [0, 3]  # whole chain collapses to its min id
+
+
+def test_build_vocabulary(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog"), (1, "the dog runs")], "id long, text string",
+    )
+    vocab = {r["token"]: (r["count"], r["token_id"]) for r in
+             text.build_vocabulary(df, "text").collect()}
+    assert vocab["the"] == (3, 0)
+    assert vocab["dog"] == (2, 1)
+    assert vocab["and"][0] == 1
+    # ids are dense 0..n-1
+    assert sorted(tid for _, tid in vocab.values()) == list(range(len(vocab)))
+
+
+def test_filter_by_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog near the river"),
+            (1, "x y"),
+        ],
+        "id long, text string",
+    )
+    kept = [r["id"] for r in text.filter_by_quality(df, "text").collect()]
+    assert kept == [0]

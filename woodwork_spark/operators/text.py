@@ -144,6 +144,50 @@ def rolling_fingerprint_expr(text_col, k: int = 8, keep: int = 4):
     return F.slice(F.array_sort(F.array_distinct(grams)), 1, keep)
 
 
+def build_vocabulary(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+    lowercase: bool = True,
+    top_n: int = None,
+) -> DataFrame:
+    """Corpus vocabulary: (token, count, token_id) ordered by frequency
+    (count desc, token asc — deterministic ids).  One explode + one
+    groupBy; ids via a zero-partition-safe window over the ordered
+    counts.  The classic first step of a tokenizer-training pipeline."""
+    from pyspark.sql import Window as W
+
+    toks = tokens_expr(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = W.orderBy(F.desc("count"), F.asc("token"))
+    out = counts.withColumn("token_id", F.row_number().over(w).cast("long") - 1)
+    if top_n:
+        out = out.filter(F.col("token_id") < top_n)
+    return out
+
+
+def filter_by_quality(
+    df: DataFrame,
+    text_col: str,
+    min_score: float = 0.4,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """Corpus cleaning: drop documents below the quality-score/token
+    thresholds (one filter projection, no shuffle)."""
+    q = quality_score_exprs(text_col)
+    return df.filter(
+        (q["quality_score"] >= min_score) & (q["n_tokens"] >= min_tokens),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str, id_col: str = None) -> DataFrame:
     """One-projection text profile: id, token counts, quality signals,
     language guess, fingerprint."""
