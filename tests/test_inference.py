@@ -131,3 +131,16 @@ def test_pandas_predicate_registration(spark, inference_df):
         assert type(inferred["emails"]).__name__ == "EmailAddress"
     finally:
         type_system.reset_defaults()
+
+
+def test_random_sample_mode(spark, inference_df):
+    """Reference-parity random sampling yields the same inferences on
+    uniform data, and exercises the count+sample path."""
+    from woodwork_spark.type_sys.profiles import build_profiles
+    from woodwork_spark.type_sys.type_system import type_system
+
+    profiles = build_profiles(
+        inference_df, columns=["ints", "emails"], sample_mode="random",
+    )
+    got = {c: type(type_system.infer_from_profile(p)).__name__ for c, p in profiles.items()}
+    assert got == {"ints": "Integer", "emails": "EmailAddress"}

@@ -229,15 +229,35 @@ def _probe_checks(values) -> set:
     return checks, fmt
 
 
-def build_profiles(df: DataFrame, columns=None, sample_size=None) -> dict:
+def build_profiles(
+    df: DataFrame,
+    columns=None,
+    sample_size=None,
+    sample_mode: str = "head",
+) -> dict:
     """Profile ``columns`` of ``df``: 2 aggregation jobs + 1 bounded
-    collect over one cached sample, independent of column count."""
+    collect over one cached sample, independent of column count.
+
+    sample_mode:
+    - "head" (default): ``limit(n)`` — reads only the first file(s) of
+      the table, the cheapest option at 100 TB, but can bias inference
+      if the data is sorted so early rows aren't representative.
+    - "random": reference-parity random sample (seed 42, reference
+      type_system.py:342-358) — costs one count + one full scan, reads
+      every partition.
+    """
     columns = list(columns) if columns is not None else df.columns
     sample_size = sample_size or config.get_option("inference_sample_size")
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(columns)
+    if sample_mode == "random":
+        total = src.count()
+        if total > sample_size:
+            fraction = min(1.0, sample_size / total * 1.2)
+            src = src.sample(withReplacement=False, fraction=fraction, seed=42)
     # limit() materializes through ONE partition; repartition spreads the
     # bounded sample back across cores before the (CPU-heavy) agg passes
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    sample = df.select(columns).limit(sample_size).repartition(parallelism).cache()
+    sample = src.limit(sample_size).repartition(parallelism).cache()
     dtypes = {f.name: f.dataType for f in sample.schema.fields}
 
     all_exprs = []
