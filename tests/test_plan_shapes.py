@@ -76,6 +76,10 @@ def test_no_python_udfs_in_operator_queries(spark):
 
 def test_whole_stage_codegen_active(spark):
     df = entrymod.queries()["text_quality"](spark, SF)
-    df.collect()  # AQE only materializes codegen spans in the FINAL plan
-    plan = _executed_plan(df)
-    assert "WholeStageCodegen" in plan
+    cg = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "codegen",
+        ),
+    )
+    assert "WholeStageCodegen subtrees" in cg
+    assert "Found 0" not in cg
