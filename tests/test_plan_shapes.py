@@ -76,6 +76,7 @@ def test_no_python_udfs_in_operator_queries(spark):
 
 def test_whole_stage_codegen_active(spark):
     df = entrymod.queries()["text_quality"](spark, SF)
+    df.collect()  # under AQE codegen subtrees exist only in the final plan
     cg = df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "codegen",
