@@ -68,3 +68,33 @@ def test_custom_stateful_sessionizer(spark):
     assert any(r["closed_by"] == "gap" for r in out)
     for r in out:
         assert r["n_events"] >= 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.streaming.events import purchase_attribution_stream
+
+    stream = read_event_stream(spark, EVENTS, max_files_per_trigger=10)
+    out = _run(
+        purchase_attribution_stream(stream, attribution_window="48 hours",
+                                    watermark="96 hours"),
+        "attribution_t", "append",
+    )
+    got = out.count()
+    # batch equivalent on the same data
+    ev = read_parquet(spark, EVENTS)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("pid"),
+    )
+    l = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("lu"), F.col("ts").alias("l_ts"),
+    )
+    expected = p.join(
+        l,
+        (F.col("pu") == F.col("lu"))
+        & (F.col("l_ts") <= F.col("p_ts"))
+        & (F.col("l_ts") >= F.col("p_ts") - F.expr("INTERVAL 48 HOURS")),
+    ).count()
+    assert got == expected
+    assert got > 0

@@ -203,6 +203,54 @@ def sessionize_stream_custom(
     )
 
 
+def purchase_attribution_stream(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+    touch_type: str = "click",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's ``touch_type`` events (clicks by default) within the
+    preceding ``attribution_window``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so state is bounded by (watermark + window) per side — the
+    canonical streaming-join shape."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    logins = (
+        events.filter(F.col("event_type") == touch_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("touch_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    return purchases.join(
+        logins,
+        F.expr(
+            f"p_user = l_user AND l_ts <= p_ts "
+            f"AND l_ts >= p_ts - INTERVAL {attribution_window}",
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "touch_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("l_ts").alias("touch_us"),
+        "purchase_value",
+    )
+
+
 def late_data_counts_stream(
     events: DataFrame,
     watermark: str = "1 hour",
