@@ -226,3 +226,50 @@ def test_filter_by_quality(spark):
     )
     kept = [r["id"] for r in text.filter_by_quality(df, "text").collect()]
     assert kept == [0]
+
+
+def test_asof_join_backward(spark):
+    import datetime as dt
+
+    from woodwork_spark.operators.relational import asof_join
+
+    trades = spark.createDataFrame(
+        [
+            (1, dt.datetime(2020, 1, 1, 10, 0, 0), 100.0),
+            (1, dt.datetime(2020, 1, 1, 10, 5, 0), 101.0),
+            (2, dt.datetime(2020, 1, 1, 10, 3, 0), 50.0),
+        ],
+        "sym long, ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, dt.datetime(2020, 1, 1, 9, 59, 0), 99.5),
+            (1, dt.datetime(2020, 1, 1, 10, 4, 0), 100.5),
+            (2, dt.datetime(2020, 1, 1, 10, 10, 0), 49.5),  # after the trade
+        ],
+        "sym long, ts timestamp, quote double",
+    )
+    out = {
+        (r["sym"], r["ts"]): r["quote_right"]
+        for r in asof_join(trades, quotes, on="ts", by="sym").collect()
+    }
+    assert out[(1, dt.datetime(2020, 1, 1, 10, 0))] == 99.5
+    assert out[(1, dt.datetime(2020, 1, 1, 10, 5))] == 100.5
+    assert out[(2, dt.datetime(2020, 1, 1, 10, 3))] is None  # no prior quote
+
+
+def test_asof_join_tolerance(spark):
+    import datetime as dt
+
+    from woodwork_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1, 12, 0, 0), "x")], "k long, ts timestamp, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1, 9, 0, 0), "old")], "k long, ts timestamp, r string",
+    )
+    strict = asof_join(left, right, on="ts", by="k", tolerance=3600).collect()[0]
+    assert strict["r_right"] is None  # 3h-old match outside 1h tolerance
+    loose = asof_join(left, right, on="ts", by="k", tolerance=4 * 3600).collect()[0]
+    assert loose["r_right"] == "old"
