@@ -173,3 +173,57 @@ def test_ordinal_set_types_validates_membership(spark):
         logical_types={"lvl": Ordinal(order=["low", "high"])},
     )
     assert "category" in t2.semantic_tags["lvl"]
+
+
+def test_partial_schema_priority(spark):
+    """init priority: explicit logical_types > existing schema > inference
+    (reference init_with_partial_schema, table_accessor.py:126-273)."""
+    from woodwork_spark.schema import ColumnSchema, TableSchema
+
+    df = spark.createDataFrame(
+        [("1", "a", "x@y.com")], "num string, cat string, email string",
+    )
+    partial = TableSchema(
+        columns={
+            "num": ColumnSchema(logical_type="Double", use_standard_tags=True),
+            "cat": ColumnSchema(),  # untyped: falls through to inference
+        },
+    )
+    t = ww.init(
+        df,
+        schema=partial,
+        logical_types={"email": "EmailAddress"},
+        validate=False,
+    )
+    assert type(t.logical_types["num"]).__name__ == "Double"      # from schema
+    assert type(t.logical_types["email"]).__name__ == "EmailAddress"  # forced
+    assert t.logical_types["cat"] is not None                     # inferred
+    assert t.physical_types["num"].simpleString() == "double"
+
+
+def test_partial_schema_forced_overrides_schema(spark):
+    from woodwork_spark.schema import ColumnSchema, TableSchema
+
+    df = spark.createDataFrame([("5",)], "x string")
+    partial = TableSchema(columns={"x": ColumnSchema(logical_type="Categorical")})
+    t = ww.init(df, schema=partial, logical_types={"x": "Integer"}, validate=False)
+    assert type(t.logical_types["x"]).__name__ == "Integer"
+
+
+def test_select_include_and_exclude_raises(typed):
+    with pytest.raises(ValueError, match="both"):
+        typed.select(include="numeric", exclude="category")
+
+
+def test_getitem_missing_raises(typed):
+    with pytest.raises(ColumnNotPresentError):
+        typed[["id", "nope"]]
+
+
+def test_init_with_full_schema_rejects_mismatch(spark):
+    from woodwork_spark.schema import ColumnSchema, TableSchema
+
+    df = spark.createDataFrame([("abc",)], "x string")
+    schema = TableSchema(columns={"x": ColumnSchema(logical_type="Integer")})
+    with pytest.raises(ValueError, match="valid"):
+        ww.init_with_full_schema(df, schema)

@@ -74,7 +74,13 @@ def init(
             raise ColumnNotPresentError(sorted(missing))
     existing = dict(schema.columns) if schema is not None else {}
 
-    to_infer = [c for c in df.columns if c not in forced and c not in existing]
+    # a partial-schema column with no logical type still needs inference
+    to_infer = [
+        c
+        for c in df.columns
+        if c not in forced
+        and (c not in existing or existing[c].logical_type is None)
+    ]
     inferred = (
         type_system.infer_logical_types(df, columns=to_infer, sample_size=sample_size)
         if to_infer
