@@ -848,6 +848,33 @@ def q_quality_filter(spark, sf_dir):
     )
 
 
+def q_windowed_event_dedup(spark, sf_dir):
+    """Windowed deduplication: keep the FIRST event per
+    (user, event_type, 5-minute bucket) — the batch shape of streaming
+    dropDuplicates-within-watermark; reports survivors per type."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_micros("ts") / 300_000_000)
+    w = W.partitionBy("user_id", "event_type", bucket.alias("b")).orderBy(
+        "ts", "event_id",
+    )
+    deduped = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_after_dedup"),
+    ).join(
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_before")),
+        "event_type",
+    ).select(
+        "event_type",
+        "n_before",
+        "n_after_dedup",
+        (F.col("n_before") - F.col("n_after_dedup")).alias("n_dropped"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -890,6 +917,7 @@ QUERIES = {
     "cube_revenue": q_cube_revenue,
     "vocabulary": q_vocabulary,
     "quality_filter": q_quality_filter,
+    "windowed_event_dedup": q_windowed_event_dedup,
 }
 
 ORACLE = {
@@ -1284,6 +1312,26 @@ ORACLE = {
                count(*) AS count
         FROM orders GROUP BY order_day
         ORDER BY order_day DESC LIMIT 10
+    """,
+    "windowed_event_dedup": """
+        WITH d AS (
+            SELECT event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type,
+                                    floor(epoch_us(ts) / 300000000)
+                       ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ), after AS (
+            SELECT event_type, count(*) AS n_after_dedup
+            FROM d WHERE rn = 1 GROUP BY event_type
+        ), before AS (
+            SELECT event_type, count(*) AS n_before
+            FROM events GROUP BY event_type
+        )
+        SELECT b.event_type, n_before, n_after_dedup,
+               n_before - n_after_dedup AS n_dropped
+        FROM before b JOIN after a ON b.event_type = a.event_type
     """,
     "vocabulary": """
         WITH toks AS (
