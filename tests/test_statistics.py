@@ -325,3 +325,16 @@ def test_dependence_unique_cols_reference(spark):
     dep = t.mutual_information(min_shared=10)  # 20 rows < default 25
     val = dep.iloc[0]["mutual_info"]
     assert abs(val) < 0.05  # unique labels carry no adjusted information
+
+
+def test_numeric_profile_approx_mode(spark):
+    from woodwork_spark.statistics.profile import numeric_profile_df
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "x double")
+    exact = numeric_profile_df(df, ["x"]).collect()[0]
+    approx = numeric_profile_df(df, ["x"], percentile_mode="approx").collect()[0]
+    assert approx["count"] == exact["count"]
+    # sketch quantiles land within ~1% of exact on uniform data
+    for q in ("q1", "median", "q3"):
+        assert abs(approx[q] - exact[q]) <= 10
+    assert abs(approx["nunique"] - 1000) <= 50

@@ -13,13 +13,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def numeric_profile_df(df: DataFrame, columns, round_to=4) -> DataFrame:
+def numeric_profile_df(
+    df: DataFrame,
+    columns,
+    round_to=4,
+    percentile_mode: str = "exact",
+    approx_accuracy: int = 10_000,
+) -> DataFrame:
     """(column_name, count, nunique, nan_count, mean, std, min, q1, median,
     q3, max) — one row per requested numeric column, computed in one pass.
 
-    Quartiles are EXACT linear-interpolation percentiles (Spark
-    `percentile`), matching pandas/DuckDB ``quantile_cont`` semantics
-    (reference percentile helper _get_describe_dict.py:27-48).
+    percentile_mode:
+    - "exact" (default): Spark `percentile`, exact linear interpolation
+      matching pandas/DuckDB ``quantile_cont`` (reference percentile
+      helper _get_describe_dict.py:27-48) — required for oracle parity;
+      buffers per-partition value maps.
+    - "approx": `percentile_approx` (KLL-style sketch, bounded memory)
+      + `approx_count_distinct` — the 100 TB path where exact order
+      statistics are off the table.
     """
     # Two separate single-row aggs, cross-joined: mixing count_distinct
     # (Expand, 1 extra row-multiple per distinct) with exact percentile
@@ -27,6 +38,16 @@ def numeric_profile_df(df: DataFrame, columns, round_to=4) -> DataFrame:
     # through the expanded grouped path — measured 3-10x slower.  Split,
     # each pass is clean: pass 1 ordinary aggs + ONE array-percentile per
     # column; pass 2 all distinct counts in a single Expand.
+    if percentile_mode not in ("exact", "approx"):
+        raise ValueError("percentile_mode must be 'exact' or 'approx'")
+
+    def _quartiles(col):
+        if percentile_mode == "exact":
+            return F.percentile(col, F.lit([0.25, 0.5, 0.75]))
+        return F.percentile_approx(
+            col, F.lit([0.25, 0.5, 0.75]), F.lit(approx_accuracy),
+        ).cast("array<double>")
+
     aggs = [F.count(F.lit(1)).alias("__total")]
     for c in columns:
         col = F.col(c)
@@ -36,14 +57,22 @@ def numeric_profile_df(df: DataFrame, columns, round_to=4) -> DataFrame:
                 F.mean(col).alias("mean"),
                 F.stddev_samp(col).alias("std"),
                 F.min(col).cast("double").alias("min"),
-                F.percentile(col, F.lit([0.25, 0.5, 0.75])).alias("q"),
+                _quartiles(col).alias("q"),
                 F.max(col).cast("double").alias("max"),
             ).alias(c),
         )
     aggd = df.agg(*aggs)
-    distincts = df.agg(
-        *[F.count_distinct(F.col(c)).alias(f"__nu_{c}") for c in columns],
-    )
+    if percentile_mode == "exact":
+        distincts = df.agg(
+            *[F.count_distinct(F.col(c)).alias(f"__nu_{c}") for c in columns],
+        )
+    else:
+        distincts = df.agg(
+            *[
+                F.approx_count_distinct(F.col(c), 0.02).alias(f"__nu_{c}")
+                for c in columns
+            ],
+        )
     joined = aggd.join(F.broadcast(distincts))
     structs = [
         F.struct(
