@@ -129,3 +129,15 @@ def test_str_to_logical_type_roundtrip():
         str_to_logical_type("NotAType")
     ordinal = str_to_logical_type("Ordinal", params={"order": [1, 2]})
     assert ordinal.order == [1, 2]
+
+
+def test_datetime_int_epoch_is_nanoseconds(spark):
+    # pd.to_datetime treats int input as epoch ns; 1_577_836_800e9 ns == 2020-01-01
+    import datetime as _dt
+
+    nanos = 1_577_836_800 * 10**9
+    df = spark.createDataFrame([(nanos,)], "x long")
+    out = df.select(
+        Datetime().transform_expr(df["x"], df.schema["x"].dataType).alias("ts"),
+    ).collect()[0]["ts"]
+    assert out == _dt.datetime(2020, 1, 1)

@@ -273,3 +273,28 @@ def test_asof_join_tolerance(spark):
     assert strict["r_right"] is None  # 3h-old match outside 1h tolerance
     loose = asof_join(left, right, on="ts", by="k", tolerance=4 * 3600).collect()[0]
     assert loose["r_right"] == "old"
+
+
+def test_asof_join_null_in_matched_row_not_backfilled(spark):
+    """merge_asof semantics: a null column in the nearest right row stays
+    null — it must not be pulled from an older right row."""
+    from woodwork_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 1, 100.0, "old"), (1, 5, None, "new")],
+        "k int, ts int, px double, tag string",
+    )
+    row = asof_join(left, right, on="ts", by="k").collect()[0]
+    assert row["tag_right"] == "new"
+    assert row["px_right"] is None  # not back-filled with 100.0
+
+
+def test_asof_join_left_row_before_any_right(spark):
+    from woodwork_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 0), (1, 10)], "k int, ts int")
+    right = spark.createDataFrame([(1, 5, 7.0)], "k int, ts int, px double")
+    rows = {r["ts"]: r for r in asof_join(left, right, on="ts", by="k").collect()}
+    assert rows[0]["px_right"] is None
+    assert rows[10]["px_right"] == 7.0

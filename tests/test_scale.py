@@ -116,3 +116,14 @@ def test_init_on_every_driver_table(spark):
         if name in expectations:
             col, expected = expectations[name]
             assert type(t.logical_types[col]).__name__ == expected, (name, col)
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest
+
+    fact = spark.createDataFrame([(1, "a")], "k int, v string")
+    dim = spark.createDataFrame([(1, "x")], "k int, d string")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(fact, dim, "k", salt=4, how="full")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(fact, dim, "k", salt=4, how="right")

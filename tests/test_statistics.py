@@ -338,3 +338,38 @@ def test_numeric_profile_approx_mode(spark):
     for q in ("q1", "median", "q3"):
         assert abs(approx[q] - exact[q]) <= 10
     assert abs(approx["nunique"] - 1000) <= 50
+
+
+def test_medcouple_left_skew_coefficient_signs(spark):
+    """For mc<0 the bounds use flipped coefficient signs (reference
+    _determine_coefficients): low uses exp(+coeff*mc), high exp(-coeff*mc)."""
+    import numpy as np
+
+    from woodwork_spark.statistics.outliers import _medcouple, _sample_skewness
+
+    vals = [2.0] * 2 + [5.0] * 8 + [6.0] * 12 + [7.0] * 20 + [8.0] * 6 + [9.0] * 2
+    arr = np.array(vals)
+    mc = round(_medcouple(arr), 3)
+    assert mc < 0  # left-skewed fixture
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    t = ww.init(df, validate=False)
+    out = t.medcouple_dict("x")
+    coeff = min(abs(_sample_skewness(arr)), 3.5)
+    q1, q3 = np.percentile(arr, 25), np.percentile(arr, 75)
+    iqr = q3 - q1
+    exp_low = max(round(q1 - 1.5 * np.exp(coeff * mc) * iqr, 10), arr.min())
+    exp_high = min(round(q3 + 1.5 * np.exp(-coeff * mc) * iqr, 10), arr.max())
+    assert out["low_bound"] == pytest.approx(exp_low)
+    assert out["high_bound"] == pytest.approx(exp_high)
+
+
+def test_sample_skewness_matches_biased_moment(spark):
+    import numpy as np
+
+    from woodwork_spark.statistics.outliers import _sample_skewness
+
+    rng = np.random.RandomState(7)
+    arr = rng.exponential(size=500)
+    m = arr.mean()
+    expected = ((arr - m) ** 3).mean() / (((arr - m) ** 2).mean()) ** 1.5
+    assert _sample_skewness(arr) == pytest.approx(expected)

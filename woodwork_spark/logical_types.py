@@ -368,9 +368,15 @@ class Datetime(LogicalType):
     def transform_expr(self, col, source_dtype):
         if isinstance(source_dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             return col.cast(self.spark_dtype)
-        if isinstance(source_dtype, (T.LongType, T.IntegerType, T.DoubleType)):
-            # epoch-seconds interpretation, parity with pd.to_datetime(unit='ns')
-            return F.timestamp_seconds(col)
+        if isinstance(source_dtype, (T.LongType, T.IntegerType)):
+            # pd.to_datetime treats integer input as epoch NANOSECONDS by
+            # default (reference casts via astype('datetime64[ns]')), so
+            # integers are nanos; Spark timestamps are micro-precision, so
+            # truncate nanos -> micros.
+            return F.timestamp_micros((col / F.lit(1000)).cast("long"))
+        if isinstance(source_dtype, T.DoubleType):
+            # float input: same ns unit, via micros to keep sub-second part
+            return F.timestamp_micros(F.round(col / F.lit(1000)).cast("long"))
         col = nan_normalize(col)
         if self.datetime_format:
             fmt = _to_spark_datetime_format(self.datetime_format)

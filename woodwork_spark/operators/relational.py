@@ -65,34 +65,36 @@ def asof_join(
         if by
         else W.orderBy(*order)
     ).rowsBetween(W.unboundedPreceding, 0)
+    # Carry ONE struct of all right columns + the matched time with a
+    # single last(ignorenulls=True): every right value then comes from
+    # the same matched row, even when that row has nulls in some columns
+    # (pandas.merge_asof semantics — a null in the nearest row stays
+    # null, it is not back-filled from an older row).
+    right_row = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            *[F.col(f"{c}{suffix}").alias(f"{c}{suffix}") for c in rcols],
+            F.col("__t").alias("__matched_t"),
+        ),
+    )
     carried = unioned.select(
         *[c for c in lcols],
         "__side",
         "__t",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in rcols
-        ],
-        F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
-        .over(w)
-        .alias("__matched_t"),
+        F.last(right_row, ignorenulls=True).over(w).alias("__r"),
     )
     out = carried.filter(F.col("__side") == 1)
+    keep = F.col("__r").isNotNull()
     if tolerance is not None:
         tol = tolerance if not isinstance(tolerance, (int, float)) else F.expr(
             f"INTERVAL {int(tolerance)} SECONDS",
         )
         if direction == "backward":
-            keep = F.col("__matched_t") >= F.col("__t") - tol
+            keep = keep & (F.col("__r.__matched_t") >= F.col("__t") - tol)
         else:
-            keep = F.col("__matched_t") <= F.col("__t") + tol
-        out = out.select(
-            *lcols,
-            *[
-                F.when(keep, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
-                for c in rcols
-            ],
-        )
-    else:
-        out = out.select(*lcols, *[f"{c}{suffix}" for c in rcols])
+            keep = keep & (F.col("__r.__matched_t") <= F.col("__t") + tol)
+    out = out.select(
+        *lcols,
+        *[F.when(keep, F.col(f"__r.{c}{suffix}")).alias(f"{c}{suffix}") for c in rcols],
+    )
     return out

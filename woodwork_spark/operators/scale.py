@@ -27,7 +27,17 @@ def salted_join(
     Use when the dim side is too big to broadcast AND the fact side has
     hot keys.  The replication multiplies dim size by ``salt``; keep salt
     modest (8-32).
+
+    Only inner/left joins are supported: the dim side is replicated
+    ``salt`` times, so right/full outer joins would emit every unmatched
+    dim row ``salt`` times.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins only, got how={how!r}: "
+            "the replicated dim side would duplicate unmatched dim rows in "
+            "right/full outer modes",
+        )
     salted_fact = fact.withColumn(
         "__salt", (F.rand(seed=42) * salt).cast("int"),
     )

@@ -162,17 +162,16 @@ def _medcouple(values: np.ndarray) -> float:
 
 
 def _sample_skewness(values: np.ndarray) -> float:
-    """Bias-corrected sample skewness G1 (same statistic as
-    scipy.stats.skew(bias=False), used by the reference
-    _get_box_plot_info_for_column.py:42-66; no scipy in this env)."""
-    n = values.size
+    """Biased sample skewness g1 — the reference calls
+    scipy.stats.skew with the default bias=True
+    (_get_box_plot_info_for_column.py:42-66); no scipy in this env, so
+    compute m3/m2^1.5 directly with no bias correction."""
     mean = values.mean()
     m2 = ((values - mean) ** 2).mean()
     m3 = ((values - mean) ** 3).mean()
     if m2 == 0:
         return 0.0
-    g1 = m3 / m2**1.5
-    return float(g1 * np.sqrt(n * (n - 1)) / (n - 2))
+    return float(m3 / m2**1.5)
 
 
 def medcouple_dict(ww_df, column):
@@ -204,12 +203,14 @@ def medcouple_dict(ww_df, column):
     ).collect()[0]
     q = {qq: row[f"q{int(qq * 100)}"] for qq in _QUANTILES}
     iqr = q[0.75] - q[0.25]
+    # Coefficient signs flip with the skew direction (reference
+    # _determine_coefficients: mc>=0 -> (-coeff, +coeff); mc<0 -> (+coeff, -coeff)).
     if mc >= 0:
         low = q[0.25] - 1.5 * np.exp(-coeff * mc) * iqr
         high = q[0.75] + 1.5 * np.exp(coeff * mc) * iqr
     else:
-        low = q[0.25] - 1.5 * np.exp(-coeff * mc) * iqr
-        high = q[0.75] + 1.5 * np.exp(coeff * mc) * iqr
+        low = q[0.25] - 1.5 * np.exp(coeff * mc) * iqr
+        high = q[0.75] + 1.5 * np.exp(-coeff * mc) * iqr
     low = max(round(float(low), 10), q[0.0])
     high = min(round(float(high), 10), q[1.0])
     return {
