@@ -84,3 +84,48 @@ def test_whole_stage_codegen_active(spark):
     )
     assert "WholeStageCodegen subtrees" in cg
     assert "Found 0" not in cg
+
+
+def test_vocabulary_no_single_partition_exchange(spark):
+    """Global token_id ranking must not funnel through one reducer: no
+    Exchange SinglePartition anywhere in the executed plan."""
+    df = entrymod.queries()["vocabulary"](spark, SF)
+    plan = _executed_plan(df)
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # ranked via per-bucket windows, not a sort-collect
+
+
+def test_spearman_rank_no_single_partition_exchange(spark):
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.statistics.dependence import _rank_column
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_extendedprice").alias("__a"),
+    )
+    ranked = _rank_column(df, "__a")
+    plan = _executed_plan(ranked)
+    assert "SinglePartition" not in plan
+
+
+def test_global_row_number_and_prefix_sum_values(spark):
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.operators.rank import global_prefix_sum, global_row_number
+
+    data = [(v,) for v in [5, 3, 9, 1, 7, 3, 8, 2, 6, 4] * 50]
+    df = spark.createDataFrame(data, "v int")
+    rn = global_row_number(df, [F.asc("v")], out_col="rn", num_partitions=7)
+    rows = rn.orderBy("rn").collect()
+    assert [r["rn"] for r in rows] == list(range(500))
+    vals = [r["v"] for r in rows]
+    assert vals == sorted(vals)
+
+    counts = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    ps = global_prefix_sum(counts, [F.asc("v")], "c", out_col="p", num_partitions=5)
+    got = {r["v"]: r["p"] for r in ps.collect()}
+    expect, acc = {}, 0
+    for v in sorted(set(x[0] for x in data)):
+        expect[v] = acc
+        acc += sum(1 for x in data if x[0] == v)
+    assert got == expect

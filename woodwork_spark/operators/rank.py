@@ -1,0 +1,90 @@
+"""Distributed global ordering primitives.
+
+A plain ``Window.orderBy(...)`` with no ``partitionBy`` funnels every row
+through ONE reducer — fine at test scale, a scale-killer when distinct
+values ~ rows (billions at 100 TB).  These helpers implement the standard
+distributed formulation instead:
+
+1. ``repartitionByRange`` on the sort key (one shuffle, N range buckets;
+   Spark's RangePartitioner maps equal keys to the same bucket),
+2. per-bucket window (``partitionBy(spark_partition_id())`` — N parallel
+   reducers, not one),
+3. cumulative per-bucket offsets (N tiny rows collected to the driver —
+   no single-partition Exchange anywhere in the plan).
+
+The range-partitioned frame is persisted so the offsets job and the main
+query see the same (sampled) range boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+_PID = "__ww_pid"
+
+
+def _range_partitioned(df: DataFrame, order, num_partitions=None):
+    """Range-shuffle ``df`` by the sort order and tag each row with its
+    range-bucket id.  Persisted: the bucket boundaries come from sampling,
+    and both the offsets job and the downstream query must agree on them."""
+    n = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    parted = df.repartitionByRange(n, *order).withColumn(_PID, F.spark_partition_id())
+    return parted.persist()
+
+
+def _offset_expr(parted: DataFrame, per_pid_total):
+    """Collect per-bucket totals (≤ num_partitions rows) and return a
+    driver-built map expression pid -> exclusive cumulative offset."""
+    rows = parted.groupBy(_PID).agg(per_pid_total.alias("__t")).collect()
+    acc = 0
+    items = []
+    for r in sorted(rows, key=lambda r: r[_PID]):
+        items += [F.lit(r[_PID]), F.lit(acc)]
+        acc += r["__t"] or 0
+    if not items:
+        return F.lit(0)
+    return F.coalesce(F.create_map(*items)[F.col(_PID)], F.lit(0))
+
+
+def global_row_number(
+    df: DataFrame,
+    order,
+    out_col: str = "row_number",
+    num_partitions: int = None,
+) -> DataFrame:
+    """0-based global row number by ``order`` (list of Columns / sort
+    orders, e.g. ``[F.desc("count"), F.asc("token")]``) with no
+    single-reducer window."""
+    parted = _range_partitioned(df, order, num_partitions)
+    off = _offset_expr(parted, F.count(F.lit(1)))
+    w = W.partitionBy(_PID).orderBy(*order)
+    return (
+        parted.withColumn(
+            out_col,
+            (F.row_number().over(w).cast("long") - 1 + off.cast("long")),
+        )
+        .drop(_PID)
+    )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int = None,
+) -> DataFrame:
+    """Exclusive running sum of ``value_col`` in ``order`` (the sum of all
+    strictly-preceding rows), distributed the same way."""
+    parted = _range_partitioned(df, order, num_partitions)
+    off = _offset_expr(parted, F.sum(value_col))
+    w = W.partitionBy(_PID).orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    return (
+        parted.withColumn(
+            out_col,
+            F.coalesce(F.sum(value_col).over(w), F.lit(0)) + off,
+        )
+        .drop(_PID)
+    )

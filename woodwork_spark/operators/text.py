@@ -153,9 +153,11 @@ def build_vocabulary(
 ) -> DataFrame:
     """Corpus vocabulary: (token, count, token_id) ordered by frequency
     (count desc, token asc — deterministic ids).  One explode + one
-    groupBy; ids via a zero-partition-safe window over the ordered
-    counts.  The classic first step of a tokenizer-training pipeline."""
-    from pyspark.sql import Window as W
+    groupBy; ids via a range-partitioned global row number
+    (operators.rank) — no single-reducer window, so a billion-token
+    vocabulary still ranks in parallel.  The classic first step of a
+    tokenizer-training pipeline."""
+    from woodwork_spark.operators.rank import global_row_number
 
     toks = tokens_expr(text_col)
     if lowercase:
@@ -167,8 +169,9 @@ def build_vocabulary(
         .agg(F.count(F.lit(1)).alias("count"))
         .filter(F.col("count") >= min_count)
     )
-    w = W.orderBy(F.desc("count"), F.asc("token"))
-    out = counts.withColumn("token_id", F.row_number().over(w).cast("long") - 1)
+    out = global_row_number(
+        counts, [F.desc("count"), F.asc("token")], out_col="token_id",
+    )
     if top_n:
         out = out.filter(F.col("token_id") < top_n)
     return out

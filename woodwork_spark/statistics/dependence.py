@@ -105,16 +105,21 @@ def _numeric_view(ww_df, cols):
 
 def _rank_column(df, col):
     """Average-rank transform (ties get mean rank, scipy.rankdata
-    semantics): cumulative count over DISTINCT values + join back.
-    The window runs over distinct values only — cardinality-bounded."""
+    semantics): exclusive prefix-count over DISTINCT values + join back.
+    The prefix sum is range-partitioned (operators.rank) so no single
+    reducer sees all distinct values — safe for continuous columns where
+    distinct ~ rows at 100 TB."""
+    from woodwork_spark.operators.rank import global_prefix_sum
+
     counts = df.filter(F.col(col).isNotNull()).groupBy(col).agg(
         F.count(F.lit(1)).alias("__cnt"),
     )
-    w = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
-    ranked = counts.withColumn(
-        "__rank",
-        (F.coalesce(F.sum("__cnt").over(w), F.lit(0)) + (F.col("__cnt") + 1) / 2.0),
-    ).select(F.col(col).alias("__val"), "__rank")
+    ranked = global_prefix_sum(
+        counts, [F.asc(col)], "__cnt", out_col="__prefix",
+    ).select(
+        F.col(col).alias("__val"),
+        (F.col("__prefix") + (F.col("__cnt") + 1) / 2.0).alias("__rank"),
+    )
     return df.join(
         ranked,
         df[col].eqNullSafe(F.col("__val")),
