@@ -141,3 +141,88 @@ def test_datetime_int_epoch_is_nanoseconds(spark):
         Datetime().transform_expr(df["x"], df.schema["x"].dataType).alias("ts"),
     ).collect()[0]["ts"]
     assert out == _dt.datetime(2020, 1, 1)
+
+
+def _transform_niv(spark, values, ltype, dtype="string"):
+    df = spark.createDataFrame([(v,) for v in values], schema=f"v {dtype}")
+    src = df.schema.fields[0].dataType
+    out = df.select(
+        ltype.transform_expr(F.col("v"), src, null_invalid_values=True).alias("v"),
+    )
+    return [r["v"] for r in out.collect()]
+
+
+def test_null_invalid_values_age_nullable(spark):
+    from woodwork_spark.logical_types import AgeNullable
+
+    assert _transform_niv(spark, [25.0, -3.0, 4.5, None], AgeNullable(), "double") == [
+        25, None, None, None,
+    ]
+    assert _transform_niv(spark, ["30", "-1", "abc", None], AgeNullable()) == [
+        30, None, None, None,
+    ]
+
+
+def test_null_invalid_values_age_fractional(spark):
+    from woodwork_spark.logical_types import AgeFractional
+
+    assert _transform_niv(spark, [25.5, -3.0, None], AgeFractional(), "double") == [
+        25.5, None, None,
+    ]
+
+
+def test_null_invalid_values_regex_types(spark):
+    from woodwork_spark.logical_types import URL, PhoneNumber
+
+    out = _transform_niv(
+        spark, ["a@b.com", "not-an-email", None], EmailAddress(),
+    )
+    assert out == ["a@b.com", None, None]
+    out = _transform_niv(spark, ["555-245-5495", "banana", None], PhoneNumber())
+    assert out == ["555-245-5495", None, None]
+    out = _transform_niv(spark, ["http://google.com", "::::", None], URL())
+    assert out == ["http://google.com", None, None]
+
+
+def test_null_invalid_values_postal_code(spark):
+    assert _transform_niv(spark, ["90210", "60018-0123", "bogus!", None], PostalCode()) == [
+        "90210", "60018-0123", None, None,
+    ]
+    assert _transform_niv(spark, [90210.0, 1234.5, None], PostalCode(), "double") == [
+        "90210", None, None,
+    ]
+
+
+def test_null_invalid_values_off_keeps_values(spark):
+    # without the flag, regex-failing values survive transform (and would
+    # be caught by validate) — reference default behavior
+    out = _transform(spark, ["a@b.com", "not-an-email"], EmailAddress())
+    assert out == ["a@b.com", "not-an-email"]
+
+
+def test_init_null_invalid_values_end_to_end(spark):
+    import woodwork_spark as ww
+
+    df = spark.createDataFrame(
+        [("a@b.com", "25"), ("nope", "-4")], "email string, age string",
+    )
+    t = ww.init(
+        df,
+        logical_types={"email": "EmailAddress", "age": "AgeNullable"},
+        null_invalid_values=True,
+    )
+    rows = t.raw.collect()
+    assert rows[0]["email"] == "a@b.com" and rows[0]["age"] == 25
+    assert rows[1]["email"] is None and rows[1]["age"] is None
+
+
+def test_set_types_null_invalid_values(spark):
+    import woodwork_spark as ww
+
+    df = spark.createDataFrame([("a@b.com",), ("junk",)], "email string")
+    t = ww.init(df, validate=False)
+    t2 = t.set_types(
+        logical_types={"email": "EmailAddress"}, null_invalid_values=True,
+    )
+    vals = [r["email"] for r in t2.raw.collect()]
+    assert vals == ["a@b.com", None]

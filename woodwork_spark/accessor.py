@@ -56,12 +56,18 @@ def init(
     schema: TableSchema | None = None,
     validate=True,
     sample_size=None,
+    null_invalid_values=False,
 ) -> "WWDataFrame":
     """Initialize a typed table (reference table_accessor.py:44-273).
 
     Priority: explicit ``logical_types`` > existing ``schema`` (full or
     partial) > inference — the reference's init_with_partial_schema
     semantics (table_accessor.py:126-273).
+
+    ``null_invalid_values`` (reference table_accessor.py:143): when True,
+    values violating their resolved logical type (negative ages,
+    regex-failing emails/phones/urls/postal codes, non-integral integers)
+    coerce to null during the transform instead of raising at validation.
     """
     if validate:
         _validate_unique_columns(df)
@@ -123,7 +129,7 @@ def init(
     exprs = []
     for col in df.columns:
         lt = resolved[col]
-        expr = lt.transform_expr(F.col(col), src_types[col])
+        expr = lt.transform_expr(F.col(col), src_types[col], null_invalid_values)
         exprs.append(expr.alias(col))
     out = df.select(*exprs)
 
@@ -407,9 +413,18 @@ class WWDataFrame:
         schema.set_time_index(new_time_index)
         return self._with(schema=schema)
 
-    def set_types(self, logical_types=None, semantic_tags=None, retain_index_tags=True) -> "WWDataFrame":
+    def set_types(
+        self,
+        logical_types=None,
+        semantic_tags=None,
+        retain_index_tags=True,
+        null_invalid_values=False,
+    ) -> "WWDataFrame":
         """Recast columns (reference table_accessor.py:525-565): metadata
-        update + one projection for the changed columns only."""
+        update + one projection for the changed columns only.
+        ``null_invalid_values`` coerces type-violating values to null
+        instead of leaving them to fail validation (reference
+        table_accessor.py:531-562)."""
         logical_types = {
             c: str_to_logical_type(lt) for c, lt in (logical_types or {}).items()
         }
@@ -423,7 +438,11 @@ class WWDataFrame:
         for col in self.columns:
             if col in logical_types:
                 lt = logical_types[col]
-                exprs.append(lt.transform_expr(F.col(col), src_types[col]).alias(col))
+                exprs.append(
+                    lt.transform_expr(
+                        F.col(col), src_types[col], null_invalid_values,
+                    ).alias(col),
+                )
                 old = schema.columns[col]
                 schema.columns[col] = ColumnSchema(
                     logical_type=lt,

@@ -121,13 +121,21 @@ class LogicalType:
         return {}
 
     # ---- expression surface -------------------------------------------------
-    def transform_expr(self, col: Column, source_dtype: T.DataType) -> Column:
+    def transform_expr(
+        self, col: Column, source_dtype: T.DataType, null_invalid_values: bool = False,
+    ) -> Column:
         """Coercion expression: raw column (of ``source_dtype``) -> a column
         of ``spark_dtype`` with this type's semantics.  Default: nan-normalize
         strings then cast (reference logical_types.py:59-68).  Uses try_cast:
         unparseable values null out, matching the reference's
         errors="coerce" semantics (and Spark 4 ANSI mode would otherwise
-        throw)."""
+        throw).
+
+        ``null_invalid_values`` mirrors the reference's init/set_types kwarg
+        (reference table_accessor.py:143, logical_types.py:135-182): values
+        that violate the type (negative ages, regex-failing emails/phones/
+        urls/postal codes, non-integral integers) coerce to null instead of
+        surviving to fail validation."""
         if _is_string(source_dtype):
             return nan_normalize(col).try_cast(self.spark_dtype)
         return col.cast(self.spark_dtype)
@@ -156,7 +164,7 @@ class IntegerNullable(LogicalType):
     spark_dtype = T.LongType()
     standard_tags = frozenset({"numeric"})
 
-    def transform_expr(self, col, source_dtype):
+    def transform_expr(self, col, source_dtype, null_invalid_values=False):
         if _is_string(source_dtype):
             col = nan_normalize(col)
         if isinstance(source_dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
@@ -185,18 +193,38 @@ class Age(LogicalType):
 
 
 class AgeNullable(Age):
-    """Reference logical_types.py:153-182: negatives null out on transform
-    with null_invalid_values; validator flags negatives."""
+    """Reference logical_types.py:153-182: with null_invalid_values the
+    transform numeric-coerces, nulls non-integers and nulls negatives
+    (reference _coerce_age logical_types.py:931-937); validator flags
+    negatives."""
 
-    def transform_expr(self, col, source_dtype):
-        col = super().transform_expr(col, source_dtype)
-        return col
+    def transform_expr(self, col, source_dtype, null_invalid_values=False):
+        if null_invalid_values:
+            c = (
+                nan_normalize(col).try_cast("double")
+                if _is_string(source_dtype)
+                else col.cast("double")
+            )
+            c = F.when((c % 1 != 0) | (c < 0), F.lit(None)).otherwise(c)
+            return c.try_cast(self.spark_dtype)
+        return super().transform_expr(col, source_dtype)
 
 
 class AgeFractional(AgeNullable):
-    """Reference logical_types.py:121-150."""
+    """Reference logical_types.py:121-150: _coerce_age(fractional=True) —
+    numeric-coerce then null negatives, fractions allowed."""
 
     spark_dtype = T.DoubleType()
+
+    def transform_expr(self, col, source_dtype, null_invalid_values=False):
+        if null_invalid_values:
+            c = (
+                nan_normalize(col).try_cast("double")
+                if _is_string(source_dtype)
+                else col.cast("double")
+            )
+            return F.when(c < 0, F.lit(None)).otherwise(c)
+        return LogicalType.transform_expr(self, col, source_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -213,7 +241,7 @@ class BooleanNullable(LogicalType):
 
     spark_dtype = T.BooleanType()
 
-    def transform_expr(self, col, source_dtype):
+    def transform_expr(self, col, source_dtype, null_invalid_values=False):
         if _is_string(source_dtype):
             col = nan_normalize(col)
             low = F.lower(F.trim(col))
@@ -241,8 +269,8 @@ class Boolean(BooleanNullable):
     def params(self):
         return {"cast_nulls_as": self.cast_nulls_as} if self.cast_nulls_as is not None else {}
 
-    def transform_expr(self, col, source_dtype):
-        out = super().transform_expr(col, source_dtype)
+    def transform_expr(self, col, source_dtype, null_invalid_values=False):
+        out = super().transform_expr(col, source_dtype, null_invalid_values)
         if self.cast_nulls_as is not None:
             out = F.coalesce(out, F.lit(self.cast_nulls_as))
         return out
@@ -289,12 +317,21 @@ class PostalCode(Categorical):
     def params(self):
         return {}
 
-    def transform_expr(self, col, source_dtype):
+    def transform_expr(self, col, source_dtype, null_invalid_values=False):
         if isinstance(source_dtype, (T.DoubleType, T.FloatType)):
+            if null_invalid_values:
+                # _coerce_postal_code -> _coerce_integer: non-integral
+                # numerics null out (reference logical_types.py:940-950)
+                col = F.when(col % 1 != 0, F.lit(None)).otherwise(col)
             col = col.try_cast("long")
         if _is_string(source_dtype):
             col = nan_normalize(col)
-        return col.cast("string")
+        out = col.cast("string")
+        if null_invalid_values:
+            out = F.when(
+                out.rlike(config.get_option("postal_code_inference_regex")), out,
+            )
+        return out
 
     def invalid_expr(self, col):
         return ~col.rlike(config.get_option("postal_code_inference_regex"))
@@ -365,7 +402,9 @@ class Datetime(LogicalType):
         "yyyyMMdd",
     ]
 
-    def transform_expr(self, col, source_dtype):
+    def transform_expr(self, col, source_dtype, null_invalid_values=False):
+        # try_to_timestamp already coerces unparseable values to null, so
+        # null_invalid_values needs no extra branch here
         if isinstance(source_dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             return col.cast(self.spark_dtype)
         if isinstance(source_dtype, (T.LongType, T.IntegerType)):
@@ -415,6 +454,14 @@ class _RegexValidatedString(LogicalType):
 
     def regex(self) -> str:
         return config.get_option(self._regex_option)
+
+    def transform_expr(self, col, source_dtype, null_invalid_values=False):
+        out = super().transform_expr(col, source_dtype)
+        if null_invalid_values:
+            # reference _coerce_string (logical_types.py:880-888): values
+            # failing the type regex null out
+            out = F.when(out.rlike(self.regex()), out)
+        return out
 
     def invalid_expr(self, col):
         return ~col.rlike(self.regex())
@@ -496,7 +543,9 @@ class LatLong(LogicalType):
 
     spark_dtype = LATLONG_DTYPE
 
-    def transform_expr(self, col, source_dtype):
+    def transform_expr(self, col, source_dtype, null_invalid_values=False):
+        # unparseable strings already produce null fields (try_cast), the
+        # coerce-to-null switch adds nothing beyond that
         if isinstance(source_dtype, T.StructType):
             names = [f.name for f in source_dtype.fields]
             return F.struct(
