@@ -373,3 +373,31 @@ def test_sample_skewness_matches_biased_moment(spark):
     m = arr.mean()
     expected = ((arr - m) ** 3).mean() / (((arr - m) ** 2).mean()) ** 1.5
     assert _sample_skewness(arr) == pytest.approx(expected)
+
+
+def test_mutual_info_job_count_is_batched(spark):
+    """A wide frame's MI pass must issue O(pairs/chunk) Spark jobs, not
+    O(pairs): all union counts in one agg, contingencies grouped."""
+    import random
+
+    random.seed(3)
+    ncols = 12  # 66 pairs -> old code issued 132+ jobs
+    rows = [
+        tuple(random.choice("abc") for _ in range(ncols)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, ", ".join(f"c{i} string" for i in range(ncols)))
+    t = ww.init(
+        df,
+        logical_types={f"c{i}": "Categorical" for i in range(ncols)},
+        validate=False,
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("mi_batch_test", "mi job counting")
+    try:
+        out = t.dependence(measures="mutual_info")
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    njobs = len(tracker.getJobIdsForGroup("mi_batch_test"))
+    assert len(out) == 66
+    assert njobs <= 12, f"MI pass issued {njobs} jobs for 66 pairs"

@@ -38,6 +38,10 @@ from woodwork_spark.logical_types import (
     Ordinal,
 )
 
+# pairs per grouped-contingency job: bounds the melt's explode factor
+# (rows x chunk) while keeping job count O(pairs / chunk), not O(pairs)
+_MI_CHUNK = 24
+
 
 def _parse_measures(measures):
     """Reference _parse_measures semantics: 'all' -> every measure + max."""
@@ -396,29 +400,58 @@ def dependence(
                     for c in valid["mutual_info"]
                 ],
             )
-            for a, b in pairs:
-                cont = (
-                    binned.filter(F.col(a).isNotNull() & F.col(b).isNotNull())
-                    .groupBy(a, b)
+            # ALL pair union counts in ONE agg (the same batching
+            # _pairwise_corr uses) — O(1) jobs instead of one per pair
+            union_row = df.agg(
+                *[
+                    F.sum(
+                        (F.col(a).isNotNull() | F.col(b).isNotNull()).cast("long"),
+                    ).alias(f"u_{i}")
+                    for i, (a, b) in enumerate(pairs)
+                ],
+            ).collect()[0]
+            # contingency tables grouped _MI_CHUNK pairs per job: melt each
+            # chunk to (pair_id, a_val, b_val) and aggregate once — the
+            # map-side partial agg collapses the explode to the (bounded)
+            # per-pair value-combination cardinality before the shuffle
+            conts = {i: [] for i in range(len(pairs))}
+            for start in range(0, len(pairs), _MI_CHUNK):
+                chunk = list(enumerate(pairs))[start : start + _MI_CHUNK]
+                structs = [
+                    F.struct(
+                        F.lit(i).alias("pid"),
+                        F.col(a).cast("string").alias("av"),
+                        F.col(b).cast("string").alias("bv"),
+                    )
+                    for i, (a, b) in chunk
+                ]
+                melted = (
+                    binned.select(F.explode(F.array(*structs)).alias("x"))
+                    .select("x.pid", "x.av", "x.bv")
+                    .filter(F.col("av").isNotNull() & F.col("bv").isNotNull())
+                )
+                for r in (
+                    melted.groupBy("pid", "av", "bv")
                     .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
-                )
+                ):
+                    conts[r["pid"]].append(r)
+            for i, (a, b) in enumerate(pairs):
+                cont = conts[i]
                 shared = sum(r["n"] for r in cont)
-                union_row = df.agg(
-                    F.sum((F.col(a).isNotNull() | F.col(b).isNotNull()).cast("long")).alias("u"),
-                ).collect()[0]
+                union = union_row[f"u_{i}"]
                 if shared == 0:
-                    record((a, b), "mutual_info", None, shared, union_row["u"])
+                    record((a, b), "mutual_info", None, shared, union)
                     continue
-                avals = sorted({r[a] for r in cont}, key=lambda v: (v is None, str(v)))
-                bvals = sorted({r[b] for r in cont}, key=lambda v: (v is None, str(v)))
+                avals = sorted({r["av"] for r in cont})
+                bvals = sorted({r["bv"] for r in cont})
                 table = np.zeros((len(avals), len(bvals)), dtype="int64")
-                ai = {v: i for i, v in enumerate(avals)}
-                bi = {v: i for i, v in enumerate(bvals)}
+                ai = {v: j for j, v in enumerate(avals)}
+                bi = {v: j for j, v in enumerate(bvals)}
                 for r in cont:
-                    table[ai[r[a]], bi[r[b]]] = r["n"]
+                    table[ai[r["av"]], bi[r["bv"]]] = r["n"]
                 ami = adjusted_mutual_info_from_contingency(table)
-                record((a, b), "mutual_info", ami, shared, union_row["u"])
+                record((a, b), "mutual_info", ami, shared, union)
 
     df.unpersist()
     rows = []
