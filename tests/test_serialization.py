@@ -80,3 +80,24 @@ def test_typing_info_dict_roundtrip(typed):
     assert restored.index == "id"
     assert str(restored.columns["email"].logical_type) == "EmailAddress"
     assert restored.columns["score"].semantic_tags >= {"target"}
+
+
+def test_round_trip_via_uri_scheme(spark, tmp_path):
+    """The sidecar goes through the Hadoop FS API, so non-local URI
+    schemes work; file:// is the in-container proof."""
+    df = spark.createDataFrame(
+        [(1, "a@b.com", 2.5), (2, "c@d.org", 7.5)],
+        "id long, email string, score double",
+    )
+    typed = ww.init(
+        df,
+        index="id",
+        logical_types={"email": "EmailAddress"},
+        validate=False,
+    )
+    uri = "file://" + str(tmp_path / "ww_uri_roundtrip")
+    to_disk(typed, uri)
+    back = from_disk(spark, uri)
+    assert back.schema.index == "id"
+    assert str(back.schema.columns["email"].logical_type) == "EmailAddress"
+    assert sorted(r["id"] for r in back.raw.collect()) == [1, 2]

@@ -16,7 +16,6 @@ Two complementary channels:
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import SparkSession
 
@@ -25,11 +24,56 @@ from woodwork_spark.schema import SCHEMA_VERSION, TableSchema
 TYPING_INFO_FILENAME = "woodwork_typing_info.json"
 
 
+def _join(path: str, child: str) -> str:
+    """Scheme-safe path join: works for local paths and for
+    s3a://, hdfs://, file:// URIs alike (os.path.join would not)."""
+    return path.rstrip("/") + "/" + child
+
+
+def _fs_for(spark: SparkSession, path: str):
+    """Hadoop FileSystem + Path for any URI scheme Spark can reach.
+
+    The reference reaches S3 through tar+smart_open
+    (table_accessor.py:654-697); on Spark the cluster's Hadoop FS layer
+    already speaks every configured scheme, so the typing-info sidecar
+    goes through it too — at 100 TB nothing is local."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _write_text(spark: SparkSession, path: str, text: str):
+    fs, hpath = _fs_for(spark, path)
+    stream = fs.create(hpath, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def _read_text(spark: SparkSession, path: str):
+    """Contents of ``path`` as str, or None if it does not exist."""
+    fs, hpath = _fs_for(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _fs_for(spark, path)
+    return bool(fs.exists(hpath))
+
+
 def to_disk(ww_df, path, format="parquet", mode="overwrite", **options):
     """Write data + typing info.  ``path`` becomes a directory containing
-    the Spark output under ``data/`` and the typing-info JSON."""
-    os.makedirs(path, exist_ok=True)
-    data_path = os.path.join(path, "data")
+    the Spark output under ``data/`` and the typing-info JSON.  Any
+    Hadoop-FS URI scheme works (file://, hdfs://, s3a://...)."""
+    data_path = _join(path, "data")
     df = ww_df.df  # metadata-embedded
     writer = df.write.mode(mode)
     fmt = format.lower()
@@ -52,8 +96,11 @@ def to_disk(ww_df, path, format="parquet", mode="overwrite", **options):
         "location": "data",
         "type": fmt,
     }
-    with open(os.path.join(path, TYPING_INFO_FILENAME), "w") as f:
-        json.dump(info, f, indent=2, default=str)
+    _write_text(
+        df.sparkSession,
+        _join(path, TYPING_INFO_FILENAME),
+        json.dumps(info, indent=2, default=str),
+    )
     return path
 
 
@@ -63,11 +110,10 @@ def from_disk(spark: SparkSession, path, validate=True):
     from woodwork_spark.accessor import init_with_full_schema
     from woodwork_spark.io import read_parquet
 
-    info_path = os.path.join(path, TYPING_INFO_FILENAME)
+    info_text = _read_text(spark, _join(path, TYPING_INFO_FILENAME))
     info = None
-    if os.path.exists(info_path):
-        with open(info_path) as f:
-            info = json.load(f)
+    if info_text is not None:
+        info = json.loads(info_text)
         version = info.get("schema_version", SCHEMA_VERSION)
         supported = tuple(int(x) for x in SCHEMA_VERSION.split("."))
         if tuple(int(x) for x in version.split(".")) > supported:
@@ -81,11 +127,11 @@ def from_disk(spark: SparkSession, path, validate=True):
                 UpgradeSchemaWarning,
             )
         fmt = info.get("loading_info", {}).get("type", "parquet")
-        data_path = os.path.join(path, info.get("loading_info", {}).get("location", "data"))
+        data_path = _join(path, info.get("loading_info", {}).get("location", "data"))
     else:
         fmt = "parquet"
-        data_path = os.path.join(path, "data")
-        if not os.path.exists(data_path):
+        data_path = _join(path, "data")
+        if not _exists(spark, data_path):
             data_path = path
 
     if fmt == "parquet":
