@@ -401,3 +401,46 @@ def test_mutual_info_job_count_is_batched(spark):
     njobs = len(tracker.getJobIdsForGroup("mi_batch_test"))
     assert len(out) == 66
     assert njobs <= 12, f"MI pass issued {njobs} jobs for 66 pairs"
+
+
+def test_outlier_max_values_cap(spark):
+    """max_values bounds the collected outlier lists at the N most
+    extreme on each side (scale path — avoids unbounded driver collect)."""
+    vals = [50.0] * 40 + [-100.0, -90.0, -80.0, 200.0, 210.0, 220.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    t = ww.init(df, validate=False)
+    full = t.box_plot_dict("x")
+    assert sorted(full["low_values"]) == [-100.0, -90.0, -80.0]
+    assert sorted(full["high_values"]) == [200.0, 210.0, 220.0]
+    capped = t.box_plot_dict("x", max_values=2)
+    assert capped["low_values"] == [-100.0, -90.0]  # most extreme lows
+    assert capped["high_values"] == [210.0, 220.0]  # most extreme highs
+    assert capped["low_bound"] == full["low_bound"]
+    assert capped["high_bound"] == full["high_bound"]
+    mc_capped = t.medcouple_dict("x", max_values=1)
+    assert len(mc_capped["low_values"]) <= 1
+    assert len(mc_capped["high_values"]) <= 1
+
+
+def test_medcouple_random_sampling_unbiased_on_sorted_data(spark):
+    """Default sample_mode='random' must not take just the head: on data
+    sorted ascending with the sample size smaller than the table, a head
+    sample would see only small values and misjudge the skew direction."""
+    import numpy as np
+
+    from woodwork_spark.config import config
+
+    rng = np.random.RandomState(11)
+    # right-skewed distribution, sorted ascending
+    arr = np.sort(rng.exponential(scale=10.0, size=4000))
+    df = spark.createDataFrame([(float(v),) for v in arr], "x double")
+    t = ww.init(df, validate=False)
+    old = config.get_option("medcouple_sample_size")
+    config.set_option("medcouple_sample_size", 500)
+    try:
+        out = t.medcouple_dict("x")
+    finally:
+        config.set_option("medcouple_sample_size", old)
+    # a random sample of an exponential has clearly positive medcouple;
+    # the head (smallest 500 of 4000, a thin left slice) does not reflect it
+    assert out["medcouple_stat"] > 0

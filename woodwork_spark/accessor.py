@@ -714,20 +714,24 @@ class WWDataFrame:
             measures=["spearman"], nrows=nrows, min_shared=min_shared, random_seed=random_seed,
         )
 
-    def box_plot_dict(self, column, quantiles=None):
+    def box_plot_dict(self, column, quantiles=None, max_values=None):
         from woodwork_spark.statistics.outliers import box_plot_dict
 
-        return box_plot_dict(self, column, quantiles=quantiles)
+        return box_plot_dict(self, column, quantiles=quantiles, max_values=max_values)
 
-    def medcouple_dict(self, column):
+    def medcouple_dict(self, column, sample_mode="random", max_values=None):
         from woodwork_spark.statistics.outliers import medcouple_dict
 
-        return medcouple_dict(self, column)
+        return medcouple_dict(
+            self, column, sample_mode=sample_mode, max_values=max_values,
+        )
 
-    def get_outliers(self, column, method="best"):
+    def get_outliers(self, column, method="best", sample_mode="random", max_values=None):
         from woodwork_spark.statistics.outliers import get_outliers
 
-        return get_outliers(self, column, method=method)
+        return get_outliers(
+            self, column, method=method, sample_mode=sample_mode, max_values=max_values,
+        )
 
     def infer_temporal_frequencies(self, temporal_columns=None, debug=False):
         from woodwork_spark.statistics.frequency import infer_temporal_frequencies

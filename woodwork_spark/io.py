@@ -29,60 +29,74 @@ TPCH_TABLES = [
     "embeddings",
 ]
 
+# path -> list of INT64-nano column names (possibly empty).  Metadata-only
+# probe; caching avoids re-reading footers on every call and, more
+# importantly, avoids ever launching a Spark read that is known to fail.
+_NANO_COLS_CACHE: dict[str, list[str]] = {}
+
 
 def _nano_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as physical INT64 with TIMESTAMP(NANOS) logical type.
+
+    Spark's vectorized reader rejects exactly these; INT96 timestamps also
+    surface as timestamp[ns] in the arrow schema but read natively fine, so
+    the physical type must be checked, not just the arrow unit.
+    """
+    if path in _NANO_COLS_CACHE:
+        return _NANO_COLS_CACHE[path]
     try:
         import pyarrow.parquet as pq
-        import pyarrow as pa
     except ImportError:
         return []
-    candidates = []
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
             glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True),
         )
         if not files:
+            _NANO_COLS_CACHE[path] = []
             return []
         target = files[0]
     else:
         target = path
+    candidates = []
     try:
-        schema = pq.read_schema(target)
+        meta_schema = pq.ParquetFile(target).metadata.schema
+        for i in range(len(meta_schema)):
+            col = meta_schema.column(i)
+            if (
+                col.physical_type == "INT64"
+                and "nanoseconds" in str(col.logical_type).lower()
+                and "timestamp" in str(col.logical_type).lower()
+            ):
+                candidates.append(col.name)
     except Exception:
         return []
-    for name, typ in zip(schema.names, schema.types):
-        if isinstance(typ, pa.TimestampType) and typ.unit == "ns":
-            candidates.append(name)
+    _NANO_COLS_CACHE[path] = candidates
     return candidates
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet read that tolerates TIMESTAMP(NANOS) columns.
 
-    Try the plain (fully vectorized) read first; only on
-    [PARQUET_TYPE_ILLEGAL] fall back to nanosAsLong + micros conversion.
-    (Footer sniffing alone is not enough: Spark-written INT96 timestamps
-    also appear as timestamp[ns] to pyarrow but read natively fine.)
+    The footer is probed (metadata-only, cached per path) for INT64
+    nano-timestamp columns; only when present does the read go through
+    nanosAsLong + micros conversion.  A known-doomed vectorized read is
+    never attempted, so no failing Spark job / TaskSetManager noise.
     """
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force analysis so schema errors surface here
-        # nanosAsLong may already be on session-wide (a running stream
-        # needs it): nano columns then surface as bigint — still convert
-        long_cols = {
-            f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"
-        }
-        for c in _nano_timestamp_columns(path):
-            if c in long_cols:
-                df = df.withColumn(
-                    c,
-                    F.timestamp_micros((F.col(c) / 1000).cast("long")),
-                )
-        return df
-    except Exception as e:  # noqa: BLE001
-        if "PARQUET_TYPE_ILLEGAL" not in str(e):
-            raise
     nano_cols = _nano_timestamp_columns(path)
+    if not nano_cols:
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force analysis so schema errors surface here
+            # nanosAsLong may already be on session-wide (a running stream
+            # needs it): nano columns then surface as bigint — still convert
+            return df
+        except Exception as e:  # noqa: BLE001
+            # Footer probe missed (multi-file dirs with heterogeneous
+            # schemas, pyarrow absent): fall through to the legacy path.
+            if "PARQUET_TYPE_ILLEGAL" not in str(e):
+                raise
+            nano_cols = _nano_timestamp_columns(path)
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:

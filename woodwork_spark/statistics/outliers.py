@@ -81,11 +81,54 @@ def box_plot_stats_df(df: DataFrame, column: str, whisker=1.5) -> DataFrame:
     return counted
 
 
-def box_plot_dict(ww_df, column, quantiles=None, include_indices_and_values=True):
+def _sampled_values(nonnull: DataFrame, c, sample_size: int, sample_mode: str):
+    """Bounded driver-side sample for the O(N²) medcouple kernel.
+
+    - "random" (default): seeded random sample (seed 42), mirroring the
+      reference's np.random.seed(42) sample in _get_medcouple_statistic.py
+      — unbiased even when the table is sorted (e.g. by time index).
+    - "head": limit(n) — cheapest scan at 100 TB, but biased on sorted data.
+    """
+    src = nonnull.select(c.alias("__v"))
+    if sample_mode == "random":
+        total = src.count()
+        if total > sample_size:
+            fraction = min(1.0, sample_size / total * 1.2)
+            src = src.sample(withReplacement=False, fraction=fraction, seed=42)
+    pdf = src.limit(sample_size).toPandas()["__v"]
+    return pdf.to_numpy(dtype="float64")
+
+
+def _collect_outlier_values(nonnull, c, low, high, max_values):
+    """Low/high outlier values.  ``max_values=None`` collects all
+    (reference parity); an int caps each side at the N most extreme —
+    the scale path, since a heavy-tailed column at 100 TB would
+    otherwise OOM the driver."""
+    low_df = nonnull.filter(c < low).select(c.alias("__v"))
+    high_df = nonnull.filter(c > high).select(c.alias("__v"))
+    if max_values is not None:
+        low_df = low_df.orderBy(F.col("__v").asc()).limit(max_values)
+        high_df = high_df.orderBy(F.col("__v").desc()).limit(max_values)
+    low_values = [r[0] for r in low_df.collect()]
+    high_values = [r[0] for r in high_df.collect()]
+    if max_values is not None:
+        high_values = sorted(high_values)
+    return low_values, high_values
+
+
+def box_plot_dict(
+    ww_df,
+    column,
+    quantiles=None,
+    include_indices_and_values=True,
+    max_values=None,
+):
     """Reference column_accessor.py:441-492 shape: quantiles dict, bounds,
     and (optionally) the low/high outlier values.  ``quantiles`` may
     pre-supply computed quantiles (dict q->value) to skip the agg, same
-    as the reference's parameter."""
+    as the reference's parameter.  ``max_values`` bounds each outlier
+    list at the N most extreme values (None = collect all, reference
+    parity)."""
     _numeric_col_or_raise(ww_df, column)
     df = ww_df.raw
     c = F.col(column)
@@ -123,12 +166,9 @@ def box_plot_dict(ww_df, column, quantiles=None, include_indices_and_values=True
     high_bound = min(round(q[0.75] + 1.5 * iqr, 10), q[1.0])
     out = {"low_bound": low_bound, "high_bound": high_bound, "quantiles": q}
     if include_indices_and_values:
-        out["low_values"] = [
-            r[0] for r in nonnull.filter(c < low_bound).select(c).collect()
-        ]
-        out["high_values"] = [
-            r[0] for r in nonnull.filter(c > high_bound).select(c).collect()
-        ]
+        out["low_values"], out["high_values"] = _collect_outlier_values(
+            nonnull, c, low_bound, high_bound, max_values,
+        )
     return out
 
 
@@ -174,18 +214,20 @@ def _sample_skewness(values: np.ndarray) -> float:
     return float(m3 / m2**1.5)
 
 
-def medcouple_dict(ww_df, column):
+def medcouple_dict(ww_df, column, sample_mode="random", max_values=None):
     """Medcouple-adjusted outlier bounds
     (reference column_accessor.py:494-546): bounds
     q1 - 1.5*exp(∓a*mc)*IQR with the skewness coefficient clamped to 3.5
-    (reference _get_box_plot_info_for_column.py:42-66)."""
+    (reference _get_box_plot_info_for_column.py:42-66).  The medcouple
+    kernel runs on a seeded random sample by default (reference
+    _get_medcouple_statistic.py:19-45); ``max_values`` bounds the
+    collected outlier lists (None = all, reference parity)."""
     _numeric_col_or_raise(ww_df, column)
     df = ww_df.raw
     c = F.col(column)
     nonnull = df.filter(c.isNotNull())
     sample_size = config.get_option("medcouple_sample_size")
-    pdf = nonnull.select(c).limit(sample_size).toPandas()[column]
-    values = pdf.to_numpy(dtype="float64")
+    values = _sampled_values(nonnull, c, sample_size, sample_mode)
     if values.size == 0:
         return {
             "low_bound": float("nan"),
@@ -213,17 +255,18 @@ def medcouple_dict(ww_df, column):
         high = q[0.75] + 1.5 * np.exp(-coeff * mc) * iqr
     low = max(round(float(low), 10), q[0.0])
     high = min(round(float(high), 10), q[1.0])
+    low_values, high_values = _collect_outlier_values(nonnull, c, low, high, max_values)
     return {
         "low_bound": low,
         "high_bound": high,
         "quantiles": q,
         "medcouple_stat": mc,
-        "low_values": [r[0] for r in nonnull.filter(c < low).select(c).collect()],
-        "high_values": [r[0] for r in nonnull.filter(c > high).select(c).collect()],
+        "low_values": low_values,
+        "high_values": high_values,
     }
 
 
-def get_outliers(ww_df, column, method="best"):
+def get_outliers(ww_df, column, method="best", sample_mode="random", max_values=None):
     """Heuristic method choice (reference column_accessor.py:389-439 +
     _get_box_plot_info_for_column.py:19-39): medcouple when |mc| >=
     medcouple_threshold, else box plot."""
@@ -232,17 +275,16 @@ def get_outliers(ww_df, column, method="best"):
             f"Acceptable values for method are 'best', 'box_plot', or 'medcouple'. Got: {method}",
         )
     if method == "box_plot":
-        return box_plot_dict(ww_df, column)
+        return box_plot_dict(ww_df, column, max_values=max_values)
     if method == "medcouple":
-        return medcouple_dict(ww_df, column)
+        return medcouple_dict(ww_df, column, sample_mode=sample_mode, max_values=max_values)
     _numeric_col_or_raise(ww_df, column)
     c = F.col(column)
+    nonnull = ww_df.raw.filter(c.isNotNull())
     sample_size = config.get_option("medcouple_sample_size")
-    values = (
-        ww_df.raw.filter(c.isNotNull()).select(c).limit(sample_size).toPandas()[column]
-    ).to_numpy(dtype="float64")
+    values = _sampled_values(nonnull, c, sample_size, sample_mode)
     mc = _medcouple(values) if values.size else float("nan")
     threshold = config.get_option("medcouple_threshold")
     if np.isnan(mc) or abs(mc) < threshold:
-        return box_plot_dict(ww_df, column)
-    return medcouple_dict(ww_df, column)
+        return box_plot_dict(ww_df, column, max_values=max_values)
+    return medcouple_dict(ww_df, column, sample_mode=sample_mode, max_values=max_values)
