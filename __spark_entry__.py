@@ -738,13 +738,33 @@ def q_ngram_jaccard(spark, sf_dir):
 
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH +
-    exact verify (rows-only: approximate candidate generation)."""
+    exact verify, oracle-checked against exact quadratic cosine in DuckDB.
+
+    The synthetic embeddings have no natural near-duplicates (max pairwise
+    cosine ~0.51 at sf0.01), so the query plants deterministic ones:
+    for vec_id < 50 a copy with id +100000 and v'[i] = v[i] +
+    0.05*v[n+1-i] (reverse-perturbation, cosine ~0.9987 with the
+    original; pure double arithmetic, bit-identical in Spark and DuckDB).
+    The LSH operator must recover ALL planted pairs — this is the recall
+    proof for the banded hyperplane sketch (64 planes / 8 bands)."""
     from woodwork_spark.operators.dedup import embedding_near_dup_pairs
 
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.95)
-    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    planted = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) ->"
+            " x + 0.05D * element_at(embedding, size(embedding) - i))",
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(planted)
+    pairs = embedding_near_dup_pairs(aug, "vec_id", "embedding", threshold=0.95)
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
 def q_stream_hourly(spark, sf_dir):
@@ -1244,6 +1264,22 @@ ORACLE = {
                 PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
             ) AS rank FROM scored
         ) WHERE rank <= 5
+    """,
+    "embedding_near_dup": """
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), planted AS (
+            SELECT vec_id + 100000 AS vec_id,
+                   list_transform(range(1, len(v)+1),
+                                  i -> v[i] + 0.05 * v[len(v) + 1 - i]) AS v
+            FROM base WHERE vec_id < 50
+        ), aug AS (
+            SELECT * FROM base UNION ALL SELECT * FROM planted
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        ORDER BY id_a, id_b
     """,
     "text_quality": """
         WITH scored AS (

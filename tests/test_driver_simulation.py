@@ -50,5 +50,4 @@ def test_rows_only_queries_are_genuinely_non_sql(spark):
         "lang_id",
         "ivf_ann",
         "ngram_jaccard",
-        "embedding_near_dup",
     }
