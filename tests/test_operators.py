@@ -298,3 +298,46 @@ def test_asof_join_left_row_before_any_right(spark):
     rows = {r["ts"]: r for r in asof_join(left, right, on="ts", by="k").collect()}
     assert rows[0]["px_right"] is None
     assert rows[10]["px_right"] == 7.0
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """8 well-separated gaussian clusters in 16-dim — IVF with good
+    centroids must achieve near-perfect recall at nprobe << nlist."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 16)) * 10.0
+    rows = []
+    i = 0
+    for c in range(8):
+        for _ in range(30):
+            v = centers[c] + rng.standard_normal(16) * 0.3
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_kmeans_centroids_recall(clustered_vectors):
+    """k-means-trained centroids recover the true cluster structure:
+    recall@5 vs brute force at nprobe=2 of nlist=8 must be ~1.0 (the old
+    strided head-sample seeds put several centroids in one true cluster
+    and none in others, collapsing recall)."""
+    assigned, cents = similarity.ivf_index(clustered_vectors, nlist=8, iterations=5)
+    queries = clustered_vectors.filter(F.col("vec_id") % 30 == 0)  # 1/cluster
+    exact = similarity.cosine_topk(clustered_vectors, queries, k=5).collect()
+    approx = similarity.ivf_topk(
+        assigned, cents, queries, k=5, nprobe=2,
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(
+        len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets
+    )
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.95, f"recall@5 = {hits}/{total}"
+    # every true cluster got its own centroid: cluster column spans all 8
+    n_clusters = assigned.select("__cluster").distinct().count()
+    assert n_clusters == 8

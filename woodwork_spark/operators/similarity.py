@@ -8,8 +8,8 @@ Python in the hot loop.
 Scale notes (100 TB): brute force is O(N·Q) dot products but embarrassingly
 parallel with only a top-k shuffle of k·Q tiny rows; IVF cuts the scan to
 nprobe/nlist of the data by pre-assigning every vector to its nearest
-sampled centroid (assignment is a one-time projection; centroids are a
-broadcast literal).
+k-means centroid (trained on a bounded sample; assignment is a one-time
+projection; centroids are a broadcast literal).
 """
 
 from __future__ import annotations
@@ -82,22 +82,64 @@ def cosine_topk(
     )
 
 
+def _kmeans_centroids(X, nlist: int, seed: int, iterations: int):
+    """k-means++ init + Lloyd iterations on the (bounded, driver-side)
+    training sample.  numpy-only: for the default 10k x d sample this is
+    milliseconds, and it avoids one full-table Spark scan per Lloyd
+    iteration — at 100 TB the train sample is the only extra read."""
+    import numpy as np
+
+    n = X.shape[0]
+    nlist = min(nlist, n)
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding: spread seeds by squared-distance weighting
+    centers = [X[rng.integers(n)]]
+    for _ in range(nlist - 1):
+        d2 = np.min(
+            ((X[:, None, :] - np.array(centers)[None, :, :]) ** 2).sum(-1), axis=1,
+        )
+        total = d2.sum()
+        if total <= 0:
+            centers.append(X[rng.integers(n)])
+            continue
+        centers.append(X[rng.choice(n, p=d2 / total)])
+    C = np.array(centers, dtype="float64")
+    x2 = (X**2).sum(1)
+    for _ in range(iterations):
+        # |x-c|^2 = |x|^2 + |c|^2 - 2 x.c  (no n*k*d temporary)
+        d2 = x2[:, None] + (C**2).sum(1)[None, :] - 2.0 * (X @ C.T)
+        lbl = d2.argmin(1)
+        for j in range(nlist):
+            members = X[lbl == j]
+            if len(members):
+                C[j] = members.mean(0)
+    return [[float(v) for v in c] for c in C]
+
+
 def ivf_index(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nlist: int = 16,
     seed: int = 42,
+    iterations: int = 5,
+    train_sample: int = 10_000,
 ) -> tuple[DataFrame, list]:
-    """Build an IVF index: sample ``nlist`` vectors as centroids
-    (deterministic), assign every vector to its nearest centroid in ONE
-    projection (centroids are broadcast literals).  Returns the assigned
-    DataFrame (extra ``__cluster`` column) + the centroid list."""
-    sample = [
-        [float(x) for x in r[vec_col]]
-        for r in df.select(vec_col).limit(10_000).collect()[:: max(1, 10_000 // nlist)]
-    ][:nlist]
-    centroids = sample
+    """Build an IVF index: train centroids with k-means++/Lloyd on a
+    bounded sample, then assign every vector to its nearest centroid in
+    ONE projection (centroids are broadcast literals).  Returns the
+    assigned DataFrame (extra ``__cluster`` column) + the centroid list.
+
+    Exactly two table reads regardless of ``iterations``: one bounded
+    ``limit(train_sample)`` collect to train (10k x d doubles — a few MB
+    on the driver), one full scan to assign."""
+    import numpy as np
+
+    rows = df.select(vec_col).limit(train_sample).collect()
+    X = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype="float64")
+    if X.shape[0] == 0:
+        raise ValueError("ivf_index: empty input")
+    centroids = _kmeans_centroids(X, nlist, seed, iterations)
     cents = F.array(
         *[F.lit(c).cast("array<double>") for c in centroids],
     )
