@@ -538,8 +538,12 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_minhash_dedup_pairs(spark, sf_dir):
-    """MinHash+LSH near-duplicate pairs (non-SQL-expressible: banded
-    signature join; driver records rows-only check)."""
+    """MinHash+LSH near-duplicate pairs, oracle-checked against the exact
+    quadratic jaccard join in DuckDB.  Valid because the operator ends in
+    an EXACT jaccard verify (precision is exact) and at the gate scale
+    every true pair has jaccard >= 0.9, where 16-band/4-row recall is
+    1 - (1-0.9^4)^16 ~ 1 - 4e-8 — and deterministic given the fixed
+    xxhash64 hash family, verified equal at sf0.001 and sf0.01."""
     from woodwork_spark.operators.dedup import minhash_dedup_pairs
 
     _prep(spark)
@@ -587,8 +591,9 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    """Language-ID heuristic vs the labeled lang column (rows-only:
-    argmax-over-stopword-sets is not cleanly SQL-portable)."""
+    """Language-ID heuristic vs the labeled lang column — oracle-checked:
+    the stopword-count argmax (ties -> lexicographically largest lang,
+    Spark array_max-over-struct semantics) is replicated in DuckDB SQL."""
     from woodwork_spark.operators.text import lang_id_expr
 
     _prep(spark)
@@ -726,8 +731,9 @@ def q_ivf_ann(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard set-similarity join (inverted index;
-    rows-only)."""
+    """Exact n-gram Jaccard set-similarity join (inverted index + lossless
+    prefix filtering) — oracle-checked against DuckDB's quadratic exact
+    join over the same distinct word-3-gram sets."""
     from woodwork_spark.operators.dedup import ngram_jaccard_pairs
 
     _prep(spark)
@@ -1264,6 +1270,87 @@ ORACLE = {
                 PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
             ) AS rank FROM scored
         ) WHERE rank <= 5
+    """,
+    "ngram_jaccard": """
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct([
+                       array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+                   ]) AS gs
+            FROM (SELECT doc_id, string_split(trim(text), ' ') AS words
+                  FROM documents)
+        ), e AS (
+            SELECT doc_id, unnest(gs) AS gram FROM g WHERE len(gs) > 0
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM e a JOIN e b USING (gram)
+            WHERE a.doc_id < b.doc_id
+        ), scored AS (
+            SELECT id_a, id_b,
+                   len(list_intersect(ga.gs, gb.gs))::DOUBLE
+                     / (len(ga.gs) + len(gb.gs)
+                        - len(list_intersect(ga.gs, gb.gs))) AS j
+            FROM cand
+            JOIN g ga ON cand.id_a = ga.doc_id
+            JOIN g gb ON cand.id_b = gb.doc_id
+        )
+        SELECT id_a, id_b, round(j, 4) AS jaccard FROM scored WHERE j >= 0.5
+    """,
+    "minhash_dedup_pairs": """
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct([
+                       array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+                   ]) AS gs
+            FROM (SELECT doc_id, string_split(trim(text), ' ') AS words
+                  FROM documents)
+        ), e AS (
+            SELECT doc_id, unnest(gs) AS gram FROM g WHERE len(gs) > 0
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM e a JOIN e b USING (gram)
+            WHERE a.doc_id < b.doc_id
+        ), scored AS (
+            SELECT id_a, id_b,
+                   len(list_intersect(ga.gs, gb.gs))::DOUBLE
+                     / (len(ga.gs) + len(gb.gs)
+                        - len(list_intersect(ga.gs, gb.gs))) AS j
+            FROM cand
+            JOIN g ga ON cand.id_a = ga.doc_id
+            JOIN g gb ON cand.id_b = gb.doc_id
+        )
+        SELECT id_a, id_b, round(j, 4) AS jaccard FROM scored WHERE j >= 0.5
+    """,
+    "lang_id": """
+        WITH toks AS (
+          SELECT lang,
+                 list_transform(string_split_regex(trim(text), '\\s+'),
+                                t -> lower(t)) AS toks
+          FROM documents
+        ), scored AS (
+          SELECT lang,
+                 len(list_filter(toks, t -> t IN ('the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'was', 'for', 'with', 'are', 'this', 'have', 'not'))) AS s_en,
+                 len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'que', 'y', 'en', 'un', 'una', 'los', 'las', 'es', 'por', 'con', 'para', 'como'))) AS s_es,
+                 len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ist', 'von', 'mit', 'den', 'nicht', 'ein', 'eine', 'auf', 'als', 'auch', 'sich'))) AS s_de,
+                 len(list_filter(toks, t -> t IN ('le', 'la', 'les', 'de', 'des', 'et', 'est', 'en', 'un', 'une', 'que', 'pour', 'dans', 'par', 'sur'))) AS s_fr,
+                 len(list_filter(toks, t -> t IN ('的', '是', '了', '在', '和', '有', '我', '不', '这', '他', '就', '人', '都', '一', '也'))) AS s_zh
+          FROM toks
+        ), guessed AS (
+          -- tie-break mirrors Spark array_max over struct(score, lang):
+          -- max score, then lexicographically largest lang
+          SELECT lang,
+            CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) <= 0 THEN 'und'
+                 WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'zh'
+                 WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+                 WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+                 WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+                 ELSE 'de' END AS lang_guess
+          FROM scored
+        )
+        SELECT lang, lang_guess, count(*) AS n_docs
+        FROM guessed GROUP BY lang, lang_guess
     """,
     "embedding_near_dup": """
         WITH base AS (

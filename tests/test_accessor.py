@@ -227,3 +227,54 @@ def test_init_with_full_schema_rejects_mismatch(spark):
     schema = TableSchema(columns={"x": ColumnSchema(logical_type="Integer")})
     with pytest.raises(ValueError, match="valid"):
         ww.init_with_full_schema(df, schema)
+
+
+def test_loc_row_lookup(typed):
+    """loc[scalar] filters on the index column, schema carried."""
+    row = typed.loc[2]
+    assert row.raw.count() == 1
+    assert row.raw.collect()[0]["email"] == "c@z.com"
+    assert str(row.logical_types["email"]) == "EmailAddress"
+
+
+def test_loc_list_and_columns(typed):
+    sub = typed.loc[[1, 3], ["email", "score"]]
+    assert sub.columns == ["email", "score"]
+    assert sub.raw.count() == 2
+    assert "target" in sub.schema.columns["score"].semantic_tags
+    # all-rows, column subset
+    cols = typed.loc[:, ["color"]]
+    assert cols.columns == ["color"]
+    assert cols.raw.count() == 4
+
+
+def test_loc_requires_index(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    t = ww.init(df, validate=False)
+    with pytest.raises(TypeError, match="index"):
+        t.loc[1]
+
+
+def test_iloc_limit_and_columns(typed):
+    head = typed.iloc[:2]
+    assert head.raw.count() == 2
+    assert head.columns == typed.columns
+    two_cols = typed.iloc[:, [0, 1]]
+    assert two_cols.columns == ["id", "email"]
+    with pytest.raises(TypeError, match="iloc"):
+        typed.iloc[5]
+
+
+def test_demo_retail(spark):
+    from woodwork_spark.demo import load_retail
+
+    t = load_retail(nrows=200, spark=spark)
+    assert t.raw.count() == 200
+    assert t.schema.index == "order_product_id"
+    assert t.schema.time_index == "order_date"
+    assert str(t.logical_types["description"]) == "NaturalLanguage"
+    assert str(t.logical_types["total"]) == "Double"
+    # deterministic across calls
+    a = load_retail(nrows=50, spark=spark).raw.collect()
+    b = load_retail(nrows=50, spark=spark).raw.collect()
+    assert a == b

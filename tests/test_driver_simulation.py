@@ -45,9 +45,6 @@ def test_rows_only_queries_are_genuinely_non_sql(spark):
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     assert qs - oracles == {
-        "minhash_dedup_pairs",
         "simhash_clusters",
-        "lang_id",
         "ivf_ann",
-        "ngram_jaccard",
     }

@@ -444,3 +444,68 @@ def test_medcouple_random_sampling_unbiased_on_sorted_data(spark):
     # a random sample of an exponential has clearly positive medcouple;
     # the head (smallest 500 of 4000, a thin left slice) does not reflect it
     assert out["medcouple_stat"] > 0
+
+
+class MockCallback:
+    """Same shape as the reference test helper (tests/conftest.py:658-669)."""
+
+    def __init__(self):
+        self.progress_history = []
+        self.total_update = 0
+        self.total_elapsed_time = 0
+
+    def __call__(self, update, progress, total, unit, time_elapsed):
+        self.total_update += update
+        self.total = total
+        self.progress_history.append(progress)
+        self.unit = unit
+        self.total_elapsed_time = time_elapsed
+
+
+def test_describe_callback(spark):
+    """Reference test_describe_callback: 1 preprocessing unit + 1 per
+    column; progress ends exactly at total with elapsed > 0."""
+    df = spark.createDataFrame(
+        [(1, 1.5, "a", True), (2, 2.5, "b", False), (3, 3.5, "a", None)],
+        "idx long, num double, cat string, flag boolean",
+    )
+    t = ww.init(
+        df,
+        index="idx",
+        logical_types={"cat": "Categorical", "flag": "BooleanNullable"},
+        validate=False,
+    )
+    cb = MockCallback()
+    t.describe(callback=cb)
+    ncalls = 1 + 4  # preprocessing + one per column (index included)
+    assert cb.unit == "calculations"
+    assert len(cb.progress_history) == ncalls
+    assert cb.progress_history[0] == 1
+    assert cb.progress_history[1] == 2
+    assert cb.total == ncalls
+    assert cb.total_update == ncalls
+    assert cb.progress_history[-1] == ncalls
+    assert cb.total_elapsed_time > 0
+
+
+def test_dependence_callback(spark):
+    """Progress ends exactly at the declared total for every measure mix
+    (reference test_dependence_callback shape)."""
+    df = spark.createDataFrame(
+        [(float(i), float(i * 2 % 7), "ab"[i % 2]) for i in range(40)],
+        "x double, y double, c string",
+    )
+    t = ww.init(df, logical_types={"c": "Categorical"}, validate=False)
+    for measures in ("pearson", "spearman", "mutual_info", "all"):
+        cb = MockCallback()
+        t.dependence(measures=measures, callback=cb)
+        assert cb.unit == "calculations"
+        assert cb.progress_history[0] == 1
+        assert cb.total_update == cb.total, measures
+        assert cb.progress_history[-1] == cb.total, measures
+        assert cb.total_elapsed_time > 0
+    # accounting detail: pearson on (x, y) = 1 preprocessing + 2 valid
+    # columns + 1 pair
+    cb = MockCallback()
+    t.dependence(measures="pearson", callback=cb)
+    assert cb.total == 1 + 2 + 1

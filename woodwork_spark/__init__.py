@@ -21,6 +21,34 @@ from woodwork_spark.table_utils import concat_columns, init_series
 
 __version__ = "0.1.0"
 
+# Entry-point plugin hook (reference __init__.py:28-36): other libraries
+# can register an initializer under the "woodwork_spark_initialize" group
+# (importlib.metadata, the maintained successor of pkg_resources) and get
+# called with the package name at import — e.g. to register custom
+# logical types on the type_system.
+def _run_plugin_entry_points():  # pragma: no cover - depends on installed pkgs
+    try:
+        from importlib.metadata import entry_points
+
+        eps = entry_points()
+        group = (
+            eps.select(group="woodwork_spark_initialize")
+            if hasattr(eps, "select")
+            else eps.get("woodwork_spark_initialize", [])
+        )
+        for entry_point in group:
+            try:
+                method = entry_point.load()
+                if callable(method):
+                    method("woodwork_spark")
+            except Exception:
+                pass
+    except Exception:
+        pass
+
+
+_run_plugin_entry_points()
+
 __all__ = [
     "config",
     "init",

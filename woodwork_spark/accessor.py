@@ -588,6 +588,23 @@ class WWDataFrame:
                         matched.add(name)
         return matched
 
+    # -- typed row/column indexers (reference indexers.py:9-49) ---------------
+    @property
+    def loc(self):
+        """Label-based indexer: rows select on the schema's index column
+        (predicate-pushed point lookups), cols subset the typed schema."""
+        from woodwork_spark.indexers import LocIndexer
+
+        return LocIndexer(self)
+
+    @property
+    def iloc(self):
+        """Positional indexer — only ``iloc[:n]`` (limit) and column
+        positions are well-defined on a distributed table."""
+        from woodwork_spark.indexers import ILocIndexer
+
+        return ILocIndexer(self)
+
     # -- pandas-style passthrough (reference table_accessor.py:284-294) -------
     def __getattr__(self, attr):
         if attr.startswith("_"):
@@ -661,22 +678,31 @@ class WWDataFrame:
         return {k: (v or 0) for k, v in row.items()}
 
     # -- statistics facade (implementations in woodwork_spark.statistics) -----
-    def describe(self, include=None):
+    def describe(self, include=None, callback=None):
         from woodwork_spark.statistics.describe import describe
 
-        return describe(self, include=include)
+        return describe(self, include=include, callback=callback)
 
-    def describe_dict(self, include=None):
+    def describe_dict(self, include=None, callback=None):
         from woodwork_spark.statistics.describe import describe_dict
 
-        return describe_dict(self, include=include)
+        return describe_dict(self, include=include, callback=callback)
 
     def value_counts(self, ascending=False, top_n=10, dropna=False):
         from woodwork_spark.statistics.value_counts import value_counts
 
         return value_counts(self, ascending=ascending, top_n=top_n, dropna=dropna)
 
-    def dependence(self, measures="all", num_bins=10, nrows=None, min_shared=25, random_seed=0):
+    def dependence(
+        self,
+        measures="all",
+        num_bins=10,
+        nrows=None,
+        min_shared=25,
+        random_seed=0,
+        target_col=None,
+        callback=None,
+    ):
         from woodwork_spark.statistics.dependence import dependence
 
         return dependence(
@@ -686,6 +712,8 @@ class WWDataFrame:
             nrows=nrows,
             min_shared=min_shared,
             random_seed=random_seed,
+            target_col=target_col,
+            callback=callback,
         )
 
     def dependence_dict(self, **kwargs):

@@ -199,6 +199,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    prev = None
     for _ in range(max_iter):
         # candidate label per vertex: min over neighbors' labels and own
         neighbor_min = (
@@ -228,6 +229,7 @@ def connected_components(
                 F.coalesce(F.col("pcomp"), F.col("component")).alias("component"),
             )
         )
+        resolved = resolved.cache()
         changed = (
             resolved.alias("n")
             .join(labels.alias("o"), "id")
@@ -235,7 +237,11 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = resolved.cache()
+        # the changed-count job materialized `resolved`; the previous
+        # generation's cache (and its lineage) is no longer needed
+        if prev is not None:
+            prev.unpersist()
+        prev, labels = resolved, resolved
         if changed == 0:
             break
     return labels

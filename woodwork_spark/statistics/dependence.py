@@ -289,11 +289,18 @@ def dependence(
     random_seed=0,
     max_nunique=6000,
     target_col=None,
+    callback=None,
 ):
     """Pairwise dependence DataFrame (column_1, column_2, measures...),
     sorted by |first measure| desc (reference _get_dependence_dict.py).
     Scores are scaled by shared_rows/union_rows; pairs with
-    < min_shared shared rows get NaN + SparseDataWarning."""
+    < min_shared shared rows get NaN + SparseDataWarning.
+
+    ``callback(update, progress, total, unit, time_elapsed)`` reports
+    progress in reference units (_get_dependence_dict.py:185-215): 1 for
+    preprocessing, one per column for null handling, one per MI column
+    for binning, one per pair per measure."""
+    from woodwork_spark.callback import CallbackCaller
     measures, _ = _parse_measures(measures)
     real_measures = [m for m in measures if m != "max"]
     valid = _measure_columns(ww_df, real_measures)
@@ -329,6 +336,17 @@ def dependence(
             return [(target_col, c) for c in cols if c != target_col]
         return [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
 
+    n_mi_pairs = len(pairs_for(valid["mutual_info"])) if "mutual_info" in real_measures else 0
+    total_units = (
+        1
+        + len(union_cols)
+        + sum(len(pairs_for(valid[m])) for m in real_measures)
+        + (len(valid["mutual_info"]) if n_mi_pairs else 0)
+    )
+    caller = CallbackCaller(callback, "calculations", total_units)
+    caller.update(1)
+    caller.update(len(union_cols))
+
     results = {}
 
     def record(pair, measure, value, shared, union):
@@ -352,6 +370,7 @@ def dependence(
             row = _pairwise_corr(df, pairs)
             for i, p in enumerate(pairs):
                 record(p, "pearson", row[f"corr_{i}"], row[f"shared_{i}"], row[f"union_{i}"])
+                caller.update(1)
 
     if "spearman" in real_measures:
         pairs = pairs_for(valid["spearman"])
@@ -375,6 +394,7 @@ def dependence(
                 row = _pairwise_corr(ranked, rpairs)
                 for i, p in enumerate(fast):
                     record(p, "spearman", row[f"corr_{i}"], row[f"shared_{i}"], row[f"union_{i}"])
+                    caller.update(1)
             for a, b in slow:
                 both = df.agg(
                     F.sum((F.col(a).isNotNull() & F.col(b).isNotNull()).cast("long")).alias("s"),
@@ -382,6 +402,7 @@ def dependence(
                 ).collect()[0]
                 corr = _spearman_pair(df, a, b) if both["s"] >= min_shared else None
                 record((a, b), "spearman", corr, both["s"], both["u"])
+                caller.update(1)
 
     if "mutual_info" in real_measures:
         pairs = pairs_for(valid["mutual_info"])
@@ -400,6 +421,7 @@ def dependence(
                     for c in valid["mutual_info"]
                 ],
             )
+            caller.update(len(valid["mutual_info"]))
             # ALL pair union counts in ONE agg (the same batching
             # _pairwise_corr uses) — O(1) jobs instead of one per pair
             union_row = df.agg(
@@ -442,6 +464,7 @@ def dependence(
                 union = union_row[f"u_{i}"]
                 if shared == 0:
                     record((a, b), "mutual_info", None, shared, union)
+                    caller.update(1)
                     continue
                 avals = sorted({r["av"] for r in cont})
                 bvals = sorted({r["bv"] for r in cont})
@@ -452,6 +475,7 @@ def dependence(
                     table[ai[r["av"]], bi[r["bv"]]] = r["n"]
                 ami = adjusted_mutual_info_from_contingency(table)
                 record((a, b), "mutual_info", ami, shared, union)
+                caller.update(1)
 
     df.unpersist()
     rows = []

@@ -52,7 +52,9 @@ def _classify(cs):
     return "other"
 
 
-def describe_dict(ww_df, include=None):
+def describe_dict(ww_df, include=None, callback=None):
+    from woodwork_spark.callback import CallbackCaller
+
     schema = ww_df.schema
     df = ww_df.raw
     cols = list(ww_df.columns)
@@ -63,6 +65,11 @@ def describe_dict(ww_df, include=None):
         cols = [c for c in cols if c in matched]
     index = schema.index
     kinds = {c: _classify(schema.columns[c]) for c in cols}
+
+    # 1 unit of preprocessing + 1 per column, reference accounting
+    # (_get_describe_dict.py:110-119) even though the Spark execution
+    # batches all columns into two agg jobs
+    caller = CallbackCaller(callback, "calculations", 1 + len(cols))
 
     # count_distinct lives in its own agg pass: combined with exact
     # percentile it forces the percentile buffers through an Expand
@@ -98,8 +105,9 @@ def describe_dict(ww_df, include=None):
     if distinct_aggs:
         row.update(df.agg(*distinct_aggs).collect()[0].asDict())
     total = row["__total"]
+    caller.update(1)
 
-    modes = _modes(df, [c for c in cols if kinds[c] != "other" or True], kinds)
+    modes = _modes(df, cols, kinds)
 
     phys = ww_df.physical_types
     out = {}
@@ -143,6 +151,7 @@ def describe_dict(ww_df, include=None):
         if c in modes:
             stats["mode"] = modes[c]
         out[c] = stats
+        caller.update(1)
     if index is not None and index in out:
         del out[index]
     return out
@@ -202,16 +211,18 @@ def _from_string(v, dtype, kind):
     return v
 
 
-def describe(ww_df, include=None):
+def describe(ww_df, include=None, callback=None):
     """Pandas DataFrame shaped like the reference's describe output:
     statistics as rows (fixed order), columns as columns
     (reference table_accessor.py:1549-1567)."""
-    d = describe_dict(ww_df, include=include)
+    d = describe_dict(ww_df, include=include, callback=callback)
     frame = pd.DataFrame(d)
     return frame.reindex(STAT_ORDER)
 
 
-def describe_with_extra_stats(ww_df, include=None, bins=10, top_x=10, recent_x=10):
+def describe_with_extra_stats(
+    ww_df, include=None, bins=10, top_x=10, recent_x=10, callback=None,
+):
     """describe_dict + the reference's extra stats
     (_get_describe_dict.py:199-223): numeric columns get a fixed-width
     histogram; low-range integers get full value counts; categoricals get
@@ -219,7 +230,7 @@ def describe_with_extra_stats(ww_df, include=None, bins=10, top_x=10, recent_x=1
     job per stat FAMILY (melt/window batched), not per column."""
     from woodwork_spark.statistics.value_counts import value_counts_df
 
-    base = describe_dict(ww_df, include=include)
+    base = describe_dict(ww_df, include=include, callback=callback)
     schema = ww_df.schema
     df = ww_df.raw
 

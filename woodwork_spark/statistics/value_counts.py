@@ -51,11 +51,7 @@ def value_counts_df(
 def value_counts(ww_df, ascending=False, top_n=10, dropna=False):
     """Dict-of-lists shape matching the reference's return value."""
     schema = ww_df.schema
-    cat_cols = [
-        c
-        for c, cs in schema.columns.items()
-        if cs.is_categorical or "index" in cs.semantic_tags and cs.is_categorical
-    ]
+    cat_cols = [c for c, cs in schema.columns.items() if cs.is_categorical]
     if not cat_cols:
         return {}
     rows = value_counts_df(
