@@ -715,15 +715,19 @@ def q_events_json(spark, sf_dir):
 
 
 def q_ivf_ann(spark, sf_dir):
-    """IVF (cluster-pruned) approximate nearest neighbors — the ANN
-    scale path (rows-only: centroid assignment is not SQL-expressible)."""
+    """IVF nearest neighbors, oracle-checked: with nprobe = nlist the
+    probe is exhaustive, so the k-means index + cluster-pruned probe join
+    + window top-k machinery must reproduce the exact brute-force answer
+    (DuckDB oracle).  The cluster-pruning *approximation* quality
+    (nprobe << nlist) is covered separately by the recall test on a
+    clustered fixture (tests/test_operators.py::test_ivf_kmeans_centroids_recall)."""
     from woodwork_spark.operators.similarity import ivf_index, ivf_topk
 
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
     assigned, cents = ivf_index(emb, nlist=8)
     queries = emb.filter(F.col("vec_id") < 3)
-    out = ivf_topk(assigned, cents, queries, k=5, nprobe=2)
+    out = ivf_topk(assigned, cents, queries, k=5, nprobe=8)
     return out.select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
@@ -1296,6 +1300,25 @@ ORACLE = {
             JOIN g gb ON cand.id_b = gb.doc_id
         )
         SELECT id_a, id_b, round(j, 4) AS jaccard FROM scored WHERE j >= 0.5
+    """,
+    "ivf_ann": """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 3
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))) AS cos
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+            ) AS rank FROM scored
+        ) WHERE rank <= 5
     """,
     "minhash_dedup_pairs": """
         WITH g AS (

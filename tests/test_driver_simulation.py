@@ -46,5 +46,4 @@ def test_rows_only_queries_are_genuinely_non_sql(spark):
     oracles = set(entrymod.oracle_sql())
     assert qs - oracles == {
         "simhash_clusters",
-        "ivf_ann",
     }
