@@ -110,6 +110,29 @@ def _regexes():
     }
 
 
+def _base_projection(name: str, dtype: T.DataType):
+    """Per-row derived columns for the phase-A agg, computed ONCE per row.
+
+    Aggregate expressions cannot share subexpressions (no CSE across agg
+    buffers), so putting nan-normalize / lower-trim / the int+float
+    regexes directly in the ~12 per-column aggregates re-evaluates each
+    of them per aggregate — a ~10x blowup of the string work.  Projecting
+    them here keeps every regex and normalization at exactly one
+    evaluation per row inside codegen."""
+    c = F.col(name)
+    cols = [c]
+    if isinstance(dtype, T.StringType):
+        s = nan_normalize(c)
+        low = F.lower(F.trim(s))
+        cols += [
+            s.alias(f"{name}__s"),
+            low.alias(f"{name}__low"),
+            s.rlike(_INT_STRING_RE).alias(f"{name}__is_int"),
+            low.rlike(_FLOAT_STRING_RE).alias(f"{name}__is_float"),
+        ]
+    return cols
+
+
 def _base_exprs(name: str, dtype: T.DataType):
     """All Expand-free: distinct counts use approx_count_distinct (rsd 5%)
     — exact multi-column count_distinct would force an Expand multiplying
@@ -117,7 +140,8 @@ def _base_exprs(name: str, dtype: T.DataType):
     unique/total RATIO against the 0.2 categorical threshold, well within
     HLL accuracy (tighter precision costs 8x: rsd 0.02 sketches are 256KB
     dense arrays per column).  Boolean-vocabulary set equality is per-value presence
-    flags (max of indicator), not a distinct count."""
+    flags (max of indicator), not a distinct count.  Consumes the derived
+    columns of ``_base_projection``."""
     c = F.col(name)
     exprs = [
         F.count(F.lit(1)).alias(f"{name}__total"),
@@ -129,23 +153,18 @@ def _base_exprs(name: str, dtype: T.DataType):
             F.sum(F.when(c % 1 != 0, 1).otherwise(0)).alias(f"{name}__nonint"),
         )
     if isinstance(dtype, T.StringType):
-        s = nan_normalize(c)
-        low = F.lower(F.trim(s))
+        s = F.col(f"{name}__s")
+        low = F.col(f"{name}__low")
+        is_int = F.col(f"{name}__is_int")
+        is_float = F.col(f"{name}__is_float")
         exprs += [
             F.count(s).alias(f"{name}__nonnull_norm"),
             F.approx_count_distinct(s, 0.05).alias(f"{name}__nunique_norm"),
-            F.sum(F.when(s.rlike(_INT_STRING_RE), 1).otherwise(0)).alias(
-                f"{name}__int_str",
+            F.sum(F.when(is_int, 1).otherwise(0)).alias(f"{name}__int_str"),
+            F.sum(F.when(is_float, 1).otherwise(0)).alias(f"{name}__float_str"),
+            F.sum(F.when(is_float & ~is_int, 1).otherwise(0)).alias(
+                f"{name}__float_nonint_str",
             ),
-            F.sum(F.when(low.rlike(_FLOAT_STRING_RE), 1).otherwise(0)).alias(
-                f"{name}__float_str",
-            ),
-            F.sum(
-                F.when(
-                    low.rlike(_FLOAT_STRING_RE) & ~s.rlike(_INT_STRING_RE),
-                    1,
-                ).otherwise(0),
-            ).alias(f"{name}__float_nonint_str"),
         ]
         for i, bs in enumerate(_BOOL_SETS):
             vals = sorted(bs)
@@ -154,12 +173,13 @@ def _base_exprs(name: str, dtype: T.DataType):
                     f"{name}__bool_out{i}",
                 ),
             )
-            for j, v in enumerate(vals):
-                exprs.append(
-                    F.max(F.when(low == v, 1).otherwise(0)).alias(
-                        f"{name}__bool_v{i}_{j}",
-                    ),
-                )
+            # one collect_set of the (tiny, bounded) vocabulary instead of
+            # a MAX-indicator aggregate per value — shrinks the agg plan
+            exprs.append(
+                F.collect_set(F.when(low.isin(vals), low)).alias(
+                    f"{name}__bool_set{i}",
+                ),
+            )
     return exprs
 
 
@@ -260,10 +280,11 @@ def build_profiles(
     sample = src.limit(sample_size).repartition(parallelism).cache()
     dtypes = {f.name: f.dataType for f in sample.schema.fields}
 
-    all_exprs = []
+    proj_cols, all_exprs = [], []
     for name in columns:
+        proj_cols.extend(_base_projection(name, dtypes[name]))
         all_exprs.extend(_base_exprs(name, dtypes[name]))
-    row = sample.agg(*all_exprs).collect()[0].asDict()
+    row = sample.select(*proj_cols).agg(*all_exprs).collect()[0].asDict()
 
     string_cols = [c for c in columns if isinstance(dtypes[c], T.StringType)]
     phase_b = []
@@ -291,11 +312,11 @@ def build_profiles(
             for k, v in row.items()
             if k.startswith(prefix)
         }
-        # fold per-value presence flags into the set-cardinality stat
+        # fold the present-vocabulary set into the set-cardinality stat
         for i, bs in enumerate(_BOOL_SETS):
-            flags = [stats.pop(f"bool_v{i}_{j}", 0) for j in range(len(bs))]
+            present = stats.pop(f"bool_set{i}", None)
             if f"bool_out{i}" in stats:
-                stats[f"bool_in{i}"] = sum(flags)
+                stats[f"bool_in{i}"] = len(present or [])
         # pruned checks: definitively not-all-matching
         for key in ("email", "phone", "postal", "url", "ip"):
             stats.setdefault(key, 0)
