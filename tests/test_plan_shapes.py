@@ -86,26 +86,51 @@ def test_whole_stage_codegen_active(spark):
     assert "Found 0" not in cg
 
 
-def test_vocabulary_no_single_partition_exchange(spark):
-    """Global token_id ranking must not funnel through one reducer: no
-    Exchange SinglePartition anywhere in the executed plan."""
-    df = entrymod.queries()["vocabulary"](spark, SF)
-    plan = _executed_plan(df)
-    assert "SinglePartition" not in plan
-    assert "Window" in plan  # ranked via per-bucket windows, not a sort-collect
-
-
-def test_spearman_rank_no_single_partition_exchange(spark):
+def test_rank_scale_path_no_single_partition_exchange(spark):
+    """The distributed rank/prefix-sum shape (the path taken when the
+    distinct-value table exceeds the cardinality threshold) must not
+    funnel through one reducer: no Exchange SinglePartition anywhere."""
     from pyspark.sql import functions as F
 
-    from woodwork_spark.statistics.dependence import _rank_column
+    from woodwork_spark.operators.rank import global_prefix_sum, global_row_number
 
     df = spark.read.parquet(f"{SF}/lineitem.parquet").select(
         F.col("l_extendedprice").alias("__a"),
     )
-    ranked = _rank_column(df, "__a")
-    plan = _executed_plan(ranked)
+    counts = df.groupBy("__a").agg(F.count(F.lit(1)).alias("__cnt"))
+    ps = global_prefix_sum(
+        counts, [F.asc("__a")], "__cnt", small_threshold=0,
+    )
+    plan = _executed_plan(ps)
     assert "SinglePartition" not in plan
+    assert "Window" in plan  # per-bucket windows, not a sort-collect
+    rn = global_row_number(counts, [F.asc("__a")], small_threshold=0)
+    plan = _executed_plan(rn)
+    assert "SinglePartition" not in plan
+
+
+def test_rank_small_cardinality_takes_single_stage_path(spark):
+    """Below the threshold the hybrid must NOT pay the range shuffle +
+    offsets machinery: tiny distinct tables go through one cheap window
+    partition (values identical either way)."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.operators.rank import global_prefix_sum
+
+    data = [(v,) for v in [5, 3, 9, 1, 7, 3, 8, 2, 6, 4] * 20]
+    counts = (
+        spark.createDataFrame(data, "v int")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    small = global_prefix_sum(counts, [F.asc("v")], "c", out_col="p")
+    big = global_prefix_sum(
+        counts, [F.asc("v")], "c", out_col="p", small_threshold=0,
+    )
+    assert "SinglePartition" in _executed_plan(small)
+    assert {(r["v"], r["p"]) for r in small.collect()} == {
+        (r["v"], r["p"]) for r in big.collect()
+    }
 
 
 def test_global_row_number_and_prefix_sum_values(spark):

@@ -53,10 +53,19 @@ def global_row_number(
     order,
     out_col: str = "row_number",
     num_partitions: int = None,
+    small_threshold: int = 100_000,
 ) -> DataFrame:
     """0-based global row number by ``order`` (list of Columns / sort
     orders, e.g. ``[F.desc("count"), F.asc("token")]``) with no
-    single-reducer window."""
+    single-reducer window.  Same cardinality-aware switch as
+    ``global_prefix_sum`` (see there)."""
+    if small_threshold:
+        df = df.persist()
+        if df.limit(small_threshold + 1).count() <= small_threshold:
+            w = W.orderBy(*order)
+            return df.withColumn(
+                out_col, F.row_number().over(w).cast("long") - 1,
+            )
     parted = _range_partitioned(df, order, num_partitions)
     off = _offset_expr(parted, F.count(F.lit(1)))
     w = W.partitionBy(_PID).orderBy(*order)
@@ -75,9 +84,29 @@ def global_prefix_sum(
     value_col: str,
     out_col: str = "prefix_sum",
     num_partitions: int = None,
+    small_threshold: int = 100_000,
 ) -> DataFrame:
     """Exclusive running sum of ``value_col`` in ``order`` (the sum of all
-    strictly-preceding rows), distributed the same way."""
+    strictly-preceding rows), distributed the same way.
+
+    Cardinality-aware: ``df`` here is usually an already-aggregated
+    distinct-value table (rank transforms, vocabularies).  When it holds
+    at most ``small_threshold`` rows, the range shuffle + offsets
+    machinery costs more than it saves — a single window partition over
+    ≤100k aggregated rows is one cheap stage.  Above the threshold (the
+    distinct~rows regime that matters at 100 TB) the range-partitioned
+    path keeps every reducer bounded.  Pass ``small_threshold=0`` to
+    force the distributed shape."""
+    if small_threshold:
+        df = df.persist()
+        if df.limit(small_threshold + 1).count() <= small_threshold:
+            w = (
+                W.orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+            )
+            return df.withColumn(
+                out_col,
+                F.coalesce(F.sum(value_col).over(w), F.lit(0)),
+            )
     parted = _range_partitioned(df, order, num_partitions)
     off = _offset_expr(parted, F.sum(value_col))
     w = W.partitionBy(_PID).orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
