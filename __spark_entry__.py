@@ -878,6 +878,30 @@ def q_quality_filter(spark, sf_dir):
     )
 
 
+def q_prep_pipeline(spark, sf_dir):
+    """End-to-end training-data prep composition: quality filter (token
+    threshold) -> exact near-dup removal by normalized fingerprint (keep
+    min doc_id per group, distributed groupBy+join, no window over the
+    corpus) -> per-language corpus stats.  The shape of a real corpus
+    cleaning job; every stage shuffles on its natural key only."""
+    from woodwork_spark.operators.text import fingerprint_expr, token_count_expr
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        fingerprint_expr("text").alias("__fp"),
+        token_count_expr("text").alias("__nt"),
+    ).filter(F.col("__nt") >= 30)
+    keeper = enriched.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = enriched.join(keeper, ["__fp", "doc_id"])
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+    )
+
+
 def q_windowed_event_dedup(spark, sf_dir):
     """Windowed deduplication: keep the FIRST event per
     (user, event_type, 5-minute bucket) — the batch shape of streaming
@@ -947,6 +971,7 @@ QUERIES = {
     "cube_revenue": q_cube_revenue,
     "vocabulary": q_vocabulary,
     "quality_filter": q_quality_filter,
+    "prep_pipeline": q_prep_pipeline,
     "windowed_event_dedup": q_windowed_event_dedup,
 }
 
@@ -1491,6 +1516,23 @@ ORACLE = {
                CAST(row_number() OVER (ORDER BY count DESC, token ASC) - 1 AS BIGINT) AS token_id
         FROM counts
         QUALIFY token_id < 50
+    """,
+    "prep_pipeline": """
+        WITH enriched AS (
+            SELECT doc_id, lang,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                   len(string_split_regex(trim(text), '\\s+')) AS nt
+            FROM documents
+        ), filtered AS (
+            SELECT * FROM enriched WHERE nt >= 30
+        ), keeper AS (
+            SELECT fp, min(doc_id) AS doc_id FROM filtered GROUP BY fp
+        ), kept AS (
+            SELECT f.lang, f.nt
+            FROM filtered f JOIN keeper k ON f.fp = k.fp AND f.doc_id = k.doc_id
+        )
+        SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens
+        FROM kept GROUP BY lang
     """,
     "quality_filter": """
         SELECT lang, count(*) AS n_docs_kept

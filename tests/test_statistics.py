@@ -509,3 +509,18 @@ def test_dependence_callback(spark):
     cb = MockCallback()
     t.dependence(measures="pearson", callback=cb)
     assert cb.total == 1 + 2 + 1
+
+
+def test_describe_results_callback(spark):
+    """Reference results_callback contract: called once per column with
+    (cumulative DataFrame, just-finished Series)."""
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, 3.5, "b")], "idx long, num double, cat string",
+    )
+    t = ww.init(df, logical_types={"cat": "Categorical"}, validate=False)
+    seen = []
+    t.describe_dict(results_callback=lambda so_far, recent: seen.append(
+        (so_far.shape[1], recent.name),
+    ))
+    assert [n for _, n in seen] == ["idx", "num", "cat"]
+    assert [w for w, _ in seen] == [1, 2, 3]  # frame grows a column each call

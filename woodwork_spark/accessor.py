@@ -678,15 +678,25 @@ class WWDataFrame:
         return {k: (v or 0) for k, v in row.items()}
 
     # -- statistics facade (implementations in woodwork_spark.statistics) -----
-    def describe(self, include=None, callback=None):
+    def describe(self, include=None, callback=None, results_callback=None):
         from woodwork_spark.statistics.describe import describe
 
-        return describe(self, include=include, callback=callback)
+        return describe(
+            self,
+            include=include,
+            callback=callback,
+            results_callback=results_callback,
+        )
 
-    def describe_dict(self, include=None, callback=None):
+    def describe_dict(self, include=None, callback=None, results_callback=None):
         from woodwork_spark.statistics.describe import describe_dict
 
-        return describe_dict(self, include=include, callback=callback)
+        return describe_dict(
+            self,
+            include=include,
+            callback=callback,
+            results_callback=results_callback,
+        )
 
     def value_counts(self, ascending=False, top_n=10, dropna=False):
         from woodwork_spark.statistics.value_counts import value_counts

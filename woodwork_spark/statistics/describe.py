@@ -52,7 +52,7 @@ def _classify(cs):
     return "other"
 
 
-def describe_dict(ww_df, include=None, callback=None):
+def describe_dict(ww_df, include=None, callback=None, results_callback=None):
     from woodwork_spark.callback import CallbackCaller
 
     schema = ww_df.schema
@@ -151,6 +151,10 @@ def describe_dict(ww_df, include=None, callback=None):
         if c in modes:
             stats["mode"] = modes[c]
         out[c] = stats
+        if results_callback is not None:
+            # reference _get_describe_dict.py:226-229 shape: cumulative
+            # frame + the column just finished
+            results_callback(pd.DataFrame.from_dict(out), pd.Series(stats, name=c))
         caller.update(1)
     if index is not None and index in out:
         del out[index]
@@ -211,11 +215,13 @@ def _from_string(v, dtype, kind):
     return v
 
 
-def describe(ww_df, include=None, callback=None):
+def describe(ww_df, include=None, callback=None, results_callback=None):
     """Pandas DataFrame shaped like the reference's describe output:
     statistics as rows (fixed order), columns as columns
     (reference table_accessor.py:1549-1567)."""
-    d = describe_dict(ww_df, include=include, callback=callback)
+    d = describe_dict(
+        ww_df, include=include, callback=callback, results_callback=results_callback,
+    )
     frame = pd.DataFrame(d)
     return frame.reindex(STAT_ORDER)
 
