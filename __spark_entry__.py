@@ -902,6 +902,39 @@ def q_prep_pipeline(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Stable hash-based train/held split + per-stratum downsampling:
+    the reproducible-split primitive every training pipeline needs (same
+    key -> same split on any engine/rerun/partitioning).  Oracle: the
+    md5-prefix comparison is plain SQL."""
+    from woodwork_spark.operators.sampling import hash_split
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    tagged = hash_split(docs, "doc_id", fraction=0.8, salt="split")
+    return tagged.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Document chunking into overlapping 64-token windows (stride 48) —
+    the LLM-training tokenizer-prep primitive.  Chunk text integrity is
+    verified via md5 so the oracle compares content, not just counts."""
+    from woodwork_spark.operators.text import chunk_documents
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "text", "doc_id", chunk_tokens=64, stride=48)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def q_windowed_event_dedup(spark, sf_dir):
     """Windowed deduplication: keep the FIRST event per
     (user, event_type, 5-minute bucket) — the batch shape of streaming
@@ -972,6 +1005,8 @@ QUERIES = {
     "vocabulary": q_vocabulary,
     "quality_filter": q_quality_filter,
     "prep_pipeline": q_prep_pipeline,
+    "hash_split": q_hash_split,
+    "chunk_documents": q_chunk_documents,
     "windowed_event_dedup": q_windowed_event_dedup,
 }
 
@@ -1516,6 +1551,34 @@ ORACLE = {
                CAST(row_number() OVER (ORDER BY count DESC, token ASC) - 1 AS BIGINT) AS token_id
         FROM counts
         QUALIFY token_id < 50
+    """,
+    "hash_split": """
+        WITH tagged AS (
+            SELECT lang, doc_id,
+                   CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                             < 'cccccccc'
+                        THEN 'train' ELSE 'held' END AS split
+            FROM documents
+        )
+        SELECT lang, split, count(*) AS n_docs, min(doc_id) AS min_doc_id
+        FROM tagged GROUP BY lang, split
+    """,
+    "chunk_documents": """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ), windows AS (
+            SELECT doc_id, t,
+                   unnest(range(0,
+                       greatest(CAST(ceil((len(t) - 64) / 48.0) AS INT), 0) + 1
+                   )) AS w
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS chunk_id,
+               CAST(len(t[w*48 + 1 : w*48 + 64]) AS BIGINT) AS n_tokens,
+               md5(array_to_string(t[w*48 + 1 : w*48 + 64], ' ')) AS chunk_md5
+        FROM windows
     """,
     "prep_pipeline": """
         WITH enriched AS (

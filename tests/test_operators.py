@@ -341,3 +341,62 @@ def test_ivf_kmeans_centroids_recall(clustered_vectors):
     # every true cluster got its own centroid: cluster column spans all 8
     n_clusters = assigned.select("__cluster").distinct().count()
     assert n_clusters == 8
+
+
+def test_hash_split_stable_and_group_safe(spark):
+    from woodwork_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    a = {r["k"]: r["split"] for r in sampling.hash_split(df, "k", 0.8).collect()}
+    # deterministic: identical on rerun and on a different partitioning
+    b = {
+        r["k"]: r["split"]
+        for r in sampling.hash_split(df.repartition(13), "k", 0.8).collect()
+    }
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.75 < frac < 0.85  # ~0.8 within hash uniformity tolerance
+    # growing the data never moves existing keys between splits
+    df2 = spark.createDataFrame([(i,) for i in range(4000)], "k long")
+    c = {r["k"]: r["split"] for r in sampling.hash_split(df2, "k", 0.8).collect()}
+    assert all(c[k] == v for k, v in a.items())
+
+
+def test_stratified_hash_sample(spark):
+    from woodwork_spark.operators import sampling
+
+    rows = [(i, "common" if i % 2 == 0 else "rare") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, stratum string")
+    out = sampling.stratified_hash_sample(
+        df, "k", {"common": 0.1}, "stratum",
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["stratum"], []).append(r["k"])
+    assert len(by["rare"]) == 1000  # untouched stratum kept whole
+    assert 50 < len(by["common"]) < 150  # ~10% of 1000
+
+
+def test_chunk_documents_windows(spark):
+    from woodwork_spark.operators import text as T
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, words), (1, "short text"), (2, "x")], "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in T.chunk_documents(df, "text", "doc_id", chunk_tokens=4, stride=4).collect()
+    }
+    # doc 0: 10 tokens -> windows [0:4], [4:8], [8:10]
+    assert out[(0, 0)] == ("w0 w1 w2 w3", 4)
+    assert out[(0, 1)] == ("w4 w5 w6 w7", 4)
+    assert out[(0, 2)] == ("w8 w9", 2)
+    assert out[(1, 0)] == ("short text", 2)
+    assert out[(2, 0)] == ("x", 1)
+    # overlapping stride
+    ov = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+        for r in T.chunk_documents(df, "text", "doc_id", chunk_tokens=4, stride=2).collect()
+    }
+    assert ov[(0, 1)] == "w2 w3 w4 w5"

@@ -207,3 +207,46 @@ def text_profile(df: DataFrame, text_col: str, id_col: str = None) -> DataFrame:
         fingerprint_expr(text_col).alias("fingerprint"),
     ]
     return df.select(*cols)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    stride: int = None,
+) -> DataFrame:
+    """Split documents into fixed-size token windows (the LLM-training
+    chunking primitive): returns (id, chunk_id, chunk_text, n_tokens)
+    with one row per window.
+
+    ``stride`` (default = chunk_tokens, i.e. non-overlapping) < chunk
+    size gives overlapping windows.  Pure array expressions: tokenize
+    once, explode a sequence of window starts, slice + rejoin per window
+    — the explode factor is ceil(n_tokens/stride), so output bytes are
+    bounded by overlap, and no Python touches the text."""
+    stride = stride or chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens_expr(text_col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            (F.ceil((F.size(toks) - F.lit(chunk_tokens)) / F.lit(stride))).cast(
+                "int",
+            ),
+            F.lit(0),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(starts).alias("__w"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__w") * stride + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        F.col("__w").cast("long").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
