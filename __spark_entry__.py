@@ -935,6 +935,39 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing through the harness: binary payloads (utf-8
+    encoded document text standing in for image bytes), typed metadata
+    struct, Arrow mapInPandas feature extraction (deterministic fake
+    codec — no image libs in the container).  The oracle checks the
+    pipeline invariants that are engine-independent (per-lang row
+    counts, fixed feature dimension, [0,1] range); the feature values
+    themselves are unit-tested (tests/test_operators.py multimodal)."""
+    from woodwork_spark.operators.multimodal import (
+        attach_image_metadata,
+        image_features,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", "lang", F.encode("text", "utf-8").alias("payload"),
+    )
+    media = attach_image_metadata(media, "payload", fmt="fake-raw")
+    feats = image_features(media, "payload", "doc_id", n_features=16)
+    joined = feats.join(media.select("doc_id", "lang"), "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.size("features")).cast("long").alias("feat_dim"),
+        (
+            F.min(F.array_min("features")) >= 0.0
+        ).alias("unit_range_low"),
+        (
+            F.max(F.array_max("features")) <= 1.0
+        ).alias("unit_range_high"),
+    )
+
+
 def q_windowed_event_dedup(spark, sf_dir):
     """Windowed deduplication: keep the FIRST event per
     (user, event_type, 5-minute bucket) — the batch shape of streaming
@@ -1007,6 +1040,7 @@ QUERIES = {
     "prep_pipeline": q_prep_pipeline,
     "hash_split": q_hash_split,
     "chunk_documents": q_chunk_documents,
+    "multimodal_features": q_multimodal_features,
     "windowed_event_dedup": q_windowed_event_dedup,
 }
 
@@ -1579,6 +1613,13 @@ ORACLE = {
                CAST(len(t[w*48 + 1 : w*48 + 64]) AS BIGINT) AS n_tokens,
                md5(array_to_string(t[w*48 + 1 : w*48 + 64], ' ')) AS chunk_md5
         FROM windows
+    """,
+    "multimodal_features": """
+        SELECT lang, count(*) AS n_docs,
+               CAST(16 AS BIGINT) AS feat_dim,
+               true AS unit_range_low,
+               true AS unit_range_high
+        FROM documents GROUP BY lang
     """,
     "prep_pipeline": """
         WITH enriched AS (
