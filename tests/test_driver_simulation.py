@@ -44,6 +44,4 @@ def test_rows_only_queries_are_genuinely_non_sql(spark):
     approximate/non-SQL-expressible ops — keep the list tight."""
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
-    assert qs - oracles == {
-        "simhash_clusters",
-    }
+    assert qs - oracles == set()

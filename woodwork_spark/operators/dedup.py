@@ -303,13 +303,27 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash_expr(text_col: str, bits: int = 64):
+def simhash_expr(text_col: str, bits: int = 64, hash_fn: str = "xxhash64"):
     """SimHash of the token multiset of a text column, as a signed long.
 
-    bit_b(simhash) = sign of sum over tokens of (+1 if bit_b(xxhash64(t))
+    bit_b(simhash) = sign of sum over tokens of (+1 if bit_b(hash(t))
     else -1).  Pure array expressions (aggregate over the token array);
-    one projection, no shuffle, no UDF."""
-    hashes = f"transform(split(trim(lower({text_col})), '\\\\s+'), t -> xxhash64(t))"
+    one projection, no shuffle, no UDF.
+
+    hash_fn: "xxhash64" (default, fastest — one JVM hash per token) or
+    "md5" (portable: bits come from the first 15 hex chars of md5, so
+    any engine with md5 — e.g. DuckDB — reproduces the fingerprint
+    bit-for-bit; capped at 60 usable bits)."""
+    if hash_fn == "xxhash64":
+        tok_hash = "xxhash64(t)"
+    elif hash_fn == "md5":
+        # 15 hex chars = 60 bits: fits signed 64 with no overflow, and
+        # `('0x'||substr(md5(t),1,15))::BIGINT` matches it in DuckDB
+        tok_hash = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+        bits = min(bits, 60)
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    hashes = f"transform(split(trim(lower({text_col})), '\\\\s+'), t -> {tok_hash})"
     # bind the token-hash array ONCE via a lambda variable: without the
     # wrapper the {hashes} subtree would be re-evaluated per bit (64x)
     return F.expr(
@@ -329,13 +343,17 @@ def simhash_dedup_pairs(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
-    ``bands`` chunks (pigeonhole: hamming <= bands-1 guarantees an exact
-    chunk match), bucket-join on matching chunks, verify exact hamming
-    via bit_count(xor)."""
-    width = 64 // bands
-    sh = df.select(F.col(id_col), simhash_expr(text_col).alias("__sh"))
+    """Near-dup pairs by SimHash: band the fingerprint into ``bands``
+    chunks (pigeonhole: hamming <= bands-1 guarantees an exact chunk
+    match), bucket-join on matching chunks, verify exact hamming via
+    bit_count(xor)."""
+    nbits = 60 if hash_fn == "md5" else 64
+    width = nbits // bands
+    sh = df.select(
+        F.col(id_col), simhash_expr(text_col, hash_fn=hash_fn).alias("__sh"),
+    )
     chunks = sh.select(
         id_col,
         "__sh",
