@@ -998,6 +998,119 @@ def q_windowed_event_dedup(spark, sf_dir):
     )
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition profile per document: the most frequent
+    bigram's character share plus the duplicated-trigram share
+    (corpus-cleaning signals; explode + groupBy(doc, gram) — the same
+    vocabulary-shaped shuffle, linear in corpus tokens)."""
+    from woodwork_spark.operators.cleaning import (
+        duplicate_ngram_fraction,
+        top_ngram_fraction,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    top = top_ngram_fraction(docs, "doc_id", "text", n=2)
+    dup = duplicate_ngram_fraction(docs, "doc_id", "text", n=3)
+    return top.join(dup, "doc_id").select(
+        "doc_id",
+        "top_gram",
+        F.col("top_gram_count").cast("long").alias("top_gram_count"),
+        _ravg(F.col("top_ngram_char_fraction"), 4).alias("top_bigram_frac"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("dup_grams").cast("long").alias("dup_grams"),
+        _ravg(F.col("dup_ngram_fraction"), 4).alias("dup_trigram_frac"),
+    )
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line filtering.  The corpus has no newlines, so the
+    query deterministically re-lines each document (5-token windows; a
+    terminal '.' on every 3rd line) and then applies the real operator:
+    keep lines with >=3 words ending in terminal punctuation and free of
+    blacklist terms.  Per-doc line counts + md5 of the cleaned text."""
+    from woodwork_spark.operators.cleaning import c4_line_filter_exprs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(5)).cast("int") - 1, F.lit(0),
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines),
+        lambda w: F.concat(
+            F.array_join(F.slice(toks, w * 5 + 1, 5), " "),
+            F.when(w % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    lined = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("lined_text"),
+    )
+    e = c4_line_filter_exprs("lined_text")
+    return lined.select(
+        "doc_id",
+        e["n_lines"].cast("long").alias("n_lines"),
+        e["n_lines_kept"].cast("long").alias("n_lines_kept"),
+        F.md5(e["clean_text"]).alias("clean_md5"),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction.  The corpus contains no PII, so the query plants a
+    deterministic email + IPv4 + phone per document (derived from
+    doc_id), then runs the real redaction operator; the oracle performs
+    the identical construction.  Counts per kind + md5 of the redacted
+    text."""
+    from woodwork_spark.operators.cleaning import (
+        pii_count_exprs,
+        pii_redact_expr,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 call +1 555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.lit(" done"),
+        ).alias("pii_text"),
+    )
+    c = pii_count_exprs("pii_text")
+    return salted.select(
+        "doc_id",
+        F.md5(pii_redact_expr("pii_text")).alias("redacted_md5"),
+        *(v.cast("long").alias(k) for k, v in c.items()),
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: documents sharing >=2 distinct word
+    5-grams with any doc in a held-out 'benchmark' slice (doc_id % 17 ==
+    0).  Corpus grams hashed to longs pre-shuffle; benchmark side
+    broadcast."""
+    from woodwork_spark.operators.cleaning import contamination_report
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    rep = contamination_report(
+        corpus, bench, "doc_id", "text", n=5, min_overlap=2,
+    )
+    return rep.select(
+        "doc_id",
+        "bench_id",
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -1045,6 +1158,10 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "multimodal_features": q_multimodal_features,
     "windowed_event_dedup": q_windowed_event_dedup,
+    "repetition_signals": q_repetition_signals,
+    "c4_line_filter": q_c4_line_filter,
+    "pii_redact": q_pii_redact,
+    "contamination": q_contamination,
 }
 
 ORACLE = {
@@ -1708,6 +1825,120 @@ ORACLE = {
                round(avg(value) + 0.0000001, 4) AS avg_value
         FROM events
         GROUP BY event_type, k_bucket
+    """,
+    "repetition_signals": """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t,
+                 length(trim(text)) AS doc_chars
+          FROM documents
+        ), big AS (
+          SELECT doc_id,
+                 unnest([array_to_string(t[i:i+1], ' ')
+                         FOR i IN range(1, greatest(len(t) - 1, 1) + 1)]) AS gram
+          FROM w
+        ), bcnt AS (
+          SELECT doc_id, gram, count(*) AS cnt, length(gram) AS gram_chars
+          FROM big WHERE gram <> '' GROUP BY doc_id, gram
+        ), top AS (
+          SELECT doc_id, gram AS top_gram, cnt AS top_gram_count,
+                 cnt * gram_chars AS cov
+          FROM bcnt
+          QUALIFY row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY cnt DESC, gram_chars DESC, gram DESC) = 1
+        ), tri AS (
+          SELECT doc_id,
+                 unnest([array_to_string(t[i:i+2], ' ')
+                         FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS gram
+          FROM w
+        ), tcnt AS (
+          SELECT doc_id, gram, count(*) AS cnt
+          FROM tri WHERE gram <> '' GROUP BY doc_id, gram
+        ), dup AS (
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+                 CAST(sum(cnt) - count(*) AS BIGINT) AS dup_grams
+          FROM tcnt GROUP BY doc_id
+        )
+        SELECT w.doc_id, top_gram,
+               CAST(top_gram_count AS BIGINT) AS top_gram_count,
+               round(cov / greatest(doc_chars, 1) + 0.0000001, 4)
+                 AS top_bigram_frac,
+               n_grams, dup_grams,
+               round(CAST(dup_grams AS DOUBLE) / greatest(n_grams, 1)
+                     + 0.0000001, 4) AS dup_trigram_frac
+        FROM w JOIN top USING (doc_id) JOIN dup USING (doc_id)
+    """,
+    "c4_line_filter": """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents
+        ), lines AS (
+          SELECT doc_id,
+                 [array_to_string(t[(k*5+1):(k*5+5)], ' ') ||
+                  CASE WHEN k % 3 = 0 THEN '.' ELSE '' END
+                  FOR k IN range(0, greatest(CAST(ceil(len(t)/5.0) AS INT), 1))] AS ls
+          FROM w
+        ), f AS (
+          SELECT doc_id, ls,
+                 list_filter(ls, l ->
+                   len(string_split_regex(l, '\\s+')) >= 3
+                   AND regexp_matches(l, '[.!?"'']$')
+                   AND NOT contains(lower(l), 'javascript')
+                   AND NOT contains(lower(l), 'lorem ipsum')
+                   AND NOT contains(lower(l), 'cookie policy')
+                   AND NOT contains(lower(l), '{')) AS kept
+          FROM lines
+        )
+        SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_lines_kept,
+               md5(array_to_string(kept, chr(10))) AS clean_md5
+        FROM f
+    """,
+    "pii_redact": """
+        WITH s AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id ||
+                 '@example.com ip 10.' || (doc_id % 256) ||
+                 '.0.1 call +1 555-' || (1000 + doc_id % 9000) ||
+                 ' done' AS pii_text
+          FROM documents
+        )
+        SELECT doc_id,
+          md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+            '\\+\\d[\\d()\\- ]{6,}\\d', '<PHONE>', 'g')) AS redacted_md5,
+          CAST(len(regexp_extract_all(pii_text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+            AS n_email,
+          CAST(len(regexp_extract_all(pii_text,
+            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+            AS n_ipv4,
+          CAST(len(regexp_extract_all(pii_text,
+            '\\+\\d[\\d()\\- ]{6,}\\d')) AS BIGINT) AS n_phone
+        FROM s
+    """,
+    "contamination": """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(t[i:i+4], ' ')
+                                FOR i IN range(1, greatest(len(t) - 4, 1) + 1)]) AS gs
+          FROM w
+        ), e AS (
+          SELECT doc_id, unnest(gs) AS gram FROM g WHERE len(gs) > 0
+        ), c AS (
+          SELECT doc_id, gram FROM e WHERE doc_id % 17 <> 0 AND gram <> ''
+        ), b AS (
+          SELECT doc_id AS bench_id, gram FROM e
+          WHERE doc_id % 17 = 0 AND gram <> ''
+        )
+        SELECT c.doc_id, b.bench_id, count(*) AS n_shared_grams
+        FROM c JOIN b USING (gram)
+        GROUP BY c.doc_id, b.bench_id
+        HAVING count(*) >= 2
     """,
 }
 

@@ -1,0 +1,119 @@
+"""Corpus-cleaning operators: Gopher repetition signals, C4 line
+filters, PII redaction, benchmark contamination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from woodwork_spark.operators import cleaning
+
+
+@pytest.fixture(scope="module")
+def lined_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat down.\nthe cat sat down.\nanother line here."),
+            (2, "all unique lines.\nno repeats at all.\nthird line fine."),
+            (3, "short\nenable javascript now.\nthis line stays okay."),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_duplicate_line_fractions(spark, lined_docs):
+    e = cleaning.duplicate_line_exprs("text")
+    rows = {
+        r["doc_id"]: r
+        for r in lined_docs.select(
+            "doc_id", *(v.alias(k) for k, v in e.items()),
+        ).collect()
+    }
+    assert rows[1]["dup_line_fraction"] == pytest.approx(1 / 3)
+    assert rows[2]["dup_line_fraction"] == 0.0
+    # doc 1: dup line is 17 chars of 17+17+18=52 total
+    assert rows[1]["dup_line_char_fraction"] == pytest.approx(17 / 52)
+
+
+def test_top_ngram_fraction(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b x y")], "doc_id long, text string",
+    )
+    out = cleaning.top_ngram_fraction(df, "doc_id", "text", n=2).first()
+    # bigrams: "a b" x3, "b a" x2, "b x", "x y"
+    assert out["top_gram"] == "a b"
+    assert out["top_gram_count"] == 3
+    # 3 * 3 chars / 15 doc chars
+    assert out["top_ngram_char_fraction"] == pytest.approx(9 / 15)
+
+
+def test_duplicate_ngram_fraction(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "p q r s t u")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in cleaning.duplicate_ngram_fraction(
+            df, "doc_id", "text", n=3,
+        ).collect()
+    }
+    # doc1 trigram occurrences: 7 total, distinct {abc,bca,cab}=3 -> 4 dups
+    assert rows[1]["n_grams"] == 7
+    assert rows[1]["dup_grams"] == 4
+    assert rows[1]["dup_ngram_fraction"] == pytest.approx(4 / 7)
+    assert rows[2]["dup_ngram_fraction"] == 0.0
+
+
+def test_c4_line_filter(spark, lined_docs):
+    e = cleaning.c4_line_filter_exprs("text")
+    rows = {
+        r["doc_id"]: r
+        for r in lined_docs.select(
+            "doc_id", *(v.alias(k) for k, v in e.items()),
+        ).collect()
+    }
+    # doc 3: "short" (1 word) out, "enable javascript now." (blacklist)
+    # out, last line kept
+    assert rows[3]["n_lines"] == 3
+    assert rows[3]["n_lines_kept"] == 1
+    assert rows[3]["clean_text"] == "this line stays okay."
+    assert rows[1]["n_lines_kept"] == 3
+
+
+def test_pii_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail bob.smith+x@corp.example.org or 10.0.255.1 "
+                "or +1 (555) 867-5309 now",
+            ),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        cleaning.pii_redact_expr("text").alias("t"),
+        *(v.alias(k) for k, v in cleaning.pii_count_exprs("text").items()),
+    ).first()
+    assert out["t"] == "mail <EMAIL> or <IP> or <PHONE> now"
+    assert (out["n_email"], out["n_ipv4"], out["n_phone"]) == (1, 1, 1)
+
+
+def test_contamination_report(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "totally different words in this document here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "x alpha beta gamma delta epsilon y")],
+        "doc_id long, text string",
+    )
+    out = cleaning.contamination_report(
+        corpus, bench, "doc_id", "text", n=5, min_overlap=1,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] == 1 and out[0]["bench_id"] == 100
+    # shared 5-grams: "alpha beta gamma delta epsilon" only
+    assert out[0]["n_shared_grams"] == 1

@@ -1,0 +1,242 @@
+"""Corpus-cleaning operators for LLM training pipelines: Gopher-style
+repetition signals, C4-style line filtering, PII redaction, and
+benchmark-contamination checks.
+
+Design (100 TB first):
+
+- Per-document signals (repetition ratios, line filters, PII scrub) are
+  pure Column expressions over the line/token arrays — one projection,
+  no shuffle, whole-stage codegen, embarrassingly parallel.
+- Cross-document signals (top/duplicated n-gram fractions, benchmark
+  contamination) explode n-grams and aggregate on (doc, gram-hash):
+  the same shuffle shape as vocabulary building, which scales linearly
+  in corpus token count.  Grams are hashed to longs BEFORE the shuffle
+  so shuffle bytes are 8B/gram, not the gram text.
+- The benchmark side of a contamination check is tiny by construction
+  (a benchmark suite, not a corpus) — it is broadcast, so the overlap
+  join is shuffle-free on the corpus side.
+
+References (behavioral, public): Gopher (Rae et al. 2021, §A1.1
+repetition filters), C4 (Raffel et al. 2020, §2.2 line heuristics).
+Reference repo has no corpus-cleaning ops; these extend SURVEY.md §2's
+LLM-pipeline section.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from woodwork_spark.operators.text import tokens_expr
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (per-document: no shuffle)
+# ---------------------------------------------------------------------------
+
+
+def lines_expr(text_col: str, sep: str = "\n") -> Column:
+    """Non-empty trimmed lines of a document."""
+    return F.filter(
+        F.transform(F.split(F.col(text_col), sep), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def duplicate_line_exprs(text_col: str, sep: str = "\n") -> dict[str, Column]:
+    """Gopher duplicate-line signals: fraction of lines (and of line
+    characters) that are repeats of an earlier identical line.  Pure
+    array expressions — distinct-vs-total over the per-doc line array."""
+    lines = lines_expr(text_col, sep)
+    uniq = F.array_distinct(lines)
+    n = F.size(lines)
+    chars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+    uchars = F.aggregate(uniq, F.lit(0), lambda a, l: a + F.length(l))
+    return {
+        "dup_line_fraction": (n - F.size(uniq)) / F.greatest(n, F.lit(1)),
+        "dup_line_char_fraction": (chars - uchars)
+        / F.greatest(chars, F.lit(1)),
+    }
+
+
+def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram, gram_chars) rows: word n-grams with their character
+    length (tokens + separating spaces).  Tokenize once into a bound
+    array column, then one explode — the gram lambda never re-splits."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_expr(text_col).alias("__toks"),
+    )
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
+        f"i -> array_join(slice(__toks, i, {n}), ' '))",
+    )
+    return (
+        toks.select("id", F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .select("id", "gram", F.length("gram").alias("gram_chars"))
+    )
+
+
+def top_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2,
+) -> DataFrame:
+    """Gopher top-n-gram signal: per document, the fraction of
+    characters covered by the single most frequent word n-gram
+    (count * gram_chars / doc_chars).  Explode + groupBy(doc, gram) +
+    per-doc max — shuffle keyed on (doc, gram), linear in corpus tokens."""
+    rows = _gram_rows(df, id_col, text_col, n)
+    per_gram = rows.groupBy("id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("gram_chars").alias("gram_chars"),
+    )
+    top = per_gram.groupBy("id").agg(
+        F.max(F.struct("cnt", "gram_chars", "gram")).alias("top"),
+    )
+    chars = df.select(
+        F.col(id_col).alias("id"), F.length(F.trim(F.col(text_col))).alias("doc_chars"),
+    )
+    return top.join(chars, "id").select(
+        F.col("id").alias(id_col),
+        F.col("top.gram").alias("top_gram"),
+        F.col("top.cnt").alias("top_gram_count"),
+        (
+            F.col("top.cnt") * F.col("top.gram_chars")
+            / F.greatest(F.col("doc_chars"), F.lit(1))
+        ).alias("top_ngram_char_fraction"),
+    )
+
+
+def duplicate_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5,
+) -> DataFrame:
+    """Gopher duplicated-n-gram signal: per document, the fraction of
+    n-gram occurrences that are repeats (occurrences beyond the first of
+    each distinct gram).  Same (doc, gram) shuffle shape."""
+    rows = _gram_rows(df, id_col, text_col, n)
+    per_gram = rows.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_gram.groupBy("id").agg(
+        F.sum("cnt").alias("n_grams"),
+        (F.sum("cnt") - F.count(F.lit(1))).alias("dup_grams"),
+    ).select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        "dup_grams",
+        (F.col("dup_grams") / F.greatest(F.col("n_grams"), F.lit(1))).alias(
+            "dup_ngram_fraction",
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line filtering (per-document: no shuffle)
+# ---------------------------------------------------------------------------
+
+C4_BLACKLIST = ["javascript", "lorem ipsum", "cookie policy", "{"]
+
+
+def c4_line_filter_exprs(
+    text_col: str,
+    sep: str = "\n",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    blacklist: list[str] = None,
+) -> dict[str, Column]:
+    """C4 §2.2 line heuristics: keep lines with >= min_words words,
+    ending in terminal punctuation, not containing blacklist terms.
+    Returns cleaned text plus kept/total counts — one projection."""
+    bl = C4_BLACKLIST if blacklist is None else blacklist
+    lines = lines_expr(text_col, sep)
+
+    def _keep(l):
+        cond = F.size(F.split(l, r"\s+")) >= min_words
+        if require_terminal_punct:
+            cond = cond & l.rlike(r"[.!?\"']$")
+        for term in bl:
+            cond = cond & ~F.contains(F.lower(l), F.lit(term))
+        return cond
+
+    kept = F.filter(lines, _keep)
+    return {
+        "clean_text": F.array_join(kept, sep),
+        "n_lines": F.size(lines),
+        "n_lines_kept": F.size(kept),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (per-document: no shuffle)
+# ---------------------------------------------------------------------------
+
+# Conservative patterns valid in both Java regex (Spark) and RE2
+# (DuckDB/Go) so results are engine-portable: no lookaround, no
+# backrefs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d()\- ]{6,}\d",
+}
+
+PII_REPLACEMENTS = {"email": "<EMAIL>", "ipv4": "<IP>", "phone": "<PHONE>"}
+
+
+def pii_redact_expr(text_col) -> Column:
+    """Replace emails, IPv4s, and international-format phone numbers
+    with typed placeholder tags.  Chained JVM regexp_replace — order
+    matters (emails first: an email never contains an IP-shaped span,
+    but a phone pattern could eat pieces of either)."""
+    out = F.col(text_col) if isinstance(text_col, str) else text_col
+    for kind in ("email", "ipv4", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], PII_REPLACEMENTS[kind])
+    return out
+
+
+def pii_count_exprs(text_col) -> dict[str, Column]:
+    """Per-kind PII hit counts (size of regexp_extract_all)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination (corpus x benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str = None,
+    bench_text_col: str = None,
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Docs sharing >= min_overlap distinct word n-grams with any
+    benchmark doc: (doc_id, bench_id, n_shared_grams).
+
+    The classic decontamination step before training.  Corpus grams are
+    hashed to longs (xxhash64) before the join so the corpus-side
+    shuffle moves 8 bytes per distinct (doc, gram); the benchmark side
+    (small by construction) is broadcast — the join adds NO corpus
+    shuffle beyond the distinct."""
+    bench_id_col = bench_id_col or id_col
+    bench_text_col = bench_text_col or text_col
+    c = _gram_rows(corpus, id_col, text_col, n)
+    b = _gram_rows(benchmark, bench_id_col, bench_text_col, n)
+    ch = c.select("id", F.xxhash64("gram").alias("g")).distinct()
+    bh = b.select(
+        F.col("id").alias("bench_id"), F.xxhash64("gram").alias("g"),
+    ).distinct()
+    return (
+        ch.join(F.broadcast(bh), "g")
+        .groupBy("id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_overlap)
+        .select(
+            F.col("id").alias(id_col),
+            "bench_id",
+            "n_shared_grams",
+        )
+    )
