@@ -127,3 +127,23 @@ def test_salted_join_rejects_outer_modes(spark):
         salted_join(fact, dim, "k", salt=4, how="full")
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(fact, dim, "k", salt=4, how="right")
+
+
+def test_read_parquet_never_surfaces_timestamp_ntz(spark):
+    """events.parquet is written with isAdjustedToUTC=false; Spark 4's
+    NTZ inference would surface TIMESTAMP_NTZ, which unix_micros rejects
+    and whose epoch shifts with session timezone.  read_parquet must pin
+    plain TIMESTAMP regardless of the session's NTZ-inference conf."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.io import read_parquet
+
+    ev = read_parquet(spark, "/root/testdata/sf0.001/events.parquet")
+    assert ev.schema["ts"].dataType.simpleString() == "timestamp"
+    # epoch math must analyze (this is what broke on TIMESTAMP_NTZ)
+    n = ev.select(F.unix_micros("ts")).limit(1).count()
+    assert n == 1
+    # the conf is restored after the read, whatever it was
+    assert spark.conf.get(
+        "spark.sql.parquet.inferTimestampNTZ.enabled", "true",
+    ) == "true"

@@ -75,6 +75,41 @@ def _nano_timestamp_columns(path: str) -> list[str]:
     return candidates
 
 
+def _read_no_ntz(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with TIMESTAMP_NTZ inference disabled.
+
+    Parquet written with isAdjustedToUTC=false (pandas/pyarrow default)
+    would otherwise surface as TIMESTAMP_NTZ, which unix_micros & friends
+    reject and whose epoch depends on session timezone at cast time.
+    With inference off, the stored int64 micros are taken verbatim as
+    UTC-epoch micros — deterministic, and identical to how DuckDB (the
+    correctness oracle) treats the same naive values.
+    """
+    conf_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    try:
+        prev = spark.conf.get(conf_key, "true")
+    except Exception:  # pre-3.4 Spark: no NTZ inference at all
+        return spark.read.parquet(path)
+    spark.conf.set(conf_key, "false")
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force analysis so schema errors surface here
+    finally:
+        spark.conf.set(conf_key, prev)
+    return df
+
+
+def _tz_normalize(df: DataFrame) -> DataFrame:
+    """Cast any residual TIMESTAMP_NTZ columns (non-parquet sources, or a
+    reader that ignored the conf) to TIMESTAMP so downstream epoch math
+    (unix_micros) analyzes; session tz should be UTC for determinism."""
+    ntz = [f.name for f in df.schema.fields
+           if f.dataType.simpleString() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet read that tolerates TIMESTAMP(NANOS) columns.
 
@@ -86,11 +121,9 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     nano_cols = _nano_timestamp_columns(path)
     if not nano_cols:
         try:
-            df = spark.read.parquet(path)
-            df.schema  # force analysis so schema errors surface here
             # nanosAsLong may already be on session-wide (a running stream
             # needs it): nano columns then surface as bigint — still convert
-            return df
+            return _tz_normalize(_read_no_ntz(spark, path))
         except Exception as e:  # noqa: BLE001
             # Footer probe missed (multi-file dirs with heterogeneous
             # schemas, pyarrow absent): fall through to the legacy path.
@@ -100,8 +133,7 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
-        df = spark.read.parquet(path)
-        df.schema
+        df = _read_no_ntz(spark, path)
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     long_cols = {
@@ -113,7 +145,7 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
                 c,
                 F.timestamp_micros((F.col(c) / 1000).cast("long")),
             )
-    return df
+    return _tz_normalize(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, tables=None) -> dict:
