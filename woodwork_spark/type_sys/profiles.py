@@ -48,6 +48,10 @@ _BOOL_SETS = [
 _PROBE_ROWS = 1000
 _PROBE_PER_COL = 100
 
+# Samples at or below this many rows are profiled driver-side in pandas
+# (one Arrow collect, zero wide aggs) — see build_profiles(engine=...).
+_PANDAS_MAX_SAMPLE = 1_000_000
+
 
 class ColumnProfile:
     """Aggregate facts about one sampled column; inference predicates are
