@@ -144,3 +144,18 @@ def test_random_sample_mode(spark, inference_df):
     )
     got = {c: type(type_system.infer_from_profile(p)).__name__ for c, p in profiles.items()}
     assert got == {"ints": "Integer", "emails": "EmailAddress"}
+
+
+def test_engine_parity_pandas_vs_spark(inference_df):
+    """The driver-side pandas engine (default for bounded samples) and the
+    distributed Spark-agg engine (the >1M-row sample path) must agree on
+    every column of the inference matrix."""
+    from woodwork_spark.type_sys.profiles import build_profiles
+
+    for engine in ("pandas", "spark"):
+        profiles = build_profiles(inference_df, engine=engine)
+        got = {
+            c: type(type_system.infer_from_profile(p)).__name__
+            for c, p in profiles.items()
+        }
+        assert got == EXPECTED, engine

@@ -187,3 +187,21 @@ def read_file(spark: SparkSession, filepath: str, content_type=None, **ww_init_k
     else:
         raise RuntimeError(f"Content type '{ext}' not supported.")
     return init(df, **ww_init_kwargs)
+
+
+def arrow_to_pandas(df: DataFrame):
+    """``toPandas`` with Arrow transfer pinned on.
+
+    OSS Spark defaults ``spark.sql.execution.arrow.pyspark.enabled`` to
+    false, silently taking the pickle path: per-row ``fromInternal`` plus
+    a python-lambda timestamp localize — ~20x slower than the Arrow
+    batch copy for a bounded sample.  Scoped set-and-restore, same
+    pattern as read_parquet's NTZ guard."""
+    spark = df.sparkSession
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        return df.toPandas()
+    finally:
+        spark.conf.set(key, prev)

@@ -95,7 +95,9 @@ def _sampled_values(nonnull: DataFrame, c, sample_size: int, sample_mode: str):
         if total > sample_size:
             fraction = min(1.0, sample_size / total * 1.2)
             src = src.sample(withReplacement=False, fraction=fraction, seed=42)
-    pdf = src.limit(sample_size).toPandas()["__v"]
+    from woodwork_spark.io import arrow_to_pandas
+
+    pdf = arrow_to_pandas(src.limit(sample_size))["__v"]
     return pdf.to_numpy(dtype="float64")
 
 

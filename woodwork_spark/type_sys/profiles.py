@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from woodwork_spark.config import config
+from woodwork_spark.io import arrow_to_pandas
 from woodwork_spark.logical_types import Datetime, nan_normalize
 
 _INT_STRING_RE = r"^[-+]?[0-9]+$"
@@ -48,9 +49,10 @@ _BOOL_SETS = [
 _PROBE_ROWS = 1000
 _PROBE_PER_COL = 100
 
-# Samples at or below this many rows are profiled driver-side in pandas
-# (one Arrow collect, zero wide aggs) — see build_profiles(engine=...).
+# Samples at or below this many rows (and cells) are profiled driver-side
+# in pandas (one Arrow collect, zero wide aggs) — build_profiles(engine=...).
 _PANDAS_MAX_SAMPLE = 1_000_000
+_PANDAS_MAX_CELLS = 20_000_000
 
 
 class ColumnProfile:
@@ -58,12 +60,12 @@ class ColumnProfile:
     pure functions of these fields (plus a lazy pandas sample for custom
     user inference functions)."""
 
-    def __init__(self, name, dtype, stats, sample_df=None):
+    def __init__(self, name, dtype, stats, sample_df=None, pandas_sample=None):
         self.name = name
         self.dtype = dtype
         self.stats = stats
         self._sample_df = sample_df
-        self._pandas = None
+        self._pandas = pandas_sample
 
     def __getitem__(self, key):
         return self.stats.get(key)
@@ -93,7 +95,9 @@ class ColumnProfile:
         for user-registered pandas inference functions (reference
         type_system.py:143-193 accepts arbitrary Series->bool callables)."""
         if self._pandas is None:
-            self._pandas = self._sample_df.select(self.name).toPandas()[self.name]
+            from woodwork_spark.io import arrow_to_pandas
+
+            self._pandas = arrow_to_pandas(self._sample_df.select(self.name))[self.name]
         return self._pandas
 
 
@@ -253,14 +257,25 @@ def _probe_checks(values) -> set:
     return checks, fmt
 
 
+def _sampled(df: DataFrame, columns, sample_size, sample_mode):
+    """The bounded inference sample as an (un-materialized) DataFrame."""
+    src = df.select(columns)
+    if sample_mode == "random":
+        total = src.count()
+        if total > sample_size:
+            fraction = min(1.0, sample_size / total * 1.2)
+            src = src.sample(withReplacement=False, fraction=fraction, seed=42)
+    return src.limit(sample_size)
+
+
 def build_profiles(
     df: DataFrame,
     columns=None,
     sample_size=None,
     sample_mode: str = "head",
+    engine: str = "auto",
 ) -> dict:
-    """Profile ``columns`` of ``df``: 2 aggregation jobs + 1 bounded
-    collect over one cached sample, independent of column count.
+    """Profile ``columns`` of ``df`` from one bounded sample.
 
     sample_mode:
     - "head" (default): ``limit(n)`` — reads only the first file(s) of
@@ -269,19 +284,39 @@ def build_profiles(
     - "random": reference-parity random sample (seed 42, reference
       type_system.py:342-358) — costs one count + one full scan, reads
       every partition.
+
+    engine:
+    - "pandas": ONE Arrow collect of the bounded sample, predicates in
+      pandas/numpy on the driver — the reference's own execution model
+      (type_system.py:335-437 runs pandas predicates on a 100k-row
+      sample).  The sample is bounded by config regardless of table
+      size, so this is also the cheapest plan at 100 TB: no wide-agg
+      codegen (~seconds of JVM compile for 100+ aggregate buffers), no
+      cache, one job.
+    - "spark": 2 wide aggregation jobs + 1 bounded probe collect — for
+      samples too large to collect (scales to any sample_size).
+    - "auto" (default): pandas when the sample is bounded enough
+      (<= 1M rows and <= 20M cells), spark otherwise.
     """
     columns = list(columns) if columns is not None else df.columns
     sample_size = sample_size or config.get_option("inference_sample_size")
+    if engine == "auto":
+        engine = (
+            "pandas"
+            if sample_size <= _PANDAS_MAX_SAMPLE
+            and sample_size * max(len(columns), 1) <= _PANDAS_MAX_CELLS
+            else "spark"
+        )
+    if engine == "pandas":
+        return _build_profiles_pandas(df, columns, sample_size, sample_mode)
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    src = df.select(columns)
-    if sample_mode == "random":
-        total = src.count()
-        if total > sample_size:
-            fraction = min(1.0, sample_size / total * 1.2)
-            src = src.sample(withReplacement=False, fraction=fraction, seed=42)
     # limit() materializes through ONE partition; repartition spreads the
     # bounded sample back across cores before the (CPU-heavy) agg passes
-    sample = src.limit(sample_size).repartition(parallelism).cache()
+    sample = (
+        _sampled(df, columns, sample_size, sample_mode)
+        .repartition(parallelism)
+        .cache()
+    )
     dtypes = {f.name: f.dataType for f in sample.schema.fields}
 
     proj_cols, all_exprs = [], []
@@ -294,7 +329,7 @@ def build_profiles(
     phase_b = []
     scheduled: dict[str, set] = {}
     if string_cols:
-        probe_pdf = sample.select(string_cols).limit(_PROBE_ROWS).toPandas()
+        probe_pdf = arrow_to_pandas(sample.select(string_cols).limit(_PROBE_ROWS))
         for c in string_cols:
             vals = probe_pdf[c].dropna()
             vals = vals[vals.astype(str).str.strip() != ""].head(_PROBE_PER_COL)
@@ -326,4 +361,126 @@ def build_profiles(
             stats.setdefault(key, 0)
         stats.setdefault("dt_parse", 0)
         profiles[name] = ColumnProfile(name, dtypes[name], stats, sample_df=sample)
+    return profiles
+
+
+def _nan_normalize_pandas(s):
+    """pandas mirror of ``nan_normalize``: null out the reference's
+    missing-value string vocabulary + blank/whitespace-only strings."""
+    from woodwork_spark.config import NAN_STRING_VALUES
+
+    vocab = {v for v in NAN_STRING_VALUES if v.strip() != ""}
+    s = s.astype("string")
+    mask = s.isin(vocab) | (s.str.strip() == "")
+    return s.mask(mask)
+
+
+def _pandas_string_stats(name, s, stats):
+    """String-column facts, mirroring ``_base_exprs`` + ``_expensive_exprs``
+    semantics (rlike = re.search; counts over nan-normalized values).
+    Returns the set of checks that must fall back to a Spark agg because
+    their configured regex doesn't compile under Python ``re``."""
+    import pandas as pd
+
+    norm = _nan_normalize_pandas(s)
+    low = norm.str.strip().str.lower()
+    nn = norm.dropna()
+    stats["nonnull_norm"] = int(norm.notna().sum())
+    stats["nunique_norm"] = int(norm.nunique())
+    is_int = norm.str.contains(_INT_STRING_RE, regex=True, na=False)
+    is_float = low.str.contains(_FLOAT_STRING_RE, regex=True, na=False)
+    stats["int_str"] = int(is_int.sum())
+    stats["float_str"] = int(is_float.sum())
+    stats["float_nonint_str"] = int((is_float & ~is_int).sum())
+    low_nonnull = low.dropna()
+    for i, bs in enumerate(_BOOL_SETS):
+        inset = low_nonnull.isin(bs)
+        stats[f"bool_out{i}"] = int((~inset).sum())
+        stats[f"bool_in{i}"] = int(low_nonnull[inset].nunique())
+    # Expensive checks (regexes, datetime parse) are probe-pruned exactly
+    # like the Spark engine: the full check requires ALL non-null values
+    # to match, so one miss among the first _PROBE_PER_COL values soundly
+    # rules it out — this keeps the IPv6 monster-regex and per-value
+    # dateutil parsing off columns that are obviously comments/categories.
+    probe = nn.head(_PROBE_PER_COL)
+    spark_fallback = set()
+    for key, rx in _regexes().items():
+        try:
+            crx = re.compile(rx)
+        except re.error:
+            # Java-only regex syntax: defer this one check to a Spark agg
+            spark_fallback.add(key)
+            continue
+        if len(probe) and all(crx.search(v) for v in probe):
+            stats[key] = int(nn.str.contains(rx, regex=True).sum())
+        else:
+            stats[key] = 0
+    # datetime: the reference's own parse (pandas to_datetime) IS the
+    # ground truth here (reference utils.py:595-650, col_is_datetime);
+    # explicit-format discovery catches custom separators.  An inferred
+    # format takes the vectorized C parse path; only the residue falls
+    # back to per-value mixed parsing.
+    dt_parse = 0
+    if len(probe):
+        probed = pd.to_datetime(probe, errors="coerce", format="mixed")
+        if not probed.isna().any():
+            from woodwork_spark.table_utils import infer_datetime_format
+
+            fmt = infer_datetime_format(list(probe))
+            rest = nn
+            if fmt:
+                with_fmt = pd.to_datetime(nn, errors="coerce", format=fmt)
+                dt_parse = int(with_fmt.notna().sum())
+                rest = nn[with_fmt.isna()]
+            if len(rest):
+                parsed = pd.to_datetime(rest, errors="coerce", format="mixed")
+                dt_parse += int(parsed.notna().sum())
+        else:
+            from woodwork_spark.table_utils import infer_datetime_format
+
+            fmt = infer_datetime_format(list(probe))
+            if fmt:
+                with_fmt = pd.to_datetime(nn, errors="coerce", format=fmt)
+                dt_parse = int(with_fmt.notna().sum())
+    stats["dt_parse"] = dt_parse
+    return spark_fallback
+
+
+def _build_profiles_pandas(df, columns, sample_size, sample_mode):
+    """Driver-side profile engine: one Arrow collect of the bounded
+    sample, stats in pandas/numpy — zero wide aggs, zero probe jobs."""
+    import pandas as pd
+
+    sample = _sampled(df, columns, sample_size, sample_mode)
+    dtypes = {f.name: f.dataType for f in sample.schema.fields}
+    pdf = arrow_to_pandas(sample)
+
+    profiles = {}
+    fallback_exprs = []
+    for name in columns:
+        s = pdf[name]
+        dtype = dtypes[name]
+        stats = {
+            "total": int(len(s)),
+            "nonnull": int(s.notna().sum()),
+            "nunique": int(s.nunique()),
+        }
+        if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
+            vals = pd.to_numeric(s.dropna(), errors="coerce")
+            stats["nonint"] = int(((vals % 1) != 0).sum())
+        if isinstance(dtype, T.StringType):
+            need_spark = _pandas_string_stats(name, s, stats)
+            if need_spark:
+                fallback_exprs.extend(_expensive_exprs(name, need_spark))
+        for key in ("email", "phone", "postal", "url", "ip"):
+            stats.setdefault(key, 0)
+        stats.setdefault("dt_parse", 0)
+        profiles[name] = ColumnProfile(
+            name, dtype, stats, pandas_sample=s,
+        )
+    if fallback_exprs:
+        row = sample.agg(*fallback_exprs).collect()[0].asDict()
+        for k, v in row.items():
+            col, _, stat = k.rpartition("__")
+            profiles[col].stats[stat] = v if v is not None else 0
     return profiles
