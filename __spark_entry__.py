@@ -1111,6 +1111,87 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: documents laid end-to-end per language
+    (ordered by doc_id) and cut into 512-token training sequences; each
+    doc gets the sequence id + offset where its first token lands.
+    small_threshold=0 forces the distributed range-partitioned prefix-sum
+    path (per-(group,partition) offsets broadcast-joined back) — the
+    shape that holds when 'en' is 90% of a 100 TB corpus."""
+    from woodwork_spark.operators.packing import pack_sequences
+    from woodwork_spark.operators.text import token_count_expr
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", token_count_expr("text").cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        d, "n_tokens", 512, [F.asc("doc_id")], group_cols=["lang"],
+        small_threshold=0,
+    )
+    return packed.select("doc_id", "lang", "n_tokens", "seq_id", "seq_off")
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source document cap (15 docs per source, deterministic by
+    doc_id) — the per-domain cap web corpora apply so no crawl host
+    dominates.  One partitioned window, filter in the same stage."""
+    from woodwork_spark.operators.packing import cap_per_group
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, "source", 15, [F.asc("doc_id")])
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def q_mix_report(spark, sf_dir):
+    """Corpus-mix report against a target language mix: achieved token
+    share per language and the downsampling fraction that would hit the
+    target (NULL for langs outside the target; >1 = cannot upsample by
+    filtering).  One agg job + broadcast literal map."""
+    from woodwork_spark.operators.packing import mix_report
+    from woodwork_spark.operators.text import token_count_expr
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("n_tokens", token_count_expr("text").cast("double"))
+    rep = mix_report(
+        d, "lang", weight_col="n_tokens",
+        target={"en": 0.4, "zh": 0.3, "es": 0.3},
+    )
+    return rep.select(
+        "lang",
+        "n_docs",
+        F.col("weight").cast("long").alias("n_tokens"),
+        _ravg(F.col("achieved_frac"), 6).alias("achieved_frac"),
+        F.col("target_frac"),
+        _ravg(F.col("sample_frac"), 6).alias("sample_frac"),
+    )
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Per-document mean unigram log-probability (perplexity-proxy
+    quality score): corpus unigram LM and scoring in one pipeline —
+    explode, token-frequency agg, co-partitioned token join, per-doc
+    re-agg.  Frequency table deliberately NOT broadcast (web-scale
+    vocabularies are huge)."""
+    from woodwork_spark.operators.text import unigram_logprob
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs, "text", "doc_id", extra_cols=["lang"])
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        _ravg(F.col("avg_logprob"), 6).alias("avg_logprob"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -1162,6 +1243,10 @@ QUERIES = {
     "c4_line_filter": q_c4_line_filter,
     "pii_redact": q_pii_redact,
     "contamination": q_contamination,
+    "pack_sequences": q_pack_sequences,
+    "source_cap": q_source_cap,
+    "mix_report": q_mix_report,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 ORACLE = {
@@ -1939,6 +2024,69 @@ ORACLE = {
         FROM c JOIN b USING (gram)
         GROUP BY c.doc_id, b.bench_id
         HAVING count(*) >= 2
+    """,
+    "pack_sequences": """
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ), p AS (
+            SELECT doc_id, lang, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS prefix
+            FROM t
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(prefix // 512 AS BIGINT) AS seq_id,
+               CAST(prefix % 512 AS BIGINT) AS seq_off
+        FROM p
+    """,
+    "source_cap": """
+        WITH r AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                       AS rn
+            FROM documents
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(doc_id) AS BIGINT) AS max_doc_id
+        FROM r WHERE rn <= 15 GROUP BY source
+    """,
+    "mix_report": """
+        WITH c AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                        AS DOUBLE) AS weight
+            FROM documents GROUP BY lang
+        ), tgt(lang, target_frac) AS (
+            VALUES ('en', CAST(0.4 AS DOUBLE)), ('zh', CAST(0.3 AS DOUBLE)),
+                   ('es', CAST(0.3 AS DOUBLE))
+        ), tot AS (SELECT sum(weight) AS s FROM c)
+        SELECT c.lang, c.n_docs, CAST(c.weight AS BIGINT) AS n_tokens,
+               round(c.weight / tot.s + 1e-7, 6) AS achieved_frac,
+               tgt.target_frac,
+               round(tgt.target_frac / (c.weight / tot.s) + 1e-7, 6)
+                   AS sample_frac
+        FROM c CROSS JOIN tot LEFT JOIN tgt ON c.lang = tgt.lang
+    """,
+    "unigram_logprob": """
+        WITH tok AS (
+            SELECT doc_id, lang, lower(t) AS token
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS t
+                FROM documents
+            ) WHERE t <> ''
+        ), freq AS (
+            SELECT token, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY token
+        ), tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS s FROM freq)
+        SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(tf / s)) + 1e-7, 6) AS avg_logprob
+        FROM tok JOIN freq USING (token) CROSS JOIN tot
+        GROUP BY doc_id, lang
     """,
 }
 

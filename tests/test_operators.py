@@ -400,3 +400,111 @@ def test_chunk_documents_windows(spark):
         for r in T.chunk_documents(df, "text", "doc_id", chunk_tokens=4, stride=2).collect()
     }
     assert ov[(0, 1)] == "w2 w3 w4 w5"
+
+
+def test_grouped_prefix_sum_matches_window(spark):
+    """Distributed (range-partitioned + broadcast offsets) grouped prefix
+    sum must equal the plain partitioned-window formulation."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.operators.rank import grouped_prefix_sum
+
+    random.seed(7)
+    rows = [
+        (i, random.choice(["en", "zh", "es"]), random.randint(1, 50))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    dist = {
+        (r["g"], r["id"]): r["p"]
+        for r in grouped_prefix_sum(
+            df, ["g"], [F.asc("id")], "v", out_col="p", small_threshold=0,
+        ).collect()
+    }
+    # reference: per-group running sum in python
+    expect = {}
+    acc = {}
+    for i, g, v in sorted(rows):
+        expect[(g, i)] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + v
+    assert dist == expect
+
+
+def test_pack_sequences_concat_chunk(spark):
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 3), (1, 4), (2, 10), (3, 2)], "id long, n long",
+    )
+    out = {
+        r["id"]: (r["seq_id"], r["seq_off"])
+        for r in pack_sequences(
+            df, "n", 8, [F.asc("id")], small_threshold=0,
+        ).collect()
+    }
+    # stream: doc0 @0, doc1 @3, doc2 @7 (straddles into seq1&2), doc3 @17
+    assert out == {0: (0, 0), 1: (0, 3), 2: (0, 7), 3: (2, 1)}
+
+
+def test_cap_per_group_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.operators.packing import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "id long, src string",
+    )
+    out = cap_per_group(df, "src", 4, [F.asc("id")]).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["src"], []).append(r["id"])
+    assert {k: sorted(v) for k, v in by.items()} == {
+        "s0": [0, 3, 6, 9], "s1": [1, 4, 7, 10], "s2": [2, 5, 8, 11],
+    }
+
+
+def test_rebalance_mix_downsamples_to_target(spark):
+    from woodwork_spark.operators.packing import mix_report, rebalance_mix
+
+    rows = [(i, "en" if i < 900 else ("fr" if i < 1000 else "de")) for i in range(1050)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = rebalance_mix(df, "id", "lang", {"en": 0.5, "fr": 0.5})
+    counts = {
+        r["lang"]: r["n_docs"]
+        for r in mix_report(out, "lang").collect()
+    }
+    # fr (the scarcest targeted group) kept whole; en shrunk to match;
+    # de (outside the target mix) dropped entirely
+    assert counts["fr"] == 100
+    assert 80 <= counts["en"] <= 120
+    assert "de" not in counts
+    # deterministic: same hash salt -> same rows
+    again = {
+        r["lang"]: r["n_docs"]
+        for r in mix_report(
+            rebalance_mix(df, "id", "lang", {"en": 0.5, "fr": 0.5}), "lang",
+        ).collect()
+    }
+    assert again == counts
+
+
+def test_unigram_logprob_manual(spark):
+    import math
+
+    from woodwork_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob(df, "text", "doc_id").collect()
+    }
+    # corpus: a=2, b=2, c=1, total=5
+    la, lb, lc = (math.log(2 / 5), math.log(2 / 5), math.log(1 / 5))
+    assert out[0][0] == 3 and abs(out[0][1] - (la + la + lb) / 3) < 1e-9
+    assert out[1][0] == 2 and abs(out[1][1] - (lb + lc) / 2) < 1e-9

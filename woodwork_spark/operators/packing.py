@@ -1,0 +1,172 @@
+"""Sequence packing and corpus-mix operators for training-data prep.
+
+These are LLM-pipeline primitives beyond the reference's scope (the
+reference is a typing layer; see SURVEY.md §2 addendum): given a corpus
+of token-counted documents, assign each document its position in the
+concatenated fixed-length training-sequence stream (GPT-style
+concat-then-chunk packing), cap per-source document counts, and report /
+rebalance the source mix.
+
+All operators are pure DataFrame compositions — no UDFs, no driver-side
+row loops; the only collects are bounded per-partition subtotal tables
+inside the distributed prefix-sum primitives (operators/rank.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from woodwork_spark.operators.rank import global_prefix_sum, grouped_prefix_sum
+
+
+def pack_sequences(
+    df: DataFrame,
+    count_col: str,
+    seq_len: int,
+    order,
+    group_cols=None,
+    out_prefix: str = "seq",
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Concat-then-chunk packing: documents are laid end-to-end in
+    deterministic ``order`` (per group when ``group_cols`` given, e.g.
+    one stream per language) and the stream is cut into fixed
+    ``seq_len``-token training sequences.  Each document gets:
+
+    - ``{out_prefix}_id``:  index of the sequence its first token lands in,
+    - ``{out_prefix}_off``: token offset within that sequence,
+
+    i.e. exactly where a tokenizer writer would place it.  Documents may
+    straddle sequence boundaries — that IS the standard pretraining
+    packing semantics (no padding, no loss of tokens).
+
+    Scale: one range shuffle + per-partition windows via the distributed
+    prefix-sum primitives; a dominant group ('en' at 90% of a 100 TB
+    corpus) spans many partitions instead of one reducer.
+    """
+    if group_cols:
+        out = grouped_prefix_sum(
+            df,
+            group_cols,
+            order,
+            count_col,
+            out_col="__prefix",
+            small_threshold=small_threshold,
+        )
+    else:
+        out = global_prefix_sum(
+            df, order, count_col, out_col="__prefix",
+            small_threshold=small_threshold,
+        )
+    return (
+        out.withColumn(
+            f"{out_prefix}_id", (F.col("__prefix") / seq_len).cast("long"),
+        )
+        .withColumn(
+            f"{out_prefix}_off", (F.col("__prefix") % seq_len).cast("long"),
+        )
+        .drop("__prefix")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order,
+) -> DataFrame:
+    """Keep at most ``k`` documents per group (source/domain/host), chosen
+    deterministically by ``order`` — the per-domain cap every web-scale
+    corpus applies so no single crawl host dominates.
+
+    One partitioned window (reducer per group): group sizes are bounded
+    by crawl reality, and the filter drops rows beyond rank k inside the
+    same stage — no second shuffle.  For pathological single-group skew,
+    pre-filter with a per-partition ``limit`` before the window.
+    """
+    w = W.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def mix_report(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str = None,
+    target: dict = None,
+) -> DataFrame:
+    """Corpus-mix report per group: document count, token share (by
+    ``weight_col`` when given, else rows), achieved fraction, and — when
+    a ``target`` mix {group: fraction} is supplied — the sampling
+    fraction that would rebalance this corpus to the target (>=1 means
+    the group is under-represented and cannot be upsampled by filtering).
+
+    One aggregation job; the target map joins as a broadcast literal.
+    """
+    wexpr = F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        wexpr.cast("double").alias("weight"),
+    )
+    total = F.sum("weight").over(W.partitionBy())
+    agg = agg.withColumn("achieved_frac", F.col("weight") / total)
+    if target:
+        items = []
+        for kk, vv in target.items():
+            items += [F.lit(kk), F.lit(float(vv))]
+        tmap = F.create_map(*items)
+        agg = agg.withColumn("target_frac", tmap[F.col(group_col)])
+        agg = agg.withColumn(
+            "sample_frac",
+            F.when(
+                F.col("target_frac").isNotNull() & (F.col("achieved_frac") > 0),
+                F.col("target_frac") / F.col("achieved_frac"),
+            ),
+        )
+    return agg
+
+
+def rebalance_mix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    target: dict,
+    weight_col: str = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministically downsample groups to a ``target`` mix
+    {group: fraction}: after filtering, group weights satisfy
+    ``w_g' = c * target_g`` for the largest feasible ``c`` (filtering can
+    only downsample, so ``c = min_g(w_g / target_g)`` — the scarcest
+    group is kept whole and everything else shrinks to match).  Groups
+    absent from ``target`` are dropped: the target defines the full mix.
+
+    One agg for the weights, then the same stable-hash filter as
+    ``hash_split`` — reproducible across runs, engines, partitionings.
+    """
+    from woodwork_spark.operators.sampling import stratified_hash_sample
+
+    wexpr = F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    rows = (
+        df.groupBy(group_col).agg(wexpr.cast("double").alias("w")).collect()
+    )
+    weights = {r[group_col]: r["w"] for r in rows}
+    c = min(
+        (weights.get(g, 0.0) / t for g, t in target.items() if t > 0),
+        default=0.0,
+    )
+    fractions = {}
+    for g, w in weights.items():
+        t = target.get(g)
+        if t is None or w <= 0:
+            fractions[g] = 0.0  # outside the target mix: drop
+        else:
+            fractions[g] = min(c * t / w, 1.0)
+    return stratified_hash_sample(
+        df, key_col, fractions, group_col, salt=salt,
+    )

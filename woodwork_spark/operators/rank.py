@@ -117,3 +117,75 @@ def global_prefix_sum(
         )
         .drop(_PID)
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols,
+    order,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int = None,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Exclusive running sum of ``value_col`` in ``order`` WITHIN each
+    group, restarting at 0 per group — the distributed form of
+    ``sum() OVER (PARTITION BY group ORDER BY order ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``.
+
+    A plain partitionBy(group) window puts each whole group through one
+    reducer — fine for many small groups, a scale-killer when one group
+    holds most of the corpus (the usual case: 'en').  Here the range
+    shuffle is on (group, order), so a big group spans MANY partitions;
+    per-(group, partition) subtotals are aggregated (≤ n_partitions +
+    n_groups rows), turned into exclusive offsets driver-side, and
+    broadcast-joined back — no literal-map blowup for high-cardinality
+    groups, no single-reducer stage anywhere.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    spark = df.sparkSession
+    if small_threshold:
+        df = df.persist()
+        if df.limit(small_threshold + 1).count() <= small_threshold:
+            w = (
+                W.partitionBy(*group_cols)
+                .orderBy(*order)
+                .rowsBetween(W.unboundedPreceding, -1)
+            )
+            return df.withColumn(
+                out_col, F.coalesce(F.sum(value_col).over(w), F.lit(0)),
+            )
+    keys = [F.col(g) for g in group_cols]
+    parted = _range_partitioned(df, keys + list(order), num_partitions)
+    totals = (
+        parted.groupBy(_PID, *group_cols)
+        .agg(F.sum(value_col).alias("__t"))
+        .collect()
+    )
+    # exclusive running offset per group across ascending partition ids
+    acc: dict = {}
+    rows = []
+    for r in sorted(totals, key=lambda r: (r[_PID])):
+        g = tuple(r[g_] for g_ in group_cols)
+        rows.append((r[_PID],) + g + (acc.get(g, 0),))
+        acc[g] = acc.get(g, 0) + (r["__t"] or 0)
+    from pyspark.sql import types as T
+
+    base = parted.select(_PID, *group_cols).schema
+    off_schema = T.StructType(
+        list(base.fields) + [T.StructField("__off", T.LongType())],
+    )
+    off_df = spark.createDataFrame(rows, schema=off_schema)
+    w = (
+        W.partitionBy(_PID, *group_cols)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        parted.withColumn(
+            "__local", F.coalesce(F.sum(value_col).over(w), F.lit(0)),
+        )
+        .join(F.broadcast(off_df), on=[_PID] + group_cols, how="left")
+        .withColumn(out_col, F.col("__local") + F.coalesce("__off", F.lit(0)))
+        .drop(_PID, "__local", "__off")
+    )

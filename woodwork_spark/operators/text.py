@@ -250,3 +250,43 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lowercase: bool = True,
+    extra_cols=(),
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the classic cheap
+    perplexity proxy for corpus quality scoring (low mean logprob =
+    rare/garbled tokens; gibberish and boilerplate both stand out).
+
+    Model and scorer come from the SAME corpus in one pipeline:
+    explode -> token frequencies (map-side partial agg) -> shuffle join
+    tokens->freq on the token key -> re-agg per document.  The frequency
+    table is NOT broadcast: a web-scale vocabulary is itself huge, and
+    the token-key shuffle join co-locates with the freq aggregation's
+    existing partitioning.  The corpus token total is a single aggregate
+    scalar (one tiny job), folded in as a literal so the per-token join
+    row stays narrow.
+    """
+    toks = tokens_expr(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    tok = df.select(
+        id_col, *extra_cols, F.explode(toks).alias("token"),
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__tf"))
+    total = freq.agg(F.sum("__tf")).collect()[0][0] or 1
+    return (
+        tok.join(freq, "token")
+        .groupBy(id_col, *extra_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.col("__tf") / F.lit(float(total)))).alias(
+                "avg_logprob",
+            ),
+        )
+    )
