@@ -154,3 +154,41 @@ def test_global_row_number_and_prefix_sum_values(spark):
         expect[v] = acc
         acc += sum(1 for x in data if x[0] == v)
     assert got == expect
+
+
+def test_grouped_prefix_sum_scale_shape(spark):
+    """pack_sequences' distributed path: no single-partition Exchange,
+    offsets come back via a broadcast join (not a giant literal map)."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.operators.rank import grouped_prefix_sum
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", F.length("text").alias("n"),
+    )
+    ps = grouped_prefix_sum(
+        df, ["lang"], [F.asc("doc_id")], "n", small_threshold=0,
+    )
+    plan = _executed_plan(ps)
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan  # offsets table joins broadcast
+    assert "Window" in plan
+
+
+def test_unigram_logprob_join_strategy_left_to_catalyst(spark):
+    """The token->frequency join must carry NO join hint: Catalyst picks
+    broadcast at small vocabulary sizes (as here) but must remain free
+    to choose a shuffle join when stats say the vocabulary is huge —
+    a forced broadcast would OOM executors at corpus scale."""
+    from woodwork_spark.operators.text import unigram_logprob
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    scored = unigram_logprob(docs, "text", "doc_id")
+    optimized = scored._jdf.queryExecution().optimizedPlan().toString()
+    assert "JOIN_HINT" not in optimized and "broadcast" not in optimized
+    plan = _executed_plan(scored)
+    # map-side partial aggregation on both the freq build and the per-doc
+    # scoring side, and no Python anywhere in the pipeline
+    assert "partial_count" in plan
+    assert "partial_avg" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

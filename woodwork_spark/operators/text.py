@@ -264,13 +264,14 @@ def unigram_logprob(
     rare/garbled tokens; gibberish and boilerplate both stand out).
 
     Model and scorer come from the SAME corpus in one pipeline:
-    explode -> token frequencies (map-side partial agg) -> shuffle join
-    tokens->freq on the token key -> re-agg per document.  The frequency
-    table is NOT broadcast: a web-scale vocabulary is itself huge, and
-    the token-key shuffle join co-locates with the freq aggregation's
-    existing partitioning.  The corpus token total is a single aggregate
-    scalar (one tiny job), folded in as a literal so the per-token join
-    row stays narrow.
+    explode -> token frequencies (map-side partial agg) -> join
+    tokens->freq on the token key -> re-agg per document.  The join
+    strategy is deliberately left to Catalyst/AQE: no broadcast hint
+    (a web-scale vocabulary is itself huge — forcing broadcast would
+    OOM executors at 100 TB) and no shuffle hint (at modest vocabulary
+    sizes AQE's runtime stats correctly pick the broadcast).  The corpus
+    token total is a single aggregate scalar (one tiny job), folded in
+    as a literal so the per-token join row stays narrow.
     """
     toks = tokens_expr(text_col)
     if lowercase:
