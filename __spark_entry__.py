@@ -1192,6 +1192,72 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: planted near-duplicate embeddings
+    (same reverse-perturbation construction as q_embedding_near_dup, so
+    recall of the LSH candidate stage is already oracle-proven), grouped
+    transitively by connected components, min-id representative kept per
+    group.  Oracle computes exact-cosine edges + reachability via a
+    recursive CTE — the first value-checked harness query for the
+    connected-components primitive."""
+    from woodwork_spark.operators.dedup import semdedup
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    planted = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) ->"
+            " x + 0.05D * element_at(embedding, size(embedding) - i))",
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(planted)
+    out = semdedup(aug, "vec_id", "embedding", threshold=0.95)
+    return out.select("id", "rep", "keep").orderBy("id")
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup: the events file read as TWO file
+    streams unioned (an at-least-once source replaying every event
+    twice), collapsed by dropDuplicatesWithinWatermark on event_id, run
+    to completion with Trigger.AvailableNow into a memory sink.  The
+    deduped stream must equal the plain batch table — the oracle is the
+    batch SQL; the doubled input makes the dedup load-bearing (skipping
+    it would double every count)."""
+    import uuid
+
+    from woodwork_spark.streaming import dedup_event_stream, read_event_stream
+
+    _prep(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    replayed = read_event_stream(spark, path, max_files_per_trigger=10).unionByName(
+        read_event_stream(spark, path, max_files_per_trigger=10),
+    )
+    deduped = dedup_event_stream(replayed, keys=("event_id",))
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT event_id) AS n_ids,
+               round(sum(value) + 1e-7, 2) AS sum_value
+        FROM {name} GROUP BY event_type
+        """,
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -1247,6 +1313,8 @@ QUERIES = {
     "source_cap": q_source_cap,
     "mix_report": q_mix_report,
     "unigram_logprob": q_unigram_logprob,
+    "semdedup": q_semdedup,
+    "stream_dedup": q_stream_dedup,
 }
 
 ORACLE = {
@@ -2087,6 +2155,42 @@ ORACLE = {
                round(avg(ln(tf / s)) + 1e-7, 6) AS avg_logprob
         FROM tok JOIN freq USING (token) CROSS JOIN tot
         GROUP BY doc_id, lang
+    """,
+    "semdedup": """
+        WITH RECURSIVE base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), planted AS (
+            SELECT vec_id + 100000 AS vec_id,
+                   list_transform(range(1, len(v)+1),
+                                  i -> v[i] + 0.05 * v[len(v) + 1 - i]) AS v
+            FROM base WHERE vec_id < 50
+        ), aug AS (
+            SELECT * FROM base UNION ALL SELECT * FROM planted
+        ), edges AS (
+            SELECT a.vec_id AS ea, b.vec_id AS eb
+            FROM aug a JOIN aug b ON a.vec_id <> b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        ), reach(id, r) AS (
+            SELECT ea, eb FROM edges
+            UNION
+            SELECT reach.id, edges.eb
+            FROM reach JOIN edges ON reach.r = edges.ea
+            WHERE edges.eb <> reach.id
+        ), rep AS (
+            SELECT id, least(min(r), id) AS rep FROM reach GROUP BY id
+        )
+        SELECT g.vec_id AS id,
+               COALESCE(rep.rep, g.vec_id) AS rep,
+               (COALESCE(rep.rep, g.vec_id) = g.vec_id) AS keep
+        FROM aug g LEFT JOIN rep ON g.vec_id = rep.id
+        ORDER BY id
+    """,
+    "stream_dedup": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+               round(sum(value) + 1e-7, 2) AS sum_value
+        FROM events GROUP BY event_type
     """,
 }
 

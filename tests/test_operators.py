@@ -508,3 +508,18 @@ def test_unigram_logprob_manual(spark):
     la, lb, lc = (math.log(2 / 5), math.log(2 / 5), math.log(1 / 5))
     assert out[0][0] == 3 and abs(out[0][1] - (la + la + lb) / 3) < 1e-9
     assert out[1][0] == 2 and abs(out[1][1] - (lb + lc) / 2) < 1e-9
+
+
+def test_semdedup_groups_and_representatives(spark):
+    from woodwork_spark.operators.dedup import semdedup
+
+    # 0 and 1 identical, 2 a slight perturbation of them, 3 orthogonal
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = {r["id"]: (r["rep"], r["keep"]) for r in semdedup(df, "id", "v").collect()}
+    assert out == {0: (0, True), 1: (0, False), 2: (0, False), 3: (3, True)}

@@ -98,3 +98,20 @@ def test_stream_stream_interval_join_matches_batch(spark):
     ).count()
     assert got == expected
     assert got > 0
+
+
+def test_dedup_event_stream_exactly_once(spark):
+    """A doubled (at-least-once) stream deduped by event_id must equal
+    the batch table exactly."""
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.streaming import dedup_event_stream
+
+    doubled = read_event_stream(spark, EVENTS).unionByName(
+        read_event_stream(spark, EVENTS),
+    )
+    out = _run(
+        dedup_event_stream(doubled, keys=("event_id",)), "dedup_t", "append",
+    )
+    batch = read_parquet(spark, EVENTS)
+    assert out.count() == batch.count()
+    assert out.select("event_id").distinct().count() == batch.count()

@@ -547,3 +547,42 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 64,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    near-duplicate pairs by cosine (hyperplane-LSH candidates + exact
+    verification, recall ~1.0 at the default 64/8 parameters), grouped
+    transitively via connected components, one representative (min id)
+    kept per semantic group.
+
+    Returns (id, rep, keep): every row of ``df`` appears once; rows with
+    no near-duplicate are their own representative.  ``keep`` marks the
+    survivor of each group — ``df.join(semdedup(...).filter("keep"),
+    id_col)`` is the deduplicated corpus.
+
+    Scale shape: LSH bucket join (no cross join), CC state is one
+    (id, label) row per vertex in dup groups only; the final join back
+    to the full id set is by id (AQE picks broadcast when the dup set
+    is small, the common case).
+    """
+    pairs = embedding_near_dup_pairs(
+        df, id_col, vec_col,
+        threshold=threshold, planes=planes, bands=bands, seed=seed,
+    )
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    ids = df.select(F.col(id_col).alias("id"))
+    out = (
+        ids.join(comps, "id", "left")
+        .withColumn("rep", F.coalesce("component", F.col("id")))
+        .drop("component")
+    )
+    return out.withColumn("keep", F.col("id") == F.col("rep"))

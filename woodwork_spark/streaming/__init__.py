@@ -2,6 +2,7 @@ from woodwork_spark.streaming.events import (
     read_event_stream,
     hourly_rollup_stream,
     sessionize_stream,
+    dedup_event_stream,
     late_data_counts_stream,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "read_event_stream",
     "hourly_rollup_stream",
     "sessionize_stream",
+    "dedup_event_stream",
     "late_data_counts_stream",
 ]

@@ -278,3 +278,22 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120
     )
     q.awaitTermination(timeout_sec)
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def dedup_event_stream(
+    events: DataFrame,
+    keys=("event_id",),
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Exactly-once event delivery over an at-least-once stream:
+    ``dropDuplicatesWithinWatermark`` on ``keys``.  State holds one entry
+    per key seen within the watermark horizon and is evicted as event
+    time advances — bounded regardless of stream length, the property a
+    plain ``dropDuplicates`` on an unbounded stream lacks (its state
+    grows forever).  Duplicates with slightly different event times
+    (retries, at-least-once sources) still collapse as long as they
+    land within the watermark delay of each other.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys),
+    )
