@@ -37,7 +37,11 @@ from woodwork_spark.logical_types import Datetime, nan_normalize
 
 _INT_STRING_RE = r"^[-+]?[0-9]+$"
 # float() accepts ints, decimals, scientific notation, inf/nan
-_FLOAT_STRING_RE = r"^[-+]?([0-9]*\.?[0-9]+([eE][-+]?[0-9]+)?|inf|infinity|nan)$"
+# (non-capturing groups: shared verbatim by Spark rlike and pandas
+# str.contains, which warns on capture groups)
+_FLOAT_STRING_RE = (
+    r"^[-+]?(?:[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?|inf|infinity|nan)$"
+)
 
 _BOOL_SETS = [
     frozenset(["yes", "no"]),
@@ -364,6 +368,22 @@ def build_profiles(
     return profiles
 
 
+def _safe_nunique(s) -> int:
+    """nunique that tolerates unhashable cells (arrays/structs/maps from
+    Spark complex types): falls back to distinct-by-string-form.  Only
+    the unique/total RATIO is consumed, and never for complex dtypes
+    (categorical inference applies to strings/numerics only), so the
+    stringified approximation is more than enough."""
+    try:
+        return int(s.nunique())
+    except TypeError:
+        return int(
+            s.dropna()
+            .map(lambda v: str(v.tolist()) if hasattr(v, "tolist") else str(v))
+            .nunique()
+        )
+
+
 def _nan_normalize_pandas(s):
     """pandas mirror of ``nan_normalize``: null out the reference's
     missing-value string vocabulary + blank/whitespace-only strings."""
@@ -463,7 +483,7 @@ def _build_profiles_pandas(df, columns, sample_size, sample_mode):
         stats = {
             "total": int(len(s)),
             "nonnull": int(s.notna().sum()),
-            "nunique": int(s.nunique()),
+            "nunique": _safe_nunique(s),
         }
         if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
             vals = pd.to_numeric(s.dropna(), errors="coerce")
