@@ -523,3 +523,19 @@ def test_semdedup_groups_and_representatives(spark):
     df = spark.createDataFrame(rows, "id long, v array<double>")
     out = {r["id"]: (r["rep"], r["keep"]) for r in semdedup(df, "id", "v").collect()}
     assert out == {0: (0, True), 1: (0, False), 2: (0, False), 3: (3, True)}
+
+
+def test_connected_components_distributed_matches_unionfind(spark):
+    """Forced distributed label-propagation path must produce the same
+    labels as the driver-side union-find fast path."""
+    import random
+
+    random.seed(11)
+    edges = [(random.randint(0, 200), random.randint(0, 200)) for _ in range(150)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    dist = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs, small_threshold=0).collect()
+    }
+    assert fast == dist

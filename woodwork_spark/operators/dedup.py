@@ -203,21 +203,61 @@ def minhash_dedup_pairs(
 
 def connected_components(
     pairs: DataFrame,
-    max_iter: int = 12,
+    max_iter: int = 50,
+    small_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over an (id_a, id_b) edge list via iterative
     min-label propagation (the alternating large-star/small-star
     construction collapses to this star-contraction loop for undirected
     edges).  Returns (id, component) with component = min id reachable.
 
-    Each iteration is two shuffles (groupBy min + join); converges in
-    O(log(longest path)) iterations, checked by a count of changed
-    labels.  Scales: state is one (id, label) row per vertex.
+    Cardinality-aware (same hybrid as operators/rank.py): dup-pair edge
+    lists are usually a tiny fraction of the corpus, and each distributed
+    iteration costs 2 shuffles + a convergence-check job — pure overhead
+    at small sizes.  At or below ``small_threshold`` edges the list is
+    collected and solved with driver-side union-find (exact same
+    labels, one job instead of ~3 per iteration).  Above it, the
+    iterative loop: 2 shuffles per iteration, O(log(longest path))
+    iterations, state bounded at one (id, label) row per vertex.
+    Pass ``small_threshold=0`` to force the distributed shape.
     """
+    spark = pairs.sparkSession
+    if small_threshold:
+        head = pairs.select("id_a", "id_b").limit(small_threshold + 1).collect()
+        if len(head) <= small_threshold:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in head:
+                a, b = r["id_a"], r["id_b"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:  # union by min: smaller id becomes the root
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            rows = [(x, find(x)) for x in parent]
+            return spark.createDataFrame(
+                rows, schema=pairs.select(
+                    F.col("id_a").alias("id"), F.col("id_b").alias("component"),
+                ).schema,
+            )
+    # persist: every iteration joins against edges, and the caller's edge
+    # list may carry an expensive lineage (LSH sketch + verify in
+    # semdedup) that must not be recomputed per iteration
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -254,7 +294,12 @@ def connected_components(
                 F.coalesce(F.col("pcomp"), F.col("component")).alias("component"),
             )
         )
-        resolved = resolved.cache()
+        # localCheckpoint (eager), NOT cache: `resolved` joins `updated`
+        # with itself, so the logical plan DOUBLES per iteration — cache
+        # keeps the data but not a truncated plan, and by ~10 iterations
+        # the 2^10-node plan OOMs the driver during analysis.  The
+        # checkpoint cuts lineage to the materialized blocks.
+        resolved = resolved.localCheckpoint(eager=True)
         changed = (
             resolved.alias("n")
             .join(labels.alias("o"), "id")
@@ -262,13 +307,22 @@ def connected_components(
             .limit(1)
             .count()
         )
-        # the changed-count job materialized `resolved`; the previous
-        # generation's cache (and its lineage) is no longer needed
+        # previous generation's checkpoint blocks are no longer needed
         if prev is not None:
             prev.unpersist()
         prev, labels = resolved, resolved
         if changed == 0:
             break
+    else:
+        # silently-wrong labels are worse than a loud failure: the loop
+        # is converge-checked, so hitting the cap means the graph needs
+        # a larger max_iter (label still moving after `max_iter` rounds)
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations; raise max_iter",
+        )
+    edges.unpersist()  # final labels generation is itself materialized
     return labels
 
 
