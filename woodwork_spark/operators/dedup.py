@@ -125,19 +125,23 @@ def minhash_lsh_candidates(
     bands: int = 16,
     max_bucket_size: int = 1000,
     use_words: bool = True,
+    shingled: DataFrame = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
 
     rows_per_band = num_perm // bands; a pair collides if any band's
     signature slice hashes equal.  Shuffle is on (band, band_hash) only.
+    ``shingled`` (id, __sh) lets a caller that already computed the
+    shingle arrays (the verify stage needs them anyway) share one pass.
     """
     rows_per_band = num_perm // bands
-    sig = (
-        df.select(
+    if shingled is None:
+        shingled = df.select(
             F.col(id_col),
             shingles_expr(text_col, shingle_k, use_words).alias("__sh"),
         )
-        .filter(F.size("__sh") > 0)
+    sig = (
+        shingled.filter(F.size("__sh") > 0)
         .select(id_col, minhash_signature_expr("__sh", num_perm).alias("__sig"))
     )
     banded = sig.select(
@@ -181,13 +185,19 @@ def minhash_dedup_pairs(
     use_words: bool = True,
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates -> exact Jaccard on
-    the shingle sets (array_intersect/array_union sizes)."""
+    the shingle sets (array_intersect/array_union sizes).
+
+    The shingle arrays are computed ONCE and persisted
+    (MEMORY_AND_DISK, spillable): the signature path and both sides of
+    the verify join consume them — without sharing, the O(words·k)
+    shingle construction runs three times over the corpus."""
     shingled = df.select(
         F.col(id_col),
         shingles_expr(text_col, shingle_k, use_words).alias("__sh"),
-    )
+    ).persist()
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, shingle_k, num_perm, bands, use_words=use_words,
+        df, id_col, text_col, shingle_k, num_perm, bands,
+        use_words=use_words, shingled=shingled,
     )
     a = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
