@@ -1258,6 +1258,35 @@ def q_stream_dedup(spark, sf_dir):
     )
 
 
+def q_resample_events(spark, sf_dir):
+    """Hourly resample of the event stream with gap fill: every group's
+    [min, max] hour range densified, silent hours materialized as
+    0-count rows — the dense-grid prerequisite for window/forecast
+    pipelines.  Aggregate-then-join-grid: shuffle scales with bucket
+    count, not event count."""
+    from woodwork_spark.operators.timeseries import resample
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = resample(
+        ev,
+        "ts",
+        3600,
+        group_cols=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum("value"),
+        },
+        fill={"n_events": 0, "sum_value": 0.0},
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket_ts_s").alias("bucket_s"),
+        "n_events",
+        _ravg(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -1315,6 +1344,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "semdedup": q_semdedup,
     "stream_dedup": q_stream_dedup,
+    "resample_events": q_resample_events,
 }
 
 ORACLE = {
@@ -2191,6 +2221,27 @@ ORACLE = {
                CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
                round(sum(value) + 1e-7, 2) AS sum_value
         FROM events GROUP BY event_type
+    """,
+    "resample_events": """
+        WITH obs AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(value) AS sv
+            FROM events GROUP BY 1, 2
+        ), rng AS (
+            SELECT event_type, min(b) AS mn, max(b) AS mx
+            FROM obs GROUP BY 1
+        ), grid AS (
+            SELECT event_type, unnest(range(mn, mx + 3600, 3600)) AS b
+            FROM rng
+        )
+        SELECT g.event_type,
+               CAST(g.b AS BIGINT) AS bucket_s,
+               COALESCE(o.n, 0) AS n_events,
+               round(COALESCE(o.sv, 0) + 1e-7, 2) AS sum_value
+        FROM grid g LEFT JOIN obs o
+          ON g.event_type = o.event_type AND g.b = o.b
     """,
 }
 

@@ -539,3 +539,33 @@ def test_connected_components_distributed_matches_unionfind(spark):
         for r in dedup.connected_components(pairs, small_threshold=0).collect()
     }
     assert fast == dist
+
+
+def test_resample_fills_gaps(spark):
+    import datetime as dt
+
+    from woodwork_spark.operators.timeseries import resample
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        ("a", base, 1.0),
+        ("a", base + dt.timedelta(hours=3), 2.0),  # hours 1,2 silent
+        ("b", base + dt.timedelta(hours=1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {
+        (r["g"], r["bucket_ts_s"]): (r["n_events"], r["sum_v"])
+        for r in resample(
+            df, "ts", 3600, group_cols=["g"],
+            aggs={"n_events": F.count(F.lit(1)), "sum_v": F.sum("v")},
+            fill={"n_events": 0, "sum_v": 0.0},
+        ).collect()
+    }
+    h0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    # group a: 4 buckets incl. two zero-filled; group b: its single bucket
+    assert out[("a", h0)] == (1, 1.0)
+    assert out[("a", h0 + 3600)] == (0, 0.0)
+    assert out[("a", h0 + 7200)] == (0, 0.0)
+    assert out[("a", h0 + 10800)] == (1, 2.0)
+    assert out[("b", h0 + 3600)] == (1, 5.0)
+    assert len(out) == 5

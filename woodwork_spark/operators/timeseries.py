@@ -1,0 +1,78 @@
+"""Time-series resampling with gap fill.
+
+Complements the reference's ``infer_temporal_frequencies`` (which only
+DETECTS gaps/duplicates, statistics/frequency.py): ``resample`` rolls an
+event table up to a regular time grid and materializes empty buckets —
+the step every downstream window/forecast pipeline needs before it can
+assume a dense series.
+
+Scale shape: the heavy side aggregates FIRST (map-side partial agg on
+(group, bucket) — shuffle bytes scale with bucket count, not row
+count); the dense grid is generated per group from one tiny min/max agg
+via ``sequence`` + ``explode`` (grid rows = time-span/freq per group,
+small by construction) and joined back — AQE broadcasts the grid side
+when it is the small one.  No UDFs, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_expr(ts_col: str, freq_seconds: int):
+    """Epoch-aligned bucket start (in epoch seconds) for a timestamp."""
+    return (
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(freq_seconds * 1_000_000))
+        * freq_seconds
+    ).cast("long")
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    freq_seconds: int,
+    group_cols=(),
+    aggs: dict = None,
+    fill: dict = None,
+    out_ts: str = "bucket_ts",
+) -> DataFrame:
+    """Aggregate ``df`` onto a dense ``freq_seconds`` grid per group.
+
+    ``aggs`` maps output name -> aggregate Column (default
+    ``{"n_events": count(*)}``); ``fill`` maps output name -> literal
+    used for empty buckets (default 0 for every agg — pass None values
+    to keep nulls).  The grid spans each group's own [min, max] bucket
+    range, inclusive, so leading/trailing silence outside a group's
+    lifetime does not fabricate rows.
+
+    Returns one row per (group, bucket) with ``{out_ts}`` (timestamp),
+    ``{out_ts}_s`` (epoch seconds, join/oracle-friendly) and the aggs.
+    """
+    group_cols = list(group_cols)
+    if aggs is None:
+        aggs = {"n_events": F.count(F.lit(1))}
+    if fill is None:
+        fill = {name: 0 for name in aggs}
+    b = bucket_expr(ts_col, freq_seconds)
+    obs = (
+        df.groupBy(*group_cols, b.alias("__b"))
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+    rng = obs.groupBy(*group_cols).agg(
+        F.min("__b").alias("__mn"), F.max("__b").alias("__mx"),
+    )
+    grid = rng.select(
+        *group_cols,
+        F.explode(
+            F.sequence("__mn", "__mx", F.lit(freq_seconds).cast("long")),
+        ).alias("__b"),
+    )
+    out = grid.join(obs, group_cols + ["__b"], "left")
+    for name, default in fill.items():
+        if default is not None:
+            out = out.withColumn(name, F.coalesce(name, F.lit(default)))
+    return (
+        out.withColumn(out_ts, F.timestamp_seconds(F.col("__b")))
+        .withColumnRenamed("__b", f"{out_ts}_s")
+    )
