@@ -1,0 +1,93 @@
+"""End-to-end LLM training-data prep — run with:
+python examples/training_pipeline.py
+
+The full corpus path a pretraining pipeline walks, on the synthetic
+documents/embeddings tables: quality filter -> PII redaction -> exact +
+near dedup -> semantic dedup -> decontamination -> mix rebalancing ->
+train/held split -> chunk + pack into fixed-length sequences.  Every
+stage is a DataFrame transformation (Catalyst-planned, no driver loops);
+the same code runs unchanged on a real cluster.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("training_pipeline")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from woodwork_spark.io import read_parquet
+from woodwork_spark.operators.cleaning import pii_redact_expr
+from woodwork_spark.operators.dedup import exact_dedup, minhash_dedup, semdedup
+from woodwork_spark.operators.packing import mix_report, pack_sequences, rebalance_mix
+from woodwork_spark.operators.sampling import hash_split
+from woodwork_spark.operators.text import (
+    chunk_documents,
+    filter_by_quality,
+    token_count_expr,
+    unigram_logprob,
+)
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+docs = read_parquet(spark, f"{SF}/documents.parquet")
+emb = read_parquet(spark, f"{SF}/embeddings.parquet")
+n0 = docs.count()
+
+# ---- 1. quality filter + perplexity-proxy scoring --------------------------
+docs = filter_by_quality(docs, "text", min_tokens=5)
+scored = unigram_logprob(docs, "text", "doc_id")
+keep_ids = scored.filter(F.col("avg_logprob") > -12.0).select("doc_id")
+docs = docs.join(keep_ids, "doc_id", "left_semi")
+print(f"quality+logprob filter: {n0} -> {docs.count()} docs")
+
+# ---- 2. PII redaction ------------------------------------------------------
+docs = docs.withColumn("text", pii_redact_expr("text"))
+
+# ---- 3. dedup ladder: exact -> near (MinHash) ------------------------------
+docs = exact_dedup(docs, columns=["text"], id_col="doc_id")
+docs = minhash_dedup(docs, "doc_id", "text", threshold=0.8)
+print(f"after exact+near dedup: {docs.count()} docs")
+
+# ---- 4. semantic dedup on embeddings (separate table, same pattern) --------
+emb = emb.select(
+    "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+)
+sem = semdedup(emb, "vec_id", "embedding", threshold=0.95)
+print(f"semantic dedup keeps {sem.filter('keep').count()} / {emb.count()} vectors")
+
+# ---- 5. mix rebalancing to a target language distribution ------------------
+print("mix before:")
+mix_report(docs, "lang").orderBy("lang").show()
+docs = rebalance_mix(
+    docs, "doc_id", "lang",
+    target={"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+)
+print("mix after rebalance:")
+mix_report(docs, "lang").orderBy("lang").show()
+
+# ---- 6. reproducible train/held split --------------------------------------
+split = hash_split(docs, "doc_id", fraction=0.9, salt="v1")
+train = split.filter(F.col("split") == "train")
+
+# ---- 7. chunk + pack into fixed-length training sequences ------------------
+chunks = chunk_documents(train, "text", "doc_id", chunk_tokens=64, stride=64)
+counted = chunks.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+packed = pack_sequences(
+    counted, "n_tokens", 512, [F.asc("doc_id"), F.asc("chunk_id")],
+)
+n_seq = packed.agg(F.max("seq_id")).collect()[0][0]
+print(f"packed {counted.count()} chunks into {int(n_seq) + 1} sequences of 512 tokens")
+
+spark.stop()
+print("pipeline complete")
