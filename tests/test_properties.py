@@ -123,3 +123,72 @@ def test_minhash_estimates_jaccard(spark):
     sa, sb = (set(r["__sh"]) for r in rows)
     true_j = len(sa & sb) / len(sa | sb)
     assert abs(est - true_j) < 0.2  # 128 perms -> s.e. ~0.04
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # doc id
+            st.integers(min_value=0, max_value=300),     # token count
+            st.sampled_from(["en", "zh", "es"]),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=512),  # seq_len
+)
+def test_pack_sequences_invariants(sp, rows, seq_len):
+    """For any corpus and sequence length: offsets stay inside the
+    sequence, the packing is dense (prefix positions are exactly the
+    running token sum), and per-group streams are independent."""
+    from woodwork_spark.operators.packing import pack_sequences
+
+    df = sp.createDataFrame(rows, "id long, n long, g string")
+    out = pack_sequences(
+        df, "n", seq_len, [F.asc("id")], group_cols=["g"],
+    ).collect()
+    assert len(out) == len(rows)
+    by_group = {}
+    for r in sorted(out, key=lambda r: (r["g"], r["id"])):
+        assert 0 <= r["seq_off"] < seq_len
+        pos = r["seq_id"] * seq_len + r["seq_off"]
+        expected = by_group.get(r["g"], 0)
+        assert pos == expected  # dense: no token lost, none duplicated
+        by_group[r["g"]] = expected + r["n"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+)
+def test_connected_components_is_valid_partition(sp, edges):
+    """Union-find labels form a valid component partition: every vertex
+    labeled, endpoints of every edge share a label, and each label is
+    the minimum id of its component."""
+    from woodwork_spark.operators.dedup import connected_components
+
+    pairs = sp.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    verts = {v for e in edges for v in e}
+    assert set(got) == verts
+    for a, b in edges:
+        assert got[a] == got[b]
+    from collections import defaultdict
+
+    members = defaultdict(set)
+    for v, c in got.items():
+        members[c].add(v)
+    for c, vs in members.items():
+        assert c == min(vs)
