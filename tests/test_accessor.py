@@ -278,3 +278,35 @@ def test_demo_retail(spark):
     a = load_retail(nrows=50, spark=spark).raw.collect()
     b = load_retail(nrows=50, spark=spark).raw.collect()
     assert a == b
+
+
+def test_table_equality_and_mi_columns(spark):
+    import woodwork_spark as ww
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, 3.0, "b"), (3, 4.0, "a")],
+        "id long, x double, c string",
+    )
+    t1 = ww.init(df, index="id", logical_types={"c": "Categorical"})
+    t2 = ww.init(df, index="id", logical_types={"c": "Categorical"})
+    assert t1 == t2
+    assert t1.__eq__(t2, deep=False)
+    t3 = t1.set_types(semantic_tags={"x": "custom"})
+    assert t1 != t3  # schema differs
+    # different data, same schema
+    t4 = ww.init(
+        spark.createDataFrame(
+            [(1, 2.0, "a"), (2, 3.0, "b"), (3, 9.0, "a")],
+            "id long, x double, c string",
+        ),
+        index="id",
+        logical_types={"c": "Categorical"},
+    )
+    assert t1.__eq__(t4, deep=False)
+    assert t1 != t4
+    # MI columns: index dropped by default, includable via flag
+    assert t1.get_valid_mi_columns() == ["x", "c"]
+    assert "id" in t1.get_valid_mi_columns(include_index=True)
+    # dict shapes
+    assert isinstance(t1.pearson_correlation_dict(), list)
+    assert "<table" in t1._repr_html_()

@@ -270,6 +270,33 @@ class WWDataFrame:
         self._df = df
         self._schema = schema
 
+    def __eq__(self, other, deep=True):
+        """Typed-table equality (reference table_accessor.py:275-282):
+        schemas must match; with ``deep`` the data must too.  The deep
+        compare is exact and distributed — symmetric ``exceptAll``
+        emptiness (two jobs), the Spark analog of ``DataFrame.equals``
+        minus row order, which a distributed table does not have."""
+        if not isinstance(other, WWDataFrame):
+            return NotImplemented
+        if self._schema != other._schema:
+            return False
+        if not deep:
+            return True
+        if self._df is other._df:
+            return True
+        a, b = self._df, other._df
+        if a.schema != b.schema:
+            return False
+        return (
+            a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+        )
+
+    __hash__ = object.__hash__  # defining __eq__ would otherwise drop it
+
+    def _repr_html_(self):
+        """Notebook display: the types table (reference _repr_html_)."""
+        return self.types.to_html()
+
     # -- basic properties ----------------------------------------------------
     @property
     def df(self) -> DataFrame:
@@ -747,10 +774,28 @@ class WWDataFrame:
             measures=["pearson"], nrows=nrows, min_shared=min_shared, random_seed=random_seed,
         )
 
+    def pearson_correlation_dict(self, **kwargs):
+        return self.pearson_correlation(**kwargs).to_dict(orient="records")
+
     def spearman_correlation(self, nrows=None, min_shared=25, random_seed=0):
         return self.dependence(
             measures=["spearman"], nrows=nrows, min_shared=min_shared, random_seed=random_seed,
         )
+
+    def spearman_correlation_dict(self, **kwargs):
+        return self.spearman_correlation(**kwargs).to_dict(orient="records")
+
+    def get_valid_mi_columns(self, include_index=False, include_time_index=False):
+        """Columns whose logical types support mutual information
+        (reference table_accessor.py:1435-1452)."""
+        from woodwork_spark.statistics.dependence import _measure_columns
+
+        return _measure_columns(
+            self,
+            ["mutual_info"],
+            include_index=include_index,
+            include_time_index=include_time_index,
+        )["mutual_info"]
 
     def box_plot_dict(self, column, quantiles=None, max_values=None):
         from woodwork_spark.statistics.outliers import box_plot_dict

@@ -59,18 +59,25 @@ def _parse_measures(measures):
     return out, False
 
 
-def _measure_columns(ww_df, measures):
+def _measure_columns(ww_df, measures, include_index=False, include_time_index=False):
     """Valid columns per measure (reference utils.py:330-399): numeric +
     boolean + datetime for correlations; + categorical/ordinal for MI.
-    Index/time-index columns are dropped."""
+    Index/time-index columns are dropped unless explicitly included
+    (reference get_valid_mi_columns flags)."""
     schema = ww_df.schema
     valid = {"pearson": [], "spearman": [], "mutual_info": []}
     for name, cs in schema.columns.items():
-        if "index" in cs.semantic_tags or "time_index" in cs.semantic_tags:
+        if not include_index and "index" in cs.semantic_tags:
+            continue
+        if not include_time_index and "time_index" in cs.semantic_tags:
             continue
         lt = cs.logical_type
+        # index/time-index columns carry only their reserved tag, so fall
+        # back to the logical type's standard tags (the reference's
+        # get_valid_mi_types check is type-based, utils.py:330-399)
         numericish = (
             cs.is_numeric
+            or "numeric" in getattr(lt, "standard_tags", set())
             or isinstance(lt, BooleanNullable)
             or isinstance(lt, Datetime)
         )
