@@ -1287,6 +1287,26 @@ def q_resample_events(spark, sf_dir):
     )
 
 
+def q_tokenize_ids(spark, sf_dir):
+    """Vocabulary-apply tokenization: corpus vocabulary (count desc,
+    token asc ids — deterministic) applied back to every document,
+    order-preserving, OOV -> -1 (exercised via top_n=500 so rare tokens
+    fall out of vocabulary).  The ids arrays are md5'd for the value
+    compare; DuckDB rebuilds the same vocabulary + per-doc id lists in
+    SQL."""
+    from woodwork_spark.operators.text import tokenize_with_vocabulary
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = tokenize_with_vocabulary(docs, "text", "doc_id", top_n=500)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.md5(F.concat_ws(",", F.transform("token_ids", lambda t: t.cast("string")))).alias("ids_md5"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -1345,6 +1365,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "stream_dedup": q_stream_dedup,
     "resample_events": q_resample_events,
+    "tokenize_ids": q_tokenize_ids,
 }
 
 ORACLE = {
@@ -2242,6 +2263,34 @@ ORACLE = {
                round(COALESCE(o.sv, 0) + 1e-7, 2) AS sum_value
         FROM grid g LEFT JOIN obs o
           ON g.event_type = o.event_type AND g.b = o.b
+    """,
+    "tokenize_ids": """
+        WITH tok AS (
+            SELECT doc_id, pos, lower(t) AS token
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS t,
+                       generate_subscripts(
+                           string_split_regex(trim(text), '\\s+'), 1) AS pos
+                FROM documents
+            ) WHERE t <> ''
+        ), counts AS (
+            SELECT token, count(*) AS c FROM tok GROUP BY token
+        ), vocab AS (
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY c DESC, token ASC) - 1
+                        AS BIGINT) AS token_id
+            FROM counts
+            QUALIFY token_id < 500
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               md5(string_agg(CAST(COALESCE(v.token_id, -1) AS VARCHAR),
+                              ',' ORDER BY t.pos)) AS ids_md5
+        FROM tok t LEFT JOIN vocab v USING (token)
+        GROUP BY t.doc_id
     """,
 }
 

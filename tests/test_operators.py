@@ -569,3 +569,25 @@ def test_resample_fills_gaps(spark):
     assert out[("a", h0 + 10800)] == (1, 2.0)
     assert out[("b", h0 + 3600)] == (1, 5.0)
     assert len(out) == 5
+
+
+def test_tokenize_with_vocabulary_order_and_oov(spark):
+    from woodwork_spark.operators.text import build_vocabulary, tokenize_with_vocabulary
+
+    df = spark.createDataFrame(
+        [(0, "b a b c"), (1, "a rare b")], "doc_id long, text string",
+    )
+    # corpus counts: b=3, a=2, c=1, rare=1 -> ids b=0, a=1, c=2, rare=3
+    out = {
+        r["doc_id"]: (r["token_ids"], r["n_tokens"], r["n_oov"])
+        for r in tokenize_with_vocabulary(df, "text", "doc_id", top_n=3).collect()
+    }
+    assert out[0] == ([0, 1, 0, 2], 4, 0)
+    assert out[1] == ([1, -1, 0], 3, 1)  # 'rare' beyond top_n -> OOV
+    # explicit vocabulary reuse: ids stable across corpora
+    vocab = build_vocabulary(df, "text")
+    again = tokenize_with_vocabulary(
+        spark.createDataFrame([(9, "c b")], "doc_id long, text string"),
+        "text", "doc_id", vocabulary=vocab,
+    ).collect()[0]
+    assert again["token_ids"] == [2, 0]

@@ -291,3 +291,54 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def tokenize_with_vocabulary(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocabulary: DataFrame = None,
+    min_count: int = 1,
+    top_n: int = None,
+    lowercase: bool = True,
+    oov_id: int = -1,
+) -> DataFrame:
+    """Apply a (token, token_id) vocabulary to the corpus — the second
+    half of the tokenizer loop ``build_vocabulary`` starts: returns
+    (id, token_ids array, n_tokens, n_oov), token order preserved,
+    out-of-vocabulary tokens mapped to ``oov_id``.
+
+    posexplode -> token-key join (strategy left to Catalyst/AQE: small
+    vocabularies broadcast, web-scale ones shuffle-join co-partitioned
+    with the vocabulary build) -> per-doc regroup; ordering is restored
+    by array_sort over (pos, id) structs, not a window — no extra
+    shuffle beyond the regroup, and no Python anywhere.
+    """
+    if vocabulary is None:
+        vocabulary = build_vocabulary(
+            df, text_col, min_count=min_count, lowercase=lowercase, top_n=top_n,
+        )
+    toks = tokens_expr(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    tok = df.select(
+        id_col, F.posexplode(toks).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    joined = tok.join(
+        vocabulary.select("token", "token_id"), "token", "left",
+    ).select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(oov_id)).alias("tid"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("token_ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("tid") == oov_id, 1).otherwise(0)).alias("n_oov"),
+        )
+    )
