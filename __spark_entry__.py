@@ -1307,6 +1307,25 @@ def q_tokenize_ids(spark, sf_dir):
     )
 
 
+def q_random_project(spark, sf_dir):
+    """JL random projection 64 -> 8 dims with an md5-derived plane matrix
+    — deterministic with NO RNG state, so DuckDB reproduces the exact
+    projection values from the same md5 arithmetic (one row per output
+    dim for scalar-safe value compare)."""
+    from woodwork_spark.operators.embedding import random_project
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    out = random_project(base, "v", 8)
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("dim", "val"),
+    ).select("vec_id", "dim", _ravg(F.col("val"), 6).alias("val"))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -1366,6 +1385,7 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     "resample_events": q_resample_events,
     "tokenize_ids": q_tokenize_ids,
+    "random_project": q_random_project,
 }
 
 ORACLE = {
@@ -2291,6 +2311,21 @@ ORACLE = {
                               ',' ORDER BY t.pos)) AS ids_md5
         FROM tok t LEFT JOIN vocab v USING (token)
         GROUP BY t.doc_id
+    """,
+    "random_project": """
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), dims AS (
+            SELECT vec_id, v, unnest(range(0, 8)) AS dim FROM base
+        )
+        SELECT vec_id, CAST(dim AS INT) AS dim,
+               round(
+                 list_sum(list_transform(range(1, len(v) + 1), i ->
+                   v[i] * ((('0x' || substr(md5('jl:' || CAST(i - 1 AS VARCHAR)
+                                 || '_' || CAST(dim AS VARCHAR)), 1, 8))::BIGINT
+                            / 2147483648.0) - 1)))
+                 * sqrt(3.0 / 8) + 1e-7, 6) AS val
+        FROM dims
     """,
 }
 

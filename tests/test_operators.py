@@ -591,3 +591,55 @@ def test_tokenize_with_vocabulary_order_and_oov(spark):
         "text", "doc_id", vocabulary=vocab,
     ).collect()[0]
     assert again["token_ids"] == [2, 0]
+
+
+def test_random_project_deterministic_and_norm_preserving(vectors):
+    from woodwork_spark.operators.embedding import random_project
+
+    base = vectors.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    p1 = {r["vec_id"]: r["proj"] for r in random_project(base, "v", 8).collect()}
+    p2 = {r["vec_id"]: r["proj"] for r in random_project(base, "v", 8).collect()}
+    assert p1 == p2  # md5 planes: no RNG state, identical across runs
+    assert all(len(v) == 8 for v in p1.values())
+    # JL: expected squared norm preserved within a loose factor
+    import numpy as np
+
+    orig = {r["vec_id"]: np.array(r["v"]) for r in base.collect()}
+    ratios = [
+        float(np.sum(np.square(p1[i]))) / float(np.sum(np.square(orig[i])))
+        for i in orig
+        if np.sum(np.square(orig[i])) > 0
+    ]
+    assert 0.5 < (sum(ratios) / len(ratios)) < 2.0
+
+
+def test_pca_recovers_dominant_direction(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.embedding import pca_fit, pca_project
+
+    rng = np.random.default_rng(3)
+    d, n = 10, 400
+    direction = np.zeros(d)
+    direction[2] = 1.0
+    X = rng.standard_normal((n, 1)) * 5.0 @ direction[None, :]
+    X += rng.standard_normal((n, d)) * 0.1  # small isotropic noise
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "id long, v array<double>",
+    )
+    comps, mean, ratio = pca_fit(df, "v", 2)
+    assert comps.shape == (2, d)
+    # components orthonormal
+    assert np.allclose(comps @ comps.T, np.eye(2), atol=1e-8)
+    # first component is the planted axis (sign-canonicalized positive)
+    assert abs(comps[0, 2]) > 0.99 and comps[0, 2] > 0
+    assert ratio[0] > 0.95
+    # projection: first coordinate carries nearly all the variance
+    P = np.array(
+        [r["pca"] for r in pca_project(df, "v", comps, mean).collect()],
+    )
+    assert P.shape == (n, 2)
+    assert P[:, 0].var() > 50 * P[:, 1].var()

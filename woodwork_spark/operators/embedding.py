@@ -1,0 +1,146 @@
+"""Embedding analytics: dimensionality reduction at corpus scale.
+
+Two reducers with different contracts:
+
+- ``random_project``: Johnson-Lindenstrauss projection with an
+  md5-derived plane matrix — fully deterministic and REPRODUCIBLE IN
+  SQL (the same md5 arithmetic runs in DuckDB), so projections are
+  value-checkable end-to-end.  Zero fitting passes; the right tool when
+  you need a cheap, engine-independent reduction.
+- ``pca_fit`` / ``pca_project``: exact principal components.  Moments
+  (n, Σx, XᵀX) are computed in ONE Arrow ``mapInPandas`` pass as
+  per-partition partials (d×d numbers each — tiny for embedding dims),
+  reduced on the driver, eigensolved there (d×d, numpy), and the
+  projection applied as an Arrow-batched matmul.  At 100 TB the data
+  pass is the only cost; nothing driver-side grows with row count.
+"""
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_weight(salt: str, i: int, j: int) -> float:
+    """Deterministic uniform weight in [-1, 1): the first 8 md5 hex chars
+    of 'salt:i_j' as a 32-bit int, affinely mapped.  Reproducible in SQL:
+    ('0x' || substr(md5('salt:' || i || '_' || j), 1, 8))::BIGINT
+    / 2147483648.0 - 1."""
+    h = hashlib.md5(f"{salt}:{i}_{j}".encode()).hexdigest()[:8]
+    return int(h, 16) / 2147483648.0 - 1.0
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str,
+    out_dim: int,
+    salt: str = "jl",
+    out_col: str = "proj",
+) -> DataFrame:
+    """JL random projection to ``out_dim`` dims, scaled by sqrt(3/out_dim)
+    — uniform[-1,1) weights have variance 1/3, so this is the scale that
+    preserves expected squared norms.  The plane matrix is md5-derived — no RNG
+    state, identical on any engine — and applied as one numpy matmul per
+    Arrow batch."""
+    import numpy as np
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return df.withColumn(out_col, F.lit(None).cast("array<double>"))
+    d = first["d"]
+    planes = np.array(
+        [[_md5_weight(salt, i, j) for i in range(d)] for j in range(out_dim)],
+    )
+    scale = float(np.sqrt(3.0 / out_dim))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _proj(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        X = np.array([np.asarray(v, dtype="float64") for v in vecs])
+        P = (X @ planes.T) * scale
+        return pd.Series([p.tolist() for p in P])
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int):
+    """Fit exact PCA over an embedding column in one distributed pass.
+
+    Returns (components, mean, explained_variance_ratio): ``components``
+    is a (k, d) numpy array of orthonormal principal axes (sign
+    canonicalized: largest-|loading| coordinate positive, so results
+    don't flip between runs/eig backends), ``mean`` the column mean,
+    ratios the fraction of total variance per component.
+    """
+    import numpy as np
+
+    schema = "n long, s array<double>, xtx array<double>"
+
+    def partials(batches):
+        for pdf in batches:
+            vecs = pdf.iloc[:, 0].dropna()
+            if len(vecs) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype="float64") for v in vecs])
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "xtx": [(X.T @ X).ravel().tolist()],
+                },
+            )
+
+    rows = df.select(vec_col).mapInPandas(partials, schema).collect()
+    if not rows:
+        raise ValueError("pca_fit: no vectors")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    xtx = np.zeros((d, d))
+    for r in rows:
+        s += np.array(r["s"])
+        xtx += np.array(r["xtx"]).reshape(d, d)
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    for i in range(comps.shape[0]):  # sign canonicalization
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total = float(evals.sum()) or 1.0
+    ratio = np.maximum(evals[order], 0.0) / total
+    return comps, mean, ratio
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    components,
+    mean,
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project onto fitted components: (x - mean) @ components.T as one
+    numpy matmul per Arrow batch."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    comps = np.asarray(components, dtype="float64")
+    mu = np.asarray(mean, dtype="float64")
+
+    @pandas_udf("array<double>")
+    def _proj(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        X = np.array([np.asarray(v, dtype="float64") for v in vecs])
+        P = (X - mu) @ comps.T
+        return pd.Series([p.tolist() for p in P])
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))
