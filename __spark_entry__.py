@@ -1326,6 +1326,33 @@ def q_random_project(spark, sf_dir):
     ).select("vec_id", "dim", _ravg(F.col("val"), 6).alias("val"))
 
 
+def q_two_phase_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation (salt -> partial agg -> final):
+    must equal the plain groupBy, so the oracle is the plain SQL agg.
+    The hot-group case this exists for (one key holding most rows) is
+    exactly lineitem by returnflag."""
+    from woodwork_spark.operators.scale import two_phase_agg
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = two_phase_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_rows": ("l_quantity", "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        _ravg(F.col("sum_qty"), 2).alias("sum_qty"),
+        _ravg(F.col("max_price"), 2).alias("max_price"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -1386,6 +1413,7 @@ QUERIES = {
     "resample_events": q_resample_events,
     "tokenize_ids": q_tokenize_ids,
     "random_project": q_random_project,
+    "two_phase_agg": q_two_phase_agg,
 }
 
 ORACLE = {
@@ -2326,6 +2354,13 @@ ORACLE = {
                             / 2147483648.0) - 1)))
                  * sqrt(3.0 / 8) + 1e-7, 6) AS val
         FROM dims
+    """,
+    "two_phase_agg": """
+        SELECT l_returnflag,
+               CAST(count(l_quantity) AS BIGINT) AS n_rows,
+               round(CAST(sum(l_quantity) AS DOUBLE) + 1e-7, 2) AS sum_qty,
+               round(max(l_extendedprice) + 1e-7, 2) AS max_price
+        FROM lineitem GROUP BY l_returnflag
     """,
 }
 
