@@ -643,3 +643,53 @@ def test_pca_recovers_dominant_direction(spark):
     )
     assert P.shape == (n, 2)
     assert P[:, 0].var() > 50 * P[:, 1].var()
+
+
+def test_grouped_prefix_sum_double_values_and_null_groups(spark):
+    """Review regressions: (a) float value_col must not crash the typed
+    offsets frame; (b) NULL is a valid group — distributed offsets must
+    join null-safely so NULL-group sums don't restart per partition."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.operators.rank import grouped_prefix_sum
+
+    rows = [(i, None if i % 3 == 0 else "g", float(i % 7) + 0.5) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    dist = {
+        (r["g"], r["id"]): r["p"]
+        for r in grouped_prefix_sum(
+            df, ["g"], [F.asc("id")], "v", out_col="p", small_threshold=0,
+        ).collect()
+    }
+    acc = {}
+    for i, g, v in sorted(rows, key=lambda t: t[0]):
+        assert abs(dist[(g, i)] - acc.get(g, 0.0)) < 1e-9, (g, i)
+        acc[g] = acc.get(g, 0.0) + v
+
+
+def test_rebalance_mix_missing_target_group_raises(spark):
+    import pytest as _pytest
+
+    from woodwork_spark.operators.packing import rebalance_mix
+
+    df = spark.createDataFrame([(1, "en"), (2, "en")], "id long, lang string")
+    with _pytest.raises(ValueError, match="absent"):
+        rebalance_mix(df, "id", "lang", {"en": 0.5, "fr": 0.5})
+
+
+def test_projection_udfs_pass_nulls_through(spark):
+    from woodwork_spark.operators.embedding import (
+        pca_fit,
+        pca_project,
+        random_project,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0, 3.0, 4.0]), (2, [0.0, 1.0, 0.0, 1.0])],
+        "id long, v array<double>",
+    )
+    rp = {r["id"]: r["proj"] for r in random_project(df, "v", 2).collect()}
+    assert rp[0] is None and len(rp[1]) == 2
+    comps, mean, _ = pca_fit(df, "v", 2)
+    pp = {r["id"]: r["pca"] for r in pca_project(df, "v", comps, mean).collect()}
+    assert pp[0] is None and len(pp[2]) == 2

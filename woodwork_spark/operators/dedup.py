@@ -233,8 +233,15 @@ def connected_components(
     """
     spark = pairs.sparkSession
     if small_threshold:
+        # persist BEFORE the size probe: the edge list often carries an
+        # expensive lineage (LSH candidates + verify in semdedup), and
+        # when the probe overflows into the distributed path that same
+        # lineage feeds the edges frame — without the persist it would
+        # execute twice on exactly the large inputs the threshold guards
+        pairs = pairs.persist()
         head = pairs.select("id_a", "id_b").limit(small_threshold + 1).collect()
         if len(head) <= small_threshold:
+            pairs.unpersist()
             parent: dict = {}
 
             def find(x):
@@ -274,7 +281,6 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    prev = None
     for _ in range(max_iter):
         # candidate label per vertex: min over neighbors' labels and own
         neighbor_min = (
@@ -317,10 +323,12 @@ def connected_components(
             .limit(1)
             .count()
         )
-        # previous generation's checkpoint blocks are no longer needed
-        if prev is not None:
-            prev.unpersist()
-        prev, labels = resolved, resolved
+        # old generations' checkpoint blocks are reclaimed by the
+        # ContextCleaner once their RDDs are garbage collected (a
+        # DataFrame-level unpersist only affects CacheManager entries,
+        # not localCheckpoint blocks) — dropping the reference is the
+        # release mechanism
+        labels = resolved
         if changed == 0:
             break
     else:
@@ -328,11 +336,15 @@ def connected_components(
         # is converge-checked, so hitting the cap means the graph needs
         # a larger max_iter (label still moving after `max_iter` rounds)
         edges.unpersist()
+        if small_threshold:
+            pairs.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "iterations; raise max_iter",
         )
     edges.unpersist()  # final labels generation is itself materialized
+    if small_threshold:
+        pairs.unpersist()
     return labels
 
 

@@ -46,8 +46,12 @@ def random_project(
     Arrow batch."""
     import numpy as np
 
-    first = df.select(F.size(vec_col).alias("d")).first()
-    if first is None:
+    first = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
+    if first is None:  # empty input or all-null column
         return df.withColumn(out_col, F.lit(None).cast("array<double>"))
     d = first["d"]
     planes = np.array(
@@ -59,13 +63,28 @@ def random_project(
 
     @pandas_udf("array<double>")
     def _proj(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="object")
-        X = np.array([np.asarray(v, dtype="float64") for v in vecs])
-        P = (X @ planes.T) * scale
-        return pd.Series([p.tolist() for p in P])
+        return _null_safe_matmul(vecs, lambda X: (X @ planes.T) * scale)
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+def _null_safe_matmul(vecs, fn):
+    """Apply a batch matmul, passing NULL vectors through as NULL (a
+    single null cell must not abort the whole task)."""
+    import numpy as np
+
+    if len(vecs) == 0:
+        return pd.Series([], dtype="object")
+    mask = vecs.notna().to_numpy()
+    out = [None] * len(vecs)
+    if mask.any():
+        X = np.array(
+            [np.asarray(v, dtype="float64") for v in vecs[mask]],
+        )
+        P = fn(X)
+        for idx, p in zip(np.nonzero(mask)[0], P):
+            out[idx] = p.tolist()
+    return pd.Series(out, dtype="object")
 
 
 def pca_fit(df: DataFrame, vec_col: str, k: int):
@@ -137,10 +156,6 @@ def pca_project(
 
     @pandas_udf("array<double>")
     def _proj(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="object")
-        X = np.array([np.asarray(v, dtype="float64") for v in vecs])
-        P = (X - mu) @ comps.T
-        return pd.Series([p.tolist() for p in P])
+        return _null_safe_matmul(vecs, lambda X: (X - mu) @ comps.T)
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))

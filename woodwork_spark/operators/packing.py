@@ -156,8 +156,14 @@ def rebalance_mix(
         df.groupBy(group_col).agg(wexpr.cast("double").alias("w")).collect()
     )
     weights = {r[group_col]: r["w"] for r in rows}
+    missing = [g for g, t in target.items() if t > 0 and not weights.get(g)]
+    if missing:
+        # c would be 0 and the whole corpus would silently filter away
+        raise ValueError(
+            f"rebalance_mix: target groups absent from the data: {missing}",
+        )
     c = min(
-        (weights.get(g, 0.0) / t for g, t in target.items() if t > 0),
+        (weights[g] / t for g, t in target.items() if t > 0),
         default=0.0,
     )
     fractions = {}

@@ -157,12 +157,13 @@ def grouped_prefix_sum(
             )
     keys = [F.col(g) for g in group_cols]
     parted = _range_partitioned(df, keys + list(order), num_partitions)
-    totals = (
-        parted.groupBy(_PID, *group_cols)
-        .agg(F.sum(value_col).alias("__t"))
-        .collect()
+    totals_df = parted.groupBy(_PID, *group_cols).agg(
+        F.sum(value_col).alias("__t"),
     )
-    # exclusive running offset per group across ascending partition ids
+    totals = totals_df.collect()
+    # exclusive running offset per group across ascending partition ids.
+    # Default 0 for the running start so integer inputs stay integral;
+    # float subtotals accumulate as floats naturally.
     acc: dict = {}
     rows = []
     for r in sorted(totals, key=lambda r: (r[_PID])):
@@ -172,8 +173,17 @@ def grouped_prefix_sum(
     from pyspark.sql import types as T
 
     base = parted.select(_PID, *group_cols).schema
+    # __off takes the SUM's result type (e.g. double when value_col is
+    # double) — hardcoding long would reject float subtotals
+    off_type = totals_df.schema["__t"].dataType
+    if isinstance(off_type, (T.DoubleType, T.FloatType)):
+        rows = [r[:-1] + (float(r[-1]),) for r in rows]
+    elif isinstance(off_type, T.DecimalType):
+        from decimal import Decimal
+
+        rows = [r[:-1] + (Decimal(r[-1]),) for r in rows]
     off_schema = T.StructType(
-        list(base.fields) + [T.StructField("__off", T.LongType())],
+        list(base.fields) + [T.StructField("__off", off_type)],
     )
     off_df = spark.createDataFrame(rows, schema=off_schema)
     w = (
@@ -181,11 +191,26 @@ def grouped_prefix_sum(
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, -1)
     )
+    # null-safe equi-join on the group keys: NULL is a valid group value
+    # (the window's partitionBy treats it as one) and a plain equi-join
+    # would silently drop its offsets, restarting NULL-group sums per
+    # partition.  Aliased columns + eqNullSafe keep the broadcast.
+    off_aliased = off_df.select(
+        F.col(_PID).alias("__opid"),
+        *[F.col(g).alias(f"__og_{i}") for i, g in enumerate(group_cols)],
+        "__off",
+    )
+    cond = F.col(_PID) == F.col("__opid")
+    for i, g in enumerate(group_cols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{i}"))
     return (
         parted.withColumn(
             "__local", F.coalesce(F.sum(value_col).over(w), F.lit(0)),
         )
-        .join(F.broadcast(off_df), on=[_PID] + group_cols, how="left")
+        .join(F.broadcast(off_aliased), on=cond, how="left")
         .withColumn(out_col, F.col("__local") + F.coalesce("__off", F.lit(0)))
-        .drop(_PID, "__local", "__off")
+        .drop(
+            _PID, "__local", "__off", "__opid",
+            *[f"__og_{i}" for i in range(len(group_cols))],
+        )
     )

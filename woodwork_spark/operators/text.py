@@ -276,9 +276,14 @@ def unigram_logprob(
     toks = tokens_expr(text_col)
     if lowercase:
         toks = F.transform(toks, lambda t: F.lower(t))
-    tok = df.select(
-        id_col, *extra_cols, F.explode(toks).alias("token"),
-    ).filter(F.col("token") != "")
+    # persist the exploded tokens: the frequency agg, the total-collect
+    # job, and the scoring join all consume them — without sharing, the
+    # corpus tokenizes three times (same fix as minhash_dedup_pairs)
+    tok = (
+        df.select(id_col, *extra_cols, F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .persist()
+    )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__tf"))
     total = freq.agg(F.sum("__tf")).collect()[0][0] or 1
     return (

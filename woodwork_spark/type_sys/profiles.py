@@ -499,7 +499,20 @@ def _build_profiles_pandas(df, columns, sample_size, sample_mode):
             name, dtype, stats, pandas_sample=s,
         )
     if fallback_exprs:
-        row = sample.agg(*fallback_exprs).collect()[0].asDict()
+        # Java-only regexes must run through Spark, but on the SAME rows
+        # the stats above came from: re-executing the `sample` plan gives
+        # no row-set guarantee (limit without ordering).  Rebuild a tiny
+        # DataFrame from the already-collected pandas sample instead.
+        string_cols = [
+            c for c in columns if isinstance(dtypes[c], T.StringType)
+        ]
+        local = df.sparkSession.createDataFrame(
+            pdf[string_cols].astype(object).where(pdf[string_cols].notna()),
+            schema=T.StructType(
+                [T.StructField(c, T.StringType()) for c in string_cols],
+            ),
+        )
+        row = local.agg(*fallback_exprs).collect()[0].asDict()
         for k, v in row.items():
             col, _, stat = k.rpartition("__")
             profiles[col].stats[stat] = v if v is not None else 0
