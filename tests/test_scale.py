@@ -147,3 +147,28 @@ def test_read_parquet_never_surfaces_timestamp_ntz(spark):
     assert spark.conf.get(
         "spark.sql.parquet.inferTimestampNTZ.enabled", "true",
     ) == "true"
+
+
+def test_nano_probe_all_files_recovers_heterogeneous_dir(tmp_path, spark):
+    """A directory whose FIRST file has no nano columns but a later file
+    does: the fast path fails with PARQUET_TYPE_ILLEGAL and the recovery
+    probe must find the nano column across all files (the cached
+    first-file answer would leave raw bigint nanoseconds)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from woodwork_spark.io import _NANO_COLS_CACHE, _nano_timestamp_columns
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    t_plain = pa.table({"ts": pa.array([1, 2], type=pa.timestamp("us"))})
+    t_nano = pa.table({"ts": pa.array([3, 4], type=pa.timestamp("ns"))})
+    pq.write_table(t_plain, d / "a_first.parquet", use_deprecated_int96_timestamps=False)
+    pq.write_table(
+        t_nano, d / "b_second.parquet",
+        coerce_timestamps=None, store_schema=False,
+    )
+    path = str(d)
+    assert _nano_timestamp_columns(path) == []  # first-file probe misses
+    assert _nano_timestamp_columns(path, all_files=True) == ["ts"]
+    assert _NANO_COLS_CACHE[path] == ["ts"]  # cache refreshed, not stale

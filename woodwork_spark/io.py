@@ -35,14 +35,19 @@ TPCH_TABLES = [
 _NANO_COLS_CACHE: dict[str, list[str]] = {}
 
 
-def _nano_timestamp_columns(path: str) -> list[str]:
+def _nano_timestamp_columns(path: str, all_files: bool = False) -> list[str]:
     """Columns stored as physical INT64 with TIMESTAMP(NANOS) logical type.
 
     Spark's vectorized reader rejects exactly these; INT96 timestamps also
     surface as timestamp[ns] in the arrow schema but read natively fine, so
     the physical type must be checked, not just the arrow unit.
+
+    Probes only the FIRST file of a directory by default (metadata-only,
+    cheap); ``all_files=True`` probes every file and refreshes the cache —
+    the recovery path when a heterogeneous-schema directory failed the
+    fast read despite a clean first footer.
     """
-    if path in _NANO_COLS_CACHE:
+    if not all_files and path in _NANO_COLS_CACHE:
         return _NANO_COLS_CACHE[path]
     try:
         import pyarrow.parquet as pq
@@ -55,20 +60,22 @@ def _nano_timestamp_columns(path: str) -> list[str]:
         if not files:
             _NANO_COLS_CACHE[path] = []
             return []
-        target = files[0]
+        targets = files if all_files else files[:1]
     else:
-        target = path
-    candidates = []
+        targets = [path]
+    candidates: list[str] = []
     try:
-        meta_schema = pq.ParquetFile(target).metadata.schema
-        for i in range(len(meta_schema)):
-            col = meta_schema.column(i)
-            if (
-                col.physical_type == "INT64"
-                and "nanoseconds" in str(col.logical_type).lower()
-                and "timestamp" in str(col.logical_type).lower()
-            ):
-                candidates.append(col.name)
+        for target in targets:
+            meta_schema = pq.ParquetFile(target).metadata.schema
+            for i in range(len(meta_schema)):
+                col = meta_schema.column(i)
+                if (
+                    col.physical_type == "INT64"
+                    and "nanoseconds" in str(col.logical_type).lower()
+                    and "timestamp" in str(col.logical_type).lower()
+                    and col.name not in candidates
+                ):
+                    candidates.append(col.name)
     except Exception:
         return []
     _NANO_COLS_CACHE[path] = candidates
@@ -126,10 +133,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
             return _tz_normalize(_read_no_ntz(spark, path))
         except Exception as e:  # noqa: BLE001
             # Footer probe missed (multi-file dirs with heterogeneous
-            # schemas, pyarrow absent): fall through to the legacy path.
+            # schemas, pyarrow absent): fall through to the legacy path,
+            # probing EVERY file this time — re-using the cached
+            # first-file-only answer here would leave nano columns as
+            # raw bigint nanoseconds after the legacy read.
             if "PARQUET_TYPE_ILLEGAL" not in str(e):
                 raise
-            nano_cols = _nano_timestamp_columns(path)
+            nano_cols = _nano_timestamp_columns(path, all_files=True)
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:

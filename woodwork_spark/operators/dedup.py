@@ -40,11 +40,11 @@ def _make_sketch_udf(plane_mat):
 
     @pandas_udf("array<int>")
     def _sketch(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="object")
-        X = np.array([np.asarray(v, dtype="float64") for v in vecs])
-        bits = (X @ plane_mat.T > 0).astype("int32")
-        return pd.Series([b.tolist() for b in bits])
+        from woodwork_spark.operators.embedding import _null_safe_matmul
+
+        return _null_safe_matmul(
+            vecs, lambda X: (X @ plane_mat.T > 0).astype("int32"),
+        )
 
     return _sketch
 

@@ -60,7 +60,9 @@ def global_row_number(
     single-reducer window.  Same cardinality-aware switch as
     ``global_prefix_sum`` (see there)."""
     if small_threshold:
-        df = df.persist()
+        # probe on the unpersisted plan: persisting here leaked a cached
+        # frame per call (never released), and the probe's extra
+        # execution of an already-aggregated input is one cheap stage
         if df.limit(small_threshold + 1).count() <= small_threshold:
             w = W.orderBy(*order)
             return df.withColumn(
@@ -98,7 +100,6 @@ def global_prefix_sum(
     path keeps every reducer bounded.  Pass ``small_threshold=0`` to
     force the distributed shape."""
     if small_threshold:
-        df = df.persist()
         if df.limit(small_threshold + 1).count() <= small_threshold:
             w = (
                 W.orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
@@ -145,7 +146,6 @@ def grouped_prefix_sum(
     group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     spark = df.sparkSession
     if small_threshold:
-        df = df.persist()
         if df.limit(small_threshold + 1).count() <= small_threshold:
             w = (
                 W.partitionBy(*group_cols)

@@ -92,19 +92,25 @@ def _kmeans_centroids(X, nlist: int, seed: int, iterations: int):
     n = X.shape[0]
     nlist = min(nlist, n)
     rng = np.random.default_rng(seed)
-    # k-means++ seeding: spread seeds by squared-distance weighting
-    centers = [X[rng.integers(n)]]
-    for _ in range(nlist - 1):
-        d2 = np.min(
-            ((X[:, None, :] - np.array(centers)[None, :, :]) ** 2).sum(-1), axis=1,
-        )
-        total = d2.sum()
-        if total <= 0:
-            centers.append(X[rng.integers(n)])
-            continue
-        centers.append(X[rng.choice(n, p=d2 / total)])
-    C = np.array(centers, dtype="float64")
+    # k-means++ seeding: spread seeds by squared-distance weighting.
+    # A running min-distance vector updated against only the newest
+    # center keeps seeding at O(n*d) per center — the (n, k, d)
+    # broadcast temporary would be tens of GB for large nlist samples.
     x2 = (X**2).sum(1)
+    centers = [X[rng.integers(n)]]
+    c = centers[0]
+    dmin = x2 + (c**2).sum() - 2.0 * (X @ c)
+    for _ in range(nlist - 1):
+        np.maximum(dmin, 0.0, out=dmin)
+        total = dmin.sum()
+        if total <= 0:
+            nxt = X[rng.integers(n)]
+        else:
+            nxt = X[rng.choice(n, p=dmin / total)]
+        centers.append(nxt)
+        d_new = x2 + (nxt**2).sum() - 2.0 * (X @ nxt)
+        np.minimum(dmin, d_new, out=dmin)
+    C = np.array(centers, dtype="float64")
     for _ in range(iterations):
         # |x-c|^2 = |x|^2 + |c|^2 - 2 x.c  (no n*k*d temporary)
         d2 = x2[:, None] + (C**2).sum(1)[None, :] - 2.0 * (X @ C.T)

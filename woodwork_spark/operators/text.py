@@ -225,7 +225,7 @@ def chunk_documents(
     once, explode a sequence of window starts, slice + rejoin per window
     — the explode factor is ceil(n_tokens/stride), so output bytes are
     bounded by overlap, and no Python touches the text."""
-    stride = stride or chunk_tokens
+    stride = chunk_tokens if stride is None else stride
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
     toks = tokens_expr(text_col)
