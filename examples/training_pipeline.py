@@ -66,6 +66,15 @@ emb = emb.select(
 sem = semdedup(emb, "vec_id", "embedding", threshold=0.95)
 print(f"semantic dedup keeps {sem.filter('keep').count()} / {emb.count()} vectors")
 
+# ---- 4b. embedding compression for the index: PCA + JL ---------------------
+from woodwork_spark.operators.embedding import pca_fit, pca_project, random_project
+
+comps, mean, ratio = pca_fit(emb, "embedding", 8)
+compact = pca_project(emb, "embedding", comps, mean)
+print(f"PCA 64->8 keeps {ratio.sum():.1%} of variance")
+jl = random_project(emb, "embedding", 8)  # engine-reproducible alternative
+print(f"JL 64->8 rows: {jl.count()}")
+
 # ---- 5. mix rebalancing to a target language distribution ------------------
 print("mix before:")
 mix_report(docs, "lang").orderBy("lang").show()
