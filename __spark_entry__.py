@@ -1353,6 +1353,34 @@ def q_two_phase_agg(spark, sf_dir):
     )
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """Cross-document boilerplate-line removal: a synthetic newsletter
+    footer appended to every document (plus a cookie banner on every
+    third) must be stripped because it appears in >= 5 distinct docs,
+    while each document's own body line survives.  Clean text verified
+    by md5."""
+    from woodwork_spark.operators.cleaning import remove_boilerplate_lines
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to our newsletter"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\nwe use cookies")).otherwise(
+                F.lit(""),
+            ),
+        ).alias("text"),
+    )
+    clean = remove_boilerplate_lines(aug, "text", "doc_id", min_docs=5)
+    return clean.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_clean"),
+        F.md5("text").alias("clean_md5"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -1414,6 +1442,7 @@ QUERIES = {
     "tokenize_ids": q_tokenize_ids,
     "random_project": q_random_project,
     "two_phase_agg": q_two_phase_agg,
+    "boilerplate_lines": q_boilerplate_lines,
 }
 
 ORACLE = {
@@ -2361,6 +2390,38 @@ ORACLE = {
                round(CAST(sum(l_quantity) AS DOUBLE) + 1e-7, 2) AS sum_qty,
                round(max(l_extendedprice) + 1e-7, 2) AS max_price
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "boilerplate_lines": """
+        WITH aug AS (
+            SELECT doc_id,
+                   text || chr(10) || 'subscribe to our newsletter'
+                        || CASE WHEN doc_id % 3 = 0
+                                THEN chr(10) || 'we use cookies'
+                                ELSE '' END AS text
+            FROM documents
+        ), lines AS (
+            SELECT doc_id, pos, trim(l) AS line
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS l,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                           AS pos
+                FROM aug
+            ) WHERE trim(l) <> ''
+        ), freq AS (
+            SELECT line, count(DISTINCT doc_id) AS docs
+            FROM lines GROUP BY line
+        ), kept AS (
+            SELECT l.doc_id,
+                   string_agg(l.line, chr(10) ORDER BY l.pos) AS clean
+            FROM lines l JOIN freq f ON l.line = f.line
+            WHERE f.docs < 5
+            GROUP BY l.doc_id
+        )
+        SELECT a.doc_id,
+               CAST(length(COALESCE(k.clean, '')) AS BIGINT) AS n_chars_clean,
+               md5(COALESCE(k.clean, '')) AS clean_md5
+        FROM aug a LEFT JOIN kept k ON a.doc_id = k.doc_id
     """,
 }
 

@@ -117,3 +117,25 @@ def test_contamination_report(spark):
     assert out[0]["doc_id"] == 1 and out[0]["bench_id"] == 100
     # shared 5-grams: "alpha beta gamma delta epsilon" only
     assert out[0]["n_shared_grams"] == 1
+
+
+def test_remove_boilerplate_lines_cross_document(spark):
+    from woodwork_spark.operators.cleaning import remove_boilerplate_lines
+
+    footer = "all rights reserved"
+    rows = [
+        (0, f"unique zero\n{footer}"),
+        (1, f"unique one\n{footer}\nunique one b"),
+        (2, f"{footer}"),          # only boilerplate -> empty, not lost
+        (3, "standalone doc"),     # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(df, "text", "doc_id", min_docs=3).collect()
+    }
+    assert out[0] == "unique zero"
+    assert out[1] == "unique one\nunique one b"  # order preserved
+    assert out[2] == ""
+    assert out[3] == "standalone doc"
+    assert len(out) == 4

@@ -240,3 +240,54 @@ def contamination_report(
             "n_shared_grams",
         )
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+    out_col: str = None,
+) -> DataFrame:
+    """Cross-document boilerplate removal: drop every line that appears
+    (exact match after trim) in at least ``min_docs`` DISTINCT documents
+    — cookie banners, nav menus, license footers.  The intra-document
+    twin is ``duplicate_line_exprs``; this one needs corpus context.
+
+    Shape: posexplode lines -> per-line distinct-doc count (map-side
+    partial agg on the line key) -> join back on the line, keep below
+    threshold, reassemble preserving original line order via
+    array_sort over (pos, line) structs.  The line-key shuffle carries
+    (id, pos, line) rows only; at corpus scale the frequency side
+    co-partitions with its own aggregation, and AQE broadcasts it when
+    small.  Documents whose every line is boilerplate survive with
+    empty text (count them, don't lose them).
+    """
+    out_col = out_col or text_col
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(lines_expr(text_col, sep)).alias("__pos", "__line"),
+    )
+    freq = exploded.groupBy("__line").agg(
+        F.count_distinct(id_col).alias("__docs"),
+    )
+    kept = (
+        exploded.join(freq, "__line")
+        .filter(F.col("__docs") < min_docs)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias("__clean"),
+        )
+    )
+    return (
+        df.join(kept, id_col, "left")
+        .withColumn(out_col, F.coalesce("__clean", F.lit("")))
+        .drop("__clean")
+    )
