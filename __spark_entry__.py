@@ -1381,6 +1381,27 @@ def q_boilerplate_lines(spark, sf_dir):
     )
 
 
+def q_rolling_features(spark, sf_dir):
+    """Per-user rolling event features (time-since-previous, 3-event
+    rolling sum/avg/count) — the behavioral feature-engineering step
+    before model training.  One partitioned window; all features share
+    one sort."""
+    from woodwork_spark.operators.timeseries import rolling_features
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_features(ev, "ts", ["user_id"], "value", n_events=3)
+    return out.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        _ravg(F.col("value"), 2).alias("value"),
+        _ravg(F.col("secs_since_prev"), 3).alias("secs_since_prev"),
+        _ravg(F.col("rolling_sum_3"), 2).alias("rolling_sum_3"),
+        _ravg(F.col("rolling_avg_3"), 2).alias("rolling_avg_3"),
+        "rolling_n_3",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -1443,6 +1464,7 @@ QUERIES = {
     "random_project": q_random_project,
     "two_phase_agg": q_two_phase_agg,
     "boilerplate_lines": q_boilerplate_lines,
+    "rolling_features": q_rolling_features,
 }
 
 ORACLE = {
@@ -2422,6 +2444,20 @@ ORACLE = {
                CAST(length(COALESCE(k.clean, '')) AS BIGINT) AS n_chars_clean,
                md5(COALESCE(k.clean, '')) AS clean_md5
         FROM aug a LEFT JOIN kept k ON a.doc_id = k.doc_id
+    """,
+    "rolling_features": """
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               round(value + 1e-7, 2) AS value,
+               round((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0
+                     + 1e-7, 3) AS secs_since_prev,
+               round(sum(value) OVER w3 + 1e-7, 2) AS rolling_sum_3,
+               round(avg(value) OVER w3 + 1e-7, 2) AS rolling_avg_3,
+               CAST(count(*) OVER w3 AS BIGINT) AS rolling_n_3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, value),
+               w3 AS (PARTITION BY user_id ORDER BY ts, value
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 }
 

@@ -693,3 +693,30 @@ def test_projection_udfs_pass_nulls_through(spark):
     comps, mean, _ = pca_fit(df, "v", 2)
     pp = {r["id"]: r["pca"] for r in pca_project(df, "v", comps, mean).collect()}
     assert pp[0] is None and len(pp[2]) == 2
+
+
+def test_rolling_features_manual(spark):
+    import datetime as dt
+
+    from woodwork_spark.operators.timeseries import rolling_features
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(seconds=5), 20.0),
+        (1, t0 + dt.timedelta(seconds=9), 30.0),
+        (1, t0 + dt.timedelta(seconds=14), 40.0),
+        (2, t0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, v double")
+    out = {
+        (r["uid"], r["ts"]): (
+            r["secs_since_prev"], r["rolling_sum_3"], r["rolling_n_3"],
+        )
+        for r in rolling_features(df, "ts", ["uid"], "v", n_events=3).collect()
+    }
+    assert out[(1, t0)] == (None, 10.0, 1)
+    assert out[(1, rows[1][1])] == (5.0, 30.0, 2)
+    assert out[(1, rows[2][1])] == (4.0, 60.0, 3)
+    assert out[(1, rows[3][1])] == (5.0, 90.0, 3)  # window slides off 10.0
+    assert out[(2, t0)] == (None, 7.0, 1)

@@ -17,6 +17,7 @@ when it is the small one.  No UDFs, no driver-side loops.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -75,4 +76,39 @@ def resample(
     return (
         out.withColumn(out_ts, F.timestamp_seconds(F.col("__b")))
         .withColumnRenamed("__b", f"{out_ts}_s")
+    )
+
+
+def rolling_features(
+    df: DataFrame,
+    ts_col: str,
+    key_cols,
+    value_col: str,
+    n_events: int = 3,
+) -> DataFrame:
+    """Per-entity rolling features over an event stream — the standard
+    feature-engineering step before training on behavioral data: for
+    each event, the time since the entity's previous event and the
+    rolling mean/sum of ``value_col`` over the last ``n_events`` events
+    (current included).
+
+    One partitioned window per entity (reducer per key — entity event
+    counts are bounded in practice; for a pathological hot key, bucket
+    by time first).  No shuffle beyond the single window exchange; all
+    four features share one sort.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = W.partitionBy(*key_cols).orderBy(F.col(ts_col), F.col(value_col))
+    wn = w.rowsBetween(-(n_events - 1), 0)
+    prev_ts = F.lag(ts_col).over(w)
+    return df.select(
+        *key_cols,
+        ts_col,
+        value_col,
+        (
+            (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) / 1_000_000.0
+        ).alias("secs_since_prev"),
+        F.sum(value_col).over(wn).alias(f"rolling_sum_{n_events}"),
+        F.avg(value_col).over(wn).alias(f"rolling_avg_{n_events}"),
+        F.count(F.lit(1)).over(wn).cast("long").alias(f"rolling_n_{n_events}"),
     )
