@@ -2422,22 +2422,22 @@ ORACLE = {
                                 ELSE '' END AS text
             FROM documents
         ), lines AS (
-            SELECT doc_id, pos, trim(l) AS line
+            SELECT doc_id, pos, l AS line, trim(l) AS key
             FROM (
                 SELECT doc_id,
                        unnest(string_split(text, chr(10))) AS l,
                        generate_subscripts(string_split(text, chr(10)), 1)
                            AS pos
                 FROM aug
-            ) WHERE trim(l) <> ''
+            )
         ), freq AS (
-            SELECT line, count(DISTINCT doc_id) AS docs
-            FROM lines GROUP BY line
+            SELECT key, count(DISTINCT doc_id) AS docs
+            FROM lines WHERE key <> '' GROUP BY key
         ), kept AS (
             SELECT l.doc_id,
                    string_agg(l.line, chr(10) ORDER BY l.pos) AS clean
-            FROM lines l JOIN freq f ON l.line = f.line
-            WHERE f.docs < 5
+            FROM lines l LEFT JOIN freq f ON l.key = f.key
+            WHERE f.docs IS NULL OR f.docs < 5
             GROUP BY l.doc_id
         )
         SELECT a.doc_id,

@@ -139,3 +139,42 @@ def test_remove_boilerplate_lines_cross_document(spark):
     assert out[2] == ""
     assert out[3] == "standalone doc"
     assert len(out) == 4
+
+
+def test_remove_boilerplate_preserves_whitespace_and_nulls(spark):
+    from woodwork_spark.operators.cleaning import remove_boilerplate_lines
+
+    footer = "all rights reserved"
+    code = "def f():\n    return 1\n\ndef g():\n    return 2"
+    rows = [
+        (0, f"{code}\n{footer}"),
+        (1, footer),
+        (2, footer),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(df, "text", "doc_id", min_docs=3).collect()
+    }
+    # indentation and blank lines survive untouched
+    assert out[0] == code
+    # NULL text stays NULL, not coerced to empty string
+    assert out[3] is None
+
+
+def test_remove_boilerplate_literal_separator(spark):
+    from woodwork_spark.operators.cleaning import remove_boilerplate_lines
+
+    rows = [(0, "keep|common"), (1, "also|common"), (2, "common")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(
+            df, "text", "doc_id", min_docs=3, sep="|",
+        ).collect()
+    }
+    # '|' must be a literal separator, not a regex alternation
+    assert out[0] == "keep"
+    assert out[1] == "also"
+    assert out[2] == ""

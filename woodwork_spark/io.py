@@ -54,7 +54,10 @@ def _nano_timestamp_columns(path: str, all_files: bool = False) -> list[str]:
     except ImportError:
         return []
     if os.path.isdir(path):
-        files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+        # ** matches zero or more directories, so the recursive glob
+        # already covers top-level files — the full-probe mode must see
+        # partitioned subdirectories even when top-level files exist
+        files = sorted(
             glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True),
         )
         if not files:
@@ -64,20 +67,22 @@ def _nano_timestamp_columns(path: str, all_files: bool = False) -> list[str]:
     else:
         targets = [path]
     candidates: list[str] = []
-    try:
-        for target in targets:
+    for target in targets:
+        try:
             meta_schema = pq.ParquetFile(target).metadata.schema
-            for i in range(len(meta_schema)):
-                col = meta_schema.column(i)
-                if (
-                    col.physical_type == "INT64"
-                    and "nanoseconds" in str(col.logical_type).lower()
-                    and "timestamp" in str(col.logical_type).lower()
-                    and col.name not in candidates
-                ):
-                    candidates.append(col.name)
-    except Exception:
-        return []
+        except Exception:
+            # one unreadable footer must not discard candidates already
+            # found in other files
+            continue
+        for i in range(len(meta_schema)):
+            col = meta_schema.column(i)
+            if (
+                col.physical_type == "INT64"
+                and "nanoseconds" in str(col.logical_type).lower()
+                and "timestamp" in str(col.logical_type).lower()
+                and col.name not in candidates
+            ):
+                candidates.append(col.name)
     _NANO_COLS_CACHE[path] = candidates
     return candidates
 

@@ -35,9 +35,14 @@ from woodwork_spark.operators.text import tokens_expr
 
 
 def lines_expr(text_col: str, sep: str = "\n") -> Column:
-    """Non-empty trimmed lines of a document."""
+    """Non-empty trimmed lines of a document.  ``sep`` is a LITERAL
+    separator (regex-quoted): '|' or '.' must not be interpreted as a
+    pattern."""
     return F.filter(
-        F.transform(F.split(F.col(text_col), sep), lambda l: F.trim(l)),
+        F.transform(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E"),
+            lambda l: F.trim(l),
+        ),
         lambda l: l != "",
     )
 
@@ -255,26 +260,46 @@ def remove_boilerplate_lines(
     — cookie banners, nav menus, license footers.  The intra-document
     twin is ``duplicate_line_exprs``; this one needs corpus context.
 
-    Shape: posexplode lines -> per-line distinct-doc count (map-side
-    partial agg on the line key) -> join back on the line, keep below
-    threshold, reassemble preserving original line order via
-    array_sort over (pos, line) structs.  The line-key shuffle carries
-    (id, pos, line) rows only; at corpus scale the frequency side
-    co-partitions with its own aggregation, and AQE broadcasts it when
-    small.  Documents whose every line is boilerplate survive with
-    empty text (count them, don't lose them).
+    Matching is on the TRIMMED line, but documents are reassembled from
+    their ORIGINAL lines — indentation and blank lines survive, which
+    matters for code and whitespace-significant text; blank lines are
+    never counted as boilerplate.  NULL text stays NULL; documents whose
+    every line is boilerplate survive with empty text (count them, don't
+    lose them).
+
+    Shape: one shared posexplode (persisted — the frequency agg and the
+    keep-join both consume it) -> per-line distinct-doc count keyed on
+    xxhash64(trimmed line) so the shuffle carries 8-byte longs, not line
+    text -> join back, keep below threshold, reassemble in original
+    order via array_sort over (pos, line) structs.
     """
     out_col = out_col or text_col
-    exploded = df.select(
-        F.col(id_col),
-        F.posexplode(lines_expr(text_col, sep)).alias("__pos", "__line"),
+    # \Q...\E: the separator is a LITERAL, not a regex — split and the
+    # final rejoin must be inverses ('|' or '.' as sep would otherwise
+    # shred the text).  Lines keep their ORIGINAL content (indentation,
+    # blank lines); only the trimmed form is the boilerplate KEY, and
+    # blank lines are never counted as boilerplate.
+    sep_lit = "\\Q" + sep + "\\E"
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep_lit)).alias(
+                "__pos", "__line",
+            ),
+        )
+        # 8-byte hashed key: the frequency shuffle and the join carry
+        # longs, not line text (collision odds ~n^2/2^64, negligible)
+        .withColumn("__key", F.xxhash64(F.trim("__line")))
+        .persist()
     )
-    freq = exploded.groupBy("__line").agg(
-        F.count_distinct(id_col).alias("__docs"),
+    freq = (
+        exploded.filter(F.trim("__line") != "")
+        .groupBy("__key")
+        .agg(F.count_distinct(id_col).alias("__docs"))
     )
     kept = (
-        exploded.join(freq, "__line")
-        .filter(F.col("__docs") < min_docs)
+        exploded.join(freq, "__key", "left")
+        .filter(F.col("__docs").isNull() | (F.col("__docs") < min_docs))
         .groupBy(id_col)
         .agg(
             F.array_join(
@@ -288,6 +313,11 @@ def remove_boilerplate_lines(
     )
     return (
         df.join(kept, id_col, "left")
-        .withColumn(out_col, F.coalesce("__clean", F.lit("")))
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+                F.coalesce("__clean", F.lit("")),
+            ),
+        )
         .drop("__clean")
     )

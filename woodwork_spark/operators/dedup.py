@@ -558,6 +558,10 @@ def embedding_near_dup_pairs(
     so bucket joins stay far from quadratic."""
     import numpy as np
 
+    # null embeddings can't be near-duplicates; dropping them up front
+    # also prevents the degenerate LSH bucket a NULL sketch would form
+    # (every null row hashing to the same (band, bh) -> quadratic join)
+    df = df.filter(F.col(vec_col).isNotNull())
     first = df.select(F.size(vec_col).alias("d")).first()
     if first is None:
         return df.sparkSession.createDataFrame(

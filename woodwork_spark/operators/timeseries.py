@@ -97,14 +97,16 @@ def rolling_features(
     by time first).  No shuffle beyond the single window exchange; all
     four features share one sort.
     """
+    if n_events < 1:
+        raise ValueError("n_events must be positive")
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     w = W.partitionBy(*key_cols).orderBy(F.col(ts_col), F.col(value_col))
     wn = w.rowsBetween(-(n_events - 1), 0)
     prev_ts = F.lag(ts_col).over(w)
+    # "*": all input columns survive (event ids, payload) so the features
+    # can join back to the source events
     return df.select(
-        *key_cols,
-        ts_col,
-        value_col,
+        "*",
         (
             (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) / 1_000_000.0
         ).alias("secs_since_prev"),
