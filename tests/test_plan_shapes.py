@@ -192,3 +192,27 @@ def test_unigram_logprob_join_strategy_left_to_catalyst(spark):
     assert "partial_count" in plan
     assert "partial_avg" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_boilerplate_and_rolling_plans(spark):
+    """Newest operators stay JVM-side: partial/final agg pairs, no
+    Python eval nodes, and the boilerplate frequency shuffle carries the
+    hashed line key (xxhash64), not raw text."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.operators.cleaning import remove_boilerplate_lines
+    from woodwork_spark.operators.timeseries import rolling_features
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    clean = remove_boilerplate_lines(docs, "text", "doc_id", min_docs=5)
+    plan = _executed_plan(clean)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "xxhash64" in plan.lower()
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    feats = rolling_features(ev, "ts", ["user_id"], "value")
+    plan = _executed_plan(feats)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # all four features share ONE window sort
+    assert plan.count("Sort ") <= 2
