@@ -1402,6 +1402,20 @@ def q_rolling_features(spark, sf_dir):
     )
 
 
+def q_dup_spectrum(spark, sf_dir):
+    """Corpus duplication spectrum: clusters per exact-duplicate cluster
+    size (normalized fingerprints) — the before/after health report of
+    every dedup pipeline.  Two map-side-partial aggregations; shuffle
+    keys are fingerprints, never text."""
+    from woodwork_spark.operators.dedup import duplication_spectrum
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return duplication_spectrum(docs, "text").select(
+        "cluster_size", "n_clusters", "n_docs",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -1465,6 +1479,7 @@ QUERIES = {
     "two_phase_agg": q_two_phase_agg,
     "boilerplate_lines": q_boilerplate_lines,
     "rolling_features": q_rolling_features,
+    "dup_spectrum": q_dup_spectrum,
 }
 
 ORACLE = {
@@ -2458,6 +2473,20 @@ ORACLE = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, value),
                w3 AS (PARTITION BY user_id ORDER BY ts, value
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "dup_spectrum": """
+        WITH fp AS (
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS f
+            FROM documents
+        ), per_fp AS (
+            SELECT f, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM fp GROUP BY f
+        )
+        SELECT cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        FROM per_fp GROUP BY cluster_size
     """,
 }
 

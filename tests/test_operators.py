@@ -720,3 +720,14 @@ def test_rolling_features_manual(spark):
     assert out[(1, rows[2][1])] == (4.0, 60.0, 3)
     assert out[(1, rows[3][1])] == (5.0, 90.0, 3)  # window slides off 10.0
     assert out[(2, t0)] == (None, 7.0, 1)
+
+
+def test_duplication_spectrum(spark):
+    rows = [(0, "a b"), (1, "a  b"), (2, "A B"), (3, "c"), (4, "c"), (5, "d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # normalized: {a b} x3, {c} x2, {d} x1
+    out = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in dedup.duplication_spectrum(df, "text").collect()
+    }
+    assert out == {3: (1, 3), 2: (1, 2), 1: (1, 1)}

@@ -666,3 +666,37 @@ def semdedup(
         .drop("component")
     )
     return out.withColumn("keep", F.col("id") == F.col("rep"))
+
+
+def duplication_spectrum(
+    df: DataFrame,
+    text_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Corpus duplication spectrum: how many exact-duplicate clusters
+    exist at each cluster size — the standard corpus-health report run
+    before and after dedup (a heavy tail of large clusters means the
+    pipeline upstream is replaying content).
+
+    Returns (cluster_size, n_clusters, n_docs) where n_docs =
+    cluster_size * n_clusters.  Two aggregations, both map-side partial:
+    fingerprint -> docs per fingerprint -> clusters per size.  Shuffle
+    keys are 128-bit md5 fingerprints, never the text.
+    """
+    from woodwork_spark.operators.text import fingerprint_expr
+
+    key = (
+        fingerprint_expr(text_col)
+        if normalize
+        else F.md5(F.col(text_col))
+    )
+    per_fp = df.select(key.alias("__fp")).groupBy("__fp").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return (
+        per_fp.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn(
+            "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long"),
+        )
+    )
