@@ -1217,7 +1217,7 @@ def q_semdedup(spark, sf_dir):
     )
     aug = base.unionByName(planted)
     out = semdedup(aug, "vec_id", "embedding", threshold=0.95)
-    return out.select("id", "rep", "keep").orderBy("id")
+    return out.select(F.col("vec_id").alias("id"), "rep", "keep").orderBy("id")
 
 
 def q_stream_dedup(spark, sf_dir):

@@ -146,6 +146,35 @@ def test_random_sample_mode(spark, inference_df):
     assert got == {"ints": "Integer", "emails": "EmailAddress"}
 
 
+def test_auto_engine_byte_gate(spark, monkeypatch):
+    """engine='auto' must NOT pick the driver-pandas path when the
+    estimated collect size (avg cell length × sample rows) exceeds the
+    byte cap, even though row/cell counts are tiny — multi-KB document
+    bodies are this framework's primary workload."""
+    from woodwork_spark.type_sys import profiles as P
+
+    big = spark.createDataFrame(
+        [(i, "x" * 10_000) for i in range(50)], "id long, body string",
+    )
+    est = P._estimated_sample_bytes(big, ["id", "body"], sample_size=100_000)
+    assert est > 500 * 1024 * 1024  # ~1 GB estimated for 100k such rows
+
+    picked = {}
+    monkeypatch.setattr(
+        P, "_build_profiles_pandas",
+        lambda *a, **k: picked.setdefault("engine", "pandas") or {},
+    )
+    monkeypatch.setattr(P, "_PANDAS_MAX_BYTES", 1024)
+    out = P.build_profiles(big, sample_size=1000, engine="auto")
+    assert picked.get("engine") is None  # fell back to the spark engine
+    assert set(out) == {"id", "body"}
+    # numeric-only frames skip the probe job and stay on the pandas path
+    monkeypatch.setattr(P, "_PANDAS_MAX_BYTES", 256 * 1024 * 1024)
+    nums = spark.createDataFrame([(i, i * 1.5) for i in range(50)], "a long, b double")
+    P.build_profiles(nums, sample_size=1000, engine="auto")
+    assert picked.get("engine") == "pandas"
+
+
 def test_engine_parity_pandas_vs_spark(inference_df):
     """The driver-side pandas engine (default for bounded samples) and the
     distributed Spark-agg engine (the >1M-row sample path) must agree on

@@ -523,6 +523,12 @@ def test_semdedup_groups_and_representatives(spark):
     df = spark.createDataFrame(rows, "id long, v array<double>")
     out = {r["id"]: (r["rep"], r["keep"]) for r in semdedup(df, "id", "v").collect()}
     assert out == {0: (0, True), 1: (0, False), 2: (0, False), 3: (3, True)}
+    # output key column is named after id_col so the docstring's
+    # df.join(semdedup(...).filter("keep"), id_col) recipe works verbatim
+    renamed = df.withColumnRenamed("id", "doc_key")
+    survivors = semdedup(renamed, "doc_key", "v").filter("keep")
+    assert survivors.columns == ["doc_key", "rep", "keep"]
+    assert renamed.join(survivors, "doc_key").count() == 2
 
 
 def test_connected_components_distributed_matches_unionfind(spark):

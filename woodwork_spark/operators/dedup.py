@@ -644,10 +644,11 @@ def semdedup(
     transitively via connected components, one representative (min id)
     kept per semantic group.
 
-    Returns (id, rep, keep): every row of ``df`` appears once; rows with
-    no near-duplicate are their own representative.  ``keep`` marks the
-    survivor of each group — ``df.join(semdedup(...).filter("keep"),
-    id_col)`` is the deduplicated corpus.
+    Returns (``id_col``, rep, keep): every row of ``df`` appears once;
+    rows with no near-duplicate are their own representative.  ``keep``
+    marks the survivor of each group — ``df.join(semdedup(...)
+    .filter("keep"), id_col)`` is the deduplicated corpus (the output
+    key column is named after ``id_col`` so that join works verbatim).
 
     Scale shape: LSH bucket join (no cross join), CC state is one
     (id, label) row per vertex in dup groups only; the final join back
@@ -665,7 +666,9 @@ def semdedup(
         .withColumn("rep", F.coalesce("component", F.col("id")))
         .drop("component")
     )
-    return out.withColumn("keep", F.col("id") == F.col("rep"))
+    return out.withColumn("keep", F.col("id") == F.col("rep")).withColumnRenamed(
+        "id", id_col,
+    )
 
 
 def duplication_spectrum(

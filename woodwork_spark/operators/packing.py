@@ -61,8 +61,12 @@ def pack_sequences(
             small_threshold=small_threshold,
         )
     return (
+        # integer DIV, not '/': Spark '/' is double division, exact only
+        # while the cumulative token prefix stays below 2^53 — a 100 TB
+        # corpus at ~500 tokens/KB crosses that around 50 PB-tokens, but
+        # the long path is exact at any scale and costs the same
         out.withColumn(
-            f"{out_prefix}_id", (F.col("__prefix") / seq_len).cast("long"),
+            f"{out_prefix}_id", F.expr(f"__prefix DIV CAST({int(seq_len)} AS BIGINT)"),
         )
         .withColumn(
             f"{out_prefix}_off", (F.col("__prefix") % seq_len).cast("long"),

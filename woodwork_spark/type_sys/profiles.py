@@ -57,6 +57,13 @@ _PROBE_PER_COL = 100
 # in pandas (one Arrow collect, zero wide aggs) — build_profiles(engine=...).
 _PANDAS_MAX_SAMPLE = 1_000_000
 _PANDAS_MAX_CELLS = 20_000_000
+# Row/cell counts alone can't bound a driver collect when cells are
+# multi-KB documents: also cap the ESTIMATED collected bytes (avg-length
+# probe over the head rows of string/binary columns × sample rows).
+_PANDAS_MAX_BYTES = 256 * 1024 * 1024
+_BYTES_PROBE_ROWS = 2048
+# pandas object-dtype per-string overhead (PyObject header + pointer)
+_PANDAS_STR_OVERHEAD = 56
 
 
 class ColumnProfile:
@@ -272,6 +279,31 @@ def _sampled(df: DataFrame, columns, sample_size, sample_mode):
     return src.limit(sample_size)
 
 
+def _estimated_sample_bytes(df: DataFrame, columns, sample_size) -> int:
+    """Cheap upper-bound estimate of what a driver collect of the
+    inference sample would hold: fixed ~8 B per numeric/temporal cell
+    plus an avg(length) probe over the first ``_BYTES_PROBE_ROWS`` rows
+    for string/binary columns (the only unbounded cell types).  Costs
+    one tiny head-scan job, and only when variable-width columns exist.
+    """
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    var_cols = [
+        c for c in columns
+        if isinstance(dtypes[c], (T.StringType, T.BinaryType))
+    ]
+    per_row = 8.0 * (len(columns) - len(var_cols))
+    if var_cols:
+        row = (
+            df.select(var_cols)
+            .limit(_BYTES_PROBE_ROWS)
+            .agg(*[F.avg(F.length(c)).alias(c) for c in var_cols])
+            .collect()[0]
+        )
+        for c in var_cols:
+            per_row += (row[c] or 0.0) + _PANDAS_STR_OVERHEAD
+    return int(per_row * sample_size)
+
+
 def build_profiles(
     df: DataFrame,
     columns=None,
@@ -300,7 +332,9 @@ def build_profiles(
     - "spark": 2 wide aggregation jobs + 1 bounded probe collect — for
       samples too large to collect (scales to any sample_size).
     - "auto" (default): pandas when the sample is bounded enough
-      (<= 1M rows and <= 20M cells), spark otherwise.
+      (<= 1M rows, <= 20M cells, AND an estimated <= 256 MB collected —
+      string/binary widths estimated from a head probe, so multi-KB
+      document bodies route to the spark engine), spark otherwise.
     """
     columns = list(columns) if columns is not None else df.columns
     sample_size = sample_size or config.get_option("inference_sample_size")
@@ -309,6 +343,11 @@ def build_profiles(
             "pandas"
             if sample_size <= _PANDAS_MAX_SAMPLE
             and sample_size * max(len(columns), 1) <= _PANDAS_MAX_CELLS
+            # row/cell caps can't see multi-KB text cells (a documents
+            # table at 100k rows × 10 KB bodies is a 1 GB driver pull);
+            # bound the estimated collected bytes too
+            and _estimated_sample_bytes(df, columns, sample_size)
+            <= _PANDAS_MAX_BYTES
             else "spark"
         )
     if engine == "pandas":
@@ -506,8 +545,11 @@ def _build_profiles_pandas(df, columns, sample_size, sample_mode):
         string_cols = [
             c for c in columns if isinstance(dtypes[c], T.StringType)
         ]
+        # .where(cond) fills masked cells with NaN; without Arrow,
+        # createDataFrame turns NaN in an object column into the literal
+        # string 'nan' — pass None explicitly so nulls arrive as NULLs
         local = df.sparkSession.createDataFrame(
-            pdf[string_cols].astype(object).where(pdf[string_cols].notna()),
+            pdf[string_cols].astype(object).where(pdf[string_cols].notna(), None),
             schema=T.StructType(
                 [T.StructField(c, T.StringType()) for c in string_cols],
             ),
