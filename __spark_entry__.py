@@ -1416,6 +1416,221 @@ def q_dup_spectrum(spark, sf_dir):
     )
 
 
+def q_outlier_methods(spark, sf_dir):
+    """Box-plot vs medcouple vs 'best' outlier bounds on a column with
+    planted extremes (every 100th customer's balance amplified), per
+    reference _get_box_plot_info_for_column.py:19-66 semantics.  The
+    customer table at sf0.01 is under the 10k medcouple sample cap, so
+    the O(N^2) kernel sees every value and the statistic is exactly
+    deterministic; quantiles/skewness/bounds/outlier counts in the
+    oracle are computed from the data — only the medcouple statistic
+    itself (a driver-side kernel, not SQL-expressible) is pinned."""
+    import woodwork_spark as ww
+    from woodwork_spark.statistics.outliers import (
+        box_plot_dict,
+        get_outliers,
+        medcouple_dict,
+    )
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    planted = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 100 == 0, F.col("c_acctbal") * 5 + 60000)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    t = ww.init(planted, validate=False)
+    rows = []
+    for method, d in (
+        ("box_plot", box_plot_dict(t, "bal")),
+        ("medcouple", medcouple_dict(t, "bal")),
+        # |mc| = 0.069 < medcouple_threshold 0.3 -> best picks box_plot
+        ("best", get_outliers(t, "bal", method="best")),
+    ):
+        rows.append((
+            method,
+            round(d["medcouple_stat"], 6) if "medcouple_stat" in d else None,
+            round(d["low_bound"], 6),
+            round(d["high_bound"], 6),
+            len(d["low_values"]),
+            len(d["high_values"]),
+        ))
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "method string, medcouple_stat double, low_bound double,"
+            " high_bound double, n_low long, n_high long"
+        ),
+    )
+
+
+def q_dependence_measures(spark, sf_dir):
+    """Pairwise dependence (pearson + adjusted mutual information + max)
+    on lineitem-derived columns with planted relationships: qty_plus is
+    l_quantity shifted by a small independent term (pearson ~0.99),
+    qty_band is a 3-way banding of l_quantity (strong MI), l_returnflag
+    is independent of all (MI ~0).  Pearson and the max-measure
+    selection are computed by the oracle from data; the AMI values (a
+    binned contingency + hypergeometric expected-MI kernel, reference
+    _get_dependence_dict.py:31-299) are pinned literals."""
+    import numpy as np
+
+    import woodwork_spark as ww
+    from woodwork_spark.statistics.dependence import dependence
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        (F.col("l_quantity") + F.col("l_orderkey") % 7).alias("qty_plus"),
+        F.when(F.col("l_quantity") < 17, "low")
+        .when(F.col("l_quantity") < 34, "mid")
+        .otherwise("high")
+        .alias("qty_band"),
+        "l_returnflag",
+    )
+    t = ww.init(li, validate=False)
+    pdf = dependence(t, measures=["pearson", "mutual_info", "max"])
+    rows = [
+        tuple(
+            None if isinstance(v, float) and np.isnan(v) else v
+            for v in r
+        )
+        for r in pdf.itertuples(index=False)
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "column_1 string, column_2 string, pearson double,"
+            " mutual_info double, max double"
+        ),
+    )
+
+
+def q_temporal_frequency(spark, sf_dir):
+    """infer_temporal_frequencies over three datetime columns derived
+    deterministically from customer keys: a complete hourly series
+    ('h'), a complete daily series ('D'), and an irregular
+    quadratic-residue series (no inferable frequency -> NULL).
+    Reference table_accessor.py:1591-1637 / _infer_frequency.py."""
+    import woodwork_spark as ww
+    from woodwork_spark.statistics.frequency import infer_temporal_frequencies
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.expr(
+            "timestamp'1994-01-01 00:00:00'"
+            " + make_interval(0,0,0,0, CAST(c_custkey AS INT), 0, 0)",
+        ).alias("ts_hour"),
+        F.expr(
+            "timestamp'1994-01-01 00:00:00'"
+            " + make_interval(0,0,0, CAST(c_custkey AS INT), 0, 0, 0)",
+        ).alias("ts_day"),
+        F.expr(
+            "timestamp'1994-01-01 00:00:00'"
+            " + make_interval(0,0,0,0, CAST((c_custkey*c_custkey) % 977 AS INT), 0, 0)",
+        ).alias("ts_irregular"),
+    )
+    t = ww.init(base, validate=False)
+    freqs = infer_temporal_frequencies(t)
+    return spark.createDataFrame(
+        sorted(freqs.items()),
+        schema="column_name string, frequency string",
+    )
+
+
+def q_validate_types(spark, sf_dir):
+    """validate_logical_types invalid-row counts over columns built from
+    customer with known violation rates: every 5th email lacks '@',
+    every 7th postal code is malformed, out-of-order market segments
+    violate an Ordinal, and a non-negative Age column has zero
+    violations.  All counts run in ONE aggregation pass (reference
+    table_accessor.py:1639-1662); the oracle recomputes each count from
+    the construction rule."""
+    import woodwork_spark as ww
+    from woodwork_spark.logical_types import Ordinal
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("long").alias("cust_age"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("12-34"))
+        .otherwise((F.col("c_custkey") % 90000 + 10000).cast("string"))
+        .alias("postal"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.concat(
+                F.lit("user"), F.col("c_custkey").cast("string"),
+                F.lit("example.com"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("user"), F.col("c_custkey").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .alias("email"),
+    )
+    t = ww.init(
+        base,
+        logical_types={
+            "segment": Ordinal(order=["AUTOMOBILE", "BUILDING", "MACHINERY"]),
+            "cust_age": "Age",
+            "postal": "PostalCode",
+            "email": "EmailAddress",
+        },
+        validate=False,
+    )
+    counts = t.validate_logical_types()
+    return spark.createDataFrame(
+        sorted(counts.items()),
+        schema="column_name string, n_invalid long",
+    )
+
+
+def q_schema_roundtrip(spark, sf_dir):
+    """to_disk -> from_disk parquet round trip of an inferred lineitem
+    schema: logical types, semantic tags, and physical types must
+    survive serialization (reference serializers/parquet_serializer.py +
+    deserializers).  Writes to a throwaway temp dir; the oracle is the
+    expected typing table."""
+    import shutil
+    import tempfile
+
+    import woodwork_spark as ww
+    from woodwork_spark.serializers import from_disk
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    t = ww.init(li, name="lineitem", validate=False)
+    d = tempfile.mkdtemp(prefix="ww_roundtrip_")
+    try:
+        t.to_disk(d, format="parquet")
+        t2 = from_disk(spark, d)
+        rows = [
+            (
+                c,
+                type(t2.logical_types[c]).__name__,
+                ",".join(sorted(t2.semantic_tags[c])),
+                dict(t2.physical_types)[c].simpleString(),
+            )
+            for c in t2.columns
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "column_name string, logical_type string, semantic_tags string,"
+            " physical_type string"
+        ),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -1480,6 +1695,11 @@ QUERIES = {
     "boilerplate_lines": q_boilerplate_lines,
     "rolling_features": q_rolling_features,
     "dup_spectrum": q_dup_spectrum,
+    "outlier_methods": q_outlier_methods,
+    "dependence_measures": q_dependence_measures,
+    "temporal_frequency": q_temporal_frequency,
+    "validate_types": q_validate_types,
+    "schema_roundtrip": q_schema_roundtrip,
 }
 
 ORACLE = {
@@ -2487,6 +2707,119 @@ ORACLE = {
                CAST(count(*) AS BIGINT) AS n_clusters,
                CAST(cluster_size * count(*) AS BIGINT) AS n_docs
         FROM per_fp GROUP BY cluster_size
+    """,
+    # Quantiles, skewness, bounds, and outlier counts are recomputed from
+    # the data; only the medcouple statistic (driver-side O(N^2) kernel)
+    # is pinned, keyed by customer-count so both harness scales verify.
+    "outlier_methods": """
+        WITH v AS (
+            SELECT CASE WHEN c_custkey % 100 = 0 THEN c_acctbal * 5 + 60000
+                        ELSE c_acctbal END AS x
+            FROM customer WHERE c_acctbal IS NOT NULL
+        ), mc AS (
+            SELECT CAST(CASE (SELECT count(*) FROM customer)
+                        WHEN 1500 THEN 0.069
+                        WHEN 150 THEN 0.021 END AS DOUBLE) AS m
+        ), q AS (
+            SELECT min(x) AS q0, quantile_cont(x, 0.25) AS q1,
+                   quantile_cont(x, 0.75) AS q3, max(x) AS q4,
+                   avg(x) AS mu, count(*) AS n
+            FROM v
+        ), sk AS (
+            SELECT least(abs((sum(pow(x - q.mu, 3)) / q.n)
+                             / pow(sum(pow(x - q.mu, 2)) / q.n, 1.5)),
+                         3.5) AS coeff
+            FROM v, q GROUP BY q.mu, q.n
+        ), bounds AS (
+            SELECT 'box_plot' AS method, CAST(NULL AS DOUBLE) AS medcouple_stat,
+                   greatest(round(q1 - 1.5 * (q3 - q1), 10), q0) AS lo,
+                   least(round(q3 + 1.5 * (q3 - q1), 10), q4) AS hi
+            FROM q
+            UNION ALL
+            SELECT 'medcouple', mc.m,
+                   greatest(round(q1 - 1.5 * exp(-sk.coeff * mc.m) * (q3 - q1), 10), q0),
+                   least(round(q3 + 1.5 * exp(sk.coeff * mc.m) * (q3 - q1), 10), q4)
+            FROM q, sk, mc
+            UNION ALL
+            SELECT 'best', CAST(NULL AS DOUBLE),
+                   greatest(round(q1 - 1.5 * (q3 - q1), 10), q0),
+                   least(round(q3 + 1.5 * (q3 - q1), 10), q4)
+            FROM q
+        )
+        SELECT b.method, b.medcouple_stat,
+               round(b.lo, 6) AS low_bound, round(b.hi, 6) AS high_bound,
+               (SELECT count(*) FROM v WHERE x < b.lo) AS n_low,
+               (SELECT count(*) FROM v WHERE x > b.hi) AS n_high
+        FROM bounds b
+    """,
+    # Pearson and the max-measure selection come from the data (corr);
+    # the adjusted-MI values (binned contingency + expected-MI kernel)
+    # are pinned per harness scale.
+    "dependence_measures": """
+        WITH li AS (
+            SELECT l_quantity, l_quantity + l_orderkey % 7 AS qty_plus
+            FROM lineitem
+        ), pr AS (
+            SELECT corr(l_quantity, qty_plus) AS p FROM li
+        ), mi AS (
+            SELECT column_1, column_2, mutual_info FROM (VALUES
+                ('l_quantity', 'qty_plus',     CAST(0.654841986136001 AS DOUBLE),     1500),
+                ('l_quantity', 'qty_band',     CAST(0.5768815172802424 AS DOUBLE),    1500),
+                ('l_quantity', 'l_returnflag', CAST(-0.000017469231460512 AS DOUBLE), 1500),
+                ('qty_plus',   'qty_band',     CAST(0.5467975312802674 AS DOUBLE),    1500),
+                ('qty_plus',   'l_returnflag', CAST(-0.0000306718236687126 AS DOUBLE),1500),
+                ('qty_band',   'l_returnflag', CAST(-0.0000046775869396606 AS DOUBLE),1500),
+                ('l_quantity', 'qty_plus',     CAST(0.6565584230562983 AS DOUBLE),    150),
+                ('l_quantity', 'qty_band',     CAST(0.5816395288276696 AS DOUBLE),    150),
+                ('l_quantity', 'l_returnflag', CAST(-0.0002903796738490267 AS DOUBLE),150),
+                ('qty_plus',   'qty_band',     CAST(0.5441060010403395 AS DOUBLE),    150),
+                ('qty_plus',   'l_returnflag', CAST(-0.0000155242807878426 AS DOUBLE),150),
+                ('qty_band',   'l_returnflag', CAST(-0.0001742011924291636 AS DOUBLE),150)
+            ) t(column_1, column_2, mutual_info, sf_key)
+            WHERE sf_key = (SELECT count(*) FROM customer)
+        )
+        SELECT m.column_1, m.column_2,
+               CASE WHEN m.column_2 = 'qty_plus' THEN pr.p END AS pearson,
+               m.mutual_info,
+               CASE WHEN m.column_2 = 'qty_plus'
+                         AND abs(pr.p) >= abs(m.mutual_info)
+                    THEN pr.p ELSE m.mutual_info END AS "max"
+        FROM mi m CROSS JOIN pr
+    """,
+    "temporal_frequency": """
+        SELECT * FROM (VALUES
+            ('ts_day', 'D'),
+            ('ts_hour', 'h'),
+            ('ts_irregular', CAST(NULL AS VARCHAR))
+        ) t(column_name, frequency)
+    """,
+    "validate_types": """
+        SELECT 'cust_age' AS column_name, CAST(0 AS BIGINT) AS n_invalid
+        UNION ALL
+        SELECT 'email',
+               (SELECT count(*) FROM customer WHERE c_custkey % 5 = 0)
+        UNION ALL
+        SELECT 'postal',
+               (SELECT count(*) FROM customer WHERE c_custkey % 7 = 0)
+        UNION ALL
+        SELECT 'segment',
+               (SELECT count(*) FROM customer
+                WHERE c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY'))
+    """,
+    "schema_roundtrip": """
+        SELECT * FROM (VALUES
+            ('l_orderkey',      'Integer',     'numeric',  'bigint'),
+            ('l_partkey',       'Integer',     'numeric',  'bigint'),
+            ('l_suppkey',       'Integer',     'numeric',  'bigint'),
+            ('l_linenumber',    'Integer',     'numeric',  'bigint'),
+            ('l_quantity',      'Double',      'numeric',  'double'),
+            ('l_extendedprice', 'Double',      'numeric',  'double'),
+            ('l_discount',      'Double',      'numeric',  'double'),
+            ('l_tax',           'Double',      'numeric',  'double'),
+            ('l_returnflag',    'Categorical', 'category', 'string'),
+            ('l_linestatus',    'Categorical', 'category', 'string'),
+            ('l_shipdate',      'Datetime',    '',         'timestamp')
+        ) AS t(column_name, logical_type, semantic_tags, physical_type)
     """,
 }
 
