@@ -343,6 +343,31 @@ def test_ivf_kmeans_centroids_recall(clustered_vectors):
     assert n_clusters == 8
 
 
+def test_ivf_random_training_sees_tail_clusters(spark):
+    """Training data sorted by cluster (the normal source-sorted parquet
+    layout): the default random sample must place a centroid near the
+    tail cluster that a head-limit sample never sees."""
+    rows = [(i, [10.0 + (i % 7) * 0.01, 0.0]) for i in range(1500)] + [
+        (1500 + i, [-10.0 + (i % 7) * 0.01, 0.0]) for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>",
+    ).coalesce(4)
+
+    def min_d2(cents, target):
+        return min(
+            sum((a - b) ** 2 for a, b in zip(c, target)) for c in cents
+        )
+
+    _, cents_head = similarity.ivf_index(
+        df, nlist=4, train_sample=1000, sample_mode="head",
+    )
+    _, cents_rand = similarity.ivf_index(df, nlist=4, train_sample=1000)
+    # the fixture is load-bearing: head sampling misses the tail cluster
+    assert min_d2(cents_head, [-10.0, 0.0]) > 50.0
+    assert min_d2(cents_rand, [-10.0, 0.0]) < 1.0
+
+
 def test_hash_split_stable_and_group_safe(spark):
     from woodwork_spark.operators import sampling
 

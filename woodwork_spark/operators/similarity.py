@@ -130,18 +130,32 @@ def ivf_index(
     seed: int = 42,
     iterations: int = 5,
     train_sample: int = 10_000,
+    sample_mode: str = "random",
 ) -> tuple[DataFrame, list]:
     """Build an IVF index: train centroids with k-means++/Lloyd on a
     bounded sample, then assign every vector to its nearest centroid in
     ONE projection (centroids are broadcast literals).  Returns the
     assigned DataFrame (extra ``__cluster`` column) + the centroid list.
 
-    Exactly two table reads regardless of ``iterations``: one bounded
-    ``limit(train_sample)`` collect to train (10k x d doubles — a few MB
-    on the driver), one full scan to assign."""
+    sample_mode:
+    - "random" (default): seeded random sample (count + sampled scan) —
+      unbiased even when the table is clustered by source, the normal
+      parquet layout, so centroids model the tail distribution too.
+    - "head": ``limit(train_sample)`` — cheapest scan at 100 TB, but
+      head rows only: on source-sorted data centroids model only the
+      head and tail-cluster recall degrades.
+
+    Training collects at most ``train_sample`` vectors (10k x d doubles
+    — a few MB on the driver); assignment is one full scan."""
     import numpy as np
 
-    rows = df.select(vec_col).limit(train_sample).collect()
+    src = df.select(vec_col)
+    if sample_mode == "random":
+        total = src.count()
+        if total > train_sample:
+            fraction = min(1.0, train_sample / total * 1.2)
+            src = src.sample(withReplacement=False, fraction=fraction, seed=seed)
+    rows = src.limit(train_sample).collect()
     X = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype="float64")
     if X.shape[0] == 0:
         raise ValueError("ivf_index: empty input")
