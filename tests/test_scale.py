@@ -172,3 +172,100 @@ def test_nano_probe_all_files_recovers_heterogeneous_dir(tmp_path, spark):
     assert _nano_timestamp_columns(path) == []  # first-file probe misses
     assert _nano_timestamp_columns(path, all_files=True) == ["ts"]
     assert _NANO_COLS_CACHE[path] == ["ts"]  # cache refreshed, not stale
+
+
+def test_persist_lifecycle_release(spark):
+    """Operators that return lazy frames over persisted intermediates
+    attach those frames; release() frees the cached blocks after the
+    result is consumed (the round-5 leak class)."""
+    from woodwork_spark.lifecycle import persisted_frames, release
+    from woodwork_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = unigram_logprob(df, "text", "doc_id")
+    frames = persisted_frames(out)
+    assert frames, "unigram_logprob should expose its persisted explode"
+    out.count()  # consume
+    assert any(f.storageLevel.useMemory or f.storageLevel.useDisk for f in frames)
+    assert release(out) == len(frames)
+    assert all(
+        not (f.storageLevel.useMemory or f.storageLevel.useDisk)
+        for f in frames
+    )
+    assert persisted_frames(out) == ()
+
+
+def test_rank_known_count_skips_probe_and_persist(spark):
+    """A caller-supplied cardinality hint takes the windowed fast path
+    with zero probe jobs and zero persisted intermediates."""
+    from woodwork_spark.lifecycle import persisted_frames
+    from woodwork_spark.operators.rank import global_row_number
+
+    df = spark.createDataFrame(
+        [(c, n) for c, n in [("b", 5), ("a", 9), ("c", 1)]],
+        "token string, count long",
+    )
+    out = global_row_number(
+        df, [F.desc("count"), F.asc("token")],
+        out_col="token_id", known_count=3,
+    )
+    assert persisted_frames(out) == ()
+    got = {r["token"]: r["token_id"] for r in out.collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_rank_distributed_path_attaches_and_releases(spark):
+    """Forced-distributed rank exposes its range-partitioned cache for
+    release, and the released result still recomputes correctly."""
+    from woodwork_spark.lifecycle import persisted_frames, release
+    from woodwork_spark.operators.rank import global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i % 97, 1) for i in range(500)], "k long, v long",
+    )
+    out = global_prefix_sum(df, [F.asc("k")], "v", small_threshold=0)
+    frames = persisted_frames(out)
+    assert frames
+    total = out.agg(F.max("prefix_sum")).collect()[0][0]
+    assert total == 499  # exclusive prefix of the last row
+    release(out)
+    assert all(
+        not (f.storageLevel.useMemory or f.storageLevel.useDisk)
+        for f in frames
+    )
+
+
+def test_spearman_slow_path_batches_count_jobs(spark):
+    """A wide all-nullable frame must issue O(1) count jobs for the
+    slow-path shared/union counts, not one per pair."""
+    import woodwork_spark as ww
+    from woodwork_spark.statistics.dependence import dependence
+
+    ncols = 12
+    rows = []
+    for r in range(ncols * 10):
+        owner = r // 10
+        rows.append(
+            tuple(float(r) if c == owner else None for c in range(ncols)),
+        )
+    schema = ", ".join(f"c{i} double" for i in range(ncols))
+    df = spark.createDataFrame(rows, schema)
+    t = ww.init(df, validate=False)
+    sc = spark.sparkContext
+    sc.setJobGroup("spearman_batch_test", "job-count probe")
+    try:
+        out = dependence(t, measures=["spearman"])
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("spearman_batch_test")
+    # disjoint supports: every pair is slow with shared=0 < min_shared,
+    # so no per-pair rank jobs run; the count jobs must be batched.
+    # Before batching this was ~1 job per pair (66) + overheads.
+    assert len(jobs) <= 10, f"expected O(1) jobs, got {len(jobs)}"
+    assert len(out) == ncols * (ncols - 1) // 2
+    import numpy as np
+
+    assert all(np.isnan(v) for v in out["spearman"])

@@ -18,6 +18,7 @@ from woodwork_spark.type_sys.type_system import type_system
 from woodwork_spark import logical_types
 from woodwork_spark.type_sys.utils import list_logical_types, list_semantic_tags
 from woodwork_spark.table_utils import concat_columns, init_series
+from woodwork_spark.lifecycle import persisted_frames, release
 
 __version__ = "0.1.0"
 
@@ -63,4 +64,6 @@ __all__ = [
     "list_semantic_tags",
     "concat_columns",
     "init_series",
+    "persisted_frames",
+    "release",
 ]

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from woodwork_spark.lifecycle import attach_persisted
 from woodwork_spark.operators.text import tokens_expr
 
 # ---------------------------------------------------------------------------
@@ -311,7 +312,7 @@ def remove_boilerplate_lines(
             ).alias("__clean"),
         )
     )
-    return (
+    out = (
         df.join(kept, id_col, "left")
         .withColumn(
             out_col,
@@ -321,3 +322,6 @@ def remove_boilerplate_lines(
         )
         .drop("__clean")
     )
+    # the cached line explode rides on the result; free it with
+    # lifecycle.release(result) after the cleaned corpus is written
+    return attach_persisted(out, exploded)

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from woodwork_spark.lifecycle import attach_persisted
+
 
 def _make_sketch_udf(plane_mat):
     """Arrow-batched random-hyperplane sketch: sign bits of X @ P.T as
@@ -205,10 +207,13 @@ def minhash_dedup_pairs(
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b"),
     )
-    return (
+    out = (
         joined.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    # the cached shingle arrays ride on the result; free them with
+    # lifecycle.release(result) once the pairs are materialized
+    return attach_persisted(out, shingled)
 
 
 def connected_components(

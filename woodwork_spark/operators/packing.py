@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from woodwork_spark.lifecycle import attach_persisted, persisted_frames
 from woodwork_spark.operators.rank import global_prefix_sum, grouped_prefix_sum
 
 
@@ -60,7 +61,7 @@ def pack_sequences(
             df, order, count_col, out_col="__prefix",
             small_threshold=small_threshold,
         )
-    return (
+    final = (
         # integer DIV, not '/': Spark '/' is double division, exact only
         # while the cumulative token prefix stays below 2^53 — a 100 TB
         # corpus at ~500 tokens/KB crosses that around 50 PB-tokens, but
@@ -73,6 +74,7 @@ def pack_sequences(
         )
         .drop("__prefix")
     )
+    return attach_persisted(final, *persisted_frames(out))
 
 
 def cap_per_group(

@@ -13,7 +13,11 @@ distributed formulation instead:
    no single-partition Exchange anywhere in the plan).
 
 The range-partitioned frame is persisted so the offsets job and the main
-query see the same (sampled) range boundaries.
+query see the same (sampled) range boundaries.  Persisted intermediates
+are attached to the returned frame (woodwork_spark.lifecycle); callers
+release them with ``lifecycle.release(result)`` after consuming the
+result, or pass ``known_count`` to skip both the probe job and (for
+small inputs) the persist entirely.
 """
 
 from __future__ import annotations
@@ -21,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+from woodwork_spark.lifecycle import attach_persisted
 
 _PID = "__ww_pid"
 
@@ -48,36 +54,55 @@ def _offset_expr(parted: DataFrame, per_pid_total):
     return F.coalesce(F.create_map(*items)[F.col(_PID)], F.lit(0))
 
 
+def _probe_small(df: DataFrame, small_threshold, known_count):
+    """Decide small-vs-distributed with at most ONE execution of the
+    upstream plan.  A caller-supplied ``known_count`` skips the probe job
+    entirely; otherwise the input is persisted and probed through the
+    cache, so the distributed path's boundary sampling + shuffle reuse
+    the materialized rows instead of re-running the upstream plan (the
+    unpersisted probe used to cost one full re-execution per call).
+
+    Returns (is_small, source frame to build on, whether we persisted).
+    """
+    if not small_threshold:
+        return False, df, False
+    if known_count is not None:
+        return known_count <= small_threshold, df, False
+    src = df.persist()
+    n = src.limit(small_threshold + 1).count()
+    return n <= small_threshold, src, True
+
+
 def global_row_number(
     df: DataFrame,
     order,
     out_col: str = "row_number",
     num_partitions: int = None,
     small_threshold: int = 100_000,
+    known_count: int = None,
 ) -> DataFrame:
     """0-based global row number by ``order`` (list of Columns / sort
     orders, e.g. ``[F.desc("count"), F.asc("token")]``) with no
-    single-reducer window.  Same cardinality-aware switch as
-    ``global_prefix_sum`` (see there)."""
-    if small_threshold:
-        # probe on the unpersisted plan: persisting here leaked a cached
-        # frame per call (never released), and the probe's extra
-        # execution of an already-aggregated input is one cheap stage
-        if df.limit(small_threshold + 1).count() <= small_threshold:
-            w = W.orderBy(*order)
-            return df.withColumn(
-                out_col, F.row_number().over(w).cast("long") - 1,
-            )
-    parted = _range_partitioned(df, order, num_partitions)
+    single-reducer window.  Same cardinality-aware switch and persist
+    lifecycle as ``global_prefix_sum`` (see there)."""
+    small, src, persisted = _probe_small(df, small_threshold, known_count)
+    if small:
+        w = W.orderBy(*order)
+        out = src.withColumn(
+            out_col, F.row_number().over(w).cast("long") - 1,
+        )
+        return attach_persisted(out, src if persisted else None)
+    parted = _range_partitioned(src, order, num_partitions)
     off = _offset_expr(parted, F.count(F.lit(1)))
     w = W.partitionBy(_PID).orderBy(*order)
-    return (
+    out = (
         parted.withColumn(
             out_col,
             (F.row_number().over(w).cast("long") - 1 + off.cast("long")),
         )
         .drop(_PID)
     )
+    return attach_persisted(out, parted, src if persisted else None)
 
 
 def global_prefix_sum(
@@ -87,6 +112,7 @@ def global_prefix_sum(
     out_col: str = "prefix_sum",
     num_partitions: int = None,
     small_threshold: int = 100_000,
+    known_count: int = None,
 ) -> DataFrame:
     """Exclusive running sum of ``value_col`` in ``order`` (the sum of all
     strictly-preceding rows), distributed the same way.
@@ -98,26 +124,32 @@ def global_prefix_sum(
     ≤100k aggregated rows is one cheap stage.  Above the threshold (the
     distinct~rows regime that matters at 100 TB) the range-partitioned
     path keeps every reducer bounded.  Pass ``small_threshold=0`` to
-    force the distributed shape."""
-    if small_threshold:
-        if df.limit(small_threshold + 1).count() <= small_threshold:
-            w = (
-                W.orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
-            )
-            return df.withColumn(
-                out_col,
-                F.coalesce(F.sum(value_col).over(w), F.lit(0)),
-            )
-    parted = _range_partitioned(df, order, num_partitions)
+    force the distributed shape, or ``known_count`` to skip the probe
+    job when the caller already knows the cardinality.
+
+    Persisted intermediates ride on the returned frame — free them with
+    ``lifecycle.release(result)`` once the result is consumed."""
+    small, src, persisted = _probe_small(df, small_threshold, known_count)
+    if small:
+        w = (
+            W.orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+        )
+        out = src.withColumn(
+            out_col,
+            F.coalesce(F.sum(value_col).over(w), F.lit(0)),
+        )
+        return attach_persisted(out, src if persisted else None)
+    parted = _range_partitioned(src, order, num_partitions)
     off = _offset_expr(parted, F.sum(value_col))
     w = W.partitionBy(_PID).orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
-    return (
+    out = (
         parted.withColumn(
             out_col,
             F.coalesce(F.sum(value_col).over(w), F.lit(0)) + off,
         )
         .drop(_PID)
     )
+    return attach_persisted(out, parted, src if persisted else None)
 
 
 def grouped_prefix_sum(
@@ -128,6 +160,7 @@ def grouped_prefix_sum(
     out_col: str = "prefix_sum",
     num_partitions: int = None,
     small_threshold: int = 100_000,
+    known_count: int = None,
 ) -> DataFrame:
     """Exclusive running sum of ``value_col`` in ``order`` WITHIN each
     group, restarting at 0 per group — the distributed form of
@@ -145,18 +178,19 @@ def grouped_prefix_sum(
     """
     group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     spark = df.sparkSession
-    if small_threshold:
-        if df.limit(small_threshold + 1).count() <= small_threshold:
-            w = (
-                W.partitionBy(*group_cols)
-                .orderBy(*order)
-                .rowsBetween(W.unboundedPreceding, -1)
-            )
-            return df.withColumn(
-                out_col, F.coalesce(F.sum(value_col).over(w), F.lit(0)),
-            )
+    small, src, persisted = _probe_small(df, small_threshold, known_count)
+    if small:
+        w = (
+            W.partitionBy(*group_cols)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        out = src.withColumn(
+            out_col, F.coalesce(F.sum(value_col).over(w), F.lit(0)),
+        )
+        return attach_persisted(out, src if persisted else None)
     keys = [F.col(g) for g in group_cols]
-    parted = _range_partitioned(df, keys + list(order), num_partitions)
+    parted = _range_partitioned(src, keys + list(order), num_partitions)
     totals_df = parted.groupBy(_PID, *group_cols).agg(
         F.sum(value_col).alias("__t"),
     )
@@ -203,7 +237,7 @@ def grouped_prefix_sum(
     cond = F.col(_PID) == F.col("__opid")
     for i, g in enumerate(group_cols):
         cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{i}"))
-    return (
+    out = (
         parted.withColumn(
             "__local", F.coalesce(F.sum(value_col).over(w), F.lit(0)),
         )
@@ -214,3 +248,4 @@ def grouped_prefix_sum(
             *[f"__og_{i}" for i in range(len(group_cols))],
         )
     )
+    return attach_persisted(out, parted, src if persisted else None)

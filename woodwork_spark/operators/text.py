@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
 # Small stopword sets per language (public common-word lists) for the
 # n-gram/stopword-overlap language heuristic.
 LANG_STOPWORDS = {
@@ -173,7 +175,9 @@ def build_vocabulary(
         counts, [F.desc("count"), F.asc("token")], out_col="token_id",
     )
     if top_n:
-        out = out.filter(F.col("token_id") < top_n)
+        out = attach_persisted(
+            out.filter(F.col("token_id") < top_n), *persisted_frames(out),
+        )
     return out
 
 
@@ -286,7 +290,7 @@ def unigram_logprob(
     )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__tf"))
     total = freq.agg(F.sum("__tf")).collect()[0][0] or 1
-    return (
+    out = (
         tok.join(freq, "token")
         .groupBy(id_col, *extra_cols)
         .agg(
@@ -296,6 +300,9 @@ def unigram_logprob(
             ),
         )
     )
+    # the cached token explode (~10x the corpus) rides on the result —
+    # lifecycle.release(result) frees it once scores are materialized
+    return attach_persisted(out, tok)
 
 
 def tokenize_with_vocabulary(

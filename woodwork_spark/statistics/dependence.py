@@ -31,6 +31,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from woodwork_spark.exceptions import SparseDataWarning
+from woodwork_spark.lifecycle import attach_persisted, persisted_frames, release
 from woodwork_spark.logical_types import (
     BooleanNullable,
     Categorical,
@@ -125,17 +126,23 @@ def _rank_column(df, col):
     counts = df.filter(F.col(col).isNotNull()).groupBy(col).agg(
         F.count(F.lit(1)).alias("__cnt"),
     )
-    ranked = global_prefix_sum(
+    prefixed = global_prefix_sum(
         counts, [F.asc(col)], "__cnt", out_col="__prefix",
-    ).select(
+    )
+    ranked = prefixed.select(
         F.col(col).alias("__val"),
         (F.col("__prefix") + (F.col("__cnt") + 1) / 2.0).alias("__rank"),
     )
-    return df.join(
+    out = df.join(
         ranked,
         df[col].eqNullSafe(F.col("__val")),
         "left",
     ).drop("__val")
+    # carry the rank primitive's persisted intermediates (plus any from a
+    # chained input) so the eager consumer can release them post-agg
+    return attach_persisted(
+        out, *persisted_frames(df), *persisted_frames(prefixed),
+    )
 
 
 def _pairwise_corr(df, pairs, rank=False):
@@ -170,9 +177,16 @@ def _spearman_pair(df, a, b):
     pair_df = df.select(a, b).filter(
         F.col(a).isNotNull() & F.col(b).isNotNull(),
     )
-    ranked = _rank_column(pair_df.withColumnRenamed(a, "__a"), "__a")
-    ranked = ranked.withColumnRenamed("__rank", "__rank_a")
-    ranked = _rank_column(ranked.withColumnRenamed(b, "__b"), "__b")
+    ranked_a = _rank_column(pair_df.withColumnRenamed(a, "__a"), "__a")
+    # renames return NEW frames — re-attach so the chained _rank_column
+    # (and the final release) sees the first rank's persisted frames
+    step = attach_persisted(
+        ranked_a.withColumnRenamed("__rank", "__rank_a").withColumnRenamed(
+            b, "__b",
+        ),
+        *persisted_frames(ranked_a),
+    )
+    ranked = _rank_column(step, "__b")
     spark = ranked.sparkSession
     prev = spark.conf.get("spark.sql.ansi.enabled", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
@@ -180,6 +194,7 @@ def _spearman_pair(df, a, b):
         row = ranked.agg(F.corr("__rank_a", "__rank").alias("c")).collect()[0]
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+        release(ranked)
     return row["c"]
 
 
@@ -394,22 +409,40 @@ def dependence(
             if fast:
                 ranked = df
                 for c in sorted({c for p in fast for c in p}):
-                    ranked = _rank_column(ranked, c).withColumnRenamed(
-                        "__rank", f"__rk_{c}",
+                    r0 = _rank_column(ranked, c)
+                    ranked = attach_persisted(
+                        r0.withColumnRenamed("__rank", f"__rk_{c}"),
+                        *persisted_frames(r0),
                     )
                 rpairs = [(f"__rk_{a}", f"__rk_{b}") for a, b in fast]
                 row = _pairwise_corr(ranked, rpairs)
+                release(ranked)
                 for i, p in enumerate(fast):
                     record(p, "spearman", row[f"corr_{i}"], row[f"shared_{i}"], row[f"union_{i}"])
                     caller.update(1)
-            for a, b in slow:
-                both = df.agg(
-                    F.sum((F.col(a).isNotNull() & F.col(b).isNotNull()).cast("long")).alias("s"),
-                    F.sum((F.col(a).isNotNull() | F.col(b).isNotNull()).cast("long")).alias("u"),
+            if slow:
+                # ALL slow-pair shared/union counts in ONE agg (same
+                # batching as the fast path and MI) — a wide all-nullable
+                # table used to issue one count job per pair, O(p^2) jobs
+                su = df.agg(
+                    *[
+                        e
+                        for i, (a, b) in enumerate(slow)
+                        for e in (
+                            F.sum(
+                                (F.col(a).isNotNull() & F.col(b).isNotNull()).cast("long"),
+                            ).alias(f"s_{i}"),
+                            F.sum(
+                                (F.col(a).isNotNull() | F.col(b).isNotNull()).cast("long"),
+                            ).alias(f"u_{i}"),
+                        )
+                    ],
                 ).collect()[0]
-                corr = _spearman_pair(df, a, b) if both["s"] >= min_shared else None
-                record((a, b), "spearman", corr, both["s"], both["u"])
-                caller.update(1)
+                for i, (a, b) in enumerate(slow):
+                    s, u = su[f"s_{i}"] or 0, su[f"u_{i}"] or 0
+                    corr = _spearman_pair(df, a, b) if s >= min_shared else None
+                    record((a, b), "spearman", corr, s, u)
+                    caller.update(1)
 
     if "mutual_info" in real_measures:
         pairs = pairs_for(valid["mutual_info"])
