@@ -44,7 +44,7 @@ def _assert_schema_equal(a, b):
         assert a.schema.columns[c].description == b.schema.columns[c].description
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "orc"])
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "orc", "feather", "arrow"])
 def test_roundtrip(spark, typed, fmt):
     path = tempfile.mkdtemp(prefix=f"wwspark_{fmt}_")
     try:
@@ -101,3 +101,92 @@ def test_round_trip_via_uri_scheme(spark, tmp_path):
     assert back.schema.index == "id"
     assert str(back.schema.columns["email"].logical_type) == "EmailAddress"
     assert sorted(r["id"] for r in back.raw.collect()) == [1, 2]
+
+
+def test_pickle_refused_with_alternatives(typed):
+    with pytest.raises(ValueError, match="parquet"):
+        to_disk(typed, "/tmp/never_written", format="pickle")
+    with pytest.raises(ValueError, match="feather"):
+        to_disk(typed, "/tmp/never_written", format="hdf5")
+
+
+def test_feather_rejects_cluster_uri(typed):
+    with pytest.raises(ValueError, match="driver-local"):
+        to_disk(typed, "s3a://bucket/table", format="feather")
+
+
+def test_reference_ww_meta_parquet_migration(spark, tmp_path):
+    """A parquet written the way the pandas reference writes it — one
+    pyarrow file with the typing info as a `ww_meta` footer blob
+    (reference parquet_serializer.py:53-69), no sidecar, no StructField
+    metadata — must come back typed through from_disk."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        {
+            "id": [0, 1, 2],
+            "email": ["a@x.com", "b@y.com", None],
+            "score": [1.5, 2.5, 3.0],
+        },
+    )
+    typing_info = {
+        "schema_version": "12.0.0",
+        "name": "ref_table",
+        "index": None,
+        "time_index": None,
+        "column_typing_info": [
+            {
+                "name": "id",
+                "ordinal": 0,
+                "use_standard_tags": True,
+                "logical_type": {"parameters": {}, "type": "Integer"},
+                "physical_type": {"type": "int64"},
+                "semantic_tags": ["numeric"],
+                "description": None,
+                "origin": None,
+                "metadata": {},
+            },
+            {
+                "name": "email",
+                "ordinal": 1,
+                "use_standard_tags": True,
+                "logical_type": {"parameters": {}, "type": "EmailAddress"},
+                "physical_type": {"type": "string"},
+                "semantic_tags": [],
+                "description": "contact",
+                "origin": "base",
+                "metadata": {},
+            },
+            {
+                "name": "score",
+                "ordinal": 2,
+                "use_standard_tags": True,
+                "logical_type": {"parameters": {}, "type": "Double"},
+                "physical_type": {"type": "float64"},
+                "semantic_tags": ["numeric"],
+                "description": None,
+                "origin": None,
+                "metadata": {},
+            },
+        ],
+        "loading_info": {"table_type": "pandas", "location": "data", "type": "parquet"},
+        "table_metadata": {"source": "reference"},
+    }
+    table = pa.Table.from_pandas(pdf)
+    meta = {b"ww_meta": json.dumps(typing_info).encode()}
+    table = table.replace_schema_metadata({**(table.schema.metadata or {}), **meta})
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    pq.write_table(table, str(data_dir / "data.parquet"))
+
+    back = from_disk(spark, str(tmp_path))
+    assert type(back.logical_types["email"]).__name__ == "EmailAddress"
+    assert type(back.logical_types["id"]).__name__ == "Integer"
+    assert back.name == "ref_table"
+    assert back.metadata == {"source": "reference"}
+    assert back.schema.columns["email"].description == "contact"
+    assert back.raw.count() == 3

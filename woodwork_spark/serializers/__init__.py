@@ -69,31 +69,83 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+FORMATS = ("csv", "parquet", "orc", "json", "feather", "arrow")
+
+
+def _local_path(path: str) -> str:
+    """Driver-local filesystem path for single-file formats, or a clear
+    error: feather/arrow are interchange files written by the driver
+    (reference feather_serializer.py writes one file via to_feather) —
+    cluster URIs need a cluster format (parquet/orc)."""
+    if "://" not in path:
+        return path
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    raise ValueError(
+        f"feather/arrow write a single driver-local file; got '{path}'. "
+        "Use format='parquet' or 'orc' for cluster filesystems.",
+    )
+
+
 def to_disk(ww_df, path, format="parquet", mode="overwrite", **options):
     """Write data + typing info.  ``path`` becomes a directory containing
-    the Spark output under ``data/`` and the typing-info JSON.  Any
-    Hadoop-FS URI scheme works (file://, hdfs://, s3a://...)."""
+    the data under ``data/`` and the typing-info JSON.  Any Hadoop-FS URI
+    scheme works for the cluster formats (file://, hdfs://, s3a://...).
+
+    Formats (reference serializers/utils.py:10-28): csv/parquet/orc/json
+    are distributed Spark writes; feather/arrow are single-file Arrow IPC
+    interchange written by the driver — meant for pandas-sized results
+    and migration back to the pandas reference, NOT cluster-scale
+    outputs.  'pickle' (a pandas in-memory format) is refused explicitly:
+    there is no distributed pickle, use parquet/orc instead."""
+    fmt = format.lower()
+    if fmt == "pickle":
+        raise ValueError(
+            "format='pickle' serializes a single in-memory pandas object "
+            "(reference pickle_serializer.py) and has no distributed "
+            "equivalent. Use format='parquet' or 'orc' for Spark-native "
+            "round trips, or 'feather'/'arrow' for single-file pandas "
+            "interchange.",
+        )
+    if fmt not in FORMATS:
+        raise ValueError(
+            "must be one of the following formats: "
+            + ", ".join(FORMATS) + ", pickle",
+        )
     data_path = _join(path, "data")
     df = ww_df.df  # metadata-embedded
-    writer = df.write.mode(mode)
-    fmt = format.lower()
-    if fmt == "csv":
-        writer = writer.option("header", "true")
-        for k, v in options.items():
-            writer = writer.option(k, v)
-        writer.csv(data_path)
-    elif fmt == "parquet":
-        writer.parquet(data_path)
-    elif fmt == "orc":
-        writer.orc(data_path)
-    elif fmt == "json":
-        writer.json(data_path)
+    location = "data"
+    if fmt in ("feather", "arrow"):
+        import os
+
+        from pyarrow import feather
+
+        local = _local_path(path)
+        os.makedirs(os.path.join(local, "data"), exist_ok=True)
+        filename = f"data.{fmt}"
+        # toArrow (Spark 4) keeps structs/arrays exact; feather v2 IS the
+        # Arrow IPC file format, so one writer serves both spellings
+        feather.write_feather(
+            df.toArrow(), os.path.join(local, "data", filename), **options,
+        )
+        location = f"data/{filename}"
     else:
-        raise ValueError(f"could not determine format: {format}")
+        writer = df.write.mode(mode)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+            for k, v in options.items():
+                writer = writer.option(k, v)
+            writer.csv(data_path)
+        elif fmt == "parquet":
+            writer.parquet(data_path)
+        elif fmt == "orc":
+            writer.orc(data_path)
+        elif fmt == "json":
+            writer.json(data_path)
     info = ww_df.to_dictionary()
     info["loading_info"] = {
         "table_type": "spark",
-        "location": "data",
+        "location": location,
         "type": fmt,
     }
     _write_text(
@@ -142,39 +194,101 @@ def from_disk(spark: SparkSession, path, validate=True):
         df = spark.read.option("header", "true").csv(data_path)
     elif fmt == "json":
         df = spark.read.json(data_path)
+    elif fmt in ("feather", "arrow"):
+        import glob
+        import os
+
+        from pyarrow import feather
+
+        local = _local_path(data_path)
+        if os.path.isdir(local):
+            files = sorted(
+                f
+                for ext in ("feather", "arrow")
+                for f in glob.glob(os.path.join(local, f"*.{ext}"))
+            )
+            if not files:
+                raise ValueError(f"no feather/arrow file under {local}")
+            local = files[0]
+        df = spark.createDataFrame(feather.read_table(local).to_pandas())
     else:
         raise ValueError(f"could not determine format: {fmt}")
 
     if info is not None:
         schema = TableSchema.from_dictionary(info)
-        if fmt in ("csv", "json"):
-            # text formats lose physical types: re-coerce through transforms
-            from woodwork_spark.accessor import init
-
-            lt_map = {
-                name: cs.logical_type for name, cs in schema.columns.items()
-            }
-            out = init(
-                df,
-                name=schema.name,
-                logical_types=lt_map,
-                table_metadata=schema.metadata,
-                validate=False,
-            )
-            # restore tags/index
-            for name, cs in schema.columns.items():
-                out.schema.columns[name].semantic_tags = set(cs.semantic_tags)
-                out.schema.columns[name].description = cs.description
-                out.schema.columns[name].origin = cs.origin
-                out.schema.columns[name].metadata = cs.metadata
-                out.schema.columns[name].use_standard_tags = cs.use_standard_tags
-            return out
+        if fmt in ("csv", "json", "feather", "arrow"):
+            # csv/json lose physical types; feather/arrow carry pandas
+            # dtypes that may drift from Spark's — re-coerce through the
+            # logical-type transforms either way
+            return _coerced_init(df, schema)
         return init_with_full_schema(df, schema, validate=validate)
 
     # no sidecar: rebuild from StructField metadata (parquet channel)
     schema = TableSchema.from_struct(df.schema)
     if schema is None:
+        # migration path: a parquet written by the pandas reference keys
+        # its typing info as a `ww_meta` blob in the file footer
+        # (reference parquet_serializer.py:53-69) — neither a sidecar
+        # nor StructField metadata exists there
+        meta_info = _read_ww_meta(data_path)
+        if meta_info is not None:
+            return _coerced_init(df, TableSchema.from_dictionary(meta_info))
         from woodwork_spark.accessor import init
 
         return init(df, validate=False)
     return init_with_full_schema(df, schema, validate=validate)
+
+
+def _coerced_init(df, schema: TableSchema):
+    """init with the saved logical types (physical re-coercion through
+    transforms) + restore per-column schema attributes."""
+    from woodwork_spark.accessor import init
+
+    lt_map = {name: cs.logical_type for name, cs in schema.columns.items()}
+    out = init(
+        df,
+        name=schema.name,
+        logical_types=lt_map,
+        table_metadata=schema.metadata,
+        validate=False,
+    )
+    for name, cs in schema.columns.items():
+        out.schema.columns[name].semantic_tags = set(cs.semantic_tags)
+        out.schema.columns[name].description = cs.description
+        out.schema.columns[name].origin = cs.origin
+        out.schema.columns[name].metadata = cs.metadata
+        out.schema.columns[name].use_standard_tags = cs.use_standard_tags
+    return out
+
+
+def _read_ww_meta(data_path: str):
+    """Best-effort read of the reference's ``ww_meta`` parquet-footer
+    typing blob.  Reference archives are single local files written by
+    pyarrow (parquet_serializer.py:53-69), so this probes the local
+    filesystem only; cluster-written tables use the sidecar or
+    StructField channels instead."""
+    import glob
+    import os
+
+    path = data_path
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    elif "://" in path:
+        return None
+    if os.path.isdir(path):
+        candidates = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    elif os.path.isfile(path):
+        candidates = [path]
+    else:
+        return None
+    for f in candidates:
+        try:
+            import pyarrow.parquet as pq
+
+            meta = pq.read_schema(f).metadata or {}
+        except Exception:  # unreadable footer: keep probing
+            continue
+        blob = meta.get(b"ww_meta")
+        if blob is not None:
+            return json.loads(blob.decode("utf-8"))
+    return None
