@@ -676,6 +676,43 @@ def test_pca_recovers_dominant_direction(spark):
     assert P[:, 0].var() > 50 * P[:, 1].var()
 
 
+def test_pca_moments_collect_bounded_by_fanin(spark):
+    """Tree reduction: the driver collect must stay O(d²) regardless of
+    partition count — a 64-partition input with fanin=4 must reach the
+    driver as at most 4 combined partial rows, with moments identical to
+    the single-level answer."""
+    import numpy as np
+
+    from woodwork_spark.operators.embedding import collect_moments, pca_fit
+
+    rng = np.random.default_rng(11)
+    n, d = 500, 6
+    X = rng.standard_normal((n, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "id long, v array<double>",
+    ).repartition(64)
+    rows = collect_moments(df, "v", fanin=4)
+    assert 1 <= len(rows) <= 4
+    tot_n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    xtx = np.sum([np.array(r["xtx"]).reshape(d, d) for r in rows], axis=0)
+    assert tot_n == n
+    assert np.allclose(s, X.sum(axis=0), atol=1e-8)
+    assert np.allclose(xtx, X.T @ X, atol=1e-6)
+    # end-to-end: PCA over the partition-heavy frame matches numpy's SVD
+    comps, mean, _ = pca_fit(df, "v", 2)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-8)
+    cov = np.cov(X, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, np.argsort(evals)[::-1][:2]].T
+    for i in range(2):  # compare up to sign
+        assert min(
+            np.linalg.norm(comps[i] - top[i]),
+            np.linalg.norm(comps[i] + top[i]),
+        ) < 1e-6
+
+
 def test_grouped_prefix_sum_double_values_and_null_groups(spark):
     """Review regressions: (a) float value_col must not crash the typed
     offsets frame; (b) NULL is a valid group — distributed offsets must

@@ -9,13 +9,18 @@ Two reducers with different contracts:
   you need a cheap, engine-independent reduction.
 - ``pca_fit`` / ``pca_project``: exact principal components.  Moments
   (n, Σx, XᵀX) are computed in ONE Arrow ``mapInPandas`` pass as
-  per-partition partials (d×d numbers each — tiny for embedding dims),
-  reduced on the driver, eigensolved there (d×d, numpy), and the
-  projection applied as an Arrow-batched matmul.  At 100 TB the data
-  pass is the only cost; nothing driver-side grows with row count.
+  per-partition partials (d×d numbers each), tree-reduced through
+  fan-in-16 combine stages so the driver collect is O(d²) REGARDLESS of
+  partition count (a 100 TB scan has tens of thousands of partitions;
+  collecting one d×d matrix per partition at d=4096 would be
+  128 MB × partitions on the driver), eigensolved there (d×d, numpy),
+  and the projection applied as an Arrow-batched matmul.  At 100 TB the
+  data pass is the only cost; nothing driver-side grows with row count
+  or partition count.
 """
 
 import hashlib
+import math
 
 import pandas as pd
 
@@ -87,18 +92,41 @@ def _null_safe_matmul(vecs, fn):
     return pd.Series(out, dtype="object")
 
 
-def pca_fit(df: DataFrame, vec_col: str, k: int):
-    """Fit exact PCA over an embedding column in one distributed pass.
+_MOMENT_SCHEMA = "n long, s array<double>, xtx array<double>"
+_TREE_FANIN = 16
 
-    Returns (components, mean, explained_variance_ratio): ``components``
-    is a (k, d) numpy array of orthonormal principal axes (sign
-    canonicalized: largest-|loading| coordinate positive, so results
-    don't flip between runs/eig backends), ``mean`` the column mean,
-    ratios the fraction of total variance per component.
+
+def _combine_moments(batches):
+    """Sum a partition's (n, s, xtx) partial rows into one row.
+
+    Accumulates batch-by-batch so peak memory is one Arrow batch plus a
+    single d×d accumulator — it never materializes every incoming
+    partial at once.
     """
     import numpy as np
 
-    schema = "n long, s array<double>, xtx array<double>"
+    n, s, xtx = 0, None, None
+    for pdf in batches:
+        for _, row in pdf.iterrows():
+            n += int(row["n"])
+            rs = np.asarray(row["s"], dtype="float64")
+            rx = np.asarray(row["xtx"], dtype="float64")
+            s = rs if s is None else s + rs
+            xtx = rx if xtx is None else xtx + rx
+    if n:
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "xtx": [xtx.tolist()]})
+
+
+def collect_moments(df: DataFrame, vec_col: str, fanin: int = _TREE_FANIN):
+    """Distributed (n, Σx, XᵀX) moments with a tree reduction.
+
+    One ``mapInPandas`` pass emits one partial per input partition, then
+    fan-in-``fanin`` combine stages shrink the partial count until at
+    most ``fanin`` rows reach the driver — the final collect is O(d²)
+    no matter how many partitions the scan had.  Exposed separately so
+    tests can assert the collected row count stays bounded.
+    """
+    import numpy as np
 
     def partials(batches):
         for pdf in batches:
@@ -114,7 +142,32 @@ def pca_fit(df: DataFrame, vec_col: str, k: int):
                 },
             )
 
-    rows = df.select(vec_col).mapInPandas(partials, schema).collect()
+    src = df.select(vec_col)
+    moments = src.mapInPandas(partials, _MOMENT_SCHEMA)
+    # One partial per input partition; combine in fan-in-`fanin` levels.
+    # Each level's repartition shuffles only d²-sized partial rows, never
+    # data rows, so the tree costs O(levels · partials · d²) network.
+    width = src.rdd.getNumPartitions()
+    while width > fanin:
+        width = max(1, math.ceil(width / fanin))
+        moments = moments.repartition(width).mapInPandas(
+            _combine_moments, _MOMENT_SCHEMA
+        )
+    return moments.collect()
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int):
+    """Fit exact PCA over an embedding column in one distributed pass.
+
+    Returns (components, mean, explained_variance_ratio): ``components``
+    is a (k, d) numpy array of orthonormal principal axes (sign
+    canonicalized: largest-|loading| coordinate positive, so results
+    don't flip between runs/eig backends), ``mean`` the column mean,
+    ratios the fraction of total variance per component.
+    """
+    import numpy as np
+
+    rows = collect_moments(df, vec_col)
     if not rows:
         raise ValueError("pca_fit: no vectors")
     n = sum(r["n"] for r in rows)
