@@ -1631,6 +1631,152 @@ def q_schema_roundtrip(spark, sf_dir):
     )
 
 
+def q_source_quality(spark, sf_dir):
+    """Per-source corpus governance report: document counts, mean token
+    length, mean composite quality score, and exact-duplicate fraction
+    per source — the aggregate signals that catch a bad domain before it
+    dominates a training mix.  One map-side-partial aggregation keyed on
+    the low-cardinality source column."""
+    from woodwork_spark.operators.curation import source_quality_report
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    rep = source_quality_report(docs, "source", "text")
+    return rep.select(
+        "source",
+        "n_docs",
+        _ravg(F.col("avg_tokens"), 4).alias("avg_tokens"),
+        _ravg(F.col("avg_quality"), 6).alias("avg_quality"),
+        _ravg(F.col("dup_fraction"), 6).alias("dup_fraction"),
+    )
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smoothed sklearn-style idf):
+    the lexical topic signature used for topic filtering and
+    duplicate-cluster naming.  Explode -> tf agg -> df agg -> join ->
+    per-document row_number window (partitioned by doc, massively
+    parallel)."""
+    from woodwork_spark.operators.curation import tfidf_top_terms
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        _ravg(F.col("tfidf"), 6).alias("tfidf"),
+        "rank",
+    )
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25 retrieval of the top-10 documents for two fixed queries —
+    the contamination-search / targeted-curation scoring path.  Query
+    terms broadcast-prune the token explode BEFORE any shuffle, so the
+    corpus-side cost is one projection plus small aggregations."""
+    from woodwork_spark.operators.curation import bm25_search
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_search(
+        docs,
+        "doc_id",
+        "text",
+        {"bench1": "spark table scan", "bench2": "sort merge batch"},
+        top_k=10,
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        _ravg(F.col("score"), 6).alias("score"),
+        "rank",
+    )
+
+
+def q_line_dedup_global(spark, sf_dir):
+    """Corpus-global first-occurrence line dedup: a per-language promo
+    line and a doc_id%7 footer are appended to every document, so each
+    repeated line must survive ONLY in its first (doc_id, position)
+    occurrence — the keep-one-canonical-copy semantics exact doc dedup
+    has, applied at line granularity.  Clean text verified by md5."""
+    from woodwork_spark.operators.cleaning import dedup_lines_global
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\npromo "),
+            F.col("lang"),
+            F.lit("\nfooter "),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    clean = dedup_lines_global(aug, "text", "doc_id")
+    return clean.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_clean"),
+        F.md5("text").alias("clean_md5"),
+    )
+
+
+def q_stream_scd_join(spark, sf_dir):
+    """Streaming enrichment against a slowly-changing dimension: the
+    events file as a stream, joined (stream-static broadcast, zero
+    streaming state) to an SCD-2 user-tier dimension on user_id%25 with
+    EVENT-TIME validity — events before 2024-01-15 attribute to the old
+    tier version, later ones to the new.  The oracle is the identical
+    batch join."""
+    import uuid
+
+    from woodwork_spark.streaming import (
+        enrich_stream_with_scd,
+        read_event_stream,
+    )
+
+    _prep(spark)
+    cutoff = "2024-01-15 00:00:00"
+    dim_rows = []
+    for k in range(25):
+        dim_rows.append((k, "2024-01-01 00:00:00", cutoff, f"old_{k % 4}"))
+        dim_rows.append((k, cutoff, None, f"new_{k % 4}"))
+    dim = spark.createDataFrame(
+        dim_rows, "grp long, valid_from string, valid_to string, tier string",
+    ).select(
+        "grp",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "tier",
+    )
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = read_event_stream(spark, path, max_files_per_trigger=10)
+    enriched = enrich_stream_with_scd(
+        stream, dim, "grp", event_key=F.col("user_id") % 25,
+    )
+    name = f"scd_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(
+        f"""
+        SELECT tier,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value) + 1e-7, 2) AS sum_value
+        FROM {name} GROUP BY tier
+        """,
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -1700,6 +1846,11 @@ QUERIES = {
     "temporal_frequency": q_temporal_frequency,
     "validate_types": q_validate_types,
     "schema_roundtrip": q_schema_roundtrip,
+    "source_quality": q_source_quality,
+    "tfidf_terms": q_tfidf_terms,
+    "bm25_rank": q_bm25_rank,
+    "line_dedup_global": q_line_dedup_global,
+    "stream_scd_join": q_stream_scd_join,
 }
 
 ORACLE = {
@@ -2820,6 +2971,174 @@ ORACLE = {
             ('l_linestatus',    'Categorical', 'category', 'string'),
             ('l_shipdate',      'Datetime',    '',         'timestamp')
         ) AS t(column_name, logical_type, semantic_tags, physical_type)
+    """,
+    "source_quality": """
+        WITH scored AS (
+            SELECT source,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                           t -> length(t))) AS sum_len,
+                   (length(text) - length(regexp_replace(text, '[\\.,!\\?;:]', '', 'g')))
+                       / greatest(length(text), 1) AS punct_ratio,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> lower(t) IN ('the','and','of','to','in','is','that','it','was','for','with','are','this','have','not')))
+                       / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS stop_ratio,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        ), q AS (
+            SELECT source, n_tokens, fp,
+                   CASE WHEN n_tokens < 5 THEN 0.0
+                        WHEN sum_len / greatest(n_tokens, 1) < 2 THEN 0.2
+                        WHEN sum_len / greatest(n_tokens, 1) > 12 THEN 0.2
+                        ELSE least(1.0, 0.4 + 0.4 * least(stop_ratio * 3, 1.0)
+                                       + 0.2 * (1 - least(punct_ratio * 5, 1.0)))
+                   END AS score
+            FROM scored
+        )
+        SELECT source, count(*) AS n_docs,
+               round(avg(n_tokens) + 0.0000001, 4) AS avg_tokens,
+               round(avg(score) + 0.0000001, 6) AS avg_quality,
+               round(1 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE)
+                     + 0.0000001, 6) AS dup_fraction
+        FROM q GROUP BY source
+    """,
+    "tfidf_terms": """
+        WITH tok AS (
+            SELECT doc_id, lower(t) AS token
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS t
+                FROM documents
+            ) WHERE t <> ''
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), scored AS (
+            SELECT tf.doc_id, tf.token AS term, tf.tf, dfreq.df,
+                   tf.tf * (ln((1.0 + (SELECT count(*) FROM documents))
+                               / (1.0 + dfreq.df)) + 1.0) AS tfidf
+            FROM tf JOIN dfreq ON tf.token = dfreq.token
+        ), ranked AS (
+            SELECT doc_id, term, tf, df, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term ASC) AS rk
+            FROM scored
+        )
+        SELECT doc_id, term, tf, df,
+               round(tfidf + 0.0000001, 6) AS tfidf,
+               CAST(rk AS INT) AS rank
+        FROM ranked WHERE rk <= 3
+    """,
+    "bm25_rank": """
+        WITH tok AS (
+            SELECT doc_id, lower(t) AS token
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS t
+                FROM documents
+            ) WHERE t <> ''
+        ), qterms AS (
+            SELECT * FROM (VALUES
+                ('bench1', 'scan'), ('bench1', 'spark'), ('bench1', 'table'),
+                ('bench2', 'batch'), ('bench2', 'merge'), ('bench2', 'sort')
+            ) AS q(query_id, token)
+        ), tfq AS (
+            SELECT tok.doc_id, tok.token, count(*) AS tf
+            FROM tok JOIN (SELECT DISTINCT token FROM qterms) qt
+              ON tok.token = qt.token
+            GROUP BY tok.doc_id, tok.token
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM tfq GROUP BY token
+        ), dl AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '')) AS dl
+            FROM documents
+        ), stats AS (
+            SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+                   (SELECT avg(dl) FROM dl) AS avgdl
+        ), scored AS (
+            SELECT q.query_id, tfq.doc_id,
+                   sum(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tfq.tf * 2.2
+                       / (tfq.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                   ) AS score
+            FROM tfq
+            JOIN qterms q ON tfq.token = q.token
+            JOIN dfreq ON tfq.token = dfreq.token
+            JOIN dl ON tfq.doc_id = dl.doc_id
+            CROSS JOIN stats
+            GROUP BY q.query_id, tfq.doc_id
+        ), ranked AS (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id ASC) AS rk
+            FROM scored
+        )
+        SELECT query_id, doc_id,
+               round(score + 0.0000001, 6) AS score,
+               CAST(rk AS INT) AS rank
+        FROM ranked WHERE rk <= 10
+    """,
+    "line_dedup_global": """
+        WITH aug AS (
+            SELECT doc_id,
+                   text || chr(10) || 'promo ' || lang
+                        || chr(10) || 'footer ' || CAST(doc_id % 7 AS VARCHAR)
+                       AS text
+            FROM documents
+        ), lines AS (
+            SELECT doc_id, pos, l AS line, trim(l) AS key
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS l,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                           AS pos
+                FROM aug
+            )
+        ), ranked AS (
+            SELECT doc_id, pos, line,
+                   CASE WHEN key = '' THEN 1
+                        ELSE row_number() OVER (PARTITION BY key
+                                                ORDER BY doc_id, pos)
+                   END AS rn
+            FROM lines
+        ), kept AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS clean
+            FROM ranked WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               CAST(length(COALESCE(k.clean, '')) AS BIGINT) AS n_chars_clean,
+               md5(COALESCE(k.clean, '')) AS clean_md5
+        FROM aug a LEFT JOIN kept k ON a.doc_id = k.doc_id
+    """,
+    "stream_scd_join": """
+        WITH ks AS (
+            SELECT unnest(range(0, 25)) AS k
+        ), dim AS (
+            SELECT k AS grp,
+                   TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+                   TIMESTAMP '2024-01-15 00:00:00' AS valid_to,
+                   'old_' || CAST(k % 4 AS VARCHAR) AS tier
+            FROM ks
+            UNION ALL
+            SELECT k, TIMESTAMP '2024-01-15 00:00:00', NULL,
+                   'new_' || CAST(k % 4 AS VARCHAR)
+            FROM ks
+        ), joined AS (
+            SELECT d.tier, e.user_id, e.value
+            FROM events e LEFT JOIN dim d
+              ON e.user_id % 25 = d.grp
+             AND e.ts >= d.valid_from
+             AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+        )
+        SELECT tier,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value) + 0.0000001, 2) AS sum_value
+        FROM joined GROUP BY tier
     """,
 }
 

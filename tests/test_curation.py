@@ -1,0 +1,217 @@
+"""Curation operators: source-level quality governance, TF-IDF, BM25,
+global line dedup, and SCD stream enrichment."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from woodwork_spark.operators.curation import (
+    bm25_search,
+    filter_by_source_quality,
+    source_quality_report,
+    tfidf_top_terms,
+)
+
+
+def test_source_quality_report_counts_and_dup_fraction(spark):
+    rows = [
+        # good: 4 docs, all distinct
+        (1, "good", "the cat sat on the mat and it was fine today."),
+        (2, "good", "this is a perfectly normal sentence with many words."),
+        (3, "good", "it was the best of times, it was the worst of times."),
+        (4, "good", "not all those who wander are lost in the woods."),
+        # spammy: 4 docs, 2 exact dups (after normalization)
+        (5, "spam", "BUY  NOW!!! buy now"),
+        (6, "spam", "buy now!!! BUY NOW"),
+        (7, "spam", "zzz"),
+        (8, "spam", "click here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rep = {r["source"]: r for r in source_quality_report(df, "source", "text").collect()}
+    assert rep["good"]["n_docs"] == 4 and rep["spam"]["n_docs"] == 4
+    # 'buy now!!! buy now' normalizes identically for docs 5 and 6
+    assert abs(rep["spam"]["dup_fraction"] - 0.25) < 1e-9
+    assert rep["good"]["dup_fraction"] == 0.0
+    assert rep["good"]["avg_quality"] > rep["spam"]["avg_quality"]
+
+
+def test_filter_by_source_quality_broadcast_drop(spark):
+    rows = [
+        (1, "good", "the cat sat on the mat and it was fine today."),
+        (2, "good", "it was the best of times and the worst of times."),
+        (3, "junk", "z z"),
+        (4, "junk", "q q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = filter_by_source_quality(df, "source", "text", min_avg_quality=0.3)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 2]
+    # the verdict side must be broadcast — no shuffle of the corpus
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_top_terms(spark):
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry date"),
+        (3, "apple date date date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, "doc_id", "text", k=2)
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"]) for r in out.collect()}
+    n = 3
+    idf = {t: math.log((1 + n) / (1 + d)) + 1 for t, d in
+           {"apple": 2, "banana": 2, "cherry": 2, "date": 2}.items()}
+    # doc 1: apple tf=2 -> 2*idf beats banana/cherry tf=1
+    assert got[(1, 1)][0] == "apple" and got[(1, 1)][1] == 2
+    # doc 1 rank 2: banana vs cherry tie on tfidf -> term asc
+    assert got[(1, 2)][0] == "banana"
+    # doc 2: cherry tf=2 wins
+    assert got[(2, 1)][0] == "cherry"
+    # doc 3: date tf=3 wins
+    assert got[(3, 1)][0] == "date" and got[(3, 1)][1] == 3
+    # every doc has exactly k rows
+    assert len(got) == 6
+    # spot-check a value
+    row = [r for r in out.collect() if r["doc_id"] == 3 and r["rank"] == 1][0]
+    assert abs(row["tfidf"] - 3 * idf["date"]) < 1e-9
+
+
+def test_bm25_search_ranks_and_score(spark):
+    rows = [
+        (1, "spark query engine"),
+        (2, "spark spark spark tuning"),
+        (3, "cooking pasta recipe"),
+        (4, "query planner internals"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_search(
+        df, "doc_id", "text", {"q1": "spark query"}, top_k=3,
+    ).collect()
+    assert all(r["query_id"] == "q1" for r in out)
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # doc 3 shares no term -> absent; doc 1 matches both terms -> first
+    assert 3 not in ranked
+    assert ranked[0] == 1
+    assert set(ranked) == {1, 2, 4}
+    # hand-compute doc 1's score: N=4, dl=3, avgdl=3.25
+    n, k1, b = 4, 1.2, 0.75
+    avgdl = (3 + 4 + 3 + 3) / 4.0
+    def idf(dfreq):
+        return math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    def term(tf, dfreq, dl):
+        return idf(dfreq) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    expected = term(1, 2, 3) + term(1, 2, 3)  # spark df=2, query df=2
+    got = [r["score"] for r in out if r["doc_id"] == 1][0]
+    assert abs(got - expected) < 1e-9
+
+
+def test_bm25_empty_queries_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_search(df, "doc_id", "text", {})
+
+
+def test_dedup_lines_global_first_occurrence(spark):
+    from woodwork_spark.operators.cleaning import dedup_lines_global
+
+    rows = [
+        (1, "alpha\nshared line\nbeta"),
+        (2, "shared line\ngamma\nshared line"),
+        (3, "delta\n\nepsilon"),   # blank line must survive
+        (4, None),                  # NULL stays NULL
+        (5, "shared line"),         # whole doc was a dup -> empty text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           dedup_lines_global(df, "text", "doc_id").collect()}
+    assert out[1] == "alpha\nshared line\nbeta"   # first occurrence kept
+    assert out[2] == "gamma"                       # both copies dropped
+    assert out[3] == "delta\n\nepsilon"
+    assert out[4] is None
+    assert out[5] == ""
+
+
+def test_dedup_lines_global_intra_doc_repeat(spark):
+    from woodwork_spark.operators.cleaning import dedup_lines_global
+
+    df = spark.createDataFrame(
+        [(1, "x\ny\nx\nx")], "doc_id long, text string",
+    )
+    out = dedup_lines_global(df, "text", "doc_id").collect()[0]["text"]
+    assert out == "x\ny"
+
+
+def test_enrich_stream_with_scd_batch_semantics(spark):
+    """Same plan batch/stream: verify as-of attribution on a batch frame
+    — an event picks the dim version valid at its EVENT time."""
+    import datetime as dt
+
+    from woodwork_spark.streaming import enrich_stream_with_scd
+
+    t = lambda d: dt.datetime(2024, d, 1)
+    dim = spark.createDataFrame(
+        [
+            (7, t(1), t(6), "bronze"),
+            (7, t(6), None, "gold"),     # current version, open-ended
+            (8, t(1), None, "silver"),
+        ],
+        "user_id long, valid_from timestamp, valid_to timestamp, tier string",
+    )
+    events = spark.createDataFrame(
+        [
+            (100, t(3), 7),   # before the change -> bronze
+            (101, t(6), 7),   # boundary: half-open [from, to) -> gold
+            (102, t(9), 7),   # after -> gold
+            (103, t(2), 8),   # silver
+            (104, t(2), 9),   # no dim row -> left join NULL
+        ],
+        "event_id long, ts timestamp, user_id long",
+    )
+    out = {r["event_id"]: r["tier"] for r in
+           enrich_stream_with_scd(events, dim, "user_id").collect()}
+    assert out == {100: "bronze", 101: "gold", 102: "gold",
+                   103: "silver", 104: None}
+
+
+def test_enrich_stream_with_scd_streaming_run(spark, tmp_path):
+    """Actually run it as a stream: file source -> SCD join -> memory
+    sink; results equal the batch run (stream-static join, no state)."""
+    import datetime as dt
+    import uuid
+
+    from woodwork_spark.streaming import enrich_stream_with_scd
+
+    t = lambda d: dt.datetime(2024, d, 1)
+    events = spark.createDataFrame(
+        [(i, t(1 + i % 11), 7 if i % 2 == 0 else 8) for i in range(40)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    path = str(tmp_path / "ev")
+    events.write.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            (7, t(1), t(6), "bronze"),
+            (7, t(6), None, "gold"),
+            (8, t(1), None, "silver"),
+        ],
+        "user_id long, valid_from timestamp, valid_to timestamp, tier string",
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .parquet(path)
+    )
+    enriched = enrich_stream_with_scd(stream, dim, "user_id")
+    name = f"scd_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["tier"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    want = {r["event_id"]: r["tier"] for r in
+            enrich_stream_with_scd(events, dim, "user_id").collect()}
+    assert got == want and len(got) == 40

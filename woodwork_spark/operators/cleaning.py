@@ -325,3 +325,83 @@ def remove_boilerplate_lines(
     # the cached line explode rides on the result; free it with
     # lifecycle.release(result) after the cleaned corpus is written
     return attach_persisted(out, exploded)
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+    out_col: str = None,
+) -> DataFrame:
+    """Corpus-global line deduplication: every repeated line keeps only
+    its FIRST occurrence (ordered by (``id_col``, position)); all later
+    occurrences — in the same document or any other — are dropped.
+    The paragraph/line-level analogue of exact document dedup: where
+    ``remove_boilerplate_lines`` drops frequent lines EVERYWHERE, this
+    keeps exactly one canonical copy, which is the semantics training
+    pipelines want for repeated passages that are legitimate content.
+
+    Matching is on the trimmed line; blank lines always survive (they're
+    document structure).  NULL text stays NULL.  Documents reassemble
+    from ORIGINAL lines in original order.
+
+    Shape: one posexplode -> min(struct(id, pos)) per xxhash64'd line
+    key (map-side partials; the shuffle carries 8-byte hashes + two
+    longs, never text) -> join back on the hash, keep winners ->
+    array_sort regroup.  No windows, no single reducer; identical
+    shuffle shape to remove_boilerplate_lines.
+    """
+    out_col = out_col or text_col
+    sep_lit = "\\Q" + sep + "\\E"
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep_lit)).alias(
+                "__pos", "__line",
+            ),
+        )
+        .withColumn("__key", F.xxhash64(F.trim("__line")))
+        .persist()
+    )
+    first = (
+        exploded.filter(F.trim("__line") != "")
+        .groupBy("__key")
+        .agg(F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"))
+        .select(
+            "__key",
+            F.col(f"__first.{id_col}").alias("__fid"),
+            F.col("__first.__pos").alias("__fpos"),
+        )
+    )
+    kept = (
+        exploded.join(first, "__key", "left")
+        .filter(
+            F.col("__fid").isNull()  # blank lines: always keep
+            | (
+                (F.col(id_col) == F.col("__fid"))
+                & (F.col("__pos") == F.col("__fpos"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias("__clean"),
+        )
+    )
+    out = (
+        df.join(kept, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+                F.coalesce("__clean", F.lit("")),
+            ),
+        )
+        .drop("__clean")
+    )
+    return attach_persisted(out, exploded)

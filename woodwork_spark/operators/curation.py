@@ -1,0 +1,255 @@
+"""Corpus-curation operators: per-source quality governance, TF-IDF
+term weighting, and BM25 retrieval scoring.
+
+Training-data curation acts on SOURCES (domains, crawls, dumps) as much
+as on documents: a handful of low-quality domains can dominate a corpus,
+and per-source aggregate signals are the cheapest lever for catching
+them.  TF-IDF/BM25 provide the standard lexical-relevance machinery for
+contamination search, topic filtering, and retrieval-based curation.
+
+Scale shapes:
+
+- ``source_quality_report``: document-level quality columns reduce with
+  ONE map-side-partial aggregation keyed on the (low-cardinality) source
+  column; dup-fraction reuses the fingerprint groupBy.  Output is
+  per-source — tiny at any corpus size.
+- ``filter_by_source_quality``: the per-source verdict table is
+  broadcast-joined back (sources are thousands, documents billions — the
+  canonical small-dim big-fact join).
+- ``tfidf_top_terms``: one token explode -> (doc, term) tf agg ->
+  term-level df agg -> join -> per-document top-k window.  The window
+  partitions by doc_id (massively parallel, no global sort); shuffles
+  carry hashed-term longs plus counts, never document text.
+- ``bm25_search``: query terms are a literal handful — broadcast against
+  the (term -> posting) aggregates; scores reduce per (query, doc) with
+  map-side combine.  No full-corpus collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from woodwork_spark.operators.text import quality_score_exprs, tokens_expr
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str,
+                lowercase: bool = True) -> DataFrame:
+    """(id, token) rows: whitespace split, empties dropped."""
+    toks = tokens_expr(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def source_quality_report(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-source quality aggregates: document count, token/char means,
+    mean composite quality score, and the exact-duplicate fraction
+    (1 - distinct_fingerprints/docs) within each source.
+
+    One pass computes the quality signals per document (pure Column
+    exprs, codegen'd); one aggregation keyed on ``group_col`` reduces
+    them with map-side partials.  The dup fraction rides the same agg via
+    count_distinct on the md5 fingerprint — no second shuffle of text.
+    Output cardinality = number of sources: safe to collect, broadcast,
+    or join at any corpus scale.
+    """
+    q = quality_score_exprs(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    per_doc = df.select(
+        F.col(group_col).alias("source"),
+        q["n_tokens"].alias("__tokens"),
+        q["n_chars"].alias("__chars"),
+        q["quality_score"].alias("__score"),
+        q["stopword_ratio"].alias("__stop"),
+        F.md5(norm).alias("__fp"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("__tokens").alias("avg_tokens"),
+        F.avg("__chars").alias("avg_chars"),
+        F.avg("__score").alias("avg_quality"),
+        F.avg("__stop").alias("avg_stopword_ratio"),
+        (
+            1.0
+            - F.count_distinct("__fp") / F.count(F.lit(1)).cast("double")
+        ).alias("dup_fraction"),
+    )
+
+
+def filter_by_source_quality(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    min_avg_quality: float = 0.0,
+    max_dup_fraction: float = 1.0,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Drop every document whose SOURCE fails the aggregate bar — the
+    domain-blocklist step of a curation pipeline, derived from data
+    instead of a hand list.
+
+    The per-source report is tiny, so the verdict side is explicitly
+    ``broadcast()``: the corpus never shuffles, each task filters its
+    partition against the in-memory verdict map.
+    """
+    report = source_quality_report(df, group_col, text_col)
+    good = report.filter(
+        (F.col("avg_quality") >= min_avg_quality)
+        & (F.col("dup_fraction") <= max_dup_fraction)
+        & (F.col("n_docs") >= min_docs),
+    ).select(F.col("source").alias("__good_source"))
+    return (
+        df.join(
+            F.broadcast(good),
+            df[group_col] == F.col("__good_source"),
+            "inner",
+        )
+        .drop("__good_source")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_df: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    idf uses the smoothed form ln((1 + N) / (1 + df)) + 1 (no
+    division-by-zero, never negative), tfidf = tf * idf.  Ties order by
+    term ascending so ranks are deterministic across engines.
+
+    Returns (id_col, term, tf, df, tfidf, rank), rank in [1, k].
+
+    Shape: explode -> (doc, term) count -> term df agg -> join on term ->
+    row_number window PARTITIONED BY document.  Every stage has map-side
+    partials; the window never sees more than one document's terms per
+    partition slice, so parallelism scales with document count.  The
+    doc-count N is one cheap count() on the input (count-distinct of ids
+    at corpus scale would be a second shuffle; documents are one row each
+    here, so count(*) is exact).
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    tok = _doc_tokens(df, id_col, text_col, lowercase=lowercase)
+    tf = tok.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0
+    scored = (
+        tf.join(dfreq, "token")
+        .withColumn("tfidf", F.col("tf") * idf)
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("tfidf"), F.asc("token"),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("token").alias("term"),
+            "tf",
+            "df",
+            "tfidf",
+            "rank",
+        )
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    lowercase: bool = True,
+) -> DataFrame:
+    """BM25 retrieval over the corpus for a small set of named queries —
+    the scoring backbone of contamination search ("find training docs
+    that look like this benchmark item") and topic-targeted curation.
+
+    ``queries`` maps query_id -> query text.  Scores use the standard
+    Robertson/Sparck-Jones form: idf(t) = ln(1 + (N - df + 0.5) /
+    (df + 0.5)); per-term contribution tf*(k1+1) / (tf + k1*(1 - b +
+    b*dl/avgdl)).  Returns (query_id, id_col, score, rank) with rank in
+    [1, top_k], ties broken by document id ascending.
+
+    Shape: the query-term table is a literal handful of rows — built
+    driver-side and BROADCAST-semi-joined against the token explode
+    BEFORE any aggregation, so the corpus-wide (doc, term) tf shuffle
+    never happens: only tokens matching a query term reach a groupBy.
+    df(t) computed from the filtered explode is still exact (it retains
+    every document containing t).  Doc lengths reduce with map-side
+    partial counts (the shuffle carries per-partition partials, not
+    tokens).  Final per-query top-k is a window over query_id (constant
+    cardinality) after scores have reduced to matching docs only.
+    """
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("bm25_search: queries must be non-empty")
+    spark = df.sparkSession
+    n_docs = df.count()
+    tok = _doc_tokens(df, id_col, text_col, lowercase=lowercase)
+
+    qrows = []
+    for qid, qtext in queries.items():
+        terms = [t for t in qtext.split() if t]
+        if lowercase:
+            terms = [t.lower() for t in terms]
+        for t in sorted(set(terms)):
+            qrows.append((qid, t))
+    qterms = spark.createDataFrame(qrows, "query_id string, token string")
+    qtokens = qterms.select("token").distinct()
+
+    # prune the explode to query terms FIRST — everything downstream is
+    # |matching tokens|, not |corpus tokens|
+    tokq = tok.join(F.broadcast(qtokens), "token")
+    tf = tokq.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # doc length needs no explode at all: count non-empty tokens in place
+    toks_inplace = tokens_expr(text_col)
+    dl = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.filter(toks_inplace, lambda t: t != "")).alias("dl"),
+    )
+    avgdl = dl.agg(F.avg("dl")).first()[0] or 1.0
+
+    idf = F.log(
+        1.0
+        + (float(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5),
+    )
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / float(avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfreq), "token")
+        .join(dl, "id")
+        .withColumn("__contrib", contrib)
+        .groupBy("query_id", "id")
+        .agg(F.sum("__contrib").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", F.col("id").alias(id_col), "score", "rank")
+    )

@@ -3,6 +3,7 @@ from woodwork_spark.streaming.events import (
     hourly_rollup_stream,
     sessionize_stream,
     dedup_event_stream,
+    enrich_stream_with_scd,
     late_data_counts_stream,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "hourly_rollup_stream",
     "sessionize_stream",
     "dedup_event_stream",
+    "enrich_stream_with_scd",
     "late_data_counts_stream",
 ]

