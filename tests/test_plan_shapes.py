@@ -216,3 +216,48 @@ def test_boilerplate_and_rolling_plans(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # all four features share ONE window sort
     assert plan.count("Sort ") <= 2
+
+
+def test_curation_plan_shapes(spark):
+    """Round-6 curation ops: BM25's query-term prune and the SCD dim
+    must be BROADCAST (the corpus side never shuffles for the match);
+    TF-IDF's top-k window partitions by document (no single-reducer
+    window); all three stay JVM-side."""
+    q = entrymod.queries()
+    bm25 = q["bm25_rank"](spark, SF)
+    plan = _executed_plan(bm25)
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+    tfidf = q["tfidf_terms"](spark, SF)
+    plan = _executed_plan(tfidf)
+    assert "EvalPython" not in plan
+    # the row_number window is keyed by doc id — its exchange must be a
+    # hashpartitioning on id, never a SinglePartition gather
+    assert "SinglePartition" not in plan
+
+    sq = q["source_quality"](spark, SF)
+    plan = _executed_plan(sq)
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "EvalPython" not in plan
+
+
+def test_scd_dim_join_broadcasts(spark):
+    """The SCD interval join must broadcast the dimension side — on a
+    stream this is what keeps it stateless per micro-batch."""
+    import datetime as dt
+
+    from woodwork_spark.streaming import enrich_stream_with_scd
+
+    t = lambda m: dt.datetime(2024, m, 1)
+    dim = spark.createDataFrame(
+        [(7, t(1), None, "gold")],
+        "user_id long, valid_from timestamp, valid_to timestamp, tier string",
+    )
+    events = spark.createDataFrame(
+        [(1, t(2), 7)], "event_id long, ts timestamp, user_id long",
+    )
+    out = enrich_stream_with_scd(events, dim, "user_id")
+    plan = _executed_plan(out)
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan

@@ -205,7 +205,6 @@ def bm25_search(
     if not queries:
         raise ValueError("bm25_search: queries must be non-empty")
     spark = df.sparkSession
-    n_docs = df.count()
     tok = _doc_tokens(df, id_col, text_col, lowercase=lowercase)
 
     qrows = []
@@ -229,7 +228,12 @@ def bm25_search(
         F.col(id_col).alias("id"),
         F.size(F.filter(toks_inplace, lambda t: t != "")).alias("dl"),
     )
-    avgdl = dl.agg(F.avg("dl")).first()[0] or 1.0
+    # N and avgdl in ONE driver action (two separate scans would double
+    # the corpus passes for two scalars)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
+    ).first()
+    n_docs, avgdl = stats["n"], stats["avgdl"] or 1.0
 
     idf = F.log(
         1.0
