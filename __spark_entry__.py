@@ -1777,6 +1777,55 @@ def q_stream_scd_join(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental ingestion dedup: documents with doc_id < 250 are the
+    standing corpus; the incoming batch is the rest PLUS a replay of
+    every corpus doc with doc_id % 5 == 0 under a new id (+1000) — an
+    at-least-once crawl.  Survivors must be batch docs that are neither
+    corpus dups nor intra-batch dups (min id wins).  The corpus side
+    reduces to distinct fingerprints before the anti-join."""
+    from woodwork_spark.operators.dedup import dedup_against_corpus
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250).select("doc_id", "text").unionByName(
+        corpus.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text",
+        ),
+    )
+    out = dedup_against_corpus(batch, corpus, "text", "doc_id")
+    return out.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+
+
+def q_psi_drift(spark, sf_dir):
+    """PSI drift report between the full lineitem table (reference
+    window) and its l_quantity <= 25 subset (a skewed 'new batch'):
+    l_quantity must show large drift, l_discount near none, and
+    l_returnflag mild categorical shift.  Fixed bin edges keep the
+    bucketing engine-reproducible; all columns share one shuffle per
+    side."""
+    from woodwork_spark.operators.curation import psi_drift_report
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    rep = psi_drift_report(
+        li,
+        li.filter(F.col("l_quantity") <= 25),
+        numeric_bins={
+            "l_quantity": [10.0, 20.0, 30.0, 40.0],
+            "l_discount": [0.02, 0.05, 0.08],
+        },
+        categorical_cols=["l_returnflag"],
+    )
+    return rep.select(
+        "column",
+        _ravg(F.col("psi"), 6).alias("psi"),
+        "n_a",
+        "n_b",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -1851,6 +1900,8 @@ QUERIES = {
     "bm25_rank": q_bm25_rank,
     "line_dedup_global": q_line_dedup_global,
     "stream_scd_join": q_stream_scd_join,
+    "incremental_dedup": q_incremental_dedup,
+    "psi_drift": q_psi_drift,
 }
 
 ORACLE = {
@@ -3113,6 +3164,106 @@ ORACLE = {
                CAST(length(COALESCE(k.clean, '')) AS BIGINT) AS n_chars_clean,
                md5(COALESCE(k.clean, '')) AS clean_md5
         FROM aug a LEFT JOIN kept k ON a.doc_id = k.doc_id
+    """,
+    "incremental_dedup": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 250
+        ), batch AS (
+            SELECT doc_id, text FROM documents WHERE doc_id >= 250
+            UNION ALL
+            SELECT doc_id + 1000 AS doc_id, text FROM corpus
+            WHERE doc_id % 5 = 0
+        ), bfp AS (
+            SELECT doc_id, text,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fp
+            FROM batch
+        ), cfp AS (
+            SELECT DISTINCT
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fp
+            FROM corpus
+        ), fresh AS (
+            SELECT * FROM bfp WHERE fp NOT IN (SELECT fp FROM cfp)
+        ), keeper AS (
+            SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp
+        )
+        SELECT f.doc_id, CAST(length(f.text) AS BIGINT) AS n_chars
+        FROM fresh f WHERE f.doc_id IN (SELECT doc_id FROM keeper)
+    """,
+    "psi_drift": """
+        WITH b_side AS (
+            SELECT * FROM lineitem WHERE l_quantity <= 25
+        ), ca AS (
+            SELECT 'l_quantity' AS "column",
+                   CASE WHEN l_quantity IS NULL THEN '__null'
+                        WHEN l_quantity < 10.0 THEN 'b0'
+                        WHEN l_quantity < 20.0 THEN 'b1'
+                        WHEN l_quantity < 30.0 THEN 'b2'
+                        WHEN l_quantity < 40.0 THEN 'b3'
+                        ELSE 'b4' END AS bucket
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount',
+                   CASE WHEN l_discount IS NULL THEN '__null'
+                        WHEN l_discount < 0.02 THEN 'b0'
+                        WHEN l_discount < 0.05 THEN 'b1'
+                        WHEN l_discount < 0.08 THEN 'b2'
+                        ELSE 'b3' END
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag',
+                   COALESCE(CAST(l_returnflag AS VARCHAR), '__null')
+            FROM lineitem
+        ), cb AS (
+            SELECT 'l_quantity' AS "column",
+                   CASE WHEN l_quantity IS NULL THEN '__null'
+                        WHEN l_quantity < 10.0 THEN 'b0'
+                        WHEN l_quantity < 20.0 THEN 'b1'
+                        WHEN l_quantity < 30.0 THEN 'b2'
+                        WHEN l_quantity < 40.0 THEN 'b3'
+                        ELSE 'b4' END AS bucket
+            FROM b_side
+            UNION ALL
+            SELECT 'l_discount',
+                   CASE WHEN l_discount IS NULL THEN '__null'
+                        WHEN l_discount < 0.02 THEN 'b0'
+                        WHEN l_discount < 0.05 THEN 'b1'
+                        WHEN l_discount < 0.08 THEN 'b2'
+                        ELSE 'b3' END
+            FROM b_side
+            UNION ALL
+            SELECT 'l_returnflag',
+                   COALESCE(CAST(l_returnflag AS VARCHAR), '__null')
+            FROM b_side
+        ), na AS (
+            SELECT "column", bucket, count(*) AS n_a
+            FROM ca GROUP BY "column", bucket
+        ), nb AS (
+            SELECT "column", bucket, count(*) AS n_b
+            FROM cb GROUP BY "column", bucket
+        ), counts AS (
+            SELECT COALESCE(na."column", nb."column") AS "column",
+                   COALESCE(na.bucket, nb.bucket) AS bucket,
+                   COALESCE(n_a, 0) AS n_a,
+                   COALESCE(n_b, 0) AS n_b
+            FROM na FULL OUTER JOIN nb
+              ON na."column" = nb."column" AND na.bucket = nb.bucket
+        ), tot AS (
+            SELECT "column", sum(n_a) AS tot_a, sum(n_b) AS tot_b
+            FROM counts GROUP BY "column"
+        ), terms AS (
+            SELECT c."column",
+                   greatest(n_a / CAST(tot_a AS DOUBLE), 0.000001) AS pa,
+                   greatest(n_b / CAST(tot_b AS DOUBLE), 0.000001) AS pb,
+                   n_a, n_b
+            FROM counts c JOIN tot t ON c."column" = t."column"
+        )
+        SELECT "column",
+               round(sum((pa - pb) * ln(pa / pb)) + 0.0000001, 6) AS psi,
+               CAST(sum(n_a) AS BIGINT) AS n_a,
+               CAST(sum(n_b) AS BIGINT) AS n_b
+        FROM terms GROUP BY "column"
     """,
     "stream_scd_join": """
         WITH ks AS (

@@ -215,3 +215,95 @@ def test_enrich_stream_with_scd_streaming_run(spark, tmp_path):
     want = {r["event_id"]: r["tier"] for r in
             enrich_stream_with_scd(events, dim, "user_id").collect()}
     assert got == want and len(got) == 40
+
+
+def test_dedup_against_corpus_exact(spark):
+    from woodwork_spark.operators.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "hello world")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "Hello   WORLD"),          # dup of corpus 101 (normalized)
+            (2, "something entirely new"),
+            (3, "something  ENTIRELY new"),  # dup of 2 within batch
+            (4, "another fresh document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_against_corpus(batch, corpus, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 4]
+
+
+def test_dedup_against_corpus_near(spark):
+    from woodwork_spark.operators.dedup import dedup_against_corpus
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "completely unrelated corpus text about cooking pasta dishes")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base.replace("today", "tonight")),  # near-dup of corpus 100
+            (2, "fresh topic discussing spark query optimization techniques in depth"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_against_corpus(
+        batch, corpus, "text", "doc_id", near=True, threshold=0.5,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [2]
+
+
+def test_psi_drift_report_values(spark):
+    import math
+
+    from woodwork_spark.operators.curation import psi_drift_report
+
+    a = spark.createDataFrame(
+        [(float(i % 10), "x" if i % 2 == 0 else "y") for i in range(100)],
+        "v double, c string",
+    )
+    # b: v shifted up, c distribution changed to 80/20
+    b = spark.createDataFrame(
+        [(float(i % 10) + 3.0, "x" if i % 5 != 0 else "y") for i in range(100)],
+        "v double, c string",
+    )
+    rep = {r["column"]: r for r in psi_drift_report(
+        a, b, numeric_bins={"v": [4.0, 8.0]}, categorical_cols=["c"],
+    ).collect()}
+    assert rep["v"]["n_a"] == 100 and rep["v"]["n_b"] == 100
+    # hand-compute v: A buckets (<4)=40,(4-8)=40,(>=8)=20 ; B shifted
+    # values 3..12 -> (<4)=10,(4-8)=40,(>=8)=50
+    pa, pb = [0.4, 0.4, 0.2], [0.1, 0.4, 0.5]
+    want = sum((x - y) * math.log(x / y) for x, y in zip(pa, pb))
+    assert abs(rep["v"]["psi"] - want) < 1e-9
+    # c: A 50/50, B 80/20
+    want_c = (0.5 - 0.8) * math.log(0.5 / 0.8) + (0.5 - 0.2) * math.log(0.5 / 0.2)
+    assert abs(rep["c"]["psi"] - want_c) < 1e-9
+
+
+def test_psi_drift_identical_is_zero_and_nulls_bucket(spark):
+    from woodwork_spark.operators.curation import psi_drift_report
+
+    a = spark.createDataFrame(
+        [(1.0, "x"), (None, None), (5.0, "y")], "v double, c string",
+    )
+    rep = {r["column"]: r for r in psi_drift_report(
+        a, a, numeric_bins={"v": [3.0]}, categorical_cols=["c"],
+    ).collect()}
+    assert abs(rep["v"]["psi"]) < 1e-12
+    assert abs(rep["c"]["psi"]) < 1e-12
+
+
+def test_psi_drift_no_columns_raises(spark):
+    import pytest
+
+    from woodwork_spark.operators.curation import psi_drift_report
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="no columns"):
+        psi_drift_report(df, df)

@@ -257,3 +257,91 @@ def bm25_search(
         .filter(F.col("rank") <= top_k)
         .select("query_id", F.col("id").alias(id_col), "score", "rank")
     )
+
+
+def _psi_bucket_expr(col: str, edges: list[float]):
+    """CASE-chain bucket label for fixed numeric edges: '__null', then
+    'b0' (< edges[0]) .. 'b<k>' (>= edges[-1]).  Fixed edges keep the
+    bucketing engine-independent and reproducible run-to-run (quantile
+    edges would drift with the data and differ across engines in the
+    last ulp)."""
+    c = F.col(col)
+    expr = F.when(c.isNull(), "__null")
+    for i, e in enumerate(edges):
+        expr = expr.when(c < F.lit(e), f"b{i}")
+    return expr.otherwise(f"b{len(edges)}")
+
+
+def psi_drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    numeric_bins: dict[str, list[float]] = None,
+    categorical_cols: list[str] = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two corpus/table snapshots —
+    the standard drift gate between a reference window (``df_a``) and a
+    new batch (``df_b``) before it joins a training mix.  PSI(col) =
+    Σ_buckets (p_a - p_b) · ln(p_a / p_b), proportions clamped to
+    ``eps`` so empty buckets contribute finitely.  Rule of thumb:
+    < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 investigate.
+
+    ``numeric_bins`` maps column -> sorted inner bin edges (fixed, not
+    quantiles — see ``_psi_bucket_expr``); ``categorical_cols`` bucket
+    by value (NULL -> '__null').  Returns one row per column:
+    (column, psi, n_a, n_b).
+
+    Shape: each side is ONE projection building an array of
+    (column, bucket) structs, exploded and counted with map-side
+    partials — all configured columns share a single shuffle per side,
+    keyed on (column, bucket) whose cardinality is columns × buckets
+    (tiny).  The union of the two count frames pivots by side and
+    reduces to per-column PSI; nothing driver-side touches row counts.
+    """
+    numeric_bins = numeric_bins or {}
+    categorical_cols = categorical_cols or []
+    if not numeric_bins and not categorical_cols:
+        raise ValueError("psi_drift_report: no columns configured")
+
+    def melted(df: DataFrame, side: str) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(c).alias("column"),
+                _psi_bucket_expr(c, edges).alias("bucket"),
+            )
+            for c, edges in numeric_bins.items()
+        ] + [
+            F.struct(
+                F.lit(c).alias("column"),
+                F.coalesce(F.col(c).cast("string"), F.lit("__null")).alias(
+                    "bucket",
+                ),
+            )
+            for c in categorical_cols
+        ]
+        return (
+            df.select(F.explode(F.array(*structs)).alias("cb"))
+            .select("cb.column", "cb.bucket")
+            .groupBy("column", "bucket")
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    counts = melted(df_a, "a").join(
+        melted(df_b, "b"), ["column", "bucket"], "full_outer",
+    ).fillna(0, subset=["n_a", "n_b"])
+    totals = counts.groupBy("column").agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b"),
+    )
+    pa = F.greatest(F.col("n_a") / F.col("tot_a"), F.lit(eps))
+    pb = F.greatest(F.col("n_b") / F.col("tot_b"), F.lit(eps))
+    term = (pa - pb) * F.log(pa / pb)
+    return (
+        counts.join(totals, "column")
+        .withColumn("__term", term)
+        .groupBy("column")
+        .agg(
+            F.sum("__term").alias("psi"),
+            F.sum("n_a").alias("n_a"),
+            F.sum("n_b").alias("n_b"),
+        )
+    )

@@ -28,6 +28,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from woodwork_spark.lifecycle import attach_persisted
+from woodwork_spark.operators.text import fingerprint_expr
 
 
 def _make_sketch_udf(plane_mat):
@@ -708,3 +709,96 @@ def duplication_spectrum(
             "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    near: bool = False,
+    threshold: float = 0.8,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Incremental ingestion dedup: keep only the NEW documents that are
+    not already in the corpus, and only one copy of each duplicate group
+    WITHIN the batch (min id wins) — the per-crawl/per-dump dedup step
+    of a continuously-growing training corpus, without re-deduping the
+    corpus itself.
+
+    Exact mode (default): normalized md5 fingerprints.  The corpus side
+    reduces to DISTINCT fingerprints first (map-side partial dedup — the
+    shuffle carries one 16-byte hash per distinct doc, never text), the
+    batch anti-joins it, then keeps min-id per batch fingerprint.
+
+    ``near=True`` additionally drops batch docs whose MinHash-LSH
+    candidates in the CORPUS verify above ``threshold`` estimated
+    Jaccard: both sides shingle/sketch once, bucket-join on
+    (band, band-hash), and only cross-side (corpus, batch) candidates
+    verify — batch-internal near-dups are left to a corpus-level pass by
+    design.  For a standing pipeline, persist the corpus's banded
+    sketches once and reuse them per batch instead of recomputing
+    (pass-through of ``minhash_lsh_candidates``'s ``shingled`` hook).
+    """
+    fp = fingerprint_expr(text_col)
+    corpus_fps = corpus_df.select(fp.alias("__fp")).distinct()
+    batch = new_df.withColumn("__fp", fp)
+    fresh = batch.join(corpus_fps, "__fp", "left_anti")
+    keeper = (
+        fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    out = fresh.join(keeper, id_col, "left_semi").drop("__fp")
+    if not near:
+        return out
+    # near pass: union with a side tag, LSH-bucket, keep only cross-side
+    # candidate pairs, verify exact Jaccard on the shingles
+    shingle_k = minhash_kwargs.pop("shingle_k", 3)
+    use_words = minhash_kwargs.pop("use_words", True)
+    tagged = corpus_df.select(
+        F.col(id_col), F.col(text_col), F.lit(1).alias("__corpus"),
+    ).unionByName(
+        out.select(F.col(id_col), F.col(text_col), F.lit(0).alias("__corpus")),
+    )
+    # ids must be disambiguated across sides: the parity bit tags the
+    # side (requires |id| < 2^62 — document ids, not hashes)
+    keyed = tagged.select(
+        (F.col(id_col) * 2 + F.col("__corpus")).alias("__key"),
+        text_col,
+    )
+    shingled = keyed.select(
+        "__key", shingles_expr(text_col, shingle_k, use_words).alias("__sh"),
+    ).persist()
+    cands = minhash_lsh_candidates(
+        keyed, "__key", text_col, shingle_k=shingle_k,
+        use_words=use_words, shingled=shingled, **minhash_kwargs,
+    )
+    # cross-side only: exactly one endpoint has the corpus bit
+    cross = cands.filter(
+        (F.col("id_a") % 2) != (F.col("id_b") % 2),
+    )
+    sh_a = shingled.select(F.col("__key").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sh_b = shingled.select(F.col("__key").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    verified = (
+        cross.join(sh_a, "id_a").join(sh_b, "id_b")
+        .withColumn(
+            "__jac",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .filter(F.col("__jac") >= threshold)
+    )
+    # the batch endpoint is the one WITHOUT the corpus bit
+    losers = verified.select(
+        F.explode(F.array("id_a", "id_b")).alias("__key"),
+    ).filter(F.col("__key") % 2 == 0).select(
+        # integer DIV: '/' is double division and loses exactness past 2^53
+        F.expr("__key DIV 2").alias(id_col),
+    ).distinct()
+    result = out.join(losers, id_col, "left_anti")
+    return attach_persisted(result, shingled)
