@@ -188,8 +188,12 @@ def _medcouple(values: np.ndarray) -> float:
     lower = z[z <= 0.0]
     p = upper.shape[0]
     q = lower.shape[0]
-    u = np.tile(upper, (q, 1)).T
-    v = np.tile(lower, (p, 1))
+    # broadcast, don't tile: at the 10k sample cap the two materialized
+    # (p×q) tiles cost ~400 MB of pure allocation before the quotient —
+    # broadcasting allocates only h itself (~3x less memory, ~3x faster
+    # cold kernel), with bit-identical values
+    u = upper[:, None]
+    v = lower[None, :]
     with np.errstate(divide="ignore", invalid="ignore"):
         h = (u + v) / (u - v)
     # ties at the median: special kernel sign matrix
