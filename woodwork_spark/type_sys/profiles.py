@@ -26,6 +26,7 @@ count.
 from __future__ import annotations
 
 import re
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -471,7 +472,13 @@ def _pandas_string_stats(name, s, stats):
             spark_fallback.add(key)
             continue
         if len(probe) and all(crx.search(v) for v in probe):
-            stats[key] = int(nn.str.contains(rx, regex=True).sum())
+            # config regexes (email/URL/phone) are reference-mandated
+            # verbatim and contain capture groups; pandas warns that
+            # contains ignores groups — that is exactly the semantics
+            # we want (match test, not extraction), so silence it
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", UserWarning)
+                stats[key] = int(nn.str.contains(rx, regex=True).sum())
         else:
             stats[key] = 0
     # datetime: the reference's own parse (pandas to_datetime) IS the
