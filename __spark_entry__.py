@@ -1826,6 +1826,70 @@ def q_psi_drift(spark, sf_dir):
     )
 
 
+def q_feature_scaling(spark, sf_dir):
+    """Feature standardization for model training: z-score two lineitem
+    columns and robust-scale (median/IQR) a third, parameters fit on the
+    FULL table in one stats agg, applied as one projection; output is a
+    small id-filtered slice for value checking."""
+    from woodwork_spark.operators.features import apply_scaler, fit_scaler
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    params = fit_scaler(li, ["l_quantity", "l_extendedprice"], "zscore")
+    params.update(fit_scaler(li, ["l_discount"], "robust"))
+    out = apply_scaler(li, params).filter(F.col("l_orderkey") < 50)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        _ravg(F.col("l_quantity_scaled"), 6).alias("qty_z"),
+        _ravg(F.col("l_extendedprice_scaled"), 6).alias("price_z"),
+        _ravg(F.col("l_discount_scaled"), 6).alias("disc_r"),
+    )
+
+
+def q_bigram_quality(spark, sf_dir):
+    """Per-document mean bigram conditional log-probability under the
+    corpus's own MLE bigram model — catches scrambled word order that
+    unigram perplexity proxies cannot.  Bigrams form in place via
+    arrays_zip (no window, no per-doc sort)."""
+    from woodwork_spark.operators.text import bigram_logprob
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_logprob(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        _ravg(F.col("avg_logprob"), 6).alias("avg_logprob"),
+    )
+
+
+def q_unicode_normalize(spark, sf_dir):
+    """Unicode NFC normalization: a decomposed-accent suffix (combining
+    acute/tilde) is appended to every document and must compose to the
+    precomposed forms — the canonicalization step without which
+    exact-dedup keys split on byte representation.  Verified by md5 +
+    code-point length."""
+    from woodwork_spark.operators.cleaning import normalize_unicode_expr
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    # DECOMPOSED on purpose: e + U+0301 combining acute, n + U+0303
+    # combining tilde -- NFC must fuse them to precomposed forms
+    suffix = " cafe\u0301 n\u0303"
+    aug = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+    )
+    norm = aug.select(
+        "doc_id", normalize_unicode_expr("text").alias("text"),
+    )
+    return norm.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_nfc"),
+        F.md5("text").alias("nfc_md5"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -1902,6 +1966,9 @@ QUERIES = {
     "stream_scd_join": q_stream_scd_join,
     "incremental_dedup": q_incremental_dedup,
     "psi_drift": q_psi_drift,
+    "feature_scaling": q_feature_scaling,
+    "bigram_quality": q_bigram_quality,
+    "unicode_normalize": q_unicode_normalize,
 }
 
 ORACLE = {
@@ -3164,6 +3231,65 @@ ORACLE = {
                CAST(length(COALESCE(k.clean, '')) AS BIGINT) AS n_chars_clean,
                md5(COALESCE(k.clean, '')) AS clean_md5
         FROM aug a LEFT JOIN kept k ON a.doc_id = k.doc_id
+    """,
+    "feature_scaling": """
+        WITH stats AS (
+            SELECT avg(l_quantity) AS qm, stddev_samp(l_quantity) AS qs,
+                   avg(l_extendedprice) AS pm,
+                   stddev_samp(l_extendedprice) AS ps,
+                   quantile_cont(l_discount, 0.5) AS dm,
+                   quantile_cont(l_discount, 0.75)
+                       - quantile_cont(l_discount, 0.25) AS ds
+            FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber,
+               round((l_quantity - qm) / qs + 0.0000001, 6) AS qty_z,
+               round((l_extendedprice - pm) / ps + 0.0000001, 6) AS price_z,
+               round((l_discount - dm) / ds + 0.0000001, 6) AS disc_r
+        FROM lineitem CROSS JOIN stats
+        WHERE l_orderkey < 50
+    """,
+    "bigram_quality": """
+        WITH tok AS (
+            SELECT doc_id, pos, lower(t) AS w
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS t,
+                       generate_subscripts(
+                           string_split_regex(trim(text), '\\s+'), 1) AS pos
+                FROM documents
+            ) WHERE t <> ''
+        ), big AS (
+            SELECT doc_id, w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM tok
+            QUALIFY w2 IS NOT NULL
+        ), bc AS (
+            SELECT w1, w2, count(*) AS bc FROM big GROUP BY w1, w2
+        ), pc AS (
+            SELECT w1, count(*) AS pc FROM big GROUP BY w1
+        ), sc AS (
+            SELECT big.doc_id, count(*) AS n_bigrams,
+                   round(avg(ln(bc / CAST(pc AS DOUBLE))) + 0.0000001, 6)
+                       AS avg_logprob
+            FROM big
+            JOIN bc ON big.w1 = bc.w1 AND big.w2 = bc.w2
+            JOIN pc ON big.w1 = pc.w1
+            GROUP BY big.doc_id
+        )
+        SELECT d.doc_id, sc.n_bigrams, sc.avg_logprob
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """,
+    "unicode_normalize": """
+        SELECT doc_id,
+               CAST(length(nfc_normalize(
+                   text || ' cafe' || chr(769) || ' n' || chr(771)
+               )) AS BIGINT) AS n_chars_nfc,
+               md5(nfc_normalize(
+                   text || ' cafe' || chr(769) || ' n' || chr(771)
+               )) AS nfc_md5
+        FROM documents
     """,
     "incremental_dedup": """
         WITH corpus AS (

@@ -307,3 +307,82 @@ def test_psi_drift_no_columns_raises(spark):
     df = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(ValueError, match="no columns"):
         psi_drift_report(df, df)
+
+
+def test_standardize_features_zscore_and_robust(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.features import (
+        fit_scaler,
+        standardize_features,
+    )
+
+    vals = [float(v) for v in (2, 4, 4, 4, 5, 5, 7, 9)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, x double")
+    out = standardize_features(df, ["x"], method="zscore")
+    got = np.array([r["x_scaled"] for r in out.orderBy("id").collect()])
+    a = np.array(vals)
+    want = (a - a.mean()) / a.std(ddof=1)
+    assert np.allclose(got, want)
+    # robust: center=median, spread=IQR (exact percentiles)
+    p = fit_scaler(df, ["x"], method="robust")["x"]
+    assert p[0] == np.percentile(a, 50)
+    assert abs(p[1] - (np.percentile(a, 75) - np.percentile(a, 25))) < 1e-9
+    # minmax on a constant column: spread guard -> all zeros, no NaN
+    cdf = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id long, x double")
+    sc = standardize_features(cdf, ["x"], method="minmax")
+    assert all(r["x_scaled"] == 0.0 for r in sc.collect())
+
+
+def test_standardize_features_bad_args(spark):
+    import pytest
+
+    from woodwork_spark.operators.features import fit_scaler
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="method"):
+        fit_scaler(df, ["x"], method="nope")
+    with pytest.raises(ValueError, match="no columns"):
+        fit_scaler(df, [])
+
+
+def test_bigram_logprob_manual(spark):
+    import math
+
+    from woodwork_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),      # bigrams: (a,b) (b,a) (a,b)
+            (2, "a b c"),        # (a,b) (b,c)
+            (3, "solo"),         # < 2 tokens -> NULL score
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df, "text", "doc_id").collect()}
+    # corpus bigram counts: (a,b)=3 (b,a)=1 (b,c)=1 ; prefix counts a=3, b=2
+    p_ab, p_ba, p_bc = 3 / 3, 1 / 2, 1 / 2
+    want1 = (math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    want2 = (math.log(p_ab) + math.log(p_bc)) / 2
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_logprob"] - want1) < 1e-12
+    assert abs(out[2]["avg_logprob"] - want2) < 1e-12
+    assert out[3]["avg_logprob"] is None
+
+
+def test_normalize_unicode_expr(spark):
+    from woodwork_spark.operators.cleaning import normalize_unicode_expr
+
+    decomposed = "café"          # 'cafe' + combining acute
+    composed = "café"             # precomposed é
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, None)], "id long, t string",
+    )
+    nfc = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_unicode_expr("t").alias("n"),
+    ).collect()}
+    assert nfc[1] == composed and nfc[2] == composed and nfc[3] is None
+    stripped = {r["id"]: r["n"] for r in df.select(
+        "id", normalize_unicode_expr("t", strip_accents=True).alias("n"),
+    ).collect()}
+    assert stripped[1] == "cafe" and stripped[2] == "cafe"

@@ -24,6 +24,8 @@ LLM-pipeline section.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -405,3 +407,41 @@ def dedup_lines_global(
         .drop("__clean")
     )
     return attach_persisted(out, exploded)
+
+
+def normalize_unicode_expr(text_col: str, form: str = "NFC",
+                           strip_accents: bool = False):
+    """Unicode normalization as an Arrow-batched pandas UDF — mojibake
+    and mixed-form text (decomposed vs precomposed accents) is endemic
+    in web corpora, and exact-dedup keys are wrong without a canonical
+    form.  Spark has no builtin normalizer, so this is a documented
+    vectorized-Python touchpoint (pandas ``str`` ops over Arrow
+    batches, never per-row Python).  ``strip_accents`` additionally
+    removes combining marks after NFD (the utf8proc/ICU convention).
+    NULLs pass through.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"invalid normalization form {form!r}")
+
+    from pyspark.sql.functions import pandas_udf
+
+    # note: module-level ``pd`` import is load-bearing — postponed
+    # annotations resolve the hint strings against module globals
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            if strip_accents:
+                return "".join(
+                    ch
+                    for ch in unicodedata.normalize("NFD", v)
+                    if not unicodedata.combining(ch)
+                )
+            return unicodedata.normalize(form, v)
+
+        return s.map(one, na_action="ignore")
+
+    return _norm(F.col(text_col))

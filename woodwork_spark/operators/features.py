@@ -1,0 +1,87 @@
+"""Feature-scaling operators: the standardization step between raw
+analytics columns and model-ready features.
+
+All three scalers are ONE stats aggregation (every configured column's
+statistics in the same job, map-side partials) followed by ONE
+projection — no per-column jobs, no shuffle of the data itself, and the
+projection stays inside whole-stage codegen.  At 100 TB the cost is a
+single pass over the data plus a scan-sized write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_METHODS = ("zscore", "robust", "minmax")
+
+
+def fit_scaler(df: DataFrame, cols: list[str], method: str = "zscore") -> dict:
+    """Compute per-column scaling parameters in one aggregation job.
+
+    zscore: (mean, sample stddev); robust: (median, IQR) via one exact
+    percentile agg (swap to ``percentile_approx`` at extreme scale);
+    minmax: (min, max).  Returns {col: (center, spread)}; a zero spread
+    is recorded as 1.0 so constant columns scale to 0, not NaN.
+    """
+    if method not in _METHODS:
+        raise ValueError(f"method must be one of {_METHODS}, got {method!r}")
+    if not cols:
+        raise ValueError("fit_scaler: no columns")
+    if method == "zscore":
+        aggs = [
+            e
+            for c in cols
+            for e in (F.avg(c).alias(f"c_{c}"), F.stddev(c).alias(f"s_{c}"))
+        ]
+    elif method == "robust":
+        aggs = [
+            e
+            for c in cols
+            for e in (
+                F.percentile(F.col(c), F.lit(0.5)).alias(f"c_{c}"),
+                (
+                    F.percentile(F.col(c), F.lit(0.75))
+                    - F.percentile(F.col(c), F.lit(0.25))
+                ).alias(f"s_{c}"),
+            )
+        ]
+    else:
+        aggs = [
+            e
+            for c in cols
+            for e in (
+                F.min(c).alias(f"c_{c}"),
+                (F.max(c) - F.min(c)).alias(f"s_{c}"),
+            )
+        ]
+    row = df.agg(*aggs).first()
+    params = {}
+    for c in cols:
+        center = row[f"c_{c}"]
+        spread = row[f"s_{c}"]
+        if spread is None or spread == 0:
+            spread = 1.0
+        params[c] = (float(center) if center is not None else 0.0, float(spread))
+    return params
+
+
+def apply_scaler(df: DataFrame, params: dict, suffix: str = "_scaled") -> DataFrame:
+    """(col - center) / spread for every fitted column, as one codegen'd
+    projection; originals are kept, scaled columns get ``suffix``."""
+    out = df
+    for c, (center, spread) in params.items():
+        out = out.withColumn(
+            f"{c}{suffix}", (F.col(c) - F.lit(center)) / F.lit(spread),
+        )
+    return out
+
+
+def standardize_features(
+    df: DataFrame,
+    cols: list[str],
+    method: str = "zscore",
+    suffix: str = "_scaled",
+) -> DataFrame:
+    """fit + apply in one call — one stats job, one projection."""
+    return apply_scaler(df, fit_scaler(df, cols, method), suffix=suffix)

@@ -354,3 +354,51 @@ def tokenize_with_vocabulary(
             F.sum(F.when(F.col("tid") == oov_id, 1).otherwise(0)).alias("n_oov"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability
+    ln P(w_i | w_{i-1}) under the corpus's own MLE bigram model — a
+    sharper perplexity proxy than ``unigram_logprob`` (it catches
+    scrambled word ORDER, which unigram stats cannot see).
+
+    Bigrams are built IN PLACE from the token array (``arrays_zip`` of
+    the array with its shifted self) — no window function, no per-doc
+    sort, no shuffle to form pairs; parallelism is per-document.  One
+    persisted bigram explode feeds the bigram-count agg, the
+    prefix-count agg, and the scoring join; both model aggregates are
+    map-side-partial counts keyed on token hashes.  Join strategy is
+    left to AQE (same web-scale-vocabulary reasoning as
+    ``unigram_logprob``).  Documents with < 2 tokens score NULL.
+    """
+    toks = tokens_expr(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    toks = F.filter(toks, lambda t: t != "")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    big = (
+        df.select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .persist()
+    )
+    bcount = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__bc"))
+    pcount = big.groupBy("w1").agg(F.count(F.lit(1)).alias("__pc"))
+    scored = (
+        big.join(bcount, ["w1", "w2"])
+        .join(pcount, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log(F.col("__bc") / F.col("__pc"))).alias("avg_logprob"),
+        )
+    )
+    out = df.select(id_col).distinct().join(scored, id_col, "left")
+    return attach_persisted(out, big)
