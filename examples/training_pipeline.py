@@ -51,8 +51,24 @@ keep_ids = scored.filter(F.col("avg_logprob") > -12.0).select("doc_id")
 docs = docs.join(keep_ids, "doc_id", "left_semi")
 print(f"quality+logprob filter: {n0} -> {docs.count()} docs")
 
-# ---- 2. PII redaction ------------------------------------------------------
+# ---- 2. canonicalization + PII redaction -----------------------------------
+from woodwork_spark.operators.cleaning import normalize_unicode_expr
+
+docs = docs.withColumn("text", normalize_unicode_expr("text"))  # NFC first:
+# exact-dedup keys split on byte representation without it
 docs = docs.withColumn("text", pii_redact_expr("text"))
+
+# ---- 2b. source-level governance: drop domains that fail the quality bar ---
+from woodwork_spark.operators.curation import (
+    filter_by_source_quality,
+    source_quality_report,
+)
+
+source_quality_report(docs, "source", "text").orderBy("source").show()
+docs = filter_by_source_quality(
+    docs, "source", "text", min_avg_quality=0.1, max_dup_fraction=0.9,
+)
+print(f"after source governance: {docs.count()} docs")
 
 # ---- 3. dedup ladder: exact -> near (MinHash) ------------------------------
 docs = exact_dedup(docs, columns=["text"], id_col="doc_id")
@@ -75,6 +91,15 @@ print(f"PCA 64->8 keeps {ratio.sum():.1%} of variance")
 jl = random_project(emb, "embedding", 8)  # engine-reproducible alternative
 print(f"JL 64->8 rows: {jl.count()}")
 
+# ---- 4c. incremental ingestion: dedup a new crawl against the corpus -------
+from woodwork_spark.operators.dedup import dedup_against_corpus
+
+new_batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+    (F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+)  # a replayed slice: every doc already exists -> nothing should survive
+survivors = dedup_against_corpus(new_batch, docs, "text", "doc_id")
+print(f"incremental dedup: {new_batch.count()} batch docs -> {survivors.count()} new")
+
 # ---- 5. mix rebalancing to a target language distribution ------------------
 print("mix before:")
 mix_report(docs, "lang").orderBy("lang").show()
@@ -84,6 +109,15 @@ docs = rebalance_mix(
 )
 print("mix after rebalance:")
 mix_report(docs, "lang").orderBy("lang").show()
+
+# ---- 5b. drift gate: PSI between the raw and rebalanced corpus -------------
+from woodwork_spark.operators.curation import psi_drift_report
+
+psi_drift_report(
+    read_parquet(spark, f"{SF}/documents.parquet"), docs,
+    numeric_bins={"n_chars": [100.0, 200.0, 400.0]},
+    categorical_cols=["lang"],
+).orderBy("column").show()
 
 # ---- 6. reproducible train/held split --------------------------------------
 split = hash_split(docs, "doc_id", fraction=0.9, salt="v1")
@@ -97,6 +131,11 @@ packed = pack_sequences(
 )
 n_seq = packed.agg(F.max("seq_id")).collect()[0][0]
 print(f"packed {counted.count()} chunks into {int(n_seq) + 1} sequences of 512 tokens")
+
+# ---- 8. corpus understanding: topic signatures for the final train set -----
+from woodwork_spark.operators.curation import tfidf_top_terms
+
+tfidf_top_terms(train, "doc_id", "text", k=2).orderBy("doc_id", "rank").show(6)
 
 spark.stop()
 print("pipeline complete")

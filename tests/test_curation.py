@@ -386,3 +386,45 @@ def test_normalize_unicode_expr(spark):
         "id", normalize_unicode_expr("t", strip_accents=True).alias("n"),
     ).collect()}
     assert stripped[1] == "cafe" and stripped[2] == "cafe"
+
+
+def test_review_regressions_round6(spark):
+    """Self-review fixes: (a) strip_accents must still apply the
+    requested form (NFKC folding after stripping); (b) near-mode
+    incremental dedup refuses non-integral ids instead of silently
+    deduping nothing; (c) a NULL source is a real group for the
+    broadcast quality filter; (d) collect_moments validates fanin."""
+    import pytest
+
+    from woodwork_spark.operators.cleaning import normalize_unicode_expr
+    from woodwork_spark.operators.curation import filter_by_source_quality
+    from woodwork_spark.operators.dedup import dedup_against_corpus
+    from woodwork_spark.operators.embedding import collect_moments
+
+    # (a) ligature fi + decomposed é: NFKC must fold the ligature AND
+    # recompose nothing stripped
+    df = spark.createDataFrame([(1, "ﬁ café")], "id long, t string")
+    out = df.select(
+        normalize_unicode_expr("t", form="NFKC", strip_accents=True).alias("n"),
+    ).collect()[0]["n"]
+    assert out == "fi cafe"
+
+    # (b) string ids + near=True -> loud error, not silent no-op
+    sdf = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="integral id"):
+        dedup_against_corpus(sdf, sdf, "text", "doc_id", near=True)
+
+    # (c) docs with NULL source survive when their group passes the bar
+    ndf = spark.createDataFrame(
+        [(1, None, "the cat sat on the mat and it was fine today."),
+         (2, None, "it was the best of times and the worst of times.")],
+        "doc_id long, source string, text string",
+    )
+    kept = filter_by_source_quality(ndf, "source", "text", min_avg_quality=0.3)
+    assert kept.count() == 2
+
+    # (d) degenerate fanin is rejected up front
+    vdf = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<double>")
+    for bad in (0, 1):
+        with pytest.raises(ValueError, match="fanin"):
+            collect_moments(vdf, "v", fanin=bad)

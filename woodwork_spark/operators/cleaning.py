@@ -363,21 +363,27 @@ def dedup_lines_global(
                 "__pos", "__line",
             ),
         )
+        # TWO independent 64-bit hashes = a 128-bit composite key:
+        # deletion-by-key semantics cannot tolerate 64-bit birthday
+        # collisions (~50% at ~5e9 distinct lines); 128 bits pushes the
+        # odds to ~n^2/2^128.  Shuffle rows stay 16 bytes + two longs.
         .withColumn("__key", F.xxhash64(F.trim("__line")))
+        .withColumn("__key2", F.xxhash64(F.trim("__line"), F.lit(1)))
         .persist()
     )
     first = (
         exploded.filter(F.trim("__line") != "")
-        .groupBy("__key")
+        .groupBy("__key", "__key2")
         .agg(F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"))
         .select(
             "__key",
+            "__key2",
             F.col(f"__first.{id_col}").alias("__fid"),
             F.col("__first.__pos").alias("__fpos"),
         )
     )
     kept = (
-        exploded.join(first, "__key", "left")
+        exploded.join(first, ["__key", "__key2"], "left")
         .filter(
             F.col("__fid").isNull()  # blank lines: always keep
             | (
@@ -435,7 +441,10 @@ def normalize_unicode_expr(text_col: str, form: str = "NFC",
             if v is None:
                 return None
             if strip_accents:
-                return "".join(
+                # decompose, drop combining marks, then STILL apply the
+                # requested form — the stripped residue must come back
+                # recomposed/folded, not left NFD
+                v = "".join(
                     ch
                     for ch in unicodedata.normalize("NFD", v)
                     if not unicodedata.combining(ch)

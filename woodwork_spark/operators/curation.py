@@ -109,7 +109,10 @@ def filter_by_source_quality(
     return (
         df.join(
             F.broadcast(good),
-            df[group_col] == F.col("__good_source"),
+            # null-safe: a NULL source is a legitimate group (missing
+            # provenance) and must pass/fail on its aggregate stats like
+            # any other — a plain == would silently drop every such doc
+            df[group_col].eqNullSafe(F.col("__good_source")),
             "inner",
         )
         .drop("__good_source")

@@ -177,6 +177,24 @@ def minhash_lsh_candidates(
     )
 
 
+def _verify_jaccard(cands: DataFrame, shingled: DataFrame, id_col: str,
+                    threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs
+    against a persisted (id, __sh) shingle frame — shared by the
+    corpus-level and incremental near-dedup paths so the semantics
+    (intersect/union ratio, threshold inclusive) cannot diverge."""
+    a = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b"),
+    )
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -202,16 +220,7 @@ def minhash_dedup_pairs(
         df, id_col, text_col, shingle_k, num_perm, bands,
         use_words=use_words, shingled=shingled,
     )
-    a = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
-    joined = cands.join(a, "id_a").join(b, "id_b")
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b"),
-    )
-    out = (
-        joined.select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    out = _verify_jaccard(cands, shingled, id_col, threshold)
     # the cached shingle arrays ride on the result; free them with
     # lifecycle.release(result) once the pairs are materialized
     return attach_persisted(out, shingled)
@@ -758,6 +767,17 @@ def dedup_against_corpus(
         return out
     # near pass: union with a side tag, LSH-bucket, keep only cross-side
     # candidate pairs, verify exact Jaccard on the shingles
+    from pyspark.sql import types as T
+
+    id_type = new_df.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        # the parity side tag is integer arithmetic; a string id would
+        # cast to NULL (ANSI off) and make the near pass a silent no-op
+        raise ValueError(
+            f"dedup_against_corpus(near=True) requires an integral id "
+            f"column; {id_col!r} is {id_type.simpleString()} — add a "
+            f"surrogate id (e.g. xxhash64) or use exact mode",
+        )
     shingle_k = minhash_kwargs.pop("shingle_k", 3)
     use_words = minhash_kwargs.pop("use_words", True)
     tagged = corpus_df.select(
@@ -782,17 +802,7 @@ def dedup_against_corpus(
     cross = cands.filter(
         (F.col("id_a") % 2) != (F.col("id_b") % 2),
     )
-    sh_a = shingled.select(F.col("__key").alias("id_a"), F.col("__sh").alias("__sh_a"))
-    sh_b = shingled.select(F.col("__key").alias("id_b"), F.col("__sh").alias("__sh_b"))
-    verified = (
-        cross.join(sh_a, "id_a").join(sh_b, "id_b")
-        .withColumn(
-            "__jac",
-            F.size(F.array_intersect("__sh_a", "__sh_b"))
-            / F.size(F.array_union("__sh_a", "__sh_b")),
-        )
-        .filter(F.col("__jac") >= threshold)
-    )
+    verified = _verify_jaccard(cross, shingled, "__key", threshold)
     # the batch endpoint is the one WITHOUT the corpus bit
     losers = verified.select(
         F.explode(F.array("id_a", "id_b")).alias("__key"),

@@ -128,6 +128,10 @@ def collect_moments(df: DataFrame, vec_col: str, fanin: int = _TREE_FANIN):
     """
     import numpy as np
 
+    if fanin < 2:
+        # fanin=1 would loop forever (width never shrinks); 0 divides by 0
+        raise ValueError(f"collect_moments: fanin must be >= 2, got {fanin}")
+
     def partials(batches):
         for pdf in batches:
             vecs = pdf.iloc[:, 0].dropna()

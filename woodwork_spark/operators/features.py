@@ -35,17 +35,10 @@ def fit_scaler(df: DataFrame, cols: list[str], method: str = "zscore") -> dict:
             for e in (F.avg(c).alias(f"c_{c}"), F.stddev(c).alias(f"s_{c}"))
         ]
     elif method == "robust":
-        aggs = [
-            e
-            for c in cols
-            for e in (
-                F.percentile(F.col(c), F.lit(0.5)).alias(f"c_{c}"),
-                (
-                    F.percentile(F.col(c), F.lit(0.75))
-                    - F.percentile(F.col(c), F.lit(0.25))
-                ).alias(f"s_{c}"),
-            )
-        ]
+        # one array-argument percentile per column: three separate
+        # percentile expressions would each buffer/sort the column's
+        # values independently (3x agg memory for the same answer)
+        aggs = [F.percentile(F.col(c), F.lit([0.25, 0.5, 0.75])).alias(f"q_{c}") for c in cols]
     else:
         aggs = [
             e
@@ -58,8 +51,13 @@ def fit_scaler(df: DataFrame, cols: list[str], method: str = "zscore") -> dict:
     row = df.agg(*aggs).first()
     params = {}
     for c in cols:
-        center = row[f"c_{c}"]
-        spread = row[f"s_{c}"]
+        if method == "robust":
+            q = row[f"q_{c}"]
+            center = q[1] if q is not None else None
+            spread = (q[2] - q[0]) if q is not None else None
+        else:
+            center = row[f"c_{c}"]
+            spread = row[f"s_{c}"]
         if spread is None or spread == 0:
             spread = 1.0
         params[c] = (float(center) if center is not None else 0.0, float(spread))
@@ -67,14 +65,15 @@ def fit_scaler(df: DataFrame, cols: list[str], method: str = "zscore") -> dict:
 
 
 def apply_scaler(df: DataFrame, params: dict, suffix: str = "_scaled") -> DataFrame:
-    """(col - center) / spread for every fitted column, as one codegen'd
-    projection; originals are kept, scaled columns get ``suffix``."""
-    out = df
-    for c, (center, spread) in params.items():
-        out = out.withColumn(
-            f"{c}{suffix}", (F.col(c) - F.lit(center)) / F.lit(spread),
-        )
-    return out
+    """(col - center) / spread for every fitted column, as ONE select
+    projection (a withColumn loop would re-run plan analysis per column
+    — quadratic setup on wide feature frames); originals are kept,
+    scaled columns get ``suffix``."""
+    scaled = [
+        ((F.col(c) - F.lit(center)) / F.lit(spread)).alias(f"{c}{suffix}")
+        for c, (center, spread) in params.items()
+    ]
+    return df.select("*", *scaled)
 
 
 def standardize_features(

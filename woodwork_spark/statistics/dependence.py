@@ -206,6 +206,56 @@ def _entropy(counts, n):
     return float(-(p * np.log(p)).sum())
 
 
+# exact-table cutoff for _log_factorial_lookup: 2M doubles = 16 MB on
+# the driver; beyond it the Stirling branch is cheaper than the table
+_LOGFACT_TABLE_MAX = 2_000_000
+
+
+def _log_factorial_lookup(n):
+    """Vectorized logfact(k) = log(k!) = lgamma(k+1) for integer arrays
+    with entries in [0, n].
+
+    Small n: one cumsum table (exact to ~1e-9 absolute).  Large n: the
+    table alone would be O(n) driver memory (8 GB at n=1e9), so switch
+    to the Stirling series — for z = k+1 > 2e6 its truncation error is
+    < 1e-25, far below double roundoff — keeping memory O(table cutoff)
+    regardless of row count."""
+    if n <= _LOGFACT_TABLE_MAX:
+        table = np.concatenate(
+            ([0.0], np.cumsum(np.log(np.arange(1, n + 1, dtype="float64")))),
+        )
+        return lambda k: table[k]
+    small = np.concatenate(
+        (
+            [0.0],
+            np.cumsum(
+                np.log(np.arange(1, _LOGFACT_TABLE_MAX + 1, dtype="float64")),
+            ),
+        ),
+    )
+    half_log_2pi = 0.5 * np.log(2.0 * np.pi)
+
+    def lookup(k):
+        k = np.asarray(k)
+        scalar = k.ndim == 0
+        k = np.atleast_1d(k)
+        out = np.empty(k.shape, dtype="float64")
+        lo = k <= _LOGFACT_TABLE_MAX
+        out[lo] = small[k[lo]]
+        z = k[~lo].astype("float64") + 1.0
+        out[~lo] = (
+            (z - 0.5) * np.log(z)
+            - z
+            + half_log_2pi
+            + 1.0 / (12.0 * z)
+            - 1.0 / (360.0 * z**3)
+            + 1.0 / (1260.0 * z**5)
+        )
+        return out[0] if scalar else out
+
+    return lookup
+
+
 def _expected_mutual_information(a_marg, b_marg, n):
     """E[MI] under the permutation model (hypergeometric), the quantity
     sklearn uses for AMI; fully vectorized via a log-factorial table
@@ -217,12 +267,8 @@ def _expected_mutual_information(a_marg, b_marg, n):
     cumsum."""
     from numpy import log
 
-    # logfact[k] = log(k!) = lgamma(k+1); cumsum error is ~1e-9 absolute
-    # at n=1e6, far below the emi's meaningful precision
-    logfact = np.concatenate(
-        ([0.0], np.cumsum(np.log(np.arange(1, n + 1, dtype="float64")))),
-    )
     emi = 0.0
+    logfact = _log_factorial_lookup(n)
     for ai in a_marg:
         for bj in b_marg:
             lo = max(1, ai + bj - n)
@@ -233,17 +279,17 @@ def _expected_mutual_information(a_marg, b_marg, n):
             fnij = nij.astype("float64")
             term1 = fnij / n * (log(fnij * n) - log(float(ai) * bj))
             base = (
-                logfact[ai]
-                + logfact[bj]
-                + logfact[n - ai]
-                + logfact[n - bj]
-                - logfact[n]
+                logfact(ai)
+                + logfact(bj)
+                + logfact(n - ai)
+                + logfact(n - bj)
+                - logfact(n)
             )
             logweights = base - (
-                logfact[nij]
-                + logfact[ai - nij]
-                + logfact[bj - nij]
-                + logfact[n - ai - bj + nij]
+                logfact(nij)
+                + logfact(ai - nij)
+                + logfact(bj - nij)
+                + logfact(n - ai - bj + nij)
             )
             emi += float((term1 * np.exp(logweights)).sum())
     return emi

@@ -330,10 +330,19 @@ def enrich_stream_with_scd(
     ek = F.col(event_key) if isinstance(event_key, str) else (
         event_key if event_key is not None else F.col(key)
     )
-    d = F.broadcast(dim.withColumnRenamed(key, "__dim_key"))
+    # rename ALL dim-side join machinery to reserved names so an event
+    # stream that itself carries valid_from/valid_to columns (CDC feeds
+    # do) neither makes the condition ambiguous nor loses its own
+    # columns to the final drop
+    renamed = (
+        dim.withColumnRenamed(key, "__dim_key")
+        .withColumnRenamed(valid_from, "__dim_from")
+        .withColumnRenamed(valid_to, "__dim_to")
+    )
+    d = F.broadcast(renamed)
     cond = (
         (ek == F.col("__dim_key"))
-        & (F.col(ts_col) >= F.col(valid_from))
-        & (F.col(valid_to).isNull() | (F.col(ts_col) < F.col(valid_to)))
+        & (F.col(ts_col) >= F.col("__dim_from"))
+        & (F.col("__dim_to").isNull() | (F.col(ts_col) < F.col("__dim_to")))
     )
-    return events.join(d, cond, how).drop("__dim_key", valid_from, valid_to)
+    return events.join(d, cond, how).drop("__dim_key", "__dim_from", "__dim_to")
