@@ -190,3 +190,92 @@ def test_reference_ww_meta_parquet_migration(spark, tmp_path):
     assert back.metadata == {"source": "reference"}
     assert back.schema.columns["email"].description == "contact"
     assert back.raw.count() == 3
+
+
+def test_tar_archive_round_trip(spark, tmp_path):
+    """to_archive -> from_archive: reference-layout tar (member paths
+    /woodwork_typing_info.json + /data/...), full schema survival."""
+    import tarfile
+
+    import woodwork_spark as ww
+    from woodwork_spark.serializers import from_archive
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, cat string, val double",
+    )
+    t = ww.init(df, name="arch", index="id", validate=False)
+    dest = str(tmp_path / "out.tar")
+    t.to_archive(dest)
+    # layout parity with reference serializer_base._create_archive
+    names = set(tarfile.open(dest).getnames())
+    assert any(n.lstrip("/").startswith("woodwork_typing_info.json") for n in names)
+    assert any("data" in n for n in names)
+    t2 = from_archive(spark, dest)
+    assert t2.name == "arch" and t2.index == "id"
+    assert {type(v).__name__ for v in t2.logical_types.values()} == {
+        type(v).__name__ for v in t.logical_types.values()
+    }
+    got = sorted((r["id"], r["cat"], r["val"]) for r in t2.raw.collect())
+    assert got == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_from_archive_reads_reference_layout(spark, tmp_path):
+    """A tar built the way the pandas reference builds S3 archives
+    (pandas-written parquet inside data/, reference-style sidecar) must
+    deserialize with correct types."""
+    import json
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    from woodwork_spark.serializers import from_archive
+
+    staged = tmp_path / "stage"
+    (staged / "data").mkdir(parents=True)
+    pdf = pd.DataFrame({"id": [1, 2], "score": [0.5, 0.7]})
+    pdf.to_parquet(staged / "data" / "arch.parquet")
+    info = {
+        "schema_version": "12.0.0",
+        "name": "ref_table",
+        "index": None,
+        "time_index": None,
+        "column_typing_info": [
+            {
+                "name": "id",
+                "ordinal": 0,
+                "use_standard_tags": True,
+                "logical_type": {"parameters": {}, "type": "Integer"},
+                "physical_type": {"type": "int64"},
+                "semantic_tags": ["numeric"],
+                "description": None,
+                "origin": None,
+                "metadata": {},
+            },
+            {
+                "name": "score",
+                "ordinal": 1,
+                "use_standard_tags": True,
+                "logical_type": {"parameters": {}, "type": "Double"},
+                "physical_type": {"type": "float64"},
+                "semantic_tags": ["numeric"],
+                "description": None,
+                "origin": None,
+                "metadata": {},
+            },
+        ],
+        "loading_info": {"location": "data/arch.parquet", "type": "parquet"},
+        "table_metadata": {},
+    }
+    (staged / "woodwork_typing_info.json").write_text(json.dumps(info))
+    dest = str(tmp_path / "ref.tar")
+    with tarfile.open(dest, "w") as tar:
+        tar.add(
+            os.path.join(staged, "woodwork_typing_info.json"),
+            arcname="/woodwork_typing_info.json",
+        )
+        tar.add(os.path.join(staged, "data"), arcname="/data")
+    t = from_archive(spark, dest)
+    assert t.name == "ref_table"
+    assert type(t.logical_types["id"]).__name__ == "Integer"
+    assert sorted(r["id"] for r in t.raw.collect()) == [1, 2]

@@ -833,3 +833,8 @@ class WWDataFrame:
         from woodwork_spark.serializers import to_disk
 
         return to_disk(self, path, format=format, **kwargs)
+
+    def to_archive(self, path, format="parquet", **kwargs):
+        from woodwork_spark.serializers import to_archive
+
+        return to_archive(self, path, format=format, **kwargs)

@@ -292,3 +292,73 @@ def _read_ww_meta(data_path: str):
         if blob is not None:
             return json.loads(blob.decode("utf-8"))
     return None
+
+
+def to_archive(ww_df, path, format="parquet", **options):
+    """Reference-compatible single-file tar archive: members
+    ``/woodwork_typing_info.json`` + ``/data/...``, the exact layout
+    ``serializer_base.py::_create_archive`` (reference :117-133)
+    produces for S3/remote targets.  The directory is staged in a local
+    tempdir and the ONE tar file ships through the Hadoop FS layer, so
+    ``path`` may be file://, hdfs://, or s3a:// — the Spark-native
+    replacement for the reference's tar+smart_open upload.
+
+    A tar is a single stream: use it for pandas-sized interchange with
+    reference installations, not cluster-scale outputs (those stay
+    directory layouts via ``to_disk``).
+    """
+    import os
+    import tarfile
+    import tempfile
+
+    spark = ww_df.df.sparkSession
+    with tempfile.TemporaryDirectory() as tmp:
+        staged = os.path.join(tmp, "ww")
+        to_disk(ww_df, staged, format=format, **options)
+        tar_local = os.path.join(tmp, "archive.tar")
+        with tarfile.open(tar_local, "w") as tar:
+            tar.add(
+                os.path.join(staged, TYPING_INFO_FILENAME),
+                arcname=f"/{TYPING_INFO_FILENAME}",
+            )
+            tar.add(os.path.join(staged, "data"), arcname="/data")
+        jvm = spark._jvm
+        dst = jvm.org.apache.hadoop.fs.Path(path)
+        fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.copyFromLocalFile(
+            False, True, jvm.org.apache.hadoop.fs.Path(tar_local), dst,
+        )
+    return path
+
+
+def from_archive(spark: SparkSession, path, validate=True):
+    """Read a tar archive written by ``to_archive`` OR by the pandas
+    reference's S3 serializer (same member layout) — fetched through the
+    Hadoop FS layer, extracted to a local tempdir, then handed to the
+    directory reader (which also understands reference sidecars and
+    ``ww_meta`` parquet blobs).
+
+    NOTE: the extraction tempdir must outlive the returned DataFrame's
+    lazy plan, so the frame is materialized eagerly here (archives are
+    pandas-sized by contract; cluster-scale data uses directory layouts).
+    """
+    import os
+    import tarfile
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        jvm = spark._jvm
+        src = jvm.org.apache.hadoop.fs.Path(path)
+        fs = src.getFileSystem(spark._jsc.hadoopConfiguration())
+        tar_local = os.path.join(tmp, "archive.tar")
+        fs.copyToLocalFile(False, src, jvm.org.apache.hadoop.fs.Path(tar_local), True)
+        out_dir = os.path.join(tmp, "extracted")
+        with tarfile.open(tar_local) as tar:
+            tar.extractall(out_dir, filter="data")
+        t = from_disk(spark, out_dir, validate=validate)
+        # pin rows before the tempdir vanishes (lazy scans would re-read)
+        raw = t.raw
+        pinned = spark.createDataFrame(raw.collect(), schema=raw.schema)
+        from woodwork_spark.accessor import init_with_full_schema
+
+        return init_with_full_schema(pinned, t.schema, validate=False)
