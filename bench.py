@@ -45,20 +45,24 @@ def main():
     # execution of a query pays one-time JVM codegen/JIT, and this shared
     # host shows transient load spikes — min-of-2 measures the query, not
     # the noise (standard benchmarking practice; method recorded below).
+    # The passes are INTERLEAVED (full sweep, then a second full sweep)
+    # so a multi-second host spike lands on different queries in each
+    # pass instead of poisoning both back-to-back reps of one query.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings = {}
-    for name, fn in qs.items():
-        best = None
-        try:
-            for _ in range(max(reps, 1)):
+    for _ in range(max(reps, 1)):
+        for name, fn in qs.items():
+            if name in timings and timings[name] is None:
+                continue  # errored in an earlier pass
+            try:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
                 dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 4)
-        except Exception as e:  # keep benching even if one query breaks
-            timings[name] = None
-            print(f"# bench error in {name}: {e}", file=sys.stderr)
+                prev = timings.get(name)
+                timings[name] = round(dt if prev is None else min(prev, dt), 4)
+            except Exception as e:  # keep benching even if one query breaks
+                timings[name] = None
+                print(f"# bench error in {name}: {e}", file=sys.stderr)
     valid = [v for v in timings.values() if v is not None]
     total = round(sum(valid), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
