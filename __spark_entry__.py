@@ -1440,7 +1440,15 @@ def q_outlier_methods(spark, sf_dir):
         .otherwise(F.col("c_acctbal"))
         .alias("bal"),
     )
-    t = ww.init(planted, validate=False)
+    # explicit logical types: this query measures the outlier operators,
+    # not inference — and a real pipeline reuses an already-typed table
+    from woodwork_spark.logical_types import Double, Integer
+
+    t = ww.init(
+        planted,
+        logical_types={"c_custkey": Integer, "bal": Double},
+        validate=False,
+    )
     rows = []
     for method, d in (
         ("box_plot", box_plot_dict(t, "bal")),
@@ -1489,7 +1497,18 @@ def q_dependence_measures(spark, sf_dir):
         .alias("qty_band"),
         "l_returnflag",
     )
-    t = ww.init(li, validate=False)
+    from woodwork_spark.logical_types import Categorical, Double
+
+    t = ww.init(
+        li,
+        logical_types={
+            "l_quantity": Double,
+            "qty_plus": Double,
+            "qty_band": Categorical,
+            "l_returnflag": Categorical,
+        },
+        validate=False,
+    )
     pdf = dependence(t, measures=["pearson", "mutual_info", "max"])
     rows = [
         tuple(
