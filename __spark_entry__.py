@@ -1909,6 +1909,77 @@ def q_unicode_normalize(spark, sf_dir):
     )
 
 
+def q_interval_windows(spark, sf_dir):
+    """Point-in-interval join at hash-join cost: events against 25
+    OVERLAPPING 36-hour maintenance windows (one per day) via bucketed
+    interval expansion — a bare range-predicate join would compile to
+    BroadcastNestedLoopJoin (O(points x intervals)).  Events inside two
+    overlapping windows must count in both."""
+    from woodwork_spark.operators.relational import interval_join
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    wins = spark.range(25).select(
+        F.col("id").alias("wid"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 86400).alias("ws"),
+        F.timestamp_seconds(
+            F.lit(base) + F.col("id") * 86400 + 36 * 3600,
+        ).alias("we"),
+    )
+    joined = interval_join(ev, wins, "ts", "ws", "we", bucket_seconds=6 * 3600)
+    return joined.groupBy("wid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value") + 1e-7, 2).alias("sum_value"),
+    )
+
+
+def q_schema_drift(spark, sf_dir):
+    """Schema-drift gate between two versions of the lineitem table: a
+    dropped column, an added column, and an Integer->Double retype must
+    each surface with the right status — the structural complement of
+    the PSI value-drift report.  Driver-side over typed schemas only."""
+    import woodwork_spark as ww
+    from woodwork_spark.logical_types import Categorical, Double, Integer
+    from woodwork_spark.table_utils import schema_drift
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    t_old = ww.init(
+        li.select("l_orderkey", "l_quantity", "l_returnflag"),
+        logical_types={
+            "l_orderkey": Integer,
+            "l_quantity": Double,
+            "l_returnflag": Categorical,
+        },
+        validate=False,
+    )
+    t_new = ww.init(
+        li.select("l_orderkey", "l_quantity", "l_linestatus"),
+        logical_types={
+            "l_orderkey": Double,  # retyped
+            "l_quantity": Double,
+            "l_linestatus": Categorical,  # added; l_returnflag removed
+        },
+        validate=False,
+    )
+    rows = [
+        (
+            d["column"], d["status"], d["old_type"], d["new_type"],
+            d["old_tags"], d["new_tags"],
+        )
+        for d in schema_drift(t_old, t_new)
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "column string, status string, old_type string, new_type string,"
+            " old_tags string, new_tags string"
+        ),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -1988,6 +2059,8 @@ QUERIES = {
     "feature_scaling": q_feature_scaling,
     "bigram_quality": q_bigram_quality,
     "unicode_normalize": q_unicode_normalize,
+    "interval_windows": q_interval_windows,
+    "schema_drift": q_schema_drift,
 }
 
 ORACLE = {
@@ -3250,6 +3323,35 @@ ORACLE = {
                CAST(length(COALESCE(k.clean, '')) AS BIGINT) AS n_chars_clean,
                md5(COALESCE(k.clean, '')) AS clean_md5
         FROM aug a LEFT JOIN kept k ON a.doc_id = k.doc_id
+    """,
+    "interval_windows": """
+        WITH ks AS (
+            SELECT unnest(range(0, 25)) AS wid
+        ), wins AS (
+            SELECT wid,
+                   make_timestamp(1704067200000000 + wid * 86400000000)
+                       AS ws,
+                   make_timestamp(1704067200000000 + wid * 86400000000
+                                  + 129600000000) AS we
+            FROM ks
+        )
+        SELECT w.wid,
+               count(*) AS n_events,
+               count(DISTINCT e.user_id) AS n_users,
+               round(sum(e.value) + 0.0000001, 2) AS sum_value
+        FROM events e JOIN wins w
+          ON e.ts >= w.ws AND e.ts < w.we
+        GROUP BY w.wid
+    """,
+    "schema_drift": """
+        SELECT * FROM (VALUES
+            ('l_orderkey',   'type_changed', 'Integer',     'Double',
+             'numeric',  'numeric'),
+            ('l_returnflag', 'removed',      'Categorical', NULL,
+             'category', NULL),
+            ('l_linestatus', 'added',        NULL,          'Categorical',
+             NULL,       'category')
+        ) AS t("column", status, old_type, new_type, old_tags, new_tags)
     """,
     "feature_scaling": """
         WITH stats AS (

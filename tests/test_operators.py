@@ -799,3 +799,81 @@ def test_duplication_spectrum(spark):
         for r in dedup.duplication_spectrum(df, "text").collect()
     }
     assert out == {3: (1, 3), 2: (1, 2), 1: (1, 1)}
+
+
+def test_interval_join_containment_and_plan(spark):
+    """Bucketed interval join: exact [start, end) containment, multi-
+    match fan-out, left-mode NULL fill — and the plan must be a HASH
+    join, never the BroadcastNestedLoopJoin Catalyst picks for a bare
+    range predicate."""
+    import datetime as dt
+
+    from woodwork_spark.operators.relational import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda h: t0 + dt.timedelta(hours=h)
+    points = spark.createDataFrame(
+        [(1, mk(1)), (2, mk(5)), (3, mk(10)), (4, mk(49))],
+        "pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (100, mk(0), mk(4)),    # catches pid 1
+            (101, mk(4), mk(6)),    # catches pid 2
+            (102, mk(3), mk(11)),   # catches pids 2 and 3 (overlap)
+            (103, mk(20), mk(20)),  # degenerate: end == start, no match
+        ],
+        "wid long, ws timestamp, we timestamp",
+    )
+    out = interval_join(points, ivs, "ts", "ws", "we", bucket_seconds=3600)
+    got = sorted((r["pid"], r["wid"]) for r in out.collect())
+    assert got == [(1, 100), (2, 101), (2, 102), (3, 102)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # left mode: pid 4 (outside every window) survives with NULL wid
+    left = interval_join(points, ivs, "ts", "ws", "we", how="left")
+    rows = {r["pid"]: r["wid"] for r in left.collect() if r["pid"] == 4}
+    assert rows == {4: None}
+    assert left.count() == 5
+
+
+def test_interval_join_boundary_semantics(spark):
+    """Half-open [start, end): a point exactly at end must NOT match; a
+    point exactly at start must."""
+    import datetime as dt
+
+    from woodwork_spark.operators.relational import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(hours=2))], "pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(9, t0, t0 + dt.timedelta(hours=2))], "wid long, ws timestamp, we timestamp",
+    )
+    got = [r["pid"] for r in interval_join(points, ivs, "ts", "ws", "we").collect()]
+    assert got == [1]
+
+
+def test_schema_drift_statuses(spark):
+    import woodwork_spark as ww
+    from woodwork_spark.logical_types import Categorical, Double, Integer
+    from woodwork_spark.table_utils import schema_drift
+
+    df1 = spark.createDataFrame([(1, "a", 1.0)], "id long, cat string, gone double")
+    df2 = spark.createDataFrame([(1, "a", "x")], "id long, cat string, fresh string")
+    t1 = ww.init(
+        df1, logical_types={"id": Integer, "cat": Categorical, "gone": Double},
+        validate=False,
+    )
+    t2 = ww.init(
+        df2, logical_types={"id": Double, "cat": Categorical, "fresh": Categorical},
+        validate=False,
+    )
+    drift = {d["column"]: d for d in schema_drift(t1, t2)}
+    assert drift["gone"]["status"] == "removed"
+    assert drift["fresh"]["status"] == "added"
+    assert drift["id"]["status"] == "type_changed"
+    assert drift["id"]["old_type"] == "Integer" and drift["id"]["new_type"] == "Double"
+    assert "cat" not in drift  # unchanged columns are silent

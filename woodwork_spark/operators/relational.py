@@ -98,3 +98,78 @@ def asof_join(
         *[F.when(keep, F.col(f"__r.{c}{suffix}")).alias(f"{c}{suffix}") for c in rcols],
     )
     return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Join point events to the intervals containing them
+    (half-open [start, end)) — sessions, maintenance windows, campaign
+    flights, rate-limit windows.
+
+    Catalyst compiles a bare range predicate join into
+    BroadcastNestedLoopJoin — O(points × intervals) and a driver OOM the
+    moment the interval side outgrows the broadcast limit.  This
+    operator makes it a HASH join: every interval explodes to the
+    fixed-width time buckets it covers, points key by their bucket, the
+    equi-join runs on the bucket key, and the exact containment
+    predicate filters in the same stage.  Cost scales with
+    points + intervals × (avg interval length / bucket width); pick
+    ``bucket_seconds`` near the median interval length.
+
+    ``how='left'`` keeps unmatched points with NULL interval columns.
+    Interval-side column-name conflicts get ``suffix``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    # resolve name conflicts up front
+    rename = {c: f"{c}{suffix}" for c in intervals.columns if c in points.columns}
+    iv = intervals
+    for old, new in rename.items():
+        iv = iv.withColumnRenamed(old, new)
+    s_col = rename.get(start_col, start_col)
+    e_col = rename.get(end_col, end_col)
+
+    bw = F.lit(int(bucket_seconds) * 1_000_000)
+    # [start, end): the last covered bucket is floor((end - 1us) / bw);
+    # degenerate (end <= start) intervals match nothing — and must be
+    # dropped BEFORE sequence(), which would happily count BACKWARD
+    iv_b = (
+        iv.filter(F.col(e_col) > F.col(s_col))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(F.col(s_col)) / bw),
+                    F.floor((F.unix_micros(F.col(e_col)) - 1) / bw),
+                ),
+            ),
+        )
+    )
+    pt_b = points.withColumn(
+        "__bucket", F.floor(F.unix_micros(F.col(point_ts)) / bw),
+    )
+    contained = (F.col(point_ts) >= F.col(s_col)) & (
+        F.col(point_ts) < F.col(e_col)
+    )
+    joined = pt_b.join(iv_b, "__bucket").filter(contained).drop("__bucket")
+    if how == "inner":
+        return joined
+    # left: points with no containing interval come back with NULLs
+    matched_keys = joined.select(*points.columns)
+    unmatched = points.exceptAll(matched_keys)
+    null_iv = unmatched.select(
+        "*",
+        *[
+            F.lit(None).cast(iv.schema[c].dataType).alias(c)
+            for c in iv.columns
+        ],
+    )
+    return joined.unionByName(null_iv)

@@ -156,3 +156,50 @@ def infer_datetime_format(values, n=100):
         if not parsed.isna().any():
             return fmt
     return None
+
+
+def schema_drift(old: WWDataFrame, new: WWDataFrame) -> "list[dict]":
+    """Typed-schema diff between two table versions — the governance
+    twin of the PSI data-drift report: a pipeline gate needs to know a
+    column vanished, appeared, or changed logical type BEFORE value
+    distributions are even comparable.
+
+    Returns one dict per differing column:
+    {column, status ('added'|'removed'|'type_changed'|'tags_changed'),
+    old_type, new_type, old_tags, new_tags}.  Driver-side over the two
+    schemas only — no data is read, so it is free at any scale.
+    """
+    rows = []
+    old_lt = {c: type(t).__name__ for c, t in old.logical_types.items()}
+    new_lt = {c: type(t).__name__ for c, t in new.logical_types.items()}
+    old_tags = {c: sorted(v) for c, v in old.semantic_tags.items()}
+    new_tags = {c: sorted(v) for c, v in new.semantic_tags.items()}
+    for c in old.columns:
+        if c not in new_lt:
+            rows.append({
+                "column": c, "status": "removed",
+                "old_type": old_lt[c], "new_type": None,
+                "old_tags": ",".join(old_tags[c]), "new_tags": None,
+            })
+        elif old_lt[c] != new_lt[c]:
+            rows.append({
+                "column": c, "status": "type_changed",
+                "old_type": old_lt[c], "new_type": new_lt[c],
+                "old_tags": ",".join(old_tags[c]),
+                "new_tags": ",".join(new_tags[c]),
+            })
+        elif old_tags[c] != new_tags[c]:
+            rows.append({
+                "column": c, "status": "tags_changed",
+                "old_type": old_lt[c], "new_type": new_lt[c],
+                "old_tags": ",".join(old_tags[c]),
+                "new_tags": ",".join(new_tags[c]),
+            })
+    for c in new.columns:
+        if c not in old_lt:
+            rows.append({
+                "column": c, "status": "added",
+                "old_type": None, "new_type": new_lt[c],
+                "old_tags": None, "new_tags": ",".join(new_tags[c]),
+            })
+    return rows
