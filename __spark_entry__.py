@@ -1980,6 +1980,35 @@ def q_schema_drift(spark, sf_dir):
     )
 
 
+def q_hll_cardinality(spark, sf_dir):
+    """Mergeable HLL distinct-user tracking: per-event-type sketches
+    plus the overlap-correct merged total (a sum of per-type counts
+    would double-count shared users).  The oracle pins the EXACT counts
+    and asserts the sketch lands within 5% — the operator's accuracy
+    contract is itself the checked value."""
+    from woodwork_spark.operators.cardinality import (
+        cardinality_sketches,
+        distinct_rollup,
+        merged_cardinality,
+    )
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    roll = distinct_rollup(ev, "user_id", ["event_type"]).select(
+        "event_type",
+        F.col("exact_distinct").alias("exact_users"),
+        F.col("within_5pct").alias("hll_ok"),
+    )
+    merged = merged_cardinality(cardinality_sketches(ev, "user_id", ["event_type"]))
+    exact_total = ev.agg(F.count_distinct("user_id")).first()[0]
+    total_ok = abs(merged - exact_total) / max(exact_total, 1) <= 0.05
+    total_row = spark.createDataFrame(
+        [("__total__", exact_total, bool(total_ok))],
+        "event_type string, exact_users long, hll_ok boolean",
+    )
+    return roll.unionByName(total_row)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2061,6 +2090,7 @@ QUERIES = {
     "unicode_normalize": q_unicode_normalize,
     "interval_windows": q_interval_windows,
     "schema_drift": q_schema_drift,
+    "hll_cardinality": q_hll_cardinality,
 }
 
 ORACLE = {
@@ -3323,6 +3353,16 @@ ORACLE = {
                CAST(length(COALESCE(k.clean, '')) AS BIGINT) AS n_chars_clean,
                md5(COALESCE(k.clean, '')) AS clean_md5
         FROM aug a LEFT JOIN kept k ON a.doc_id = k.doc_id
+    """,
+    "hll_cardinality": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS hll_ok
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '__total__',
+               (SELECT count(DISTINCT user_id) FROM events),
+               TRUE
     """,
     "interval_windows": """
         WITH ks AS (

@@ -877,3 +877,34 @@ def test_schema_drift_statuses(spark):
     assert drift["id"]["status"] == "type_changed"
     assert drift["id"]["old_type"] == "Integer" and drift["id"]["new_type"] == "Double"
     assert "cat" not in drift  # unchanged columns are silent
+
+
+def test_cardinality_sketches_and_merge(spark):
+    """HLL sketch per group, overlap-correct merged total: groups share
+    half their keys, so summed per-group estimates (~3000) must NOT be
+    what the merged union reports (~2000)."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.operators.cardinality import (
+        cardinality_sketches,
+        distinct_rollup,
+        merged_cardinality,
+    )
+
+    # g=0 holds keys 0..1999, g=1 holds keys 1000..2999 (1000 shared)
+    df = spark.range(4000).select(
+        (F.col("id") % 2).alias("g"),
+        F.when(F.col("id") % 2 == 0, (F.col("id") / 2) % 2000)
+        .otherwise(1000 + (F.col("id") / 2) % 2000)
+        .cast("long")
+        .alias("k"),
+    )
+    sk = cardinality_sketches(df, "k", ["g"])
+    per = {r["g"]: r["distinct_estimate"] for r in sk.collect()}
+    assert abs(per[0] - 2000) / 2000 < 0.05
+    assert abs(per[1] - 2000) / 2000 < 0.05
+    total = merged_cardinality(sk)
+    assert abs(total - 3000) / 3000 < 0.05        # union, NOT 4000
+    roll = distinct_rollup(df, "k", ["g"]).collect()
+    assert all(r["within_5pct"] for r in roll)
+    assert all(r["exact_distinct"] == 2000 for r in roll)
