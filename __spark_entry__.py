@@ -2009,6 +2009,59 @@ def q_hll_cardinality(spark, sf_dir):
     return roll.unionByName(total_row)
 
 
+def q_ntile_deciles(spark, sf_dir):
+    """Global NTILE without a single-reducer window: customers bucketed
+    into wealth deciles by (acctbal, custkey) via the range-partitioned
+    row-number primitive, then per-decile stats.  The oracle is native
+    SQL NTILE — including the uneven first-r-buckets split."""
+    from woodwork_spark.operators.rank import global_ntile
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    d = global_ntile(
+        cust, [F.asc("c_acctbal"), F.asc("c_custkey")], 10, out_col="decile",
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).alias("lo_acctbal"),
+        F.round(F.max("c_acctbal"), 2).alias("hi_acctbal"),
+    )
+
+
+def q_priority_rank(spark, sf_dir):
+    """Tie-aware distributed RANK + DENSE_RANK (distinct-key prefix-sum
+    formulation, no global window) vs the native SQL windows."""
+    from woodwork_spark.operators.rank import global_rank
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    r = global_rank(orders, [("o_orderpriority", "asc")], out_col="rnk")
+    rd = global_rank(
+        r, [("o_orderpriority", "asc")], out_col="drnk", dense=True,
+    )
+    return rd.groupBy("o_orderpriority", "rnk", "drnk").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic importance sampling: keep each document with
+    probability proportional to its length score (a quality-weighted
+    corpus downsample).  Pure hash arithmetic — the oracle reproduces
+    the exact same keep decisions in DuckDB."""
+    from woodwork_spark.operators.sampling import weighted_sample
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0))
+    kept = weighted_sample(docs, "doc_id", w)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2091,6 +2144,9 @@ QUERIES = {
     "interval_windows": q_interval_windows,
     "schema_drift": q_schema_drift,
     "hll_cardinality": q_hll_cardinality,
+    "ntile_deciles": q_ntile_deciles,
+    "priority_rank": q_priority_rank,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLE = {
@@ -3353,6 +3409,39 @@ ORACLE = {
                CAST(length(COALESCE(k.clean, '')) AS BIGINT) AS n_chars_clean,
                md5(COALESCE(k.clean, '')) AS clean_md5
         FROM aug a LEFT JOIN kept k ON a.doc_id = k.doc_id
+    """,
+    "ntile_deciles": """
+        WITH t AS (
+            SELECT c_acctbal,
+                   CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey)
+                        AS BIGINT) AS decile
+            FROM customer
+        )
+        SELECT decile, count(*) AS n_customers,
+               round(min(c_acctbal), 2) AS lo_acctbal,
+               round(max(c_acctbal), 2) AS hi_acctbal
+        FROM t GROUP BY decile
+    """,
+    "priority_rank": """
+        WITH t AS (
+            SELECT o_orderpriority,
+                   CAST(rank() OVER (ORDER BY o_orderpriority) AS BIGINT)
+                       AS rnk,
+                   CAST(dense_rank() OVER (ORDER BY o_orderpriority)
+                        AS BIGINT) AS drnk
+            FROM orders
+        )
+        SELECT o_orderpriority, rnk, drnk, count(*) AS n_orders
+        FROM t GROUP BY o_orderpriority, rnk, drnk
+    """,
+    "weighted_sample": """
+        SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc_id,
+               CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        FROM documents
+        WHERE ('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)),
+                              1, 8))::BIGINT / 4294967296.0
+              < least(1.0, n_chars / 2000.0)
+        GROUP BY lang
     """,
     "hll_cardinality": """
         SELECT event_type,

@@ -269,3 +269,79 @@ def test_spearman_slow_path_batches_count_jobs(spark):
     import numpy as np
 
     assert all(np.isnan(v) for v in out["spearman"])
+
+
+def test_global_ntile_matches_native_window(spark):
+    """Distributed ntile (forced past the small-cardinality fast path)
+    reproduces SQL NTILE exactly, including the uneven r-bucket split."""
+    from pyspark.sql import Window as W
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.rank import global_ntile
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 103) for i in range(257)], "id long, v long",
+    )
+    for st in (100_000, 0):
+        out = global_ntile(
+            df, [F.asc("v"), F.asc("id")], 7, out_col="b", small_threshold=st,
+        )
+        got = {r["id"]: r["b"] for r in out.collect()}
+        release(out)
+        exp = {
+            r["id"]: r["b"]
+            for r in df.withColumn(
+                "b", F.ntile(7).over(W.orderBy("v", "id")).cast("long"),
+            ).collect()
+        }
+        assert got == exp
+
+
+def test_global_rank_ties_and_dense(spark):
+    """Tie-aware distributed rank matches RANK()/DENSE_RANK() on a keyed
+    frame with heavy ties and a NULL key group."""
+    from pyspark.sql import Window as W
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.rank import global_rank
+
+    rows = [(i, ["x", "y", "y", None][i % 4]) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    for dense in (False, True):
+        for st in (100_000, 0):
+            out = global_rank(
+                df, [("k", "asc")], out_col="rk", dense=dense,
+                small_threshold=st,
+            )
+            got = {r["id"]: r["rk"] for r in out.collect()}
+            release(out)
+            fn = F.dense_rank() if dense else F.rank()
+            exp = {
+                r["id"]: r["rk"]
+                for r in df.withColumn(
+                    "rk", fn.over(W.orderBy("k")).cast("long"),
+                ).collect()
+            }
+            assert got == exp
+
+
+def test_weighted_sample_deterministic_and_clamped(spark):
+    """Importance sampling is pure hash arithmetic: rerun-identical,
+    weight>=1 keeps everything, weight<=0 and NULL weights keep nothing."""
+    from woodwork_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(200)], "id long, w double",
+    )
+    a = sorted(r["id"] for r in weighted_sample(df, "id", F.col("w")).collect())
+    b = sorted(r["id"] for r in weighted_sample(df, "id", F.col("w")).collect())
+    assert a == b and 0 < len(a) < 200
+    assert weighted_sample(df, "id", F.lit(1.0)).count() == 200
+    assert weighted_sample(df, "id", F.lit(0.0)).count() == 0
+    null_w = df.withColumn("w", F.lit(None).cast("double"))
+    assert weighted_sample(null_w, "id", F.col("w")).count() == 0
+    # tag mode preserves every row and agrees with filter mode
+    tagged = weighted_sample(df, "id", F.col("w"), keep_col="keep")
+    assert tagged.count() == 200
+    kept = sorted(r["id"] for r in tagged.filter("keep").collect())
+    assert kept == a

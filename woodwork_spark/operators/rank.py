@@ -249,3 +249,107 @@ def grouped_prefix_sum(
         )
     )
     return attach_persisted(out, parted, src if persisted else None)
+
+
+def global_rank(
+    df: DataFrame,
+    keys,
+    out_col: str = "rank",
+    dense: bool = False,
+    num_partitions: int = None,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Tie-aware global ``RANK()`` / ``DENSE_RANK()`` by ``keys`` without
+    a single-reducer window.
+
+    ``keys`` is a list of ``(column_name, "asc"|"desc")`` pairs (or bare
+    names, ascending).  Ranks are computed on the DISTINCT key table
+    (one groupBy shuffle), ordered by the distributed prefix-sum /
+    row-number primitives above, then joined back to the rows — the join
+    strategy is left to AQE (broadcast when the distinct table is small,
+    shuffle otherwise).  Equal key tuples share one rank, exactly like
+    the SQL window; NULL keys rank together (groupBy and the join are
+    both null-safe).
+
+    Mirrors the reference's ordinal rank transform
+    (reference: woodwork/logical_types.py Ordinal) generalized to any
+    key tuple at corpus scale.
+    """
+    pairs = [(k, "asc") if isinstance(k, str) else (k[0], k[1].lower()) for k in keys]
+    names = [p[0] for p in pairs]
+    order = [F.asc(n) if d == "asc" else F.desc(n) for n, d in pairs]
+    counts = df.groupBy(*names).agg(F.count(F.lit(1)).alias("__n"))
+    if dense:
+        ranked0 = global_row_number(
+            counts, order, out_col="__r0",
+            num_partitions=num_partitions, small_threshold=small_threshold,
+        )
+    else:
+        ranked0 = global_prefix_sum(
+            counts, order, "__n", out_col="__r0",
+            num_partitions=num_partitions, small_threshold=small_threshold,
+        )
+    ranked = ranked0.select(
+        *[F.col(n).alias(f"__k_{i}") for i, n in enumerate(names)],
+        (F.col("__r0").cast("long") + 1).alias(out_col),
+    )
+    cond = None
+    for i, n in enumerate(names):
+        c = F.col(n).eqNullSafe(F.col(f"__k_{i}"))
+        cond = c if cond is None else (cond & c)
+    out = df.join(ranked, on=cond, how="left").drop(
+        *[f"__k_{i}" for i in range(len(names))],
+    )
+    return attach_persisted(out, *persisted_of(ranked0))
+
+
+def global_ntile(
+    df: DataFrame,
+    order,
+    n: int,
+    out_col: str = "bucket",
+    num_partitions: int = None,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """SQL ``NTILE(n)`` over a GLOBAL ordering, distributed.
+
+    Standard ntile semantics: with ``total = q*n + r`` rows, the first
+    ``r`` buckets hold ``q+1`` rows, the rest hold ``q`` (1-based bucket
+    ids).  The global row number comes from the range-partitioned
+    primitive (no single reducer); the total row count is taken once
+    through the persisted input, so the bucket arithmetic is pure Column
+    math — no second pass, no driver data beyond one count.
+
+    ``order`` must be a total order (add a unique id as the last sort
+    key) or bucket assignment of tied rows is nondeterministic.
+    """
+    if n < 1:
+        raise ValueError(f"ntile bucket count must be >= 1, got {n}")
+    src = df.persist()
+    total = src.count()
+    rn_df = global_row_number(
+        src, order, out_col="__rn",
+        num_partitions=num_partitions,
+        small_threshold=small_threshold, known_count=total,
+    )
+    q, r = divmod(total, n)
+    rn = F.col("__rn")  # 0-based
+    if q == 0:
+        bucket = rn + 1
+    else:
+        boundary = r * (q + 1)
+        bucket = (
+            F.when(rn < boundary, F.floor(rn / (q + 1)))
+            .otherwise(r + F.floor((rn - boundary) / q))
+            + 1
+        )
+    out = rn_df.withColumn(out_col, bucket.cast("long")).drop("__rn")
+    return attach_persisted(out, src, *persisted_of(rn_df))
+
+
+def persisted_of(df: DataFrame):
+    """The persisted intermediates riding on ``df`` (lifecycle helper
+    re-export so operator modules avoid a second import)."""
+    from woodwork_spark.lifecycle import persisted_frames
+
+    return persisted_frames(df)

@@ -75,3 +75,50 @@ def stratified_hash_sample(
     if expr is None:
         return df
     return df.filter(~expr)
+
+
+def hash_uniform_expr(key, salt: str = ""):
+    """Deterministic uniform double in [0, 1) from the stable hash: the
+    8-hex-char prefix as an integer over 2^32.  Both steps are exact in
+    double arithmetic, so any engine computing the same md5 reproduces
+    the value bit-for-bit (DuckDB:
+    ``('0x' || substr(md5(salt || key), 1, 8))::BIGINT / 4294967296.0``).
+    """
+    return (
+        F.conv(hash_bucket_expr(key, salt), 16, 10).cast("long")
+        / F.lit(4294967296.0)
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight,
+    salt: str = "wsample",
+    keep_col: str = None,
+) -> DataFrame:
+    """Importance sampling with per-row keep probability ``weight`` (a
+    Column, e.g. a quality score): keep a row iff its deterministic
+    uniform draw is below ``weight`` clamped to [0, 1].
+
+    This is the scale-correct form of weighted corpus downsampling
+    (upweight high-quality documents by KEEPING them with higher
+    probability): stateless, reproducible across reruns/retries/
+    partitionings, one filter projection — no shuffle, no RNG state, and
+    adding data never changes the decision for existing keys.  NULL
+    weights drop the row (no silent keep-all).
+
+    With ``keep_col`` set, tags rows instead of filtering (for audit
+    counts of kept vs dropped).
+    """
+    u = hash_uniform_expr(F.col(key_col), salt)
+    w = weight.cast("double")
+    # least/greatest SKIP nulls in Spark, so a NULL weight would clamp to
+    # 1.0 and silently keep the row; route NULL to p = -1 (never kept)
+    p = F.when(
+        w.isNull(), F.lit(-1.0),
+    ).otherwise(F.greatest(F.lit(0.0), F.least(F.lit(1.0), w)))
+    keep = u < p
+    if keep_col is not None:
+        return df.withColumn(keep_col, F.coalesce(keep, F.lit(False)))
+    return df.filter(keep)
