@@ -2062,6 +2062,57 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_bloom_prune_join(spark, sf_dir):
+    """Bloom-filter pre-shuffle join reduction: lineitem is filtered by
+    a distributed-built bloom over the urgent high-value orders BEFORE
+    the join shuffle (element_at + bitwiseAND inside codegen, no UDF),
+    then the exact join runs on the survivors.  False positives are
+    removed by the real join, so the result is byte-identical to the
+    plain join the oracle computes."""
+    from woodwork_spark.operators.scale import bloom_prune
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000),
+    )
+    n = orders.count()
+    pruned = bloom_prune(
+        li, orders, "l_orderkey", "o_orderkey",
+        expected_items=max(n, 1), fpp=0.01,
+    )
+    return (
+        pruned.join(orders, pruned.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2,
+            ).alias("revenue"),
+        )
+    )
+
+
+def q_frequent_tokens(spark, sf_dir):
+    """Exact heavy hitters without a full-vocabulary shuffle: two-pass
+    Misra-Gries (bounded per-partition candidate state, then exact
+    counts of candidates only).  The oracle is the full GROUP BY with
+    the same ceil(ratio * total) threshold — the two-pass answer must be
+    identical."""
+    from woodwork_spark.operators.frequent import frequent_items
+    from woodwork_spark.operators.text import tokens_expr
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(tokens_expr("text")).alias("token"))
+        .where(F.lower(F.col("token")) != "")
+        .select(F.lower(F.col("token")).alias("token"))
+    )
+    return frequent_items(toks, "token", 0.005)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2147,6 +2198,8 @@ QUERIES = {
     "ntile_deciles": q_ntile_deciles,
     "priority_rank": q_priority_rank,
     "weighted_sample": q_weighted_sample,
+    "bloom_prune_join": q_bloom_prune_join,
+    "frequent_tokens": q_frequent_tokens,
 }
 
 ORACLE = {
@@ -3442,6 +3495,25 @@ ORACLE = {
                               1, 8))::BIGINT / 4294967296.0
               < least(1.0, n_chars / 2000.0)
         GROUP BY lang
+    """,
+    "bloom_prune_join": """
+        SELECT l_returnflag, count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        GROUP BY l_returnflag
+    """,
+    "frequent_tokens": """
+        WITH toks AS (
+            SELECT lower(unnest(string_split_regex(trim(text), '\\s+')))
+                       AS token
+            FROM documents
+        ), nz AS (
+            SELECT token FROM toks WHERE token != ''
+        )
+        SELECT token, count(*) AS n
+        FROM nz GROUP BY token
+        HAVING count(*) >= ceil(0.005 * (SELECT count(*) FROM nz))
     """,
     "hll_cardinality": """
         SELECT event_type,

@@ -908,3 +908,48 @@ def test_cardinality_sketches_and_merge(spark):
     roll = distinct_rollup(df, "k", ["g"]).collect()
     assert all(r["within_5pct"] for r in roll)
     assert all(r["exact_distinct"] == 2000 for r in roll)
+
+
+def test_frequent_items_matches_exact_groupby(spark):
+    """Two-pass Misra-Gries heavy hitters return EXACTLY the items the
+    full groupBy would, with exact counts, on zipf-ish data spread over
+    many partitions (superset guarantee + exact verify)."""
+    import collections
+    import math
+    import random
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.frequent import frequent_items
+
+    random.seed(7)
+    vals = [f"tok{int(random.paretovariate(1.1))}" for _ in range(50_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "t string").repartition(16)
+    out = frequent_items(df, "t", 0.01)
+    got = {r["t"]: r["n"] for r in out.collect()}
+    release(out)
+    thr = math.ceil(0.01 * len(vals))
+    exp = {
+        t: n for t, n in collections.Counter(vals).items() if n >= thr
+    }
+    assert got == exp
+
+
+def test_frequent_items_nulls_and_guardrails(spark):
+    """NULLs are excluded from both items and the total; a counter
+    budget below the superset bound is rejected."""
+    import pytest as _pytest
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.frequent import frequent_items
+
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 10 + [(None,)] * 40, "t string",
+    ).repartition(4)
+    out = frequent_items(df, "t", 0.5)
+    got = {r["t"]: r["n"] for r in out.collect()}
+    release(out)
+    assert got == {"a": 50}  # total = 60 non-null -> threshold 30
+    with _pytest.raises(ValueError):
+        frequent_items(df, "t", 0.5, counters=2)
+    with _pytest.raises(ValueError):
+        frequent_items(df, "t", 0.0)

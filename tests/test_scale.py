@@ -345,3 +345,37 @@ def test_weighted_sample_deterministic_and_clamped(spark):
     assert tagged.count() == 200
     kept = sorted(r["id"] for r in tagged.filter("keep").collect())
     assert kept == a
+
+
+def test_bloom_prune_no_false_negatives_and_exact_join(spark):
+    """Bloom pre-shuffle pruning: every true match survives the prune
+    (no false negatives), the fp rate respects the target, NULL keys are
+    dropped, and prune+join == plain join exactly."""
+    from woodwork_spark.operators.scale import bloom_prune
+
+    big = spark.createDataFrame(
+        [(i, i % 1000) for i in range(20_000)] + [(99_999, None)],
+        "id long, k long",
+    )
+    small = spark.createDataFrame(
+        [(k,) for k in range(0, 1000, 7)], "k long",
+    )
+    pruned = bloom_prune(big, small, "k", expected_items=150, fpp=0.01)
+    true_keys = {r["k"] for r in small.collect()}
+    pruned_rows = pruned.collect()
+    kept = [r["k"] for r in pruned_rows]
+    assert None not in kept
+    true_n = big.join(small, "k", "left_semi").count()
+    assert sum(1 for k in kept if k in true_keys) == true_n
+    fp = (len(kept) - true_n) / max(20_001 - true_n, 1)
+    assert fp < 0.05
+    # exact-join equivalence
+    a = sorted(
+        (r["id"], r["k"])
+        for r in pruned.join(small, "k", "inner").select("id", "k").collect()
+    )
+    b = sorted(
+        (r["id"], r["k"])
+        for r in big.join(small, "k", "inner").select("id", "k").collect()
+    )
+    assert a == b

@@ -119,3 +119,108 @@ def write_bucketed_table(
         writer = writer.sortBy(sort_by)
     writer.saveAsTable(table)
     return table
+
+
+def _bloom_params(expected_items: int, fpp: float):
+    """Standard Bloom sizing: m = -n ln p / (ln 2)^2 bits, k = m/n ln 2.
+    m is rounded up to a multiple of 64 and capped at 2^24 bits (2 MiB of
+    filter — the driver holds and re-broadcasts it as one array literal;
+    past that, prefer a real semi-join or storage-level bloom filters)."""
+    import math
+
+    n = max(expected_items, 1)
+    m = int(-n * math.log(max(min(fpp, 0.5), 1e-9)) / (math.log(2) ** 2))
+    m = min(max((m + 63) // 64 * 64, 64), 1 << 24)
+    k = max(1, min(16, round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_positions(key, num_bits: int, num_hashes: int):
+    """The k bit positions of ``key``: xxhash64 with the hash index mixed
+    in as a second column (JVM-side, no UDF)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_filter_build(
+    df: DataFrame,
+    key_col: str,
+    expected_items: int,
+    fpp: float = 0.01,
+):
+    """Build a Bloom filter over ``df[key_col]`` DISTRIBUTED: explode
+    each key into its k bit positions, aggregate per 64-bit word with
+    ``bit_or`` (map-side partial agg does most of the work), and collect
+    only the <= m/64 non-zero words to the driver.  No row data ever
+    reaches the driver — just the dense bitset.
+
+    Returns ``(words, num_bits, num_hashes)`` where ``words`` is the
+    dense list of m/64 longs.
+    """
+    num_bits, num_hashes = _bloom_params(expected_items, fpp)
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(*_bloom_positions(key, num_bits, num_hashes)),
+    ).alias("__pos")
+    word_rows = (
+        df.where(key.isNotNull())
+        .select(pos)
+        .select(
+            (F.col("__pos") / 64).cast("int").alias("__word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))",
+            ).alias("__mask"),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__mask").alias("__bits"))
+        .collect()
+    )
+    words = [0] * (num_bits // 64)
+    for r in word_rows:
+        words[r["__word"]] = r["__bits"]
+    return words, num_bits, num_hashes
+
+
+def bloom_prune(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str = None,
+    expected_items: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Pre-shuffle semi-join reduction: filter ``big`` down to rows whose
+    key MIGHT appear in ``small`` before any join shuffle moves them.
+
+    The filter side is built distributed (``bloom_filter_build``) and
+    embedded as one array literal, so the membership test is pure Column
+    math inside whole-stage codegen — element_at + bitwiseAND per hash,
+    no UDF, no broadcast join, no shuffle of the big side.  False
+    positives pass through (fpp-bounded); false negatives cannot happen,
+    so following with the REAL join keeps exact semantics while moving
+    ~fpp x |big| instead of |big| rows into the shuffle.
+
+    This hand-rolled form exists because Spark's runtime row-level
+    filtering only kicks in for selective joins it can see through; an
+    explicit bloom prune applies to any join shape (as-of joins, interval
+    joins, custom UDF joins) where the engine cannot inject one.
+
+    NULL keys never match (SQL semi-join semantics).
+    """
+    words, num_bits, num_hashes = bloom_filter_build(
+        small, small_key or big_key, expected_items, fpp,
+    )
+    arr = F.lit(words)
+    key = F.col(big_key)
+    cond = key.isNotNull()
+    for p in _bloom_positions(key, num_bits, num_hashes):
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        # SQL shiftleft accepts a column shift amount (unlike pyspark's
+        # F.shiftleft, whose numBits must be a python int)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"),
+        )
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return big.filter(cond)
