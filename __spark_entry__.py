@@ -2113,6 +2113,47 @@ def q_frequent_tokens(spark, sf_dir):
     return frequent_items(toks, "token", 0.005)
 
 
+def q_anomaly_zscore(spark, sf_dir):
+    """Per-user rolling z-score anomaly detection (each event scored
+    against its own user's trailing window, current point excluded).
+    The oracle recomputes the identical rows-frame windows in SQL."""
+    from woodwork_spark.operators.timeseries import detect_anomalies
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    scored = detect_anomalies(
+        ev, "ts", "user_id", "value",
+        window_events=20, z_threshold=2.5, min_history=5,
+        tie_cols=["event_id"],
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("zscore").isNotNull(), 1).otherwise(0)).alias(
+            "n_scored",
+        ),
+        F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0)).alias(
+            "n_anomalies",
+        ),
+    )
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic shuffled shard layout for training export: stable
+    md5 ordering -> shard id + dense position within shard.  Contiguity
+    (max_pos == n-1) and per-shard membership are both value-checked by
+    the oracle, which reruns the identical hash arithmetic."""
+    from woodwork_spark.operators.sampling import shuffle_shards
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    s = shuffle_shards(docs, "doc_id", 8)
+    return s.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("pos").alias("max_pos"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2200,6 +2241,8 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "bloom_prune_join": q_bloom_prune_join,
     "frequent_tokens": q_frequent_tokens,
+    "anomaly_zscore": q_anomaly_zscore,
+    "shuffle_shards": q_shuffle_shards,
 }
 
 ORACLE = {
@@ -3514,6 +3557,45 @@ ORACLE = {
         SELECT token, count(*) AS n
         FROM nz GROUP BY token
         HAVING count(*) >= ceil(0.005 * (SELECT count(*) FROM nz))
+    """,
+    "anomaly_zscore": """
+        WITH w AS (
+            SELECT event_type, value,
+                   avg(value) OVER win AS m,
+                   stddev_samp(value) OVER win AS sd,
+                   count(value) OVER win AS nh
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, value, event_id
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        ), z AS (
+            SELECT event_type,
+                   CASE WHEN nh >= 5 AND sd > 0
+                        THEN (value - m) / sd END AS zscore
+            FROM w
+        )
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CASE WHEN zscore IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_scored,
+               CAST(sum(CASE WHEN abs(zscore) > 2.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_anomalies
+        FROM z GROUP BY event_type
+    """,
+    "shuffle_shards": """
+        WITH t AS (
+            SELECT doc_id,
+                   substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+            FROM documents
+        ), p AS (
+            SELECT doc_id,
+                   ('0x' || h)::BIGINT % 8 AS shard,
+                   row_number() OVER (
+                       PARTITION BY ('0x' || h)::BIGINT % 8
+                       ORDER BY h, doc_id) - 1 AS pos
+            FROM t
+        )
+        SELECT shard, count(*) AS n_docs, max(pos) AS max_pos,
+               min(doc_id) AS min_doc_id
+        FROM p GROUP BY shard
     """,
     "hll_cardinality": """
         SELECT event_type,

@@ -953,3 +953,50 @@ def test_frequent_items_nulls_and_guardrails(spark):
         frequent_items(df, "t", 0.5, counters=2)
     with _pytest.raises(ValueError):
         frequent_items(df, "t", 0.0)
+
+
+def test_detect_anomalies_flags_planted_spike(spark):
+    """A planted spike is flagged; early events (thin history) are
+    unscored; constant-history events are unscored (sd == 0)."""
+    from woodwork_spark.operators.timeseries import detect_anomalies
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        v = 100.0 if i == 25 else 10.0 + (i % 3)  # spike at i=25
+        rows.append((i, "u1", base + dt.timedelta(minutes=i), v))
+    # u2: constant values -> sd 0 -> never scored
+    for i in range(10):
+        rows.append((100 + i, "u2", base + dt.timedelta(minutes=i), 5.0))
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp, value double")
+    out = detect_anomalies(
+        df, "ts", "user_id", "value", window_events=10, z_threshold=3.0,
+        min_history=5, tie_cols=["event_id"],
+    ).collect()
+    by_id = {r["event_id"]: r for r in out}
+    assert by_id[25]["is_anomaly"]
+    assert sum(1 for r in out if r["is_anomaly"]) == 1
+    assert by_id[2]["zscore"] is None  # only 2 events of history
+    assert all(by_id[100 + i]["zscore"] is None for i in range(10))
+
+
+def test_shuffle_shards_contiguous_and_deterministic(spark):
+    """Every shard's positions are dense 0..n-1, assignment is
+    rerun-identical, and the (shard, pos) ordering is a permutation of
+    the input keys."""
+    from woodwork_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    out = shuffle_shards(df, "id", 7)
+    rows = out.collect()
+    assert len(rows) == 1000
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(7))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    again = {(r["id"]): (r["shard"], r["pos"]) for r in shuffle_shards(df, "id", 7).collect()}
+    assert {(r["id"]): (r["shard"], r["pos"]) for r in rows} == again

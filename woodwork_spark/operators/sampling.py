@@ -122,3 +122,42 @@ def weighted_sample(
     if keep_col is not None:
         return df.withColumn(keep_col, F.coalesce(keep, F.lit(False)))
     return df.filter(keep)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    num_shards: int,
+    salt: str = "shard",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    export: every row gets a shard id and a stable position within its
+    shard, both pure functions of ``md5(salt || key)`` — the
+    training-order equivalent of a seeded shuffle, reproducible across
+    engines and reruns, with no RNG state and no single global sort.
+
+    Shards are hash-balanced (uniform to ~sqrt(n/num_shards)); position
+    within a shard orders by the hash (then key as tie-break), so
+    concatenating shard files in position order IS the shuffled corpus.
+    One shuffle on ``shard`` (num_shards reducers — size num_shards to
+    the cluster's parallelism, e.g. thousands at 100 TB, and pair with
+    ``scale.write_partitioned(out, path, [shard_col])`` for the export).
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    from pyspark.sql import Window as W
+
+    h = hash_bucket_expr(F.col(key_col), salt)
+    shard = F.pmod(
+        F.conv(h, 16, 10).cast("long"), F.lit(num_shards),
+    ).cast("long")
+    tagged = df.withColumn(shard_col, shard).withColumn("__h", h)
+    w = W.partitionBy(shard_col).orderBy(F.col("__h"), F.col(key_col))
+    return (
+        tagged.withColumn(
+            pos_col, F.row_number().over(w).cast("long") - 1,
+        )
+        .drop("__h")
+    )

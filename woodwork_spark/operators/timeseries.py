@@ -114,3 +114,51 @@ def rolling_features(
         F.avg(value_col).over(wn).alias(f"rolling_avg_{n_events}"),
         F.count(F.lit(1)).over(wn).cast("long").alias(f"rolling_n_{n_events}"),
     )
+
+
+def detect_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    key_cols,
+    value_col: str,
+    window_events: int = 20,
+    z_threshold: float = 3.0,
+    min_history: int = 5,
+    tie_cols=(),
+) -> DataFrame:
+    """Per-entity rolling z-score anomaly flags: each event is scored
+    against the mean/stddev of the entity's PRECEDING ``window_events``
+    events (current excluded — no self-contamination), flagged when
+    |z| exceeds ``z_threshold``.  Events with fewer than ``min_history``
+    preceding points are unscored (NULL z, never flagged).
+
+    Same execution shape as ``rolling_features``: one partitioned window
+    per entity sharing a single sort/exchange — monitoring-grade scoring
+    over billions of events with no extra shuffle.  The window order
+    tie-breaks on ``value_col`` then ``tie_cols``; pass a unique id in
+    ``tie_cols`` to make the rows-frame contents fully deterministic
+    when (ts, value) pairs can repeat within an entity.
+    """
+    if window_events < 2:
+        raise ValueError("window_events must be >= 2")
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), F.col(value_col), *[F.col(c) for c in tie_cols])
+        .rowsBetween(-window_events, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n_hist = F.count(value_col).over(w)
+    z = F.when(
+        (n_hist >= min_history) & (sd > 0),
+        (F.col(value_col) - mean) / sd,
+    )
+    return df.select(
+        "*",
+        n_hist.cast("long").alias("n_history"),
+        z.alias("zscore"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(z_threshold)), F.lit(False),
+        ).alias("is_anomaly"),
+    )
