@@ -2154,6 +2154,34 @@ def q_shuffle_shards(spark, sf_dir):
     )
 
 
+def q_quality_report(spark, sf_dir):
+    """Declarative data-quality suite compiled into ONE aggregation pass
+    (completeness, uniqueness, range, pattern, set membership, row
+    predicate, volume) — the pre-publication gate for any table.  The
+    oracle recomputes every metric and verdict in SQL; the suite
+    includes checks that FAIL on this data, so pass/fail logic is
+    value-checked in both directions."""
+    from woodwork_spark.operators import quality_checks as qc
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    rep = qc.run_checks(li, [
+        qc.not_null("l_orderkey"),
+        qc.unique("l_orderkey"),            # FAILS: lineitem repeats keys
+        qc.in_range("l_quantity", 1, 10),   # FAILS: quantities go to 50
+        qc.matches("l_returnflag", "^[ARN]$"),
+        qc.isin("l_linestatus", ["O", "F"]),
+        qc.satisfies(
+            "positive_disc_price",
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) > 0,
+        ),
+        qc.min_rows(1000),
+    ])
+    return rep.select(
+        "check", "passed", F.round("metric", 6).alias("metric"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2243,6 +2271,7 @@ QUERIES = {
     "frequent_tokens": q_frequent_tokens,
     "anomaly_zscore": q_anomaly_zscore,
     "shuffle_shards": q_shuffle_shards,
+    "quality_report": q_quality_report,
 }
 
 ORACLE = {
@@ -3596,6 +3625,41 @@ ORACLE = {
         SELECT shard, count(*) AS n_docs, max(pos) AS max_pos,
                min(doc_id) AS min_doc_id
         FROM p GROUP BY shard
+    """,
+    "quality_report": """
+        WITH m AS (
+            SELECT count(*) AS total,
+                   count(l_orderkey) AS nn,
+                   count(DISTINCT l_orderkey) AS dk,
+                   sum(CASE WHEN l_quantity IS NOT NULL
+                            AND (l_quantity < 1 OR l_quantity > 10)
+                       THEN 1 ELSE 0 END) AS oor,
+                   sum(CASE WHEN l_returnflag IS NOT NULL
+                            AND NOT regexp_matches(l_returnflag, '^[ARN]$')
+                       THEN 1 ELSE 0 END) AS rx,
+                   sum(CASE WHEN l_linestatus IS NOT NULL
+                            AND l_linestatus NOT IN ('O', 'F')
+                       THEN 1 ELSE 0 END) AS inn,
+                   sum(CASE WHEN l_extendedprice * (1 - l_discount) > 0
+                       THEN 0 ELSE 1 END) AS sat
+            FROM lineitem
+        )
+        SELECT * FROM (
+            SELECT 'not_null(l_orderkey)' AS "check", nn = total AS passed,
+                   round(CAST(nn AS DOUBLE) / total, 6) AS metric FROM m
+            UNION ALL SELECT 'unique(l_orderkey)', dk = nn,
+                   round(CAST(dk AS DOUBLE) / nn, 6) FROM m
+            UNION ALL SELECT 'in_range(l_quantity,1,10)', oor = 0,
+                   CAST(oor AS DOUBLE) FROM m
+            UNION ALL SELECT 'matches(l_returnflag)', rx = 0,
+                   CAST(rx AS DOUBLE) FROM m
+            UNION ALL SELECT 'isin(l_linestatus)', inn = 0,
+                   CAST(inn AS DOUBLE) FROM m
+            UNION ALL SELECT 'satisfies(positive_disc_price)', sat = 0,
+                   CAST(sat AS DOUBLE) FROM m
+            UNION ALL SELECT 'min_rows(1000)', total >= 1000,
+                   CAST(total AS DOUBLE) FROM m
+        )
     """,
     "hll_cardinality": """
         SELECT event_type,

@@ -1000,3 +1000,54 @@ def test_shuffle_shards_contiguous_and_deterministic(spark):
         assert sorted(poss) == list(range(len(poss)))
     again = {(r["id"]): (r["shard"], r["pos"]) for r in shuffle_shards(df, "id", 7).collect()}
     assert {(r["id"]): (r["shard"], r["pos"]) for r in rows} == again
+
+
+def test_quality_checks_detect_violations(spark):
+    """Each check type fires on planted violations and the whole suite
+    runs as ONE aggregation (merged aliases, single job)."""
+    from woodwork_spark.operators import quality_checks as qc
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.com", 5.0, "US"),
+            (2, "bad-email", 50.0, "US"),
+            (2, None, -1.0, "ZZ"),
+        ],
+        "id long, email string, score double, country string",
+    )
+    rep = {
+        r["check"]: (r["passed"], r["metric"])
+        for r in qc.run_checks(df, [
+            qc.not_null("email"),
+            qc.not_null("id"),
+            qc.unique("id"),
+            qc.in_range("score", 0, 10),
+            qc.matches("email", r"^[^@]+@[^@]+$"),
+            qc.isin("country", ["US", "CA"]),
+            qc.satisfies("score_even_id", F.col("score") >= F.lit(0)),
+            qc.min_rows(5),
+        ]).collect()
+    }
+    assert rep["not_null(email)"] == (False, pytest.approx(2 / 3))
+    assert rep["not_null(id)"] == (True, 1.0)
+    assert rep["unique(id)"][0] is False
+    assert rep["in_range(score,0,10)"] == (False, 2.0)
+    assert rep["matches(email)"] == (False, 1.0)
+    assert rep["isin(country)"] == (False, 1.0)
+    assert rep["satisfies(score_even_id)"] == (False, 1.0)
+    assert rep["min_rows(5)"] == (False, 3.0)
+
+
+def test_quality_checks_null_predicate_is_violation(spark):
+    """A predicate that evaluates to NULL counts as a failed row, and an
+    empty check list is rejected."""
+    from woodwork_spark.operators import quality_checks as qc
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0)], "id long, v double",
+    )
+    rep = qc.run_checks(df, [qc.satisfies("v_pos", F.col("v") > 0)])
+    r = rep.collect()[0]
+    assert (r["passed"], r["metric"]) == (False, 1.0)
+    with pytest.raises(ValueError):
+        qc.run_checks(df, [])

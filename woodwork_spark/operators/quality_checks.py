@@ -1,0 +1,170 @@
+"""Declarative data-quality constraint checking, single-pass.
+
+The pattern every production pipeline needs before a table is published:
+a suite of declarative constraints (completeness, uniqueness, ranges,
+patterns, set membership, row-level predicates) evaluated in ONE
+aggregation over the data, returning a per-check report of pass/fail
+plus the measured metric.  One scan, partial aggregation does the work
+map-side, no check-by-check jobs — the cost of the suite is the cost of
+one pass regardless of how many checks it holds.
+
+Check vocabulary (each produces a metric in [0, 1] or a count, compared
+against a threshold):
+
+- ``not_null(col)`` — fraction of non-null rows == 1 (or >= threshold)
+- ``unique(col)`` — no value occurs twice (count_distinct == count)
+- ``in_range(col, lo, hi)`` — all non-null values within [lo, hi]
+- ``matches(col, regex)`` — all non-null values match
+- ``isin(col, values)`` — all non-null values in the allowed set
+- ``satisfies(name, predicate_col)`` — arbitrary row predicate holds
+- ``min_rows(n)`` — table has at least n rows
+
+``unique`` uses ``count_distinct``; on an extremely wide suite with many
+uniqueness checks prefer ``approx=True`` (HLL ``approx_count_distinct``,
+mergeable and fixed-size at any scale, ~2% error) — exactness vs memory
+is the caller's call, the default is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class Check:
+    """One declarative constraint: a label, the aggregate expressions it
+    needs, and a verdict computed from the aggregated row."""
+
+    def __init__(self, name, exprs, verdict, metric):
+        self.name = name
+        self.exprs = exprs          # dict alias -> aggregate Column
+        self.verdict = verdict      # row-dict -> bool
+        self.metric = metric        # row-dict -> float
+
+
+def not_null(col: str, min_fraction: float = 1.0) -> Check:
+    a = f"__nn_{col}"
+    t = f"__tot_{col}"
+    return Check(
+        f"not_null({col})",
+        {a: F.count(F.col(col)), t: F.count(F.lit(1))},
+        lambda r: (r[a] / r[t] if r[t] else 1.0) >= min_fraction,
+        lambda r: (r[a] / r[t]) if r[t] else 1.0,
+    )
+
+
+def unique(col: str, approx: bool = False) -> Check:
+    d = f"__du_{col}"
+    n = f"__nu_{col}"
+    cd = (
+        F.approx_count_distinct(col) if approx else F.count_distinct(F.col(col))
+    )
+    return Check(
+        f"unique({col})",
+        {d: cd, n: F.count(F.col(col))},
+        # approx sketches can under/over-shoot slightly; allow 2% slack
+        lambda r: r[d] >= r[n] * (0.98 if approx else 1),
+        lambda r: (r[d] / r[n]) if r[n] else 1.0,
+    )
+
+
+def in_range(col: str, lo, hi) -> Check:
+    a = f"__ir_{col}"
+    return Check(
+        f"in_range({col},{lo},{hi})",
+        {a: F.sum(
+            F.when(
+                F.col(col).isNotNull()
+                & ((F.col(col) < lo) | (F.col(col) > hi)),
+                1,
+            ).otherwise(0),
+        )},
+        lambda r: (r[a] or 0) == 0,
+        lambda r: float(r[a] or 0),
+    )
+
+
+def matches(col: str, regex: str) -> Check:
+    a = f"__rx_{col}"
+    return Check(
+        f"matches({col})",
+        {a: F.sum(
+            F.when(
+                F.col(col).isNotNull()
+                & ~F.col(col).cast("string").rlike(regex),
+                1,
+            ).otherwise(0),
+        )},
+        lambda r: (r[a] or 0) == 0,
+        lambda r: float(r[a] or 0),
+    )
+
+
+def isin(col: str, values) -> Check:
+    a = f"__in_{col}"
+    return Check(
+        f"isin({col})",
+        {a: F.sum(
+            F.when(
+                F.col(col).isNotNull() & ~F.col(col).isin(list(values)),
+                1,
+            ).otherwise(0),
+        )},
+        lambda r: (r[a] or 0) == 0,
+        lambda r: float(r[a] or 0),
+    )
+
+
+def satisfies(name: str, predicate) -> Check:
+    # a NULL predicate result is a violation (the row did NOT satisfy),
+    # so count rows where the predicate is anything but TRUE.
+    # crc32, not hash(): python string hashing is process-salted
+    import zlib
+
+    a = f"__p_{zlib.crc32(name.encode())}"
+    return Check(
+        f"satisfies({name})",
+        {a: F.sum(F.when(predicate, 0).otherwise(1))},
+        lambda r: (r[a] or 0) == 0,
+        lambda r: float(r[a] or 0),
+    )
+
+
+def min_rows(n: int) -> Check:
+    a = "__rowcount"
+    return Check(
+        f"min_rows({n})",
+        {a: F.count(F.lit(1))},
+        lambda r: r[a] >= n,
+        lambda r: float(r[a]),
+    )
+
+
+def run_checks(df: DataFrame, checks) -> DataFrame:
+    """Evaluate every check in ONE aggregation pass; returns a small
+    report DataFrame ``(check, passed, metric)`` (one row per check,
+    ordered as given).
+
+    All aggregate expressions across all checks are merged into a single
+    ``agg`` (duplicate aliases collapse, so ten checks on one column
+    still count it once); the scan parallelizes and partially aggregates
+    map-side like any other Spark agg — suite size does not add passes.
+    """
+    checks = list(checks)
+    if not checks:
+        raise ValueError("no checks given")
+    merged = {}
+    for c in checks:
+        for alias, expr in c.exprs.items():
+            merged.setdefault(alias, expr)
+    row = df.agg(
+        *[e.alias(a) for a, e in merged.items()],
+    ).collect()[0].asDict()
+    spark = df.sparkSession
+    out_rows = [
+        (c.name, bool(c.verdict(row)), float(c.metric(row)))
+        for c in checks
+    ]
+    return spark.createDataFrame(
+        out_rows, "check string, passed boolean, metric double",
+    )
