@@ -2182,6 +2182,22 @@ def q_quality_report(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (tokenizer training): the corpus
+    collapses to a weighted word vocabulary, each round counts adjacent
+    symbol pairs in one small agg and applies the winning merge as one
+    JVM string replace.  The oracle unrolls the same three rounds in
+    SQL over identical framed symbol strings — an iterative algorithm
+    value-checked end-to-end."""
+    from woodwork_spark.operators.bpe import bpe_learn
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_learn(
+        docs, "text", num_merges=3, min_count=2, token_pattern="^[a-z]+$",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2272,6 +2288,7 @@ QUERIES = {
     "anomaly_zscore": q_anomaly_zscore,
     "shuffle_shards": q_shuffle_shards,
     "quality_report": q_quality_report,
+    "bpe_merges": q_bpe_merges,
 }
 
 ORACLE = {
@@ -3660,6 +3677,89 @@ ORACLE = {
             UNION ALL SELECT 'min_rows(1000)', total >= 1000,
                    CAST(total AS DOUBLE) FROM m
         )
+    """,
+    "bpe_merges": """
+        WITH words AS (
+            SELECT token AS w, count(*) AS cnt FROM (
+                SELECT lower(unnest(string_split_regex(trim(text),
+                                                       '\\s+'))) AS token
+                FROM documents
+            ) WHERE regexp_matches(token, '^[a-z]+$')
+            GROUP BY token
+        ),
+        s0 AS (
+            SELECT chr(31) || array_to_string(string_split(w, ''),
+                                              chr(31) || chr(31))
+                   || chr(31) AS s, cnt
+            FROM words
+        ),
+        p0 AS (
+            SELECT a, b, sum(cnt) AS c FROM (
+                SELECT syms[i] AS a, syms[i + 1] AS b, cnt FROM (
+                    SELECT unnest(range(1, array_length(syms))) AS i,
+                           syms, cnt
+                    FROM (SELECT string_split(trim(s, chr(31)),
+                                              chr(31) || chr(31)) AS syms,
+                                 cnt
+                          FROM s0)
+                )
+            ) GROUP BY a, b
+        ),
+        m0 AS (SELECT a, b, CAST(c AS BIGINT) AS c FROM p0
+                 ORDER BY c DESC, a, b LIMIT 1),
+        s1 AS (
+            SELECT replace(s, chr(31) || a || chr(31) || chr(31) || b
+                              || chr(31),
+                           chr(31) || a || b || chr(31)) AS s, cnt
+            FROM s0, m0
+        ),
+        p1 AS (
+            SELECT a, b, sum(cnt) AS c FROM (
+                SELECT syms[i] AS a, syms[i + 1] AS b, cnt FROM (
+                    SELECT unnest(range(1, array_length(syms))) AS i,
+                           syms, cnt
+                    FROM (SELECT string_split(trim(s, chr(31)),
+                                              chr(31) || chr(31)) AS syms,
+                                 cnt
+                          FROM s1)
+                )
+            ) GROUP BY a, b
+        ),
+        m1 AS (SELECT a, b, CAST(c AS BIGINT) AS c FROM p1
+                 ORDER BY c DESC, a, b LIMIT 1),
+        s2 AS (
+            SELECT replace(s, chr(31) || a || chr(31) || chr(31) || b
+                              || chr(31),
+                           chr(31) || a || b || chr(31)) AS s, cnt
+            FROM s1, m1
+        ),
+        p2 AS (
+            SELECT a, b, sum(cnt) AS c FROM (
+                SELECT syms[i] AS a, syms[i + 1] AS b, cnt FROM (
+                    SELECT unnest(range(1, array_length(syms))) AS i,
+                           syms, cnt
+                    FROM (SELECT string_split(trim(s, chr(31)),
+                                              chr(31) || chr(31)) AS syms,
+                                 cnt
+                          FROM s2)
+                )
+            ) GROUP BY a, b
+        ),
+        m2 AS (SELECT a, b, CAST(c AS BIGINT) AS c FROM p2
+                 ORDER BY c DESC, a, b LIMIT 1),
+        s3 AS (
+            SELECT replace(s, chr(31) || a || chr(31) || chr(31) || b
+                              || chr(31),
+                           chr(31) || a || b || chr(31)) AS s, cnt
+            FROM s2, m2
+        ),
+        fin AS (
+            SELECT CAST(0 AS BIGINT) AS "rank", a AS "left", b AS "right",
+                   c AS pair_count FROM m0
+            UNION ALL SELECT 1, a, b, c FROM m1
+            UNION ALL SELECT 2, a, b, c FROM m2
+        )
+        SELECT * FROM fin
     """,
     "hll_cardinality": """
         SELECT event_type,

@@ -1051,3 +1051,78 @@ def test_quality_checks_null_predicate_is_violation(spark):
     assert (r["passed"], r["metric"]) == (False, 1.0)
     with pytest.raises(ValueError):
         qc.run_checks(df, [])
+
+
+def _reference_bpe(corpus, num_merges, min_count=2):
+    """Plain-Python BPE learner with the engine's tie-break (count desc,
+    then lexicographic pair) — the correctness oracle for bpe_learn."""
+    import collections
+
+    words = collections.Counter(
+        w for t in corpus for w in t.lower().split()
+    )
+    vocab = {tuple(w): c for w, c in words.items()}
+    ref = []
+    for rank in range(num_merges):
+        pc = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_count:
+            break
+        ref.append((rank, a, b, c))
+        nv = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + cnt
+        vocab = nv
+    return ref
+
+
+def test_bpe_learn_matches_reference(spark):
+    """Distributed BPE merge learning reproduces the classic sequential
+    algorithm exactly (weighted pair counts, greedy leftmost merges,
+    deterministic tie-break) including early stop at min_count."""
+    from woodwork_spark.operators.bpe import bpe_learn
+
+    corpus = [
+        "low lower lowest", "new newer newest",
+        "low low new new new", "wider wide widest",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    m = bpe_learn(df, "text", 8, min_count=2)
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in m.collect()
+    ]
+    assert got == _reference_bpe(corpus, 8)
+
+
+def test_bpe_apply_encodes_with_learned_merges(spark):
+    """bpe_apply segments text using the ranked merges (lowest rank
+    first, leftmost-first within a word) and passes through NULLs."""
+    from woodwork_spark.operators.bpe import bpe_apply, bpe_learn
+
+    corpus = ["ab ab ab cd", "abcd ab cd cd"]
+    df = spark.createDataFrame([(t,) for t in corpus] + [(None,)], "text string")
+    m = bpe_learn(df.where(F.col("text").isNotNull()), "text", 3, min_count=2)
+    rows = {r["text"]: r["bpe_tokens"] for r in bpe_apply(df, "text", m).collect()}
+    assert rows[None] is None
+    merges = [(r["left"], r["right"]) for r in m.orderBy("rank").collect()]
+    # every output token is buildable from the merge rules
+    vocab = {a + b for a, b in merges} | set("abcd")
+    for text, toks in rows.items():
+        if text is None:
+            continue
+        assert "".join(toks) == text.replace(" ", "")
+        assert all(t in vocab for t in toks), (toks, vocab)

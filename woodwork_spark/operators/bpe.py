@@ -1,0 +1,203 @@
+"""Distributed BPE (byte-pair-encoding) merge learning.
+
+The classic tokenizer-training loop — count adjacent symbol pairs over
+the corpus, merge the most frequent pair, repeat — re-expressed for
+Spark's execution model:
+
+- The corpus collapses to a WEIGHTED WORD VOCABULARY first (one explode
+  + groupBy): pair statistics over 100 TB of text are identical to pair
+  statistics over its distinct words weighted by count, and the word
+  vocabulary is orders of magnitude smaller than the corpus.
+- Each word's symbol state is a single FRAMED STRING
+  (``\\x1f sym \\x1f\\x1f sym \\x1f``): applying a merge is one JVM
+  ``replace`` of ``␟a␟␟b␟`` with ``␟ab␟`` — left-to-right,
+  non-overlapping, exactly the classic greedy merge order — instead of
+  a per-row Python loop or an array fold.  Pair counting splits the
+  frame back into symbols and zips adjacent pairs; everything stays in
+  whole-stage codegen.
+- Each iteration runs ONE small aggregation (pair counts over the
+  vocabulary) and ONE map (the replace); the winning pair — count desc,
+  then lexicographic — is the only thing the driver sees.  Lineage is
+  truncated per round with an eager localCheckpoint (same discipline as
+  the connected-components loop in operators/dedup.py), so k merges
+  never build a k-deep nested plan.
+
+``bpe_apply`` tokenizes text with the learned ranked merges via an
+Arrow-batched ``mapInPandas`` (per-word memoization inside each task);
+tokenization of new text is inherently per-document work, and the
+Python loop touches each DISTINCT word once per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+
+
+def _framed(word_col):
+    chars = F.expr(f"filter(split({word_col}, ''), x -> x != '')")
+    return F.concat(
+        F.lit(SEP), F.array_join(chars, SEP + SEP), F.lit(SEP),
+    )
+
+
+def _syms_expr(framed_col: str):
+    return F.expr(
+        f"split(trim(BOTH '{SEP}' FROM {framed_col}), '{SEP}{SEP}')",
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    lowercase: bool = True,
+    min_count: int = 2,
+    token_pattern: str = None,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merge rules from a text column.
+
+    Returns a small DataFrame ``(rank, left, right, pair_count)`` in
+    merge order.  Stops early when no pair reaches ``min_count``.
+    ``token_pattern`` (e.g. ``"^[a-z]+$"``) optionally restricts the
+    word vocabulary — the standard move to keep symbol alphabets clean.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    toks = F.explode(F.split(F.trim(text), r"\s+")).alias("w")
+    words = df.select(toks).where(F.col("w") != "")
+    if token_pattern:
+        words = words.where(F.col("w").rlike(token_pattern))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(_framed("w").alias("s"), "cnt")
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    cur = vocab
+    for rank in range(num_merges):
+        pairs = (
+            cur.withColumn("__syms", _syms_expr("s"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "filter(zip_with(__syms, "
+                        "slice(__syms, 2, greatest(size(__syms) - 1, 0)), "
+                        "(x, y) -> struct(x AS a, y AS b)), "
+                        "p -> p.b IS NOT NULL)",
+                    ),
+                ).alias("p"),
+                "cnt",
+            )
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "cnt")
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = (
+            pairs.orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["c"] < min_count:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], best[0]["c"]
+        merges.append((rank, a, b, int(c)))
+        cur = cur.select(
+            F.replace(
+                "s",
+                F.lit(SEP + a + SEP + SEP + b + SEP),
+                F.lit(SEP + a + b + SEP),
+            ).alias("s"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long",
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    text_col: str,
+    merges: DataFrame,
+    out_col: str = "bpe_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize ``text_col`` with learned ranked merges: whitespace
+    pre-split, then per-word greedy merge application in rank order —
+    the standard BPE encode.  Arrow-batched ``mapInPandas`` with a
+    per-batch word memo (each distinct word is encoded once per batch);
+    the ranked merge list (small by construction) is a broadcast-sized
+    plain list."""
+    ranked = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("rank").collect()
+    ]
+    rank_of = {pair: i for i, pair in enumerate(ranked)}
+    cols = df.columns
+
+    def encode_word(word, memo):
+        if word in memo:
+            return memo[word]
+        syms = list(word)
+        while len(syms) > 1:
+            # lowest-rank applicable pair, leftmost-first application
+            cand = None
+            for i in range(len(syms) - 1):
+                rk = rank_of.get((syms[i], syms[i + 1]))
+                if rk is not None and (cand is None or rk < cand[0]):
+                    cand = (rk, i)
+            if cand is None:
+                break
+            rk, _ = cand
+            a, b = ranked[rk]
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        memo[word] = syms
+        return syms
+
+    def fn(batches):
+        for pdf in batches:
+            memo = {}
+            toks = []
+            for t in pdf[text_col].astype(object):
+                if t is None:
+                    toks.append(None)
+                    continue
+                s = t.lower() if lowercase else t
+                words = s.split()
+                enc = []
+                for w in words:
+                    enc.extend(encode_word(w, memo))
+                toks.append(enc)
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    # build a FRESH StructType: StructType.add mutates in place, and
+    # df.schema hands back the frame's cached schema object
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.StringType()))],
+    )
+    return df.mapInPandas(fn, schema=schema)
