@@ -1439,7 +1439,7 @@ def q_outlier_methods(spark, sf_dir):
         F.when(F.col("c_custkey") % 100 == 0, F.col("c_acctbal") * 5 + 60000)
         .otherwise(F.col("c_acctbal"))
         .alias("bal"),
-    )
+    ).persist()  # three method flows x several actions each share one scan
     # explicit logical types: this query measures the outlier operators,
     # not inference — and a real pipeline reuses an already-typed table
     from woodwork_spark.logical_types import Double, Integer
@@ -1464,6 +1464,7 @@ def q_outlier_methods(spark, sf_dir):
             len(d["low_values"]),
             len(d["high_values"]),
         ))
+    planted.unpersist()  # all three flows consumed eagerly above
     return spark.createDataFrame(
         rows,
         schema=(

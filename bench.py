@@ -56,13 +56,31 @@ def main():
                 continue  # errored in an earlier pass
             try:
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).collect()
+                out = fn(spark, sf_dir)
+                out.collect()
                 dt = time.perf_counter() - t0
                 prev = timings.get(name)
                 timings[name] = round(dt if prev is None else min(prev, dt), 4)
             except Exception as e:  # keep benching even if one query breaks
                 timings[name] = None
                 print(f"# bench error in {name}: {e}", file=sys.stderr)
+                continue
+            # Isolate queries from each other: free the lifecycle-attached
+            # persisted intermediates of THIS query, then any stragglers.
+            # Without this, 90 queries' cached explodes/rank frames pile
+            # up in one session and execution memory shrinks for every
+            # later query — the bench would measure cache pressure, not
+            # plans.
+            try:
+                from woodwork_spark.lifecycle import release
+
+                release(out)
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+        import gc
+
+        gc.collect()  # drive the ContextCleaner for checkpoint blocks
     valid = [v for v in timings.values() if v is not None]
     total = round(sum(valid), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -81,17 +81,23 @@ def box_plot_stats_df(df: DataFrame, column: str, whisker=1.5) -> DataFrame:
     return counted
 
 
-def _sampled_values(nonnull: DataFrame, c, sample_size: int, sample_mode: str):
+def _sampled_values(
+    nonnull: DataFrame, c, sample_size: int, sample_mode: str,
+    known_total: int = None,
+):
     """Bounded driver-side sample for the O(N²) medcouple kernel.
 
     - "random" (default): seeded random sample (seed 42), mirroring the
       reference's np.random.seed(42) sample in _get_medcouple_statistic.py
       — unbiased even when the table is sorted (e.g. by time index).
     - "head": limit(n) — cheapest scan at 100 TB, but biased on sorted data.
+
+    ``known_total`` skips the sizing count job when the caller already
+    aggregated it (medcouple_dict folds it into the percentile agg).
     """
     src = nonnull.select(c.alias("__v"))
     if sample_mode == "random":
-        total = src.count()
+        total = known_total if known_total is not None else src.count()
         if total > sample_size:
             fraction = min(1.0, sample_size / total * 1.2)
             src = src.sample(withReplacement=False, fraction=fraction, seed=42)
@@ -106,14 +112,22 @@ def _collect_outlier_values(nonnull, c, low, high, max_values):
     (reference parity); an int caps each side at the N most extreme —
     the scale path, since a heavy-tailed column at 100 TB would
     otherwise OOM the driver."""
-    low_df = nonnull.filter(c < low).select(c.alias("__v"))
-    high_df = nonnull.filter(c > high).select(c.alias("__v"))
+    low_df = nonnull.filter(c < low).select(
+        c.alias("__v"), F.lit(True).alias("__is_low"),
+    )
+    high_df = nonnull.filter(c > high).select(
+        c.alias("__v"), F.lit(False).alias("__is_low"),
+    )
     if max_values is not None:
         low_df = low_df.orderBy(F.col("__v").asc()).limit(max_values)
         high_df = high_df.orderBy(F.col("__v").desc()).limit(max_values)
-    low_values = [r[0] for r in low_df.collect()]
-    high_values = [r[0] for r in high_df.collect()]
+    # ONE collect for both sides (each side is its own scan branch in
+    # the union, but the driver pays a single job/round trip)
+    rows = low_df.unionAll(high_df).collect()
+    low_values = [r[0] for r in rows if r[1]]
+    high_values = [r[0] for r in rows if not r[1]]
     if max_values is not None:
+        low_values = sorted(low_values)
         high_values = sorted(high_values)
     return low_values, high_values
 
@@ -233,7 +247,16 @@ def medcouple_dict(ww_df, column, sample_mode="random", max_values=None):
     c = F.col(column)
     nonnull = df.filter(c.isNotNull())
     sample_size = config.get_option("medcouple_sample_size")
-    values = _sampled_values(nonnull, c, sample_size, sample_mode)
+    # ONE agg for the non-null count (sizes the sample fraction) AND the
+    # percentiles — instead of a count job, a sample job, and a separate
+    # percentile job serially re-scanning the column
+    row = nonnull.agg(
+        F.count(c).alias("n"),
+        *[F.percentile(c, F.lit(q)).alias(f"q{int(q * 100)}") for q in _QUANTILES],
+    ).collect()[0]
+    values = _sampled_values(
+        nonnull, c, sample_size, sample_mode, known_total=row["n"],
+    )
     if values.size == 0:
         return {
             "low_bound": float("nan"),
@@ -246,9 +269,6 @@ def medcouple_dict(ww_df, column, sample_mode="random", max_values=None):
     mc = round(_medcouple(values), 3)
     skew = _sample_skewness(values) if values.size > 2 else 0.0
     coeff = min(abs(skew), 3.5)
-    row = nonnull.agg(
-        *[F.percentile(c, F.lit(q)).alias(f"q{int(q * 100)}") for q in _QUANTILES],
-    ).collect()[0]
     q = {qq: row[f"q{int(qq * 100)}"] for qq in _QUANTILES}
     iqr = q[0.75] - q[0.25]
     # Coefficient signs flip with the skew direction (reference
