@@ -2199,6 +2199,25 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def q_zorder_curve(spark, sf_dir):
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey):
+    min-max quantization from one stats agg, then pure shift/AND bit
+    interleaving in codegen.  Bucketed totals over the curve are
+    value-checked by an oracle that rebuilds the identical bit
+    arithmetic in SQL — the layout primitive behind multi-column file
+    skipping."""
+    from woodwork_spark.operators.scale import zorder_key
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    z = zorder_key(li, ["l_partkey", "l_suppkey"], bits=8, out_col="z")
+    return z.groupBy(F.expr("z DIV 4096").alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("z").alias("min_z"),
+        F.max("z").alias("max_z"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2290,6 +2309,7 @@ QUERIES = {
     "shuffle_shards": q_shuffle_shards,
     "quality_report": q_quality_report,
     "bpe_merges": q_bpe_merges,
+    "zorder_curve": q_zorder_curve,
 }
 
 ORACLE = {
@@ -3761,6 +3781,36 @@ ORACLE = {
             UNION ALL SELECT 2, a, b, c FROM m2
         )
         SELECT * FROM fin
+    """,
+    "zorder_curve": """
+        WITH s AS (
+            SELECT CAST(min(l_partkey) AS DOUBLE) AS mnp,
+                   CAST(max(l_partkey) AS DOUBLE) AS mxp,
+                   CAST(min(l_suppkey) AS DOUBLE) AS mns,
+                   CAST(max(l_suppkey) AS DOUBLE) AS mxs
+            FROM lineitem
+        ), z AS (
+            SELECT ((((greatest(0, least(255, CAST(floor((CAST(l_partkey AS DOUBLE) - mnp) / (mxp - mnp) * 255.0) AS BIGINT))) >> 0) & 1) << 0)
+                  | (((greatest(0, least(255, CAST(floor((CAST(l_partkey AS DOUBLE) - mnp) / (mxp - mnp) * 255.0) AS BIGINT))) >> 1) & 1) << 2)
+                  | (((greatest(0, least(255, CAST(floor((CAST(l_partkey AS DOUBLE) - mnp) / (mxp - mnp) * 255.0) AS BIGINT))) >> 2) & 1) << 4)
+                  | (((greatest(0, least(255, CAST(floor((CAST(l_partkey AS DOUBLE) - mnp) / (mxp - mnp) * 255.0) AS BIGINT))) >> 3) & 1) << 6)
+                  | (((greatest(0, least(255, CAST(floor((CAST(l_partkey AS DOUBLE) - mnp) / (mxp - mnp) * 255.0) AS BIGINT))) >> 4) & 1) << 8)
+                  | (((greatest(0, least(255, CAST(floor((CAST(l_partkey AS DOUBLE) - mnp) / (mxp - mnp) * 255.0) AS BIGINT))) >> 5) & 1) << 10)
+                  | (((greatest(0, least(255, CAST(floor((CAST(l_partkey AS DOUBLE) - mnp) / (mxp - mnp) * 255.0) AS BIGINT))) >> 6) & 1) << 12)
+                  | (((greatest(0, least(255, CAST(floor((CAST(l_partkey AS DOUBLE) - mnp) / (mxp - mnp) * 255.0) AS BIGINT))) >> 7) & 1) << 14)
+                  | (((greatest(0, least(255, CAST(floor((CAST(l_suppkey AS DOUBLE) - mns) / (mxs - mns) * 255.0) AS BIGINT))) >> 0) & 1) << 1)
+                  | (((greatest(0, least(255, CAST(floor((CAST(l_suppkey AS DOUBLE) - mns) / (mxs - mns) * 255.0) AS BIGINT))) >> 1) & 1) << 3)
+                  | (((greatest(0, least(255, CAST(floor((CAST(l_suppkey AS DOUBLE) - mns) / (mxs - mns) * 255.0) AS BIGINT))) >> 2) & 1) << 5)
+                  | (((greatest(0, least(255, CAST(floor((CAST(l_suppkey AS DOUBLE) - mns) / (mxs - mns) * 255.0) AS BIGINT))) >> 3) & 1) << 7)
+                  | (((greatest(0, least(255, CAST(floor((CAST(l_suppkey AS DOUBLE) - mns) / (mxs - mns) * 255.0) AS BIGINT))) >> 4) & 1) << 9)
+                  | (((greatest(0, least(255, CAST(floor((CAST(l_suppkey AS DOUBLE) - mns) / (mxs - mns) * 255.0) AS BIGINT))) >> 5) & 1) << 11)
+                  | (((greatest(0, least(255, CAST(floor((CAST(l_suppkey AS DOUBLE) - mns) / (mxs - mns) * 255.0) AS BIGINT))) >> 6) & 1) << 13)
+                  | (((greatest(0, least(255, CAST(floor((CAST(l_suppkey AS DOUBLE) - mns) / (mxs - mns) * 255.0) AS BIGINT))) >> 7) & 1) << 15)) AS z
+            FROM lineitem, s
+        )
+        SELECT z // 4096 AS zbucket, count(*) AS n_rows,
+               min(z) AS min_z, max(z) AS max_z
+        FROM z GROUP BY zbucket
     """,
     "hll_cardinality": """
         SELECT event_type,

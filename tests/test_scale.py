@@ -379,3 +379,72 @@ def test_bloom_prune_no_false_negatives_and_exact_join(spark):
         for r in big.join(small, "k", "inner").select("id", "k").collect()
     )
     assert a == b
+
+
+def test_zorder_layout_clusters_all_dimensions(spark):
+    """Range-partitioning on the z-key makes EVERY keyed column's
+    per-partition min/max range much narrower than its global range —
+    the property parquet row-group skipping needs — and NULLs/constant
+    columns are handled."""
+    import statistics
+
+    from woodwork_spark.operators.scale import zorder_key, zorder_layout
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    lay = zorder_layout(li, ["l_partkey", "l_suppkey"], bits=8,
+                        num_partitions=8, out_col="z")
+    per = (
+        lay.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("pr"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("sr"),
+        )
+        .collect()
+    )
+    g = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("pr"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("sr"),
+    ).collect()[0]
+    avg_pr = statistics.mean(r["pr"] for r in per)
+    avg_sr = statistics.mean(r["sr"] for r in per)
+    assert avg_pr < g["pr"] * 0.7
+    assert avg_sr < g["sr"] * 0.7
+    # NULL and constant columns quantize to 0 instead of erroring
+    df = spark.createDataFrame(
+        [(None, 5), (3, 5), (9, 5)], "a int, b int",
+    )
+    z = {r["a"]: r["z"] for r in zorder_key(df, ["a", "b"], bits=4, out_col="z").collect()}
+    assert z[None] == 0 and z[3] == 0  # a=3 is the min -> quantizes to 0
+    with pytest.raises(ValueError):
+        zorder_key(df, ["a", "b"], bits=40)
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    """The z key equals a plain-Python Morton interleave of the same
+    min-max quantization."""
+    import math
+
+    from woodwork_spark.operators.scale import zorder_key
+
+    rows = [(i, (i * 13) % 50, (i * 7) % 20) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r["id"]: r["z"]
+        for r in zorder_key(df, ["x", "y"], bits=6, out_col="z").collect()
+    }
+    top = 63
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+
+    def quant(v, mn, mx):
+        return max(0, min(top, math.floor((v - mn) / (mx - mn) * top)))
+
+    for i, x, y in rows:
+        q0 = quant(x, min(xs), max(xs))
+        q1 = quant(y, min(ys), max(ys))
+        z = 0
+        for bi in range(6):
+            z |= ((q0 >> bi) & 1) << (bi * 2)
+            z |= ((q1 >> bi) & 1) << (bi * 2 + 1)
+        assert got[i] == z, (i, x, y)

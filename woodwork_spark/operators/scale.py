@@ -224,3 +224,89 @@ def bloom_prune(
         )
         cond = cond & (word.bitwiseAND(mask) != 0)
     return big.filter(cond)
+
+
+def zorder_key(
+    df: DataFrame,
+    cols,
+    bits: int = 12,
+    out_col: str = "zorder",
+    stats: dict = None,
+):
+    """Z-order (Morton) curve key over ``cols``: each column is min-max
+    quantized to ``bits`` bits (one stats agg, or caller-supplied
+    ``stats[col] = (min, max)``), then the bits are interleaved — pure
+    shift/AND Column arithmetic inside codegen.
+
+    Rows close in Z-value are close in EVERY keyed dimension, so a
+    range-partitioned write on the key gives files whose per-column
+    min/max ranges are all narrow — parquet row-group skipping then
+    prunes on ANY of the columns, not just the leading sort key.  This
+    is the standard multi-dimensional clustering layout (the lakehouse
+    OPTIMIZE ZORDER BY), built from one agg + one projection.
+
+    ``bits * len(cols)`` must fit in 63 bits.  NULLs quantize to 0
+    (cluster together at the curve origin).
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits={bits} x {len(cols)} dims exceeds a 63-bit key",
+        )
+    if stats is None:
+        row = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        stats = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
+    top = (1 << bits) - 1
+    d = len(cols)
+    z = F.lit(0).cast("long")
+    for di, c in enumerate(cols):
+        mn, mx = stats[c]
+        if mn is None or mx is None or mx == mn:
+            q = F.lit(0).cast("long")
+        else:
+            q = F.floor(
+                (F.col(c).cast("double") - F.lit(float(mn)))
+                / F.lit(float(mx) - float(mn))
+                * F.lit(float(top)),
+            ).cast("long")
+            # coalesce BEFORE the clamp: least/greatest SKIP nulls, so a
+            # NULL fed into least(top, q) would clamp to top, not 0
+            q = F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(top).cast("long"),
+                    F.coalesce(q, F.lit(0).cast("long")),
+                ),
+            )
+        for bi in range(bits):
+            bit = F.shiftright(q, bi).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(
+                F.call_function(
+                    "shiftleft", bit, F.lit(bi * d + di),
+                ).cast("long"),
+            )
+    return df.withColumn(out_col, z)
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols,
+    bits: int = 12,
+    num_partitions: int = None,
+    out_col: str = "zorder",
+) -> DataFrame:
+    """Cluster ``df`` by the Z-order key: range-partition on the key (so
+    each output partition/file owns a compact curve segment) and sort
+    within partitions.  Write the result with plain ``.write.parquet``
+    — row-group min/max stats then prune on any keyed column."""
+    keyed = zorder_key(df, cols, bits=bits, out_col=out_col)
+    n = num_partitions or max(
+        df.sparkSession.sparkContext.defaultParallelism, 1,
+    )
+    return (
+        keyed.repartitionByRange(n, F.col(out_col))
+        .sortWithinPartitions(out_col)
+    )
