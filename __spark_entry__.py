@@ -2218,6 +2218,31 @@ def q_zorder_curve(spark, sf_dir):
     )
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Ordered 3-step funnel (signup -> view -> purchase, strict time
+    order) over a bounded window: one shuffle on the user key + a pure
+    higher-order fold per user, vs the oracle's chained min-join
+    formulation — two independent algorithms, same counts."""
+    from woodwork_spark.operators.funnel import funnel
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-04").cast("timestamp"),
+    )
+    return funnel(ev, "user_id", "ts", "event_type",
+                  ["signup", "view", "purchase"])
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users cohorted by first-event week,
+    distinct actives per (cohort, week offset)."""
+    from woodwork_spark.operators.funnel import cohort_retention
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", period_days=7)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2310,6 +2335,8 @@ QUERIES = {
     "quality_report": q_quality_report,
     "bpe_merges": q_bpe_merges,
     "zorder_curve": q_zorder_curve,
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLE = {
@@ -3811,6 +3838,47 @@ ORACLE = {
         SELECT z // 4096 AS zbucket, count(*) AS n_rows,
                min(z) AS min_z, max(z) AS max_z
         FROM z GROUP BY zbucket
+    """,
+    "funnel_steps": """
+        WITH ev AS (
+            SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-04'
+        ),
+        t1 AS (
+            SELECT user_id, min(ts) AS t FROM ev
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        t2 AS (
+            SELECT e.user_id, min(e.ts) AS t FROM ev e
+            JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+            WHERE e.event_type = 'view' GROUP BY e.user_id
+        ),
+        t3 AS (
+            SELECT e.user_id, min(e.ts) AS t FROM ev e
+            JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), 'signup',
+             (SELECT count(*) FROM t1)),
+            (CAST(2 AS BIGINT), 'view',
+             (SELECT count(*) FROM t2)),
+            (CAST(3 AS BIGINT), 'purchase',
+             (SELECT count(*) FROM t3))
+        ) AS f(step_idx, step, n_users)
+    """,
+    "cohort_retention": """
+        WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d FROM events),
+        pe AS (
+            SELECT user_id,
+                   (CAST(ts AS DATE) - d) // 7 AS p
+            FROM events, d0
+        ),
+        firsts AS (SELECT user_id, min(p) AS cohort FROM pe GROUP BY user_id)
+        SELECT CAST(cohort AS BIGINT) AS cohort,
+               CAST(p - cohort AS BIGINT) AS offset,
+               count(DISTINCT pe.user_id) AS n_users
+        FROM pe JOIN firsts ON pe.user_id = firsts.user_id
+        GROUP BY cohort, p - cohort
     """,
     "hll_cardinality": """
         SELECT event_type,

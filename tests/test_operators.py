@@ -1126,3 +1126,54 @@ def test_bpe_apply_encodes_with_learned_merges(spark):
             continue
         assert "".join(toks) == text.replace(" ", "")
         assert all(t in vocab for t in toks), (toks, vocab)
+
+
+def test_funnel_strict_order_and_prefix_counts(spark):
+    """Funnel depth requires strictly increasing timestamps through the
+    step list; users are counted at every prefix they reach."""
+    import datetime as dt
+
+    from woodwork_spark.operators.funnel import funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes a->b->c in order
+        ("u1", t(0), "a"), ("u1", t(1), "b"), ("u1", t(2), "c"),
+        # u2 has b before a: only reaches depth 1 (a at t3)
+        ("u2", t(0), "b"), ("u2", t(3), "a"),
+        # u3: a then c (no b): depth 1; later b does not resurrect c
+        ("u3", t(0), "a"), ("u3", t(1), "c"), ("u3", t(2), "b"),
+        # u4: a and b at the SAME timestamp -> b does not count (strict >)
+        ("u4", t(0), "a"), ("u4", t(0), "b"),
+        # u5: never does step a
+        ("u5", t(0), "b"), ("u5", t(1), "c"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, e string")
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel(df, "user_id", "ts", "e", ["a", "b", "c"]).collect()
+    }
+    # depth>=1: u1,u2,u3,u4; depth>=2: u1,u3(b after c matched? no: after
+    # matching a at t0, next b at t2 counts) -> u1,u3; depth>=3: u1
+    assert out == {"a": 4, "b": 2, "c": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    """Cohorts bucket by first-event period; offsets count distinct
+    users active that many periods later."""
+    import datetime as dt
+
+    from woodwork_spark.operators.funnel import cohort_retention
+
+    d = lambda day: dt.datetime(2024, 1, day, 12, 0)
+    rows = [
+        ("a", d(1)), ("a", d(8)),          # cohort 0, offsets 0 and 1
+        ("b", d(2)), ("b", d(2)),          # cohort 0, offset 0 only (dup)
+        ("c", d(9)), ("c", d(16)),         # cohort 1, offsets 0 and 1
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        (r["cohort"], r["offset"]): r["n_users"]
+        for r in cohort_retention(df, "user_id", "ts", period_days=7).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 1): 1}
