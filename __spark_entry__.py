@@ -2243,6 +2243,23 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(ev, "user_id", "ts", period_days=7)
 
 
+def q_group_quantile_gate(spark, sf_dir):
+    """Group-relative quality gate: keep documents at or above their own
+    source's p25 length (absolute thresholds over-prune clean sources).
+    Exact per-group percentile broadcast back; the oracle recomputes the
+    same quantile_cont thresholds per source."""
+    from woodwork_spark.operators.curation import group_quantile_gate
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    kept = group_quantile_gate(docs, "source", "n_chars", 0.25, keep="above")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("n_chars").alias("min_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2337,6 +2354,7 @@ QUERIES = {
     "zorder_curve": q_zorder_curve,
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
+    "group_quantile_gate": q_group_quantile_gate,
 }
 
 ORACLE = {
@@ -3879,6 +3897,17 @@ ORACLE = {
                count(DISTINCT pe.user_id) AS n_users
         FROM pe JOIN firsts ON pe.user_id = firsts.user_id
         GROUP BY cohort, p - cohort
+    """,
+    "group_quantile_gate": """
+        WITH thr AS (
+            SELECT source, quantile_cont(n_chars, 0.25) AS t
+            FROM documents GROUP BY source
+        )
+        SELECT d.source, count(*) AS n_kept,
+               min(n_chars) AS min_chars, min(doc_id) AS min_doc_id
+        FROM documents d JOIN thr ON d.source = thr.source
+        WHERE d.n_chars >= thr.t
+        GROUP BY d.source
     """,
     "hll_cardinality": """
         SELECT event_type,

@@ -428,3 +428,33 @@ def test_review_regressions_round6(spark):
     for bad in (0, 1):
         with pytest.raises(ValueError, match="fanin"):
             collect_moments(vdf, "v", fanin=bad)
+
+
+def test_group_quantile_gate_modes(spark):
+    """Each group is gated on its OWN quantile; keep directions, tag
+    mode, and NULL handling all behave."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.operators.curation import group_quantile_gate
+
+    rows = (
+        [("a", float(v)) for v in [1, 2, 3, 4]]
+        + [("b", float(v)) for v in [100, 200, 300, 400]]
+        + [("a", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    kept = group_quantile_gate(df, "g", "v", 0.5, keep="above")
+    got = sorted((r["g"], r["v"]) for r in kept.collect())
+    # p50 of a = 2.5, of b = 250 (linear interpolation)
+    assert got == [("a", 3.0), ("a", 4.0), ("b", 300.0), ("b", 400.0)]
+    below = group_quantile_gate(df, "g", "v", 0.5, keep="below")
+    assert sorted((r["g"], r["v"]) for r in below.collect()) == [
+        ("a", 1.0), ("a", 2.0), ("b", 100.0), ("b", 200.0),
+    ]
+    tagged = group_quantile_gate(df, "g", "v", 0.5, out_col="ok")
+    trows = {(r["g"], r["v"]): r["ok"] for r in tagged.collect()}
+    assert len(trows) == 9 and trows[("a", None)] is False
+    with _pytest.raises(ValueError):
+        group_quantile_gate(df, "g", "v", 1.5)

@@ -261,3 +261,70 @@ def test_scd_dim_join_broadcasts(spark):
     plan = _executed_plan(out)
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_prune_is_pre_shuffle_filter_no_udf(spark):
+    """The bloom membership test must be a plain Filter over the scan
+    (inside codegen, before any join Exchange) with no Python UDF."""
+    from woodwork_spark.operators.scale import bloom_prune
+
+    big = spark.range(0, 5000).selectExpr("id", "id % 97 AS k")
+    small = spark.range(0, 30).selectExpr("id AS k")
+    pruned = bloom_prune(big, small, "k", expected_items=30)
+    plan = _formatted(pruned)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # prune alone shuffles nothing
+    assert "Filter" in plan
+
+
+def test_zorder_key_single_projection_no_udf(spark):
+    """The z-key is one projection (stats were pre-aggregated); no
+    Python evaluation, no shuffle."""
+    from woodwork_spark.operators.scale import zorder_key
+
+    df = spark.range(0, 1000).selectExpr("id AS a", "(id * 7) % 50 AS b")
+    z = zorder_key(df, ["a", "b"], bits=8, out_col="z")
+    plan = _formatted(z)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_funnel_single_user_shuffle(spark):
+    """The funnel fold runs in the user-key aggregation — exactly one
+    Exchange (plus AQE wrappers), no join cascade."""
+    import datetime as dt
+
+    from woodwork_spark.operators.funnel import funnel
+
+    from pyspark.sql import functions as sf
+
+    rows = [
+        (f"u{i % 20}", dt.datetime(2024, 1, 1 + i % 5), ["a", "b"][i % 2])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, e string")
+    evs = df.filter(sf.col("e").isin(["a", "b"])).select(
+        sf.col("u").alias("__u"),
+        sf.struct(sf.col("ts").alias("t"), sf.col("e").alias("e")).alias("__ev"),
+    )
+    # the per-user stage of funnel(): one groupBy -> one Exchange
+    staged = evs.groupBy("__u").agg(
+        sf.sort_array(sf.collect_list("__ev")).alias("__evs"),
+    )
+    plan = _executed_plan(staged)
+    assert plan.count("Exchange") <= 2  # shuffle + possible AQE read
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_group_quantile_gate_broadcasts_thresholds(spark):
+    """The per-group threshold table joins back as a broadcast — rows
+    never shuffle for the gate."""
+    from woodwork_spark.operators.curation import group_quantile_gate
+
+    df = spark.range(0, 2000).selectExpr(
+        "CAST(id % 7 AS STRING) AS g", "CAST(id AS DOUBLE) AS v",
+    )
+    kept = group_quantile_gate(df, "g", "v", 0.25)
+    plan = _executed_plan(kept)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

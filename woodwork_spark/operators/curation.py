@@ -348,3 +348,43 @@ def psi_drift_report(
             F.sum("n_b").alias("n_b"),
         )
     )
+
+
+def group_quantile_gate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantile: float = 0.25,
+    keep: str = "above",
+    out_col: str = None,
+) -> DataFrame:
+    """Group-RELATIVE quantile filtering: each row is compared against
+    ITS OWN group's exact ``quantile`` of ``value_col`` (e.g. drop
+    documents below their source's p25 quality — an absolute threshold
+    over-prunes clean sources and under-prunes noisy ones).
+
+    One exact-percentile aggregation on the (low-cardinality) group key,
+    broadcast-joined back, one filter — shuffle carries only the group
+    aggregates, never the rows.  ``keep`` is "above" (>= threshold) or
+    "below" (< threshold); rows with NULL value or an unseen/NULL group
+    are dropped either way.  With ``out_col`` set, tags instead of
+    filtering and keeps every row (NULLs tag False).
+    """
+    if not 0.0 <= quantile <= 1.0:
+        raise ValueError(f"quantile must be in [0, 1], got {quantile}")
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
+    thresholds = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.lit(float(quantile))).alias("__thr"),
+    )
+    joined = df.join(F.broadcast(thresholds), on=group_col, how="left")
+    cond = (
+        F.col(value_col) >= F.col("__thr")
+        if keep == "above"
+        else F.col(value_col) < F.col("__thr")
+    )
+    if out_col is not None:
+        return joined.withColumn(
+            out_col, F.coalesce(cond, F.lit(False)),
+        ).drop("__thr")
+    return joined.filter(cond).drop("__thr")
