@@ -346,3 +346,53 @@ def enrich_stream_with_scd(
         & (F.col("__dim_to").isNull() | (F.col(ts_col) < F.col("__dim_to")))
     )
     return events.join(d, cond, how).drop("__dim_key", "__dim_from", "__dim_to")
+
+
+def exactly_once_parquet_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    commit_dirname: str = "_batch_commits",
+):
+    """Idempotent ``foreachBatch`` parquet sink: exactly-once output
+    under at-least-once batch delivery.
+
+    Structured Streaming guarantees each micro-batch id is REPLAYED with
+    the same data after a failure, but ``foreachBatch`` itself is
+    at-least-once — a crash between the write and the checkpoint commit
+    re-runs the batch.  The standard fix is an idempotent writer keyed
+    on ``batch_id``: each batch writes to its own subdirectory and then
+    records the batch id in a commit marker; a replayed batch sees its
+    marker and skips.  The marker write is a single atomic-rename-able
+    file through the Hadoop FS API, so the pattern holds on HDFS/S3A
+    exactly as it does locally.
+
+    Returns the started ``StreamingQuery``.  Readers consume
+    ``out_dir/batch_id=*/`` as a plain partitioned parquet tree,
+    filtered to committed ids if they need strictness mid-failure.
+    """
+
+    def write_batch(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        conf = jsc.hadoopConfiguration()
+        path_cls = jvm.org.apache.hadoop.fs.Path
+        commit_dir = path_cls(out_dir, commit_dirname)
+        fs = commit_dir.getFileSystem(conf)
+        marker = path_cls(commit_dir, f"batch-{batch_id}")
+        if fs.exists(marker):
+            return  # replayed batch: output already committed
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}",
+        )
+        fs.mkdirs(commit_dir)
+        out = fs.create(marker, True)
+        out.close()
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
