@@ -137,5 +137,31 @@ from woodwork_spark.operators.curation import tfidf_top_terms
 
 tfidf_top_terms(train, "doc_id", "text", k=2).orderBy("doc_id", "rank").show(6)
 
+# ---- 9. quality-weighted downsampling + group-relative gating --------------
+from woodwork_spark.operators.curation import group_quantile_gate
+from woodwork_spark.operators.sampling import shuffle_shards, weighted_sample
+
+gated = group_quantile_gate(train, "source", "n_chars", 0.1, keep="above")
+weighted = weighted_sample(
+    gated, "doc_id", F.least(F.lit(1.0), F.col("n_chars") / 1500.0),
+)
+print(f"gate+weighted sample: {train.count()} -> {weighted.count()} docs")
+
+# ---- 10. publication gate: declarative constraint suite --------------------
+from woodwork_spark.operators import quality_checks as qc
+
+report = qc.run_checks(weighted, [
+    qc.not_null("doc_id"),
+    qc.unique("doc_id"),
+    qc.min_rows(10),
+    qc.satisfies("has_text", F.length("text") > 0),
+])
+report.show(truncate=False)
+assert report.filter("NOT passed").count() == 0, "quality gate failed"
+
+# ---- 11. deterministic shuffled shard export -------------------------------
+sharded = shuffle_shards(weighted, "doc_id", num_shards=4)
+sharded.groupBy("shard").count().orderBy("shard").show()
+
 spark.stop()
 print("pipeline complete")
