@@ -3734,9 +3734,9 @@ ORACLE = {
                    round(CAST(dk AS DOUBLE) / nn, 6) FROM m
             UNION ALL SELECT 'in_range(l_quantity,1,10)', oor = 0,
                    CAST(oor AS DOUBLE) FROM m
-            UNION ALL SELECT 'matches(l_returnflag)', rx = 0,
+            UNION ALL SELECT 'matches(l_returnflag,^[ARN]$)', rx = 0,
                    CAST(rx AS DOUBLE) FROM m
-            UNION ALL SELECT 'isin(l_linestatus)', inn = 0,
+            UNION ALL SELECT 'isin(l_linestatus,{O,F})', inn = 0,
                    CAST(inn AS DOUBLE) FROM m
             UNION ALL SELECT 'satisfies(positive_disc_price)', sat = 0,
                    CAST(sat AS DOUBLE) FROM m

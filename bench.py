@@ -65,12 +65,14 @@ def main():
                 timings[name] = None
                 print(f"# bench error in {name}: {e}", file=sys.stderr)
                 continue
-            # Isolate queries from each other: free the lifecycle-attached
-            # persisted intermediates of THIS query, then any stragglers.
-            # Without this, 90 queries' cached explodes/rank frames pile
-            # up in one session and execution memory shrinks for every
-            # later query — the bench would measure cache pressure, not
-            # plans.
+            # Isolate queries from each other.  release(out) only helps
+            # for queries that return an operator frame directly —
+            # lifecycle attrs do not survive the groupBy/agg most queries
+            # apply on top — so clearCache() is the actual isolation: it
+            # frees EVERY cached intermediate the query left behind.
+            # Without it, 90 queries' cached explodes/rank frames pile up
+            # in one session and execution memory shrinks for every later
+            # query — the bench would measure cache pressure, not plans.
             try:
                 from woodwork_spark.lifecycle import release
 

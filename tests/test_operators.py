@@ -1032,8 +1032,8 @@ def test_quality_checks_detect_violations(spark):
     assert rep["not_null(id)"] == (True, 1.0)
     assert rep["unique(id)"][0] is False
     assert rep["in_range(score,0,10)"] == (False, 2.0)
-    assert rep["matches(email)"] == (False, 1.0)
-    assert rep["isin(country)"] == (False, 1.0)
+    assert rep[r"matches(email,^[^@]+@[^@]+$)"] == (False, 1.0)
+    assert rep["isin(country,{US,CA})"] == (False, 1.0)
     assert rep["satisfies(score_even_id)"] == (False, 1.0)
     assert rep["min_rows(5)"] == (False, 3.0)
 
@@ -1177,3 +1177,93 @@ def test_cohort_retention_offsets(spark):
         for r in cohort_retention(df, "user_id", "ts", period_days=7).collect()
     }
     assert got == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_frequent_items_counts_nan_as_value(spark):
+    """Float NaN is a non-NULL value in Spark: it must count toward the
+    total AND be reportable as a heavy hitter (NULLs still excluded)."""
+    import math
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.frequent import frequent_items
+
+    rows = (
+        [(float("nan"),)] * 60
+        + [(1.5,)] * 30
+        + [(2.5,)] * 5
+        + [(None,)] * 40
+    )
+    df = spark.createDataFrame(rows, "v double").repartition(4)
+    out = frequent_items(df, "v", 0.25)
+    got = {}
+    for r in out.collect():
+        key = "nan" if r["v"] != r["v"] else r["v"]
+        got[key] = r["n"]
+    release(out)
+    # total = 95 non-null (60 NaN + 30 + 5); threshold = ceil(23.75) = 24
+    assert got == {"nan": 60, 1.5: 30}, got
+
+
+def test_quality_checks_distinct_params_get_distinct_aggregates(spark):
+    """Two same-type checks with different parameters must not collide
+    into one aggregate (the review-found alias-merge defect)."""
+    from woodwork_spark.operators import quality_checks as qc
+
+    df = spark.createDataFrame(
+        [(1, 50.0, "US")] * 3 + [(2, 5.0, "CA")], "id long, v double, c string",
+    )
+    rep = {
+        r["check"]: (r["passed"], r["metric"])
+        for r in qc.run_checks(df, [
+            qc.in_range("v", 0, 10),      # fails: 50 out of range
+            qc.in_range("v", 0, 100),     # passes
+            qc.matches("c", "^US$"),      # fails on CA
+            qc.matches("c", "^(US|CA)$"),  # passes
+            qc.isin("c", ["US"]),          # fails
+            qc.isin("c", ["US", "CA"]),    # passes
+        ]).collect()
+    }
+    assert rep["in_range(v,0,10)"] == (False, 3.0)
+    assert rep["in_range(v,0,100)"] == (True, 0.0)
+    assert rep["matches(c,^US$)"] == (False, 1.0)
+    assert rep["matches(c,^(US|CA)$)"] == (True, 0.0)
+    assert rep["isin(c,{US})"] == (False, 1.0)
+    assert rep["isin(c,{US,CA})"] == (True, 0.0)
+
+
+def test_bloom_prune_mixed_key_dtypes_no_false_negatives(spark):
+    """int build side vs bigint probe side (and vice versa) must still
+    satisfy the no-false-negative guarantee (keys hash as strings)."""
+    from woodwork_spark.operators.scale import bloom_prune
+
+    big = spark.createDataFrame(
+        [(i, i % 50) for i in range(2000)], "id long, k int",
+    )
+    small = spark.createDataFrame(
+        [(k,) for k in range(0, 50, 3)], "k long",  # bigint keys
+    )
+    pruned = bloom_prune(big, small, "k", expected_items=20)
+    true_n = big.join(small, big.k == small.k, "left_semi").count()
+    kept_true = pruned.join(small, pruned.k == small.k, "left_semi").count()
+    assert kept_true == true_n
+
+
+def test_funnel_accepts_date_and_numeric_time_columns(spark):
+    """The fold accumulator adopts ts_col's type: DATE and epoch LONG
+    time columns work, not just TIMESTAMP."""
+    import datetime as dt
+
+    from woodwork_spark.operators.funnel import funnel
+
+    rows = [
+        ("u1", dt.date(2024, 1, 1), "a"),
+        ("u1", dt.date(2024, 1, 2), "b"),
+        ("u2", dt.date(2024, 1, 5), "b"),
+    ]
+    df = spark.createDataFrame(rows, "u string, d date, e string")
+    out = {r["step"]: r["n_users"] for r in funnel(df, "u", "d", "e", ["a", "b"]).collect()}
+    assert out == {"a": 1, "b": 1}
+    rows2 = [("u1", 10, "a"), ("u1", 20, "b")]
+    df2 = spark.createDataFrame(rows2, "u string, t long, e string")
+    out2 = {r["step"]: r["n_users"] for r in funnel(df2, "u", "t", "e", ["a", "b"]).collect()}
+    assert out2 == {"a": 1, "b": 1}

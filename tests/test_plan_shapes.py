@@ -291,26 +291,18 @@ def test_zorder_key_single_projection_no_udf(spark):
 
 def test_funnel_single_user_shuffle(spark):
     """The funnel fold runs in the user-key aggregation — exactly one
-    Exchange (plus AQE wrappers), no join cascade."""
+    Exchange (plus AQE wrappers), no join cascade.  Targets the REAL
+    operator pipeline via funnel_depths, not a reimplementation."""
     import datetime as dt
 
-    from woodwork_spark.operators.funnel import funnel
-
-    from pyspark.sql import functions as sf
+    from woodwork_spark.operators.funnel import funnel_depths
 
     rows = [
         (f"u{i % 20}", dt.datetime(2024, 1, 1 + i % 5), ["a", "b"][i % 2])
         for i in range(200)
     ]
     df = spark.createDataFrame(rows, "u string, ts timestamp, e string")
-    evs = df.filter(sf.col("e").isin(["a", "b"])).select(
-        sf.col("u").alias("__u"),
-        sf.struct(sf.col("ts").alias("t"), sf.col("e").alias("e")).alias("__ev"),
-    )
-    # the per-user stage of funnel(): one groupBy -> one Exchange
-    staged = evs.groupBy("__u").agg(
-        sf.sort_array(sf.collect_list("__ev")).alias("__evs"),
-    )
+    staged = funnel_depths(df, "u", "ts", "e", ["a", "b"])
     plan = _executed_plan(staged)
     assert plan.count("Exchange") <= 2  # shuffle + possible AQE read
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

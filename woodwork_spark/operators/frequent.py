@@ -33,11 +33,23 @@ from pyspark.sql import functions as F
 from woodwork_spark.lifecycle import attach_persisted
 
 
+# canonical NaN object: float('nan') != float('nan'), but a dict lookup
+# with the SAME object hits via the identity fast path — every NaN count
+# in a partition funnels through this one key, mirroring Spark SQL's
+# NaN-normalized grouping semantics
+_NAN = float("nan")
+
+
 def _mg_partition_fn(colname: str, k: int):
     """Misra-Gries over an iterator of Arrow batches: O(k) counters per
     partition.  Emits the surviving (item, residual weight) counters
-    plus one (NULL, n_non_null) row so the caller gets the global total
-    from the same single pass."""
+    plus one (NULL, n_values) row so the caller gets the global total
+    from the same single pass.
+
+    NULLs were filtered Spark-side, so for float columns every remaining
+    NaN is a GENUINE NaN value — Spark counts NaN as non-null and groups
+    NaNs together, so it is a legitimate heavy-hitter candidate and must
+    not be silently dropped by pandas' dropna."""
 
     def fn(batches):
         import pandas as pd
@@ -45,10 +57,15 @@ def _mg_partition_fn(colname: str, k: int):
         counters: dict = {}
         seen = 0
         for pdf in batches:
-            s = pdf[colname].dropna()
+            s = pdf[colname]
             seen += int(s.size)
             if s.empty:
                 continue
+            if pd.api.types.is_float_dtype(s):
+                n_nan = int(s.isna().sum())
+                if n_nan:
+                    counters[_NAN] = counters.get(_NAN, 0) + n_nan
+                s = s.dropna()
             vc = s.value_counts()
             for item, cnt in vc.items():
                 if item in counters:
@@ -62,10 +79,16 @@ def _mg_partition_fn(colname: str, k: int):
                 vals = sorted(counters.values(), reverse=True)
                 m = vals[k]
                 counters = {i: c - m for i, c in counters.items() if c > m}
+        # Arrow maps pandas float NaN to Spark NULL on the way back, so
+        # the NaN item cannot ride in the value column: flag it (and the
+        # per-partition total row) with explicit marker columns instead
+        keys = list(counters.keys())
         out = pd.DataFrame(
             {
-                colname: list(counters.keys()) + [None],
+                colname: keys + [None],
                 "__wt": list(counters.values()) + [seen],
+                "__is_total": [False] * len(keys) + [True],
+                "__is_nan": [k is _NAN for k in keys] + [False],
             },
         )
         yield out
@@ -81,7 +104,9 @@ def frequent_items(
     count_col: str = "n",
 ) -> DataFrame:
     """All values of ``df[col]`` whose count >= ceil(min_ratio * total)
-    with their EXACT counts, where total = number of non-NULL values.
+    with their EXACT counts, where total = number of non-NULL values
+    (float NaN counts as a value and groups as one item, exactly like
+    Spark's NaN-normalized groupBy).
 
     ``counters`` (default ``ceil(2 / min_ratio)``) is the per-partition
     Misra-Gries budget; values below ``2/min_ratio`` void the
@@ -100,16 +125,30 @@ def frequent_items(
             f"min_ratio={min_ratio}; need >= {k_min}",
         )
     item_type = df.schema[col].dataType.simpleString()
-    src = df.select(col)
+    # NULLs out Spark-side: in Arrow float batches NULL and NaN are
+    # indistinguishable, and the partition pass must treat every
+    # remaining NaN as a real value (see _mg_partition_fn)
+    src = df.select(col).where(F.col(col).isNotNull())
     summary = src.mapInPandas(
-        _mg_partition_fn(col, k), schema=f"`{col}` {item_type}, __wt long",
+        _mg_partition_fn(col, k),
+        schema=(
+            f"`{col}` {item_type}, __wt long, "
+            "__is_total boolean, __is_nan boolean"
+        ),
     ).persist()
     total_df = (
-        summary.where(F.col(col).isNull())
+        summary.where(F.col("__is_total"))
         .agg(F.sum("__wt").alias("__total"))
     )
     cands = (
-        summary.where(F.col(col).isNotNull()).select(col).distinct()
+        summary.where(~F.col("__is_total"))
+        .select(
+            # resurrect the NaN item the Arrow transfer nulled out
+            F.when(
+                F.col("__is_nan"), F.lit(float("nan")).cast(item_type),
+            ).otherwise(F.col(col)).alias(col),
+        )
+        .distinct()
     )
     counts = (
         src.join(F.broadcast(cands), on=col, how="left_semi")

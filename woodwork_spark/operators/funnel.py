@@ -38,6 +38,34 @@ def funnel(
     Ties in timestamps: an event at the exact same timestamp as the
     previously matched step does NOT advance the funnel (strict >).
     """
+    per_user = funnel_depths(df, user_col, ts_col, type_col, steps)
+    depth_counts = (
+        per_user.groupBy("__depth")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    by_depth = {r["__depth"]: r["__n"] for r in depth_counts}
+    spark = df.sparkSession
+    steps = list(steps)
+    rows = []
+    for i, s in enumerate(steps):
+        n = sum(v for k, v in by_depth.items() if k >= i + 1)
+        rows.append((i + 1, s, n))
+    return spark.createDataFrame(
+        rows, "step_idx long, step string, n_users long",
+    )
+
+
+def funnel_depths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps,
+) -> DataFrame:
+    """Per-user funnel depth frame ``(__u, __depth)`` — the distributed
+    core of :func:`funnel`, exposed so callers (and the plan-shape
+    tests) can target the actual one-shuffle pipeline."""
     steps = list(steps)
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -48,6 +76,10 @@ def funnel(
         ).alias("__ev"),
     )
     steps_lit = F.array(*[F.lit(s) for s in steps])
+    # the fold accumulator's time field must match ts_col's actual type
+    # (date, timestamp, epoch long all work) or the two when() branches
+    # build mismatched structs
+    ts_type = df.schema[ts_col].dataType
     per_user = (
         evs.groupBy("__u")
         .agg(F.sort_array(F.collect_list("__ev")).alias("__evs"))
@@ -60,7 +92,7 @@ def funnel(
                 "__evs",
                 F.struct(
                     F.lit(0).alias("k"),
-                    F.lit(None).cast("timestamp").alias("t"),
+                    F.lit(None).cast(ts_type).alias("t"),
                 ),
                 lambda acc, ev: F.when(
                     (acc["k"] < F.lit(len(steps)))
@@ -73,20 +105,7 @@ def funnel(
             )["k"].alias("__depth"),
         )
     )
-    depth_counts = (
-        per_user.groupBy("__depth")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .collect()
-    )
-    by_depth = {r["__depth"]: r["__n"] for r in depth_counts}
-    spark = df.sparkSession
-    rows = []
-    for i, s in enumerate(steps):
-        n = sum(v for k, v in by_depth.items() if k >= i + 1)
-        rows.append((i + 1, s, n))
-    return spark.createDataFrame(
-        rows, "step_idx long, step string, n_users long",
-    )
+    return per_user
 
 
 def cohort_retention(

@@ -42,9 +42,22 @@ class Check:
         self.metric = metric        # row-dict -> float
 
 
+def _alias(kind: str, *params) -> str:
+    """Aggregate alias derived from the check's FULL parameter tuple
+    (crc32 — python string hashing is process-salted).  run_checks merges
+    duplicate aliases into one expression, so two different checks must
+    never share an alias: in_range(c,0,10) and in_range(c,-5,5) each get
+    their own violation count, while two literally identical checks
+    still collapse to one aggregate."""
+    import zlib
+
+    key = "|".join(str(x) for x in params)
+    return f"__{kind}_{zlib.crc32(key.encode())}"
+
+
 def not_null(col: str, min_fraction: float = 1.0) -> Check:
-    a = f"__nn_{col}"
-    t = f"__tot_{col}"
+    a = _alias("nn", col)
+    t = _alias("tot", col)
     return Check(
         f"not_null({col})",
         {a: F.count(F.col(col)), t: F.count(F.lit(1))},
@@ -54,8 +67,8 @@ def not_null(col: str, min_fraction: float = 1.0) -> Check:
 
 
 def unique(col: str, approx: bool = False) -> Check:
-    d = f"__du_{col}"
-    n = f"__nu_{col}"
+    d = _alias("du", col, approx)
+    n = _alias("nu", col)
     cd = (
         F.approx_count_distinct(col) if approx else F.count_distinct(F.col(col))
     )
@@ -69,7 +82,7 @@ def unique(col: str, approx: bool = False) -> Check:
 
 
 def in_range(col: str, lo, hi) -> Check:
-    a = f"__ir_{col}"
+    a = _alias("ir", col, lo, hi)
     return Check(
         f"in_range({col},{lo},{hi})",
         {a: F.sum(
@@ -85,9 +98,9 @@ def in_range(col: str, lo, hi) -> Check:
 
 
 def matches(col: str, regex: str) -> Check:
-    a = f"__rx_{col}"
+    a = _alias("rx", col, regex)
     return Check(
-        f"matches({col})",
+        f"matches({col},{regex})",
         {a: F.sum(
             F.when(
                 F.col(col).isNotNull()
@@ -101,9 +114,10 @@ def matches(col: str, regex: str) -> Check:
 
 
 def isin(col: str, values) -> Check:
-    a = f"__in_{col}"
+    values = list(values)
+    a = _alias("in", col, *sorted(str(v) for v in values))
     return Check(
-        f"isin({col})",
+        f"isin({col},{{{','.join(str(v) for v in values)}}})",
         {a: F.sum(
             F.when(
                 F.col(col).isNotNull() & ~F.col(col).isin(list(values)),
@@ -118,10 +132,9 @@ def isin(col: str, values) -> Check:
 def satisfies(name: str, predicate) -> Check:
     # a NULL predicate result is a violation (the row did NOT satisfy),
     # so count rows where the predicate is anything but TRUE.
-    # crc32, not hash(): python string hashing is process-salted
-    import zlib
-
-    a = f"__p_{zlib.crc32(name.encode())}"
+    # ``name`` is the check's identity: two satisfies() with the same
+    # name are merged as one — give distinct predicates distinct names
+    a = _alias("p", name)
     return Check(
         f"satisfies({name})",
         {a: F.sum(F.when(predicate, 0).otherwise(1))},

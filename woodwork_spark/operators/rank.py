@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from woodwork_spark.lifecycle import attach_persisted
+from woodwork_spark.lifecycle import attach_persisted, persisted_frames
 
 _PID = "__ww_pid"
 
@@ -300,7 +300,7 @@ def global_rank(
     out = df.join(ranked, on=cond, how="left").drop(
         *[f"__k_{i}" for i in range(len(names))],
     )
-    return attach_persisted(out, *persisted_of(ranked0))
+    return attach_persisted(out, *persisted_frames(ranked0))
 
 
 def global_ntile(
@@ -344,12 +344,4 @@ def global_ntile(
             + 1
         )
     out = rn_df.withColumn(out_col, bucket.cast("long")).drop("__rn")
-    return attach_persisted(out, src, *persisted_of(rn_df))
-
-
-def persisted_of(df: DataFrame):
-    """The persisted intermediates riding on ``df`` (lifecycle helper
-    re-export so operator modules avoid a second import)."""
-    from woodwork_spark.lifecycle import persisted_frames
-
-    return persisted_frames(df)
+    return attach_persisted(out, src, *persisted_frames(rn_df))

@@ -106,7 +106,8 @@ def weighted_sample(
     probability): stateless, reproducible across reruns/retries/
     partitionings, one filter projection — no shuffle, no RNG state, and
     adding data never changes the decision for existing keys.  NULL
-    weights drop the row (no silent keep-all).
+    weights drop the row (no silent keep-all), and so do NULL keys
+    (no hash, no draw — key your sampling on a non-null id).
 
     With ``keep_col`` set, tags rows instead of filtering (for audit
     counts of kept vs dropped).

@@ -137,9 +137,14 @@ def _bloom_params(expected_items: int, fpp: float):
 
 def _bloom_positions(key, num_bits: int, num_hashes: int):
     """The k bit positions of ``key``: xxhash64 with the hash index mixed
-    in as a second column (JVM-side, no UDF)."""
+    in as a second column (JVM-side, no UDF).  The key is hashed AS A
+    STRING: xxhash64 is type-sensitive (int 5 and bigint 5 hash
+    differently), so build/probe sides with different key dtypes would
+    otherwise produce false negatives — the one failure mode a bloom
+    prune must never have."""
+    s = key.cast("string")
     return [
-        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        F.pmod(F.xxhash64(s, F.lit(i)), F.lit(num_bits))
         for i in range(num_hashes)
     ]
 
