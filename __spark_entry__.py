@@ -2260,6 +2260,29 @@ def q_group_quantile_gate(spark, sf_dir):
     )
 
 
+def q_association_rules(spark, sf_dir):
+    """Market-basket association rules over (user, day) event baskets:
+    apriori-pruned pair join (only items frequent on their own ever
+    pair), supports/confidence/lift as pure aggregate arithmetic."""
+    from woodwork_spark.operators.basket import association_rules
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        F.concat_ws(
+            "|", "user_id", F.to_date("ts").cast("string"),
+        ).alias("basket"),
+        F.col("event_type").alias("item"),
+    )
+    ar = association_rules(b, "basket", "item", 0.05, 0.2)
+    return ar.select(
+        "antecedent", "consequent", "pair_count",
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2355,6 +2378,7 @@ QUERIES = {
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
     "group_quantile_gate": q_group_quantile_gate,
+    "association_rules": q_association_rules,
 }
 
 ORACLE = {
@@ -3908,6 +3932,39 @@ ORACLE = {
         FROM documents d JOIN thr ON d.source = thr.source
         WHERE d.n_chars >= thr.t
         GROUP BY d.source
+    """,
+    "association_rules": """
+        WITH bi AS (
+            SELECT DISTINCT
+                user_id || '|' || CAST(CAST(ts AS DATE) AS VARCHAR) AS b,
+                event_type AS i
+            FROM events
+        ),
+        nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+        ic AS (SELECT i, count(*) AS c FROM bi GROUP BY i),
+        fi AS (SELECT i FROM ic, nb WHERE c >= ceil(0.05 * n)),
+        pr AS (
+            SELECT x.i AS a, y.i AS bb, count(*) AS pc
+            FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+            WHERE x.i IN (SELECT i FROM fi)
+              AND y.i IN (SELECT i FROM fi)
+            GROUP BY x.i, y.i
+            HAVING count(*) >= (SELECT ceil(0.05 * n) FROM nb)
+        ),
+        bidir AS (
+            SELECT a AS antecedent, bb AS consequent, pc FROM pr
+            UNION ALL SELECT bb, a, pc FROM pr
+        )
+        SELECT antecedent, consequent, pc AS pair_count,
+               round(pc / CAST(n AS DOUBLE), 6) AS support,
+               round(pc / CAST(ca.c AS DOUBLE), 6) AS confidence,
+               round((pc / CAST(ca.c AS DOUBLE))
+                     / (cc.c / CAST(n AS DOUBLE)), 6) AS lift
+        FROM bidir
+        JOIN ic ca ON ca.i = antecedent
+        JOIN ic cc ON cc.i = consequent
+        CROSS JOIN nb
+        WHERE pc / CAST(ca.c AS DOUBLE) >= 0.2
     """,
     "hll_cardinality": """
         SELECT event_type,

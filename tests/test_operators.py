@@ -1267,3 +1267,40 @@ def test_funnel_accepts_date_and_numeric_time_columns(spark):
     df2 = spark.createDataFrame(rows2, "u string, t long, e string")
     out2 = {r["step"]: r["n_users"] for r in funnel(df2, "u", "t", "e", ["a", "b"]).collect()}
     assert out2 == {"a": 1, "b": 1}
+
+
+def test_frequent_pairs_and_rules_reference(spark):
+    """Pair supports/confidence/lift against a hand-computed basket set;
+    apriori pruning drops pairs of rare items; duplicates count once."""
+    import pytest as _pytest
+
+    from woodwork_spark.operators.basket import (
+        association_rules,
+        frequent_pairs,
+    )
+
+    rows = [
+        ("b1", "milk"), ("b1", "bread"), ("b1", "milk"),  # dup counts once
+        ("b2", "milk"), ("b2", "bread"),
+        ("b3", "milk"), ("b3", "eggs"),
+        ("b4", "bread"), ("b4", "caviar"),  # caviar appears once: pruned
+        (None, "milk"), ("b1", None),
+    ]
+    df = spark.createDataFrame(rows, "basket string, item string")
+    pairs = {
+        (r["item_a"], r["item_b"]): r["pair_count"]
+        for r in frequent_pairs(df, "basket", "item", 0.5).collect()
+    }
+    # 4 baskets; min_count = 2: (bread, milk) in b1 & b2
+    assert pairs == {("bread", "milk"): 2}
+    rules = {
+        (r["antecedent"], r["consequent"]): (
+            round(r["confidence"], 4), round(r["lift"], 4)
+        )
+        for r in association_rules(df, "basket", "item", 0.5, 0.1).collect()
+    }
+    # bread in 3 baskets, milk in 3: conf(bread->milk)=2/3, lift=(2/3)/(3/4)
+    assert rules[("bread", "milk")] == (round(2 / 3, 4), round((2 / 3) / 0.75, 4))
+    assert rules[("milk", "bread")] == (round(2 / 3, 4), round((2 / 3) / 0.75, 4))
+    with _pytest.raises(ValueError):
+        frequent_pairs(df, "basket", "item", 0.0)

@@ -1,0 +1,132 @@
+"""Market-basket analysis: frequent item pairs and association rules.
+
+The apriori-pruned two-stage shape that scales:
+
+1. **Item support** — one groupBy(item) over (basket, item) pairs; items
+   below ``min_support`` are pruned HERE, before any pair is formed
+   (the apriori property: a pair can only be frequent if both items
+   are).  At 100 TB this is the difference between pairing a bounded
+   frequent-item set and exploding every basket quadratically.
+2. **Pair support** — self-join of the pruned (basket, item) table on
+   the basket key with ``a < b`` (each unordered pair once), then one
+   groupBy(a, b).  The join input carries only frequent items, so the
+   quadratic blow-up is bounded by (frequent items per basket)², not
+   (basket size)².
+
+Rules are derived from pair supports driver-free: confidence(a→b) =
+support(ab)/support(a), lift = confidence/P(b) — all column arithmetic
+on the joined aggregate tables.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.01,
+) -> DataFrame:
+    """Unordered item pairs co-occurring in at least ``min_support`` of
+    baskets.  Returns ``(item_a, item_b, pair_count, pair_support)``
+    with item_a < item_b.
+
+    Duplicate (basket, item) rows count once (set semantics); NULL
+    baskets/items are ignored.
+    """
+    if not 0.0 < min_support <= 1.0:
+        raise ValueError(f"min_support must be in (0, 1], got {min_support}")
+    bi = (
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"),
+        )
+        .where(F.col("__b").isNotNull() & F.col("__i").isNotNull())
+        .distinct()
+    )
+    n_baskets = bi.select("__b").distinct().count()
+    min_count = max(1, math.ceil(min_support * n_baskets))
+    # apriori prune: only items frequent on their own can form a
+    # frequent pair
+    freq_items = (
+        bi.groupBy("__i")
+        .agg(F.count(F.lit(1)).alias("__ic"))
+        .where(F.col("__ic") >= min_count)
+    )
+    pruned = bi.join(
+        F.broadcast(freq_items.select("__i")), on="__i", how="left_semi",
+    )
+    a = pruned.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = pruned.select(F.col("__b").alias("__b2"), F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, (a.__b == b.__b2) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_count)
+        .withColumn(
+            "pair_support", F.col("pair_count") / F.lit(float(n_baskets)),
+        )
+    )
+    return pairs
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.01,
+    min_confidence: float = 0.2,
+) -> DataFrame:
+    """Directed association rules a -> b from frequent pairs:
+    ``(antecedent, consequent, pair_count, support, confidence, lift)``.
+
+    confidence = support(ab)/support(a); lift = confidence / P(b).
+    Both directions of every frequent pair are emitted, filtered by
+    ``min_confidence``.  Pure aggregate-table joins — nothing beyond the
+    (bounded) frequent-pair table ever re-shuffles.
+    """
+    bi = (
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"),
+        )
+        .where(F.col("__b").isNotNull() & F.col("__i").isNotNull())
+        .distinct()
+    )
+    n_baskets = bi.select("__b").distinct().count()
+    pairs = frequent_pairs(df, basket_col, item_col, min_support)
+    item_counts = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__ic"))
+    both = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "pair_count", F.col("pair_support").alias("support"),
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "pair_count", F.col("pair_support").alias("support"),
+        ),
+    )
+    ante = item_counts.select(
+        F.col("__i").alias("antecedent"), F.col("__ic").alias("__na"),
+    )
+    cons = item_counts.select(
+        F.col("__i").alias("consequent"), F.col("__ic").alias("__nc"),
+    )
+    return (
+        both.join(F.broadcast(ante), "antecedent")
+        .join(F.broadcast(cons), "consequent")
+        .withColumn("confidence", F.col("pair_count") / F.col("__na"))
+        .withColumn(
+            "lift",
+            F.col("confidence") / (F.col("__nc") / F.lit(float(n_baskets))),
+        )
+        .where(F.col("confidence") >= min_confidence)
+        .select(
+            "antecedent", "consequent", "pair_count",
+            "support", "confidence", "lift",
+        )
+    )
