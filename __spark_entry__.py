@@ -2283,6 +2283,31 @@ def q_association_rules(spark, sf_dir):
     )
 
 
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-20 fused with embedding-cosine
+    top-20 (query vector = vec 7) by reciprocal-rank fusion — the
+    standard two-channel search stack, each channel already
+    oracle-checked on its own, the fusion arithmetic re-derived by the
+    oracle."""
+    from woodwork_spark.operators.curation import bm25_search
+    from woodwork_spark.operators.similarity import cosine_topk, rrf_fuse
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_search(
+        docs, "doc_id", "text", {"q1": "spark table scan"}, top_k=20,
+    )
+    sem = cosine_topk(emb, emb.filter(F.col("vec_id") == 7), k=20)
+    fused = rrf_fuse(
+        [(lex, "doc_id", "rank"), (sem, "vec_id", "rank")],
+        k=60, id_col="doc_id",
+    )
+    return fused.select(
+        "doc_id", F.round("rrf", 6).alias("rrf"), "n_sources",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2379,6 +2404,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "group_quantile_gate": q_group_quantile_gate,
     "association_rules": q_association_rules,
+    "hybrid_retrieval": q_hybrid_retrieval,
 }
 
 ORACLE = {
@@ -3965,6 +3991,75 @@ ORACLE = {
         JOIN ic cc ON cc.i = consequent
         CROSS JOIN nb
         WHERE pc / CAST(ca.c AS DOUBLE) >= 0.2
+    """,
+    "hybrid_retrieval": """
+        WITH tok AS (
+            SELECT doc_id, lower(t) AS token
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS t
+                FROM documents
+            ) WHERE t <> ''
+        ), qterms AS (
+            SELECT * FROM (VALUES
+                ('q1', 'spark'), ('q1', 'table'), ('q1', 'scan')
+            ) AS q(query_id, token)
+        ), tfq AS (
+            SELECT tok.doc_id, tok.token, count(*) AS tf
+            FROM tok JOIN (SELECT DISTINCT token FROM qterms) qt
+              ON tok.token = qt.token
+            GROUP BY tok.doc_id, tok.token
+        ), dfreq AS (
+            SELECT token, count(*) AS df FROM tfq GROUP BY token
+        ), dl AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '')) AS dl
+            FROM documents
+        ), stats AS (
+            SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+                   (SELECT avg(dl) FROM dl) AS avgdl
+        ), scored AS (
+            SELECT q.query_id, tfq.doc_id,
+                   sum(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tfq.tf * 2.2
+                       / (tfq.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                   ) AS score
+            FROM tfq
+            JOIN qterms q ON tfq.token = q.token
+            JOIN dfreq ON tfq.token = dfreq.token
+            JOIN dl ON tfq.doc_id = dl.doc_id
+            CROSS JOIN stats
+            GROUP BY q.query_id, tfq.doc_id
+        ), lex AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+            FROM scored
+            QUALIFY rk <= 20
+        ), qv AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id = 7
+        ), cos AS (
+            SELECT e.vec_id,
+                   list_dot_product(qv.v, CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(qv.v, qv.v))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[]))))
+                       AS c
+            FROM embeddings e CROSS JOIN qv
+            WHERE e.vec_id != 7
+        ), sem AS (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY c DESC, vec_id ASC) AS rk
+            FROM cos
+            QUALIFY rk <= 20
+        ), contrib AS (
+            SELECT doc_id, 1.0 / (60.0 + rk) AS c FROM lex
+            UNION ALL SELECT doc_id, 1.0 / (60.0 + rk) FROM sem
+        )
+        SELECT doc_id, round(sum(c), 6) AS rrf,
+               count(*) AS n_sources
+        FROM contrib GROUP BY doc_id
     """,
     "hll_cardinality": """
         SELECT event_type,

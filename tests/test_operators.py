@@ -1304,3 +1304,23 @@ def test_frequent_pairs_and_rules_reference(spark):
     assert rules[("milk", "bread")] == (round(2 / 3, 4), round((2 / 3) / 0.75, 4))
     with _pytest.raises(ValueError):
         frequent_pairs(df, "basket", "item", 0.0)
+
+
+def test_rrf_fuse_combines_ranked_lists(spark):
+    """RRF: ids in both lists sum both contributions, single-source ids
+    keep one term; empty input rejected."""
+    import pytest as _pytest
+
+    from woodwork_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "id long, rank long")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "xid long, r long")
+    out = {
+        r["id"]: (round(r["rrf"], 9), r["n_sources"])
+        for r in rrf_fuse([(a, "id", "rank"), (b, "xid", "r")], k=60).collect()
+    }
+    assert out[1] == (round(1 / 61, 9), 1)
+    assert out[2] == (round(1 / 62 + 1 / 61, 9), 2)
+    assert out[3] == (round(1 / 62, 9), 1)
+    with _pytest.raises(ValueError):
+        rrf_fuse([])

@@ -225,3 +225,40 @@ def ivf_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def rrf_fuse(ranked, k: int = 60, id_col: str = "id", out_col: str = "rrf"):
+    """Reciprocal-rank fusion of any number of ranked result lists
+    (the standard hybrid-retrieval combiner: lexical BM25 + embedding
+    cosine, or any mix): score(id) = sum over sources of 1/(k + rank).
+
+    ``ranked`` is a list of ``(df, id_col, rank_col)`` triples.  Each
+    source contributes one tiny projection; the union carries only
+    (id, contribution) pairs — fusing top-k lists costs one small
+    groupBy regardless of corpus size, because ranking already bounded
+    each source at k rows per query.
+
+    Returns ``(id_col, out_col, n_sources)`` sorted by nothing (caller
+    orders); ids missing from a source simply lack that term, exactly
+    RRF's semantics.
+    """
+    if not ranked:
+        raise ValueError("ranked must be non-empty")
+    parts = [
+        df.select(
+            F.col(idc).alias("__id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rc))).alias("__c"),
+        )
+        for df, idc, rc in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("__id")
+        .agg(
+            F.sum("__c").alias(out_col),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
