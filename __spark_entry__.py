@@ -2308,6 +2308,88 @@ def q_hybrid_retrieval(spark, sf_dir):
     )
 
 
+def q_merge_upsert(spark, sf_dir):
+    """Batch CDC apply: versioned upsert of price corrections + new
+    orders into the orders table (highest version wins per key), then
+    per-version accounting.  One union + one per-key window."""
+    from woodwork_spark.operators.relational import merge_upsert
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+        F.lit(1).alias("ver"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") * 2).alias("p"),
+        F.lit(2).alias("ver"),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 100 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("k"),
+            F.lit(42.0).alias("p"),
+            F.lit(2).alias("ver"),
+        ),
+    )
+    merged = merge_upsert(target, updates, "k", version_col="ver")
+    return merged.groupBy("ver").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("p"), 2).alias("sum_p"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def q_table_diff(spark, sf_dir):
+    """Row-level regression diff between two pipeline runs of orders:
+    added / removed / changed / unchanged counts by key, with payload
+    compared via null-safe hashes (the join moves hashes, not rows)."""
+    from woodwork_spark.operators.relational import table_diff
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    new = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 100 == 0).select(
+                *[
+                    (F.col(c) + 10_000_000).alias(c)
+                    if c == "o_orderkey"
+                    else F.col(c)
+                    for c in orders.columns
+                ],
+            ),
+        )
+    )
+    return table_diff(
+        orders, new, "o_orderkey", compare_cols=["o_totalprice"],
+    )
+
+
+def q_winsorize(spark, sf_dir):
+    """Percentile clipping of l_extendedprice to [p5, p95] — one exact
+    percentile agg + a pure projection; totals after clipping are
+    value-checked against quantile_cont thresholds in the oracle."""
+    from woodwork_spark.operators.features import winsorize
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    w = winsorize(li, "l_extendedprice", 0.05, 0.95)
+    return w.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_clipped"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo_clip"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi_clip"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2405,6 +2487,9 @@ QUERIES = {
     "group_quantile_gate": q_group_quantile_gate,
     "association_rules": q_association_rules,
     "hybrid_retrieval": q_hybrid_retrieval,
+    "merge_upsert": q_merge_upsert,
+    "table_diff": q_table_diff,
+    "winsorize": q_winsorize,
 }
 
 ORACLE = {
@@ -4060,6 +4145,64 @@ ORACLE = {
         SELECT doc_id, round(sum(c), 6) AS rrf,
                count(*) AS n_sources
         FROM contrib GROUP BY doc_id
+    """,
+    "merge_upsert": """
+        WITH t AS (
+            SELECT o_orderkey AS k, o_totalprice AS p, 1 AS ver FROM orders
+        ), u AS (
+            SELECT o_orderkey, o_totalprice * 2, 2 FROM orders
+            WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, 42.0, 2 FROM orders
+            WHERE o_orderkey % 100 = 0
+        ), unioned AS (
+            SELECT * FROM t UNION ALL SELECT * FROM u
+        ), win AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY k ORDER BY ver DESC) AS rn
+            FROM unioned
+        )
+        SELECT ver, count(*) AS n_rows, round(sum(p), 2) AS sum_p,
+               min(k) AS min_k, max(k) AS max_k
+        FROM win WHERE rn = 1 GROUP BY ver
+    """,
+    "table_diff": """
+        WITH newt AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 13 != 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_totalprice FROM orders
+            WHERE o_orderkey % 100 = 0
+        ), j AS (
+            SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+                   o.o_totalprice AS po, n.o_totalprice AS pn
+            FROM orders o FULL OUTER JOIN newt n
+              ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT status, count(*) AS n_rows FROM (
+            SELECT CASE WHEN ko IS NULL THEN 'added'
+                        WHEN kn IS NULL THEN 'removed'
+                        WHEN po != pn THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM j
+        ) GROUP BY status
+    """,
+    "winsorize": """
+        WITH thr AS (
+            SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+                   quantile_cont(l_extendedprice, 0.95) AS hi
+            FROM lineitem
+        ), clipped AS (
+            SELECT CASE WHEN l_extendedprice < lo THEN lo
+                        WHEN l_extendedprice > hi THEN hi
+                        ELSE l_extendedprice END AS v
+            FROM lineitem, thr
+        )
+        SELECT count(*) AS n_rows, round(sum(v), 2) AS sum_clipped,
+               round(min(v), 2) AS lo_clip, round(max(v), 2) AS hi_clip
+        FROM clipped
     """,
     "hll_cardinality": """
         SELECT event_type,

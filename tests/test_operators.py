@@ -1324,3 +1324,63 @@ def test_rrf_fuse_combines_ranked_lists(spark):
     assert out[3] == (round(1 / 62, 9), 1)
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_merge_upsert_version_semantics(spark):
+    """Updates replace same-key rows, new keys append, stale (lower
+    version) updates lose; without a version column updates always win."""
+    from woodwork_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 5), (3, "c", 5)], "k long, v string, ver long",
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 6), (3, "stale", 4), (4, "d", 6)],
+        "k long, v string, ver long",
+    )
+    got = {
+        r["k"]: (r["v"], r["ver"])
+        for r in merge_upsert(target, updates, "k", version_col="ver").collect()
+    }
+    assert got == {1: ("a", 5), 2: ("B", 6), 3: ("c", 5), 4: ("d", 6)}
+    unversioned = {
+        r["k"]: r["v"]
+        for r in merge_upsert(target, updates, "k").collect()
+    }
+    assert unversioned[3] == "stale"  # updates win without versions
+
+
+def test_table_diff_statuses_and_null_safety(spark):
+    """added/removed/changed/unchanged counting, with NULL payloads
+    compared null-safely (NULL == NULL is unchanged, NULL vs value is
+    changed)."""
+    from woodwork_spark.operators.relational import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "z"), (4, "w")], "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None), (5, "q")], "k long, v string",
+    )
+    got = {r["status"]: r["n_rows"] for r in table_diff(old, new, "k").collect()}
+    assert got == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_winsorize_clips_to_quantiles(spark):
+    """Values clip to the [lower, upper] percentiles; NULLs pass
+    through; invalid bounds rejected."""
+    import pytest as _pytest
+
+    from woodwork_spark.operators.features import winsorize
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)] + [(None,)], "v double",
+    )
+    out = winsorize(df, "v", 0.1, 0.9)
+    vals = [r["v"] for r in out.collect()]
+    nn = [v for v in vals if v is not None]
+    # linear-interp percentiles (float tolerance)
+    assert min(nn) == pytest.approx(10.9) and max(nn) == pytest.approx(90.1)
+    assert None in vals
+    with _pytest.raises(ValueError):
+        winsorize(df, "v", 0.9, 0.1)

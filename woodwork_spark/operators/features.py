@@ -84,3 +84,39 @@ def standardize_features(
 ) -> DataFrame:
     """fit + apply in one call — one stats job, one projection."""
     return apply_scaler(df, fit_scaler(df, cols, method), suffix=suffix)
+
+
+def winsorize(
+    df,
+    cols,
+    lower: float = 0.01,
+    upper: float = 0.99,
+):
+    """Winsorization (percentile clipping): values below each column's
+    ``lower`` quantile clip up to it, above ``upper`` clip down — the
+    standard robust-feature step before scaling when heavy tails would
+    dominate the variance.
+
+    ONE exact-percentile aggregation for every column, then a pure
+    projection; NULLs pass through.  At extreme scale swap the agg to
+    ``percentile_approx`` (same shape, mergeable sketches).
+    """
+    from pyspark.sql import functions as F
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    row = df.agg(
+        *[F.percentile(F.col(c), F.lit(lower)).alias(f"lo_{c}") for c in cols],
+        *[F.percentile(F.col(c), F.lit(upper)).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    out = df
+    for c in cols:
+        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+        out = out.withColumn(
+            c,
+            F.when(F.col(c) < lo, F.lit(lo))
+            .when(F.col(c) > hi, F.lit(hi))
+            .otherwise(F.col(c)),
+        )
+    return out

@@ -173,3 +173,80 @@ def interval_join(
         ],
     )
     return joined.unionByName(null_iv)
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols,
+    version_col: str = None,
+) -> DataFrame:
+    """Batch CDC apply (SCD type-1 upsert): rows from ``updates`` replace
+    same-key rows in ``target``; new keys append.
+
+    With ``version_col``, the winner per key is the highest version
+    across BOTH sides (late-arriving stale updates lose); without it,
+    updates always win.  One union + one per-key window partitioned by
+    the key (parallel across keys — the key space is the parallelism).
+    Both frames must share the target's schema.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    from pyspark.sql import Window as W
+
+    tagged = target.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1)),
+    )
+    order = (
+        [F.desc(version_col), F.desc("__src")]
+        if version_col
+        else [F.desc("__src")]
+    )
+    w = W.partitionBy(*key_cols).orderBy(*order)
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols,
+    compare_cols=None,
+) -> DataFrame:
+    """Row-level diff between two table versions by key:
+    ``(status, n_rows)`` with status in added / removed / changed /
+    unchanged.
+
+    ``compare_cols`` defaults to every shared non-key column.  Change
+    detection hashes the compared columns (null-safe, 128-bit md5) so
+    the join carries two hashes per row, never the payload — the
+    standard data-regression check between pipeline runs.  Keys must be
+    unique per side (enforce upstream or pre-aggregate).
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in key_cols]
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+              for c in compare_cols],
+        ),
+    )
+    o = old.select(*key_cols, fp.alias("__h_old"))
+    n = new.select(*key_cols, fp.alias("__h_new"))
+    joined = o.join(n, on=key_cols, how="full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), "added")
+        .when(F.col("__h_new").isNull(), "removed")
+        .when(F.col("__h_old") != F.col("__h_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
