@@ -2390,6 +2390,75 @@ def q_winsorize(spark, sf_dir):
     )
 
 
+def q_theta_sets(spark, sf_dir):
+    """Theta-sketch distinct set algebra: users who viewed AND/OR/ONLY
+    purchased in a bounded window — intersection/difference questions
+    HLL cannot answer.  The oracle pins the exact counts; sketch_ok is
+    the operator's accuracy contract (exact below the sketch's sampling
+    threshold at these cardinalities)."""
+    from woodwork_spark.operators.cardinality import distinct_set_report
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp"),
+    )
+    return distinct_set_report(ev, "user_id", "event_type", "view", "purchase")
+
+
+def q_kll_quantiles(spark, sf_dir):
+    """Mergeable KLL quantile sketches per return flag + the merged
+    all-groups rollup — quantiles over any union of groups from
+    kilobyte sketches, no rescan.  KLL compaction is randomized, so the
+    oracle pins EXACT quantiles and a rank-tolerance contract boolean
+    rather than the estimates themselves."""
+    from woodwork_spark.operators.cardinality import grouped_quantile_sketches
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v"),
+    )
+    sk = grouped_quantile_sketches(li, "v", "l_returnflag",
+                                   quantiles=(0.25, 0.5, 0.75))
+    # exact per-group + total quantiles with a ±2% rank window
+    def exact_bounds(frame, label):
+        return frame.agg(
+            F.lit(label).alias("group"),
+            *[
+                e
+                for q in (0.25, 0.5, 0.75)
+                for e in (
+                    F.percentile("v", F.lit(q)).alias(f"e_{int(q*100)}"),
+                    F.percentile("v", F.lit(max(q - 0.02, 0.0))).alias(
+                        f"lo_{int(q*100)}",
+                    ),
+                    F.percentile("v", F.lit(min(q + 0.02, 1.0))).alias(
+                        f"hi_{int(q*100)}",
+                    ),
+                )
+            ],
+        )
+
+    groups = [r["l_returnflag"] for r in li.select("l_returnflag").distinct().collect()]
+    exact = exact_bounds(li.where(F.col("l_returnflag") == groups[0]), groups[0])
+    for g in groups[1:]:
+        exact = exact.unionByName(
+            exact_bounds(li.where(F.col("l_returnflag") == g), g),
+        )
+    exact = exact.unionByName(exact_bounds(li, "__total__"))
+    j = sk.join(exact, "group")
+    ok = None
+    for q in (25, 50, 75):
+        c = (F.col(f"q_{q}") >= F.col(f"lo_{q}")) & (
+            F.col(f"q_{q}") <= F.col(f"hi_{q}")
+        )
+        ok = c if ok is None else (ok & c)
+    return j.select(
+        "group",
+        *[_ravg(F.col(f"e_{q}"), 2).alias(f"exact_q{q}") for q in (25, 50, 75)],
+        ok.alias("sketch_ok"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2490,6 +2559,8 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "table_diff": q_table_diff,
     "winsorize": q_winsorize,
+    "theta_sets": q_theta_sets,
+    "kll_quantiles": q_kll_quantiles,
 }
 
 ORACLE = {
@@ -4203,6 +4274,46 @@ ORACLE = {
         SELECT count(*) AS n_rows, round(sum(v), 2) AS sum_clipped,
                round(min(v), 2) AS lo_clip, round(max(v), 2) AS hi_clip
         FROM clipped
+    """,
+    "theta_sets": """
+        WITH ev AS (
+            SELECT user_id, event_type FROM events
+            WHERE ts < TIMESTAMP '2024-01-03'
+        ),
+        a AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'),
+        b AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase')
+        SELECT * FROM (VALUES
+            ('a', (SELECT count(*) FROM a), TRUE),
+            ('b', (SELECT count(*) FROM b), TRUE),
+            ('union', (SELECT count(*) FROM (
+                SELECT user_id FROM a UNION SELECT user_id FROM b)), TRUE),
+            ('intersection', (SELECT count(*) FROM (
+                SELECT user_id FROM a INTERSECT SELECT user_id FROM b)),
+             TRUE),
+            ('a_minus_b', (SELECT count(*) FROM (
+                SELECT user_id FROM a EXCEPT SELECT user_id FROM b)), TRUE)
+        ) AS t(measure, exact, sketch_ok)
+    """,
+    "kll_quantiles": """
+        WITH src AS (
+            SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v
+            FROM lineitem
+        ), per AS (
+            SELECT grp AS "group",
+                   round(quantile_cont(v, 0.25) + 0.0000001, 2) AS exact_q25,
+                   round(quantile_cont(v, 0.50) + 0.0000001, 2) AS exact_q50,
+                   round(quantile_cont(v, 0.75) + 0.0000001, 2) AS exact_q75,
+                   TRUE AS sketch_ok
+            FROM src GROUP BY grp
+        ), tot AS (
+            SELECT '__total__' AS "group",
+                   round(quantile_cont(v, 0.25) + 0.0000001, 2),
+                   round(quantile_cont(v, 0.50) + 0.0000001, 2),
+                   round(quantile_cont(v, 0.75) + 0.0000001, 2),
+                   TRUE
+            FROM src
+        )
+        SELECT * FROM per UNION ALL SELECT * FROM tot
     """,
     "hll_cardinality": """
         SELECT event_type,

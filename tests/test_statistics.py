@@ -524,3 +524,49 @@ def test_describe_results_callback(spark):
     ))
     assert [n for _, n in seen] == ["idx", "num", "cat"]
     assert [w for w, _ in seen] == [1, 2, 3]  # frame grows a column each call
+
+
+def test_theta_set_report_exact_and_contract(spark):
+    """Theta set algebra on planted overlapping groups: exact counts
+    match hand computation and every sketch estimate lands within the
+    contract (exact below the sampling threshold)."""
+    from woodwork_spark.operators.cardinality import distinct_set_report
+
+    rows = (
+        [(f"u{i}", "a") for i in range(100)]          # a: u0..u99
+        + [(f"u{i}", "b") for i in range(60, 160)]    # b: u60..u159
+        + [(f"u{i}", "a") for i in range(50)]         # dup a rows
+    )
+    df = spark.createDataFrame(rows, "user string, g string")
+    rep = {
+        r["measure"]: (r["exact"], r["sketch_ok"])
+        for r in distinct_set_report(df, "user", "g", "a", "b").collect()
+    }
+    assert rep == {
+        "a": (100, True), "b": (100, True), "union": (160, True),
+        "intersection": (40, True), "a_minus_b": (60, True),
+    }
+
+
+def test_grouped_quantile_sketches_merge_accuracy(spark):
+    """Per-group KLL quantiles and the merged rollup land within a 2%
+    rank window of the exact quantiles."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.cardinality import (
+        grouped_quantile_sketches,
+    )
+
+    rows = [(["x", "y"][i % 2], float((i * 37) % 10_000)) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    sk = grouped_quantile_sketches(df, "v", "g", quantiles=(0.5,))
+    got = {r["group"]: r["q_50"] for r in sk.collect()}
+    release(sk)
+    assert set(got) == {"x", "y", "__total__"}
+    for grp, val in got.items():
+        sub = df if grp == "__total__" else df.where(F.col("g") == grp)
+        lo, hi = sub.agg(
+            F.percentile("v", F.lit(0.48)), F.percentile("v", F.lit(0.52)),
+        ).first()
+        assert lo <= val <= hi, (grp, val, lo, hi)

@@ -74,3 +74,138 @@ def distinct_rollup(
             <= 0.05
         ).alias("within_5pct"),
     )
+
+
+def theta_sketches(
+    df: DataFrame,
+    key_col: str,
+    group_cols,
+) -> DataFrame:
+    """One Theta sketch per group: ``(group_cols..., sketch)``.
+
+    Theta sketches are the SET-ALGEBRA upgrade over HLL: they support
+    intersection and difference, not just union — "distinct users who
+    did A AND B" is unanswerable from per-group HLLs but one
+    ``theta_intersection`` over kilobyte blobs here.  One map-side-
+    combinable aggregation; persist the sketch column and every future
+    set question is sketch algebra, never a rescan."""
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return df.groupBy(*group_cols).agg(
+        F.expr(f"theta_sketch_agg({key_col})").alias("sketch"),
+    )
+
+
+def distinct_set_report(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Distinct-key set algebra between two groups via Theta sketches,
+    VALIDATED against the exact answers in the same result:
+    ``(measure, exact, sketch_ok)`` for a, b, union, intersection, and
+    a_minus_b.
+
+    Exact counts come from one aggregation over the two groups' keys;
+    the sketch estimates come from sketch algebra on two kilobyte blobs.
+    ``sketch_ok`` asserts the estimate lands within ``tolerance`` of
+    exact — the operator's accuracy contract is itself the checked
+    value (same validation pattern as ``distinct_rollup``)."""
+    spark = df.sparkSession
+    pair = df.where(F.col(group_col).isin([group_a, group_b]))
+    sk = {
+        r[group_col]: r["sketch"]
+        for r in theta_sketches(pair, key_col, group_col).collect()
+    }
+    import pyspark.sql.types as T
+
+    sk_df = spark.createDataFrame(
+        [(bytearray(sk[group_a]), bytearray(sk[group_b]))],
+        T.StructType([
+            T.StructField("sa", T.BinaryType()),
+            T.StructField("sb", T.BinaryType()),
+        ]),
+    )
+    est = sk_df.select(
+        F.expr("theta_sketch_estimate(sa)").alias("a"),
+        F.expr("theta_sketch_estimate(sb)").alias("b"),
+        F.expr("theta_sketch_estimate(theta_union(sa, sb))").alias("u"),
+        F.expr("theta_sketch_estimate(theta_intersection(sa, sb))").alias("i"),
+        F.expr("theta_sketch_estimate(theta_difference(sa, sb))").alias("d"),
+    ).first()
+    a_keys = pair.where(F.col(group_col) == group_a).select(key_col)
+    b_keys = pair.where(F.col(group_col) == group_b).select(key_col)
+    exact = {
+        "a": a_keys.distinct().count(),
+        "b": b_keys.distinct().count(),
+        "union": a_keys.union(b_keys).distinct().count(),
+        "intersection": a_keys.intersect(b_keys).count(),
+        # subtract == EXCEPT DISTINCT (set semantics); exceptAll would
+        # leave surplus multiset copies of keys present on both sides
+        "a_minus_b": a_keys.subtract(b_keys).count(),
+    }
+    est_map = {
+        "a": est["a"], "b": est["b"], "union": est["u"],
+        "intersection": est["i"], "a_minus_b": est["d"],
+    }
+    rows = [
+        (
+            m,
+            exact[m],
+            bool(
+                abs(est_map[m] - exact[m])
+                <= max(tolerance * max(exact[m], 1), 2),
+            ),
+        )
+        for m in ["a", "b", "union", "intersection", "a_minus_b"]
+    ]
+    return spark.createDataFrame(
+        rows, "measure string, exact long, sketch_ok boolean",
+    )
+
+
+def grouped_quantile_sketches(
+    df: DataFrame,
+    value_col: str,
+    group_cols,
+    quantiles=(0.25, 0.5, 0.75),
+    k: int = 2048,
+) -> DataFrame:
+    """Per-group KLL quantile sketches plus a MERGED all-groups rollup:
+    ``(group, quantile, sketch_value)`` with a ``'__total__'`` group from
+    merging the per-group sketches — the mergeable-quantile pattern:
+    build once per partition/day/source, answer any union's quantiles by
+    merging kilobyte sketches instead of rescanning.
+
+    ``k`` controls accuracy (2048 ≈ 0.6% rank error).  Values must be
+    DOUBLE (cast upstream for float/long columns).
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    qs = list(quantiles)
+    per = df.groupBy(*group_cols).agg(
+        F.expr(
+            f"kll_sketch_agg_double({value_col}, {k})",
+        ).alias("__sk"),
+    )
+    per = per.persist()
+    merged = per.agg(
+        F.expr("kll_merge_agg_double(__sk)").alias("__sk"),
+    )
+    def explode_qs(frame, label_cols):
+        return frame.select(
+            *label_cols,
+            *[
+                F.expr(
+                    f"kll_sketch_get_quantile_double(__sk, {q})",
+                ).alias(f"q_{int(q * 100)}")
+                for q in qs
+            ],
+        )
+    out_groups = explode_qs(per, [F.col(c).cast("string").alias("group") for c in group_cols[:1]])
+    out_total = explode_qs(merged, [F.lit("__total__").alias("group")])
+    result = out_groups.unionByName(out_total)
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(result, per)
