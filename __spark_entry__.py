@@ -2459,6 +2459,31 @@ def q_kll_quantiles(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Distributed PageRank over the part<->supplier bipartite graph
+    (3 iterations, bidirectional edges so no dangling mass): one join +
+    one groupBy per iteration with checkpoint-truncated lineage.  The
+    oracle unrolls the same three iterations in SQL."""
+    from woodwork_spark.operators.graph import pagerank
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+    ).distinct()
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")),
+    )
+    pr = pagerank(edges, iterations=3)
+    return pr.select(
+        "node",
+        F.round(F.col("pagerank") + F.lit(1e-10), 8).alias("pagerank"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2561,6 +2586,7 @@ QUERIES = {
     "winsorize": q_winsorize,
     "theta_sets": q_theta_sets,
     "kll_quantiles": q_kll_quantiles,
+    "pagerank": q_pagerank,
 }
 
 ORACLE = {
@@ -4314,6 +4340,61 @@ ORACLE = {
             FROM src
         )
         SELECT * FROM per UNION ALL SELECT * FROM tot
+    """,
+    "pagerank": """
+        WITH pairs AS (
+            SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+                            's' || CAST(l_suppkey AS VARCHAR) AS b
+            FROM lineitem
+        ), e AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL SELECT b, a FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e
+        ), nn AS (SELECT count(*) AS cnt FROM (SELECT DISTINCT node FROM nodes)),
+        deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS pr
+               FROM (SELECT DISTINCT node FROM nodes)),
+        r1 AS (
+            SELECT n.node,
+                   0.15 / (SELECT cnt FROM nn)
+                   + 0.85 * coalesce(s.v, 0) AS pr
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r0.pr / deg.d) AS v
+                FROM e
+                JOIN r0 ON e.src = r0.node
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+            ) s ON n.node = s.node
+        ),
+        r2 AS (
+            SELECT n.node,
+                   0.15 / (SELECT cnt FROM nn)
+                   + 0.85 * coalesce(s.v, 0) AS pr
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r1.pr / deg.d) AS v
+                FROM e
+                JOIN r1 ON e.src = r1.node
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+            ) s ON n.node = s.node
+        ),
+        r3 AS (
+            SELECT n.node,
+                   0.15 / (SELECT cnt FROM nn)
+                   + 0.85 * coalesce(s.v, 0) AS pr
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r2.pr / deg.d) AS v
+                FROM e
+                JOIN r2 ON e.src = r2.node
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+            ) s ON n.node = s.node
+        ),
+        fin AS (SELECT node, round(pr + 0.0000000001, 8) AS pagerank
+                FROM r3)
+        SELECT * FROM fin
     """,
     "hll_cardinality": """
         SELECT event_type,

@@ -1,0 +1,100 @@
+"""Graph algorithms over edge-list DataFrames.
+
+PageRank in the standard distributed formulation: per-iteration, each
+node's rank flows along its out-edges (one join on src + one groupBy on
+dst — both plain shuffles on the edge list), with damping applied to
+the gathered contributions.  Lineage is truncated per iteration with an
+eager localCheckpoint (the same discipline as the connected-components
+and BPE loops) so k iterations never stack a k-deep plan.
+
+Dangling nodes (no out-edges) follow the simple convention of leaking
+their rank (no redistribution) — ranks still order nodes correctly and
+the formulation stays one-join-per-iteration; pass
+``redistribute_dangling=True`` to add the single scalar aggregate that
+conserves total mass.
+
+Connected components live in ``operators.dedup.connected_components``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from woodwork_spark.lifecycle import attach_persisted
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    redistribute_dangling: bool = False,
+) -> DataFrame:
+    """PageRank over a directed edge list; returns ``(node, pagerank)``
+    for every node appearing as src or dst.
+
+    ``pr_{t+1}(v) = (1-d)/N + d * sum over in-edges (u,v) of
+    pr_t(u)/outdeg(u)`` starting from the uniform 1/N vector.
+    Duplicate edges count once (set semantics).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ew = e.join(deg, "src").persist()  # (src, dst, outdeg) — loop-invariant
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("pagerank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            ew.join(
+                ranks.select(
+                    F.col("node").alias("src"), F.col("pagerank").alias("__pr"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("__pr") / F.col("__deg")).alias("__in"))
+        )
+        new_ranks = (
+            nodes.join(
+                contribs.withColumnRenamed("dst", "node"), "node", "left",
+            )
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+                ).alias("pagerank"),
+            )
+        )
+        if redistribute_dangling:
+            # mass parked on dangling nodes, one scalar agg, spread evenly
+            leaked = (
+                ranks.join(
+                    deg.withColumnRenamed("src", "node"), "node", "left_anti",
+                )
+                .agg(F.sum("pagerank"))
+                .first()[0]
+                or 0.0
+            )
+            new_ranks = new_ranks.withColumn(
+                "pagerank",
+                F.col("pagerank") + F.lit(damping * leaked / n),
+            )
+        ranks = new_ranks.localCheckpoint(eager=True)
+    return attach_persisted(ranks, nodes, ew)
