@@ -192,3 +192,92 @@ def test_connected_components_is_valid_partition(sp, edges):
         members[c].add(v)
     for c, vs in members.items():
         assert c == min(vs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 5)),
+        min_size=1, max_size=60,
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+def test_global_ntile_property(sp, rows, n):
+    """For any data and bucket count: buckets are 1..min(n, total),
+    sizes differ by at most 1, and bucket order follows sort order."""
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.rank import global_ntile
+
+    df = sp.createDataFrame(
+        [(i, v, t) for i, (v, t) in enumerate(rows)], "id long, v long, t long",
+    )
+    out = global_ntile(df, [F.asc("v"), F.asc("t"), F.asc("id")], n, out_col="b")
+    got = sorted(
+        ((r["v"], r["t"], r["id"]), r["b"]) for r in out.collect()
+    )
+    release(out)
+    total = len(rows)
+    sizes = {}
+    prev_b = 0
+    for _, b in got:
+        assert prev_b <= b  # non-decreasing along the sort order
+        prev_b = b
+        sizes[b] = sizes.get(b, 0) + 1
+    assert set(sizes) == set(range(1, min(n, total) + 1))
+    if total >= n:
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", None]), min_size=1, max_size=40),
+)
+def test_global_rank_property(sp, keys):
+    """Distributed rank equals the native window for any key multiset
+    (including NULL groups), both plain and dense."""
+    from pyspark.sql import Window as W
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.rank import global_rank
+
+    df = sp.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "id long, k string",
+    )
+    for dense in (False, True):
+        out = global_rank(df, [("k", "asc")], out_col="r", dense=dense)
+        got = {r["id"]: r["r"] for r in out.collect()}
+        release(out)
+        fn = F.dense_rank() if dense else F.rank()
+        exp = {
+            r["id"]: r["r"]
+            for r in df.withColumn(
+                "r", fn.over(W.orderBy("k")).cast("long"),
+            ).collect()
+        }
+        assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 1000), st.text("ab", min_size=0, max_size=3)),
+             min_size=1, max_size=40, unique_by=lambda t: t[0]),
+)
+def test_merge_upsert_idempotent_and_total(sp, rows):
+    """Applying the same update batch twice equals applying it once, and
+    the merged key set is exactly target-keys ∪ update-keys."""
+    from woodwork_spark.operators.relational import merge_upsert
+
+    half = len(rows) // 2
+    target = sp.createDataFrame(rows, "k long, v string")
+    updates = sp.createDataFrame(
+        [(k, v + "!") for k, v in rows[:half]] or [(10**9, "x")],
+        "k long, v string",
+    )
+    once = merge_upsert(target, updates, "k")
+    twice = merge_upsert(once, updates, "k")
+    a = sorted((r["k"], r["v"]) for r in once.collect())
+    b = sorted((r["k"], r["v"]) for r in twice.collect())
+    assert a == b
+    exp_keys = {k for k, _ in rows} | {k for k, _ in [
+        (k, v) for k, v in rows[:half]] or [(10**9, "x")]}
+    assert {k for k, _ in a} == exp_keys
