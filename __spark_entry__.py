@@ -2484,6 +2484,42 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_changepoint(spark, sf_dir):
+    """Per-user CUSUM change-point: the timestamp where cumulative
+    deviation from the user's own mean peaks — one sorted window pass
+    per entity, no iteration.  Oracle recomputes the identical running
+    sums and argmax in SQL."""
+    from woodwork_spark.operators.timeseries import detect_changepoint
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    cp = detect_changepoint(
+        ev, "ts", "user_id", "value", min_points=5, tie_cols=["event_id"],
+    )
+    return cp.select(
+        "user_id",
+        F.date_format("changepoint_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "cp_ts",
+        ),
+        _ravg(F.col("cusum_peak"), 4).alias("cusum_peak"),
+        "n_points",
+    )
+
+
+def q_equi_depth_hist(spark, sf_dir):
+    """Equi-depth histogram of l_extendedprice (8 equal-count buckets,
+    boundaries = quantiles) on the distributed NTILE primitive."""
+    from woodwork_spark.statistics.describe import equi_depth_histogram
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    h = equi_depth_histogram(li, "l_extendedprice", 8)
+    return h.select(
+        "bucket", "n_rows",
+        F.round("lo", 2).alias("lo"), F.round("hi", 2).alias("hi"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2587,6 +2623,8 @@ QUERIES = {
     "theta_sets": q_theta_sets,
     "kll_quantiles": q_kll_quantiles,
     "pagerank": q_pagerank,
+    "changepoint": q_changepoint,
+    "equi_depth_hist": q_equi_depth_hist,
 }
 
 ORACLE = {
@@ -4395,6 +4433,41 @@ ORACLE = {
         fin AS (SELECT node, round(pr + 0.0000000001, 8) AS pagerank
                 FROM r3)
         SELECT * FROM fin
+    """,
+    "changepoint": """
+        WITH s AS (
+            SELECT user_id, ts, event_id,
+                   sum(value) OVER w_run
+                   - count(value) OVER w_run
+                     * (sum(value) OVER w_all / count(value) OVER w_all)
+                       AS cs,
+                   count(*) OVER w_all AS n
+            FROM events
+            WINDOW w_run AS (PARTITION BY user_id
+                             ORDER BY ts, value, event_id
+                             ROWS UNBOUNDED PRECEDING),
+                   w_all AS (PARTITION BY user_id)
+        ), ranked AS (
+            SELECT user_id, ts, cs, n,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY abs(cs) DESC, ts ASC) AS rk
+            FROM s WHERE n >= 5
+        )
+        SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS cp_ts,
+               round(abs(cs) + 0.0000001, 4) AS cusum_peak,
+               CAST(n AS BIGINT) AS n_points
+        FROM ranked WHERE rk = 1
+    """,
+    "equi_depth_hist": """
+        WITH t AS (
+            SELECT l_extendedprice AS v,
+                   CAST(ntile(8) OVER (ORDER BY l_extendedprice) AS BIGINT)
+                       AS bucket
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+        )
+        SELECT bucket, count(*) AS n_rows,
+               round(min(v), 2) AS lo, round(max(v), 2) AS hi
+        FROM t GROUP BY bucket
     """,
     "hll_cardinality": """
         SELECT event_type,

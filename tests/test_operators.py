@@ -1422,3 +1422,49 @@ def test_pagerank_matches_sequential_reference(spark):
     total = sum(r["pagerank"] for r in out2_df.collect())
     release(out2_df)
     assert abs(total - 1.0) < 1e-9
+
+
+def test_detect_changepoint_finds_planted_shift(spark):
+    """A level shift planted mid-series is located at (or adjacent to)
+    the true shift point; short series are dropped."""
+    import datetime as dt
+
+    from woodwork_spark.operators.timeseries import detect_changepoint
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):  # u1: level 10 then level 30 from i=20
+        v = 10.0 if i < 20 else 30.0
+        rows.append((i, "u1", base + dt.timedelta(minutes=i), v))
+    rows += [(100 + i, "u2", base + dt.timedelta(minutes=i), 5.0)
+             for i in range(3)]  # too short
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double",
+    )
+    out = {r["user_id"]: r for r in detect_changepoint(
+        df, "ts", "user_id", "value", min_points=5, tie_cols=["event_id"],
+    ).collect()}
+    assert "u2" not in out
+    cp = out["u1"]["changepoint_ts"]
+    # CUSUM peaks at the last point of the first regime (minute 19)
+    assert cp == base + dt.timedelta(minutes=19)
+    assert out["u1"]["n_points"] == 40
+
+
+def test_equi_depth_histogram_balanced(spark):
+    """Bucket counts differ by at most 1, boundaries are ordered, and
+    NULLs are excluded."""
+    from woodwork_spark.statistics.describe import equi_depth_histogram
+
+    df = spark.createDataFrame(
+        [(float(i % 97),) for i in range(500)] + [(None,)], "v double",
+    )
+    rows = sorted(
+        (r["bucket"], r["n_rows"], r["lo"], r["hi"])
+        for r in equi_depth_histogram(df, "v", 7).collect()
+    )
+    assert [b for b, *_ in rows] == list(range(1, 8))
+    counts = [n for _, n, *_ in rows]
+    assert sum(counts) == 500 and max(counts) - min(counts) <= 1
+    for (_, _, lo, hi), (_, _, lo2, _) in zip(rows, rows[1:]):
+        assert lo <= hi <= lo2

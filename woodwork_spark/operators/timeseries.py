@@ -162,3 +162,57 @@ def detect_anomalies(
             F.abs(z) > F.lit(float(z_threshold)), F.lit(False),
         ).alias("is_anomaly"),
     )
+
+
+def detect_changepoint(
+    df: DataFrame,
+    ts_col: str,
+    key_cols,
+    value_col: str,
+    min_points: int = 5,
+    tie_cols=(),
+) -> DataFrame:
+    """Single change-point detection per entity (CUSUM): the timestamp
+    where the cumulative sum of deviations from the entity's own mean
+    peaks in magnitude — the classic estimator for "when did this
+    series' level shift".
+
+    One pass shape: entity means via a window aggregate, running CUSUM
+    via the same sorted window, then one per-entity argmax (max_by) —
+    a single sort/exchange per entity, no iteration.  Entities with
+    fewer than ``min_points`` events are dropped.  Returns
+    ``(key_cols..., changepoint_ts, cusum_peak, n_points)``.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w_all = W.partitionBy(*key_cols)
+    w_run = (
+        W.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), F.col(value_col), *[F.col(c) for c in tie_cols])
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    scored = df.select(
+        *key_cols,
+        F.col(ts_col).alias("__ts"),
+        (
+            F.sum(F.col(value_col)).over(w_run)
+            - F.count(F.col(value_col)).over(w_run)
+            * (F.sum(value_col).over(w_all) / F.count(value_col).over(w_all))
+        ).alias("__s"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    return (
+        scored.where(F.col("__n") >= min_points)
+        .groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.col("__ts"),
+                F.struct(
+                    F.abs("__s").alias("m"),
+                    # deterministic ties: earliest peak wins
+                    (-F.unix_micros(F.col("__ts"))).alias("t"),
+                ),
+            ).alias("changepoint_ts"),
+            F.max(F.abs("__s")).alias("cusum_peak"),
+            F.max("__n").alias("n_points"),
+        )
+    )

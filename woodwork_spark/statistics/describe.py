@@ -305,3 +305,27 @@ def describe_with_extra_stats(
                 {"value": r["d"], "count": r["n"]} for r in rows
             ]
     return base
+
+
+def equi_depth_histogram(df, column, num_buckets: int = 10):
+    """Equi-DEPTH histogram (equal row counts per bucket, varying
+    widths) — the robust companion to the equal-width histogram when
+    the distribution is skewed: bucket boundaries ARE the quantiles.
+
+    Built on the distributed NTILE primitive (no single-reducer window):
+    returns ``(bucket, n_rows, lo, hi)``.  NULLs are excluded.
+    """
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.operators.rank import global_ntile
+
+    c = F.col(column)
+    nonnull = df.select(column).where(c.isNotNull())
+    binned = global_ntile(
+        nonnull, [F.asc(column)], num_buckets, out_col="bucket",
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(column).alias("lo"),
+        F.max(column).alias("hi"),
+    )
