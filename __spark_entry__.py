@@ -2520,6 +2520,62 @@ def q_equi_depth_hist(spark, sf_dir):
     )
 
 
+def q_rolling_distinct(spark, sf_dir):
+    """7-day rolling distinct users per day: distinct (day, user)
+    pairs fanned out to the windows they serve (shuffle scales with
+    pairs x 7, never raw events), plus the per-day HLL-sketch merge
+    that replaces the fan-out entirely at 100 TB — checked here
+    against the exact count (lg_k=14, ~0.8% standard error, 5%
+    gate)."""
+    from woodwork_spark.operators.cardinality import rolling_distinct
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    rd = rolling_distinct(
+        ev, "ts", "user_id", window_buckets=7, lg_k=14,
+    )
+    return rd.select(
+        "bucket_s",
+        "n_distinct",
+        (
+            F.abs(F.col("hll_estimate") - F.col("n_distinct"))
+            / F.greatest(F.col("n_distinct"), F.lit(1))
+            <= 0.05
+        ).alias("hll_ok"),
+        "window_start_s",
+    )
+
+
+def q_transition_matrix(spark, sf_dir):
+    """First-order Markov transitions between consecutive events per
+    user: one lead() window per user then a tiny (event, next) agg;
+    the normalizing window runs on the matrix, not the events."""
+    from woodwork_spark.operators.funnel import transition_matrix
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    tm = transition_matrix(
+        ev, "user_id", "ts", "event_type", tie_cols=["event_id"],
+    )
+    return tm.select(
+        "event", "next_event", "n", _ravg(F.col("prob"), 6).alias("prob"),
+    )
+
+
+def q_top_paths(spark, sf_dir):
+    """Most common 3-event opening paths across users: one
+    collect-sort per user sliced to the first 3 events, one count per
+    path string."""
+    from woodwork_spark.operators.funnel import top_paths
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    tp = top_paths(
+        ev, "user_id", "ts", "event_type", k=3, tie_cols=["event_id"],
+    )
+    return tp.select("path", "path_len", "n_users")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2625,6 +2681,9 @@ QUERIES = {
     "pagerank": q_pagerank,
     "changepoint": q_changepoint,
     "equi_depth_hist": q_equi_depth_hist,
+    "rolling_distinct": q_rolling_distinct,
+    "transition_matrix": q_transition_matrix,
+    "top_paths": q_top_paths,
 }
 
 ORACLE = {
@@ -4692,6 +4751,55 @@ ORACLE = {
                count(DISTINCT user_id) AS n_users,
                round(sum(value) + 0.0000001, 2) AS sum_value
         FROM joined GROUP BY tier
+    """,
+    "rolling_distinct": """
+        WITH pairs AS (
+            SELECT DISTINCT
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS b,
+                   user_id
+            FROM events
+        ), obs AS (
+            SELECT DISTINCT b FROM pairs
+        )
+        SELECT o.b AS bucket_s,
+               count(DISTINCT p.user_id) AS n_distinct,
+               TRUE AS hll_ok,
+               o.b - 518400 AS window_start_s
+        FROM obs o JOIN pairs p ON p.b BETWEEN o.b - 518400 AND o.b
+        GROUP BY o.b
+    """,
+    "transition_matrix": """
+        WITH seq AS (
+            SELECT event_type AS event,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_event
+            FROM events
+        ), c AS (
+            SELECT event, next_event, count(*) AS n
+            FROM seq WHERE next_event IS NOT NULL
+            GROUP BY event, next_event
+        )
+        SELECT event, next_event, n,
+               round(n / sum(n) OVER (PARTITION BY event) + 0.0000001, 6)
+                   AS prob
+        FROM c
+    """,
+    "top_paths": """
+        WITH r AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rk
+            FROM events
+        ), p AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rk) AS path,
+                   CAST(count(*) AS INT) AS path_len
+            FROM r WHERE rk <= 3 GROUP BY user_id
+        )
+        SELECT path, path_len, count(*) AS n_users
+        FROM p GROUP BY path, path_len
     """,
 }
 

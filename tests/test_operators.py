@@ -1468,3 +1468,75 @@ def test_equi_depth_histogram_balanced(spark):
     assert sum(counts) == 500 and max(counts) - min(counts) <= 1
     for (_, _, lo, hi), (_, _, lo2, _) in zip(rows, rows[1:]):
         assert lo <= hi <= lo2
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from woodwork_spark.operators.funnel import transition_matrix
+
+    rows = [
+        # user 1: a -> b -> a   |  user 2: a -> b
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),
+        (2, 1, "a"), (2, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, e string")
+    out = {
+        (r["event"], r["next_event"]): (r["n"], r["prob"])
+        for r in transition_matrix(df, "u", "t", "e").collect()
+    }
+    assert out[("a", "b")] == (2, 1.0)   # every 'a' with a successor -> 'b'
+    assert out[("b", "a")][0] == 1
+    assert out[("b", "a")][1] == pytest.approx(1.0)
+    # no cross-user pair: user 2's trailing 'b' has no successor
+    assert ("b", "b") not in out and len(out) == 2
+
+
+def test_top_paths_orders_and_slices(spark):
+    from woodwork_spark.operators.funnel import top_paths
+
+    rows = [
+        (1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (1, 4, "d"),  # a>b>c
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),               # a>b>c
+        (3, 1, "x"),                                          # short: x
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, e string")
+    out = {
+        r["path"]: (r["path_len"], r["n_users"])
+        for r in top_paths(df, "u", "t", "e", k=3).collect()
+    }
+    assert out["a>b>c"] == (3, 2)   # sorted by ts, sliced to k
+    assert out["x"] == (1, 1)       # short histories keep their true length
+    assert len(out) == 2
+
+
+def test_rolling_distinct_window_semantics(spark):
+    from woodwork_spark.operators.cardinality import rolling_distinct
+
+    day = 86_400
+    rows = [
+        # day 0: users {1, 2}; day 1: {2}; day 3: {3}
+        (F_ts(0), 1), (F_ts(0), 2), (F_ts(0), 2),
+        (F_ts(day), 2),
+        (F_ts(3 * day), 3),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, u long")
+    out = {
+        r["bucket_s"]: r["n_distinct"]
+        for r in rolling_distinct(
+            df, "ts", "u", window_buckets=2, bucket_seconds=day,
+        ).collect()
+    }
+    # window = current + previous day; only observed days emit rows
+    assert out == {0: 2, day: 2, 3 * day: 1}
+    approx = {
+        r["bucket_s"]: r["hll_estimate"]
+        for r in rolling_distinct(
+            df, "ts", "u", window_buckets=2, bucket_seconds=day, exact=False,
+        ).collect()
+    }
+    assert approx == {0: 2, day: 2, 3 * day: 1}  # tiny sets: HLL is exact
+
+
+def F_ts(epoch_s: int):
+    import datetime
+
+    return datetime.datetime.utcfromtimestamp(epoch_s)

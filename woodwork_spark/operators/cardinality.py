@@ -209,3 +209,83 @@ def grouped_quantile_sketches(
     from woodwork_spark.lifecycle import attach_persisted
 
     return attach_persisted(result, per)
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_buckets: int = 7,
+    bucket_seconds: int = 86_400,
+    lg_k: int = 12,
+    exact: bool = True,
+) -> DataFrame:
+    """Rolling-window distinct keys per time bucket — "7-day rolling
+    distinct users per day", the metric a naive
+    ``count_distinct OVER (RANGE ...)`` cannot compute distributed
+    (distinct is not frame-decomposable): for each observed bucket, the
+    distinct ``key_col`` count over the window of ``window_buckets``
+    buckets ending at that bucket (inclusive).
+
+    Scale shape: raw events first collapse to DISTINCT (bucket, key)
+    pairs (one map-side-combinable shuffle — the explode that follows
+    multiplies PAIRS, not events), each pair is fanned out to the
+    ``window_buckets`` windows it contributes to via
+    ``sequence``+``explode``, and one count_distinct per target bucket
+    finishes.  Shuffle bytes scale with distinct-pairs x window size.
+    The HLL path skips the pair fan-out entirely: one ~2.5 KB sketch
+    per bucket, replicated ``window_buckets`` times, merged with
+    ``hll_union_agg`` — constant cost per bucket no matter how many
+    events built it; at 100 TB run ``exact=False`` and keep only the
+    sketch merge.  Output rows are restricted to buckets actually
+    observed in the data (no fabricated leading buckets).
+
+    Returns ``(bucket_s, n_distinct?, hll_estimate, window_start_s)``
+    where ``bucket_s`` is the bucket start in epoch seconds.
+    """
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    from woodwork_spark.operators.timeseries import bucket_expr
+
+    b = bucket_expr(ts_col, bucket_seconds)
+    step = F.lit(bucket_seconds).cast("long")
+    span = F.lit((window_buckets - 1) * bucket_seconds).cast("long")
+    observed = df.select(b.alias("__b")).distinct()
+
+    sketches = df.groupBy(b.alias("__b")).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("__sk"),
+    )
+    fanned_sk = sketches.select(
+        F.explode(
+            F.sequence("__b", F.col("__b") + span, step),
+        ).alias("__target"),
+        "__sk",
+    )
+    approx = fanned_sk.groupBy("__target").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("hll_estimate"),
+    )
+
+    if exact:
+        pairs = df.select(b.alias("__b"), F.col(key_col).alias("__k")).distinct()
+        fanned = pairs.select(
+            F.explode(
+                F.sequence("__b", F.col("__b") + span, step),
+            ).alias("__target"),
+            "__k",
+        )
+        exact_counts = fanned.groupBy("__target").agg(
+            F.count_distinct("__k").alias("n_distinct"),
+        )
+        merged = exact_counts.join(approx, "__target")
+    else:
+        merged = approx
+
+    return (
+        observed.join(merged, observed["__b"] == merged["__target"])
+        .select(
+            F.col("__b").alias("bucket_s"),
+            *(["n_distinct"] if exact else []),
+            "hll_estimate",
+            (F.col("__b") - span).alias("window_start_s"),
+        )
+    )

@@ -19,6 +19,7 @@ Classic product-analytics queries that engines ship as primitives
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -139,4 +140,91 @@ def cohort_retention(
             (F.col("__p") - F.col("__cohort")).alias("offset"),
         )
         .agg(F.count_distinct("__u").alias("n_users"))
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tie_cols=(),
+) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: for every ordered pair of consecutive events within a user,
+    the transition count and the conditional probability
+    P(next = b | current = a).
+
+    Execution shape: ONE partitioned window per user computes the
+    next-event lead (single sort/exchange, keyed on the user — the same
+    bounded-per-entity assumption as ``rolling_features``), then a
+    groupBy on the (event, next_event) pair.  The matrix itself is
+    |event types|² rows — tiny — so the per-source normalizing window
+    runs on the aggregated result, not the events.  Deterministic under
+    repeated timestamps when ``tie_cols`` includes a unique event id.
+
+    Returns ``(event, next_event, n, prob)``.
+    """
+    w = W.partitionBy(user_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tie_cols],
+    )
+    pairs = df.select(
+        F.col(type_col).alias("event"),
+        F.lead(type_col).over(w).alias("next_event"),
+    ).where(F.col("next_event").isNotNull())
+    counts = pairs.groupBy("event", "next_event").agg(
+        F.count(F.lit(1)).alias("n"),
+    )
+    w_src = W.partitionBy("event")
+    return counts.select(
+        "event",
+        "next_event",
+        "n",
+        (F.col("n") / F.sum("n").over(w_src)).alias("prob"),
+    )
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    k: int = 3,
+    sep: str = ">",
+    tie_cols=(),
+) -> DataFrame:
+    """Most common k-event opening paths: each user's first ``k`` events
+    in timestamp order joined into one ``sep``-delimited path string,
+    counted across users.
+
+    One groupBy(user) collect-sorts each user's first-k candidate
+    events (the per-user state is capped at the full event list of one
+    user pre-aggregation, then sliced to k — pre-filtering with a
+    window row_number would add a second sort for no shuffle savings),
+    then one groupBy(path) counts.  Two shuffles total, both map-side
+    combinable on the second.  Returns ``(path, path_len, n_users)``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                *[F.col(c).alias(f"b{i}") for i, c in enumerate(tie_cols)],
+                F.col(type_col).alias("e"),
+            ),
+        ),
+    )
+    per_user = df.groupBy(user_col).agg(
+        F.slice(ordered, 1, k).alias("__head"),
+    )
+    return (
+        per_user.select(
+            F.array_join(F.transform("__head", lambda s: s["e"]), sep).alias(
+                "path",
+            ),
+            F.size("__head").alias("path_len"),
+        )
+        .groupBy("path", "path_len")
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
