@@ -2576,6 +2576,50 @@ def q_top_paths(spark, sf_dir):
     return tp.select("path", "path_len", "n_users")
 
 
+def q_select_budget(spark, sf_dir):
+    """Per-source token-budget selection: keep each source's
+    highest-quality documents (here: longest, ties by id) while the
+    running token total stays within budget — on the range-partitioned
+    grouped prefix sum, so one dominant source never hits a single
+    reducer."""
+    from woodwork_spark.operators.packing import select_to_budget
+    from woodwork_spark.operators.text import token_count_expr
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        token_count_expr("text").cast("long").alias("n_tokens"),
+    )
+    kept = select_to_budget(
+        scored, "source", "n_tokens", "n_tokens",
+        budget=2_000, id_col="doc_id",
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.max("cum_tokens").alias("max_cum"),
+    )
+
+
+def q_pmi_cooccurrence(spark, sf_dir):
+    """Document-level token-pair PMI: distinct (doc, token) pairs,
+    top-vocab prune via one tiny broadcast agg, ONE doc-keyed
+    self-join with a < b — collocation mining without an all-pairs
+    token join."""
+    from woodwork_spark.operators.text import pmi_cooccurrence
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    co = pmi_cooccurrence(
+        docs, "doc_id", "text", top_vocab=50, min_pair_count=5,
+    )
+    return co.select(
+        "token_a", "token_b", "n_pair", "n_a", "n_b",
+        _ravg(F.col("pmi"), 6).alias("pmi"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2684,6 +2728,8 @@ QUERIES = {
     "rolling_distinct": q_rolling_distinct,
     "transition_matrix": q_transition_matrix,
     "top_paths": q_top_paths,
+    "select_budget": q_select_budget,
+    "pmi_cooccurrence": q_pmi_cooccurrence,
 }
 
 ORACLE = {
@@ -4800,6 +4846,59 @@ ORACLE = {
         )
         SELECT path, path_len, count(*) AS n_users
         FROM p GROUP BY path, path_len
+    """,
+    "select_budget": """
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT source, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY n_tokens DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum_tokens
+            FROM scored
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+               CAST(max(cum_tokens) AS BIGINT) AS max_cum
+        FROM c WHERE cum_tokens <= 2000
+        GROUP BY source
+    """,
+    "pmi_cooccurrence": """
+        WITH pairs AS (
+            SELECT DISTINCT doc_id AS d, t
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split(trim(text), ' ')) AS t
+                FROM documents
+            )
+            WHERE t <> ''
+        ), vocab AS (
+            SELECT t, count(*) AS dfreq FROM pairs GROUP BY t
+            ORDER BY dfreq DESC, t LIMIT 50
+        ), kept AS (
+            SELECT p.d, p.t, v.dfreq
+            FROM pairs p JOIN vocab v USING (t)
+        ), co AS (
+            SELECT a.t AS token_a, b.t AS token_b,
+                   count(*) AS n_pair,
+                   any_value(a.dfreq) AS n_a,
+                   any_value(b.dfreq) AS n_b
+            FROM kept a JOIN kept b ON a.d = b.d AND a.t < b.t
+            GROUP BY a.t, b.t
+        )
+        SELECT token_a, token_b, n_pair, n_a, n_b,
+               round(
+                   ln(n_pair * (SELECT count(*) FROM documents)
+                      / (n_a * n_b)) + 0.0000001,
+                   6
+               ) AS pmi
+        FROM co WHERE n_pair >= 5
     """,
 }
 

@@ -1540,3 +1540,52 @@ def F_ts(epoch_s: int):
     import datetime
 
     return datetime.datetime.utcfromtimestamp(epoch_s)
+
+
+def test_select_to_budget_truncates_per_group(spark):
+    from woodwork_spark.operators.packing import select_to_budget
+
+    rows = [
+        # group g: scores 9, 8, 7 with 40+40+40 tokens; budget 100
+        ("g", 1, 9.0, 40), ("g", 2, 8.0, 40), ("g", 3, 7.0, 40),
+        # group h: one doc over budget on its own
+        ("h", 4, 5.0, 150),
+        # tie on score within g2: doc 5 (lower id) wins the last slot
+        ("g2", 5, 1.0, 60), ("g2", 6, 1.0, 60),
+    ]
+    df = spark.createDataFrame(rows, "s string, i long, score double, tok long")
+    kept = select_to_budget(df, "s", "score", "tok", budget=100, id_col="i")
+    got = {r["i"]: r["cum_tokens"] for r in kept.collect()}
+    assert got == {1: 40, 2: 80, 5: 60}  # doc 3 over budget, 150 > 100, tie->id 5
+
+    # distributed path (small_threshold=0 via known_count) agrees
+    kept2 = select_to_budget(
+        df, "s", "score", "tok", budget=100, id_col="i", known_count=10**9,
+    )
+    assert {r["i"]: r["cum_tokens"] for r in kept2.collect()} == got
+
+
+def test_pmi_cooccurrence_counts(spark):
+    import math
+
+    from woodwork_spark.operators.text import pmi_cooccurrence
+
+    rows = [
+        (1, "a b"), (2, "a b"), (3, "a b c"), (4, "c d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["token_a"], r["token_b"]): r
+        for r in pmi_cooccurrence(
+            df, "doc_id", "text", top_vocab=10, min_pair_count=1,
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    assert (ab["n_pair"], ab["n_a"], ab["n_b"]) == (3, 3, 3)
+    assert ab["pmi"] == pytest.approx(math.log(3 * 4 / (3 * 3)))
+    assert out[("b", "c")]["n_pair"] == 1
+    # vocabulary prune: top_vocab=2 keeps only a,b (df 3 each) -> one pair
+    pruned = pmi_cooccurrence(
+        df, "doc_id", "text", top_vocab=2, min_pair_count=1,
+    ).collect()
+    assert {(r["token_a"], r["token_b"]) for r in pruned} == {("a", "b")}

@@ -182,3 +182,49 @@ def rebalance_mix(
     return stratified_hash_sample(
         df, key_col, fractions, group_col, salt=salt,
     )
+
+
+def select_to_budget(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    token_col: str,
+    budget: int,
+    id_col: str,
+    out_col: str = "cum_tokens",
+    known_count: int = None,
+) -> DataFrame:
+    """Quality-ranked token-budget selection per group: within each
+    group (source/language/domain), keep documents in DESCENDING
+    ``score_col`` order while the inclusive running ``token_col`` sum
+    stays within ``budget`` — "the best N-billion tokens per source",
+    the selection step between quality scoring and sequence packing in
+    a training-data pipeline.
+
+    Rides ``grouped_prefix_sum``'s range shuffle on (group, -score,
+    id): a group holding 90% of the corpus spans many partitions —
+    no reducer-per-group window, no single-reducer stage.  Truncation
+    semantics: a document is kept iff its inclusive cumulative tokens
+    <= budget (the first over-budget doc and everything ranked below
+    it are dropped).  Ties on score break by ascending ``id_col``, so
+    the kept set is deterministic.  Returns the kept rows with
+    ``{out_col}`` = inclusive cumulative tokens.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from woodwork_spark.operators.rank import grouped_prefix_sum
+
+    out = grouped_prefix_sum(
+        df,
+        group_col,
+        [F.col(score_col).desc(), F.col(id_col).asc()],
+        token_col,
+        out_col="__prefix",
+        known_count=known_count,
+    )
+    final = (
+        out.withColumn(out_col, F.col("__prefix") + F.col(token_col))
+        .where(F.col(out_col) <= budget)
+        .drop("__prefix")
+    )
+    return attach_persisted(final, *persisted_frames(out))

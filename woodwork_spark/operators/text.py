@@ -402,3 +402,73 @@ def bigram_logprob(
     )
     out = df.select(id_col).distinct().join(scored, id_col, "left")
     return attach_persisted(out, big)
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_vocab: int = 1_000,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in the
+    same document — the corpus-analysis primitive behind collocation
+    mining, topic coherence scoring, and embedding-free relatedness:
+    ``pmi(a,b) = log(n_ab * N / (n_a * n_b))`` over document-level
+    co-occurrence.
+
+    Scale shape: documents collapse to DISTINCT (doc, token) pairs
+    first (one map-side-combinable shuffle), the vocabulary is pruned
+    to the ``top_vocab`` highest-document-frequency tokens via one
+    tiny agg (broadcast semi-joined back — the pair blowup is bounded
+    by the PRUNED per-doc distinct count, never raw text length), and
+    the pair counts come from ONE doc-keyed self-join with ``a < b``.
+    ``min_pair_count`` prunes the long singleton tail before it is
+    ever materialized to the driver or sink.  N is the total document
+    count of ``df`` (docs with no surviving token still count — PMI
+    stays comparable across prune levels).
+
+    Returns ``(token_a, token_b, n_pair, n_a, n_b, pmi)``.
+    """
+    if top_vocab < 2:
+        raise ValueError("top_vocab must be >= 2")
+    n_docs = df.count()
+    pairs = (
+        df.select(
+            F.col(id_col).alias("__d"),
+            F.explode(tokens_expr(text_col)).alias("__t"),
+        )
+        .where(F.col("__t") != "")
+        .distinct()
+    )
+    vocab = (
+        pairs.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .orderBy(F.col("__df").desc(), F.col("__t"))
+        .limit(top_vocab)
+    )
+    kept = pairs.join(F.broadcast(vocab), "__t")
+    left = kept.select(
+        "__d", F.col("__t").alias("token_a"), F.col("__df").alias("n_a"),
+    )
+    right = kept.select(
+        "__d", F.col("__t").alias("token_b"), F.col("__df").alias("n_b"),
+    )
+    co = (
+        left.join(right, "__d")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pair"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .where(F.col("n_pair") >= min_pair_count)
+    )
+    return co.select(
+        "token_a", "token_b", "n_pair", "n_a", "n_b",
+        F.log(
+            F.col("n_pair") * F.lit(n_docs)
+            / (F.col("n_a") * F.col("n_b")),
+        ).alias("pmi"),
+    )
