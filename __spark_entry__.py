@@ -2620,6 +2620,60 @@ def q_pmi_cooccurrence(spark, sf_dir):
     )
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift between purchase and click
+    value distributions: per-value counts full-outer-joined, both ECDFs
+    from ONE shared range-partitioned prefix sum, one max agg."""
+    from woodwork_spark.operators.curation import ks_drift
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("value")
+    b = ev.where(F.col("event_type") == "click").select("value")
+    out = ks_drift(a, b, "value")
+    return out.select(
+        _ravg(F.col("ks_stat"), 6).alias("ks_stat"),
+        _ravg(F.col("at_value"), 4).alias("at_value"),
+        "n_a", "n_b",
+    )
+
+
+def q_concentration(spark, sf_dir):
+    """Corpus concentration over sources (weight = chars): HHI, Gini,
+    top-1/top-5 share — group agg, distributed rank on the aggregated
+    table, totals broadcast back from one tiny agg."""
+    from woodwork_spark.operators.curation import concentration_report
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = concentration_report(docs, "source", weight_col="n_chars")
+    return out.select(
+        "n_groups",
+        _ravg(F.col("total_weight"), 2).alias("total_weight"),
+        _ravg(F.col("hhi"), 6).alias("hhi"),
+        _ravg(F.col("gini"), 6).alias("gini"),
+        _ravg(F.col("top_share"), 6).alias("top_share"),
+        _ravg(F.col("top5_share"), 6).alias("top5_share"),
+    )
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the token frequency spectrum (top-100
+    ranks): one token-count agg, distributed frequency rank, one
+    regr_slope/intercept/r2 aggregate — all JVM built-ins."""
+    from woodwork_spark.operators.text import zipf_fit
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = zipf_fit(docs, "text", max_rank=100)
+    return out.select(
+        _ravg(F.col("slope"), 6).alias("slope"),
+        _ravg(F.col("intercept"), 6).alias("intercept"),
+        _ravg(F.col("r2"), 6).alias("r2"),
+        "n_tokens", "vocab_size",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2730,6 +2784,9 @@ QUERIES = {
     "top_paths": q_top_paths,
     "select_budget": q_select_budget,
     "pmi_cooccurrence": q_pmi_cooccurrence,
+    "ks_drift": q_ks_drift,
+    "concentration": q_concentration,
+    "zipf_fit": q_zipf_fit,
 }
 
 ORACLE = {
@@ -4899,6 +4956,84 @@ ORACLE = {
                    6
                ) AS pmi
         FROM co WHERE n_pair >= 5
+    """,
+    "ks_drift": """
+        WITH a AS (
+            SELECT value AS v, count(*) AS na FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY value
+        ), b AS (
+            SELECT value AS v, count(*) AS nb FROM events
+            WHERE event_type = 'click' AND value IS NOT NULL
+            GROUP BY value
+        ), m AS (
+            SELECT coalesce(a.v, b.v) AS v,
+                   coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+            FROM a FULL OUTER JOIN b ON a.v = b.v
+        ), c AS (
+            SELECT v,
+                   sum(na) OVER (ORDER BY v) AS ca,
+                   sum(nb) OVER (ORDER BY v) AS cb
+            FROM m
+        ), t AS (
+            SELECT max(ca) AS ta, max(cb) AS tb FROM c
+        ), g AS (
+            SELECT v, abs(ca / ta - cb / tb) AS gap, ta, tb
+            FROM c, t
+        )
+        SELECT round(gap + 0.0000001, 6) AS ks_stat,
+               round(v + 0.0000001, 4) AS at_value,
+               CAST(ta AS BIGINT) AS n_a,
+               CAST(tb AS BIGINT) AS n_b
+        FROM g
+        QUALIFY row_number() OVER (ORDER BY gap DESC, v ASC) = 1
+    """,
+    "concentration": """
+        WITH w AS (
+            SELECT source, CAST(sum(n_chars) AS DOUBLE) AS wt
+            FROM documents GROUP BY source
+        ), r AS (
+            SELECT source, wt,
+                   row_number() OVER (ORDER BY wt ASC, source ASC) AS i,
+                   count(*) OVER () AS n,
+                   sum(wt) OVER () AS tw
+            FROM w
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_groups,
+               round(sum(wt) + 0.0000001, 2) AS total_weight,
+               round(sum((wt / tw) * (wt / tw)) + 0.0000001, 6) AS hhi,
+               round(2.0 * sum(i * wt) / (max(n) * sum(wt))
+                     - (max(n) + 1.0) / max(n) + 0.0000001, 6) AS gini,
+               round(sum(CASE WHEN i >= n THEN wt / tw END)
+                     + 0.0000001, 6) AS top_share,
+               round(sum(CASE WHEN i >= n - 4 THEN wt / tw END)
+                     + 0.0000001, 6) AS top5_share
+        FROM r
+    """,
+    "zipf_fit": """
+        WITH f AS (
+            SELECT t AS tok, count(*) AS fr
+            FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS t
+                FROM documents
+            )
+            WHERE t <> ''
+            GROUP BY t
+        ), r AS (
+            SELECT fr,
+                   row_number() OVER (ORDER BY fr DESC, tok ASC) - 1 AS rk,
+                   sum(fr) OVER () AS n_tok,
+                   count(*) OVER () AS vocab
+            FROM f
+        )
+        SELECT round(regr_slope(ln(fr), ln(rk + 1.0)) + 0.0000001, 6)
+                   AS slope,
+               round(regr_intercept(ln(fr), ln(rk + 1.0)) + 0.0000001, 6)
+                   AS intercept,
+               round(regr_r2(ln(fr), ln(rk + 1.0)) + 0.0000001, 6) AS r2,
+               CAST(max(n_tok) AS BIGINT) AS n_tokens,
+               CAST(max(vocab) AS BIGINT) AS vocab_size
+        FROM r WHERE rk < 100
     """,
 }
 

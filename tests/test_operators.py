@@ -1589,3 +1589,57 @@ def test_pmi_cooccurrence_counts(spark):
         df, "doc_id", "text", top_vocab=2, min_pair_count=1,
     ).collect()
     assert {(r["token_a"], r["token_b"]) for r in pruned} == {("a", "b")}
+
+
+def test_ks_drift_known_distance(spark):
+    from woodwork_spark.operators.curation import ks_drift
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: CDF gap peaks at v=2 (2/4 - 0 = 0.5)
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    b = spark.createDataFrame([(3.0,), (4.0,), (5.0,), (6.0,)], "v double")
+    r = ks_drift(a, b, "v").collect()[0]
+    assert r["ks_stat"] == pytest.approx(0.5)
+    assert r["at_value"] == 2.0
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    # identical samples -> zero distance
+    z = ks_drift(a, a, "v").collect()[0]
+    assert z["ks_stat"] == pytest.approx(0.0)
+    # distributed path agrees
+    d = ks_drift(a, b, "v", small_threshold=0).collect()[0]
+    assert (d["ks_stat"], d["at_value"]) == (r["ks_stat"], r["at_value"])
+
+
+def test_concentration_report_extremes(spark):
+    from woodwork_spark.operators.curation import concentration_report
+
+    # perfectly uniform weights -> gini 0, hhi 1/n
+    uni = spark.createDataFrame(
+        [(f"g{i}", 10) for i in range(4)], "g string, w long",
+    )
+    r = concentration_report(uni, "g", weight_col="w").collect()[0]
+    assert r["n_groups"] == 4
+    assert r["hhi"] == pytest.approx(0.25)
+    assert r["gini"] == pytest.approx(0.0)
+    assert r["top5_share"] == pytest.approx(1.0)
+    # one dominant group
+    skew = spark.createDataFrame(
+        [("big", 97), ("s1", 1), ("s2", 1), ("s3", 1)], "g string, w long",
+    )
+    s = concentration_report(skew, "g", weight_col="w").collect()[0]
+    assert s["top_share"] == pytest.approx(0.97)
+    assert s["hhi"] > 0.9 and s["gini"] > 0.7
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    # plant an exact power law: freq(rank) = round(1000 / rank)
+    docs = [
+        (rank, " ".join([f"tok{rank:02d}"] * round(1000 / rank)))
+        for rank in range(1, 30)
+    ]
+    from woodwork_spark.operators.text import zipf_fit
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = zipf_fit(df, "text", max_rank=29).collect()[0]
+    assert r["slope"] == pytest.approx(-1.0, abs=0.05)
+    assert r["r2"] > 0.99
+    assert r["vocab_size"] == 29

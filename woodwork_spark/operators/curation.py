@@ -388,3 +388,135 @@ def group_quantile_gate(
             out_col, F.coalesce(cond, F.lit(False)),
         ).drop("__thr")
     return joined.filter(cond).drop("__thr")
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the ``col``
+    distributions of two corpora — the non-parametric complement to
+    :func:`psi_drift_report`: no binning choices, sensitive to ANY
+    distributional shift (location, scale, shape).
+
+    Distributed shape: each side collapses to per-distinct-value counts
+    (map-side combinable), the sides full-outer-join on the value, and
+    BOTH empirical CDFs come from ONE shared range-partitioned prefix
+    sum (``global_prefix_sums`` — no single-reducer cumulative window
+    even when distinct values ~ rows).  The statistic itself is one
+    max() agg.  Nulls are excluded (KS is defined over observed
+    values).
+
+    Returns one row: ``(ks_stat, at_value, n_a, n_b)`` where
+    ``at_value`` is the location where the CDF gap peaks (smallest such
+    value on ties).
+    """
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.rank import global_prefix_sums
+
+    ca = (
+        df_a.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+        .groupBy("v").agg(F.count(F.lit(1)).alias("__na"))
+    )
+    cb = (
+        df_b.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+        .groupBy("v").agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    m = (
+        ca.join(cb, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("__na", F.lit(0)).alias("__na"),
+            F.coalesce("__nb", F.lit(0)).alias("__nb"),
+        )
+    )
+    cum = global_prefix_sums(
+        m, [F.asc("v")], ["__na", "__nb"], ["__ca", "__cb"],
+        inclusive=True, small_threshold=small_threshold,
+    )
+    # totals = the last inclusive cum values: ONE tiny agg (reuses the
+    # persisted range-partitioned frame), broadcast back — no global
+    # single-partition window over the distinct-value table
+    tot = cum.agg(
+        F.max("__ca").alias("__ta"), F.max("__cb").alias("__tb"),
+    )
+    gap = cum.crossJoin(F.broadcast(tot)).select(
+        "v", "__ca", "__cb",
+        F.abs(
+            F.col("__ca") / F.col("__ta") - F.col("__cb") / F.col("__tb"),
+        ).alias("__gap"),
+    )
+    out = gap.agg(
+        F.max("__gap").alias("ks_stat"),
+        F.min_by(
+            F.col("v"),
+            F.struct((-F.col("__gap")).alias("g"), F.col("v").alias("v")),
+        ).alias("at_value"),
+        F.max("__ca").alias("n_a"),
+        F.max("__cb").alias("n_b"),
+    )
+    return attach_persisted(out, *persisted_frames(cum))
+
+
+def concentration_report(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str = None,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Corpus concentration diagnostics over a grouping (source, domain,
+    language): Herfindahl–Hirschman index, Gini coefficient, and
+    top-1/top-5 share of the total weight — the governance numbers that
+    say "is this corpus three crawl hosts in a trenchcoat".
+
+    One groupBy collapses the corpus to per-group weights (bounded by
+    group cardinality); ranking for Gini/top-k runs on the AGGREGATED
+    table through the cardinality-aware distributed rank (no
+    single-reducer window when groups number in the millions, e.g.
+    web domains).  Returns one row:
+    ``(n_groups, total_weight, hhi, gini, top_share, top5_share)``.
+
+    Gini uses the standard rank formulation
+    ``G = 2*sum(i*w_i)/(n*sum(w)) - (n+1)/n`` over weights sorted
+    ascending (1-based rank i).
+    """
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.rank import global_row_number
+
+    wexpr = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    ).cast("double")
+    agg = df.groupBy(group_col).agg(wexpr.alias("__w"))
+    ranked = global_row_number(
+        agg, [F.asc("__w"), F.asc_nulls_last(group_col)], out_col="__i",
+        small_threshold=small_threshold,
+    )
+    # totals via ONE tiny agg broadcast back (reuses the rank frame's
+    # persisted shuffle) — a global window here would single-reduce a
+    # table as big as the group cardinality
+    tots = ranked.agg(
+        F.sum("__w").alias("__tw"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    scored = ranked.crossJoin(F.broadcast(tots)).select(
+        "__w",
+        ((F.col("__i") + 1) * F.col("__w")).alias("__iw"),
+        (F.col("__w") / F.col("__tw")).alias("__share"),
+        "__n",
+        (F.col("__i") >= F.col("__n") - 1).alias("__top1"),
+        (F.col("__i") >= F.col("__n") - 5).alias("__top5"),
+    )
+    out = scored.agg(
+        F.max("__n").cast("long").alias("n_groups"),
+        F.sum("__w").alias("total_weight"),
+        F.sum(F.col("__share") * F.col("__share")).alias("hhi"),
+        (
+            F.lit(2.0) * F.sum("__iw") / (F.max("__n") * F.sum("__w"))
+            - (F.max("__n") + 1) / F.max("__n")
+        ).alias("gini"),
+        F.sum(F.when(F.col("__top1"), F.col("__share"))).alias("top_share"),
+        F.sum(F.when(F.col("__top5"), F.col("__share"))).alias("top5_share"),
+    )
+    return attach_persisted(out, *persisted_frames(ranked))

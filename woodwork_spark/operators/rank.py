@@ -345,3 +345,65 @@ def global_ntile(
         )
     out = rn_df.withColumn(out_col, bucket.cast("long")).drop("__rn")
     return attach_persisted(out, src, *persisted_frames(rn_df))
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order,
+    value_cols,
+    out_cols=None,
+    inclusive: bool = False,
+    num_partitions: int = None,
+    small_threshold: int = 100_000,
+    known_count: int = None,
+) -> DataFrame:
+    """Running sums of SEVERAL value columns in one global ``order`` —
+    one range shuffle and one per-bucket window shared by all of them
+    (calling ``global_prefix_sum`` per column would re-sort per
+    column).  The offsets job folds every column into ONE tiny
+    aggregation.  ``inclusive=False`` gives the exclusive
+    (strictly-preceding) sum like ``global_prefix_sum``;
+    ``inclusive=True`` includes the current row — the ECDF shape.
+
+    Same cardinality-aware small-input switch and persist lifecycle as
+    the single-column primitives.
+    """
+    value_cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    out_cols = out_cols or [f"{c}_cum" for c in value_cols]
+    if len(out_cols) != len(value_cols):
+        raise ValueError("out_cols must match value_cols")
+    hi = 0 if inclusive else -1
+    small, src, persisted = _probe_small(df, small_threshold, known_count)
+    if small:
+        w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, hi)
+        out = src
+        for vc, oc in zip(value_cols, out_cols):
+            out = out.withColumn(
+                oc, F.coalesce(F.sum(vc).over(w), F.lit(0)),
+            )
+        return attach_persisted(out, src if persisted else None)
+    parted = _range_partitioned(src, order, num_partitions)
+    # ONE offsets job for every column: per-bucket totals collected
+    # together, one pid->offset map per column
+    rows = parted.groupBy(_PID).agg(
+        *[F.sum(vc).alias(f"__t_{i}") for i, vc in enumerate(value_cols)],
+    ).collect()
+    offs = []
+    for i in range(len(value_cols)):
+        acc = 0
+        items = []
+        for r in sorted(rows, key=lambda r: r[_PID]):
+            items += [F.lit(r[_PID]), F.lit(acc)]
+            acc += r[f"__t_{i}"] or 0
+        offs.append(
+            F.coalesce(F.create_map(*items)[F.col(_PID)], F.lit(0))
+            if items else F.lit(0),
+        )
+    w = W.partitionBy(_PID).orderBy(*order).rowsBetween(W.unboundedPreceding, hi)
+    out = parted
+    for (vc, oc), off in zip(zip(value_cols, out_cols), offs):
+        out = out.withColumn(
+            oc, F.coalesce(F.sum(vc).over(w), F.lit(0)) + off,
+        )
+    out = out.drop(_PID)
+    return attach_persisted(out, parted, src if persisted else None)

@@ -472,3 +472,53 @@ def pmi_cooccurrence(
             / (F.col("n_a") * F.col("n_b")),
         ).alias("pmi"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    max_rank: int = 10_000,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token-frequency distribution: the
+    slope/intercept/R² of ``log(freq) ~ log(rank)`` over the top
+    ``max_rank`` tokens — natural text sits near slope -1, and a corpus
+    that drifts far from it (templated spam near 0, boilerplate floods
+    below -1.5) fails the smell test before any model sees it.
+
+    One token-count aggregation (map-side combinable), frequency ranks
+    from the cardinality-aware distributed rank (no single-reducer
+    window over a web-scale vocabulary), then ONE regression aggregate
+    (``regr_slope``/``regr_intercept``/``regr_r2`` — JVM built-ins)
+    over at most ``max_rank`` rows.
+
+    Returns one row: ``(slope, intercept, r2, n_tokens, vocab_size)``
+    where n_tokens counts all token occurrences and vocab_size the
+    distinct tokens BEFORE the rank cut.
+    """
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.rank import global_row_number
+
+    freqs = (
+        df.select(F.explode(tokens_expr(text_col)).alias("__t"))
+        .where(F.col("__t") != "")
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    ranked = global_row_number(
+        freqs, [F.desc("__f"), F.asc("__t")], out_col="__r",
+        small_threshold=small_threshold,
+    )
+    tots = ranked.agg(
+        F.sum("__f").alias("__n_tok"),
+        F.count(F.lit(1)).cast("long").alias("__vocab"),
+    )
+    top = ranked.where(F.col("__r") < max_rank)
+    out = top.crossJoin(F.broadcast(tots)).agg(
+        F.expr("regr_slope(log(cast(__f as double)), log(cast(__r as double) + 1.0))").alias("slope"),
+        F.expr("regr_intercept(log(cast(__f as double)), log(cast(__r as double) + 1.0))").alias("intercept"),
+        F.expr("regr_r2(log(cast(__f as double)), log(cast(__r as double) + 1.0))").alias("r2"),
+        F.max("__n_tok").alias("n_tokens"),
+        F.max("__vocab").alias("vocab_size"),
+    )
+    return attach_persisted(out, *persisted_frames(ranked))
