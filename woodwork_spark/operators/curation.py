@@ -520,3 +520,111 @@ def concentration_report(
         F.sum(F.when(F.col("__top5"), F.col("__share"))).alias("top5_share"),
     )
     return attach_persisted(out, *persisted_frames(ranked))
+
+
+def vocab_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Jensen–Shannon divergence between the unigram distributions of
+    two corpora (plus both directed KL terms and vocabulary overlap) —
+    the standard "how different is this source really" number for mix
+    planning, dedup triage, and drift tracking on TEXT rather than on
+    scalar features.
+
+    One token-count agg per side (map-side combinable), one full-outer
+    join on the token, totals broadcast from one tiny agg, then ONE
+    divergence aggregation — all JVM expressions, token tables never
+    leave the executors.  JS = 0.5*KL(p||m) + 0.5*KL(q||m), m=(p+q)/2;
+    zero-probability terms contribute 0 by definition.  Natural-log
+    units (nats); JS is bounded by ln 2.
+
+    Returns one row: ``(js_div, kl_a, kl_b, vocab_a, vocab_b,
+    vocab_shared)``.
+    """
+    def _counts(d, side):
+        return (
+            d.select(F.explode(tokens_expr(text_col)).alias("__t"))
+            .where(F.col("__t") != "")
+            .groupBy("__t")
+            .agg(F.count(F.lit(1)).alias(f"__c{side}"))
+        )
+
+    m = (
+        _counts(df_a, "a").join(_counts(df_b, "b"), "__t", "full_outer")
+        .select(
+            "__t",
+            F.coalesce("__ca", F.lit(0)).alias("__ca"),
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+        )
+    )
+    tots = m.agg(
+        F.sum("__ca").alias("__ta"), F.sum("__cb").alias("__tb"),
+    )
+    probs = m.crossJoin(F.broadcast(tots)).select(
+        "__ca", "__cb",
+        (F.col("__ca") / F.col("__ta")).alias("__p"),
+        (F.col("__cb") / F.col("__tb")).alias("__q"),
+    )
+    mid = (F.col("__p") + F.col("__q")) / 2
+    kl_a_term = F.when(
+        F.col("__p") > 0, F.col("__p") * F.log(F.col("__p") / mid),
+    ).otherwise(F.lit(0.0))
+    kl_b_term = F.when(
+        F.col("__q") > 0, F.col("__q") * F.log(F.col("__q") / mid),
+    ).otherwise(F.lit(0.0))
+    return probs.agg(
+        (F.sum(kl_a_term) / 2 + F.sum(kl_b_term) / 2).alias("js_div"),
+        F.sum(kl_a_term).alias("kl_a"),
+        F.sum(kl_b_term).alias("kl_b"),
+        F.sum((F.col("__ca") > 0).cast("long")).alias("vocab_a"),
+        F.sum((F.col("__cb") > 0).cast("long")).alias("vocab_b"),
+        F.sum(
+            ((F.col("__ca") > 0) & (F.col("__cb") > 0)).cast("long"),
+        ).alias("vocab_shared"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    weight_col: str = None,
+) -> DataFrame:
+    """Temperature-scaled sampling plan per group (the multilingual-mix
+    recipe: share_g ∝ natural_share_g^alpha).  ``alpha`` < 1 flattens
+    the mix toward uniform (upweights tail languages), 1 keeps it
+    natural, > 1 sharpens.  Because filtering can only DOWN-sample,
+    target shares are scaled by the largest feasible global factor c
+    (= min over groups of natural/target), so the keep fraction is
+    exactly 1 for the binding group and < 1 elsewhere — the same
+    largest-feasible-c discipline as ``rebalance_mix``.
+
+    One corpus aggregation to per-group weights; the share/temperature
+    algebra runs on the aggregated table (window over group rows —
+    bounded by mix cardinality, which is small by construction for a
+    sampling plan).  Returns ``(group, weight, natural_frac,
+    target_frac, keep_frac)``.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+    from pyspark.sql import Window as W
+
+    wexpr = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    ).cast("double")
+    agg = df.groupBy(group_col).agg(wexpr.alias("weight"))
+    w_all = W.partitionBy()
+    shared = agg.select(
+        group_col, "weight",
+        (F.col("weight") / F.sum("weight").over(w_all)).alias("natural_frac"),
+    )
+    pw = F.pow(F.col("natural_frac"), F.lit(float(alpha)))
+    shared = shared.withColumn(
+        "target_frac", pw / F.sum(pw).over(w_all),
+    )
+    c = F.min(F.col("natural_frac") / F.col("target_frac")).over(w_all)
+    return shared.withColumn(
+        "keep_frac", c * F.col("target_frac") / F.col("natural_frac"),
+    )

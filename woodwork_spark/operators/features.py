@@ -120,3 +120,70 @@ def winsorize(
             .otherwise(F.col(c)),
         )
     return out
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    out_col: str = "normalized",
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Cross-group quantile normalization: each row's score is replaced
+    by the GLOBAL score found at its within-group quantile position —
+    after it, every group has the same score distribution (the global
+    one), so a threshold means the same thing for every source/model
+    that produced the raw scores.  The calibration step before
+    cross-source quality gating when scorers are per-language or
+    per-domain models with incomparable scales.
+
+    Integer-exact definition (ties broken by ``id_col``, both ranks
+    0-based): a row at within-group position p of n_g maps to the
+    global sorted value at index ``floor(p/(n_g-1) * (N-1) + 0.5)``
+    (position 0 when the group is a singleton).
+
+    Distributed shape: the within-group rank is a grouped prefix count
+    on the range shuffle (no reducer-per-group window), the global
+    sorted table comes from the cardinality-aware global rank, and the
+    mapping is ONE equi-join on the computed index.  Group sizes join
+    back as a broadcast (one tiny agg).
+    """
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.rank import (
+        global_row_number,
+        grouped_prefix_sum,
+    )
+
+    order = [F.asc(score_col), F.asc(id_col)]
+    ranked = grouped_prefix_sum(
+        df.withColumn("__one", F.lit(1)),
+        group_col, order, "__one", out_col="__p",
+        small_threshold=small_threshold,
+    )
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ng"))
+    glob = global_row_number(
+        df.select(F.col(score_col).alias("__gv"), F.col(id_col).alias("__gid")),
+        [F.asc("__gv"), F.asc("__gid")],
+        out_col="__j",
+        small_threshold=small_threshold,
+    )
+    n_total = df.count()
+    target = (
+        ranked.join(F.broadcast(sizes), group_col)
+        .withColumn(
+            "__target",
+            F.when(F.col("__ng") > 1, F.floor(
+                F.col("__p") / (F.col("__ng") - 1)
+                * F.lit(n_total - 1) + F.lit(0.5),
+            ).cast("long")).otherwise(F.lit(0)),
+        )
+    )
+    out = (
+        target.join(glob.select("__j", "__gv"), target["__target"] == glob["__j"])
+        .withColumn(out_col, F.col("__gv"))
+        .drop("__one", "__p", "__ng", "__target", "__j", "__gv")
+    )
+    return attach_persisted(
+        out, *persisted_frames(ranked), *persisted_frames(glob),
+    )

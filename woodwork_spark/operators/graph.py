@@ -31,23 +31,28 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     redistribute_dangling: bool = False,
+    distinct_edges: bool = True,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns ``(node, pagerank)``
     for every node appearing as src or dst.
 
     ``pr_{t+1}(v) = (1-d)/N + d * sum over in-edges (u,v) of
     pr_t(u)/outdeg(u)`` starting from the uniform 1/N vector.
-    Duplicate edges count once (set semantics).
+    Duplicate edges count once (set semantics); pass
+    ``distinct_edges=False`` to skip that shuffle when the caller
+    already guarantees a simple graph.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
-        )
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if distinct_edges:
+        e = e.distinct()
+    # three setup jobs (nodes, outdegrees, weighted edges) read the edge
+    # list — persist it once instead of re-running the upstream plan
+    # (often a distinct over raw fact rows) per job
+    e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -56,7 +61,11 @@ def pagerank(
     )
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    ew = e.join(deg, "src").persist()  # (src, dst, outdeg) — loop-invariant
+    # (src, dst, outdeg) — loop-invariant.  Persisted PRE-PARTITIONED on
+    # the join key: every iteration's contribution join then reuses this
+    # layout and only the (small) rank vector moves; without it the full
+    # edge list re-shuffles once per iteration.
+    ew = e.join(deg, "src").repartition("src").persist()
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("pagerank", F.lit(1.0 / n))
     for _ in range(iterations):
@@ -97,4 +106,4 @@ def pagerank(
                 F.col("pagerank") + F.lit(damping * leaked / n),
             )
         ranks = new_ranks.localCheckpoint(eager=True)
-    return attach_persisted(ranks, nodes, ew)
+    return attach_persisted(ranks, nodes, ew, e)
