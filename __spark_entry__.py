@@ -2681,6 +2681,81 @@ def q_zipf_fit(spark, sf_dir):
     )
 
 
+def q_quantile_normalize(spark, sf_dir):
+    """Cross-source quantile normalization of document lengths: each
+    doc's n_chars replaced by the GLOBAL length at its within-source
+    quantile position (integer-exact index mapping) — grouped prefix
+    rank + global rank + one index equi-join, no per-group reducer."""
+    from woodwork_spark.operators.features import quantile_normalize
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    qn = quantile_normalize(docs, "source", "n_chars", "doc_id")
+    return qn.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _ravg(F.avg("normalized"), 4).alias("avg_norm"),
+        F.min("normalized").alias("min_norm"),
+        F.max("normalized").alias("max_norm"),
+    )
+
+
+def q_vocab_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence between the en and es unigram
+    distributions: per-side token counts, one full-outer join, totals
+    broadcast, one divergence agg — token tables stay on executors."""
+    from woodwork_spark.operators.curation import vocab_divergence
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = vocab_divergence(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") == "es"),
+        "text",
+    )
+    return out.select(
+        _ravg(F.col("js_div"), 6).alias("js_div"),
+        _ravg(F.col("kl_a"), 6).alias("kl_a"),
+        _ravg(F.col("kl_b"), 6).alias("kl_b"),
+        "vocab_a", "vocab_b", "vocab_shared",
+    )
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled language-mix plan (alpha=0.5, weight=chars):
+    natural shares flattened toward uniform, scaled by the largest
+    feasible downsampling factor — one corpus agg, share algebra on
+    the tiny mix table."""
+    from woodwork_spark.operators.curation import temperature_mix
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mix(docs, "lang", 0.5, weight_col="n_chars")
+    return out.select(
+        "lang",
+        _ravg(F.col("weight"), 1).alias("weight"),
+        _ravg(F.col("natural_frac"), 6).alias("natural_frac"),
+        _ravg(F.col("target_frac"), 6).alias("target_frac"),
+        _ravg(F.col("keep_frac"), 6).alias("keep_frac"),
+    )
+
+
+def q_interarrival(spark, sf_dir):
+    """Per-user inter-arrival statistics + Goh-Barabási burstiness:
+    one lag window per user sharing a single sort, one agg."""
+    from woodwork_spark.operators.timeseries import interarrival_stats
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = interarrival_stats(ev, "ts", "user_id", tie_cols=["event_id"])
+    return out.select(
+        "user_id", "n_events",
+        _ravg(F.col("mean_gap_s"), 4).alias("mean_gap_s"),
+        _ravg(F.col("std_gap_s"), 4).alias("std_gap_s"),
+        _ravg(F.col("cv"), 6).alias("cv"),
+        _ravg(F.col("burstiness"), 6).alias("burstiness"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2794,6 +2869,10 @@ QUERIES = {
     "ks_drift": q_ks_drift,
     "concentration": q_concentration,
     "zipf_fit": q_zipf_fit,
+    "quantile_normalize": q_quantile_normalize,
+    "vocab_divergence": q_vocab_divergence,
+    "temperature_mix": q_temperature_mix,
+    "interarrival": q_interarrival,
 }
 
 ORACLE = {
@@ -5041,6 +5120,123 @@ ORACLE = {
                CAST(max(n_tok) AS BIGINT) AS n_tokens,
                CAST(max(vocab) AS BIGINT) AS vocab_size
         FROM r WHERE rk < 100
+    """,
+    "quantile_normalize": """
+        WITH g AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id
+                   ) - 1 AS p,
+                   count(*) OVER (PARTITION BY source) AS ng
+            FROM documents
+        ), gsorted AS (
+            SELECT n_chars AS gv,
+                   row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS j
+            FROM documents
+        ), tot AS (
+            SELECT count(*) AS n FROM documents
+        ), t AS (
+            SELECT g.source,
+                   CASE WHEN ng > 1
+                        THEN CAST(floor(
+                            CAST(p AS DOUBLE) / (ng - 1) * (n - 1) + 0.5
+                        ) AS BIGINT)
+                        ELSE 0 END AS tgt
+            FROM g, tot
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               round(avg(gv) + 0.0000001, 4) AS avg_norm,
+               min(gv) AS min_norm,
+               max(gv) AS max_norm
+        FROM t JOIN gsorted ON t.tgt = gsorted.j
+        GROUP BY source
+    """,
+    "vocab_divergence": """
+        WITH ta AS (
+            SELECT t, count(*) AS c FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS t
+                FROM documents WHERE lang = 'en'
+            ) WHERE t <> '' GROUP BY t
+        ), tb AS (
+            SELECT t, count(*) AS c FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS t
+                FROM documents WHERE lang = 'es'
+            ) WHERE t <> '' GROUP BY t
+        ), m AS (
+            SELECT coalesce(ta.c, 0) AS ca, coalesce(tb.c, 0) AS cb
+            FROM ta FULL OUTER JOIN tb ON ta.t = tb.t
+        ), tt AS (
+            SELECT CAST(sum(ca) AS DOUBLE) AS sa,
+                   CAST(sum(cb) AS DOUBLE) AS sb
+            FROM m
+        ), p AS (
+            SELECT ca, cb, ca / sa AS pa, cb / sb AS qb FROM m, tt
+        )
+        SELECT round(0.5 * sum(CASE WHEN pa > 0
+                                    THEN pa * ln(pa / ((pa + qb) / 2))
+                                    ELSE 0 END)
+                     + 0.5 * sum(CASE WHEN qb > 0
+                                      THEN qb * ln(qb / ((pa + qb) / 2))
+                                      ELSE 0 END)
+                     + 0.0000001, 6) AS js_div,
+               round(sum(CASE WHEN pa > 0
+                              THEN pa * ln(pa / ((pa + qb) / 2))
+                              ELSE 0 END) + 0.0000001, 6) AS kl_a,
+               round(sum(CASE WHEN qb > 0
+                              THEN qb * ln(qb / ((pa + qb) / 2))
+                              ELSE 0 END) + 0.0000001, 6) AS kl_b,
+               CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS vocab_a,
+               CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS vocab_b,
+               CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS vocab_shared
+        FROM p
+    """,
+    "temperature_mix": """
+        WITH w AS (
+            SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS weight
+            FROM documents GROUP BY lang
+        ), s AS (
+            SELECT lang, weight,
+                   weight / sum(weight) OVER () AS natural_frac
+            FROM w
+        ), t AS (
+            SELECT lang, weight, natural_frac,
+                   pow(natural_frac, 0.5)
+                   / sum(pow(natural_frac, 0.5)) OVER () AS target_frac
+            FROM s
+        )
+        SELECT lang,
+               round(weight + 0.0000001, 1) AS weight,
+               round(natural_frac + 0.0000001, 6) AS natural_frac,
+               round(target_frac + 0.0000001, 6) AS target_frac,
+               round(min(natural_frac / target_frac) OVER ()
+                     * target_frac / natural_frac + 0.0000001, 6)
+                   AS keep_frac
+        FROM t
+    """,
+    "interarrival": """
+        WITH g AS (
+            SELECT user_id,
+                   (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ))) / 1000000.0 AS gap
+            FROM events
+        ), a AS (
+            SELECT user_id,
+                   count(*) AS n_events,
+                   avg(gap) AS mu,
+                   stddev_samp(gap) AS sd
+            FROM g GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               round(mu + 0.0000001, 4) AS mean_gap_s,
+               round(sd + 0.0000001, 4) AS std_gap_s,
+               round(sd / mu + 0.0000001, 6) AS cv,
+               round((sd - mu) / (sd + mu) + 0.0000001, 6) AS burstiness
+        FROM a WHERE n_events >= 3
     """,
 }
 

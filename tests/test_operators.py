@@ -1643,3 +1643,93 @@ def test_zipf_fit_recovers_planted_slope(spark):
     assert r["slope"] == pytest.approx(-1.0, abs=0.05)
     assert r["r2"] > 0.99
     assert r["vocab_size"] == 29
+
+
+def test_quantile_normalize_identical_distributions(spark):
+    from woodwork_spark.operators.features import quantile_normalize
+
+    # group A scores 1..4, group B scores 101..104: after normalization
+    # both groups hold the same GLOBAL quantile values
+    rows = [("A", i, float(i)) for i in range(1, 5)] + [
+        ("B", 10 + i, float(100 + i)) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, score double")
+    out = quantile_normalize(df, "g", "score", "i")
+    by_g = {}
+    for r in out.collect():
+        by_g.setdefault(r["g"], []).append(r["normalized"])
+    assert sorted(by_g["A"]) == sorted(by_g["B"])
+    # positions map to the global sorted values at indices round(p/3*7):
+    # p=0,1,2,3 -> j=0,3,5,7 -> values 1, 3, 102, 104
+    assert sorted(by_g["A"]) == [1.0, 3.0, 102.0, 104.0]
+    # singleton group maps to the global minimum
+    one = spark.createDataFrame(
+        [("A", 1, 5.0), ("A", 2, 7.0), ("S", 3, 99.0)],
+        "g string, i long, score double",
+    )
+    got = {r["i"]: r["normalized"]
+           for r in quantile_normalize(one, "g", "score", "i").collect()}
+    assert got[3] == 5.0
+
+
+def test_vocab_divergence_bounds(spark):
+    import math
+
+    from woodwork_spark.operators.curation import vocab_divergence
+
+    a = spark.createDataFrame([("x x y",)], "text string")
+    b = spark.createDataFrame([("x x y",)], "text string")
+    same = vocab_divergence(a, b, "text").collect()[0]
+    assert same["js_div"] == pytest.approx(0.0)
+    assert same["vocab_shared"] == 2
+    disjoint = vocab_divergence(
+        a, spark.createDataFrame([("z w",)], "text string"), "text",
+    ).collect()[0]
+    assert disjoint["js_div"] == pytest.approx(math.log(2))
+    assert disjoint["vocab_shared"] == 0
+
+
+def test_temperature_mix_properties(spark):
+    from woodwork_spark.operators.curation import temperature_mix
+
+    df = spark.createDataFrame(
+        [("en", 90), ("de", 9), ("yo", 1)], "lang string, w long",
+    )
+    rows = {r["lang"]: r for r in
+            temperature_mix(df, "lang", 0.5, weight_col="w").collect()}
+    # alpha<1 flattens: tail gains target share, head loses
+    assert rows["yo"]["target_frac"] > rows["yo"]["natural_frac"]
+    assert rows["en"]["target_frac"] < rows["en"]["natural_frac"]
+    # the binding group keeps everything; all fracs feasible
+    assert max(r["keep_frac"] for r in rows.values()) == pytest.approx(1.0)
+    assert all(0 < r["keep_frac"] <= 1.0 + 1e-12 for r in rows.values())
+    # alpha=1 is the identity plan
+    nat = {r["lang"]: r for r in
+           temperature_mix(df, "lang", 1.0, weight_col="w").collect()}
+    assert all(nat[g]["keep_frac"] == pytest.approx(1.0) for g in nat)
+
+
+def test_interarrival_stats_burstiness(spark):
+    import datetime
+
+    from woodwork_spark.operators.timeseries import interarrival_stats
+
+    def ts(s):
+        return datetime.datetime.utcfromtimestamp(s)
+
+    rows = (
+        # metronome: gaps all 10s -> sd 0, burstiness -1
+        [(1, ts(i * 10), i) for i in range(5)]
+        # bursty: gaps 1,1,1,100
+        + [(2, ts(s), 10 + i) for i, s in enumerate([0, 1, 2, 3, 103])]
+        # too short: dropped
+        + [(3, ts(0), 20), (3, ts(5), 21)]
+    )
+    df = spark.createDataFrame(rows, "u long, ts timestamp, eid long")
+    out = {r["u"]: r for r in
+           interarrival_stats(df, "ts", "u", tie_cols=["eid"]).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["burstiness"] == pytest.approx(-1.0)
+    assert out[1]["mean_gap_s"] == pytest.approx(10.0)
+    # gaps (1,1,1,100): mu=25.75, sd~49.5 -> B~0.316
+    assert out[2]["burstiness"] == pytest.approx(0.3156, abs=0.01)
