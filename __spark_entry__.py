@@ -2756,6 +2756,65 @@ def q_interarrival(spark, sf_dir):
     )
 
 
+def q_skew_report(spark, sf_dir):
+    """Join-key skew diagnostics on the orders custkey: per-key counts,
+    driver-bounded top-k, one summary agg over KEY CARDINALITY rows
+    broadcast back — the pre-flight check before a 100 TB join."""
+    from woodwork_spark.operators.scale import skew_report
+
+    _prep(spark)
+    ord_ = _t(spark, sf_dir, "orders")
+    out = skew_report(ord_, "o_custkey", top_k=5)
+    return out.select(
+        "o_custkey", "n",
+        _ravg(F.col("share"), 8).alias("share"),
+        "rank", "n_keys", "n_rows", "max_n",
+        _ravg(F.col("avg_n"), 4).alias("avg_n"),
+        _ravg(F.col("p99_n"), 4).alias("p99_n"),
+        _ravg(F.col("skew_ratio"), 4).alias("skew_ratio"),
+        "salt_factor",
+    )
+
+
+def q_stream_distinct(spark, sf_dir):
+    """EXACT windowed distinct users on a doubled event stream (two
+    chained stateful stages: within-watermark (window,key) dedup, then
+    a windowed count).  Append mode only finalizes a window once the
+    watermark passes its end, so the oracle applies the identical
+    cutoff: window_end <= max(ts) - 2h."""
+    import uuid
+
+    from woodwork_spark.streaming import (
+        read_event_stream,
+        windowed_distinct_stream,
+    )
+
+    _prep(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    replayed = read_event_stream(
+        spark, path, max_files_per_trigger=10,
+    ).unionByName(read_event_stream(spark, path, max_files_per_trigger=10))
+    out = windowed_distinct_stream(
+        replayed, "user_id", watermark="2 hours", window="1 day",
+    )
+    name = f"stream_distinct_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(
+        f"""
+        SELECT unix_micros(window_start) AS window_start_us,
+               n_distinct
+        FROM {name}
+        """,
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2873,6 +2932,8 @@ QUERIES = {
     "vocab_divergence": q_vocab_divergence,
     "temperature_mix": q_temperature_mix,
     "interarrival": q_interarrival,
+    "skew_report": q_skew_report,
+    "stream_distinct": q_stream_distinct,
 }
 
 ORACLE = {
@@ -5237,6 +5298,48 @@ ORACLE = {
                round(sd / mu + 0.0000001, 6) AS cv,
                round((sd - mu) / (sd + mu) + 0.0000001, 6) AS burstiness
         FROM a WHERE n_events >= 3
+    """,
+    "skew_report": """
+        WITH c AS (
+            SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+        ), s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(max(n) AS BIGINT) AS max_n,
+                   avg(n) AS avg_n,
+                   quantile_cont(n, 0.99) AS p99_n
+            FROM c
+        ), top AS (
+            SELECT o_custkey, n,
+                   row_number() OVER (ORDER BY n DESC, o_custkey ASC)
+                       AS rank
+            FROM c
+            ORDER BY n DESC, o_custkey ASC LIMIT 5
+        )
+        SELECT o_custkey, n,
+               round(n / CAST(n_rows AS DOUBLE) + 0.0000001, 8) AS share,
+               rank, n_keys, n_rows, max_n,
+               round(avg_n + 0.0000001, 4) AS avg_n,
+               round(p99_n + 0.0000001, 4) AS p99_n,
+               round(max_n / avg_n + 0.0000001, 4) AS skew_ratio,
+               CAST(ceil(max_n / greatest(p99_n, 1.0)) AS BIGINT)
+                   AS salt_factor
+        FROM top, s
+    """,
+    "stream_distinct": """
+        WITH cutoff AS (
+            SELECT max(ts) - INTERVAL 2 HOURS AS wm FROM events
+        ), w AS (
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
+                       AS day_s,
+                   user_id
+            FROM events
+        )
+        SELECT day_s * 1000000 AS window_start_us,
+               count(DISTINCT user_id) AS n_distinct
+        FROM w, cutoff
+        WHERE make_timestamp((day_s + 86400) * 1000000) <= wm
+        GROUP BY day_s
     """,
 }
 

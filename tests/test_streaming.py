@@ -153,3 +153,56 @@ def test_exactly_once_parquet_sink_idempotent_replay(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(out).count() == n_batch
+
+
+def test_windowed_distinct_stream_exact_with_doubled_input(spark):
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.streaming import windowed_distinct_stream
+
+    # at-least-once source: every event delivered twice — exactness of
+    # the (window, key) dedup stage is load-bearing
+    replayed = read_event_stream(spark, EVENTS).unionByName(
+        read_event_stream(spark, EVENTS),
+    )
+    out = _run(
+        windowed_distinct_stream(
+            replayed, "user_id", watermark="2 hours", window="1 day",
+        ),
+        "windist_t",
+        "append",
+    )
+    got = {r["window_start"]: r["n_distinct"] for r in out.collect()}
+    batch = read_parquet(spark, EVENTS)
+    wm = batch.agg(
+        F.max("ts") - F.expr("INTERVAL 2 HOURS"),
+    ).collect()[0][0]
+    want = {
+        r["win"]["start"]: r["nd"]
+        for r in (
+            batch.groupBy(F.window("ts", "1 day").alias("win"))
+            .agg(F.count_distinct("user_id").alias("nd"))
+            .collect()
+        )
+        if r["win"]["end"] <= wm
+    }
+    # append mode finalizes exactly the windows the watermark passed
+    assert got == want and len(got) > 0
+
+
+def test_skew_report_numbers(spark):
+    from woodwork_spark.operators.scale import skew_report
+
+    rows = [("hot", i) for i in range(90)] + [
+        (f"k{i}", i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, x long")
+    out = skew_report(df, "k", top_k=3).collect()
+    assert [r["k"] for r in out] == ["hot", "k0", "k1"]
+    top = out[0]
+    assert (top["n"], top["n_keys"], top["n_rows"], top["max_n"]) == (
+        90, 11, 100, 90,
+    )
+    assert top["share"] == pytest.approx(0.9)
+    # avg = 100/11; skew_ratio = 90/avg
+    assert top["skew_ratio"] == pytest.approx(90 / (100 / 11))
+    assert top["salt_factor"] >= 1

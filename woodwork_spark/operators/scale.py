@@ -9,6 +9,7 @@ skewed keys are known or need deterministic handling.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -314,4 +315,56 @@ def zorder_layout(
     return (
         keyed.repartitionByRange(n, F.col(out_col))
         .sortWithinPartitions(out_col)
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join/agg-key skew diagnostics: the numbers that decide whether a
+    key needs salting BEFORE the 4-hour stage discovers it — per-key
+    top-``top_k`` heavy keys with their share, plus the distribution
+    summary every row repeats (max/avg/p99 key count, skew ratio
+    max/avg, suggested salt factor ceil(max/p99)).
+
+    Two aggregations: per-key counts (map-side combinable), then one
+    summary agg over the counts table (exact percentile over KEY
+    CARDINALITY rows, not data rows) broadcast onto the driver-bounded
+    top-k.  The top-k orderBy+limit is a global top-k — Spark executes
+    it as per-partition partial top-k + one ``top_k``-row merge, never
+    a full sort.
+
+    Returns ``top_k`` rows: ``(key..., n, share, rank, n_keys, n_rows,
+    max_n, avg_n, p99_n, skew_ratio, salt_factor)``.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    summary = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.avg("n").alias("avg_n"),
+        F.percentile("n", F.lit(0.99)).alias("p99_n"),
+    )
+    top = (
+        counts.orderBy(F.desc("n"), *[F.asc(k) for k in key_cols])
+        .limit(top_k)
+    )
+    w = W.orderBy(F.desc("n"), *[F.asc(k) for k in key_cols])
+    return (
+        top.crossJoin(F.broadcast(summary))
+        .select(
+            *key_cols, "n",
+            (F.col("n") / F.col("n_rows")).alias("share"),
+            F.row_number().over(w).cast("long").alias("rank"),
+            "n_keys", "n_rows", "max_n",
+            F.col("avg_n"),
+            F.col("p99_n"),
+            (F.col("max_n") / F.col("avg_n")).alias("skew_ratio"),
+            F.ceil(
+                F.col("max_n") / F.greatest(F.col("p99_n"), F.lit(1.0)),
+            ).cast("long").alias("salt_factor"),
+        )
     )

@@ -5,6 +5,7 @@ from woodwork_spark.streaming.events import (
     dedup_event_stream,
     enrich_stream_with_scd,
     late_data_counts_stream,
+    windowed_distinct_stream,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "dedup_event_stream",
     "enrich_stream_with_scd",
     "late_data_counts_stream",
+    "windowed_distinct_stream",
 ]
