@@ -2484,7 +2484,8 @@ def q_pagerank(spark, sf_dir):
     )
     # pairs are distinct and the two directions are disjoint by
     # construction (p-/s- prefixes) — skip the operator's dedup shuffle
-    pr = pagerank(edges, iterations=3, distinct_edges=False)
+    pr = pagerank(edges, iterations=3, distinct_edges=False,
+                  checkpoint_every=3)
     return pr.select(
         "node",
         F.round(F.col("pagerank") + F.lit(1e-10), 8).alias("pagerank"),

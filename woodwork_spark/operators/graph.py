@@ -32,6 +32,7 @@ def pagerank(
     damping: float = 0.85,
     redistribute_dangling: bool = False,
     distinct_edges: bool = True,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns ``(node, pagerank)``
     for every node appearing as src or dst.
@@ -68,7 +69,7 @@ def pagerank(
     ew = e.join(deg, "src").repartition("src").persist()
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("pagerank", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             ew.join(
                 ranks.select(
@@ -105,5 +106,11 @@ def pagerank(
                 "pagerank",
                 F.col("pagerank") + F.lit(damping * leaked / n),
             )
-        ranks = new_ranks.localCheckpoint(eager=True)
+        # checkpoint_every > 1 trades lineage depth for fewer
+        # materialization jobs — right for shallow runs (<= ~5
+        # iterations); the default 1 keeps the plan flat for long runs
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            ranks = new_ranks
     return attach_persisted(ranks, nodes, ew, e)
