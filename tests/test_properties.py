@@ -281,3 +281,162 @@ def test_merge_upsert_idempotent_and_total(sp, rows):
     exp_keys = {k for k, _ in rows} | {k for k, _ in [
         (k, v) for k, v in rows[:half]] or [(10**9, "x")]}
     assert {k for k, _ in a} == exp_keys
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),   # order key
+            st.integers(min_value=-20, max_value=20),  # value a
+            st.integers(min_value=0, max_value=9),     # value b
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_global_prefix_sums_matches_single_window(sp, rows):
+    """Multi-column prefix sums == per-column window results, in both
+    the small and the forced-distributed path, inclusive and not."""
+    from pyspark.sql import Window as W
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.rank import global_prefix_sums
+
+    rows = [(i, k, a, b) for i, (k, a, b) in enumerate(rows)]
+    df = sp.createDataFrame(rows, "i long, k long, a long, b long")
+    order = [F.asc("k"), F.asc("i")]
+    for inclusive in (False, True):
+        hi = 0 if inclusive else -1
+        w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, hi)
+        want = {
+            r["i"]: (r["ca"], r["cb"])
+            for r in df.select(
+                "i",
+                F.coalesce(F.sum("a").over(w), F.lit(0)).alias("ca"),
+                F.coalesce(F.sum("b").over(w), F.lit(0)).alias("cb"),
+            ).collect()
+        }
+        for thresh in (100_000, 0):
+            out = global_prefix_sums(
+                df, order, ["a", "b"], ["ca", "cb"],
+                inclusive=inclusive, small_threshold=thresh,
+            )
+            got = {r["i"]: (r["ca"], r["cb"]) for r in out.collect()}
+            release(out)
+            assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+)
+def test_quantile_normalize_invariants(sp, rows):
+    """Output is a permutation-of-global-values per row count, the map
+    is monotone within each group, and every group's normalized range
+    spans [global_min, global_max] when the group has >= 2 rows."""
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.features import quantile_normalize
+
+    data = [(g, i, float(s)) for i, (g, s) in enumerate(rows)]
+    df = sp.createDataFrame(data, "g string, i long, s double")
+    out = quantile_normalize(df, "g", "s", "i")
+    got = out.collect()
+    release(out)
+    assert len(got) == len(data)
+    all_scores = sorted(s for _, _, s in data)
+    by_group = {}
+    for r in got:
+        assert r["normalized"] in all_scores  # values come from the globe
+        by_group.setdefault(r["g"], []).append((r["s"], r["i"], r["normalized"]))
+    for g, triples in by_group.items():
+        triples.sort()
+        norms = [n for _, _, n in triples]
+        assert norms == sorted(norms)  # monotone in (score, id)
+        if len(triples) >= 2:
+            assert norms[0] == all_scores[0]
+            assert norms[-1] == all_scores[-1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # day
+            st.integers(min_value=0, max_value=8),    # user
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_rolling_distinct_matches_bruteforce(sp, pairs, win):
+    import datetime
+
+    from woodwork_spark.operators.cardinality import rolling_distinct
+
+    day = 86_400
+    rows = [
+        (datetime.datetime.utcfromtimestamp(d * day + 7), u)
+        for d, u in pairs
+    ]
+    df = sp.createDataFrame(rows, "ts timestamp, u long")
+    got = {
+        r["bucket_s"]: r["n_distinct"]
+        for r in rolling_distinct(
+            df, "ts", "u", window_buckets=win, bucket_seconds=day,
+        ).collect()
+    }
+    days = sorted({d for d, _ in pairs})
+    want = {
+        d * day: len({
+            u for dd, u in pairs if d - win < dd <= d
+        })
+        for d in days
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.integers(min_value=0, max_value=30),   # score
+            st.integers(min_value=1, max_value=40),   # tokens
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=120),
+)
+def test_select_to_budget_is_maximal_prefix(sp, rows, budget):
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.packing import select_to_budget
+
+    data = [(g, i, float(s), t) for i, (g, s, t) in enumerate(rows)]
+    df = sp.createDataFrame(data, "g string, i long, s double, t long")
+    out = select_to_budget(df, "g", "s", "t", budget=budget, id_col="i")
+    kept = out.collect()
+    release(out)
+    kept_ids = {r["i"] for r in kept}
+    for g in {g for g, *_ in data}:
+        ordered = sorted(
+            (r for r in data if r[0] == g),
+            key=lambda r: (-r[2], r[1]),
+        )
+        cum, want = 0, set()
+        for _, i, _, t in ordered:
+            if cum + t > budget:
+                break  # truncation: first over-budget doc stops the group
+            cum += t
+            want.add(i)
+        assert {i for i in kept_ids
+                if any(r[1] == i and r[0] == g for r in data)} == want
