@@ -1,0 +1,106 @@
+"""Corpus-governance walkthrough over the documents table — run with:
+python examples/corpus_governance.py
+
+The curation decisions a training-data owner makes BEFORE spending GPU
+hours, each as a Catalyst-planned job: concentration audit (is the
+corpus three hosts in a trenchcoat?) -> Zipf smell test -> cross-source
+drift (KS + vocabulary JS-divergence) -> score calibration (quantile
+normalization) -> mix planning (temperature sampling) -> token-budget
+selection -> packing-ready output.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("corpus_governance")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from woodwork_spark.io import read_parquet
+from woodwork_spark.lifecycle import release
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+docs = read_parquet(spark, f"{SF}/documents.parquet")
+
+# ---- 1. concentration audit ------------------------------------------------
+from woodwork_spark.operators.curation import concentration_report
+
+print("source concentration (weight = chars):")
+conc = concentration_report(docs, "source", weight_col="n_chars")
+conc.show(truncate=False)
+release(conc)
+
+# ---- 2. Zipf smell test ----------------------------------------------------
+from woodwork_spark.operators.text import zipf_fit
+
+print("Zipf fit of the token frequency spectrum (natural text ~ -1):")
+z = zipf_fit(docs, "text", max_rank=1000)
+z.show(truncate=False)
+release(z)
+
+# ---- 3. cross-source drift -------------------------------------------------
+from woodwork_spark.operators.curation import ks_drift, vocab_divergence
+
+en = docs.where(F.col("lang") == "en")
+es = docs.where(F.col("lang") == "es")
+print("KS drift of doc lengths, en vs es:")
+ks = ks_drift(en.select("n_chars"), es.select("n_chars"), "n_chars")
+ks.show()
+release(ks)
+
+print("vocabulary JS-divergence, en vs es:")
+vocab_divergence(en, es, "text").show()
+
+# ---- 4. score calibration --------------------------------------------------
+# n_chars stands in for a per-source quality score with incomparable
+# scales; after normalization a single global threshold is meaningful.
+from woodwork_spark.operators.features import quantile_normalize
+
+qn = quantile_normalize(docs, "source", "n_chars", "doc_id")
+print("per-source score distributions after quantile normalization:")
+qn.groupBy("source").agg(
+    F.round(F.avg("normalized"), 1).alias("avg_norm"),
+    F.min("normalized").alias("min"),
+    F.max("normalized").alias("max"),
+).orderBy("source").show(5)
+release(qn)
+
+# ---- 5. mix planning -------------------------------------------------------
+from woodwork_spark.operators.curation import temperature_mix
+
+print("temperature-scaled language mix (alpha=0.7):")
+temperature_mix(docs, "lang", 0.7, weight_col="n_chars").orderBy(
+    "lang",
+).show()
+
+# ---- 6. token-budget selection --------------------------------------------
+from woodwork_spark.operators.packing import select_to_budget
+from woodwork_spark.operators.text import token_count_expr
+
+scored = docs.select(
+    "doc_id", "source", "lang",
+    token_count_expr("text").cast("long").alias("n_tokens"),
+)
+kept = select_to_budget(
+    scored, "source", "n_tokens", "n_tokens", budget=50_000, id_col="doc_id",
+)
+print("kept tokens per source under a 50k/source budget:")
+kept.groupBy("source").agg(
+    F.count("*").alias("n_docs"),
+    F.sum("n_tokens").alias("kept_tokens"),
+).orderBy("source").show(5)
+release(kept)
+
+print("governance walkthrough complete.")
+spark.stop()
