@@ -2816,6 +2816,51 @@ def q_stream_distinct(spark, sf_dir):
     )
 
 
+def q_similarity_join(spark, sf_dir):
+    """Two-table fuzzy join: even-keyed parts matched to odd-keyed
+    parts by word-set Jaccard >= 0.6 over p_name — inverted-index +
+    hash-order prefix filter, exact verify, no cross join."""
+    from woodwork_spark.operators.dedup import similarity_join
+
+    _prep(spark)
+    part = _t(spark, sf_dir, "part")
+    a = part.where(F.col("p_partkey") % 2 == 0).select("p_partkey", "p_name")
+    b = part.where(F.col("p_partkey") % 2 == 1).select(
+        F.col("p_partkey").alias("pk_b"), "p_name",
+    )
+    sj = similarity_join(
+        a, b, "p_partkey", "pk_b", "p_name", k=1, threshold=0.6,
+    )
+    return sj.select(
+        "p_partkey", "pk_b", _ravg(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
+def q_grouped_profile(spark, sf_dir):
+    """Per-returnflag numeric profile of two lineitem measures in ONE
+    grouped agg (percentile-array quartiles) + one in-stage melt, with
+    normal-approximation mean CIs."""
+    from woodwork_spark.statistics.profile import grouped_numeric_profile
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    gp = grouped_numeric_profile(
+        li, "l_returnflag", ["l_quantity", "l_discount"],
+    )
+    return gp.select(
+        "l_returnflag", "column_name", "count",
+        _ravg(F.col("mean"), 6).alias("mean"),
+        _ravg(F.col("std"), 6).alias("std"),
+        _ravg(F.col("min"), 2).alias("min"),
+        _ravg(F.col("q1"), 4).alias("q1"),
+        _ravg(F.col("median"), 4).alias("median"),
+        _ravg(F.col("q3"), 4).alias("q3"),
+        _ravg(F.col("max"), 2).alias("max"),
+        _ravg(F.col("mean_ci_lo"), 6).alias("mean_ci_lo"),
+        _ravg(F.col("mean_ci_hi"), 6).alias("mean_ci_hi"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2935,6 +2980,8 @@ QUERIES = {
     "interarrival": q_interarrival,
     "skew_report": q_skew_report,
     "stream_distinct": q_stream_distinct,
+    "similarity_join": q_similarity_join,
+    "grouped_profile": q_grouped_profile,
 }
 
 ORACLE = {
@@ -5341,6 +5388,70 @@ ORACLE = {
         FROM w, cutoff
         WHERE make_timestamp((day_s + 86400) * 1000000) <= wm
         GROUP BY day_s
+    """,
+    "similarity_join": """
+        WITH g AS (
+            SELECT p_partkey,
+                   list_distinct(string_split(p_name, ' ')) AS gs
+            FROM part
+        ), a AS (
+            SELECT p_partkey AS id_a, gs AS ga FROM g
+            WHERE p_partkey % 2 = 0
+        ), b AS (
+            SELECT p_partkey AS id_b, gs AS gb FROM g
+            WHERE p_partkey % 2 = 1
+        ), ea AS (
+            SELECT id_a, unnest(ga) AS t FROM a
+        ), eb AS (
+            SELECT id_b, unnest(gb) AS t FROM b
+        ), cand AS (
+            SELECT DISTINCT id_a, id_b FROM ea JOIN eb USING (t)
+        ), scored AS (
+            SELECT id_a, id_b,
+                   len(list_distinct(list_intersect(ga, gb))) * 1.0
+                   / len(list_distinct(list_concat(ga, gb))) AS j
+            FROM cand JOIN a USING (id_a) JOIN b USING (id_b)
+        )
+        SELECT id_a AS p_partkey, id_b AS pk_b,
+               round(j + 0.0000001, 6) AS jaccard
+        FROM scored WHERE j >= 0.6
+    """,
+    "grouped_profile": """
+        WITH s AS (
+            SELECT l_returnflag, 'l_quantity' AS column_name,
+                   count(l_quantity) AS cnt,
+                   avg(l_quantity) AS mean, stddev_samp(l_quantity) AS std,
+                   CAST(min(l_quantity) AS DOUBLE) AS mn,
+                   quantile_cont(l_quantity, 0.25) AS q1,
+                   quantile_cont(l_quantity, 0.5) AS med,
+                   quantile_cont(l_quantity, 0.75) AS q3,
+                   CAST(max(l_quantity) AS DOUBLE) AS mx
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, 'l_discount',
+                   count(l_discount),
+                   avg(l_discount), stddev_samp(l_discount),
+                   CAST(min(l_discount) AS DOUBLE),
+                   quantile_cont(l_discount, 0.25),
+                   quantile_cont(l_discount, 0.5),
+                   quantile_cont(l_discount, 0.75),
+                   CAST(max(l_discount) AS DOUBLE)
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, column_name,
+               CAST(cnt AS BIGINT) AS count,
+               round(mean + 0.0000001, 6) AS mean,
+               round(std + 0.0000001, 6) AS std,
+               round(mn + 0.0000001, 2) AS min,
+               round(q1 + 0.0000001, 4) AS q1,
+               round(med + 0.0000001, 4) AS median,
+               round(q3 + 0.0000001, 4) AS q3,
+               round(mx + 0.0000001, 2) AS max,
+               round(mean - 1.959964 * std / sqrt(cnt) + 0.0000001, 6)
+                   AS mean_ci_lo,
+               round(mean + 1.959964 * std / sqrt(cnt) + 0.0000001, 6)
+                   AS mean_ci_hi
+        FROM s
     """,
 }
 

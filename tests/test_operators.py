@@ -1733,3 +1733,46 @@ def test_interarrival_stats_burstiness(spark):
     assert out[1]["mean_gap_s"] == pytest.approx(10.0)
     # gaps (1,1,1,100): mu=25.75, sd~49.5 -> B~0.316
     assert out[2]["burstiness"] == pytest.approx(0.3156, abs=0.01)
+
+
+def test_similarity_join_exact_jaccard(spark):
+    from woodwork_spark.operators.dedup import similarity_join
+
+    left = spark.createDataFrame(
+        [(1, "red apple pie"), (2, "blue sky"), (3, "zzz")],
+        "lid long, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "red apple tart"), (11, "green field"), (12, "blue sky")],
+        "rid long, name string",
+    )
+    out = {
+        (r["lid"], r["rid"]): r["jaccard"]
+        for r in similarity_join(
+            left, right, "lid", "rid", "name", k=1, threshold=0.4,
+        ).collect()
+    }
+    # {red, apple, pie} vs {red, apple, tart}: 2/4 = 0.5
+    assert out[(1, 10)] == pytest.approx(0.5)
+    # exact match
+    assert out[(2, 12)] == pytest.approx(1.0)
+    # nothing shared or below threshold
+    assert set(out) == {(1, 10), (2, 12)}
+
+
+def test_grouped_numeric_profile_values(spark):
+    from woodwork_spark.statistics.profile import grouped_numeric_profile
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {
+        (r["g"], r["column_name"]): r
+        for r in grouped_numeric_profile(df, "g", ["x"]).collect()
+    }
+    ra = out[("a", "x")]
+    assert (ra["count"], ra["mean"], ra["min"], ra["max"]) == (4, 2.5, 1.0, 4.0)
+    assert ra["median"] == pytest.approx(2.5)
+    assert ra["q1"] == pytest.approx(1.75)  # pandas/DuckDB interpolation
+    assert ra["mean_ci_lo"] < 2.5 < ra["mean_ci_hi"]
+    rb = out[("b", "x")]
+    assert rb["count"] == 1 and rb["std"] is None

@@ -812,3 +812,87 @@ def dedup_against_corpus(
     ).distinct()
     result = out.join(losers, id_col, "left_anti")
     return attach_persisted(result, shingled)
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    text_col: str,
+    k: int = 1,
+    threshold: float = 0.5,
+    use_words: bool = True,
+    right_text_col: str = None,
+) -> DataFrame:
+    """Two-TABLE fuzzy join (record linkage / entity resolution): every
+    (left, right) pair whose word/char k-gram sets reach ``threshold``
+    Jaccard similarity — matching product names to catalog entries,
+    crawl titles to canonical pages, aliases to entities.
+
+    Same exact AllPairs shape as :func:`ngram_jaccard_pairs`, cross
+    table: grams hash to longs up front, BOTH sides emit only their
+    hash-order prefix of length (1-t)*|g|+1 (a correct filter for
+    cross-table pairs for the same reason as within-table: a qualifying
+    pair must share a gram inside both prefixes under any fixed global
+    order), candidates come from ONE equi-join on the gram hash, and
+    the exact Jaccard over full gram arrays keeps the join lossless.
+    No cross join at any scale; skew-prone stop-grams can be pre-pruned
+    upstream by filtering the text.
+
+    Returns ``(left_id, right_id, jaccard)`` with ``jaccard`` >=
+    ``threshold``.
+    """
+    right_text_col = right_text_col or text_col
+
+    def _grams(df, id_c, t_col, out_id):
+        return (
+            df.select(F.col(id_c).alias(out_id),
+                      shingles_expr(t_col, k, use_words).alias("__gs"))
+            .filter(F.size("__gs") > 0)
+            .select(
+                out_id,
+                F.expr(
+                    "array_sort(transform(__gs, x -> xxhash64(x)))",
+                ).alias("__g"),
+            )
+            .persist()
+        )
+
+    gl = _grams(left, left_id, text_col, "__lid")
+    gr = _grams(right, right_id, right_text_col, "__rid")
+
+    def _prefix(g, id_c):
+        return g.select(
+            id_c,
+            F.explode(
+                F.slice(
+                    "__g", 1,
+                    (
+                        F.floor((1 - threshold) * F.size("__g")) + 1
+                    ).cast("int"),
+                ),
+            ).alias("gram"),
+        )
+
+    cand = (
+        _prefix(gl, "__lid").join(_prefix(gr, "__rid"), "gram")
+        .select("__lid", "__rid")
+        .distinct()
+    )
+    out = (
+        cand.join(gl.select("__lid", F.col("__g").alias("__ga")), "__lid")
+        .join(gr.select("__rid", F.col("__g").alias("__gb")), "__rid")
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            (
+                F.size(F.array_intersect("__ga", "__gb"))
+                / F.size(F.array_union("__ga", "__gb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(out, gl, gr)

@@ -91,3 +91,77 @@ def numeric_profile_df(
         for c in columns
     ]
     return joined.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def grouped_numeric_profile(
+    df: DataFrame,
+    group_cols,
+    columns,
+    percentile_mode: str = "exact",
+    approx_accuracy: int = 10_000,
+    ci_z: float = 1.959964,
+) -> DataFrame:
+    """Per-GROUP numeric profile — ``numeric_profile_df`` segmented by
+    source/language/partition-date, the table a data owner actually
+    reads ("is src7's token distribution off this week?"): one row per
+    (group, column) with count/mean/std/min/quartiles/max plus a
+    normal-approximation confidence interval for the mean
+    (``mean ± ci_z * std / sqrt(count)``).
+
+    ONE grouped aggregation computes every requested column's stats
+    (map-side partials; quartiles as a single percentile-ARRAY buffer
+    per column per group), then the per-column structs melt via ONE
+    in-stage explode — shuffle count is 1 regardless of how many
+    columns or groups.  ``percentile_mode="approx"`` swaps the exact
+    order statistics for KLL sketches — bounded memory per group at
+    100 TB.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if percentile_mode not in ("exact", "approx"):
+        raise ValueError("percentile_mode must be 'exact' or 'approx'")
+
+    def _quartiles(col):
+        if percentile_mode == "exact":
+            return F.percentile(col, F.lit([0.25, 0.5, 0.75]))
+        return F.percentile_approx(
+            col, F.lit([0.25, 0.5, 0.75]), F.lit(approx_accuracy),
+        ).cast("array<double>")
+
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs.append(
+            F.struct(
+                F.count(col).cast("long").alias("count"),
+                F.mean(col).alias("mean"),
+                F.stddev_samp(col).alias("std"),
+                F.min(col).cast("double").alias("min"),
+                _quartiles(col).alias("q"),
+                F.max(col).cast("double").alias("max"),
+            ).alias(f"__s_{c}"),
+        )
+    agg = df.groupBy(*group_cols).agg(*aggs)
+    melted = agg.select(
+        *group_cols,
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in columns]),
+                F.array(*[F.col(f"__s_{c}") for c in columns]),
+            ),
+        ).alias("column_name", "__s"),
+    )
+    se = F.col("__s.std") / F.sqrt(F.col("__s.count"))
+    return melted.select(
+        *group_cols,
+        "column_name",
+        F.col("__s.count").alias("count"),
+        F.col("__s.mean").alias("mean"),
+        F.col("__s.std").alias("std"),
+        F.col("__s.min").alias("min"),
+        F.col("__s.q")[0].alias("q1"),
+        F.col("__s.q")[1].alias("median"),
+        F.col("__s.q")[2].alias("q3"),
+        F.col("__s.max").alias("max"),
+        (F.col("__s.mean") - ci_z * se).alias("mean_ci_lo"),
+        (F.col("__s.mean") + ci_z * se).alias("mean_ci_hi"),
+    )
