@@ -320,3 +320,100 @@ def test_group_quantile_gate_broadcasts_thresholds(spark):
     plan = _executed_plan(kept)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_new_round6_operator_plan_shapes(spark):
+    """Round-6 session-3 operators: no cartesian products anywhere, no
+    single-partition Exchange in the distributed paths, broadcasts
+    where PLANS.md claims them."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.operators.curation import (
+        concentration_report,
+        ks_drift,
+    )
+    from woodwork_spark.operators.dedup import similarity_join
+    from woodwork_spark.operators.scale import skew_report
+
+    ev = read_parquet(spark, f"{SF}/events.parquet")
+    part = read_parquet(spark, f"{SF}/part.parquet")
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+
+    # ks_drift, distributed path: range shuffle for the shared ECDFs,
+    # broadcast totals, never a single-partition Exchange on data
+    ks = ks_drift(
+        ev.select("value"), ev.select("value"), "value", small_threshold=0,
+    )
+    plan = _executed_plan(ks)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "rangepartitioning" in plan.lower()
+    # the only single-partition exchange is the final one-row agg fed by
+    # map-side partials (partial_max/min_by) — never raw data rows
+    assert "partial_max" in plan
+    from woodwork_spark.lifecycle import release
+
+    release(ks)
+
+    # skew_report: global top-k is TakeOrderedAndProject (partial top-k
+    # + merge), not a full Sort; summary side broadcast
+    sk = skew_report(ev, "user_id", top_k=5)
+    plan = _executed_plan(sk)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    # similarity_join: equi-join candidates, no cartesian anywhere
+    a = part.where(F.col("p_partkey") % 2 == 0).select("p_partkey", "p_name")
+    b = part.where(F.col("p_partkey") % 2 == 1).select(
+        F.col("p_partkey").alias("pk_b"), "p_name",
+    )
+    sj = similarity_join(a, b, "p_partkey", "pk_b", "p_name", k=1,
+                         threshold=0.6)
+    plan = _executed_plan(sj)
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    release(sj)
+
+    # concentration_report distributed path: rank via range partitioning
+    cr = concentration_report(
+        docs, "source", weight_col="n_chars", small_threshold=0,
+    )
+    plan = _executed_plan(cr)
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan
+    release(cr)
+
+
+def test_rolling_distinct_and_budget_plan_shapes(spark):
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.cardinality import rolling_distinct
+    from woodwork_spark.operators.packing import select_to_budget
+
+    ev = read_parquet(spark, f"{SF}/events.parquet")
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+
+    # rolling_distinct sketch path: partial/final HLL agg pairs, no
+    # per-event explode (the fan-out is on bucket sketches)
+    rd = rolling_distinct(ev, "ts", "user_id", exact=False)
+    plan = _executed_plan(rd)
+    assert "hll_union_agg" in plan or "HllUnionAgg" in plan or "hll" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+    # select_to_budget distributed path: range shuffle on (group,
+    # order), offsets broadcast back, no reducer-per-group window over
+    # the raw rows
+    docs2 = docs.select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_tokens"),
+    )
+    kept = select_to_budget(
+        docs2, "source", "n_tokens", "n_tokens", budget=1000,
+        id_col="doc_id", known_count=10**9,
+    )
+    plan = _executed_plan(kept)
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastExchange" in plan
+    release(kept)
