@@ -2861,6 +2861,59 @@ def q_grouped_profile(spark, sf_dir):
     )
 
 
+def q_contamination_frac(spark, sf_dir):
+    """Per-document contamination rate vs a benchmark (docs whose id %
+    97 == 0): distinct doc 5-grams LEFT-joined against the broadcast
+    benchmark gram set, one per-doc agg — every doc scored, clean docs
+    rate 0."""
+    from woodwork_spark.operators.cleaning import contamination_fraction
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bid"), "text",
+    )
+    cf = contamination_fraction(
+        docs, bench, "doc_id", "text", bench_id_col="bid", n=5,
+    )
+    return cf.select(
+        "doc_id", "n_grams", "n_contaminated",
+        _ravg(F.col("contaminated_frac"), 6).alias("contaminated_frac"),
+    )
+
+
+def q_bucketize(spark, sf_dir):
+    """Learned equi-depth bucketizer: fit 8 quantile edges on
+    l_extendedprice (one percentile-array agg), apply as a pure array
+    expression in codegen — per-bucket counts and value ranges."""
+    from woodwork_spark.operators.features import apply_buckets, fit_buckets
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    edges = fit_buckets(li, "l_extendedprice", 8)
+    out = apply_buckets(li, "l_extendedprice", edges)
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _ravg(F.min("l_extendedprice"), 2).alias("lo"),
+        _ravg(F.max("l_extendedprice"), 2).alias("hi"),
+    )
+
+
+def q_interp_logprob(spark, sf_dir):
+    """Jelinek-Mercer interpolated bigram/unigram LM score per doc
+    (lam=0.7): one persisted in-place bigram explode feeds all three
+    model aggs + the scoring join."""
+    from woodwork_spark.operators.text import interp_logprob
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    il = interp_logprob(docs, "text", "doc_id", lam=0.7)
+    return il.select(
+        "doc_id", "n_bigrams",
+        _ravg(F.col("avg_logprob"), 6).alias("avg_logprob"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -2982,6 +3035,9 @@ QUERIES = {
     "stream_distinct": q_stream_distinct,
     "similarity_join": q_similarity_join,
     "grouped_profile": q_grouped_profile,
+    "contamination_frac": q_contamination_frac,
+    "bucketize": q_bucketize,
+    "interp_logprob": q_interp_logprob,
 }
 
 ORACLE = {
@@ -5452,6 +5508,95 @@ ORACLE = {
                round(mean + 1.959964 * std / sqrt(cnt) + 0.0000001, 6)
                    AS mean_ci_hi
         FROM s
+    """,
+    "contamination_frac": """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(t[i:i+4], ' ')
+                                FOR i IN range(1, greatest(len(t) - 4, 1) + 1)]) AS gs
+          FROM w
+        ), e AS (
+          SELECT doc_id, unnest(gs) AS gram FROM g WHERE len(gs) > 0
+        ), c AS (
+          SELECT doc_id, gram FROM e WHERE gram <> ''
+        ), b AS (
+          SELECT DISTINCT gram FROM e WHERE doc_id % 97 = 0 AND gram <> ''
+        ), scored AS (
+          SELECT c.doc_id,
+                 count(*) AS n_grams,
+                 CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_contaminated
+          FROM c LEFT JOIN b ON c.gram = b.gram
+          GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_grams, 0) AS n_grams,
+               coalesce(n_contaminated, 0) AS n_contaminated,
+               round(n_contaminated / CAST(n_grams AS DOUBLE) + 0.0000001, 6)
+                   AS contaminated_frac
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN scored ON d.doc_id = scored.doc_id
+    """,
+    "bucketize": """
+        WITH e AS (
+            SELECT quantile_cont(l_extendedprice,
+                                 [0.125, 0.25, 0.375, 0.5,
+                                  0.625, 0.75, 0.875]) AS edges
+            FROM lineitem
+        ), t AS (
+            SELECT l_extendedprice AS v,
+                   CAST(len(list_filter(edges, x -> v > x)) + 1 AS BIGINT)
+                       AS bucket
+            FROM lineitem, e
+            WHERE l_extendedprice IS NOT NULL
+        )
+        SELECT bucket, count(*) AS n_rows,
+               round(min(v) + 0.0000001, 2) AS lo,
+               round(max(v) + 0.0000001, 2) AS hi
+        FROM t GROUP BY bucket
+    """,
+    "interp_logprob": """
+        WITH tok AS (
+            SELECT doc_id, pos, lower(t) AS w
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS t,
+                       generate_subscripts(
+                           string_split_regex(trim(text), '\\s+'), 1) AS pos
+                FROM documents
+            ) WHERE t <> ''
+        ), big AS (
+            SELECT doc_id, w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM tok
+            QUALIFY w2 IS NOT NULL
+        ), bc AS (
+            SELECT w1, w2, count(*) AS bc FROM big GROUP BY w1, w2
+        ), pc AS (
+            SELECT w1, count(*) AS pc FROM big GROUP BY w1
+        ), uc AS (
+            SELECT w2, count(*) AS uc FROM big GROUP BY w2
+        ), tt AS (
+            SELECT count(*) AS n FROM big
+        ), sc AS (
+            SELECT big.doc_id, count(*) AS n_bigrams,
+                   round(avg(ln(
+                       0.7 * bc / CAST(pc AS DOUBLE)
+                       + 0.3 * uc / CAST(n AS DOUBLE)
+                   )) + 0.0000001, 6) AS avg_logprob
+            FROM big
+            JOIN bc ON big.w1 = bc.w1 AND big.w2 = bc.w2
+            JOIN pc ON big.w1 = pc.w1
+            JOIN uc ON big.w2 = uc.w2
+            CROSS JOIN tt
+            GROUP BY big.doc_id
+        )
+        SELECT d.doc_id, sc.n_bigrams, sc.avg_logprob
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN sc ON d.doc_id = sc.doc_id
     """,
 }
 

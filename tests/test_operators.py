@@ -1776,3 +1776,75 @@ def test_grouped_numeric_profile_values(spark):
     assert ra["mean_ci_lo"] < 2.5 < ra["mean_ci_hi"]
     rb = out[("b", "x")]
     assert rb["count"] == 1 and rb["std"] is None
+
+
+def test_contamination_fraction_scores_all_docs(spark):
+    from woodwork_spark.operators.cleaning import contamination_fraction
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),        # contains the bench 5-gram
+            (2, "x y z w v u t s"),        # clean
+            (3, "hi"),                     # too short for any 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e")], "bid long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_fraction(
+            corpus, bench, "doc_id", "text", bench_id_col="bid", n=5,
+        ).collect()
+    }
+    # doc 1 has 4 distinct 5-grams, exactly one matches
+    assert (out[1]["n_grams"], out[1]["n_contaminated"]) == (4, 1)
+    assert out[1]["contaminated_frac"] == pytest.approx(0.25)
+    assert (out[2]["n_contaminated"], out[2]["contaminated_frac"]) == (0, 0.0)
+    # short doc: whole text as its single gram (module convention)
+    assert out[3]["n_grams"] == 1 and out[3]["contaminated_frac"] == 0.0
+
+
+def test_fit_apply_buckets_roundtrip(spark):
+    from woodwork_spark.operators.features import apply_buckets, fit_buckets
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "x double",
+    )
+    edges = fit_buckets(df, "x", 4)
+    assert edges == pytest.approx([25.75, 50.5, 75.25])
+    got = {
+        r["bucket"]: r["n"]
+        for r in apply_buckets(df, "x", edges)
+        .groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {1: 25, 2: 25, 3: 25, 4: 25}
+    # edge value falls in the LOWER bucket; nulls stay null
+    ndf = spark.createDataFrame([(25.75,), (None,)], "x double")
+    rows = {r["x"]: r["bucket"] for r in
+            apply_buckets(ndf, "x", edges).collect()}
+    assert rows[25.75] == 1 and rows[None] is None
+
+
+def test_interp_logprob_bounds_and_interpolation(spark):
+    import math
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.text import interp_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = interp_logprob(df, "text", "doc_id", lam=0.5)
+    got = {r["doc_id"]: r for r in out.collect()}
+    release(out)
+    # corpus bigrams (docs 1+2): (a,b)x3, (b,a)x1 -> P(b|a)=1, P(a|b)=1
+    # unigram continuations: b:3, a:1, total 4
+    pb, pa = 3 / 4, 1 / 4
+    d1 = (2 * math.log(0.5 * 1 + 0.5 * pb)
+          + 1 * math.log(0.5 * 1 + 0.5 * pa)) / 3
+    assert got[1]["avg_logprob"] == pytest.approx(d1)
+    assert got[2]["n_bigrams"] == 1
+    assert got[3]["avg_logprob"] is None  # < 2 tokens

@@ -454,3 +454,60 @@ def normalize_unicode_expr(text_col: str, form: str = "NFC",
         return s.map(one, na_action="ignore")
 
     return _norm(F.col(text_col))
+
+
+def contamination_fraction(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str = None,
+    bench_text_col: str = None,
+    n: int = 5,
+) -> DataFrame:
+    """Per-document contamination RATE: the fraction of each doc's
+    distinct word n-grams that appear anywhere in the benchmark —
+    the number a decontamination gate actually thresholds on
+    (``contamination_report`` lists matching pairs; this scores every
+    doc, including the clean ones with rate 0).
+
+    Same join shape as the report: corpus grams hash to longs and
+    dedupe per doc (one map-side-combinable shuffle), the benchmark's
+    distinct gram-hash set is broadcast, membership resolves in a
+    LEFT join inside the same stage, and one per-doc agg finishes.
+    Docs shorter than ``n`` tokens contribute their whole text as one
+    gram (the module's gram convention), so every doc gets a defined
+    rate.
+
+    Returns ``(id_col, n_grams, n_contaminated, contaminated_frac)``.
+    """
+    bench_id_col = bench_id_col or id_col
+    bench_text_col = bench_text_col or text_col
+    c = _gram_rows(corpus, id_col, text_col, n)
+    ch = c.select("id", F.xxhash64("gram").alias("g")).distinct()
+    bh = (
+        _gram_rows(benchmark, bench_id_col, bench_text_col, n)
+        .select(F.xxhash64("gram").alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        ch.join(F.broadcast(bh), "g", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id")).distinct()
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.col("n_contaminated") / F.col("n_grams")).alias(
+                "contaminated_frac",
+            ),
+        )
+    )

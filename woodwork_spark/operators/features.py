@@ -187,3 +187,55 @@ def quantile_normalize(
     return attach_persisted(
         out, *persisted_frames(ranked), *persisted_frames(glob),
     )
+
+
+def fit_buckets(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    percentile_mode: str = "exact",
+    approx_accuracy: int = 10_000,
+) -> list:
+    """Learn equi-depth bucket edges for ``col``: the interior
+    quantiles at k/n for k in 1..n-1 (n_buckets-1 edges, ascending) —
+    ONE aggregation with a single percentile-ARRAY buffer
+    (``percentile_mode="approx"`` bounds memory at 100 TB).  The edges
+    are a tiny Python list: persist them with the model and bucketize
+    any future snapshot with :func:`apply_buckets` — the learned
+    discretizer feature pipelines need (quantile binning fit on TRAIN,
+    applied to SERVE)."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    ps = [k / n_buckets for k in range(1, n_buckets)]
+    if percentile_mode == "exact":
+        expr = F.percentile(F.col(col), F.lit(ps))
+    else:
+        expr = F.percentile_approx(
+            F.col(col), F.lit(ps), F.lit(approx_accuracy),
+        ).cast("array<double>")
+    row = df.agg(expr.alias("__e")).collect()[0]
+    return [float(e) for e in row["__e"]]
+
+
+def apply_buckets(
+    df: DataFrame,
+    col: str,
+    edges: list,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row the 1-based bucket of learned ``edges``:
+    ``bucket = 1 + #edges strictly below the value`` (values equal to
+    an edge fall in the LOWER bucket; NULL stays NULL).  One pure
+    array expression — ``size(filter(edges, e -> x > e))`` — inside
+    whole-stage codegen: no join, no UDF, no shuffle; the edge list
+    rides the plan as a literal.
+    """
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    x = F.col(col)
+    return df.withColumn(
+        out_col,
+        F.when(
+            x.isNotNull(),
+            F.size(F.filter(arr, lambda e: x > e)) + 1,
+        ).cast("long"),
+    )

@@ -522,3 +522,66 @@ def zipf_fit(
         F.max("__vocab").alias("vocab_size"),
     )
     return attach_persisted(out, *persisted_frames(ranked))
+
+
+def interp_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lam: float = 0.7,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED bigram/unigram log-probability
+    ``ln(lam * P(w2|w1) + (1-lam) * P(w2))`` under the corpus's own
+    MLE models — the Jelinek-Mercer smoothing that keeps
+    ``bigram_logprob`` from cratering on rare-but-valid continuations
+    (a pure-MLE bigram model assigns unseen pairs nothing; the unigram
+    floor keeps scores finite and comparable across domains).
+
+    Shares ``bigram_logprob``'s shape: bigrams built in place with
+    ``arrays_zip`` (no window, no per-doc sort), ONE persisted bigram
+    explode feeding the bigram-count, prefix-count, and unigram-count
+    aggregates plus the scoring join; join strategy left to AQE.
+    Documents with < 2 tokens score NULL.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    toks = tokens_expr(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    toks = F.filter(toks, lambda t: t != "")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("w2"),
+    )
+    big = (
+        df.select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .persist()
+    )
+    bcount = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__bc"))
+    pcount = big.groupBy("w1").agg(F.count(F.lit(1)).alias("__pc"))
+    # unigram model over bigram SECOND positions so both factors
+    # normalize over the same event space (continuations)
+    ucount = big.groupBy("w2").agg(F.count(F.lit(1)).alias("__uc"))
+    tot = big.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        big.join(bcount, ["w1", "w2"])
+        .join(pcount, "w1")
+        .join(ucount, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(
+                F.log(
+                    F.lit(float(lam)) * F.col("__bc") / F.col("__pc")
+                    + F.lit(1.0 - float(lam)) * F.col("__uc") / F.col("__n"),
+                ),
+            ).alias("avg_logprob"),
+        )
+    )
+    out = df.select(id_col).distinct().join(scored, id_col, "left")
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(out, big)
