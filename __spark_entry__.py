@@ -2914,6 +2914,64 @@ def q_interp_logprob(spark, sf_dir):
     )
 
 
+def q_cramers_v(spark, sf_dir):
+    """Chi-square + Cramér's V between returnflag and linestatus: one
+    contingency agg, marginals re-aggregated from the CELLS, observed-
+    cells chi-square identity (no densification)."""
+    from woodwork_spark.statistics.dependence import cramers_v
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = cramers_v(li, "l_returnflag", "l_linestatus")
+    return out.select(
+        "n", "r_levels", "c_levels", "dof",
+        _ravg(F.col("chi2"), 6).alias("chi2"),
+        _ravg(F.col("cramers_v"), 6).alias("cramers_v"),
+    )
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit of l_extendedprice: digit in codegen,
+    one 9-row agg, total broadcast back — the fabricated-data smell
+    test (synthetic uniform prices fail it, which is the point)."""
+    from woodwork_spark.operators.quality_checks import benford_report
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = benford_report(li, "l_extendedprice")
+    return out.select(
+        "digit", "n",
+        _ravg(F.col("observed_p"), 6).alias("observed_p"),
+        _ravg(F.col("expected_p"), 6).alias("expected_p"),
+        _ravg(F.col("chi2_term"), 4).alias("chi2_term"),
+    )
+
+
+def q_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (pandas merge_asof parity): each
+    purchase matched to the user's closest click within 1 day,
+    backward winning exact ties — ONE sorted exchange carries both the
+    backward and forward candidate windows."""
+    from woodwork_spark.operators.relational import asof_join
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("cv"))
+    )
+    nj = asof_join(
+        p, c, on="ts", by="user_id", direction="nearest", tolerance=86400,
+    )
+    return nj.select(
+        "event_id", _ravg(F.col("cv_right"), 2).alias("cv"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3038,6 +3096,9 @@ QUERIES = {
     "contamination_frac": q_contamination_frac,
     "bucketize": q_bucketize,
     "interp_logprob": q_interp_logprob,
+    "cramers_v": q_cramers_v,
+    "benford": q_benford,
+    "asof_nearest": q_asof_nearest,
 }
 
 ORACLE = {
@@ -5597,6 +5658,74 @@ ORACLE = {
         SELECT d.doc_id, sc.n_bigrams, sc.avg_logprob
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """,
+    "cramers_v": """
+        WITH cells AS (
+            SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS n
+            FROM lineitem GROUP BY a, b
+        ), r AS (
+            SELECT a, sum(n) AS rr FROM cells GROUP BY a
+        ), c AS (
+            SELECT b, sum(n) AS cc FROM cells GROUP BY b
+        ), j AS (
+            SELECT n, rr, cc
+            FROM cells JOIN r USING (a) JOIN c USING (b)
+        ), agg AS (
+            SELECT CAST(sum(n) AS BIGINT) AS n,
+                   (SELECT CAST(count(*) AS BIGINT) FROM r) AS r_levels,
+                   (SELECT CAST(count(*) AS BIGINT) FROM c) AS c_levels,
+                   sum(n * n / CAST(rr * cc AS DOUBLE)) AS s
+            FROM j
+        )
+        SELECT n, r_levels, c_levels,
+               (r_levels - 1) * (c_levels - 1) AS dof,
+               round(n * s - n + 0.0000001, 6) AS chi2,
+               round(sqrt(greatest(
+                   (n * s - n)
+                   / (n * greatest(least(r_levels, c_levels) - 1, 1)),
+                   0.0)) + 0.0000001, 6) AS cramers_v
+        FROM agg
+    """,
+    "benford": """
+        WITH d AS (
+            SELECT CAST(floor(
+                       abs(l_extendedprice)
+                       / pow(10, floor(log10(abs(l_extendedprice))))
+                   ) AS BIGINT) AS digit
+            FROM lineitem WHERE abs(l_extendedprice) > 0
+        ), c AS (
+            SELECT digit, count(*) AS n FROM d GROUP BY digit
+        ), t AS (
+            SELECT CAST(sum(n) AS DOUBLE) AS tt FROM c
+        )
+        SELECT digit, n,
+               round(n / tt + 0.0000001, 6) AS observed_p,
+               round(log10(1 + 1.0 / digit) + 0.0000001, 6) AS expected_p,
+               round(pow(n - tt * log10(1 + 1.0 / digit), 2)
+                     / (tt * log10(1 + 1.0 / digit)) + 0.0000001, 4)
+                   AS chi2_term
+        FROM c, t
+    """,
+    "asof_nearest": """
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT user_id, ts, min(value) AS cv FROM events
+            WHERE event_type = 'click' GROUP BY user_id, ts
+        ), j AS (
+            SELECT p.event_id, c.cv,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                                (c.ts > p.ts)
+                   ) AS rk
+            FROM p JOIN c ON p.user_id = c.user_id
+            WHERE abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 86400000000
+        )
+        SELECT p.event_id, round(j.cv + 0.0000001, 2) AS cv
+        FROM p LEFT JOIN (SELECT event_id, cv FROM j WHERE rk = 1) j
+            USING (event_id)
     """,
 }
 

@@ -1848,3 +1848,72 @@ def test_interp_logprob_bounds_and_interpolation(spark):
     assert got[1]["avg_logprob"] == pytest.approx(d1)
     assert got[2]["n_bigrams"] == 1
     assert got[3]["avg_logprob"] is None  # < 2 tokens
+
+
+def test_cramers_v_extremes(spark):
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.statistics.dependence import cramers_v
+
+    # perfect association: b == a  ->  V = 1
+    dep = spark.createDataFrame(
+        [("x", "p")] * 5 + [("y", "q")] * 5, "a string, b string",
+    )
+    out = cramers_v(dep, "a", "b")
+    r = out.collect()[0]
+    release(out)
+    assert r["cramers_v"] == pytest.approx(1.0)
+    assert (r["r_levels"], r["c_levels"], r["dof"]) == (2, 2, 1)
+    # independence: all four cells equal  ->  chi2 = 0
+    ind = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 3,
+        "a string, b string",
+    )
+    out2 = cramers_v(ind, "a", "b")
+    r2 = out2.collect()[0]
+    release(out2)
+    assert r2["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert r2["cramers_v"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_benford_report_math(spark):
+    import math
+
+    from woodwork_spark.operators.quality_checks import benford_report
+
+    # 1, 10-19, 200: digits 1 x11, 2 x1; zeros/nulls excluded
+    vals = [1.0] + [float(v) for v in range(10, 20)] + [200.0, 0.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = {r["digit"]: r for r in benford_report(df, "x").collect()}
+    assert out[1]["n"] == 11 and out[2]["n"] == 1
+    assert out[1]["observed_p"] == pytest.approx(11 / 12)
+    assert out[1]["expected_p"] == pytest.approx(math.log10(2))
+    assert set(out) == {1, 2}
+
+
+def test_asof_nearest_direction(spark):
+    from woodwork_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, 100.0), (3, 54.0)], "lid long, t double",
+    )
+    right = spark.createDataFrame(
+        [(11.0, "a"), (50.0, "b"), (60.0, "c")], "t double, tag string",
+    )
+    got = {
+        r["lid"]: r["tag_right"]
+        for r in asof_join(
+            left, right, on="t", direction="nearest",
+        ).collect()
+    }
+    # 10 -> 11 (forward, closer than nothing backward)
+    # 100 -> 60 (backward only)
+    # 54 -> 50 (dist 4) vs 60 (dist 6) -> backward 50
+    assert got == {1: "a", 2: "c", 3: "b"}
+    # tolerance drops far matches
+    got_tol = {
+        r["lid"]: r["tag_right"]
+        for r in asof_join(
+            left, right, on="t", direction="nearest", tolerance=5,
+        ).collect()
+    }
+    assert got_tol == {1: "a", 2: None, 3: "b"}

@@ -181,3 +181,37 @@ def run_checks(df: DataFrame, checks) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "check string, passed boolean, metric double",
     )
+
+
+def benford_report(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law audit of a positive numeric column: observed vs
+    expected first-significant-digit frequencies plus each digit's
+    chi-square contribution — the classic fabricated-data / broken-ETL
+    smell test for financial-style measures (organically-grown
+    magnitudes follow ``P(d) = log10(1 + 1/d)``; uniform or templated
+    generators do not).
+
+    One projection computes the first digit in codegen
+    (``floor(|x| / 10^floor(log10|x|))``), one 9-row aggregation
+    finishes; the total joins back as a 1-row broadcast.  Zero/null
+    values are excluded (no first significant digit).  Returns 9 rows:
+    ``(digit, n, observed_p, expected_p, chi2_term)``.
+    """
+    x = F.abs(F.col(col))
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("long")
+    digits = df.where(x > 0).select(digit.alias("digit"))
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("__t"))
+    expected = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit", "n",
+            (F.col("n") / F.col("__t")).alias("observed_p"),
+            expected.alias("expected_p"),
+            (
+                F.pow(F.col("n") - F.col("__t") * expected, 2)
+                / (F.col("__t") * expected)
+            ).alias("chi2_term"),
+        )
+    )

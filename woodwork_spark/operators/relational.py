@@ -25,14 +25,19 @@ def asof_join(
     tolerance=None,
 ) -> DataFrame:
     """For every left row, attach the most recent right row with
-    right.on <= left.on (direction='backward'; 'forward' mirrors),
-    optionally per ``by`` group and within ``tolerance`` (a Column
-    interval expression or seconds for timestamps).
+    right.on <= left.on (direction='backward'; 'forward' mirrors;
+    'nearest' takes whichever side is closer, backward winning exact
+    ties — pandas ``merge_asof`` parity), optionally per ``by`` group
+    and within ``tolerance`` (a Column interval expression or seconds
+    for timestamps).
 
     Columns of ``right`` (except the keys) come back suffixed.
+    'nearest' costs ONE extra window function over the SAME sorted
+    exchange as backward (the forward candidate is the first
+    right row in the following frame) — not a second sort.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     lcols = left.columns
     rcols = [c for c in right.columns if c not in (on, by)]
 
@@ -56,6 +61,64 @@ def asof_join(
     ).select(*lt.columns)  # align column order
 
     unioned = lt.unionByName(rt)
+
+    if direction == "nearest":
+        from pyspark.sql import types as T
+
+        is_ts = isinstance(
+            left.schema[on].dataType, (T.TimestampType, T.TimestampNTZType),
+        )
+
+        def _num(c):
+            return F.unix_micros(c) if is_ts else c.cast("double")
+
+        right_row = F.when(
+            F.col("__side") == 0,
+            F.struct(
+                *[F.col(f"{c}{suffix}").alias(f"{c}{suffix}") for c in rcols],
+                F.col("__t").alias("__matched_t"),
+            ),
+        )
+        base = (
+            W.partitionBy(by) if by else W
+        ).orderBy(F.asc("__t"), F.asc("__side"))
+        wb = base.rowsBetween(W.unboundedPreceding, 0)
+        wf = base.rowsBetween(1, W.unboundedFollowing)
+        carried = unioned.select(
+            *lcols, "__side", "__t",
+            F.last(right_row, ignorenulls=True).over(wb).alias("__rb"),
+            F.first(right_row, ignorenulls=True).over(wf).alias("__rf"),
+        ).filter(F.col("__side") == 1)
+        dist_b = _num(F.col("__t")) - _num(F.col("__rb.__matched_t"))
+        dist_f = _num(F.col("__rf.__matched_t")) - _num(F.col("__t"))
+        if tolerance is not None:
+            tol_n = (
+                float(tolerance) * (1_000_000 if is_ts else 1)
+                if isinstance(tolerance, (int, float))
+                else None
+            )
+            if tol_n is None:
+                raise ValueError(
+                    "nearest requires a numeric tolerance (seconds for "
+                    "timestamps)",
+                )
+            ok_b = F.col("__rb").isNotNull() & (dist_b <= tol_n)
+            ok_f = F.col("__rf").isNotNull() & (dist_f <= tol_n)
+        else:
+            ok_b = F.col("__rb").isNotNull()
+            ok_f = F.col("__rf").isNotNull()
+        # backward wins exact ties (documented); forward only when
+        # strictly closer or backward is missing/out of tolerance
+        use_b = ok_b & (~ok_f | (dist_b <= dist_f))
+        chosen = F.when(use_b, F.col("__rb")).when(ok_f, F.col("__rf"))
+        return carried.select(
+            *lcols,
+            *[
+                chosen[f"{c}{suffix}"].alias(f"{c}{suffix}")
+                for c in rcols
+            ],
+        )
+
     order = [F.asc("__t"), F.asc("__side")] if direction == "backward" else [
         F.desc("__t"),
         F.asc("__side"),

@@ -606,3 +606,56 @@ def _numeric_view_mixed(ww_df, cols):
         else:
             exprs.append(col.cast("string").alias(c))
     return ww_df.raw.select(*exprs)
+
+
+def cramers_v(df, col_a: str, col_b: str) -> "DataFrame":
+    """Chi-square independence test + Cramér's V between two
+    categorical columns — the bounded [0,1] effect size the reference's
+    mutual-information surface lacks (V is comparable across tables
+    with different cardinalities; MI is not without normalization).
+
+    Everything reduces BEFORE any join: one contingency aggregation
+    (map-side combinable), row/column marginals re-aggregated from the
+    CELLS (bounded by category-pair cardinality, never rows), and the
+    chi-square uses the observed-cells identity
+    ``chi2 = N * sum(n_ij^2 / (r_i * c_j)) - N`` so absent cells need
+    no densification.  Null categories count as a real level.  Returns
+    one row: ``(n, r_levels, c_levels, dof, chi2, cramers_v)``.
+    """
+    cells = (
+        df.groupBy(
+            F.col(col_a).alias("__a"), F.col(col_b).alias("__b"),
+        ).agg(F.count(F.lit(1)).alias("__n"))
+    ).persist()
+    rows = cells.groupBy("__a").agg(F.sum("__n").alias("__r"))
+    colsum = cells.groupBy("__b").agg(F.sum("__n").alias("__c"))
+    joined = cells.join(rows, "__a").join(colsum, "__b")
+    out = joined.agg(
+        F.sum("__n").alias("n"),
+        F.count_distinct("__a").alias("r_levels"),
+        F.count_distinct("__b").alias("c_levels"),
+        F.sum(
+            F.col("__n") * F.col("__n")
+            / (F.col("__r") * F.col("__c")).cast("double"),
+        ).alias("__s"),
+    ).select(
+        "n", "r_levels", "c_levels",
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("dof"),
+        (F.col("n") * F.col("__s") - F.col("n")).alias("chi2"),
+        F.sqrt(
+            F.greatest(
+                (F.col("n") * F.col("__s") - F.col("n"))
+                / (
+                    F.col("n")
+                    * F.greatest(
+                        F.least(F.col("r_levels"), F.col("c_levels")) - 1,
+                        F.lit(1),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+        ).alias("cramers_v"),
+    )
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(out, cells)
