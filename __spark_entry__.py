@@ -2972,6 +2972,63 @@ def q_asof_nearest(spark, sf_dir):
     )
 
 
+def q_moment_merge(spark, sf_dir):
+    """Incremental-statistics contract: per-returnflag moment sketches
+    merged back to the whole-table stats must equal a full rescan —
+    the merge is an agg over tiny structs, exact by construction."""
+    from woodwork_spark.statistics.profile import (
+        merge_moments,
+        moment_sketches,
+    )
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    sk = moment_sketches(li, "l_returnflag", ["l_quantity", "l_extendedprice"])
+    m = merge_moments(sk, ["l_quantity", "l_extendedprice"], [])
+    return m.select(
+        F.col("l_quantity_count").alias("q_count"),
+        _ravg(F.col("l_quantity_mean"), 6).alias("q_mean"),
+        _ravg(F.col("l_quantity_std"), 6).alias("q_std"),
+        _ravg(F.col("l_quantity_min"), 2).alias("q_min"),
+        _ravg(F.col("l_quantity_max"), 2).alias("q_max"),
+        F.col("l_extendedprice_count").alias("p_count"),
+        _ravg(F.col("l_extendedprice_mean"), 4).alias("p_mean"),
+        _ravg(F.col("l_extendedprice_std"), 4).alias("p_std"),
+    )
+
+
+def q_join_size(spark, sf_dir):
+    """Exact join-size pre-flight for lineitem x orders on the order
+    key: per-key counts on both sides, the estimating join matches key
+    cardinalities, never rows — top contributors + total."""
+    from woodwork_spark.operators.scale import join_size_estimate
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    ord_ = _t(spark, sf_dir, "orders")
+    return join_size_estimate(li, ord_, "l_orderkey", "o_orderkey", top_k=5)
+
+
+def q_missingness(spark, sf_dir):
+    """Missing-data pattern report over derived nullable columns: all
+    pairwise null-indicator products in ONE aggregation, phi per
+    pair."""
+    from woodwork_spark.operators.quality_checks import missingness_report
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.when(F.col("value") <= 100, F.col("value")).alias("va"),
+        F.when(F.col("value") <= 50, F.col("value")).alias("vb"),
+        F.when(F.col("user_id") % 3 != 0, F.col("user_id")).alias("uc"),
+    )
+    out = missingness_report(d, ["va", "vb", "uc"])
+    return out.select(
+        "col_a", "col_b", "n", "null_a", "null_b", "null_both",
+        _ravg(F.col("phi"), 6).alias("phi"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3099,6 +3156,9 @@ QUERIES = {
     "cramers_v": q_cramers_v,
     "benford": q_benford,
     "asof_nearest": q_asof_nearest,
+    "moment_merge": q_moment_merge,
+    "join_size": q_join_size,
+    "missingness": q_missingness,
 }
 
 ORACLE = {
@@ -5726,6 +5786,82 @@ ORACLE = {
         SELECT p.event_id, round(j.cv + 0.0000001, 2) AS cv
         FROM p LEFT JOIN (SELECT event_id, cv FROM j WHERE rk = 1) j
             USING (event_id)
+    """,
+    "moment_merge": """
+        SELECT CAST(count(l_quantity) AS BIGINT) AS q_count,
+               round(avg(l_quantity) + 0.0000001, 6) AS q_mean,
+               round(stddev_samp(l_quantity) + 0.0000001, 6) AS q_std,
+               round(CAST(min(l_quantity) AS DOUBLE) + 0.0000001, 2)
+                   AS q_min,
+               round(CAST(max(l_quantity) AS DOUBLE) + 0.0000001, 2)
+                   AS q_max,
+               CAST(count(l_extendedprice) AS BIGINT) AS p_count,
+               round(avg(l_extendedprice) + 0.0000001, 4) AS p_mean,
+               round(stddev_samp(l_extendedprice) + 0.0000001, 4) AS p_std
+        FROM lineitem
+    """,
+    "join_size": """
+        WITH lc AS (
+            SELECT l_orderkey AS k, count(*) AS nl FROM lineitem GROUP BY k
+        ), rc AS (
+            SELECT o_orderkey AS k, count(*) AS nr FROM orders GROUP BY k
+        ), prod AS (
+            SELECT lc.k, nl, nr, nl * nr AS o FROM lc JOIN rc USING (k)
+        ), top AS (
+            SELECT CAST(k AS VARCHAR) AS key, nl, nr, o FROM prod
+            ORDER BY o DESC, k ASC LIMIT 5
+        ), tot AS (
+            SELECT CAST(NULL AS VARCHAR) AS key,
+                   sum(nl) AS nl, sum(nr) AS nr, sum(o) AS o
+            FROM prod
+        )
+        SELECT key,
+               CAST(nl AS BIGINT) AS left_rows,
+               CAST(nr AS BIGINT) AS right_rows,
+               CAST(o AS BIGINT) AS out_rows
+        FROM (SELECT * FROM top UNION ALL SELECT * FROM tot)
+    """,
+    "missingness": """
+        WITH d AS (
+            SELECT CASE WHEN value <= 100 THEN value END AS va,
+                   CASE WHEN value <= 50 THEN value END AS vb,
+                   CASE WHEN user_id % 3 <> 0 THEN user_id END AS uc
+            FROM events
+        ), a AS (
+            SELECT count(*) AS n,
+                   sum(CASE WHEN va IS NULL THEN 1 ELSE 0 END) AS ma,
+                   sum(CASE WHEN vb IS NULL THEN 1 ELSE 0 END) AS mb,
+                   sum(CASE WHEN uc IS NULL THEN 1 ELSE 0 END) AS mc,
+                   sum(CASE WHEN va IS NULL AND vb IS NULL
+                            THEN 1 ELSE 0 END) AS mab,
+                   sum(CASE WHEN va IS NULL AND uc IS NULL
+                            THEN 1 ELSE 0 END) AS mac,
+                   sum(CASE WHEN vb IS NULL AND uc IS NULL
+                            THEN 1 ELSE 0 END) AS mbc
+            FROM d
+        ), pairs AS (
+            SELECT 'va' AS col_a, 'vb' AS col_b, n,
+                   ma AS null_a, mb AS null_b, mab AS null_both FROM a
+            UNION ALL
+            SELECT 'va', 'uc', n, ma, mc, mac FROM a
+            UNION ALL
+            SELECT 'vb', 'uc', n, mb, mc, mbc FROM a
+        )
+        SELECT col_a, col_b,
+               CAST(n AS BIGINT) AS n,
+               CAST(null_a AS BIGINT) AS null_a,
+               CAST(null_b AS BIGINT) AS null_b,
+               CAST(null_both AS BIGINT) AS null_both,
+               round(
+                   (null_both / CAST(n AS DOUBLE)
+                    - (null_a / CAST(n AS DOUBLE))
+                      * (null_b / CAST(n AS DOUBLE)))
+                   / sqrt((null_a / CAST(n AS DOUBLE))
+                          * (1 - null_a / CAST(n AS DOUBLE))
+                          * (null_b / CAST(n AS DOUBLE))
+                          * (1 - null_b / CAST(n AS DOUBLE)))
+                   + 0.0000001, 6) AS phi
+        FROM pairs
     """,
 }
 

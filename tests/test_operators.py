@@ -1917,3 +1917,55 @@ def test_asof_nearest_direction(spark):
         ).collect()
     }
     assert got_tol == {1: "a", 2: None, 3: "b"}
+
+
+def test_moment_sketches_merge_equals_rescan(spark):
+    from woodwork_spark.statistics.profile import (
+        merge_moments,
+        moment_sketches,
+    )
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 20.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    sk = moment_sketches(df, "g", ["x"])
+    merged = merge_moments(sk, ["x"], []).collect()[0]
+    direct = df.agg(
+        F.count("x"), F.avg("x"), F.stddev_samp("x"), F.min("x"), F.max("x"),
+    ).collect()[0]
+    assert merged["x_count"] == direct[0]
+    assert merged["x_mean"] == pytest.approx(direct[1])
+    assert merged["x_std"] == pytest.approx(direct[2])
+    assert (merged["x_min"], merged["x_max"]) == (direct[3], direct[4])
+    # re-grouping to a coarser key also works
+    regrouped = {r["g"]: r for r in merge_moments(sk, ["x"], ["g"]).collect()}
+    assert regrouped["a"]["x_count"] == 2 and regrouped["b"]["x_count"] == 2
+
+
+def test_join_size_estimate_matches_real_join(spark):
+    from woodwork_spark.operators.scale import join_size_estimate
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,)], "k long",
+    )
+    right = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    rows = join_size_estimate(left, right, "k", top_k=2).collect()
+    total = [r for r in rows if r["key"] is None][0]
+    assert total["out_rows"] == left.join(right, "k").count() == 7
+    top = [r for r in rows if r["key"] is not None]
+    assert top[0]["key"] == "1" and top[0]["out_rows"] == 6
+
+
+def test_missingness_report_phi(spark):
+    from woodwork_spark.operators.quality_checks import missingness_report
+
+    # a null <=> b null (perfectly coupled), c independent-ish
+    rows = [
+        (None, None, 1.0), (None, None, None),
+        (1.0, 1.0, 2.0), (2.0, 2.0, None),
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = {(r["col_a"], r["col_b"]): r
+           for r in missingness_report(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")]["phi"] == pytest.approx(1.0)
+    assert out[("a", "b")]["null_both"] == 2
+    assert out[("a", "c")]["phi"] == pytest.approx(0.0)

@@ -215,3 +215,53 @@ def benford_report(df: DataFrame, col: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+def missingness_report(df: DataFrame, cols) -> DataFrame:
+    """Missing-data PATTERN analysis: for every column pair, the joint
+    null counts and the phi coefficient between their null indicators —
+    the diagnostic that separates "random gaps" from "these fields go
+    missing TOGETHER" (one broken upstream join, one optional payload
+    section).  |phi| near 1 means one ETL defect, not two.
+
+    ONE aggregation computes all pairwise indicator products (p*(p+1)/2
+    expressions over p columns, map-side combinable) — no joins, no
+    second pass.  Returns one row per (col_a < col_b) pair:
+    ``(col_a, col_b, n, null_a, null_b, null_both, phi)``.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("missingness_report needs >= 2 columns")
+    ind = {c: F.col(c).isNull().cast("long") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(ind[c]).alias(f"__m_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(ind[a] * ind[b]).alias(f"__mm_{a}_{b}"))
+    row = df.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("__n").alias("n"),
+                    F.col(f"__m_{a}").alias("null_a"),
+                    F.col(f"__m_{b}").alias("null_b"),
+                    F.col(f"__mm_{a}_{b}").alias("null_both"),
+                ),
+            )
+    melted = row.select(F.explode(F.array(*pairs)).alias("__p")).select("__p.*")
+    n = F.col("n").cast("double")
+    pa, pb, pab = (
+        F.col("null_a") / n, F.col("null_b") / n, F.col("null_both") / n,
+    )
+    denom = F.sqrt(
+        pa * (1 - pa) * pb * (1 - pb),
+    )
+    return melted.withColumn(
+        "phi",
+        F.when(denom > 0, (pab - pa * pb) / denom),
+    )

@@ -368,3 +368,47 @@ def skew_report(
             ).cast("long").alias("salt_factor"),
         )
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str = None,
+    top_k: int = 5,
+) -> DataFrame:
+    """EXACT inner-join output size WITHOUT running the join —
+    ``sum over keys of n_left(k) * n_right(k)`` — plus the top-``k``
+    output-contributing keys: the pre-flight that catches a
+    many-to-many key explosion (the "join produced 400x the input"
+    incident) while it is still one aggregation instead of a 4-hour
+    stage.
+
+    Both sides collapse to per-key counts first (map-side combine), so
+    the estimating join matches KEY CARDINALITIES, never rows.
+    Returns one row per top key plus an ``__total__`` row:
+    ``(key, left_rows, right_rows, out_rows)``.
+    """
+    right_key = right_key or left_key
+    lc = left.groupBy(F.col(left_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__nl"),
+    )
+    rc = right.groupBy(F.col(right_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__nr"),
+    )
+    prod = lc.join(rc, "__k").select(
+        "__k", "__nl", "__nr", (F.col("__nl") * F.col("__nr")).alias("__o"),
+    )
+    top = prod.orderBy(F.desc("__o"), F.asc("__k")).limit(top_k)
+    total = prod.agg(
+        F.lit(None).cast(prod.schema["__k"].dataType).alias("__k"),
+        F.sum("__nl").alias("__nl"),
+        F.sum("__nr").alias("__nr"),
+        F.sum("__o").alias("__o"),
+    )
+    return top.unionByName(total).select(
+        F.col("__k").cast("string").alias("key"),
+        F.col("__nl").alias("left_rows"),
+        F.col("__nr").alias("right_rows"),
+        F.col("__o").alias("out_rows"),
+    )

@@ -165,3 +165,79 @@ def grouped_numeric_profile(
         (F.col("__s.mean") - ci_z * se).alias("mean_ci_lo"),
         (F.col("__s.mean") + ci_z * se).alias("mean_ci_hi"),
     )
+
+
+def moment_sketches(
+    df: DataFrame,
+    group_cols,
+    cols,
+) -> DataFrame:
+    """Mergeable moment sketches per group: for each numeric column a
+    tiny ``(count, sum, sumsq, min, max)`` struct — the incremental-
+    statistics pattern for 100 TB: profile each ingest partition/day
+    ONCE, persist the sketch rows, and answer any union-of-groups
+    mean/std/range question later by MERGING structs
+    (:func:`merge_moments`) instead of rescanning data.  Exact, unlike
+    HLL/KLL — first and second moments compose losslessly.
+
+    One map-side-combinable aggregation; output cardinality = groups.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    aggs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        aggs.append(
+            F.struct(
+                F.count(col).cast("long").alias("n"),
+                F.sum(col).alias("s"),
+                F.sum(col * col).alias("s2"),
+                F.min(col).alias("mn"),
+                F.max(col).alias("mx"),
+            ).alias(f"m_{c}"),
+        )
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def merge_moments(
+    sketches: DataFrame,
+    cols,
+    group_cols=(),
+) -> DataFrame:
+    """Merge :func:`moment_sketches` rows (optionally re-grouped by a
+    coarser key — days into months, sources into domains) and derive
+    the exact count/mean/std/min/max each merged group would have
+    produced from a full rescan.  The merge is an aggregation over
+    struct rows: constant cost regardless of how much data built them.
+
+    Returns one row per merged group with ``{col}_count/mean/std/
+    min/max`` columns.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    aggs = []
+    for c in cols:
+        m = f"m_{c}"
+        aggs += [
+            F.sum(F.col(f"{m}.n")).cast("long").alias(f"__n_{c}"),
+            F.sum(F.col(f"{m}.s")).alias(f"__s_{c}"),
+            F.sum(F.col(f"{m}.s2")).alias(f"__s2_{c}"),
+            F.min(F.col(f"{m}.mn")).alias(f"{c}_min"),
+            F.max(F.col(f"{m}.mx")).alias(f"{c}_max"),
+        ]
+    merged = sketches.groupBy(*group_cols).agg(*aggs)
+    out_cols = list(group_cols)
+    for c in cols:
+        n = F.col(f"__n_{c}")
+        mean = F.col(f"__s_{c}") / n
+        # sample variance from raw moments: (s2 - n*mean^2) / (n-1)
+        var = F.when(
+            n > 1,
+            (F.col(f"__s2_{c}") - n * mean * mean) / (n - 1),
+        )
+        out_cols += [
+            n.alias(f"{c}_count"),
+            mean.alias(f"{c}_mean"),
+            F.sqrt(F.greatest(var, F.lit(0.0))).alias(f"{c}_std"),
+            F.col(f"{c}_min"),
+            F.col(f"{c}_max"),
+        ]
+    return merged.select(*out_cols)
