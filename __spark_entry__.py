@@ -3029,6 +3029,70 @@ def q_missingness(spark, sf_dir):
     )
 
 
+def q_union_evolve(spark, sf_dir):
+    """Schema-evolution union: three drifted projections of orders
+    (narrowed key dtype, missing/extra columns) unioned with typed
+    NULL fill + numeric widening — pure plan surgery, no shuffle
+    beyond the union."""
+    from woodwork_spark.table_utils import union_evolve
+
+    _prep(spark)
+    ord_ = _t(spark, sf_dir, "orders")
+    v1 = ord_.select("o_orderkey", "o_totalprice")
+    v2 = ord_.select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        "o_orderpriority",
+    )
+    v3 = ord_.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    u = union_evolve([v1, v2, v3])
+    return u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_orderpriority").alias("n_prio"),
+        _ravg(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count_distinct("o_orderpriority").alias("n_prio_kinds"),
+        F.sum("o_orderkey").alias("sum_key"),
+    )
+
+
+def q_rolling_corr(spark, sf_dir):
+    """Per-user rolling correlation between event value and time
+    (trend detector) over the last 10 events — corr as a window
+    AGGREGATE, one sort per entity."""
+    from woodwork_spark.operators.timeseries import rolling_corr
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    d = ev.withColumn(
+        "h",
+        (F.unix_micros("ts") - F.lit(1704067200000000)) / 3.6e9,
+    )
+    rc = rolling_corr(
+        d, "ts", "user_id", "value", "h",
+        n_events=10, min_periods=5, tie_cols=["event_id"],
+    )
+    return rc.select(
+        "event_id", "n_pairs",
+        _ravg(F.col("rolling_corr_10"), 4).alias("rcorr"),
+    )
+
+
+def q_seasonality(spark, sf_dir):
+    """Day-of-week seasonal load profile with seasonal index (bucket
+    mean / overall mean): one bucket agg + a 1-row broadcast."""
+    from woodwork_spark.operators.timeseries import seasonality_profile
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    sp = seasonality_profile(ev, "ts", "value", period="dow")
+    return sp.select(
+        "period_bucket", "n_events",
+        _ravg(F.col("mean_value"), 4).alias("mean_value"),
+        _ravg(F.col("sum_value"), 2).alias("sum_value"),
+        _ravg(F.col("seasonal_index"), 6).alias("seasonal_index"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3159,6 +3223,9 @@ QUERIES = {
     "moment_merge": q_moment_merge,
     "join_size": q_join_size,
     "missingness": q_missingness,
+    "union_evolve": q_union_evolve,
+    "rolling_corr": q_rolling_corr,
+    "seasonality": q_seasonality,
 }
 
 ORACLE = {
@@ -5862,6 +5929,59 @@ ORACLE = {
                           * (1 - null_b / CAST(n AS DOUBLE)))
                    + 0.0000001, 6) AS phi
         FROM pairs
+    """,
+    "union_evolve": """
+        WITH u AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(NULL AS VARCHAR) AS o_orderpriority
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        )
+        SELECT count(*) AS n_rows,
+               count(o_totalprice) AS n_price,
+               count(o_orderpriority) AS n_prio,
+               round(sum(o_totalprice) + 0.0000001, 2) AS sum_price,
+               count(DISTINCT o_orderpriority) AS n_prio_kinds,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        FROM u
+    """,
+    "rolling_corr": """
+        SELECT event_id,
+               CAST(count(CASE WHEN value IS NOT NULL THEN 1 END) OVER w
+                    AS BIGINT) AS n_pairs,
+               CASE WHEN count(CASE WHEN value IS NOT NULL THEN 1 END)
+                         OVER w >= 5
+                    THEN round(corr(value,
+                          (epoch_us(ts) - 1704067200000000) / 3600000000.0)
+                          OVER w + 0.0000001, 4)
+               END AS rcorr
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+    "seasonality": """
+        WITH b AS (
+            SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS period_bucket,
+                   value
+            FROM events
+        ), agg AS (
+            SELECT period_bucket,
+                   count(*) AS n_events,
+                   avg(value) AS mean_value,
+                   sum(value) AS sum_value
+            FROM b GROUP BY period_bucket
+        ), o AS (
+            SELECT avg(value) AS omean FROM events
+        )
+        SELECT period_bucket, n_events,
+               round(mean_value + 0.0000001, 4) AS mean_value,
+               round(sum_value + 0.0000001, 2) AS sum_value,
+               round(mean_value / omean + 0.0000001, 6) AS seasonal_index
+        FROM agg, o
     """,
 }
 

@@ -1969,3 +1969,58 @@ def test_missingness_report_phi(spark):
     assert out[("a", "b")]["phi"] == pytest.approx(1.0)
     assert out[("a", "b")]["null_both"] == 2
     assert out[("a", "c")]["phi"] == pytest.approx(0.0)
+
+
+def test_union_evolve_widening_and_fill(spark):
+    from pyspark.sql import types as T
+
+    from woodwork_spark.table_utils import union_evolve
+
+    a = spark.createDataFrame([(1, 2)], "x int, y int")
+    b = spark.createDataFrame([(3.5, "z")], "x double, z string")
+    u = union_evolve([a, b])
+    types = {f.name: f.dataType for f in u.schema.fields}
+    assert isinstance(types["x"], T.DoubleType)   # int widened to double
+    assert [f.name for f in u.schema.fields] == ["x", "y", "z"]
+    rows = sorted(u.collect(), key=lambda r: r["x"])
+    assert rows[0]["x"] == 1.0 and rows[0]["z"] is None
+    assert rows[1]["y"] is None and rows[1]["z"] == "z"
+    # mixed incompatible types fall back to string
+    c = spark.createDataFrame([("s",)], "y string")
+    m = union_evolve([a, c])
+    assert isinstance(
+        {f.name: f.dataType for f in m.schema.fields}["y"], T.StringType,
+    )
+
+
+def test_rolling_corr_perfect_linear(spark):
+    from woodwork_spark.operators.timeseries import rolling_corr
+
+    rows = [(1, float(t), float(t), 2.0 * t + 1) for t in range(10)]
+    df = spark.createDataFrame(rows, "u long, t double, x double, y double")
+    out = rolling_corr(
+        df, "t", "u", "x", "y", n_events=5, min_periods=3,
+    ).orderBy("t").collect()
+    # perfectly linear -> corr 1 once min_periods reached
+    assert out[0]["rolling_corr_5"] is None  # 1 pair < min_periods
+    assert out[-1]["rolling_corr_5"] == pytest.approx(1.0)
+    assert out[-1]["n_pairs"] == 5
+
+
+def test_seasonality_profile_index(spark):
+    import datetime
+
+    from woodwork_spark.operators.timeseries import seasonality_profile
+
+    # Mondays value 10, Tuesdays value 30 -> overall mean 20
+    rows = []
+    for wk in range(3):
+        rows.append((datetime.datetime(2024, 1, 1 + 7 * wk, 12), 10.0))  # Mon
+        rows.append((datetime.datetime(2024, 1, 2 + 7 * wk, 12), 30.0))  # Tue
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {r["period_bucket"]: r for r in
+           seasonality_profile(df, "ts", "v", period="dow").collect()}
+    # Spark dayofweek: Mon=2, Tue=3
+    assert out[2]["seasonal_index"] == pytest.approx(0.5)
+    assert out[3]["seasonal_index"] == pytest.approx(1.5)
+    assert out[2]["n_events"] == 3

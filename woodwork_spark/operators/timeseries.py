@@ -263,3 +263,84 @@ def interarrival_stats(
             ).alias("burstiness"),
         )
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    ts_col: str,
+    key_cols,
+    x_col: str,
+    y_col: str,
+    n_events: int = 20,
+    min_periods: int = 5,
+    tie_cols=(),
+) -> DataFrame:
+    """Per-entity rolling Pearson correlation between two measures over
+    the trailing ``n_events`` events (current included) — the co-
+    movement monitor for paired signals (price/volume, latency/load).
+
+    ``corr`` is a Spark window AGGREGATE, so the whole computation is
+    one partitioned window sharing one sort per entity — the
+    ``rolling_features`` execution shape; windows with fewer than
+    ``min_periods`` pairs or zero variance yield NULL.
+    """
+    if n_events < 2:
+        raise ValueError("n_events must be >= 2")
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col), *[F.col(c) for c in tie_cols])
+        .rowsBetween(-(n_events - 1), 0)
+    )
+    n_pairs = F.count(
+        F.when(F.col(x_col).isNotNull() & F.col(y_col).isNotNull(), 1),
+    ).over(w)
+    return df.select(
+        "*",
+        n_pairs.cast("long").alias("n_pairs"),
+        F.when(
+            n_pairs >= min_periods, F.corr(x_col, y_col).over(w),
+        ).alias(f"rolling_corr_{n_events}"),
+    )
+
+
+def seasonality_profile(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: str = "dow",
+    group_cols=(),
+) -> DataFrame:
+    """Seasonal load profile: per period bucket (day-of-week 1-7 or
+    hour-of-day 0-23), the event count, mean value, and the seasonal
+    INDEX (bucket mean / overall mean — 1.0 = flat) — the baseline
+    every anomaly threshold and capacity plan starts from.
+
+    One aggregation to the bucket table (map-side combinable); the
+    overall mean joins back as a 1-row broadcast.  ``period``:
+    ``"dow"`` (ISO Monday=1) or ``"hour"``.
+    """
+    if period == "dow":
+        b = F.dayofweek(F.col(ts_col))  # Sun=1..Sat=7 (Spark native)
+    elif period == "hour":
+        b = F.hour(F.col(ts_col))
+    else:
+        raise ValueError("period must be 'dow' or 'hour'")
+    group_cols = list(group_cols)
+    agg = df.groupBy(*group_cols, b.cast("long").alias("period_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg(value_col).alias("mean_value"),
+        F.sum(value_col).alias("sum_value"),
+    )
+    overall = df.groupBy(*group_cols).agg(
+        F.avg(value_col).alias("__omean"),
+    ) if group_cols else df.agg(F.avg(value_col).alias("__omean"))
+    joined = (
+        agg.join(F.broadcast(overall), group_cols)
+        if group_cols
+        else agg.crossJoin(F.broadcast(overall))
+    )
+    return joined.select(
+        *group_cols, "period_bucket", "n_events", "mean_value", "sum_value",
+        (F.col("mean_value") / F.col("__omean")).alias("seasonal_index"),
+    )

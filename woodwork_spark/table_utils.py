@@ -203,3 +203,72 @@ def schema_drift(old: WWDataFrame, new: WWDataFrame) -> "list[dict]":
                 "old_tags": None, "new_tags": ",".join(new_tags[c]),
             })
     return rows
+
+
+def union_evolve(dfs, widen: bool = True):
+    """Union DataFrames whose schemas drifted apart — the daily reality
+    of long-lived ingest pipelines (new columns appear, int columns
+    widen to long/double): missing columns fill with typed NULLs, and
+    columns whose types differ across inputs widen to the least common
+    numeric type (``widen=True``; int->long->double; anything else
+    falls back to string only when genuinely mixed).  Column order
+    follows first appearance across ``dfs``.
+
+    Pure plan surgery — per-input projections + ``unionByName``; no
+    shuffle, no data movement beyond the union itself.  Raises on an
+    empty input list.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dfs = list(dfs)
+    if not dfs:
+        raise ValueError("union_evolve needs at least one DataFrame")
+
+    _rank = {
+        "byte": 0, "short": 1, "integer": 2, "long": 3,
+        "float": 4, "double": 5,
+    }
+
+    def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
+        if a == b:
+            return a
+        an, bn = a.simpleString(), b.simpleString()
+        names = {"tinyint": "byte", "smallint": "short", "int": "integer",
+                 "bigint": "long"}
+        an, bn = names.get(an, an), names.get(bn, bn)
+        if widen and an in _rank and bn in _rank:
+            return (
+                T.DoubleType() if max(_rank[an], _rank[bn]) >= 4
+                else T.LongType() if max(_rank[an], _rank[bn]) >= 3
+                else T.IntegerType()
+            )
+        if isinstance(a, T.DecimalType) and isinstance(b, (T.DecimalType,)):
+            return T.DoubleType()
+        return T.StringType()
+
+    target: dict = {}
+    order: list = []
+    for df in dfs:
+        for f in df.schema.fields:
+            if f.name not in target:
+                target[f.name] = f.dataType
+                order.append(f.name)
+            else:
+                target[f.name] = _widen(target[f.name], f.dataType)
+
+    out = None
+    for df in dfs:
+        have = {f.name: f.dataType for f in df.schema.fields}
+        proj = df.select(
+            *[
+                (
+                    F.col(c).cast(target[c])
+                    if c in have
+                    else F.lit(None).cast(target[c])
+                ).alias(c)
+                for c in order
+            ],
+        )
+        out = proj if out is None else out.unionByName(proj)
+    return out
