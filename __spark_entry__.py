@@ -3093,6 +3093,58 @@ def q_seasonality(spark, sf_dir):
     )
 
 
+def q_psi_timeseries(spark, sf_dir):
+    """Drift localization: per-day PSI of event values against the
+    first-7-day baseline — one (day, bin) agg, baseline reduced from
+    those counts, densified day x bin grid so collapsed buckets still
+    signal."""
+    from woodwork_spark.operators.curation import psi_timeseries
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    pt = psi_timeseries(
+        ev, "ts", "value", [25.0, 50.0, 100.0], baseline_days=7,
+    )
+    return pt.select(
+        "bucket_s", "n_rows", _ravg(F.col("psi"), 6).alias("psi"),
+    )
+
+
+def q_group_trend(spark, sf_dir):
+    """Per-event-type linear value trend (units/day): ONE grouped
+    regr_slope/intercept/r2 aggregation — no per-group fitting jobs,
+    no sort."""
+    from woodwork_spark.operators.curation import group_trend
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    gt = group_trend(
+        ev, "event_type", "ts", "value", t0_us=1704067200000000,
+    )
+    return gt.select(
+        "event_type", "n_points",
+        _ravg(F.col("slope"), 6).alias("slope"),
+        _ravg(F.col("intercept"), 6).alias("intercept"),
+        _ravg(F.col("r2"), 6).alias("r2"),
+    )
+
+
+def q_funnel_windowed(spark, sf_dir):
+    """windowFunnel semantics: signup -> view -> purchase completed
+    within 3 days of the user's FIRST signup — same one-shuffle
+    fold as q:funnel_steps with the anchor-window constraint; the
+    oracle chains min-joins under the same cap."""
+    from woodwork_spark.operators.funnel import funnel
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev, "user_id", "ts", "event_type",
+        ["signup", "view", "purchase"],
+        within_seconds=3 * 86400,
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3226,6 +3278,9 @@ QUERIES = {
     "union_evolve": q_union_evolve,
     "rolling_corr": q_rolling_corr,
     "seasonality": q_seasonality,
+    "psi_timeseries": q_psi_timeseries,
+    "group_trend": q_group_trend,
+    "funnel_windowed": q_funnel_windowed,
 }
 
 ORACLE = {
@@ -5982,6 +6037,88 @@ ORACLE = {
                round(sum_value + 0.0000001, 2) AS sum_value,
                round(mean_value / omean + 0.0000001, 6) AS seasonal_index
         FROM agg, o
+    """,
+    "psi_timeseries": """
+        WITH binned AS (
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS b,
+                   CASE WHEN value IS NULL THEN '__null'
+                        WHEN value < 25 THEN 'b0'
+                        WHEN value < 50 THEN 'b1'
+                        WHEN value < 100 THEN 'b2'
+                        ELSE 'b3' END AS bin
+            FROM events
+        ), counts AS (
+            SELECT b, bin, count(*) AS n FROM binned GROUP BY b, bin
+        ), st AS (
+            SELECT min(b) AS b0 FROM counts
+        ), base AS (
+            SELECT bin, sum(n) AS bn FROM counts, st
+            WHERE b < b0 + 604800 GROUP BY bin
+        ), bt AS (
+            SELECT CAST(sum(bn) AS DOUBLE) AS btot FROM base
+        ), dt AS (
+            SELECT b, CAST(sum(n) AS DOUBLE) AS dtot FROM counts GROUP BY b
+        ), grid AS (
+            SELECT d.b, x.bin
+            FROM (SELECT DISTINCT b FROM counts) d
+            CROSS JOIN (SELECT DISTINCT bin FROM counts) x
+        ), j AS (
+            SELECT grid.b,
+                   coalesce(c.n, 0) AS n,
+                   greatest(coalesce(base.bn, 0) / btot, 0.000001) AS pa,
+                   greatest(coalesce(c.n, 0) / dt.dtot, 0.000001) AS pb
+            FROM grid
+            LEFT JOIN counts c ON grid.b = c.b AND grid.bin = c.bin
+            LEFT JOIN base ON grid.bin = base.bin
+            JOIN dt ON grid.b = dt.b
+            CROSS JOIN bt
+        )
+        SELECT b AS bucket_s,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               round(sum((pa - pb) * ln(pa / pb)) + 0.0000001, 6) AS psi
+        FROM j GROUP BY b
+    """,
+    "group_trend": """
+        SELECT event_type,
+               CAST(count(value) AS BIGINT) AS n_points,
+               round(regr_slope(value,
+                   (epoch_us(ts) - 1704067200000000) / 86400000000.0)
+                   + 0.0000001, 6) AS slope,
+               round(regr_intercept(value,
+                   (epoch_us(ts) - 1704067200000000) / 86400000000.0)
+                   + 0.0000001, 6) AS intercept,
+               round(regr_r2(value,
+                   (epoch_us(ts) - 1704067200000000) / 86400000000.0)
+                   + 0.0000001, 6) AS r2
+        FROM events
+        GROUP BY event_type
+        HAVING count(value) >= 3
+    """,
+    "funnel_windowed": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'view' AND e.ts > s1.t1
+              AND epoch_us(e.ts) - epoch_us(s1.t1) <= 259200000000
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e
+            JOIN s2 ON e.user_id = s2.user_id
+            JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              AND epoch_us(e.ts) - epoch_us(s1.t1) <= 259200000000
+            GROUP BY e.user_id
+        )
+        SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+               (SELECT count(*) FROM s1) AS n_users
+        UNION ALL
+        SELECT 2, 'view', (SELECT count(*) FROM s2)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM s3)
     """,
 }
 

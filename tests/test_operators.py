@@ -2024,3 +2024,72 @@ def test_seasonality_profile_index(spark):
     assert out[2]["seasonal_index"] == pytest.approx(0.5)
     assert out[3]["seasonal_index"] == pytest.approx(1.5)
     assert out[2]["n_events"] == 3
+
+
+def test_psi_timeseries_detects_planted_shift(spark):
+    import datetime
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.curation import psi_timeseries
+
+    day = 86_400
+    rows = []
+    # days 0-6 (baseline) + day 7: values ~10; day 8: values ~90 (shift)
+    for d in range(8):
+        for i in range(20):
+            rows.append(
+                (datetime.datetime.utcfromtimestamp(d * day + i), 10.0),
+            )
+    for i in range(20):
+        rows.append((datetime.datetime.utcfromtimestamp(8 * day + i), 90.0))
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = psi_timeseries(df, "ts", "v", [50.0], baseline_days=7)
+    got = {r["bucket_s"]: r["psi"] for r in out.collect()}
+    release(out)
+    assert got[7 * day] == pytest.approx(0.0, abs=1e-6)  # stable day
+    assert got[8 * day] > 1.0                            # collapsed bucket
+    assert got[0] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_group_trend_recovers_planted_slope(spark):
+    import datetime
+
+    from woodwork_spark.operators.curation import group_trend
+
+    t0 = 1704067200
+    rows = [
+        ("up", datetime.datetime.utcfromtimestamp(t0 + d * 86400),
+         5.0 + 2.0 * d)
+        for d in range(10)
+    ] + [
+        ("flat", datetime.datetime.utcfromtimestamp(t0 + d * 86400), 7.0)
+        for d in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["g"]: r for r in
+           group_trend(df, "g", "ts", "v", t0_us=t0 * 1_000_000).collect()}
+    assert out["up"]["slope"] == pytest.approx(2.0)
+    assert out["up"]["intercept"] == pytest.approx(5.0)
+    assert out["up"]["r2"] == pytest.approx(1.0)
+    assert out["flat"]["slope"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_funnel_within_seconds_windows(spark):
+    from woodwork_spark.operators.funnel import funnel
+
+    rows = [
+        # user 1 completes a->b within 10s
+        (1, 0, "a"), (1, 5, "b"),
+        # user 2's b comes too late for a 10s window
+        (2, 0, "a"), (2, 50, "b"),
+        # user 3: second 'a' is NOT a re-anchor; window stays at t=0
+        (3, 0, "a"), (3, 40, "a"), (3, 45, "b"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, e string")
+    unbounded = {r["step"]: r["n_users"]
+                 for r in funnel(df, "u", "t", "e", ["a", "b"]).collect()}
+    assert unbounded == {"a": 3, "b": 3}
+    windowed = {r["step"]: r["n_users"]
+                for r in funnel(df, "u", "t", "e", ["a", "b"],
+                                within_seconds=10).collect()}
+    assert windowed == {"a": 3, "b": 1}

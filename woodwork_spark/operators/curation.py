@@ -628,3 +628,120 @@ def temperature_mix(
     return shared.withColumn(
         "keep_frac", c * F.col("target_frac") / F.col("natural_frac"),
     )
+
+
+def psi_timeseries(
+    df: DataFrame,
+    ts_col: str,
+    col: str,
+    edges: list,
+    baseline_days: int = 7,
+    bucket_seconds: int = 86_400,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """WHEN did the distribution shift: per-time-bucket PSI of ``col``
+    against the baseline formed by the first ``baseline_days`` buckets
+    — ``psi_drift_report`` answers "did these two snapshots differ";
+    this walks the whole history and localizes the break.
+
+    One (bucket, bin) count aggregation over the data (map-side
+    partials — cardinality is days x bins), the baseline reduces from
+    THOSE COUNTS (never rescans), joins back broadcast, and PSI per
+    day is one more tiny agg.  Fixed ``edges`` keep the binning
+    engine-independent (see ``_psi_bucket_expr``).  Buckets inside the
+    baseline window report their PSI against it too (near 0 unless
+    the baseline window itself is unstable).
+
+    Returns ``(bucket_s, n_rows, psi)`` per observed time bucket.
+    """
+    from woodwork_spark.operators.timeseries import bucket_expr
+
+    b = bucket_expr(ts_col, bucket_seconds)
+    binned = df.select(
+        b.alias("__b"), _psi_bucket_expr(col, list(edges)).alias("__bin"),
+    )
+    counts = (
+        binned.groupBy("__b", "__bin")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .persist()
+    )
+    start = counts.agg(F.min("__b").alias("__b0"))
+    cutoff = F.col("__b0") + (baseline_days * bucket_seconds)
+    base = (
+        counts.crossJoin(F.broadcast(start))
+        .where(F.col("__b") < cutoff)
+        .groupBy("__bin")
+        .agg(F.sum("__n").alias("__bn"))
+    )
+    base_tot = base.agg(F.sum("__bn").alias("__bt"))
+    day_tot = counts.groupBy("__b").agg(F.sum("__n").alias("__dt"))
+    # densify the (day x bin) grid (bins are bounded: len(edges)+2 at
+    # most) — a bucket ABSENT on some day must still contribute its
+    # pa*ln(pa/eps) term; joining only observed (day, bin) pairs would
+    # silently miss exactly the collapsed-bucket signal PSI exists for
+    bins = counts.select("__bin").distinct()
+    grid = day_tot.crossJoin(F.broadcast(bins))
+    j = (
+        grid.join(counts, ["__b", "__bin"], "left")
+        .join(F.broadcast(base), "__bin", "left")
+        .crossJoin(F.broadcast(base_tot))
+    )
+    pa = F.greatest(
+        F.coalesce("__bn", F.lit(0)) / F.col("__bt"), F.lit(float(eps)),
+    )
+    pb = F.greatest(
+        F.coalesce("__n", F.lit(0)) / F.col("__dt"), F.lit(float(eps)),
+    )
+    out = (
+        j.groupBy(F.col("__b").alias("bucket_s"))
+        .agg(
+            F.sum(F.coalesce("__n", F.lit(0))).alias("n_rows"),
+            F.sum((pa - pb) * F.log(pa / pb)).alias("psi"),
+        )
+    )
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(out, counts)
+
+
+def group_trend(
+    df: DataFrame,
+    group_cols,
+    ts_col: str,
+    value_col: str,
+    min_points: int = 3,
+    t0_us: int = 0,
+    t_unit_seconds: float = 86_400.0,
+) -> DataFrame:
+    """Per-group linear trend of ``value_col`` over time — slope (in
+    value-units per ``t_unit_seconds``), intercept, R², point count —
+    ONE grouped ``regr_*`` aggregation: the cheapest possible "which
+    sources/users/segments are drifting and how fast" sweep (a window
+    or per-group fit loop would cost a sort or a job per group; this
+    is a single map-side-combinable agg).
+
+    ``t0_us`` anchors the time axis (pass a fixed epoch-micros literal
+    so runs are comparable); x = (epoch_us - t0) / unit.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    x = (
+        (F.unix_micros(F.col(ts_col)) - F.lit(int(t0_us)))
+        / F.lit(float(t_unit_seconds) * 1e6)
+    )
+    y = F.col(value_col).cast("double")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.when(y.isNotNull(), 1)).cast("long").alias("n_points"),
+        F.expr(
+            f"regr_slope({value_col}, "
+            f"(unix_micros({ts_col}) - {int(t0_us)}) / {float(t_unit_seconds) * 1e6})",
+        ).alias("slope"),
+        F.expr(
+            f"regr_intercept({value_col}, "
+            f"(unix_micros({ts_col}) - {int(t0_us)}) / {float(t_unit_seconds) * 1e6})",
+        ).alias("intercept"),
+        F.expr(
+            f"regr_r2({value_col}, "
+            f"(unix_micros({ts_col}) - {int(t0_us)}) / {float(t_unit_seconds) * 1e6})",
+        ).alias("r2"),
+    )
+    return agg.where(F.col("n_points") >= min_points)

@@ -29,17 +29,22 @@ def funnel(
     ts_col: str,
     type_col: str,
     steps,
+    within_seconds: float = None,
 ) -> DataFrame:
     """Ordered funnel: for each prefix of ``steps``, how many users
     completed it in timestamp order (a later step must occur strictly
-    after the matched earlier step).
+    after the matched earlier step), optionally within
+    ``within_seconds`` of the user's first step-1 event (windowFunnel
+    semantics, anchored at the first step-1 occurrence).
 
     Returns ``(step_idx, step, n_users)`` where n_users counts users
     whose longest in-order prefix reaches at least that step.
     Ties in timestamps: an event at the exact same timestamp as the
     previously matched step does NOT advance the funnel (strict >).
     """
-    per_user = funnel_depths(df, user_col, ts_col, type_col, steps)
+    per_user = funnel_depths(
+        df, user_col, ts_col, type_col, steps, within_seconds=within_seconds,
+    )
     depth_counts = (
         per_user.groupBy("__depth")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -63,10 +68,18 @@ def funnel_depths(
     ts_col: str,
     type_col: str,
     steps,
+    within_seconds: float = None,
 ) -> DataFrame:
     """Per-user funnel depth frame ``(__u, __depth)`` — the distributed
     core of :func:`funnel`, exposed so callers (and the plan-shape
-    tests) can target the actual one-shuffle pipeline."""
+    tests) can target the actual one-shuffle pipeline.
+
+    ``within_seconds`` adds the windowFunnel-style completion
+    constraint: the funnel is anchored at the user's FIRST step-1
+    event and later steps only count while they fall within
+    ``within_seconds`` of that anchor (timestamp or numeric time
+    columns; numeric columns interpret the window in their own
+    units)."""
     steps = list(steps)
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -81,28 +94,62 @@ def funnel_depths(
     # (date, timestamp, epoch long all work) or the two when() branches
     # build mismatched structs
     ts_type = df.schema[ts_col].dataType
+    from pyspark.sql import types as T
+
+    if within_seconds is not None:
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            def _num(c):
+                return F.unix_micros(c)
+
+            win = float(within_seconds) * 1_000_000
+        elif isinstance(ts_type, T.NumericType):
+            def _num(c):
+                return c.cast("double")
+
+            win = float(within_seconds)
+        else:
+            raise ValueError(
+                "within_seconds needs a timestamp or numeric time column",
+            )
+
+    def _advance(acc, ev):
+        cond = (
+            (acc["k"] < F.lit(len(steps)))
+            & (ev["e"] == F.element_at(steps_lit, acc["k"] + 1))
+            & (acc["t"].isNull() | (ev["t"] > acc["t"]))
+        )
+        if within_seconds is not None:
+            cond = cond & (
+                acc["t0"].isNull()
+                | (_num(ev["t"]) - _num(acc["t0"]) <= win)
+            )
+        fields = [(acc["k"] + 1).alias("k"), ev["t"].alias("t")]
+        if within_seconds is not None:
+            fields.append(
+                F.coalesce(acc["t0"], ev["t"]).alias("t0"),
+            )
+        return F.when(cond, F.struct(*fields)).otherwise(acc)
+
+    init_fields = [
+        F.lit(0).alias("k"),
+        F.lit(None).cast(ts_type).alias("t"),
+    ]
+    if within_seconds is not None:
+        init_fields.append(F.lit(None).cast(ts_type).alias("t0"))
     per_user = (
         evs.groupBy("__u")
         .agg(F.sort_array(F.collect_list("__ev")).alias("__evs"))
         .select(
             "__u",
-            # fold: acc = (stage reached, ts of last matched step).
-            # advance when the event matches the next step and is
-            # strictly later than the previous match (NULL ts start).
+            # fold: acc = (stage reached, ts of last matched step,
+            # [anchor = first matched step-1 ts]).  advance when the
+            # event matches the next step, is strictly later than the
+            # previous match, and (windowed mode) stays within the
+            # window of the anchor.
             F.aggregate(
                 "__evs",
-                F.struct(
-                    F.lit(0).alias("k"),
-                    F.lit(None).cast(ts_type).alias("t"),
-                ),
-                lambda acc, ev: F.when(
-                    (acc["k"] < F.lit(len(steps)))
-                    & (ev["e"] == F.element_at(steps_lit, acc["k"] + 1))
-                    & (acc["t"].isNull() | (ev["t"] > acc["t"])),
-                    F.struct(
-                        (acc["k"] + 1).alias("k"), ev["t"].alias("t"),
-                    ),
-                ).otherwise(acc),
+                F.struct(*init_fields),
+                _advance,
             )["k"].alias("__depth"),
         )
     )
