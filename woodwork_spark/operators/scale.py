@@ -322,6 +322,7 @@ def skew_report(
     df: DataFrame,
     key_cols,
     top_k: int = 10,
+    approx_percentile: bool = False,
 ) -> DataFrame:
     """Join/agg-key skew diagnostics: the numbers that decide whether a
     key needs salting BEFORE the 4-hour stage discovers it — per-key
@@ -331,7 +332,9 @@ def skew_report(
 
     Two aggregations: per-key counts (map-side combinable), then one
     summary agg over the counts table (exact percentile over KEY
-    CARDINALITY rows, not data rows) broadcast onto the driver-bounded
+    CARDINALITY rows, not data rows; pass ``approx_percentile=True``
+    for the bounded-memory KLL sketch when keys number in the
+    billions) broadcast onto the driver-bounded
     top-k.  The top-k orderBy+limit is a global top-k — Spark executes
     it as per-partition partial top-k + one ``top_k``-row merge, never
     a full sort.
@@ -346,7 +349,12 @@ def skew_report(
         F.sum("n").alias("n_rows"),
         F.max("n").alias("max_n"),
         F.avg("n").alias("avg_n"),
-        F.percentile("n", F.lit(0.99)).alias("p99_n"),
+        (
+            F.percentile_approx("n", F.lit(0.99), F.lit(10_000))
+            .cast("double")
+            if approx_percentile
+            else F.percentile("n", F.lit(0.99))
+        ).alias("p99_n"),
     )
     top = (
         counts.orderBy(F.desc("n"), *[F.asc(k) for k in key_cols])

@@ -233,18 +233,22 @@ def union_evolve(dfs, widen: bool = True):
     def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
         if a == b:
             return a
-        an, bn = a.simpleString(), b.simpleString()
-        names = {"tinyint": "byte", "smallint": "short", "int": "integer",
-                 "bigint": "long"}
-        an, bn = names.get(an, an), names.get(bn, bn)
+
+        def _name(d):
+            # decimals widen like doubles (documented precision trade)
+            if isinstance(d, T.DecimalType):
+                return "double"
+            n = d.simpleString()
+            return {"tinyint": "byte", "smallint": "short",
+                    "int": "integer", "bigint": "long"}.get(n, n)
+
+        an, bn = _name(a), _name(b)
         if widen and an in _rank and bn in _rank:
             return (
                 T.DoubleType() if max(_rank[an], _rank[bn]) >= 4
                 else T.LongType() if max(_rank[an], _rank[bn]) >= 3
                 else T.IntegerType()
             )
-        if isinstance(a, T.DecimalType) and isinstance(b, (T.DecimalType,)):
-            return T.DoubleType()
         return T.StringType()
 
     target: dict = {}
