@@ -2817,19 +2817,23 @@ def q_stream_distinct(spark, sf_dir):
 
 
 def q_similarity_join(spark, sf_dir):
-    """Two-table fuzzy join: even-keyed parts matched to odd-keyed
-    parts by word-set Jaccard >= 0.6 over p_name — inverted-index +
+    """Two-table fuzzy join (record linkage): a 1% "new batch" of
+    parts matched against the odd-keyed catalog by word-BIGRAM-set
+    Jaccard >= 0.5 over p_name — bigram blocking is ~100x more
+    selective than unigrams on a dense vocabulary; inverted-index +
     hash-order prefix filter, exact verify, no cross join."""
     from woodwork_spark.operators.dedup import similarity_join
 
     _prep(spark)
     part = _t(spark, sf_dir, "part")
-    a = part.where(F.col("p_partkey") % 2 == 0).select("p_partkey", "p_name")
+    a = part.where(F.col("p_partkey") % 100 == 0).select(
+        "p_partkey", "p_name",
+    )
     b = part.where(F.col("p_partkey") % 2 == 1).select(
         F.col("p_partkey").alias("pk_b"), "p_name",
     )
     sj = similarity_join(
-        a, b, "p_partkey", "pk_b", "p_name", k=1, threshold=0.6,
+        a, b, "p_partkey", "pk_b", "p_name", k=2, threshold=0.5,
     )
     return sj.select(
         "p_partkey", "pk_b", _ravg(F.col("jaccard"), 6).alias("jaccard"),
@@ -3145,6 +3149,73 @@ def q_funnel_windowed(spark, sf_dir):
     )
 
 
+def q_group_scale(spark, sf_dir):
+    """Per-returnflag z-score standardization of two measures: one
+    grouped stats agg broadcast back, scaling in projections — checked
+    via the scaled columns' own moments (mean 0, std 1) and ranges."""
+    from woodwork_spark.operators.features import standardize_by_group
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    s = standardize_by_group(
+        li, "l_returnflag", ["l_quantity", "l_discount"], method="zscore",
+    )
+    return s.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _ravg(F.avg("l_quantity_scaled"), 6).alias("avg_q"),
+        _ravg(F.stddev_samp("l_quantity_scaled"), 6).alias("std_q"),
+        _ravg(F.min("l_quantity_scaled"), 4).alias("min_q"),
+        _ravg(F.max("l_discount_scaled"), 4).alias("max_d"),
+    )
+
+
+def q_target_encode(spark, sf_dir):
+    """Smoothed target encoding of event_type against value (m=10),
+    plus the leave-one-out variant: one category agg + 1-row prior,
+    both broadcast; encodings are pure projections."""
+    from woodwork_spark.operators.features import target_encode
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    enc = target_encode(ev, "event_type", "value", smoothing=10.0)
+    loo = target_encode(
+        ev, "event_type", "value", smoothing=10.0,
+        out_col="enc_loo", leave_one_out=True,
+    )
+    a = enc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _ravg(F.min("event_type_enc"), 6).alias("enc"),
+    )
+    b = loo.groupBy("event_type").agg(
+        _ravg(F.avg("enc_loo"), 6).alias("avg_loo"),
+        _ravg(F.min("enc_loo"), 6).alias("min_loo"),
+    )
+    return a.join(b, "event_type")
+
+
+def q_auto_salted(spark, sf_dir):
+    """Measured skew-aware join: a planted hot key (every 3rd order
+    remapped to custkey 1) trips the skew threshold, the salt factor
+    comes from the measured max/p99, and the salted join must equal
+    the plain join — the oracle IS the plain join."""
+    from woodwork_spark.operators.scale import auto_salted_join
+
+    _prep(spark)
+    ord_ = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("o_custkey")).alias("k"),
+        "o_totalprice",
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment",
+    )
+    j = auto_salted_join(ord_, cust, "k")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _ravg(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3281,6 +3352,9 @@ QUERIES = {
     "psi_timeseries": q_psi_timeseries,
     "group_trend": q_group_trend,
     "funnel_windowed": q_funnel_windowed,
+    "group_scale": q_group_scale,
+    "target_encode": q_target_encode,
+    "auto_salted": q_auto_salted,
 }
 
 ORACLE = {
@@ -5691,11 +5765,19 @@ ORACLE = {
     "similarity_join": """
         WITH g AS (
             SELECT p_partkey,
-                   list_distinct(string_split(p_name, ' ')) AS gs
-            FROM part
+                   list_distinct(
+                       [array_to_string(w[i:i+1], ' ')
+                        FOR i IN range(1,
+                            greatest(len(w) - 1, 1) + 1)]
+                   ) AS gs
+            FROM (
+                SELECT p_partkey,
+                       string_split(trim(p_name), ' ') AS w
+                FROM part
+            )
         ), a AS (
             SELECT p_partkey AS id_a, gs AS ga FROM g
-            WHERE p_partkey % 2 = 0
+            WHERE p_partkey % 100 = 0
         ), b AS (
             SELECT p_partkey AS id_b, gs AS gb FROM g
             WHERE p_partkey % 2 = 1
@@ -5713,7 +5795,7 @@ ORACLE = {
         )
         SELECT id_a AS p_partkey, id_b AS pk_b,
                round(j + 0.0000001, 6) AS jaccard
-        FROM scored WHERE j >= 0.6
+        FROM scored WHERE j >= 0.5
     """,
     "grouped_profile": """
         WITH s AS (
@@ -6119,6 +6201,71 @@ ORACLE = {
         SELECT 2, 'view', (SELECT count(*) FROM s2)
         UNION ALL
         SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+    "group_scale": """
+        WITH st AS (
+            SELECT l_returnflag,
+                   avg(l_quantity) AS mu_q, stddev_samp(l_quantity) AS sd_q,
+                   avg(l_discount) AS mu_d, stddev_samp(l_discount) AS sd_d
+            FROM lineitem GROUP BY l_returnflag
+        ), s AS (
+            SELECT l.l_returnflag,
+                   CASE WHEN sd_q > 0
+                        THEN (l_quantity - mu_q) / sd_q END AS qs,
+                   CASE WHEN sd_d > 0
+                        THEN (l_discount - mu_d) / sd_d END AS ds
+            FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+        )
+        SELECT l_returnflag, count(*) AS n,
+               round(avg(qs) + 0.0000001, 6) AS avg_q,
+               round(stddev_samp(qs) + 0.0000001, 6) AS std_q,
+               round(min(qs) + 0.0000001, 4) AS min_q,
+               round(max(ds) + 0.0000001, 4) AS max_d
+        FROM s GROUP BY l_returnflag
+    """,
+    "target_encode": """
+        WITH st AS (
+            SELECT event_type, count(value) AS n, sum(value) AS s
+            FROM events GROUP BY event_type
+        ), pr AS (
+            SELECT avg(value) AS prior FROM events
+        ), enc AS (
+            SELECT e.event_type,
+                   (st.n * (st.s / st.n) + 10.0 * pr.prior)
+                   / (st.n + 10.0) AS enc,
+                   CASE WHEN st.n - (CASE WHEN e.value IS NOT NULL
+                                          THEN 1 ELSE 0 END) > 0
+                        THEN ((st.n - CASE WHEN e.value IS NOT NULL
+                                           THEN 1 ELSE 0 END)
+                              * ((st.s - coalesce(e.value, 0))
+                                 / (st.n - CASE WHEN e.value IS NOT NULL
+                                                THEN 1 ELSE 0 END))
+                              + 10.0 * pr.prior)
+                             / ((st.n - CASE WHEN e.value IS NOT NULL
+                                             THEN 1 ELSE 0 END) + 10.0)
+                        ELSE pr.prior END AS enc_loo
+            FROM events e
+            JOIN st ON e.event_type = st.event_type
+            CROSS JOIN pr
+        )
+        SELECT event_type, count(*) AS n,
+               round(min(enc) + 0.0000001, 6) AS enc,
+               round(avg(enc_loo) + 0.0000001, 6) AS avg_loo,
+               round(min(enc_loo) + 0.0000001, 6) AS min_loo
+        FROM enc GROUP BY event_type
+    """,
+    "auto_salted": """
+        WITH f AS (
+            SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
+                        ELSE o_custkey END AS k,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice) + 0.0000001, 2) AS sum_price
+        FROM f JOIN customer ON f.k = customer.c_custkey
+        GROUP BY c_mktsegment
     """,
 }
 

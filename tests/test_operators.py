@@ -2093,3 +2093,53 @@ def test_funnel_within_seconds_windows(spark):
                 for r in funnel(df, "u", "t", "e", ["a", "b"],
                                 within_seconds=10).collect()}
     assert windowed == {"a": 3, "b": 1}
+
+
+def test_standardize_by_group_moments(spark):
+    from woodwork_spark.operators.features import standardize_by_group
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = standardize_by_group(df, "g", ["x"]).collect()
+    a = sorted(r["x_scaled"] for r in out if r["g"] == "a")
+    assert a == pytest.approx([-1.0, 0.0, 1.0])
+    # zero-variance group scales to NULL, not a division blowup
+    assert all(r["x_scaled"] is None for r in out if r["g"] == "b")
+    mm = {r["x"]: r["x_scaled"] for r in standardize_by_group(
+        df, "g", ["x"], method="minmax").collect() if r["g"] == "a"}
+    assert (mm[1.0], mm[2.0], mm[3.0]) == (0.0, 0.5, 1.0)
+
+
+def test_target_encode_shrinkage_and_loo(spark):
+    from woodwork_spark.operators.features import target_encode
+
+    rows = [("big", 10.0)] * 8 + [("rare", 100.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    prior = (8 * 10 + 100) / 9
+    enc = {r["c"]: r["c_enc"] for r in
+           target_encode(df, "c", "y", smoothing=2.0).collect()}
+    assert enc["big"] == pytest.approx((8 * 10 + 2 * prior) / 10)
+    # rare category shrinks hard toward the prior
+    assert enc["rare"] == pytest.approx((1 * 100 + 2 * prior) / 3)
+    # leave-one-out: a singleton category has no own-category signal
+    loo = {(r["c"], r["y"]): r["e"] for r in target_encode(
+        df, "c", "y", smoothing=2.0, out_col="e", leave_one_out=True,
+    ).collect()}
+    assert loo[("rare", 100.0)] == pytest.approx(prior)
+    assert loo[("big", 10.0)] == pytest.approx((7 * 10 + 2 * prior) / 9)
+
+
+def test_auto_salted_join_matches_plain(spark):
+    from woodwork_spark.operators.scale import auto_salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(k, 0) for k in range(2, 12)],
+        "k long, v long",
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 12)],
+                                "k long, name string")
+    out = auto_salted_join(fact, dim, "k")
+    plain = fact.join(dim, "k")
+    assert out.count() == plain.count()
+    assert (out.agg(F.sum("v")).collect()[0][0]
+            == plain.agg(F.sum("v")).collect()[0][0])

@@ -239,3 +239,102 @@ def apply_buckets(
             F.size(F.filter(arr, lambda e: x > e)) + 1,
         ).cast("long"),
     )
+
+
+def standardize_by_group(
+    df: DataFrame,
+    group_col: str,
+    cols,
+    method: str = "zscore",
+    suffix: str = "_scaled",
+) -> DataFrame:
+    """Per-GROUP feature standardization — z-score or min-max within
+    each source/segment instead of globally (``fit_scaler`` scales
+    globally; cross-source features usually need within-source scales
+    before they are comparable).
+
+    One grouped stats agg (bounded by group cardinality), broadcast
+    back onto the rows, scaling as pure projections — the corpus never
+    shuffles.  Zero-variance (or single-row) groups scale to NULL
+    rather than dividing by zero.
+    """
+    if method not in ("zscore", "minmax"):
+        raise ValueError("method must be 'zscore' or 'minmax'")
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    aggs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        if method == "zscore":
+            aggs += [
+                F.avg(col).alias(f"__mu_{c}"),
+                F.stddev_samp(col).alias(f"__sd_{c}"),
+            ]
+        else:
+            aggs += [
+                F.min(col).alias(f"__mn_{c}"),
+                F.max(col).alias(f"__mx_{c}"),
+            ]
+    stats = df.groupBy(group_col).agg(*aggs)
+    out = df.join(F.broadcast(stats), group_col)
+    for c in cols:
+        x = F.col(c).cast("double")
+        if method == "zscore":
+            scaled = F.when(
+                F.col(f"__sd_{c}") > 0,
+                (x - F.col(f"__mu_{c}")) / F.col(f"__sd_{c}"),
+            )
+        else:
+            rng = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
+            scaled = F.when(rng > 0, (x - F.col(f"__mn_{c}")) / rng)
+        out = out.withColumn(f"{c}{suffix}", scaled)
+    drop = [col for col in out.columns if col.startswith("__")]
+    return out.drop(*drop)
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+    out_col: str = None,
+    leave_one_out: bool = False,
+) -> DataFrame:
+    """Smoothed target encoding of a categorical column — the
+    high-cardinality-categorical workhorse:
+    ``enc = (n * cat_mean + m * prior) / (n + m)`` with ``m =
+    smoothing`` (an m-estimate shrinking rare categories toward the
+    global prior).  ``leave_one_out=True`` excludes each row's OWN
+    target from its category aggregate (``(sum - y) / (n - 1)`` fed
+    into the same shrinkage) — the leakage-free variant for training
+    folds.
+
+    One category aggregation (bounded by category cardinality)
+    broadcast back; the prior is a 1-row broadcast; the encoding is a
+    pure projection.  Unseen-category handling at apply time: join the
+    returned frame's distinct (category, encoding) pairs and coalesce
+    to the prior.  NULL categories encode as their own level.
+    """
+    out_col = out_col or f"{cat_col}_enc"
+    y = F.col(target_col).cast("double")
+    stats = df.groupBy(cat_col).agg(
+        F.count(y).alias("__n"),
+        F.sum(y).alias("__s"),
+    )
+    prior = df.agg(F.avg(y).alias("__prior"))
+    j = (
+        df.join(F.broadcast(stats), cat_col, "left")
+        .crossJoin(F.broadcast(prior))
+    )
+    m = F.lit(float(smoothing))
+    if leave_one_out:
+        n_eff = F.col("__n") - F.when(y.isNotNull(), 1).otherwise(0)
+        s_eff = F.col("__s") - F.coalesce(y, F.lit(0.0))
+    else:
+        n_eff = F.col("__n")
+        s_eff = F.col("__s")
+    cat_mean = F.when(n_eff > 0, s_eff / n_eff)
+    enc = F.when(
+        n_eff > 0,
+        (n_eff * cat_mean + m * F.col("__prior")) / (n_eff + m),
+    ).otherwise(F.col("__prior"))
+    return j.withColumn(out_col, enc).drop("__n", "__s", "__prior")

@@ -420,3 +420,32 @@ def join_size_estimate(
         F.col("__nr").alias("right_rows"),
         F.col("__o").alias("out_rows"),
     )
+
+
+def auto_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "inner",
+    max_salt: int = 64,
+    skew_threshold: float = 4.0,
+) -> DataFrame:
+    """Skew-aware join that MEASURES before it salts: one per-key
+    count agg on the fact side decides whether salting pays
+    (max/p99 >= ``skew_threshold``) and picks the salt factor
+    (ceil(max/p99), capped) — otherwise it returns the plain join and
+    lets AQE handle the rest.  The diagnostic is ``skew_report``'s
+    summary row; the mechanism is :func:`salted_join`.
+
+    The measurement costs one aggregation over the fact side — run it
+    when the join is big enough that a 4-hour skewed stage is the
+    alternative.
+    """
+    row = skew_report(fact, key, top_k=1).collect()
+    if not row:
+        return fact.join(dim, key, how)
+    r = row[0]
+    if r["skew_ratio"] is None or r["skew_ratio"] < skew_threshold:
+        return fact.join(dim, key, how)
+    salt = int(min(max(r["salt_factor"], 2), max_salt))
+    return salted_join(fact, dim, key, salt=salt, how=how)
