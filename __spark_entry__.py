@@ -3216,6 +3216,44 @@ def q_auto_salted(spark, sf_dir):
     )
 
 
+def q_centroids(spark, sf_dir):
+    """Per-label L2-normalized mean embeddings: posexplode -> one
+    (label, dim) agg (shuffle = labels x dims, corpus-size-free) ->
+    ordered regroup.  Checked via first dims + component sum."""
+    from woodwork_spark.operators.similarity import group_centroids
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    c = group_centroids(emb, "label", "embedding")
+    return c.select(
+        "label", "n_vectors",
+        _ravg(F.element_at("centroid", 1), 6).alias("c1"),
+        _ravg(F.element_at("centroid", 2), 6).alias("c2"),
+        _ravg(
+            F.aggregate("centroid", F.lit(0.0), lambda a, x: a + x), 6,
+        ).alias("csum"),
+    )
+
+
+def q_nearest_centroid(spark, sf_dir):
+    """Nearest-class-mean assignment: centroids ride the plan as
+    literals, assignment is ONE projection (per-row fold over the
+    centroid array in codegen) — confusion counts + mean cosine."""
+    from woodwork_spark.operators.similarity import (
+        assign_nearest_centroid,
+        group_centroids,
+    )
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    c = group_centroids(emb, "label", "embedding")
+    a = assign_nearest_centroid(emb, c, "label", "embedding")
+    return a.groupBy("label", "assigned_label").agg(
+        F.count(F.lit(1)).alias("n"),
+        _ravg(F.avg("assigned_cosine"), 4).alias("avg_cos"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3355,6 +3393,8 @@ QUERIES = {
     "group_scale": q_group_scale,
     "target_encode": q_target_encode,
     "auto_salted": q_auto_salted,
+    "centroids": q_centroids,
+    "nearest_centroid": q_nearest_centroid,
 }
 
 ORACLE = {
@@ -6266,6 +6306,62 @@ ORACLE = {
                round(sum(o_totalprice) + 0.0000001, 2) AS sum_price
         FROM f JOIN customer ON f.k = customer.c_custkey
         GROUP BY c_mktsegment
+    """,
+    "centroids": """
+        WITH pd AS (
+            SELECT label, pos, avg(v) AS m, count(*) AS n
+            FROM (
+                SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings WHERE embedding IS NOT NULL
+            ) GROUP BY label, pos
+        ), nrm AS (
+            SELECT label, sqrt(sum(m * m)) AS nn, max(n) AS n_vectors
+            FROM pd GROUP BY label
+        )
+        SELECT pd.label,
+               CAST(max(nrm.n_vectors) AS BIGINT) AS n_vectors,
+               round(max(CASE WHEN pos = 1 THEN m END) / max(nn)
+                     + 0.0000001, 6) AS c1,
+               round(max(CASE WHEN pos = 2 THEN m END) / max(nn)
+                     + 0.0000001, 6) AS c2,
+               round(sum(m) / max(nn) + 0.0000001, 6) AS csum
+        FROM pd JOIN nrm ON pd.label = nrm.label
+        GROUP BY pd.label
+    """,
+    "nearest_centroid": """
+        WITH pd AS (
+            SELECT label, pos, avg(v) AS m
+            FROM (
+                SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings WHERE embedding IS NOT NULL
+            ) GROUP BY label, pos
+        ), nrm AS (
+            SELECT label, sqrt(sum(m * m)) AS nn FROM pd GROUP BY label
+        ), cent AS (
+            SELECT pd.label AS clabel,
+                   list(m / nn ORDER BY pos) AS cvec
+            FROM pd JOIN nrm ON pd.label = nrm.label
+            GROUP BY pd.label, nn
+        ), scored AS (
+            SELECT e.vec_id, e.label, c.clabel,
+                   list_dot_product(e.embedding, c.cvec)
+                   / (sqrt(list_dot_product(e.embedding, e.embedding))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))) AS cos
+            FROM embeddings e CROSS JOIN cent c
+            WHERE e.embedding IS NOT NULL
+        ), best AS (
+            SELECT vec_id, label, clabel AS assigned_label, cos,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY cos DESC, clabel ASC
+                   ) AS rk
+            FROM scored
+        )
+        SELECT label, assigned_label, count(*) AS n,
+               round(avg(cos) + 0.0000001, 4) AS avg_cos
+        FROM best WHERE rk = 1
+        GROUP BY label, assigned_label
     """,
 }
 

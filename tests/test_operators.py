@@ -2143,3 +2143,32 @@ def test_auto_salted_join_matches_plain(spark):
     assert out.count() == plain.count()
     assert (out.agg(F.sum("v")).collect()[0][0]
             == plain.agg(F.sum("v")).collect()[0][0])
+
+
+def test_group_centroids_and_assignment(spark):
+    from woodwork_spark.operators.similarity import (
+        assign_nearest_centroid,
+        group_centroids,
+    )
+
+    rows = [
+        ("x", [1.0, 0.0]), ("x", [1.0, 0.2]),
+        ("y", [0.0, 1.0]), ("y", [0.2, 1.0]),
+        ("y", None),
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    cents = {r["label"]: r for r in
+             group_centroids(df, "label", "embedding").collect()}
+    # normalized: unit length; x points along dim 0
+    cx = cents["x"]["centroid"]
+    assert sum(v * v for v in cx) == pytest.approx(1.0)
+    assert cx[0] > 0.99 and cents["x"]["n_vectors"] == 2
+    assert cents["y"]["n_vectors"] == 2  # NULL vector skipped
+
+    out = {tuple(r["embedding"] or []): r for r in assign_nearest_centroid(
+        df, group_centroids(df, "label", "embedding"), "label", "embedding",
+    ).collect()}
+    assert out[(1.0, 0.0)]["assigned_label"] == "x"
+    assert out[(0.0, 1.0)]["assigned_label"] == "y"
+    assert out[()]["assigned_label"] is None  # NULL passes through
+    assert out[(1.0, 0.2)]["assigned_cosine"] > 0.95

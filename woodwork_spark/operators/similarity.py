@@ -262,3 +262,110 @@ def rrf_fuse(ranked, k: int = 60, id_col: str = "id", out_col: str = "rrf"):
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Element-wise mean embedding per label — the class prototype
+    behind nearest-class-mean classification, weak-label propagation,
+    and cluster drift tracking.
+
+    Spark has no element-wise array-SUM aggregate, so the scalable
+    shape is ``posexplode`` -> one (label, position) agg (map-side
+    combinable; shuffle rows = labels x dims, independent of corpus
+    size) -> regroup to an ordered array via ``array_agg`` of
+    position-sorted structs.  ``normalize=True`` L2-normalizes each
+    centroid (cosine-ready).  NULL vectors are skipped.
+
+    Returns ``(label_col, centroid, n_vectors)``.
+    """
+    pe = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(label_col), F.posexplode(vec_col).alias("__p", "__v"),
+    )
+    per_dim = pe.groupBy(label_col, "__p").agg(
+        F.avg("__v").alias("__m"), F.count(F.lit(1)).alias("__n"),
+    )
+    grouped = per_dim.groupBy(label_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__p"), F.col("__m"))),
+        ).alias("__pm"),
+        F.max("__n").alias("n_vectors"),
+    )
+    cent = F.transform("__pm", lambda s: s["__m"])
+    if normalize:
+        nrm = F.sqrt(F.aggregate(
+            cent, F.lit(0.0), lambda a, x: a + x * x,
+        ))
+        cent = F.when(
+            nrm > 0, F.transform(cent, lambda x: x / nrm),
+        )
+    return grouped.select(
+        label_col, cent.alias("centroid"), "n_vectors",
+    )
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    centroids: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Assign every vector its nearest centroid by cosine — the apply
+    half of nearest-class-mean classification / k-means assignment.
+
+    Centroids are a handful of rows BY DESIGN (class/cluster count),
+    so they collect to the driver once and ride the plan as array
+    literals; the assignment is ONE projection — a per-row fold over
+    the centroid array in codegen.  No join, no shuffle, no UDF.
+    Ties break toward the smaller label; NULL vectors pass through
+    unassigned.  Adds ``assigned_label`` and ``assigned_cosine``.
+    """
+    rows = centroids.select(
+        F.col(label_col).alias("l"), F.col(centroid_col).alias("v"),
+    ).collect()
+    if not rows:
+        raise ValueError("assign_nearest_centroid: no centroids")
+    import math
+
+    cents = F.array(*[
+        F.struct(
+            F.lit(r["l"]).alias("l"),
+            F.lit([float(x) for x in r["v"]]).cast("array<double>").alias("v"),
+            F.lit(
+                math.sqrt(sum(float(x) * float(x) for x in r["v"])) or 1.0,
+            ).alias("n"),
+        )
+        for r in rows
+    ])
+    vn = _norm(F.col(vec_col))
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            (_dot(F.col(vec_col), c["v"]) / (vn * c["n"])).alias("c"),
+            c["l"].alias("l"),
+        ),
+    )
+    label_type = centroids.schema[label_col].dataType.simpleString()
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(None).cast("double").alias("c"),
+            F.lit(None).cast(label_type).alias("l"),
+        ),
+        lambda acc, s: F.when(
+            acc["c"].isNull()
+            | (s["c"] > acc["c"])
+            | ((s["c"] == acc["c"]) & (s["l"] < acc["l"])),
+            s,
+        ).otherwise(acc),
+    )
+    return df.select(
+        "*",
+        F.when(F.col(vec_col).isNotNull(), best["l"]).alias("assigned_label"),
+        F.when(F.col(vec_col).isNotNull(), best["c"]).alias("assigned_cosine"),
+    )
