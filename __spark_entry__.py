@@ -3254,6 +3254,47 @@ def q_nearest_centroid(spark, sf_dir):
     )
 
 
+def q_corpus_report(spark, sf_dir):
+    """Dataset-card executive summary in TWO aggregations: doc/token/
+    char totals, exact-dup rate, mean quality, source-mix entropy +
+    dominant share."""
+    from woodwork_spark.operators.curation import corpus_report
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    r = corpus_report(docs, "text", "source")
+    return r.select(
+        "n_docs", "total_tokens", "total_chars",
+        _ravg(F.col("avg_tokens"), 4).alias("avg_tokens"),
+        _ravg(F.col("avg_quality"), 6).alias("avg_quality"),
+        _ravg(F.col("dup_rate"), 6).alias("dup_rate"),
+        _ravg(F.col("mix_entropy_bits"), 6).alias("mix_entropy_bits"),
+        _ravg(F.col("top_group_share"), 6).alias("top_group_share"),
+    )
+
+
+def q_dedup_best(spark, sf_dir):
+    """Quality-aware canonical selection: among documents sharing the
+    same opening 3 words, keep the LONGEST (ties by id) — min_by over
+    an order struct, groupBy + semi-join, no full-table window."""
+    from woodwork_spark.operators.dedup import exact_dedup
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "head3",
+        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 3), " "),
+    )
+    kept = exact_dedup(
+        docs, columns=["head3"], id_col="doc_id",
+        keep_order=[("n_chars", "desc")],
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3395,6 +3436,8 @@ QUERIES = {
     "auto_salted": q_auto_salted,
     "centroids": q_centroids,
     "nearest_centroid": q_nearest_centroid,
+    "corpus_report": q_corpus_report,
+    "dedup_best": q_dedup_best,
 }
 
 ORACLE = {
@@ -6362,6 +6405,79 @@ ORACLE = {
                round(avg(cos) + 0.0000001, 4) AS avg_cos
         FROM best WHERE rk = 1
         GROUP BY label, assigned_label
+    """,
+    "corpus_report": """
+        WITH scored AS (
+            SELECT text,
+                   string_split_regex(trim(text), '\\s+') AS toks,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars,
+                   (length(text)
+                    - length(regexp_replace(text, '[\\.,!\\?;:]', '', 'g')))
+                       / greatest(length(text), 1) AS punct_ratio,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> lower(t) IN ('the','and','of','to','in','is',
+                                         'that','it','was','for','with',
+                                         'are','this','have','not')))
+                       / greatest(len(string_split_regex(trim(text),
+                                                         '\\s+')), 1)
+                       AS stop_ratio
+            FROM documents
+        ), q AS (
+            SELECT n_tokens, n_chars,
+                   CASE WHEN n_tokens < 5 THEN 0.0
+                        WHEN list_sum(list_transform(toks,
+                                 t -> length(t)))
+                             / greatest(n_tokens, 1) < 2 THEN 0.2
+                        WHEN list_sum(list_transform(toks,
+                                 t -> length(t)))
+                             / greatest(n_tokens, 1) > 12 THEN 0.2
+                        ELSE least(1.0,
+                             0.4 + 0.4 * least(stop_ratio * 3, 1.0)
+                             + 0.2 * (1 - least(punct_ratio * 5, 1.0)))
+                   END AS quality,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fp
+            FROM scored
+        ), base AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(avg(n_tokens) + 0.0000001, 4) AS avg_tokens,
+                   round(avg(quality) + 0.0000001, 6) AS avg_quality,
+                   round(1.0 - count(DISTINCT fp)
+                         / CAST(count(*) AS DOUBLE) + 0.0000001, 6)
+                       AS dup_rate
+            FROM q
+        ), mix AS (
+            SELECT source, count(*) AS n FROM documents GROUP BY source
+        ), ent AS (
+            SELECT round(-sum((n / t) * log2(n / t)) + 0.0000001, 6)
+                       AS mix_entropy_bits,
+                   round(max(n / t) + 0.0000001, 6) AS top_group_share
+            FROM mix, (SELECT CAST(sum(n) AS DOUBLE) AS t FROM mix)
+        )
+        SELECT * FROM base CROSS JOIN ent
+    """,
+    "dedup_best": """
+        WITH d AS (
+            SELECT doc_id, n_chars,
+                   array_to_string(
+                       string_split_regex(trim(text), '\\s+')[1:3], ' '
+                   ) AS head3
+            FROM documents
+        ), r AS (
+            SELECT doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY head3
+                       ORDER BY n_chars DESC, doc_id ASC
+                   ) AS rk
+            FROM d
+        )
+        SELECT count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        FROM r WHERE rk = 1
     """,
 }
 

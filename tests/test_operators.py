@@ -2172,3 +2172,45 @@ def test_group_centroids_and_assignment(spark):
     assert out[(0.0, 1.0)]["assigned_label"] == "y"
     assert out[()]["assigned_label"] is None  # NULL passes through
     assert out[(1.0, 0.2)]["assigned_cosine"] > 0.95
+
+
+def test_exact_dedup_keep_order(spark):
+    from woodwork_spark.operators.dedup import exact_dedup
+
+    rows = [
+        (1, "a", 0.1), (2, "a", 0.9), (3, "a", 0.9),  # tie -> min id 2
+        (4, "b", 0.5),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string, q double")
+    kept = sorted(
+        r["i"] for r in exact_dedup(
+            df, columns=["t"], id_col="i", keep_order=[("q", "desc")],
+        ).collect()
+    )
+    assert kept == [2, 4]
+    # default keeps min id
+    assert sorted(
+        r["i"] for r in exact_dedup(df, columns=["t"], id_col="i").collect()
+    ) == [1, 4]
+    with pytest.raises(ValueError):
+        exact_dedup(
+            df, columns=["t"], id_col="i", keep_order=[("q", "sideways")],
+        ).collect()
+
+
+def test_corpus_report_numbers(spark):
+    from woodwork_spark.operators.curation import corpus_report
+
+    rows = [
+        ("s1", "the cat sat on the mat"),
+        ("s1", "the cat sat on the mat"),   # exact dup
+        ("s2", "completely different words here now"),
+        ("s2", "x"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    r = corpus_report(df, "text", "source").collect()[0]
+    assert r["n_docs"] == 4
+    assert r["dup_rate"] == pytest.approx(0.25)
+    assert r["mix_entropy_bits"] == pytest.approx(1.0)  # 2 even sources
+    assert r["top_group_share"] == pytest.approx(0.5)
+    assert r["total_tokens"] == 6 + 6 + 5 + 1

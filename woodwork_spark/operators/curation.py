@@ -745,3 +745,54 @@ def group_trend(
         ).alias("r2"),
     )
     return agg.where(F.col("n_points") >= min_points)
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str,
+    group_col: str = None,
+) -> DataFrame:
+    """One-row executive summary of a text corpus — the dataset-card
+    numbers: document/token/char totals, exact-duplicate rate (via the
+    canonical fingerprint), mean quality score, mean tokens per doc,
+    and (when ``group_col`` is given) the source-mix Shannon entropy in
+    bits plus the dominant group's share.
+
+    TWO aggregations total: one over documents computing every
+    per-doc expression (map-side combinable; the fingerprint distinct
+    rides the same pass via count_distinct), one tiny agg over the
+    group-mix table for entropy.  No joins over the corpus.
+    """
+    from woodwork_spark.operators.text import (
+        fingerprint_expr,
+        quality_score_exprs,
+    )
+
+    q = quality_score_exprs(text_col)
+    base = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(q["n_tokens"]).cast("long").alias("total_tokens"),
+        F.sum(q["n_chars"]).cast("long").alias("total_chars"),
+        F.avg(q["n_tokens"]).alias("avg_tokens"),
+        F.avg(q["quality_score"]).alias("avg_quality"),
+        (
+            1.0
+            - F.count_distinct(fingerprint_expr(text_col))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+    )
+    if not group_col:
+        return base
+    mix = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = mix.agg(F.sum("__n").alias("__t"))
+    ent = (
+        mix.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("__n") / F.col("__t")).alias("__p"),
+        )
+        .agg(
+            (-F.sum(F.col("__p") * F.log2("__p"))).alias("mix_entropy_bits"),
+            F.max("__p").alias("top_group_share"),
+        )
+    )
+    return base.crossJoin(ent)

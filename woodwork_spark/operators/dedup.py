@@ -57,23 +57,56 @@ def exact_dedup(
     columns=None,
     id_col: str = None,
     keep: str = "first",
+    keep_order=None,
 ) -> DataFrame:
     """Exact deduplication by content hash.
 
-    With an ``id_col``: keeps the row with the MIN id per duplicate group
-    (deterministic, distributed — a groupBy + semi-join, no window over
-    the full table needed).  Without: plain ``dropDuplicates``.
+    With an ``id_col``: keeps ONE row per duplicate group,
+    deterministically — by MIN id (default), or, with ``keep_order``
+    (a list of ``(column_name, "asc"|"desc")`` pairs, e.g.
+    ``[("quality", "desc")]`` — descending keys must be numeric),
+    the row ranking FIRST under that order, ties by ascending id (quality-aware canonical
+    selection: real pipelines keep the best duplicate, not the
+    earliest).  Either way it is a groupBy + semi-join — ``min`` /
+    ``min_by`` with map-side partials, no window over the full table.
+    Without an ``id_col``: plain ``dropDuplicates``.
     """
     if columns is None:
         columns = [c for c in df.columns if c != id_col]
     if id_col is None:
         return df.dropDuplicates(columns)
     key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in columns]))
-    keeper = (
-        df.select(F.col(id_col), key.alias("__k"))
-        .groupBy("__k")
-        .agg(F.min(id_col).alias(id_col))
-    )
+    if keep_order:
+        # min_by over a struct mirroring the requested sort order:
+        # keep_order is [(column_name, "asc"|"desc"), ...] — explicit
+        # direction, numeric desc encoded by negation so ascending
+        # struct comparison matches the requested order
+        def _enc(name, direction):
+            c = F.col(name)
+            if direction == "desc":
+                return -c
+            if direction != "asc":
+                raise ValueError("keep_order directions must be asc/desc")
+            return c
+
+        sort_struct = F.struct(
+            *[
+                _enc(n, d).alias(f"k{i}")
+                for i, (n, d) in enumerate(keep_order)
+            ],
+            F.col(id_col).alias("__tie"),
+        )
+        keeper = (
+            df.select(F.col(id_col), key.alias("__k"), sort_struct.alias("__s"))
+            .groupBy("__k")
+            .agg(F.min_by(id_col, F.col("__s")).alias(id_col))
+        )
+    else:
+        keeper = (
+            df.select(F.col(id_col), key.alias("__k"))
+            .groupBy("__k")
+            .agg(F.min(id_col).alias(id_col))
+        )
     return df.join(keeper, on=id_col, how="left_semi")
 
 
