@@ -417,3 +417,42 @@ def test_rolling_distinct_and_budget_plan_shapes(spark):
     assert "rangepartitioning" in plan.lower()
     assert "BroadcastExchange" in plan
     release(kept)
+
+
+def test_late_round6_operator_plan_shapes(spark):
+    """Batches 10-14: broadcast-or-literal small sides, no cartesian
+    products over data, no Python UDFs."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.operators.features import (
+        standardize_by_group,
+        target_encode,
+    )
+    from woodwork_spark.operators.similarity import (
+        assign_nearest_centroid,
+        group_centroids,
+    )
+
+    ev = read_parquet(spark, f"{SF}/events.parquet")
+    li = read_parquet(spark, f"{SF}/lineitem.parquet")
+    emb = read_parquet(spark, f"{SF}/embeddings.parquet")
+
+    # per-group scaling: stats broadcast, corpus never shuffles
+    s = standardize_by_group(li, "l_returnflag", ["l_quantity"])
+    plan = _executed_plan(s)
+    assert "BroadcastExchange" in plan
+    assert "PythonUDF" not in plan
+
+    # target encoding: category stats + prior broadcast
+    t = target_encode(ev, "event_type", "value")
+    plan = _executed_plan(t)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan  # nothing shuffles the fact side
+
+    # nearest-centroid assignment: ONE projection — no join at all
+    cents = group_centroids(emb, "label", "embedding")
+    a = assign_nearest_centroid(emb, cents, "label", "embedding")
+    plan = _executed_plan(a)
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "PythonUDF" not in plan
