@@ -2214,3 +2214,21 @@ def test_corpus_report_numbers(spark):
     assert r["mix_entropy_bits"] == pytest.approx(1.0)  # 2 even sources
     assert r["top_group_share"] == pytest.approx(0.5)
     assert r["total_tokens"] == 6 + 6 + 5 + 1
+
+
+def test_lsh_tune_textbook_values():
+    from woodwork_spark.operators.dedup import lsh_tune
+
+    # the classic 0.5-threshold / 64-perm banding is 16 bands x 4 rows
+    b, r, p = lsh_tune(0.5, 64)
+    assert (b, r) == (16, 4)
+    assert 0.3 < p < 0.9
+    # stricter thresholds want longer bands (higher r)
+    _, r_strict, _ = lsh_tune(0.9, 64)
+    assert r_strict > r
+    # fn-heavy weighting recalls more: collision prob at threshold rises
+    _, _, p_recall = lsh_tune(0.8, 64, fn_weight=5.0)
+    _, _, p_bal = lsh_tune(0.8, 64)
+    assert p_recall >= p_bal
+    with pytest.raises(ValueError):
+        lsh_tune(1.5)

@@ -929,3 +929,47 @@ def similarity_join(
     from woodwork_spark.lifecycle import attach_persisted
 
     return attach_persisted(out, gl, gr)
+
+
+def lsh_tune(
+    threshold: float,
+    num_perm: int = 64,
+    fn_weight: float = 1.0,
+    fp_weight: float = 1.0,
+):
+    """Pick the MinHash LSH banding (bands b x rows r, b*r <= num_perm)
+    that minimizes weighted false-positive + false-negative area around
+    a target Jaccard ``threshold`` — the standard S-curve integration
+    (collision probability at similarity s is ``1 - (1 - s^r)^b``).
+    Driver-side arithmetic only; feed the result to
+    ``minhash_lsh_candidates(num_bands=b)``.
+
+    Weight ``fn_weight`` up when missing a true near-dup is worse than
+    verifying a spurious candidate (the usual case: verification is
+    cheap, a missed dup pollutes training).  Returns ``(bands, rows,
+    p_at_threshold)``.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    steps = 200
+    for r in range(1, num_perm + 1):
+        b = num_perm // r
+        if b < 1:
+            break
+
+        def p(s, r=r, b=b):
+            return 1.0 - (1.0 - s ** r) ** b
+
+        fp = sum(
+            p(threshold * i / steps) for i in range(1, steps + 1)
+        ) * threshold / steps
+        fn = sum(
+            1.0 - p(threshold + (1 - threshold) * i / steps)
+            for i in range(1, steps + 1)
+        ) * (1 - threshold) / steps
+        cost = fp_weight * fp + fn_weight * fn
+        if best is None or cost < best[0]:
+            best = (cost, b, r)
+    _, b, r = best
+    return b, r, 1.0 - (1.0 - threshold ** r) ** b
