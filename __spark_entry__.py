@@ -3295,6 +3295,58 @@ def q_dedup_best(spark, sf_dir):
     )
 
 
+def q_dup_timeline(spark, sf_dir):
+    """Ingestion-health duplication trend: per synthetic ingest day
+    (doc_id % 10), within-day dup rate + rate of collisions against
+    EARLIER days — (bucket, fingerprint) agg, first-occurrence agg
+    from those rows, one compact join back."""
+    from woodwork_spark.operators.cleaning import dup_rate_timeseries
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("doc_id") % 10) * 86400,
+        ),
+    )
+    out = dup_rate_timeseries(docs, "ts", "text")
+    return out.select(
+        "bucket_s", "n_docs", "n_distinct",
+        _ravg(F.col("within_dup_rate"), 6).alias("within_dup_rate"),
+        "n_seen_before",
+        _ravg(F.col("cross_dup_rate"), 6).alias("cross_dup_rate"),
+    )
+
+
+def q_functional_deps(spark, sf_dir):
+    """Approximate-FD profile for two lineitem column pairs: one
+    grouped agg per pair reduced to determinant cardinality, g3-style
+    strength."""
+    from woodwork_spark.statistics.dependence import functional_dependencies
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = functional_dependencies(
+        li, [("l_orderkey", "l_returnflag"), ("l_partkey", "l_suppkey")],
+    )
+    return out.select(
+        "determinant", "dependent", "n_rows", "n_det_values",
+        "n_violating_rows",
+        _ravg(F.col("fd_strength"), 6).alias("fd_strength"),
+        "is_exact",
+    )
+
+
+def q_candidate_keys(spark, sf_dir):
+    """Candidate-key scan over three event columns in ONE aggregation
+    (all count_distincts share a single Expand pass)."""
+    from woodwork_spark.statistics.dependence import candidate_keys
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return candidate_keys(ev, ["event_id", "user_id", "event_type"])
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3438,6 +3490,9 @@ QUERIES = {
     "nearest_centroid": q_nearest_centroid,
     "corpus_report": q_corpus_report,
     "dedup_best": q_dedup_best,
+    "dup_timeline": q_dup_timeline,
+    "functional_deps": q_functional_deps,
+    "candidate_keys": q_candidate_keys,
 }
 
 ORACLE = {
@@ -6478,6 +6533,88 @@ ORACLE = {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                CAST(sum(doc_id) AS BIGINT) AS sum_ids
         FROM r WHERE rk = 1
+    """,
+    "dup_timeline": """
+        WITH pairs AS (
+            SELECT 1704067200 + (doc_id % 10) * 86400 AS b,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fp,
+                   count(*) AS n
+            FROM documents
+            GROUP BY b, fp
+        ), firsts AS (
+            SELECT fp, min(b) AS first_b FROM pairs GROUP BY fp
+        ), j AS (
+            SELECT pairs.b, pairs.n, firsts.first_b
+            FROM pairs JOIN firsts ON pairs.fp = firsts.fp
+        )
+        SELECT CAST(b AS BIGINT) AS bucket_s,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               count(*) AS n_distinct,
+               round(1.0 - count(*) / CAST(sum(n) AS DOUBLE)
+                     + 0.0000001, 6) AS within_dup_rate,
+               CAST(sum(CASE WHEN first_b < b THEN n ELSE 0 END)
+                    AS BIGINT) AS n_seen_before,
+               round(sum(CASE WHEN first_b < b THEN n ELSE 0 END)
+                     / CAST(sum(n) AS DOUBLE) + 0.0000001, 6)
+                   AS cross_dup_rate
+        FROM j GROUP BY b
+    """,
+    "functional_deps": """
+        WITH p1 AS (
+            SELECT l_orderkey AS k, count(*) AS n,
+                   count(DISTINCT l_returnflag) AS d
+            FROM lineitem GROUP BY l_orderkey
+        ), p2 AS (
+            SELECT l_partkey AS k, count(*) AS n,
+                   count(DISTINCT l_suppkey) AS d
+            FROM lineitem GROUP BY l_partkey
+        ), a AS (
+            SELECT 'l_orderkey' AS determinant,
+                   'l_returnflag' AS dependent,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_det_values,
+                   CAST(sum(CASE WHEN d > 1 THEN d - 1 ELSE 0 END)
+                        AS BIGINT) AS n_violating_rows
+            FROM p1
+            UNION ALL
+            SELECT 'l_partkey', 'l_suppkey',
+                   CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN d > 1 THEN d - 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM p2
+        )
+        SELECT determinant, dependent, n_rows, n_det_values,
+               n_violating_rows,
+               round(CASE WHEN n_rows - n_det_values > 0
+                          THEN 1.0 - n_violating_rows
+                               / CAST(n_rows - n_det_values AS DOUBLE)
+                          ELSE 1.0 END + 0.0000001, 6) AS fd_strength,
+               n_violating_rows = 0 AS is_exact
+        FROM a
+    """,
+    "candidate_keys": """
+        WITH a AS (
+            SELECT count(*) AS n,
+                   count(DISTINCT event_id) AS d1,
+                   sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS m1,
+                   count(DISTINCT user_id) AS d2,
+                   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS m2,
+                   count(DISTINCT event_type) AS d3,
+                   sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS m3
+            FROM events
+        )
+        SELECT 'event_id' AS column_name, CAST(n AS BIGINT) AS n_rows,
+               CAST(d1 AS BIGINT) AS n_distinct,
+               CAST(m1 AS BIGINT) AS n_nulls,
+               d1 = n AND m1 = 0 AS is_key
+        FROM a
+        UNION ALL
+        SELECT 'user_id', CAST(n AS BIGINT), CAST(d2 AS BIGINT),
+               CAST(m2 AS BIGINT), d2 = n AND m2 = 0 FROM a
+        UNION ALL
+        SELECT 'event_type', CAST(n AS BIGINT), CAST(d3 AS BIGINT),
+               CAST(m3 AS BIGINT), d3 = n AND m3 = 0 FROM a
     """,
 }
 

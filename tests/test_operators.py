@@ -2232,3 +2232,53 @@ def test_lsh_tune_textbook_values():
     assert p_recall >= p_bal
     with pytest.raises(ValueError):
         lsh_tune(1.5)
+
+
+def test_dup_rate_timeseries_cross_vs_within(spark):
+    import datetime
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.cleaning import dup_rate_timeseries
+
+    def ts(d):
+        return datetime.datetime.utcfromtimestamp(d * 86400)
+
+    rows = [
+        # day 0: A, A (within-dup), B
+        (ts(0), "A"), (ts(0), "A"), (ts(0), "B"),
+        # day 1: B again (cross-dup), C
+        (ts(1), "B"), (ts(1), "C"),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, text string")
+    out = {r["bucket_s"]: r for r in
+           dup_rate_timeseries(df, "ts", "text").collect()}
+    release(out[0] if False else list(out.values())[0])  # no-op safety
+    d0, d1 = out[0], out[86400]
+    assert (d0["n_docs"], d0["n_distinct"]) == (3, 2)
+    assert d0["within_dup_rate"] == pytest.approx(1 / 3)
+    assert d0["n_seen_before"] == 0
+    assert (d1["n_seen_before"], d1["cross_dup_rate"]) == (1, 0.5)
+
+
+def test_functional_dependencies_and_keys(spark):
+    from woodwork_spark.statistics.dependence import (
+        candidate_keys,
+        functional_dependencies,
+    )
+
+    rows = [
+        (1, "x", 10), (2, "x", 10), (3, "y", 20), (4, "y", 21), (5, None, 30),
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    fd = {(r["determinant"], r["dependent"]): r for r in
+          functional_dependencies(df, [("g", "v"), ("id", "v")]).collect()}
+    # g -> v violated once (y maps to 20 and 21)
+    gv = fd[("g", "v")]
+    assert gv["n_violating_rows"] == 1 and not gv["is_exact"]
+    # id is unique, so id -> v holds exactly
+    assert fd[("id", "v")]["is_exact"]
+    keys = {r["column_name"]: r for r in
+            candidate_keys(df, ["id", "g", "v"]).collect()}
+    assert keys["id"]["is_key"]
+    assert not keys["g"]["is_key"] and keys["g"]["n_nulls"] == 1
+    assert not keys["v"]["is_key"]  # distinct 4 < 5 rows

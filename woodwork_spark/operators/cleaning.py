@@ -511,3 +511,57 @@ def contamination_fraction(
             ),
         )
     )
+
+
+def dup_rate_timeseries(
+    df: DataFrame,
+    ts_col: str,
+    text_col: str,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Ingestion-health trend: per time bucket, the exact-duplicate
+    rate (1 - distinct fingerprints / docs) WITHIN the bucket and the
+    rate of collisions against any EARLIER bucket — the two numbers
+    that separate "this crawl re-sends its own pages" from "this crawl
+    re-sends last week's".
+
+    One (bucket, fingerprint) aggregation (map-side combinable), one
+    first-occurrence agg per fingerprint reduced from those rows, one
+    compact join back on the fingerprint — shuffles scale with
+    distinct (bucket, fp) pairs, never raw text.
+
+    Returns ``(bucket_s, n_docs, n_distinct, within_dup_rate,
+    n_seen_before, cross_dup_rate)``.
+    """
+    from woodwork_spark.operators.text import fingerprint_expr
+    from woodwork_spark.operators.timeseries import bucket_expr
+
+    b = bucket_expr(ts_col, bucket_seconds)
+    pairs = (
+        df.select(b.alias("__b"), fingerprint_expr(text_col).alias("__fp"))
+        .groupBy("__b", "__fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    ).persist()
+    firsts = pairs.groupBy("__fp").agg(F.min("__b").alias("__first_b"))
+    j = pairs.join(firsts, "__fp")
+    out = j.groupBy(F.col("__b").alias("bucket_s")).agg(
+        F.sum("__n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (
+            1.0 - F.count(F.lit(1)) / F.sum("__n").cast("double")
+        ).alias("within_dup_rate"),
+        F.sum(
+            F.when(F.col("__first_b") < F.col("__b"), F.col("__n"))
+            .otherwise(0),
+        ).alias("n_seen_before"),
+        (
+            F.sum(
+                F.when(F.col("__first_b") < F.col("__b"), F.col("__n"))
+                .otherwise(0),
+            )
+            / F.sum("__n").cast("double")
+        ).alias("cross_dup_rate"),
+    )
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(out, pairs)

@@ -659,3 +659,80 @@ def cramers_v(df, col_a: str, col_b: str) -> "DataFrame":
     from woodwork_spark.lifecycle import attach_persisted
 
     return attach_persisted(out, cells)
+
+
+def functional_dependencies(df, pairs) -> "DataFrame":
+    """Approximate-functional-dependency profile: for each requested
+    ``(determinant, dependent)`` pair, how far the data is from
+    "determinant decides dependent" — violation count (rows beyond the
+    first distinct dependent per determinant value) and the g3-style
+    satisfaction ratio ``1 - violations / (n - n_determinant_values)``.
+    The schema-understanding signal behind key inference, denormalized-
+    join detection, and "is this column derivable" questions.
+
+    One grouped aggregation PER PAIR over (determinant) with
+    count_distinct(dependent) — each reduces to determinant
+    cardinality before the tiny final agg; pairs are independent jobs
+    unioned into one result.  Returns one row per pair:
+    ``(determinant, dependent, n_rows, n_det_values, n_violating_rows,
+    fd_strength, is_exact)``.
+    """
+    out = None
+    for det, dep in pairs:
+        per = df.groupBy(det).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count_distinct(dep).alias("__d"),
+        )
+        agg = per.agg(
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            F.sum("__n").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_det_values"),
+            F.sum(
+                F.when(F.col("__d") > 1, F.col("__d") - 1).otherwise(0),
+            ).cast("long").alias("n_violating_rows"),
+        ).select(
+            "*",
+            F.when(
+                (F.col("n_rows") - F.col("n_det_values")) > 0,
+                1.0
+                - F.col("n_violating_rows")
+                / (F.col("n_rows") - F.col("n_det_values")).cast("double"),
+            ).otherwise(F.lit(1.0)).alias("fd_strength"),
+            (F.col("n_violating_rows") == 0).alias("is_exact"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def candidate_keys(df, cols) -> "DataFrame":
+    """Candidate-key scan: for each column, its distinct count, null
+    count, and whether it uniquely identifies rows (distinct == rows,
+    no nulls) — ONE aggregation for every candidate (a single Expand
+    pass computes all the count_distincts together).
+
+    Returns one row per column: ``(column_name, n_rows, n_distinct,
+    n_nulls, is_key)``.
+    """
+    cols = list(cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count_distinct(F.col(c)).alias(f"__d_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__m_{c}"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__d_{c}").alias("n_distinct"),
+            F.col(f"__m_{c}").alias("n_nulls"),
+            (
+                (F.col(f"__d_{c}") == F.col("__n"))
+                & (F.col(f"__m_{c}") == 0)
+            ).alias("is_key"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("__s")).select("__s.*")
