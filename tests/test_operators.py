@@ -2250,9 +2250,9 @@ def test_dup_rate_timeseries_cross_vs_within(spark):
         (ts(1), "B"), (ts(1), "C"),
     ]
     df = spark.createDataFrame(rows, "ts timestamp, text string")
-    out = {r["bucket_s"]: r for r in
-           dup_rate_timeseries(df, "ts", "text").collect()}
-    release(out[0] if False else list(out.values())[0])  # no-op safety
+    frame = dup_rate_timeseries(df, "ts", "text")
+    out = {r["bucket_s"]: r for r in frame.collect()}
+    release(frame)
     d0, d1 = out[0], out[86400]
     assert (d0["n_docs"], d0["n_distinct"]) == (3, 2)
     assert d0["within_dup_rate"] == pytest.approx(1 / 3)
