@@ -5998,7 +5998,8 @@ ORACLE = {
         SELECT d.doc_id,
                coalesce(n_grams, 0) AS n_grams,
                coalesce(n_contaminated, 0) AS n_contaminated,
-               round(n_contaminated / CAST(n_grams AS DOUBLE) + 0.0000001, 6)
+               round(coalesce(n_contaminated / CAST(n_grams AS DOUBLE),
+                              0.0) + 0.0000001, 6)
                    AS contaminated_frac
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN scored ON d.doc_id = scored.doc_id
@@ -6095,8 +6096,12 @@ ORACLE = {
                        / pow(10, floor(log10(abs(l_extendedprice))))
                    ) AS BIGINT) AS digit
             FROM lineitem WHERE abs(l_extendedprice) > 0
-        ), c AS (
+        ), c0 AS (
             SELECT digit, count(*) AS n FROM d GROUP BY digit
+        ), c AS (
+            SELECT g.digit, coalesce(c0.n, 0) AS n
+            FROM (SELECT unnest(range(1, 10)) AS digit) g
+            LEFT JOIN c0 ON g.digit = c0.digit
         ), t AS (
             SELECT CAST(sum(n) AS DOUBLE) AS tt FROM c
         )
@@ -6153,7 +6158,7 @@ ORACLE = {
             SELECT CAST(k AS VARCHAR) AS key, nl, nr, o FROM prod
             ORDER BY o DESC, k ASC LIMIT 5
         ), tot AS (
-            SELECT CAST(NULL AS VARCHAR) AS key,
+            SELECT '__total__' AS key,
                    sum(nl) AS nl, sum(nr) AS nr, sum(o) AS o
             FROM prod
         )
@@ -6300,7 +6305,8 @@ ORACLE = {
     """,
     "group_trend": """
         SELECT event_type,
-               CAST(count(value) AS BIGINT) AS n_points,
+               CAST(count(CASE WHEN value IS NOT NULL AND ts IS NOT NULL
+                               THEN 1 END) AS BIGINT) AS n_points,
                round(regr_slope(value,
                    (epoch_us(ts) - 1704067200000000) / 86400000000.0)
                    + 0.0000001, 6) AS slope,
@@ -6312,7 +6318,8 @@ ORACLE = {
                    + 0.0000001, 6) AS r2
         FROM events
         GROUP BY event_type
-        HAVING count(value) >= 3
+        HAVING count(CASE WHEN value IS NOT NULL AND ts IS NOT NULL
+                          THEN 1 END) >= 3
     """,
     "funnel_windowed": """
         WITH s1 AS (
@@ -6561,27 +6568,27 @@ ORACLE = {
         FROM j GROUP BY b
     """,
     "functional_deps": """
-        WITH p1 AS (
-            SELECT l_orderkey AS k, count(*) AS n,
-                   count(DISTINCT l_returnflag) AS d
-            FROM lineitem GROUP BY l_orderkey
+        WITH c1 AS (
+            SELECT l_orderkey AS k, l_returnflag AS v, count(*) AS c
+            FROM lineitem GROUP BY k, v
+        ), p1 AS (
+            SELECT k, sum(c) AS n, max(c) AS maxc FROM c1 GROUP BY k
+        ), c2 AS (
+            SELECT l_partkey AS k, l_suppkey AS v, count(*) AS c
+            FROM lineitem GROUP BY k, v
         ), p2 AS (
-            SELECT l_partkey AS k, count(*) AS n,
-                   count(DISTINCT l_suppkey) AS d
-            FROM lineitem GROUP BY l_partkey
+            SELECT k, sum(c) AS n, max(c) AS maxc FROM c2 GROUP BY k
         ), a AS (
             SELECT 'l_orderkey' AS determinant,
                    'l_returnflag' AS dependent,
                    CAST(sum(n) AS BIGINT) AS n_rows,
                    CAST(count(*) AS BIGINT) AS n_det_values,
-                   CAST(sum(CASE WHEN d > 1 THEN d - 1 ELSE 0 END)
-                        AS BIGINT) AS n_violating_rows
+                   CAST(sum(n - maxc) AS BIGINT) AS n_violating_rows
             FROM p1
             UNION ALL
             SELECT 'l_partkey', 'l_suppkey',
                    CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
-                   CAST(sum(CASE WHEN d > 1 THEN d - 1 ELSE 0 END)
-                        AS BIGINT)
+                   CAST(sum(n - maxc) AS BIGINT)
             FROM p2
         )
         SELECT determinant, dependent, n_rows, n_det_values,

@@ -1887,7 +1887,10 @@ def test_benford_report_math(spark):
     assert out[1]["n"] == 11 and out[2]["n"] == 1
     assert out[1]["observed_p"] == pytest.approx(11 / 12)
     assert out[1]["expected_p"] == pytest.approx(math.log10(2))
-    assert set(out) == {1, 2}
+    # absent digits still emit rows — their chi2 term is the strongest
+    # Benford signal, not a silent omission
+    assert set(out) == set(range(1, 10))
+    assert out[9]["n"] == 0 and out[9]["chi2_term"] > 0
 
 
 def test_asof_nearest_direction(spark):
@@ -1949,9 +1952,9 @@ def test_join_size_estimate_matches_real_join(spark):
     )
     right = spark.createDataFrame([(1,), (1,), (2,)], "k long")
     rows = join_size_estimate(left, right, "k", top_k=2).collect()
-    total = [r for r in rows if r["key"] is None][0]
+    total = [r for r in rows if r["key"] == "__total__"][0]
     assert total["out_rows"] == left.join(right, "k").count() == 7
-    top = [r for r in rows if r["key"] is not None]
+    top = [r for r in rows if r["key"] != "__total__"]
     assert top[0]["key"] == "1" and top[0]["out_rows"] == 6
 
 
@@ -2188,6 +2191,16 @@ def test_exact_dedup_keep_order(spark):
         ).collect()
     )
     assert kept == [2, 4]
+    # a NULL order key must LOSE, not win (struct ordering would
+    # otherwise sort the NULL field first)
+    dfn = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 0.5)], "i long, t string, q double",
+    )
+    assert sorted(
+        r["i"] for r in exact_dedup(
+            dfn, columns=["t"], id_col="i", keep_order=[("q", "desc")],
+        ).collect()
+    ) == [2]
     # default keeps min id
     assert sorted(
         r["i"] for r in exact_dedup(df, columns=["t"], id_col="i").collect()
@@ -2282,3 +2295,22 @@ def test_functional_dependencies_and_keys(spark):
     assert keys["id"]["is_key"]
     assert not keys["g"]["is_key"] and keys["g"]["n_nulls"] == 1
     assert not keys["v"]["is_key"]  # distinct 4 < 5 rows
+
+
+def test_asof_nearest_supports_dates(spark):
+    import datetime
+
+    from woodwork_spark.operators.relational import asof_join
+
+    d = datetime.date
+    left = spark.createDataFrame(
+        [(1, d(2024, 1, 10)), (2, d(2024, 2, 1))], "lid long, t date",
+    )
+    right = spark.createDataFrame(
+        [(d(2024, 1, 12), "a"), (d(2024, 1, 20), "b")], "t date, tag string",
+    )
+    got = {r["lid"]: r["tag_right"] for r in asof_join(
+        left, right, on="t", direction="nearest", tolerance=5,
+    ).collect()}
+    # Jan 10 -> Jan 12 (2 days, within 5); Feb 1 -> nothing within 5 days
+    assert got == {1: "a", 2: None}

@@ -477,7 +477,7 @@ def contamination_fraction(
     LEFT join inside the same stage, and one per-doc agg finishes.
     Docs shorter than ``n`` tokens contribute their whole text as one
     gram (the module's gram convention), so every doc gets a defined
-    rate.
+    rate (gram-less docs — empty text — rate 0).
 
     Returns ``(id_col, n_grams, n_contaminated, contaminated_frac)``.
     """
@@ -506,9 +506,9 @@ def contamination_fraction(
             F.col("id").alias(id_col),
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
             F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            (F.col("n_contaminated") / F.col("n_grams")).alias(
-                "contaminated_frac",
-            ),
+            F.coalesce(
+                F.col("n_contaminated") / F.col("n_grams"), F.lit(0.0),
+            ).alias("contaminated_frac"),
         )
     )
 

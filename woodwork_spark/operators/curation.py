@@ -730,7 +730,11 @@ def group_trend(
     )
     y = F.col(value_col).cast("double")
     agg = df.groupBy(*group_cols).agg(
-        F.count(F.when(y.isNotNull(), 1)).cast("long").alias("n_points"),
+        # regr_* uses rows where BOTH x and y are non-null; the gate
+        # must count the same population or it passes underfit groups
+        F.count(
+            F.when(y.isNotNull() & F.col(ts_col).isNotNull(), 1),
+        ).cast("long").alias("n_points"),
         F.expr(
             f"regr_slope({value_col}, "
             f"(unix_micros({ts_col}) - {int(t0_us)}) / {float(t_unit_seconds) * 1e6})",

@@ -89,11 +89,18 @@ def exact_dedup(
                 raise ValueError("keep_order directions must be asc/desc")
             return c
 
+        # each key contributes (is_null flag, encoded value): struct
+        # comparison resolves on the flag first, so a NULL key LOSES to
+        # any scored row instead of winning (struct ordering would put
+        # the NULL field first and min_by would keep the unscored dup)
+        fields = []
+        for i, (n, d) in enumerate(keep_order):
+            fields.append(
+                F.col(n).isNull().cast("int").alias(f"z{i}"),
+            )
+            fields.append(_enc(n, d).alias(f"k{i}"))
         sort_struct = F.struct(
-            *[
-                _enc(n, d).alias(f"k{i}")
-                for i, (n, d) in enumerate(keep_order)
-            ],
+            *fields,
             F.col(id_col).alias("__tie"),
         )
         keeper = (
@@ -877,6 +884,11 @@ def similarity_join(
     ``threshold``.
     """
     right_text_col = right_text_col or text_col
+    if left_id == right_id:
+        raise ValueError(
+            "left_id and right_id must differ (the output carries both "
+            "as columns) — alias one side before joining",
+        )
 
     def _grams(df, id_c, t_col, out_id):
         return (

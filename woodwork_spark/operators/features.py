@@ -161,14 +161,21 @@ def quantile_normalize(
         group_col, order, "__one", out_col="__p",
         small_threshold=small_threshold,
     )
-    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ng"))
+    # persist the tiny group-size table: N derives from it (one small
+    # collect) instead of a second full scan, and the broadcast join
+    # below reuses the same materialized rows
+    sizes = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__ng"),
+    ).persist()
     glob = global_row_number(
         df.select(F.col(score_col).alias("__gv"), F.col(id_col).alias("__gid")),
         [F.asc("__gv"), F.asc("__gid")],
         out_col="__j",
         small_threshold=small_threshold,
     )
-    n_total = df.count()
+    n_total = int(
+        sizes.agg(F.sum("__ng")).collect()[0][0] or 0,
+    )
     target = (
         ranked.join(F.broadcast(sizes), group_col)
         .withColumn(
@@ -185,7 +192,7 @@ def quantile_normalize(
         .drop("__one", "__p", "__ng", "__target", "__j", "__gv")
     )
     return attach_persisted(
-        out, *persisted_frames(ranked), *persisted_frames(glob),
+        out, sizes, *persisted_frames(ranked), *persisted_frames(glob),
     )
 
 

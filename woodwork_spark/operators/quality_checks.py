@@ -194,13 +194,23 @@ def benford_report(df: DataFrame, col: str) -> DataFrame:
     One projection computes the first digit in codegen
     (``floor(|x| / 10^floor(log10|x|))``), one 9-row aggregation
     finishes; the total joins back as a 1-row broadcast.  Zero/null
-    values are excluded (no first significant digit).  Returns 9 rows:
+    values are excluded (no first significant digit); digits absent
+    from the data still emit a row with n=0.  Returns 9 rows:
     ``(digit, n, observed_p, expected_p, chi2_term)``.
     """
     x = F.abs(F.col(col))
     digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("long")
     digits = df.where(x > 0).select(digit.alias("digit"))
     counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # densify to all 9 digits: an ABSENT digit is the strongest Benford
+    # violation (its n=0 chi-square term t*expected is the largest
+    # possible) and must not silently drop out of the sum
+    all_digits = df.sparkSession.range(1, 10).select(
+        F.col("id").alias("digit"),
+    )
+    counts = all_digits.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).alias("n"),
+    )
     tot = counts.agg(F.sum("n").alias("__t"))
     expected = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
     return (

@@ -65,12 +65,17 @@ def asof_join(
     if direction == "nearest":
         from pyspark.sql import types as T
 
-        is_ts = isinstance(
-            left.schema[on].dataType, (T.TimestampType, T.TimestampNTZType),
-        )
+        on_type = left.schema[on].dataType
+        is_ts = isinstance(on_type, (T.TimestampType, T.TimestampNTZType))
+        is_date = isinstance(on_type, T.DateType)
 
         def _num(c):
-            return F.unix_micros(c) if is_ts else c.cast("double")
+            # DATE cannot cast to double; distances in days instead
+            if is_ts:
+                return F.unix_micros(c)
+            if is_date:
+                return F.unix_date(c)
+            return c.cast("double")
 
         right_row = F.when(
             F.col("__side") == 0,
@@ -92,6 +97,8 @@ def asof_join(
         dist_b = _num(F.col("__t")) - _num(F.col("__rb.__matched_t"))
         dist_f = _num(F.col("__rf.__matched_t")) - _num(F.col("__t"))
         if tolerance is not None:
+            # tolerance unit: seconds for timestamps, DAYS for dates,
+            # the column's own units otherwise
             tol_n = (
                 float(tolerance) * (1_000_000 if is_ts else 1)
                 if isinstance(tolerance, (int, float))

@@ -394,7 +394,7 @@ def join_size_estimate(
 
     Both sides collapse to per-key counts first (map-side combine), so
     the estimating join matches KEY CARDINALITIES, never rows.
-    Returns one row per top key plus an ``__total__`` row:
+    Returns one row per top key plus a ``'__total__'`` summary row:
     ``(key, left_rows, right_rows, out_rows)``.
     """
     right_key = right_key or left_key
@@ -409,17 +409,17 @@ def join_size_estimate(
     )
     top = prod.orderBy(F.desc("__o"), F.asc("__k")).limit(top_k)
     total = prod.agg(
-        F.lit(None).cast(prod.schema["__k"].dataType).alias("__k"),
-        F.sum("__nl").alias("__nl"),
-        F.sum("__nr").alias("__nr"),
-        F.sum("__o").alias("__o"),
+        F.lit("__total__").alias("key"),
+        F.sum("__nl").alias("left_rows"),
+        F.sum("__nr").alias("right_rows"),
+        F.sum("__o").alias("out_rows"),
     )
-    return top.unionByName(total).select(
+    return top.select(
         F.col("__k").cast("string").alias("key"),
         F.col("__nl").alias("left_rows"),
         F.col("__nr").alias("right_rows"),
         F.col("__o").alias("out_rows"),
-    )
+    ).unionByName(total)
 
 
 def auto_salted_join(

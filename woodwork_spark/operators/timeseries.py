@@ -311,8 +311,9 @@ def seasonality_profile(
     period: str = "dow",
     group_cols=(),
 ) -> DataFrame:
-    """Seasonal load profile: per period bucket (day-of-week 1-7 or
-    hour-of-day 0-23), the event count, mean value, and the seasonal
+    """Seasonal load profile: per period bucket (day-of-week, Spark
+    convention Sunday=1..Saturday=7, or hour-of-day 0-23), the event
+    count, mean value, and the seasonal
     INDEX (bucket mean / overall mean — 1.0 = flat) — the baseline
     every anomaly threshold and capacity plan starts from.
 

@@ -664,33 +664,36 @@ def cramers_v(df, col_a: str, col_b: str) -> "DataFrame":
 def functional_dependencies(df, pairs) -> "DataFrame":
     """Approximate-functional-dependency profile: for each requested
     ``(determinant, dependent)`` pair, how far the data is from
-    "determinant decides dependent" — violation count (rows beyond the
-    first distinct dependent per determinant value) and the g3-style
-    satisfaction ratio ``1 - violations / (n - n_determinant_values)``.
+    "determinant decides dependent" — the g3 violation count (minimum
+    rows to delete so the FD holds exactly: rows outside each
+    determinant's majority dependent value) and the satisfaction ratio ``1 - violations / (n - n_determinant_values)``.
     The schema-understanding signal behind key inference, denormalized-
     join detection, and "is this column derivable" questions.
 
-    One grouped aggregation PER PAIR over (determinant) with
-    count_distinct(dependent) — each reduces to determinant
-    cardinality before the tiny final agg; pairs are independent jobs
+    Two grouped aggregations PER PAIR — (determinant, dependent) cell
+    counts, then per-determinant majority — each reduces to pair/
+    determinant cardinality before the tiny final agg; pairs are independent jobs
     unioned into one result.  Returns one row per pair:
     ``(determinant, dependent, n_rows, n_det_values, n_violating_rows,
     fd_strength, is_exact)``.
     """
     out = None
     for det, dep in pairs:
-        per = df.groupBy(det).agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.count_distinct(dep).alias("__d"),
+        # g3 semantics need per-(det, dep) ROW counts: violating rows =
+        # rows outside each determinant's MAJORITY dependent value
+        # (count_distinct-1 would call a 500/500 split one violation)
+        cells = df.groupBy(det, dep).agg(F.count(F.lit(1)).alias("__c"))
+        per = cells.groupBy(det).agg(
+            F.sum("__c").alias("__n"),
+            F.max("__c").alias("__maxc"),
         )
         agg = per.agg(
             F.lit(det).alias("determinant"),
             F.lit(dep).alias("dependent"),
             F.sum("__n").alias("n_rows"),
             F.count(F.lit(1)).cast("long").alias("n_det_values"),
-            F.sum(
-                F.when(F.col("__d") > 1, F.col("__d") - 1).otherwise(0),
-            ).cast("long").alias("n_violating_rows"),
+            F.sum(F.col("__n") - F.col("__maxc"))
+            .cast("long").alias("n_violating_rows"),
         ).select(
             "*",
             F.when(
