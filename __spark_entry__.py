@@ -3347,6 +3347,60 @@ def q_candidate_keys(spark, sf_dir):
     return candidate_keys(ev, ["event_id", "user_id", "event_type"])
 
 
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier time-to-first-purchase survival per user cohort
+    (user_id % 2), right-censored at last activity: rows collapse to
+    per-(cohort, duration) counts FIRST, at-risk via one suffix-sum
+    window over DISTINCT durations, survival telescopes as
+    exp(sum(log))."""
+    from woodwork_spark.operators.timeseries import kaplan_meier
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+    )
+    durs = per_user.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(
+            F.col("__p").isNotNull(),
+            F.floor(
+                (F.unix_micros("__p") - F.unix_micros("__t0")) / 3.6e9,
+            ),
+        ).otherwise(
+            F.floor(
+                (F.unix_micros("__last") - F.unix_micros("__t0")) / 3.6e9,
+            ),
+        ).alias("dur_h"),
+        F.col("__p").isNotNull().cast("int").alias("purchased"),
+    )
+    km = kaplan_meier(durs, "dur_h", "purchased", ["cohort"])
+    return km.select(
+        "cohort", "duration", "n_events", "n_censored", "at_risk",
+        _ravg(F.col("survival"), 6).alias("survival"),
+    )
+
+
+def q_readability(spark, sf_dir):
+    """Per-language Flesch-style readability (vowel-group syllable
+    proxy) — one projection in codegen + one agg."""
+    from woodwork_spark.operators.text import readability_exprs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    r = readability_exprs("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _ravg(F.avg(r["flesch"]), 4).alias("avg_flesch"),
+        _ravg(F.avg(r["n_syllables"]), 4).alias("avg_syllables"),
+        _ravg(F.avg(r["n_sentences"]), 4).alias("avg_sentences"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3493,6 +3547,8 @@ QUERIES = {
     "dup_timeline": q_dup_timeline,
     "functional_deps": q_functional_deps,
     "candidate_keys": q_candidate_keys,
+    "kaplan_meier": q_kaplan_meier,
+    "readability": q_readability,
 }
 
 ORACLE = {
@@ -6622,6 +6678,79 @@ ORACLE = {
         UNION ALL
         SELECT 'event_type', CAST(n AS BIGINT), CAST(d3 AS BIGINT),
                CAST(m3 AS BIGINT), d3 = n AND m3 = 0 FROM a
+    """,
+    "kaplan_meier": """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(ts) AS t0,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+                   max(ts) AS lastts
+            FROM events GROUP BY user_id
+        ), durs AS (
+            SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
+                   CASE WHEN p IS NOT NULL
+                        THEN CAST(floor((epoch_us(p) - epoch_us(t0))
+                                        / 3600000000.0) AS BIGINT)
+                        ELSE CAST(floor((epoch_us(lastts) - epoch_us(t0))
+                                        / 3600000000.0) AS BIGINT)
+                   END AS dur_h,
+                   CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM per_user
+        ), counts AS (
+            SELECT cohort, dur_h AS duration,
+                   sum(ev) AS n_events,
+                   sum(1 - ev) AS n_censored,
+                   count(*) AS nn
+            FROM durs GROUP BY cohort, dur_h
+        ), staged AS (
+            SELECT cohort, duration, n_events, n_censored,
+                   sum(nn) OVER (PARTITION BY cohort ORDER BY duration DESC
+                                 ROWS UNBOUNDED PRECEDING) AS at_risk
+            FROM counts
+        ), surv AS (
+            SELECT cohort, duration, n_events, n_censored, at_risk,
+                   exp(sum(CASE WHEN n_events > 0 THEN
+                               CASE WHEN 1.0 - n_events
+                                         / CAST(at_risk AS DOUBLE) > 0
+                                    THEN ln(1.0 - n_events
+                                            / CAST(at_risk AS DOUBLE))
+                                    ELSE -745.0 END
+                               ELSE 0.0 END)
+                       OVER (PARTITION BY cohort ORDER BY duration ASC
+                             ROWS UNBOUNDED PRECEDING)) AS survival
+            FROM staged
+        )
+        SELECT cohort, duration,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(n_censored AS BIGINT) AS n_censored,
+               CAST(at_risk AS BIGINT) AS at_risk,
+               round(survival + 0.0000001, 6) AS survival
+        FROM surv WHERE n_events > 0
+    """,
+    "readability": """
+        WITH r AS (
+            SELECT lang,
+                   greatest(len(string_split_regex(trim(text), '\\s+')), 1)
+                       AS words,
+                   greatest(len(list_filter(
+                       string_split_regex(text, '[.!?]+'),
+                       s -> trim(s) <> '')), 1) AS sents,
+                   greatest(
+                       len(list_filter(
+                           string_split_regex(lower(text), '[^aeiouy]+'),
+                           s -> s <> '')),
+                       greatest(len(string_split_regex(trim(text),
+                                                       '\\s+')), 1)
+                   ) AS sylls
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(avg(206.835 - 1.015 * (words * 1.0 / sents)
+                         - 84.6 * (sylls * 1.0 / words))
+                     + 0.0000001, 4) AS avg_flesch,
+               round(avg(sylls) + 0.0000001, 4) AS avg_syllables,
+               round(avg(sents) + 0.0000001, 4) AS avg_sentences
+        FROM r GROUP BY lang
     """,
 }
 

@@ -2314,3 +2314,39 @@ def test_asof_nearest_supports_dates(spark):
     ).collect()}
     # Jan 10 -> Jan 12 (2 days, within 5); Feb 1 -> nothing within 5 days
     assert got == {1: "a", 2: None}
+
+
+def test_kaplan_meier_textbook(spark):
+    from woodwork_spark.operators.timeseries import kaplan_meier
+
+    # durations 1(e), 2(e), 2(censored), 3(e):
+    # S(1)=3/4, S(2)=3/4*2/3=1/2, S(3)=1/2*0=0
+    rows = [("g", 1.0, 1), ("g", 2.0, 1), ("g", 2.0, 0), ("g", 3.0, 1)]
+    df = spark.createDataFrame(rows, "g string, dur double, ev int")
+    out = {r["duration"]: r for r in
+           kaplan_meier(df, "dur", "ev", ["g"]).collect()}
+    assert out[1.0]["survival"] == pytest.approx(0.75)
+    assert out[2.0]["survival"] == pytest.approx(0.5)
+    assert out[3.0]["survival"] == pytest.approx(0.0)
+    assert out[2.0]["n_censored"] == 1 and out[2.0]["at_risk"] == 3
+    # censor-only times emit no row but still shrink the at-risk set
+    assert set(out) == {1.0, 2.0, 3.0}
+
+
+def test_readability_exprs_counts(spark):
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.operators.text import readability_exprs
+
+    df = spark.createDataFrame(
+        [("The cat sat. The dog ran!",)], "text string",
+    )
+    r = readability_exprs("text")
+    row = df.select(
+        r["n_words"].alias("w"), r["n_sentences"].alias("s"),
+        r["n_syllables"].alias("y"), F.round(r["flesch"], 2).alias("f"),
+    ).collect()[0]
+    assert row["w"] == 6 and row["s"] == 2
+    assert row["y"] == 6  # one vowel group per word
+    # 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert row["f"] == pytest.approx(119.19)

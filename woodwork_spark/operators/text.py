@@ -585,3 +585,46 @@ def interp_logprob(
     from woodwork_spark.lifecycle import attach_persisted
 
     return attach_persisted(out, big)
+
+
+def readability_exprs(text_col):
+    """Flesch-style readability signals as pure Column expressions: word
+    count, sentence count (terminal punctuation runs), a syllable proxy
+    (vowel groups per word — the standard dictionary-free estimate),
+    and the Flesch reading-ease score
+    ``206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)``.
+    Everything stays in whole-stage codegen; one projection computes
+    all four.
+    """
+    toks = tokens_expr(text_col)
+    n_words = F.greatest(F.size(toks), F.lit(1))
+    n_sents = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"[.!?]+"),
+                lambda s: F.trim(s) != "",
+            ),
+        ),
+        F.lit(1),
+    )
+    # vowel groups across the text, floored at one per word
+    n_syll = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^aeiouy]+"),
+                lambda s: s != "",
+            ),
+        ),
+        n_words,
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sents)
+        - F.lit(84.6) * (n_syll / n_words)
+    )
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sents,
+        "n_syllables": n_syll,
+        "flesch": flesch,
+    }

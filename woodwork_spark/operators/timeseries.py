@@ -345,3 +345,62 @@ def seasonality_profile(
         *group_cols, "period_bucket", "n_events", "mean_value", "sum_value",
         (F.col("mean_value") / F.col("__omean")).alias("seasonal_index"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols=(),
+) -> DataFrame:
+    """Kaplan-Meier survival estimate per group — time-to-event
+    analytics (time to churn/conversion/failure) with right-censoring
+    done correctly: at each distinct event time t,
+    ``S(t) = prod over t_i <= t of (1 - d_i / r_i)`` where ``d_i``
+    counts events at t_i and ``r_i`` the at-risk population (rows with
+    duration >= t_i).
+
+    Distributed shape: rows collapse to per-(group, duration) event/
+    censor counts FIRST (map-side combine — the windows below run over
+    DISTINCT TIMES, not rows), the at-risk count is a suffix sum over
+    one partitioned window, and the product telescopes as
+    ``exp(sum(log))`` over the same sort.  Censored rows reduce the
+    at-risk set but never the survival step.  Returns one row per
+    (group, duration with >= 1 event): ``(group..., duration, n_events,
+    n_censored, at_risk, survival)``.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    ev = F.col(event_col).cast("int")
+    counts = df.groupBy(*group_cols, F.col(duration_col).alias("duration")).agg(
+        F.sum(ev).alias("n_events"),
+        F.sum(1 - ev).alias("n_censored"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w_desc = (
+        W.partitionBy(*group_cols)
+        .orderBy(F.desc("duration"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    at_risk = F.sum("__n").over(w_desc)
+    staged = counts.withColumn("at_risk", at_risk)
+    w_asc = (
+        W.partitionBy(*group_cols)
+        .orderBy(F.asc("duration"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    frac = 1.0 - F.col("n_events") / F.col("at_risk")
+    # the last at-risk subject having the event drives S to exactly 0;
+    # Spark's log(0) is NULL and would poison the telescoping sum, so
+    # encode it as exp-underflow instead
+    step = F.when(
+        F.col("n_events") > 0,
+        F.when(frac > 0, F.log(frac)).otherwise(F.lit(-745.0)),
+    ).otherwise(F.lit(0.0))
+    return (
+        staged.withColumn("survival", F.exp(F.sum(step).over(w_asc)))
+        .where(F.col("n_events") > 0)
+        .select(
+            *group_cols, "duration", "n_events", "n_censored",
+            "at_risk", "survival",
+        )
+    )
