@@ -3401,6 +3401,41 @@ def q_readability(spark, sf_dir):
     )
 
 
+def q_rfm(spark, sf_dir):
+    """RFM customer segmentation: one user agg, three DISTRIBUTED
+    ntiles over the aggregated user table (no single-reducer NTILE),
+    concatenated segment labels."""
+    from woodwork_spark.operators.funnel import rfm_segments
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = rfm_segments(ev, "user_id", "ts", "value", n_tiles=4)
+    return out.select(
+        "user", "recency_days", "frequency",
+        _ravg(F.col("monetary"), 2).alias("monetary"),
+        "r_score", "f_score", "m_score", "rfm",
+    )
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curve (retention's revenue cousin): first-event
+    cohorts, per-offset value, cumulative value per cohort user —
+    two shuffles + one window over the tiny cohort-offset table."""
+    from woodwork_spark.operators.funnel import cohort_ltv
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = cohort_ltv(ev, "user_id", "ts", "value", period_days=7)
+    return out.select(
+        "cohort", "offset",
+        _ravg(F.col("period_value"), 2).alias("period_value"),
+        "active_users",
+        _ravg(F.col("cum_value"), 2).alias("cum_value"),
+        _ravg(F.col("ltv_per_user"), 4).alias("ltv_per_user"),
+        "cohort_users",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3549,6 +3584,8 @@ QUERIES = {
     "candidate_keys": q_candidate_keys,
     "kaplan_meier": q_kaplan_meier,
     "readability": q_readability,
+    "rfm": q_rfm,
+    "cohort_ltv": q_cohort_ltv,
 }
 
 ORACLE = {
@@ -6751,6 +6788,69 @@ ORACLE = {
                round(avg(sylls) + 0.0000001, 4) AS avg_syllables,
                round(avg(sents) + 0.0000001, 4) AS avg_sentences
         FROM r GROUP BY lang
+    """,
+    "rfm": """
+        WITH asofx AS (
+            SELECT max(ts) AS mx FROM events
+        ), per_user AS (
+            SELECT user_id AS u,
+                   date_diff('day', CAST(max(ts) AS DATE),
+                             CAST((SELECT mx FROM asofx) AS DATE))
+                       AS recency_days,
+                   count(*) AS frequency,
+                   sum(value) AS monetary
+            FROM events GROUP BY user_id
+        )
+        SELECT u AS user,
+               CAST(recency_days AS INT) AS recency_days,
+               frequency,
+               round(monetary + 0.0000001, 2) AS monetary,
+               CAST(ntile(4) OVER (ORDER BY recency_days DESC, u ASC)
+                    AS BIGINT) AS r_score,
+               CAST(ntile(4) OVER (ORDER BY frequency ASC, u ASC)
+                    AS BIGINT) AS f_score,
+               CAST(ntile(4) OVER (ORDER BY monetary ASC, u ASC)
+                    AS BIGINT) AS m_score,
+               CAST(ntile(4) OVER (ORDER BY recency_days DESC, u ASC)
+                    AS VARCHAR)
+               || CAST(ntile(4) OVER (ORDER BY frequency ASC, u ASC)
+                       AS VARCHAR)
+               || CAST(ntile(4) OVER (ORDER BY monetary ASC, u ASC)
+                       AS VARCHAR) AS rfm
+        FROM per_user
+    """,
+    "cohort_ltv": """
+        WITH d0 AS (
+            SELECT min(CAST(ts AS DATE)) AS base FROM events
+        ), pe AS (
+            SELECT user_id AS u,
+                   CAST(date_diff('day', (SELECT base FROM d0),
+                                  CAST(ts AS DATE)) // 7 AS BIGINT) AS p,
+                   value AS v
+            FROM events
+        ), firsts AS (
+            SELECT u, min(p) AS cohort FROM pe GROUP BY u
+        ), sizes AS (
+            SELECT cohort, count(*) AS cohort_users
+            FROM firsts GROUP BY cohort
+        ), per AS (
+            SELECT f.cohort, pe.p - f.cohort AS "offset",
+                   sum(pe.v) AS period_value,
+                   count(DISTINCT pe.u) AS active_users
+            FROM pe JOIN firsts f ON pe.u = f.u
+            GROUP BY f.cohort, pe.p - f.cohort
+        )
+        SELECT per.cohort, "offset",
+               round(period_value + 0.0000001, 2) AS period_value,
+               active_users,
+               round(sum(period_value) OVER w + 0.0000001, 2)
+                   AS cum_value,
+               round(sum(period_value) OVER w / cohort_users
+                     + 0.0000001, 4) AS ltv_per_user,
+               CAST(cohort_users AS BIGINT) AS cohort_users
+        FROM per JOIN sizes ON per.cohort = sizes.cohort
+        WINDOW w AS (PARTITION BY per.cohort ORDER BY "offset"
+                     ROWS UNBOUNDED PRECEDING)
     """,
 }
 

@@ -2350,3 +2350,50 @@ def test_readability_exprs_counts(spark):
     assert row["y"] == 6  # one vowel group per word
     # 206.835 - 1.015*3 - 84.6*1 = 119.19
     assert row["f"] == pytest.approx(119.19)
+
+
+def test_rfm_segments_scores(spark):
+    import datetime
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.funnel import rfm_segments
+
+    def ts(d):
+        return datetime.datetime(2024, 1, 1 + d)
+
+    rows = (
+        [(1, ts(9), 100.0)] * 4          # recent, frequent, high value
+        + [(2, ts(5), 10.0)] * 2
+        + [(3, ts(0), 1.0)]              # stale, rare, low value
+        + [(4, ts(7), 50.0)] * 3
+    )
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    out = rfm_segments(df, "u", "ts", "v", n_tiles=4)
+    got = {r["user"]: r for r in out.collect()}
+    release(out)
+    assert got[1]["rfm"] == "444" and got[3]["rfm"] == "111"
+    assert got[1]["recency_days"] == 0 and got[3]["recency_days"] == 9
+    assert got[1]["frequency"] == 4 and got[1]["monetary"] == 400.0
+
+
+def test_cohort_ltv_accumulates(spark):
+    import datetime
+
+    from woodwork_spark.operators.funnel import cohort_ltv
+
+    def ts(d):
+        return datetime.datetime(2024, 1, 1 + d)
+
+    rows = [
+        (1, ts(0), 10.0), (1, ts(7), 20.0),   # cohort 0: wk0 10, wk1 20
+        (2, ts(0), 30.0),                      # cohort 0 user 2: wk0 only
+        (3, ts(7), 5.0),                       # cohort 1
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    out = {(r["cohort"], r["offset"]): r
+           for r in cohort_ltv(df, "u", "ts", "v", period_days=7).collect()}
+    c00, c01 = out[(0, 0)], out[(0, 1)]
+    assert c00["period_value"] == 40.0 and c00["cohort_users"] == 2
+    assert c01["cum_value"] == 60.0
+    assert c01["ltv_per_user"] == pytest.approx(30.0)
+    assert out[(1, 0)]["period_value"] == 5.0

@@ -275,3 +275,117 @@ def top_paths(
         .groupBy("path", "path_len")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    n_tiles: int = 4,
+    asof_ts=None,
+) -> DataFrame:
+    """RFM segmentation — the classic customer-value triage: per user,
+    Recency (days since last event, as of ``asof_ts`` or the data's
+    max), Frequency (event count), Monetary (value sum), each scored
+    into ``n_tiles`` equi-depth tiles (1 = worst, n = best; recency
+    inverts so recent = high score).
+
+    One user aggregation, then three DISTRIBUTED ntiles over the
+    AGGREGATED user table (``rank.global_ntile`` — a plain global
+    NTILE window would single-reduce hundreds of millions of users).
+    Deterministic ties via the user id.  Returns ``(user, recency_days,
+    frequency, monetary, r_score, f_score, m_score, rfm)`` with ``rfm``
+    the concatenated segment label.  Persisted intermediates ride the
+    result (``lifecycle.release`` after consumption).
+    """
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.rank import global_ntile
+
+    if asof_ts is None:
+        asof_ts = df.agg(F.max(ts_col)).collect()[0][0]
+    per_user = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.datediff(
+            F.lit(asof_ts).cast("timestamp").cast("date"),
+            F.max(F.col(ts_col)).cast("date"),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(value_col).alias("monetary"),
+    )
+    scored = per_user
+    frames = []
+    for out_c, order in (
+        ("r_score", [F.desc("recency_days"), F.asc("user")]),
+        ("f_score", [F.asc("frequency"), F.asc("user")]),
+        ("m_score", [F.asc("monetary"), F.asc("user")]),
+    ):
+        scored = global_ntile(scored, order, n_tiles, out_col=out_c)
+        frames += list(persisted_frames(scored))
+    out = scored.withColumn(
+        "rfm",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score"),
+        ),
+    )
+    return attach_persisted(out, *frames)
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort lifetime-value curve — ``cohort_retention``'s revenue
+    cousin: users cohort by first-event period; for each (cohort,
+    offset) the period value, cumulative value, and cumulative value
+    PER COHORT USER (the LTV curve product teams plot).
+
+    Same two-shuffle shape as retention (first-event agg + joined
+    activity agg) plus one cumulative window over the tiny
+    (cohort, offset) table.
+    """
+    if period_days < 1:
+        raise ValueError("period_days must be >= 1")
+    d0 = df.agg(F.min(F.to_date(ts_col))).collect()[0][0]
+    day = F.datediff(F.to_date(ts_col), F.lit(d0))
+    per_event = df.select(
+        F.col(user_col).alias("__u"),
+        (day / period_days).cast("long").alias("__p"),
+        F.col(value_col).alias("__v"),
+    )
+    firsts = per_event.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    sizes = firsts.groupBy("__cohort").agg(
+        F.count(F.lit(1)).alias("__cohort_users"),
+    )
+    per = (
+        per_event.join(firsts, "__u")
+        .groupBy(
+            F.col("__cohort").alias("cohort"),
+            (F.col("__p") - F.col("__cohort")).alias("offset"),
+        )
+        .agg(
+            F.sum("__v").alias("period_value"),
+            F.count_distinct("__u").alias("active_users"),
+        )
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("offset")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        per.join(
+            F.broadcast(sizes.withColumnRenamed("__cohort", "cohort")),
+            "cohort",
+        )
+        .select(
+            "cohort", "offset", "period_value", "active_users",
+            F.sum("period_value").over(w).alias("cum_value"),
+            (
+                F.sum("period_value").over(w) / F.col("__cohort_users")
+            ).alias("ltv_per_user"),
+            F.col("__cohort_users").alias("cohort_users"),
+        )
+    )
