@@ -3436,6 +3436,23 @@ def q_cohort_ltv(spark, sf_dir):
     )
 
 
+def q_lorenz(spark, sf_dir):
+    """Lorenz curve over source weights (chars): both cumulative series
+    off ONE shared range-partitioned prefix-sum shuffle; totals
+    broadcast."""
+    from woodwork_spark.operators.curation import lorenz_curve
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = lorenz_curve(docs, "source", "n_chars")
+    return out.select(
+        "source",
+        _ravg(F.col("weight"), 1).alias("weight"),
+        _ravg(F.col("cum_group_frac"), 6).alias("cum_group_frac"),
+        _ravg(F.col("cum_weight_frac"), 6).alias("cum_weight_frac"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3586,6 +3603,7 @@ QUERIES = {
     "readability": q_readability,
     "rfm": q_rfm,
     "cohort_ltv": q_cohort_ltv,
+    "lorenz": q_lorenz,
 }
 
 ORACLE = {
@@ -6851,6 +6869,27 @@ ORACLE = {
         FROM per JOIN sizes ON per.cohort = sizes.cohort
         WINDOW w AS (PARTITION BY per.cohort ORDER BY "offset"
                      ROWS UNBOUNDED PRECEDING)
+    """,
+    "lorenz": """
+        WITH w AS (
+            SELECT source, CAST(sum(n_chars) AS DOUBLE) AS weight
+            FROM documents GROUP BY source
+        ), c AS (
+            SELECT source, weight,
+                   sum(1) OVER o AS cn,
+                   sum(weight) OVER o AS cw,
+                   count(*) OVER () AS tn,
+                   sum(weight) OVER () AS tw
+            FROM w
+            WINDOW o AS (ORDER BY weight ASC, source ASC
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT source,
+               round(weight + 0.0000001, 1) AS weight,
+               round(cn / CAST(tn AS DOUBLE) + 0.0000001, 6)
+                   AS cum_group_frac,
+               round(cw / tw + 0.0000001, 6) AS cum_weight_frac
+        FROM c
     """,
 }
 

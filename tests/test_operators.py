@@ -2397,3 +2397,22 @@ def test_cohort_ltv_accumulates(spark):
     assert c01["cum_value"] == 60.0
     assert c01["ltv_per_user"] == pytest.approx(30.0)
     assert out[(1, 0)]["period_value"] == 5.0
+
+
+def test_lorenz_curve_properties(spark):
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.curation import lorenz_curve
+
+    rows = [("a", 10), ("b", 10), ("c", 10), ("d", 70)]
+    df = spark.createDataFrame(rows, "g string, w long")
+    out = lorenz_curve(df, "g", "w")
+    pts = sorted(
+        (r["cum_group_frac"], r["cum_weight_frac"]) for r in out.collect()
+    )
+    release(out)
+    # curve ends at (1, 1); sits on/below the diagonal; monotone
+    assert pts[-1] == (1.0, 1.0)
+    assert all(wf <= gf + 1e-12 for gf, wf in pts)
+    assert pts == sorted(pts)
+    # 3 equal small groups then the heavy one: 75% of groups = 30% of mass
+    assert pts[2] == (0.75, pytest.approx(0.3))

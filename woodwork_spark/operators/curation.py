@@ -800,3 +800,50 @@ def corpus_report(
         )
     )
     return base.crossJoin(ent)
+
+
+def lorenz_curve(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str = None,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Lorenz curve of the corpus weight distribution over groups —
+    the plotted curve behind :func:`concentration_report`'s Gini: with
+    groups sorted by ascending weight, each point is (cumulative group
+    fraction, cumulative weight fraction); the diagonal is perfect
+    equality, the sag below it is concentration.
+
+    One group aggregation, then BOTH cumulative series from a single
+    ``global_prefix_sums`` range shuffle (inclusive row count + weight
+    share one sort); totals broadcast from one tiny agg.  Returns one
+    row per group, ascending: ``(group, weight, cum_group_frac,
+    cum_weight_frac)``.
+    """
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.rank import global_prefix_sums
+
+    wexpr = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    ).cast("double")
+    agg = df.groupBy(group_col).agg(wexpr.alias("weight")).withColumn(
+        "__one", F.lit(1),
+    )
+    cum = global_prefix_sums(
+        agg,
+        [F.asc("weight"), F.asc_nulls_last(group_col)],
+        ["__one", "weight"],
+        ["__cn", "__cw"],
+        inclusive=True,
+        small_threshold=small_threshold,
+    )
+    tot = cum.agg(
+        F.max("__cn").alias("__tn"), F.max("__cw").alias("__tw"),
+    )
+    out = cum.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "weight",
+        (F.col("__cn") / F.col("__tn")).alias("cum_group_frac"),
+        (F.col("__cw") / F.col("__tw")).alias("cum_weight_frac"),
+    )
+    return attach_persisted(out, *persisted_frames(cum))
