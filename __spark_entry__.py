@@ -3453,6 +3453,26 @@ def q_lorenz(spark, sf_dir):
     )
 
 
+def q_degree_stats(spark, sf_dir):
+    """Degree distribution of the part<->supplier bipartite graph +
+    log-log power-law slope: window-free aggs down to the tiny degree
+    histogram, one regr_slope."""
+    from woodwork_spark.operators.graph import degree_stats
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    ).distinct()
+    out = degree_stats(edges, directed=False)
+    return out.select(
+        "degree", "n_nodes",
+        _ravg(F.col("frac_nodes"), 6).alias("frac_nodes"),
+        _ravg(F.col("slope"), 6).alias("slope"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3604,6 +3624,7 @@ QUERIES = {
     "rfm": q_rfm,
     "cohort_ltv": q_cohort_ltv,
     "lorenz": q_lorenz,
+    "degree_stats": q_degree_stats,
 }
 
 ORACLE = {
@@ -6890,6 +6911,30 @@ ORACLE = {
                    AS cum_group_frac,
                round(cw / tw + 0.0000001, 6) AS cum_weight_frac
         FROM c
+    """,
+    "degree_stats": """
+        WITH e AS (
+            SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS s,
+                   's' || CAST(l_suppkey AS VARCHAR) AS d
+            FROM lineitem
+        ), ends AS (
+            SELECT s AS node FROM e
+            UNION ALL
+            SELECT d FROM e
+        ), deg AS (
+            SELECT node, count(*) AS degree FROM ends GROUP BY node
+        ), hist AS (
+            SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+        ), t AS (
+            SELECT CAST(sum(n_nodes) AS DOUBLE) AS tn,
+                   regr_slope(ln(CAST(n_nodes AS DOUBLE)),
+                              ln(CAST(degree AS DOUBLE))) AS slope
+            FROM hist
+        )
+        SELECT degree, n_nodes,
+               round(n_nodes / tn + 0.0000001, 6) AS frac_nodes,
+               round(slope + 0.0000001, 6) AS slope
+        FROM hist, t
     """,
 }
 

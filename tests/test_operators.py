@@ -2416,3 +2416,19 @@ def test_lorenz_curve_properties(spark):
     assert pts == sorted(pts)
     # 3 equal small groups then the heavy one: 75% of groups = 30% of mass
     assert pts[2] == (0.75, pytest.approx(0.3))
+
+
+def test_degree_stats_star_graph(spark):
+    from woodwork_spark.operators.graph import degree_stats
+
+    # star: hub h connected to 4 leaves (undirected degrees: h=4, leaves=1)
+    edges = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(4)], "src string, dst string",
+    )
+    out = {r["degree"]: r for r in degree_stats(edges).collect()}
+    assert out[1]["n_nodes"] == 4 and out[4]["n_nodes"] == 1
+    assert out[1]["frac_nodes"] == pytest.approx(0.8)
+    # directed mode counts out-degrees only
+    d = {r["degree"]: r["n_nodes"]
+         for r in degree_stats(edges, directed=True).collect()}
+    assert d == {4: 1}

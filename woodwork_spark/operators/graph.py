@@ -114,3 +114,48 @@ def pagerank(
         else:
             ranks = new_ranks
     return attach_persisted(ranks, nodes, ew, e)
+
+
+def degree_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Degree-distribution profile of an edge list: one row per degree
+    value with its node count, plus the log-log regression slope of
+    the distribution (a scale-free graph sits near -2..-3) repeated on
+    each row — the first look at any graph before running anything
+    iterative on it (hubs predict join skew; the slope says whether
+    salting will be needed).
+
+    Shape: edges collapse to per-node degrees (map-side combinable;
+    undirected mode unions both endpoints first), degrees collapse to
+    (degree, n_nodes) — window-free aggs all the way — and ONE regr_slope
+    over the tiny histogram finishes.  Returns ``(degree, n_nodes,
+    frac_nodes, slope)``.
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d"),
+    ).where(F.col("s").isNotNull() & F.col("d").isNotNull())
+    ends = (
+        e.select(F.col("s").alias("node"))
+        if directed
+        else e.select(F.col("s").alias("node")).unionAll(
+            e.select(F.col("d").alias("node")),
+        )
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    tots = hist.agg(
+        F.sum("n_nodes").alias("__tn"),
+        F.expr(
+            "regr_slope(log(cast(n_nodes as double)), "
+            "log(cast(degree as double)))",
+        ).alias("__slope"),
+    )
+    return hist.crossJoin(F.broadcast(tots)).select(
+        "degree", "n_nodes",
+        (F.col("n_nodes") / F.col("__tn")).alias("frac_nodes"),
+        F.col("__slope").alias("slope"),
+    )
