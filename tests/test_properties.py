@@ -440,3 +440,36 @@ def test_select_to_budget_is_maximal_prefix(sp, rows, budget):
             want.add(i)
         assert {i for i in kept_ids
                 if any(r[1] == i and r[0] == g for r in data)} == want
+
+
+def test_global_prefix_sums_distributed_doubles(sp):
+    """The forced-distributed path must handle DOUBLE value columns:
+    per-bucket offsets accumulate as floats and the broadcast map must
+    coerce cleanly (longs were property-tested; this pins doubles)."""
+    from pyspark.sql import Window as W
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.rank import global_prefix_sums
+
+    rows = [(i, float(i % 7) + 0.25, i % 3) for i in range(200)]
+    df = sp.createDataFrame(rows, "i long, w double, c long")
+    order = [F.asc("w"), F.asc("i")]
+    w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    want = {
+        r["i"]: (r["cw"], r["cc"])
+        for r in df.select(
+            "i",
+            F.sum("w").over(w).alias("cw"),
+            F.sum("c").over(w).alias("cc"),
+        ).collect()
+    }
+    out = global_prefix_sums(
+        df, order, ["w", "c"], ["cw", "cc"],
+        inclusive=True, small_threshold=0,
+    )
+    got = {r["i"]: (r["cw"], r["cc"]) for r in out.collect()}
+    release(out)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0])
+        assert got[k][1] == want[k][1]
