@@ -2432,3 +2432,43 @@ def test_degree_stats_star_graph(spark):
     d = {r["degree"]: r["n_nodes"]
          for r in degree_stats(edges, directed=True).collect()}
     assert d == {4: 1}
+
+
+def test_explain_report_reads_plan_health(spark):
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.table_utils import explain_report
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    agg = li.where(F.col("l_quantity") > 10).groupBy("l_returnflag").count()
+    agg.collect()  # AQE: codegen subtrees appear in the FINAL plan
+    rep = explain_report(agg)
+    assert rep["pushed_filters"] and rep["whole_stage_codegen"]
+    assert rep["n_cartesian"] == 0 and rep["n_python_eval"] == 0
+    assert rep["n_exchanges"] >= 1
+    assert rep["scan_columns"] == 2  # only the filter + group columns
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    j = explain_report(
+        cust.join(F.broadcast(nation),
+                  cust["c_nationkey"] == nation["n_nationkey"]),
+    )
+    assert j["n_broadcast_joins"] >= 1 and j["n_sort_merge_joins"] == 0
+
+
+def test_ann_recall_report_monotone(spark):
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.operators.similarity import (
+        ann_recall_report,
+        ivf_index,
+    )
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    idx = ivf_index(emb, nlist=8)
+    rep = ann_recall_report(
+        emb, idx, nprobe_values=(1, 4, 8), k=5, n_queries=10,
+    )
+    recalls = [r["recall_at_k"] for r in rep]
+    assert recalls == sorted(recalls)          # more probes never hurt
+    assert recalls[-1] == pytest.approx(1.0)   # probing every cluster = exact
+    assert all(r["n_queries"] == 10 for r in rep)

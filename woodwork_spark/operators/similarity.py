@@ -369,3 +369,56 @@ def assign_nearest_centroid(
         F.when(F.col(vec_col).isNotNull(), best["l"]).alias("assigned_label"),
         F.when(F.col(vec_col).isNotNull(), best["c"]).alias("assigned_cosine"),
     )
+
+
+def ann_recall_report(
+    df: DataFrame,
+    index,
+    nprobe_values=(1, 2, 4),
+    k: int = 10,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> list:
+    """Recall@k vs nprobe curve for an IVF index — the tuning report
+    that decides how many cluster probes the latency budget buys:
+    sample ``n_queries`` vectors (seeded), compute exact brute-force
+    top-k as ground truth ONCE, then measure ``ivf_topk`` overlap at
+    each ``nprobe``.
+
+    ``index`` is the ``(assigned, centroids)`` pair ``ivf_index``
+    returns.  Driver-side list of dicts ``{nprobe, recall_at_k,
+    n_queries}`` — an evaluation harness, not a pipeline stage; every
+    heavy step is the underlying operators' own distributed plans.
+    """
+    assigned, centroids = index
+    total = df.count()
+    frac = min(1.0, n_queries / max(total, 1) * 1.5)
+    queries = df.select(id_col, vec_col).sample(
+        withReplacement=False, fraction=frac, seed=seed,
+    ).limit(n_queries).persist()
+    truth = {
+        (r["query_id"], r[id_col])
+        for r in cosine_topk(
+            df, queries, k=k, id_col=id_col, vec_col=vec_col,
+        ).collect()
+    }
+    out = []
+    for nprobe in nprobe_values:
+        got = {
+            (r["query_id"], r[id_col])
+            for r in ivf_topk(
+                assigned, centroids, queries, k=k, nprobe=nprobe,
+                id_col=id_col, vec_col=vec_col,
+            ).collect()
+        }
+        out.append({
+            "nprobe": int(nprobe),
+            "recall_at_k": (
+                len(truth & got) / len(truth) if truth else 1.0
+            ),
+            "n_queries": queries.count(),
+        })
+    queries.unpersist()
+    return out

@@ -276,3 +276,51 @@ def union_evolve(dfs, widen: bool = True):
         )
         out = proj if out is None else out.unionByName(proj)
     return out
+
+
+def explain_report(df) -> dict:
+    """Plan-health introspection: one dict summarizing what the
+    physical plan will actually do — the numbers PLANS.md reasons
+    about, extractable programmatically for CI gates ("this pipeline
+    must stay broadcast-only", "no Python eval nodes allowed"):
+
+    ``n_exchanges`` (shuffles), ``n_broadcasts``,
+    ``n_single_partition`` (global single-reducer exchanges),
+    ``n_sort_merge_joins``, ``n_broadcast_joins``, ``n_cartesian``,
+    ``n_python_eval`` (BatchEvalPython/ArrowEvalPython nodes),
+    ``whole_stage_codegen`` (bool — under AQE this reflects the plan's
+    CURRENT state: call after an action for the final answer),
+    ``pushed_filters`` (bool), ``scan_columns`` (ReadSchema column
+    count of the first scan, or None).
+
+    Driver-side string inspection of the executed plan — zero jobs.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cg = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("codegen"),
+    )
+    formatted = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"),
+    )
+    scan_cols = None
+    if "ReadSchema:" in formatted:
+        schema_line = formatted.split("ReadSchema:")[1].splitlines()[0]
+        scan_cols = schema_line.count(":")
+    return {
+        "n_exchanges": plan.count("Exchange"),
+        "n_broadcasts": plan.count("BroadcastExchange"),
+        "n_single_partition": plan.count("Exchange SinglePartition"),
+        "n_sort_merge_joins": plan.count("SortMergeJoin"),
+        "n_broadcast_joins": plan.count("BroadcastHashJoin"),
+        "n_cartesian": plan.count("CartesianProduct"),
+        "n_python_eval": plan.count("BatchEvalPython")
+        + plan.count("ArrowEvalPython"),
+        "whole_stage_codegen": (
+            "WholeStageCodegen subtrees" in cg and "Found 0" not in cg
+        ),
+        "pushed_filters": "PushedFilters: [" in formatted
+        and "PushedFilters: []" not in formatted,
+        "scan_columns": scan_cols,
+    }
