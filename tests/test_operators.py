@@ -2472,3 +2472,20 @@ def test_ann_recall_report_monotone(spark):
     assert recalls == sorted(recalls)          # more probes never hurt
     assert recalls[-1] == pytest.approx(1.0)   # probing every cluster = exact
     assert all(r["n_queries"] == 10 for r in rep)
+
+
+def test_luhn_valid_expr(spark):
+    from woodwork_spark.operators.cleaning import luhn_valid_expr
+
+    rows = [
+        ("4539 1488 0343 6467", True),    # valid Visa test number
+        ("4539148803436468", False),      # checksum off by one
+        ("79927398713", False),           # valid Luhn but only 11 digits
+        ("1234", False),
+        (None, False),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s string")
+    got = {r["s"]: r["ok"] for r in
+           df.select("s", luhn_valid_expr("s").alias("ok")).collect()}
+    for s, want in rows:
+        assert got[s] == want, s

@@ -565,3 +565,33 @@ def dup_rate_timeseries(
     from woodwork_spark.lifecycle import attach_persisted
 
     return attach_persisted(out, pairs)
+
+
+def luhn_valid_expr(digits_col) -> Column:
+    """Luhn checksum validity of a digit string — the verification step
+    that separates REAL payment-card numbers from random 16-digit
+    noise in PII sweeps (redacting only Luhn-valid candidates cuts
+    false positives by ~90%).
+
+    Pure Column expression: reversed digit array, position-aware
+    doubling with the >9 fold, one ``aggregate`` sum — codegen all the
+    way; NULL/non-digit input yields false.
+    """
+    c = F.col(digits_col) if isinstance(digits_col, str) else digits_col
+    clean = F.regexp_replace(c, r"[^0-9]", "")
+    rev = F.reverse(clean)
+    n = F.length(rev)
+    total = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            # every second digit (from the right) doubles; the >9 fold
+            # happens in the accumulator
+            lambda i: (F.ascii(F.substr(rev, i, F.lit(1))) - 48)
+            * F.when(i % 2 == 0, 2).otherwise(1),
+        ),
+        F.lit(0),
+        lambda acc, d: acc + F.when(d > 9, d - 9).otherwise(d),
+    )
+    return F.when(
+        (n >= 12) & (n <= 19), (total % 10) == 0,
+    ).otherwise(F.lit(False))
