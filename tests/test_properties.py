@@ -473,3 +473,89 @@ def test_global_prefix_sums_distributed_doubles(sp):
     for k in want:
         assert got[k][0] == pytest.approx(want[k][0])
         assert got[k][1] == want[k][1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=2, max_size=25),
+    st.lists(st.integers(min_value=0, max_value=30), min_size=2, max_size=25),
+)
+def test_ks_drift_bounds_and_extremes(sp, xs, ys):
+    """KS in [0,1]; identical samples -> 0; disjoint ranges -> 1."""
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.curation import ks_drift
+
+    a = sp.createDataFrame([(float(v),) for v in xs], "v double")
+    b = sp.createDataFrame([(float(v),) for v in ys], "v double")
+    out = ks_drift(a, b, "v")
+    r = out.collect()[0]
+    release(out)
+    assert 0.0 <= r["ks_stat"] <= 1.0 + 1e-12
+    same = ks_drift(a, a, "v").collect()[0]
+    assert same["ks_stat"] == pytest.approx(0.0)
+    d = sp.createDataFrame([(float(v) + 1000.0,) for v in ys], "v double")
+    far = ks_drift(a, d, "v").collect()[0]
+    assert far["ks_stat"] == pytest.approx(1.0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(min_value=1, max_value=500),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.floats(min_value=0.1, max_value=2.0),
+)
+def test_temperature_mix_always_feasible(sp, weights, alpha):
+    """keep_frac in (0, 1]; exactly one binding group at 1; target
+    fractions sum to 1."""
+    from woodwork_spark.operators.curation import temperature_mix
+
+    df = sp.createDataFrame(
+        [(g, w) for g, w in weights], "g string, w long",
+    )
+    rows = temperature_mix(df, "g", alpha, weight_col="w").collect()
+    assert sum(r["target_frac"] for r in rows) == pytest.approx(1.0)
+    fracs = [r["keep_frac"] for r in rows]
+    assert all(0 < f <= 1.0 + 1e-9 for f in fracs)
+    assert any(abs(f - 1.0) < 1e-9 for f in fracs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # user
+            st.integers(min_value=0, max_value=50),  # ts
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_transition_matrix_rows_are_distributions(sp, rows):
+    """Per source event, outgoing probabilities sum to 1 and counts
+    equal the per-user consecutive-pair count."""
+    from woodwork_spark.operators.funnel import transition_matrix
+
+    df = sp.createDataFrame(rows, "u long, t long, e string")
+    got = transition_matrix(df, "u", "t", "e").collect()
+    if not got:
+        return  # every user had a single event
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["event"], []).append(r)
+    for src, rs in by_src.items():
+        assert sum(r["prob"] for r in rs) == pytest.approx(1.0)
+    # total transition count = sum over users of (n_events - 1)
+    from collections import Counter
+
+    per_user = Counter(u for u, _, _ in rows)
+    want_pairs = sum(n - 1 for n in per_user.values())
+    assert sum(r["n"] for r in got) == want_pairs
