@@ -33,13 +33,24 @@ from woodwork_spark.lifecycle import release
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 docs = read_parquet(spark, f"{SF}/documents.parquet")
 
+# ---- 0. dataset card -------------------------------------------------------
+from woodwork_spark.operators.curation import corpus_report
+
+print("corpus executive summary:")
+corpus_report(docs, "text", "source").show(truncate=False)
+
 # ---- 1. concentration audit ------------------------------------------------
-from woodwork_spark.operators.curation import concentration_report
+from woodwork_spark.operators.curation import concentration_report, lorenz_curve
 
 print("source concentration (weight = chars):")
 conc = concentration_report(docs, "source", weight_col="n_chars")
 conc.show(truncate=False)
 release(conc)
+
+print("Lorenz curve (first points — the sag below the diagonal is the Gini):")
+lz = lorenz_curve(docs, "source", "n_chars")
+lz.orderBy("cum_group_frac").show(5)
+release(lz)
 
 # ---- 2. Zipf smell test ----------------------------------------------------
 from woodwork_spark.operators.text import zipf_fit
