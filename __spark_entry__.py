@@ -548,7 +548,11 @@ def q_minhash_dedup_pairs(spark, sf_dir):
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    # bands pinned to the docstring's recall math (library default now
+    # auto-tunes via lsh_tune)
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5, bands=16,
+    )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard"),
     )

@@ -242,16 +242,23 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     shingle_k: int = 3,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = None,
     use_words: bool = True,
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates -> exact Jaccard on
     the shingle sets (array_intersect/array_union sizes).
 
+    ``bands=None`` (default) auto-tunes the banding to the requested
+    ``threshold`` via :func:`lsh_tune` (fn-weighted: a spurious
+    candidate only costs a cheap verify, a missed near-dup pollutes
+    training) — pass an explicit band count to pin it.
+
     The shingle arrays are computed ONCE and persisted
     (MEMORY_AND_DISK, spillable): the signature path and both sides of
     the verify join consume them — without sharing, the O(words·k)
     shingle construction runs three times over the corpus."""
+    if bands is None:
+        bands, _, _ = lsh_tune(threshold, num_perm, fn_weight=2.0)
     shingled = df.select(
         F.col(id_col),
         shingles_expr(text_col, shingle_k, use_words).alias("__sh"),
