@@ -3469,7 +3469,7 @@ def q_degree_stats(spark, sf_dir):
         F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     ).distinct()
-    out = degree_stats(edges, directed=False)
+    out = degree_stats(edges, mode="both")
     return out.select(
         "degree", "n_nodes",
         _ravg(F.col("frac_nodes"), 6).alias("frac_nodes"),

@@ -49,7 +49,7 @@ def run(df, name, mode="append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), f"{name} did not finish in 180s"
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -93,7 +93,10 @@ try:
         out_dir,
         checkpoint_dir=os.path.join(out_dir, "_ckpt"),
     )
-    q.awaitTermination(180)
+    # the sink runs continuously (real deployments never stop it):
+    # drain the finite input, then stop
+    q.processAllAvailable()
+    q.stop()
     # batch_id=*/ partition tree; the _batch_commits marker dir is
     # underscore-hidden from parquet discovery
     written = spark.read.parquet(out_dir).count()

@@ -2428,10 +2428,13 @@ def test_degree_stats_star_graph(spark):
     out = {r["degree"]: r for r in degree_stats(edges).collect()}
     assert out[1]["n_nodes"] == 4 and out[4]["n_nodes"] == 1
     assert out[1]["frac_nodes"] == pytest.approx(0.8)
-    # directed mode counts out-degrees only
+    # out mode counts src degrees only; in mode exposes the sink hub
     d = {r["degree"]: r["n_nodes"]
-         for r in degree_stats(edges, directed=True).collect()}
+         for r in degree_stats(edges, mode="out").collect()}
     assert d == {4: 1}
+    i = {r["degree"]: r["n_nodes"]
+         for r in degree_stats(edges, mode="in").collect()}
+    assert i == {1: 4}
 
 
 def test_explain_report_reads_plan_health(spark):

@@ -837,8 +837,10 @@ def lorenz_curve(
         inclusive=True,
         small_threshold=small_threshold,
     )
+    # totals assumption-free: count the rows and sum the RAW weights
+    # (max of the cumulative sum is wrong if any weight is negative)
     tot = cum.agg(
-        F.max("__cn").alias("__tn"), F.max("__cw").alias("__tw"),
+        F.count(F.lit(1)).alias("__tn"), F.sum("weight").alias("__tw"),
     )
     out = cum.crossJoin(F.broadcast(tot)).select(
         group_col,

@@ -258,7 +258,11 @@ def minhash_dedup_pairs(
     the verify join consume them — without sharing, the O(words·k)
     shingle construction runs three times over the corpus."""
     if bands is None:
-        bands, _, _ = lsh_tune(threshold, num_perm, fn_weight=2.0)
+        # use the tuned (bands, rows) pair EXACTLY: the candidate
+        # generator derives rows as num_perm // bands, so shrink
+        # num_perm to bands*rows or the S-curve shifts off the optimum
+        bands, rows, _ = lsh_tune(threshold, num_perm, fn_weight=2.0)
+        num_perm = bands * rows
     shingled = df.select(
         F.col(id_col),
         shingles_expr(text_col, shingle_k, use_words).alias("__sh"),

@@ -120,7 +120,7 @@ def degree_stats(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
-    directed: bool = False,
+    mode: str = "both",
 ) -> DataFrame:
     """Degree-distribution profile of an edge list: one row per degree
     value with its node count, plus the log-log regression slope of
@@ -129,22 +129,30 @@ def degree_stats(
     iterative on it (hubs predict join skew; the slope says whether
     salting will be needed).
 
+    ``mode``: "both" (undirected — every endpoint counts), "out"
+    (src only), or "in" (dst only — the side groupBy/join skew actually
+    keys on; a pure-sink hub is invisible in "out" mode).  Nodes with
+    zero degree in the chosen mode emit no row.
+
     Shape: edges collapse to per-node degrees (map-side combinable;
-    undirected mode unions both endpoints first), degrees collapse to
+    "both" unions the endpoints first), degrees collapse to
     (degree, n_nodes) — window-free aggs all the way — and ONE regr_slope
     over the tiny histogram finishes.  Returns ``(degree, n_nodes,
     frac_nodes, slope)``.
     """
+    if mode not in ("both", "out", "in"):
+        raise ValueError("mode must be 'both', 'out' or 'in'")
     e = edges.select(
         F.col(src_col).alias("s"), F.col(dst_col).alias("d"),
     ).where(F.col("s").isNotNull() & F.col("d").isNotNull())
-    ends = (
-        e.select(F.col("s").alias("node"))
-        if directed
-        else e.select(F.col("s").alias("node")).unionAll(
+    if mode == "out":
+        ends = e.select(F.col("s").alias("node"))
+    elif mode == "in":
+        ends = e.select(F.col("d").alias("node"))
+    else:
+        ends = e.select(F.col("s").alias("node")).unionAll(
             e.select(F.col("d").alias("node")),
         )
-    )
     deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
     tots = hist.agg(

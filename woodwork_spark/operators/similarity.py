@@ -398,27 +398,30 @@ def ann_recall_report(
     queries = df.select(id_col, vec_col).sample(
         withReplacement=False, fraction=frac, seed=seed,
     ).limit(n_queries).persist()
-    truth = {
-        (r["query_id"], r[id_col])
-        for r in cosine_topk(
-            df, queries, k=k, id_col=id_col, vec_col=vec_col,
-        ).collect()
-    }
-    out = []
-    for nprobe in nprobe_values:
-        got = {
+    try:
+        nq = queries.count()
+        truth = {
             (r["query_id"], r[id_col])
-            for r in ivf_topk(
-                assigned, centroids, queries, k=k, nprobe=nprobe,
-                id_col=id_col, vec_col=vec_col,
+            for r in cosine_topk(
+                df, queries, k=k, id_col=id_col, vec_col=vec_col,
             ).collect()
         }
-        out.append({
-            "nprobe": int(nprobe),
-            "recall_at_k": (
-                len(truth & got) / len(truth) if truth else 1.0
-            ),
-            "n_queries": queries.count(),
-        })
-    queries.unpersist()
-    return out
+        out = []
+        for nprobe in nprobe_values:
+            got = {
+                (r["query_id"], r[id_col])
+                for r in ivf_topk(
+                    assigned, centroids, queries, k=k, nprobe=nprobe,
+                    id_col=id_col, vec_col=vec_col,
+                ).collect()
+            }
+            out.append({
+                "nprobe": int(nprobe),
+                "recall_at_k": (
+                    len(truth & got) / len(truth) if truth else 1.0
+                ),
+                "n_queries": nq,
+            })
+        return out
+    finally:
+        queries.unpersist()

@@ -597,25 +597,34 @@ def readability_exprs(text_col):
     all four.
     """
     toks = tokens_expr(text_col)
-    n_words = F.greatest(F.size(toks), F.lit(1))
-    n_sents = F.greatest(
-        F.size(
-            F.filter(
-                F.split(F.col(text_col), r"[.!?]+"),
-                lambda s: F.trim(s) != "",
+    present = F.col(text_col).isNotNull()
+    n_words = F.when(present, F.greatest(F.size(toks), F.lit(1)))
+    n_sents = F.when(
+        present,
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.split(F.col(text_col), r"[.!?]+"),
+                    lambda s: F.trim(s) != "",
+                ),
             ),
+            F.lit(1),
         ),
-        F.lit(1),
     )
-    # vowel groups across the text, floored at one per word
-    n_syll = F.greatest(
-        F.size(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"[^aeiouy]+"),
-                lambda s: s != "",
+    # vowel groups across the text, floored at one per word; NULL text
+    # propagates NULL (size(NULL) is -1 and would otherwise fabricate a
+    # definite score of ~121.22 for missing documents)
+    n_syll = F.when(
+        present,
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"[^aeiouy]+"),
+                    lambda s: s != "",
+                ),
             ),
+            F.greatest(F.size(toks), F.lit(1)),
         ),
-        n_words,
     )
     flesch = (
         F.lit(206.835)

@@ -307,9 +307,33 @@ def explain_report(df) -> dict:
     scan_cols = None
     if "ReadSchema:" in formatted:
         schema_line = formatted.split("ReadSchema:")[1].splitlines()[0]
-        scan_cols = schema_line.count(":")
+        # top-level fields only: commas at struct-nesting depth 1;
+        # truncated schemas ("N more fields") are indeterminate
+        if "more fields" in schema_line:
+            scan_cols = None
+        else:
+            body = schema_line.strip()
+            start = body.find("struct<")
+            if start >= 0:
+                depth, fields = 0, 0
+                for ch in body[start + len("struct<"):]:
+                    if ch == "<":
+                        depth += 1
+                    elif ch == ">":
+                        if depth == 0:
+                            fields += 1  # the final field
+                            break
+                        depth -= 1
+                    elif ch == "," and depth == 0:
+                        fields += 1
+                scan_cols = fields
+    import re as _re
+
     return {
-        "n_exchanges": plan.count("Exchange"),
+        # shuffles only: BroadcastExchange contains the substring
+        # "Exchange", so subtract it out
+        "n_exchanges": plan.count("Exchange")
+        - plan.count("BroadcastExchange"),
         "n_broadcasts": plan.count("BroadcastExchange"),
         "n_single_partition": plan.count("Exchange SinglePartition"),
         "n_sort_merge_joins": plan.count("SortMergeJoin"),
@@ -320,7 +344,10 @@ def explain_report(df) -> dict:
         "whole_stage_codegen": (
             "WholeStageCodegen subtrees" in cg and "Found 0" not in cg
         ),
-        "pushed_filters": "PushedFilters: [" in formatted
-        and "PushedFilters: []" not in formatted,
+        # ANY scan with a non-empty pushed-filter list counts: a plan
+        # can legitimately mix filtered and filterless scans
+        "pushed_filters": bool(
+            _re.search(r"PushedFilters: \[[^\]]", formatted),
+        ),
         "scan_columns": scan_cols,
     }
