@@ -3480,6 +3480,41 @@ def q_degree_stats(spark, sf_dir):
     )
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Char-level exact repeated-substring detection + masking (the
+    window-hash form of Lee et al. 2022 substring dedup): per doc with
+    at least one 25-char span shared by >= 3 distinct docs, the merged
+    island count, masked char total, and the LENGTH OF THE ACTUALLY
+    RECONSTRUCTED masked text — the oracle derives that length
+    arithmetically (orig - masked_chars), so the splice expression is
+    cross-checked, not assumed."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.cleaning import (
+        mask_repeated_spans,
+        repeated_spans,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    spans = repeated_spans(docs, "doc_id", "text", span_len=25, min_docs=3)
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("masked_chars"),
+    )
+    masked = mask_repeated_spans(
+        docs, "doc_id", "text", span_len=25, min_docs=3, out_col="masked",
+    )
+    lens = masked.select(
+        "doc_id", F.length("masked").cast("long").alias("masked_len"),
+    )
+    out = agg.join(lens, "doc_id")
+    return attach_persisted(
+        out, *persisted_frames(spans), *persisted_frames(masked),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3632,6 +3667,7 @@ QUERIES = {
     "cohort_ltv": q_cohort_ltv,
     "lorenz": q_lorenz,
     "degree_stats": q_degree_stats,
+    "repeated_spans": q_repeated_spans,
 }
 
 ORACLE = {
@@ -6942,6 +6978,42 @@ ORACLE = {
                round(n_nodes / tn + 0.0000001, 6) AS frac_nodes,
                round(slope + 0.0000001, 6) AS slope
         FROM hist, t
+    """,
+    "repeated_spans": """
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 24)) AS s
+            FROM documents
+            WHERE length(text) >= 25
+        ), w AS (
+            SELECT doc_id, s, substr(text, s, 25) AS g FROM pos
+        ), rep AS (
+            SELECT g FROM w GROUP BY g HAVING count(DISTINCT doc_id) >= 3
+        ), m AS (
+            SELECT w.doc_id, w.s FROM w JOIN rep USING (g)
+        ), br AS (
+            SELECT doc_id, s,
+                   CASE WHEN s > COALESCE(max(s + 24) OVER (
+                            PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1) + 1
+                        THEN 1 ELSE 0 END AS brk
+            FROM m
+        ), isl AS (
+            SELECT doc_id, s,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island
+            FROM br
+        ), sp AS (
+            SELECT doc_id, island, min(s) AS ss, max(s) + 24 AS se
+            FROM isl GROUP BY doc_id, island
+        ), agg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(se - ss + 1) AS BIGINT) AS masked_chars
+            FROM sp GROUP BY doc_id
+        )
+        SELECT a.doc_id, a.n_spans, a.masked_chars,
+               CAST(length(d.text) - a.masked_chars AS BIGINT) AS masked_len
+        FROM agg a JOIN documents d USING (doc_id)
     """,
 }
 

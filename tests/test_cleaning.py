@@ -178,3 +178,97 @@ def test_remove_boilerplate_literal_separator(spark):
     assert out[0] == "keep"
     assert out[1] == "also"
     assert out[2] == ""
+
+
+# ---------------------------------------------------------------------------
+# repeated_spans / mask_repeated_spans
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    # docs 1 and 2 share the 12-char block "SHAREDBLOCKX" twice over;
+    # doc 3 is clean; doc 4 is NULL text; doc 5 is shorter than span_len
+    return spark.createDataFrame(
+        [
+            (1, "aaaSHAREDBLOCKXbbbSHAREDBLOCKXccc"),
+            (2, "zzSHAREDBLOCKXqq"),
+            (3, "nothing in common here at all!!"),
+            (4, None),
+            (5, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_repeated_spans_finds_shared_block(spark, span_docs):
+    from woodwork_spark.lifecycle import release
+
+    out = cleaning.repeated_spans(
+        span_docs, "doc_id", "text", span_len=12, min_docs=2,
+    )
+    rows = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in out.collect()
+    )
+    release(out)
+    # doc 1: two islands (offsets 4-15 and 19-30, 1-based);
+    # doc 2: one island (3-14); doc 3/4/5: none
+    assert rows == [(1, 4, 15), (1, 19, 30), (2, 3, 14)]
+
+
+def test_repeated_spans_merges_touching_islands(spark):
+    from woodwork_spark.lifecycle import release
+
+    # the shared region is longer than span_len -> consecutive windows
+    # overlap and must merge into ONE island spanning the whole repeat
+    df = spark.createDataFrame(
+        [(1, "xxABCDEFGHIJyy"), (2, "ABCDEFGHIJ")],
+        "doc_id long, text string",
+    )
+    out = cleaning.repeated_spans(df, "doc_id", "text", span_len=4, min_docs=2)
+    rows = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in out.collect()
+    )
+    release(out)
+    assert rows == [(1, 3, 12, 7), (2, 1, 10, 7)]
+
+
+def test_mask_repeated_spans_reconstruction(spark, span_docs):
+    from woodwork_spark.lifecycle import release
+
+    out = cleaning.mask_repeated_spans(
+        span_docs, "doc_id", "text", span_len=12, min_docs=2,
+        replacement="<DUP>", out_col="masked",
+    )
+    got = {r["doc_id"]: r["masked"] for r in out.collect()}
+    release(out)
+    assert got[1] == "aaa<DUP>bbb<DUP>ccc"
+    assert got[2] == "zz<DUP>qq"
+    # untouched / NULL / short docs pass through
+    assert got[3] == "nothing in common here at all!!"
+    assert got[4] is None
+    assert got[5] == "tiny"
+
+
+def test_mask_repeated_spans_whole_doc(spark):
+    from woodwork_spark.lifecycle import release
+
+    # a doc that IS entirely a repeated span survives as empty text
+    df = spark.createDataFrame(
+        [(1, "ABCDEF"), (2, "xxABCDEFyy")], "doc_id long, text string",
+    )
+    out = cleaning.mask_repeated_spans(
+        df, "doc_id", "text", span_len=6, min_docs=2,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    release(out)
+    assert got[1] == ""
+    assert got[2] == "xxyy"
+
+
+def test_repeated_spans_param_validation(spark, span_docs):
+    with pytest.raises(ValueError):
+        cleaning.repeated_spans(span_docs, "doc_id", "text", span_len=1)
+    with pytest.raises(ValueError):
+        cleaning.repeated_spans(span_docs, "doc_id", "text", min_docs=1)

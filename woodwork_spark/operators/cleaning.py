@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from woodwork_spark.lifecycle import attach_persisted
+from woodwork_spark.lifecycle import attach_persisted, persisted_frames
 from woodwork_spark.operators.text import tokens_expr
 
 # ---------------------------------------------------------------------------
@@ -595,3 +595,162 @@ def luhn_valid_expr(digits_col) -> Column:
     return F.when(
         (n >= 12) & (n <= 19), (total % 10) == 0,
     ).otherwise(F.lit(False))
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring spans (cross-document, char-level)
+# ---------------------------------------------------------------------------
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Char-level exact repeated substrings across documents: every
+    maximal character range covered by some length-``span_len`` window
+    whose text occurs in at least ``min_docs`` DISTINCT documents.
+    This is the practical Spark form of suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): fixed-length rolling windows instead of suffix
+    arrays, which keeps the work a plain explode + aggregate and finds
+    every repeat of length >= span_len (a repeat of exactly span_len
+    aligns with at least one window in both documents regardless of
+    offset, because EVERY start position emits a window).
+
+    The line-level twin is :func:`remove_boilerplate_lines`; this one
+    catches boilerplate that does not respect line boundaries (inlined
+    license headers, templated sentences, concatenated nav text).
+
+    Shape (100 TB first): one explode to (doc, start) per window — the
+    window TEXT never shuffles; each window is reduced to a 16-byte
+    double ``xxhash64`` key (two independent seeds: collision odds
+    ~n^2/2^128, negligible at any corpus size) — then one aggregate on
+    the key counting distinct docs, one semi-join back, and per-doc
+    island-merging through a window partitioned by doc id (bounded by
+    document length, arbitrarily parallel across docs).  Offsets are
+    1-based chars, consistent with ``substr``.
+
+    Returns ``(id_col, span_start, span_end, n_windows)`` — one row per
+    maximal merged island; ``n_windows`` is how many qualifying windows
+    the island merged.  Touching islands (gap of 0 chars) merge.
+    """
+    from pyspark.sql import Window
+
+    if span_len < 2:
+        raise ValueError(f"span_len must be >= 2, got {span_len}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    gram = F.substr(F.col(text_col), F.col("span_start"), F.lit(span_len))
+    win = (
+        df.filter(F.length(text_col) >= span_len)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - span_len + 1),
+            ).alias("span_start"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "span_start",
+            # 16-byte key, text dropped before any shuffle
+            F.xxhash64(gram).alias("__h1"),
+            F.xxhash64(F.lit("ww-span-2"), gram).alias("__h2"),
+        )
+        .persist()
+    )
+    rep = (
+        win.groupBy("__h1", "__h2")
+        .agg(F.count_distinct(id_col).alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select("__h1", "__h2")
+    )
+    marked = win.join(rep, ["__h1", "__h2"], "left_semi").select(
+        id_col, "span_start",
+    )
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    prev_end = F.max(
+        F.col("span_start") + span_len - 1,
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        marked.withColumn(
+            "__brk",
+            F.when(
+                F.col("span_start") > F.coalesce(prev_end, F.lit(-1)) + 1,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__brk").over(w))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("span_start").alias("span_start"),
+            (F.max("span_start") + span_len - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("__isl")
+    )
+    # the cached window table feeds both the frequency agg and the
+    # semi-join; free it with lifecycle.release(result) after consuming
+    return attach_persisted(islands, win)
+
+
+def mask_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 50,
+    min_docs: int = 2,
+    replacement: str = "",
+    out_col: str = None,
+) -> DataFrame:
+    """Cut every cross-document repeated span (per
+    :func:`repeated_spans`) out of ``text_col``, splicing
+    ``replacement`` where each maximal island was.  ALL occurrences are
+    removed (the span is boilerplate by construction — it appears in
+    ``min_docs``+ documents); for keep-one-copy semantics dedup at the
+    document level instead.
+
+    Reconstruction is a pure fold over the doc's sorted island array
+    (bounded by document length): no UDF, no second pass over the
+    corpus — documents without repeated spans pass through untouched
+    via the left join.  NULL text stays NULL.
+    """
+    out_col = out_col or text_col
+    spans = repeated_spans(df, id_col, text_col, span_len, min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end")),
+        ).alias("__spans"),
+    )
+    rebuilt = F.aggregate(
+        F.col("__spans"),
+        F.struct(F.lit(1).alias("pos"), F.lit("").alias("acc")),
+        lambda acc, sp: F.struct(
+            (sp["span_end"] + F.lit(1)).alias("pos"),
+            F.concat(
+                acc["acc"],
+                F.substr(
+                    F.col(text_col), acc["pos"], sp["span_start"] - acc["pos"],
+                ),
+                F.lit(replacement),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            F.substr(F.col(text_col), acc["pos"], F.length(text_col)),
+        ),
+    )
+    out = (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None))
+            .when(F.col("__spans").isNull(), F.col(text_col))
+            .otherwise(rebuilt),
+        )
+        .drop("__spans")
+    )
+    return attach_persisted(out, *persisted_frames(spans))
