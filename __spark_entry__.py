@@ -3515,6 +3515,55 @@ def q_repeated_spans(spark, sf_dir):
     )
 
 
+def q_leak_split(spark, sf_dir):
+    """Leakage-safe train/held split: documents plus a planted near-copy
+    of every 10th doc (id+100000, three words appended -> jaccard ~0.93)
+    are split so near-dup clusters never straddle the boundary.  The
+    result reports, per split, the doc and group counts AND the planted
+    pairs kept together — no-leakage holds iff n_planted ==
+    n_planted_with_original on every row, and the oracle recomputes the
+    whole pipeline (exact pairs -> recursive-CTE components -> md5
+    bucketing) independently."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.sampling import leakage_safe_split
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra words appended")).alias("text"),
+    )
+    aug = docs.unionByName(planted)
+    tagged = leakage_safe_split(
+        aug, "doc_id", "text", fraction=0.7, threshold=0.5, bands=16,
+        group_col="grp",
+    )
+    t = tagged.select("doc_id", "split", "grp")
+    base = t.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("grp").alias("n_groups"),
+    )
+    p = t.filter(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("orig_id"),
+        F.col("split").alias("p_split"),
+    )
+    o = t.select(F.col("doc_id").alias("orig_id"), F.col("split").alias("o_split"))
+    pl = p.join(o, "orig_id").groupBy(F.col("p_split").alias("split")).agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        F.sum(
+            (F.col("p_split") == F.col("o_split")).cast("long"),
+        ).alias("n_planted_with_original"),
+    )
+    out = base.join(pl, "split", "left").select(
+        "split", "n_docs", "n_groups",
+        F.coalesce("n_planted", F.lit(0)).alias("n_planted"),
+        F.coalesce("n_planted_with_original", F.lit(0)).alias(
+            "n_planted_with_original",
+        ),
+    )
+    return attach_persisted(out, *persisted_frames(tagged))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3668,6 +3717,7 @@ QUERIES = {
     "lorenz": q_lorenz,
     "degree_stats": q_degree_stats,
     "repeated_spans": q_repeated_spans,
+    "leak_split": q_leak_split,
 }
 
 ORACLE = {
@@ -7014,6 +7064,72 @@ ORACLE = {
         SELECT a.doc_id, a.n_spans, a.masked_chars,
                CAST(length(d.text) - a.masked_chars AS BIGINT) AS masked_len
         FROM agg a JOIN documents d USING (doc_id)
+    """,
+    "leak_split": """
+        WITH RECURSIVE aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text || ' extra words appended'
+            FROM documents WHERE doc_id % 10 = 0
+        ), g AS (
+            SELECT doc_id,
+                   list_distinct([
+                       array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+                   ]) AS gs
+            FROM (SELECT doc_id, string_split(trim(text), ' ') AS words
+                  FROM aug)
+        ), e AS (
+            SELECT doc_id, unnest(gs) AS gram FROM g WHERE len(gs) > 0
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM e a JOIN e b USING (gram)
+            WHERE a.doc_id < b.doc_id
+        ), pairs AS (
+            SELECT id_a, id_b
+            FROM cand
+            JOIN g ga ON cand.id_a = ga.doc_id
+            JOIN g gb ON cand.id_b = gb.doc_id
+            WHERE len(list_intersect(ga.gs, gb.gs))::DOUBLE
+                  / (len(ga.gs) + len(gb.gs)
+                     - len(list_intersect(ga.gs, gb.gs))) >= 0.5
+        ), edges AS (
+            SELECT id_a AS ea, id_b AS eb FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, r) AS (
+            SELECT ea, eb FROM edges
+            UNION
+            SELECT reach.id, edges.eb
+            FROM reach JOIN edges ON reach.r = edges.ea
+            WHERE edges.eb <> reach.id
+        ), rep AS (
+            SELECT id, least(min(r), id) AS grp FROM reach GROUP BY id
+        ), tagged AS (
+            SELECT a.doc_id,
+                   COALESCE(rep.grp, a.doc_id) AS grp,
+                   CASE WHEN substr(md5('split' ||
+                            CAST(COALESCE(rep.grp, a.doc_id) AS VARCHAR)),
+                            1, 8) < 'b3333333'
+                        THEN 'train' ELSE 'held' END AS split
+            FROM aug a LEFT JOIN rep ON a.doc_id = rep.id
+        ), base AS (
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+            FROM tagged GROUP BY split
+        ), pl AS (
+            SELECT p.split,
+                   CAST(count(*) AS BIGINT) AS n_planted,
+                   CAST(sum(CASE WHEN p.split = o.split THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_planted_with_original
+            FROM tagged p JOIN tagged o ON p.doc_id - 100000 = o.doc_id
+            WHERE p.doc_id >= 100000
+            GROUP BY p.split
+        )
+        SELECT b.split, b.n_docs, b.n_groups,
+               CAST(COALESCE(pl.n_planted, 0) AS BIGINT) AS n_planted,
+               CAST(COALESCE(pl.n_planted_with_original, 0) AS BIGINT)
+                   AS n_planted_with_original
+        FROM base b LEFT JOIN pl USING (split)
     """,
 }
 

@@ -2492,3 +2492,55 @@ def test_luhn_valid_expr(spark):
            df.select("s", luhn_valid_expr("s").alias("ok")).collect()}
     for s, want in rows:
         assert got[s] == want, s
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators import sampling
+
+    rows = []
+    # 30 mutually-distinct docs (disjoint vocabularies); every third doc
+    # gets a near-copy (one word appended) under id+1000 — each such
+    # pair must share a split
+    for i in range(30):
+        words = " ".join(f"w{i}x{j}" for j in range(25))
+        text = f"{words} unique marker token number {i} closes this doc"
+        rows.append((i, text))
+        if i % 3 == 0:
+            rows.append((i + 1000, text + " extra"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.leakage_safe_split(
+        df, "doc_id", "text", fraction=0.5, threshold=0.6,
+        group_col="grp",
+    )
+    got = {r["doc_id"]: (r["split"], r["grp"]) for r in out.collect()}
+    release(out)
+    assert len(got) == len(rows)
+    for i in range(0, 30, 3):
+        assert got[i][0] == got[i + 1000][0], f"pair {i} split apart"
+        assert got[i][1] == got[i + 1000][1] == i  # min-id component
+    # both splits actually populated (fraction 0.5 over 30 groups)
+    splits = {s for s, _ in got.values()}
+    assert splits == {"train", "held"}
+    # singleton docs keep their own id as the audit group
+    assert got[1][1] == 1
+
+
+def test_leakage_safe_split_matches_hash_split_for_singletons(spark):
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators import sampling
+
+    # all-distinct corpus: leakage-safe must degrade to plain hash_split
+    df = spark.createDataFrame(
+        [(i, f"completely unrelated document body number {i} "
+              f"with its own words {i * 7} and {i * 13}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(df, "doc_id", 0.7).collect()
+    }
+    out = sampling.leakage_safe_split(df, "doc_id", "text", fraction=0.7)
+    safe = {r["doc_id"]: r["split"] for r in out.collect()}
+    release(out)
+    assert safe == plain

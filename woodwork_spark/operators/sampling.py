@@ -162,3 +162,70 @@ def shuffle_shards(
         )
         .drop("__h")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fraction: float = 0.8,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = None,
+    use_words: bool = True,
+    salt: str = "split",
+    split_col: str = "split",
+    group_col: str = None,
+) -> DataFrame:
+    """Train/held split where NEAR-DUPLICATE documents always land in
+    the same split — the standard defense against test-set leakage: a
+    plain per-document :func:`hash_split` puts two 0.9-Jaccard copies
+    of the same page on opposite sides of the split, and the held-out
+    loss silently measures memorization.
+
+    Mechanics: verified near-dup pairs (:func:`~woodwork_spark.
+    operators.dedup.minhash_dedup_pairs`, exact-Jaccard precision) ->
+    connected components -> every doc's split key is its component
+    label (its own id when it has no near-dup), hashed with the same
+    stable md5 bucketing as ``hash_split``.  Adding new data never
+    moves an existing singleton between splits; merging two clusters
+    re-keys only that cluster (unavoidable: the split must follow the
+    duplicate structure).
+
+    Scale shape: the pair + component work is the dedup pipeline the
+    corpus already runs (banded LSH, no all-pairs); the split itself is
+    one broadcast-size-agnostic left join of the (tiny) component map
+    plus a projection.  Pass ``group_col`` to also keep the component
+    label for auditing (count cross-split pairs == 0).
+    """
+    from woodwork_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+    )
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
+    pairs = minhash_dedup_pairs(
+        df, id_col, text_col, threshold=threshold, shingle_k=shingle_k,
+        num_perm=num_perm, bands=bands, use_words=use_words,
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    keyed = df.join(
+        comp.select(
+            F.col("id").alias("__cc_id"), F.col("component").alias("__cc"),
+        ),
+        F.col(id_col) == F.col("__cc_id"),
+        "left",
+    ).drop("__cc_id")
+    key = F.coalesce(F.col("__cc"), F.col(id_col))
+    cut = hex_cutoff(fraction)
+    out = keyed.withColumn(
+        split_col,
+        F.when(hash_bucket_expr(key, salt) < cut, "train").otherwise("held"),
+    )
+    if group_col:
+        # singletons audit under their own id, mirroring the split key
+        out = out.withColumn(group_col, key).drop("__cc")
+    else:
+        out = out.drop("__cc")
+    return attach_persisted(out, *persisted_frames(pairs))
