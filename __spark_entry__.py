@@ -3564,6 +3564,29 @@ def q_leak_split(spark, sf_dir):
     return attach_persisted(out, *persisted_frames(tagged))
 
 
+def q_edit_join(spark, sf_dir):
+    """Record linkage by edit distance: every 7th customer name with its
+    last character corrupted must link back to the catalog within
+    Levenshtein distance 2 (the corrupted digit also legitimately
+    matches sibling ids — all qualifying pairs are returned).  The
+    operator blocks via ED-Join positional q-gram prefixes; the oracle
+    is the exhaustive length-filtered cross join, so blocking recall is
+    proven complete, not assumed."""
+    from woodwork_spark.operators.dedup import edit_distance_join
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    probes = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("probe_id"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X"),
+        ).alias("c_name"),
+    )
+    return edit_distance_join(
+        probes, cust, "probe_id", "c_custkey", "c_name", max_dist=2,
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3718,6 +3741,7 @@ QUERIES = {
     "degree_stats": q_degree_stats,
     "repeated_spans": q_repeated_spans,
     "leak_split": q_leak_split,
+    "edit_join": q_edit_join,
 }
 
 ORACLE = {
@@ -7130,6 +7154,19 @@ ORACLE = {
                CAST(COALESCE(pl.n_planted_with_original, 0) AS BIGINT)
                    AS n_planted_with_original
         FROM base b LEFT JOIN pl USING (split)
+    """,
+    "edit_join": """
+        WITH probes AS (
+            SELECT c_custkey + 1000000 AS probe_id,
+                   substr(c_name, 1, length(c_name) - 1) || 'X' AS pname
+            FROM customer WHERE c_custkey % 7 = 0
+        )
+        SELECT p.probe_id, c.c_custkey,
+               CAST(levenshtein(p.pname, c.c_name) AS INTEGER) AS distance
+        FROM probes p
+        JOIN customer c
+          ON abs(length(p.pname) - length(c.c_name)) <= 2
+        WHERE levenshtein(p.pname, c.c_name) <= 2
     """,
 }
 

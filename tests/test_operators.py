@@ -2544,3 +2544,88 @@ def test_leakage_safe_split_matches_hash_split_for_singletons(spark):
     safe = {r["doc_id"]: r["split"] for r in out.collect()}
     release(out)
     assert safe == plain
+
+
+def test_edit_distance_join_basic(spark):
+    from woodwork_spark.operators.dedup import edit_distance_join
+
+    cat = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "acme corporation"), (3, "zzzzzz")],
+        "cat_id long, name string",
+    )
+    probes = spark.createDataFrame(
+        [
+            (10, "jonathon smith"),    # 1 sub -> matches 1
+            (11, "acme corp"),         # 7 deletions -> no match at k=2
+            (12, "acme corporationx"), # 1 insert -> matches 2
+            (13, "completely different thing"),
+        ],
+        "probe_id long, name string",
+    )
+    out = edit_distance_join(
+        probes, cat, "probe_id", "cat_id", "name", max_dist=2,
+    )
+    got = sorted(
+        (r["probe_id"], r["cat_id"], r["distance"]) for r in out.collect()
+    )
+    assert got == [(10, 1, 1), (12, 2, 1)]
+
+
+def test_edit_distance_join_short_strings(spark):
+    from woodwork_spark.operators.dedup import edit_distance_join
+
+    # strings at/below the q-gram pigeonhole bound (len <= 5 at k=2,q=2)
+    # must still match through the short-side path
+    cat = spark.createDataFrame(
+        [(1, "abc"), (2, "wxyz"), (3, "abcdefgh")], "cat_id long, s string",
+    )
+    probes = spark.createDataFrame(
+        [(10, "abd"), (11, "wxyzaa"), (12, "abcdefghij")],
+        "probe_id long, s string",
+    )
+    out = edit_distance_join(probes, cat, "probe_id", "cat_id", "s", max_dist=2)
+    got = sorted(
+        (r["probe_id"], r["cat_id"], r["distance"]) for r in out.collect()
+    )
+    # 10-"abd"~"abc" d=1 (both short); 11-"wxyzaa"~"wxyz" d=2 (short cat,
+    # longer probe crosses the paths); 12 matches 3 at d=2 (both long)
+    assert got == [(10, 1, 1), (11, 2, 2), (12, 3, 2)]
+
+
+def test_edit_distance_join_exhaustive_against_bruteforce(spark):
+    import itertools
+
+    from woodwork_spark.operators.dedup import edit_distance_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb),
+                )
+        return dp[len(b)]
+
+    # adversarial pool: random-ish words, lengths spanning the
+    # short/long boundary, insertions that shift gram positions
+    words = [
+        "ab", "abc", "abcd", "abcde", "abcdef", "xabcdef", "abodef",
+        "bbcdef", "abcdefg", "zzzzz", "zzzzzz", "kitten", "sitting",
+        "mitten", "mittens", "flaw", "lawn", "flawn",
+    ]
+    la = [(i, w) for i, w in enumerate(words)]
+    lb = [(100 + i, w) for i, w in enumerate(reversed(words))]
+    A = spark.createDataFrame(la, "ida long, s string")
+    B = spark.createDataFrame(lb, "idb long, s string")
+    for k in (1, 2):
+        expect = sorted(
+            (i, j, lev(wa, wb))
+            for (i, wa), (j, wb) in itertools.product(la, lb)
+            if lev(wa, wb) <= k
+        )
+        out = edit_distance_join(A, B, "ida", "idb", "s", max_dist=k)
+        got = sorted(
+            (r["ida"], r["idb"], r["distance"]) for r in out.collect()
+        )
+        assert got == expect, f"k={k}"

@@ -996,3 +996,133 @@ def lsh_tune(
             best = (cost, b, r)
     _, b, r = best
     return b, r, 1.0 - (1.0 - threshold ** r) ** b
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    text_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+    right_text_col: str = None,
+) -> DataFrame:
+    """Two-table string join on Levenshtein distance <= ``max_dist`` —
+    typo'd ids to a catalog, OCR'd names to a registry.  The Jaccard
+    twin is :func:`similarity_join`; edit distance is the right measure
+    when ORDER and single-character slips matter (identifiers, names),
+    not token overlap.
+
+    Blocking is the positional q-gram prefix filter (ED-Join, Xiao et
+    al. 2008, VLDB — public algorithm): a string of length L has
+    L-q+1 positional q-grams and one edit destroys at most q of them,
+    so two strings within distance k share a gram among each side's
+    first ``k*q + 1`` grams under ANY fixed global order, at positions
+    differing by at most k (an edit shifts later grams by at most one
+    per insertion/deletion).  Candidates therefore come from ONE
+    equi-join on the gram hash with |pos_a - pos_b| <= k and
+    |len_a - len_b| <= k, then an exact bounded ``levenshtein(a, b,
+    k)`` verify keeps the join lossless.
+
+    Strings too short to carry ``k*q + 1`` grams can't be blocked this
+    way (the pigeonhole bound degenerates); they route through a
+    bounded-short side path — both pools capped at ``q-1 + k*q (+ k)``
+    chars by the length filter, so the fallback pair space stays tiny
+    and broadcastable by AQE.
+
+    Scale shape: grams hash to 8-byte longs before any shuffle; the
+    explode carries (id, pos, hash) only — never the string; strings
+    re-join once, by id, for the final verify.  Returns ``(left_id,
+    right_id, distance)``.
+    """
+    k = int(max_dist)
+    if k < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    if left_id == right_id:
+        raise ValueError(
+            "left_id and right_id must differ in the output; rename one "
+            f"side (both are {left_id!r})",
+        )
+    right_text_col = right_text_col or text_col
+    prefix_len = k * q + 1
+    short_max = (q - 1) + k * q  # longest string with <= k*q grams
+
+    def prefix_grams(df, id_c, t_c, out_id):
+        s = F.col(t_c)
+        n = F.length(s) - q + 1
+        structs = F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: F.struct(
+                    F.xxhash64(F.substr(s, i, F.lit(q))).alias("h"),
+                    i.alias("p"),
+                ),
+            ),
+        ).otherwise(F.array())
+        pref = F.slice(F.array_sort(structs), 1, prefix_len)
+        return (
+            df.filter(s.isNotNull() & (F.length(s) > short_max))
+            .select(
+                F.col(id_c).alias(out_id),
+                F.length(s).alias(f"{out_id}_len"),
+                F.explode(pref).alias("g"),
+            )
+            .select(
+                out_id, f"{out_id}_len",
+                F.col("g.h").alias("h"), F.col("g.p").alias("p"),
+            )
+        )
+
+    ga = prefix_grams(left, left_id, text_col, "__lid")
+    gb = prefix_grams(right, right_id, right_text_col, "__rid")
+    cand_main = (
+        ga.withColumnRenamed("p", "pa")
+        .join(gb.withColumnRenamed("p", "pb"), "h")
+        .filter(
+            (F.abs(F.col("__lid_len") - F.col("__rid_len")) <= k)
+            & (F.abs(F.col("pa") - F.col("pb")) <= k)
+        )
+        .select("__lid", "__rid")
+    )
+    shorts_a = left.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) <= short_max),
+    ).select(F.col(left_id).alias("__lid"), F.length(text_col).alias("__la"))
+    shorts_b = right.filter(
+        F.col(right_text_col).isNotNull()
+        & (F.length(right_text_col) <= short_max),
+    ).select(F.col(right_id).alias("__rid"), F.length(right_text_col).alias("__lb"))
+    pool_b = right.filter(
+        F.col(right_text_col).isNotNull()
+        & (F.length(right_text_col) <= short_max + k),
+    ).select(F.col(right_id).alias("__rid"), F.length(right_text_col).alias("__lb"))
+    pool_a = left.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) <= short_max + k),
+    ).select(F.col(left_id).alias("__lid"), F.length(text_col).alias("__la"))
+    cand_short = (
+        shorts_a.join(pool_b, F.abs(F.col("__la") - F.col("__lb")) <= k)
+        .select("__lid", "__rid")
+        .unionByName(
+            pool_a.join(shorts_b, F.abs(F.col("__la") - F.col("__lb")) <= k)
+            .select("__lid", "__rid"),
+        )
+    )
+    cand = cand_main.unionByName(cand_short).distinct()
+    la = left.select(F.col(left_id).alias("__lid"), F.col(text_col).alias("__ta"))
+    lb = right.select(
+        F.col(right_id).alias("__rid"), F.col(right_text_col).alias("__tb"),
+    )
+    dist = F.levenshtein("__ta", "__tb", k)
+    return (
+        cand.join(la, "__lid")
+        .join(lb, "__rid")
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            dist.alias("distance"),
+        )
+        .filter(F.col("distance") >= 0)
+    )
