@@ -3587,6 +3587,57 @@ def q_edit_join(spark, sf_dir):
     )
 
 
+def q_sample_k(spark, sf_dir):
+    """Deterministic exact-k-per-group sampling (stable-hash priority
+    sample, WindowGroupLimit plan): 7 docs per language, reproducible on
+    any engine — the oracle recomputes the same md5 ranking in SQL."""
+    from woodwork_spark.operators.sampling import sample_k_per_group
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_k_per_group(
+        docs, "lang", 7, "doc_id", keep_rank="rnk",
+    ).select("lang", "doc_id", F.col("rnk").cast("long").alias("rnk"))
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust MAD outlier bounds (median ± 3·1.4826·MAD) on order value
+    per priority class — the heavy-tail-safe complement of the profile
+    box plot, exact medians both sides."""
+    from woodwork_spark.operators.features import mad_bounds
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    out = mad_bounds(
+        orders, "o_totalprice", group_cols=["o_orderpriority"], n_mads=3.0,
+    )
+    r = lambda c: F.round(F.col(c) + F.lit(1e-9), 4).alias(c)
+    return out.select(
+        "o_orderpriority", "n", r("median"), r("mad"), r("low"), r("high"),
+        "n_low", "n_high",
+    )
+
+
+def q_packing_report(spark, sf_dir):
+    """Padding-waste accounting at seq_len=128 per language: packing
+    (concat-and-chunk) vs one-doc-per-sequence truncation — sequence
+    counts, lost tokens, burned padding, pad fraction; pure arithmetic
+    over one aggregation, verified against the same sums in SQL."""
+    from woodwork_spark.operators.packing import packing_efficiency_report
+    from woodwork_spark.operators.text import token_count_expr
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", token_count_expr("text").alias("toks"),
+    )
+    out = packing_efficiency_report(docs, "toks", 128, group_cols=["lang"])
+    return out.select(
+        "lang", "n_docs", "total_tokens", "packed_seqs", "packed_pad",
+        "padded_seqs", "truncated_tokens", "pad_tokens",
+        F.round(F.col("pad_fraction") + F.lit(1e-9), 6).alias("pad_fraction"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3742,6 +3793,9 @@ QUERIES = {
     "repeated_spans": q_repeated_spans,
     "leak_split": q_leak_split,
     "edit_join": q_edit_join,
+    "sample_k": q_sample_k,
+    "mad_outliers": q_mad_outliers,
+    "packing_report": q_packing_report,
 }
 
 ORACLE = {
@@ -7167,6 +7221,78 @@ ORACLE = {
         JOIN customer c
           ON abs(length(p.pname) - length(c.c_name)) <= 2
         WHERE levenshtein(p.pname, c.c_name) <= 2
+    """,
+    "sample_k": """
+        WITH ranked AS (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8),
+                                doc_id
+                   ) AS rnk
+            FROM documents
+        )
+        SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 7
+    """,
+    "mad_outliers": """
+        WITH med AS (
+            SELECT o_orderpriority,
+                   median(o_totalprice) AS m,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders WHERE o_totalprice IS NOT NULL
+            GROUP BY o_orderpriority
+        ), mad AS (
+            SELECT o.o_orderpriority,
+                   median(abs(o.o_totalprice - med.m)) AS mad,
+                   any_value(med.m) AS m, any_value(med.n) AS n
+            FROM orders o JOIN med USING (o_orderpriority)
+            WHERE o.o_totalprice IS NOT NULL
+            GROUP BY o.o_orderpriority
+        ), b AS (
+            SELECT o_orderpriority, n, m, mad,
+                   m - 3.0 * 1.4826 * mad AS low,
+                   m + 3.0 * 1.4826 * mad AS high
+            FROM mad
+        )
+        SELECT b.o_orderpriority, b.n,
+               round(b.m + 0.000000001, 4) AS median,
+               round(b.mad + 0.000000001, 4) AS mad,
+               round(b.low + 0.000000001, 4) AS low,
+               round(b.high + 0.000000001, 4) AS high,
+               CAST(sum(CASE WHEN o.o_totalprice < b.low THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low,
+               CAST(sum(CASE WHEN o.o_totalprice > b.high THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high
+        FROM orders o JOIN b USING (o_orderpriority)
+        WHERE o.o_totalprice IS NOT NULL
+        GROUP BY b.o_orderpriority, b.n, b.m, b.mad, b.low, b.high
+    """,
+    "packing_report": """
+        WITH t AS (
+            SELECT lang,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       AS toks
+            FROM documents
+        ), agg AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS total_tokens,
+                   CAST(sum(toks - least(toks, 128)) AS BIGINT)
+                       AS truncated_tokens,
+                   CAST(sum(128 - least(toks, 128)) AS BIGINT) AS pad_tokens
+            FROM t GROUP BY lang
+        )
+        SELECT lang, n_docs, total_tokens,
+               CAST((total_tokens + 127) // 128 AS BIGINT) AS packed_seqs,
+               CAST(((total_tokens + 127) // 128) * 128 - total_tokens
+                    AS BIGINT) AS packed_pad,
+               n_docs AS padded_seqs,
+               truncated_tokens, pad_tokens,
+               round(CAST(pad_tokens AS DOUBLE)
+                     / CAST(n_docs * 128 AS DOUBLE) + 0.000000001, 6)
+                   AS pad_fraction
+        FROM agg
     """,
 }
 

@@ -2629,3 +2629,82 @@ def test_edit_distance_join_exhaustive_against_bruteforce(spark):
             (r["ida"], r["idb"], r["distance"]) for r in out.collect()
         )
         assert got == expect, f"k={k}"
+
+
+def test_sample_k_per_group_exact_and_stable(spark):
+    from woodwork_spark.operators import sampling
+
+    rows = [(g, i) for g in ("a", "b", "c") for i in range(g == "c" and 2 or 50)]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    out = sampling.sample_k_per_group(df, "grp", 5, "k").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["grp"], set()).add(r["k"])
+    assert len(by_g["a"]) == 5 and len(by_g["b"]) == 5
+    assert len(by_g["c"]) == 2  # smaller group keeps everything
+    # stable across partitioning
+    out2 = sampling.sample_k_per_group(df.repartition(7), "grp", 5, "k").collect()
+    by_g2 = {}
+    for r in out2:
+        by_g2.setdefault(r["grp"], set()).add(r["k"])
+    assert by_g == by_g2
+    # rank column exposed on request, 1..k
+    ranked = sampling.sample_k_per_group(
+        df, "grp", 3, "k", keep_rank="rnk",
+    ).collect()
+    assert {r["rnk"] for r in ranked if r["grp"] == "a"} == {1, 2, 3}
+
+
+def test_sample_k_per_group_plan_uses_group_limit(spark):
+    from woodwork_spark.operators import sampling
+
+    df = spark.createDataFrame([("a", 1)], "grp string, k long")
+    plan = sampling.sample_k_per_group(df, "grp", 5, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # map-side top-k before the shuffle
+
+
+def test_mad_bounds_global_and_grouped(spark):
+    from woodwork_spark.operators.features import mad_bounds
+
+    # values 1..9 plus an extreme outlier; median 5.5->, use odd count
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = mad_bounds(df, "x", n_mads=3.0).first()
+    # median of 10 values = 5.5; deviations |x-5.5| = 4.5..0.5..994.5
+    assert r["median"] == 5.5
+    assert r["mad"] == 2.5  # median of {4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,994.5}
+    assert r["n_high"] == 1 and r["n_low"] == 0  # only 1000 flagged
+    lo = 5.5 - 3 * 1.4826 * 2.5
+    assert abs(r["low"] - lo) < 1e-9
+
+    g = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 8)] + [("a", 500.0), ("b", 3.0)],
+        "grp string, x double",
+    )
+    rows = {r["grp"]: r for r in mad_bounds(g, "x", group_cols=["grp"]).collect()}
+    assert rows["a"]["n_high"] == 1
+    assert rows["b"]["mad"] == 0.0 and rows["b"]["n_low"] == 0
+
+
+def test_packing_efficiency_report(spark):
+    from woodwork_spark.operators.packing import packing_efficiency_report
+
+    df = spark.createDataFrame(
+        [("en", 10), ("en", 100), ("en", 300), ("de", 64)],
+        "lang string, toks long",
+    )
+    rows = {
+        r["lang"]: r
+        for r in packing_efficiency_report(
+            df, "toks", 128, group_cols=["lang"],
+        ).collect()
+    }
+    en = rows["en"]
+    assert en["total_tokens"] == 410
+    assert en["packed_seqs"] == 4 and en["packed_pad"] == 4 * 128 - 410
+    assert en["truncated_tokens"] == 300 - 128  # only the 300-token doc cuts
+    assert en["pad_tokens"] == (128 - 10) + (128 - 100) + 0
+    assert en["pad_fraction"] == (118 + 28) / (3 * 128)
+    de = rows["de"]
+    assert de["packed_seqs"] == 1 and de["truncated_tokens"] == 0
+    assert de["pad_tokens"] == 64 and de["pad_fraction"] == 0.5

@@ -345,3 +345,72 @@ def target_encode(
         (n_eff * cat_mean + m * F.col("__prior")) / (n_eff + m),
     ).otherwise(F.col("__prior"))
     return j.withColumn(out_col, enc).drop("__n", "__s", "__prior")
+
+
+def mad_bounds(
+    df: DataFrame,
+    value_col: str,
+    group_cols=None,
+    n_mads: float = 3.0,
+    c: float = 1.4826,
+    exact: bool = True,
+) -> DataFrame:
+    """Robust outlier bounds per group: ``median ± n_mads * c * MAD``
+    (MAD = median of |x - median|; ``c = 1.4826`` rescales it to the
+    stddev of a normal, so ``n_mads=3`` reads like a 3-sigma rule that
+    a few extreme rows cannot drag).  The modified-z-score complement
+    to the table-profiling box-plot/medcouple methods and the rolling
+    z-score in ``timeseries.detect_anomalies`` — use it when heavy
+    tails make mean/stddev useless (token counts, latencies, revenue).
+
+    Two aggregation passes by construction (the inner median must exist
+    before deviations can be ranked) plus one count pass — each a plain
+    groupBy, no window, no collect.  ``exact=False`` switches both
+    percentiles to ``percentile_approx`` for extreme-cardinality groups
+    at 100 TB (bounded memory per group, rank error ~1e-4).
+
+    Returns one row per group: ``(group_cols..., n, median, mad, low,
+    high, n_low, n_high)``.
+    """
+    group_cols = list(group_cols or [])
+    v = F.col(value_col)
+    pct = "percentile" if exact else "percentile_approx"
+
+    def grouped(frame):
+        return frame.groupBy(*group_cols) if group_cols else frame.groupBy()
+
+    base = df.filter(v.isNotNull())
+    med = grouped(base).agg(
+        F.expr(f"{pct}({value_col}, 0.5)").alias("median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = (
+        base.join(med, group_cols) if group_cols
+        else base.crossJoin(F.broadcast(med))
+    )
+    dev = joined.withColumn("__dev", F.abs(v - F.col("median")))
+    mad = grouped(dev).agg(
+        F.expr(f"{pct}(__dev, 0.5)").alias("mad"),
+        F.first("median").alias("median"),
+        F.first("n").alias("n"),
+    )
+    span = F.lit(float(n_mads)) * F.lit(float(c)) * F.col("mad")
+    bounded = mad.select(
+        *group_cols,
+        "n", "median", "mad",
+        (F.col("median") - span).alias("low"),
+        (F.col("median") + span).alias("high"),
+    )
+    rejoined = (
+        base.join(bounded, group_cols) if group_cols
+        else base.crossJoin(F.broadcast(bounded))
+    )
+    return grouped(rejoined).agg(
+        F.first("n").alias("n"),
+        F.first("median").alias("median"),
+        F.first("mad").alias("mad"),
+        F.first("low").alias("low"),
+        F.first("high").alias("high"),
+        F.sum((v < F.col("low")).cast("long")).alias("n_low"),
+        F.sum((v > F.col("high")).cast("long")).alias("n_high"),
+    )

@@ -228,3 +228,59 @@ def select_to_budget(
         .drop("__prefix")
     )
     return attach_persisted(final, *persisted_frames(out))
+
+
+def packing_efficiency_report(
+    df: DataFrame,
+    count_col: str,
+    seq_len: int,
+    group_cols=None,
+) -> DataFrame:
+    """Padding-waste accounting for a packing run: per group (or one
+    global row), compare the two standard batching strategies at
+    ``seq_len``:
+
+    - concat-and-chunk (:func:`pack_sequences`): zero padding, docs
+      straddle boundaries — ``packed_seqs = ceil(total_tokens /
+      seq_len)`` and the only waste is the tail of the last sequence;
+    - one-doc-per-sequence with truncation: every doc occupies
+      ``ceil(min(tokens, seq_len) / seq_len)`` = 1 sequence, tokens
+      beyond ``seq_len`` are LOST and the remainder is padded.
+
+    Columns: ``n_docs, total_tokens, packed_seqs, packed_pad (tail
+    padding of the final chunk), padded_seqs, truncated_tokens (lost to
+    the cut), pad_tokens (padding burned), pad_fraction`` (padding share
+    of the padded strategy's token grid).  ONE aggregation — the report
+    is arithmetic over sums, so it costs a scan regardless of corpus
+    size, and makes the case for packing with numbers instead of folklore.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols or [])
+    )
+    t = F.col(count_col).cast("long")
+    kept = F.least(t, F.lit(int(seq_len)).cast("long"))
+    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    agg = grouped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(t).alias("total_tokens"),
+        F.sum(t - kept).alias("truncated_tokens"),
+        F.sum(F.lit(int(seq_len)).cast("long") - kept).alias("pad_tokens"),
+    )
+    packed_seqs = F.expr(
+        f"(total_tokens + {int(seq_len)} - 1) DIV {int(seq_len)}",
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs", "total_tokens",
+        packed_seqs.alias("packed_seqs"),
+        (packed_seqs * seq_len - F.col("total_tokens")).alias("packed_pad"),
+        F.col("n_docs").alias("padded_seqs"),
+        "truncated_tokens",
+        "pad_tokens",
+        (
+            F.col("pad_tokens").cast("double")
+            / (F.col("n_docs") * F.lit(int(seq_len))).cast("double")
+        ).alias("pad_fraction"),
+    )

@@ -229,3 +229,41 @@ def leakage_safe_split(
     else:
         out = out.drop("__cc")
     return attach_persisted(out, *persisted_frames(pairs))
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_cols,
+    k: int,
+    key_col: str,
+    salt: str = "sample",
+    keep_rank: str = None,
+) -> DataFrame:
+    """EXACTLY min(k, group size) rows per group, chosen by stable hash
+    — the deterministic replacement for per-group reservoir sampling
+    (an RNG reservoir gives different rows on every retry/partition
+    layout; this gives the same rows on any engine, forever).  The rows
+    kept are those with the k smallest ``md5(salt || key)`` values, so
+    membership is uniform over keys and ADDING rows only ever evicts
+    the highest hash — a stable priority sample.
+
+    Scale shape: one window ``row_number`` ordered by (hash, key).
+    Spark compiles the ``rn <= k`` filter to WindowGroupLimit: each map
+    task keeps only its local top-k per group BEFORE the shuffle, so
+    the exchange carries ~k rows per (group, task), not the corpus —
+    the skewed-group killer that makes naive windows fall over does
+    not apply.  Set ``keep_rank`` to also output the 1-based rank.
+    """
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    h = hash_bucket_expr(F.col(key_col), salt)
+    w = W.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    rank_col = keep_rank or "__rn"
+    out = (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+    return out if keep_rank else out.drop(rank_col)
