@@ -31,7 +31,6 @@ from woodwork_spark.io import read_parquet
 from woodwork_spark.operators.cleaning import pii_redact_expr
 from woodwork_spark.operators.dedup import exact_dedup, minhash_dedup, semdedup
 from woodwork_spark.operators.packing import mix_report, pack_sequences, rebalance_mix
-from woodwork_spark.operators.sampling import hash_split
 from woodwork_spark.operators.text import (
     chunk_documents,
     filter_by_quality,
@@ -74,6 +73,20 @@ print(f"after source governance: {docs.count()} docs")
 docs = exact_dedup(docs, columns=["text"], id_col="doc_id")
 docs = minhash_dedup(docs, "doc_id", "text", threshold=0.8)
 print(f"after exact+near dedup: {docs.count()} docs")
+
+# ---- 3b. char-level repeated-substring masking (sub-line boilerplate) ------
+from woodwork_spark.operators.cleaning import mask_repeated_spans
+
+masked = mask_repeated_spans(
+    docs, "doc_id", "text", span_len=40, min_docs=5,
+)
+n_shrunk = (
+    masked.join(docs.select("doc_id", F.col("text").alias("__orig")), "doc_id")
+    .filter(F.length("text") < F.length("__orig"))
+    .count()
+)
+print(f"repeated-span masking rewrote {n_shrunk} docs")
+docs = masked.select(*docs.columns)
 
 # ---- 4. semantic dedup on embeddings (separate table, same pattern) --------
 emb = emb.select(
@@ -119,13 +132,26 @@ psi_drift_report(
     categorical_cols=["lang"],
 ).orderBy("column").show()
 
-# ---- 6. reproducible train/held split --------------------------------------
-split = hash_split(docs, "doc_id", fraction=0.9, salt="v1")
+# ---- 6. reproducible LEAKAGE-SAFE train/held split -------------------------
+# plain hash_split(docs, "doc_id") would let two 0.9-Jaccard copies of
+# the same page straddle the boundary; splitting on the near-dup
+# component keeps every duplicate cluster on one side
+from woodwork_spark.operators.sampling import leakage_safe_split
+
+split = leakage_safe_split(
+    docs, "doc_id", "text", fraction=0.9, threshold=0.8, salt="v1",
+    group_col="dup_group",
+)
 train = split.filter(F.col("split") == "train")
+print(f"leakage-safe split: {train.count()} train docs")
 
 # ---- 7. chunk + pack into fixed-length training sequences ------------------
+from woodwork_spark.operators.packing import packing_efficiency_report
+
 chunks = chunk_documents(train, "text", "doc_id", chunk_tokens=64, stride=64)
 counted = chunks.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+print("padding-waste case for packing (global):")
+packing_efficiency_report(counted, "n_tokens", 512).show(truncate=False)
 packed = pack_sequences(
     counted, "n_tokens", 512, [F.asc("doc_id"), F.asc("chunk_id")],
 )
@@ -136,6 +162,14 @@ print(f"packed {counted.count()} chunks into {int(n_seq) + 1} sequences of 512 t
 from woodwork_spark.operators.curation import tfidf_top_terms
 
 tfidf_top_terms(train, "doc_id", "text", k=2).orderBy("doc_id", "rank").show(6)
+
+# ---- 8b. deterministic eval subset: exactly 3 held docs per language -------
+from woodwork_spark.operators.sampling import sample_k_per_group
+
+held = split.filter(F.col("split") == "held")
+eval_set = sample_k_per_group(held, "lang", 3, "doc_id")
+print(f"eval subset: {eval_set.count()} docs "
+      f"({held.select('lang').distinct().count()} languages x <=3)")
 
 # ---- 9. quality-weighted downsampling + group-relative gating --------------
 from woodwork_spark.operators.curation import group_quantile_gate
