@@ -3638,6 +3638,24 @@ def q_packing_report(spark, sf_dir):
     )
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty (fraction of the doc's distinct 3-grams
+    found in no other document) — the informativeness / memorization-
+    risk signal that pairwise dedup can't see.  Vocabulary-build shuffle
+    shape; full-SQL oracle."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.text import ngram_novelty
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_novelty(docs, "doc_id", "text", n=3)
+    res = out.select(
+        "doc_id", "n_grams", "n_novel",
+        F.round(F.col("novelty") + F.lit(1e-9), 6).alias("novelty"),
+    )
+    return attach_persisted(res, *persisted_frames(out))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3796,6 +3814,7 @@ QUERIES = {
     "sample_k": q_sample_k,
     "mad_outliers": q_mad_outliers,
     "packing_report": q_packing_report,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 ORACLE = {
@@ -7293,6 +7312,34 @@ ORACLE = {
                      / CAST(n_docs * 128 AS DOUBLE) + 0.000000001, 6)
                    AS pad_fraction
         FROM agg
+    """,
+    "ngram_novelty": """
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct([
+                       array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+                   ]) AS gs
+            FROM (SELECT doc_id, string_split(trim(text), ' ') AS words
+                  FROM documents
+                  WHERE text IS NOT NULL AND trim(text) <> '')
+        ), e AS (
+            SELECT doc_id, unnest(gs) AS gram FROM g WHERE len(gs) > 0
+        ), dc AS (
+            SELECT gram, count(DISTINCT doc_id) AS docs FROM e GROUP BY gram
+        ), per AS (
+            SELECT e.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN dc.docs = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM e JOIN dc USING (gram) GROUP BY e.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(per.n_novel, 0) AS BIGINT) AS n_novel,
+               round(CAST(per.n_novel AS DOUBLE) / per.n_grams
+                     + 0.000000001, 6) AS novelty
+        FROM documents d LEFT JOIN per USING (doc_id)
     """,
 }
 

@@ -2708,3 +2708,34 @@ def test_packing_efficiency_report(spark):
     de = rows["de"]
     assert de["packed_seqs"] == 1 and de["truncated_tokens"] == 0
     assert de["pad_tokens"] == 64 and de["pad_fraction"] == 0.5
+
+
+def test_ngram_novelty_counts(spark):
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # grams: abc bcd cde
+            (2, "a b c x y"),        # grams: abc bcx cxy -> shares abc
+            (3, "p q r s t"),        # all novel
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_novelty(df, "doc_id", "text", n=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    release(out)
+    assert rows[1]["n_grams"] == 3 and rows[1]["n_novel"] == 2
+    assert rows[2]["n_grams"] == 3 and rows[2]["n_novel"] == 2
+    assert rows[3]["novelty"] == 1.0
+    assert rows[4]["n_grams"] == 0 and rows[4]["novelty"] is None
+    # duplicate grams WITHIN one doc don't make it non-novel
+    df2 = spark.createDataFrame(
+        [(1, "x y z x y z"), (2, "totally different words here")],
+        "doc_id long, text string",
+    )
+    out2 = ngram_novelty(df2, "doc_id", "text", n=3)
+    r1 = {r["doc_id"]: r for r in out2.collect()}[1]
+    release(out2)
+    assert r1["novelty"] == 1.0

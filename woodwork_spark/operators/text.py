@@ -637,3 +637,73 @@ def readability_exprs(text_col):
         "n_syllables": n_syll,
         "flesch": flesch,
     }
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    use_words: bool = True,
+) -> DataFrame:
+    """Per-document n-gram novelty: of the doc's DISTINCT n-grams, the
+    fraction that appear in NO other document — high novelty marks
+    informative, one-of-a-kind text; low novelty marks templated /
+    memorization-prone content even when no single document is a
+    near-duplicate (the signal :func:`~woodwork_spark.operators.dedup.
+    minhash_dedup_pairs` can't see because it needs a pairwise match).
+
+    Shape: the same explode-and-count skeleton as vocabulary building —
+    grams hash to 8-byte longs BEFORE the shuffle, one distinct-doc
+    count per gram, one join back, one per-doc aggregate.  Linear in
+    corpus gram count; no pairwise anything.
+
+    Returns ``(id_col, n_grams, n_novel, novelty)`` with ``novelty =
+    n_novel / n_grams``.  Docs shorter than ``n`` tokens contribute one
+    truncated gram (the whole doc) per :func:`~woodwork_spark.operators.
+    dedup.word_shingles_expr`; NULL/empty text yields zero grams and
+    NULL novelty.
+    """
+    from woodwork_spark.lifecycle import attach_persisted
+    from woodwork_spark.operators.dedup import shingles_expr
+
+    grams = F.array_distinct(
+        shingles_expr(text_col, n, use_words=use_words),
+    )
+    exploded = (
+        df.filter(
+            F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""),
+        )
+        .select(F.col(id_col), F.explode(grams).alias("__g"))
+        # a NULL/empty text row would otherwise surface one NULL gram
+        .filter(F.col("__g").isNotNull())
+        .withColumn("__k", F.xxhash64("__g"))
+        .drop("__g")
+        .persist()
+    )
+    docs_per_gram = exploded.groupBy("__k").agg(
+        F.count_distinct(id_col).alias("__docs"),
+    )
+    per_doc = (
+        exploded.join(docs_per_gram, "__k")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__docs") == 1).cast("long")).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            "novelty",
+        )
+    )
+    return attach_persisted(out, exploded)
