@@ -3656,6 +3656,36 @@ def q_ngram_novelty(spark, sf_dir):
     return attach_persisted(res, *persisted_frames(out))
 
 
+def q_hashed_vectors(spark, sf_dir):
+    """Feature-hashing term vectors (md5-bucket hashing trick, dim=64):
+    per-doc token count, non-zero bucket count, l2 norm, and a
+    position-weighted checksum — all FOUR computed from the assembled
+    dense array, so vector assembly (not just bucket counting) is what
+    the SQL oracle verifies."""
+    from woodwork_spark.operators.text import hashed_term_vectors
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    v = hashed_term_vectors(docs, "doc_id", "text", dim=64)
+    vec = F.col("vector")
+    checksum = F.aggregate(
+        F.zip_with(
+            vec, F.sequence(F.lit(1), F.lit(64)),
+            lambda x, i: x * i.cast("double"),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return v.select(
+        "doc_id", "n_tokens",
+        F.size(F.filter(vec, lambda x: x != 0)).cast("long").alias("nnz"),
+        F.round(
+            F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+            + F.lit(1e-9), 6,
+        ).alias("l2"),
+        F.round(checksum + F.lit(1e-9), 4).alias("checksum"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3815,6 +3845,7 @@ QUERIES = {
     "mad_outliers": q_mad_outliers,
     "packing_report": q_packing_report,
     "ngram_novelty": q_ngram_novelty,
+    "hashed_vectors": q_hashed_vectors,
 }
 
 ORACLE = {
@@ -7339,6 +7370,32 @@ ORACLE = {
                CAST(COALESCE(per.n_novel, 0) AS BIGINT) AS n_novel,
                round(CAST(per.n_novel AS DOUBLE) / per.n_grams
                      + 0.000000001, 6) AS novelty
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    "hashed_vectors": """
+        WITH t AS (
+            SELECT doc_id, lower(unnest(string_split_regex(trim(text),
+                                                           '\\s+'))) AS tok
+            FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM t WHERE tok <> '' GROUP BY doc_id, b
+        ), per AS (
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS nnz,
+                   sqrt(sum(CAST(cnt AS DOUBLE) * cnt)) AS l2,
+                   sum(CAST(cnt AS DOUBLE) * (b + 1)) AS checksum
+            FROM c GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(per.nnz, 0) AS BIGINT) AS nnz,
+               round(COALESCE(per.l2, 0.0) + 0.000000001, 6) AS l2,
+               round(COALESCE(per.checksum, 0.0) + 0.000000001, 4)
+                   AS checksum
         FROM documents d LEFT JOIN per USING (doc_id)
     """,
 }

@@ -2739,3 +2739,41 @@ def test_ngram_novelty_counts(spark):
     r1 = {r["doc_id"]: r for r in out2.collect()}[1]
     release(out2)
     assert r1["novelty"] == 1.0
+
+
+def test_hashed_term_vectors_counts_and_zero_doc(spark):
+    from woodwork_spark.operators.text import hashed_term_vectors
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, None), (3, "  ")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in hashed_term_vectors(df, "doc_id", "text", dim=16).collect()
+    }
+    v1 = rows[1]["vector"]
+    assert rows[1]["n_tokens"] == 3 and sum(v1) == 3.0
+    assert sorted(x for x in v1 if x)[-1] == 2.0  # 'apple' bucket holds 2
+    assert rows[2]["n_tokens"] == 0 and sum(rows[2]["vector"]) == 0.0
+    assert rows[3]["n_tokens"] == 0 and len(rows[3]["vector"]) == 16
+    # deterministic across partitionings
+    again = {
+        r["doc_id"]: r["vector"]
+        for r in hashed_term_vectors(
+            df.repartition(5), "doc_id", "text", dim=16,
+        ).collect()
+    }
+    assert again[1] == v1
+
+
+def test_hashed_term_vectors_l2_normalize(spark):
+    import math
+
+    from woodwork_spark.operators.text import hashed_term_vectors
+
+    df = spark.createDataFrame([(1, "x y z x")], "doc_id long, text string")
+    v = hashed_term_vectors(
+        df, "doc_id", "text", dim=32, l2_normalize=True,
+    ).first()["vector"]
+    assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-9)

@@ -707,3 +707,76 @@ def ngram_novelty(
         )
     )
     return attach_persisted(out, exploded)
+
+
+def hashed_term_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 256,
+    lowercase: bool = True,
+    l2_normalize: bool = False,
+    out_col: str = "vector",
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) term vectors: each doc becomes a
+    fixed ``dim``-wide dense count vector with bucket ``md5(token) mod
+    dim`` — no vocabulary pass, no id assignment, any engine computes
+    the identical bucket (the md5-prefix trick, engine-portable unlike
+    xxhash).  The classic featurization when you need fixed-width
+    vectors for cosine search / linear probes without paying
+    :func:`build_vocabulary`'s global rank.
+
+    Shape: one explode to (doc, bucket) + one count agg + one per-doc
+    map regroup; vector assembly is a pure ``transform`` over
+    ``sequence(0, dim-1)`` against the bucket-count map — vocabulary
+    shuffle shape, and the dense output is exactly ``dim`` doubles per
+    doc regardless of text length.
+
+    Returns ``(id_col, out_col array<double>, n_tokens)``; NULL/empty
+    text yields the zero vector with ``n_tokens = 0``.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = tokens_expr(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    bucket = lambda t: F.pmod(
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        F.lit(int(dim)),
+    )
+    counts = (
+        df.select(F.col(id_col), F.explode(toks).alias("__t"))
+        .filter(F.col("__t") != "")
+        .groupBy(id_col, bucket(F.col("__t")).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__b", "__c")),
+        ).alias("__m"),
+        F.sum("__c").alias("n_tokens"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+        lambda b: F.coalesce(
+            F.element_at(F.col("__m"), b).cast("double"), F.lit(0.0),
+        ),
+    )
+    if l2_normalize:
+        norm = F.sqrt(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x),
+        )
+        vec = F.transform(
+            vec, lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0)),
+        )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__m").isNull(), F.array_repeat(F.lit(0.0), dim))
+            .otherwise(vec)
+            .alias(out_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
+    )
