@@ -3686,6 +3686,37 @@ def q_hashed_vectors(spark, sf_dir):
     )
 
 
+def q_stream_anomaly(spark, sf_dir):
+    """Streaming robust anomaly gate: batch-side MAD bounds per
+    event_type (median ± 3·1.4826·MAD) broadcast into a STATELESS
+    stream-static join over the replayed events file; per-type event and
+    anomaly counts must equal the identical batch computation in SQL."""
+    import uuid
+
+    from woodwork_spark.operators.features import mad_bounds
+    from woodwork_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_memory,
+        score_stream_against_bounds,
+    )
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    bounds = mad_bounds(ev, "value", group_cols=["event_type"], n_mads=3.0)
+    stream = read_event_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), max_files_per_trigger=10,
+    )
+    scored = score_stream_against_bounds(
+        stream, bounds, "event_type", "value",
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+    )
+    name = f"stream_anomaly_{uuid.uuid4().hex[:8]}"
+    return run_stream_to_memory(agg, name)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3846,6 +3877,7 @@ QUERIES = {
     "packing_report": q_packing_report,
     "ngram_novelty": q_ngram_novelty,
     "hashed_vectors": q_hashed_vectors,
+    "stream_anomaly": q_stream_anomaly,
 }
 
 ORACLE = {
@@ -7397,6 +7429,30 @@ ORACLE = {
                round(COALESCE(per.checksum, 0.0) + 0.000000001, 4)
                    AS checksum
         FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    "stream_anomaly": """
+        WITH med AS (
+            SELECT event_type, median(value) AS m
+            FROM events WHERE value IS NOT NULL GROUP BY event_type
+        ), mad AS (
+            SELECT e.event_type,
+                   median(abs(e.value - med.m)) AS mad,
+                   any_value(med.m) AS m
+            FROM events e JOIN med USING (event_type)
+            WHERE e.value IS NOT NULL
+            GROUP BY e.event_type
+        ), b AS (
+            SELECT event_type,
+                   m - 3.0 * 1.4826 * mad AS low,
+                   m + 3.0 * 1.4826 * mad AS high
+            FROM mad
+        )
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN e.value < b.low OR e.value > b.high
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        FROM events e LEFT JOIN b USING (event_type)
+        GROUP BY e.event_type
     """,
 }
 

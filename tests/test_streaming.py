@@ -206,3 +206,38 @@ def test_skew_report_numbers(spark):
     # avg = 100/11; skew_ratio = 90/avg
     assert top["skew_ratio"] == pytest.approx(90 / (100 / 11))
     assert top["salt_factor"] >= 1
+
+
+def test_score_stream_against_bounds_flags_and_unseen_keys(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.streaming.events import (
+        run_stream_to_memory,
+        score_stream_against_bounds,
+    )
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [
+            ("a", 5.0), ("a", 50.0), ("a", None),
+            ("b", 1.0), ("unseen", 9.9),
+        ],
+        "k string, v double",
+    ).write.parquet(src)
+    bounds = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 0.0, 10.0)],
+        "k string, low double, high double",
+    )
+    stream = spark.readStream.schema("k string, v double").parquet(src)
+    scored = score_stream_against_bounds(stream, bounds, "k", "v")
+    agg = scored.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_anomaly").cast("long")).alias("n_anom"),
+    )
+    rows = {
+        r["k"]: r
+        for r in run_stream_to_memory(agg, "score_bounds_t").collect()
+    }
+    assert rows["a"]["n"] == 3 and rows["a"]["n_anom"] == 1  # only 50.0
+    assert rows["b"]["n_anom"] == 0
+    assert rows["unseen"]["n_anom"] == 0  # no bounds -> never flagged

@@ -6,6 +6,7 @@ from woodwork_spark.streaming.events import (
     enrich_stream_with_scd,
     late_data_counts_stream,
     windowed_distinct_stream,
+    score_stream_against_bounds,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "enrich_stream_with_scd",
     "late_data_counts_stream",
     "windowed_distinct_stream",
+    "score_stream_against_bounds",
 ]

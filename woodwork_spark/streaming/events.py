@@ -434,3 +434,43 @@ def windowed_distinct_stream(
             "n_distinct",
         )
     )
+
+
+def score_stream_against_bounds(
+    events: DataFrame,
+    bounds: DataFrame,
+    key_cols,
+    value_col: str,
+    low_col: str = "low",
+    high_col: str = "high",
+    flag_col: str = "is_anomaly",
+) -> DataFrame:
+    """Stateless streaming anomaly gate: every event joins (stream-static
+    broadcast — ZERO streaming state) to a batch-computed bounds table
+    (e.g. :func:`~woodwork_spark.operators.features.mad_bounds` per
+    entity class) and is flagged when ``value_col`` leaves [low, high].
+
+    This is the production shape for robust stream scoring: the
+    expensive, corpus-wide robust statistics run in batch on yesterday's
+    data; the stream pays one broadcast hash join per micro-batch and
+    nothing else — no watermark, no state store, latency stays at
+    micro-batch floor and a 1000-executor stream scales linearly.
+    Events with no bounds row (unseen key) or NULL value are NOT
+    flagged (``flag_col = false``) — route them to a quarantine sink
+    from the caller if unseen keys matter.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    b = F.broadcast(
+        bounds.select(
+            *key_cols,
+            F.col(low_col).alias("__low"),
+            F.col(high_col).alias("__high"),
+        ),
+    )
+    v = F.col(value_col)
+    flag = (v < F.col("__low")) | (v > F.col("__high"))
+    return (
+        events.join(b, key_cols, "left")
+        .withColumn(flag_col, F.coalesce(flag, F.lit(False)))
+        .drop("__low", "__high")
+    )
