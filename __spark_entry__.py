@@ -3717,6 +3717,75 @@ def q_stream_anomaly(spark, sf_dir):
     return run_stream_to_memory(agg, name)
 
 
+def q_golden_records(spark, sf_dir):
+    """Survivorship merge per duplicate cluster (custkey%150 as the
+    planted cluster id, account balance as source trust): name follows
+    the richest member; phone is nulled on every 3rd customer so the
+    field-level fill must pull it from the next-best member.  One
+    max(struct) aggregation; the oracle replays it with
+    max(struct_pack()) FILTER."""
+    from woodwork_spark.operators.dedup import golden_records
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 150).alias("cluster"),
+        "c_custkey", "c_acctbal", "c_name",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment"),
+        ).alias("segment"),
+    )
+    return golden_records(
+        cust, "cluster", ["c_name", "segment"], "c_acctbal",
+        tiebreak_col="c_custkey",
+    )
+
+
+def q_interpolate(spark, sf_dir):
+    """Dense hourly grid per event_type with NULL silent buckets, then
+    LINEAR interpolation of the hourly mean value between the bracketing
+    observed hours (edge runs clamp to the single available anchor) —
+    resample + fill_gaps as the gap-repair pipeline.  The oracle rebuilds
+    grid and anchors with IGNORE NULLS window scans."""
+    from woodwork_spark.operators.timeseries import fill_gaps, resample
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    grid = resample(
+        ev, "ts", 3600, group_cols=["event_type"],
+        aggs={"v": F.avg("value")}, fill={"v": None},
+    )
+    out = fill_gaps(
+        grid, "bucket_ts_s", "v", ["event_type"], method="linear",
+        out_col="v_interp",
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket_ts_s").alias("bucket_s"),
+        (F.col("v").isNotNull()).alias("observed"),
+        F.round(F.col("v_interp") + F.lit(1e-9), 4).alias("v_interp"),
+    )
+
+
+def q_decayed_agg(spark, sf_dir):
+    """Exponential time-decay aggregates per event_type (half-life 7
+    days, reference = corpus max ts): recency-weighted value mass and
+    event mass in ONE pass; the oracle recomputes the same weights from
+    the same scalar max."""
+    from woodwork_spark.operators.timeseries import decayed_agg
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = decayed_agg(ev, "ts", "event_type", "value", 7 * 86400.0)
+    return out.select(
+        "event_type", "n",
+        F.round(F.col("decayed_sum") + F.lit(1e-9), 4).alias("decayed_sum"),
+        F.round(F.col("decayed_count") + F.lit(1e-9), 4).alias("decayed_count"),
+        F.date_format(
+            F.col("last_ts"), "yyyy-MM-dd HH:mm:ss",
+        ).alias("last_ts"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3878,6 +3947,9 @@ QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "hashed_vectors": q_hashed_vectors,
     "stream_anomaly": q_stream_anomaly,
+    "golden_records": q_golden_records,
+    "interpolate": q_interpolate,
+    "decayed_agg": q_decayed_agg,
 }
 
 ORACLE = {
@@ -7453,6 +7525,83 @@ ORACLE = {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
         FROM events e LEFT JOIN b USING (event_type)
         GROUP BY e.event_type
+    """,
+    "golden_records": """
+        WITH t AS (
+            SELECT c_custkey % 150 AS cluster, c_custkey, c_acctbal, c_name,
+                   CASE WHEN c_custkey % 3 = 0 THEN NULL
+                        ELSE c_mktsegment END AS segment
+            FROM customer
+        )
+        SELECT cluster,
+               CAST(count(*) AS BIGINT) AS n_members,
+               (max(struct_pack(p := c_acctbal, t := c_custkey, v := c_name))
+                FILTER (WHERE c_name IS NOT NULL)).v AS c_name,
+               (max(struct_pack(p := c_acctbal, t := c_custkey, v := segment))
+                FILTER (WHERE segment IS NOT NULL)).v AS segment
+        FROM t GROUP BY cluster
+    """,
+    "interpolate": """
+        WITH obs AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+                   avg(value) AS v
+            FROM events GROUP BY 1, 2
+        ), rng AS (
+            SELECT event_type, min(b) AS mn, max(b) AS mx
+            FROM obs GROUP BY 1
+        ), grid AS (
+            SELECT event_type, unnest(range(mn, mx + 3600, 3600)) AS b
+            FROM rng
+        ), j AS (
+            SELECT g.event_type, g.b, o.v
+            FROM grid g LEFT JOIN obs o
+              ON g.event_type = o.event_type AND g.b = o.b
+        ), anch AS (
+            SELECT event_type, b, v,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN b END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pt,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY b DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS nv,
+                   last_value(CASE WHEN v IS NOT NULL THEN b END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY b DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS nt
+            FROM j
+        )
+        SELECT event_type, CAST(b AS BIGINT) AS bucket_s,
+               (v IS NOT NULL) AS observed,
+               round(CASE
+                   WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   WHEN nt = pt THEN pv
+                   ELSE pv + (nv - pv) * (CAST(b AS DOUBLE) - pt) / (nt - pt)
+               END + 0.000000001, 4) AS v_interp
+        FROM anch
+    """,
+    "decayed_agg": """
+        WITH mx AS (SELECT max(ts) AS ref FROM events)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(CASE WHEN value IS NOT NULL THEN
+                   pow(0.5, (epoch(mx.ref) - epoch(ts)) / 604800.0) * value
+                   END) + 0.000000001, 4) AS decayed_sum,
+               round(sum(pow(0.5, (epoch(mx.ref) - epoch(ts)) / 604800.0))
+                     + 0.000000001, 4) AS decayed_count,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        FROM events, mx
+        GROUP BY event_type
     """,
 }
 

@@ -2777,3 +2777,90 @@ def test_hashed_term_vectors_l2_normalize(spark):
         df, "doc_id", "text", dim=32, l2_normalize=True,
     ).first()["vector"]
     assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-9)
+
+
+def test_fill_gaps_methods(spark):
+    from woodwork_spark.operators.timeseries import fill_gaps
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, None), ("a", 1, 10.0), ("a", 2, None), ("a", 3, None),
+            ("a", 4, 40.0), ("a", 5, None),
+            ("b", 0, None), ("b", 1, None),
+        ],
+        "grp string, t long, v double",
+    )
+    def got(method):
+        return {
+            (r["grp"], r["t"]): r["filled"]
+            for r in fill_gaps(
+                df, "t", "v", ["grp"], method=method, out_col="filled",
+            ).collect()
+        }
+
+    f = got("ffill")
+    assert f[("a", 0)] is None and f[("a", 2)] == 10.0 and f[("a", 5)] == 40.0
+    b = got("bfill")
+    assert b[("a", 0)] == 10.0 and b[("a", 2)] == 40.0 and b[("a", 5)] is None
+    l = got("linear")
+    assert l[("a", 2)] == 20.0 and l[("a", 3)] == 30.0  # between 10 and 40
+    assert l[("a", 0)] == 10.0 and l[("a", 5)] == 40.0  # edge anchors
+    assert l[("b", 0)] is None  # all-null group stays null
+
+
+def test_decayed_agg_halving(spark):
+    import datetime
+
+    from woodwork_spark.operators.timeseries import decayed_agg
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", t0, 8.0),
+        ("u1", t0 + datetime.timedelta(seconds=3600), 8.0),
+        ("u1", t0 + datetime.timedelta(seconds=7200), 8.0),
+        ("u2", t0 + datetime.timedelta(seconds=7200), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, v double")
+    out = {
+        r["u"]: r
+        for r in decayed_agg(df, "ts", "u", "v", 3600.0).collect()
+    }
+    # ref = max ts = t0+7200; weights for u1: 0.25, 0.5, 1.0
+    assert abs(out["u1"]["decayed_sum"] - 8.0 * 1.75) < 1e-9
+    assert abs(out["u1"]["decayed_count"] - 1.75) < 1e-9
+    assert out["u2"]["decayed_sum"] == 4.0
+    assert out["u1"]["n"] == 3
+
+
+def test_golden_records_field_level_survivorship(spark):
+    from woodwork_spark.operators.dedup import golden_records
+
+    df = spark.createDataFrame(
+        [
+            # cluster 1: best row (prio 9) misses phone -> phone comes
+            # from the prio-5 member; name from the best row
+            (1, 101, 9.0, "Acme Corp", None),
+            (1, 102, 5.0, "ACME", "555-1234"),
+            (1, 103, 1.0, "acme corp.", "555-9999"),
+            # cluster 2: singleton with a hole stays a hole
+            (2, 201, 3.0, None, "111"),
+        ],
+        "cluster long, rid long, prio double, name string, phone string",
+    )
+    rows = {
+        r["cluster"]: r
+        for r in golden_records(
+            df, "cluster", ["name", "phone"], "prio", tiebreak_col="rid",
+        ).collect()
+    }
+    assert rows[1]["name"] == "Acme Corp"
+    assert rows[1]["phone"] == "555-1234"
+    assert rows[1]["n_members"] == 3
+    assert rows[2]["name"] is None and rows[2]["phone"] == "111"
+    # deterministic tie-break: equal priorities pick the larger rid
+    tie = spark.createDataFrame(
+        [(1, 7, 1.0, "a"), (1, 8, 1.0, "b")],
+        "cluster long, rid long, prio double, name string",
+    )
+    r = golden_records(tie, "cluster", ["name"], "prio", "rid").first()
+    assert r["name"] == "b"

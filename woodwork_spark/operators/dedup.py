@@ -1126,3 +1126,51 @@ def edit_distance_join(
         )
         .filter(F.col("distance") >= 0)
     )
+
+
+def golden_records(
+    df: DataFrame,
+    cluster_col: str,
+    fields,
+    priority,
+    tiebreak_col: str = None,
+) -> DataFrame:
+    """Survivorship merge: ONE golden record per duplicate cluster — the
+    completion step of record linkage (pairs ->
+    :func:`connected_components` -> merge).  Field-level survivorship:
+    each field independently takes its value from the highest-
+    ``priority`` row WHERE THAT FIELD IS NON-NULL, so a best row with a
+    missing phone number inherits the phone from the next-best member
+    instead of exporting a hole.
+
+    ``priority`` is a Column (or name) ranking members — recency,
+    source trust, completeness score; ties break on ``tiebreak_col``
+    (pass a stable id for deterministic output — REQUIRED for
+    reproducibility when priorities can tie).
+
+    Shape: ONE aggregation — per field, ``max(struct(priority, tie,
+    value))`` over non-null values, map-side combinable like any max;
+    the shuffle carries one struct per (cluster, field).  No windows,
+    no per-cluster iteration.
+
+    Returns ``(cluster_col, n_members, <fields...>)``.
+    """
+    fields = [fields] if isinstance(fields, str) else list(fields)
+    if not fields:
+        raise ValueError("golden_records: no fields")
+    p = F.col(priority) if isinstance(priority, str) else priority
+    tie = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+
+    def best(field):
+        val = F.col(field)
+        return F.max(
+            F.when(
+                val.isNotNull(),
+                F.struct(p.alias("p"), tie.alias("t"), val.alias("v")),
+            ),
+        )["v"].alias(field)
+
+    return df.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[best(f) for f in fields],
+    )

@@ -404,3 +404,112 @@ def kaplan_meier(
             "at_risk", "survival",
         )
     )
+
+
+def fill_gaps(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    group_cols=(),
+    method: str = "ffill",
+    out_col: str = None,
+) -> DataFrame:
+    """Fill NULL observations in an ordered series per group.
+
+    - ``ffill``: last non-null value carried forward (leading NULLs stay
+      NULL) — one ``last(ignorenulls)`` window, a single pass.
+    - ``bfill``: next non-null carried backward (trailing NULLs stay
+      NULL) — same window, descending.
+    - ``linear``: straight line between the bracketing non-null anchors
+      (``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)`` on
+      the numeric value of ``order_col``); leading/trailing runs fall
+      back to the single available anchor (pandas
+      ``interpolate(limit_direction='both')`` behavior).
+
+    The natural post-pass to :func:`resample` with ``fill=None``: dense
+    grid first, then interpolate the silent buckets.  Shape: window
+    functions partitioned by group — one sort per group, arbitrarily
+    parallel across groups, no iteration (the anchor-distribution trick
+    makes linear interpolation a PURE window expression: both anchors
+    and their positions reach every row via last/first-ignorenulls).
+    """
+    from pyspark.sql import Window as W
+
+    if method not in ("ffill", "bfill", "linear"):
+        raise ValueError(
+            f"method must be 'ffill', 'bfill', or 'linear', got {method!r}",
+        )
+    out_col = out_col or value_col
+    group_cols = list(group_cols)
+    v = F.col(value_col)
+    base = W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+    fwd = base.orderBy(F.col(order_col).asc()).rowsBetween(
+        W.unboundedPreceding, 0,
+    )
+    bwd = base.orderBy(F.col(order_col).desc()).rowsBetween(
+        W.unboundedPreceding, 0,
+    )
+    if method == "ffill":
+        return df.withColumn(out_col, F.last(v, ignorenulls=True).over(fwd))
+    if method == "bfill":
+        return df.withColumn(out_col, F.last(v, ignorenulls=True).over(bwd))
+    t = F.col(order_col).cast("double")
+    prev_v = F.last(v, ignorenulls=True).over(fwd)
+    prev_t = F.last(
+        F.when(v.isNotNull(), t), ignorenulls=True,
+    ).over(fwd)
+    next_v = F.last(v, ignorenulls=True).over(bwd)
+    next_t = F.last(
+        F.when(v.isNotNull(), t), ignorenulls=True,
+    ).over(bwd)
+    interp = F.when(v.isNotNull(), v).otherwise(
+        F.when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .when(next_t == prev_t, prev_v)
+        .otherwise(
+            prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t),
+        ),
+    )
+    return df.withColumn(out_col, interp)
+
+
+def decayed_agg(
+    df: DataFrame,
+    ts_col: str,
+    group_cols,
+    value_col: str,
+    half_life_seconds: float,
+    ref_ts=None,
+) -> DataFrame:
+    """Exponential time-decay aggregates per group: each observation
+    weighs ``0.5 ** (age / half_life)`` where age is measured back from
+    ``ref_ts`` (default: the dataset's max timestamp, one tiny scalar
+    agg) — the standard recency-weighted feature (decayed activity,
+    decayed revenue) that a plain windowed sum misrepresents.
+
+    ONE aggregation pass: the weight is a pure projection, so partial
+    aggregation happens map-side and the shuffle carries one row per
+    group.  Returns ``(group_cols..., n, decayed_sum, decayed_count,
+    last_ts)``; ``decayed_count`` is the decayed event mass (sum of
+    weights), useful as an activity score on its own.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if half_life_seconds <= 0:
+        raise ValueError(
+            f"half_life_seconds must be > 0, got {half_life_seconds}",
+        )
+    if ref_ts is None:
+        ref_ts = df.agg(F.max(F.col(ts_col))).first()[0]
+        if ref_ts is None:
+            raise ValueError("decayed_agg: no non-null timestamps")
+    age = F.lit(ref_ts).cast("timestamp").cast("double") - F.col(
+        ts_col,
+    ).cast("double")
+    w = F.pow(F.lit(0.5), age / F.lit(float(half_life_seconds)))
+    v = F.col(value_col)
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(v.isNotNull(), w * v)).alias("decayed_sum"),
+        F.sum(w).alias("decayed_count"),
+        F.max(F.col(ts_col)).alias("last_ts"),
+    )
