@@ -456,3 +456,67 @@ def test_late_round6_operator_plan_shapes(spark):
     plan = _executed_plan(a)
     assert "Join" not in plan and "Exchange" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_session4_operator_plan_shapes(spark):
+    """Session-4 batch: hashed shuffle keys (never text), no cartesian
+    products, stateless stream-static gate, WindowGroupLimit sampling."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.cleaning import repeated_spans
+    from woodwork_spark.operators.dedup import edit_distance_join
+    from woodwork_spark.operators.features import mad_bounds
+    from woodwork_spark.operators.text import (
+        hashed_term_vectors,
+        ngram_novelty,
+    )
+    from woodwork_spark.operators.timeseries import decayed_agg, fill_gaps
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    ev = read_parquet(spark, f"{SF}/events.parquet")
+
+    # repeated_spans: the gram TEXT never shuffles — only the two
+    # 8-byte hashes reach the exchange; no cartesian product
+    spans = repeated_spans(docs, "doc_id", "text", span_len=25, min_docs=3)
+    plan = _executed_plan(spans)
+    assert "CartesianProduct" not in plan and "PythonUDF" not in plan
+    release(spans)
+
+    # edit_distance_join: candidates come from the gram-hash equi-join;
+    # only the bounded-short side path may broadcast a nested loop
+    cust = read_parquet(spark, f"{SF}/customer.parquet").select(
+        "c_custkey", "c_name",
+    )
+    probes = cust.select(
+        (F.col("c_custkey") + 10**6).alias("pid"), "c_name",
+    ).limit(50)
+    ed = edit_distance_join(probes, cust, "pid", "c_custkey", "c_name")
+    plan = _executed_plan(ed)
+    assert "CartesianProduct" not in plan
+
+    # ngram_novelty / hashed_term_vectors: long-hash shuffles, UDF-free
+    nov = ngram_novelty(docs, "doc_id", "text")
+    plan = _executed_plan(nov)
+    assert "PythonUDF" not in plan and "CartesianProduct" not in plan
+    release(nov)
+    vecs = hashed_term_vectors(docs, "doc_id", "text", dim=32)
+    assert "PythonUDF" not in _executed_plan(vecs)
+
+    # mad_bounds / decayed_agg: plain grouped aggregations — partial
+    # (map-side) aggregation present, no window over raw rows
+    mb = mad_bounds(ev, "value", group_cols=["event_type"])
+    plan = _executed_plan(mb)
+    assert "HashAggregate" in plan and "Window" not in plan
+    da = decayed_agg(ev, "ts", "event_type", "value", 86400.0)
+    plan = _executed_plan(da)
+    assert "HashAggregate" in plan and "Window" not in plan
+
+    # fill_gaps: one window per method call, no join, no shuffle beyond
+    # the group partitioning
+    grid = ev.select("event_type", F.col("value").alias("v"),
+                     F.col("ts").cast("long").alias("t"))
+    fg = fill_gaps(grid, "t", "v", ["event_type"], method="linear")
+    plan = _executed_plan(fg)
+    assert "Join" not in plan and "PythonUDF" not in plan
