@@ -2864,3 +2864,34 @@ def test_golden_records_field_level_survivorship(spark):
     )
     r = golden_records(tie, "cluster", ["name"], "prio", "rid").first()
     assert r["name"] == "b"
+
+
+def test_mad_bounds_string_group_and_null_group(spark):
+    from woodwork_spark.operators.features import mad_bounds
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), (None, 5.0), (None, 500.0),
+         (None, 5.0)],
+        "grp string, x double",
+    )
+    rows = {
+        r["grp"]: r
+        for r in mad_bounds(df, "x", group_cols="grp").collect()
+    }
+    # bare-string group_cols works, and the NULL key is a real group
+    assert rows["a"]["median"] == 2.0 and rows["a"]["n"] == 3
+    assert rows[None]["n"] == 3 and rows[None]["median"] == 5.0
+    assert rows[None]["n_high"] == 1  # 500 flagged within the NULL group
+
+
+def test_fill_gaps_string_group_cols(spark):
+    from woodwork_spark.operators.timeseries import fill_gaps
+
+    df = spark.createDataFrame(
+        [("g", 0, 1.0), ("g", 1, None)], "grp string, t long, v double",
+    )
+    got = {
+        r["t"]: r["v"]
+        for r in fill_gaps(df, "t", "v", "grp", method="ffill").collect()
+    }
+    assert got[1] == 1.0

@@ -370,24 +370,42 @@ def mad_bounds(
     at 100 TB (bounded memory per group, rank error ~1e-4).
 
     Returns one row per group: ``(group_cols..., n, median, mad, low,
-    high, n_low, n_high)``.
+    high, n_low, n_high)``; a NULL group key is a group like any other
+    (the internal stats joins are null-safe).
     """
-    group_cols = list(group_cols or [])
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols or [])
+    )
     v = F.col(value_col)
     pct = "percentile" if exact else "percentile_approx"
 
     def grouped(frame):
         return frame.groupBy(*group_cols) if group_cols else frame.groupBy()
 
+    def stats_join(frame, stats):
+        # NULL group keys form a real group in groupBy, but a plain
+        # equi-join would drop them (NULL never equals NULL) — join
+        # null-safely and keep exactly one copy of the key columns
+        if not group_cols:
+            return frame.crossJoin(F.broadcast(stats))
+        renamed = stats.select(
+            *[F.col(g).alias(f"__sj_{g}") for g in group_cols],
+            *[c for c in stats.columns if c not in group_cols],
+        )
+        cond = None
+        for g in group_cols:
+            eq = frame[g].eqNullSafe(renamed[f"__sj_{g}"])
+            cond = eq if cond is None else (cond & eq)
+        return frame.join(renamed, cond).drop(
+            *[f"__sj_{g}" for g in group_cols],
+        )
+
     base = df.filter(v.isNotNull())
     med = grouped(base).agg(
         F.expr(f"{pct}({value_col}, 0.5)").alias("median"),
         F.count(F.lit(1)).alias("n"),
     )
-    joined = (
-        base.join(med, group_cols) if group_cols
-        else base.crossJoin(F.broadcast(med))
-    )
+    joined = stats_join(base, med)
     dev = joined.withColumn("__dev", F.abs(v - F.col("median")))
     mad = grouped(dev).agg(
         F.expr(f"{pct}(__dev, 0.5)").alias("mad"),
@@ -401,10 +419,7 @@ def mad_bounds(
         (F.col("median") - span).alias("low"),
         (F.col("median") + span).alias("high"),
     )
-    rejoined = (
-        base.join(bounded, group_cols) if group_cols
-        else base.crossJoin(F.broadcast(bounded))
-    )
+    rejoined = stats_join(base, bounded)
     return grouped(rejoined).agg(
         F.first("n").alias("n"),
         F.first("median").alias("median"),

@@ -203,13 +203,18 @@ def leakage_safe_split(
         connected_components,
         minhash_dedup_pairs,
     )
-    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.lifecycle import release
 
     pairs = minhash_dedup_pairs(
         df, id_col, text_col, threshold=threshold, shingle_k=shingle_k,
         num_perm=num_perm, bands=bands, use_words=use_words,
     )
     comp = connected_components(pairs.select("id_a", "id_b"))
+    # connected_components fully materializes the edge list before
+    # returning (driver union-find or eager localCheckpoint), so the
+    # corpus-scale shingle cache behind `pairs` is already dead — free
+    # it now instead of pinning it on the returned split
+    release(pairs)
     keyed = df.join(
         comp.select(
             F.col("id").alias("__cc_id"), F.col("component").alias("__cc"),
@@ -228,7 +233,7 @@ def leakage_safe_split(
         out = out.withColumn(group_col, key).drop("__cc")
     else:
         out = out.drop("__cc")
-    return attach_persisted(out, *persisted_frames(pairs))
+    return out
 
 
 def sample_k_per_group(

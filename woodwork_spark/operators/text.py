@@ -677,15 +677,19 @@ def ngram_novelty(
         .select(F.col(id_col), F.explode(grams).alias("__g"))
         # a NULL/empty text row would otherwise surface one NULL gram
         .filter(F.col("__g").isNotNull())
+        # double 64-bit key (independent seeds), same as repeated_spans:
+        # a single xxhash64 collides at corpus scale (~n^2/2^65) and a
+        # collision silently marks a unique gram non-novel
         .withColumn("__k", F.xxhash64("__g"))
+        .withColumn("__k2", F.xxhash64(F.lit("ww-novel-2"), "__g"))
         .drop("__g")
         .persist()
     )
-    docs_per_gram = exploded.groupBy("__k").agg(
+    docs_per_gram = exploded.groupBy("__k", "__k2").agg(
         F.count_distinct(id_col).alias("__docs"),
     )
     per_doc = (
-        exploded.join(docs_per_gram, "__k")
+        exploded.join(docs_per_gram, ["__k", "__k2"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -762,14 +766,7 @@ def hashed_term_vectors(
             F.element_at(F.col("__m"), b).cast("double"), F.lit(0.0),
         ),
     )
-    if l2_normalize:
-        norm = F.sqrt(
-            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x),
-        )
-        vec = F.transform(
-            vec, lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0)),
-        )
-    return (
+    assembled = (
         df.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
@@ -780,3 +777,26 @@ def hashed_term_vectors(
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         )
     )
+    if l2_normalize:
+        # the norm is an O(dim) aggregate — materialize it as its OWN
+        # column first: inlining it in the normalize lambda would
+        # re-evaluate it per element (O(dim^2) per row; CollapseProject
+        # keeps non-cheap multi-referenced aliases un-inlined)
+        v = F.col(out_col)
+        assembled = (
+            assembled.withColumn(
+                "__norm",
+                F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)),
+            )
+            .withColumn(
+                out_col,
+                F.transform(
+                    v,
+                    lambda x: F.when(
+                        F.col("__norm") > 0, x / F.col("__norm"),
+                    ).otherwise(F.lit(0.0)),
+                ),
+            )
+            .drop("__norm")
+        )
+    return assembled

@@ -440,7 +440,9 @@ def fill_gaps(
             f"method must be 'ffill', 'bfill', or 'linear', got {method!r}",
         )
     out_col = out_col or value_col
-    group_cols = list(group_cols)
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
     v = F.col(value_col)
     base = W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
     fwd = base.orderBy(F.col(order_col).asc()).rowsBetween(

@@ -458,6 +458,13 @@ def score_stream_against_bounds(
     Events with no bounds row (unseen key) or NULL value are NOT
     flagged (``flag_col = false``) — route them to a quarantine sink
     from the caller if unseen keys matter.
+
+    The projected bounds table (a few doubles per key class) is
+    persisted here: stream-static joins re-execute the static side's
+    plan EVERY micro-batch, so a lazily-passed ``mad_bounds(...)``
+    would otherwise re-run its multi-pass percentile pipeline per
+    trigger — the cache pins only the tiny (key, low, high) result,
+    not the corpus.
     """
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     b = F.broadcast(
@@ -465,7 +472,7 @@ def score_stream_against_bounds(
             *key_cols,
             F.col(low_col).alias("__low"),
             F.col(high_col).alias("__high"),
-        ),
+        ).persist(),
     )
     v = F.col(value_col)
     flag = (v < F.col("__low")) | (v > F.col("__high"))
