@@ -3786,6 +3786,56 @@ def q_decayed_agg(spark, sf_dir):
     )
 
 
+def q_entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution: corrupted customer names (last char
+    X'd on every 11th customer, re-keyed +2M) fuzzy-join the catalog at
+    edit distance <= 2, matches become an undirected graph, connected
+    components cluster records, and a golden record per cluster keeps
+    the highest-balance member's name with field-level fill.  The
+    oracle replays every stage exactly (exhaustive levenshtein,
+    recursive CTE, struct_pack survivorship)."""
+    from woodwork_spark.operators.dedup import (
+        connected_components,
+        edit_distance_join,
+        golden_records,
+    )
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal",
+    )
+    probes = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 2000000).alias("c_custkey"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X"),
+        ).alias("c_name"),
+        (F.col("c_acctbal") - 1.0).alias("c_acctbal"),
+    )
+    allr = cust.unionByName(probes)
+    pairs = edit_distance_join(
+        probes.select(F.col("c_custkey").alias("pid"), "c_name"),
+        cust, "pid", "c_custkey", "c_name", max_dist=2,
+    )
+    comp = connected_components(
+        pairs.select(
+            F.col("pid").alias("id_a"), F.col("c_custkey").alias("id_b"),
+        ),
+    )
+    clustered = allr.join(
+        comp.select(
+            F.col("id").alias("c_custkey"), F.col("component"),
+        ),
+        "c_custkey", "left",
+    ).withColumn("cluster", F.coalesce("component", F.col("c_custkey")))
+    golden = golden_records(
+        clustered, "cluster", ["c_name"], "c_acctbal",
+        tiebreak_col="c_custkey",
+    )
+    return golden.filter(F.col("n_members") > 1).select(
+        "cluster", "n_members", "c_name",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -3950,6 +4000,7 @@ QUERIES = {
     "golden_records": q_golden_records,
     "interpolate": q_interpolate,
     "decayed_agg": q_decayed_agg,
+    "entity_resolution": q_entity_resolution,
 }
 
 ORACLE = {
@@ -7602,6 +7653,46 @@ ORACLE = {
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
         FROM events, mx
         GROUP BY event_type
+    """,
+    "entity_resolution": """
+        WITH RECURSIVE probes AS (
+            SELECT c_custkey + 2000000 AS c_custkey,
+                   substr(c_name, 1, length(c_name) - 1) || 'X' AS c_name,
+                   c_acctbal - 1.0 AS c_acctbal
+            FROM customer WHERE c_custkey % 11 = 0
+        ), allr AS (
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            UNION ALL SELECT * FROM probes
+        ), pairs AS (
+            SELECT p.c_custkey AS id_a, c.c_custkey AS id_b
+            FROM probes p JOIN customer c
+              ON abs(length(p.c_name) - length(c.c_name)) <= 2
+            WHERE levenshtein(p.c_name, c.c_name) <= 2
+        ), edges AS (
+            SELECT id_a AS ea, id_b AS eb FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, r) AS (
+            SELECT ea, eb FROM edges
+            UNION
+            SELECT reach.id, edges.eb
+            FROM reach JOIN edges ON reach.r = edges.ea
+            WHERE edges.eb <> reach.id
+        ), rep AS (
+            SELECT id, least(min(r), id) AS comp FROM reach GROUP BY id
+        ), clustered AS (
+            SELECT a.c_custkey, a.c_name, a.c_acctbal,
+                   COALESCE(rep.comp, a.c_custkey) AS cluster
+            FROM allr a LEFT JOIN rep ON a.c_custkey = rep.id
+        ), golden AS (
+            SELECT cluster,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   (max(struct_pack(p := c_acctbal, t := c_custkey,
+                                    v := c_name))
+                    FILTER (WHERE c_name IS NOT NULL)).v AS c_name
+            FROM clustered GROUP BY cluster
+        )
+        SELECT cluster, n_members, c_name
+        FROM golden WHERE n_members > 1
     """,
 }
 
