@@ -3836,6 +3836,35 @@ def q_entity_resolution(spark, sf_dir):
     )
 
 
+def q_kfold(spark, sf_dir):
+    """Deterministic k-fold assignment (md5 mod k) summarized per
+    (lang, fold) — stable cross-validation folds any engine can
+    reproduce."""
+    from woodwork_spark.operators.sampling import kfold_assign
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return kfold_assign(docs, "doc_id", 5).groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def q_snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking over customer names (window 3): the
+    classic linkage blocker as a distributed band join off ONE
+    range-partitioned global rank; the oracle is the exact
+    row_number-distance self-join."""
+    from woodwork_spark.operators.dedup import sorted_neighborhood_pairs
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = sorted_neighborhood_pairs(cust, "c_custkey", "c_name", window=3)
+    return out.select(
+        "id_a", "id_b", F.col("rank_distance").cast("long").alias("rank_distance"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4001,6 +4030,8 @@ QUERIES = {
     "interpolate": q_interpolate,
     "decayed_agg": q_decayed_agg,
     "entity_resolution": q_entity_resolution,
+    "kfold": q_kfold,
+    "snm_pairs": q_snm_pairs,
 }
 
 ORACLE = {
@@ -7693,6 +7724,27 @@ ORACLE = {
         )
         SELECT cluster, n_members, c_name
         FROM golden WHERE n_members > 1
+    """,
+    "kfold": """
+        SELECT lang,
+               CAST(('0x' || substr(md5('fold' || CAST(doc_id AS VARCHAR)),
+                                    1, 8))::BIGINT % 5 AS BIGINT) AS fold,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS min_doc_id
+        FROM documents
+        GROUP BY lang, fold
+    """,
+    "snm_pairs": """
+        WITH r AS (
+            SELECT c_custkey,
+                   row_number() OVER (ORDER BY c_name) - 1 AS rn
+            FROM customer
+        )
+        SELECT least(a.c_custkey, b.c_custkey) AS id_a,
+               greatest(a.c_custkey, b.c_custkey) AS id_b,
+               CAST(abs(a.rn - b.rn) AS BIGINT) AS rank_distance
+        FROM r a JOIN r b
+          ON b.rn > a.rn AND b.rn - a.rn <= 3
     """,
 }
 

@@ -2895,3 +2895,42 @@ def test_fill_gaps_string_group_cols(spark):
         for r in fill_gaps(df, "t", "v", "grp", method="ffill").collect()
     }
     assert got[1] == 1.0
+
+
+def test_kfold_assign_stable_and_balanced(spark):
+    from woodwork_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    out = {r["k"]: r["fold"] for r in sampling.kfold_assign(df, "k", 5).collect()}
+    assert set(out.values()) == {0, 1, 2, 3, 4}
+    sizes = [list(out.values()).count(f) for f in range(5)]
+    assert min(sizes) > 50  # roughly balanced
+    # stable across partitionings
+    again = {
+        r["k"]: r["fold"]
+        for r in sampling.kfold_assign(df.repartition(7), "k", 5).collect()
+    }
+    assert again == out
+    with pytest.raises(ValueError):
+        sampling.kfold_assign(df, "k", 1)
+
+
+def test_sorted_neighborhood_pairs_window(spark):
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # ids deliberately scrambled vs sort key to prove ordering is by key
+    rows = [(100 - i, f"key{i:03d}") for i in range(20)]
+    df = spark.createDataFrame(rows, "rid long, skey string")
+    out = sorted_neighborhood_pairs(df, "rid", "skey", window=2)
+    got = {(r["id_a"], r["id_b"]): r["rank_distance"] for r in out.collect()}
+    release(out)
+    # expected: every pair within 2 positions of the key order
+    expect = {}
+    ordered = [100 - i for i in range(20)]  # rid in skey order
+    for i in range(20):
+        for d in (1, 2):
+            if i + d < 20:
+                a, b = sorted((ordered[i], ordered[i + d]))
+                expect[(a, b)] = d
+    assert got == expect

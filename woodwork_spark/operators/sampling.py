@@ -272,3 +272,25 @@ def sample_k_per_group(
         .filter(F.col(rank_col) <= k)
     )
     return out if keep_rank else out.drop(rank_col)
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    salt: str = "fold",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold = md5(salt || key) mod
+    k`` — the cross-validation companion to :func:`hash_split`, with
+    the same guarantees (group-safe on the key, reproducible on any
+    engine/rerun/partitioning, folds stay stable as data grows).  One
+    projection, no shuffle, no RNG state.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = hash_bucket_expr(F.col(key_col), salt)
+    return df.withColumn(
+        fold_col,
+        F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(int(k))).cast("long"),
+    )
