@@ -3567,11 +3567,13 @@ def q_leak_split(spark, sf_dir):
 def q_edit_join(spark, sf_dir):
     """Record linkage by edit distance: every 7th customer name with its
     last character corrupted must link back to the catalog within
-    Levenshtein distance 2 (the corrupted digit also legitimately
-    matches sibling ids — all qualifying pairs are returned).  The
-    operator blocks via ED-Join positional q-gram prefixes; the oracle
-    is the exhaustive length-filtered cross join, so blocking recall is
-    proven complete, not assumed."""
+    Levenshtein distance 1 (the corrupted digit also matches the ~10
+    last-digit sibling ids — all qualifying pairs are returned; at
+    distance 2 the zero-padded id template makes the TRUE result set
+    quadratic-ish, which benchmarks output size, not blocking).  The
+    operator blocks via rarest-first ED-Join q-gram prefixes; the
+    oracle is the exhaustive length-filtered cross join, so blocking
+    recall is proven complete, not assumed."""
     from woodwork_spark.operators.dedup import edit_distance_join
 
     _prep(spark)
@@ -3583,7 +3585,7 @@ def q_edit_join(spark, sf_dir):
         ).alias("c_name"),
     )
     return edit_distance_join(
-        probes, cust, "probe_id", "c_custkey", "c_name", max_dist=2,
+        probes, cust, "probe_id", "c_custkey", "c_name", max_dist=1,
     )
 
 
@@ -3789,7 +3791,7 @@ def q_decayed_agg(spark, sf_dir):
 def q_entity_resolution(spark, sf_dir):
     """End-to-end entity resolution: corrupted customer names (last char
     X'd on every 11th customer, re-keyed +2M) fuzzy-join the catalog at
-    edit distance <= 2, matches become an undirected graph, connected
+    edit distance <= 1, matches become an undirected graph, connected
     components cluster records, and a golden record per cluster keeps
     the highest-balance member's name with field-level fill.  The
     oracle replays every stage exactly (exhaustive levenshtein,
@@ -3814,7 +3816,7 @@ def q_entity_resolution(spark, sf_dir):
     allr = cust.unionByName(probes)
     pairs = edit_distance_join(
         probes.select(F.col("c_custkey").alias("pid"), "c_name"),
-        cust, "pid", "c_custkey", "c_name", max_dist=2,
+        cust, "pid", "c_custkey", "c_name", max_dist=1,
     )
     comp = connected_components(
         pairs.select(
@@ -7455,8 +7457,8 @@ ORACLE = {
                CAST(levenshtein(p.pname, c.c_name) AS INTEGER) AS distance
         FROM probes p
         JOIN customer c
-          ON abs(length(p.pname) - length(c.c_name)) <= 2
-        WHERE levenshtein(p.pname, c.c_name) <= 2
+          ON abs(length(p.pname) - length(c.c_name)) <= 1
+        WHERE levenshtein(p.pname, c.c_name) <= 1
     """,
     "sample_k": """
         WITH ranked AS (
@@ -7697,8 +7699,8 @@ ORACLE = {
         ), pairs AS (
             SELECT p.c_custkey AS id_a, c.c_custkey AS id_b
             FROM probes p JOIN customer c
-              ON abs(length(p.c_name) - length(c.c_name)) <= 2
-            WHERE levenshtein(p.c_name, c.c_name) <= 2
+              ON abs(length(p.c_name) - length(c.c_name)) <= 1
+            WHERE levenshtein(p.c_name, c.c_name) <= 1
         ), edges AS (
             SELECT id_a AS ea, id_b AS eb FROM pairs
             UNION SELECT id_b, id_a FROM pairs
