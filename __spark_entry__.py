@@ -3496,7 +3496,9 @@ def q_repeated_spans(spark, sf_dir):
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    spans = repeated_spans(docs, "doc_id", "text", span_len=25, min_docs=3)
+    spans = repeated_spans(
+        docs, "doc_id", "text", span_len=25, min_docs=3,
+    ).persist()  # tiny (docs-with-spans only); both consumers reuse it
     agg = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1)
@@ -3504,15 +3506,13 @@ def q_repeated_spans(spark, sf_dir):
         .alias("masked_chars"),
     )
     masked = mask_repeated_spans(
-        docs, "doc_id", "text", span_len=25, min_docs=3, out_col="masked",
+        docs, "doc_id", "text", out_col="masked", spans=spans,
     )
     lens = masked.select(
         "doc_id", F.length("masked").cast("long").alias("masked_len"),
     )
     out = agg.join(lens, "doc_id")
-    return attach_persisted(
-        out, *persisted_frames(spans), *persisted_frames(masked),
-    )
+    return attach_persisted(out, spans, *persisted_frames(spans))
 
 
 def q_leak_split(spark, sf_dir):

@@ -705,6 +705,7 @@ def mask_repeated_spans(
     min_docs: int = 2,
     replacement: str = "",
     out_col: str = None,
+    spans: DataFrame = None,
 ) -> DataFrame:
     """Cut every cross-document repeated span (per
     :func:`repeated_spans`) out of ``text_col``, splicing
@@ -717,9 +718,15 @@ def mask_repeated_spans(
     (bounded by document length): no UDF, no second pass over the
     corpus — documents without repeated spans pass through untouched
     via the left join.  NULL text stays NULL.
+
+    Pass ``spans`` (a frame from :func:`repeated_spans`, same id/
+    span_start/span_end columns) to reuse a precomputed island table —
+    the report-then-mask pipeline otherwise pays the corpus window
+    explode twice.
     """
     out_col = out_col or text_col
-    spans = repeated_spans(df, id_col, text_col, span_len, min_docs)
+    if spans is None:
+        spans = repeated_spans(df, id_col, text_col, span_len, min_docs)
     per_doc = spans.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(F.struct("span_start", "span_end")),
