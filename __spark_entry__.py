@@ -3867,6 +3867,45 @@ def q_snm_pairs(spark, sf_dir):
     )
 
 
+def q_blocking_quality(spark, sf_dir):
+    """Blocking-strategy evaluation: sorted-neighborhood (window 3, by
+    name) candidates over the customer registry scored against the
+    exhaustive distance-1 truth pairs — pair completeness (candidate
+    recall), pair quality (precision), and reduction ratio.  The oracle
+    recomputes all three from scratch in SQL; completeness lands below
+    1.0 because mid-digit typos sort far from their sibling, which is
+    exactly the trade the report exists to expose."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.dedup import (
+        blocking_quality_report,
+        edit_distance_join,
+        sorted_neighborhood_pairs,
+    )
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    n = cust.count()
+    cand = sorted_neighborhood_pairs(cust, "c_custkey", "c_name", window=3)
+    truth = edit_distance_join(
+        cust.select(F.col("c_custkey").alias("ka"), "c_name"),
+        cust, "ka", "c_custkey", "c_name", max_dist=1,
+    ).filter(F.col("ka") != F.col("c_custkey")).select(
+        F.col("ka").alias("id_a"), F.col("c_custkey").alias("id_b"),
+    )
+    rep = blocking_quality_report(cand, truth, n, n)
+    out = rep.select(
+        "n_candidates", "n_truth", "n_hit",
+        F.round(F.col("pair_completeness") + F.lit(1e-9), 6).alias(
+            "pair_completeness",
+        ),
+        F.round(F.col("pair_quality") + F.lit(1e-9), 6).alias("pair_quality"),
+        F.round(F.col("reduction_ratio") + F.lit(1e-9), 6).alias(
+            "reduction_ratio",
+        ),
+    )
+    return attach_persisted(out, *persisted_frames(cand))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4034,6 +4073,7 @@ QUERIES = {
     "entity_resolution": q_entity_resolution,
     "kfold": q_kfold,
     "snm_pairs": q_snm_pairs,
+    "blocking_quality": q_blocking_quality,
 }
 
 ORACLE = {
@@ -7747,6 +7787,42 @@ ORACLE = {
                CAST(abs(a.rn - b.rn) AS BIGINT) AS rank_distance
         FROM r a JOIN r b
           ON b.rn > a.rn AND b.rn - a.rn <= 3
+    """,
+    "blocking_quality": """
+        WITH r AS (
+            SELECT c_custkey,
+                   row_number() OVER (ORDER BY c_name) - 1 AS rn
+            FROM customer
+        ), cand AS (
+            SELECT least(a.c_custkey, b.c_custkey) AS pa,
+                   greatest(a.c_custkey, b.c_custkey) AS pb
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 3
+        ), truth AS (
+            SELECT DISTINCT least(a.c_custkey, b.c_custkey) AS pa,
+                   greatest(a.c_custkey, b.c_custkey) AS pb
+            FROM customer a JOIN customer b
+              ON a.c_custkey <> b.c_custkey
+             AND abs(length(a.c_name) - length(b.c_name)) <= 1
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ), agg AS (
+            SELECT (SELECT count(*) FROM cand) AS n_candidates,
+                   (SELECT count(*) FROM truth) AS n_truth,
+                   (SELECT count(*) FROM truth t
+                    WHERE EXISTS (SELECT 1 FROM cand c
+                                  WHERE c.pa = t.pa AND c.pb = t.pb))
+                       AS n_hit,
+                   (SELECT CAST(count(*) AS DOUBLE) FROM customer) AS n
+        )
+        SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               round(CAST(n_hit AS DOUBLE) / n_truth + 0.000000001, 6)
+                   AS pair_completeness,
+               round(CAST(n_hit AS DOUBLE) / n_candidates + 0.000000001, 6)
+                   AS pair_quality,
+               round(1.0 - n_candidates / (n * n) + 0.000000001, 6)
+                   AS reduction_ratio
+        FROM agg
     """,
 }
 

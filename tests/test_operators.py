@@ -2934,3 +2934,20 @@ def test_sorted_neighborhood_pairs_window(spark):
                 a, b = sorted((ordered[i], ordered[i + d]))
                 expect[(a, b)] = d
     assert got == expect
+
+
+def test_blocking_quality_report(spark):
+    from woodwork_spark.operators.dedup import blocking_quality_report
+
+    cand = spark.createDataFrame(
+        [(1, 10), (2, 20), (30, 3), (4, 40)], "id_a long, id_b long",
+    )
+    truth = spark.createDataFrame(
+        [(10, 1), (3, 30), (5, 50)], "id_a long, id_b long",
+    )
+    r = blocking_quality_report(cand, truth, 100, 100).first()
+    assert r["n_candidates"] == 4 and r["n_truth"] == 3
+    assert r["n_hit"] == 2  # (1,10) and (3,30) despite flipped order
+    assert r["pair_completeness"] == pytest.approx(2 / 3)
+    assert r["pair_quality"] == pytest.approx(0.5)
+    assert r["reduction_ratio"] == pytest.approx(1 - 4 / 10000)

@@ -1287,3 +1287,56 @@ def sorted_neighborhood_pairs(
         .distinct()
     )
     return attach_persisted(out, *persisted_frames(ranked))
+
+
+def blocking_quality_report(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_left: int,
+    n_right: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Evaluate a blocking strategy against verified truth pairs — the
+    standard record-linkage triple:
+
+    - ``pair_completeness`` (candidate recall): fraction of true pairs
+      the blocker surfaced — the number that matters, because a missed
+      candidate is an unrecoverable missed match;
+    - ``pair_quality`` (candidate precision): true pairs per candidate —
+      low is fine (verification is cheap), but trending to zero means
+      the blocker is degenerating toward the cross join;
+    - ``reduction_ratio``: 1 - candidates / (n_left * n_right) — how
+      much of the quadratic pair space the blocker never generated.
+
+    Both inputs are (id_a, id_b) pair frames; ordering within a pair is
+    normalized here, so either convention works.  Two semi-join counts
+    + arithmetic — evaluation costs less than one verify pass.
+    """
+    if n_left < 1 or n_right < 1:
+        raise ValueError("n_left and n_right must be >= 1")
+
+    def norm(df):
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        ).distinct()
+
+    c = norm(candidates)
+    t = norm(truth)
+    n_cand = c.count()
+    n_truth = t.count()
+    n_hit = t.join(c, ["a", "b"], "left_semi").count()
+    spark = candidates.sparkSession
+    total = float(n_left) * float(n_right)
+    return spark.createDataFrame(
+        [(
+            n_cand, n_truth, n_hit,
+            (n_hit / n_truth) if n_truth else None,
+            (n_hit / n_cand) if n_cand else None,
+            1.0 - n_cand / total,
+        )],
+        "n_candidates long, n_truth long, n_hit long, "
+        "pair_completeness double, pair_quality double, "
+        "reduction_ratio double",
+    )
