@@ -3823,6 +3823,11 @@ def q_entity_resolution(spark, sf_dir):
             F.col("pid").alias("id_a"), F.col("c_custkey").alias("id_b"),
         ),
     )
+    # connected_components materializes the edge list before returning,
+    # so the gram caches attached to `pairs` are dead — free them
+    from woodwork_spark.lifecycle import release as _release
+
+    _release(pairs)
     clustered = allr.join(
         comp.select(
             F.col("id").alias("c_custkey"), F.col("component"),
@@ -3859,12 +3864,17 @@ def q_snm_pairs(spark, sf_dir):
     row_number-distance self-join."""
     from woodwork_spark.operators.dedup import sorted_neighborhood_pairs
 
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
     _prep(spark)
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     out = sorted_neighborhood_pairs(cust, "c_custkey", "c_name", window=3)
-    return out.select(
+    res = out.select(
         "id_a", "id_b", F.col("rank_distance").cast("long").alias("rank_distance"),
     )
+    # select() strips the lifecycle attachments — re-attach so
+    # release(result) frees the operator's rank persists
+    return attach_persisted(res, *persisted_frames(out))
 
 
 def q_blocking_quality(spark, sf_dir):
@@ -3898,6 +3908,11 @@ def q_blocking_quality(spark, sf_dir):
         F.col("ka").alias("id_a"), F.col("c_custkey").alias("id_b"),
     )
     rep = blocking_quality_report(cand, truth, n, n)
+    # the report's counts already executed — the gram caches on `truth`
+    # are dead
+    from woodwork_spark.lifecycle import release as _release
+
+    _release(truth)
     out = rep.select(
         "n_candidates", "n_truth", "n_hit",
         F.round(F.col("pair_completeness") + F.lit(1e-9), 6).alias(

@@ -1102,8 +1102,11 @@ def edit_distance_join(
             .drop("__rk", "__df")
         )
 
-    raw_a = all_grams(left, left_id, text_col, "__lid")
-    raw_b = all_grams(right, right_id, right_text_col, "__rid")
+    # persist the full-gram explodes: each feeds BOTH the frequency
+    # aggregate and the prefix ranking — without the cache the most
+    # expensive stage (the corpus explode) would execute twice per side
+    raw_a = all_grams(left, left_id, text_col, "__lid").persist()
+    raw_b = all_grams(right, right_id, right_text_col, "__rid").persist()
     # ANY fixed global gram order preserves the pigeonhole guarantee;
     # ascending CORPUS frequency makes each prefix hold the record's
     # most discriminative grams — on low-entropy keys (id-like strings
@@ -1156,7 +1159,7 @@ def edit_distance_join(
         F.col(right_id).alias("__rid"), F.col(right_text_col).alias("__tb"),
     )
     dist = F.levenshtein("__ta", "__tb", k)
-    return (
+    out = (
         cand.join(la, "__lid")
         .join(lb, "__rid")
         .select(
@@ -1166,6 +1169,9 @@ def edit_distance_join(
         )
         .filter(F.col("distance") >= 0)
     )
+    # the cached gram explodes ride on the result; free them with
+    # lifecycle.release(result) once the pairs are consumed
+    return attach_persisted(out, raw_a, raw_b)
 
 
 def golden_records(
@@ -1249,7 +1255,12 @@ def sorted_neighborhood_pairs(
     key = sort_key if isinstance(sort_key, list) else [sort_key]
     ranked = global_row_number(
         df,
-        [F.asc(c) if isinstance(c, str) else c for c in key],
+        # id tiebreak: Spark's sort is not stable, so duplicate sort
+        # keys (two customers named 'ANN') would otherwise get
+        # partition-dependent ranks and the candidate set would change
+        # between runs
+        [F.asc(c) if isinstance(c, str) else c for c in key]
+        + [F.asc(id_col)],
         out_col="__rn",
         small_threshold=small_threshold,
     )
