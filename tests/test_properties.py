@@ -559,3 +559,109 @@ def test_transition_matrix_rows_are_distributions(sp, rows):
     per_user = Counter(u for u, _, _ in rows)
     want_pairs = sum(n - 1 for n in per_user.values())
     assert sum(r["n"] for r in got) == want_pairs
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcx", min_size=0, max_size=10),
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=1, max_value=2),
+)
+def test_edit_distance_join_matches_bruteforce(sp, words, k):
+    """Blocking (rarest-first prefixes + short path) is lossless vs the
+    quadratic Levenshtein ground truth on adversarial tiny alphabets
+    (maximally-colliding grams, lengths straddling the short bound)."""
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.dedup import edit_distance_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    la = [(i, w) for i, w in enumerate(words)]
+    lb = [(100 + i, w) for i, w in enumerate(reversed(words))]
+    A = sp.createDataFrame(la, "ida long, s string")
+    B = sp.createDataFrame(lb, "idb long, s string")
+    expect = sorted(
+        (i, j, lev(wa, wb))
+        for i, wa in la for j, wb in lb if lev(wa, wb) <= k
+    )
+    out = edit_distance_join(A, B, "ida", "idb", "s", max_dist=k)
+    got = sorted((r["ida"], r["idb"], r["distance"]) for r in out.collect())
+    release(out)
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.one_of(st.none(), st.floats(min_value=-100, max_value=100,
+                                           allow_nan=False)),
+        ),
+        min_size=1, max_size=15, unique_by=lambda t: t[0],
+    ),
+)
+def test_fill_gaps_linear_matches_pandas(sp, rows):
+    """fill_gaps(linear) reproduces pandas interpolate(method='index',
+    limit_direction='both') on arbitrary sparse series."""
+    import pandas as pd
+
+    from woodwork_spark.operators.timeseries import fill_gaps
+
+    df = sp.createDataFrame(rows, "t long, v double")
+    got = {
+        r["t"]: r["f"]
+        for r in fill_gaps(df, "t", "v", method="linear",
+                           out_col="f").collect()
+    }
+    pdf = pd.DataFrame(sorted(rows), columns=["t", "v"]).set_index("t")
+    want = pdf["v"].astype(float).interpolate(
+        method="index", limit_direction="both",
+    )
+    for t, w in want.items():
+        g = got[t]
+        if pd.isna(w):
+            assert g is None
+        else:
+            assert g is not None and abs(g - w) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # cluster
+            st.integers(min_value=0, max_value=50),     # rid
+            st.floats(min_value=0, max_value=10, allow_nan=False),
+            st.one_of(st.none(), st.text(alphabet="pq", max_size=3)),
+        ),
+        min_size=1, max_size=20, unique_by=lambda t: t[1],
+    ),
+)
+def test_golden_records_matches_pandas(sp, rows):
+    """Field-level survivorship == pandas sort-and-first-non-null."""
+    import pandas as pd
+
+    from woodwork_spark.operators.dedup import golden_records
+
+    df = sp.createDataFrame(rows, "c long, rid long, p double, f string")
+    got = {
+        r["c"]: (r["n_members"], r["f"])
+        for r in golden_records(df, "c", ["f"], "p", "rid").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["c", "rid", "p", "f"])
+    for c, grp in pdf.groupby("c"):
+        nn = grp[grp["f"].notna()].sort_values(
+            ["p", "rid"], ascending=False,
+        )
+        want = None if nn.empty else nn.iloc[0]["f"]
+        assert got[c] == (len(grp), want)
