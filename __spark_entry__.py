@@ -3926,6 +3926,38 @@ def q_blocking_quality(spark, sf_dir):
     return attach_persisted(out, *persisted_frames(cand))
 
 
+def q_triangles(spark, sf_dir):
+    """Triangle census of the part co-purchase graph (parts sharing an
+    order): exact count via degree-ordered node-iterator++ (three
+    shuffles, arboricity-bounded wedge work) plus global transitivity;
+    the oracle recomputes the census from the canonical edge list."""
+    from woodwork_spark.operators.graph import triangle_stats
+
+    _prep(spark)
+    # every-3rd order: the full co-purchase graph at sf0.1 is 1.2M
+    # edges / 148M wedges — a fine stress test but not a bench staple
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 3 == 0,
+    ).select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"),
+    )
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    out = triangle_stats(edges, "pa", "pb")
+    return out.select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        F.round(F.col("transitivity") + F.lit(1e-9), 6).alias("transitivity"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4094,6 +4126,7 @@ QUERIES = {
     "kfold": q_kfold,
     "snm_pairs": q_snm_pairs,
     "blocking_quality": q_blocking_quality,
+    "triangles": q_triangles,
 }
 
 ORACLE = {
@@ -7844,6 +7877,34 @@ ORACLE = {
                    AS pair_quality,
                round(1.0 - n_candidates / (n * n) + 0.000000001, 6)
                    AS reduction_ratio
+        FROM agg
+    """,
+    "triangles": """
+        WITH e AS (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 3 = 0
+        ), deg AS (
+            SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS n FROM e UNION ALL SELECT b FROM e
+            ) GROUP BY n
+        ), tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS t
+            FROM e e1
+            JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        ), agg AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+                       AS n_wedges,
+                   (SELECT t FROM tri) AS n_triangles
+        )
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               round(3.0 * n_triangles / n_wedges + 0.000000001, 6)
+                   AS transitivity
         FROM agg
     """,
 }

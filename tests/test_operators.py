@@ -2951,3 +2951,50 @@ def test_blocking_quality_report(spark):
     assert r["pair_completeness"] == pytest.approx(2 / 3)
     assert r["pair_quality"] == pytest.approx(0.5)
     assert r["reduction_ratio"] == pytest.approx(1 - 4 / 10000)
+
+
+def test_triangle_stats_known_graphs(spark):
+    from woodwork_spark.operators.graph import triangle_stats
+
+    # K4: 4 triangles, 12 wedges, transitivity 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    r = triangle_stats(df).first()
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["transitivity"] == pytest.approx(1.0)
+
+    # path graph a-b-c: one wedge, no triangle
+    p = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    r = triangle_stats(p).first()
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 1
+    assert r["transitivity"] == 0.0
+
+    # duplicate + reversed + self edges collapse to the simple graph
+    noisy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (1, 2)],
+        "src long, dst long",
+    )
+    r = triangle_stats(noisy).first()
+    assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+
+def test_triangle_stats_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from woodwork_spark.operators.graph import triangle_stats
+
+    rng = random.Random(7)
+    nodes = list(range(12))
+    edges = [
+        (a, b) for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.35
+    ]
+    adj = set(edges)
+    tri = sum(
+        1 for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_stats(df).first()
+    assert r["n_triangles"] == tri and r["n_edges"] == len(edges)

@@ -167,3 +167,93 @@ def degree_stats(
         (F.col("n_nodes") / F.col("__tn")).alias("frac_nodes"),
         F.col("__slope").alias("slope"),
     )
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient
+    (transitivity) of the undirected simple graph on ``edges`` — the
+    standard cohesion read on co-occurrence graphs (co-purchases,
+    co-citations, shared-session items).
+
+    Algorithm: node-iterator++ with DEGREE ORIENTATION — every
+    undirected edge is directed from its (degree, id)-smaller endpoint
+    to the larger, wedges enumerate from each node's outgoing pairs,
+    and one more join checks the closing oriented edge.  Degree
+    orientation is the skew defense: a celebrity node of degree d
+    contributes wedges only through its (few) HIGHER-degree neighbors,
+    so per-node wedge work is bounded by arboricity, not d² — the
+    difference between hours and minutes on power-law graphs at scale
+    (Suri & Vassilvitskii 2011).
+
+    Three shuffles total: degree agg, wedge self-join on the low node,
+    closing-edge join.  Returns one row: ``(n_nodes, n_edges,
+    n_wedges, n_triangles, transitivity)`` with ``transitivity =
+    3 * triangles / wedges`` over the UNDIRECTED wedge count (NULL on
+    wedge-free graphs).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b")),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    n_nodes = deg.count()
+    n_edges = e.count()
+    # undirected wedge count: sum over nodes of C(d, 2)
+    n_wedges_row = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"),
+    ).first()
+    n_wedges = int(n_wedges_row["w"] or 0)
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        e.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+            )
+            .alias("o"),
+        )
+        .select(F.col("o.u").alias("u"), F.col("o.v").alias("v"))
+        .persist()
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y"),
+    ).unionAll(
+        oriented.select(F.col("v").alias("x"), F.col("u").alias("y")),
+    ).where(F.col("x") < F.col("y")).distinct()
+    n_tri = wedges.join(closing, ["x", "y"], "left_semi").count()
+    for f in (e, deg, oriented):
+        f.unpersist()
+    spark = edges.sparkSession
+    trans = (3.0 * n_tri / n_wedges) if n_wedges else None
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_wedges, n_tri, trans)],
+        "n_nodes long, n_edges long, n_wedges long, n_triangles long, "
+        "transitivity double",
+    )
