@@ -3958,6 +3958,28 @@ def q_triangles(spark, sf_dir):
     )
 
 
+def q_decompose(spark, sf_dir):
+    """Classical additive decomposition of the hourly event-count series
+    per event_type (period 24, textbook 2x24-MA trend): trend/seasonal/
+    residual — the anomaly signal after daily rhythm and drift are
+    explained away.  Oracle mirrors every window frame in SQL."""
+    from woodwork_spark.operators.timeseries import decompose_series, resample
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    grid = resample(ev, "ts", 3600, group_cols=["event_type"]).select(
+        "event_type",
+        (F.col("bucket_ts_s") / 3600).cast("long").alias("b"),
+        F.col("n_events").cast("double").alias("v"),
+    )
+    out = decompose_series(grid, "b", "v", 24, group_cols=["event_type"])
+    r = lambda c: F.round(F.col(c) + F.lit(1e-9), 4).alias(c)
+    return out.select(
+        "event_type", "b", F.col("v").cast("long").alias("n_events"),
+        r("trend"), r("seasonal"), r("residual"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4127,6 +4149,7 @@ QUERIES = {
     "snm_pairs": q_snm_pairs,
     "blocking_quality": q_blocking_quality,
     "triangles": q_triangles,
+    "decompose": q_decompose,
 }
 
 ORACLE = {
@@ -7906,6 +7929,46 @@ ORACLE = {
                round(3.0 * n_triangles / n_wedges + 0.000000001, 6)
                    AS transitivity
         FROM agg
+    """,
+    "decompose": """
+        WITH obs AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2
+        ), rng AS (
+            SELECT event_type, min(b) AS mn, max(b) AS mx FROM obs GROUP BY 1
+        ), grid AS (
+            SELECT r.event_type, unnest(range(r.mn, r.mx + 1)) AS b FROM rng r
+        ), g AS (
+            SELECT grid.event_type, grid.b, COALESCE(obs.v, 0.0) AS v
+            FROM grid LEFT JOIN obs
+              ON grid.event_type = obs.event_type AND grid.b = obs.b
+        ), tr AS (
+            SELECT event_type, b, v,
+                CASE WHEN count(v) OVER lo = 24 AND count(v) OVER hi = 24
+                     THEN (avg(v) OVER lo + avg(v) OVER hi) / 2.0
+                END AS trend
+            FROM g
+            WINDOW lo AS (PARTITION BY event_type ORDER BY b
+                          ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+                   hi AS (PARTITION BY event_type ORDER BY b
+                          ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+        ), ph AS (
+            SELECT event_type, b % 24 AS phase,
+                   avg(v - trend) AS ph_mean
+            FROM tr GROUP BY 1, 2
+        ), ctr AS (
+            SELECT event_type, avg(ph_mean) AS ph_ctr FROM ph GROUP BY 1
+        )
+        SELECT t.event_type, t.b, CAST(t.v AS BIGINT) AS n_events,
+               round(t.trend + 0.000000001, 4) AS trend,
+               round(p.ph_mean - c.ph_ctr + 0.000000001, 4) AS seasonal,
+               round(t.v - t.trend - (p.ph_mean - c.ph_ctr) + 0.000000001, 4)
+                   AS residual
+        FROM tr t
+        LEFT JOIN ph p ON t.event_type = p.event_type AND t.b % 24 = p.phase
+        LEFT JOIN ctr c ON t.event_type = c.event_type
     """,
 }
 

@@ -2998,3 +2998,41 @@ def test_triangle_stats_matches_bruteforce_random(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     r = triangle_stats(df).first()
     assert r["n_triangles"] == tri and r["n_edges"] == len(edges)
+
+
+def test_decompose_series_recovers_planted_components(spark):
+    import math
+
+    from woodwork_spark.operators.timeseries import decompose_series
+
+    # value = linear trend + exact period-4 seasonal pattern
+    season = [3.0, -1.0, -2.0, 0.0]  # sums to zero
+    rows = [(t, 10.0 + 0.5 * t + season[t % 4]) for t in range(40)]
+    df = spark.createDataFrame(rows, "b long, v double")
+    out = {r["b"]: r for r in decompose_series(df, "b", "v", 4).collect()}
+    # interior buckets: the 2x4-MA is EXACT on linear + period-4
+    # seasonal, so all three components recover to float precision
+    for t in range(10, 30):
+        assert abs(out[t]["trend"] - (10.0 + 0.5 * t)) < 1e-9
+        assert abs(out[t]["seasonal"] - season[t % 4]) < 1e-9
+        assert abs(out[t]["residual"]) < 1e-9
+    # edges have no full window -> NULL trend and residual
+    assert out[0]["trend"] is None and out[0]["residual"] is None
+    assert out[39]["trend"] is None
+    # seasonal sums to ~0 over one cycle
+    s = sum(out[t]["seasonal"] for t in range(12, 16))
+    assert abs(s) < 1e-6
+
+
+def test_decompose_series_grouped(spark):
+    from woodwork_spark.operators.timeseries import decompose_series
+
+    rows = [("g1", t, float(t)) for t in range(12)] + [
+        ("g2", t, 5.0) for t in range(12)
+    ]
+    df = spark.createDataFrame(rows, "g string, b long, v double")
+    out = decompose_series(df, "b", "v", 3, group_cols="g").collect()
+    g2 = [r for r in out if r["g"] == "g2" and r["trend"] is not None]
+    for r in g2:
+        assert r["trend"] == 5.0 and abs(r["seasonal"]) < 1e-9
+        assert abs(r["residual"]) < 1e-9

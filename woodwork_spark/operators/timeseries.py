@@ -515,3 +515,82 @@ def decayed_agg(
         F.sum(w).alias("decayed_count"),
         F.max(F.col(ts_col)).alias("last_ts"),
     )
+
+
+def decompose_series(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    period: int,
+    group_cols=(),
+    trend_window: int = None,
+) -> DataFrame:
+    """Classical additive decomposition of a REGULARLY-SPACED series
+    (run :func:`resample` first): ``value = trend + seasonal +
+    residual``.
+
+    - ``trend``: the classic centered moving average — an m-MA for odd
+      ``period``, the textbook 2x m-MA (two half-weighted ends) for
+      even ``period``, so a pure periodic component is annihilated
+      EXACTLY either way.  Edges without a full window get NULL
+      trend/residual.  ``trend_window`` (odd) overrides with a plain
+      centered MA of that width.
+    - ``seasonal``: per-phase mean of the detrended series (phase =
+      bucket index mod ``period``), centered so the seasonal component
+      sums to ~zero over one cycle.
+    - ``residual``: what's left — the anomaly signal after trend and
+      seasonality are explained away.
+
+    Shape: one centered window per group + one phase aggregate joined
+    back — no iteration, no collect; groups decompose independently in
+    parallel.  ``bucket_col`` must be an integer bucket index or epoch
+    divided by the step (consecutive buckets differ by 1).
+    """
+    from pyspark.sql import Window as W
+
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    if trend_window is not None and trend_window % 2 == 0:
+        raise ValueError(f"trend_window must be odd, got {trend_window}")
+    base = (
+        W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+    ).orderBy(F.col(bucket_col).asc())
+    v = F.col(value_col)
+    if trend_window is not None or period % 2 == 1:
+        w = trend_window or period
+        win = base.rowsBetween(-(w // 2), w // 2)
+        trend = F.when(F.count(v).over(win) == w, F.avg(v).over(win))
+    else:
+        # 2x m-MA for even periods: mean of the two m-wide windows
+        # centered at t-1/2 and t+1/2 — half-weights the two extreme
+        # buckets, which is what cancels an even-period seasonal exactly
+        half = period // 2
+        lo = base.rowsBetween(-half, half - 1)
+        hi = base.rowsBetween(-half + 1, half)
+        trend = F.when(
+            (F.count(v).over(lo) == period) & (F.count(v).over(hi) == period),
+            (F.avg(v).over(lo) + F.avg(v).over(hi)) / 2.0,
+        )
+    out = df.withColumn("trend", trend).withColumn(
+        "__phase", F.pmod(F.col(bucket_col), F.lit(int(period))).cast("long"),
+    ).withColumn("__detr", v - F.col("trend"))
+    ph = out.groupBy(*group_cols, "__phase").agg(
+        F.avg("__detr").alias("__ph_mean"),
+    )
+    ctr = ph.groupBy(*group_cols).agg(F.avg("__ph_mean").alias("__ph_ctr"))
+    ph_keys = [*group_cols, "__phase"]
+    joined = (
+        out.join(ph, ph_keys, "left")
+        .join(ctr, group_cols, "left") if group_cols
+        else out.join(ph, ph_keys, "left").crossJoin(F.broadcast(ctr))
+    )
+    return (
+        joined.withColumn(
+            "seasonal", F.col("__ph_mean") - F.col("__ph_ctr"),
+        )
+        .withColumn("residual", v - F.col("trend") - F.col("seasonal"))
+        .drop("__phase", "__detr", "__ph_mean", "__ph_ctr")
+    )
