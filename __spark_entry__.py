@@ -3980,6 +3980,75 @@ def q_decompose(spark, sf_dir):
     )
 
 
+def q_node_clustering(spark, sf_dir):
+    """Per-node triangle membership + local clustering coefficient of
+    the (every-3rd-order) part co-purchase graph — which parts sit in
+    tight always-bought-together cliques vs mere hubs.  Same
+    degree-ordered wedges as q:triangles, credited to all three
+    corners."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.graph import node_clustering
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 3 == 0,
+    ).select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"),
+    )
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    out = node_clustering(edges, "pa", "pb")
+    res = out.select(
+        "node", "degree", "triangles",
+        F.round(F.col("local_cc") + F.lit(1e-9), 6).alias("local_cc"),
+    )
+    return attach_persisted(res, *persisted_frames(out))
+
+
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard of time-to-first-purchase per
+    user cohort (the robust companion to q:kaplan_meier on the same
+    censored durations): H(t) = sum of d/r over event times."""
+    from woodwork_spark.operators.timeseries import nelson_aalen
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+    )
+    durs = per_user.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(
+            F.col("__p").isNotNull(),
+            F.floor(
+                (F.unix_micros("__p") - F.unix_micros("__t0")) / 3.6e9,
+            ),
+        ).otherwise(
+            F.floor(
+                (F.unix_micros("__last") - F.unix_micros("__t0")) / 3.6e9,
+            ),
+        ).alias("dur_h"),
+        F.col("__p").isNotNull().alias("purchased"),
+    )
+    na = nelson_aalen(durs, "dur_h", "purchased", ["cohort"])
+    return na.select(
+        "cohort", "duration", "n_at_risk", "n_events",
+        F.round(F.col("cum_hazard") + F.lit(1e-9), 6).alias("cum_hazard"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4150,6 +4219,8 @@ QUERIES = {
     "blocking_quality": q_blocking_quality,
     "triangles": q_triangles,
     "decompose": q_decompose,
+    "node_clustering": q_node_clustering,
+    "nelson_aalen": q_nelson_aalen,
 }
 
 ORACLE = {
@@ -7969,6 +8040,74 @@ ORACLE = {
         FROM tr t
         LEFT JOIN ph p ON t.event_type = p.event_type AND t.b % 24 = p.phase
         LEFT JOIN ctr c ON t.event_type = c.event_type
+    """,
+    "node_clustering": """
+        WITH e AS (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 3 = 0
+        ), deg AS (
+            SELECT n, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS n FROM e UNION ALL SELECT b FROM e
+            ) GROUP BY n
+        ), tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        ), per AS (
+            SELECT n, CAST(count(*) AS BIGINT) AS triangles FROM (
+                SELECT x AS n FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY n
+        )
+        SELECT deg.n AS node, deg.degree,
+               CAST(COALESCE(per.triangles, 0) AS BIGINT) AS triangles,
+               round(CASE WHEN deg.degree >= 2
+                          THEN 2.0 * COALESCE(per.triangles, 0)
+                               / (deg.degree * (deg.degree - 1))
+                          ELSE 0.0 END + 0.000000001, 6) AS local_cc
+        FROM deg LEFT JOIN per ON deg.n = per.n
+    """,
+    "nelson_aalen": """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(ts) AS t0,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+                   max(ts) AS lastts
+            FROM events GROUP BY user_id
+        ), durs AS (
+            SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
+                   CASE WHEN p IS NOT NULL
+                        THEN CAST(floor((epoch_us(p) - epoch_us(t0))
+                                        / 3600000000.0) AS BIGINT)
+                        ELSE CAST(floor((epoch_us(lastts) - epoch_us(t0))
+                                        / 3600000000.0) AS BIGINT)
+                   END AS dur_h,
+                   CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM per_user
+        ), counts AS (
+            SELECT cohort, dur_h AS duration,
+                   CAST(sum(ev) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS nn
+            FROM durs GROUP BY cohort, dur_h
+        ), staged AS (
+            SELECT cohort, duration, n_events,
+                   sum(nn) OVER (PARTITION BY cohort ORDER BY duration DESC
+                                 ROWS UNBOUNDED PRECEDING) AS n_at_risk
+            FROM counts
+        )
+        SELECT cohort, duration,
+               CAST(n_at_risk AS BIGINT) AS n_at_risk, n_events,
+               round(sum(CAST(n_events AS DOUBLE) / n_at_risk)
+                         OVER (PARTITION BY cohort ORDER BY duration
+                               ROWS UNBOUNDED PRECEDING)
+                     + 0.000000001, 6) AS cum_hazard
+        FROM staged
+        QUALIFY n_events > 0
     """,
 }
 

@@ -3036,3 +3036,36 @@ def test_decompose_series_grouped(spark):
     for r in g2:
         assert r["trend"] == 5.0 and abs(r["seasonal"]) < 1e-9
         assert abs(r["residual"]) < 1e-9
+
+
+def test_node_clustering_k4_plus_pendant(spark):
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.graph import node_clustering
+
+    # K4 on {0..3} plus pendant node 9 attached to 0
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b] + [(0, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = node_clustering(df)
+    rows = {r["node"]: r for r in out.collect()}
+    release(out)
+    for n in (1, 2, 3):
+        assert rows[n]["triangles"] == 3 and rows[n]["local_cc"] == 1.0
+    # node 0 has degree 4, still 3 triangles -> cc = 6/12
+    assert rows[0]["degree"] == 4 and rows[0]["triangles"] == 3
+    assert rows[0]["local_cc"] == pytest.approx(0.5)
+    assert rows[9]["triangles"] == 0 and rows[9]["local_cc"] == 0.0
+
+
+def test_nelson_aalen_manual(spark):
+    from woodwork_spark.operators.timeseries import nelson_aalen
+
+    # durations: events at 2 (x2), 5; censored at 3, 5
+    rows = [(2.0, True), (2.0, True), (3.0, False), (5.0, True), (5.0, False)]
+    df = spark.createDataFrame(rows, "dur double, ev boolean")
+    out = {r["duration"]: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    # t=2: r=5, d=2 -> H=0.4 ; t=5: r=2, d=1 -> H=0.4+0.5=0.9
+    assert out[2.0]["n_at_risk"] == 5 and out[2.0]["n_events"] == 2
+    assert out[2.0]["cum_hazard"] == pytest.approx(0.4)
+    assert out[5.0]["n_at_risk"] == 2
+    assert out[5.0]["cum_hazard"] == pytest.approx(0.9)
+    assert 3.0 not in out  # censor-only durations emit no hazard row

@@ -594,3 +594,60 @@ def decompose_series(
         .withColumn("residual", v - F.col("trend") - F.col("seasonal"))
         .drop("__phase", "__detr", "__ph_mean", "__ph_ctr")
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols=(),
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — the robust companion
+    to :func:`kaplan_meier`: ``H(t) = sum over distinct event times
+    <= t of d_i / r_i`` (events over at-risk), with censored rows
+    (``event_col`` false) shrinking the risk set without contributing a
+    hazard step.  Preferred over -log(KM) when risk sets get small.
+
+    Same scale shape as kaplan_meier: rows collapse to per-(group,
+    duration) death/censor counts FIRST, the at-risk suffix sum and the
+    cumulative hazard run over DISTINCT durations only.  Returns one
+    row per (group, duration with >= 1 death): ``(group_cols...,
+    duration, n_at_risk, n_events, cum_hazard)``.
+    """
+    from pyspark.sql import Window as W
+
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    d = F.col(duration_col)
+    ev = F.col(event_col).cast("boolean")
+    per = (
+        df.filter(d.isNotNull())
+        .groupBy(*group_cols, d.alias("duration"))
+        .agg(
+            F.sum(ev.cast("long")).alias("n_events"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+    base = (
+        W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+    )
+    at_risk = F.sum("n_total").over(
+        base.orderBy(F.col("duration").asc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing),
+    )
+    scored = per.withColumn("n_at_risk", at_risk).withColumn(
+        "cum_hazard",
+        F.sum(
+            F.col("n_events") / F.col("n_at_risk"),
+        ).over(
+            base.orderBy(F.col("duration").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow),
+        ),
+    )
+    return scored.filter(F.col("n_events") > 0).select(
+        *group_cols, "duration",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "cum_hazard",
+    )
