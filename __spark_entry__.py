@@ -4049,6 +4049,28 @@ def q_nelson_aalen(spark, sf_dir):
     )
 
 
+def q_trend_test(spark, sf_dir):
+    """Robust drift detection on the daily revenue series per order
+    priority: Theil-Sen slope + Mann-Kendall S/z over daily buckets —
+    the outlier-proof answer to "is this metric actually trending".
+    The oracle replays the exact pair space in SQL."""
+    from woodwork_spark.operators.timeseries import trend_test
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.floor(F.unix_date(F.col("o_orderdate").cast("date")) / 7).alias("wk"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    out = trend_test(daily, "wk", "rev", "o_orderpriority")
+    return out.select(
+        "o_orderpriority", "n_points", "n_pairs",
+        F.round(F.col("sen_slope") + F.lit(1e-9), 4).alias("sen_slope"),
+        "s_stat",
+        F.round(F.col("z_stat") + F.lit(1e-9), 6).alias("z_stat"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4221,6 +4243,7 @@ QUERIES = {
     "decompose": q_decompose,
     "node_clustering": q_node_clustering,
     "nelson_aalen": q_nelson_aalen,
+    "trend_test": q_trend_test,
 }
 
 ORACLE = {
@@ -8108,6 +8131,44 @@ ORACLE = {
                      + 0.000000001, 6) AS cum_hazard
         FROM staged
         QUALIFY n_events > 0
+    """,
+    "trend_test": """
+        WITH daily AS (
+            SELECT o_orderpriority,
+                   CAST(floor(datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) / 7)
+                        AS BIGINT) AS wk,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.o_orderpriority,
+                   (b.rev - a.rev) / (b.wk - a.wk) AS sl,
+                   CASE WHEN b.rev > a.rev THEN 1
+                        WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sg
+            FROM daily a JOIN daily b
+              ON a.o_orderpriority = b.o_orderpriority AND a.wk < b.wk
+        ), agg AS (
+            SELECT o_orderpriority,
+                   quantile_cont(sl, 0.5) AS sen_slope,
+                   CAST(sum(sg) AS BIGINT) AS s_stat,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY 1
+        ), cnt AS (
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_points
+            FROM daily GROUP BY 1
+        )
+        SELECT a.o_orderpriority, c.n_points, a.n_pairs,
+               round(a.sen_slope + 0.000000001, 4) AS sen_slope,
+               a.s_stat,
+               round(CASE
+                   WHEN a.s_stat > 0 THEN (a.s_stat - 1.0)
+                        / sqrt(c.n_points * (c.n_points - 1.0)
+                               * (2.0 * c.n_points + 5.0) / 18.0)
+                   WHEN a.s_stat < 0 THEN (a.s_stat + 1.0)
+                        / sqrt(c.n_points * (c.n_points - 1.0)
+                               * (2.0 * c.n_points + 5.0) / 18.0)
+                   ELSE 0.0 END + 0.000000001, 6) AS z_stat
+        FROM agg a JOIN cnt c USING (o_orderpriority)
     """,
 }
 

@@ -3069,3 +3069,25 @@ def test_nelson_aalen_manual(spark):
     assert out[5.0]["n_at_risk"] == 2
     assert out[5.0]["cum_hazard"] == pytest.approx(0.9)
     assert 3.0 not in out  # censor-only durations emit no hazard row
+
+
+def test_trend_test_robust_slope_and_mk(spark):
+    from woodwork_spark.operators.timeseries import trend_test
+
+    # clean rising line y = 2x with ONE wild outlier; least squares
+    # would bend, Theil-Sen must stay at 2
+    rows = [("g", float(x), 2.0 * x) for x in range(10)]
+    rows[5] = ("g", 5.0, 500.0)
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = trend_test(df, "x", "y", "g").first()
+    assert r["n_points"] == 10 and r["n_pairs"] == 45
+    assert abs(r["sen_slope"] - 2.0) < 1e-9
+    # monotone-up except around the outlier: S strongly positive
+    assert r["s_stat"] > 30 and r["z_stat"] > 3
+
+    # flat series: slope 0, S 0, z 0
+    flat = spark.createDataFrame(
+        [("f", float(x), 7.0) for x in range(8)], "g string, x double, y double",
+    )
+    r = trend_test(flat, "x", "y", "g").first()
+    assert r["sen_slope"] == 0.0 and r["s_stat"] == 0 and r["z_stat"] == 0.0

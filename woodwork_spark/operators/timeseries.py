@@ -651,3 +651,75 @@ def nelson_aalen(
         F.col("n_events").cast("long").alias("n_events"),
         "cum_hazard",
     )
+
+
+def trend_test(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols=(),
+) -> DataFrame:
+    """Robust trend per group: Theil-Sen slope (median of all pairwise
+    slopes — one wild month cannot drag it) plus the Mann-Kendall S
+    statistic and its normal-approximation z — the standard
+    "is this metric actually drifting" read for monitoring series,
+    where least squares and its p-values are ruined by outliers.
+
+    Pair space is O(n²) PER GROUP by definition of the estimators —
+    run it on an AGGREGATED series (daily buckets via
+    :func:`resample`), not raw events; 1000 buckets = ~500k pairs per
+    group, fine; a raw million-event group is not.  Shape: one
+    self-join per group key + one grouped aggregate (exact percentile
+    for the slope median); ties in x are skipped for slopes and ties
+    in y contribute 0 to S (the MK convention); the z variance uses
+    the no-ties formula (documented approximation).
+
+    Returns ``(group_cols..., n_points, n_pairs, sen_slope, s_stat,
+    z_stat)``; groups with < 2 distinct points yield no row.
+    """
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull(),
+    ).select(*group_cols, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    a = base.select(
+        *group_cols, F.col("__x").alias("xa"), F.col("__y").alias("ya"),
+    )
+    b = base.select(
+        *group_cols, F.col("__x").alias("xb"), F.col("__y").alias("yb"),
+    )
+    pairs = (
+        a.join(b, group_cols) if group_cols else a.crossJoin(b)
+    ).where(F.col("xa") < F.col("xb"))
+    slope = (F.col("yb") - F.col("ya")) / (
+        F.col("xb").cast("double") - F.col("xa").cast("double")
+    )
+    sgn = F.signum(F.col("yb") - F.col("ya"))
+    agg = (
+        pairs.withColumn("__sl", slope)
+        .withColumn("__sg", sgn)
+        .groupBy(*group_cols)
+        .agg(
+            F.expr("percentile(__sl, 0.5)").alias("sen_slope"),
+            F.sum("__sg").cast("long").alias("s_stat"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    counts = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    n = F.col("n_points").cast("double")
+    var_s = n * (n - 1) * (2 * n + 5) / 18.0
+    s = F.col("s_stat").cast("double")
+    z = F.when(s > 0, (s - 1) / F.sqrt(var_s)).when(
+        s < 0, (s + 1) / F.sqrt(var_s),
+    ).otherwise(F.lit(0.0))
+    joined = (
+        agg.join(counts, group_cols) if group_cols
+        else agg.crossJoin(counts)
+    )
+    return joined.select(
+        *group_cols, "n_points", "n_pairs", "sen_slope", "s_stat",
+        z.alias("z_stat"),
+    )
