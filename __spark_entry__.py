@@ -4071,6 +4071,31 @@ def q_trend_test(spark, sf_dir):
     )
 
 
+def q_holt(spark, sf_dir):
+    """Holt double exponential smoothing (alpha .5, beta .3) on weekly
+    revenue per order priority: final level/trend state + in-sample
+    one-step MAE, fit per group in one Arrow batch (the rare legitimate
+    applyInPandas — the recurrence is sequential by nature).  The
+    oracle replays the exact recurrence with a RECURSIVE CTE, proving
+    even sequential algorithms stay oracle-checkable."""
+    from woodwork_spark.operators.timeseries import holt_fit
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        "o_orderpriority",
+        F.floor(F.unix_date(F.col("o_orderdate").cast("date")) / 7).alias("wk"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    out = holt_fit(weekly, "wk", "rev", "o_orderpriority",
+                   alpha=0.5, beta=0.3)
+    return out.select(
+        "o_orderpriority", "n_points",
+        F.round(F.col("level") + F.lit(1e-9), 4).alias("level"),
+        F.round(F.col("trend") + F.lit(1e-9), 4).alias("trend"),
+        F.round(F.col("mae") + F.lit(1e-9), 4).alias("mae"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4244,6 +4269,7 @@ QUERIES = {
     "node_clustering": q_node_clustering,
     "nelson_aalen": q_nelson_aalen,
     "trend_test": q_trend_test,
+    "holt": q_holt,
 }
 
 ORACLE = {
@@ -8169,6 +8195,44 @@ ORACLE = {
                                * (2.0 * c.n_points + 5.0) / 18.0)
                    ELSE 0.0 END + 0.000000001, 6) AS z_stat
         FROM agg a JOIN cnt c USING (o_orderpriority)
+    """,
+    "holt": """
+        WITH RECURSIVE weekly AS (
+            SELECT o_orderpriority AS g,
+                   CAST(floor(datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) / 7)
+                        AS BIGINT) AS wk,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1, 2
+        ), ord AS (
+            SELECT g, wk, rev,
+                   row_number() OVER (PARTITION BY g ORDER BY wk) AS rn
+            FROM weekly
+        ), np AS (
+            SELECT g, CAST(max(rn) AS BIGINT) AS n_points FROM ord GROUP BY g
+        ), rec(g, rn, level, trend, aes, en) AS (
+            -- t=2 collapses to level=y2, trend=y2-y1 for ANY alpha/beta
+            SELECT o2.g, CAST(2 AS BIGINT),
+                   CAST(o2.rev AS DOUBLE),
+                   CAST(o2.rev - o1.rev AS DOUBLE),
+                   CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)
+            FROM ord o1 JOIN ord o2 ON o1.g = o2.g
+            WHERE o1.rn = 1 AND o2.rn = 2
+            UNION ALL
+            SELECT rec.g, rec.rn + 1,
+                   0.5 * o.rev + 0.5 * (rec.level + rec.trend),
+                   0.3 * ((0.5 * o.rev + 0.5 * (rec.level + rec.trend))
+                          - rec.level) + 0.7 * rec.trend,
+                   rec.aes + abs(o.rev - (rec.level + rec.trend)),
+                   rec.en + 1
+            FROM rec JOIN ord o ON o.g = rec.g AND o.rn = rec.rn + 1
+        )
+        SELECT rec.g AS o_orderpriority, np.n_points,
+               round(rec.level + 0.000000001, 4) AS level,
+               round(rec.trend + 0.000000001, 4) AS trend,
+               round(CASE WHEN rec.en > 0 THEN rec.aes / rec.en END
+                     + 0.000000001, 4) AS mae
+        FROM rec JOIN np ON rec.g = np.g AND rec.rn = np.n_points
     """,
 }
 

@@ -3091,3 +3091,43 @@ def test_trend_test_robust_slope_and_mk(spark):
     )
     r = trend_test(flat, "x", "y", "g").first()
     assert r["sen_slope"] == 0.0 and r["s_stat"] == 0 and r["z_stat"] == 0.0
+
+
+def test_holt_fit_exact_on_linear_series(spark):
+    from woodwork_spark.operators.timeseries import holt_fit
+
+    # perfectly linear series: Holt locks on exactly — level = last y,
+    # trend = slope, one-step errors all zero
+    rows = [("g", float(t), 3.0 + 2.0 * t) for t in range(12)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = holt_fit(df, "x", "y", "g", alpha=0.5, beta=0.3).first()
+    assert r["n_points"] == 12
+    assert abs(r["level"] - (3.0 + 2.0 * 11)) < 1e-9
+    assert abs(r["trend"] - 2.0) < 1e-9
+    assert r["mae"] == pytest.approx(0.0)
+
+
+def test_holt_fit_matches_manual_recurrence(spark):
+    from woodwork_spark.operators.timeseries import holt_fit
+
+    ys = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0]
+    a, b = 0.4, 0.2
+    level, trend = ys[0], ys[1] - ys[0]
+    errs = []
+    for t in range(1, len(ys)):
+        if t >= 2:
+            errs.append(abs(ys[t] - (level + trend)))
+        prev = level
+        level = a * ys[t] + (1 - a) * (level + trend)
+        trend = b * (level - prev) + (1 - b) * trend
+    df = spark.createDataFrame(
+        [("g", float(t), y) for t, y in enumerate(ys)],
+        "g string, x double, y double",
+    )
+    r = holt_fit(df, "x", "y", "g", alpha=a, beta=b).first()
+    assert abs(r["level"] - level) < 1e-12
+    assert abs(r["trend"] - trend) < 1e-12
+    assert abs(r["mae"] - sum(errs) / len(errs)) < 1e-12
+    # groups with one point are dropped
+    one = spark.createDataFrame([("h", 0.0, 1.0)], "g string, x double, y double")
+    assert holt_fit(one, "x", "y", "g").count() == 0

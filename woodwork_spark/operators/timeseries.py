@@ -723,3 +723,75 @@ def trend_test(
         *group_cols, "n_points", "n_pairs", "sen_slope", "s_stat",
         z.alias("z_stat"),
     )
+
+
+_HOLT_SCHEMA = (
+    "n_points long, level double, trend double, mae double"
+)
+
+
+def holt_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt linear (double) exponential smoothing per group — the
+    workhorse short-range forecaster: level ``l_t = a*y_t +
+    (1-a)*(l_{t-1} + b_{t-1})`` and trend ``b_t = B*(l_t - l_{t-1}) +
+    (1-B)*b_{t-1}``, initialized ``l_1 = y_1, b_1 = y_2 - y_1``.
+    The h-step forecast is ``level + h * trend`` off the returned
+    state; ``mae`` is the in-sample one-step error mean over ``t >= 3``
+    (the first two points feed initialization).
+
+    The recurrence is inherently sequential, so this is one of the few
+    LEGITIMATE ``applyInPandas`` operators in the library: groups fan
+    out across the cluster, the per-group series (run :func:`resample`
+    first — buckets, not raw events) iterates in one Arrow batch.
+    Rows with NULL x/y are dropped; groups with < 2 points yield no
+    row.  Returns ``(group_cols..., n_points, level, trend, mae)``.
+    """
+    import pandas as pd
+
+    if not 0 < alpha <= 1 or not 0 < beta <= 1:
+        raise ValueError("alpha and beta must be in (0, 1]")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    if not group_cols:
+        raise ValueError("holt_fit requires group_cols")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull(),
+    ).select(*group_cols, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__x")
+        y = pdf["__y"].astype(float).to_numpy()
+        keys = pdf.iloc[0][group_cols]
+        if len(y) < 2:
+            return pd.DataFrame(columns=[*group_cols, "n_points", "level",
+                                         "trend", "mae"])
+        level = y[0]
+        trend = y[1] - y[0]
+        abs_err = []
+        for t in range(1, len(y)):
+            if t >= 2:
+                abs_err.append(abs(y[t] - (level + trend)))
+            prev_level = level
+            level = alpha * y[t] + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev_level) + (1 - beta) * trend
+        mae = float(sum(abs_err) / len(abs_err)) if abs_err else None
+        return pd.DataFrame(
+            [[*keys, len(y), float(level), float(trend), mae]],
+            columns=[*group_cols, "n_points", "level", "trend", "mae"],
+        )
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.select(*group_cols).schema.fields
+    )
+    return base.groupBy(*group_cols).applyInPandas(
+        fit, f"{key_schema}, {_HOLT_SCHEMA}",
+    )
