@@ -4096,6 +4096,27 @@ def q_holt(spark, sf_dir):
     )
 
 
+def q_forecast_eval(spark, sf_dir):
+    """Forecast honesty check on the weekly revenue series: naive and
+    seasonal-naive (period 4) one-step MAEs per priority — the bar any
+    model (q:holt's MAE) must beat.  Pure lag windows; window-SQL
+    oracle."""
+    from woodwork_spark.operators.timeseries import forecast_baselines
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        "o_orderpriority",
+        F.floor(F.unix_date(F.col("o_orderdate").cast("date")) / 7).alias("wk"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    out = forecast_baselines(weekly, "wk", "rev", "o_orderpriority", period=4)
+    return out.select(
+        "o_orderpriority", "n_points",
+        F.round(F.col("mae_naive") + F.lit(1e-9), 4).alias("mae_naive"),
+        F.round(F.col("mae_snaive") + F.lit(1e-9), 4).alias("mae_snaive"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4270,6 +4291,7 @@ QUERIES = {
     "nelson_aalen": q_nelson_aalen,
     "trend_test": q_trend_test,
     "holt": q_holt,
+    "forecast_eval": q_forecast_eval,
 }
 
 ORACLE = {
@@ -8233,6 +8255,27 @@ ORACLE = {
                round(CASE WHEN rec.en > 0 THEN rec.aes / rec.en END
                      + 0.000000001, 4) AS mae
         FROM rec JOIN np ON rec.g = np.g AND rec.rn = np.n_points
+    """,
+    "forecast_eval": """
+        WITH weekly AS (
+            SELECT o_orderpriority AS g,
+                   CAST(floor(datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) / 7)
+                        AS BIGINT) AS wk,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1, 2
+        ), scored AS (
+            SELECT g, rev,
+                   abs(rev - lag(rev, 1) OVER w) AS e1,
+                   abs(rev - lag(rev, 4) OVER w) AS es
+            FROM weekly
+            WINDOW w AS (PARTITION BY g ORDER BY wk)
+        )
+        SELECT g AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_points,
+               round(avg(e1) + 0.000000001, 4) AS mae_naive,
+               round(avg(es) + 0.000000001, 4) AS mae_snaive
+        FROM scored GROUP BY g
     """,
 }
 

@@ -3131,3 +3131,17 @@ def test_holt_fit_matches_manual_recurrence(spark):
     # groups with one point are dropped
     one = spark.createDataFrame([("h", 0.0, 1.0)], "g string, x double, y double")
     assert holt_fit(one, "x", "y", "g").count() == 0
+
+
+def test_forecast_baselines(spark):
+    from woodwork_spark.operators.timeseries import forecast_baselines
+
+    # period-2 alternating series: naive always off by 4, snaive exact
+    rows = [("g", float(t), 10.0 + (4.0 if t % 2 else 0.0)) for t in range(8)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = forecast_baselines(df, "x", "y", "g", period=2).first()
+    assert r["mae_naive"] == pytest.approx(4.0)
+    assert r["mae_snaive"] == pytest.approx(0.0)
+    # no period -> NULL snaive
+    r2 = forecast_baselines(df, "x", "y", "g").first()
+    assert r2["mae_snaive"] is None and r2["n_points"] == 8

@@ -795,3 +795,51 @@ def holt_fit(
     return base.groupBy(*group_cols).applyInPandas(
         fit, f"{key_schema}, {_HOLT_SCHEMA}",
     )
+
+
+def forecast_baselines(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols,
+    period: int = None,
+) -> DataFrame:
+    """One-step in-sample MAE of the two standard forecast baselines
+    per group — naive (ŷ_t = y_{t-1}) and, with ``period``, seasonal
+    naive (ŷ_t = y_{t-period}).  The honesty check for any forecaster:
+    :func:`holt_fit`'s ``mae`` (or a model's backtest) only means
+    something relative to these — a model losing to last-week's-value
+    is not a model.
+
+    Pure windows (lag per group, one aggregate), no recurrence.
+    Returns ``(group_cols..., n_points, mae_naive, mae_snaive)`` with
+    ``mae_snaive`` NULL when ``period`` is None or the series is
+    shorter than ``period + 1``.
+    """
+    from pyspark.sql import Window as W
+
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull(),
+    ).select(*group_cols, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    w = (
+        W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+    ).orderBy(F.col("__x").asc())
+    scored = base.withColumn(
+        "__e1", F.abs(F.col("__y") - F.lag("__y", 1).over(w)),
+    )
+    if period:
+        if period < 1:
+            raise ValueError(f"period must be >= 1, got {period}")
+        scored = scored.withColumn(
+            "__es", F.abs(F.col("__y") - F.lag("__y", int(period)).over(w)),
+        )
+    else:
+        scored = scored.withColumn("__es", F.lit(None).cast("double"))
+    return scored.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.avg("__e1").alias("mae_naive"),
+        F.avg("__es").alias("mae_snaive"),
+    )
