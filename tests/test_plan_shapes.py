@@ -520,3 +520,50 @@ def test_session4_operator_plan_shapes(spark):
     fg = fill_gaps(grid, "t", "v", ["event_type"], method="linear")
     plan = _executed_plan(fg)
     assert "Join" not in plan and "PythonUDF" not in plan
+
+
+def test_forecasting_batch_plan_shapes(spark):
+    """Session-4 forecasting/monitoring batch: window-only or bounded
+    pair joins, applyInPandas only where the algorithm is sequential."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.operators.timeseries import (
+        decompose_series,
+        forecast_baselines,
+        holt_fit,
+        nelson_aalen,
+        trend_test,
+    )
+
+    ev = read_parquet(spark, f"{SF}/events.parquet")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d"),
+    ).agg(F.sum("value").alias("v")).withColumn(
+        "b", F.unix_date(F.col("d").cast("date")).cast("long"),
+    )
+
+    # decompose: windows + small joins, no UDF, no cartesian
+    plan = _executed_plan(decompose_series(daily, "b", "v", 7,
+                                           group_cols=["event_type"]))
+    assert "PythonUDF" not in plan and "CartesianProduct" not in plan
+
+    # trend_test: group-keyed pair join (NOT a cartesian product node)
+    plan = _executed_plan(trend_test(daily, "b", "v", "event_type"))
+    assert "CartesianProduct" not in plan
+
+    # baselines / nelson_aalen: pure windows + aggs
+    plan = _executed_plan(
+        forecast_baselines(daily, "b", "v", "event_type", period=7),
+    )
+    assert "PythonUDF" not in plan and "Join" not in plan
+    na_in = daily.select(
+        "event_type", F.col("v").alias("dur"),
+        (F.col("b") % 2 == 0).alias("evf"),
+    )
+    plan = _executed_plan(nelson_aalen(na_in, "dur", "evf", ["event_type"]))
+    assert "PythonUDF" not in plan
+
+    # holt: the ONE legitimate applyInPandas — grouped-map node present
+    plan = _executed_plan(holt_fit(daily, "b", "v", "event_type"))
+    assert "FlatMapGroupsInPandas" in plan
