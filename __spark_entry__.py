@@ -4117,6 +4117,42 @@ def q_forecast_eval(spark, sf_dir):
     )
 
 
+def q_stream_match(spark, sf_dir):
+    """Ingest-time near-duplicate detection: a stream of near-copies of
+    every 4th document (three words appended -> jaccard ~0.9+) is
+    matched STATELESSLY against the standing corpus (banded MinHash
+    stream-static join, exact-Jaccard verify, min-colliding-band pair
+    dedup — no streaming state at all); per-language verified-pair
+    counts must equal the exact batch cross-check in SQL.  Threshold
+    0.9 keeps banded recall at ~1-4e-8 so the LSH path is exhaustive
+    at this similarity."""
+    import uuid
+
+    from woodwork_spark.streaming.events import (
+        match_stream_against_corpus,
+        run_stream_to_memory,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    planted = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 500000).alias("sid"),
+        F.concat(F.col("text"), F.lit(" extra tail words")).alias("text"),
+    )
+    path = "/tmp/ww_stream_match_src"
+    planted.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema("sid long, text string").parquet(path)
+    matches = match_stream_against_corpus(
+        stream, docs, "sid", "doc_id", "text", threshold=0.9,
+    )
+    enriched = matches.join(
+        F.broadcast(docs.select("doc_id", "lang")), "doc_id",
+    )
+    agg = enriched.groupBy("lang").agg(F.count(F.lit(1)).alias("n_pairs"))
+    name = f"stream_match_{uuid.uuid4().hex[:8]}"
+    return run_stream_to_memory(agg, name)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4292,6 +4328,7 @@ QUERIES = {
     "trend_test": q_trend_test,
     "holt": q_holt,
     "forecast_eval": q_forecast_eval,
+    "stream_match": q_stream_match,
 }
 
 ORACLE = {
@@ -8276,6 +8313,37 @@ ORACLE = {
                round(avg(e1) + 0.000000001, 4) AS mae_naive,
                round(avg(es) + 0.000000001, 4) AS mae_snaive
         FROM scored GROUP BY g
+    """,
+    "stream_match": """
+        WITH planted AS (
+            SELECT doc_id + 500000 AS sid,
+                   text || ' extra tail words' AS text
+            FROM documents WHERE doc_id % 4 = 0
+        ), gp AS (
+            SELECT sid,
+                   list_distinct([
+                       array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+                   ]) AS gs
+            FROM (SELECT sid, string_split(trim(text), ' ') AS words
+                  FROM planted)
+        ), gc AS (
+            SELECT doc_id, lang,
+                   list_distinct([
+                       array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(words) - 2, 1) + 1)
+                   ]) AS gs
+            FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS words
+                  FROM documents)
+        ), pairs AS (
+            SELECT gc.lang
+            FROM gp JOIN gc
+              ON len(list_intersect(gp.gs, gc.gs))::DOUBLE
+                 / (len(gp.gs) + len(gc.gs)
+                    - len(list_intersect(gp.gs, gc.gs))) >= 0.9
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY lang
     """,
 }
 

@@ -241,3 +241,46 @@ def test_score_stream_against_bounds_flags_and_unseen_keys(spark, tmp_path):
     assert rows["a"]["n"] == 3 and rows["a"]["n_anom"] == 1  # only 50.0
     assert rows["b"]["n_anom"] == 0
     assert rows["unseen"]["n_anom"] == 0  # no bounds -> never flagged
+
+
+def test_match_stream_against_corpus_planted_dups(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.streaming.events import (
+        match_stream_against_corpus,
+        run_stream_to_memory,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten eleven"),
+            (3, "totally different words in this corpus document here now"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "stream_docs")
+    spark.createDataFrame(
+        [
+            # near-copy of corpus doc 1 (one word appended)
+            (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa x"),
+            # exact copy of doc 2
+            (102, "one two three four five six seven eight nine ten eleven"),
+            # novel doc: must NOT match
+            (103, "completely unrelated brand new content streaming in here"),
+        ],
+        "sid long, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("sid long, text string").parquet(src)
+    matches = match_stream_against_corpus(
+        stream, corpus, "sid", "doc_id", "text", threshold=0.6,
+    )
+    agg = matches.groupBy("sid", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    rows = run_stream_to_memory(agg, "stream_match_t").collect()
+    got = {(r["sid"], r["doc_id"]): r["n_rows"] for r in rows}
+    assert (101, 1) in got and (102, 2) in got
+    assert all(k[0] != 103 for k in got)
+    # the min-colliding-band filter makes each pair exactly ONE row
+    assert all(v == 1 for v in got.values()), got

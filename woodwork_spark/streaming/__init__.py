@@ -7,6 +7,7 @@ from woodwork_spark.streaming.events import (
     late_data_counts_stream,
     windowed_distinct_stream,
     score_stream_against_bounds,
+    match_stream_against_corpus,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "late_data_counts_stream",
     "windowed_distinct_stream",
     "score_stream_against_bounds",
+    "match_stream_against_corpus",
 ]

@@ -481,3 +481,107 @@ def score_stream_against_bounds(
         .withColumn(flag_col, F.coalesce(flag, F.lit(False)))
         .drop("__low", "__high")
     )
+
+
+def match_stream_against_corpus(
+    stream: DataFrame,
+    corpus: DataFrame,
+    stream_id: str,
+    corpus_id: str,
+    text_col: str,
+    corpus_text_col: str = None,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    use_words: bool = True,
+) -> DataFrame:
+    """STATELESS streaming near-duplicate detection against a standing
+    corpus: every incoming document is MinHash-banded (pure
+    expressions), candidate-joined to the corpus's precomputed band
+    buckets (stream-static equi-join — no streaming state, no
+    watermark), and verified with the exact Jaccard over shingle sets.
+    The streaming face of :func:`~woodwork_spark.operators.dedup.
+    dedup_against_corpus` — ingest-time contamination / plagiarism /
+    re-crawl filtering at micro-batch latency.
+
+    Exactly ONE output row per matching (stream doc, corpus doc) pair
+    with zero streaming state: a pair colliding in several bands would
+    surface once per band, so each candidate row recomputes both band
+    hash arrays from the joined signatures and survives only when its
+    band is the MINIMUM colliding band — pure column expressions where
+    a batch pipeline would just call distinct() (a stateful op a
+    stream cannot afford).
+
+    The corpus-side bucket and shingle tables are persisted here
+    (static sides of stream-static joins re-execute per micro-batch
+    otherwise).  Returns ``(stream_id, corpus_id, jaccard)``.
+    """
+    from woodwork_spark.operators.dedup import (
+        minhash_signature_expr,
+        shingles_expr,
+    )
+
+    corpus_text_col = corpus_text_col or text_col
+    rows_per_band = num_perm // bands
+    if rows_per_band < 1:
+        raise ValueError("bands must be <= num_perm")
+
+    def band_hashes(sig_col):
+        return F.array(
+            *[
+                F.hash(F.slice(sig_col, b * rows_per_band + 1, rows_per_band))
+                for b in range(bands)
+            ],
+        )
+
+    c_sh = (
+        corpus.select(
+            F.col(corpus_id).alias("__cid"),
+            shingles_expr(corpus_text_col, shingle_k, use_words).alias("__csh"),
+        )
+        .filter(F.size("__csh") > 0)
+        .withColumn("__csig", minhash_signature_expr("__csh", num_perm))
+        .persist()
+    )
+    c_bands = (
+        c_sh.select(
+            "__cid",
+            F.posexplode(band_hashes(F.col("__csig"))).alias("band", "bh"),
+        )
+        .persist()
+    )
+    s = (
+        stream.select(
+            F.col(stream_id).alias("__sid"),
+            shingles_expr(text_col, shingle_k, use_words).alias("__ssh"),
+        )
+        .filter(F.size("__ssh") > 0)
+        .withColumn("__ssig", minhash_signature_expr("__ssh", num_perm))
+    )
+    s_bands = s.select(
+        "__sid", "__ssh", "__ssig",
+        F.posexplode(band_hashes(F.col("__ssig"))).alias("band", "bh"),
+    )
+    cand = s_bands.join(F.broadcast(c_bands), ["band", "bh"]).join(
+        F.broadcast(c_sh.select("__cid", "__csh", "__csig")), "__cid",
+    )
+    sbh = band_hashes(F.col("__ssig"))
+    cbh = band_hashes(F.col("__csig"))
+    colliding = F.filter(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.element_at(sbh, b + 1) == F.element_at(cbh, b + 1),
+    )
+    inter = F.size(F.array_intersect("__ssh", "__csh"))
+    union = F.size("__ssh") + F.size("__csh") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.filter(F.col("band") == F.array_min(colliding))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("__sid").alias(stream_id),
+            F.col("__cid").alias(corpus_id),
+            "jaccard",
+        )
+    )
