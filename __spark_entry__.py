@@ -4050,10 +4050,11 @@ def q_nelson_aalen(spark, sf_dir):
 
 
 def q_trend_test(spark, sf_dir):
-    """Robust drift detection on the daily revenue series per order
-    priority: Theil-Sen slope + Mann-Kendall S/z over daily buckets —
-    the outlier-proof answer to "is this metric actually trending".
-    The oracle replays the exact pair space in SQL."""
+    """Robust drift detection on the WEEKLY revenue series per order
+    priority: Theil-Sen slope + Mann-Kendall S/z over ~weekly buckets
+    (the same aggregation q:holt and q:forecast_eval fit) — the
+    outlier-proof answer to "is this metric actually trending".  The
+    oracle replays the exact pair space in SQL."""
     from woodwork_spark.operators.timeseries import trend_test
 
     _prep(spark)
@@ -4139,7 +4140,13 @@ def q_stream_match(spark, sf_dir):
         (F.col("doc_id") + 500000).alias("sid"),
         F.concat(F.col("text"), F.lit(" extra tail words")).alias("text"),
     )
-    path = "/tmp/ww_stream_match_src"
+    import shutil
+
+    from woodwork_spark.lifecycle import release
+
+    # per-call temp dir: a shared fixed path would let two concurrent
+    # sessions overwrite each other's file-source mid-listing
+    path = f"/tmp/ww_stream_match_{uuid.uuid4().hex[:8]}"
     planted.write.mode("overwrite").parquet(path)
     stream = spark.readStream.schema("sid long, text string").parquet(path)
     matches = match_stream_against_corpus(
@@ -4150,7 +4157,13 @@ def q_stream_match(spark, sf_dir):
     )
     agg = enriched.groupBy("lang").agg(F.count(F.lit(1)).alias("n_pairs"))
     name = f"stream_match_{uuid.uuid4().hex[:8]}"
-    return run_stream_to_memory(agg, name)
+    try:
+        return run_stream_to_memory(agg, name)
+    finally:
+        # the memory-sink result no longer reads the source files or
+        # the corpus caches once the availableNow query has terminated
+        release(matches)
+        shutil.rmtree(path, ignore_errors=True)
 
 
 QUERIES = {
@@ -8218,7 +8231,7 @@ ORACLE = {
         QUALIFY n_events > 0
     """,
     "trend_test": """
-        WITH daily AS (
+        WITH weekly AS (
             SELECT o_orderpriority,
                    CAST(floor(datediff('day', DATE '1970-01-01',
                                        CAST(o_orderdate AS DATE)) / 7)
@@ -8230,7 +8243,7 @@ ORACLE = {
                    (b.rev - a.rev) / (b.wk - a.wk) AS sl,
                    CASE WHEN b.rev > a.rev THEN 1
                         WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sg
-            FROM daily a JOIN daily b
+            FROM weekly a JOIN weekly b
               ON a.o_orderpriority = b.o_orderpriority AND a.wk < b.wk
         ), agg AS (
             SELECT o_orderpriority,
@@ -8240,7 +8253,7 @@ ORACLE = {
             FROM pairs GROUP BY 1
         ), cnt AS (
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_points
-            FROM daily GROUP BY 1
+            FROM weekly GROUP BY 1
         )
         SELECT a.o_orderpriority, c.n_points, a.n_pairs,
                round(a.sen_slope + 0.000000001, 4) AS sen_slope,

@@ -169,31 +169,19 @@ def degree_stats(
     )
 
 
-def triangle_stats(
-    edges: DataFrame,
-    src_col: str = "src",
-    dst_col: str = "dst",
-) -> DataFrame:
-    """Exact triangle count + global clustering coefficient
-    (transitivity) of the undirected simple graph on ``edges`` — the
-    standard cohesion read on co-occurrence graphs (co-purchases,
-    co-citations, shared-session items).
+def _triangle_parts(edges, src_col, dst_col):
+    """Shared skeleton for the triangle family: canonical simple-graph
+    edges (a < b, persisted), per-node degrees (persisted),
+    degree-oriented edges (persisted), the wedge self-join, and the
+    closing-edge set.  The closing set IS the canonical edge frame
+    (a < b, distinct) — reusing its cache instead of re-deriving it
+    from the oriented edges saves a full shuffle + dedup per call.
 
-    Algorithm: node-iterator++ with DEGREE ORIENTATION — every
-    undirected edge is directed from its (degree, id)-smaller endpoint
-    to the larger, wedges enumerate from each node's outgoing pairs,
-    and one more join checks the closing oriented edge.  Degree
-    orientation is the skew defense: a celebrity node of degree d
-    contributes wedges only through its (few) HIGHER-degree neighbors,
-    so per-node wedge work is bounded by arboricity, not d² — the
-    difference between hours and minutes on power-law graphs at scale
-    (Suri & Vassilvitskii 2011).
-
-    Three shuffles total: degree agg, wedge self-join on the low node,
-    closing-edge join.  Returns one row: ``(n_nodes, n_edges,
-    n_wedges, n_triangles, transitivity)`` with ``transitivity =
-    3 * triangles / wedges`` over the UNDIRECTED wedge count (NULL on
-    wedge-free graphs).
+    Degree orientation is the skew defense: a celebrity node of degree
+    d contributes wedges only through its (few) HIGHER-degree
+    neighbors, so per-node wedge work is bounded by arboricity, not d²
+    (Suri & Vassilvitskii 2011).  Returns (e, deg, oriented, wedges,
+    closing); caller unpersists e/deg/oriented (or attaches them).
     """
     e = (
         edges.select(
@@ -214,13 +202,6 @@ def triangle_stats(
         .agg(F.count(F.lit(1)).alias("d"))
         .persist()
     )
-    n_nodes = deg.count()
-    n_edges = e.count()
-    # undirected wedge count: sum over nodes of C(d, 2)
-    n_wedges_row = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"),
-    ).first()
-    n_wedges = int(n_wedges_row["w"] or 0)
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
     oriented = (
@@ -242,11 +223,37 @@ def triangle_stats(
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
-    closing = oriented.select(
-        F.col("u").alias("x"), F.col("v").alias("y"),
-    ).unionAll(
-        oriented.select(F.col("v").alias("x"), F.col("u").alias("y")),
-    ).where(F.col("x") < F.col("y")).distinct()
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    return e, deg, oriented, wedges, closing
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient
+    (transitivity) of the undirected simple graph on ``edges`` — the
+    standard cohesion read on co-occurrence graphs (co-purchases,
+    co-citations, shared-session items).
+
+    Algorithm: node-iterator++ with degree orientation (see
+    :func:`_triangle_parts` for the skew argument).  Three shuffles
+    total: degree agg, wedge self-join on the low node, closing-edge
+    join.  Returns one row: ``(n_nodes, n_edges, n_wedges,
+    n_triangles, transitivity)`` with ``transitivity = 3 * triangles /
+    wedges`` over the UNDIRECTED wedge count (NULL on wedge-free
+    graphs).
+    """
+    e, deg, oriented, wedges, closing = _triangle_parts(
+        edges, src_col, dst_col,
+    )
+    n_nodes = deg.count()
+    n_edges = e.count()
+    n_wedges_row = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"),
+    ).first()
+    n_wedges = int(n_wedges_row["w"] or 0)
     n_tri = wedges.join(closing, ["x", "y"], "left_semi").count()
     for f in (e, deg, oriented):
         f.unpersist()
@@ -270,56 +277,15 @@ def node_clustering(
     hubs.  Complements :func:`triangle_stats` (global census) and
     :func:`degree_stats` (volume).
 
-    Same degree-ordered wedge enumeration as ``triangle_stats``; each
-    closed wedge credits all THREE corners via one explode, then a
-    count per node.  Returns ``(node, degree, triangles, local_cc)``
-    for every node (0.0 cc for degree-1 nodes).
+    Same degree-ordered wedge enumeration (shared
+    :func:`_triangle_parts` skeleton); each closed wedge credits all
+    THREE corners via one explode, then a count per node.  Returns
+    ``(node, degree, triangles, local_cc)`` for every node (0.0 cc for
+    degree-1 nodes).
     """
-    e = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
-        )
-        .where(
-            F.col("a").isNotNull() & F.col("b").isNotNull()
-            & (F.col("a") != F.col("b")),
-        )
-        .distinct()
-        .persist()
+    e, deg, oriented, wedges, closing = _triangle_parts(
+        edges, src_col, dst_col,
     )
-    deg = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .persist()
-    )
-    da = deg.select(F.col("n").alias("a"), F.col("degree").alias("da"))
-    db = deg.select(F.col("n").alias("b"), F.col("degree").alias("db"))
-    oriented = (
-        e.join(da, "a").join(db, "b")
-        .select(
-            F.when(
-                (F.col("da") < F.col("db"))
-                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-            )
-            .otherwise(
-                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
-            )
-            .alias("o"),
-        )
-        .select(F.col("o.u").alias("u"), F.col("o.v").alias("v"))
-        .persist()
-    )
-    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
-    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
-    wedges = w1.join(w2, "u").where(F.col("x") < F.col("y"))
-    closing = oriented.select(
-        F.col("u").alias("x"), F.col("v").alias("y"),
-    ).unionAll(
-        oriented.select(F.col("v").alias("x"), F.col("u").alias("y")),
-    ).where(F.col("x") < F.col("y")).distinct()
     tri_per_node = (
         wedges.join(closing, ["x", "y"], "left_semi")
         .select(
@@ -332,12 +298,12 @@ def node_clustering(
         deg.join(tri_per_node, "n", "left")
         .select(
             F.col("n").alias("node"),
-            F.col("degree").cast("long").alias("degree"),
+            F.col("d").cast("long").alias("degree"),
             F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
             F.when(
-                F.col("degree") >= 2,
+                F.col("d") >= 2,
                 2.0 * F.coalesce("triangles", F.lit(0))
-                / (F.col("degree") * (F.col("degree") - 1)),
+                / (F.col("d") * (F.col("d") - 1)),
             ).otherwise(F.lit(0.0)).alias("local_cc"),
         )
     )

@@ -553,8 +553,12 @@ def decompose_series(
     group_cols = (
         [group_cols] if isinstance(group_cols, str) else list(group_cols)
     )
-    if trend_window is not None and trend_window % 2 == 0:
-        raise ValueError(f"trend_window must be odd, got {trend_window}")
+    if trend_window is not None and (
+        trend_window < 1 or trend_window % 2 == 0
+    ):
+        raise ValueError(
+            f"trend_window must be a positive odd int, got {trend_window}",
+        )
     base = (
         W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
     ).orderBy(F.col(bucket_col).asc())
@@ -767,7 +771,11 @@ def holt_fit(
     ).select(*group_cols, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__x")
+        # stable sort with a value tiebreak: the incoming Arrow batch
+        # row order is shuffle-dependent, so duplicate x values under
+        # an unstable sort would make the sequential recurrence
+        # nondeterministic run-to-run
+        pdf = pdf.sort_values(["__x", "__y"], kind="mergesort")
         y = pdf["__y"].astype(float).to_numpy()
         keys = pdf.iloc[0][group_cols]
         if len(y) < 2:
@@ -830,9 +838,9 @@ def forecast_baselines(
     scored = base.withColumn(
         "__e1", F.abs(F.col("__y") - F.lag("__y", 1).over(w)),
     )
+    if period is not None and period < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
     if period:
-        if period < 1:
-            raise ValueError(f"period must be >= 1, got {period}")
         scored = scored.withColumn(
             "__es", F.abs(F.col("__y") - F.lag("__y", int(period)).over(w)),
         )

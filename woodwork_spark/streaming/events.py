@@ -575,7 +575,9 @@ def match_stream_against_corpus(
     inter = F.size(F.array_intersect("__ssh", "__csh"))
     union = F.size("__ssh") + F.size("__csh") - inter
     jac = inter.cast("double") / union
-    return (
+    from woodwork_spark.lifecycle import attach_persisted
+
+    out = (
         cand.filter(F.col("band") == F.array_min(colliding))
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
@@ -585,3 +587,6 @@ def match_stream_against_corpus(
             "jaccard",
         )
     )
+    # the two corpus-scale caches ride on the result; call
+    # lifecycle.release(result) after the streaming query stops
+    return attach_persisted(out, c_sh, c_bands)
