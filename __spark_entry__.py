@@ -4166,6 +4166,187 @@ def q_stream_match(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def q_acf_revenue(spark, sf_dir):
+    """Autocorrelation function of the weekly revenue series per order
+    priority (lags 1..4): one window partitioning carries the per-group
+    mean AND all lag columns (single sort), one aggregate emits every
+    lag's numerator, `stack` unpivots.  The series-memory diagnostic
+    behind choosing q:holt vs q:forecast_eval baselines."""
+    from woodwork_spark.operators.timeseries import acf
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        "o_orderpriority",
+        F.floor(F.unix_date(F.col("o_orderdate").cast("date")) / 7)
+        .cast("long").alias("wk"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    out = acf(weekly, "wk", "rev", "o_orderpriority", max_lag=4)
+    return out.select(
+        "o_orderpriority",
+        F.col("lag").cast("int").alias("lag"),
+        "n_points",
+        F.col("n_used").cast("long").alias("n_used"),
+        _ravg(F.col("acf"), 6).alias("acf"),
+    )
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U between 'en' and 'fr' document lengths — the
+    rank test never ranks raw rows: distinct-value tallies + one
+    range-partitioned running count give tie-averaged ranks, one agg
+    folds U, the tie term and the z approximation."""
+    from woodwork_spark.operators.stats_tests import mann_whitney_u
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = mann_whitney_u(docs, "n_chars", "lang", "en", "fr")
+    return out.select(
+        "n_a", "n_b",
+        F.round(F.col("u_a"), 2).alias("u_a"),
+        F.round(F.col("u_b"), 2).alias("u_b"),
+        F.round(F.col("rank_sum_a"), 2).alias("rank_sum_a"),
+        F.col("tie_term").cast("long").alias("tie_term"),
+        _ravg(F.col("z_stat"), 6).alias("z_stat"),
+    )
+
+
+def q_anova_sources(spark, sf_dir):
+    """One-way ANOVA of document length across the 20 sources: one
+    grouped pass of exact integer (n, sum, sum-of-squares) per source,
+    one tiny fold into the F statistic — mean-shift screening across
+    many groups in two aggs."""
+    from woodwork_spark.operators.stats_tests import anova_oneway
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = anova_oneway(docs, "n_chars", "source")
+    return out.select(
+        "k_groups", "n_total",
+        _ravg(F.col("grand_mean"), 4).alias("grand_mean"),
+        _ravg(F.col("ss_between"), 2).alias("ss_between"),
+        _ravg(F.col("ss_within"), 2).alias("ss_within"),
+        _ravg(F.col("f_stat"), 6).alias("f_stat"),
+    )
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher document-quality rules per doc.  The corpus has no
+    newlines, so the query deterministically re-lines each document
+    (5-token windows, every 4th line bullet-initial, lines cycling
+    '.', '', '...' terminators) and evaluates the real rule exprs —
+    word-count bounds tightened to the corpus (40..80) and stopword
+    floor 1 (the synthetic vocabulary only carries 'the') so every
+    rule discriminates."""
+    from woodwork_spark.operators.cleaning import gopher_rules_exprs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(5)).cast("int") - 1, F.lit(0),
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines),
+        lambda w: F.concat(
+            F.when(w % 4 == 1, F.lit("- ")).otherwise(F.lit("")),
+            F.array_join(F.slice(toks, w * 5 + 1, 5), " "),
+            F.when(w % 3 == 0, F.lit("."))
+            .when(w % 3 == 2, F.lit("..."))
+            .otherwise(F.lit("")),
+        ),
+    )
+    lined = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("lt"),
+    )
+    e = gopher_rules_exprs(
+        "lt", min_words=40, max_words=80, min_stopword_hits=1,
+    )
+    return lined.select(
+        "doc_id",
+        *[v.cast("int").alias(k) for k, v in e.items()],
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS revenue rollout — the explicit-sets form of the
+    rollup/cube family (SURVEY §2.B aggregations), expressed through
+    the SQL interface so grouping() flags flow through Catalyst's
+    Expand."""
+    _prep(spark)
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+    """)
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the supplier-part bipartite
+    graph: supplier pairs sharing >= 3 parts, scored by
+    sum(1/ln(part degree)) + neighborhood Jaccard.  Pair space is
+    generated per shared part (never |suppliers|²); hub parts are the
+    max_neighbor_degree knob at corpus scale."""
+    from woodwork_spark.operators.graph import adamic_adar
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"),
+    )
+    out = adamic_adar(edges, "s", "p", min_common=3)
+    return out.select(
+        F.col("node_a").cast("long").alias("node_a"),
+        F.col("node_b").cast("long").alias("node_b"),
+        F.col("common").cast("long").alias("common"),
+        _ravg(F.col("aa_score"), 4).alias("aa_score"),
+        _ravg(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
+def q_item_similarity(spark, sf_dir):
+    """Item-item cosine from order co-purchase baskets — the
+    neighborhood-CF precompute; pair space bounded by basket width
+    (an order's few lineitems), cosine from exact basket counts."""
+    from woodwork_spark.operators.basket import item_similarity
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = item_similarity(li, "l_orderkey", "l_partkey", min_cooc=2)
+    return out.select(
+        F.col("item_a").cast("long").alias("item_a"),
+        F.col("item_b").cast("long").alias("item_b"),
+        F.col("cooc").cast("long").alias("cooc"),
+        _ravg(F.col("cos_sim"), 6).alias("cos_sim"),
+    )
+
+
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution of purchase events to the most recent
+    preceding non-purchase event within 7 days (else 'direct'), folded
+    to per-channel conversion counts / value / mean delay.  One window
+    per user (no self-join against history)."""
+    from woodwork_spark.operators.funnel import attribute_conversions
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = attribute_conversions(
+        ev, "user_id", "ts", "event_type", "purchase",
+        lookback_seconds=7 * 86400, order_cols="event_id",
+    )
+    return out.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.sum("value"), 2).alias("attributed_value"),
+        _ravg(F.avg("seconds_since_touch"), 3).alias("avg_delay_s"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4342,6 +4523,14 @@ QUERIES = {
     "holt": q_holt,
     "forecast_eval": q_forecast_eval,
     "stream_match": q_stream_match,
+    "acf_revenue": q_acf_revenue,
+    "mann_whitney": q_mann_whitney,
+    "anova_sources": q_anova_sources,
+    "gopher_quality": q_gopher_quality,
+    "grouping_sets": q_grouping_sets,
+    "adamic_adar": q_adamic_adar,
+    "item_similarity": q_item_similarity,
+    "attribution": q_attribution,
 }
 
 ORACLE = {
@@ -8364,6 +8553,273 @@ ORACLE = {
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+ORACLE.update({
+    "acf_revenue": """
+        WITH weekly AS (
+            SELECT o_orderpriority,
+                   CAST(floor(datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) / 7)
+                        AS BIGINT) AS wk,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1, 2
+        ), c AS (
+            SELECT o_orderpriority, wk, rev,
+                   avg(rev) OVER (PARTITION BY o_orderpriority) AS mu,
+                   lag(rev, 1) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY wk) AS l1,
+                   lag(rev, 2) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY wk) AS l2,
+                   lag(rev, 3) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY wk) AS l3,
+                   lag(rev, 4) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY wk) AS l4
+            FROM weekly
+        ), a AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   sum((rev - mu) * (rev - mu)) AS den,
+                   sum((rev - mu) * (l1 - mu)) AS n1, count(l1) AS c1,
+                   sum((rev - mu) * (l2 - mu)) AS n2, count(l2) AS c2,
+                   sum((rev - mu) * (l3 - mu)) AS n3, count(l3) AS c3,
+                   sum((rev - mu) * (l4 - mu)) AS n4, count(l4) AS c4
+            FROM c GROUP BY 1
+        ), tall AS (
+            SELECT o_orderpriority, 1 AS lag, n_points, den,
+                   n1 AS num, c1 AS n_used FROM a
+            UNION ALL SELECT o_orderpriority, 2, n_points, den, n2, c2 FROM a
+            UNION ALL SELECT o_orderpriority, 3, n_points, den, n3, c3 FROM a
+            UNION ALL SELECT o_orderpriority, 4, n_points, den, n4, c4 FROM a
+        )
+        SELECT o_orderpriority, CAST(lag AS INT) AS lag, n_points,
+               CAST(n_used AS BIGINT) AS n_used,
+               round(CASE WHEN den > 0 THEN num / den END
+                     + 0.0000001, 6) AS acf
+        FROM tall
+    """,
+    "mann_whitney": """
+        WITH base AS (
+            SELECT n_chars AS v,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS isa
+            FROM documents
+            WHERE lang IN ('en', 'fr') AND n_chars IS NOT NULL
+        ), cnt AS (
+            SELECT v, count(*) AS t, sum(isa) AS na FROM base GROUP BY v
+        ), r AS (
+            SELECT *,
+                   coalesce(sum(t) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS below
+            FROM cnt
+        ), agg AS (
+            SELECT CAST(sum(na) AS DOUBLE) AS n_a,
+                   CAST(sum(t) - sum(na) AS DOUBLE) AS n_b,
+                   sum(na * (below + (t + 1) / 2.0)) AS rank_sum_a,
+                   sum(CAST(t AS DOUBLE) * t * t - t) AS tie_term
+            FROM r
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round(rank_sum_a - n_a * (n_a + 1) / 2.0, 2) AS u_a,
+               round(n_a * n_b
+                     - (rank_sum_a - n_a * (n_a + 1) / 2.0), 2) AS u_b,
+               round(rank_sum_a, 2) AS rank_sum_a,
+               CAST(tie_term AS BIGINT) AS tie_term,
+               round((rank_sum_a - n_a * (n_a + 1) / 2.0
+                      - n_a * n_b / 2.0)
+                     / sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1)
+                            - tie_term / ((n_a + n_b)
+                                          * (n_a + n_b - 1.0))))
+                     + 0.0000001, 6) AS z_stat
+        FROM agg
+    """,
+    "anova_sources": """
+        WITH g AS (
+            SELECT source, count(*) AS n, sum(n_chars) AS s,
+                   sum(n_chars * n_chars) AS ss
+            FROM documents
+            WHERE source IS NOT NULL AND n_chars IS NOT NULL
+            GROUP BY source
+        ), f AS (
+            SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                   CAST(sum(n) AS BIGINT) AS n_total,
+                   CAST(sum(s) AS DOUBLE) AS total,
+                   CAST(sum(ss) AS DOUBLE) AS totalsq,
+                   sum(CAST(s AS DOUBLE) * s / n) AS gsq
+            FROM g
+        )
+        SELECT k_groups, n_total,
+               round(total / n_total + 0.0000001, 4) AS grand_mean,
+               round(gsq - total * total / n_total
+                     + 0.0000001, 2) AS ss_between,
+               round(totalsq - gsq + 0.0000001, 2) AS ss_within,
+               round(CASE WHEN k_groups > 1 AND n_total > k_groups
+                               AND totalsq - gsq > 0
+                          THEN ((gsq - total * total / n_total)
+                                / (k_groups - 1))
+                               / ((totalsq - gsq) / (n_total - k_groups))
+                     END + 0.0000001, 6) AS f_stat
+        FROM f
+    """,
+    "gopher_quality": """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents
+        ), lines AS (
+          SELECT doc_id,
+                 [CASE WHEN k % 4 = 1 THEN '- ' ELSE '' END ||
+                  array_to_string(t[(k*5+1):(k*5+5)], ' ') ||
+                  CASE WHEN k % 3 = 0 THEN '.'
+                       WHEN k % 3 = 2 THEN '...' ELSE '' END
+                  FOR k IN range(0, greatest(CAST(ceil(len(t)/5.0) AS INT), 1))] AS ls
+          FROM w
+        ), d AS (
+          SELECT doc_id, array_to_string(ls, chr(10)) AS lt, ls FROM lines
+        ), x AS (
+          SELECT doc_id, lt,
+                 list_filter(string_split_regex(trim(lt), '\\s+'),
+                             w -> w <> '') AS ws,
+                 list_filter(list_transform(ls, l -> trim(l)),
+                             l -> l <> '') AS lns
+          FROM d
+        ), f AS (
+          SELECT doc_id,
+                 len(ws) AS nw,
+                 coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+                     AS swl,
+                 length(lt) - length(replace(lt, '#', ''))
+                   + len(string_split_regex(lt, '\\.\\.\\.|…')) - 1 AS nsym,
+                 len(list_filter(lns, l -> regexp_matches(l, '^[-*•]')))
+                     AS nbul,
+                 len(list_filter(lns,
+                     l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS nell,
+                 len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                     AS nalpha,
+                 len(lns) AS nl,
+                 (CASE WHEN regexp_matches(lower(lt),
+                        '(^|[^a-z])the([^a-z]|$)') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(lt),
+                        '(^|[^a-z])be([^a-z]|$)') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(lt),
+                        '(^|[^a-z])to([^a-z]|$)') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(lt),
+                        '(^|[^a-z])of([^a-z]|$)') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(lt),
+                        '(^|[^a-z])and([^a-z]|$)') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(lt),
+                        '(^|[^a-z])that([^a-z]|$)') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(lt),
+                        '(^|[^a-z])have([^a-z]|$)') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(lt),
+                        '(^|[^a-z])with([^a-z]|$)') THEN 1 ELSE 0 END)
+                     AS stop_hits
+          FROM x
+        )
+        SELECT doc_id,
+               CAST(nw BETWEEN 40 AND 80 AS INT) AS r_word_count,
+               CAST(swl * 1.0 / greatest(nw, 1) BETWEEN 3.0 AND 10.0
+                    AS INT) AS r_mean_word_len,
+               CAST(nsym * 1.0 / greatest(nw, 1) <= 0.1 AS INT)
+                   AS r_symbol_ratio,
+               CAST(nbul * 1.0 / greatest(nl, 1) <= 0.9 AS INT)
+                   AS r_bullet_lines,
+               CAST(nell * 1.0 / greatest(nl, 1) <= 0.3 AS INT)
+                   AS r_ellipsis_lines,
+               CAST(nalpha * 1.0 / greatest(nw, 1) >= 0.8 AS INT)
+                   AS r_alpha_words,
+               CAST(stop_hits >= 1 AS INT) AS r_stopwords,
+               CAST((nw BETWEEN 40 AND 80)
+                    AND swl * 1.0 / greatest(nw, 1) BETWEEN 3.0 AND 10.0
+                    AND nsym * 1.0 / greatest(nw, 1) <= 0.1
+                    AND nbul * 1.0 / greatest(nl, 1) <= 0.9
+                    AND nell * 1.0 / greatest(nl, 1) <= 0.3
+                    AND nalpha * 1.0 / greatest(nw, 1) >= 0.8
+                    AND stop_hits >= 1 AS INT) AS gopher_pass
+        FROM f
+    """,
+    "grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+    """,
+    "adamic_adar": """
+        WITH e AS (
+            SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ), zdeg AS (
+            SELECT p, count(*) AS zd FROM e GROUP BY p
+        ), ndeg AS (
+            SELECT s, count(*) AS nd FROM e GROUP BY s
+        ), pairs AS (
+            SELECT a.s AS sa, b.s AS sb,
+                   CAST(count(*) AS BIGINT) AS common,
+                   sum(1.0 / ln(z.zd)) AS aa
+            FROM e a
+            JOIN e b ON a.p = b.p AND a.s < b.s
+            JOIN zdeg z ON z.p = a.p
+            GROUP BY a.s, b.s HAVING count(*) >= 3
+        )
+        SELECT CAST(sa AS BIGINT) AS node_a, CAST(sb AS BIGINT) AS node_b,
+               common,
+               round(aa + 0.0000001, 4) AS aa_score,
+               round(common / CAST(da.nd + db.nd - common AS DOUBLE)
+                     + 0.0000001, 6) AS jaccard
+        FROM pairs
+        JOIN ndeg da ON da.s = sa
+        JOIN ndeg db ON db.s = sb
+    """,
+    "item_similarity": """
+        WITH bi AS (
+            SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        ), ic AS (
+            SELECT i, count(*) AS c FROM bi GROUP BY i
+        ), co AS (
+            SELECT a.i AS ia, b.i AS ib,
+                   CAST(count(*) AS BIGINT) AS cooc
+            FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT CAST(ia AS BIGINT) AS item_a, CAST(ib AS BIGINT) AS item_b,
+               cooc,
+               round(cooc / sqrt(CAST(ca.c AS DOUBLE) * cb.c)
+                     + 0.0000001, 6) AS cos_sim
+        FROM co
+        JOIN ic ca ON ca.i = ia
+        JOIN ic cb ON cb.i = ib
+    """,
+    "attribution": """
+        WITH t AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                       THEN struct_pack(tts := ts, ch := event_type)
+                       END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS touch
+            FROM events
+        ), conv AS (
+            SELECT value,
+                   CASE WHEN touch IS NOT NULL
+                             AND (epoch_us(ts) - epoch_us(touch.tts))
+                                 / 1000000.0 <= 604800.0
+                        THEN touch.ch ELSE 'direct' END AS channel,
+                   CASE WHEN touch IS NOT NULL
+                             AND (epoch_us(ts) - epoch_us(touch.tts))
+                                 / 1000000.0 <= 604800.0
+                        THEN (epoch_us(ts) - epoch_us(touch.tts))
+                             / 1000000.0 END AS age
+            FROM t WHERE event_type = 'purchase'
+        )
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+               round(sum(value), 2) AS attributed_value,
+               round(avg(age) + 0.0000001, 3) AS avg_delay_s
+        FROM conv GROUP BY channel
+    """,
+})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

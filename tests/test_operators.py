@@ -3145,3 +3145,204 @@ def test_forecast_baselines(spark):
     # no period -> NULL snaive
     r2 = forecast_baselines(df, "x", "y", "g").first()
     assert r2["mae_snaive"] is None and r2["n_points"] == 8
+
+
+def test_acf_white_noise_and_perfect_alternation(spark):
+    from woodwork_spark.operators.timeseries import acf
+
+    # Perfectly alternating series: acf(1) = -1, acf(2) = +1 (up to the
+    # biased-estimator shrinkage: r_k = (n-k)-term sum / n-term denom).
+    rows = [("g", t, 1.0 if t % 2 == 0 else -1.0) for t in range(20)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    out = {r["lag"]: r for r in acf(df, "t", "y", "g", max_lag=2).collect()}
+    # mean = 0, den = 20, num(1) = -19, num(2) = +18
+    assert abs(out[1]["acf"] - (-19 / 20)) < 1e-12
+    assert abs(out[2]["acf"] - (18 / 20)) < 1e-12
+    assert out[1]["n_used"] == 19 and out[2]["n_used"] == 18
+    # constant series: zero variance -> NULL acf
+    const = spark.createDataFrame(
+        [("c", t, 5.0) for t in range(5)], "g string, t int, y double",
+    )
+    vals = acf(const, "t", "y", "g", max_lag=1).collect()
+    assert vals[0]["acf"] is None
+
+
+def test_acf_matches_numpy(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.timeseries import acf
+
+    rng = np.random.default_rng(7)
+    y = np.cumsum(rng.normal(size=64))  # random walk: strong acf
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(y)], "t int, y double",
+    )
+    got = {r["lag"]: r["acf"] for r in acf(df, "t", "y", max_lag=3).collect()}
+    dev = y - y.mean()
+    den = float((dev * dev).sum())
+    for k in (1, 2, 3):
+        exp = float((dev[k:] * dev[:-k]).sum()) / den
+        assert abs(got[k] - exp) < 1e-10
+
+
+def test_mann_whitney_matches_scipy_formula(spark):
+    from woodwork_spark.operators.stats_tests import mann_whitney_u
+
+    # Small sample with ties; compare against the hand-computed
+    # asymptotic statistic (no continuity correction).
+    a = [1.0, 2.0, 2.0, 5.0, 7.0]
+    b = [2.0, 3.0, 6.0, 6.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    # ranks: 1.0->1; 2.0 (x3) -> avg(2,3,4)=3; 3.0->5; 5.0->6;
+    # 6.0 (x2) -> avg(7,8)=7.5; 7.0->9
+    rank_sum_a = 1 + 3 + 3 + 6 + 9
+    assert r["n_a"] == 5 and r["n_b"] == 4
+    assert abs(r["rank_sum_a"] - rank_sum_a) < 1e-12
+    u_a = rank_sum_a - 5 * 6 / 2
+    assert abs(r["u_a"] - u_a) < 1e-12
+    assert abs(r["u_b"] - (5 * 4 - u_a)) < 1e-12
+    tie_term = (3**3 - 3) + (2**3 - 2)
+    assert r["tie_term"] == tie_term
+    import math
+
+    sigma = math.sqrt(5 * 4 / 12 * ((9 + 1) - tie_term / (9 * 8)))
+    assert abs(r["z_stat"] - (u_a - 10) / sigma) < 1e-12
+
+
+def test_anova_matches_scipy(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.stats_tests import anova_oneway
+
+    rng = np.random.default_rng(11)
+    groups = {
+        "a": rng.integers(0, 100, 40),
+        "b": rng.integers(10, 110, 35),
+        "c": rng.integers(0, 90, 50),
+    }
+    rows = [(g, int(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = anova_oneway(df, "v", "g").collect()[0]
+    allv = np.concatenate(list(groups.values())).astype(float)
+    ssb = sum(
+        len(v) * (v.mean() - allv.mean()) ** 2 for v in groups.values()
+    )
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in groups.values())
+    f = (ssb / 2) / (ssw / (len(allv) - 3))
+    assert r["k_groups"] == 3 and r["n_total"] == len(allv)
+    assert abs(r["ss_between"] - ssb) < 1e-6
+    assert abs(r["ss_within"] - ssw) < 1e-6
+    assert abs(r["f_stat"] - f) < 1e-9
+    # degenerate: single group -> NULL F
+    one = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+    assert anova_oneway(one, "v", "g").collect()[0]["f_stat"] is None
+
+
+def test_gopher_rules_discriminate(spark):
+    from woodwork_spark.operators.cleaning import (
+        gopher_report,
+        gopher_rules_exprs,
+    )
+
+    good = "The quick brown fox jumps over the lazy dog and runs on. " * 5
+    bullets = "\n".join("- item " + str(i) for i in range(10))
+    symbols = "### " * 30 + "wow"
+    short = "tiny doc"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols), (4, short), (5, None)],
+        "id int, text string",
+    )
+    e = gopher_rules_exprs("text", min_words=10, max_words=500)
+    out = {r["id"]: r for r in df.select("id", *[
+        v.alias(k) for k, v in e.items()
+    ]).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["r_bullet_lines"] is False  # 100% bullet lines
+    assert out[3]["r_symbol_ratio"] is False
+    assert out[3]["r_alpha_words"] is False  # '###' tokens lack alpha
+    assert out[4]["r_word_count"] is False
+    assert all(v is False for k, v in out[5].asDict().items() if k != "id")
+    rep = gopher_report(df, "text", min_words=10, max_words=500).collect()[0]
+    assert rep["n_docs"] == 5
+    assert abs(rep["gopher_pass_rate"] - 1 / 5) < 1e-12
+
+
+def test_adamic_adar_manual_graph(spark):
+    import math
+
+    from woodwork_spark.operators.graph import adamic_adar
+
+    # users u1,u2 share items x (deg 2) and y (deg 3); u2,u3 share y.
+    edges = [("u1", "x"), ("u2", "x"), ("u1", "y"), ("u2", "y"),
+             ("u3", "y"), ("u3", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {(r["node_a"], r["node_b"]): r
+           for r in adamic_adar(df, "src", "dst").collect()}
+    aa12 = out[("u1", "u2")]
+    assert aa12["common"] == 2
+    assert abs(aa12["aa_score"] - (1 / math.log(2) + 1 / math.log(3))) < 1e-12
+    # jaccard: |{x,y} & {x,y}| / |{x,y} U {x,y}| = 2/2... degrees 2,2 -> 2/(2+2-2)
+    assert abs(aa12["jaccard"] - 1.0) < 1e-12
+    assert out[("u1", "u3")]["common"] == 1
+    # hub cap removes y (deg 3) -> u1-u3 pair disappears
+    capped = {(r["node_a"], r["node_b"]): r for r in adamic_adar(
+        df, "src", "dst", max_neighbor_degree=2).collect()}
+    assert ("u1", "u3") not in capped
+    assert capped[("u1", "u2")]["common"] == 1
+
+
+def test_item_similarity_manual(spark):
+    from woodwork_spark.operators.basket import item_similarity
+
+    baskets = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+               (3, "b"), (4, "c"), (1, "a")]  # dup (1,a) counts once
+    df = spark.createDataFrame(baskets, "b int, i string")
+    out = {(r["item_a"], r["item_b"]): r for r in item_similarity(
+        df, "b", "i", min_cooc=1).collect()}
+    ab = out[("a", "b")]
+    assert ab["cooc"] == 3
+    assert abs(ab["cos_sim"] - 3 / (3 * 3) ** 0.5) < 1e-12
+    assert out[("b", "c")]["cooc"] == 1
+    top1 = item_similarity(df, "b", "i", min_cooc=1, top_k=1)
+    per_a = {r["item_a"]: r["item_b"] for r in top1.collect()}
+    assert per_a["a"] == "b"
+
+
+def test_attribution_window_and_direct(spark):
+    import datetime as dt
+
+    from woodwork_spark.operators.funnel import attribute_conversions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: click then purchase 10s later -> channel click
+        (1, 1, t0, "click", None),
+        (2, 1, t0 + dt.timedelta(seconds=10), "purchase", 5.0),
+        # u2: view 10 days before purchase -> outside 7d window -> direct
+        (3, 2, t0, "view", None),
+        (4, 2, t0 + dt.timedelta(days=10), "purchase", 7.0),
+        # u3: purchase with no history -> direct
+        (5, 3, t0, "purchase", 1.0),
+        # u1 again: second purchase attributes to the SAME click
+        (6, 1, t0 + dt.timedelta(seconds=20), "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    out = attribute_conversions(
+        df, "user_id", "ts", "event_type", "purchase",
+        lookback_seconds=7 * 86400, order_cols="event_id",
+    ).collect()
+    by_event = {r["event_id"]: r for r in out}
+    assert len(out) == 4
+    assert by_event[2]["channel"] == "click"
+    assert by_event[2]["seconds_since_touch"] == 10.0
+    assert by_event[4]["channel"] == "direct"
+    assert by_event[4]["seconds_since_touch"] is None
+    assert by_event[5]["channel"] == "direct"
+    assert by_event[6]["channel"] == "click"
+    assert by_event[6]["seconds_since_touch"] == 20.0
+    assert by_event[2]["value"] == 5.0  # payload preserved

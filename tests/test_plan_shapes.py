@@ -567,3 +567,75 @@ def test_forecasting_batch_plan_shapes(spark):
     # holt: the ONE legitimate applyInPandas — grouped-map node present
     plan = _executed_plan(holt_fit(daily, "b", "v", "event_type"))
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_session5_operator_plan_shapes(spark):
+    """Session-5 batch: single-window ACF/attribution, agg-only tests,
+    neighbor-keyed pair joins (never node x node), projection-only
+    Gopher rules."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.operators.basket import item_similarity
+    from woodwork_spark.operators.cleaning import gopher_rules_exprs
+    from woodwork_spark.operators.funnel import attribute_conversions
+    from woodwork_spark.operators.graph import adamic_adar
+    from woodwork_spark.operators.stats_tests import (
+        anova_oneway,
+        mann_whitney_u,
+    )
+    from woodwork_spark.operators.timeseries import acf
+
+    ev = read_parquet(spark, f"{SF}/events.parquet")
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    li = read_parquet(spark, f"{SF}/lineitem.parquet")
+
+    # acf: ONE window partitioning (mean + all lags share the sort) —
+    # a single Window node, no joins, no Python
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d"),
+    ).agg(F.sum("value").alias("v")).withColumn(
+        "b", F.unix_date(F.col("d").cast("date")).cast("long"),
+    )
+    plan = _executed_plan(acf(daily, "b", "v", "event_type", max_lag=4))
+    assert plan.count("Window") == 1
+    assert "Join" not in plan and "PythonUDF" not in plan
+
+    # attribution: one window on the user key, no self-join
+    plan = _executed_plan(attribute_conversions(
+        ev, "user_id", "ts", "event_type", "purchase",
+        lookback_seconds=86400, order_cols="event_id",
+    ))
+    assert plan.count("Window") == 1
+    assert "Join" not in plan and "PythonUDF" not in plan
+
+    # anova: aggregations only
+    plan = _executed_plan(anova_oneway(docs, "n_chars", "source"))
+    assert "Join" not in plan and "Window" not in plan
+    assert "PythonUDF" not in plan
+
+    # mann-whitney: no raw-row window — any Window sits above the
+    # distinct-value Aggregate, and no Python
+    mw = mann_whitney_u(docs, "n_chars", "lang", "en", "fr")
+    plan = _executed_plan(mw)
+    assert "PythonUDF" not in plan
+    from woodwork_spark.lifecycle import release
+
+    release(mw)
+
+    # gopher rules: projection only — no shuffle at all
+    flags = docs.select(
+        *[v.alias(k) for k, v in gopher_rules_exprs("text").items()],
+    )
+    plan = _executed_plan(flags)
+    assert "Exchange" not in plan and "PythonUDF" not in plan
+
+    # adamic-adar / item-similarity: pair joins keyed on the shared
+    # neighbor/basket — never a cartesian
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"),
+    )
+    plan = _executed_plan(adamic_adar(edges, "s", "p", min_common=3))
+    assert "CartesianProduct" not in plan and "PythonUDF" not in plan
+    plan = _executed_plan(item_similarity(li, "l_orderkey", "l_partkey"))
+    assert "CartesianProduct" not in plan and "PythonUDF" not in plan

@@ -130,3 +130,67 @@ def association_rules(
             "support", "confidence", "lift",
         )
     )
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_cooc: int = 2,
+    top_k: int = None,
+) -> DataFrame:
+    """Item-item cosine similarity from co-occurrence in baskets — the
+    classical neighborhood collaborative-filtering precompute:
+    cos(i, j) = |baskets with both| / sqrt(|baskets with i| *
+    |baskets with j|), over set semantics (duplicate (basket, item)
+    rows count once).
+
+    Scale shape: the pair space comes from a self-join on the BASKET,
+    so work is sum over baskets of (items-per-basket)² — bounded by
+    basket width, not catalog size (an order with 7 lineitems yields
+    21 pairs).  ``min_cooc`` prunes the long noise tail before the
+    degree joins; ``top_k`` (per item_a, by cosine) caps the output
+    via a window AFTER the aggregate, when rows are already
+    per-pair-small.  Item counts broadcast back (AQE).
+
+    Returns ``(item_a, item_b, cooc, cos_sim)`` with item_a < item_b.
+    """
+    if min_cooc < 1:
+        raise ValueError(f"min_cooc must be >= 1, got {min_cooc}")
+    bi = (
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"),
+        )
+        .where(F.col("__b").isNotNull() & F.col("__i").isNotNull())
+        .distinct()
+    )
+    icnt = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__ic"))
+    a = bi.select("__b", F.col("__i").alias("item_a"))
+    b = bi.select(F.col("__b").alias("__b2"), F.col("__i").alias("item_b"))
+    cooc = (
+        a.join(b, (a.__b == b.__b2) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .where(F.col("cooc") >= min_cooc)
+    )
+    ca = icnt.select(F.col("__i").alias("item_a"), F.col("__ic").alias("__ca"))
+    cb = icnt.select(F.col("__i").alias("item_b"), F.col("__ic").alias("__cb"))
+    scored = cooc.join(ca, "item_a").join(cb, "item_b").select(
+        "item_a", "item_b", "cooc",
+        (
+            F.col("cooc")
+            / F.sqrt(F.col("__ca").cast("double") * F.col("__cb"))
+        ).alias("cos_sim"),
+    )
+    if top_k is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("item_a").orderBy(
+            F.col("cos_sim").desc(), F.col("item_b").asc(),
+        )
+        scored = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= top_k)
+            .drop("__r")
+        )
+    return scored

@@ -761,3 +761,115 @@ def mask_repeated_spans(
         .drop("__spans")
     )
     return attach_persisted(out, *persisted_frames(spans))
+
+
+# Gopher (Rae et al. 2021, A.1.1) required-stopword list.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules_exprs(
+    text_col: str,
+    sep: str = "\n",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """The Gopher document-quality rules (Rae et al. 2021 §A.1.1) as
+    one dict of boolean Columns plus the overall conjunction — the
+    third member of the standard filter stack next to
+    :func:`c4_line_filter_exprs` and ``text.quality_score_exprs``:
+
+    word count in [min, max]; mean word length in [3, 10]; symbol
+    (# / ellipsis) to word ratio <= 0.1; <= 90% of lines
+    bullet-initial; <= 30% of lines ellipsis-terminal; >= 80% of words
+    contain an alphabetic character; >= 2 distinct required stopwords
+    present.
+
+    Pure per-document Column expressions (one projection, no shuffle,
+    no UDFs); NULL text fails every rule.  Word = whitespace token;
+    NULL-safe via a zero-word floor in the denominators.
+    """
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "",
+    )
+    n_words = F.size(words)
+    denom_w = F.greatest(n_words, F.lit(1)).cast("double")
+    lines = lines_expr(text_col, sep)
+    n_lines = F.size(lines)
+    denom_l = F.greatest(n_lines, F.lit(1)).cast("double")
+    mean_wl = (
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / denom_w
+    )
+    n_symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+        + F.size(F.split(F.col(text_col), r"\.\.\.|…", -1)) - 1
+    )
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^[\-\*•]")),
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$")),
+    )
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]")),
+    )
+    lowered = F.lower(F.col(text_col))
+    stop_hits = sum(
+        F.when(
+            lowered.rlike(r"(^|[^a-z])" + s + r"([^a-z]|$)"), 1,
+        ).otherwise(0)
+        for s in GOPHER_STOPWORDS
+    )
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "r_symbol_ratio": (n_symbols / denom_w) <= max_symbol_ratio,
+        "r_bullet_lines": (bullet_lines / denom_l) <= max_bullet_line_frac,
+        "r_ellipsis_lines": (ellipsis_lines / denom_l)
+        <= max_ellipsis_line_frac,
+        "r_alpha_words": (alpha_words / denom_w) >= min_alpha_word_frac,
+        "r_stopwords": stop_hits >= min_stopword_hits,
+    }
+    rules = {
+        k: F.when(F.col(text_col).isNotNull(), v).otherwise(F.lit(False))
+        for k, v in rules.items()
+    }
+    overall = None
+    for v in rules.values():
+        overall = v if overall is None else (overall & v)
+    rules["gopher_pass"] = overall
+    return rules
+
+
+def gopher_report(
+    df: DataFrame,
+    text_col: str,
+    group_cols=(),
+    **params,
+) -> DataFrame:
+    """Pass rate per Gopher rule (and overall), optionally per group —
+    one projection + one map-side-combinable aggregate.  Returns
+    ``(group_cols..., n_docs, <rule>_rate..., gopher_pass_rate)``."""
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    exprs = gopher_rules_exprs(text_col, **params)
+    flagged = df.select(
+        *group_cols,
+        *[v.alias(k) for k, v in exprs.items()],
+    )
+    return flagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.avg(F.col(k).cast("double")).alias(f"{k}_rate")
+            for k in exprs
+        ],
+    )

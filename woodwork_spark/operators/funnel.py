@@ -389,3 +389,68 @@ def cohort_ltv(
             F.col("__cohort_users").alias("cohort_users"),
         )
     )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type,
+    lookback_seconds: int = None,
+    order_cols=(),
+) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the
+    channel (``type_col``) of the user's most recent PRECEDING
+    non-conversion event — or ``"direct"`` when there is none (or none
+    within ``lookback_seconds``).  The standard marketing-analytics
+    read of an event stream; first-touch and multi-touch are variants
+    of the same window.
+
+    Scale shape: ONE window per user ordered by time carries the whole
+    computation — ``last(struct(ts, type)) ignorenulls`` over the
+    strictly-preceding frame picks the touch, so there is exactly one
+    shuffle (on the user key) and no self-join against the event
+    history.  ``order_cols`` breaks timestamp ties deterministically
+    (pass the event id).
+
+    Returns the conversion rows with ALL their original columns (the
+    payload — revenue, ids — is what attribution reports aggregate)
+    plus ``channel`` ("direct" for organic conversions) and
+    ``seconds_since_touch`` (NULL for direct).
+    """
+    tie = [F.col(c).asc() for c in (
+        [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    )]
+    w = (
+        W.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), *tie)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_conv = F.col(type_col) == F.lit(conversion_type)
+    touch = F.last(
+        F.when(
+            ~is_conv,
+            F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("ch")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    scored = df.withColumn("__touch", touch).where(is_conv)
+    age = (
+        F.unix_micros(F.col(ts_col))
+        - F.unix_micros(F.col("__touch.ts"))
+    ) / 1_000_000.0
+    in_window = (
+        F.lit(True) if lookback_seconds is None
+        else age <= F.lit(float(lookback_seconds))
+    )
+    channel = F.when(
+        F.col("__touch").isNotNull() & in_window, F.col("__touch.ch"),
+    ).otherwise(F.lit("direct"))
+    return scored.select(
+        *[c for c in df.columns],
+        channel.alias("channel"),
+        F.when(
+            F.col("__touch").isNotNull() & in_window, age,
+        ).alias("seconds_since_touch"),
+    )

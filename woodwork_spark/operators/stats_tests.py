@@ -1,0 +1,150 @@
+"""Distributed two-sample / k-sample hypothesis tests.
+
+Complements the drift battery (``curation.ks_drift``, PSI, Cramér's V /
+chi-square in ``statistics.dependence``) with the classical rank and
+variance tests a data-quality pipeline reaches for when comparing
+sources or A/B cohorts: the Mann-Whitney U rank test (distribution
+shift without normality assumptions) and one-way ANOVA (mean shift
+across many groups in one pass).
+
+Scale shapes:
+
+* ``mann_whitney_u`` never ranks raw rows.  It aggregates to DISTINCT
+  values first (one map-side-combinable groupBy; cardinality is the
+  number of distinct measurements, not the row count) and computes the
+  tie-averaged ranks from a running sum over that distinct-value frame
+  via :func:`rank.global_prefix_sums` — range-partitioned, no single
+  reducer even when the measurement is near-continuous.  The tie
+  correction falls out of the same aggregate.
+* ``anova_oneway`` is two aggregations: one grouped pass collecting
+  (n, sum, sum of squares) per group, one tiny pass folding the group
+  rows into the F statistic.  Shuffle bytes scale with the number of
+  groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .rank import global_prefix_sums
+from ..lifecycle import attach_persisted, persisted_frames
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U test between two groups of ``group_col``.
+
+    Returns one row: ``(n_a, n_b, u_a, u_b, rank_sum_a, tie_term,
+    z_stat)`` where ``u_a`` counts (a, b) pairs with a's value lower
+    (ties half); ``z_stat`` is the tie-corrected normal approximation
+    WITHOUT continuity correction (document parity: DuckDB oracle and
+    scipy ``method="asymptotic", use_continuity=False`` agree).
+
+    Null values are excluded (a null measurement carries no rank).
+    """
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull(),
+    ).select(
+        F.col(value_col).alias("__v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__isa"),
+    )
+    # Distinct-value tallies: t_v rows at value v, na_v of them in A.
+    counts = base.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.sum("__isa").alias("__na"),
+    )
+    # Exclusive running count of rows strictly below v -> tie-averaged
+    # rank of value v is below_v + (t_v + 1) / 2.
+    ranked = global_prefix_sums(
+        counts, ["__v"], ["__t"], out_cols=["__below"], inclusive=False,
+    )
+    avg_rank = F.col("__below") + (F.col("__t") + 1) / 2.0
+    agg = ranked.agg(
+        F.sum("__na").cast("long").alias("n_a"),
+        (F.sum("__t") - F.sum("__na")).cast("long").alias("n_b"),
+        F.sum(F.col("__na") * avg_rank).alias("rank_sum_a"),
+        F.sum(
+            F.col("__t").cast("double") * F.col("__t") * F.col("__t")
+            - F.col("__t"),
+        ).alias("tie_term"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("rank_sum_a") - na * (na + 1) / 2.0
+    u_b = na * nb - u_a
+    sigma = F.sqrt(
+        na * nb / 12.0 * ((n + 1) - F.col("tie_term") / (n * (n - 1))),
+    )
+    z = F.when(sigma > 0, (u_a - na * nb / 2.0) / sigma).otherwise(
+        F.lit(0.0),
+    )
+    out = agg.select(
+        "n_a", "n_b",
+        u_a.alias("u_a"), u_b.alias("u_b"),
+        "rank_sum_a", "tie_term",
+        z.alias("z_stat"),
+    )
+    return attach_persisted(out, *persisted_frames(ranked))
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-way ANOVA across the levels of ``group_col``.
+
+    Returns one row: ``(k_groups, n_total, grand_mean, ss_between,
+    ss_within, f_stat)``.  Groups with a null key are excluded, as are
+    null measurements.  ``f_stat`` is null when it is undefined
+    (fewer than 2 groups, or zero within-group variance).
+    """
+    per_group = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull(),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            # exact sums when the input is integral (long/long arithmetic
+            # stays exact; float noise then enters only in the tiny
+            # per-group fold, not in row-count-sized accumulations) —
+            # at extreme magnitudes pre-cast the column to double
+            F.sum(F.col(value_col)).alias("__s"),
+            F.sum(F.col(value_col) * F.col(value_col)).alias("__ss"),
+        )
+    )
+    folded = per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__n").cast("long").alias("n_total"),
+        F.sum("__s").cast("double").alias("__sum"),
+        F.sum("__ss").cast("double").alias("__sumsq"),
+        F.sum(
+            F.col("__s").cast("double") * F.col("__s") / F.col("__n"),
+        ).alias("__gsq"),
+    )
+    n = F.col("n_total").cast("double")
+    k = F.col("k_groups").cast("double")
+    grand_mean = F.col("__sum") / n
+    # SSB = sum n_g mean_g^2 - N grand^2 ; SSW = total SS - sum n_g mean_g^2
+    ss_between = F.col("__gsq") - F.col("__sum") * F.col("__sum") / n
+    ss_within = F.col("__sumsq") - F.col("__gsq")
+    f_stat = F.when(
+        (k > 1) & (n > k) & (ss_within > 0),
+        (ss_between / (k - 1)) / (ss_within / (n - k)),
+    )
+    return folded.select(
+        "k_groups", "n_total",
+        grand_mean.alias("grand_mean"),
+        ss_between.alias("ss_between"),
+        ss_within.alias("ss_within"),
+        f_stat.alias("f_stat"),
+    )

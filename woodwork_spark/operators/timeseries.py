@@ -851,3 +851,71 @@ def forecast_baselines(
         F.avg("__e1").alias("mae_naive"),
         F.avg("__es").alias("mae_snaive"),
     )
+
+
+def acf(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols=(),
+    max_lag: int = 10,
+) -> DataFrame:
+    """Sample autocorrelation function per group, lags 1..``max_lag``.
+
+    Uses the standard biased estimator: r_k = sum_{t>k}(y_t - ȳ)(y_{t-k}
+    - ȳ) / sum_t(y_t - ȳ)², with the FULL-series mean ȳ and a common
+    denominator across lags, so r_k is comparable between lags and the
+    usual ±1.96/√n band applies.  Assumes an evenly spaced series —
+    resample first (:func:`resample` / :func:`fill_gaps`); the lag is in
+    ROWS, not time units.
+
+    Scale shape: ONE window partitioning carries everything — the
+    per-group mean is an unbounded window over the same partition spec
+    as the ``max_lag`` lag columns, so the whole computation is a single
+    per-group sort + one grouped aggregate producing every lag's
+    numerator at once (no per-lag jobs, no self-joins).  Lags then
+    unpivot via ``stack``.  Per-group data must fit a partition — true
+    for any aggregated series (the only kind ACF is meaningful on).
+
+    Returns ``(group_cols..., lag, n_points, n_used, acf)`` where
+    ``n_used`` counts the pairs behind lag k; groups with zero variance
+    yield NULL acf.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull(),
+    ).select(*group_cols, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    part = (
+        W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+    )
+    w_all = part.orderBy("__x").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing,
+    )
+    w_lag = part.orderBy("__x")
+    centered = base.withColumn("__mu", F.avg("__y").over(w_all))
+    dev = F.col("__y") - F.col("__mu")
+    for k in range(1, max_lag + 1):
+        centered = centered.withColumn(
+            f"__p{k}", dev * (F.lag("__y", k).over(w_lag) - F.col("__mu")),
+        )
+    agg = centered.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(dev * dev).alias("__den"),
+        *[F.sum(f"__p{k}").alias(f"__n{k}") for k in range(1, max_lag + 1)],
+        *[F.count(f"__p{k}").alias(f"__c{k}") for k in range(1, max_lag + 1)],
+    )
+    stack_expr = "stack({}, {}) as (lag, __num, n_used)".format(
+        max_lag,
+        ", ".join(
+            f"{k}, __n{k}, __c{k}" for k in range(1, max_lag + 1)
+        ),
+    )
+    tall = agg.select(*group_cols, "n_points", "__den", F.expr(stack_expr))
+    r = F.when(F.col("__den") > 0, F.col("__num") / F.col("__den"))
+    return tall.select(
+        *group_cols, "lag", "n_points", "n_used", r.alias("acf"),
+    )
