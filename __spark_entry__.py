@@ -4347,6 +4347,142 @@ def q_attribution(spark, sf_dir):
     )
 
 
+def q_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test between two sources' document
+    lengths: one conditional aggregate (exact integer sums), pure
+    arithmetic for t and the Welch-Satterthwaite df."""
+    from woodwork_spark.operators.stats_tests import welch_ttest
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = welch_ttest(docs, "n_chars", "source", "src0", "src1")
+    return out.select(
+        "n_a", "n_b",
+        _ravg(F.col("mean_a"), 4).alias("mean_a"),
+        _ravg(F.col("mean_b"), 4).alias("mean_b"),
+        _ravg(F.col("var_a"), 4).alias("var_a"),
+        _ravg(F.col("var_b"), 4).alias("var_b"),
+        _ravg(F.col("t_stat"), 6).alias("t_stat"),
+        _ravg(F.col("df_welch"), 4).alias("df_welch"),
+    )
+
+
+def q_median_ci(spark, sf_dir):
+    """Distribution-free 95% median CI per return flag via binomial
+    order statistics — one row_number window per group, three ranks
+    picked, one pivot agg.  Ties make the rank-th value well-defined,
+    so no tie-break is needed for value parity."""
+    from woodwork_spark.operators.stats_tests import median_ci
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = median_ci(li, "l_extendedprice", "l_returnflag")
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round("median", 2).alias("median"),
+        F.round("ci_lo", 2).alias("ci_lo"),
+        F.round("ci_hi", 2).alias("ci_hi"),
+    )
+
+
+def q_stream_hopping(spark, sf_dir):
+    """Sliding (hopping) window streaming rollup: 2-hour windows every
+    hour, each event counted in exactly two windows.  Finite stream
+    equals the batch computation — the oracle expands each event into
+    its two covering window starts in SQL."""
+    import uuid
+
+    from woodwork_spark.streaming import (
+        hourly_rollup_stream,
+        read_event_stream,
+    )
+
+    _prep(spark)
+    stream = read_event_stream(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        max_files_per_trigger=10,
+    )
+    rolled = hourly_rollup_stream(
+        stream, window="2 hours", slide="1 hour",
+    ).select(
+        "event_type",
+        F.unix_micros("window_start").alias("window_start_us"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+    name = f"stream_hopping_{uuid.uuid4().hex[:8]}"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def q_clustered_layout(spark, sf_dir):
+    """Zone-map clustering effectiveness for a layout sorted by
+    (l_orderkey, l_linenumber): the sort key prunes (overlap ~0,
+    point probes touch ~1 zone), unsorted probes don't — measured
+    BEFORE rewriting any data.  Distributed ntile + per-zone min/max;
+    scoring runs on the 32-row zone table."""
+    from woodwork_spark.operators.layout import clustering_effectiveness
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = clustering_effectiveness(
+        li, ["l_orderkey", "l_linenumber"],
+        ["l_orderkey", "l_partkey", "l_extendedprice"],
+        n_zones=32,
+    )
+    return out.select(
+        "probe_col",
+        F.col("n_zones").cast("long").alias("n_zones"),
+        _ravg(F.col("overlap_ratio"), 6).alias("overlap_ratio"),
+        _ravg(F.col("avg_span_frac"), 6).alias("avg_span_frac"),
+        _ravg(F.col("point_scan_frac"), 6).alias("point_scan_frac"),
+    )
+
+
+def q_twonn(spark, sf_dir):
+    """TwoNN intrinsic dimension of the embedding space from
+    deterministic stride-7 anchors: exact 2-NN Euclidean distances via
+    broadcast + in-order double accumulation (bit-identical in the
+    oracle), Pareto MLE fold."""
+    from woodwork_spark.operators.embedding import twonn_dimension
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = twonn_dimension(emb, "vec_id", "embedding", anchor_stride=7)
+    return out.select(
+        "n_anchors", "n_used",
+        _ravg(F.col("id_mle"), 4).alias("id_mle"),
+        _ravg(F.col("mean_mu"), 6).alias("mean_mu"),
+    )
+
+
+def q_kcore(spark, sf_dir):
+    """3-core of the part co-purchase graph (pairs sharing >= 2
+    orders): iterative peeling to fixpoint (driver peel at this size;
+    the distributed path checkpoints per round).  The oracle unrolls
+    14 peeling rounds in chained CTEs — strictly more than either SF
+    needs, so the fixpoints agree."""
+    from woodwork_spark.operators.basket import item_similarity
+    from woodwork_spark.operators.graph import kcore
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = item_similarity(li, "l_orderkey", "l_partkey", min_cooc=2)
+    out = kcore(pairs, 3, "item_a", "item_b")
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4531,6 +4667,12 @@ QUERIES = {
     "adamic_adar": q_adamic_adar,
     "item_similarity": q_item_similarity,
     "attribution": q_attribution,
+    "welch_ttest": q_welch_ttest,
+    "median_ci": q_median_ci,
+    "stream_hopping": q_stream_hopping,
+    "clustered_layout": q_clustered_layout,
+    "twonn": q_twonn,
+    "kcore": q_kcore,
 }
 
 ORACLE = {
@@ -8820,6 +8962,230 @@ ORACLE.update({
         FROM conv GROUP BY channel
     """,
 })
+
+
+ORACLE.update({
+    "welch_ttest": """
+        WITH b AS (
+            SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS isa,
+                   n_chars AS v
+            FROM documents
+            WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+        ), agg AS (
+            SELECT count(CASE WHEN isa = 1 THEN 1 END) AS n_a,
+                   count(CASE WHEN isa = 0 THEN 1 END) AS n_b,
+                   CAST(sum(CASE WHEN isa = 1 THEN v END) AS DOUBLE) AS sa,
+                   CAST(sum(CASE WHEN isa = 0 THEN v END) AS DOUBLE) AS sb,
+                   CAST(sum(CASE WHEN isa = 1 THEN v * v END)
+                        AS DOUBLE) AS ssa,
+                   CAST(sum(CASE WHEN isa = 0 THEN v * v END)
+                        AS DOUBLE) AS ssb
+            FROM b
+        ), v AS (
+            SELECT n_a, n_b, sa / n_a AS ma, sb / n_b AS mb,
+                   (ssa - sa * sa / n_a) / (n_a - 1) AS va,
+                   (ssb - sb * sb / n_b) / (n_b - 1) AS vb
+            FROM agg
+        ), s AS (
+            SELECT *, va / n_a + vb / n_b AS se2 FROM v
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round(ma + 0.0000001, 4) AS mean_a,
+               round(mb + 0.0000001, 4) AS mean_b,
+               round(va + 0.0000001, 4) AS var_a,
+               round(vb + 0.0000001, 4) AS var_b,
+               round((ma - mb) / sqrt(se2) + 0.0000001, 6) AS t_stat,
+               round(se2 * se2
+                     / (va * va / (n_a * n_a * (n_a - 1.0))
+                        + vb * vb / (n_b * n_b * (n_b - 1.0)))
+                     + 0.0000001, 4) AS df_welch
+        FROM s
+    """,
+    "median_ci": """
+        WITH r AS (
+            SELECT l_returnflag, l_extendedprice AS v,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ), m AS (
+            SELECT l_returnflag, n, rn, v,
+                   greatest(CAST(floor((n - 1.959963984540054 * sqrt(n))
+                                       / 2) AS BIGINT), 1) AS lo_r,
+                   least(CAST(ceil(1 + (n + 1.959963984540054 * sqrt(n))
+                                   / 2) AS BIGINT), n) AS hi_r,
+                   CAST(floor((n + 1) / 2) AS BIGINT) AS med_r
+            FROM r
+        )
+        SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+               round(max(CASE WHEN rn = med_r THEN v END), 2) AS median,
+               round(max(CASE WHEN rn = lo_r THEN v END), 2) AS ci_lo,
+               round(max(CASE WHEN rn = hi_r THEN v END), 2) AS ci_hi
+        FROM m GROUP BY l_returnflag
+    """,
+    "stream_hopping": """
+        WITH x AS (
+            SELECT event_type, value,
+                   unnest([CAST(floor(epoch_us(ts) / 3600000000.0)
+                                AS BIGINT),
+                           CAST(floor(epoch_us(ts) / 3600000000.0)
+                                AS BIGINT) - 1]) AS h
+            FROM events
+        )
+        SELECT event_type, h * 3600000000 AS window_start_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM x GROUP BY 1, 2
+    """,
+    "clustered_layout": """
+        WITH zoned AS (
+            SELECT l_orderkey, l_partkey, l_extendedprice,
+                   ntile(32) OVER (ORDER BY l_orderkey, l_linenumber)
+                       AS zone
+            FROM lineitem
+        ), z AS (
+            SELECT zone, count(*) AS n_rows,
+                   min(l_orderkey) AS ok_lo, max(l_orderkey) AS ok_hi,
+                   min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi,
+                   min(l_extendedprice) AS ep_lo,
+                   max(l_extendedprice) AS ep_hi
+            FROM zoned GROUP BY zone
+        ),
+        ok_ov AS (SELECT count(*) AS c FROM z a JOIN z b
+                  ON a.zone < b.zone AND a.ok_lo <= b.ok_hi
+                  AND b.ok_lo <= a.ok_hi),
+        pk_ov AS (SELECT count(*) AS c FROM z a JOIN z b
+                  ON a.zone < b.zone AND a.pk_lo <= b.pk_hi
+                  AND b.pk_lo <= a.pk_hi),
+        ep_ov AS (SELECT count(*) AS c FROM z a JOIN z b
+                  ON a.zone < b.zone AND a.ep_lo <= b.ep_hi
+                  AND b.ep_lo <= a.ep_hi),
+        ok_cov AS (SELECT sum(w) AS wz FROM
+                   (SELECT l_orderkey AS v, count(*) AS w FROM lineitem
+                    WHERE l_orderkey IS NOT NULL GROUP BY 1) q
+                   JOIN z ON z.ok_lo <= q.v AND q.v <= z.ok_hi),
+        pk_cov AS (SELECT sum(w) AS wz FROM
+                   (SELECT l_partkey AS v, count(*) AS w FROM lineitem
+                    WHERE l_partkey IS NOT NULL GROUP BY 1) q
+                   JOIN z ON z.pk_lo <= q.v AND q.v <= z.pk_hi),
+        ep_cov AS (SELECT sum(w) AS wz FROM
+                   (SELECT l_extendedprice AS v, count(*) AS w
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL
+                    GROUP BY 1) q
+                   JOIN z ON z.ep_lo <= q.v AND q.v <= z.ep_hi),
+        ok_span AS (SELECT count(*) AS nz,
+                    avg(CAST(ok_hi AS DOUBLE) - CAST(ok_lo AS DOUBLE))
+                        AS avg_span,
+                    max(CAST(ok_hi AS DOUBLE))
+                        - min(CAST(ok_lo AS DOUBLE)) AS g_span FROM z),
+        pk_span AS (SELECT count(*) AS nz,
+                    avg(CAST(pk_hi AS DOUBLE) - CAST(pk_lo AS DOUBLE))
+                        AS avg_span,
+                    max(CAST(pk_hi AS DOUBLE))
+                        - min(CAST(pk_lo AS DOUBLE)) AS g_span FROM z),
+        ep_span AS (SELECT count(*) AS nz,
+                    avg(CAST(ep_hi AS DOUBLE) - CAST(ep_lo AS DOUBLE))
+                        AS avg_span,
+                    max(CAST(ep_hi AS DOUBLE))
+                        - min(CAST(ep_lo AS DOUBLE)) AS g_span FROM z),
+        tot AS (SELECT count(*) AS nn FROM lineitem)
+        SELECT 'l_orderkey' AS probe_col, CAST(nz AS BIGINT) AS n_zones,
+               round(c / (nz * (nz - 1) / 2.0) + 0.0000001, 6)
+                   AS overlap_ratio,
+               round(CASE WHEN g_span > 0 THEN avg_span / g_span END
+                     + 0.0000001, 6) AS avg_span_frac,
+               round(wz / (CAST(nn AS DOUBLE) * nz) + 0.0000001, 6)
+                   AS point_scan_frac
+        FROM ok_span, ok_ov, ok_cov, tot
+        UNION ALL
+        SELECT 'l_partkey', CAST(nz AS BIGINT),
+               round(c / (nz * (nz - 1) / 2.0) + 0.0000001, 6),
+               round(CASE WHEN g_span > 0 THEN avg_span / g_span END
+                     + 0.0000001, 6),
+               round(wz / (CAST(nn AS DOUBLE) * nz) + 0.0000001, 6)
+        FROM pk_span, pk_ov, pk_cov, tot
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(nz AS BIGINT),
+               round(c / (nz * (nz - 1) / 2.0) + 0.0000001, 6),
+               round(CASE WHEN g_span > 0 THEN avg_span / g_span END
+                     + 0.0000001, 6),
+               round(wz / (CAST(nn AS DOUBLE) * nz) + 0.0000001, 6)
+        FROM ep_span, ep_ov, ep_cov, tot
+    """,
+    "twonn": """
+        WITH a AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id % 7 = 0
+        ), co AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings
+        ), d AS (
+            SELECT a.qid, co.cid,
+                   list_dot_product(a.qv, a.qv)
+                   + list_dot_product(co.cv, co.cv)
+                   - 2 * list_dot_product(a.qv, co.cv) AS d2
+            FROM co CROSS JOIN a WHERE co.cid != a.qid
+        ), pos AS (
+            SELECT qid, d2, row_number() OVER (
+                PARTITION BY qid ORDER BY d2 ASC, cid ASC) AS rn
+            FROM d WHERE d2 > 0
+        ), mu AS (
+            SELECT qid, sqrt(max(CASE WHEN rn = 2 THEN d2 END)
+                             / max(CASE WHEN rn = 1 THEN d2 END)) AS mu
+            FROM pos WHERE rn <= 2 GROUP BY qid
+            HAVING count(*) = 2
+               AND max(CASE WHEN rn = 1 THEN d2 END) > 0
+        ), est AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_used,
+                   count(*) / sum(ln(mu)) AS id_mle,
+                   avg(mu) AS mean_mu
+            FROM mu
+        ), na AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_anchors
+            FROM embeddings WHERE vec_id % 7 = 0
+        )
+        SELECT n_anchors, n_used,
+               round(id_mle + 0.0000001, 4) AS id_mle,
+               round(mean_mu + 0.0000001, 6) AS mean_mu
+        FROM est, na
+    """,
+})
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 14) -> str:
+    """Unrolled peeling oracle for q:kcore — ``rounds`` chained CTE
+    levels, strictly more than the measured peel depth at either SF
+    (sf0.001: 0 rounds, sf0.01: 10), so the unrolled result equals the
+    fixpoint the Spark operator iterates to."""
+    parts = [
+        "WITH bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i"
+        " FROM lineitem),",
+        "e0 AS MATERIALIZED (SELECT a.i AS a, b.i AS b FROM bi a JOIN bi b"
+        " ON a.o = b.o AND a.i < b.i GROUP BY 1, 2"
+        " HAVING count(*) >= 2)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f", d{r} AS MATERIALIZED (SELECT node, count(*) AS c FROM"
+            f" (SELECT a AS node FROM e{r}"
+            f" UNION ALL SELECT b FROM e{r}) GROUP BY node)",
+        )
+        parts.append(
+            f", e{r + 1} AS MATERIALIZED (SELECT * FROM e{r} WHERE"
+            f" a NOT IN (SELECT node FROM d{r} WHERE c < {k}) AND"
+            f" b NOT IN (SELECT node FROM d{r} WHERE c < {k}))",
+        )
+    parts.append(
+        f", dfin AS (SELECT node, count(*) AS c FROM"
+        f" (SELECT a AS node FROM e{rounds}"
+        f" UNION ALL SELECT b FROM e{rounds}) GROUP BY node)"
+        f" SELECT CAST(node AS BIGINT) AS node,"
+        f" CAST(c AS BIGINT) AS core_degree FROM dfin WHERE c >= {k}",
+    )
+    return "\n".join(parts)
+
+
+ORACLE["kcore"] = _kcore_oracle()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -3346,3 +3346,113 @@ def test_attribution_window_and_direct(spark):
     assert by_event[6]["channel"] == "click"
     assert by_event[6]["seconds_since_touch"] == 20.0
     assert by_event[2]["value"] == 5.0  # payload preserved
+
+
+def test_welch_ttest_matches_manual(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.stats_tests import welch_ttest
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 50, 30)
+    b = rng.integers(5, 70, 45)
+    rows = [("a", int(v)) for v in a] + [("b", int(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = welch_ttest(df, "v", "g", "a", "b").collect()[0]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / 30 + vb / 45
+    t = (a.mean() - b.mean()) / se2**0.5
+    dfw = se2**2 / (va**2 / (30**2 * 29) + vb**2 / (45**2 * 44))
+    assert abs(r["mean_a"] - a.mean()) < 1e-9
+    assert abs(r["var_b"] - vb) < 1e-9
+    assert abs(r["t_stat"] - t) < 1e-9
+    assert abs(r["df_welch"] - dfw) < 1e-6
+    # degenerate group -> NULL t
+    tiny = spark.createDataFrame([("a", 1), ("b", 2)], "g string, v long")
+    assert welch_ttest(tiny, "v", "g", "a", "b").collect()[0]["t_stat"] is None
+
+
+def test_median_ci_known_ranks(spark):
+    from woodwork_spark.operators.stats_tests import median_ci
+
+    # n = 25: lo = floor((25 - 1.96*5)/2) = 7, hi = ceil(1 + (25+9.8)/2)
+    # = ceil(18.4) = 19, median rank = 13
+    vals = list(range(1, 26))
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    r = median_ci(df, "v").collect()[0]
+    assert r["n"] == 25
+    assert r["median"] == 13
+    assert r["ci_lo"] == 7
+    assert r["ci_hi"] == 19
+    # tiny group clamps to extremes
+    small = spark.createDataFrame([(v,) for v in [3, 1, 2]], "v int")
+    r = median_ci(small, "v").collect()[0]
+    assert (r["ci_lo"], r["median"], r["ci_hi"]) == (1, 2, 3)
+
+
+def test_kcore_known_graph_and_distributed_parity(spark):
+    from woodwork_spark.operators.graph import kcore
+
+    # triangle a-b-c plus a pendant chain c-d-e: 2-core = the triangle
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    core = {r["node"]: r["core_degree"] for r in kcore(df, 2).collect()}
+    assert core == {"a": 2, "b": 2, "c": 2}
+    # distributed path (forced) must agree exactly
+    dist = {r["node"]: r["core_degree"]
+            for r in kcore(df, 2, small_threshold=0).collect()}
+    assert dist == core
+    # k=3 empties this graph
+    assert kcore(df, 3).count() == 0
+    assert kcore(df, 3, small_threshold=0).count() == 0
+
+
+def test_twonn_dimension_gaussian(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.embedding import twonn_dimension
+
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(400, 3))
+    rows = [(i, [float(x) for x in p]) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = twonn_dimension(df, anchor_stride=4).collect()[0]
+    assert r["n_anchors"] == 100
+    assert r["n_used"] == 100
+    assert 2.0 < r["id_mle"] < 4.5  # true dimension 3
+    # coincident anchors are excluded, not divided by zero
+    dup_rows = rows + [(1000 + i, rows[i][1]) for i in range(10)]
+    df2 = spark.createDataFrame(
+        dup_rows, "vec_id long, embedding array<float>",
+    )
+    r2 = twonn_dimension(df2, anchor_stride=4).collect()[0]
+    assert r2["n_used"] <= r2["n_anchors"]
+
+
+def test_clustering_effectiveness_sorted_vs_constant(spark):
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.operators.layout import (
+        clustering_effectiveness,
+        zone_map,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("noise"),
+        F.lit(1).alias("const"),
+    )
+    zm = zone_map(df, "id", ["id"], n_zones=10).collect()
+    assert len(zm) == 10
+    assert all(r["n_rows"] == 100 for r in zm)
+    eff = clustering_effectiveness(df, "id", ["id", "noise"], n_zones=10)
+    out = {r["probe_col"]: r for r in eff.collect()}
+    # sort key: zero overlapping zone pairs, point probe touches 1/10
+    assert out["id"]["overlap_ratio"] == 0.0
+    assert abs(out["id"]["point_scan_frac"] - 0.1) < 1e-12
+    # unclustered small-cardinality probe: every zone covers everything
+    assert out["noise"]["overlap_ratio"] == 1.0
+    assert abs(out["noise"]["point_scan_frac"] - 1.0) < 1e-12
+    from woodwork_spark.lifecycle import release
+
+    assert release(eff) > 0  # zone table cache freed after consumption

@@ -639,3 +639,47 @@ def test_session5_operator_plan_shapes(spark):
     assert "CartesianProduct" not in plan and "PythonUDF" not in plan
     plan = _executed_plan(item_similarity(li, "l_orderkey", "l_partkey"))
     assert "CartesianProduct" not in plan and "PythonUDF" not in plan
+
+
+def test_session5_batch2_plan_shapes(spark):
+    """Batch 2: layout scoring runs its pair join on the zone table
+    (post-aggregate), kcore's distributed loop checkpoints, twonn
+    broadcasts anchors, median_ci shuffles once on the group key."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.operators.embedding import twonn_dimension
+    from woodwork_spark.operators.layout import clustering_effectiveness
+    from woodwork_spark.operators.stats_tests import median_ci, welch_ttest
+    from woodwork_spark.lifecycle import release
+
+    li = read_parquet(spark, f"{SF}/lineitem.parquet")
+    emb = read_parquet(spark, f"{SF}/embeddings.parquet")
+
+    # welch: aggregate-only, one scan
+    plan = _executed_plan(welch_ttest(li, "l_quantity", "l_returnflag",
+                                      "A", "R"))
+    assert "Join" not in plan and "Window" not in plan
+    assert "PythonUDF" not in plan
+
+    # median_ci: exactly one row-level Window partitioning (both window
+    # specs share the group-key sort)
+    mc = median_ci(li, "l_extendedprice", "l_returnflag")
+    plan = _executed_plan(mc)
+    assert "PythonUDF" not in plan and "Join" not in plan
+
+    # twonn: anchors broadcast against the corpus — no shuffled join of
+    # corpus x corpus, no Python
+    tw = twonn_dimension(emb, anchor_stride=7)
+    plan = _executed_plan(tw)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "PythonUDF" not in plan
+
+    # layout: effectiveness plan contains no cartesian on the ROW level
+    # (the zone-pair join is a nested loop over the 32-row zone agg)
+    eff = clustering_effectiveness(
+        li, ["l_orderkey", "l_linenumber"], ["l_partkey"], n_zones=8,
+    )
+    plan = _executed_plan(eff)
+    assert "PythonUDF" not in plan
+    release(eff)

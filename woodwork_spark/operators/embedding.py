@@ -25,6 +25,7 @@ import math
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -216,3 +217,98 @@ def pca_project(
         return _null_safe_matmul(vecs, lambda X: (X - mu) @ comps.T)
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+def twonn_dimension(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_stride: int = 7,
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate of an embedding space
+    (Facco et al. 2017, Sci. Rep. 7:12140): for each anchor point the
+    ratio mu = r2/r1 of its two nearest-neighbor EUCLIDEAN distances
+    follows a Pareto(d) law; the MLE is d = m / sum(ln mu).  The
+    standard "how curved/compressed is this representation really"
+    read before choosing projection widths (:func:`random_project`,
+    :func:`pca_fit`) or LSH bandings.
+
+    Scale shape: the estimator only needs a SAMPLE of anchors
+    (deterministic ``id % anchor_stride == 0`` — seed-free and
+    oracle-reproducible); anchors broadcast against the full corpus,
+    distances via the same in-order double accumulation everywhere
+    (d² = |q|² + |c|² - 2 q·c), per-anchor top-2 via window.
+    Coincident points (d² = 0) are excluded per the paper's
+    convention.  Corpus side streams once — no pairwise |N|² blowup.
+
+    Returns one row: ``(n_anchors, n_used, id_mle, mean_mu)``;
+    ``n_used`` drops anchors lacking two distinct-position neighbors.
+    """
+    if anchor_stride < 1:
+        raise ValueError(f"anchor_stride must be >= 1, got {anchor_stride}")
+    sq = _sq_norm
+    anchors = df.where(F.pmod(F.col(id_col), F.lit(anchor_stride)) == 0)
+    n_anchors = F.broadcast(
+        anchors.agg(F.count(F.lit(1)).alias("n_anchors")),
+    )
+    q = anchors.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        sq(vec_col).alias("__q2"),
+    )
+    corpus = df.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        sq(vec_col).alias("__c2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    d2 = F.col("__q2") + F.col("__c2") - 2 * dot
+    scored = (
+        corpus.join(F.broadcast(q), F.col("__cid") != F.col("__qid"))
+        .select("__qid", "__cid", d2.alias("__d2"))
+        .where(F.col("__d2") > 0)
+    )
+    w = W.partitionBy("__qid").orderBy(
+        F.col("__d2").asc(), F.col("__cid").asc(),
+    )
+    top2 = scored.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= 2,
+    )
+    mu_rows = (
+        top2.groupBy("__qid")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__d2"))).alias("__r1"),
+            F.max(F.when(F.col("__rn") == 2, F.col("__d2"))).alias("__r2"),
+        )
+        .where((F.col("__cnt") == 2) & (F.col("__r1") > 0))
+        .select(F.sqrt(F.col("__r2") / F.col("__r1")).alias("__mu"))
+    )
+    est = mu_rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.sum(F.log("__mu")).alias("__lsum"),
+        F.avg("__mu").alias("mean_mu"),
+    ).select(
+        "n_used",
+        # ANSI-safe: all-duplicate corpora drive sum(ln mu) to 0
+        F.when(
+            F.col("__lsum") > 0, F.col("n_used") / F.col("__lsum"),
+        ).alias("id_mle"),
+        "mean_mu",
+    )
+    return est.crossJoin(n_anchors).select(
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        "n_used", "id_mle", "mean_mu",
+    )
+
+
+def _sq_norm(vec_col):
+    return F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v * v,
+    )

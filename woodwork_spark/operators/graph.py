@@ -378,3 +378,100 @@ def adamic_adar(
         )
     )
     return out
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 100,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """The k-core of an undirected simple graph: the maximal subgraph
+    where every node keeps degree >= k, by iterative peeling (drop
+    all sub-k nodes, recompute degrees, repeat to fixpoint) — the
+    standard "dense kernel" extractor for community seeds and spam/
+    bot subgraph mining.  Returns ``(node, core_degree)`` — the
+    surviving nodes with their degree INSIDE the core.
+
+    Cardinality-aware like :func:`~..dedup.connected_components`:
+    at or below ``small_threshold`` edges the list collects and peels
+    on the driver (identical result, one job).  Above it, the
+    distributed loop peels with one degree agg + two anti-joins per
+    round, eagerly ``localCheckpoint``-ed so the plan does not double
+    per iteration; rounds are bounded by the peeling depth
+    (typically O(log n); pathological paths degrade — ``max_iter``
+    raises rather than silently returning a non-core).  Each round's
+    state is the live edge list only.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b")),
+        )
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"),
+        )
+        .distinct()
+    )
+    out_schema = "node long, core_degree long"
+    try:
+        if dict(e.dtypes)["a"] == "string":
+            out_schema = "node string, core_degree long"
+    except KeyError:
+        pass
+    if small_threshold:
+        e = e.persist()
+        head = e.limit(small_threshold + 1).collect()
+        if len(head) <= small_threshold:
+            e.unpersist()
+            adj: dict = {}
+            for r in head:
+                adj.setdefault(r["a"], set()).add(r["b"])
+                adj.setdefault(r["b"], set()).add(r["a"])
+            alive = set(adj)
+            while True:
+                dead = [
+                    n for n in alive
+                    if sum(1 for m in adj[n] if m in alive) < k
+                ]
+                if not dead:
+                    break
+                alive.difference_update(dead)
+            rows = [
+                (n, sum(1 for m in adj[n] if m in alive))
+                for n in sorted(alive)
+            ]
+            return spark.createDataFrame(rows, out_schema)
+    live = e.localCheckpoint(eager=True)
+    if small_threshold:
+        e.unpersist()
+    for _ in range(max_iter):
+        deg = (
+            live.select(F.col("a").alias("node"))
+            .unionAll(live.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("__d"))
+        )
+        bad = deg.where(F.col("__d") < k).select("node").persist()
+        n_bad = bad.count()
+        if n_bad == 0:
+            bad.unpersist()
+            return deg.select(
+                "node", F.col("__d").cast("long").alias("core_degree"),
+            )
+        nxt = (
+            live.join(bad, live.a == bad.node, "left_anti")
+            .join(bad, F.col("b") == bad.node, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        bad.unpersist()
+        live = nxt
+    raise RuntimeError(
+        f"kcore did not converge within {max_iter} peeling rounds",
+    )

@@ -25,6 +25,7 @@ Scale shapes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .rank import global_prefix_sums
@@ -80,9 +81,12 @@ def mann_whitney_u(
     n = na + nb
     u_a = F.col("rank_sum_a") - na * (na + 1) / 2.0
     u_b = na * nb - u_a
-    sigma = F.sqrt(
-        na * nb / 12.0 * ((n + 1) - F.col("tie_term") / (n * (n - 1))),
-    )
+    # ANSI-safe: the tie correction divides by n(n-1), zero when the
+    # filtered input has < 2 rows
+    tie_frac = F.when(
+        n > 1, F.col("tie_term") / (n * (n - 1)),
+    ).otherwise(F.lit(0.0))
+    sigma = F.sqrt(na * nb / 12.0 * ((n + 1) - tie_frac))
     z = F.when(sigma > 0, (u_a - na * nb / 2.0) / sigma).otherwise(
         F.lit(0.0),
     )
@@ -133,9 +137,11 @@ def anova_oneway(
     )
     n = F.col("n_total").cast("double")
     k = F.col("k_groups").cast("double")
-    grand_mean = F.col("__sum") / n
+    grand_mean = F.when(n > 0, F.col("__sum") / n)
     # SSB = sum n_g mean_g^2 - N grand^2 ; SSW = total SS - sum n_g mean_g^2
-    ss_between = F.col("__gsq") - F.col("__sum") * F.col("__sum") / n
+    ss_between = F.when(
+        n > 0, F.col("__gsq") - F.col("__sum") * F.col("__sum") / n,
+    )
     ss_within = F.col("__sumsq") - F.col("__gsq")
     f_stat = F.when(
         (k > 1) & (n > k) & (ss_within > 0),
@@ -147,4 +153,133 @@ def anova_oneway(
         ss_between.alias("ss_between"),
         ss_within.alias("ss_within"),
         f_stat.alias("f_stat"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups: one
+    conditional aggregate over the filtered rows (exact integer sums
+    when the input is integral, like :func:`anova_oneway`), then pure
+    arithmetic — t statistic plus the Welch-Satterthwaite degrees of
+    freedom.  Returns ``(n_a, n_b, mean_a, mean_b, var_a, var_b,
+    t_stat, df_welch)`` (sample variances, ddof=1); t/df are NULL when
+    either group has < 2 rows or both variances are 0.
+    """
+    isa = F.col(group_col) == F.lit(group_a)
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull(),
+    )
+    v = F.col(value_col)
+    agg = base.agg(
+        F.count(F.when(isa, 1)).alias("n_a"),
+        F.count(F.when(~isa, 1)).alias("n_b"),
+        F.sum(F.when(isa, v)).cast("double").alias("__sa"),
+        F.sum(F.when(~isa, v)).cast("double").alias("__sb"),
+        F.sum(F.when(isa, v * v)).cast("double").alias("__ssa"),
+        F.sum(F.when(~isa, v * v)).cast("double").alias("__ssb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    # ANSI-safe: every division is gated on its denominator (a
+    # degenerate group yields NULLs, not a DIVIDE_BY_ZERO)
+    mean_a = F.when(na > 0, F.col("__sa") / na)
+    mean_b = F.when(nb > 0, F.col("__sb") / nb)
+    var_a = F.when(
+        na > 1,
+        (F.col("__ssa") - F.col("__sa") * F.col("__sa") / na) / (na - 1),
+    )
+    var_b = F.when(
+        nb > 1,
+        (F.col("__ssb") - F.col("__sb") * F.col("__sb") / nb) / (nb - 1),
+    )
+    se2 = var_a / na + var_b / nb
+    t = F.when((na > 1) & (nb > 1) & (se2 > 0), (mean_a - mean_b) / F.sqrt(se2))
+    dfw = F.when(
+        (na > 1) & (nb > 1) & (se2 > 0),
+        se2 * se2 / (
+            var_a * var_a / (na * na * (na - 1))
+            + var_b * var_b / (nb * nb * (nb - 1))
+        ),
+    )
+    return agg.select(
+        "n_a", "n_b",
+        mean_a.alias("mean_a"), mean_b.alias("mean_b"),
+        var_a.alias("var_a"), var_b.alias("var_b"),
+        t.alias("t_stat"), dfw.alias("df_welch"),
+    )
+
+
+def median_ci(
+    df: DataFrame,
+    value_col: str,
+    group_cols=(),
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Distribution-free confidence interval for the MEDIAN per group
+    via binomial order statistics: ranks lo = floor((n - z*sqrt(n))/2)
+    and hi = ceil(1 + (n + z*sqrt(n))/2) bracket the median with ~95%
+    coverage (z = 1.96) without any normality or bootstrap — the
+    standard nonparametric interval (Conover 1999 §3.2).
+
+    Shape: one row_number window per group + one filter to the three
+    ranks + one pivot agg — rows shuffled once on the group key.  The
+    full per-group sort is the exact path; at 100 TB switch the
+    endpoints to ``approx_percentile`` at the same rank fractions.
+
+    Returns ``(group_cols..., n, median, ci_lo, ci_hi)``; groups where
+    the rank formula degenerates (n < 6 gives lo < 1) clamp to the
+    extreme order statistics.
+    """
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, F.col(value_col).alias("__v"),
+    )
+    part = (
+        W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+    )
+    w = part.orderBy(F.col("__v").asc())
+    n_w = part.orderBy(F.col("__v").asc()).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing,
+    )
+    ranked = base.select(
+        *group_cols, "__v",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(n_w).alias("__n"),
+    )
+    n = F.col("__n").cast("double")
+    lo_r = F.greatest(
+        F.floor((n - F.lit(z) * F.sqrt(n)) / 2).cast("long"), F.lit(1),
+    )
+    hi_r = F.least(
+        F.ceil(1 + (n + F.lit(z) * F.sqrt(n)) / 2).cast("long"), F.col("__n"),
+    )
+    med_r = ((F.col("__n") + 1) / 2).cast("long")  # lower median
+    marked = ranked.withColumn("__lo", lo_r).withColumn(
+        "__hi", hi_r,
+    ).withColumn("__med", med_r)
+    picked = marked.filter(
+        (F.col("__r") == F.col("__lo"))
+        | (F.col("__r") == F.col("__hi"))
+        | (F.col("__r") == F.col("__med")),
+    )
+    return picked.groupBy(*group_cols).agg(
+        F.max("__n").alias("n"),
+        F.max(F.when(F.col("__r") == F.col("__med"), F.col("__v"))).alias(
+            "median",
+        ),
+        F.max(F.when(F.col("__r") == F.col("__lo"), F.col("__v"))).alias(
+            "ci_lo",
+        ),
+        F.max(F.when(F.col("__r") == F.col("__hi"), F.col("__v"))).alias(
+            "ci_hi",
+        ),
     )
