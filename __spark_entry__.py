@@ -4449,14 +4449,16 @@ def q_clustered_layout(spark, sf_dir):
 
 def q_twonn(spark, sf_dir):
     """TwoNN intrinsic dimension of the embedding space from
-    deterministic stride-7 anchors: exact 2-NN Euclidean distances via
+    deterministic stride anchors: exact 2-NN Euclidean distances via
     broadcast + in-order double accumulation (bit-identical in the
-    oracle), Pareto MLE fold."""
+    oracle), Pareto MLE fold.  Stride 70 keeps the anchor SAMPLE
+    bounded as the corpus grows (the estimator needs a few hundred
+    anchors, not a fixed fraction — anchors x corpus is the cost)."""
     from woodwork_spark.operators.embedding import twonn_dimension
 
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    out = twonn_dimension(emb, "vec_id", "embedding", anchor_stride=7)
+    out = twonn_dimension(emb, "vec_id", "embedding", anchor_stride=70)
     return out.select(
         "n_anchors", "n_used",
         _ravg(F.col("id_mle"), 4).alias("id_mle"),
@@ -9115,7 +9117,7 @@ ORACLE.update({
     "twonn": """
         WITH a AS (
             SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-            FROM embeddings WHERE vec_id % 7 = 0
+            FROM embeddings WHERE vec_id % 70 = 0
         ), co AS (
             SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
             FROM embeddings
@@ -9142,7 +9144,7 @@ ORACLE.update({
             FROM mu
         ), na AS (
             SELECT CAST(count(*) AS BIGINT) AS n_anchors
-            FROM embeddings WHERE vec_id % 7 = 0
+            FROM embeddings WHERE vec_id % 70 = 0
         )
         SELECT n_anchors, n_used,
                round(id_mle + 0.0000001, 4) AS id_mle,

@@ -48,7 +48,10 @@ def zone_map(
         [probe_cols] if isinstance(probe_cols, str) else list(probe_cols)
     )
     order = sort_cols + ([tie_col] if tie_col else [])
-    zoned = global_ntile(df, order, n_zones, out_col="__zone")
+    # prune to the columns the zone table needs BEFORE the ntile range
+    # shuffle — the sort moves every selected byte
+    needed = list(dict.fromkeys(order + probe_cols))
+    zoned = global_ntile(df.select(*needed), order, n_zones, out_col="__zone")
     out = zoned.groupBy(F.col("__zone").alias("zone")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         *[
@@ -84,6 +87,13 @@ def clustering_effectiveness(
       at a RANDOM EXISTING row's value must scan (row-weighted):
       the direct "how much of the table does x = ? read" answer.
 
+    Shape: the zone table is BY CONSTRUCTION tiny (n_zones rows), so
+    it is collected once and the point-probe cover check becomes a
+    literal zone-bound indicator expression folded into ONE aggregate
+    pass over the table — no per-probe shuffles (a values groupBy per
+    probe column costs a full-table shuffle each; the literal form
+    costs zero).  Overlap and span fold on the zone frame itself.
+
     Returns one row per probe column: ``(probe_col, n_zones,
     overlap_ratio, avg_span_frac, point_scan_frac)``.
     """
@@ -92,55 +102,50 @@ def clustering_effectiveness(
     )
     zones = zone_map(df, sort_cols, probe_cols, n_zones, tie_col)
     zones_p = zones.persist()
+    zrows = zones_p.collect()  # n_zones rows — tiny by construction
+    # ONE pass over the table: per probe, the number of zones whose
+    # [min, max] covers the row's value (sum of literal indicators)
+    # plus the non-null row count.
+    cover_aggs = []
+    for i, c in enumerate(probe_cols):
+        v = F.col(c)
+        terms = None
+        for r in zrows:
+            lo, hi = r[f"{c}_min"], r[f"{c}_max"]
+            if lo is None or hi is None:
+                continue  # all-null zone: covers nothing (matches SQL)
+            t = F.when((v >= F.lit(lo)) & (v <= F.lit(hi)), 1).otherwise(0)
+            terms = t if terms is None else terms + t
+        if terms is None:
+            terms = F.lit(0)
+        cover_aggs.append(
+            F.sum(F.when(v.isNotNull(), terms)).alias(f"__wz_{i}"),
+        )
+        cover_aggs.append(F.count(F.when(v.isNotNull(), 1)).alias(f"__nn_{i}"))
+    cov_row = F.broadcast(df.agg(*cover_aggs))
     parts = []
-    for c in probe_cols:
+    for i, c in enumerate(probe_cols):
         z = zones_p.select(
             F.lit(c).alias("probe_col"),
             F.col("zone"),
-            F.col("n_rows"),
             F.col(f"{c}_min").alias("lo"),
             F.col(f"{c}_max").alias("hi"),
         )
-        a = z.select("probe_col", "zone", "lo", "hi")
         b = z.select(
-            F.col("probe_col").alias("pc2"),
             F.col("zone").alias("z2"),
             F.col("lo").alias("lo2"),
             F.col("hi").alias("hi2"),
         )
         ov = (
-            a.join(
+            z.join(
                 b,
-                (F.col("probe_col") == F.col("pc2"))
-                & (F.col("zone") < F.col("z2"))
+                (F.col("zone") < F.col("z2"))
                 & (F.col("lo") <= F.col("hi2"))
                 & (F.col("lo2") <= F.col("hi")),
             )
             .groupBy("probe_col")
             .agg(F.count(F.lit(1)).alias("__n_overlap"))
         )
-        # point probe at each row's value: row-weighted count of zones
-        # whose range covers the value -> join rows' values to zones.
-        # Collapse rows to (value, weight) first: value cardinality
-        # bounds the join, not row count.
-        vals = df.groupBy(F.col(c).alias("__v")).agg(
-            F.count(F.lit(1)).alias("__w"),
-        ).where(F.col("__v").isNotNull())
-        cover = (
-            vals.join(
-                z.select("lo", "hi"),
-                (F.col("lo") <= F.col("__v")) & (F.col("__v") <= F.col("hi")),
-            )
-            .groupBy()
-            .agg(
-                F.sum("__w").alias("__wz"),
-            )
-        ).select(
-            F.lit(c).alias("pc3"), F.col("__wz"),
-        )
-        tot = df.agg(
-            F.count(F.when(F.col(c).isNotNull(), 1)).alias("__nn"),
-        ).select(F.lit(c).alias("pc4"), "__nn")
         spans = z.groupBy("probe_col").agg(
             F.count(F.lit(1)).alias("__nz"),
             F.avg(
@@ -155,8 +160,12 @@ def clustering_effectiveness(
         )
         part = (
             spans.join(ov, "probe_col", "left")
-            .join(cover, spans.probe_col == F.col("pc3"), "left")
-            .join(tot, spans.probe_col == F.col("pc4"), "left")
+            .crossJoin(
+                cov_row.select(
+                    F.col(f"__wz_{i}").alias("__wz"),
+                    F.col(f"__nn_{i}").alias("__nn"),
+                ),
+            )
             .select(
                 "probe_col",
                 F.col("__nz").cast("long").alias("n_zones"),
