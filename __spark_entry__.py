@@ -4485,6 +4485,93 @@ def q_kcore(spark, sf_dir):
     )
 
 
+def q_theils_u(spark, sf_dir):
+    """Theil's uncertainty coefficient between lang, source and a
+    coarse length bucket — the asymmetric dependence read Cramér's V
+    can't give (does source predict lang more than lang predicts
+    source?).  One melted agg for all 6 ordered pairs."""
+    from woodwork_spark.operators.stats_tests import theils_u
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "len_b", F.floor(F.col("n_chars") / 100).cast("long"),
+    )
+    out = theils_u(docs, ["lang", "source", "len_b"])
+    return out.select(
+        "col_x", "col_y", "n", _ravg(F.col("u"), 6).alias("u"),
+    )
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity + l-diversity audit of customer quasi-identifiers
+    (nation, segment, balance-thousand): one grouped agg + one fold —
+    the release-readiness gate before a table leaves the boundary."""
+    from woodwork_spark.operators.quality_checks import k_anonymity_report
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_kb", F.floor(F.col("c_acctbal") / 1000).cast("long"),
+    )
+    out = k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "bal_kb"],
+        k=5, sensitive_col="c_acctbal",
+    )
+    return out.select(
+        "n_rows", "n_groups", "min_group_size",
+        _ravg(F.col("frac_rows_below_k"), 6).alias("frac_rows_below_k"),
+        "n_groups_below_k",
+        F.col("is_k_anonymous").cast("int").alias("is_k_anonymous"),
+        "l_diversity",
+    )
+
+
+def q_geo_radius(spark, sf_dir):
+    """Customers within 300 km of a supplier, on deterministic
+    synthesized coordinates (the star schema carries no geography):
+    grid-cell blocked haversine join — the oracle is the BRUTE-FORCE
+    cross join, so every run also proves the blocking complete."""
+    from woodwork_spark.operators.geo import radius_join
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7) % 120 - 60 + 0.5).alias("lat"),
+        ((F.col("c_custkey") * 13) % 340 - 170 + 0.5).alias("lon"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 11) % 120 - 60 + 0.5).alias("lat"),
+        ((F.col("s_suppkey") * 17) % 340 - 170 + 0.5).alias("lon"),
+    )
+    out = radius_join(cust, supp, 300.0)
+    return out.select(
+        F.col("c_custkey_l").alias("c_custkey"),
+        F.col("s_suppkey_r").alias("s_suppkey"),
+        F.round(F.col("dist_km") + ROUND_EPS, 3).alias("dist_km"),
+    )
+
+
+def q_scd2_history(spark, sf_dir):
+    """SCD2 validity intervals from the event stream: each user's
+    event_type state collapsed to change rows with valid_from/to,
+    version and is_current — two windows over one (user, ts) sort,
+    no self-joins.  The batch twin of q:stream_scd_join's dimension."""
+    from woodwork_spark.operators.relational import build_scd2_history
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = build_scd2_history(
+        ev, "user_id", "ts", "event_type", order_cols="event_id",
+    )
+    return out.select(
+        "user_id", "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        F.col("version").cast("long").alias("version"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4675,6 +4762,10 @@ QUERIES = {
     "clustered_layout": q_clustered_layout,
     "twonn": q_twonn,
     "kcore": q_kcore,
+    "theils_u": q_theils_u,
+    "k_anonymity": q_k_anonymity,
+    "geo_radius": q_geo_radius,
+    "scd2_history": q_scd2_history,
 }
 
 ORACLE = {
@@ -9152,6 +9243,119 @@ ORACLE.update({
         FROM est, na
     """,
 })
+
+
+ORACLE.update({
+    "k_anonymity": """
+        WITH g AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
+                   count(*) AS sz,
+                   count(DISTINCT c_acctbal) AS ldiv
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(min(sz) AS BIGINT) AS min_group_size,
+               round(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+                     / CAST(sum(sz) AS DOUBLE) + 0.0000001, 6)
+                   AS frac_rows_below_k,
+               CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_groups_below_k,
+               CAST(min(sz) >= 5 AS INT) AS is_k_anonymous,
+               CAST(min(ldiv) AS BIGINT) AS l_diversity
+        FROM g
+    """,
+    "geo_radius": """
+        WITH c AS (
+            SELECT c_custkey,
+                   (c_custkey * 7) % 120 - 60 + 0.5 AS lat,
+                   (c_custkey * 13) % 340 - 170 + 0.5 AS lon
+            FROM customer
+        ), s AS (
+            SELECT s_suppkey,
+                   (s_suppkey * 11) % 120 - 60 + 0.5 AS lat,
+                   (s_suppkey * 17) % 340 - 170 + 0.5 AS lon
+            FROM supplier
+        ), d AS (
+            SELECT c_custkey, s_suppkey,
+                   2 * 6371.0 * asin(sqrt(least(
+                       sin(radians(s.lat - c.lat) / 2)
+                       * sin(radians(s.lat - c.lat) / 2)
+                       + cos(radians(c.lat)) * cos(radians(s.lat))
+                       * sin(radians(s.lon - c.lon) / 2)
+                       * sin(radians(s.lon - c.lon) / 2), 1.0)))
+                       AS dist_km
+            FROM c CROSS JOIN s
+        )
+        SELECT c_custkey, s_suppkey,
+               round(dist_km + 0.0000001, 3) AS dist_km
+        FROM d WHERE dist_km <= 300.0
+    """,
+    "scd2_history": """
+        WITH o AS (
+            SELECT user_id, event_type, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ), ch AS (
+            SELECT user_id, event_type, ts,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS version,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to
+            FROM o
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+        )
+        SELECT user_id, event_type,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(valid_to) AS valid_to_us,
+               CAST(version AS BIGINT) AS version,
+               CAST(valid_to IS NULL AS INT) AS is_current
+        FROM ch
+    """,
+})
+
+
+def _theils_oracle() -> str:
+    """UNION ALL of the 6 ordered-pair uncertainty coefficients,
+    each pair's entropies computed from its own joint contingency."""
+    cols = {
+        "lang": "lang",
+        "source": "source",
+        "len_b": "CAST(floor(n_chars / 100.0) AS BIGINT)",
+    }
+    blocks = []
+    for x, xe in cols.items():
+        for y, ye in cols.items():
+            if x == y:
+                continue
+            blocks.append(f"""
+    (WITH j AS (SELECT {xe} AS xv, {ye} AS yv, count(*) AS c
+                FROM documents
+                WHERE {xe} IS NOT NULL AND {ye} IS NOT NULL
+                GROUP BY 1, 2),
+     t AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM j),
+     hx AS (SELECT -sum((cx / t.n) * ln(cx / t.n)) AS hx
+            FROM (SELECT xv, CAST(sum(c) AS DOUBLE) AS cx
+                  FROM j GROUP BY xv), t),
+     hxy AS (SELECT -sum((j.c / t.n) * ln(j.c / cy.cy)) AS hxgy
+             FROM j
+             JOIN (SELECT yv, CAST(sum(c) AS DOUBLE) AS cy
+                   FROM j GROUP BY yv) cy USING (yv), t)
+     SELECT '{x}' AS col_x, '{y}' AS col_y,
+            CAST(t.n AS BIGINT) AS n,
+            round(CASE WHEN hx.hx > 0
+                       THEN (hx.hx - hxy.hxgy) / hx.hx END
+                  + 0.0000001, 6) AS u
+     FROM t, hx, hxy)""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+ORACLE["theils_u"] = _theils_oracle()
 
 
 def _kcore_oracle(k: int = 3, rounds: int = 14) -> str:

@@ -3456,3 +3456,113 @@ def test_clustering_effectiveness_sorted_vs_constant(spark):
     from woodwork_spark.lifecycle import release
 
     assert release(eff) > 0  # zone table cache freed after consumption
+
+
+def test_theils_u_known_and_asymmetry(spark):
+    import math
+
+    from woodwork_spark.operators.stats_tests import theils_u
+
+    # y fully determines x (x = y mod 2), but x does not determine y:
+    # U(x|y) = 1, U(y|x) < 1
+    rows = [(i % 2, i % 4) for i in range(64)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    out = {(r["col_x"], r["col_y"]): r["u"]
+           for r in theils_u(df, ["x", "y"]).collect()}
+    assert abs(out[("x", "y")] - 1.0) < 1e-12
+    # U(y|x): H(Y)=ln4, H(Y|X)=ln2 -> u = 1 - ln2/ln4 = 0.5
+    assert abs(out[("y", "x")] - 0.5) < 1e-12
+    # independent uniform -> u ~ 0
+    rows = [(i % 2, (i // 2) % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    out = {(r["col_x"], r["col_y"]): r["u"]
+           for r in theils_u(df, ["x", "y"]).collect()}
+    assert abs(out[("x", "y")]) < 1e-9
+    # constant column -> NULL u for U(const|*)
+    rows = [(1, i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    out = {(r["col_x"], r["col_y"]): r["u"]
+           for r in theils_u(df, ["x", "y"]).collect()}
+    assert out[("x", "y")] is None
+
+
+def test_k_anonymity_report(spark):
+    from woodwork_spark.operators.quality_checks import k_anonymity_report
+
+    rows = (
+        [("a", 1, 10 + i) for i in range(5)]       # group of 5, 5 values
+        + [("a", 2, 7), ("a", 2, 7)]               # group of 2, 1 value
+        + [("b", 1, 1)]                            # group of 1
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s int")
+    r = k_anonymity_report(df, ["q1", "q2"], k=3, sensitive_col="s").collect()[0]
+    assert r["n_rows"] == 8 and r["n_groups"] == 3
+    assert r["min_group_size"] == 1
+    assert r["n_groups_below_k"] == 2
+    assert abs(r["frac_rows_below_k"] - 3 / 8) < 1e-12
+    assert r["is_k_anonymous"] is False
+    assert r["l_diversity"] == 1  # the uniform-sensitive group of 2
+    ok = k_anonymity_report(df.where("q1 = 'a' and q2 = 1"), "q1", k=5)
+    assert ok.collect()[0]["is_k_anonymous"] is True
+
+
+def test_radius_join_matches_bruteforce(spark):
+    import math
+    import random
+
+    from woodwork_spark.operators.geo import haversine_km, radius_join
+
+    rng = random.Random(42)
+    pts = [(i, rng.uniform(-65, 65), rng.uniform(-170, 170))
+           for i in range(120)]
+    # cluster some points tightly so matches exist
+    pts += [(1000 + i, 48.0 + i * 0.01, 11.0 + i * 0.01) for i in range(20)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    out = radius_join(df, df, 200.0)
+    got = {(r["id_l"], r["id_r"]) for r in out.collect()}
+
+    def hav(a, b):
+        la1, lo1, la2, lo2 = map(math.radians, (a[1], a[2], b[1], b[2]))
+        h = (math.sin((la2 - la1) / 2) ** 2
+             + math.cos(la1) * math.cos(la2)
+             * math.sin((lo2 - lo1) / 2) ** 2)
+        return 2 * 6371.0 * math.asin(min(1.0, math.sqrt(h)))
+
+    expect = {(a[0], b[0]) for a in pts for b in pts
+              if hav(a, b) <= 200.0}
+    assert got == expect  # blocking is COMPLETE vs brute force
+    assert len(got) > len(pts)  # self-pairs + clustered matches
+
+
+def test_build_scd2_history(spark):
+    import datetime as dt
+
+    from woodwork_spark.operators.relational import build_scd2_history
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    rows = [
+        (1, ts(0), "bronze", 1), (1, ts(1), "bronze", 2),
+        (1, ts(2), "gold", 3), (1, ts(3), "gold", 4),
+        (1, ts(4), "bronze", 5),
+        (2, ts(0), "silver", 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, tier string, eid long",
+    )
+    out = build_scd2_history(df, "k", "ts", "tier", order_cols="eid")
+    u1 = sorted(
+        [r for r in out.collect() if r["k"] == 1],
+        key=lambda r: r["version"],
+    )
+    assert [(r["tier"], r["version"]) for r in u1] == [
+        ("bronze", 1), ("gold", 2), ("bronze", 3),
+    ]
+    assert u1[0]["valid_from"] == ts(0) and u1[0]["valid_to"] == ts(2)
+    assert u1[1]["valid_to"] == ts(4)
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"] is True
+    u2 = [r for r in out.collect() if r["k"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"] is True

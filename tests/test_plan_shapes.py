@@ -683,3 +683,40 @@ def test_session5_batch2_plan_shapes(spark):
     plan = _executed_plan(eff)
     assert "PythonUDF" not in plan
     release(eff)
+
+
+def test_session5_batch3_plan_shapes(spark):
+    """Batch 3: geo join is an EQUI-join on grid cells (never a row
+    cartesian), scd2 is window-only, k-anonymity is agg-only."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.operators.geo import radius_join
+    from woodwork_spark.operators.quality_checks import k_anonymity_report
+    from woodwork_spark.operators.relational import build_scd2_history
+
+    cust = read_parquet(spark, f"{SF}/customer.parquet").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7) % 120 - 60 + 0.5).alias("lat"),
+        ((F.col("c_custkey") * 13) % 340 - 170 + 0.5).alias("lon"),
+    )
+    supp = read_parquet(spark, f"{SF}/supplier.parquet").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 11) % 120 - 60 + 0.5).alias("lat"),
+        ((F.col("s_suppkey") * 17) % 340 - 170 + 0.5).alias("lon"),
+    )
+    plan = _executed_plan(radius_join(cust, supp, 300.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan
+
+    ev = read_parquet(spark, f"{SF}/events.parquet")
+    plan = _executed_plan(build_scd2_history(
+        ev, "user_id", "ts", "event_type", order_cols="event_id",
+    ))
+    assert "Join" not in plan and "PythonUDF" not in plan
+
+    plan = _executed_plan(k_anonymity_report(
+        ev, ["event_type"], k=3, sensitive_col="user_id",
+    ))
+    assert "Join" not in plan and "Window" not in plan

@@ -275,3 +275,53 @@ def missingness_report(df: DataFrame, cols) -> DataFrame:
         "phi",
         F.when(denom > 0, (pab - pa * pb) / denom),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols,
+    k: int = 10,
+    sensitive_col: str = None,
+) -> DataFrame:
+    """Privacy-readiness audit before a dataset leaves the boundary:
+    group rows by the quasi-identifier combination and report how
+    re-identifiable they are.  A dataset is k-anonymous when every QI
+    group holds >= k rows; with ``sensitive_col``, also reports
+    l-diversity (min distinct sensitive values per group — k-anonymity
+    alone fails when a group's sensitive value is uniform).
+
+    Shape: one grouped aggregate over the QI key (map-side
+    combinable), one tiny fold; NULL QI values form their own group
+    (they are identifying too).  Returns one row: ``(n_rows,
+    n_groups, min_group_size, frac_rows_below_k, n_groups_below_k,
+    is_k_anonymous, l_diversity)``; ``l_diversity`` NULL without a
+    sensitive column.
+    """
+    qi_cols = [qi_cols] if isinstance(qi_cols, str) else list(qi_cols)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    aggs = [F.count(F.lit(1)).alias("__sz")]
+    if sensitive_col:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("__ldiv"),
+        )
+    groups = df.groupBy(*qi_cols).agg(*aggs)
+    folded = [
+        F.sum("__sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("__sz").cast("long").alias("min_group_size"),
+        (
+            F.sum(F.when(F.col("__sz") < k, F.col("__sz")).otherwise(0))
+            / F.sum("__sz")
+        ).alias("frac_rows_below_k"),
+        F.sum(
+            F.when(F.col("__sz") < k, 1).otherwise(0),
+        ).cast("long").alias("n_groups_below_k"),
+        (F.min("__sz") >= k).alias("is_k_anonymous"),
+    ]
+    folded.append(
+        F.min("__ldiv").cast("long").alias("l_diversity")
+        if sensitive_col
+        else F.lit(None).cast("long").alias("l_diversity"),
+    )
+    return groups.agg(*folded)

@@ -320,3 +320,54 @@ def table_diff(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def build_scd2_history(
+    df: DataFrame,
+    key_cols,
+    ts_col: str,
+    attr_cols,
+    order_cols=(),
+) -> DataFrame:
+    """Collapse a change/observation stream into SCD type-2 validity
+    intervals: per key, keep only rows where ANY tracked attribute
+    differs from the key's previous observation (null-safe compare),
+    stamp ``valid_from`` = that row's timestamp, ``valid_to`` = the
+    NEXT change's timestamp (NULL = current), plus ``version`` and
+    ``is_current`` — the batch construction of the dimension the
+    streaming side maintains incrementally
+    (streaming/events.py::enrich_stream_with_scd consumes exactly this
+    shape).
+
+    Shape: two windows over ONE (key, ts) sort — lag for
+    change-detection, lead over the filtered changes for interval
+    close — no self-joins.  ``order_cols`` breaks timestamp ties
+    deterministically (pass an event id when observations can share a
+    timestamp).
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    attr_cols = [attr_cols] if isinstance(attr_cols, str) else list(attr_cols)
+    order_cols = (
+        [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    )
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols],
+    )
+    changed = None
+    for c in attr_cols:
+        diff = ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        changed = diff if changed is None else (changed | diff)
+    first = F.row_number().over(w) == 1
+    marked = df.withColumn("__chg", first | changed)
+    changes = marked.where(F.col("__chg"))
+    w2 = W.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols],
+    )
+    return changes.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

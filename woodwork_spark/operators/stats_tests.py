@@ -283,3 +283,86 @@ def median_ci(
             "ci_hi",
         ),
     )
+
+
+def theils_u(
+    df: DataFrame,
+    cols: list,
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(x|y) for every ORDERED pair of
+    the given categorical columns: U(x|y) = (H(X) - H(X|Y)) / H(X) in
+    [0, 1] — the ASYMMETRIC companion to Cramér's V (dependence.py):
+    "how much of X does knowing Y remove", direction included, which a
+    symmetric V cannot express.
+
+    Shape: ONE melted aggregate computes every pairwise contingency
+    table (pair count scales as p², cells as joint cardinality — the
+    same budget as the MI batch in statistics/dependence.py); entropies
+    fold from the count frames with log arithmetic only.  Rows with a
+    NULL in either column of a pair are excluded from that pair.
+
+    Returns ``(col_x, col_y, n, u)`` for x != y; ``u`` is NULL when
+    H(X) = 0 (constant column).
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("theils_u needs at least 2 columns")
+    pair_frames = []
+    for x in cols:
+        for y in cols:
+            if x == y:
+                continue
+            joint = (
+                df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+                .groupBy(
+                    F.col(x).cast("string").alias("__xv"),
+                    F.col(y).cast("string").alias("__yv"),
+                )
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .select(
+                    F.lit(x).alias("col_x"), F.lit(y).alias("col_y"),
+                    "__xv", "__yv", "__c",
+                )
+            )
+            pair_frames.append(joint)
+    allj = pair_frames[0]
+    for p in pair_frames[1:]:
+        allj = allj.unionAll(p)
+    # H(X|Y) = sum_y p(y) H(X|Y=y); computed from the joint counts:
+    # -sum_xy (c_xy/n) ln(c_xy/c_y).  H(X) from x-marginals.
+    withn = allj.withColumn(
+        "__n", F.sum("__c").over(W.partitionBy("col_x", "col_y")),
+    )
+    withy = withn.withColumn(
+        "__cy",
+        F.sum("__c").over(W.partitionBy("col_x", "col_y", "__yv")),
+    )
+    xmarg = (
+        withn.groupBy("col_x", "col_y", "__xv", "__n")
+        .agg(F.sum("__c").alias("__cx"))
+        .groupBy("col_x", "col_y")
+        .agg(
+            F.max("__n").alias("n"),
+            (-F.sum(
+                (F.col("__cx") / F.col("__n"))
+                * F.log(F.col("__cx") / F.col("__n")),
+            )).alias("__hx"),
+        )
+    )
+    hxy = withy.groupBy("col_x", "col_y").agg(
+        (-F.sum(
+            (F.col("__c") / F.col("__n"))
+            * F.log(F.col("__c") / F.col("__cy")),
+        )).alias("__hxgy"),
+    )
+    return (
+        xmarg.join(hxy, ["col_x", "col_y"])
+        .select(
+            "col_x", "col_y",
+            F.col("n").cast("long").alias("n"),
+            F.when(
+                F.col("__hx") > 0,
+                (F.col("__hx") - F.col("__hxgy")) / F.col("__hx"),
+            ).alias("u"),
+        )
+    )
