@@ -4472,12 +4472,12 @@ def q_kcore(spark, sf_dir):
     the distributed path checkpoints per round).  The oracle unrolls
     14 peeling rounds in chained CTEs — strictly more than either SF
     needs, so the fixpoints agree."""
-    from woodwork_spark.operators.basket import item_similarity
+    from woodwork_spark.operators.basket import cooccurrence_pairs
     from woodwork_spark.operators.graph import kcore
 
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
-    pairs = item_similarity(li, "l_orderkey", "l_partkey", min_cooc=2)
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_cooc=2)
     out = kcore(pairs, 3, "item_a", "item_b")
     return out.select(
         F.col("node").cast("long").alias("node"),

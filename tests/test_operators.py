@@ -3291,6 +3291,9 @@ def test_adamic_adar_manual_graph(spark):
         df, "src", "dst", max_neighbor_degree=2).collect()}
     assert ("u1", "u3") not in capped
     assert capped[("u1", "u2")]["common"] == 1
+    # capped-subgraph consistency: degrees exclude the dropped hub,
+    # so the pair's jaccard is 1/(1+1-1) = 1, not 1/3
+    assert abs(capped[("u1", "u2")]["jaccard"] - 1.0) < 1e-12
 
 
 def test_item_similarity_manual(spark):
@@ -3566,3 +3569,55 @@ def test_build_scd2_history(spark):
     assert u1[2]["valid_to"] is None and u1[2]["is_current"] is True
     u2 = [r for r in out.collect() if r["k"] == 2]
     assert len(u2) == 1 and u2[0]["is_current"] is True
+
+
+def test_radius_join_complete_at_high_latitude(spark):
+    """Regression: the naive radius/111/cos(L) lon width under-covers
+    near the latitude bound (chord-to-arc growth) — pairs at lat 80
+    straddling a cell boundary at 15.57 deg lon span must match."""
+    import math
+
+    from woodwork_spark.operators.geo import radius_join
+
+    pts = []
+    # pairs near lat 80 with lon spans just inside the 300 km radius
+    for i in range(30):
+        lon0 = -170 + i * 11.0
+        pts.append((2 * i, 80.0, lon0))
+        pts.append((2 * i + 1, 80.0, lon0 + 15.56))
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    out = radius_join(df, df, 300.0, max_abs_lat=80.0)
+    got = {(r["id_l"], r["id_r"]) for r in out.collect()}
+
+    def hav(a, b):
+        la1, lo1, la2, lo2 = map(math.radians, (a[1], a[2], b[1], b[2]))
+        h = (math.sin((la2 - la1) / 2) ** 2
+             + math.cos(la1) * math.cos(la2)
+             * math.sin((lo2 - lo1) / 2) ** 2)
+        return 2 * 6371.0 * math.asin(min(1.0, math.sqrt(h)))
+
+    expect = {(a[0], b[0]) for a in pts for b in pts if hav(a, b) <= 300.0}
+    assert got == expect
+    assert any(a != b for a, b in got)  # the tight pairs actually match
+
+
+def test_kcore_schema_matches_input_dtype(spark):
+    from woodwork_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src int, dst int",
+    )
+    small = kcore(edges, 2)
+    dist = kcore(edges, 2, small_threshold=0)
+    assert small.schema["node"].dataType == dist.schema["node"].dataType
+    assert {r["node"] for r in small.collect()} == {1, 2, 3}
+
+
+def test_item_similarity_rejects_bad_top_k(spark):
+    import pytest as _pytest
+
+    from woodwork_spark.operators.basket import item_similarity
+
+    df = spark.createDataFrame([(1, "a")], "b int, i string")
+    with _pytest.raises(ValueError):
+        item_similarity(df, "b", "i", top_k=0)

@@ -132,6 +132,38 @@ def association_rules(
     )
 
 
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_cooc: int = 1,
+) -> DataFrame:
+    """Unordered item pairs co-occurring in >= ``min_cooc`` baskets
+    (set semantics; NULLs ignored): the shared pair generator behind
+    :func:`item_similarity` and graph constructions (q:kcore builds
+    its co-purchase edges from exactly this) — self-join on the
+    basket, so work is sum over baskets of (items-per-basket)², never
+    catalog².  Returns ``(item_a, item_b, cooc)`` with item_a <
+    item_b."""
+    if min_cooc < 1:
+        raise ValueError(f"min_cooc must be >= 1, got {min_cooc}")
+    bi = (
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"),
+        )
+        .where(F.col("__b").isNotNull() & F.col("__i").isNotNull())
+        .distinct()
+    )
+    a = bi.select("__b", F.col("__i").alias("item_a"))
+    b = bi.select(F.col("__b").alias("__b2"), F.col("__i").alias("item_b"))
+    return (
+        a.join(b, (a.__b == b.__b2) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .where(F.col("cooc") >= min_cooc)
+    )
+
+
 def item_similarity(
     df: DataFrame,
     basket_col: str,
@@ -155,8 +187,9 @@ def item_similarity(
 
     Returns ``(item_a, item_b, cooc, cos_sim)`` with item_a < item_b.
     """
-    if min_cooc < 1:
-        raise ValueError(f"min_cooc must be >= 1, got {min_cooc}")
+    if top_k is not None and top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    cooc = cooccurrence_pairs(df, basket_col, item_col, min_cooc)
     bi = (
         df.select(
             F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"),
@@ -165,14 +198,6 @@ def item_similarity(
         .distinct()
     )
     icnt = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__ic"))
-    a = bi.select("__b", F.col("__i").alias("item_a"))
-    b = bi.select(F.col("__b").alias("__b2"), F.col("__i").alias("item_b"))
-    cooc = (
-        a.join(b, (a.__b == b.__b2) & (F.col("item_a") < F.col("item_b")))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("cooc"))
-        .where(F.col("cooc") >= min_cooc)
-    )
     ca = icnt.select(F.col("__i").alias("item_a"), F.col("__ic").alias("__ca"))
     cb = icnt.select(F.col("__i").alias("item_b"), F.col("__ic").alias("__cb"))
     scored = cooc.join(ca, "item_a").join(cb, "item_b").select(

@@ -50,16 +50,21 @@ def radius_join(
     """All (left, right) pairs within ``radius_km``: grid-cell blocking
     + exact haversine verify.
 
-    The lat cell height is radius/111km; the lon cell width divides by
-    cos(max_abs_lat) so a 3x3 neighborhood stays COMPLETE for every
-    point with |lat| <= ``max_abs_lat`` (the lon degree shrinks toward
-    the poles; 66° keeps the width within 2.5x — raise the bound and
-    the cells widen accordingly).  Points beyond the bound are
+    Cell sizes come from the EXACT spherical bounds, so the 3x3
+    neighborhood is provably complete for every point with |lat| <=
+    ``max_abs_lat``: the lat span of a within-R pair is at most R/Re
+    radians, and from the haversine identity sin²(dλ/2) <=
+    hav(R)/cos²(lat) the lon span is at most
+    2·asin(sin(R/2Re)/cos(max_abs_lat)) — the chord-to-arc growth that
+    a naive radius/111/cos(lat) width under-covers near the bound.
+    When the lon bound exceeds 180° (huge radius near the bound) the
+    lon dimension degrades to a single cell — still correct, blocking
+    then prunes on latitude alone.  Points beyond ``max_abs_lat`` are
     filtered out of both sides; antimeridian-crossing pairs (lon ±180
     wrap) are not matched (documented limit of fixed-grid blocking).
 
-    Column names are suffixed ``_l`` / ``_r`` on collision.  Returns
-    the joined pairs plus ``{out_dist}``.
+    EVERY output column is suffixed ``_l`` / ``_r`` (collision-proof
+    for self-joins).  Returns the joined pairs plus ``{out_dist}``.
     """
     if radius_km <= 0:
         raise ValueError(f"radius_km must be > 0, got {radius_km}")
@@ -67,8 +72,13 @@ def radius_join(
         raise ValueError("max_abs_lat must be in (0, 89)")
     right_lat_col = right_lat_col or lat_col
     right_lon_col = right_lon_col or lon_col
-    lat_cell = radius_km / 111.0
-    lon_cell = lat_cell / math.cos(math.radians(max_abs_lat))
+    lat_cell = math.degrees(radius_km / EARTH_RADIUS_KM)
+    sin_half = math.sin(radius_km / (2 * EARTH_RADIUS_KM))
+    cos_bound = math.cos(math.radians(max_abs_lat))
+    if sin_half >= cos_bound:
+        lon_cell = 361.0  # one lon cell: lat-only blocking, still exact
+    else:
+        lon_cell = math.degrees(2 * math.asin(sin_half / cos_bound))
 
     def _cells(lat, lon):
         return (

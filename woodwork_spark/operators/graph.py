@@ -332,8 +332,10 @@ def adamic_adar(
     ``max_neighbor_degree`` caps that quadratic term by dropping hub
     neighbors (a neighbor shared by everyone ranks no one — its
     1/ln(deg) is noise by design, which is the whole point of the AA
-    weighting); at corpus scale ALWAYS set it.  Node degrees for the
-    Jaccard come from one extra agg broadcast-joined twice.
+    weighting); at corpus scale ALWAYS set it.  With a cap active ALL
+    three scores (common, aa_score, jaccard — including the node
+    degrees in the Jaccard denominator) describe the capped subgraph,
+    so the ranking stays internally consistent.
 
     Returns ``(node_a, node_b, common, aa_score, jaccard)`` with
     node_a < node_b.
@@ -345,7 +347,6 @@ def adamic_adar(
         .where(F.col("__n").isNotNull() & F.col("__z").isNotNull())
         .distinct()
     )
-    ndeg = e.groupBy("__n").agg(F.count(F.lit(1)).alias("__nd"))
     zdeg = e.groupBy("__z").agg(F.count(F.lit(1)).alias("__zd"))
     if max_neighbor_degree is not None:
         zdeg = zdeg.where(F.col("__zd") <= max_neighbor_degree)
@@ -365,6 +366,11 @@ def adamic_adar(
         )
         .where(F.col("common") >= min_common)
     )
+    # node degrees from the CAPPED edge set: with a hub cap active,
+    # common, aa_score and jaccard must all describe the same
+    # subgraph (full-neighborhood denominators under a capped
+    # numerator bias every ranking consumer)
+    ndeg = ez.groupBy("__n").agg(F.count(F.lit(1)).alias("__nd"))
     da = ndeg.select(F.col("__n").alias("node_a"), F.col("__nd").alias("__da"))
     db = ndeg.select(F.col("__n").alias("node_b"), F.col("__nd").alias("__db"))
     out = (
@@ -419,12 +425,16 @@ def kcore(
         )
         .distinct()
     )
-    out_schema = "node long, core_degree long"
-    try:
-        if dict(e.dtypes)["a"] == "string":
-            out_schema = "node string, core_degree long"
-    except KeyError:
-        pass
+    # derive the driver-path schema from the input node type (same
+    # approach as dedup.connected_components) so both paths agree for
+    # any id dtype
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    node_field = e.select(F.col("a").alias("node")).schema.fields[0]
+    out_schema = StructType([
+        node_field,
+        StructField("core_degree", LongType(), False),
+    ])
     if small_threshold:
         e = e.persist()
         head = e.limit(small_threshold + 1).collect()

@@ -169,17 +169,19 @@ def clustering_effectiveness(
             .select(
                 "probe_col",
                 F.col("__nz").cast("long").alias("n_zones"),
-                (
+                F.when(
+                    F.col("__nz") > 1,
                     F.coalesce(F.col("__n_overlap"), F.lit(0))
-                    / (F.col("__nz") * (F.col("__nz") - 1) / 2.0)
+                    / (F.col("__nz") * (F.col("__nz") - 1) / 2.0),
                 ).alias("overlap_ratio"),
                 F.when(
                     F.col("__g_span") > 0,
                     F.col("__avg_span") / F.col("__g_span"),
                 ).alias("avg_span_frac"),
-                (
+                F.when(
+                    F.col("__nn") > 0,
                     F.col("__wz")
-                    / (F.col("__nn").cast("double") * F.col("__nz"))
+                    / (F.col("__nn").cast("double") * F.col("__nz")),
                 ).alias("point_scan_frac"),
             )
         )

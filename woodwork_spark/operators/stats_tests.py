@@ -1,11 +1,12 @@
 """Distributed two-sample / k-sample hypothesis tests.
 
 Complements the drift battery (``curation.ks_drift``, PSI, Cramér's V /
-chi-square in ``statistics.dependence``) with the classical rank and
-variance tests a data-quality pipeline reaches for when comparing
-sources or A/B cohorts: the Mann-Whitney U rank test (distribution
-shift without normality assumptions) and one-way ANOVA (mean shift
-across many groups in one pass).
+chi-square in ``statistics.dependence``) with the classical tests a
+data-quality pipeline reaches for when comparing sources or A/B
+cohorts: Mann-Whitney U (distribution shift without normality
+assumptions), one-way ANOVA and Welch's t (mean shift), the
+distribution-free median CI, and Theil's asymmetric uncertainty
+coefficient.
 
 Scale shapes:
 
@@ -295,11 +296,14 @@ def theils_u(
     "how much of X does knowing Y remove", direction included, which a
     symmetric V cannot express.
 
-    Shape: ONE melted aggregate computes every pairwise contingency
-    table (pair count scales as p², cells as joint cardinality — the
-    same budget as the MI batch in statistics/dependence.py); entropies
-    fold from the count frames with log arithmetic only.  Rows with a
-    NULL in either column of a pair are excluded from that pair.
+    Shape: ONE contingency aggregate per UNORDERED pair (p(p-1)/2
+    table scans; both directions' entropies fold from the same joint
+    counts, never recomputed transposed).  Everything after the joint
+    groupBy runs on category-cardinality-sized frames — marginals are
+    broadcast back onto the joint, entropies are one aggregate.  For
+    very wide column lists, melt the table first the way
+    statistics/dependence.py batches its MI chunks.  Rows with a NULL
+    in either column of a pair are excluded from that pair.
 
     Returns ``(col_x, col_y, n, u)`` for x != y; ``u`` is NULL when
     H(X) = 0 (constant column).
@@ -307,11 +311,10 @@ def theils_u(
     cols = list(cols)
     if len(cols) < 2:
         raise ValueError("theils_u needs at least 2 columns")
-    pair_frames = []
-    for x in cols:
-        for y in cols:
-            if x == y:
-                continue
+    outs = []
+    joints = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1:]:
             joint = (
                 df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
                 .groupBy(
@@ -319,50 +322,61 @@ def theils_u(
                     F.col(y).cast("string").alias("__yv"),
                 )
                 .agg(F.count(F.lit(1)).alias("__c"))
-                .select(
-                    F.lit(x).alias("col_x"), F.lit(y).alias("col_y"),
-                    "__xv", "__yv", "__c",
+                # four consumers (tot, marginals, conditionals): persist
+                # so the table scan behind the joint runs once; released
+                # via the lifecycle attachment on the result
+                .persist()
+            )
+            joints.append(joint)
+            tot = joint.agg(F.sum("__c").alias("__n"))
+            cx = joint.groupBy("__xv").agg(F.sum("__c").alias("__cx"))
+            cy = joint.groupBy("__yv").agg(F.sum("__c").alias("__cy"))
+            hx = cx.crossJoin(F.broadcast(tot)).agg(
+                F.max("__n").alias("__n"),
+                (-F.sum(
+                    (F.col("__cx") / F.col("__n"))
+                    * F.log(F.col("__cx") / F.col("__n")),
+                )).alias("__hx"),
+            )
+            hy = cy.crossJoin(F.broadcast(tot)).agg(
+                (-F.sum(
+                    (F.col("__cy") / F.col("__n"))
+                    * F.log(F.col("__cy") / F.col("__n")),
+                )).alias("__hy"),
+            )
+            conds = (
+                joint.join(F.broadcast(cx), "__xv")
+                .join(F.broadcast(cy), "__yv")
+                .crossJoin(F.broadcast(tot))
+                .agg(
+                    (-F.sum(
+                        (F.col("__c") / F.col("__n"))
+                        * F.log(F.col("__c") / F.col("__cy")),
+                    )).alias("__hxgy"),
+                    (-F.sum(
+                        (F.col("__c") / F.col("__n"))
+                        * F.log(F.col("__c") / F.col("__cx")),
+                    )).alias("__hygx"),
                 )
             )
-            pair_frames.append(joint)
-    allj = pair_frames[0]
-    for p in pair_frames[1:]:
-        allj = allj.unionAll(p)
-    # H(X|Y) = sum_y p(y) H(X|Y=y); computed from the joint counts:
-    # -sum_xy (c_xy/n) ln(c_xy/c_y).  H(X) from x-marginals.
-    withn = allj.withColumn(
-        "__n", F.sum("__c").over(W.partitionBy("col_x", "col_y")),
-    )
-    withy = withn.withColumn(
-        "__cy",
-        F.sum("__c").over(W.partitionBy("col_x", "col_y", "__yv")),
-    )
-    xmarg = (
-        withn.groupBy("col_x", "col_y", "__xv", "__n")
-        .agg(F.sum("__c").alias("__cx"))
-        .groupBy("col_x", "col_y")
-        .agg(
-            F.max("__n").alias("n"),
-            (-F.sum(
-                (F.col("__cx") / F.col("__n"))
-                * F.log(F.col("__cx") / F.col("__n")),
-            )).alias("__hx"),
-        )
-    )
-    hxy = withy.groupBy("col_x", "col_y").agg(
-        (-F.sum(
-            (F.col("__c") / F.col("__n"))
-            * F.log(F.col("__c") / F.col("__cy")),
-        )).alias("__hxgy"),
-    )
-    return (
-        xmarg.join(hxy, ["col_x", "col_y"])
-        .select(
-            "col_x", "col_y",
-            F.col("n").cast("long").alias("n"),
-            F.when(
-                F.col("__hx") > 0,
-                (F.col("__hx") - F.col("__hxgy")) / F.col("__hx"),
-            ).alias("u"),
-        )
-    )
+            both = hx.crossJoin(hy).crossJoin(conds)
+            outs.append(both.select(
+                F.lit(x).alias("col_x"), F.lit(y).alias("col_y"),
+                F.col("__n").cast("long").alias("n"),
+                F.when(
+                    F.col("__hx") > 0,
+                    (F.col("__hx") - F.col("__hxgy")) / F.col("__hx"),
+                ).alias("u"),
+            ))
+            outs.append(both.select(
+                F.lit(y).alias("col_x"), F.lit(x).alias("col_y"),
+                F.col("__n").cast("long").alias("n"),
+                F.when(
+                    F.col("__hy") > 0,
+                    (F.col("__hy") - F.col("__hygx")) / F.col("__hy"),
+                ).alias("u"),
+            ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return attach_persisted(out, *joints)
