@@ -4572,6 +4572,92 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+def q_weighted_median(spark, sf_dir):
+    """Quantity-weighted price quartiles per return flag: exact lower
+    weighted quantiles — distinct-value weight collapse, one
+    cumulative window per group, all three quantiles in one pivot.
+    Integer weights keep every cumulative sum exact."""
+    from woodwork_spark.operators.features import weighted_quantile
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = weighted_quantile(
+        li, "l_extendedprice", "l_quantity",
+        qs=(0.25, 0.5, 0.75), group_cols="l_returnflag",
+    )
+    return out.select(
+        "l_returnflag", "q",
+        F.round("value", 2).alias("value"),
+        F.round("total_weight", 2).alias("total_weight"),
+    )
+
+
+def q_ccf_series(spark, sf_dir):
+    """Cross-correlation between weekly revenue and weekly order count
+    per priority, lags -2..+2 — one window partitioning carries both
+    means and every shift, one agg emits all five numerators."""
+    from woodwork_spark.operators.timeseries import ccf
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        "o_orderpriority",
+        F.floor(F.unix_date(F.col("o_orderdate").cast("date")) / 7)
+        .cast("long").alias("wk"),
+    ).agg(
+        F.sum("o_totalprice").alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    out = ccf(weekly, "rev", "cnt", "wk", "o_orderpriority", max_lag=2)
+    return out.select(
+        "o_orderpriority",
+        F.col("lag").cast("int").alias("lag"),
+        "n_points",
+        F.col("n_used").cast("long").alias("n_used"),
+        _ravg(F.col("ccf"), 6).alias("ccf"),
+    )
+
+
+def q_frequent_sequences(spark, sf_dir):
+    """Gap-allowed frequent event subsequences (length 2 and 3, ANY
+    events between, per-user set semantics) — position self-joins on
+    the user key with apriori pruning into length 3."""
+    from woodwork_spark.operators.funnel import frequent_subsequences
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = frequent_subsequences(
+        ev, "user_id", "ts", "event_type",
+        min_users=5, max_len=3, order_cols="event_id",
+    )
+    return out.select(
+        "pattern",
+        F.col("length").cast("int").alias("length"),
+        "n_users",
+    )
+
+
+def q_run_lengths(spark, sf_dir):
+    """Encoding advisor for the shipdate-sorted layout: EXACT value-run
+    counts per probe column (range shuffle + per-partition lag windows,
+    boundaries stitched from num_partitions first/last rows) — does
+    this sort make l_shipdate RLE-friendly while l_orderkey stays
+    incompressible?"""
+    from woodwork_spark.operators.layout import run_length_report
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = run_length_report(
+        li, ["l_shipdate", "l_orderkey", "l_linenumber"],
+        ["l_shipdate", "l_returnflag", "l_orderkey"],
+    )
+    return out.select(
+        "probe_col", "n_rows", "n_runs",
+        _ravg(F.col("avg_run_len"), 4).alias("avg_run_len"),
+        "n_distinct",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4766,6 +4852,10 @@ QUERIES = {
     "k_anonymity": q_k_anonymity,
     "geo_radius": q_geo_radius,
     "scd2_history": q_scd2_history,
+    "weighted_median": q_weighted_median,
+    "ccf_series": q_ccf_series,
+    "frequent_sequences": q_frequent_sequences,
+    "run_lengths": q_run_lengths,
 }
 
 ORACLE = {
@@ -9316,6 +9406,153 @@ ORACLE.update({
                CAST(version AS BIGINT) AS version,
                CAST(valid_to IS NULL AS INT) AS is_current
         FROM ch
+    """,
+})
+
+
+ORACLE.update({
+    "weighted_median": """
+        WITH vals AS (
+            SELECT l_returnflag, l_extendedprice AS v,
+                   sum(CAST(l_quantity AS DOUBLE)) AS w
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+            GROUP BY 1, 2
+        ), m AS (
+            SELECT l_returnflag, v,
+                   sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS tw
+            FROM vals
+        ), qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS q)
+        SELECT l_returnflag, q,
+               round(min(CASE WHEN cw >= q * tw THEN v END), 2) AS value,
+               round(max(tw), 2) AS total_weight
+        FROM m CROSS JOIN qs GROUP BY 1, 2
+    """,
+    "ccf_series": """
+        WITH weekly AS (
+            SELECT o_orderpriority,
+                   CAST(floor(datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) / 7)
+                        AS BIGINT) AS wk,
+                   sum(o_totalprice) AS rev,
+                   CAST(count(*) AS DOUBLE) AS cnt
+            FROM orders GROUP BY 1, 2
+        ), c AS (
+            SELECT o_orderpriority, wk, rev, cnt,
+                   avg(rev) OVER (PARTITION BY o_orderpriority) AS mx,
+                   avg(cnt) OVER (PARTITION BY o_orderpriority) AS my,
+                   lead(cnt, 2) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY wk) AS sm2,
+                   lead(cnt, 1) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY wk) AS sm1,
+                   lag(cnt, 1) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY wk) AS sp1,
+                   lag(cnt, 2) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY wk) AS sp2
+            FROM weekly
+        ), a AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   sum((rev - mx) * (rev - mx)) AS dx2,
+                   sum((cnt - my) * (cnt - my)) AS dy2,
+                   sum((rev - mx) * (sm2 - my)) AS nm2, count(sm2) AS cm2,
+                   sum((rev - mx) * (sm1 - my)) AS nm1, count(sm1) AS cm1,
+                   sum((rev - mx) * (cnt - my)) AS n0, count(cnt) AS c0,
+                   sum((rev - mx) * (sp1 - my)) AS np1, count(sp1) AS cp1,
+                   sum((rev - mx) * (sp2 - my)) AS np2, count(sp2) AS cp2
+            FROM c GROUP BY 1
+        ), tall AS (
+            SELECT o_orderpriority, -2 AS lag, n_points, dx2, dy2,
+                   nm2 AS num, cm2 AS n_used FROM a
+            UNION ALL SELECT o_orderpriority, -1, n_points, dx2, dy2,
+                   nm1, cm1 FROM a
+            UNION ALL SELECT o_orderpriority, 0, n_points, dx2, dy2,
+                   n0, c0 FROM a
+            UNION ALL SELECT o_orderpriority, 1, n_points, dx2, dy2,
+                   np1, cp1 FROM a
+            UNION ALL SELECT o_orderpriority, 2, n_points, dx2, dy2,
+                   np2, cp2 FROM a
+        )
+        SELECT o_orderpriority, CAST(lag AS INT) AS lag, n_points,
+               CAST(n_used AS BIGINT) AS n_used,
+               round(CASE WHEN sqrt(dx2 * dy2) > 0
+                          THEN num / sqrt(dx2 * dy2) END
+                     + 0.0000001, 6) AS ccf
+        FROM tall
+    """,
+    "frequent_sequences": """
+        WITH ev AS (
+            SELECT user_id AS u, event_type AS t,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p
+            FROM events
+        ), pairs AS (
+            SELECT DISTINCT a.u, a.t AS t1, b.t AS t2
+            FROM ev a JOIN ev b ON a.u = b.u AND a.p < b.p
+        ), l2 AS (
+            SELECT t1, t2, count(DISTINCT u) AS n FROM pairs
+            GROUP BY 1, 2 HAVING count(DISTINCT u) >= 5
+        ), triples AS (
+            SELECT DISTINCT a.u, a.t AS t1, b.t AS t2, c.t AS t3
+            FROM ev a
+            JOIN ev b ON a.u = b.u AND a.p < b.p
+            JOIN ev c ON b.u = c.u AND b.p < c.p
+        ), l3 AS (
+            SELECT t1, t2, t3, count(DISTINCT u) AS n FROM triples
+            GROUP BY 1, 2, 3 HAVING count(DISTINCT u) >= 5
+        )
+        SELECT t1 || '>' || t2 AS pattern, 2 AS length,
+               CAST(n AS BIGINT) AS n_users
+        FROM l2
+        UNION ALL
+        SELECT t1 || '>' || t2 || '>' || t3, 3, CAST(n AS BIGINT)
+        FROM l3
+    """,
+    "run_lengths": """
+        WITH o AS (
+            SELECT l_shipdate, l_returnflag, l_orderkey,
+                   row_number() OVER (ORDER BY l_shipdate, l_orderkey,
+                                      l_linenumber) AS rn
+            FROM lineitem
+        ), w AS (
+            SELECT rn,
+                   CASE WHEN rn = 1 OR l_shipdate IS DISTINCT FROM
+                        lag(l_shipdate) OVER (ORDER BY rn)
+                        THEN 1 ELSE 0 END AS b_ship,
+                   CASE WHEN rn = 1 OR l_returnflag IS DISTINCT FROM
+                        lag(l_returnflag) OVER (ORDER BY rn)
+                        THEN 1 ELSE 0 END AS b_rf,
+                   CASE WHEN rn = 1 OR l_orderkey IS DISTINCT FROM
+                        lag(l_orderkey) OVER (ORDER BY rn)
+                        THEN 1 ELSE 0 END AS b_ok
+            FROM o
+        ), agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(b_ship) AS BIGINT) AS r_ship,
+                   CAST(sum(b_rf) AS BIGINT) AS r_rf,
+                   CAST(sum(b_ok) AS BIGINT) AS r_ok
+            FROM w
+        ), d AS (
+            SELECT CAST(count(DISTINCT l_shipdate) AS BIGINT) AS d_ship,
+                   CAST(count(DISTINCT l_returnflag) AS BIGINT) AS d_rf,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d_ok
+            FROM lineitem
+        )
+        SELECT 'l_shipdate' AS probe_col, n AS n_rows, r_ship AS n_runs,
+               round(CAST(n AS DOUBLE) / r_ship + 0.0000001, 4)
+                   AS avg_run_len,
+               d_ship AS n_distinct
+        FROM agg, d
+        UNION ALL
+        SELECT 'l_returnflag', n, r_rf,
+               round(CAST(n AS DOUBLE) / r_rf + 0.0000001, 4), d_rf
+        FROM agg, d
+        UNION ALL
+        SELECT 'l_orderkey', n, r_ok,
+               round(CAST(n AS DOUBLE) / r_ok + 0.0000001, 4), d_ok
+        FROM agg, d
     """,
 })
 

@@ -3621,3 +3621,112 @@ def test_item_similarity_rejects_bad_top_k(spark):
     df = spark.createDataFrame([(1, "a")], "b int, i string")
     with _pytest.raises(ValueError):
         item_similarity(df, "b", "i", top_k=0)
+
+
+def test_weighted_quantile_manual(spark):
+    from woodwork_spark.operators.features import weighted_quantile
+
+    # values 1..4 with weights 1,1,6,2 (total 10):
+    # q=0.5 -> first v with cumw >= 5 -> v=3 (cum 8); q=0.8 -> 3;
+    # q=0.9 -> 4 (cum 10)
+    rows = [(1.0, 1), (2.0, 1), (3.0, 4), (3.0, 2), (4.0, 2)]
+    df = spark.createDataFrame(rows, "v double, w int")
+    out = {r["q"]: r for r in weighted_quantile(
+        df, "v", "w", qs=(0.5, 0.8, 0.9)).collect()}
+    assert out[0.5]["value"] == 3.0
+    assert out[0.8]["value"] == 3.0
+    assert out[0.9]["value"] == 4.0
+    assert out[0.5]["total_weight"] == 10.0
+    # unweighted equivalence: weight 1 == plain lower median
+    rows = [(float(v), 1) for v in [5, 1, 3, 2, 4]]
+    df = spark.createDataFrame(rows, "v double, w int")
+    r = weighted_quantile(df, "v", "w", qs=0.5).collect()[0]
+    assert r["value"] == 3.0
+    # negative/zero weights excluded
+    rows = [(1.0, -5), (2.0, 0), (3.0, 1)]
+    df = spark.createDataFrame(rows, "v double, w int")
+    r = weighted_quantile(df, "v", "w", qs=0.5).collect()[0]
+    assert r["value"] == 3.0 and r["total_weight"] == 1.0
+
+
+def test_ccf_detects_known_lead(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.timeseries import ccf
+
+    # y leads x by 2: x_t = y_{t-2} + tiny noise-free construction
+    rng = np.random.default_rng(9)
+    y = rng.normal(size=80)
+    x = np.roll(y, 2)  # x_t = y_{t-2}
+    rows = [(int(t), float(x[t]), float(y[t])) for t in range(2, 80)]
+    df = spark.createDataFrame(rows, "t int, x double, y double")
+    out = {r["lag"]: r["ccf"] for r in ccf(
+        df, "x", "y", "t", max_lag=3).collect()}
+    assert out[2] > 0.95          # exact match at lag +2
+    assert abs(out[0]) < 0.5      # no contemporaneous correlation
+    assert len(out) == 7          # lags -3..3
+
+
+def test_frequent_subsequences_gap_semantics(spark):
+    import datetime as dt
+
+    from woodwork_spark.operators.funnel import frequent_subsequences
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    # u1: a x b y c  (a>b, a>c, b>c present WITH gaps)
+    # u2: a b c ; u3: c b a (no a>b)
+    rows = (
+        [(1, ts(i), e, i) for i, e in enumerate("axbyc")]
+        + [(2, ts(i), e, 10 + i) for i, e in enumerate("abc")]
+        + [(3, ts(i), e, 20 + i) for i, e in enumerate("cba")]
+    )
+    df = spark.createDataFrame(
+        rows, "u long, ts timestamp, e string, eid long",
+    )
+    out = {(r["pattern"], r["length"]): r["n_users"]
+           for r in frequent_subsequences(
+               df, "u", "ts", "e", min_users=2, order_cols="eid",
+           ).collect()}
+    assert out[("a>b", 2)] == 2       # gap-allowed for u1
+    assert out[("a>c", 2)] == 2
+    assert out[("a>b>c", 3)] == 2
+    assert ("b>a", 2) not in out      # only u3 has it (support 1)
+    # per-user set semantics: repeating a pattern doesn't inflate it
+    rows = [(1, ts(i), "a", i) for i in range(4)]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, e string, eid long")
+    out = frequent_subsequences(df, "u", "ts", "e", min_users=1).collect()
+    by = {(r["pattern"], r["length"]): r["n_users"] for r in out}
+    assert by[("a>a", 2)] == 1
+
+
+def test_run_length_report_exact(spark):
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.operators.layout import run_length_report
+
+    # sorted by id: col g = id // 100 -> 10 runs of 100; col r = id % 3
+    # -> alternates every row (1000 runs); constant col -> 1 run
+    df = spark.range(0, 1000).select(
+        "id",
+        (F.col("id") / 100).cast("long").alias("g"),
+        (F.col("id") % 3).alias("r"),
+        F.lit("k").alias("c"),
+    )
+    out = {r["probe_col"]: r for r in run_length_report(
+        df, "id", ["g", "r", "c"]).collect()}
+    assert out["g"]["n_runs"] == 10
+    assert out["g"]["avg_run_len"] == 100.0
+    assert out["r"]["n_runs"] == 1000
+    assert out["c"]["n_runs"] == 1
+    assert out["g"]["n_distinct"] == 10
+    # NULL stretches form runs too (null-safe change detection)
+    df = spark.range(0, 10).select(
+        "id",
+        F.when(F.col("id") < 5, F.lit(None)).otherwise(F.lit(1)).alias("v"),
+    )
+    out = run_length_report(df, "id", "v").collect()[0]
+    assert out["n_runs"] == 2

@@ -720,3 +720,51 @@ def test_session5_batch3_plan_shapes(spark):
         ev, ["event_type"], k=3, sensitive_col="user_id",
     ))
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_session5_batch4_plan_shapes(spark):
+    """Batch 4: weighted quantile collapses to distinct values before
+    its window, ccf keeps one window partitioning, subsequences join
+    events x types (no position-pair self-join blowup), theils_u is
+    one melted shuffle."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.features import weighted_quantile
+    from woodwork_spark.operators.funnel import frequent_subsequences
+    from woodwork_spark.operators.stats_tests import theils_u
+    from woodwork_spark.operators.timeseries import ccf
+
+    li = read_parquet(spark, f"{SF}/lineitem.parquet")
+    ev = read_parquet(spark, f"{SF}/events.parquet")
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+
+    plan = _executed_plan(weighted_quantile(
+        li, "l_extendedprice", "l_quantity", qs=(0.5,),
+        group_cols="l_returnflag",
+    ))
+    assert "PythonUDF" not in plan and "Join" not in plan
+
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d"),
+    ).agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("c"))
+    plan = _executed_plan(ccf(
+        daily.withColumn("b", F.unix_date(F.col("d").cast("date"))),
+        "v", "c", "b", "event_type", max_lag=2,
+    ))
+    assert plan.count("Window") == 1
+    assert "Join" not in plan and "PythonUDF" not in plan
+
+    fs = frequent_subsequences(
+        ev, "user_id", "ts", "event_type", min_users=5,
+        order_cols="event_id",
+    )
+    plan = _executed_plan(fs)
+    assert "CartesianProduct" not in plan and "PythonUDF" not in plan
+
+    tu = theils_u(docs, ["lang", "source"])
+    plan = _executed_plan(tu)
+    assert "Generate" in plan  # the melt explode — one pass, one shuffle
+    assert "PythonUDF" not in plan
+    release(tu)

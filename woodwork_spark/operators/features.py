@@ -11,6 +11,7 @@ single pass over the data plus a scan-sized write.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 _METHODS = ("zscore", "robust", "minmax")
@@ -429,3 +430,81 @@ def mad_bounds(
         F.sum((v < F.col("low")).cast("long")).alias("n_low"),
         F.sum((v > F.col("high")).cast("long")).alias("n_high"),
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs=(0.5,),
+    group_cols=(),
+) -> DataFrame:
+    """Exact weighted quantiles per group: the smallest value v whose
+    cumulative weight reaches q * total_weight (lower weighted
+    quantile) — the "median order value weighted by revenue" family
+    that plain ``percentile`` cannot express.
+
+    Shape: rows first collapse to DISTINCT (group, value) weight sums
+    (map-side combinable — cumulative work scales with value
+    cardinality, not row count), then ONE cumulative window per group
+    ordered by value and one pivot agg pick all quantiles together.
+    Groups are independent, so the window parallelizes across the
+    group key; for a single giant ungrouped series route through
+    ``rank.global_prefix_sum`` instead.  Zero/negative weights and
+    NULL values/weights are excluded (a negative weight breaks the
+    cumulative monotonicity the definition rests on).
+
+    Returns ``(group_cols..., q, value, total_weight)``, one row per
+    group per quantile.
+    """
+    qs = [qs] if isinstance(qs, (int, float)) else list(qs)
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    base = df.filter(
+        F.col(value_col).isNotNull() & (F.col(weight_col) > 0),
+    )
+    vals = base.groupBy(
+        *group_cols, F.col(value_col).alias("__v"),
+    ).agg(F.sum(F.col(weight_col).cast("double")).alias("__w"))
+    part = (
+        W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+    )
+    cum = part.orderBy(F.col("__v").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow,
+    )
+    tot = part.orderBy(F.col("__v").asc()).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing,
+    )
+    marked = vals.select(
+        *group_cols, "__v",
+        F.sum("__w").over(cum).alias("__cw"),
+        F.sum("__w").over(tot).alias("__tw"),
+    )
+    picks = []
+    for i, q in enumerate(qs):
+        picks.append(
+            F.min(
+                F.when(
+                    F.col("__cw") >= F.lit(float(q)) * F.col("__tw"),
+                    F.col("__v"),
+                ),
+            ).alias(f"__q_{i}"),
+        )
+    agg = marked.groupBy(*group_cols).agg(
+        F.max("__tw").alias("total_weight"), *picks,
+    )
+    outs = []
+    for i, q in enumerate(qs):
+        outs.append(agg.select(
+            *group_cols,
+            F.lit(float(q)).alias("q"),
+            F.col(f"__q_{i}").alias("value"),
+            "total_weight",
+        ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -454,3 +454,96 @@ def attribute_conversions(
             F.col("__touch").isNotNull() & in_window, age,
         ).alias("seconds_since_touch"),
     )
+
+
+def frequent_subsequences(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    min_users: int = 2,
+    max_len: int = 3,
+    order_cols=(),
+) -> DataFrame:
+    """Gap-allowed frequent event-type subsequences (the sequence-
+    mining view: "view ... then purchase", ANY events between) with
+    per-user set semantics — a user supports a pattern once no matter
+    how often it recurs.  Complements :func:`transition_matrix`
+    (adjacent steps only) and :func:`top_paths` (contiguous openings).
+
+    Scale shape — NO position-pair self-join (that is O(events²) per
+    user; a 100-event user costs 5k pair rows, 160k triple rows).
+    Existence of t1 < t2 < t3 collapses to order statistics:
+
+    * pair (t1, t2) exists iff some t2 occurs AFTER the FIRST t1;
+    * the earliest such position m2 makes triple (t1, t2, t3) exist
+      iff the LAST t3 occurs after m2
+
+    so the whole computation is one window (positions), one groupBy
+    (per-user first/last per type — rows = users x types), one
+    events x types join for m2, and one tiny types-cube join — all
+    keyed on the user, work LINEAR in events per user.  The harness
+    oracle is the brute-force positional definition, proving the
+    order-statistics construction equivalent on every run.
+
+    Returns ``(pattern, length, n_users)`` with pattern like
+    "view>click>purchase", filtered to support >= ``min_users``.
+    """
+    if max_len not in (2, 3):
+        raise ValueError(f"max_len must be 2 or 3, got {max_len}")
+    if min_users < 1:
+        raise ValueError(f"min_users must be >= 1, got {min_users}")
+    tie = [F.col(c).asc() for c in (
+        [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    )]
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col).asc(), *tie)
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.row_number().over(w).alias("__p"),
+    )
+    # per (user, type): first and last occurrence positions
+    span = ev.groupBy("__u", "__t").agg(
+        F.min("__p").alias("__f"), F.max("__p").alias("__l"),
+    )
+    firsts = span.select(
+        F.col("__u").alias("__u1"), F.col("__t").alias("t1"),
+        F.col("__f").alias("__f1"),
+    )
+    # earliest t2 occurrence strictly after the first t1:
+    # events x types join, keyed on the user
+    m2 = (
+        ev.join(firsts, (ev.__u == firsts.__u1) & (F.col("__p") > F.col("__f1")))
+        .groupBy("__u", "t1", F.col("__t").alias("t2"))
+        .agg(F.min("__p").alias("__m2"))
+    )
+    len2 = (
+        m2.groupBy("t1", "t2")
+        .agg(F.countDistinct("__u").alias("n_users"))
+        .where(F.col("n_users") >= min_users)
+    )
+    out2 = len2.select(
+        F.concat_ws(">", "t1", "t2").alias("pattern"),
+        F.lit(2).alias("length"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+    if max_len == 2:
+        return out2
+    lasts = span.select(
+        F.col("__u").alias("__u3"), F.col("__t").alias("t3"),
+        F.col("__l").alias("__l3"),
+    )
+    triples_u = m2.join(
+        lasts, (m2.__u == lasts.__u3) & (F.col("__l3") > F.col("__m2")),
+    ).select("__u", "t1", "t2", "t3")
+    out3 = (
+        triples_u.groupBy("t1", "t2", "t3")
+        .agg(F.countDistinct("__u").alias("n_users"))
+        .where(F.col("n_users") >= min_users)
+        .select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("pattern"),
+            F.lit(3).alias("length"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+    )
+    return out2.unionAll(out3)

@@ -20,6 +20,7 @@ pairwise overlap join is n_zones² on a frame that fits anywhere).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..lifecycle import attach_persisted, persisted_frames
@@ -190,3 +191,110 @@ def clustering_effectiveness(
     for p in parts[1:]:
         out = out.unionAll(p)
     return attach_persisted(out, zones_p, *persisted_frames(zones))
+
+
+def run_length_report(
+    df: DataFrame,
+    sort_cols,
+    probe_cols,
+    tie_col: str = None,
+    num_partitions: int = None,
+) -> DataFrame:
+    """Encoding advisor for a proposed layout: per probe column, the
+    EXACT number of value runs the layout's order would produce, the
+    average run length, and the distinct cardinality — together they
+    answer "sorted this way, does this column RLE/dictionary-encode
+    well?" (avg_run_len ~ n/card = great RLE; ~1 = the sort does
+    nothing for it; parquet's RLE_DICTIONARY benefits directly).
+
+    Exact and distributed: the table range-shuffles ONCE on the sort
+    key; within-partition run breaks come from one lag window per
+    partition (local sort, no global reducer); the per-partition
+    FIRST/LAST values (num_partitions rows — tiny) stitch the
+    boundaries on the driver.  Distinct counts ride the same pass as
+    a separate agg.
+
+    Returns one row per probe column: ``(probe_col, n_rows, n_runs,
+    avg_run_len, n_distinct)``.  NULL values count as a value (one
+    run per stretch of NULLs); an empty input yields n_runs = 0.
+    """
+    from .rank import _PID, _range_partitioned
+
+    sort_cols = (
+        [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    )
+    probe_cols = (
+        [probe_cols] if isinstance(probe_cols, str) else list(probe_cols)
+    )
+    order = sort_cols + ([tie_col] if tie_col else [])
+    needed = list(dict.fromkeys(order + probe_cols))
+    parted = _range_partitioned(
+        df.select(*needed), order, num_partitions,
+    )
+    w = W.partitionBy(_PID).orderBy(*[F.col(c).asc() for c in order])
+    lagged = parted.select(
+        _PID,
+        *order,
+        *[F.col(c) for c in probe_cols if c not in order],
+        *[
+            (
+                (F.row_number().over(w) == 1)  # NULL-first rows too
+                | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+            ).alias(f"__chg_{i}")
+            for i, c in enumerate(probe_cols)
+        ],
+    )
+    # within-partition breaks (the partition's first row counts as a
+    # break here; boundary stitching removes the double-count when the
+    # previous partition ends on the same value)
+    within = lagged.groupBy(_PID).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.col(f"__chg_{i}").cast("long")).alias(f"__brk_{i}")
+            for i in range(len(probe_cols))
+        ],
+        *[
+            F.min_by(F.col(c), F.struct(*order)).alias(f"__first_{i}")
+            for i, c in enumerate(probe_cols)
+        ],
+        *[
+            F.max_by(F.col(c), F.struct(*order)).alias(f"__last_{i}")
+            for i, c in enumerate(probe_cols)
+        ],
+    ).collect()
+    distincts = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.countDistinct(F.col(c)).alias(f"__d_{i}")
+            for i, c in enumerate(probe_cols)
+        ],
+    ).collect()[0]
+    parted.unpersist()
+    spark = df.sparkSession
+    rows = []
+    ordered = sorted(within, key=lambda r: r[_PID])
+    n_rows = int(distincts["__n"])
+    for i, c in enumerate(probe_cols):
+        runs = 0
+        prev_last = None
+        have_prev = False
+        for p in ordered:
+            if p["__n"] == 0:
+                continue
+            runs += int(p[f"__brk_{i}"])
+            # the partition's first row was counted as a break; undo it
+            # when it continues the previous partition's run
+            if have_prev and p[f"__first_{i}"] == prev_last:
+                runs -= 1
+            prev_last = p[f"__last_{i}"]
+            have_prev = True
+        rows.append((
+            c, n_rows, runs,
+            (n_rows / runs) if runs else None,
+            int(distincts[f"__d_{i}"]),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "probe_col string, n_rows long, n_runs long, "
+        "avg_run_len double, n_distinct long",
+    )

@@ -296,14 +296,13 @@ def theils_u(
     "how much of X does knowing Y remove", direction included, which a
     symmetric V cannot express.
 
-    Shape: ONE contingency aggregate per UNORDERED pair (p(p-1)/2
-    table scans; both directions' entropies fold from the same joint
-    counts, never recomputed transposed).  Everything after the joint
-    groupBy runs on category-cardinality-sized frames — marginals are
-    broadcast back onto the joint, entropies are one aggregate.  For
-    very wide column lists, melt the table first the way
-    statistics/dependence.py batches its MI chunks.  Rows with a NULL
-    in either column of a pair are excluded from that pair.
+    Shape: ONE melted pass builds every unordered pair's contingency
+    table (each row explodes to p(p-1)/2 pair-keyed rows, one shuffle
+    on (pair, xv, yv) — the statistics/dependence.py MI batching
+    shape); the persisted joint table then feeds both directions'
+    entropies through category-cardinality-sized aggregates only.
+    Rows with a NULL in either column of a pair are excluded from that
+    pair.
 
     Returns ``(col_x, col_y, n, u)`` for x != y; ``u`` is NULL when
     H(X) = 0 (constant column).
@@ -311,72 +310,78 @@ def theils_u(
     cols = list(cols)
     if len(cols) < 2:
         raise ValueError("theils_u needs at least 2 columns")
-    outs = []
-    joints = []
+    pair_structs = []
     for i, x in enumerate(cols):
         for y in cols[i + 1:]:
-            joint = (
-                df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
-                .groupBy(
-                    F.col(x).cast("string").alias("__xv"),
-                    F.col(y).cast("string").alias("__yv"),
-                )
-                .agg(F.count(F.lit(1)).alias("__c"))
-                # four consumers (tot, marginals, conditionals): persist
-                # so the table scan behind the joint runs once; released
-                # via the lifecycle attachment on the result
-                .persist()
+            pair_structs.append(
+                F.struct(
+                    F.lit(f"{x}\x00{y}").alias("pk"),
+                    F.col(x).cast("string").alias("xv"),
+                    F.col(y).cast("string").alias("yv"),
+                ),
             )
-            joints.append(joint)
-            tot = joint.agg(F.sum("__c").alias("__n"))
-            cx = joint.groupBy("__xv").agg(F.sum("__c").alias("__cx"))
-            cy = joint.groupBy("__yv").agg(F.sum("__c").alias("__cy"))
-            hx = cx.crossJoin(F.broadcast(tot)).agg(
-                F.max("__n").alias("__n"),
-                (-F.sum(
-                    (F.col("__cx") / F.col("__n"))
-                    * F.log(F.col("__cx") / F.col("__n")),
-                )).alias("__hx"),
-            )
-            hy = cy.crossJoin(F.broadcast(tot)).agg(
-                (-F.sum(
-                    (F.col("__cy") / F.col("__n"))
-                    * F.log(F.col("__cy") / F.col("__n")),
-                )).alias("__hy"),
-            )
-            conds = (
-                joint.join(F.broadcast(cx), "__xv")
-                .join(F.broadcast(cy), "__yv")
-                .crossJoin(F.broadcast(tot))
-                .agg(
-                    (-F.sum(
-                        (F.col("__c") / F.col("__n"))
-                        * F.log(F.col("__c") / F.col("__cy")),
-                    )).alias("__hxgy"),
-                    (-F.sum(
-                        (F.col("__c") / F.col("__n"))
-                        * F.log(F.col("__c") / F.col("__cx")),
-                    )).alias("__hygx"),
-                )
-            )
-            both = hx.crossJoin(hy).crossJoin(conds)
-            outs.append(both.select(
-                F.lit(x).alias("col_x"), F.lit(y).alias("col_y"),
-                F.col("__n").cast("long").alias("n"),
-                F.when(
-                    F.col("__hx") > 0,
-                    (F.col("__hx") - F.col("__hxgy")) / F.col("__hx"),
-                ).alias("u"),
-            ))
-            outs.append(both.select(
-                F.lit(y).alias("col_x"), F.lit(x).alias("col_y"),
-                F.col("__n").cast("long").alias("n"),
-                F.when(
-                    F.col("__hy") > 0,
-                    (F.col("__hy") - F.col("__hygx")) / F.col("__hy"),
-                ).alias("u"),
-            ))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return attach_persisted(out, *joints)
+    joint = (
+        df.select(F.explode(F.array(*pair_structs)).alias("__m"))
+        .where(
+            F.col("__m.xv").isNotNull() & F.col("__m.yv").isNotNull(),
+        )
+        .groupBy(
+            F.col("__m.pk").alias("__pk"),
+            F.col("__m.xv").alias("__xv"),
+            F.col("__m.yv").alias("__yv"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    tot = joint.groupBy("__pk").agg(F.sum("__c").alias("__n"))
+    cx = joint.groupBy("__pk", "__xv").agg(F.sum("__c").alias("__cx"))
+    cy = joint.groupBy("__pk", "__yv").agg(F.sum("__c").alias("__cy"))
+    hx = cx.join(F.broadcast(tot), "__pk").groupBy("__pk").agg(
+        F.max("__n").alias("__n"),
+        (-F.sum(
+            (F.col("__cx") / F.col("__n"))
+            * F.log(F.col("__cx") / F.col("__n")),
+        )).alias("__hx"),
+    )
+    hy = cy.join(F.broadcast(tot), "__pk").groupBy("__pk").agg(
+        (-F.sum(
+            (F.col("__cy") / F.col("__n"))
+            * F.log(F.col("__cy") / F.col("__n")),
+        )).alias("__hy"),
+    )
+    conds = (
+        joint.join(F.broadcast(cx), ["__pk", "__xv"])
+        .join(F.broadcast(cy), ["__pk", "__yv"])
+        .join(F.broadcast(tot), "__pk")
+        .groupBy("__pk")
+        .agg(
+            (-F.sum(
+                (F.col("__c") / F.col("__n"))
+                * F.log(F.col("__c") / F.col("__cy")),
+            )).alias("__hxgy"),
+            (-F.sum(
+                (F.col("__c") / F.col("__n"))
+                * F.log(F.col("__c") / F.col("__cx")),
+            )).alias("__hygx"),
+        )
+    )
+    both = hx.join(hy, "__pk").join(conds, "__pk")
+    xname = F.split(F.col("__pk"), "\x00").getItem(0)
+    yname = F.split(F.col("__pk"), "\x00").getItem(1)
+    fwd = both.select(
+        xname.alias("col_x"), yname.alias("col_y"),
+        F.col("__n").cast("long").alias("n"),
+        F.when(
+            F.col("__hx") > 0,
+            (F.col("__hx") - F.col("__hxgy")) / F.col("__hx"),
+        ).alias("u"),
+    )
+    rev = both.select(
+        yname.alias("col_x"), xname.alias("col_y"),
+        F.col("__n").cast("long").alias("n"),
+        F.when(
+            F.col("__hy") > 0,
+            (F.col("__hy") - F.col("__hygx")) / F.col("__hy"),
+        ).alias("u"),
+    )
+    return attach_persisted(fwd.unionAll(rev), joint)

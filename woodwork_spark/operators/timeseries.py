@@ -919,3 +919,88 @@ def acf(
     return tall.select(
         *group_cols, "lag", "n_points", "n_used", r.alias("acf"),
     )
+
+
+def ccf(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    order_col: str,
+    group_cols=(),
+    max_lag: int = 5,
+) -> DataFrame:
+    """Sample cross-correlation between two series per group for lags
+    -max_lag..+max_lag: r_k = sum((x_t - x̄)(y_{t-k} - ȳ)) /
+    sqrt(sum((x - x̄)²) sum((y - ȳ)²)) — "does metric y LEAD metric x
+    by k steps" (positive k: y's past correlates with x's present).
+    The two-series companion of :func:`acf`; same evenly-spaced-series
+    assumption (resample first), lag in ROWS.
+
+    Same single-sort shape as acf: one window partitioning carries
+    both means and every shifted column (lag for positive k, lead for
+    negative), one aggregate emits all 2·max_lag+1 numerators,
+    ``stack`` unpivots.
+
+    Returns ``(group_cols..., lag, n_points, n_used, ccf)``; NULL when
+    either series has zero variance.
+    """
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    base = df.filter(
+        F.col(order_col).isNotNull()
+        & F.col(x_col).isNotNull() & F.col(y_col).isNotNull(),
+    ).select(
+        *group_cols,
+        F.col(order_col).alias("__o"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    part = (
+        W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+    )
+    w_all = part.orderBy("__o").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing,
+    )
+    w_lag = part.orderBy("__o")
+    centered = base.withColumn("__mx", F.avg("__x").over(w_all)).withColumn(
+        "__my", F.avg("__y").over(w_all),
+    )
+    dx = F.col("__x") - F.col("__mx")
+    lags = list(range(-max_lag, max_lag + 1))
+    for k in lags:
+        shifted = (
+            F.lag("__y", k).over(w_lag) if k >= 0
+            else F.lead("__y", -k).over(w_lag)
+        )
+        centered = centered.withColumn(
+            f"__p{k + max_lag}", dx * (shifted - F.col("__my")),
+        )
+    agg = centered.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(dx * dx).alias("__dx2"),
+        F.sum(
+            (F.col("__y") - F.col("__my"))
+            * (F.col("__y") - F.col("__my")),
+        ).alias("__dy2"),
+        *[F.sum(f"__p{k + max_lag}").alias(f"__n{k + max_lag}")
+          for k in lags],
+        *[F.count(f"__p{k + max_lag}").alias(f"__c{k + max_lag}")
+          for k in lags],
+    )
+    stack_expr = "stack({}, {}) as (lag, __num, n_used)".format(
+        len(lags),
+        ", ".join(
+            f"{k}, __n{k + max_lag}, __c{k + max_lag}" for k in lags
+        ),
+    )
+    tall = agg.select(
+        *group_cols, "n_points", "__dx2", "__dy2", F.expr(stack_expr),
+    )
+    denom = F.sqrt(F.col("__dx2") * F.col("__dy2"))
+    r = F.when(denom > 0, F.col("__num") / denom)
+    return tall.select(
+        *group_cols, "lag", "n_points", "n_used", r.alias("ccf"),
+    )
