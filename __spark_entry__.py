@@ -4658,6 +4658,57 @@ def q_run_lengths(spark, sf_dir):
     )
 
 
+def q_trimmed_stats(spark, sf_dir):
+    """5%-trimmed and winsorized mean price per return flag: one
+    grouped percentile-array agg for the bounds, one conditional pass
+    for both robust means."""
+    from woodwork_spark.operators.features import trimmed_stats
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = trimmed_stats(li, "l_extendedprice", "l_returnflag")
+    return out.select(
+        "l_returnflag",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        _ravg(F.col("lo"), 4).alias("lo"),
+        _ravg(F.col("hi"), 4).alias("hi"),
+        _ravg(F.col("trimmed_mean"), 4).alias("trimmed_mean"),
+        _ravg(F.col("winsorized_mean"), 4).alias("winsorized_mean"),
+    )
+
+
+def q_neyman_sample(spark, sf_dir):
+    """Neyman-optimal stratified sample of 120 documents across
+    languages (n_h ∝ N_h·S_h on document length; largest-remainder
+    rounding on the tiny strata frame; per-stratum stable-hash
+    priority draw) — deterministic end to end, so the oracle replays
+    allocation AND membership exactly."""
+    from woodwork_spark.operators.sampling import neyman_sample
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = neyman_sample(docs, "lang", "n_chars", 120, "doc_id")
+    return out.select(
+        "lang", "doc_id", F.col("alloc").cast("long").alias("alloc"),
+    )
+
+
+def q_calendar_features(spark, sf_dir):
+    """Engine-portable calendar feature battery per event (ISO
+    day-of-week — Spark's Sunday-1 dayofweek remapped; DuckDB isodow
+    is the oracle): one codegen projection, no shuffle."""
+    from woodwork_spark.operators.timeseries import calendar_features
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = calendar_features(ev, "ts")
+    return out.select(
+        "event_id", "dow_iso", "is_weekend", "day", "month", "quarter",
+        "week_iso", "hour", "is_month_start", "is_month_end",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4856,6 +4907,9 @@ QUERIES = {
     "ccf_series": q_ccf_series,
     "frequent_sequences": q_frequent_sequences,
     "run_lengths": q_run_lengths,
+    "trimmed_stats": q_trimmed_stats,
+    "neyman_sample": q_neyman_sample,
+    "calendar_features": q_calendar_features,
 }
 
 ORACLE = {
@@ -9553,6 +9607,91 @@ ORACLE.update({
         SELECT 'l_orderkey', n, r_ok,
                round(CAST(n AS DOUBLE) / r_ok + 0.0000001, 4), d_ok
         FROM agg, d
+    """,
+})
+
+
+ORACLE.update({
+    "trimmed_stats": """
+        WITH b AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.05) AS lo,
+                   quantile_cont(l_extendedprice, 0.95) AS hi
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+            GROUP BY 1
+        ), j AS (
+            SELECT l.l_returnflag,
+                   CAST(l.l_extendedprice AS DOUBLE) AS v, b.lo, b.hi
+            FROM lineitem l JOIN b USING (l_returnflag)
+            WHERE l.l_extendedprice IS NOT NULL
+        )
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(CASE WHEN v BETWEEN lo AND hi THEN 1 END)
+                    AS BIGINT) AS n_kept,
+               round(max(lo) + 0.0000001, 4) AS lo,
+               round(max(hi) + 0.0000001, 4) AS hi,
+               round(avg(CASE WHEN v BETWEEN lo AND hi THEN v END)
+                     + 0.0000001, 4) AS trimmed_mean,
+               round(avg(CASE WHEN v < lo THEN lo
+                              WHEN v > hi THEN hi ELSE v END)
+                     + 0.0000001, 4) AS winsorized_mean
+        FROM j GROUP BY 1
+    """,
+    "neyman_sample": """
+        WITH stats AS (
+            SELECT lang AS stratum, count(*) AS n_rows,
+                   coalesce(stddev_samp(n_chars), 0) AS sd
+            FROM documents WHERE lang IS NOT NULL GROUP BY 1
+        ), wts AS (
+            SELECT *,
+                   CASE WHEN sum(n_rows * sd) OVER () > 0
+                        THEN n_rows * sd / sum(n_rows * sd) OVER ()
+                        ELSE n_rows * 1.0 / sum(n_rows) OVER ()
+                   END AS share
+            FROM stats
+        ), fl AS (
+            SELECT *,
+                   least(CAST(floor(share * 120) AS BIGINT), n_rows)
+                       AS flo,
+                   share * 120 - floor(share * 120) AS frac
+            FROM wts
+        ), pos AS (
+            SELECT *, 120 - sum(flo) OVER () AS leftn,
+                   row_number() OVER (ORDER BY frac DESC, stratum ASC)
+                       AS pos
+            FROM fl
+        ), alloc AS (
+            SELECT stratum,
+                   least(flo + CASE WHEN pos <= leftn THEN 1 ELSE 0 END,
+                         n_rows) AS alloc
+            FROM pos
+        ), ranked AS (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(md5('neyman'
+                                || CAST(doc_id AS VARCHAR)), 1, 8),
+                                doc_id) AS rn
+            FROM documents
+        )
+        SELECT r.lang, r.doc_id, CAST(a.alloc AS BIGINT) AS alloc
+        FROM ranked r JOIN alloc a ON a.stratum = r.lang
+        WHERE r.rn <= a.alloc
+    """,
+    "calendar_features": """
+        SELECT event_id,
+               CAST(isodow(ts) AS INT) AS dow_iso,
+               CAST(isodow(ts) >= 6 AS INT) AS is_weekend,
+               CAST(day(ts) AS INT) AS day,
+               CAST(month(ts) AS INT) AS month,
+               CAST(quarter(ts) AS INT) AS quarter,
+               CAST(weekofyear(ts) AS INT) AS week_iso,
+               CAST(hour(ts) AS INT) AS hour,
+               CAST(day(ts) = 1 AS INT) AS is_month_start,
+               CAST(CAST(ts AS DATE) = last_day(CAST(ts AS DATE))
+                    AS INT) AS is_month_end
+        FROM events
     """,
 })
 

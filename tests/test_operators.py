@@ -3730,3 +3730,75 @@ def test_run_length_report_exact(spark):
     )
     out = run_length_report(df, "id", "v").collect()[0]
     assert out["n_runs"] == 2
+
+
+def test_trimmed_stats_known(spark):
+    from woodwork_spark.operators.features import trimmed_stats
+
+    # 1..10 with an outlier 1000: 10%-90% trim drops the extremes
+    vals = list(range(1, 11)) + [1000]
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    r = trimmed_stats(df, "v", lower=0.1, upper=0.9).collect()[0]
+    assert r["n_total"] == 11
+    # exact percentiles (interpolated): lo = 2.0, hi = 10.0
+    assert r["n_kept"] == 9
+    assert abs(r["trimmed_mean"] - sum(range(2, 11)) / 9) < 1e-9
+    # winsorized: 1 -> lo, 1000 -> hi
+    wexp = (r["lo"] + sum(range(2, 11)) + r["hi"]) / 11
+    assert abs(r["winsorized_mean"] - wexp) < 1e-9
+
+
+def test_neyman_allocation_and_sample(spark):
+    from woodwork_spark.operators.sampling import (
+        neyman_allocation,
+        neyman_sample,
+    )
+
+    # stratum a: constant (sd 0); stratum b: spread -> b gets ~all
+    rows = [("a", 10) for _ in range(50)] + [
+        ("b", v) for v in range(0, 100, 2)
+    ]
+    df = spark.createDataFrame(rows, "s string, v int")
+    plan = {r["stratum"]: r for r in neyman_allocation(
+        df, "s", "v", 20).collect()}
+    assert plan["a"]["alloc"] + plan["b"]["alloc"] == 20
+    assert plan["b"]["alloc"] > plan["a"]["alloc"]  # spread wins budget
+    assert plan["a"]["stddev"] == 0.0
+    # allocation never exceeds stratum size
+    tiny = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 1)], "s string, v int",
+    )
+    p2 = {r["stratum"]: r["alloc"] for r in neyman_allocation(
+        tiny, "s", "v", 10).collect()}
+    assert p2["a"] <= 2 and p2["b"] <= 1
+    # sample is deterministic and respects the allocation
+    df2 = df.withColumn(
+        "id", F.monotonically_increasing_id(),
+    )
+    s1 = sorted(r["id"] for r in neyman_sample(
+        df2, "s", "v", 20, "id").collect())
+    s2 = sorted(r["id"] for r in neyman_sample(
+        df2, "s", "v", 20, "id").collect())
+    assert s1 == s2 and len(s1) == 20
+
+
+def test_calendar_features_iso_conventions(spark):
+    import datetime as dt
+
+    from woodwork_spark.operators.timeseries import calendar_features
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5)),    # Monday, month start
+        (2, dt.datetime(2024, 2, 29, 23)),  # Thursday, leap month end
+        (3, dt.datetime(2024, 3, 31, 0)),   # Sunday, month end
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp")
+    out = {r["id"]: r for r in calendar_features(df, "ts").collect()}
+    assert out[1]["dow_iso"] == 1 and out[1]["is_weekend"] == 0
+    assert out[1]["is_month_start"] == 1 and out[1]["hour"] == 5
+    assert out[1]["week_iso"] == 1
+    assert out[2]["dow_iso"] == 4 and out[2]["is_month_end"] == 1
+    assert out[3]["dow_iso"] == 7 and out[3]["is_weekend"] == 1
+    assert out[3]["is_month_end"] == 1
+    assert out[4]["dow_iso"] is None and out[4]["is_weekend"] is None

@@ -508,3 +508,56 @@ def weighted_quantile(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def trimmed_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols=(),
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Trimmed and winsorized means per group: the exact
+    [lower, upper] percentile bounds come from ONE grouped
+    percentile-array aggregate; a second conditional pass computes the
+    trimmed mean (rows outside the bounds dropped) and winsorized mean
+    (rows outside clamped to the bounds) — the two standard
+    outlier-robust location estimates, which a plain avg cannot give
+    and :func:`winsorize` (which rewrites the column) is too heavy for
+    when only the statistic is wanted.
+
+    Shape: two aggregates, bounds broadcast back.  At extreme scale
+    swap the exact percentile for ``percentile_approx`` (same shape).
+    Returns ``(group_cols..., n_total, n_kept, lo, hi, trimmed_mean,
+    winsorized_mean)``.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    base = df.filter(F.col(value_col).isNotNull())
+    bounds = base.groupBy(*group_cols).agg(
+        F.percentile(F.col(value_col), F.lit([lower, upper])).alias("__q"),
+    ).select(
+        *group_cols,
+        F.col("__q").getItem(0).alias("lo"),
+        F.col("__q").getItem(1).alias("hi"),
+    )
+    joined = (
+        base.join(F.broadcast(bounds), group_cols) if group_cols
+        else base.crossJoin(F.broadcast(bounds))
+    )
+    v = F.col(value_col).cast("double")
+    inside = (v >= F.col("lo")) & (v <= F.col("hi"))
+    clamped = F.when(v < F.col("lo"), F.col("lo")).when(
+        v > F.col("hi"), F.col("hi"),
+    ).otherwise(v)
+    return joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(inside, 1)).alias("n_kept"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.avg(F.when(inside, v)).alias("trimmed_mean"),
+        F.avg(clamped).alias("winsorized_mean"),
+    )

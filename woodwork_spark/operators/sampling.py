@@ -16,6 +16,7 @@ the exact same expression runs in any SQL engine (oracle-checkable).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -293,4 +294,110 @@ def kfold_assign(
     return df.withColumn(
         fold_col,
         F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(int(k))).cast("long"),
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Neyman-optimal allocation of a ``total_n``-row sample across
+    strata: n_h ∝ N_h · S_h (stratum size × stratum sample stddev) —
+    minimum-variance stratified estimation of the mean of
+    ``value_col``, the survey-sampling answer to "my strata differ
+    wildly in spread; proportional allocation wastes budget on the
+    quiet ones".
+
+    One grouped aggregate (N_h, exact stddev), then largest-remainder
+    rounding computed with windows over the STRATA frame (tiny by
+    construction): floor everything, hand the leftover units to the
+    largest fractional parts (stratum name breaks ties).  Allocations
+    are capped at N_h and the shortfall is NOT redistributed (it is
+    reported — redistribution loops are not worth the determinism
+    cost; documented).  Single-value strata get S_h = 0 and draw no
+    allocation beyond rounding.
+
+    Returns ``(stratum, n_rows, stddev, weight, alloc)``.
+    """
+    if total_n < 1:
+        raise ValueError(f"total_n must be >= 1, got {total_n}")
+    stats = (
+        df.where(F.col(stratum_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.stddev(F.col(value_col)), F.lit(0.0),
+            ).alias("stddev"),
+        )
+    )
+    w_tot = W.partitionBy(F.lit(1))
+    weighted = stats.withColumn(
+        "weight", F.col("n_rows") * F.col("stddev"),
+    ).withColumn(
+        "__share",
+        F.when(
+            F.sum("weight").over(w_tot) > 0,
+            F.col("weight") / F.sum("weight").over(w_tot),
+        ).otherwise(
+            F.col("n_rows") / F.sum("n_rows").over(w_tot),
+        ),
+    )
+    raw = F.col("__share") * F.lit(float(total_n))
+    floored = weighted.withColumn(
+        "__fl", F.least(F.floor(raw).cast("long"), F.col("n_rows")),
+    ).withColumn("__frac", raw - F.floor(raw))
+    rem = floored.withColumn(
+        "__left",
+        F.lit(total_n) - F.sum("__fl").over(w_tot),
+    ).withColumn(
+        "__pos",
+        F.row_number().over(
+            w_tot.orderBy(F.col("__frac").desc(), F.col("stratum").asc()),
+        ),
+    )
+    alloc = F.least(
+        F.col("__fl")
+        + F.when(F.col("__pos") <= F.col("__left"), 1).otherwise(0),
+        F.col("n_rows"),
+    )
+    return rem.select(
+        "stratum",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "stddev", "weight",
+        alloc.cast("long").alias("alloc"),
+    )
+
+
+def neyman_sample(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+    key_col: str,
+    salt: str = "neyman",
+) -> DataFrame:
+    """Draw the :func:`neyman_allocation` sample deterministically:
+    within each stratum, the rows with the ``alloc_h`` smallest
+    ``md5(salt || key)`` hashes (the :func:`sample_k_per_group`
+    priority order, with the per-stratum k joined in by broadcast).
+    Same stable-hash membership guarantees; same WindowGroupLimit-
+    friendly shape.  Returns the sampled rows with their stratum's
+    ``alloc``.
+    """
+    plan = neyman_allocation(df, stratum_col, value_col, total_n)
+    h = hash_bucket_expr(F.col(key_col), salt)
+    w = W.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.join(
+            F.broadcast(plan.select(
+                F.col("stratum").alias(stratum_col), "alloc",
+            )),
+            stratum_col,
+        )
+        .where(F.col("__rn") <= F.col("alloc"))
+        .drop("__rn")
     )

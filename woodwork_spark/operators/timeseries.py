@@ -1004,3 +1004,39 @@ def ccf(
     return tall.select(
         *group_cols, "lag", "n_points", "n_used", r.alias("ccf"),
     )
+
+
+def calendar_features(
+    df: DataFrame,
+    ts_col: str,
+    prefix: str = "",
+) -> DataFrame:
+    """Standard calendar feature battery from a timestamp column — the
+    projection every temporal model / seasonality grouping starts
+    with, in ENGINE-PORTABLE definitions (ISO day-of-week 1=Mon..7=Sun
+    — Spark's ``dayofweek`` is Sunday-1, the classic silent bug):
+    dow_iso, is_weekend, day, month, quarter, week_iso, hour,
+    is_month_start, is_month_end.
+
+    Pure single projection (codegen, no shuffle); NULL timestamps
+    yield NULL features.  Returns the input with the features
+    appended, each named ``{prefix}{feature}``.
+    """
+    t = F.col(ts_col)
+    dow_iso = ((F.dayofweek(t) + 5) % 7) + 1
+    feats = {
+        "dow_iso": dow_iso.cast("int"),
+        "is_weekend": (dow_iso >= 6).cast("int"),
+        "day": F.dayofmonth(t).cast("int"),
+        "month": F.month(t).cast("int"),
+        "quarter": F.quarter(t).cast("int"),
+        "week_iso": F.weekofyear(t).cast("int"),
+        "hour": F.hour(t).cast("int"),
+        "is_month_start": (F.dayofmonth(t) == 1).cast("int"),
+        "is_month_end": (
+            F.dayofmonth(t) == F.dayofmonth(F.last_day(t))
+        ).cast("int"),
+    }
+    return df.select(
+        "*", *[v.alias(f"{prefix}{k}") for k, v in feats.items()],
+    )
