@@ -4709,6 +4709,28 @@ def q_calendar_features(spark, sf_dir):
     )
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson-bootstrap 95% CI for mean document length
+    per language: per-(row, replicate) Poisson(1) weights from stable
+    md5 hex cutoffs — one aggregate streams all 40 replicates, exact
+    percentile over the replicate means.  Integer values and weights
+    keep every replicate mean bit-identical to the oracle's."""
+    from woodwork_spark.operators.stats_tests import bootstrap_mean_ci
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = bootstrap_mean_ci(
+        docs, "n_chars", "doc_id", group_cols="lang", n_replicates=40,
+    )
+    return out.select(
+        "lang", "n_rows",
+        _ravg(F.col("mean"), 4).alias("mean"),
+        _ravg(F.col("ci_lo"), 4).alias("ci_lo"),
+        _ravg(F.col("ci_hi"), 4).alias("ci_hi"),
+        "n_replicates",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4910,6 +4932,7 @@ QUERIES = {
     "trimmed_stats": q_trimmed_stats,
     "neyman_sample": q_neyman_sample,
     "calendar_features": q_calendar_features,
+    "bootstrap_ci": q_bootstrap_ci,
 }
 
 ORACLE = {
@@ -9732,6 +9755,52 @@ def _theils_oracle() -> str:
 
 
 ORACLE["theils_u"] = _theils_oracle()
+
+
+def _bootstrap_oracle(n_reps: int = 40) -> str:
+    """Replays the deterministic Poisson bootstrap: the SAME hex
+    thresholds the operator derives (imported, not re-typed), the same
+    md5 draw, integer-exact weighted sums, quantile_cont interval."""
+    from woodwork_spark.operators.stats_tests import _poisson1_thresholds
+
+    w_terms = " + ".join(
+        f"CASE WHEN h >= '{t}' THEN 1 ELSE 0 END"
+        for t in _poisson1_thresholds()
+    )
+    return f"""
+        WITH base AS (
+            SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+                   CAST(doc_id AS VARCHAR) AS k
+            FROM documents WHERE n_chars IS NOT NULL
+        ), reps AS (SELECT unnest(range(0, {n_reps})) AS r),
+        hashed AS (
+            SELECT lang, v, r,
+                   substr(md5('boot|' || r || '|' || k), 1, 8) AS h
+            FROM base CROSS JOIN reps
+        ), wtd AS (
+            SELECT lang, r,
+                   sum(({w_terms}) * v) AS ws,
+                   sum({w_terms}) AS ww
+            FROM hashed GROUP BY 1, 2
+        ), means AS (
+            SELECT lang, CASE WHEN ww > 0 THEN ws / ww END AS m
+            FROM wtd
+        ), pe AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+                   sum(v) / count(*) AS mean
+            FROM base GROUP BY 1
+        )
+        SELECT m.lang, pe.n_rows,
+               round(pe.mean + 0.0000001, 4) AS mean,
+               round(quantile_cont(m.m, 0.025) + 0.0000001, 4) AS ci_lo,
+               round(quantile_cont(m.m, 0.975) + 0.0000001, 4) AS ci_hi,
+               CAST(count(m.m) AS BIGINT) AS n_replicates
+        FROM means m JOIN pe ON pe.lang = m.lang
+        GROUP BY m.lang, pe.n_rows, pe.mean
+    """
+
+
+ORACLE["bootstrap_ci"] = _bootstrap_oracle()
 
 
 def _kcore_oracle(k: int = 3, rounds: int = 14) -> str:

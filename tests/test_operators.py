@@ -3802,3 +3802,30 @@ def test_calendar_features_iso_conventions(spark):
     assert out[3]["dow_iso"] == 7 and out[3]["is_weekend"] == 1
     assert out[3]["is_month_end"] == 1
     assert out[4]["dow_iso"] is None and out[4]["is_weekend"] is None
+
+
+def test_bootstrap_mean_ci_coverage_and_determinism(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.stats_tests import bootstrap_mean_ci
+
+    rng = np.random.default_rng(21)
+    vals = rng.integers(50, 150, 400)
+    df = spark.createDataFrame(
+        [(int(i), int(v)) for i, v in enumerate(vals)], "id long, v long",
+    )
+    r1 = bootstrap_mean_ci(df, "v", "id", n_replicates=30).collect()[0]
+    r2 = bootstrap_mean_ci(df, "v", "id", n_replicates=30).collect()[0]
+    assert (r1["ci_lo"], r1["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])  # no RNG
+    assert r1["n_replicates"] == 30
+    # the interval brackets the sample mean and has sane width
+    # (~ +/- 2 se; se = sd/sqrt(n) ~ 1.45 here)
+    assert r1["ci_lo"] < r1["mean"] < r1["ci_hi"]
+    se = vals.std(ddof=1) / 20.0
+    width = r1["ci_hi"] - r1["ci_lo"]
+    assert 1.5 * se < width < 8 * se
+    # a different salt gives a different (but still valid) draw
+    r3 = bootstrap_mean_ci(
+        df, "v", "id", n_replicates=30, salt="other",
+    ).collect()[0]
+    assert (r3["ci_lo"], r3["ci_hi"]) != (r1["ci_lo"], r1["ci_hi"])

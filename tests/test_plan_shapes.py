@@ -768,3 +768,32 @@ def test_session5_batch4_plan_shapes(spark):
     assert "Generate" in plan  # the melt explode — one pass, one shuffle
     assert "PythonUDF" not in plan
     release(tu)
+
+
+def test_session5_batch5_plan_shapes(spark):
+    """Batch 5/6: bootstrap streams all replicates in one aggregate
+    (no per-replicate jobs, no Python), calendar features are a pure
+    projection, neyman sample joins its tiny plan by broadcast."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.operators.sampling import neyman_sample
+    from woodwork_spark.operators.stats_tests import bootstrap_mean_ci
+    from woodwork_spark.operators.timeseries import calendar_features
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    ev = read_parquet(spark, f"{SF}/events.parquet")
+
+    plan = _executed_plan(bootstrap_mean_ci(
+        docs, "n_chars", "doc_id", group_cols="lang", n_replicates=10,
+    ))
+    assert "PythonUDF" not in plan and "Join" not in plan
+
+    plan = _executed_plan(calendar_features(ev, "ts"))
+    assert "Exchange" not in plan and "PythonUDF" not in plan
+
+    plan = _executed_plan(neyman_sample(
+        docs, "lang", "n_chars", 50, "doc_id",
+    ))
+    assert "BroadcastHashJoin" in plan
+    assert "PythonUDF" not in plan

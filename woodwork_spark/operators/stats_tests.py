@@ -385,3 +385,98 @@ def theils_u(
         ).alias("u"),
     )
     return attach_persisted(fwd.unionAll(rev), joint)
+
+
+def _poisson1_thresholds(max_k: int = 8):
+    """Hex cutoffs of the Poisson(1) CDF: k = #{j : hash >= t_j}."""
+    import math
+
+    from .sampling import hex_cutoff
+
+    cdf, term = 0.0, math.exp(-1.0)
+    outs = []
+    for j in range(max_k):
+        cdf += term
+        outs.append(hex_cutoff(min(cdf, 1.0)))
+        term /= (j + 1)
+    return outs
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_cols=(),
+    n_replicates: int = 40,
+    ci: float = 0.95,
+    salt: str = "boot",
+) -> DataFrame:
+    """Confidence interval for the MEAN via the Poisson bootstrap
+    (Chamandy et al. 2012 — the bootstrap that works at terabyte
+    scale: each replicate reweights every row by an independent
+    Poisson(1) count, so replicates stream in ONE pass with no
+    resampling shuffle), made fully DETERMINISTIC: the per-(row,
+    replicate) weight is the Poisson(1) inverse CDF of a stable
+    ``md5(salt|replicate|key)`` hash, compared in fixed-width hex (the
+    :func:`sampling.hex_cutoff` idiom), so there is no RNG state and
+    any engine reproduces the exact draw — which is what lets a SQL
+    oracle value-check a bootstrap at all.
+
+    Shape: one aggregate computes every replicate's weighted sum/count
+    (2·R conditional sums, map-side combinable), ``stack`` unpivots to
+    R tiny replicate-mean rows per group, one exact-percentile agg
+    takes the interval.  Weights cap at 8 (CDF(8) ≈ 1 - 1.1e-6;
+    the truncation is shared with the oracle by construction).
+
+    Returns ``(group_cols..., n_rows, mean, ci_lo, ci_hi,
+    n_replicates)``; groups whose replicate draws all weigh zero
+    contribute NULL replicate means (excluded from the percentile).
+    """
+    if n_replicates < 2:
+        raise ValueError(f"n_replicates must be >= 2, got {n_replicates}")
+    if not 0 < ci < 1:
+        raise ValueError(f"ci must be in (0, 1), got {ci}")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    thresholds = _poisson1_thresholds()
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(key_col).cast("string").alias("__k"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__v").alias("__s"),
+    ]
+    for r in range(n_replicates):
+        h = F.substring(
+            F.md5(F.concat(F.lit(f"{salt}|{r}|"), F.col("__k"))), 1, 8,
+        )
+        w = None
+        for t in thresholds:
+            term = (h >= F.lit(t)).cast("int")
+            w = term if w is None else w + term
+        aggs.append(F.sum(w * F.col("__v")).alias(f"__ws_{r}"))
+        aggs.append(F.sum(w).alias(f"__ww_{r}"))
+    wide = base.groupBy(*group_cols).agg(*aggs)
+    stack_expr = "stack({}, {}) as (replicate, __ws, __ww)".format(
+        n_replicates,
+        ", ".join(
+            f"{r}, __ws_{r}, __ww_{r}" for r in range(n_replicates)
+        ),
+    )
+    tall = wide.select(
+        *group_cols, "__n", "__s", F.expr(stack_expr),
+    ).withColumn(
+        "__m",
+        F.when(F.col("__ww") > 0, F.col("__ws") / F.col("__ww")),
+    )
+    lo_q, hi_q = (1 - ci) / 2, (1 + ci) / 2
+    return tall.groupBy(*group_cols).agg(
+        F.max("__n").cast("long").alias("n_rows"),
+        (F.max("__s") / F.max("__n")).alias("mean"),
+        F.percentile(F.col("__m"), F.lit(lo_q)).alias("ci_lo"),
+        F.percentile(F.col("__m"), F.lit(hi_q)).alias("ci_hi"),
+        F.count(F.col("__m")).cast("long").alias("n_replicates"),
+    )
