@@ -4620,8 +4620,10 @@ def q_ccf_series(spark, sf_dir):
 
 def q_frequent_sequences(spark, sf_dir):
     """Gap-allowed frequent event subsequences (length 2 and 3, ANY
-    events between, per-user set semantics) — position self-joins on
-    the user key with apriori pruning into length 3."""
+    events between, per-user set semantics) — the order-statistics
+    construction (first/earliest-after/last occurrences), linear in
+    events x types per user; the oracle is the brute-force positional
+    definition, proving the construction equivalent."""
     from woodwork_spark.operators.funnel import frequent_subsequences
 
     _prep(spark)

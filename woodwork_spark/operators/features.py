@@ -496,18 +496,16 @@ def weighted_quantile(
     agg = marked.groupBy(*group_cols).agg(
         F.max("__tw").alias("total_weight"), *picks,
     )
-    outs = []
-    for i, q in enumerate(qs):
-        outs.append(agg.select(
-            *group_cols,
-            F.lit(float(q)).alias("q"),
-            F.col(f"__q_{i}").alias("value"),
-            "total_weight",
-        ))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    # unpivot via stack — one plan branch (a per-quantile unionAll
+    # would replay the aggregate subtree per quantile)
+    stack_expr = "stack({}, {}) as (q, value)".format(
+        len(qs),
+        ", ".join(
+            f"CAST({float(q)!r} AS DOUBLE), __q_{i}"
+            for i, q in enumerate(qs)
+        ),
+    )
+    return agg.select(*group_cols, F.expr(stack_expr), "total_weight")
 
 
 def trimmed_stats(

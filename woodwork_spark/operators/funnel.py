@@ -497,7 +497,11 @@ def frequent_subsequences(
         [order_cols] if isinstance(order_cols, str) else list(order_cols)
     )]
     w = W.partitionBy(user_col).orderBy(F.col(ts_col).asc(), *tie)
-    ev = df.select(
+    # NULL types are not event labels: concat_ws would silently drop
+    # them and render (NULL, x) as a fake length-2 pattern "x"
+    ev = df.where(
+        F.col(type_col).isNotNull() & F.col(user_col).isNotNull(),
+    ).select(
         F.col(user_col).alias("__u"),
         F.col(type_col).alias("__t"),
         F.row_number().over(w).alias("__p"),

@@ -262,7 +262,9 @@ def run_length_report(
             for i, c in enumerate(probe_cols)
         ],
     ).collect()
-    distincts = df.agg(
+    # distincts ride the PERSISTED parted frame (same rows, pruned
+    # columns) — an agg on the raw df would re-scan the table
+    distincts = parted.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
             F.countDistinct(F.col(c)).alias(f"__d_{i}")

@@ -269,7 +269,9 @@ def sample_k_per_group(
     w = W.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
     rank_col = keep_rank or "__rn"
     out = (
-        df.withColumn(rank_col, F.row_number().over(w))
+        # NULL keys hash to NULL and would sort into every group's top-k
+        df.where(F.col(key_col).isNotNull())
+        .withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
     return out if keep_rank else out.drop(rank_col)
@@ -390,7 +392,11 @@ def neyman_sample(
     plan = neyman_allocation(df, stratum_col, value_col, total_n)
     h = hash_bucket_expr(F.col(key_col), salt)
     w = W.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
-    ranked = df.withColumn("__rn", F.row_number().over(w))
+    # a NULL key hashes to NULL, which Spark orders FIRST ascending —
+    # NULL-key rows would deterministically crowd every stratum's draw
+    ranked = df.where(F.col(key_col).isNotNull()).withColumn(
+        "__rn", F.row_number().over(w),
+    )
     return (
         ranked.join(
             F.broadcast(plan.select(

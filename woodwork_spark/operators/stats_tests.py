@@ -384,7 +384,17 @@ def theils_u(
             (F.col("__hy") - F.col("__hygx")) / F.col("__hy"),
         ).alias("u"),
     )
-    return attach_persisted(fwd.unionAll(rev), joint)
+    # a pair with ZERO co-non-null rows has no joint rows at all —
+    # left-join the full ordered-pair frame back so such pairs emit
+    # (col_x, col_y, NULL, NULL) instead of silently vanishing (a
+    # square association matrix must keep its cells)
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(x, y) for x in cols for y in cols if x != y],
+        "col_x string, col_y string",
+    )
+    out = expected.join(fwd.unionAll(rev), ["col_x", "col_y"], "left")
+    return attach_persisted(out, joint)
 
 
 def _poisson1_thresholds(max_k: int = 8):
@@ -449,10 +459,10 @@ def bootstrap_mean_ci(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__v").alias("__s"),
     ]
+    from .sampling import hash_bucket_expr
+
     for r in range(n_replicates):
-        h = F.substring(
-            F.md5(F.concat(F.lit(f"{salt}|{r}|"), F.col("__k"))), 1, 8,
-        )
+        h = hash_bucket_expr(F.col("__k"), f"{salt}|{r}|")
         w = None
         for t in thresholds:
             term = (h >= F.lit(t)).cast("int")
