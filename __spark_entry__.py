@@ -4198,17 +4198,19 @@ def q_mann_whitney(spark, sf_dir):
     folds U, the tie term and the z approximation."""
     from woodwork_spark.operators.stats_tests import mann_whitney_u
 
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     out = mann_whitney_u(docs, "n_chars", "lang", "en", "fr")
-    return out.select(
+    return attach_persisted(out.select(
         "n_a", "n_b",
         F.round(F.col("u_a"), 2).alias("u_a"),
         F.round(F.col("u_b"), 2).alias("u_b"),
         F.round(F.col("rank_sum_a"), 2).alias("rank_sum_a"),
         F.col("tie_term").cast("long").alias("tie_term"),
         _ravg(F.col("z_stat"), 6).alias("z_stat"),
-    )
+    ), *persisted_frames(out))
 
 
 def q_anova_sources(spark, sf_dir):
@@ -4438,13 +4440,15 @@ def q_clustered_layout(spark, sf_dir):
         ["l_orderkey", "l_partkey", "l_extendedprice"],
         n_zones=32,
     )
-    return out.select(
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
+    return attach_persisted(out.select(
         "probe_col",
         F.col("n_zones").cast("long").alias("n_zones"),
         _ravg(F.col("overlap_ratio"), 6).alias("overlap_ratio"),
         _ravg(F.col("avg_span_frac"), 6).alias("avg_span_frac"),
         _ravg(F.col("point_scan_frac"), 6).alias("point_scan_frac"),
-    )
+    ), *persisted_frames(out))
 
 
 def q_twonn(spark, sf_dir):
@@ -4497,9 +4501,11 @@ def q_theils_u(spark, sf_dir):
         "len_b", F.floor(F.col("n_chars") / 100).cast("long"),
     )
     out = theils_u(docs, ["lang", "source", "len_b"])
-    return out.select(
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
+    return attach_persisted(out.select(
         "col_x", "col_y", "n", _ravg(F.col("u"), 6).alias("u"),
-    )
+    ), *persisted_frames(out))
 
 
 def q_k_anonymity(spark, sf_dir):
