@@ -4739,6 +4739,66 @@ def q_bootstrap_ci(spark, sf_dir):
     )
 
 
+def q_association_triples(spark, sf_dir):
+    """Size-3 association rules over order baskets ({a,b} -> c with
+    confidence and lift): apriori extension of surviving pairs joined
+    back on the basket key — never items³."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.basket import association_rules3
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = association_rules3(li, "l_orderkey", "l_partkey",
+                             min_basket_support=2)
+    return attach_persisted(out.select(
+        F.col("item_a").cast("long").alias("item_a"),
+        F.col("item_b").cast("long").alias("item_b"),
+        F.col("item_c").cast("long").alias("item_c"),
+        "triple_count",
+        _ravg(F.col("confidence"), 6).alias("confidence"),
+        _ravg(F.col("lift"), 6).alias("lift"),
+    ), *persisted_frames(out))
+
+
+def q_proportion_ci(spark, sf_dir):
+    """Wilson score intervals for the high-value-event rate per event
+    type — the dashboard-grade rate CI, one aggregate."""
+    from woodwork_spark.operators.stats_tests import proportion_ci
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = proportion_ci(
+        ev.withColumn("__hi", F.col("value") >= 100), "__hi",
+        group_cols="event_type",
+    )
+    return out.select(
+        "event_type", "n", "successes",
+        _ravg(F.col("p_hat"), 6).alias("p_hat"),
+        _ravg(F.col("ci_lo"), 6).alias("ci_lo"),
+        _ravg(F.col("ci_hi"), 6).alias("ci_hi"),
+    )
+
+
+def q_two_proportion(spark, sf_dir):
+    """Pooled two-proportion z-test: do click and view events carry
+    high values at the same rate?  One conditional aggregate."""
+    from woodwork_spark.operators.stats_tests import two_proportion_ztest
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = two_proportion_ztest(
+        ev.withColumn("__hi", F.col("value") >= 100), "__hi",
+        "event_type", "click", "view",
+    )
+    return out.select(
+        "n_a", "n_b",
+        _ravg(F.col("p_a"), 6).alias("p_a"),
+        _ravg(F.col("p_b"), 6).alias("p_b"),
+        _ravg(F.col("p_pool"), 6).alias("p_pool"),
+        _ravg(F.col("z_stat"), 6).alias("z_stat"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -4941,6 +5001,9 @@ QUERIES = {
     "neyman_sample": q_neyman_sample,
     "calendar_features": q_calendar_features,
     "bootstrap_ci": q_bootstrap_ci,
+    "association_triples": q_association_triples,
+    "proportion_ci": q_proportion_ci,
+    "two_proportion": q_two_proportion,
 }
 
 ORACLE = {
@@ -9763,6 +9826,101 @@ def _theils_oracle() -> str:
 
 
 ORACLE["theils_u"] = _theils_oracle()
+
+
+ORACLE["association_triples"] = """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                FROM lineitem),
+    nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+    ic AS (SELECT i, count(*) AS c FROM bi GROUP BY 1),
+    po AS (SELECT a.b, a.i AS ia, b.i AS ib
+           FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i),
+    p AS (SELECT ia, ib, count(*) AS pc FROM po
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    t AS (SELECT po.ia, po.ib, c.i AS ic2, count(*) AS tc
+          FROM po
+          JOIN p ON p.ia = po.ia AND p.ib = po.ib
+          JOIN bi c ON c.b = po.b AND c.i > po.ib
+          GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+    SELECT CAST(t.ia AS BIGINT) AS item_a,
+           CAST(t.ib AS BIGINT) AS item_b,
+           CAST(t.ic2 AS BIGINT) AS item_c,
+           CAST(tc AS BIGINT) AS triple_count,
+           round(tc / CAST(p.pc AS DOUBLE) + 0.0000001, 6) AS confidence,
+           round(tc * CAST(nb.n AS DOUBLE) / (p.pc * ci.c)
+                 + 0.0000001, 6) AS lift
+    FROM t
+    JOIN p ON p.ia = t.ia AND p.ib = t.ib
+    JOIN ic ci ON ci.i = t.ic2, nb
+"""
+
+_Z = 1.959963984540054
+
+
+def _proportion_oracles():
+    z, z2 = repr(_Z), repr(_Z * _Z)
+    ORACLE["proportion_ci"] = f"""
+        WITH agg AS (
+            SELECT event_type, count(*) AS n,
+                   sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)
+                       AS successes
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1
+        ), x AS (
+            SELECT event_type, n, successes,
+                   successes / CAST(n AS DOUBLE) AS p,
+                   CAST(n AS DOUBLE) AS nd
+            FROM agg
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(successes AS BIGINT) AS successes,
+               round(p + 0.0000001, 6) AS p_hat,
+               round((p + {z2} / (2 * nd)) / (1 + {z2} / nd)
+                     - {z} * sqrt(p * (1 - p) / nd
+                                  + {z2} / (4 * nd * nd))
+                       / (1 + {z2} / nd)
+                     + 0.0000001, 6) AS ci_lo,
+               round((p + {z2} / (2 * nd)) / (1 + {z2} / nd)
+                     + {z} * sqrt(p * (1 - p) / nd
+                                  + {z2} / (4 * nd * nd))
+                       / (1 + {z2} / nd)
+                     + 0.0000001, 6) AS ci_hi
+        FROM x
+    """
+    ORACLE["two_proportion"] = """
+        WITH agg AS (
+            SELECT count(CASE WHEN event_type = 'click' THEN 1 END)
+                       AS n_a,
+                   count(CASE WHEN event_type = 'view' THEN 1 END)
+                       AS n_b,
+                   sum(CASE WHEN event_type = 'click' AND value >= 100
+                            THEN 1 ELSE 0 END) AS sa,
+                   sum(CASE WHEN event_type = 'view' AND value >= 100
+                            THEN 1 ELSE 0 END) AS sb
+            FROM events
+            WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        ), x AS (
+            SELECT n_a, n_b,
+                   sa / CAST(n_a AS DOUBLE) AS pa,
+                   sb / CAST(n_b AS DOUBLE) AS pb,
+                   (sa + sb) / (CAST(n_a AS DOUBLE)
+                                + CAST(n_b AS DOUBLE)) AS pp,
+                   CAST(n_a AS DOUBLE) AS nad,
+                   CAST(n_b AS DOUBLE) AS nbd
+            FROM agg
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round(pa + 0.0000001, 6) AS p_a,
+               round(pb + 0.0000001, 6) AS p_b,
+               round(pp + 0.0000001, 6) AS p_pool,
+               round((pa - pb)
+                     / sqrt(pp * (1 - pp) * (1 / nad + 1 / nbd))
+                     + 0.0000001, 6) AS z_stat
+        FROM x
+    """
+
+
+_proportion_oracles()
 
 
 def _bootstrap_oracle(n_reps: int = 40) -> str:

@@ -3829,3 +3829,57 @@ def test_bootstrap_mean_ci_coverage_and_determinism(spark):
         df, "v", "id", n_replicates=30, salt="other",
     ).collect()[0]
     assert (r3["ci_lo"], r3["ci_hi"]) != (r1["ci_lo"], r1["ci_hi"])
+
+
+def test_association_rules3_manual(spark):
+    from woodwork_spark.operators.basket import association_rules3
+
+    # baskets: {a,b,c} x3, {a,b} x1, {c} x1 -> rule {a,b}->c:
+    # sup(abc)=3, sup(ab)=4, conf=0.75, P(c)=4/5, lift=0.75/0.8
+    rows = []
+    for bk in range(3):
+        rows += [(bk, "a"), (bk, "b"), (bk, "c")]
+    rows += [(3, "a"), (3, "b"), (4, "c")]
+    df = spark.createDataFrame(rows, "b int, i string")
+    out = association_rules3(df, "b", "i", min_basket_support=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["item_c"]) == ("a", "b", "c")
+    assert r["triple_count"] == 3
+    assert abs(r["confidence"] - 0.75) < 1e-12
+    assert abs(r["lift"] - 0.75 / 0.8) < 1e-12
+
+
+def test_proportion_ci_wilson(spark):
+    from woodwork_spark.operators.stats_tests import proportion_ci
+
+    # 8/10 successes: Wilson 95% interval ~ (0.490, 0.943)
+    rows = [(True,)] * 8 + [(False,)] * 2 + [(None,)]
+    df = spark.createDataFrame(rows, "s boolean")
+    r = proportion_ci(df, "s").collect()[0]
+    assert r["n"] == 10 and r["successes"] == 8  # NULL excluded
+    assert abs(r["p_hat"] - 0.8) < 1e-12
+    assert abs(r["ci_lo"] - 0.4901625) < 1e-3
+    assert abs(r["ci_hi"] - 0.9433178) < 1e-3
+    assert 0 <= r["ci_lo"] < r["ci_hi"] <= 1
+
+
+def test_two_proportion_ztest_manual(spark):
+    import math
+
+    from woodwork_spark.operators.stats_tests import two_proportion_ztest
+
+    rows = [("a", True)] * 30 + [("a", False)] * 70 + \
+           [("b", True)] * 20 + [("b", False)] * 80
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    r = two_proportion_ztest(df, "s", "g", "a", "b").collect()[0]
+    pp = 50 / 200
+    z = (0.3 - 0.2) / math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+    assert abs(r["z_stat"] - z) < 1e-12
+    assert abs(r["p_pool"] - pp) < 1e-12
+    # degenerate: all successes -> NULL z
+    alls = spark.createDataFrame(
+        [("a", True), ("b", True)], "g string, s boolean",
+    )
+    assert two_proportion_ztest(
+        alls, "s", "g", "a", "b").collect()[0]["z_stat"] is None

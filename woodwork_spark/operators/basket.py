@@ -219,3 +219,86 @@ def item_similarity(
             .drop("__r")
         )
     return scored
+
+
+def association_rules3(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_basket_support: int = 3,
+) -> DataFrame:
+    """Size-3 frequent itemsets mined apriori-style and emitted as
+    {a, b} -> c rules with confidence and lift — the step beyond
+    :func:`association_rules`' pairs that catches "diapers AND wipes
+    imply cream" effects a pair scan cannot see.
+
+    Scale shape: only pairs passing ``min_basket_support`` extend to
+    triples (apriori: a triple's support is bounded by every child
+    pair's), and the extension joins surviving pairs back to baskets
+    ON THE BASKET KEY with an item > b inequality — work is surviving
+    pairs x basket width, never items³.  Item/pair/triple counts are
+    three aggregates over the same deduped (basket, item) frame
+    (persisted once, released via the lifecycle attachment).
+
+    Returns ``(item_a, item_b, item_c, triple_count, confidence,
+    lift)`` with item_a < item_b < item_c: confidence =
+    sup(abc)/sup(ab); lift = confidence / P(c).
+    """
+    if min_basket_support < 1:
+        raise ValueError(
+            f"min_basket_support must be >= 1, got {min_basket_support}",
+        )
+    from ..lifecycle import attach_persisted
+
+    bi = (
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"),
+        )
+        .where(F.col("__b").isNotNull() & F.col("__i").isNotNull())
+        .distinct()
+        .persist()
+    )
+    n_baskets = bi.select("__b").distinct().count()
+    icnt = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__ic"))
+    a = bi.select("__b", F.col("__i").alias("item_a"))
+    b = bi.select(F.col("__b").alias("__b2"), F.col("__i").alias("item_b"))
+    pair_occ = a.join(
+        b, (a.__b == b.__b2) & (F.col("item_a") < F.col("item_b")),
+    ).select("__b", "item_a", "item_b")
+    pairs = (
+        pair_occ.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("__pc"))
+        .where(F.col("__pc") >= min_basket_support)
+    )
+    surv = pair_occ.join(
+        F.broadcast(pairs), ["item_a", "item_b"], "left_semi",
+    )
+    c = bi.select(F.col("__b").alias("__b3"), F.col("__i").alias("item_c"))
+    triples = (
+        surv.join(
+            c,
+            (surv.__b == c.__b3) & (F.col("item_c") > F.col("item_b")),
+        )
+        .groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).alias("triple_count"))
+        .where(F.col("triple_count") >= min_basket_support)
+    )
+    out = (
+        triples.join(F.broadcast(pairs), ["item_a", "item_b"])
+        .join(
+            F.broadcast(icnt.select(
+                F.col("__i").alias("item_c"), F.col("__ic").alias("__cc"),
+            )),
+            "item_c",
+        )
+        .select(
+            "item_a", "item_b", "item_c",
+            F.col("triple_count").cast("long").alias("triple_count"),
+            (F.col("triple_count") / F.col("__pc")).alias("confidence"),
+            (
+                F.col("triple_count") * F.lit(float(n_baskets))
+                / (F.col("__pc") * F.col("__cc"))
+            ).alias("lift"),
+        )
+    )
+    return attach_persisted(out, bi)

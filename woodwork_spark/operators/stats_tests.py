@@ -490,3 +490,89 @@ def bootstrap_mean_ci(
         F.percentile(F.col("__m"), F.lit(hi_q)).alias("ci_hi"),
         F.count(F.col("__m")).cast("long").alias("n_replicates"),
     )
+
+
+def proportion_ci(
+    df: DataFrame,
+    success_col,
+    group_cols=(),
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Wilson score interval for a proportion per group — the
+    recommended small-and-large-n CI for rates (never leaves [0, 1],
+    unlike the Wald interval every dashboard naively uses).  ONE
+    map-side-combinable aggregate; ``success_col`` is a boolean
+    Column/column name (NULL counts as failure? no — NULL rows are
+    EXCLUDED: an unknown outcome is not a failure).
+
+    Returns ``(group_cols..., n, successes, p_hat, ci_lo, ci_hi)``.
+    """
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    s = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("boolean")
+    base = df.where(s.isNotNull())
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(s.cast("long")).alias("successes"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("successes") / n
+    z2 = F.lit(z * z)
+    denom = 1 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        / denom
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.col("successes").cast("long").alias("successes"),
+        p.alias("p_hat"),
+        (center - half).alias("ci_lo"),
+        (center + half).alias("ci_hi"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    success_col,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-proportion z-test (pooled standard error) between two
+    groups — "did the conversion rate actually move": one conditional
+    aggregate, pure arithmetic.  NULL outcomes are excluded.  Returns
+    one row ``(n_a, n_b, p_a, p_b, p_pool, z_stat)``; z NULL when a
+    group is empty or the pooled rate is degenerate (0 or 1)."""
+    s = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("boolean")
+    isa = F.col(group_col) == F.lit(group_a)
+    base = df.where(
+        F.col(group_col).isin([group_a, group_b]) & s.isNotNull(),
+    )
+    agg = base.agg(
+        F.count(F.when(isa, 1)).alias("n_a"),
+        F.count(F.when(~isa, 1)).alias("n_b"),
+        F.sum(F.when(isa & s, 1).otherwise(0)).alias("__sa"),
+        F.sum(F.when(~isa & s, 1).otherwise(0)).alias("__sb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.when(na > 0, F.col("__sa") / na)
+    pb = F.when(nb > 0, F.col("__sb") / nb)
+    pp = F.when(na + nb > 0, (F.col("__sa") + F.col("__sb")) / (na + nb))
+    se = F.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    zs = F.when((na > 0) & (nb > 0) & (pp > 0) & (pp < 1), (pa - pb) / se)
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        pa.alias("p_a"), pb.alias("p_b"), pp.alias("p_pool"),
+        zs.alias("z_stat"),
+    )
