@@ -4799,6 +4799,58 @@ def q_two_proportion(spark, sf_dir):
     )
 
 
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H across the five event types' value
+    distributions: per-(value, type) tallies, ONE range-partitioned
+    running sum for tie-averaged ranks — never a global rank window."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import kruskal_wallis
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = kruskal_wallis(ev, "value", "event_type")
+    return attach_persisted(out.select(
+        "k_groups", "n_total",
+        _ravg(F.col("h_stat"), 6).alias("h_stat"),
+        _ravg(F.col("tie_term"), 6).alias("tie_term"),
+        _ravg(F.col("h_corrected"), 6).alias("h_corrected"),
+    ), *persisted_frames(out))
+
+
+def q_levene_variance(spark, sf_dir):
+    """Brown-Forsythe (median-centered Levene) equal-variance test on
+    event values across event types: exact per-group medians joined
+    back, then the two-agg ANOVA fold on absolute deviations."""
+    from woodwork_spark.operators.stats_tests import levene_test
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = levene_test(ev, "value", "event_type", center="median")
+    return out.select(
+        "k_groups", "n_total",
+        _ravg(F.col("f_stat"), 6).alias("f_stat"),
+        _ravg(F.col("ss_between"), 6).alias("ss_between"),
+        _ravg(F.col("ss_within"), 6).alias("ss_within"),
+    )
+
+
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta + Cohen's d effect sizes between click and view
+    event values: pair counts from distinct-value tallies and one
+    running sum — no pair materialization."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import cliffs_delta
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = cliffs_delta(ev, "value", "event_type", "click", "view")
+    return attach_persisted(out.select(
+        "n_a", "n_b", "gt_pairs", "lt_pairs", "tie_pairs",
+        _ravg(F.col("cliffs_delta"), 6).alias("cliffs_delta"),
+        _ravg(F.col("cohens_d"), 6).alias("cohens_d"),
+    ), *persisted_frames(out))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -5004,6 +5056,9 @@ QUERIES = {
     "association_triples": q_association_triples,
     "proportion_ci": q_proportion_ci,
     "two_proportion": q_two_proportion,
+    "kruskal_wallis": q_kruskal_wallis,
+    "levene_variance": q_levene_variance,
+    "cliffs_delta": q_cliffs_delta,
 }
 
 ORACLE = {
@@ -9921,6 +9976,108 @@ def _proportion_oracles():
 
 
 _proportion_oracles()
+
+
+ORACLE["kruskal_wallis"] = """
+    WITH base AS (
+        SELECT event_type AS g, value AS v FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    tot AS (SELECT v, count(*) AS t FROM base GROUP BY 1),
+    r AS (
+        SELECT v, t,
+               coalesce(sum(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS below
+        FROM tot
+    ),
+    cells AS (SELECT v, g, count(*) AS c FROM base GROUP BY 1, 2),
+    pg AS (
+        SELECT g, sum(c) AS n,
+               sum(c * (r.below + (r.t + 1) / 2.0)) AS rs
+        FROM cells JOIN r USING (v) GROUP BY 1
+    ),
+    gf AS (
+        SELECT count(*) AS k, CAST(sum(n) AS DOUBLE) AS n,
+               sum(rs * rs / n) AS rsq
+        FROM pg
+    ),
+    tf AS (
+        SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS tie FROM r
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_total,
+           round(12.0 / (n * (n + 1)) * rsq - 3 * (n + 1)
+                 + 0.0000001, 6) AS h_stat,
+           round(tie + 0.0000001, 6) AS tie_term,
+           round((12.0 / (n * (n + 1)) * rsq - 3 * (n + 1))
+                 / (1 - tie / (n * n * n - n))
+                 + 0.0000001, 6) AS h_corrected
+    FROM gf, tf
+"""
+
+ORACLE["levene_variance"] = """
+    WITH base AS (
+        SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    ctr AS (SELECT g, median(v) AS m FROM base GROUP BY 1),
+    dev AS (SELECT base.g, abs(v - m) AS z FROM base JOIN ctr USING (g)),
+    pg AS (
+        SELECT g, count(*) AS n, sum(z) AS s, sum(z * z) AS ss
+        FROM dev GROUP BY 1
+    ),
+    f AS (
+        SELECT count(*) AS k, CAST(sum(n) AS DOUBLE) AS n,
+               sum(s) AS sm, sum(ss) AS ssq, sum(s * s / n) AS gsq
+        FROM pg
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n_total,
+           round(((gsq - sm * sm / n) / (k - 1))
+                 / ((ssq - gsq) / (n - k)) + 0.0000001, 6) AS f_stat,
+           round(gsq - sm * sm / n + 0.0000001, 6) AS ss_between,
+           round(ssq - gsq + 0.0000001, 6) AS ss_within
+    FROM f
+"""
+
+ORACLE["cliffs_delta"] = """
+    WITH base AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    cnt AS (
+        SELECT v, sum(isa) AS ca, sum(1 - isa) AS cb
+        FROM base GROUP BY 1
+    ),
+    r AS (
+        SELECT v, ca, cb,
+               coalesce(sum(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS bb
+        FROM cnt
+    ),
+    a AS (
+        SELECT CAST(sum(ca) AS DOUBLE) AS na,
+               CAST(sum(cb) AS DOUBLE) AS nb,
+               CAST(sum(ca * bb) AS BIGINT) AS gt,
+               CAST(sum(ca * cb) AS BIGINT) AS ties,
+               sum(ca * v) AS sa, sum(ca * v * v) AS ssa,
+               sum(cb * v) AS sb, sum(cb * v * v) AS ssb
+        FROM r
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           gt AS gt_pairs,
+           CAST(na * nb - gt - ties AS BIGINT) AS lt_pairs,
+           ties AS tie_pairs,
+           round((gt - (na * nb - gt - ties)) / (na * nb)
+                 + 0.0000001, 6) AS cliffs_delta,
+           round((sa / na - sb / nb)
+                 / sqrt(((ssa - sa * sa / na) + (ssb - sb * sb / nb))
+                        / (na + nb - 2))
+                 + 0.0000001, 6) AS cohens_d
+    FROM a
+"""
 
 
 def _bootstrap_oracle(n_reps: int = 40) -> str:

@@ -3883,3 +3883,101 @@ def test_two_proportion_ztest_manual(spark):
     )
     assert two_proportion_ztest(
         alls, "s", "g", "a", "b").collect()[0]["z_stat"] is None
+
+
+def test_kruskal_wallis_manual(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.stats_tests import kruskal_wallis
+
+    rng = np.random.RandomState(7)
+    vals, grps = [], []
+    for g, (mu, n) in enumerate([(0.0, 40), (0.5, 35), (1.0, 30)]):
+        v = np.round(rng.normal(mu, 1.0, n), 1)  # rounding forces ties
+        vals += v.tolist()
+        grps += [f"g{g}"] * n
+    df = spark.createDataFrame(
+        list(zip(grps, vals)) + [(None, 1.0), ("g0", None)],
+        "g string, v double",
+    )
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    # numpy brute force: tie-averaged ranks over the pooled sample
+    a = np.array(vals)
+    order = np.argsort(a, kind="mergesort")
+    ranks = np.empty(len(a))
+    sa = a[order]
+    i = 0
+    tie = 0.0
+    while i < len(sa):
+        j = i
+        while j < len(sa) and sa[j] == sa[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        t = j - i
+        tie += t**3 - t
+        i = j
+    n = len(a)
+    rs = [ranks[np.array(grps[:n]) == f"g{k}"].sum() for k in range(3)]
+    ns = [40, 35, 30]
+    h = 12.0 / (n * (n + 1)) * sum(
+        r_**2 / n_ for r_, n_ in zip(rs, ns)
+    ) - 3 * (n + 1)
+    hc = h / (1 - tie / (n**3 - n))
+    assert r["k_groups"] == 3 and r["n_total"] == n
+    assert abs(r["h_stat"] - h) < 1e-9
+    assert abs(r["tie_term"] - tie) < 1e-9
+    assert abs(r["h_corrected"] - hc) < 1e-9
+    # all-tied degenerate: correction hits 0 -> null
+    flat = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0)], "g string, v double",
+    )
+    assert kruskal_wallis(flat, "v", "g").collect()[0]["h_corrected"] is None
+
+
+def test_levene_brown_forsythe_manual(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.stats_tests import levene_test
+
+    rng = np.random.RandomState(3)
+    va = rng.normal(0, 1.0, 50)
+    vb = rng.normal(0, 3.0, 60)  # inflated variance -> significant F
+    rows = [("a", float(x)) for x in va] + [("b", float(x)) for x in vb]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = levene_test(df, "v", "g").collect()[0]
+    za = np.abs(va - np.median(va))
+    zb = np.abs(vb - np.median(vb))
+    z = np.concatenate([za, zb])
+    k, n = 2, len(z)
+    gm = z.mean()
+    ssb = 50 * (za.mean() - gm) ** 2 + 60 * (zb.mean() - gm) ** 2
+    ssw = ((za - za.mean()) ** 2).sum() + ((zb - zb.mean()) ** 2).sum()
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["k_groups"] == 2 and r["n_total"] == n
+    assert abs(r["f_stat"] - f) < 1e-7
+    assert abs(r["ss_between"] - ssb) < 1e-7
+    assert abs(r["ss_within"] - ssw) < 1e-7
+    assert f > 10  # the planted variance gap is detected
+    with pytest.raises(ValueError):
+        levene_test(df, "v", "g", center="mode")
+
+
+def test_cliffs_delta_manual(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.stats_tests import cliffs_delta
+
+    va = [1.0, 2.0, 2.0, 5.0]
+    vb = [2.0, 3.0, 0.5]
+    rows = [("a", v) for v in va] + [("b", v) for v in vb] + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = cliffs_delta(df, "v", "g", "a", "b").collect()[0]
+    gt = sum(1 for x in va for y in vb if x > y)
+    lt = sum(1 for x in va for y in vb if x < y)
+    ties = sum(1 for x in va for y in vb if x == y)
+    assert (r["gt_pairs"], r["lt_pairs"], r["tie_pairs"]) == (gt, lt, ties)
+    assert abs(r["cliffs_delta"] - (gt - lt) / (len(va) * len(vb))) < 1e-12
+    a, b = np.array(va), np.array(vb)
+    pooled = (a.var(ddof=1) * 3 + b.var(ddof=1) * 2) / (4 + 3 - 2)
+    d = (a.mean() - b.mean()) / np.sqrt(pooled)
+    assert abs(r["cohens_d"] - d) < 1e-12

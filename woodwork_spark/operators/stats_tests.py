@@ -576,3 +576,197 @@ def two_proportion_ztest(
         pa.alias("p_a"), pb.alias("p_b"), pp.alias("p_pool"),
         zs.alias("z_stat"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H test — the k-group generalization of
+    :func:`mann_whitney_u` (one-way ANOVA on ranks, no normality
+    assumption).
+
+    Same scale shape as mann_whitney_u: rows collapse to per-(value,
+    group) counts FIRST (one map-side-combinable groupBy), per-value
+    totals re-aggregate from those cells, and the tie-averaged rank of
+    each distinct value comes from ONE range-partitioned running sum
+    (:func:`rank.global_prefix_sums`) — no single-reducer rank window
+    even when the measurement is near-continuous.  The tie correction
+    ``1 - sum(t^3 - t) / (N^3 - N)`` folds out of the same frame.
+
+    Null groups and null measurements are excluded.  Returns one row:
+    ``(k_groups, n_total, h_stat, tie_term, h_corrected)``;
+    ``h_corrected`` is null when every value is tied (correction = 0)
+    or fewer than 2 groups survive the filter.
+    """
+    cells = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull(),
+        )
+        .groupBy(
+            F.col(value_col).alias("__v"), F.col(group_col).alias("__g"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = cells.groupBy("__v").agg(F.sum("__c").alias("__t"))
+    ranked = global_prefix_sums(
+        totals, ["__v"], ["__t"], out_cols=["__below"], inclusive=False,
+    )
+    avg_rank = F.col("__below") + (F.col("__t") + 1) / 2.0
+    # per-group rank sums ride a shuffle join on the distinct value —
+    # cells and ranked share cardinality = distinct measurements
+    per_group = (
+        cells.join(ranked.select("__v", avg_rank.alias("__r")), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(F.col("__c") * F.col("__r")).alias("__rs"),
+        )
+    )
+    gfold = per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__n").cast("long").alias("n_total"),
+        F.sum(
+            F.col("__rs") * F.col("__rs") / F.col("__n"),
+        ).alias("__rsq"),
+    )
+    tfold = ranked.agg(
+        F.sum(
+            F.col("__t").cast("double") * F.col("__t") * F.col("__t")
+            - F.col("__t"),
+        ).alias("tie_term"),
+    )
+    n = F.col("n_total").cast("double")
+    h = F.when(
+        n > 1,
+        12.0 / (n * (n + 1)) * F.col("__rsq") - 3.0 * (n + 1),
+    )
+    corr = F.when(
+        n > 1, 1.0 - F.col("tie_term") / (n * n * n - n),
+    )
+    out = gfold.crossJoin(tfold).select(
+        "k_groups", "n_total",
+        h.alias("h_stat"),
+        "tie_term",
+        F.when(
+            (F.col("k_groups") > 1) & (corr > 0), h / corr,
+        ).alias("h_corrected"),
+    )
+    return attach_persisted(out, *persisted_frames(ranked))
+
+
+def levene_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    center: str = "median",
+) -> DataFrame:
+    """Levene's test for equal variances across groups —
+    ``center="median"`` is the Brown-Forsythe variant (robust to heavy
+    tails, the scipy default recommendation), ``center="mean"`` the
+    classic form.  The statistic is one-way ANOVA's F applied to the
+    absolute deviations from each group's center.
+
+    Two aggregation passes: per-group centers (exact interpolated
+    ``percentile`` for the median — swap to ``percentile_approx``
+    driver-side if exact sort-based medians ever dominate at extreme
+    group sizes), joined back (AQE broadcasts the tiny center table),
+    then the same two-agg fold as :func:`anova_oneway` on the
+    deviations.  Shuffle bytes scale with the number of groups.
+
+    Returns one row: ``(k_groups, n_total, f_stat, ss_between,
+    ss_within)``; ``f_stat`` null when undefined.
+    """
+    if center not in ("median", "mean"):
+        raise ValueError(f"center must be 'median' or 'mean', got {center!r}")
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull(),
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    ctr = (
+        F.percentile(F.col("__v"), F.lit(0.5))
+        if center == "median"
+        else F.avg("__v")
+    )
+    centers = base.groupBy("__g").agg(ctr.alias("__ctr"))
+    dev = base.join(centers, "__g").select(
+        "__g", F.abs(F.col("__v") - F.col("__ctr")).alias("__z"),
+    )
+    res = anova_oneway(dev, "__z", "__g")
+    return res.select(
+        "k_groups", "n_total", "f_stat", "ss_between", "ss_within",
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cliff's delta (the ordinal effect size: P(a > b) - P(a < b))
+    plus Cohen's d (pooled-SD standardized mean difference) between two
+    groups — the "is the shift big enough to matter" companions to
+    :func:`mann_whitney_u` / :func:`welch_ttest`'s "is it real".
+
+    Never materializes pairs: rows collapse to per-distinct-value
+    (count_a, count_b) tallies, ONE range-partitioned running sum gives
+    the count of b-rows strictly below each value, and
+    ``greater = sum(count_a * b_below)`` / ``ties = sum(count_a *
+    count_b)`` fold out of the same frame; ``less`` is the remainder of
+    ``n_a * n_b``.  Cohen's d reuses the tallies' moments.  Null
+    measurements are excluded.
+
+    Returns one row: ``(n_a, n_b, gt_pairs, lt_pairs, tie_pairs,
+    cliffs_delta, cohens_d)``; delta/d null when a group is empty (d
+    also needs pooled variance > 0 and n_a + n_b > 2).
+    """
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull(),
+    ).select(
+        F.col(value_col).alias("__v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__isa"),
+    )
+    counts = base.groupBy("__v").agg(
+        F.sum("__isa").alias("__ca"),
+        F.sum(1 - F.col("__isa")).alias("__cb"),
+    )
+    ranked = global_prefix_sums(
+        counts, ["__v"], ["__cb"], out_cols=["__bb"], inclusive=False,
+    )
+    v = F.col("__v").cast("double")
+    agg = ranked.agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+        F.sum(F.col("__ca") * F.col("__bb")).cast("long").alias("gt_pairs"),
+        F.sum(F.col("__ca") * F.col("__cb")).cast("long").alias("tie_pairs"),
+        F.sum(F.col("__ca") * v).alias("__sa"),
+        F.sum(F.col("__ca") * v * v).alias("__ssa"),
+        F.sum(F.col("__cb") * v).alias("__sb"),
+        F.sum(F.col("__cb") * v * v).alias("__ssb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    lt = (na * nb - F.col("gt_pairs") - F.col("tie_pairs")).cast("long")
+    delta = F.when(
+        (na > 0) & (nb > 0),
+        (F.col("gt_pairs") - lt) / (na * nb),
+    )
+    # pooled variance from per-group raw moments (ddof=1 each)
+    var_a = (F.col("__ssa") - F.col("__sa") * F.col("__sa") / na)
+    var_b = (F.col("__ssb") - F.col("__sb") * F.col("__sb") / nb)
+    pooled = (var_a + var_b) / (na + nb - 2)
+    d = F.when(
+        (na > 1) & (nb > 1) & (pooled > 0),
+        (F.col("__sa") / na - F.col("__sb") / nb) / F.sqrt(pooled),
+    )
+    out = agg.select(
+        "n_a", "n_b", "gt_pairs", lt.alias("lt_pairs"), "tie_pairs",
+        delta.alias("cliffs_delta"), d.alias("cohens_d"),
+    )
+    return attach_persisted(out, *persisted_frames(ranked))
