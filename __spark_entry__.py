@@ -4851,6 +4851,25 @@ def q_cliffs_delta(spark, sf_dir):
     ), *persisted_frames(out))
 
 
+def q_ols_pricing(spark, sf_dir):
+    """Distributed OLS of extended price on quantity and discount:
+    means pass + centered cross-moment pass (both map-side
+    combinable), 2x2 driver solve — the oracle replays the identical
+    centered normal equations via Cramer's rule."""
+    from woodwork_spark.operators.regression import ols_fit
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = ols_fit(li, "l_extendedprice", ["l_quantity", "l_discount"])
+    return out.select(
+        "n",
+        _ravg(F.col("intercept"), 4).alias("intercept"),
+        _ravg(F.col("coef_l_quantity"), 4).alias("coef_quantity"),
+        _ravg(F.col("coef_l_discount"), 4).alias("coef_discount"),
+        _ravg(F.col("r2"), 6).alias("r2"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -5059,6 +5078,7 @@ QUERIES = {
     "kruskal_wallis": q_kruskal_wallis,
     "levene_variance": q_levene_variance,
     "cliffs_delta": q_cliffs_delta,
+    "ols_pricing": q_ols_pricing,
 }
 
 ORACLE = {
@@ -10077,6 +10097,49 @@ ORACLE["cliffs_delta"] = """
                         / (na + nb - 2))
                  + 0.0000001, 6) AS cohens_d
     FROM a
+"""
+
+
+ORACLE["ols_pricing"] = """
+    WITH base AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x1,
+               CAST(l_discount AS DOUBLE) AS x2,
+               CAST(l_extendedprice AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL
+    ),
+    m AS (
+        SELECT count(*) AS n, avg(x1) AS m1, avg(x2) AS m2,
+               avg(y) AS my
+        FROM base
+    ),
+    c AS (
+        SELECT any_value(n) AS n, any_value(m1) AS m1,
+               any_value(m2) AS m2, any_value(my) AS my,
+               sum((x1 - m1) * (x1 - m1)) AS s11,
+               sum((x1 - m1) * (x2 - m2)) AS s12,
+               sum((x2 - m2) * (x2 - m2)) AS s22,
+               sum((x1 - m1) * (y - my)) AS s1y,
+               sum((x2 - m2) * (y - my)) AS s2y,
+               sum((y - my) * (y - my)) AS syy
+        FROM base, m
+    ),
+    b AS (
+        SELECT n, m1, m2, my, s1y, s2y, syy,
+               (s1y * s22 - s2y * s12)
+                   / (s11 * s22 - s12 * s12) AS b1,
+               (s2y * s11 - s1y * s12)
+                   / (s11 * s22 - s12 * s12) AS b2
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(my - b1 * m1 - b2 * m2 + 0.0000001, 4) AS intercept,
+           round(b1 + 0.0000001, 4) AS coef_quantity,
+           round(b2 + 0.0000001, 4) AS coef_discount,
+           round(1 - (syy - b1 * s1y - b2 * s2y) / syy
+                 + 0.0000001, 6) AS r2
+    FROM b
 """
 
 

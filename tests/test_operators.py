@@ -3981,3 +3981,54 @@ def test_cliffs_delta_manual(spark):
     pooled = (a.var(ddof=1) * 3 + b.var(ddof=1) * 2) / (4 + 3 - 2)
     d = (a.mean() - b.mean()) / np.sqrt(pooled)
     assert abs(r["cohens_d"] - d) < 1e-12
+
+
+def test_ols_fit_recovers_planted_coefficients(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.regression import ols_fit
+
+    rng = np.random.RandomState(11)
+    n = 500
+    x1 = rng.uniform(0, 10, n)
+    x2 = rng.uniform(-5, 5, n)
+    y = 3.0 + 2.5 * x1 - 1.25 * x2 + rng.normal(0, 0.01, n)
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    r = ols_fit(df, "y", ["x1", "x2"]).collect()[0]
+    # numpy reference fit
+    X = np.column_stack([np.ones(n), x1, x2])
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    assert r["n"] == n
+    assert abs(r["intercept"] - beta[0]) < 1e-8
+    assert abs(r["coef_x1"] - beta[1]) < 1e-9
+    assert abs(r["coef_x2"] - beta[2]) < 1e-9
+    assert r["r2"] > 0.999997
+    # null rows excluded
+    df2 = df.unionByName(spark.createDataFrame(
+        [(None, 1.0, 1.0), (1.0, None, 1.0), (1.0, 1.0, None)],
+        "x1 double, x2 double, y double",
+    ))
+    assert ols_fit(df2, "y", ["x1", "x2"]).collect()[0]["n"] == n
+
+
+def test_ols_fit_ridge_and_collinearity(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.regression import ols_fit
+
+    rng = np.random.RandomState(5)
+    x = rng.uniform(0, 1, 200)
+    y = 1.0 + 2.0 * x
+    rows = [(float(a), float(2 * a), float(b)) for a, b in zip(x, y)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    with pytest.raises(ValueError, match="singular"):
+        ols_fit(df, "y", ["x1", "x2"])
+    r = ols_fit(df, "y", ["x1", "x2"], ridge_lambda=1e-6).collect()[0]
+    # ridge splits the collinear weight: effective slope x1 + 2*x2 = 2
+    assert abs(r["coef_x1"] + 2 * r["coef_x2"] - 2.0) < 1e-3
+    # ridge shrinks: large lambda -> slopes toward 0
+    big = ols_fit(df, "y", "x1", ridge_lambda=1e9).collect()[0]
+    assert abs(big["coef_x1"]) < 0.01
+    with pytest.raises(ValueError, match="non-empty"):
+        ols_fit(df, "y", [])
