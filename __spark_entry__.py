@@ -4870,6 +4870,25 @@ def q_ols_pricing(spark, sf_dir):
     )
 
 
+def q_bfs_hops(spark, sf_dir):
+    """BFS hop distances from supplier s1 over the part<->supplier
+    bipartite graph (3 hops): one frontier join + anti-join per hop
+    with checkpoint-truncated lineage; the oracle is a recursive CTE."""
+    from woodwork_spark.operators.graph import bfs_hops
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct().select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    # bipartite edges built once; bfs adds the reverse direction itself
+    return bfs_hops(
+        pairs, seeds=["s1"], max_hops=3, directed=False,
+        distinct_edges=False,
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -5079,6 +5098,7 @@ QUERIES = {
     "levene_variance": q_levene_variance,
     "cliffs_delta": q_cliffs_delta,
     "ols_pricing": q_ols_pricing,
+    "bfs_hops": q_bfs_hops,
 }
 
 ORACLE = {
@@ -10099,6 +10119,27 @@ ORACLE["cliffs_delta"] = """
     FROM a
 """
 
+
+ORACLE["bfs_hops"] = """
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s
+        FROM lineitem
+    ),
+    edges AS (
+        SELECT p AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, p AS dst FROM pairs
+    ),
+    walk(node, hop) AS (
+        SELECT 's1', 0
+        UNION
+        SELECT e.dst, w.hop + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.hop < 3
+    )
+    SELECT node, CAST(min(hop) AS BIGINT) AS hop
+    FROM walk GROUP BY 1
+"""
 
 ORACLE["ols_pricing"] = """
     WITH base AS (

@@ -4032,3 +4032,34 @@ def test_ols_fit_ridge_and_collinearity(spark):
     assert abs(big["coef_x1"]) < 0.01
     with pytest.raises(ValueError, match="non-empty"):
         ols_fit(df, "y", [])
+
+
+def test_bfs_hops_manual(spark):
+    from woodwork_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5 plus a shortcut 1-4 and an unreachable island 8-9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (8, 9)],
+        "src int, dst int",
+    )
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(edges, seeds=[1], max_hops=10,
+                          directed=False).collect()
+    }
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    # directed: only forward edges
+    got_d = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(edges, seeds=[2], max_hops=10).collect()
+    }
+    assert got_d == {2: 0, 3: 1, 4: 2, 5: 3}
+    # max_hops bound + multi-seed minimum
+    got_b = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(edges, seeds=[1, 5], max_hops=1,
+                          directed=False).collect()
+    }
+    assert got_b == {1: 0, 5: 0, 2: 1, 4: 1}
+    with pytest.raises(ValueError, match="seeds"):
+        bfs_hops(edges)

@@ -485,3 +485,78 @@ def kcore(
     raise RuntimeError(
         f"kcore did not converge within {max_iter} peeling rounds",
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seeds=None,
+    max_hops: int = 5,
+    directed: bool = True,
+    distinct_edges: bool = True,
+) -> DataFrame:
+    """Minimum hop distance from a seed set by frontier-expansion BFS —
+    "everything within k hops of these nodes" (blast-radius analysis,
+    fraud neighborhoods, citation spheres).
+
+    Per hop: ONE join of the current frontier against the edge list +
+    one distinct + one anti-join against the visited set — shuffles
+    scale with the frontier, never all-pairs.  Lineage is truncated
+    with an eager localCheckpoint per hop (the connected-components /
+    PageRank discipline), so the loop never stacks a k-deep plan, and
+    the loop exits early on an empty frontier.  The edge cache is
+    released before return (the checkpointed result no longer needs
+    it).
+
+    ``seeds`` is a list of node ids or a single-column DataFrame;
+    ``directed=False`` adds reversed edges.  Returns ``(node, hop)``
+    with hop = the MINIMUM number of edges from any seed (seeds at 0),
+    only for nodes within ``max_hops``.
+    """
+    if seeds is None:
+        raise ValueError("bfs_hops: seeds is required")
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"),
+    ).where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")),
+        )
+    if distinct_edges:
+        e = e.distinct()
+    e = e.persist()
+    if isinstance(seeds, DataFrame):
+        seed_df = seeds.select(
+            F.col(seeds.columns[0]).alias("node"),
+        ).distinct()
+    else:
+        node_type = edges.schema[src_col].dataType
+        from pyspark.sql import types as T
+
+        seed_df = spark.createDataFrame(
+            [(s,) for s in seeds],
+            T.StructType([T.StructField("node", node_type)]),
+        ).distinct()
+    visited = seed_df.withColumn(
+        "hop", F.lit(0),
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return visited.select("node", F.col("hop").cast("long").alias("hop"))
