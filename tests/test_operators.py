@@ -4063,3 +4063,40 @@ def test_bfs_hops_manual(spark):
     assert got_b == {1: 0, 5: 0, 2: 1, 4: 1}
     with pytest.raises(ValueError, match="seeds"):
         bfs_hops(edges)
+
+
+def test_logrank_test_manual(spark):
+    from woodwork_spark.operators.timeseries import logrank_test
+
+    ta = [6, 6, 6, 7, 10, 13, 16, 22, 23, 6]
+    ea = [1, 1, 1, 1, 1, 1, 1, 1, 1, 0]
+    tb = [1, 1, 2, 2, 3, 4, 4, 5, 5, 8]
+    eb = [1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+    rows = [("a", float(t), e) for t, e in zip(ta, ea)] + \
+           [("b", float(t), e) for t, e in zip(tb, eb)] + \
+           [("c", 1.0, 1), ("a", None, 1)]  # other group + null dropped
+    df = spark.createDataFrame(rows, "g string, t double, e int")
+    r = logrank_test(df, "t", "e", "g", "a", "b").collect()[0]
+
+    # brute-force reference over pooled event times
+    def at_risk(ts, t):
+        return sum(1 for x in ts if x >= t)
+
+    times = sorted({t for t, e in zip(ta + tb, ea + eb) if e == 1})
+    O = V = 0.0
+    for t in times:
+        n1, n2 = at_risk(ta, t), at_risk(tb, t)
+        n = n1 + n2
+        d1 = sum(1 for x, e in zip(ta, ea) if x == t and e == 1)
+        d2 = sum(1 for x, e in zip(tb, eb) if x == t and e == 1)
+        d = d1 + d2
+        O += d1 - d * n1 / n
+        if n > 1:
+            V += d * (n1 / n) * (n2 / n) * (n - d) / (n - 1)
+    assert r["n_a"] == 10 and r["n_b"] == 10
+    assert r["events_a"] == 9 and r["events_b"] == 10
+    assert abs(r["o_minus_e"] - O) < 1e-9
+    assert abs(r["variance"] - V) < 1e-9
+    assert abs(r["chi2"] - O * O / V) < 1e-9
+    # the planted separation is strongly significant
+    assert r["chi2"] > 10

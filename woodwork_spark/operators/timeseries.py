@@ -1040,3 +1040,89 @@ def calendar_features(
     return df.select(
         "*", *[v.alias(f"{prefix}{k}") for k, v in feats.items()],
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-group log-rank test — "do these survival curves actually
+    differ", the hypothesis-test companion to :func:`kaplan_meier`.
+    At each distinct event time on the POOLED time axis, the observed
+    group-a events are compared to their hypergeometric expectation
+    given the at-risk split; the statistic is
+    ``chi2 = (sum(O - E))^2 / sum(V)``.
+
+    Distributed shape: rows collapse to per-distinct-duration
+    (rows_a, rows_b, events_a, events_b) tallies FIRST (one map-side
+    combinable groupBy), the at-risk counts fall out of ONE
+    range-partitioned running sum over those tallies
+    (``n_a(t) = N_a - rows_a_below(t)`` — no per-group suffix window,
+    no single reducer on a near-continuous time axis), and the O/E/V
+    terms fold in one aggregate.  Rows with a null duration are
+    excluded; censored rows (event = 0) shrink the at-risk set only.
+
+    Returns one row: ``(n_a, n_b, events_a, events_b, o_minus_e,
+    variance, chi2)`` where ``o_minus_e`` is group-a observed minus
+    expected; ``chi2`` is null when the variance is 0 (no overlap in
+    at-risk windows or a degenerate group).
+    """
+    from .rank import global_prefix_sums
+    from ..lifecycle import attach_persisted, persisted_frames
+
+    ev = F.col(event_col).cast("int")
+    isa = (F.col(group_col) == F.lit(group_a)).cast("int")
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(duration_col).isNotNull(),
+    ).select(
+        F.col(duration_col).alias("__t"),
+        isa.alias("__isa"),
+        ev.alias("__e"),
+    )
+    cells = base.groupBy("__t").agg(
+        F.sum("__isa").alias("__ra"),
+        F.sum(1 - F.col("__isa")).alias("__rb"),
+        F.sum(F.col("__isa") * F.col("__e")).alias("__da"),
+        F.sum((1 - F.col("__isa")) * F.col("__e")).alias("__db"),
+    )
+    ranked = global_prefix_sums(
+        cells, ["__t"], ["__ra", "__rb"],
+        out_cols=["__ba", "__bb"], inclusive=False,
+    )
+    totals = ranked.agg(
+        F.sum("__ra").cast("long").alias("n_a"),
+        F.sum("__rb").cast("long").alias("n_b"),
+    )
+    j = ranked.crossJoin(F.broadcast(totals))
+    n1 = (F.col("n_a") - F.col("__ba")).cast("double")
+    n2 = (F.col("n_b") - F.col("__bb")).cast("double")
+    nt = n1 + n2
+    d = (F.col("__da") + F.col("__db")).cast("double")
+    e1 = d * n1 / nt
+    v = F.when(
+        nt > 1,
+        d * (n1 / nt) * (n2 / nt) * (nt - d) / (nt - 1),
+    ).otherwise(F.lit(0.0))
+    agg = j.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum("__da").cast("long").alias("events_a"),
+        F.sum("__db").cast("long").alias("events_b"),
+        F.sum(
+            F.when(d > 0, F.col("__da") - e1).otherwise(F.lit(0.0)),
+        ).alias("o_minus_e"),
+        F.sum(F.when(d > 0, v).otherwise(F.lit(0.0))).alias("variance"),
+    )
+    out = agg.select(
+        "n_a", "n_b", "events_a", "events_b", "o_minus_e", "variance",
+        F.when(
+            F.col("variance") > 0,
+            F.col("o_minus_e") * F.col("o_minus_e") / F.col("variance"),
+        ).alias("chi2"),
+    )
+    return attach_persisted(out, *persisted_frames(ranked))
