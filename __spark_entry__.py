@@ -4929,6 +4929,43 @@ def q_logrank(spark, sf_dir):
     ), *persisted_frames(out))
 
 
+def q_roc_auc(spark, sf_dir):
+    """Exact ROC AUC / Gini / KS of event value as a purchase
+    predictor: per-distinct-score tallies + ONE running sum (the
+    rank-sum AUC identity) — no row-level sort, ties handled exactly."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.evaluation import roc_auc
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = roc_auc(ev, "value", F.col("event_type") == "purchase")
+    return attach_persisted(out.select(
+        "n_pos", "n_neg",
+        _ravg(F.col("auc"), 6).alias("auc"),
+        _ravg(F.col("gini"), 6).alias("gini"),
+        _ravg(F.col("ks"), 6).alias("ks"),
+    ), *persisted_frames(out))
+
+
+def q_confusion_matrix(spark, sf_dir):
+    """Confusion matrix + precision/recall/F1/accuracy for the
+    "value >= 100 predicts purchase" rule: one conditional aggregate."""
+    from woodwork_spark.operators.evaluation import confusion_at_threshold
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = confusion_at_threshold(
+        ev, "value", F.col("event_type") == "purchase", 100.0,
+    )
+    return out.select(
+        "tp", "fp", "tn", "fn",
+        _ravg(F.col("precision"), 6).alias("precision"),
+        _ravg(F.col("recall"), 6).alias("recall"),
+        _ravg(F.col("f1"), 6).alias("f1"),
+        _ravg(F.col("accuracy"), 6).alias("accuracy"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -5140,6 +5177,8 @@ QUERIES = {
     "ols_pricing": q_ols_pricing,
     "bfs_hops": q_bfs_hops,
     "logrank": q_logrank,
+    "roc_auc": q_roc_auc,
+    "confusion_matrix": q_confusion_matrix,
 }
 
 ORACLE = {
@@ -10160,6 +10199,71 @@ ORACLE["cliffs_delta"] = """
     FROM a
 """
 
+
+ORACLE["roc_auc"] = """
+    WITH base AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    cells AS (
+        SELECT v, sum(y) AS p, sum(1 - y) AS n FROM base GROUP BY 1
+    ),
+    r AS (
+        SELECT v, p, n,
+               coalesce(sum(p) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS bp,
+               coalesce(sum(n) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS bn
+        FROM cells
+    ),
+    tot AS (
+        SELECT CAST(sum(p) AS DOUBLE) AS np,
+               CAST(sum(n) AS DOUBLE) AS nn,
+               sum(p * (bn + n / 2.0)) AS u
+        FROM r
+    ),
+    ks AS (
+        SELECT max(abs((bp + p) / np - (bn + n) / nn)) AS ks
+        FROM r, tot
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           round(u / (np * nn) + 0.0000001, 6) AS auc,
+           round(2 * u / (np * nn) - 1 + 0.0000001, 6) AS gini,
+           round(ks + 0.0000001, 6) AS ks
+    FROM tot, ks
+"""
+
+ORACLE["confusion_matrix"] = """
+    WITH base AS (
+        SELECT CASE WHEN value >= 100 THEN 1 ELSE 0 END AS pred,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    a AS (
+        SELECT CAST(sum(pred * y) AS BIGINT) AS tp,
+               CAST(sum(pred * (1 - y)) AS BIGINT) AS fp,
+               CAST(sum((1 - pred) * (1 - y)) AS BIGINT) AS tn,
+               CAST(sum((1 - pred) * y) AS BIGINT) AS fn
+        FROM base
+    )
+    SELECT tp, fp, tn, fn,
+           round(tp / CAST(tp + fp AS DOUBLE) + 0.0000001, 6)
+               AS precision,
+           round(tp / CAST(tp + fn AS DOUBLE) + 0.0000001, 6) AS recall,
+           round(2.0 * (tp / CAST(tp + fp AS DOUBLE))
+                 * (tp / CAST(tp + fn AS DOUBLE))
+                 / (tp / CAST(tp + fp AS DOUBLE)
+                    + tp / CAST(tp + fn AS DOUBLE))
+                 + 0.0000001, 6) AS f1,
+           round((tp + tn) / CAST(tp + fp + tn + fn AS DOUBLE)
+                 + 0.0000001, 6) AS accuracy
+    FROM a
+"""
 
 ORACLE["logrank"] = """
     WITH per_user AS (

@@ -4100,3 +4100,40 @@ def test_logrank_test_manual(spark):
     assert abs(r["chi2"] - O * O / V) < 1e-9
     # the planted separation is strongly significant
     assert r["chi2"] > 10
+
+
+def test_roc_auc_manual(spark):
+    from woodwork_spark.operators.evaluation import roc_auc
+
+    # scores: pos {3, 2, 2}, neg {1, 2, 0}; pairs = 9:
+    # gt: 3>{1,2,0}=3, 2>{1,0}=2 (x2) -> 7; ties: 2==2 (x2) -> 2
+    rows = [(3.0, True), (2.0, True), (2.0, True),
+            (1.0, False), (2.0, False), (0.0, False),
+            (None, True), (5.0, None)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    r = roc_auc(df, "s", "y").collect()[0]
+    assert r["n_pos"] == 3 and r["n_neg"] == 3
+    exp_auc = (7 + 0.5 * 2) / 9
+    assert abs(r["auc"] - exp_auc) < 1e-12
+    assert abs(r["gini"] - (2 * exp_auc - 1)) < 1e-12
+    # KS: CDFs over v in {0,1,2,3}: pos 0,0,2/3,1; neg 1/3,2/3,1,1
+    assert abs(r["ks"] - 2 / 3) < 1e-12
+    # single-class degenerate -> null metrics
+    one = spark.createDataFrame([(1.0, True), (2.0, True)],
+                                "s double, y boolean")
+    r1 = roc_auc(one, "s", "y").collect()[0]
+    assert r1["auc"] is None and r1["ks"] is None
+
+
+def test_confusion_at_threshold_manual(spark):
+    from woodwork_spark.operators.evaluation import confusion_at_threshold
+
+    rows = [(0.9, True), (0.8, True), (0.7, False), (0.4, True),
+            (0.3, False), (0.2, False), (None, True), (0.5, None)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    r = confusion_at_threshold(df, "s", "y", 0.5).collect()[0]
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (2, 1, 2, 1)
+    assert abs(r["precision"] - 2 / 3) < 1e-12
+    assert abs(r["recall"] - 2 / 3) < 1e-12
+    assert abs(r["f1"] - 2 / 3) < 1e-12
+    assert abs(r["accuracy"] - 4 / 6) < 1e-12

@@ -1,0 +1,124 @@
+"""Model/score evaluation against a binary label, distributed.
+
+The quality-filter and curation operators in this engine produce
+SCORES (unigram log-prob, gopher rules, text quality, near-dup
+similarity); these operators answer "how good is that score at
+predicting the label I care about" without collecting anything:
+
+* ``roc_auc`` — exact AUC including tie handling.  Never sorts raw
+  rows: rows collapse to per-distinct-score (pos, neg) tallies (one
+  map-side-combinable groupBy; cardinality = distinct scores), ONE
+  range-partitioned running sum (``operators.rank``) gives the
+  below-counts, and AUC folds out as
+  ``sum(pos_v * (neg_below_v + neg_v / 2)) / (P * N)`` — the
+  rank-sum/Mann-Whitney identity.  The same frame yields the Gini
+  coefficient (2·AUC − 1) and the Kolmogorov-Smirnov separation
+  statistic (max CDF gap between the two score distributions).
+* ``confusion_at_threshold`` — one conditional aggregate; precision /
+  recall / F1 / accuracy as null-safe arithmetic.
+
+Null scores and null labels are excluded everywhere (an unscored or
+unlabeled row carries no evaluation signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .rank import global_prefix_sums
+from ..lifecycle import attach_persisted, persisted_frames
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
+    """Exact ROC AUC (higher score should mean label = true), Gini and
+    KS separation, in two shuffles regardless of row count.
+
+    ``label_col`` is a boolean column/Column expression.  Returns one
+    row: ``(n_pos, n_neg, auc, gini, ks)``; metrics are null when
+    either class is empty.
+    """
+    lbl = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    base = df.filter(
+        lbl.isNotNull() & F.col(score_col).isNotNull(),
+    ).select(
+        F.col(score_col).alias("__v"),
+        lbl.cast("int").alias("__y"),
+    )
+    cells = base.groupBy("__v").agg(
+        F.sum("__y").alias("__p"),
+        F.sum(1 - F.col("__y")).alias("__n"),
+    )
+    ranked = global_prefix_sums(
+        cells, ["__v"], ["__p", "__n"],
+        out_cols=["__bp", "__bn"], inclusive=False,
+    )
+    agg = ranked.agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum("__n").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("__p") * (F.col("__bn") + F.col("__n") / 2.0),
+        ).alias("__u"),
+    )
+    # KS needs the totals inside the max — fold them in via a broadcast
+    # of the one-row aggregate
+    j = ranked.crossJoin(F.broadcast(agg))
+    # try_divide: ANSI-safe when a class is empty (metrics go null below)
+    cum_p = F.try_divide(F.col("__bp") + F.col("__p"), F.col("n_pos"))
+    cum_n = F.try_divide(F.col("__bn") + F.col("__n"), F.col("n_neg"))
+    ks_row = j.agg(F.max(F.abs(cum_p - cum_n)).alias("ks"))
+    p = F.col("n_pos").cast("double")
+    n = F.col("n_neg").cast("double")
+    auc = F.when((p > 0) & (n > 0), F.col("__u") / (p * n))
+    out = agg.crossJoin(F.broadcast(ks_row)).select(
+        "n_pos", "n_neg",
+        auc.alias("auc"),
+        (2.0 * auc - 1.0).alias("gini"),
+        F.when((p > 0) & (n > 0), F.col("ks")).alias("ks"),
+    )
+    return attach_persisted(out, *persisted_frames(ranked))
+
+
+def confusion_at_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    threshold: float,
+) -> DataFrame:
+    """Confusion matrix + derived rates for ``score >= threshold`` as
+    the positive prediction: ONE aggregate.  Returns one row ``(tp,
+    fp, tn, fn, precision, recall, f1, accuracy)``; rates null when
+    their denominator is 0."""
+    lbl = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    pred = F.col(score_col) >= F.lit(threshold)
+    base = df.filter(lbl.isNotNull() & F.col(score_col).isNotNull())
+    agg = base.agg(
+        F.sum((pred & lbl).cast("long")).alias("tp"),
+        F.sum((pred & ~lbl).cast("long")).alias("fp"),
+        F.sum((~pred & ~lbl).cast("long")).alias("tn"),
+        F.sum((~pred & lbl).cast("long")).alias("fn"),
+    )
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    tn = F.col("tn").cast("double")
+    fn = F.col("fn").cast("double")
+    precision = F.when(tp + fp > 0, tp / (tp + fp))
+    recall = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(
+        (tp + fp > 0) & (tp + fn > 0) & (precision + recall > 0),
+        2 * precision * recall / (precision + recall),
+    )
+    accuracy = F.when(
+        tp + fp + tn + fn > 0, (tp + tn) / (tp + fp + tn + fn),
+    )
+    return agg.select(
+        "tp", "fp", "tn", "fn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+        accuracy.alias("accuracy"),
+    )
