@@ -4966,6 +4966,44 @@ def q_confusion_matrix(spark, sf_dir):
     )
 
 
+def q_woe_iv(spark, sf_dir):
+    """Weight of Evidence / Information Value of event_type against the
+    high-value label: one grouped agg + broadcast class totals (NULL
+    level kept — missingness is a category)."""
+    from woodwork_spark.operators.evaluation import woe_iv
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = woe_iv(ev, "event_type", F.col("value") >= 100)
+    return out.select(
+        "level", "n", "n_pos", "n_neg",
+        _ravg(F.col("woe"), 6).alias("woe"),
+        _ravg(F.col("iv_term"), 6).alias("iv_term"),
+    )
+
+
+def q_lift_table(spark, sf_dir):
+    """Decile lift/gains of event value as a purchase-targeting score:
+    range-partitioned global NTILE (event_id tiebreak), 10-row
+    cumulative fold."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.evaluation import lift_table
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = lift_table(
+        ev, "value", F.col("event_type") == "purchase",
+        n_buckets=10, tiebreak="event_id",
+    )
+    return attach_persisted(out.select(
+        F.col("bucket").cast("long").alias("bucket"), "n", "responders",
+        _ravg(F.col("response_rate"), 6).alias("response_rate"),
+        _ravg(F.col("lift"), 6).alias("lift"),
+        _ravg(F.col("cum_lift"), 6).alias("cum_lift"),
+        _ravg(F.col("cum_capture"), 6).alias("cum_capture"),
+    ), *persisted_frames(out))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -5179,6 +5217,8 @@ QUERIES = {
     "logrank": q_logrank,
     "roc_auc": q_roc_auc,
     "confusion_matrix": q_confusion_matrix,
+    "woe_iv": q_woe_iv,
+    "lift_table": q_lift_table,
 }
 
 ORACLE = {
@@ -10199,6 +10239,70 @@ ORACLE["cliffs_delta"] = """
     FROM a
 """
 
+
+ORACLE["woe_iv"] = """
+    WITH base AS (
+        SELECT event_type AS level,
+               CASE WHEN value >= 100 THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    pl AS (
+        SELECT level, count(*) AS n, sum(y) AS np, sum(1 - y) AS nn
+        FROM base GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(sum(np) AS DOUBLE) AS tp,
+               CAST(sum(nn) AS DOUBLE) AS tn
+        FROM pl
+    )
+    SELECT level, CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+           CAST(nn AS BIGINT) AS n_neg,
+           round(CASE WHEN np > 0 AND nn > 0
+                      THEN ln((np / tp) / (nn / tn)) END
+                 + 0.0000001, 6) AS woe,
+           round(CASE WHEN np > 0 AND nn > 0
+                      THEN (np / tp - nn / tn)
+                           * ln((np / tp) / (nn / tn)) END
+                 + 0.0000001, 6) AS iv_term
+    FROM pl, t
+"""
+
+ORACLE["lift_table"] = """
+    WITH base AS (
+        SELECT value AS s, event_id AS id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    tiled AS (
+        SELECT y, NTILE(10) OVER (ORDER BY s DESC, id ASC) AS bucket
+        FROM base
+    ),
+    pb AS (
+        SELECT bucket, count(*) AS n, sum(y) AS r
+        FROM tiled GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS tn,
+               CAST(sum(r) AS DOUBLE) AS tr
+        FROM pb
+    ),
+    c AS (
+        SELECT bucket, n, r,
+               sum(r) OVER (ORDER BY bucket) AS cr,
+               sum(n) OVER (ORDER BY bucket) AS cn
+        FROM pb
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+           CAST(r AS BIGINT) AS responders,
+           round(r / CAST(n AS DOUBLE) + 0.0000001, 6) AS response_rate,
+           round((r / CAST(n AS DOUBLE)) / (tr / tn)
+                 + 0.0000001, 6) AS lift,
+           round((cr / CAST(cn AS DOUBLE)) / (tr / tn)
+                 + 0.0000001, 6) AS cum_lift,
+           round(cr / tr + 0.0000001, 6) AS cum_capture
+    FROM c, t
+"""
 
 ORACLE["roc_auc"] = """
     WITH base AS (

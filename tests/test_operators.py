@@ -4137,3 +4137,45 @@ def test_confusion_at_threshold_manual(spark):
     assert abs(r["recall"] - 2 / 3) < 1e-12
     assert abs(r["f1"] - 2 / 3) < 1e-12
     assert abs(r["accuracy"] - 4 / 6) < 1e-12
+
+
+def test_woe_iv_manual(spark):
+    import math
+
+    from woodwork_spark.operators.evaluation import woe_iv
+
+    rows = (
+        [("a", True)] * 30 + [("a", False)] * 10 +
+        [("b", True)] * 10 + [("b", False)] * 30 +
+        [("c", True)] * 5 +  # zero negatives -> null woe
+        [(None, True)] * 2 + [(None, False)] * 3 +
+        [("a", None)]  # null label excluded
+    )
+    df = spark.createDataFrame(rows, "lvl string, y boolean")
+    got = {r["level"]: r for r in woe_iv(df, "lvl", "y").collect()}
+    assert set(got) == {"a", "b", "c", None}
+    tp, tn = 47, 43
+    wa = math.log((30 / tp) / (10 / tn))
+    assert abs(got["a"]["woe"] - wa) < 1e-12
+    assert abs(got["a"]["iv_term"] - (30 / tp - 10 / tn) * wa) < 1e-12
+    assert got["c"]["woe"] is None and got["c"]["iv_term"] is None
+    assert got[None]["n"] == 5  # NULL level kept as its own level
+    assert got["a"]["n"] == 40  # null-label row excluded
+
+
+def test_lift_table_manual(spark):
+    from woodwork_spark.operators.evaluation import lift_table
+
+    # 20 rows, scores 20..1 (unique), top-5 scores all respond,
+    # 1 responder in the bottom -> 4 buckets of 5
+    rows = [(float(21 - i), i <= 5, i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "s double, y boolean, id int")
+    out = {r["bucket"]: r for r in lift_table(
+        df, "s", "y", n_buckets=4, tiebreak="id").collect()}
+    assert [out[b]["n"] for b in (1, 2, 3, 4)] == [5, 5, 5, 5]
+    assert out[1]["responders"] == 5 and out[2]["responders"] == 0
+    base = 5 / 20
+    assert abs(out[1]["lift"] - 1.0 / base) < 1e-12
+    assert abs(out[1]["cum_capture"] - 1.0) < 1e-12
+    assert abs(out[4]["cum_lift"] - 1.0) < 1e-12  # full table = base rate
+    assert abs(out[2]["cum_lift"] - (5 / 10) / base) < 1e-12

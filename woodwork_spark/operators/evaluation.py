@@ -122,3 +122,118 @@ def confusion_at_threshold(
         f1.alias("f1"),
         accuracy.alias("accuracy"),
     )
+
+
+def woe_iv(df: DataFrame, cat_col: str, label_col) -> DataFrame:
+    """Weight of Evidence per categorical level + Information Value
+    terms — the credit-scoring-standard encoding for "how strongly
+    does this level separate the classes".
+
+    ONE grouped aggregate (map-side combinable) + a broadcast of the
+    one-row class totals.  ``woe = ln(dist_pos / dist_neg)`` where
+    dist_* is the level's share of that class; levels holding zero
+    rows of either class get a null woe/iv_term (undefined without
+    smoothing — documented, not hidden), and the total IV is the sum
+    of the non-null ``iv_term``s.  Null labels are excluded; a NULL
+    level is kept as its own level (missingness is often the most
+    predictive "category").
+
+    Returns one row per level: ``(level, n, n_pos, n_neg, woe,
+    iv_term)``.
+    """
+    lbl = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    base = df.filter(lbl.isNotNull()).select(
+        F.col(cat_col).alias("level"), lbl.cast("int").alias("__y"),
+    )
+    per_level = base.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("n_pos"),
+        F.sum(1 - F.col("__y")).alias("n_neg"),
+    )
+    totals = per_level.agg(
+        F.sum("n_pos").alias("__tp"), F.sum("n_neg").alias("__tn"),
+    )
+    j = per_level.crossJoin(F.broadcast(totals))
+    dp = F.col("n_pos") / F.col("__tp")
+    dn = F.col("n_neg") / F.col("__tn")
+    woe = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+        & (F.col("__tp") > 0) & (F.col("__tn") > 0),
+        F.log(dp / dn),
+    )
+    return j.select(
+        "level",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        woe.alias("woe"),
+        ((dp - dn) * woe).alias("iv_term"),
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    n_buckets: int = 10,
+    tiebreak=None,
+) -> DataFrame:
+    """Decile (n-tile) lift/gains table for a score: bucket 1 holds the
+    TOP scores, and each bucket reports its response rate, lift over
+    the base rate, and the cumulative share of all responders captured
+    down to that bucket — "how much better than random is mailing the
+    top 10/20/30%".
+
+    The bucketing is :func:`rank.global_ntile` over ``(score DESC,
+    tiebreak)`` — range-partitioned, no single-reducer window; pass a
+    unique ``tiebreak`` column to make tied-score assignment
+    deterministic (required for reproducible tables).  The per-bucket
+    fold and the tiny cumulative window run over ``n_buckets`` rows.
+
+    Returns ``(bucket, n, responders, response_rate, lift, cum_lift,
+    cum_capture)``; lift metrics are null when the base rate is 0.
+    """
+    from .rank import global_ntile
+    from ..lifecycle import attach_persisted as _attach, persisted_frames as _pf
+
+    lbl = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    base = df.filter(
+        lbl.isNotNull() & F.col(score_col).isNotNull(),
+    ).select(
+        F.col(score_col).alias("__s"),
+        lbl.cast("int").alias("__y"),
+        *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
+    )
+    order = [F.desc("__s")] + ([F.asc("__tb")] if tiebreak else [])
+    tiled = global_ntile(base, order, n_buckets, out_col="bucket")
+    per_bucket = tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("responders"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    totals = per_bucket.agg(
+        F.sum("n").alias("__n"), F.sum("responders").alias("__r"),
+    )
+    j = per_bucket.crossJoin(F.broadcast(totals))
+    rate = F.col("responders") / F.col("n")
+    base_rate = F.col("__r") / F.col("__n")
+    cum_r = F.sum("responders").over(w)
+    cum_n = F.sum("n").over(w)
+    out = j.select(
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.col("responders").cast("long").alias("responders"),
+        rate.alias("response_rate"),
+        F.when(F.col("__r") > 0, rate / base_rate).alias("lift"),
+        F.when(
+            F.col("__r") > 0, (cum_r / cum_n) / base_rate,
+        ).alias("cum_lift"),
+        F.when(F.col("__r") > 0, cum_r / F.col("__r")).alias("cum_capture"),
+    )
+    return _attach(out, *_pf(tiled))
