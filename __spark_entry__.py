@@ -5004,6 +5004,26 @@ def q_lift_table(spark, sf_dir):
     ), *persisted_frames(out))
 
 
+def q_best_split(spark, sf_dir):
+    """Gini-optimal decision-stump threshold of event value against the
+    purchase label: distinct-value tallies + one inclusive running sum
+    score EVERY candidate threshold in one pass; argmin is a struct
+    fold (integer-exact cost arithmetic makes the tie-break
+    engine-stable)."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.tree import best_split
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = best_split(ev, "value", F.col("event_type") == "purchase")
+    return attach_persisted(out.select(
+        _ravg(F.col("threshold"), 6).alias("threshold"),
+        "n_left", "n_right", "pos_left", "pos_right",
+        _ravg(F.col("parent_impurity"), 6).alias("parent_impurity"),
+        _ravg(F.col("gain"), 8).alias("gain"),
+    ), *persisted_frames(out))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -5219,6 +5239,7 @@ QUERIES = {
     "confusion_matrix": q_confusion_matrix,
     "woe_iv": q_woe_iv,
     "lift_table": q_lift_table,
+    "best_split": q_best_split,
 }
 
 ORACLE = {
@@ -10239,6 +10260,56 @@ ORACLE["cliffs_delta"] = """
     FROM a
 """
 
+
+ORACLE["best_split"] = """
+    WITH base AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    cells AS (
+        SELECT v, sum(y) AS p, sum(1 - y) AS n FROM base GROUP BY 1
+    ),
+    r AS (
+        SELECT v, p, n,
+               sum(p) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cp,
+               sum(n) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cn
+        FROM cells
+    ),
+    t AS (
+        SELECT CAST(sum(p) AS DOUBLE) AS tp,
+               CAST(sum(n) AS DOUBLE) AS tn,
+               count(*) AS nv
+        FROM r
+    ),
+    cand AS (
+        SELECT v,
+               CAST(cp + cn AS BIGINT) AS n_left,
+               CAST(tp + tn - cp - cn AS BIGINT) AS n_right,
+               CAST(cp AS BIGINT) AS pos_left,
+               CAST(tp - cp AS BIGINT) AS pos_right,
+               2.0 * tp * tn / ((tp + tn) * (tp + tn)) AS parent,
+               2.0 * (CAST(cp AS DOUBLE) * CAST(cn AS DOUBLE)
+                          / (CAST(cp AS DOUBLE) + CAST(cn AS DOUBLE))
+                      + (tp - cp) * (tn - cn)
+                          / ((tp - cp) + (tn - cn)))
+                   / (tp + tn) AS cost
+        FROM r, t
+        WHERE (tp - cp) + (tn - cn) > 0 AND nv > 1
+    )
+    SELECT round(v + 0.0000001, 6) AS threshold,
+           n_left, n_right, pos_left, pos_right,
+           round(parent + 0.0000001, 6) AS parent_impurity,
+           round(parent - cost + 0.0000001, 8) AS gain
+    FROM cand
+    ORDER BY cost ASC, v ASC
+    LIMIT 1
+"""
 
 ORACLE["woe_iv"] = """
     WITH base AS (

@@ -4179,3 +4179,62 @@ def test_lift_table_manual(spark):
     assert abs(out[1]["cum_capture"] - 1.0) < 1e-12
     assert abs(out[4]["cum_lift"] - 1.0) < 1e-12  # full table = base rate
     assert abs(out[2]["cum_lift"] - (5 / 10) / base) < 1e-12
+
+
+def test_best_split_gini_manual(spark):
+    from woodwork_spark.operators.tree import best_split
+
+    # feature separates perfectly at 2.5: {1,2}->False, {3,4}->True
+    rows = [(1.0, False), (2.0, False), (3.0, True), (4.0, True),
+            (None, True), (5.0, None)]
+    df = spark.createDataFrame(rows, "x double, y boolean")
+    r = best_split(df, "x", "y").collect()[0]
+    assert r["threshold"] == 2.0  # left = x <= 2
+    assert (r["n_left"], r["n_right"]) == (2, 2)
+    assert (r["pos_left"], r["pos_right"]) == (0, 2)
+    assert abs(r["parent_impurity"] - 0.5) < 1e-12
+    assert abs(r["gain"] - 0.5) < 1e-12  # perfect split clears all gini
+
+
+def test_best_split_brute_force_and_entropy(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.tree import best_split
+
+    rng = np.random.RandomState(17)
+    x = np.round(rng.uniform(0, 10, 300), 1)
+    y = (x + rng.normal(0, 2.0, 300)) > 5
+    df = spark.createDataFrame(
+        [(float(a), bool(b)) for a, b in zip(x, y)], "x double, y boolean",
+    )
+
+    def brute(crit):
+        vals = np.unique(x)
+        best = None
+        for t in vals[:-1]:
+            l, r = y[x <= t], y[x > t]
+
+            def imp(s):
+                if len(s) == 0:
+                    return 0.0
+                p = s.mean()
+                if crit == "gini":
+                    return 2 * p * (1 - p)
+                h = 0.0
+                for q in (p, 1 - p):
+                    if q > 0:
+                        h -= q * np.log(q)
+                return h
+            cost = (len(l) * imp(l) + len(r) * imp(r)) / len(y)
+            parent = imp(y)
+            if best is None or parent - cost > best[1] + 1e-15:
+                best = (t, parent - cost)
+        return best
+
+    for crit in ("gini", "entropy"):
+        bt, bg = brute(crit)
+        r = best_split(df, "x", "y", criterion=crit).collect()[0]
+        assert r["threshold"] == bt
+        assert abs(r["gain"] - bg) < 1e-9
+    with pytest.raises(ValueError, match="criterion"):
+        best_split(df, "x", "y", criterion="mse")
