@@ -5024,6 +5024,24 @@ def q_best_split(spark, sf_dir):
     ), *persisted_frames(out))
 
 
+def q_partial_corr(spark, sf_dir):
+    """Partial correlation of quantity and extended price controlling
+    for discount: ONE aggregation for the full pairwise corr matrix
+    over listwise-complete rows, precision-matrix fold on the driver."""
+    from woodwork_spark.operators.stats_tests import partial_correlation
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = partial_correlation(
+        li, "l_quantity", "l_extendedprice", "l_discount",
+    )
+    return out.select(
+        "n",
+        _ravg(F.col("r_xy"), 6).alias("r_xy"),
+        _ravg(F.col("partial_r"), 6).alias("partial_r"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -5240,6 +5258,7 @@ QUERIES = {
     "woe_iv": q_woe_iv,
     "lift_table": q_lift_table,
     "best_split": q_best_split,
+    "partial_corr": q_partial_corr,
 }
 
 ORACLE = {
@@ -10260,6 +10279,28 @@ ORACLE["cliffs_delta"] = """
     FROM a
 """
 
+
+ORACLE["partial_corr"] = """
+    WITH base AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_extendedprice AS DOUBLE) AS y,
+               CAST(l_discount AS DOUBLE) AS z
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL
+    ),
+    c AS (
+        SELECT count(*) AS n, corr(x, y) AS rxy,
+               corr(x, z) AS rxz, corr(y, z) AS ryz
+        FROM base
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(rxy + 0.0000001, 6) AS r_xy,
+           round((rxy - rxz * ryz)
+                 / sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+                 + 0.0000001, 6) AS partial_r
+    FROM c
+"""
 
 ORACLE["best_split"] = """
     WITH base AS (

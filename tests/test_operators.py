@@ -4238,3 +4238,35 @@ def test_best_split_brute_force_and_entropy(spark):
         assert abs(r["gain"] - bg) < 1e-9
     with pytest.raises(ValueError, match="criterion"):
         best_split(df, "x", "y", criterion="mse")
+
+
+def test_partial_correlation_manual(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.stats_tests import partial_correlation
+
+    rng = np.random.RandomState(23)
+    n = 400
+    z = rng.normal(0, 1, n)
+    x = z + rng.normal(0, 0.5, n)   # x, y both driven by z
+    y = 2 * z + rng.normal(0, 0.5, n)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    r = partial_correlation(df, "x", "y", "z").collect()[0]
+    rm = np.corrcoef(np.vstack([x, y, z]))
+    exp = (rm[0, 1] - rm[0, 2] * rm[1, 2]) / np.sqrt(
+        (1 - rm[0, 2] ** 2) * (1 - rm[1, 2] ** 2),
+    )
+    assert r["n"] == n
+    assert abs(r["r_xy"] - rm[0, 1]) < 1e-9
+    assert abs(r["partial_r"] - exp) < 1e-9
+    # marginal is strong, partial collapses once z is controlled
+    assert r["r_xy"] > 0.7 and abs(r["partial_r"]) < 0.2
+    # collinear control -> null partial
+    df2 = df.withColumn("z2", F.col("x"))
+    assert partial_correlation(
+        df2, "x", "y", ["z", "z2"]).collect()[0]["partial_r"] is None
+    with pytest.raises(ValueError, match="control_cols"):
+        partial_correlation(df, "x", "y", [])

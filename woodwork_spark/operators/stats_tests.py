@@ -770,3 +770,71 @@ def cliffs_delta(
         delta.alias("cliffs_delta"), d.alias("cohens_d"),
     )
     return attach_persisted(out, *persisted_frames(ranked))
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    control_cols,
+) -> DataFrame:
+    """Partial Pearson correlation of x and y controlling for one or
+    more covariates — "is the x-y relationship real or is it all
+    driven by z".
+
+    ONE aggregation computes the full pairwise correlation matrix of
+    (x, y, controls...) over LISTWISE-complete rows (any null among
+    the involved columns drops the row, so every pairwise estimate
+    sees the same sample — the statistically coherent convention);
+    the partial correlation falls out of the precision matrix on the
+    driver (``-P_xy / sqrt(P_xx P_yy)``), which generalizes the
+    one-control textbook formula to any number of controls.
+
+    Returns one row: ``(n, r_xy, partial_r)``; ``partial_r`` is null
+    when the control matrix is singular (a control perfectly
+    collinear with x or y) or n is too small (< controls + 3).
+    """
+    import numpy as np
+
+    control_cols = (
+        [control_cols] if isinstance(control_cols, str)
+        else list(control_cols)
+    )
+    if not control_cols:
+        raise ValueError("partial_correlation: control_cols is empty — "
+                         "use a plain corr() for the marginal")
+    cols = [x_col, y_col] + control_cols
+    notnull = F.lit(True)
+    for c in cols:
+        notnull = notnull & F.col(c).isNotNull()
+    base = df.filter(notnull).select(
+        *[F.col(c).cast("double").alias(f"__c{i}")
+          for i, c in enumerate(cols)],
+    )
+    k = len(cols)
+    exprs = [F.count(F.lit(1)).alias("n")]
+    for i in range(k):
+        for j in range(i + 1, k):
+            exprs.append(F.corr(f"__c{i}", f"__c{j}").alias(f"r_{i}_{j}"))
+    row = base.agg(*exprs).collect()[0]
+    n = row["n"]
+    r = np.eye(k)
+    for i in range(k):
+        for j in range(i + 1, k):
+            v = row[f"r_{i}_{j}"]
+            r[i, j] = r[j, i] = float("nan") if v is None else v
+    partial = None
+    if n >= k + 1 and not np.isnan(r).any():
+        try:
+            p = np.linalg.inv(r)
+            den = p[0, 0] * p[1, 1]
+            if den > 0:
+                partial = float(-p[0, 1] / np.sqrt(den))
+        except np.linalg.LinAlgError:
+            partial = None
+    r_xy = None if np.isnan(r[0, 1]) else float(r[0, 1])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(n), r_xy, partial)],
+        "n long, r_xy double, partial_r double",
+    )
