@@ -5042,6 +5042,26 @@ def q_partial_corr(spark, sf_dir):
     )
 
 
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg q-values over a corpus of hypotheses
+    (discount treated as the per-test p): distributed rank + trailing
+    minimum via the range-partitioned primitives — no single-reducer
+    window even at millions of hypotheses."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import bh_fdr
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_discount").alias("p"),
+    )
+    out = bh_fdr(li, "p", tiebreak=["l_orderkey", "l_linenumber"])
+    return attach_persisted(out.select(
+        "l_orderkey", "l_linenumber",
+        _ravg(F.col("p"), 6).alias("p"),
+        _ravg(F.col("q_value"), 6).alias("q_value"),
+    ), *persisted_frames(out))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -5259,6 +5279,7 @@ QUERIES = {
     "lift_table": q_lift_table,
     "best_split": q_best_split,
     "partial_corr": q_partial_corr,
+    "bh_fdr": q_bh_fdr,
 }
 
 ORACLE = {
@@ -10279,6 +10300,32 @@ ORACLE["cliffs_delta"] = """
     FROM a
 """
 
+
+ORACLE["bh_fdr"] = """
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_discount AS p
+        FROM lineitem WHERE l_discount IS NOT NULL
+    ),
+    r AS (
+        SELECT l_orderkey, l_linenumber, p,
+               row_number() OVER (
+                   ORDER BY p, l_orderkey, l_linenumber) AS i,
+               count(*) OVER () AS m
+        FROM base
+    ),
+    s AS (
+        SELECT l_orderkey, l_linenumber, p,
+               min(p * CAST(m AS DOUBLE) / CAST(i AS DOUBLE)) OVER (
+                   ORDER BY i DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS q
+        FROM r
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(p + 0.0000001, 6) AS p,
+           round(least(1.0, q) + 0.0000001, 6) AS q_value
+    FROM s
+"""
 
 ORACLE["partial_corr"] = """
     WITH base AS (

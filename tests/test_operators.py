@@ -4270,3 +4270,62 @@ def test_partial_correlation_manual(spark):
         df2, "x", "y", ["z", "z2"]).collect()[0]["partial_r"] is None
     with pytest.raises(ValueError, match="control_cols"):
         partial_correlation(df, "x", "y", [])
+
+
+def test_global_running_min_small_vs_distributed(spark):
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.rank import global_running_min
+
+    import random
+
+    rnd = random.Random(9)
+    rows = [(i, rnd.uniform(0, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    small = global_running_min(df, [F.asc("id")], "v", "rm").collect()
+    dist_df = global_running_min(
+        df, [F.asc("id")], "v", "rm", small_threshold=0, num_partitions=7,
+    )
+    dist = dist_df.collect()
+    exp = {}
+    cur = float("inf")
+    for i, v in rows:
+        cur = min(cur, v)
+        exp[i] = cur
+    for got in (small, dist):
+        assert len(got) == 500
+        for r in got:
+            assert abs(r["rm"] - exp[r["id"]]) < 1e-12
+    release(dist_df)
+    # exclusive: first row NULL
+    ex = global_running_min(
+        df, [F.asc("id")], "v", "rm", inclusive=False,
+    ).collect()
+    assert {r["id"]: r["rm"] for r in ex}[0] is None
+
+
+def test_bh_fdr_matches_reference(spark):
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.stats_tests import bh_fdr
+
+    ps = [0.01, 0.02, 0.02, 0.04, 0.2, 0.5, 0.9, None]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "id int, p double",
+    )
+    out_df = bh_fdr(df, "p", tiebreak="id")
+    out = {r["id"]: r["q_value"] for r in out_df.collect()}
+    # reference BH on the 7 non-null ps
+    import numpy as np
+
+    pv = np.array([p for p in ps if p is not None])
+    order = np.argsort(pv, kind="mergesort")
+    m = len(pv)
+    raw = pv[order] * m / np.arange(1, m + 1)
+    q = np.minimum.accumulate(raw[::-1])[::-1]
+    q = np.minimum(q, 1.0)
+    exp = {}
+    for rank, idx in enumerate(order):
+        exp[int(idx)] = q[rank]
+    assert len(out) == 7  # null p excluded
+    for i, v in exp.items():
+        assert abs(out[i] - v) < 1e-12
+    release(out_df)

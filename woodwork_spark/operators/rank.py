@@ -407,3 +407,57 @@ def global_prefix_sums(
         )
     out = out.drop(_PID)
     return attach_persisted(out, parted, src if persisted else None)
+
+
+def global_running_min(
+    df: DataFrame,
+    order,
+    value_col: str,
+    out_col: str = "running_min",
+    inclusive: bool = True,
+    num_partitions: int = None,
+    small_threshold: int = 100_000,
+    known_count: int = None,
+) -> DataFrame:
+    """Running MINIMUM of ``value_col`` in a global ``order`` — the
+    prefix-sum construction with min as the monoid: range shuffle, one
+    per-bucket window, per-bucket minima collected (≤ num_partitions
+    rows) and folded into exclusive per-bucket offsets driver-side,
+    ``least``-combined back (Spark's least skips nulls, so the first
+    bucket's empty prefix needs no sentinel).
+
+    ``inclusive=False`` gives the strictly-preceding minimum (NULL on
+    the first row).  Same cardinality-aware small-input switch and
+    persist lifecycle as the sum primitives.  This is the suffix-min
+    engine behind Benjamini-Hochberg (order by rank DESCENDING).
+    """
+    small, src, persisted = _probe_small(df, small_threshold, known_count)
+    hi = 0 if inclusive else -1
+    if small:
+        w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, hi)
+        out = src.withColumn(out_col, F.min(value_col).over(w))
+        return attach_persisted(out, src if persisted else None)
+    parted = _range_partitioned(src, order, num_partitions)
+    rows = parted.groupBy(_PID).agg(
+        F.min(value_col).alias("__m"),
+    ).collect()
+    acc = None
+    items = []
+    for r in sorted(rows, key=lambda r: r[_PID]):
+        if acc is not None:
+            items += [F.lit(r[_PID]), F.lit(acc)]
+        m = r["__m"]
+        if m is not None:
+            acc = m if acc is None else min(acc, m)
+    # missing pids (bucket 0, or an all-null prefix) fall through the
+    # map lookup as NULL — least() then passes the window min through
+    off = (
+        F.create_map(*items)[F.col(_PID)] if items else F.lit(None)
+    )
+    w = W.partitionBy(_PID).orderBy(*order).rowsBetween(
+        W.unboundedPreceding, hi,
+    )
+    out = parted.withColumn(
+        out_col, F.least(F.min(value_col).over(w), off),
+    ).drop(_PID)
+    return attach_persisted(out, parted, src if persisted else None)

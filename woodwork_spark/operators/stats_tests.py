@@ -838,3 +838,49 @@ def partial_correlation(
         [(int(n), r_xy, partial)],
         "n long, r_xy double, partial_r double",
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    tiebreak=(),
+    out_col: str = "q_value",
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a frame of p-values —
+    the multiple-testing companion to every test in this module:
+    ``q_(i) = min(1, min_{j >= i} p_(j) * m / j)`` over the m
+    hypotheses ranked by ascending p.
+
+    Fully distributed at feature-screening scale (millions of
+    hypotheses): the rank comes from :func:`rank.global_row_number`
+    and the trailing minimum from :func:`rank.global_running_min`
+    ordered by rank DESCENDING — two range shuffles, no single-reducer
+    window anywhere.  ``tiebreak`` columns make the rank (and
+    therefore each tie's q) deterministic; rows with a null p are
+    excluded (an unrun test is not a hypothesis).
+
+    Returns the input columns plus ``out_col``.
+    """
+    from .rank import global_row_number, global_running_min
+
+    tiebreak = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+    base = df.filter(F.col(p_col).isNotNull()).persist()
+    m = base.count()
+    ranked = global_row_number(
+        base,
+        [F.asc(p_col)] + [F.asc(t) for t in tiebreak],
+        out_col="__i",
+        known_count=m,
+    )
+    raw = ranked.withColumn(
+        "__raw",
+        F.col(p_col) * F.lit(float(m)) / (F.col("__i") + 1).cast("double"),
+    )
+    suff = global_running_min(
+        raw, [F.desc("__i")], "__raw", out_col="__q",
+        inclusive=True, known_count=m,
+    )
+    out = suff.withColumn(
+        out_col, F.least(F.lit(1.0), F.col("__q")),
+    ).drop("__i", "__raw", "__q")
+    return attach_persisted(out, base, *persisted_frames(suff))
