@@ -5062,6 +5062,27 @@ def q_bh_fdr(spark, sf_dir):
     ), *persisted_frames(out))
 
 
+def q_pareto_parts(spark, sf_dir):
+    """Pareto frontier of parts (cheapest x largest): distinct-x
+    collapse + ONE exclusive running max — no pair self-join; the
+    oracle is the brute-force NOT EXISTS dominance check, proving the
+    linear construction equivalent every round."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.skyline import pareto_frontier_2d
+
+    _prep(spark)
+    part = _t(spark, sf_dir, "part")
+    out = pareto_frontier_2d(
+        part, "p_retailprice", "p_size",
+        minimize_x=True, maximize_y=True,
+    )
+    return attach_persisted(out.select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("p_size"),
+        _ravg(F.col("p_retailprice"), 6).alias("p_retailprice"),
+    ), *persisted_frames(out))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -5280,6 +5301,7 @@ QUERIES = {
     "best_split": q_best_split,
     "partial_corr": q_partial_corr,
     "bh_fdr": q_bh_fdr,
+    "pareto_parts": q_pareto_parts,
 }
 
 ORACLE = {
@@ -10300,6 +10322,22 @@ ORACLE["cliffs_delta"] = """
     FROM a
 """
 
+
+ORACLE["pareto_parts"] = """
+    SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+           round(p_retailprice + 0.0000001, 6) AS p_retailprice
+    FROM part p
+    WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+          AND q.p_partkey <> p.p_partkey
+          AND q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice
+               OR q.p_size > p.p_size)
+      )
+"""
 
 ORACLE["bh_fdr"] = """
     WITH base AS (

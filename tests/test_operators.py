@@ -4329,3 +4329,47 @@ def test_bh_fdr_matches_reference(spark):
     for i, v in exp.items():
         assert abs(out[i] - v) < 1e-12
     release(out_df)
+
+
+def test_pareto_frontier_2d_brute_force(spark):
+    import random
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.skyline import pareto_frontier_2d
+
+    rnd = random.Random(31)
+    pts = [(i, rnd.uniform(0, 100), rnd.uniform(0, 100))
+           for i in range(300)]
+    # planted duplicates of one frontier-ish point + a null row
+    pts += [(300, 0.5, 99.5), (301, 0.5, 99.5)]
+    df = spark.createDataFrame(pts + [(302, None, 1.0)],
+                               "id int, x double, y double")
+    # minimize x, maximize y
+    got_df = pareto_frontier_2d(df, "x", "y")
+    got = sorted(r["id"] for r in got_df.collect())
+
+    def dominated(p, q):  # q dominates p
+        return (q[1] <= p[1] and q[2] >= p[2]
+                and (q[1] < p[1] or q[2] > p[2]))
+
+    exp = sorted(
+        p[0] for p in pts
+        if not any(dominated(p, q) for q in pts if q[0] != p[0])
+    )
+    assert got == exp
+    assert 300 in got and 301 in got  # duplicate frontier points survive
+    release(got_df)
+    # direction flips: maximize both
+    got2_df = pareto_frontier_2d(df, "x", "y",
+                                 minimize_x=False, maximize_y=True)
+
+    def dom2(p, q):
+        return (q[1] >= p[1] and q[2] >= p[2]
+                and (q[1] > p[1] or q[2] > p[2]))
+
+    exp2 = sorted(
+        p[0] for p in pts
+        if not any(dom2(p, q) for q in pts if q[0] != p[0])
+    )
+    assert sorted(r["id"] for r in got2_df.collect()) == exp2
+    release(got2_df)

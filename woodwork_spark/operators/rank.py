@@ -461,3 +461,46 @@ def global_running_min(
         out_col, F.least(F.min(value_col).over(w), off),
     ).drop(_PID)
     return attach_persisted(out, parted, src if persisted else None)
+
+
+def global_running_max(
+    df: DataFrame,
+    order,
+    value_col: str,
+    out_col: str = "running_max",
+    inclusive: bool = True,
+    num_partitions: int = None,
+    small_threshold: int = 100_000,
+    known_count: int = None,
+) -> DataFrame:
+    """Running MAXIMUM in a global order — mirror of
+    :func:`global_running_min` (greatest-fold offsets); see there for
+    the construction and lifecycle."""
+    small, src, persisted = _probe_small(df, small_threshold, known_count)
+    hi = 0 if inclusive else -1
+    if small:
+        w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, hi)
+        out = src.withColumn(out_col, F.max(value_col).over(w))
+        return attach_persisted(out, src if persisted else None)
+    parted = _range_partitioned(src, order, num_partitions)
+    rows = parted.groupBy(_PID).agg(
+        F.max(value_col).alias("__m"),
+    ).collect()
+    acc = None
+    items = []
+    for r in sorted(rows, key=lambda r: r[_PID]):
+        if acc is not None:
+            items += [F.lit(r[_PID]), F.lit(acc)]
+        m = r["__m"]
+        if m is not None:
+            acc = m if acc is None else max(acc, m)
+    off = (
+        F.create_map(*items)[F.col(_PID)] if items else F.lit(None)
+    )
+    w = W.partitionBy(_PID).orderBy(*order).rowsBetween(
+        W.unboundedPreceding, hi,
+    )
+    out = parted.withColumn(
+        out_col, F.greatest(F.max(value_col).over(w), off),
+    ).drop(_PID)
+    return attach_persisted(out, parted, src if persisted else None)
