@@ -5083,6 +5083,35 @@ def q_pareto_parts(spark, sf_dir):
     ), *persisted_frames(out))
 
 
+def q_shortest_paths(spark, sf_dir):
+    """Weighted shortest distances (3-hop Bellman-Ford) from supplier
+    s1 over the min-quantity part<->supplier graph: one relax join +
+    struct-min groupBy per round, checkpoint-truncated; the oracle
+    enumerates all bounded walks in a recursive CTE and takes the
+    min — proving the frontier relaxation equivalent."""
+    from woodwork_spark.operators.graph import shortest_paths
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        li.filter(F.col("l_partkey") <= 200)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_quantity").alias("w"))
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            "w",
+        )
+    )
+    out = shortest_paths(
+        pairs, "src", "dst", "w", seeds=["s1"], max_hops=3,
+        directed=False,
+    )
+    return out.select(
+        "node", _ravg(F.col("distance"), 6).alias("distance"), "hops",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -5302,6 +5331,7 @@ QUERIES = {
     "partial_corr": q_partial_corr,
     "bh_fdr": q_bh_fdr,
     "pareto_parts": q_pareto_parts,
+    "shortest_paths": q_shortest_paths,
 }
 
 ORACLE = {
@@ -10322,6 +10352,32 @@ ORACLE["cliffs_delta"] = """
     FROM a
 """
 
+
+ORACLE["shortest_paths"] = """
+    WITH RECURSIVE pairs AS (
+        SELECT 'p' || l_partkey AS p, 's' || l_suppkey AS s,
+               min(l_quantity) AS w
+        FROM lineitem WHERE l_partkey <= 200 GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT p AS src, s AS dst, w FROM pairs
+        UNION ALL
+        SELECT s AS src, p AS dst, w FROM pairs
+    ),
+    walk(node, d, hops) AS (
+        SELECT 's1', CAST(0 AS DOUBLE), 0
+        UNION ALL
+        SELECT e.dst, wk.d + e.w, wk.hops + 1
+        FROM walk wk JOIN edges e ON e.src = wk.node
+        WHERE wk.hops < 3
+    ),
+    m AS (SELECT node, min(d) AS md FROM walk GROUP BY 1)
+    SELECT wk.node,
+           round(m.md + 0.0000001, 6) AS distance,
+           CAST(min(wk.hops) AS BIGINT) AS hops
+    FROM walk wk JOIN m ON wk.node = m.node AND wk.d = m.md
+    GROUP BY wk.node, m.md
+"""
 
 ORACLE["pareto_parts"] = """
     SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,

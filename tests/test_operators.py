@@ -4373,3 +4373,37 @@ def test_pareto_frontier_2d_brute_force(spark):
     )
     assert sorted(r["id"] for r in got2_df.collect()) == exp2
     release(got2_df)
+
+
+def test_shortest_paths_manual(spark):
+    from woodwork_spark.operators.graph import shortest_paths
+
+    # 1->2 (1), 2->3 (1), 1->3 (5), 3->4 (1); shortest 1->3 = 2 via 2
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0), (3, 4, 1.0), (8, 9, 1.0)],
+        "src int, dst int, weight double",
+    )
+    got = {
+        r["node"]: (r["distance"], r["hops"])
+        for r in shortest_paths(edges, seeds=[1], max_hops=10).collect()
+    }
+    assert got == {1: (0.0, 0), 2: (1.0, 1), 3: (2.0, 2), 4: (3.0, 3)}
+    # hop bound cuts the cheap-but-long path: direct 1->3 wins at H=1
+    got1 = {
+        r["node"]: r["distance"]
+        for r in shortest_paths(edges, seeds=[1], max_hops=1).collect()
+    }
+    assert got1[3] == 5.0 and got1[2] == 1.0
+    # undirected + multi-seed min
+    got_u = {
+        r["node"]: r["distance"]
+        for r in shortest_paths(edges, seeds=[4, 9], max_hops=10,
+                                directed=False).collect()
+    }
+    assert got_u[1] == 3.0 and got_u[8] == 1.0
+    with pytest.raises(ValueError, match="negative"):
+        shortest_paths(
+            spark.createDataFrame([(1, 2, -1.0)],
+                                  "src int, dst int, weight double"),
+            seeds=[1],
+        )

@@ -560,3 +560,102 @@ def bfs_hops(
         frontier = nxt
     e.unpersist()
     return visited.select("node", F.col("hop").cast("long").alias("hop"))
+
+
+def shortest_paths(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    seeds=None,
+    max_hops: int = 5,
+    directed: bool = True,
+) -> DataFrame:
+    """Single-source(-set) WEIGHTED shortest distances, bounded at
+    ``max_hops`` edges — distributed Bellman-Ford: each round relaxes
+    every tentative distance along the edge list (one join + one
+    min-groupBy), lineage truncated per round with an eager
+    localCheckpoint, early exit when a round improves nothing.
+
+    The hop bound is the scale contract: k rounds cost k (join +
+    groupBy) shuffles and the state is one row per reached node —
+    never path enumeration.  Negative weights are rejected (with a
+    hop-bounded relaxation they'd silently depend on the bound).
+
+    ``seeds`` is a list of node ids or a single-column DataFrame.
+    Returns ``(node, distance, hops)`` — ``hops`` is the edge count of
+    the distance-minimizing path (ties -> fewest hops).
+    """
+    if seeds is None:
+        raise ValueError("shortest_paths: seeds is required")
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"),
+        F.col(weight_col).cast("double").alias("__w"),
+    ).where(
+        F.col("__s").isNotNull() & F.col("__d").isNotNull()
+        & F.col("__w").isNotNull(),
+    )
+    if not directed:
+        e = e.unionByName(e.select(
+            F.col("__d").alias("__s"), F.col("__s").alias("__d"), "__w",
+        ))
+    e = e.persist()
+    neg = e.filter(F.col("__w") < 0).limit(1).count()
+    if neg:
+        e.unpersist()
+        raise ValueError("shortest_paths: negative edge weights are "
+                         "not supported under a hop bound")
+    if isinstance(seeds, DataFrame):
+        seed_df = seeds.select(
+            F.col(seeds.columns[0]).alias("node"),
+        ).distinct()
+    else:
+        node_type = edges.schema[src_col].dataType
+        from pyspark.sql import types as T
+
+        seed_df = spark.createDataFrame(
+            [(s,) for s in seeds],
+            T.StructType([T.StructField("node", node_type)]),
+        ).distinct()
+    dist = seed_df.select(
+        "node", F.lit(0.0).alias("distance"), F.lit(0).alias("hops"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        relaxed = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(
+                F.col("__d").alias("node"),
+                (F.col("distance") + F.col("__w")).alias("distance"),
+                F.lit(h).alias("hops"),
+            )
+        )
+        # (min distance, then min hops): one struct-min per node
+        merged = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min(F.struct("distance", "hops")).alias("__b"))
+            .select(
+                "node",
+                F.col("__b.distance").alias("distance"),
+                F.col("__b.hops").alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # early exit: a node improved iff its struct changed this round
+        improved = merged.join(
+            dist,
+            ["node", "distance", "hops"],
+            "left_anti",
+        )
+        frontier = improved.localCheckpoint(eager=True)
+        dist = merged
+        if frontier.limit(1).count() == 0:
+            break
+    e.unpersist()
+    return dist.select(
+        "node", "distance", F.col("hops").cast("long").alias("hops"),
+    )
