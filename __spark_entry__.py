@@ -10835,3 +10835,503 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: calibration / agreement / conformal / privacy / HITS / encoding /
+# negative sampling
+# ---------------------------------------------------------------------------
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability table of a pseudo-probability (scaled order value)
+    against the 'F' order-status label: one binned aggregation, <= 10
+    output rows regardless of input size."""
+    from woodwork_spark.operators.evaluation import calibration_report
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "score", F.least(F.col("o_totalprice") / 400000.0, F.lit(1.0)),
+    )
+    out = calibration_report(
+        o, "score", F.col("o_orderstatus") == "F", bins=10,
+    )
+    return out.select(
+        F.col("bin").cast("long").alias("bin"), "n",
+        _ravg(F.col("confidence"), 6).alias("confidence"),
+        _ravg(F.col("accuracy"), 6).alias("accuracy"),
+        _ravg(F.col("gap"), 6).alias("gap"),
+    )
+
+
+def q_calibration_error(spark, sf_dir):
+    """ECE / MCE / Brier of the same pseudo-probability — the binned
+    cells fold to one scalar row in the same single scan."""
+    from woodwork_spark.operators.evaluation import calibration_summary
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "score", F.least(F.col("o_totalprice") / 400000.0, F.lit(1.0)),
+    )
+    out = calibration_summary(
+        o, "score", F.col("o_orderstatus") == "F", bins=10,
+    )
+    return out.select(
+        "n",
+        _ravg(F.col("ece"), 6).alias("ece"),
+        _ravg(F.col("mce"), 6).alias("mce"),
+        _ravg(F.col("brier"), 6).alias("brier"),
+    )
+
+
+def q_rater_agreement(spark, sf_dir):
+    """Cohen's kappa between two synthetic raters of events (value
+    threshold vs id-hash rule) plus McNemar's paired test of their
+    correctness against the purchase truth — annotator-QA metrics in
+    long (metric, value) form; both operators are single contingency
+    aggregations."""
+    from woodwork_spark.operators.evaluation import cohens_kappa, mcnemar_test
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        (F.col("value") >= 100).cast("string").alias("rater_a"),
+        (F.col("event_id") % 3 == 0).cast("string").alias("rater_b"),
+    )
+    truth = F.col("event_type") == "purchase"
+    kap = cohens_kappa(ev, "rater_a", "rater_b")
+    mc = mcnemar_test(
+        ev,
+        (F.col("rater_a") == truth.cast("string")),
+        (F.col("rater_b") == truth.cast("string")),
+    )
+    j = kap.crossJoin(mc.select(
+        F.col("n").alias("mn"), "a_only", "b_only", "chi2", "chi2_cc",
+    ))
+    return j.selectExpr(
+        "stack(9, "
+        "'a_only', CAST(a_only AS DOUBLE), "
+        "'b_only', CAST(b_only AS DOUBLE), "
+        "'chi2', round(chi2 + 1e-7, 6), "
+        "'chi2_cc', round(chi2_cc + 1e-7, 6), "
+        "'kappa', round(kappa + 1e-7, 6), "
+        "'kappa_n', CAST(n AS DOUBLE), "
+        "'mcnemar_n', CAST(mn AS DOUBLE), "
+        "'pe', round(pe + 1e-7, 6), "
+        "'po', round(po + 1e-7, 6)"
+        ") AS (metric, value)",
+    )
+
+
+def q_conformal(spark, sf_dir):
+    """Split conformal interval for the crude 'price = 2000 * quantity'
+    model: qhat is an EXACT order statistic of calibration residuals
+    (range-partitioned rank, no single-reducer sort), coverage is one
+    aggregate over the test half."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.evaluation import conformal_intervals
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "pred", F.col("l_quantity") * 2000.0,
+    )
+    out = conformal_intervals(
+        li, "pred", "l_extendedprice",
+        calib_col=(F.col("l_orderkey") % 2 == 0), alpha=0.1,
+    )
+    return attach_persisted(out.select(
+        "n_calib",
+        _ravg(F.col("qhat"), 6).alias("qhat"),
+        "n_test", "covered",
+        _ravg(F.col("coverage"), 6).alias("coverage"),
+    ), *persisted_frames(out))
+
+
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit of customers: EMD between each (segment,
+    nation-band) group's account-balance-bucket distribution and the
+    global one — grouped aggs + per-group cumulative windows, the
+    global distribution broadcast from an m-row agg."""
+    from woodwork_spark.operators.quality_checks import t_closeness_report
+
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (F.col("c_nationkey") % 5).cast("long").alias("nation_band"),
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_bucket"),
+    )
+    out = t_closeness_report(
+        c, ["c_mktsegment", "nation_band"], "bal_bucket", t=0.2,
+    )
+    emd6 = _ravg(F.col("emd"), 6)
+    return out.select(
+        "c_mktsegment", "nation_band", "n",
+        emd6.alias("emd"),
+        (emd6 <= 0.2).alias("t_close"),
+    )
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities on the directed supplier->part graph
+    (2 iterations, L1-normalized): suppliers are hubs, parts
+    authorities; the oracle unrolls both iterations in SQL."""
+    from woodwork_spark.operators.graph import hits
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select("l_suppkey", "l_partkey").distinct().select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    out = hits(edges, iterations=2, distinct_edges=False)
+    return out.select(
+        "node",
+        F.round(F.col("hub") + F.lit(1e-10), 8).alias("hub"),
+        F.round(F.col("authority") + F.lit(1e-10), 8).alias("authority"),
+    )
+
+
+def q_oof_encode(spark, sf_dir):
+    """Out-of-fold target encoding of part brand against retail price
+    (5 hash folds): each fold's rows are encoded from the OTHER folds'
+    statistics — two bounded-cardinality aggs broadcast back, leakage-
+    free by construction.  Output is the distinct (brand, fold,
+    encoding) table."""
+    from woodwork_spark.operators.features import target_encode
+
+    _prep(spark)
+    p = _t(spark, sf_dir, "part").withColumn(
+        "fold", (F.col("p_partkey") % 5).cast("long"),
+    )
+    enc = target_encode(
+        p, "p_brand", "p_retailprice", smoothing=10.0,
+        out_col="enc", fold_col="fold",
+    )
+    return (
+        enc.select("p_brand", "fold", _ravg(F.col("enc"), 6).alias("enc"))
+        .distinct()
+    )
+
+
+def q_negative_sample(spark, sf_dir):
+    """Deterministic md5-draw negative sampling: 3 negatives per
+    sampled order from the part universe, excluding parts the order
+    actually contains — index join + anti-join, draw replayable by any
+    engine (the oracle recomputes the identical md5 arithmetic)."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.sampling import negative_sample
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    pos = li.select("l_orderkey", "l_partkey")
+    parts = _t(spark, sf_dir, "part")
+    out = negative_sample(
+        pos, parts.select(F.col("p_partkey").alias("l_partkey")),
+        "l_orderkey", "l_partkey", k=3, oversample=11, salt="r6",
+    )
+    return attach_persisted(
+        out.select("l_orderkey", "l_partkey", "draw_order"),
+        *persisted_frames(out),
+    )
+
+
+QUERIES["calibration_bins"] = q_calibration_bins
+QUERIES["calibration_error"] = q_calibration_error
+QUERIES["rater_agreement"] = q_rater_agreement
+QUERIES["conformal"] = q_conformal
+QUERIES["t_closeness"] = q_t_closeness
+QUERIES["hits"] = q_hits
+QUERIES["oof_encode"] = q_oof_encode
+QUERIES["negative_sample"] = q_negative_sample
+
+
+_CAL_BASE = """
+        SELECT least(o_totalprice / 400000.0, 1.0) AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+"""
+
+ORACLE["calibration_bins"] = f"""
+    WITH base AS ({_CAL_BASE}),
+    b AS (
+        SELECT least(CAST(floor(greatest(least(s, 1.0), 0.0) * 10)
+                          AS INT), 9) AS bin, s, y
+        FROM base
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(s) / count(*) + 0.0000001, 6) AS confidence,
+           round(sum(y) / count(*) + 0.0000001, 6) AS accuracy,
+           round((sum(y) / count(*) - sum(s) / count(*)) + 0.0000001, 6)
+               AS gap
+    FROM b GROUP BY bin
+"""
+
+ORACLE["calibration_error"] = f"""
+    WITH base AS ({_CAL_BASE}),
+    cells AS (
+        SELECT least(CAST(floor(greatest(least(s, 1.0), 0.0) * 10)
+                          AS INT), 9) AS bin,
+               count(*) AS n, sum(s) AS ss, sum(y) AS ys,
+               sum((s - y) * (s - y)) AS sq
+        FROM base GROUP BY 1
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           round(sum(abs(ys / n - ss / n) * n) / sum(n) + 0.0000001, 6)
+               AS ece,
+           round(max(abs(ys / n - ss / n)) + 0.0000001, 6) AS mce,
+           round(sum(sq) / sum(n) + 0.0000001, 6) AS brier
+    FROM cells
+"""
+
+ORACLE["rater_agreement"] = """
+    WITH ev AS (
+        SELECT CAST(value >= 100 AS VARCHAR) AS a,
+               CAST(event_id % 3 = 0 AS VARCHAR) AS b,
+               CAST(event_type = 'purchase' AS VARCHAR) AS tr
+        FROM events
+    ),
+    kb AS (SELECT a, b FROM ev WHERE a IS NOT NULL AND b IS NOT NULL),
+    kn AS (SELECT count(*) AS n FROM kb),
+    agr AS (SELECT count(*) AS c FROM kb WHERE a = b),
+    ra AS (SELECT a AS k, count(*) AS c FROM kb GROUP BY a),
+    cb AS (SELECT b AS k, count(*) AS c FROM kb GROUP BY b),
+    chance AS (
+        SELECT sum(coalesce(ra.c, 0) * coalesce(cb.c, 0)) AS v
+        FROM ra FULL OUTER JOIN cb USING (k)
+    ),
+    kap AS (
+        SELECT kn.n AS n,
+               agr.c / kn.n AS po,
+               chance.v / (kn.n * kn.n) AS pe
+        FROM kn, agr, chance
+    ),
+    mb AS (
+        SELECT (a = tr) AS ac, (b = tr) AS bc FROM ev
+        WHERE (a = tr) IS NOT NULL AND (b = tr) IS NOT NULL
+    ),
+    mc AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN ac AND NOT bc THEN 1 ELSE 0 END) AS bb,
+               sum(CASE WHEN bc AND NOT ac THEN 1 ELSE 0 END) AS cc
+        FROM mb
+    )
+    SELECT metric, value FROM (
+        SELECT 'a_only' AS metric, CAST(bb AS DOUBLE) AS value FROM mc
+        UNION ALL
+        SELECT 'b_only', CAST(cc AS DOUBLE) FROM mc
+        UNION ALL
+        SELECT 'chi2', CASE WHEN bb + cc > 0 THEN
+            round((CAST(bb AS DOUBLE) - CAST(cc AS DOUBLE))
+                  * (CAST(bb AS DOUBLE) - CAST(cc AS DOUBLE))
+                  / (CAST(bb AS DOUBLE) + CAST(cc AS DOUBLE))
+                  + 0.0000001, 6) END FROM mc
+        UNION ALL
+        SELECT 'chi2_cc', CASE WHEN bb + cc > 0 THEN
+            round((abs(CAST(bb AS DOUBLE) - CAST(cc AS DOUBLE)) - 1)
+                  * (abs(CAST(bb AS DOUBLE) - CAST(cc AS DOUBLE)) - 1)
+                  / (CAST(bb AS DOUBLE) + CAST(cc AS DOUBLE))
+                  + 0.0000001, 6) END FROM mc
+        UNION ALL
+        SELECT 'kappa', CASE WHEN pe < 1.0 THEN
+            round((po - pe) / (1.0 - pe) + 0.0000001, 6) END FROM kap
+        UNION ALL
+        SELECT 'kappa_n', CAST(n AS DOUBLE) FROM kap
+        UNION ALL
+        SELECT 'mcnemar_n', CAST(n AS DOUBLE) FROM mc
+        UNION ALL
+        SELECT 'pe', round(pe + 0.0000001, 6) FROM kap
+        UNION ALL
+        SELECT 'po', round(po + 0.0000001, 6) FROM kap
+    )
+"""
+
+ORACLE["conformal"] = """
+    WITH base AS (
+        SELECT abs(l_extendedprice - l_quantity * 2000.0) AS r,
+               (l_orderkey % 2 = 0) AS cal
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    c AS (SELECT r FROM base WHERE cal),
+    n AS (SELECT count(*) AS nc FROM c),
+    k AS (
+        SELECT least(CAST(ceil(0.9 * (nc + 1)) AS BIGINT), nc) AS kk, nc
+        FROM n
+    ),
+    ranked AS (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM c),
+    q AS (SELECT r AS qhat FROM ranked, k WHERE rn = k.kk),
+    t AS (
+        SELECT count(*) AS n_test,
+               sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS covered
+        FROM base, q WHERE NOT cal
+    )
+    SELECT CAST(k.nc AS BIGINT) AS n_calib,
+           round(q.qhat + 0.0000001, 6) AS qhat,
+           CAST(t.n_test AS BIGINT) AS n_test,
+           CAST(t.covered AS BIGINT) AS covered,
+           round(t.covered / t.n_test + 0.0000001, 6) AS coverage
+    FROM k, q, t
+"""
+
+ORACLE["t_closeness"] = """
+    WITH base AS (
+        SELECT c_mktsegment,
+               CAST(c_nationkey % 5 AS BIGINT) AS nation_band,
+               CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS v
+        FROM customer WHERE c_acctbal IS NOT NULL
+    ),
+    gv AS (SELECT v, count(*) AS gc FROM base GROUP BY v),
+    gt AS (SELECT sum(gc) AS gn, count(*) AS m FROM gv),
+    gd AS (SELECT v, gc / gn AS pg, m FROM gv, gt),
+    gs AS (
+        SELECT c_mktsegment, nation_band, count(*) AS n
+        FROM base GROUP BY 1, 2
+    ),
+    grid AS (SELECT * FROM gs, gd),
+    gc2 AS (
+        SELECT c_mktsegment, nation_band, v, count(*) AS c
+        FROM base GROUP BY 1, 2, 3
+    ),
+    j AS (
+        SELECT g.c_mktsegment, g.nation_band, g.v, g.n, g.m,
+               coalesce(gc2.c, 0) / g.n - g.pg AS d
+        FROM grid g
+        LEFT JOIN gc2 USING (c_mktsegment, nation_band, v)
+    ),
+    cum AS (
+        SELECT c_mktsegment, nation_band, n, m,
+               sum(d) OVER (
+                   PARTITION BY c_mktsegment, nation_band ORDER BY v
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cu
+        FROM j
+    ),
+    emd AS (
+        SELECT c_mktsegment, nation_band, max(n) AS n,
+               CASE WHEN max(m) > 1
+                    THEN sum(abs(cu)) / (max(m) - 1) ELSE 0.0 END AS e
+        FROM cum GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, nation_band, CAST(n AS BIGINT) AS n,
+           round(e + 0.0000001, 6) AS emd,
+           (round(e + 0.0000001, 6) <= 0.2) AS t_close
+    FROM emd
+"""
+
+ORACLE["hits"] = """
+    WITH pairs AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'p' || CAST(l_partkey AS VARCHAR) AS dst
+        FROM lineitem
+    ),
+    nodes AS (SELECT src AS node FROM pairs UNION SELECT dst FROM pairs),
+    nn AS (SELECT count(*) AS c FROM nodes),
+    h0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS h FROM nodes),
+    a1r AS (
+        SELECT p.dst AS node, sum(h0.h) AS v
+        FROM pairs p JOIN h0 ON p.src = h0.node GROUP BY p.dst
+    ),
+    a1t AS (SELECT sum(v) AS t FROM a1r),
+    a1 AS (
+        SELECT n.node, coalesce(a1r.v / (SELECT t FROM a1t), 0.0) AS a
+        FROM nodes n LEFT JOIN a1r USING (node)
+    ),
+    h1r AS (
+        SELECT p.src AS node, sum(a1.a) AS v
+        FROM pairs p JOIN a1 ON p.dst = a1.node GROUP BY p.src
+    ),
+    h1t AS (SELECT sum(v) AS t FROM h1r),
+    h1 AS (
+        SELECT n.node, coalesce(h1r.v / (SELECT t FROM h1t), 0.0) AS h
+        FROM nodes n LEFT JOIN h1r USING (node)
+    ),
+    a2r AS (
+        SELECT p.dst AS node, sum(h1.h) AS v
+        FROM pairs p JOIN h1 ON p.src = h1.node GROUP BY p.dst
+    ),
+    a2t AS (SELECT sum(v) AS t FROM a2r),
+    a2 AS (
+        SELECT n.node, coalesce(a2r.v / (SELECT t FROM a2t), 0.0) AS a
+        FROM nodes n LEFT JOIN a2r USING (node)
+    ),
+    h2r AS (
+        SELECT p.src AS node, sum(a2.a) AS v
+        FROM pairs p JOIN a2 ON p.dst = a2.node GROUP BY p.src
+    ),
+    h2t AS (SELECT sum(v) AS t FROM h2r),
+    h2 AS (
+        SELECT n.node, coalesce(h2r.v / (SELECT t FROM h2t), 0.0) AS h
+        FROM nodes n LEFT JOIN h2r USING (node)
+    )
+    SELECT n.node,
+           round(h2.h + 0.0000000001, 8) AS hub,
+           round(a2.a + 0.0000000001, 8) AS authority
+    FROM nodes n JOIN h2 USING (node) JOIN a2 USING (node)
+"""
+
+ORACLE["oof_encode"] = """
+    WITH s AS (
+        SELECT p_brand, count(p_retailprice) AS n,
+               sum(p_retailprice) AS sm
+        FROM part GROUP BY p_brand
+    ),
+    f AS (
+        SELECT p_brand, CAST(p_partkey % 5 AS BIGINT) AS fold,
+               count(p_retailprice) AS fn, sum(p_retailprice) AS fs
+        FROM part GROUP BY 1, 2
+    ),
+    pr AS (SELECT avg(p_retailprice) AS prior FROM part)
+    SELECT DISTINCT f.p_brand, f.fold,
+           round(CASE WHEN (n - fn) > 0
+                 THEN ((n - fn) * ((sm - fs) / (n - fn)) + 10.0 * prior)
+                      / ((n - fn) + 10.0)
+                 ELSE prior END + 0.0000001, 6) AS enc
+    FROM f JOIN s USING (p_brand), pr
+"""
+
+ORACLE["negative_sample"] = """
+    WITH pos AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 500 = 0
+    ),
+    items AS (
+        SELECT DISTINCT p_partkey AS item FROM part
+        WHERE p_partkey IS NOT NULL
+    ),
+    idx AS (
+        SELECT item, row_number() OVER (ORDER BY item) - 1 AS i
+        FROM items
+    ),
+    ni AS (SELECT count(*) AS c FROM items),
+    qs AS (SELECT DISTINCT l_orderkey AS q FROM pos),
+    draws AS (
+        SELECT q, g.j,
+               CAST(('0x' || substr(md5(
+                   'r6' || CAST(q AS VARCHAR) || '#'
+                        || CAST(g.j AS VARCHAR)), 1, 8)) AS BIGINT)
+               % (SELECT c FROM ni) AS i
+        FROM qs, generate_series(0, 10) AS g(j)
+    ),
+    cand AS (
+        SELECT d.q, idx.item, min(d.j) AS j
+        FROM draws d JOIN idx ON d.i = idx.i
+        GROUP BY d.q, idx.item
+    ),
+    neg AS (
+        SELECT c.* FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pos p
+            WHERE p.l_orderkey = c.q AND p.l_partkey = c.item
+        )
+    ),
+    ranked AS (
+        SELECT q, item, j,
+               row_number() OVER (PARTITION BY q ORDER BY j) AS rn
+        FROM neg
+    )
+    SELECT q AS l_orderkey, item AS l_partkey,
+           CAST(rn - 1 AS INT) AS draw_order
+    FROM ranked WHERE rn <= 3
+"""

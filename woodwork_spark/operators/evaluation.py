@@ -237,3 +237,243 @@ def lift_table(
         F.when(F.col("__r") > 0, cum_r / F.col("__r")).alias("cum_capture"),
     )
     return _attach(out, *_pf(tiled))
+
+
+def _binned_calibration_cells(
+    df: DataFrame, score_col: str, label_col, bins: int,
+) -> DataFrame:
+    """Per-bin tallies shared by ``calibration_report`` and
+    ``calibration_summary``: ONE map-side-combinable aggregation over
+    ``bins`` equal-width probability buckets (scores clamped to [0, 1];
+    score exactly 1.0 folds into the top bin).  Each cell carries the
+    count, score sum, label sum and squared-error sum, so both the
+    reliability table and ECE/MCE/Brier fold out of <= ``bins`` rows
+    with no second scan."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    lbl = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    s = F.col(score_col).cast("double")
+    base = df.filter(lbl.isNotNull() & s.isNotNull()).select(
+        F.least(F.greatest(s, F.lit(0.0)), F.lit(1.0)).alias("__s"),
+        lbl.cast("int").alias("__y"),
+    )
+    b = F.least(
+        F.floor(F.col("__s") * bins).cast("int"), F.lit(bins - 1),
+    )
+    return base.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__s").alias("__ssum"),
+        F.sum("__y").alias("__ysum"),
+        F.sum(
+            (F.col("__s") - F.col("__y")) * (F.col("__s") - F.col("__y")),
+        ).alias("__sq"),
+    )
+
+
+def calibration_report(
+    df: DataFrame, score_col: str, label_col, bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a probabilistic score against a boolean
+    label: per equal-width bin, the row count, mean predicted
+    probability (confidence), observed positive rate (accuracy) and the
+    signed gap ``accuracy - confidence``.  Empty bins are absent (their
+    ECE weight is zero).
+
+    One aggregation pass; the result has at most ``bins`` rows.  Rows
+    with a null score or label are excluded (no evaluation signal).
+    """
+    cells = _binned_calibration_cells(df, score_col, label_col, bins)
+    conf = F.col("__ssum") / F.col("__n")
+    acc = F.col("__ysum") / F.col("__n")
+    return cells.select(
+        "bin",
+        F.col("__n").cast("long").alias("n"),
+        conf.alias("confidence"),
+        acc.alias("accuracy"),
+        (acc - conf).alias("gap"),
+    )
+
+
+def calibration_summary(
+    df: DataFrame, score_col: str, label_col, bins: int = 10,
+) -> DataFrame:
+    """Scalar calibration metrics: ECE (expected calibration error —
+    the bin-weighted mean absolute reliability gap), MCE (the maximum
+    gap over non-empty bins) and the Brier score (mean squared error of
+    the probability), plus the evaluated row count.
+
+    Same single-pass binned tallies as ``calibration_report``;
+    everything folds out of <= ``bins`` cell rows, so the second
+    aggregation is effectively free.  Returns one row:
+    ``(n, ece, mce, brier)`` (metrics null when no rows qualify).
+    """
+    cells = _binned_calibration_cells(df, score_col, label_col, bins)
+    gap = F.abs(F.col("__ysum") / F.col("__n") - F.col("__ssum") / F.col("__n"))
+    return cells.agg(
+        F.sum("__n").cast("long").alias("n"),
+        (F.sum(gap * F.col("__n")) / F.sum("__n")).alias("ece"),
+        F.max(gap).alias("mce"),
+        (F.sum("__sq") / F.sum("__n")).alias("brier"),
+    )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two categorical
+    label columns (annotator QA for labeling pipelines): observed
+    agreement ``po``, chance agreement ``pe`` from the marginal
+    distributions, and ``kappa = (po - pe) / (1 - pe)``.
+
+    Rows collapse to a (a, b) contingency (one map-side-combinable
+    aggregation; cardinality = label-pair count); marginals and the
+    chance term fold from those cells — raw rows are scanned once.
+    Null-labeled rows on either side are excluded.  Returns one row
+    ``(n, po, pe, kappa)``; kappa is null when ``pe = 1`` (degenerate
+    single-category marginals) or no rows qualify.
+    """
+    a = F.col(col_a).cast("string")
+    b = F.col(col_b).cast("string")
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    rowm = cells.groupBy(F.col("__a").alias("__k")).agg(
+        F.sum("__c").alias("__ra"),
+    )
+    colm = cells.groupBy(F.col("__b").alias("__k")).agg(
+        F.sum("__c").alias("__cb"),
+    )
+    chance = (
+        rowm.join(colm, "__k", "full_outer")
+        .agg(
+            F.sum(
+                F.coalesce("__ra", F.lit(0)) * F.coalesce("__cb", F.lit(0)),
+            ).alias("__chance_num"),
+        )
+    )
+    totals = cells.agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))).alias("__agree"),
+    )
+    j = totals.crossJoin(F.broadcast(chance))
+    po = F.coalesce(F.col("__agree"), F.lit(0)) / F.col("__n")
+    pe = F.col("__chance_num") / (F.col("__n") * F.col("__n"))
+    return j.select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n"),
+        po.alias("po"),
+        pe.alias("pe"),
+        F.when(pe < 1.0, (po - pe) / (1.0 - pe)).alias("kappa"),
+    )
+
+
+def mcnemar_test(df: DataFrame, a_correct, b_correct) -> DataFrame:
+    """McNemar's paired test for comparing two classifiers evaluated on
+    the same rows: given boolean per-row correctness columns, tallies
+    the discordant pairs (A right / B wrong and vice versa) and the
+    chi-square statistic ``(b - c)^2 / (b + c)`` with and without the
+    Edwards continuity correction ``(|b - c| - 1)^2 / (b + c)``.
+
+    ONE conditional aggregate — the concordant cells never shuffle
+    anywhere.  Rows where either correctness flag is null are excluded
+    (not a paired observation).  Returns one row:
+    ``(n, a_only, b_only, chi2, chi2_cc)``; statistics are null when
+    there are no discordant pairs (the test is undefined).
+    """
+    ca = (
+        F.col(a_correct) if isinstance(a_correct, str) else a_correct
+    ).cast("boolean")
+    cb = (
+        F.col(b_correct) if isinstance(b_correct, str) else b_correct
+    ).cast("boolean")
+    agg = df.filter(ca.isNotNull() & cb.isNotNull()).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((ca & ~cb).cast("long")).alias("__b"),
+        F.sum((~ca & cb).cast("long")).alias("__c"),
+    )
+    b = F.col("__b").cast("double")
+    c = F.col("__c").cast("double")
+    disc = b + c
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__b").cast("long").alias("a_only"),
+        F.col("__c").cast("long").alias("b_only"),
+        F.when(disc > 0, (b - c) * (b - c) / disc).alias("chi2"),
+        F.when(
+            disc > 0,
+            (F.abs(b - c) - 1) * (F.abs(b - c) - 1) / disc,
+        ).alias("chi2_cc"),
+    )
+
+
+def conformal_intervals(
+    df: DataFrame,
+    pred_col: str,
+    actual_col: str,
+    calib_col,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split conformal prediction: the distribution-free interval
+    half-width ``qhat`` from a calibration split, and the empirical
+    coverage of ``pred ± qhat`` on the remaining (test) rows.
+
+    ``calib_col`` is a boolean column/expression marking calibration
+    rows.  ``qhat`` is the ``ceil((1 - alpha) * (n_calib + 1))``-th
+    smallest absolute residual — an EXACT order statistic found with
+    the range-partitioned ``global_row_number`` (no single-reducer
+    sort); when that rank exceeds ``n_calib`` (alpha too small for the
+    split size) it clamps to the max residual and the interval is only
+    approximately valid (standard practice; documented over raising).
+    The scalar joins back by broadcast; coverage is one aggregate.
+
+    Returns one row ``(n_calib, qhat, n_test, covered, coverage)``.
+    Rows with null pred/actual are excluded; null ``calib_col`` rows
+    count as test rows.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from .rank import global_row_number
+
+    flag = (
+        F.col(calib_col) if isinstance(calib_col, str) else calib_col
+    ).cast("boolean")
+    resid = F.abs(
+        F.col(actual_col).cast("double") - F.col(pred_col).cast("double"),
+    )
+    base = df.filter(resid.isNotNull()).select(
+        resid.alias("__r"), F.coalesce(flag, F.lit(False)).alias("__cal"),
+    ).persist()
+    n_calib = base.filter("__cal").count()
+    if n_calib == 0:
+        base.unpersist()
+        raise ValueError("conformal_intervals: calibration split is empty")
+    import math
+
+    k = min(int(math.ceil((1.0 - alpha) * (n_calib + 1))), n_calib)
+    ranked = global_row_number(
+        base.filter("__cal"), [F.asc("__r")], out_col="__rn",
+        known_count=n_calib,
+    )
+    qhat = ranked.filter(F.col("__rn") == k - 1).select(
+        F.col("__r").alias("__qhat"),
+    )
+    out = (
+        base.filter(~F.col("__cal"))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.lit(n_calib).cast("long").alias("n_calib"),
+            F.first("__qhat").alias("qhat"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                (F.col("__r") <= F.col("__qhat")).cast("long"),
+            ).alias("covered"),
+        )
+        .withColumn(
+            "coverage",
+            F.when(
+                F.col("n_test") > 0, F.col("covered") / F.col("n_test"),
+            ),
+        )
+    )
+    return attach_persisted(out, base, *persisted_frames(ranked))

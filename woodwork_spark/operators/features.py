@@ -306,6 +306,7 @@ def target_encode(
     smoothing: float = 10.0,
     out_col: str = None,
     leave_one_out: bool = False,
+    fold_col: str = None,
 ) -> DataFrame:
     """Smoothed target encoding of a categorical column — the
     high-cardinality-categorical workhorse:
@@ -314,14 +315,27 @@ def target_encode(
     global prior).  ``leave_one_out=True`` excludes each row's OWN
     target from its category aggregate (``(sum - y) / (n - 1)`` fed
     into the same shrinkage) — the leakage-free variant for training
-    folds.
+    folds.  ``fold_col`` gives the out-of-fold variant instead: each
+    row's encoding uses the category statistics MINUS its own fold's
+    contribution (``(sum_cat - sum_cat_fold) / (n_cat - n_cat_fold)``)
+    — the standard CV-consistent encoder (rows of one fold share an
+    encoding, so the model can't memorize per-row targets the way LOO
+    allows at high cardinality).  Mutually exclusive with
+    ``leave_one_out``.
 
-    One category aggregation (bounded by category cardinality)
+    One category aggregation (bounded by category cardinality; with
+    ``fold_col`` a second one at (category, fold) cardinality)
     broadcast back; the prior is a 1-row broadcast; the encoding is a
     pure projection.  Unseen-category handling at apply time: join the
     returned frame's distinct (category, encoding) pairs and coalesce
-    to the prior.  NULL categories encode as their own level.
+    to the prior.  NULL categories encode as their own level; a NULL
+    fold is its own fold.
     """
+    if leave_one_out and fold_col:
+        raise ValueError(
+            "target_encode: leave_one_out and fold_col are mutually "
+            "exclusive — pick row-level or fold-level exclusion",
+        )
     out_col = out_col or f"{cat_col}_enc"
     y = F.col(target_col).cast("double")
     stats = df.groupBy(cat_col).agg(
@@ -333,10 +347,19 @@ def target_encode(
         df.join(F.broadcast(stats), cat_col, "left")
         .crossJoin(F.broadcast(prior))
     )
+    if fold_col:
+        fstats = df.groupBy(cat_col, fold_col).agg(
+            F.count(y).alias("__fn"),
+            F.sum(y).alias("__fs"),
+        )
+        j = j.join(F.broadcast(fstats), [cat_col, fold_col], "left")
     m = F.lit(float(smoothing))
     if leave_one_out:
         n_eff = F.col("__n") - F.when(y.isNotNull(), 1).otherwise(0)
         s_eff = F.col("__s") - F.coalesce(y, F.lit(0.0))
+    elif fold_col:
+        n_eff = F.col("__n") - F.coalesce(F.col("__fn"), F.lit(0))
+        s_eff = F.col("__s") - F.coalesce(F.col("__fs"), F.lit(0.0))
     else:
         n_eff = F.col("__n")
         s_eff = F.col("__s")
@@ -345,7 +368,8 @@ def target_encode(
         n_eff > 0,
         (n_eff * cat_mean + m * F.col("__prior")) / (n_eff + m),
     ).otherwise(F.col("__prior"))
-    return j.withColumn(out_col, enc).drop("__n", "__s", "__prior")
+    drop = ["__n", "__s", "__prior"] + (["__fn", "__fs"] if fold_col else [])
+    return j.withColumn(out_col, enc).drop(*drop)
 
 
 def mad_bounds(

@@ -659,3 +659,88 @@ def shortest_paths(
     return dist.select(
         "node", "distance", F.col("hops").cast("long").alias("hops"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    distinct_edges: bool = True,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a directed edge list; returns
+    ``(node, hub, authority)`` for every node appearing as src or dst.
+
+    Kleinberg's mutual recursion with L1 normalization each half-step
+    (L1 keeps the oracle arithmetic exact-by-construction — every
+    score is a ratio of sums, no sqrt):
+    ``auth_{t}(v) = sum over in-edges (u, v) of hub_{t-1}(u)`` then
+    normalize to sum 1; ``hub_t(u) = sum over out-edges (u, v) of
+    auth_t(v)`` then normalize.  Hubs start uniform.
+
+    Scale shape mirrors ``pagerank``: the edge list persists once,
+    pre-partitioned on the join side so each iteration only moves the
+    (small) score vector; normalization is one scalar agg broadcast
+    back; ``localCheckpoint`` per iteration truncates the growing
+    lineage.  Nodes with no in-edges get authority 0, no out-edges hub
+    0.  Duplicate edges count once unless ``distinct_edges=False``.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if distinct_edges:
+        e = e.distinct()
+    # both per-iteration joins probe the edge list — persist it
+    # pre-partitioned on src (the hub-score join key); the dst-keyed
+    # authority aggregation reuses the same shuffle output
+    e = e.repartition("src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    hubs = nodes.withColumn("hub", F.lit(1.0 / n))
+    auths = None
+    for _ in range(iterations):
+        raw_auth = (
+            e.join(
+                hubs.select(F.col("node").alias("src"), "hub"), "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("__raw"))
+        )
+        tot_a = raw_auth.agg(F.sum("__raw").alias("__t"))
+        auths = (
+            nodes.join(raw_auth.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(tot_a))
+            .select(
+                "node",
+                F.coalesce(
+                    F.col("__raw") / F.col("__t"), F.lit(0.0),
+                ).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        raw_hub = (
+            e.join(
+                auths.select(F.col("node").alias("dst"), "authority"), "dst",
+            )
+            .groupBy("src")
+            .agg(F.sum("authority").alias("__raw"))
+        )
+        tot_h = raw_hub.agg(F.sum("__raw").alias("__t"))
+        hubs = (
+            nodes.join(raw_hub.withColumnRenamed("src", "node"), "node", "left")
+            .crossJoin(F.broadcast(tot_h))
+            .select(
+                "node",
+                F.coalesce(F.col("__raw") / F.col("__t"), F.lit(0.0)).alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = hubs.join(auths, "node")
+    return attach_persisted(out, nodes, e)

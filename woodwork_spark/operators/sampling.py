@@ -407,3 +407,107 @@ def neyman_sample(
         .where(F.col("__rn") <= F.col("alloc"))
         .drop("__rn")
     )
+
+
+def negative_sample(
+    positives: DataFrame,
+    universe: DataFrame,
+    query_col: str,
+    item_col: str,
+    k: int = 4,
+    oversample: int = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive / retrieval
+    training: for every query in ``positives`` (pairs the model should
+    score high), draw ``k`` pseudo-random negatives from the item
+    ``universe``, excluding that query's own positives.  Deterministic
+    — same inputs + salt reproduce the same negatives on ANY engine
+    (the draw is md5 arithmetic, no RNG state), so shards can be
+    regenerated independently and an oracle can replay the draw.
+
+    Construction (all relational, no collect):
+
+    1. items get a dense 0-based index ordered by ``item_col`` (the
+       range-partitioned ``global_row_number`` — no single reducer);
+    2. each (query, draw j < k + oversample) picks index
+       ``int(md5(salt || query || '#' || j)[:8], 16) % n_items``;
+    3. collisions (same item drawn twice for one query) keep the
+       earliest j; the query's positives are anti-joined out;
+    4. survivors are re-ranked by j per query (partitioned window) and
+       the first ``k`` kept.
+
+    ``oversample`` (default ``k + 8``) is the slack that absorbs
+    collision + positive-hit losses; queries with pathologically many
+    positives relative to the universe may return fewer than ``k``
+    negatives (documented over a resample loop, which would break
+    single-pass determinism).  Returns ``(query_col, item_col,
+    draw_order)`` with ``draw_order`` 0-based in draw sequence.
+    """
+    from .rank import global_row_number
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    m = int(oversample) if oversample is not None else k + 8
+    if m < k:
+        raise ValueError(f"oversample must be >= k, got {m} < {k}")
+    items = universe.select(F.col(item_col).alias("__item")).where(
+        F.col("__item").isNotNull(),
+    ).distinct()
+    indexed = global_row_number(items, [F.asc("__item")], out_col="__idx")
+    # cheap exact count for the modulus: the indexed frame is persisted
+    # by the rank primitive (or tiny), so this does not rescan the scan
+    n_items = indexed.count()
+    if n_items == 0:
+        raise ValueError("negative_sample: item universe is empty")
+    pos = positives.select(
+        F.col(query_col).alias("__q"), F.col(item_col).alias("__pos"),
+    ).where(F.col("__q").isNotNull())
+    draws = (
+        pos.select("__q").distinct()
+        .select("__q", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__j"))
+        .withColumn(
+            "__idx",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(salt),
+                                F.col("__q").cast("string"),
+                                F.lit("#"),
+                                F.col("__j").cast("string"),
+                            ),
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long"),
+                F.lit(n_items),
+            ),
+        )
+    )
+    cand = (
+        draws.join(indexed, "__idx")
+        # earliest draw wins a per-query duplicate item
+        .groupBy("__q", "__item")
+        .agg(F.min("__j").alias("__j"))
+        .join(
+            pos.withColumnRenamed("__pos", "__item").distinct(),
+            ["__q", "__item"],
+            "left_anti",
+        )
+    )
+    w = W.partitionBy("__q").orderBy("__j")
+    out = (
+        cand.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__item").alias(item_col),
+            (F.col("__r") - 1).cast("int").alias("draw_order"),
+        )
+    )
+    from ..lifecycle import attach_persisted, persisted_frames
+
+    return attach_persisted(out, *persisted_frames(indexed))
