@@ -11335,3 +11335,322 @@ ORACLE["negative_sample"] = """
            CAST(rn - 1 AS INT) AS draw_order
     FROM ranked WHERE rn <= 3
 """
+
+
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa treating each customer's orders as repeated
+    'ratings' of the customer with the order priority as category —
+    one contingency agg + marginal folds."""
+    from woodwork_spark.operators.evaluation import fleiss_kappa
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    out = fleiss_kappa(o, "o_custkey", "o_orderpriority")
+    return out.select(
+        "n_items", "n_ratings",
+        _ravg(F.col("p_bar"), 6).alias("p_bar"),
+        _ravg(F.col("p_e"), 6).alias("p_e"),
+        _ravg(F.col("kappa"), 6).alias("kappa"),
+    )
+
+
+def q_isotonic_calibration(spark, sf_dir):
+    """Binned PAV isotonic calibration of the order pseudo-probability:
+    the driver kernel runs on <= 10 cells; the oracle replays the
+    minimax identity iso_i = max_{j<=i} min_{k>=i} pooled_rate(j..k)
+    in pure SQL, so the pooling itself is cross-checked."""
+    from woodwork_spark.operators.evaluation import isotonic_calibrate
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "score", F.least(F.col("o_totalprice") / 400000.0, F.lit(1.0)),
+    )
+    out = isotonic_calibrate(o, "score", F.col("o_orderstatus") == "F", bins=10)
+    return out.select(
+        F.col("bin").cast("long").alias("bin"), "n",
+        _ravg(F.col("raw_rate"), 6).alias("raw_rate"),
+        _ravg(F.col("iso_rate"), 6).alias("iso_rate"),
+    )
+
+
+def q_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition (reliability / resolution / uncertainty) of
+    the same pseudo-probability — one binned aggregation folded to a
+    single row."""
+    from woodwork_spark.operators.evaluation import brier_decomposition
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "score", F.least(F.col("o_totalprice") / 400000.0, F.lit(1.0)),
+    )
+    out = brier_decomposition(o, "score", F.col("o_orderstatus") == "F", bins=10)
+    return out.select(
+        "n",
+        _ravg(F.col("brier"), 6).alias("brier"),
+        _ravg(F.col("reliability"), 6).alias("reliability"),
+        _ravg(F.col("resolution"), 6).alias("resolution"),
+        _ravg(F.col("uncertainty"), 6).alias("uncertainty"),
+    )
+
+
+def q_threshold_sweep(spark, sf_dir):
+    """Cost-optimal threshold for 'value predicts purchase' with
+    asymmetric costs (FN 5x FP): per-distinct-score tallies + one
+    running sum give every operating point at once; a struct-min fold
+    picks the cheapest (exact long counts make the costs
+    engine-reproducible)."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.evaluation import threshold_sweep
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = threshold_sweep(
+        ev, "value", F.col("event_type") == "purchase",
+        fp_cost=1.0, fn_cost=5.0,
+    )
+    return attach_persisted(out.select(
+        _ravg(F.col("threshold"), 6).alias("threshold"),
+        "tp", "fp", "fn", "tn",
+        _ravg(F.col("cost"), 6).alias("cost"),
+    ), *persisted_frames(out))
+
+
+def q_grouped_auc(spark, sf_dir):
+    """Exact per-cohort ROC AUC (user_id % 8 cohorts) via grouped
+    running sums over per-(cohort, score) tallies — the segmentation
+    view of roc_auc, no per-group jobs."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.evaluation import grouped_auc
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 8).cast("long"),
+    )
+    out = grouped_auc(ev, "cohort", "value", F.col("event_type") == "purchase")
+    return attach_persisted(out.select(
+        "cohort", "n_pos", "n_neg",
+        _ravg(F.col("auc"), 6).alias("auc"),
+    ), *persisted_frames(out))
+
+
+def q_classification_report(spark, sf_dir):
+    """Multi-class precision/recall/F1 for a price-band rule predicting
+    order status — one contingency agg + marginal folds, classes from
+    the union of both sides."""
+    from woodwork_spark.operators.evaluation import classification_report
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "pred",
+        F.when(F.col("o_totalprice") < 100000, "F")
+        .when(F.col("o_totalprice") < 250000, "O")
+        .otherwise("P"),
+    )
+    out = classification_report(o, "o_orderstatus", "pred")
+    return out.select(
+        "label", "support", "predicted", "tp",
+        _ravg(F.col("precision"), 6).alias("precision"),
+        _ravg(F.col("recall"), 6).alias("recall"),
+        _ravg(F.col("f1"), 6).alias("f1"),
+    )
+
+
+QUERIES["fleiss_kappa"] = q_fleiss_kappa
+QUERIES["isotonic_calibration"] = q_isotonic_calibration
+QUERIES["brier_decomposition"] = q_brier_decomposition
+QUERIES["threshold_sweep"] = q_threshold_sweep
+QUERIES["grouped_auc"] = q_grouped_auc
+QUERIES["classification_report"] = q_classification_report
+
+
+ORACLE["fleiss_kappa"] = """
+    WITH base AS (
+        SELECT o_custkey AS i, o_orderpriority AS c FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+    ),
+    cells AS (SELECT i, c, count(*) AS n FROM base GROUP BY i, c),
+    items AS (
+        SELECT i, sum(n) AS ni, sum(n * (n - 1)) AS pairs
+        FROM cells GROUP BY i
+    ),
+    pbar AS (
+        SELECT count(*) AS n_items,
+               avg(pairs / (ni * (ni - 1))) AS p_bar
+        FROM items WHERE ni >= 2
+    ),
+    cats AS (SELECT c, sum(n) AS nc FROM cells GROUP BY c),
+    tot AS (SELECT sum(nc) AS t FROM cats),
+    pe AS (
+        SELECT max(t) AS n_ratings,
+               sum((nc / t) * (nc / t)) AS p_e
+        FROM cats, tot
+    )
+    SELECT CAST(coalesce(n_items, 0) AS BIGINT) AS n_items,
+           CAST(n_ratings AS BIGINT) AS n_ratings,
+           round(p_bar + 0.0000001, 6) AS p_bar,
+           round(p_e + 0.0000001, 6) AS p_e,
+           CASE WHEN p_e < 1.0 THEN
+               round((p_bar - p_e) / (1.0 - p_e) + 0.0000001, 6)
+           END AS kappa
+    FROM pbar, pe
+"""
+
+_CELLS_SQL = f"""
+        SELECT least(CAST(floor(greatest(least(s, 1.0), 0.0) * 10)
+                          AS INT), 9) AS bin,
+               count(*) AS n, sum(y) AS ys, sum(s) AS ss,
+               sum((s - y) * (s - y)) AS sq
+        FROM ({_CAL_BASE}) GROUP BY 1
+"""
+
+ORACLE["isotonic_calibration"] = f"""
+    WITH cells AS ({_CELLS_SQL}),
+    cum AS (
+        SELECT bin, n, ys,
+               row_number() OVER (ORDER BY bin) AS rn,
+               CAST(sum(n) OVER (ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+               CAST(sum(ys) OVER (ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cy
+        FROM cells
+    ),
+    inner_min AS (
+        SELECT i.rn AS irn, j.rn AS jrn,
+               min((k.cy - coalesce(jm.cy, 0))
+                   / (k.cn - coalesce(jm.cn, 0))) AS mn
+        FROM cum i
+        JOIN cum j ON j.rn <= i.rn
+        LEFT JOIN cum jm ON jm.rn = j.rn - 1
+        JOIN cum k ON k.rn >= i.rn
+        GROUP BY i.rn, j.rn
+    ),
+    iso AS (SELECT irn, max(mn) AS iso_rate FROM inner_min GROUP BY irn)
+    SELECT CAST(c.bin AS BIGINT) AS bin,
+           CAST(c.n AS BIGINT) AS n,
+           round(c.ys / c.n + 0.0000001, 6) AS raw_rate,
+           round(iso.iso_rate + 0.0000001, 6) AS iso_rate
+    FROM cum c JOIN iso ON c.rn = iso.irn
+"""
+
+ORACLE["brier_decomposition"] = f"""
+    WITH cells AS ({_CELLS_SQL}),
+    tot AS (
+        SELECT sum(n) AS nn, sum(ys) AS yy, sum(sq) AS sqq,
+               sum(n * (ss / n - ys / n) * (ss / n - ys / n)) AS rel,
+               sum(n * (ys / n) * (ys / n)) AS racc
+        FROM cells
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           round(sqq / nn + 0.0000001, 6) AS brier,
+           round(rel / nn + 0.0000001, 6) AS reliability,
+           round((racc / nn - (yy / nn) * (yy / nn)) + 0.0000001, 6)
+               AS resolution,
+           round((yy / nn) * (1.0 - yy / nn) + 0.0000001, 6) AS uncertainty
+    FROM tot
+"""
+
+ORACLE["threshold_sweep"] = """
+    WITH base AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    cells AS (
+        SELECT v, sum(y) AS p, sum(1 - y) AS n FROM base GROUP BY v
+    ),
+    tot AS (SELECT sum(p) AS pp, sum(n) AS nn FROM cells),
+    sweep AS (
+        SELECT v,
+               CAST(sum(p) OVER (ORDER BY v DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+               CAST(sum(n) OVER (ORDER BY v DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+        FROM cells
+    ),
+    costed AS (
+        SELECT v AS threshold, tp, fp,
+               CAST(pp - tp AS BIGINT) AS fn,
+               CAST(nn - fp AS BIGINT) AS tn,
+               CAST(fp AS DOUBLE) * 1.0 + CAST(pp - tp AS DOUBLE) * 5.0
+                   AS cost
+        FROM sweep, tot
+    ),
+    best AS (
+        SELECT * FROM costed
+        ORDER BY cost, threshold LIMIT 1
+    )
+    SELECT round(threshold + 0.0000001, 6) AS threshold,
+           tp, fp, fn, tn,
+           round(cost + 0.0000001, 6) AS cost
+    FROM best
+"""
+
+ORACLE["grouped_auc"] = """
+    WITH base AS (
+        SELECT CAST(user_id % 8 AS BIGINT) AS cohort, value AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+              AND user_id IS NOT NULL
+    ),
+    cells AS (
+        SELECT cohort, v, sum(y) AS p, sum(1 - y) AS n
+        FROM base GROUP BY cohort, v
+    ),
+    ranked AS (
+        SELECT cohort, v, p, n,
+               CAST(coalesce(sum(n) OVER (PARTITION BY cohort ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS bn
+        FROM cells
+    ),
+    agg AS (
+        SELECT cohort,
+               CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(n) AS BIGINT) AS n_neg,
+               sum(p * (bn + n / 2.0)) AS u
+        FROM ranked GROUP BY cohort
+    )
+    SELECT cohort, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               round(u / (n_pos * n_neg) + 0.0000001, 6)
+           END AS auc
+    FROM agg
+"""
+
+ORACLE["classification_report"] = """
+    WITH base AS (
+        SELECT o_orderstatus AS a,
+               CASE WHEN o_totalprice < 100000 THEN 'F'
+                    WHEN o_totalprice < 250000 THEN 'O'
+                    ELSE 'P' END AS p
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    cells AS (SELECT a, p, count(*) AS c FROM base GROUP BY a, p),
+    am AS (
+        SELECT a AS label, sum(c) AS support,
+               sum(CASE WHEN a = p THEN c ELSE 0 END) AS tp
+        FROM cells GROUP BY a
+    ),
+    pm AS (SELECT p AS label, sum(c) AS predicted FROM cells GROUP BY p),
+    j AS (
+        SELECT coalesce(am.label, pm.label) AS label,
+               CAST(coalesce(support, 0) AS BIGINT) AS support,
+               CAST(coalesce(predicted, 0) AS BIGINT) AS predicted,
+               CAST(coalesce(tp, 0) AS BIGINT) AS tp
+        FROM am FULL OUTER JOIN pm ON am.label = pm.label
+    )
+    SELECT label, support, predicted, tp,
+           CASE WHEN predicted > 0
+                THEN round(tp / predicted + 0.0000001, 6) END AS precision,
+           CASE WHEN support > 0
+                THEN round(tp / support + 0.0000001, 6) END AS recall,
+           CASE WHEN predicted > 0 AND support > 0
+                     AND (tp / predicted + tp / support) > 0
+                THEN round(2.0 * (tp / predicted) * (tp / support)
+                           / (tp / predicted + tp / support)
+                           + 0.0000001, 6) END AS f1
+    FROM j
+"""

@@ -477,3 +477,320 @@ def conformal_intervals(
         )
     )
     return attach_persisted(out, base, *persisted_frames(ranked))
+
+
+def fleiss_kappa(df: DataFrame, item_col: str, category_col: str) -> DataFrame:
+    """Fleiss' kappa for multi-rater agreement: each row is one rating
+    of an item (the long form a labeling pipeline produces).  Uses the
+    variable-rater generalization: per-item agreement
+    ``P_i = sum_j n_ij (n_ij - 1) / (n_i (n_i - 1))``, overall
+    ``P_bar`` the unweighted item mean, chance ``P_e = sum_j p_j^2``
+    with ``p_j`` the category's share of ALL ratings, and
+    ``kappa = (P_bar - P_e) / (1 - P_e)``.
+
+    Shape: one (item, category) contingency aggregation; per-item and
+    per-category marginals fold from it (two more map-side-combinable
+    aggs over the already-collapsed cells); the finale is a 3-way
+    cross of one-row frames.  Items with fewer than 2 ratings carry no
+    agreement signal and are excluded from ``P_bar`` (their ratings
+    still count toward ``p_j`` — they inform the category prior).
+    Null items or categories are excluded.  Returns one row
+    ``(n_items, n_ratings, p_bar, p_e, kappa)``; kappa null when
+    ``P_e = 1`` or no item has 2+ ratings.
+    """
+    base = df.filter(
+        F.col(item_col).isNotNull() & F.col(category_col).isNotNull(),
+    ).select(F.col(item_col).alias("__i"), F.col(category_col).alias("__c"))
+    cells = base.groupBy("__i", "__c").agg(F.count(F.lit(1)).alias("__n"))
+    items = cells.groupBy("__i").agg(
+        F.sum("__n").alias("__ni"),
+        F.sum(F.col("__n") * (F.col("__n") - 1)).alias("__pairs"),
+    )
+    pbar = items.filter(F.col("__ni") >= 2).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.avg(
+            F.col("__pairs") / (F.col("__ni") * (F.col("__ni") - 1)),
+        ).alias("p_bar"),
+    )
+    cats = cells.groupBy("__c").agg(F.sum("__n").alias("__nc"))
+    tot = cats.agg(F.sum("__nc").alias("__t"))
+    pe = cats.crossJoin(F.broadcast(tot)).agg(
+        F.first("__t").alias("n_ratings"),
+        F.sum(
+            (F.col("__nc") / F.col("__t")) * (F.col("__nc") / F.col("__t")),
+        ).alias("p_e"),
+    )
+    out = pbar.crossJoin(F.broadcast(pe))
+    return out.select(
+        F.coalesce(F.col("n_items"), F.lit(0)).cast("long").alias("n_items"),
+        F.col("n_ratings").cast("long").alias("n_ratings"),
+        "p_bar",
+        "p_e",
+        F.when(
+            F.col("p_e") < 1.0,
+            (F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e")),
+        ).alias("kappa"),
+    )
+
+
+def isotonic_calibrate(
+    df: DataFrame, score_col: str, label_col, bins: int = 10,
+) -> DataFrame:
+    """Isotonic (monotone) calibration of a probabilistic score via
+    pool-adjacent-violators over the binned reliability cells: the
+    non-empty bins' positive rates are made non-decreasing by pooling
+    adjacent violating bins, weighted by bin count — the standard
+    isotonic-regression calibrator, computed on <= ``bins`` cells.
+
+    The heavy lift is the same ONE binned aggregation as
+    ``calibration_report``; PAV itself runs on the driver over the
+    (bounded, <= ``bins``) cell rows — the same bounded-driver-kernel
+    pattern as the medcouple.  The result satisfies the minimax
+    identity ``iso_i = max_{j<=i} min_{k>=i} rate(j..k)`` (pooled rate
+    = pooled positives / pooled count), which is what an exact SQL
+    oracle can replay.
+
+    Returns one row per non-empty bin: ``(bin, n, raw_rate,
+    iso_rate)``, ``iso_rate`` non-decreasing in ``bin``.
+    """
+    cells = _binned_calibration_cells(df, score_col, label_col, bins)
+    rows = sorted(cells.collect(), key=lambda r: r["bin"])
+    if not rows:
+        spark = df.sparkSession
+        from pyspark.sql.types import (
+            DoubleType, IntegerType, LongType, StructField, StructType,
+        )
+
+        return spark.createDataFrame([], StructType([
+            StructField("bin", IntegerType()),
+            StructField("n", LongType()),
+            StructField("raw_rate", DoubleType()),
+            StructField("iso_rate", DoubleType()),
+        ]))
+    # classic stack PAV; pool value kept as (ysum, n) so the final rate
+    # is a single ratio of summed longs — bitwise-reproducible by any
+    # engine that forms the same ratio
+    stack = []  # [bin_list, ysum, n]
+    for r in rows:
+        cur = [[r["bin"]], int(r["__ysum"]), int(r["__n"])]
+        while stack and stack[-1][1] * cur[2] >= cur[1] * stack[-1][2]:
+            # prev_rate >= cur_rate (integer cross-multiply: exact)
+            prev = stack.pop()
+            cur = [prev[0] + cur[0], prev[1] + cur[1], prev[2] + cur[2]]
+        stack.append(cur)
+    iso = {}
+    for bins_, ysum, n in stack:
+        rate = ysum / n
+        for b in bins_:
+            iso[b] = rate
+    spark = df.sparkSession
+    out_rows = [
+        (int(r["bin"]), int(r["__n"]), int(r["__ysum"]), iso[r["bin"]])
+        for r in rows
+    ]
+    out = spark.createDataFrame(
+        out_rows, "bin int, n long, __ysum long, iso_rate double",
+    )
+    return out.select(
+        "bin", "n",
+        (F.col("__ysum") / F.col("n")).alias("raw_rate"),
+        "iso_rate",
+    )
+
+
+def brier_decomposition(
+    df: DataFrame, score_col: str, label_col, bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score over forecast bins:
+    ``reliability`` (bin-weighted squared gap between mean forecast and
+    observed rate — lower is better-calibrated), ``resolution``
+    (bin-weighted squared gap between bin rate and base rate — higher
+    means the forecast actually separates), ``uncertainty``
+    (``o_bar * (1 - o_bar)``, forecast-independent), plus the Brier
+    score itself.  With binned (rather than exact-value) conditioning
+    the identity ``brier = rel - res + unc`` holds only approximately;
+    all four terms are reported so the residual is visible.
+
+    Same ONE binned aggregation as ``calibration_report``; <= ``bins``
+    cells fold to a single row.  Returns ``(n, brier, reliability,
+    resolution, uncertainty)``.
+    """
+    cells = _binned_calibration_cells(df, score_col, label_col, bins)
+    conf = F.col("__ssum") / F.col("__n")
+    acc = F.col("__ysum") / F.col("__n")
+    tot = cells.agg(
+        F.sum("__n").alias("__N"),
+        F.sum("__ysum").alias("__Y"),
+        F.sum("__sq").alias("__SQ"),
+        F.sum(F.col("__n") * (conf - acc) * (conf - acc)).alias("__rel"),
+        F.sum(F.col("__n") * acc * acc).alias("__racc"),
+    )
+    obar = F.col("__Y") / F.col("__N")
+    return tot.select(
+        F.col("__N").cast("long").alias("n"),
+        (F.col("__SQ") / F.col("__N")).alias("brier"),
+        (F.col("__rel") / F.col("__N")).alias("reliability"),
+        # sum n*(acc - obar)^2 / N  ==  sum(n*acc^2)/N - obar^2
+        (F.col("__racc") / F.col("__N") - obar * obar).alias("resolution"),
+        (obar * (1.0 - obar)).alias("uncertainty"),
+    )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    fp_cost: float = 1.0,
+    fn_cost: float = 1.0,
+) -> DataFrame:
+    """Cost-optimal operating point: over every candidate threshold
+    (the distinct scores; predict positive when ``score >= t``), the
+    confusion counts and expected cost ``fp_cost * FP + fn_cost * FN``,
+    returning the single cheapest row (ties broken toward the LOWEST
+    threshold — the more sensitive operating point).
+
+    Rows collapse to per-distinct-score (pos, neg) tallies; ONE
+    range-partitioned running sum (descending score) gives TP/FP at
+    every threshold simultaneously; the argmin is a struct-min fold —
+    no sort, no per-threshold jobs.  Costs multiply EXACT long counts,
+    so the cost of each threshold is engine-reproducible.  Returns one
+    row: ``(threshold, tp, fp, fn, tn, cost)``.
+    """
+    lbl = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    base = df.filter(lbl.isNotNull() & F.col(score_col).isNotNull()).select(
+        F.col(score_col).cast("double").alias("__v"),
+        lbl.cast("int").alias("__y"),
+    )
+    cells = base.groupBy("__v").agg(
+        F.sum("__y").alias("__p"),
+        F.sum(1 - F.col("__y")).alias("__n"),
+    )
+    # inclusive prefix sums in DESCENDING score order = counts at >= t
+    ranked = global_prefix_sums(
+        cells, [F.desc("__v")], ["__p", "__n"],
+        out_cols=["__tp_ex", "__fp_ex"], inclusive=False,
+    )
+    tot = ranked.agg(
+        F.sum("__p").alias("__pos_all"), F.sum("__n").alias("__neg_all"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    tp = (F.col("__tp_ex") + F.col("__p")).cast("long")
+    fp = (F.col("__fp_ex") + F.col("__n")).cast("long")
+    fn = (F.col("__pos_all") - tp).cast("long")
+    tn = (F.col("__neg_all") - fp).cast("long")
+    cost = fp.cast("double") * float(fp_cost) + fn.cast("double") * float(fn_cost)
+    best = j.agg(
+        F.min(
+            F.struct(
+                cost.alias("cost"),
+                F.col("__v").alias("threshold"),
+                tp.alias("tp"), fp.alias("fp"),
+                fn.alias("fn"), tn.alias("tn"),
+            ),
+        ).alias("b"),
+    )
+    out = best.select(
+        F.col("b.threshold").alias("threshold"),
+        F.col("b.tp").alias("tp"), F.col("b.fp").alias("fp"),
+        F.col("b.fn").alias("fn"), F.col("b.tn").alias("tn"),
+        F.col("b.cost").alias("cost"),
+    )
+    return attach_persisted(out, *persisted_frames(ranked))
+
+
+def grouped_auc(
+    df: DataFrame, group_cols, score_col: str, label_col,
+) -> DataFrame:
+    """Exact tie-aware ROC AUC PER GROUP (per source, per cohort, per
+    model version) — the fairness/segmentation view of ``roc_auc``.
+
+    Rows collapse to per-(group, distinct score) tallies; ONE grouped
+    running sum (``grouped_prefix_sum`` — range-shuffled on (group,
+    score), so a group holding most rows still spans many partitions)
+    gives the below-counts; AUC folds per group from the rank-sum
+    identity.  Returns one row per group: ``(group..., n_pos, n_neg,
+    auc)``; ``auc`` null when a group lacks one of the classes.
+    """
+    from .rank import grouped_prefix_sum
+
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    lbl = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    base = df.filter(lbl.isNotNull() & F.col(score_col).isNotNull()).select(
+        *group_cols,
+        F.col(score_col).alias("__v"),
+        lbl.cast("int").alias("__y"),
+    )
+    cells = base.groupBy(*group_cols, "__v").agg(
+        F.sum("__y").alias("__p"),
+        F.sum(1 - F.col("__y")).alias("__n"),
+    )
+    ranked = grouped_prefix_sum(
+        cells, group_cols, [F.asc("__v")], "__n", out_col="__bn",
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum("__n").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("__p") * (F.col("__bn") + F.col("__n") / 2.0),
+        ).alias("__u"),
+    )
+    out = agg.select(
+        *group_cols, "n_pos", "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("__u") / (F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
+    )
+    return attach_persisted(out, *persisted_frames(ranked))
+
+
+def classification_report(
+    df: DataFrame, actual_col: str, pred_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 / support for a multi-class
+    prediction column — sklearn's ``classification_report`` as one
+    contingency aggregation (cardinality = class-pair count) plus two
+    marginal folds; raw rows never shuffle anywhere twice.
+
+    Classes are the union of actual and predicted labels (a class
+    never predicted still reports recall; one never true still reports
+    precision).  Rows with a null on either side are excluded.
+    Returns one row per class: ``(label, support, predicted, tp,
+    precision, recall, f1)``; metrics null where the denominator is 0.
+    """
+    a = F.col(actual_col).cast("string")
+    p = F.col(pred_col).cast("string")
+    cells = (
+        df.filter(a.isNotNull() & p.isNotNull())
+        .groupBy(a.alias("__a"), p.alias("__p"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    actual_m = cells.groupBy(F.col("__a").alias("label")).agg(
+        F.sum("__c").alias("support"),
+        F.sum(F.when(F.col("__a") == F.col("__p"), F.col("__c"))
+              .otherwise(0)).alias("tp"),
+    )
+    pred_m = cells.groupBy(F.col("__p").alias("label")).agg(
+        F.sum("__c").alias("predicted"),
+    )
+    j = actual_m.join(pred_m, "label", "full_outer").select(
+        "label",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        F.coalesce("predicted", F.lit(0)).cast("long").alias("predicted"),
+        F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+    )
+    prec = F.when(F.col("predicted") > 0, F.col("tp") / F.col("predicted"))
+    rec = F.when(F.col("support") > 0, F.col("tp") / F.col("support"))
+    return j.select(
+        "label", "support", "predicted", "tp",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(
+            prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+            2.0 * prec * rec / (prec + rec),
+        ).alias("f1"),
+    )
