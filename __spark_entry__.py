@@ -2477,12 +2477,14 @@ def q_pagerank(spark, sf_dir):
 
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
-    # distinct on the raw int pair (8 B keys), THEN build the labeled
-    # string ids — distincting the concatenated strings shuffles ~3x the
-    # bytes for the same row set
+    # run the whole algorithm on LONG node ids (parts even, suppliers
+    # odd — disjoint by construction): every shuffle/join/distinct moves
+    # 8 B keys; the labeled string ids are built only for the node-sized
+    # result (distincting/joining concatenated strings shuffles ~3x the
+    # bytes for the same row set)
     pairs = li.select("l_partkey", "l_suppkey").distinct().select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("a"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        (F.col("l_partkey") * 2).alias("a"),
+        (F.col("l_suppkey") * 2 + 1).alias("b"),
     )
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst"),
@@ -2490,11 +2492,17 @@ def q_pagerank(spark, sf_dir):
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")),
     )
     # pairs are distinct and the two directions are disjoint by
-    # construction (p-/s- prefixes) — skip the operator's dedup shuffle
+    # construction (even/odd ids) — skip the operator's dedup shuffle
     pr = pagerank(edges, iterations=3, distinct_edges=False,
                   checkpoint_every=3)
+    node_label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("p"), (F.col("node") / 2).cast("long")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")),
+    )
     return pr.select(
-        "node",
+        node_label.alias("node"),
         F.round(F.col("pagerank") + F.lit(1e-10), 8).alias("pagerank"),
     )
 
@@ -10979,13 +10987,21 @@ def q_hits(spark, sf_dir):
 
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
+    # long node ids through the algorithm (suppliers odd, parts even);
+    # labels built only on the node-sized result — see q_pagerank
     edges = li.select("l_suppkey", "l_partkey").distinct().select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("l_partkey") * 2).alias("dst"),
     )
     out = hits(edges, iterations=2, distinct_edges=False)
+    node_label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("p"), (F.col("node") / 2).cast("long")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")),
+    )
     return out.select(
-        "node",
+        node_label.alias("node"),
         F.round(F.col("hub") + F.lit(1e-10), 8).alias("hub"),
         F.round(F.col("authority") + F.lit(1e-10), 8).alias("authority"),
     )

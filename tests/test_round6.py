@@ -278,3 +278,22 @@ def test_negative_sample_validation(spark):
     empty = universe.where("item < 0")
     with pytest.raises(ValueError, match="empty"):
         negative_sample(pos, empty, "q", "item", k=1)
+
+
+def test_graph_strategies_agree(spark):
+    """The broadcast-vector and co-partitioned strategies are physical
+    variants of the same algorithm — identical results required."""
+    from woodwork_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"), ("c", "a"),
+             ("b", "d"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for op, cols in ((hits, ("hub", "authority")), (pagerank, ("pagerank",))):
+        bc = {r["node"]: r for r in
+              op(df, iterations=3, broadcast_ranks=True).collect()}
+        smj = {r["node"]: r for r in
+               op(df, iterations=3, broadcast_ranks=False).collect()}
+        assert set(bc) == set(smj)
+        for node in bc:
+            for c in cols:
+                assert bc[node][c] == pytest.approx(smj[node][c], abs=1e-12)

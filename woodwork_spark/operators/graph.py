@@ -23,6 +23,12 @@ from pyspark.sql import functions as F
 
 from woodwork_spark.lifecycle import attach_persisted
 
+# Below this node count the per-iteration rank vector broadcasts into
+# the (cached) edge scan instead of co-partitioning the edges — a ~5M
+# row struct of (id, double) is tens of MB, comfortably under executor
+# broadcast budgets; beyond it the shuffle-the-vector strategy wins.
+_BROADCAST_RANKS_MAX_NODES = 5_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -33,6 +39,7 @@ def pagerank(
     redistribute_dangling: bool = False,
     distinct_edges: bool = True,
     checkpoint_every: int = 1,
+    broadcast_ranks: bool = None,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns ``(node, pagerank)``
     for every node appearing as src or dst.
@@ -42,6 +49,18 @@ def pagerank(
     Duplicate edges count once (set semantics); pass
     ``distinct_edges=False`` to skip that shuffle when the caller
     already guarantees a simple graph.
+
+    Two physical strategies, picked from the node count the setup
+    already measures (``broadcast_ranks`` forces one):
+
+    * **broadcast** (n <= ~5M): the (node, rank/outdeg) vector is tiny
+      next to the edge list — broadcast it into the contribution join,
+      so each iteration is ONE scan of the cached edges + a partial
+      aggregation; the edge list is never re-sorted or re-shuffled, and
+      the (src, dst, outdeg) side-table build is skipped entirely.
+    * **co-partitioned** (larger n): the rank vector can't broadcast;
+      pre-partition the degree-weighted edges ONCE on the join key and
+      shuffle only the rank vector each iteration (sort-merge reuse).
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -50,9 +69,9 @@ def pagerank(
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if distinct_edges:
         e = e.distinct()
-    # three setup jobs (nodes, outdegrees, weighted edges) read the edge
-    # list — persist it once instead of re-running the upstream plan
-    # (often a distinct over raw fact rows) per job
+    # the setup jobs (nodes, outdegrees) and every iteration read the
+    # edge list — persist it once instead of re-running the upstream
+    # plan (often a distinct over raw fact rows) per job
     e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -61,25 +80,46 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= _BROADCAST_RANKS_MAX_NODES
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    # (src, dst, outdeg) — loop-invariant.  Persisted PRE-PARTITIONED on
-    # the join key: every iteration's contribution join then reuses this
-    # layout and only the (small) rank vector moves; without it the full
-    # edge list re-shuffles once per iteration.
-    ew = e.join(deg, "src").repartition("src").persist()
+    if broadcast_ranks:
+        # rank vector joins deg (node-sized both) then broadcasts into
+        # the edge scan — no edge re-sort, no ew materialization
+        ew = None
+    else:
+        # (src, dst, outdeg) — loop-invariant.  Persisted PRE-PARTITIONED
+        # on the join key: every iteration's contribution join then
+        # reuses this layout and only the rank vector moves; without it
+        # the full edge list re-shuffles once per iteration.
+        ew = e.join(deg, "src").repartition("src").persist()
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("pagerank", F.lit(1.0 / n))
     for it in range(iterations):
-        contribs = (
-            ew.join(
-                ranks.select(
-                    F.col("node").alias("src"), F.col("pagerank").alias("__pr"),
-                ),
-                "src",
+        if broadcast_ranks:
+            rv = ranks.join(
+                deg.withColumnRenamed("src", "node"), "node",
+            ).select(
+                F.col("node").alias("src"),
+                (F.col("pagerank") / F.col("__deg")).alias("__w"),
             )
-            .groupBy("dst")
-            .agg(F.sum(F.col("__pr") / F.col("__deg")).alias("__in"))
-        )
+            contribs = (
+                e.join(F.broadcast(rv), "src")
+                .groupBy("dst")
+                .agg(F.sum("__w").alias("__in"))
+            )
+        else:
+            contribs = (
+                ew.join(
+                    ranks.select(
+                        F.col("node").alias("src"),
+                        F.col("pagerank").alias("__pr"),
+                    ),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.sum(F.col("__pr") / F.col("__deg")).alias("__in"))
+            )
         new_ranks = (
             nodes.join(
                 contribs.withColumnRenamed("dst", "node"), "node", "left",
@@ -113,7 +153,8 @@ def pagerank(
             ranks = new_ranks.localCheckpoint(eager=True)
         else:
             ranks = new_ranks
-    return attach_persisted(ranks, nodes, ew, e)
+    return attach_persisted(ranks, nodes, ew, e) if ew is not None \
+        else attach_persisted(ranks, nodes, e)
 
 
 def degree_stats(
@@ -667,23 +708,33 @@ def hits(
     dst_col: str = "dst",
     iterations: int = 5,
     distinct_edges: bool = True,
+    broadcast_ranks: bool = None,
 ) -> DataFrame:
     """HITS hubs-and-authorities over a directed edge list; returns
-    ``(node, hub, authority)`` for every node appearing as src or dst.
+    ``(node, hub, authority)`` for every node appearing as src or dst,
+    L1-normalized (scores sum to 1).
 
-    Kleinberg's mutual recursion with L1 normalization each half-step
-    (L1 keeps the oracle arithmetic exact-by-construction — every
-    score is a ratio of sums, no sqrt):
-    ``auth_{t}(v) = sum over in-edges (u, v) of hub_{t-1}(u)`` then
-    normalize to sum 1; ``hub_t(u) = sum over out-edges (u, v) of
-    auth_t(v)`` then normalize.  Hubs start uniform.
+    Kleinberg's mutual recursion: ``auth_t(v) = sum over in-edges
+    (u, v) of hub_{t-1}(u)``; ``hub_t(u) = sum over out-edges (u, v)
+    of auth_t(v)``; hubs start uniform.  The textbook per-step
+    normalization is a scalar divide whose constants CANCEL in the
+    final normalized ratio — the recursion is linear — so the loop
+    runs on raw sums and normalizes ONCE at the end: each half-step is
+    exactly one scan of the cached edge list + a partial aggregation
+    materialized to a node-sized localCheckpoint (without the eager
+    cut, broadcasting half-step t's vector would re-execute half-steps
+    1..t-1).  Raw magnitudes grow ~avg_degree per half-step — at
+    double range that caps out past ~150 iterations on even
+    billion-degree graphs, far beyond HITS' convergence needs.
 
-    Scale shape mirrors ``pagerank``: the edge list persists once,
-    pre-partitioned on the join side so each iteration only moves the
-    (small) score vector; normalization is one scalar agg broadcast
-    back; ``localCheckpoint`` per iteration truncates the growing
-    lineage.  Nodes with no in-edges get authority 0, no out-edges hub
-    0.  Duplicate edges count once unless ``distinct_edges=False``.
+    Same two join strategies as ``pagerank``, picked from the node
+    count the setup already measures (``broadcast_ranks`` forces one):
+    small score vectors broadcast into the cached edge scan; huge
+    graphs pre-partition the edges on src once and shuffle only the
+    vector (the dst-keyed half-step still reshuffles — the price of
+    mutual recursion over one layout).  Nodes with no in-edges get
+    authority 0, no out-edges hub 0.  Duplicate edges count once
+    unless ``distinct_edges=False``.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -692,10 +743,7 @@ def hits(
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if distinct_edges:
         e = e.distinct()
-    # both per-iteration joins probe the edge list — persist it
-    # pre-partitioned on src (the hub-score join key); the dst-keyed
-    # authority aggregation reuses the same shuffle output
-    e = e.repartition("src").persist()
+    e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -703,44 +751,56 @@ def hits(
         .persist()
     )
     n = nodes.count()
-    hubs = nodes.withColumn("hub", F.lit(1.0 / n))
-    auths = None
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= _BROADCAST_RANKS_MAX_NODES
+    if broadcast_ranks:
+        ep = e
+        maybe_bc = F.broadcast
+    else:
+        ep = e.repartition("src").persist()
+        maybe_bc = lambda df: df  # noqa: E731 — vector too big to ship
+    # raw score vectors carry only nodes with at least one in-/out-edge
+    # (absent = exact 0; zeros re-enter at the final nodes join)
+    hub_raw = nodes.withColumn("hub", F.lit(1.0 / n))
+    auth_raw = None
     for _ in range(iterations):
-        raw_auth = (
-            e.join(
-                hubs.select(F.col("node").alias("src"), "hub"), "src",
+        auth_raw = (
+            ep.join(
+                maybe_bc(hub_raw.select(F.col("node").alias("src"), "hub")),
+                "src",
             )
             .groupBy("dst")
-            .agg(F.sum("hub").alias("__raw"))
-        )
-        tot_a = raw_auth.agg(F.sum("__raw").alias("__t"))
-        auths = (
-            nodes.join(raw_auth.withColumnRenamed("dst", "node"), "node", "left")
-            .crossJoin(F.broadcast(tot_a))
-            .select(
-                "node",
-                F.coalesce(
-                    F.col("__raw") / F.col("__t"), F.lit(0.0),
-                ).alias("authority"),
-            )
+            .agg(F.sum("hub").alias("authority"))
+            .withColumnRenamed("dst", "node")
             .localCheckpoint(eager=True)
         )
-        raw_hub = (
-            e.join(
-                auths.select(F.col("node").alias("dst"), "authority"), "dst",
+        hub_raw = (
+            ep.join(
+                maybe_bc(
+                    auth_raw.select(F.col("node").alias("dst"), "authority"),
+                ),
+                "dst",
             )
             .groupBy("src")
-            .agg(F.sum("authority").alias("__raw"))
-        )
-        tot_h = raw_hub.agg(F.sum("__raw").alias("__t"))
-        hubs = (
-            nodes.join(raw_hub.withColumnRenamed("src", "node"), "node", "left")
-            .crossJoin(F.broadcast(tot_h))
-            .select(
-                "node",
-                F.coalesce(F.col("__raw") / F.col("__t"), F.lit(0.0)).alias("hub"),
-            )
+            .agg(F.sum("authority").alias("hub"))
+            .withColumnRenamed("src", "node")
             .localCheckpoint(eager=True)
         )
-    out = hubs.join(auths, "node")
-    return attach_persisted(out, nodes, e)
+    totals = auth_raw.agg(F.sum("authority").alias("__ta")).crossJoin(
+        hub_raw.agg(F.sum("hub").alias("__th")),
+    )
+    out = (
+        nodes.join(hub_raw, "node", "left")
+        .join(auth_raw, "node", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "node",
+            F.coalesce(F.col("hub") / F.col("__th"), F.lit(0.0)).alias("hub"),
+            F.coalesce(
+                F.col("authority") / F.col("__ta"), F.lit(0.0),
+            ).alias("authority"),
+        )
+    )
+    if broadcast_ranks:
+        return attach_persisted(out, nodes, e)
+    return attach_persisted(out, nodes, ep, e)
