@@ -4886,15 +4886,24 @@ def q_bfs_hops(spark, sf_dir):
 
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
+    # long node ids through the traversal (parts even, suppliers odd);
+    # labels built only on the node-sized result — see q_pagerank
     pairs = li.select("l_partkey", "l_suppkey").distinct().select(
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     # bipartite edges built once; bfs adds the reverse direction itself
-    return bfs_hops(
-        pairs, seeds=["s1"], max_hops=3, directed=False,
+    out = bfs_hops(
+        pairs, seeds=[3], max_hops=3, directed=False,  # 3 == 's1'
         distinct_edges=False,
     )
+    node_label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("p"), (F.col("node") / 2).cast("long")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")),
+    )
+    return out.select(node_label.alias("node"), "hop")
 
 
 def q_logrank(spark, sf_dir):
