@@ -11679,3 +11679,289 @@ ORACLE["classification_report"] = """
                            + 0.0000001, 6) END AS f1
     FROM j
 """
+
+
+def q_waterfill(spark, sf_dir):
+    """Water-filling token cap: the single integer per-source cap that
+    spends a 5000-token budget with minimum waste — every sorted
+    position scored in one range-partitioned prefix-sum pass, boundary
+    picked by a struct-min fold, no single-reducer window."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.packing import waterfill_cap
+    from woodwork_spark.operators.text import token_count_expr
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", token_count_expr("text").cast("long").alias("n_tokens"),
+    )
+    out = waterfill_cap(scored, "source", "n_tokens", budget=5_000)
+    return attach_persisted(
+        out.select("source", "count", "alloc", "tau"),
+        *persisted_frames(out),
+    )
+
+
+def q_mmr(spark, sf_dir):
+    """Maximal Marginal Relevance: 4 diversity-aware picks from 200
+    embedded candidates (relevance = deterministic id hash) — each
+    greedy step is one scan of the cached candidates against the
+    broadcast picked set, argmax by struct-min fold; the oracle
+    replays all four steps with correlated max-similarity subqueries."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.similarity import mmr_select
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    cand = emb.select(
+        "vec_id", "embedding",
+        (((F.col("vec_id") * 37) % 100) / 100.0).alias("rel"),
+    )
+    out = mmr_select(cand, "vec_id", "embedding", "rel", k=4, lam=0.7)
+    return attach_persisted(out.select(
+        "rank", "vec_id", "rel",
+        _ravg(F.col("mmr_score"), 6).alias("mmr_score"),
+    ), *persisted_frames(out))
+
+
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (k=4, 2 iterations, seeded from
+    vec_id 0..3): assignment is a crossJoin against the broadcast
+    centroid frame with dot-form distances and a struct-min argmin;
+    updates collect only k x d partial sums and QUANTIZE the means so
+    any engine replays the identical trajectory."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.similarity import kmeans_lloyd
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int"),
+        F.col("embedding").cast("array<double>"),
+    )
+    out = kmeans_lloyd(emb, "vec_id", "embedding", init, iterations=2)
+    return attach_persisted(out.select(
+        "vec_id", "cluster",
+        _ravg(F.col("dist_sq"), 6).alias("dist_sq"),
+    ), *persisted_frames(out))
+
+
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank from supplier s1 over the bipartite
+    part<->supplier graph (3 iterations): teleport mass restricted to
+    the seed, long node ids through the loop, adaptive broadcast of
+    the rank vector — the oracle unrolls the seeded recursion."""
+    from woodwork_spark.operators.graph import pagerank
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct().select(
+        (F.col("l_partkey") * 2).alias("a"),
+        (F.col("l_suppkey") * 2 + 1).alias("b"),
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")),
+    )
+    pr = pagerank(edges, iterations=3, distinct_edges=False,
+                  checkpoint_every=3, seeds=[3])  # 3 == 's1'
+    node_label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("p"), (F.col("node") / 2).cast("long")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")),
+    )
+    return pr.select(
+        node_label.alias("node"),
+        F.round(F.col("pagerank") + F.lit(1e-10), 8).alias("pagerank"),
+    )
+
+
+QUERIES["waterfill"] = q_waterfill
+QUERIES["mmr"] = q_mmr
+QUERIES["kmeans"] = q_kmeans
+QUERIES["ppr"] = q_ppr
+
+
+ORACLE["waterfill"] = """
+    WITH counts AS (
+        SELECT source,
+               CAST(sum(CAST(len(string_split(trim(text), ' '))
+                             AS BIGINT)) AS BIGINT) AS count
+        FROM documents GROUP BY source
+    ),
+    ranked AS (
+        SELECT source, count,
+               CAST(coalesce(sum(count) OVER (
+                   ORDER BY count, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS prefix,
+               row_number() OVER (ORDER BY count, source) - 1 AS i
+        FROM counts
+    ),
+    tot AS (SELECT count(*) AS g, max(count) AS mx FROM counts),
+    boundary AS (
+        SELECT prefix, (g - i) AS remaining
+        FROM ranked, tot
+        WHERE prefix + (g - i) * count >= 5000
+        ORDER BY i LIMIT 1
+    ),
+    tau AS (
+        SELECT coalesce(
+            (SELECT CAST((5000 - prefix) // remaining AS BIGINT)
+             FROM boundary),
+            (SELECT mx FROM tot)) AS tau
+    )
+    SELECT source, count,
+           CAST(least(count, tau) AS BIGINT) AS alloc,
+           CAST(tau AS BIGINT) AS tau
+    FROM counts, tau
+"""
+
+_MMR_CAND = """
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               ((vec_id * 37) % 100) / 100.0 AS rel,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings WHERE vec_id < 200
+"""
+
+
+def _mmr_oracle(k=4):
+    parts = [f"WITH cand AS ({_MMR_CAND})"]
+    sel_union = None
+    for step in range(1, k + 1):
+        if step == 1:
+            parts.append(
+                ", s1 AS (SELECT vec_id, v, nrm, rel,"
+                " 0.7 * rel - (1.0 - 0.7) * 0.0 AS score"
+                " FROM cand ORDER BY score DESC, vec_id LIMIT 1)",
+            )
+            sel_union = "SELECT * FROM s1"
+        else:
+            parts.append(
+                f", sel{step} AS ({sel_union})"
+                f", s{step} AS ("
+                f" SELECT c.vec_id, c.v, c.nrm, c.rel,"
+                f" 0.7 * c.rel - (1.0 - 0.7) * ("
+                f"   SELECT max(CASE WHEN c.nrm > 0 AND s.nrm > 0"
+                f"     THEN list_dot_product(c.v, s.v) / (c.nrm * s.nrm)"
+                f"     ELSE 0.0 END) FROM sel{step} s) AS score"
+                f" FROM cand c"
+                f" WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{step})"
+                f" ORDER BY score DESC, c.vec_id LIMIT 1)",
+            )
+            sel_union += f" UNION ALL SELECT * FROM s{step}"
+        # noqa
+    picks = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, rel,"
+        f" round(score + 0.0000001, 6) AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f" SELECT CAST(rank AS INT) AS rank, vec_id, rel,"
+                 f" mmr_score FROM ({picks})")
+    return "\n".join(parts)
+
+
+ORACLE["mmr"] = _mmr_oracle()
+
+
+def _kmeans_oracle(k=4, d=64, iterations=2):
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e"
+        f" WHERE vec_id < {k})",
+    ]
+    cur = "c0"
+    for it in range(1, iterations + 1):
+        parts.append(
+            f", a{it} AS (SELECT vec_id, v, cid, d FROM ("
+            f" SELECT e.vec_id, e.v, c.cid,"
+            f" list_dot_product(e.v, e.v) + list_dot_product(c.c, c.c)"
+            f" - 2 * list_dot_product(e.v, c.c) AS d,"
+            f" row_number() OVER (PARTITION BY e.vec_id ORDER BY"
+            f"   list_dot_product(e.v, e.v) + list_dot_product(c.c, c.c)"
+            f"   - 2 * list_dot_product(e.v, c.c), c.cid) AS rn"
+            f" FROM e CROSS JOIN {cur} c) WHERE rn = 1)",
+        )
+        parts.append(
+            f", m{it} AS (SELECT cid, i AS pos,"
+            f" round(avg(v[i]) + 0.0000001, 6) AS x"
+            f" FROM a{it}, generate_series(1, {d}) AS g(i)"
+            f" GROUP BY cid, i)",
+        )
+        parts.append(
+            f", c{it} AS (SELECT cid, list(x ORDER BY pos) AS c"
+            f" FROM m{it} GROUP BY cid)",
+        )
+        cur = f"c{it}"
+    parts.append(
+        f", fin AS (SELECT vec_id, cid, d FROM ("
+        f" SELECT e.vec_id, c.cid,"
+        f" list_dot_product(e.v, e.v) + list_dot_product(c.c, c.c)"
+        f" - 2 * list_dot_product(e.v, c.c) AS d,"
+        f" row_number() OVER (PARTITION BY e.vec_id ORDER BY"
+        f"   list_dot_product(e.v, e.v) + list_dot_product(c.c, c.c)"
+        f"   - 2 * list_dot_product(e.v, c.c), c.cid) AS rn"
+        f" FROM e CROSS JOIN {cur} c) WHERE rn = 1)"
+        f" SELECT vec_id, cid AS cluster,"
+        f" round(d + 0.0000001, 6) AS dist_sq FROM fin",
+    )
+    return "\n".join(parts)
+
+
+ORACLE["kmeans"] = _kmeans_oracle()
+
+ORACLE["ppr"] = """
+    WITH pairs AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+                        's' || CAST(l_suppkey AS VARCHAR) AS b
+        FROM lineitem
+    ), e AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM e
+        UNION SELECT DISTINCT dst FROM e
+    ),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT node,
+                  CASE WHEN node = 's1' THEN 1.0 ELSE 0.0 END AS pr
+           FROM (SELECT DISTINCT node FROM nodes)),
+    r1 AS (
+        SELECT n.node,
+               CASE WHEN n.node = 's1' THEN (1.0 - 0.85) ELSE 0.0 END
+               + 0.85 * coalesce(s.v, 0) AS pr
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r0.pr / deg.d) AS v
+            FROM e JOIN r0 ON e.src = r0.node
+            JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ) s ON n.node = s.node
+    ),
+    r2 AS (
+        SELECT n.node,
+               CASE WHEN n.node = 's1' THEN (1.0 - 0.85) ELSE 0.0 END
+               + 0.85 * coalesce(s.v, 0) AS pr
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r1.pr / deg.d) AS v
+            FROM e JOIN r1 ON e.src = r1.node
+            JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ) s ON n.node = s.node
+    ),
+    r3 AS (
+        SELECT n.node,
+               CASE WHEN n.node = 's1' THEN (1.0 - 0.85) ELSE 0.0 END
+               + 0.85 * coalesce(s.v, 0) AS pr
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r2.pr / deg.d) AS v
+            FROM e JOIN r2 ON e.src = r2.node
+            JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ) s ON n.node = s.node
+    )
+    SELECT node, round(pr + 0.0000000001, 8) AS pagerank FROM r3
+"""

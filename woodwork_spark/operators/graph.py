@@ -40,6 +40,7 @@ def pagerank(
     distinct_edges: bool = True,
     checkpoint_every: int = 1,
     broadcast_ranks: bool = None,
+    seeds: list = None,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns ``(node, pagerank)``
     for every node appearing as src or dst.
@@ -49,6 +50,14 @@ def pagerank(
     Duplicate edges count once (set semantics); pass
     ``distinct_edges=False`` to skip that shuffle when the caller
     already guarantees a simple graph.
+
+    ``seeds`` (a list of node ids) switches to PERSONALIZED PageRank:
+    the teleport term lands only on the seed set — ``(1-d)/|S|`` on
+    seeds, 0 elsewhere — and the walk starts uniform over the seeds,
+    giving relevance-to-these-nodes scores (recommendation
+    neighborhoods, seed-anchored influence spheres).  The seed list is a
+    query parameter (bounded, broadcast as a literal predicate), not a
+    distributed frame.
 
     Two physical strategies, picked from the node count the setup
     already measures (``broadcast_ranks`` forces one):
@@ -93,8 +102,26 @@ def pagerank(
         # reuses this layout and only the rank vector moves; without it
         # the full edge list re-shuffles once per iteration.
         ew = e.join(deg, "src").repartition("src").persist()
-    base = (1.0 - damping) / n
-    ranks = nodes.withColumn("pagerank", F.lit(1.0 / n))
+    if seeds is not None:
+        if not seeds:
+            raise ValueError("pagerank: seeds list is empty")
+        if redistribute_dangling:
+            raise ValueError(
+                "pagerank: redistribute_dangling with seeds is not "
+                "supported (dangling mass would need to re-teleport to "
+                "the seed set; drop one of the options)",
+            )
+        s_n = len(set(seeds))
+        teleport = F.when(
+            F.col("node").isin(list(seeds)), F.lit((1.0 - damping) / s_n),
+        ).otherwise(F.lit(0.0))
+        init = F.when(
+            F.col("node").isin(list(seeds)), F.lit(1.0 / s_n),
+        ).otherwise(F.lit(0.0))
+    else:
+        teleport = F.lit((1.0 - damping) / n)
+        init = F.lit(1.0 / n)
+    ranks = nodes.withColumn("pagerank", init)
     for it in range(iterations):
         if broadcast_ranks:
             rv = ranks.join(
@@ -127,7 +154,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    teleport
                     + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
                 ).alias("pagerank"),
             )

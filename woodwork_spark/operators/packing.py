@@ -284,3 +284,91 @@ def packing_efficiency_report(
             / (F.col("n_docs") * F.lit(int(seq_len))).cast("double")
         ).alias("pad_fraction"),
     )
+
+
+def waterfill_cap(
+    df: DataFrame,
+    group_col: str,
+    count_col: str,
+    budget: int,
+) -> DataFrame:
+    """Water-filling allocation: the single integer cap ``tau`` such
+    that capping EVERY group's count at ``tau`` brings the grand total
+    within ``budget``, wasting as little headroom as possible — the
+    "no crawl host dominates, but spend the whole token budget" mix
+    planner (cap_per_group answers "apply a cap"; this answers "WHICH
+    cap").
+
+    With group counts sorted ascending and ``prefix_i`` the exclusive
+    running sum, a cap of ``c_i`` keeps ``prefix_i + (G - i) * c_i``
+    tokens; that expression is non-decreasing in i, so the optimal tau
+    lives in the first sorted position where it exceeds the budget:
+    ``tau = floor((budget - prefix_i) / (G - i))``.  All positions are
+    scored in ONE range-partitioned prefix-sum pass (no single-reducer
+    window, works at millions-of-hosts cardinality) and the boundary
+    is a struct-min fold.  If even the full total fits, tau = the max
+    count (nothing capped); a budget below the group count yields
+    tau = 0 (every group capped away — the mathematically consistent
+    answer, left to the caller to interpret).
+
+    Returns one row per group: ``(group_col, count, alloc)`` with
+    ``alloc = least(count, tau)`` plus the constant ``tau`` column.
+    NULL counts are treated as 0; NULL groups are kept (their own
+    group).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    counts = df.groupBy(group_col).agg(
+        F.coalesce(F.sum(F.col(count_col)), F.lit(0))
+        .cast("long").alias("count"),
+    )
+    order = [F.asc("count"), F.asc(group_col)]
+    ranked = global_prefix_sum(
+        counts, order, "count", out_col="__prefix",
+    ).persist()
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("__g"),
+        F.max("count").alias("__max"),
+    )
+    # (G - i) for the 0-based sorted position i comes from one more
+    # exclusive prefix sum over ones — same range shuffle, no global
+    # rank window
+    ones = global_prefix_sum(
+        ranked.withColumn("__one", F.lit(1)), order, "__one", out_col="__i",
+    )
+    scored = ones.crossJoin(F.broadcast(totals)).withColumn(
+        "__kept_at_cap",
+        F.col("__prefix") + (F.col("__g") - F.col("__i")) * F.col("count"),
+    )
+    # first sorted position whose own-count cap meets the budget; empty
+    # (the full total fits) -> null struct -> tau falls back to max
+    boundary = scored.filter(
+        F.col("__kept_at_cap") >= budget,
+    ).agg(
+        F.min(
+            F.struct(
+                F.col("__i").alias("i"),
+                F.col("__prefix").alias("prefix"),
+                (F.col("__g") - F.col("__i")).alias("remaining"),
+            ),
+        ).alias("b"),
+    ).select(
+        (F.lit(int(budget)) - F.col("b.prefix")).alias("__num"),
+        F.col("b.remaining").alias("__rem"),
+    ).select(
+        # integer DIV, not floor(double /): exact past 2^53 token budgets
+        F.expr("__num DIV __rem").cast("long").alias("__tau_raw"),
+    )
+    final_tau = boundary.crossJoin(F.broadcast(totals)).select(
+        F.coalesce(F.col("__tau_raw"), F.col("__max")).alias("tau"),
+    )
+    out = ranked.crossJoin(F.broadcast(final_tau)).select(
+        group_col,
+        "count",
+        F.least(F.col("count"), F.col("tau")).alias("alloc"),
+        "tau",
+    )
+    return attach_persisted(
+        out, ranked,
+        *persisted_frames(ranked), *persisted_frames(ones),
+    )

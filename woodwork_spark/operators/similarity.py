@@ -425,3 +425,227 @@ def ann_recall_report(
         return out
     finally:
         queries.unpersist()
+
+
+def mmr_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    rel_col: str,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection: greedily pick ``k`` items
+    maximizing ``lam * relevance - (1 - lam) * max cosine to the
+    already-picked set`` — the standard diversity-aware selection for
+    retrieval reranking and training-data curation (take the best
+    documents, but not five near-copies of the same one).
+
+    Greedy MMR is inherently sequential in k, so the loop runs k
+    driver steps — but each step is ONE scan of the persisted
+    candidate set joined against the (<= k-row, broadcast) selected
+    vectors, with the argmax as a struct-min fold; nothing all-pairs,
+    nothing collected except the single winner per step.  k is the
+    small constant here (a rerank depth), the candidate set is the
+    big thing.
+
+    Determinism: scores are index-order double arithmetic and ties
+    break toward the smallest id, so any engine replays the same
+    selection.  Null vectors/relevance are excluded.  Returns the
+    selected rows: ``(rank, id_col, rel_col, mmr_score)`` with rank
+    1-based in pick order.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    cand = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.col(rel_col).cast("double").alias("__rel"),
+    ).where(
+        F.col("__id").isNotNull()
+        & F.col("__v").isNotNull()
+        & F.col("__rel").isNotNull(),
+    ).withColumn("__n", _norm(F.col("__v"))).persist()
+    spark = df.sparkSession
+    picked = []  # (id, vec, norm, rel, score)
+    remaining = cand
+    for step in range(k):
+        if picked:
+            sel = spark.createDataFrame(
+                [(p[0], p[1], p[2]) for p in picked],
+                schema=remaining.select("__id", "__v", "__n").schema,
+            ).select(
+                F.col("__id").alias("__sid"),
+                F.col("__v").alias("__sv"),
+                F.col("__n").alias("__sn"),
+            )
+            sims = (
+                remaining.crossJoin(F.broadcast(sel))
+                .withColumn(
+                    "__cos",
+                    F.when(
+                        (F.col("__n") > 0) & (F.col("__sn") > 0),
+                        _dot(F.col("__v"), F.col("__sv"))
+                        / (F.col("__n") * F.col("__sn")),
+                    ).otherwise(F.lit(0.0)),
+                )
+                .groupBy("__id")
+                .agg(
+                    F.first("__rel").alias("__rel"),
+                    F.max("__cos").alias("__maxsim"),
+                )
+            )
+        else:
+            sims = remaining.select(
+                "__id", "__rel", F.lit(0.0).alias("__maxsim"),
+            )
+        scored = sims.withColumn(
+            "__score",
+            F.lit(float(lam)) * F.col("__rel")
+            - F.lit(1.0 - float(lam)) * F.col("__maxsim"),
+        )
+        best = scored.agg(
+            F.min(
+                F.struct(
+                    (-F.col("__score")).alias("neg"),
+                    F.col("__id").alias("id"),
+                    F.col("__score").alias("score"),
+                ),
+            ).alias("b"),
+        ).first()["b"]
+        if best is None or best["id"] is None:
+            break  # candidates exhausted
+        win = remaining.filter(F.col("__id") == best["id"]).select(
+            "__id", "__v", "__n", "__rel",
+        ).first()
+        picked.append(
+            (win["__id"], win["__v"], win["__n"], win["__rel"],
+             float(best["score"])),
+        )
+        remaining = remaining.filter(F.col("__id") != best["id"])
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    out = spark.createDataFrame(
+        [(i + 1, p[0], p[3], p[4]) for i, p in enumerate(picked)],
+        StructType([
+            StructField("rank", IntegerType()),
+            StructField(id_col, cand.schema["__id"].dataType),
+            StructField(rel_col, DoubleType()),
+            StructField("mmr_score", DoubleType()),
+        ]),
+    )
+    from ..lifecycle import attach_persisted
+
+    return attach_persisted(out, cand)
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    init_centroids,
+    iterations: int = 2,
+    quantize: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column: full-data
+    assignment + mean-update iterations (the refinement step after
+    ``ivf_index``'s sampled k-means++ seeding, or a standalone
+    clusterer for semantic bucketing).  ``init_centroids`` is a list
+    of ``(cluster_id, [floats])`` or a 2-column DataFrame collected to
+    the driver (k x d — the model, bounded and small by definition).
+
+    Per iteration, everything is relational: ASSIGN is a crossJoin of
+    the (cached) points against the broadcast k-row centroid frame
+    with the squared distance in dot-product form (``|v|^2 + |c|^2 -
+    2 v.c`` — |v|^2 computed once per point, the same expression an
+    external replayer uses) and a struct-min argmin (ties -> lowest
+    cluster id); UPDATE is one (cluster, dim) grouped aggregation
+    whose k x d partial sums collect to the driver.  New centroids are
+    QUANTIZED to ``quantize`` decimals (after a +1e-7 tie-shift), so
+    partial-sum ordering noise can never flip a later assignment —
+    the same engine-reproducibility discipline as the struct-fold
+    argmins elsewhere.  Empty clusters keep their previous centroid.
+
+    Returns the FINAL assignment: ``(id_col, cluster, dist_sq)`` under
+    the last updated centroids.  Null ids/vectors are excluded.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    spark = df.sparkSession
+    if isinstance(init_centroids, DataFrame):
+        init_centroids = [
+            (r[0], list(r[1])) for r in init_centroids.collect()
+        ]
+    cents = [(int(c), [float(x) for x in v]) for c, v in init_centroids]
+    if not cents:
+        raise ValueError("kmeans_lloyd: init_centroids is empty")
+    d = len(cents[0][1])
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).where(
+        F.col("__id").isNotNull() & F.col("__v").isNotNull(),
+    ).withColumn("__vv", _dot(F.col("__v"), F.col("__v"))).persist()
+
+    def centroid_frame(cs):
+        return spark.createDataFrame(
+            [(c, v, sum(x * x for x in v)) for c, v in cs],
+            "__cid int, __c array<double>, __cc double",
+        )
+
+    def assign(cs):
+        cf = centroid_frame(cs)
+        dist = (
+            F.col("__vv") + F.col("__cc")
+            - 2.0 * _dot(F.col("__v"), F.col("__c"))
+        )
+        return (
+            pts.crossJoin(F.broadcast(cf))
+            .select(
+                "__id", "__v",
+                F.struct(
+                    dist.alias("d"), F.col("__cid").alias("cid"),
+                ).alias("__dc"),
+            )
+            .groupBy("__id")
+            .agg(
+                F.first("__v").alias("__v"),
+                F.min("__dc").alias("__best"),
+            )
+            .select(
+                "__id", "__v",
+                F.col("__best.cid").alias("cluster"),
+                F.col("__best.d").alias("dist_sq"),
+            )
+        )
+
+    shift = 10.0 ** (-(quantize + 1))
+    for _ in range(iterations):
+        a = assign(cents)
+        sums = (
+            a.select(
+                "cluster",
+                F.posexplode("__v").alias("__pos", "__x"),
+            )
+            .groupBy("cluster", "__pos")
+            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        by_cid = {}
+        for r in sums:
+            by_cid.setdefault(r["cluster"], [0.0] * d)[r["__pos"]] = round(
+                r["__s"] / r["__n"] + shift, quantize,
+            )
+        cents = [
+            (c, by_cid.get(c, v)) for c, v in cents
+        ]
+    out = assign(cents).select(
+        F.col("__id").alias(id_col), "cluster", "dist_sq",
+    )
+    from ..lifecycle import attach_persisted
+
+    return attach_persisted(out, pts)
