@@ -56,6 +56,19 @@ def _t(spark, sf_dir, name) -> DataFrame:
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _bip_node_label():
+    """Decode the bipartite long node ids the graph queries run on
+    (parts even = 2*partkey, suppliers odd = 2*suppkey + 1) back to the
+    labeled string ids the oracles emit — built only on node-sized
+    results, so the 8 B ids carry every shuffle."""
+    return F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("p"), (F.col("node") / 2).cast("long")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational queries (SURVEY §2.B surface on the driver's star schema)
 # ---------------------------------------------------------------------------
@@ -2495,12 +2508,7 @@ def q_pagerank(spark, sf_dir):
     # construction (even/odd ids) — skip the operator's dedup shuffle
     pr = pagerank(edges, iterations=3, distinct_edges=False,
                   checkpoint_every=3)
-    node_label = F.when(
-        F.col("node") % 2 == 0,
-        F.concat(F.lit("p"), (F.col("node") / 2).cast("long")),
-    ).otherwise(
-        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")),
-    )
+    node_label = _bip_node_label()
     return pr.select(
         node_label.alias("node"),
         F.round(F.col("pagerank") + F.lit(1e-10), 8).alias("pagerank"),
@@ -4897,12 +4905,7 @@ def q_bfs_hops(spark, sf_dir):
         pairs, seeds=[3], max_hops=3, directed=False,  # 3 == 's1'
         distinct_edges=False,
     )
-    node_label = F.when(
-        F.col("node") % 2 == 0,
-        F.concat(F.lit("p"), (F.col("node") / 2).cast("long")),
-    ).otherwise(
-        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")),
-    )
+    node_label = _bip_node_label()
     return out.select(node_label.alias("node"), "hop")
 
 
@@ -11003,12 +11006,7 @@ def q_hits(spark, sf_dir):
         (F.col("l_partkey") * 2).alias("dst"),
     )
     out = hits(edges, iterations=2, distinct_edges=False)
-    node_label = F.when(
-        F.col("node") % 2 == 0,
-        F.concat(F.lit("p"), (F.col("node") / 2).cast("long")),
-    ).otherwise(
-        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")),
-    )
+    node_label = _bip_node_label()
     return out.select(
         node_label.alias("node"),
         F.round(F.col("hub") + F.lit(1e-10), 8).alias("hub"),
@@ -11600,6 +11598,11 @@ ORACLE["threshold_sweep"] = """
                CAST(fp AS DOUBLE) * 1.0 + CAST(pp - tp AS DOUBLE) * 5.0
                    AS cost
         FROM sweep, tot
+        UNION ALL
+        SELECT CAST('infinity' AS DOUBLE), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(pp AS BIGINT), CAST(nn AS BIGINT),
+               CAST(pp AS DOUBLE) * 5.0
+        FROM tot
     ),
     best AS (
         SELECT * FROM costed
@@ -11766,12 +11769,7 @@ def q_ppr(spark, sf_dir):
     )
     pr = pagerank(edges, iterations=3, distinct_edges=False,
                   checkpoint_every=3, seeds=[3])  # 3 == 's1'
-    node_label = F.when(
-        F.col("node") % 2 == 0,
-        F.concat(F.lit("p"), (F.col("node") / 2).cast("long")),
-    ).otherwise(
-        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long")),
-    )
+    node_label = _bip_node_label()
     return pr.select(
         node_label.alias("node"),
         F.round(F.col("pagerank") + F.lit(1e-10), 8).alias("pagerank"),

@@ -187,3 +187,71 @@ def test_ppr_validation(spark):
         pagerank(df, iterations=1, seeds=[])
     with pytest.raises(ValueError, match="redistribute_dangling"):
         pagerank(df, iterations=1, seeds=["a"], redistribute_dangling=True)
+
+
+# ----------------------------------------------------- review-pass regressions
+
+
+def test_target_encode_null_fold_is_its_own_fold(spark):
+    from woodwork_spark.operators.features import target_encode
+
+    # null-fold rows must be encoded EXCLUDING their own (null) fold
+    rows = [("x", 0.0, None), ("x", 0.0, None), ("x", 1.0, 1), ("x", 1.0, 1)]
+    df = spark.createDataFrame(rows, "c string, y double, f int")
+    out = target_encode(df, "c", "y", smoothing=0.0, fold_col="f",
+                        out_col="enc").collect()
+    by_fold = {r["f"]: r["enc"] for r in out}
+    assert by_fold[None] == pytest.approx(1.0)  # other fold's mean
+    assert by_fold[1] == pytest.approx(0.0)
+
+
+def test_target_encode_null_category_is_its_own_level(spark):
+    from woodwork_spark.operators.features import target_encode
+
+    rows = [(None, 1.0), (None, 1.0), ("a", 0.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    out = {r["c"]: r["enc"] for r in
+           target_encode(df, "c", "y", smoothing=0.0, out_col="enc").collect()}
+    assert out[None] == pytest.approx(1.0)   # NULL level's own mean
+    assert out["a"] == pytest.approx(0.0)
+
+
+def test_t_closeness_null_qi_group_counts(spark):
+    from woodwork_spark.operators.quality_checks import t_closeness_report
+
+    # the NULL-QI group mirrors the global distribution -> EMD 0, not
+    # the phantom near-maximal value a null-dropping join would produce
+    rows = [(None, 1), (None, 2), ("g", 1), ("g", 2)]
+    df = spark.createDataFrame(rows, "q string, v int")
+    out = {r["q"]: r for r in t_closeness_report(df, "q", "v").collect()}
+    assert out[None]["emd"] == pytest.approx(0.0)
+    assert out[None]["t_close"]
+
+
+def test_threshold_sweep_all_negative_prefers_sentinel(spark):
+    from woodwork_spark.operators.evaluation import threshold_sweep
+
+    rows = [(0.1, False), (0.9, False)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    r = threshold_sweep(df, "s", "y", fp_cost=1.0, fn_cost=1.0).first()
+    assert r["threshold"] == float("inf")
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 0, 2)
+    assert r["cost"] == 0.0
+
+
+def test_pagerank_missing_seed_raises(spark):
+    from woodwork_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="do not appear"):
+        pagerank(df, iterations=1, seeds=["zzz"])
+
+
+def test_graph_empty_edges_raise(spark):
+    from woodwork_spark.operators.graph import hits, pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(empty, iterations=1)
+    with pytest.raises(ValueError, match="empty"):
+        hits(empty, iterations=1)

@@ -649,6 +649,11 @@ def threshold_sweep(
     returning the single cheapest row (ties broken toward the LOWEST
     threshold — the more sensitive operating point).
 
+    The predict-NOTHING-positive point (threshold above every score:
+    tp = fp = 0, cost = fn_cost * P) competes too, reported with
+    ``threshold = +infinity`` — without it an all-negative dataset
+    would be forced into a false positive it never needs.
+
     Rows collapse to per-distinct-score (pos, neg) tallies; ONE
     range-partitioned running sum (descending score) gives TP/FP at
     every threshold simultaneously; the argmin is a struct-min fold —
@@ -681,16 +686,28 @@ def threshold_sweep(
     fn = (F.col("__pos_all") - tp).cast("long")
     tn = (F.col("__neg_all") - fp).cast("long")
     cost = fp.cast("double") * float(fp_cost) + fn.cast("double") * float(fn_cost)
-    best = j.agg(
-        F.min(
+    candidates = j.select(
+        F.struct(
+            cost.alias("cost"),
+            F.col("__v").alias("threshold"),
+            tp.alias("tp"), fp.alias("fp"),
+            fn.alias("fn"), tn.alias("tn"),
+        ).alias("__cand"),
+    ).unionByName(
+        # the all-negative sentinel: threshold above every score
+        tot.select(
             F.struct(
-                cost.alias("cost"),
-                F.col("__v").alias("threshold"),
-                tp.alias("tp"), fp.alias("fp"),
-                fn.alias("fn"), tn.alias("tn"),
-            ),
-        ).alias("b"),
+                (F.col("__pos_all").cast("double") * float(fn_cost))
+                .alias("cost"),
+                F.lit(float("inf")).alias("threshold"),
+                F.lit(0).cast("long").alias("tp"),
+                F.lit(0).cast("long").alias("fp"),
+                F.col("__pos_all").cast("long").alias("fn"),
+                F.col("__neg_all").cast("long").alias("tn"),
+            ).alias("__cand"),
+        ),
     )
+    best = candidates.agg(F.min("__cand").alias("b"))
     out = best.select(
         F.col("b.threshold").alias("threshold"),
         F.col("b.tp").alias("tp"), F.col("b.fp").alias("fp"),

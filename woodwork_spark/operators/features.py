@@ -338,21 +338,38 @@ def target_encode(
         )
     out_col = out_col or f"{cat_col}_enc"
     y = F.col(target_col).cast("double")
-    stats = df.groupBy(cat_col).agg(
+    # null-SAFE joins back to the stats: a plain equi-join drops NULL
+    # keys, silently encoding NULL categories from the prior and — far
+    # worse — letting NULL-fold rows keep their own fold's targets (the
+    # leakage fold_col exists to prevent); same eqNullSafe discipline as
+    # rank.grouped_prefix_sum
+    stats = df.groupBy(F.col(cat_col).alias("__cat")).agg(
         F.count(y).alias("__n"),
         F.sum(y).alias("__s"),
     )
     prior = df.agg(F.avg(y).alias("__prior"))
     j = (
-        df.join(F.broadcast(stats), cat_col, "left")
+        df.join(
+            F.broadcast(stats),
+            F.col(cat_col).eqNullSafe(F.col("__cat")),
+            "left",
+        )
+        .drop("__cat")
         .crossJoin(F.broadcast(prior))
     )
     if fold_col:
-        fstats = df.groupBy(cat_col, fold_col).agg(
+        fstats = df.groupBy(
+            F.col(cat_col).alias("__fcat"), F.col(fold_col).alias("__ffold"),
+        ).agg(
             F.count(y).alias("__fn"),
             F.sum(y).alias("__fs"),
         )
-        j = j.join(F.broadcast(fstats), [cat_col, fold_col], "left")
+        j = j.join(
+            F.broadcast(fstats),
+            F.col(cat_col).eqNullSafe(F.col("__fcat"))
+            & F.col(fold_col).eqNullSafe(F.col("__ffold")),
+            "left",
+        ).drop("__fcat", "__ffold")
     m = F.lit(float(smoothing))
     if leave_one_out:
         n_eff = F.col("__n") - F.when(y.isNotNull(), 1).otherwise(0)

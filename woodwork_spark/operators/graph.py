@@ -73,6 +73,15 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if seeds is not None:
+        if not seeds:
+            raise ValueError("pagerank: seeds list is empty")
+        if redistribute_dangling:
+            raise ValueError(
+                "pagerank: redistribute_dangling with seeds is not "
+                "supported (dangling mass would need to re-teleport to "
+                "the seed set; drop one of the options)",
+            )
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -89,6 +98,17 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: edge list is empty (no non-null edges)")
+    if seeds is not None:
+        # a seed absent from the graph silently drops its teleport share
+        # (all-zero ranks when NO seed is present) — surface the misuse
+        present = nodes.filter(F.col("node").isin(list(seeds))).count()
+        if present < len(set(seeds)):
+            raise ValueError(
+                f"pagerank: {len(set(seeds)) - present} of "
+                f"{len(set(seeds))} seeds do not appear in the graph",
+            )
     if broadcast_ranks is None:
         broadcast_ranks = n <= _BROADCAST_RANKS_MAX_NODES
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
@@ -103,14 +123,6 @@ def pagerank(
         # the full edge list re-shuffles once per iteration.
         ew = e.join(deg, "src").repartition("src").persist()
     if seeds is not None:
-        if not seeds:
-            raise ValueError("pagerank: seeds list is empty")
-        if redistribute_dangling:
-            raise ValueError(
-                "pagerank: redistribute_dangling with seeds is not "
-                "supported (dangling mass would need to re-teleport to "
-                "the seed set; drop one of the options)",
-            )
         s_n = len(set(seeds))
         teleport = F.when(
             F.col("node").isin(list(seeds)), F.lit((1.0 - damping) / s_n),
@@ -778,6 +790,8 @@ def hits(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("hits: edge list is empty (no non-null edges)")
     if broadcast_ranks is None:
         broadcast_ranks = n <= _BROADCAST_RANKS_MAX_NODES
     if broadcast_ranks:

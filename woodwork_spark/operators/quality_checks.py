@@ -372,12 +372,21 @@ def t_closeness_report(
     global_dist = gv.crossJoin(F.broadcast(gtot)).select(
         "__v", (F.col("__gc") / F.col("__gn")).alias("__pg"), "__m",
     )
-    grp_counts = base.groupBy(*qi_cols, "__v").agg(
-        F.count(F.lit(1)).alias("__c"),
-    )
+    # null-SAFE join keys: NULL quasi-identifier values form their own
+    # group (documented), so a plain equi-join would drop every count
+    # of such a group and report a near-maximal phantom EMD
+    grp_counts = base.groupBy(
+        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(qi_cols)],
+        F.col("__v").alias("__kv"),
+    ).agg(F.count(F.lit(1)).alias("__c"))
     grp_sizes = base.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("__n"))
     grid = grp_sizes.crossJoin(F.broadcast(global_dist))
-    joined = grid.join(grp_counts, [*qi_cols, "__v"], "left")
+    cond = F.col("__v").eqNullSafe(F.col("__kv"))
+    for i, c in enumerate(qi_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__k{i}"))
+    joined = grid.join(grp_counts, cond, "left").drop(
+        "__kv", *[f"__k{i}" for i in range(len(qi_cols))],
+    )
     diff = F.coalesce(F.col("__c"), F.lit(0)) / F.col("__n") - F.col("__pg")
     w = (
         W.partitionBy(*[F.col(c) for c in qi_cols])

@@ -430,15 +430,16 @@ def negative_sample(
 
     1. items get a dense 0-based index ordered by ``item_col`` (the
        range-partitioned ``global_row_number`` — no single reducer);
-    2. each (query, draw j < k + oversample) picks index
+    2. each (query, draw j) for j in [0, oversample) — ``oversample``
+       is the TOTAL draw count, defaulting to ``k + 8`` — picks index
        ``int(md5(salt || query || '#' || j)[:8], 16) % n_items``;
     3. collisions (same item drawn twice for one query) keep the
        earliest j; the query's positives are anti-joined out;
     4. survivors are re-ranked by j per query (partitioned window) and
        the first ``k`` kept.
 
-    ``oversample`` (default ``k + 8``) is the slack that absorbs
-    collision + positive-hit losses; queries with pathologically many
+    The ``oversample - k`` slack absorbs collision + positive-hit
+    losses; queries with pathologically many
     positives relative to the universe may return fewer than ``k``
     negatives (documented over a resample loop, which would break
     single-pass determinism).  Returns ``(query_col, item_col,

@@ -494,34 +494,41 @@ def mmr_select(
                 .groupBy("__id")
                 .agg(
                     F.first("__rel").alias("__rel"),
+                    F.first("__v").alias("__v"),
+                    F.first("__n").alias("__n"),
                     F.max("__cos").alias("__maxsim"),
                 )
             )
         else:
             sims = remaining.select(
-                "__id", "__rel", F.lit(0.0).alias("__maxsim"),
+                "__id", "__rel", "__v", "__n",
+                F.lit(0.0).alias("__maxsim"),
             )
         scored = sims.withColumn(
             "__score",
             F.lit(float(lam)) * F.col("__rel")
             - F.lit(1.0 - float(lam)) * F.col("__maxsim"),
         )
+        # the winner's vector/norm/rel ride in the argmin struct — the
+        # (neg score, id) prefix is already a total order (ids unique),
+        # so the payload fields never drive a comparison and the step
+        # stays ONE job (a second fetch-the-winner scan would double it)
         best = scored.agg(
             F.min(
                 F.struct(
                     (-F.col("__score")).alias("neg"),
                     F.col("__id").alias("id"),
                     F.col("__score").alias("score"),
+                    F.col("__v").alias("v"),
+                    F.col("__n").alias("n"),
+                    F.col("__rel").alias("rel"),
                 ),
             ).alias("b"),
         ).first()["b"]
         if best is None or best["id"] is None:
             break  # candidates exhausted
-        win = remaining.filter(F.col("__id") == best["id"]).select(
-            "__id", "__v", "__n", "__rel",
-        ).first()
         picked.append(
-            (win["__id"], win["__v"], win["__n"], win["__rel"],
+            (best["id"], best["v"], best["n"], best["rel"],
              float(best["score"])),
         )
         remaining = remaining.filter(F.col("__id") != best["id"])
