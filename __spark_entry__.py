@@ -11963,3 +11963,354 @@ ORACLE["ppr"] = """
     )
     SELECT node, round(pr + 0.0000000001, 8) AS pagerank FROM r3
 """
+
+
+def q_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences of event value (even-user cohort
+    treated, mid-month cutover): four cell aggregates in one pass,
+    heteroskedasticity-robust SE from the cell variances."""
+    from woodwork_spark.operators.causal import diff_in_diff
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = diff_in_diff(
+        ev,
+        (F.col("user_id") % 2 == 0),
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+        "value",
+    )
+    return out.select(
+        "n",
+        _ravg(F.col("did"), 6).alias("did"),
+        _ravg(F.col("se"), 6).alias("se"),
+        _ravg(F.col("ci_lo"), 6).alias("ci_lo"),
+        _ravg(F.col("ci_hi"), 6).alias("ci_hi"),
+    )
+
+
+def q_matching_att(spark, sf_dir):
+    """Exact-matching ATT of the orderkey%3 'treatment' on total price
+    within (priority, status) cells — one cell aggregation + fold,
+    unmatched treated rows reported, never imputed."""
+    from woodwork_spark.operators.causal import exact_match_att
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    out = exact_match_att(
+        o, (F.col("o_orderkey") % 3 == 0), "o_totalprice",
+        ["o_orderpriority", "o_orderstatus"],
+    )
+    return out.select(
+        "n_treated", "n_matched_treated",
+        _ravg(F.col("matched_fraction"), 6).alias("matched_fraction"),
+        _ravg(F.col("att"), 6).alias("att"),
+        "n_cells", "n_matched_cells",
+    )
+
+
+def q_qini(spark, sf_dir):
+    """Uplift deciles + Qini curve for event value as an uplift score
+    (even-user 'treatment', purchase response): distributed ntile,
+    per-bucket fold, 10-row cumulative window."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.evaluation import qini_uplift
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = qini_uplift(
+        ev, "value", (F.col("user_id") % 2 == 0),
+        F.col("event_type") == "purchase",
+        n_buckets=10, tiebreak="event_id",
+    )
+    return attach_persisted(out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_treated", "resp_treated", "n_control", "resp_control",
+        _ravg(F.col("uplift"), 6).alias("uplift"),
+        _ravg(F.col("qini"), 6).alias("qini"),
+    ), *persisted_frames(out))
+
+
+def q_rmst(spark, sf_dir):
+    """Restricted mean time-to-purchase (first 200 h) per user cohort:
+    the Kaplan-Meier step integral — one lag window over distinct event
+    times + one fold per cohort."""
+    from woodwork_spark.operators.timeseries import rmst
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+    )
+    durs = per_user.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(
+            F.col("__p").isNotNull(),
+            F.floor(
+                (F.unix_micros("__p") - F.unix_micros("__t0")) / 3.6e9,
+            ),
+        ).otherwise(
+            F.floor(
+                (F.unix_micros("__last") - F.unix_micros("__t0")) / 3.6e9,
+            ),
+        ).alias("dur_h"),
+        F.col("__p").isNotNull().cast("int").alias("purchased"),
+    )
+    out = rmst(durs, "dur_h", "purchased", horizon=200.0,
+               group_cols=["cohort"])
+    return out.select(
+        "cohort",
+        "horizon",
+        _ravg(F.col("rmst"), 6).alias("rmst"),
+        "n_times",
+    )
+
+
+def q_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit over documents in doc_id order:
+    token explode + two grouped aggs + two inclusive range-partitioned
+    prefix sums + one closed-form OLS fold — no sequential scan."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.text import heaps_fit
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = heaps_fit(docs, "doc_id", "text")
+    return attach_persisted(out.select(
+        "n_docs", "total_tokens", "vocab",
+        _ravg(F.col("beta"), 6).alias("beta"),
+        _ravg(F.col("k"), 6).alias("k"),
+    ), *persisted_frames(out))
+
+
+QUERIES["diff_in_diff"] = q_diff_in_diff
+QUERIES["matching_att"] = q_matching_att
+QUERIES["qini"] = q_qini
+QUERIES["rmst"] = q_rmst
+QUERIES["heaps"] = q_heaps
+
+
+ORACLE["diff_in_diff"] = """
+    WITH base AS (
+        SELECT (user_id % 2 = 0) AS t,
+               (ts >= TIMESTAMP '2024-01-16') AS p,
+               value AS y
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ),
+    cells AS (
+        SELECT t, p, count(*) AS n, avg(y) AS m, var_samp(y) AS v
+        FROM base GROUP BY t, p
+    ),
+    folded AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n,
+               max(CASE WHEN t AND p THEN m END) AS m11,
+               max(CASE WHEN t AND NOT p THEN m END) AS m10,
+               max(CASE WHEN NOT t AND p THEN m END) AS m01,
+               max(CASE WHEN NOT t AND NOT p THEN m END) AS m00,
+               max(CASE WHEN t AND p THEN v / n END) AS vn11,
+               max(CASE WHEN t AND NOT p THEN v / n END) AS vn10,
+               max(CASE WHEN NOT t AND p THEN v / n END) AS vn01,
+               max(CASE WHEN NOT t AND NOT p THEN v / n END) AS vn00
+        FROM cells
+    )
+    SELECT n,
+           round(((m11 - m10) - (m01 - m00)) + 0.0000001, 6) AS did,
+           round(sqrt(vn11 + vn10 + vn01 + vn00) + 0.0000001, 6) AS se,
+           round(((m11 - m10) - (m01 - m00))
+                 - 1.96 * sqrt(vn11 + vn10 + vn01 + vn00)
+                 + 0.0000001, 6) AS ci_lo,
+           round(((m11 - m10) - (m01 - m00))
+                 + 1.96 * sqrt(vn11 + vn10 + vn01 + vn00)
+                 + 0.0000001, 6) AS ci_hi
+    FROM folded
+"""
+
+ORACLE["matching_att"] = """
+    WITH base AS (
+        SELECT o_orderpriority, o_orderstatus,
+               (o_orderkey % 3 = 0) AS t, o_totalprice AS y
+        FROM orders
+        WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    cells AS (
+        SELECT o_orderpriority, o_orderstatus,
+               sum(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
+               sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nc,
+               avg(CASE WHEN t THEN y END) AS mt,
+               avg(CASE WHEN NOT t THEN y END) AS mc
+        FROM base GROUP BY 1, 2
+    )
+    SELECT CAST(sum(nt) AS BIGINT) AS n_treated,
+           CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN nt ELSE 0 END)
+                AS BIGINT) AS n_matched_treated,
+           round(sum(CASE WHEN nt > 0 AND nc > 0 THEN nt ELSE 0 END)
+                 / CAST(sum(nt) AS DOUBLE) + 0.0000001, 6)
+               AS matched_fraction,
+           round(sum(CASE WHEN nt > 0 AND nc > 0
+                          THEN nt * (mt - mc) END)
+                 / sum(CASE WHEN nt > 0 AND nc > 0 THEN nt END)
+                 + 0.0000001, 6) AS att,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched_cells
+    FROM cells
+"""
+
+ORACLE["qini"] = """
+    WITH base AS (
+        SELECT value AS s, event_id AS id,
+               (user_id % 2 = 0) AS t,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+              AND user_id IS NOT NULL
+    ),
+    tiled AS (
+        SELECT t, y, NTILE(10) OVER (ORDER BY s DESC, id ASC) AS bucket
+        FROM base
+    ),
+    pb AS (
+        SELECT bucket,
+               sum(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
+               sum(CASE WHEN t THEN y ELSE 0 END) AS rt,
+               sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nc,
+               sum(CASE WHEN NOT t THEN y ELSE 0 END) AS rc
+        FROM tiled GROUP BY bucket
+    ),
+    c AS (
+        SELECT bucket, nt, rt, nc, rc,
+               sum(rt) OVER w AS crt, sum(rc) OVER w AS crc,
+               sum(nt) OVER w AS cnt, sum(nc) OVER w AS cnc
+        FROM pb
+        WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(nt AS BIGINT) AS n_treated,
+           CAST(rt AS BIGINT) AS resp_treated,
+           CAST(nc AS BIGINT) AS n_control,
+           CAST(rc AS BIGINT) AS resp_control,
+           CASE WHEN nt > 0 AND nc > 0 THEN
+               round((rt / nt - rc / nc) + 0.0000001, 6) END AS uplift,
+           CASE WHEN cnc > 0 AND cnt > 0 THEN
+               round((crt - crc * (cnt / cnc)) + 0.0000001, 6) END AS qini
+    FROM c
+"""
+
+ORACLE["rmst"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+               max(ts) AS lastts
+        FROM events GROUP BY user_id
+    ), durs AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
+               CASE WHEN p IS NOT NULL
+                    THEN CAST(floor((epoch_us(p) - epoch_us(t0))
+                                    / 3600000000.0) AS BIGINT)
+                    ELSE CAST(floor((epoch_us(lastts) - epoch_us(t0))
+                                    / 3600000000.0) AS BIGINT)
+               END AS dur_h,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per_user
+    ), counts AS (
+        SELECT cohort, dur_h AS duration,
+               sum(ev) AS n_events, count(*) AS nn
+        FROM durs GROUP BY cohort, dur_h
+    ), staged AS (
+        SELECT cohort, duration, n_events,
+               sum(nn) OVER (PARTITION BY cohort ORDER BY duration DESC
+                             ROWS UNBOUNDED PRECEDING) AS at_risk
+        FROM counts
+    ), surv AS (
+        SELECT cohort, duration, n_events, at_risk,
+               exp(sum(CASE WHEN n_events > 0 THEN
+                           CASE WHEN 1.0 - n_events
+                                     / CAST(at_risk AS DOUBLE) > 0
+                                THEN ln(1.0 - n_events
+                                        / CAST(at_risk AS DOUBLE))
+                                ELSE -745.0 END
+                           ELSE 0.0 END)
+                   OVER (PARTITION BY cohort ORDER BY duration ASC
+                         ROWS UNBOUNDED PRECEDING)) AS survival
+        FROM staged
+    ), evrows AS (
+        SELECT cohort, CAST(duration AS DOUBLE) AS t, survival
+        FROM surv WHERE n_events > 0
+    ), segs AS (
+        SELECT cohort, t, survival,
+               coalesce(lag(survival) OVER w, 1.0) AS prev_s,
+               coalesce(lag(t) OVER w, 0.0) AS prev_t
+        FROM evrows
+        WINDOW w AS (PARTITION BY cohort ORDER BY t)
+    )
+    SELECT cohort,
+           CAST(200.0 AS DOUBLE) AS horizon,
+           round(sum(prev_s * (least(t, 200.0) - least(prev_t, 200.0)))
+                 + max_by(survival, t) * (200.0 - least(max(t), 200.0))
+                 + 0.0000001, 6) AS rmst,
+           CAST(count(*) AS BIGINT) AS n_times
+    FROM segs GROUP BY cohort
+"""
+
+ORACLE["heaps"] = """
+    WITH docs AS (
+        SELECT doc_id AS doc, text FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    toks AS (
+        SELECT doc, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM docs
+    ),
+    per_doc AS (
+        SELECT d.doc, coalesce(c.nt, 0) AS nt
+        FROM docs d LEFT JOIN (
+            SELECT doc, count(*) AS nt FROM toks GROUP BY doc
+        ) c ON d.doc = c.doc
+    ),
+    firsts AS (
+        SELECT doc, count(*) AS nv FROM (
+            SELECT tok, min(doc) AS doc FROM toks GROUP BY tok
+        ) GROUP BY doc
+    ),
+    staged AS (
+        SELECT p.doc, p.nt, coalesce(f.nv, 0) AS nv
+        FROM per_doc p LEFT JOIN firsts f ON p.doc = f.doc
+    ),
+    ranked AS (
+        SELECT doc,
+               CAST(sum(nt) OVER w AS BIGINT) AS N,
+               CAST(sum(nv) OVER w AS BIGINT) AS V
+        FROM staged
+        WINDOW w AS (ORDER BY doc ROWS UNBOUNDED PRECEDING)
+    ),
+    pts AS (
+        SELECT ln(CAST(N AS DOUBLE)) AS x, ln(CAST(V AS DOUBLE)) AS y
+        FROM ranked WHERE N > 0 AND V > 0
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS DOUBLE) AS m,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(N) AS BIGINT) AS total_tokens,
+               CAST(max(V) AS BIGINT) AS vocab
+        FROM ranked
+    )
+    SELECT n_docs, total_tokens, vocab,
+           CASE WHEN m > 1 AND (sxx - sx * sx / m) > 0 THEN
+               round((sxy - sx * sy / m) / (sxx - sx * sx / m)
+                     + 0.0000001, 6) END AS beta,
+           CASE WHEN m > 1 AND (sxx - sx * sx / m) > 0 THEN
+               round(exp(sy / m - ((sxy - sx * sy / m)
+                                   / (sxx - sx * sx / m)) * (sx / m))
+                     + 0.0000001, 6) END AS k
+    FROM tot, agg
+"""

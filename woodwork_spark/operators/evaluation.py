@@ -811,3 +811,87 @@ def classification_report(
             2.0 * prec * rec / (prec + rec),
         ).alias("f1"),
     )
+
+
+def qini_uplift(
+    df: DataFrame,
+    score_col: str,
+    treat_col,
+    label_col,
+    n_buckets: int = 10,
+    tiebreak=None,
+) -> DataFrame:
+    """Uplift-by-decile table with the Qini curve: rank everyone by the
+    uplift score (bucket 1 = highest), then per bucket compare the
+    treated response rate against the control response rate — "does
+    targeting the model's top decile actually cause more conversions
+    than it would get anyway".  ``qini`` is the cumulative incremental
+    responders ``cumR_t - cumR_c * cumN_t / cumN_c`` (treated
+    responders minus the control responders scaled to the treated
+    volume) — the standard uplift evaluation curve.
+
+    Bucketing is :func:`rank.global_ntile` over ``(score DESC,
+    tiebreak)`` (range-partitioned, no single-reducer window; pass a
+    unique ``tiebreak`` for reproducible tables); the per-bucket fold
+    and cumulative window run over ``n_buckets`` rows.  Rows with a
+    null score/treatment/label are excluded.
+
+    Returns one row per bucket: ``(bucket, n_treated, resp_treated,
+    n_control, resp_control, uplift, qini)``; ``uplift`` null where a
+    bucket lacks one arm, ``qini`` null until both cumulative arms are
+    non-empty.
+    """
+    from .rank import global_ntile
+    from ..lifecycle import attach_persisted as _attach, persisted_frames as _pf
+
+    tr = (
+        F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    ).cast("boolean")
+    lbl = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    base = df.filter(
+        tr.isNotNull() & lbl.isNotNull() & F.col(score_col).isNotNull(),
+    ).select(
+        F.col(score_col).alias("__s"),
+        tr.alias("__t"),
+        lbl.cast("int").alias("__y"),
+        *([
+            (F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak)
+            .alias("__tb"),
+        ] if tiebreak is not None else []),
+    )
+    order = [F.desc("__s")] + ([F.asc("__tb")] if tiebreak is not None else [])
+    tiled = global_ntile(base, order, n_buckets, out_col="bucket")
+    per_bucket = tiled.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0))
+        .cast("long").alias("n_treated"),
+        F.sum(F.when(F.col("__t"), F.col("__y")).otherwise(0))
+        .cast("long").alias("resp_treated"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0))
+        .cast("long").alias("n_control"),
+        F.sum(F.when(~F.col("__t"), F.col("__y")).otherwise(0))
+        .cast("long").alias("resp_control"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    rate_t = F.when(
+        F.col("n_treated") > 0, F.col("resp_treated") / F.col("n_treated"),
+    )
+    rate_c = F.when(
+        F.col("n_control") > 0, F.col("resp_control") / F.col("n_control"),
+    )
+    cum_rt = F.sum("resp_treated").over(w)
+    cum_rc = F.sum("resp_control").over(w)
+    cum_nt = F.sum("n_treated").over(w)
+    cum_nc = F.sum("n_control").over(w)
+    out = per_bucket.select(
+        "bucket", "n_treated", "resp_treated", "n_control", "resp_control",
+        (rate_t - rate_c).alias("uplift"),
+        F.when(
+            (cum_nc > 0) & (cum_nt > 0),
+            cum_rt - cum_rc * (cum_nt / cum_nc),
+        ).alias("qini"),
+    )
+    return _attach(out, *_pf(tiled))

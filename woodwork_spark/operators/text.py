@@ -800,3 +800,84 @@ def hashed_term_vectors(
             .drop("__norm")
         )
     return assembled
+
+
+def heaps_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: reading the corpus in
+    ``id_col`` order, the distinct-token count grows ~ ``K * N^beta``
+    with N the running token total — ``beta`` is the planning number
+    for "how much NEW vocabulary will the next 10x of data bring"
+    (tokenizer sizing, OOV forecasting, dedup saturation).
+
+    Distributed construction with NO sequential scan:
+
+    1. one token explode -> per-doc token counts AND per-token first
+       document (``min(doc)`` — one grouped agg each);
+    2. the running totals ``N_d`` and vocabulary ``V_d`` at every doc
+       are two INCLUSIVE range-partitioned prefix sums (first-seen
+       counts per doc join null-safely onto the doc list);
+    3. the log-log OLS slope/intercept folds from one aggregate over
+       the (doc, N_d, V_d) points — closed form, no iteration.
+
+    Returns one row: ``(n_docs, total_tokens, vocab, beta, k)``;
+    ``beta``/``k`` null with < 2 docs (no slope from one point).
+    Empty-token docs still advance the doc axis.  Null ids/texts are
+    excluded.
+    """
+    from .rank import global_prefix_sums
+
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull(),
+    ).select(F.col(id_col).alias("__doc"), F.col(text_col).alias("__text"))
+    toks = base.select(
+        "__doc", F.explode(tokens_expr("__text")).alias("__tok"),
+    ).persist()
+    per_doc = base.join(
+        toks.groupBy("__doc").agg(F.count(F.lit(1)).alias("__nt")),
+        "__doc", "left",
+    ).select(
+        "__doc", F.coalesce("__nt", F.lit(0)).alias("__nt"),
+    )
+    firsts = (
+        toks.groupBy("__tok").agg(F.min("__doc").alias("__doc"))
+        .groupBy("__doc").agg(F.count(F.lit(1)).alias("__nv"))
+    )
+    staged = per_doc.join(firsts, "__doc", "left").select(
+        "__doc", "__nt", F.coalesce("__nv", F.lit(0)).alias("__nv"),
+    )
+    ranked = global_prefix_sums(
+        staged, [F.asc("__doc")], ["__nt", "__nv"],
+        out_cols=["__N", "__V"], inclusive=True,
+    )
+    pts = ranked.filter((F.col("__N") > 0) & (F.col("__V") > 0)).select(
+        F.log(F.col("__N").cast("double")).alias("__x"),
+        F.log(F.col("__V").cast("double")).alias("__y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("__N").cast("long").alias("total_tokens"),
+        F.max("__V").cast("long").alias("vocab"),
+    )
+    m = F.col("__m").cast("double")
+    denom = F.col("__sxx") - F.col("__sx") * F.col("__sx") / m
+    beta = F.when(
+        (m > 1) & (denom > 0),
+        (F.col("__sxy") - F.col("__sx") * F.col("__sy") / m) / denom,
+    )
+    out = tot.crossJoin(F.broadcast(agg)).select(
+        "n_docs", "total_tokens", "vocab",
+        beta.alias("beta"),
+        F.exp(F.col("__sy") / m - beta * (F.col("__sx") / m)).alias("k"),
+    )
+    return attach_persisted(out, toks, *persisted_frames(ranked))

@@ -1126,3 +1126,51 @@ def logrank_test(
         ).alias("chi2"),
     )
     return attach_persisted(out, *persisted_frames(ranked))
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    horizon: float,
+    group_cols=(),
+) -> DataFrame:
+    """Restricted Mean Survival Time per group: the area under the
+    Kaplan-Meier curve up to ``horizon`` — "expected event-free time in
+    the first τ days", the standard censoring-safe effect size when
+    median survival is undefined or hazards cross.
+
+    Built on :func:`kaplan_meier` (same distributed shape: windows run
+    over distinct EVENT TIMES, not rows).  The step integral is
+    ``sum over event times t_i of S(t_{i-1}) * (min(t_i, τ) -
+    min(t_{i-1}, τ))`` (with ``S(t_0) = 1, t_0 = 0``) plus the tail
+    ``S(t_last) * (τ - min(t_last, τ))`` — one lag window per group +
+    one fold.  Returns one row per group: ``(group..., horizon, rmst,
+    n_times)``; groups with zero observed events contribute no row
+    (their KM curve is flat 1.0 — RMST is trivially ``horizon``;
+    documented over fabricating rows).
+    """
+    if horizon <= 0:
+        raise ValueError(f"horizon must be > 0, got {horizon}")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    km = kaplan_meier(df, duration_col, event_col, group_cols)
+    w = W.partitionBy(*group_cols).orderBy("duration")
+    t = F.col("duration").cast("double")
+    tau = F.lit(float(horizon))
+    prev_s = F.lag("survival", 1, 1.0).over(w)
+    prev_t = F.lag(t, 1).over(w)
+    seg = prev_s * (
+        F.least(t, tau) - F.least(F.coalesce(prev_t, F.lit(0.0)), tau)
+    )
+    staged = km.withColumn("__seg", seg)
+    return staged.groupBy(*group_cols).agg(
+        F.lit(float(horizon)).alias("horizon"),
+        (
+            F.sum("__seg")
+            + F.max_by("survival", t)
+            * (tau - F.least(F.max(t), tau))
+        ).alias("rmst"),
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+    )
