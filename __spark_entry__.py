@@ -12314,3 +12314,336 @@ ORACLE["heaps"] = """
                      + 0.0000001, 6) END AS k
     FROM tot, agg
 """
+
+
+def q_cuped(spark, sf_dir):
+    """CUPED-adjusted A/B effect on event value (even-user 'treatment',
+    covariate = value + id-hash noise): one moment aggregation over the
+    two arms, explicit sums-of-squares arithmetic so the oracle
+    replays it bit-for-bit."""
+    from woodwork_spark.operators.causal import cuped_adjusted_effect
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "pre_metric", F.col("value") + (F.col("event_id") % 7),
+    )
+    out = cuped_adjusted_effect(
+        ev, (F.col("user_id") % 2 == 0), "value", "pre_metric",
+    )
+    return out.select(
+        "n_treat", "n_ctrl",
+        _ravg(F.col("theta"), 6).alias("theta"),
+        _ravg(F.col("effect_raw"), 6).alias("effect_raw"),
+        _ravg(F.col("se_raw"), 6).alias("se_raw"),
+        _ravg(F.col("effect_cuped"), 6).alias("effect_cuped"),
+        _ravg(F.col("se_cuped"), 6).alias("se_cuped"),
+        _ravg(F.col("var_reduction"), 6).alias("var_reduction"),
+    )
+
+
+def q_srm(spark, sf_dir):
+    """Sample-ratio-mismatch chi-square for a 3-arm equal-split design
+    keyed on user_id%3 — one grouped count, statistic folded over the
+    designed expectations."""
+    from woodwork_spark.operators.causal import srm_check
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "arm",
+        F.when(F.col("user_id") % 3 == 0, "a")
+        .when(F.col("user_id") % 3 == 1, "b")
+        .otherwise("c"),
+    )
+    out = srm_check(ev, "arm", {"a": 1.0, "b": 1.0, "c": 1.0})
+    return out.select(
+        "n", "n_arms",
+        _ravg(F.col("chi2"), 6).alias("chi2"),
+        "dof",
+    )
+
+
+def q_cluster_agreement(spark, sf_dir):
+    """Purity / NMI / ARI of a first-dimension bucketing of the
+    embeddings against their ground-truth labels — one contingency
+    aggregation + marginal folds, pair counts exact."""
+    from woodwork_spark.operators.similarity import cluster_agreement
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.floor(F.col("embedding")[0].cast("double") * 4).cast("long")
+        .alias("cluster"),
+        "label",
+    )
+    out = cluster_agreement(emb, "cluster", "label")
+    return out.select(
+        "n", "n_clusters", "n_labels",
+        _ravg(F.col("purity"), 6).alias("purity"),
+        _ravg(F.col("nmi"), 6).alias("nmi"),
+        _ravg(F.col("ari"), 6).alias("ari"),
+    )
+
+
+def q_silhouette(spark, sf_dir):
+    """Simplified (centroid) silhouette per cluster against the
+    vec_id 0..3 centroids: one crossJoin vs the broadcast centroid
+    frame, nearest/second-nearest from a k-bounded sorted fold."""
+    from woodwork_spark.operators.similarity import silhouette_simplified
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int"),
+        F.col("embedding").cast("array<double>"),
+    )
+    out = silhouette_simplified(emb, "vec_id", "embedding", init)
+    return out.select(
+        "cluster", "n",
+        _ravg(F.col("mean_silhouette"), 6).alias("mean_silhouette"),
+    )
+
+
+def q_mde(spark, sf_dir):
+    """Minimum detectable effect of the current order 'experiment'
+    (orderkey parity arms) at conventional alpha/power — one moment
+    aggregation, caller-side z literals keep it replayable."""
+    from woodwork_spark.operators.causal import mde
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    out = mde(o, (F.col("o_orderkey") % 2 == 0), "o_totalprice")
+    return out.select(
+        "n_treat", "n_ctrl",
+        _ravg(F.col("mean_ctrl"), 6).alias("mean_ctrl"),
+        _ravg(F.col("mde_abs"), 6).alias("mde_abs"),
+        _ravg(F.col("mde_rel"), 6).alias("mde_rel"),
+    )
+
+
+QUERIES["cuped"] = q_cuped
+QUERIES["srm"] = q_srm
+QUERIES["cluster_agreement"] = q_cluster_agreement
+QUERIES["silhouette"] = q_silhouette
+QUERIES["mde"] = q_mde
+
+
+ORACLE["cuped"] = """
+    WITH base AS (
+        SELECT (user_id % 2 = 0) AS t, value AS y,
+               value + (event_id % 7) AS x
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+              AND event_id IS NOT NULL
+    ),
+    arms AS (
+        SELECT t, count(*) AS n, sum(y) AS sy, sum(x) AS sx,
+               sum(y * y) AS syy, sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM base GROUP BY t
+    ),
+    folded AS (
+        SELECT
+            max(CASE WHEN t THEN n END) AS n1,
+            max(CASE WHEN t THEN sy END) AS sy1,
+            max(CASE WHEN t THEN sx END) AS sx1,
+            max(CASE WHEN t THEN syy END) AS syy1,
+            max(CASE WHEN t THEN sxx END) AS sxx1,
+            max(CASE WHEN t THEN sxy END) AS sxy1,
+            max(CASE WHEN NOT t THEN n END) AS n0,
+            max(CASE WHEN NOT t THEN sy END) AS sy0,
+            max(CASE WHEN NOT t THEN sx END) AS sx0,
+            max(CASE WHEN NOT t THEN syy END) AS syy0,
+            max(CASE WHEN NOT t THEN sxx END) AS sxx0,
+            max(CASE WHEN NOT t THEN sxy END) AS sxy0
+        FROM arms
+    ),
+    calc AS (
+        SELECT *,
+            CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) AS n,
+            sy1 + sy0 AS sy, sx1 + sx0 AS sx,
+            sxx1 + sxx0 AS sxx, sxy1 + sxy0 AS sxy
+        FROM folded
+    ),
+    th AS (
+        SELECT *,
+            CASE WHEN (sxx - sx * sx / n) > 0
+                 THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) END AS theta
+        FROM calc
+    ),
+    stats AS (
+        SELECT *,
+            CAST(n1 AS DOUBLE) AS nt, CAST(n0 AS DOUBLE) AS nc,
+            (syy1 - sy1 * sy1 / CAST(n1 AS DOUBLE))
+                / (CAST(n1 AS DOUBLE) - 1) AS vy1,
+            (sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE))
+                / (CAST(n1 AS DOUBLE) - 1) AS vx1,
+            (sxy1 - sx1 * sy1 / CAST(n1 AS DOUBLE))
+                / (CAST(n1 AS DOUBLE) - 1) AS c1,
+            (syy0 - sy0 * sy0 / CAST(n0 AS DOUBLE))
+                / (CAST(n0 AS DOUBLE) - 1) AS vy0,
+            (sxx0 - sx0 * sx0 / CAST(n0 AS DOUBLE))
+                / (CAST(n0 AS DOUBLE) - 1) AS vx0,
+            (sxy0 - sx0 * sy0 / CAST(n0 AS DOUBLE))
+                / (CAST(n0 AS DOUBLE) - 1) AS c0
+        FROM th
+    ),
+    fin AS (
+        SELECT n1, n0, theta,
+            sy1 / nt - sy0 / nc AS effect_raw,
+            sqrt(vy1 / nt + vy0 / nc) AS se_raw,
+            (sy1 - theta * sx1) / nt - (sy0 - theta * sx0) / nc
+                AS effect_cuped,
+            sqrt((vy1 - 2.0 * theta * c1 + theta * theta * vx1) / nt
+                 + (vy0 - 2.0 * theta * c0 + theta * theta * vx0) / nc)
+                AS se_cuped
+        FROM stats
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_ctrl,
+           round(theta + 0.0000001, 6) AS theta,
+           round(effect_raw + 0.0000001, 6) AS effect_raw,
+           round(se_raw + 0.0000001, 6) AS se_raw,
+           round(effect_cuped + 0.0000001, 6) AS effect_cuped,
+           round(se_cuped + 0.0000001, 6) AS se_cuped,
+           CASE WHEN se_raw > 0 THEN
+               round(1.0 - (se_cuped * se_cuped) / (se_raw * se_raw)
+                     + 0.0000001, 6) END AS var_reduction
+    FROM fin
+"""
+
+ORACLE["srm"] = """
+    WITH counts AS (
+        SELECT CASE WHEN user_id % 3 = 0 THEN 'a'
+                    WHEN user_id % 3 = 1 THEN 'b'
+                    ELSE 'c' END AS arm,
+               count(*) AS observed
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1
+    ),
+    t AS (SELECT sum(observed) AS n FROM counts),
+    cells AS (
+        SELECT arm, observed, n * (1.0 / 3.0) AS e
+        FROM counts, t
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_arms,
+           round(sum((observed - e) * (observed - e) / e)
+                 + 0.0000001, 6) AS chi2,
+           CAST(count(*) - 1 AS BIGINT) AS dof
+    FROM cells, t
+"""
+
+ORACLE["cluster_agreement"] = """
+    WITH base AS (
+        SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 4) AS BIGINT)
+                   AS c,
+               CAST(label AS VARCHAR) AS l
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    cells AS (SELECT CAST(c AS VARCHAR) AS c, l, count(*) AS n
+              FROM base GROUP BY 1, 2),
+    cm AS (SELECT c, sum(n) AS a, max(n) AS dom FROM cells GROUP BY c),
+    lm AS (SELECT l, sum(n) AS b FROM cells GROUP BY l),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cells),
+    mi AS (
+        SELECT sum((cells.n / nn) * ln((cells.n * nn) / (cm.a * lm.b)))
+            AS v
+        FROM cells JOIN cm USING (c) JOIN lm USING (l), t
+    ),
+    hc AS (SELECT -sum((a / nn) * ln(a / nn)) AS v FROM cm, t),
+    hl AS (SELECT -sum((b / nn) * ln(b / nn)) AS v FROM lm, t),
+    pairs AS (
+        SELECT (SELECT sum(n * (n - 1) / 2.0) FROM cells) AS sp,
+               (SELECT sum(a * (a - 1) / 2.0) FROM cm) AS ap,
+               (SELECT sum(b * (b - 1) / 2.0) FROM lm) AS bp,
+               (SELECT sum(dom) FROM cm) AS domsum,
+               (SELECT count(*) FROM cm) AS kc,
+               (SELECT count(*) FROM lm) AS kl
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           CAST(kc AS BIGINT) AS n_clusters,
+           CAST(kl AS BIGINT) AS n_labels,
+           round(domsum / nn + 0.0000001, 6) AS purity,
+           CASE WHEN (hc.v + hl.v) > 0 THEN
+               round(2.0 * mi.v / (hc.v + hl.v) + 0.0000001, 6)
+           END AS nmi,
+           CASE WHEN nn * (nn - 1) / 2.0 > 0
+                     AND ((ap + bp) / 2.0
+                          - ap * bp / (nn * (nn - 1) / 2.0)) != 0 THEN
+               round((sp - ap * bp / (nn * (nn - 1) / 2.0))
+                     / ((ap + bp) / 2.0
+                        - ap * bp / (nn * (nn - 1) / 2.0))
+                     + 0.0000001, 6)
+           END AS ari
+    FROM pairs, mi, hc, hl, t
+"""
+
+ORACLE["silhouette"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    ),
+    c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e
+          WHERE vec_id < 4),
+    d AS (
+        SELECT e.vec_id, c.cid,
+               sqrt(greatest(
+                   list_dot_product(e.v, e.v)
+                   + list_dot_product(c.cv, c.cv)
+                   - 2 * list_dot_product(e.v, c.cv), 0.0)) AS dist
+        FROM e CROSS JOIN c
+    ),
+    r AS (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d
+    ),
+    ab AS (
+        SELECT a.vec_id, a.cid AS cluster, a.dist AS da, b.dist AS db
+        FROM (SELECT * FROM r WHERE rn = 1) a
+        JOIN (SELECT * FROM r WHERE rn = 2) b USING (vec_id)
+    )
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           round(avg(CASE WHEN greatest(da, db) > 0
+                          THEN (db - da) / greatest(da, db)
+                          ELSE 0.0 END) + 0.0000001, 6)
+               AS mean_silhouette
+    FROM ab GROUP BY cluster
+"""
+
+ORACLE["mde"] = """
+    WITH base AS (
+        SELECT (o_orderkey % 2 = 0) AS t, o_totalprice AS y
+        FROM orders
+        WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    arms AS (
+        SELECT t, count(*) AS n, sum(y) AS s, sum(y * y) AS ss
+        FROM base GROUP BY t
+    ),
+    folded AS (
+        SELECT max(CASE WHEN t THEN n END) AS n1,
+               max(CASE WHEN t THEN s END) AS s1,
+               max(CASE WHEN t THEN ss END) AS ss1,
+               max(CASE WHEN NOT t THEN n END) AS n0,
+               max(CASE WHEN NOT t THEN s END) AS s0,
+               max(CASE WHEN NOT t THEN ss END) AS ss0
+        FROM arms
+    ),
+    fin AS (
+        SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n0 AS BIGINT) AS n_ctrl,
+               s0 / CAST(n0 AS DOUBLE) AS mean_ctrl,
+               (1.959964 + 0.841621)
+               * sqrt(((ss1 - s1 * s1 / CAST(n1 AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE) - 1)) / CAST(n1 AS DOUBLE)
+                      + ((ss0 - s0 * s0 / CAST(n0 AS DOUBLE))
+                         / (CAST(n0 AS DOUBLE) - 1)) / CAST(n0 AS DOUBLE))
+                   AS mde_abs
+        FROM folded
+    )
+    SELECT n_treat, n_ctrl,
+           round(mean_ctrl + 0.0000001, 6) AS mean_ctrl,
+           round(mde_abs + 0.0000001, 6) AS mde_abs,
+           CASE WHEN mean_ctrl != 0 THEN
+               round(mde_abs / mean_ctrl + 0.0000001, 6) END AS mde_rel
+    FROM fin
+"""

@@ -1,0 +1,182 @@
+"""Round-6 batch 5: CUPED, SRM check, MDE, cluster agreement,
+simplified silhouette."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from woodwork_spark.operators.causal import (
+    cuped_adjusted_effect,
+    mde,
+    srm_check,
+)
+from woodwork_spark.operators.similarity import (
+    cluster_agreement,
+    silhouette_simplified,
+)
+
+
+# ---------------------------------------------------------------------- CUPED
+
+
+def test_cuped_perfect_covariate_kills_variance(spark):
+    # y = x exactly -> theta = 1, adjusted variance 0, effect preserved
+    import random
+
+    rnd = random.Random(5)
+    rows = [(i % 2 == 0, v, v) for i, v in
+            ((i, rnd.gauss(10, 3)) for i in range(200))]
+    df = spark.createDataFrame(rows, "t boolean, y double, x double")
+    r = cuped_adjusted_effect(df, "t", "y", "x").first()
+    assert r["theta"] == pytest.approx(1.0)
+    assert r["se_cuped"] == pytest.approx(0.0, abs=1e-9)
+    assert r["var_reduction"] == pytest.approx(1.0, abs=1e-9)
+    assert r["effect_cuped"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_cuped_useless_covariate_changes_nothing(spark):
+    rows = [
+        (True, 10.0, 1.0), (True, 12.0, 1.0),
+        (False, 5.0, 1.0), (False, 7.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "t boolean, y double, x double")
+    r = cuped_adjusted_effect(df, "t", "y", "x").first()
+    assert r["theta"] is None  # zero covariate variance
+    # raw effect still reported
+    assert r["effect_raw"] == pytest.approx(5.0)
+
+
+# ------------------------------------------------------------------------ SRM
+
+
+def test_srm_balanced_is_small(spark):
+    rows = [(chr(ord("a") + i % 2),) for i in range(100)]
+    df = spark.createDataFrame(rows, "arm string")
+    r = srm_check(df, "arm", {"a": 1, "b": 1}).first()
+    assert r["chi2"] == pytest.approx(0.0)
+    assert (r["n"], r["n_arms"], r["dof"]) == (100, 2, 1)
+
+
+def test_srm_golden_chi2(spark):
+    rows = [("a",)] * 60 + [("b",)] * 40
+    df = spark.createDataFrame(rows, "arm string")
+    r = srm_check(df, "arm", {"a": 1, "b": 1}).first()
+    assert r["chi2"] == pytest.approx((60 - 50) ** 2 / 50 + (40 - 50) ** 2 / 50)
+
+
+def test_srm_unexpected_arm_raises(spark):
+    df = spark.createDataFrame([("a",), ("zzz",)], "arm string")
+    with pytest.raises(ValueError, match="observed but"):
+        srm_check(df, "arm", {"a": 1, "b": 1})
+
+
+def test_srm_unobserved_arm_contributes_expectation(spark):
+    df = spark.createDataFrame([("a",)] * 30, "arm string")
+    r = srm_check(df, "arm", {"a": 1, "b": 1}).first()
+    # expected 15/15, observed 30/0 -> chi2 = 225/15 + 225/15 = 30
+    assert r["chi2"] == pytest.approx(30.0)
+    assert r["n_arms"] == 2
+
+
+def test_srm_validation(spark):
+    df = spark.createDataFrame([("a",)], "arm string")
+    with pytest.raises(ValueError, match="required"):
+        srm_check(df, "arm", {})
+
+
+# ------------------------------------------------------------------------ MDE
+
+
+def test_mde_golden(spark):
+    # two arms with known variance
+    rows = [(True, v) for v in (8.0, 12.0)] + [(False, v) for v in (4.0, 6.0)]
+    df = spark.createDataFrame(rows, "t boolean, y double")
+    r = mde(df, "t", "y").first()
+    var_t, var_c = 8.0, 2.0
+    expected = (1.959964 + 0.841621) * math.sqrt(var_t / 2 + var_c / 2)
+    assert r["mde_abs"] == pytest.approx(expected)
+    assert r["mean_ctrl"] == pytest.approx(5.0)
+    assert r["mde_rel"] == pytest.approx(expected / 5.0)
+
+
+# ---------------------------------------------------------- cluster agreement
+
+
+def test_cluster_agreement_perfect(spark):
+    rows = [(i % 3, f"L{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "cluster int, label string")
+    r = cluster_agreement(df, "cluster", "label").first()
+    assert r["purity"] == pytest.approx(1.0)
+    assert r["nmi"] == pytest.approx(1.0)
+    assert r["ari"] == pytest.approx(1.0)
+
+
+def test_cluster_agreement_matches_sklearn_formulas(spark):
+    # contingency [[5, 1], [2, 4]]
+    rows = (
+        [(0, "x")] * 5 + [(0, "y")] * 1 + [(1, "x")] * 2 + [(1, "y")] * 4
+    )
+    df = spark.createDataFrame(rows, "cluster int, label string")
+    r = cluster_agreement(df, "cluster", "label").first()
+    n = 12.0
+    # purity: dominant labels 5 + 4
+    assert r["purity"] == pytest.approx(9 / 12)
+    # hand ARI
+    comb = lambda x: x * (x - 1) / 2.0  # noqa: E731
+    sp = comb(5) + comb(1) + comb(2) + comb(4)
+    ap = comb(6) + comb(6)
+    bp = comb(7) + comb(5)
+    tp = comb(12)
+    exp = ap * bp / tp
+    assert r["ari"] == pytest.approx((sp - exp) / ((ap + bp) / 2 - exp))
+    # hand NMI (natural log, 2I/(Hc+Hl))
+    cells = {(0, "x"): 5, (0, "y"): 1, (1, "x"): 2, (1, "y"): 4}
+    a = {0: 6, 1: 6}
+    b = {"x": 7, "y": 5}
+    mi = sum(
+        (v / n) * math.log(v * n / (a[c] * b[l]))
+        for (c, l), v in cells.items()
+    )
+    hc = -sum((v / n) * math.log(v / n) for v in a.values())
+    hl = -sum((v / n) * math.log(v / n) for v in b.values())
+    assert r["nmi"] == pytest.approx(2 * mi / (hc + hl))
+
+
+def test_cluster_agreement_single_cluster_degenerate(spark):
+    rows = [(1, "x")] * 3 + [(1, "y")] * 3
+    df = spark.createDataFrame(rows, "cluster int, label string")
+    r = cluster_agreement(df, "cluster", "label").first()
+    assert r["purity"] == pytest.approx(0.5)
+    assert r["nmi"] == pytest.approx(0.0)  # MI = 0, entropies > 0
+
+
+# ----------------------------------------------------------------- silhouette
+
+
+def test_silhouette_well_separated(spark):
+    rows = (
+        [(i, [0.0 + i * 0.01, 0.0]) for i in range(5)]
+        + [(10 + i, [10.0 + i * 0.01, 0.0]) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    cents = [(0, [0.0, 0.0]), (1, [10.0, 0.0])]
+    out = {r["cluster"]: r for r in
+           silhouette_simplified(df, "id", "v", cents).collect()}
+    assert out[0]["n"] == 5 and out[1]["n"] == 5
+    assert out[0]["mean_silhouette"] > 0.99
+    assert out[1]["mean_silhouette"] > 0.99
+
+
+def test_silhouette_point_on_centroid_boundary(spark):
+    df = spark.createDataFrame([(1, [5.0])], "id long, v array<double>")
+    cents = [(0, [0.0]), (1, [10.0])]
+    r = silhouette_simplified(df, "id", "v", cents).first()
+    assert r["mean_silhouette"] == pytest.approx(0.0)  # equidistant
+    assert r["cluster"] == 0  # tie -> lowest centroid id
+
+
+def test_silhouette_validation(spark):
+    df = spark.createDataFrame([(1, [0.0])], "id long, v array<double>")
+    with pytest.raises(ValueError, match=">= 2 centroids"):
+        silhouette_simplified(df, "id", "v", [(0, [0.0])])

@@ -142,3 +142,214 @@ def exact_match_att(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.sum(matched.cast("long")).cast("long").alias("n_matched_cells"),
     )
+
+
+def cuped_adjusted_effect(
+    df: DataFrame,
+    treat_col,
+    y_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """CUPED variance reduction for an A/B effect estimate: adjust the
+    metric with a pre-experiment covariate, ``y' = y - theta * x``
+    with ``theta = cov(x, y) / var(x)`` pooled across arms, then report
+    the raw and adjusted difference-in-means with their standard
+    errors — the industry-standard way to shrink experiment confidence
+    intervals without collecting more data.
+
+    ONE aggregation over the two arms (moment sums, map-side
+    combinable); every statistic folds from the 2-row moment table
+    with explicit sums-of-squares arithmetic (no var_samp — an
+    external replayer must produce bit-comparable values).  Rows with
+    null treat/y/x are excluded.  Returns one row: ``(n_treat,
+    n_ctrl, theta, effect_raw, se_raw, effect_cuped, se_cuped,
+    var_reduction)``; null SEs when an arm has < 2 rows.
+    """
+    tr = (
+        F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    ).cast("boolean")
+    y = F.col(y_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    base = df.filter(
+        tr.isNotNull() & y.isNotNull() & x.isNotNull(),
+    ).select(tr.alias("__t"), y.alias("__y"), x.alias("__x"))
+    arms = base.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").alias("__sy"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+
+    def arm(t, c):
+        return F.max(F.when(F.col("__t") == t, F.col(c)))
+
+    folded = arms.agg(
+        *[
+            arm(t, c).alias(f"__{c[2:]}_{int(t)}")
+            for t in (True, False)
+            for c in ("__n", "__sy", "__sx", "__syy", "__sxx", "__sxy")
+        ],
+    )
+    nt = F.col("__n_1").cast("double")
+    nc = F.col("__n_0").cast("double")
+    n = nt + nc
+    sy = F.col("__sy_1") + F.col("__sy_0")
+    sx = F.col("__sx_1") + F.col("__sx_0")
+    sxx = F.col("__sxx_1") + F.col("__sxx_0")
+    sxy = F.col("__sxy_1") + F.col("__sxy_0")
+    # pooled theta = cov(x, y) / var(x); the (n-1) denominators cancel
+    var_x_num = sxx - sx * sx / n
+    theta = F.when(var_x_num > 0, (sxy - sx * sy / n) / var_x_num)
+
+    def arm_stats(i):
+        ni = F.col(f"__n_{i}").cast("double")
+        syi = F.col(f"__sy_{i}")
+        sxi = F.col(f"__sx_{i}")
+        mean_raw = syi / ni
+        mean_adj = (syi - theta * sxi) / ni
+        # var(y - theta x) = var_y - 2 theta cov_xy + theta^2 var_x
+        var_y = (F.col(f"__syy_{i}") - syi * syi / ni) / (ni - 1)
+        var_x = (F.col(f"__sxx_{i}") - sxi * sxi / ni) / (ni - 1)
+        cov = (F.col(f"__sxy_{i}") - sxi * syi / ni) / (ni - 1)
+        var_adj = var_y - 2.0 * theta * cov + theta * theta * var_x
+        return ni, mean_raw, mean_adj, var_y, var_adj
+
+    nt_, mr_t, ma_t, vy_t, va_t = arm_stats(1)
+    nc_, mr_c, ma_c, vy_c, va_c = arm_stats(0)
+    se_raw = F.sqrt(vy_t / nt_ + vy_c / nc_)
+    se_cuped = F.sqrt(va_t / nt_ + va_c / nc_)
+    return folded.select(
+        F.col("__n_1").cast("long").alias("n_treat"),
+        F.col("__n_0").cast("long").alias("n_ctrl"),
+        theta.alias("theta"),
+        (mr_t - mr_c).alias("effect_raw"),
+        F.when((nt_ > 1) & (nc_ > 1), se_raw).alias("se_raw"),
+        (ma_t - ma_c).alias("effect_cuped"),
+        F.when((nt_ > 1) & (nc_ > 1), se_cuped).alias("se_cuped"),
+        F.when(
+            (nt_ > 1) & (nc_ > 1) & (se_raw > 0),
+            1.0 - (se_cuped * se_cuped) / (se_raw * se_raw),
+        ).alias("var_reduction"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected: dict,
+) -> DataFrame:
+    """Sample-ratio-mismatch check: chi-square goodness of fit of the
+    observed arm counts against the DESIGNED assignment ratios — the
+    first experiment-health gate (an SRM means the randomization or
+    logging is broken and every downstream readout is suspect).
+
+    ``expected`` maps arm value -> designed ratio (normalized
+    internally).  ONE grouped count; arms observed but not in
+    ``expected`` raise (that IS a mismatch worth a hard stop); arms
+    expected but unobserved contribute their full expectation to the
+    statistic.  Returns one row: ``(n, n_arms, chi2, dof)`` — compare
+    chi2 against the chi-square(dof) tail at your alerting level.
+    """
+    if not expected:
+        raise ValueError("srm_check: expected ratios are required")
+    total_ratio = float(sum(expected.values()))
+    if total_ratio <= 0:
+        raise ValueError("srm_check: expected ratios must sum > 0")
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(F.col(arm_col).isNotNull())
+        .groupBy(arm_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    unknown = set(counts) - set(expected)
+    if unknown:
+        raise ValueError(
+            f"srm_check: arms {sorted(map(str, unknown))} observed but "
+            f"not in the expected design — assignment is broken",
+        )
+    n = sum(counts.values())
+    spark = df.sparkSession
+    rows = [
+        (
+            str(arm),
+            int(counts.get(arm, 0)),
+            n * (float(ratio) / total_ratio),
+        )
+        for arm, ratio in expected.items()
+    ]
+    cells = spark.createDataFrame(rows, "arm string, observed long, e double")
+    return cells.agg(
+        F.lit(n).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_arms"),
+        F.sum(
+            (F.col("observed") - F.col("e"))
+            * (F.col("observed") - F.col("e")) / F.col("e"),
+        ).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+    )
+
+
+def mde(
+    df: DataFrame,
+    treat_col,
+    y_col: str,
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+) -> DataFrame:
+    """Minimum detectable effect at the CURRENT sample: ``(z_alpha +
+    z_power) * sqrt(var_t / n_t + var_c / n_c)`` — "is this experiment
+    even capable of seeing the effect size we care about", computed
+    before anyone over-reads a null result.  Default z-scores give the
+    conventional two-sided alpha = 0.05 at 80% power (pass literals
+    for other designs — keeping them caller-side keeps the arithmetic
+    replayable without an inverse-normal in the engine).
+
+    ONE grouped aggregation (explicit sums-of-squares variance).
+    Returns ``(n_treat, n_ctrl, mean_ctrl, mde_abs, mde_rel)``;
+    ``mde_rel`` null when the control mean is 0.
+    """
+    tr = (
+        F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    ).cast("boolean")
+    y = F.col(y_col).cast("double")
+    base = df.filter(tr.isNotNull() & y.isNotNull()).select(
+        tr.alias("__t"), y.alias("__y"),
+    )
+    arms = base.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").alias("__s"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__ss"),
+    )
+
+    def arm(t, c):
+        return F.max(F.when(F.col("__t") == t, F.col(c)))
+
+    folded = arms.agg(
+        *[
+            arm(t, c).alias(f"__{c[2:]}_{int(t)}")
+            for t in (True, False)
+            for c in ("__n", "__s", "__ss")
+        ],
+    )
+    zsum = float(z_alpha) + float(z_power)
+
+    def var(i):
+        ni = F.col(f"__n_{i}").cast("double")
+        si = F.col(f"__s_{i}")
+        return (F.col(f"__ss_{i}") - si * si / ni) / (ni - 1)
+
+    nt = F.col("__n_1").cast("double")
+    nc = F.col("__n_0").cast("double")
+    mean_c = F.col("__s_0") / nc
+    mde_abs = F.when(
+        (nt > 1) & (nc > 1),
+        F.lit(zsum) * F.sqrt(var(1) / nt + var(0) / nc),
+    )
+    return folded.select(
+        F.col("__n_1").cast("long").alias("n_treat"),
+        F.col("__n_0").cast("long").alias("n_ctrl"),
+        mean_c.alias("mean_ctrl"),
+        mde_abs.alias("mde_abs"),
+        F.when(mean_c != 0, mde_abs / mean_c).alias("mde_rel"),
+    )

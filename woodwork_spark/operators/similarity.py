@@ -656,3 +656,166 @@ def kmeans_lloyd(
     from ..lifecycle import attach_persisted
 
     return attach_persisted(out, pts)
+
+
+def cluster_agreement(
+    df: DataFrame,
+    cluster_col: str,
+    label_col: str,
+) -> DataFrame:
+    """External clustering-quality metrics against ground-truth labels:
+    purity (dominant-label share), NMI (normalized mutual information,
+    2I/(Hc+Hl), natural log) and the Adjusted Rand Index — "did the
+    clusters recover the classes" after ``kmeans_lloyd`` / LSH
+    bucketing, judged on exactly-counted pairs.
+
+    ONE (cluster, label) contingency aggregation (cardinality =
+    cluster-label pairs) + two marginal folds; every metric is closed
+    arithmetic over those cells, raw rows shuffle once.  Rows with a
+    null on either side are excluded.  Returns one row: ``(n,
+    n_clusters, n_labels, purity, nmi, ari)``; nmi/ari null in
+    degenerate single-cluster/single-label cases where they are
+    undefined.
+    """
+    c = F.col(cluster_col).cast("string")
+    lb = F.col(label_col).cast("string")
+    cells = (
+        df.filter(c.isNotNull() & lb.isNotNull())
+        .groupBy(c.alias("__c"), lb.alias("__l"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    cm = cells.groupBy("__c").agg(
+        F.sum("__n").alias("__a"),
+        F.max("__n").alias("__dom"),
+    )
+    lm = cells.groupBy("__l").agg(F.sum("__n").alias("__b"))
+    tot = cells.agg(F.sum("__n").alias("__tot"))
+    # pair counts (exact longs) for ARI
+    pair = lambda x: x * (x - 1) / 2.0  # noqa: E731
+    sum_pairs = cells.agg(F.sum(pair(F.col("__n"))).alias("__sp"))
+    a_side = cm.agg(
+        F.sum(pair(F.col("__a"))).alias("__ap"),
+        F.sum("__dom").alias("__domsum"),
+        F.count(F.lit(1)).alias("__kc"),
+    )
+    b_side = lm.agg(
+        F.sum(pair(F.col("__b"))).alias("__bp"),
+        F.count(F.lit(1)).alias("__kl"),
+    )
+    # mutual information + entropies fold from cells joined to marginals
+    mi_cells = (
+        cells.join(F.broadcast(cm.select("__c", "__a")), "__c")
+        .join(F.broadcast(lm), "__l")
+        .crossJoin(F.broadcast(tot))
+    )
+    nn = F.col("__tot").cast("double")
+    mi = mi_cells.agg(
+        F.sum(
+            (F.col("__n") / nn)
+            * F.log(
+                (F.col("__n") * nn) / (F.col("__a") * F.col("__b")),
+            ),
+        ).alias("__mi"),
+    )
+    hc = cm.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("__a") / nn) * F.log(F.col("__a") / nn))).alias("__hc"),
+    )
+    hl = lm.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("__b") / nn) * F.log(F.col("__b") / nn))).alias("__hl"),
+    )
+    j = (
+        tot.crossJoin(F.broadcast(sum_pairs))
+        .crossJoin(F.broadcast(a_side))
+        .crossJoin(F.broadcast(b_side))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+    )
+    total_pairs = pair(F.col("__tot"))
+    expected = F.col("__ap") * F.col("__bp") / total_pairs
+    max_idx = (F.col("__ap") + F.col("__bp")) / 2.0
+    return j.select(
+        F.col("__tot").cast("long").alias("n"),
+        F.col("__kc").cast("long").alias("n_clusters"),
+        F.col("__kl").cast("long").alias("n_labels"),
+        (F.col("__domsum") / nn).alias("purity"),
+        F.when(
+            (F.col("__hc") + F.col("__hl")) > 0,
+            2.0 * F.col("__mi") / (F.col("__hc") + F.col("__hl")),
+        ).alias("nmi"),
+        F.when(
+            (total_pairs > 0) & ((max_idx - expected) != 0),
+            (F.col("__sp") - expected) / (max_idx - expected),
+        ).alias("ari"),
+    )
+
+
+def silhouette_simplified(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster: for each
+    point, ``a`` = distance to its nearest centroid, ``b`` = distance
+    to the second-nearest, ``s = (b - a) / max(a, b)`` — the O(N·k)
+    clustering-quality score (the classic O(N²) silhouette is
+    unusable at corpus scale; the centroid form ranks cluster quality
+    the same way).
+
+    One crossJoin of the points against the broadcast k-row centroid
+    frame; per-point nearest/second-nearest fold from a sorted
+    k-element collect_list (bounded by k — the model, not the data);
+    one grouped mean per cluster.  Distances are the dot-product form
+    clamped at 0 (``sqrt(max(|v|² + |c|² - 2 v·c, 0))``), identical
+    arithmetic to ``kmeans_lloyd`` so an external replayer matches
+    bit-for-bit.  Requires >= 2 centroids.  Returns one row per
+    cluster: ``(cluster, n, mean_silhouette)``.
+    """
+    if isinstance(centroids, DataFrame):
+        centroids = [(r[0], list(r[1])) for r in centroids.collect()]
+    cents = [(int(c), [float(x) for x in v]) for c, v in centroids]
+    if len(cents) < 2:
+        raise ValueError(
+            f"silhouette_simplified needs >= 2 centroids, got {len(cents)}",
+        )
+    spark = df.sparkSession
+    cf = spark.createDataFrame(
+        [(c, v, sum(x * x for x in v)) for c, v in cents],
+        "__cid int, __c array<double>, __cc double",
+    )
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).where(F.col("__id").isNotNull() & F.col("__v").isNotNull())
+    pts = pts.withColumn("__vv", _dot(F.col("__v"), F.col("__v")))
+    dist = F.sqrt(
+        F.greatest(
+            F.col("__vv") + F.col("__cc")
+            - 2.0 * _dot(F.col("__v"), F.col("__c")),
+            F.lit(0.0),
+        ),
+    )
+    ranked = (
+        pts.crossJoin(F.broadcast(cf))
+        .select(
+            "__id",
+            F.struct(dist.alias("d"), F.col("__cid").alias("cid")).alias("__dc"),
+        )
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list("__dc")).alias("__arr"))
+        .select(
+            F.col("__arr")[0]["cid"].alias("cluster"),
+            F.col("__arr")[0]["d"].alias("__a"),
+            F.col("__arr")[1]["d"].alias("__b"),
+        )
+    )
+    s = F.when(
+        F.greatest(F.col("__a"), F.col("__b")) > 0,
+        (F.col("__b") - F.col("__a"))
+        / F.greatest(F.col("__a"), F.col("__b")),
+    ).otherwise(F.lit(0.0))
+    return ranked.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(s).alias("mean_silhouette"),
+    )
