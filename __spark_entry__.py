@@ -12647,3 +12647,197 @@ ORACLE["mde"] = """
                round(mde_abs / mean_ctrl + 0.0000001, 6) END AS mde_rel
     FROM fin
 """
+
+
+def q_oaxaca(spark, sf_dir):
+    """Mix-vs-rate decomposition of the average order value between
+    early and late months, by priority segment — one (period, segment)
+    aggregation; the three effect columns sum to the segment's exact
+    contribution to the mean change."""
+    from woodwork_spark.operators.causal import oaxaca_decomposition
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    out = oaxaca_decomposition(
+        o, F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"),
+        "o_orderpriority", "o_totalprice",
+    )
+    return out.select(
+        "segment",
+        _ravg(F.col("w0"), 6).alias("w0"),
+        _ravg(F.col("w1"), 6).alias("w1"),
+        _ravg(F.col("r0"), 6).alias("r0"),
+        _ravg(F.col("r1"), 6).alias("r1"),
+        _ravg(F.col("rate_effect"), 6).alias("rate_effect"),
+        _ravg(F.col("mix_effect"), 6).alias("mix_effect"),
+        _ravg(F.col("interaction"), 6).alias("interaction"),
+    )
+
+
+def q_ipw_ate(spark, sf_dir):
+    """IPW average treatment effect with exact stratum propensities
+    ((nation, segment) strata; orderkey-parity 'treatment' on order
+    value) — one cell aggregation, positivity violations excluded and
+    reported."""
+    from woodwork_spark.operators.causal import ipw_ate
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+    )
+    out = ipw_ate(
+        j, (F.col("o_orderkey") % 2 == 0), "o_totalprice",
+        ["c_nationkey", "c_mktsegment"],
+    )
+    return out.select(
+        "n", "n_used",
+        _ravg(F.col("excluded_fraction"), 6).alias("excluded_fraction"),
+        _ravg(F.col("ate"), 6).alias("ate"),
+    )
+
+
+def q_rdd(spark, sf_dir):
+    """Sharp regression discontinuity of event value on the user-id
+    running variable at cutoff 500 (bandwidth 300): per-side
+    closed-form OLS from one two-sided moment aggregation."""
+    from woodwork_spark.operators.causal import regression_discontinuity
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = regression_discontinuity(
+        ev, "user_id", "value", cutoff=500.0, bandwidth=300.0,
+    )
+    return out.select(
+        "n_left", "n_right",
+        _ravg(F.col("intercept_left"), 6).alias("intercept_left"),
+        _ravg(F.col("intercept_right"), 6).alias("intercept_right"),
+        _ravg(F.col("effect"), 6).alias("effect"),
+        _ravg(F.col("slope_left"), 6).alias("slope_left"),
+        _ravg(F.col("slope_right"), 6).alias("slope_right"),
+    )
+
+
+QUERIES["oaxaca"] = q_oaxaca
+QUERIES["ipw_ate"] = q_ipw_ate
+QUERIES["rdd"] = q_rdd
+
+
+ORACLE["oaxaca"] = """
+    WITH base AS (
+        SELECT (o_orderdate >= TIMESTAMP '1996-01-01') AS p,
+               o_orderpriority AS segment, o_totalprice AS y
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    cells AS (
+        SELECT segment,
+               sum(CASE WHEN p THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN NOT p THEN 1 ELSE 0 END) AS n0,
+               avg(CASE WHEN p THEN y END) AS r1raw,
+               avg(CASE WHEN NOT p THEN y END) AS r0raw
+        FROM base GROUP BY segment
+    ),
+    t AS (SELECT sum(n1) AS t1, sum(n0) AS t0 FROM cells),
+    j AS (
+        SELECT segment,
+               n0 / CAST(t0 AS DOUBLE) AS w0,
+               n1 / CAST(t1 AS DOUBLE) AS w1,
+               coalesce(r0raw, r1raw) AS r0,
+               coalesce(r1raw, r0raw) AS r1
+        FROM cells, t
+    )
+    SELECT segment,
+           round(w0 + 0.0000001, 6) AS w0,
+           round(w1 + 0.0000001, 6) AS w1,
+           round(r0 + 0.0000001, 6) AS r0,
+           round(r1 + 0.0000001, 6) AS r1,
+           round(w0 * (r1 - r0) + 0.0000001, 6) AS rate_effect,
+           round(r0 * (w1 - w0) + 0.0000001, 6) AS mix_effect,
+           round((w1 - w0) * (r1 - r0) + 0.0000001, 6) AS interaction
+    FROM j
+"""
+
+ORACLE["ipw_ate"] = """
+    WITH j AS (
+        SELECT o.o_orderkey, o.o_totalprice, c.c_nationkey, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey IS NOT NULL AND o.o_totalprice IS NOT NULL
+    ),
+    cells AS (
+        SELECT c_nationkey, c_mktsegment,
+               sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS nt,
+               sum(CASE WHEN o_orderkey % 2 != 0 THEN 1 ELSE 0 END) AS nc,
+               sum(CASE WHEN o_orderkey % 2 = 0
+                        THEN o_totalprice END) AS syt,
+               sum(CASE WHEN o_orderkey % 2 != 0
+                        THEN o_totalprice END) AS syc
+        FROM j GROUP BY 1, 2
+    )
+    SELECT CAST(sum(nt + nc) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN nt > 0 AND nc > 0
+                         THEN nt + nc ELSE 0 END) AS BIGINT) AS n_used,
+           round(1.0 - sum(CASE WHEN nt > 0 AND nc > 0
+                                THEN nt + nc ELSE 0 END)
+                       / CAST(sum(nt + nc) AS DOUBLE)
+                 + 0.0000001, 6) AS excluded_fraction,
+           round(sum(CASE WHEN nt > 0 AND nc > 0 THEN
+                     syt * (nt + nc) / CAST(nt AS DOUBLE)
+                     - syc * (nt + nc) / CAST(nc AS DOUBLE) END)
+                 / sum(CASE WHEN nt > 0 AND nc > 0 THEN nt + nc END)
+                 + 0.0000001, 6) AS ate
+    FROM cells
+"""
+
+ORACLE["rdd"] = """
+    WITH base AS (
+        SELECT (CAST(user_id AS DOUBLE) - 500.0 >= 0) AS r,
+               CAST(user_id AS DOUBLE) - 500.0 AS x,
+               value AS y
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+              AND abs(CAST(user_id AS DOUBLE) - 500.0) <= 300.0
+    ),
+    sides AS (
+        SELECT r, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM base GROUP BY r
+    ),
+    folded AS (
+        SELECT max(CASE WHEN r THEN n END) AS n1,
+               max(CASE WHEN r THEN sx END) AS sx1,
+               max(CASE WHEN r THEN sy END) AS sy1,
+               max(CASE WHEN r THEN sxx END) AS sxx1,
+               max(CASE WHEN r THEN sxy END) AS sxy1,
+               max(CASE WHEN NOT r THEN n END) AS n0,
+               max(CASE WHEN NOT r THEN sx END) AS sx0,
+               max(CASE WHEN NOT r THEN sy END) AS sy0,
+               max(CASE WHEN NOT r THEN sxx END) AS sxx0,
+               max(CASE WHEN NOT r THEN sxy END) AS sxy0
+        FROM sides
+    ),
+    fit AS (
+        SELECT
+            coalesce(n0, 0) AS n_left, coalesce(n1, 0) AS n_right,
+            CASE WHEN n0 > 1 AND (sxx0 - sx0 * sx0 / CAST(n0 AS DOUBLE)) > 0
+                 THEN (sxy0 - sx0 * sy0 / CAST(n0 AS DOUBLE))
+                      / (sxx0 - sx0 * sx0 / CAST(n0 AS DOUBLE)) END AS sl0,
+            CASE WHEN n1 > 1 AND (sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE)) > 0
+                 THEN (sxy1 - sx1 * sy1 / CAST(n1 AS DOUBLE))
+                      / (sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE)) END AS sl1,
+            sy0 / CAST(n0 AS DOUBLE) AS my0, sx0 / CAST(n0 AS DOUBLE) AS mx0,
+            sy1 / CAST(n1 AS DOUBLE) AS my1, sx1 / CAST(n1 AS DOUBLE) AS mx1
+        FROM folded
+    )
+    SELECT CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           round((my0 - sl0 * mx0) + 0.0000001, 6) AS intercept_left,
+           round((my1 - sl1 * mx1) + 0.0000001, 6) AS intercept_right,
+           round((my1 - sl1 * mx1) - (my0 - sl0 * mx0)
+                 + 0.0000001, 6) AS effect,
+           round(sl0 + 0.0000001, 6) AS slope_left,
+           round(sl1 + 0.0000001, 6) AS slope_right
+    FROM fit
+"""

@@ -180,3 +180,95 @@ def test_silhouette_validation(spark):
     df = spark.createDataFrame([(1, [0.0])], "id long, v array<double>")
     with pytest.raises(ValueError, match=">= 2 centroids"):
         silhouette_simplified(df, "id", "v", [(0, [0.0])])
+
+
+# ------------------------------------------------------------- batch 6: causal
+
+
+def test_oaxaca_identity_sums_to_mean_change(spark):
+    from woodwork_spark.operators.causal import oaxaca_decomposition
+
+    rows = (
+        [(False, "a", 10.0)] * 6 + [(False, "b", 20.0)] * 4
+        + [(True, "a", 12.0)] * 3 + [(True, "b", 22.0)] * 7
+    )
+    df = spark.createDataFrame(rows, "p boolean, seg string, y double")
+    out = oaxaca_decomposition(df, "p", "seg", "y").collect()
+    total = sum(
+        r["rate_effect"] + r["mix_effect"] + r["interaction"] for r in out
+    )
+    mean0 = (6 * 10 + 4 * 20) / 10
+    mean1 = (3 * 12 + 7 * 22) / 10
+    assert total == pytest.approx(mean1 - mean0)
+
+
+def test_oaxaca_segment_missing_in_one_period(spark):
+    from woodwork_spark.operators.causal import oaxaca_decomposition
+
+    rows = [(False, "a", 10.0)] * 5 + [(True, "a", 10.0)] * 5 \
+        + [(True, "new", 30.0)] * 5
+    df = spark.createDataFrame(rows, "p boolean, seg string, y double")
+    out = {r["segment"]: r for r in
+           oaxaca_decomposition(df, "p", "seg", "y").collect()}
+    new = out["new"]
+    assert new["w0"] == 0.0 and new["rate_effect"] == pytest.approx(0.0)
+    # the whole contribution of the new segment lands in the mix term
+    assert new["mix_effect"] == pytest.approx(30.0 * 0.5)
+    total = sum(
+        r["rate_effect"] + r["mix_effect"] + r["interaction"]
+        for r in out.values()
+    )
+    assert total == pytest.approx(20.0 - 10.0)
+
+
+def test_ipw_ate_equals_stratified_effect(spark):
+    from woodwork_spark.operators.causal import ipw_ate
+
+    # stratum A (4 rows): effect 2; stratum B (8 rows): effect 5
+    rows = (
+        [("A", True, 12.0), ("A", True, 12.0), ("A", False, 10.0),
+         ("A", False, 10.0)]
+        + [("B", True, 15.0)] * 4 + [("B", False, 10.0)] * 4
+    )
+    df = spark.createDataFrame(rows, "s string, t boolean, y double")
+    r = ipw_ate(df, "t", "y", "s").first()
+    assert r["ate"] == pytest.approx((4 * 2.0 + 8 * 5.0) / 12)
+    assert r["excluded_fraction"] == pytest.approx(0.0)
+
+
+def test_ipw_ate_excludes_single_arm_strata(spark):
+    from woodwork_spark.operators.causal import ipw_ate
+
+    rows = [("A", True, 5.0), ("A", False, 3.0), ("C", True, 99.0)]
+    df = spark.createDataFrame(rows, "s string, t boolean, y double")
+    r = ipw_ate(df, "t", "y", "s").first()
+    assert r["ate"] == pytest.approx(2.0)
+    assert r["n_used"] == 2
+    assert r["excluded_fraction"] == pytest.approx(1 / 3)
+
+
+def test_rdd_recovers_planted_jump(spark):
+    from woodwork_spark.operators.causal import regression_discontinuity
+
+    # y = 2 + 0.1 x below 0; y = 7 + 0.3 x at or above 0 (jump = 5)
+    rows = [(float(x), 2.0 + 0.1 * x) for x in range(-50, 0)]
+    rows += [(float(x), 7.0 + 0.3 * x) for x in range(0, 50)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = regression_discontinuity(df, "x", "y", cutoff=0.0,
+                                 bandwidth=100.0).first()
+    assert r["effect"] == pytest.approx(5.0, abs=1e-9)
+    assert r["slope_left"] == pytest.approx(0.1, abs=1e-9)
+    assert r["slope_right"] == pytest.approx(0.3, abs=1e-9)
+
+
+def test_rdd_bandwidth_filters_and_validates(spark):
+    from woodwork_spark.operators.causal import regression_discontinuity
+
+    rows = [(float(x), float(x)) for x in (-500, -1, 1, 500)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = regression_discontinuity(df, "x", "y", cutoff=0.0,
+                                 bandwidth=10.0).first()
+    assert (r["n_left"], r["n_right"]) == (1, 1)
+    assert r["slope_left"] is None  # < 2 points on a side
+    with pytest.raises(ValueError, match="bandwidth"):
+        regression_discontinuity(df, "x", "y", cutoff=0.0, bandwidth=0.0)

@@ -353,3 +353,187 @@ def mde(
         mde_abs.alias("mde_abs"),
         F.when(mean_c != 0, mde_abs / mean_c).alias("mde_rel"),
     )
+
+
+def oaxaca_decomposition(
+    df: DataFrame,
+    post_col,
+    segment_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mix-vs-rate decomposition of a metric move (Oaxaca-Blinder /
+    "why did the average change" analysis): between two periods, each
+    segment's contribution splits into a RATE effect (the segment's
+    own mean moved, at baseline weight), a MIX effect (the segment's
+    share of rows moved, at baseline rate) and the interaction; the
+    three columns sum exactly to ``w1*r1 - w0*r0`` per segment, and
+    their grand totals to the full mean change.
+
+    ONE grouped aggregation over (period, segment) + a broadcast of
+    the two period totals.  A segment absent from one period gets
+    weight 0 there and its rate coalesced from the other period —
+    the decomposition identity is preserved (the missing-side rate is
+    always multiplied by a 0 weight) and the whole move lands in the
+    mix term, where it belongs.  Returns one row per segment:
+    ``(segment, w0, w1, r0, r1, rate_effect, mix_effect,
+    interaction)``.
+    """
+    po = (
+        F.col(post_col) if isinstance(post_col, str) else post_col
+    ).cast("boolean")
+    y = F.col(y_col).cast("double")
+    base = df.filter(po.isNotNull() & y.isNotNull()).select(
+        po.alias("__p"), F.col(segment_col).alias("segment"), y.alias("__y"),
+    )
+    cells = base.groupBy("segment").agg(
+        F.sum(F.when(F.col("__p"), 1).otherwise(0)).alias("__n1"),
+        F.sum(F.when(~F.col("__p"), 1).otherwise(0)).alias("__n0"),
+        F.avg(F.when(F.col("__p"), F.col("__y"))).alias("__r1"),
+        F.avg(F.when(~F.col("__p"), F.col("__y"))).alias("__r0"),
+    )
+    totals = cells.agg(
+        F.sum("__n1").alias("__t1"), F.sum("__n0").alias("__t0"),
+    )
+    j = cells.crossJoin(F.broadcast(totals))
+    w0 = F.col("__n0") / F.col("__t0")
+    w1 = F.col("__n1") / F.col("__t1")
+    r0 = F.coalesce(F.col("__r0"), F.col("__r1"))
+    r1 = F.coalesce(F.col("__r1"), F.col("__r0"))
+    return j.select(
+        "segment",
+        w0.alias("w0"),
+        w1.alias("w1"),
+        r0.alias("r0"),
+        r1.alias("r1"),
+        (w0 * (r1 - r0)).alias("rate_effect"),
+        (r0 * (w1 - w0)).alias("mix_effect"),
+        ((w1 - w0) * (r1 - r0)).alias("interaction"),
+    )
+
+
+def ipw_ate(
+    df: DataFrame,
+    treat_col,
+    y_col: str,
+    strata_cols,
+) -> DataFrame:
+    """Average treatment effect by inverse-propensity weighting with
+    EXACT stratum propensities (``e = n_treated / n`` within each
+    covariate stratum — the saturated-propensity special case where
+    IPW equals stratification, with no model to misspecify):
+    ``ATE = (1 / N_used) * sum over strata of
+    (sum_y_treated / e - sum_y_control / (1 - e))`` ... equivalently
+    the stratum-size-weighted mean of within-stratum effects.
+
+    Strata holding only one arm have propensity 0 or 1 (infinite
+    weights) — they are EXCLUDED and reported as ``excluded_fraction``
+    (positivity violation made visible, not hidden).  ONE grouped
+    aggregation + one fold.  NULL strata values form their own
+    stratum.  Returns one row: ``(n, n_used, excluded_fraction, ate)``;
+    ``ate`` null when no stratum has both arms.
+    """
+    strata_cols = (
+        [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
+    )
+    tr = (
+        F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    ).cast("boolean")
+    y = F.col(y_col).cast("double")
+    base = df.filter(tr.isNotNull() & y.isNotNull()).select(
+        *strata_cols, tr.alias("__t"), y.alias("__y"),
+    )
+    cells = base.groupBy(*strata_cols).agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__nt"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("__nc"),
+        F.sum(F.when(F.col("__t"), F.col("__y"))).alias("__syt"),
+        F.sum(F.when(~F.col("__t"), F.col("__y"))).alias("__syc"),
+    )
+    both = (F.col("__nt") > 0) & (F.col("__nc") > 0)
+    n_cell = F.col("__nt") + F.col("__nc")
+    # within-stratum effect * stratum size = syt/e - syc/(1-e) with
+    # e = nt/n: syt * n/nt - syc * n/nc
+    contrib = F.when(
+        both,
+        F.col("__syt") * n_cell / F.col("__nt")
+        - F.col("__syc") * n_cell / F.col("__nc"),
+    )
+    return cells.agg(
+        F.sum(n_cell).cast("long").alias("n"),
+        F.sum(F.when(both, n_cell).otherwise(0)).cast("long").alias("n_used"),
+        (
+            1.0 - F.sum(F.when(both, n_cell).otherwise(0)) / F.sum(n_cell)
+        ).alias("excluded_fraction"),
+        (F.sum(contrib) / F.sum(F.when(both, n_cell))).alias("ate"),
+    )
+
+
+def regression_discontinuity(
+    df: DataFrame,
+    running_col: str,
+    y_col: str,
+    cutoff: float,
+    bandwidth: float,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate: within ``bandwidth`` of
+    the cutoff, fit a separate line ``y ~ (x - cutoff)`` on each side
+    (uniform kernel, the transparent default) and report the jump of
+    the two intercepts at the cutoff — "did crossing the threshold
+    cause a level shift".  Rows at exactly the cutoff count as treated
+    (right side), the standard sharp-RD convention.
+
+    ONE aggregation over the two sides (closed-form OLS from moment
+    sums — slope = cov/var, intercept = ȳ - slope*x̄).  Returns one
+    row: ``(n_left, n_right, intercept_left, intercept_right, effect,
+    slope_left, slope_right)``; side estimates null with < 2 points or
+    zero running-variable variance on that side.
+    """
+    if bandwidth <= 0:
+        raise ValueError(f"bandwidth must be > 0, got {bandwidth}")
+    x = F.col(running_col).cast("double") - float(cutoff)
+    y = F.col(y_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & y.isNotNull()
+        & (F.abs(x) <= float(bandwidth)),
+    ).select((x >= 0).alias("__r"), x.alias("__x"), y.alias("__y"))
+    sides = base.groupBy("__r").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+
+    def side(r, c):
+        return F.max(F.when(F.col("__r") == r, F.col(c)))
+
+    folded = sides.agg(
+        *[
+            side(r, c).alias(f"__{c[2:]}_{int(r)}")
+            for r in (True, False)
+            for c in ("__n", "__sx", "__sy", "__sxx", "__sxy")
+        ],
+    )
+
+    def fit(i):
+        ni = F.col(f"__n_{i}").cast("double")
+        sx = F.col(f"__sx_{i}")
+        sy = F.col(f"__sy_{i}")
+        var_num = F.col(f"__sxx_{i}") - sx * sx / ni
+        slope = F.when(
+            (ni > 1) & (var_num > 0),
+            (F.col(f"__sxy_{i}") - sx * sy / ni) / var_num,
+        )
+        intercept = sy / ni - slope * (sx / ni)
+        return slope, intercept
+
+    slope_r, int_r = fit(1)
+    slope_l, int_l = fit(0)
+    return folded.select(
+        F.coalesce(F.col("__n_0"), F.lit(0)).cast("long").alias("n_left"),
+        F.coalesce(F.col("__n_1"), F.lit(0)).cast("long").alias("n_right"),
+        int_l.alias("intercept_left"),
+        int_r.alias("intercept_right"),
+        (int_r - int_l).alias("effect"),
+        slope_l.alias("slope_left"),
+        slope_r.alias("slope_right"),
+    )
