@@ -12263,8 +12263,11 @@ ORACLE["heaps"] = """
         WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ),
     toks AS (
-        SELECT doc, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-        FROM docs
+        SELECT doc, tok FROM (
+            SELECT doc, unnest(string_split_regex(trim(text), '\\s+'))
+                AS tok
+            FROM docs
+        ) WHERE len(tok) > 0
     ),
     per_doc AS (
         SELECT d.doc, coalesce(c.nt, 0) AS nt

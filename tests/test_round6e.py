@@ -272,3 +272,49 @@ def test_rdd_bandwidth_filters_and_validates(spark):
     assert r["slope_left"] is None  # < 2 points on a side
     with pytest.raises(ValueError, match="bandwidth"):
         regression_discontinuity(df, "x", "y", cutoff=0.0, bandwidth=0.0)
+
+
+# ------------------------------------------------- second review-pass fixes
+
+
+def test_att_all_controls_no_crash(spark):
+    from woodwork_spark.operators.causal import exact_match_att
+
+    df = spark.createDataFrame(
+        [("A", False, 1.0), ("B", False, 2.0)],
+        "cell string, t boolean, y double",
+    )
+    r = exact_match_att(df, "t", "y", "cell").first()
+    assert r["n_treated"] == 0
+    assert r["matched_fraction"] is None and r["att"] is None
+
+
+def test_oaxaca_one_empty_period_no_crash(spark):
+    from woodwork_spark.operators.causal import oaxaca_decomposition
+
+    df = spark.createDataFrame(
+        [(True, "a", 1.0), (True, "b", 2.0)],
+        "p boolean, seg string, y double",
+    )
+    out = {r["segment"]: r for r in
+           oaxaca_decomposition(df, "p", "seg", "y").collect()}
+    assert out["a"]["w0"] == 0.0 and out["a"]["w1"] == pytest.approx(0.5)
+
+
+def test_srm_zero_ratio_arm_rejected(spark):
+    from woodwork_spark.operators.causal import srm_check
+
+    df = spark.createDataFrame([("a",), ("b",)], "arm string")
+    with pytest.raises(ValueError, match="must be > 0"):
+        srm_check(df, "arm", {"a": 1.0, "b": 0.0})
+
+
+def test_heaps_empty_docs_contribute_no_tokens(spark):
+    from woodwork_spark.operators.text import heaps_fit
+
+    rows = [(1, "a b"), (2, "   "), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = heaps_fit(df, "doc_id", "text").first()
+    assert r["n_docs"] == 3          # empty docs still advance the axis
+    assert r["total_tokens"] == 2    # no phantom '' tokens
+    assert r["vocab"] == 2

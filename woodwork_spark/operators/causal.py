@@ -17,6 +17,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+
+def _pivot_fold(grouped, cases, metric_cols, extra=()):
+    """Fold a (few-row) keyed aggregate into ONE row: for every metric
+    column ``__c`` and case ``suffix -> boolean Column``, emit
+    ``max(when(case, __c)) AS __c_suffix`` — the shared pivot idiom of
+    the 2-arm / 2x2-cell estimators below (each case matches at most
+    one input row, so ``max`` is just "the value or null")."""
+    exprs = list(extra) + [
+        F.max(F.when(cond, F.col(c))).alias(f"__{c[2:]}_{sfx}")
+        for sfx, cond in cases.items()
+        for c in metric_cols
+    ]
+    return grouped.agg(*exprs)
+
+
 def diff_in_diff(
     df: DataFrame,
     treat_col,
@@ -51,19 +66,15 @@ def diff_in_diff(
         F.var_samp("__y").alias("__v"),
     )
 
-    def cell(t, p, col):
-        return F.max(
-            F.when((F.col("__t") == t) & (F.col("__p") == p), F.col(col)),
-        )
-
-    folded = cells.agg(
-        F.sum("__n").cast("long").alias("n"),
-        *[
-            cell(t, p, c).alias(f"__{c[2:]}_{int(t)}{int(p)}")
+    folded = _pivot_fold(
+        cells,
+        {
+            f"{int(t)}{int(p)}": (F.col("__t") == t) & (F.col("__p") == p)
             for t in (True, False)
             for p in (True, False)
-            for c in ("__n", "__m", "__v")
-        ],
+        },
+        ("__n", "__m", "__v"),
+        extra=[F.sum("__n").cast("long").alias("n")],
     )
     did = (
         (F.col("__m_11") - F.col("__m_10"))
@@ -126,9 +137,10 @@ def exact_match_att(
         F.sum("__nt").cast("long").alias("n_treated"),
         F.sum(F.when(matched, F.col("__nt")).otherwise(0))
         .cast("long").alias("n_matched_treated"),
-        (
+        F.when(
+            F.sum("__nt") > 0,
             F.sum(F.when(matched, F.col("__nt")).otherwise(0))
-            / F.sum("__nt")
+            / F.sum("__nt"),
         ).alias("matched_fraction"),
         (
             F.sum(
@@ -182,15 +194,10 @@ def cuped_adjusted_effect(
         F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
     )
 
-    def arm(t, c):
-        return F.max(F.when(F.col("__t") == t, F.col(c)))
-
-    folded = arms.agg(
-        *[
-            arm(t, c).alias(f"__{c[2:]}_{int(t)}")
-            for t in (True, False)
-            for c in ("__n", "__sy", "__sx", "__syy", "__sxx", "__sxy")
-        ],
+    folded = _pivot_fold(
+        arms,
+        {"1": F.col("__t"), "0": ~F.col("__t")},
+        ("__n", "__sy", "__sx", "__syy", "__sxx", "__sxy"),
     )
     nt = F.col("__n_1").cast("double")
     nc = F.col("__n_0").cast("double")
@@ -254,9 +261,14 @@ def srm_check(
     """
     if not expected:
         raise ValueError("srm_check: expected ratios are required")
+    if any(float(r) <= 0 for r in expected.values()):
+        raise ValueError(
+            "srm_check: every expected ratio must be > 0 — a retired "
+            "(0-ratio) arm receiving traffic is an infinite mismatch; "
+            "drop it from the design and let the unknown-arm check flag "
+            "its rows",
+        )
     total_ratio = float(sum(expected.values()))
-    if total_ratio <= 0:
-        raise ValueError("srm_check: expected ratios must sum > 0")
     counts = {
         r[0]: r[1]
         for r in df.filter(F.col(arm_col).isNotNull())
@@ -322,15 +334,10 @@ def mde(
         F.sum(F.col("__y") * F.col("__y")).alias("__ss"),
     )
 
-    def arm(t, c):
-        return F.max(F.when(F.col("__t") == t, F.col(c)))
-
-    folded = arms.agg(
-        *[
-            arm(t, c).alias(f"__{c[2:]}_{int(t)}")
-            for t in (True, False)
-            for c in ("__n", "__s", "__ss")
-        ],
+    folded = _pivot_fold(
+        arms,
+        {"1": F.col("__t"), "0": ~F.col("__t")},
+        ("__n", "__s", "__ss"),
     )
     zsum = float(z_alpha) + float(z_power)
 
@@ -395,8 +402,12 @@ def oaxaca_decomposition(
         F.sum("__n1").alias("__t1"), F.sum("__n0").alias("__t0"),
     )
     j = cells.crossJoin(F.broadcast(totals))
-    w0 = F.col("__n0") / F.col("__t0")
-    w1 = F.col("__n1") / F.col("__t1")
+    # an empty period would divide by a zero total (ANSI crash) — its
+    # weights are identically 0 and the whole move lands in the mix term
+    w0 = F.when(F.col("__t0") > 0, F.col("__n0") / F.col("__t0")) \
+        .otherwise(F.lit(0.0))
+    w1 = F.when(F.col("__t1") > 0, F.col("__n1") / F.col("__t1")) \
+        .otherwise(F.lit(0.0))
     r0 = F.coalesce(F.col("__r0"), F.col("__r1"))
     r1 = F.coalesce(F.col("__r1"), F.col("__r0"))
     return j.select(
@@ -503,15 +514,10 @@ def regression_discontinuity(
         F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
     )
 
-    def side(r, c):
-        return F.max(F.when(F.col("__r") == r, F.col(c)))
-
-    folded = sides.agg(
-        *[
-            side(r, c).alias(f"__{c[2:]}_{int(r)}")
-            for r in (True, False)
-            for c in ("__n", "__sx", "__sy", "__sxx", "__sxy")
-        ],
+    folded = _pivot_fold(
+        sides,
+        {"1": F.col("__r"), "0": ~F.col("__r")},
+        ("__n", "__sx", "__sy", "__sxx", "__sxy"),
     )
 
     def fit(i):

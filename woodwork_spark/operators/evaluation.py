@@ -208,7 +208,9 @@ def lift_table(
         lbl.cast("int").alias("__y"),
         *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
     )
-    order = [F.desc("__s")] + ([F.asc("__tb")] if tiebreak else [])
+    order = [F.desc("__s")] + (
+        [F.asc_nulls_last("__tb")] if tiebreak else []
+    )
     tiled = global_ntile(base, order, n_buckets, out_col="bucket")
     per_bucket = tiled.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
@@ -861,7 +863,12 @@ def qini_uplift(
             .alias("__tb"),
         ] if tiebreak is not None else []),
     )
-    order = [F.desc("__s")] + ([F.asc("__tb")] if tiebreak is not None else [])
+    # asc_nulls_last: Spark's asc puts NULLs FIRST while ANSI-SQL NTILE
+    # replays (and the oracles) default to NULLS LAST — null tiebreaks
+    # must land in the same bucket on every engine
+    order = [F.desc("__s")] + (
+        [F.asc_nulls_last("__tb")] if tiebreak is not None else []
+    )
     tiled = global_ntile(base, order, n_buckets, out_col="bucket")
     per_bucket = tiled.groupBy("bucket").agg(
         F.sum(F.when(F.col("__t"), 1).otherwise(0))

@@ -690,8 +690,13 @@ def cluster_agreement(
     )
     lm = cells.groupBy("__l").agg(F.sum("__n").alias("__b"))
     tot = cells.agg(F.sum("__n").alias("__tot"))
-    # pair counts (exact longs) for ARI
-    pair = lambda x: x * (x - 1) / 2.0  # noqa: E731
+    # pair counts stay EXACT LONGS until the final ARI ratio: x*(x-1)
+    # is always even, so a right-shift halves it exactly; summing longs
+    # avoids the catastrophic cancellation doubles would suffer once
+    # marginals pass ~1.3e8 rows (n*(n-1)/2 > 2^53)
+    pair = lambda x: F.shiftright(  # noqa: E731
+        x.cast("long") * (x.cast("long") - 1), 1,
+    )
     sum_pairs = cells.agg(F.sum(pair(F.col("__n"))).alias("__sp"))
     a_side = cm.agg(
         F.sum(pair(F.col("__a"))).alias("__ap"),
@@ -732,7 +737,12 @@ def cluster_agreement(
         .crossJoin(F.broadcast(hl))
     )
     total_pairs = pair(F.col("__tot"))
-    expected = F.col("__ap") * F.col("__bp") / total_pairs
+    # final ratio in double (ap*bp would overflow long); counts above
+    # are exact, only this closing arithmetic rounds
+    expected = (
+        F.col("__ap").cast("double") * F.col("__bp").cast("double")
+        / total_pairs.cast("double")
+    )
     max_idx = (F.col("__ap") + F.col("__bp")) / 2.0
     return j.select(
         F.col("__tot").cast("long").alias("n"),

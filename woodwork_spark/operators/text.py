@@ -833,9 +833,12 @@ def heaps_fit(
     base = df.filter(
         F.col(id_col).isNotNull() & F.col(text_col).isNotNull(),
     ).select(F.col(id_col).alias("__doc"), F.col(text_col).alias("__text"))
+    # split('') yields [''] — drop zero-length phantoms so empty or
+    # whitespace-only docs contribute N += 0 (and '' never enters the
+    # vocabulary); such docs still advance the doc axis via the left join
     toks = base.select(
         "__doc", F.explode(tokens_expr("__text")).alias("__tok"),
-    ).persist()
+    ).where(F.length("__tok") > 0).persist()
     per_doc = base.join(
         toks.groupBy("__doc").agg(F.count(F.lit(1)).alias("__nt")),
         "__doc", "left",
