@@ -12844,3 +12844,139 @@ ORACLE["rdd"] = """
            round(sl1 + 0.0000001, 6) AS slope_right
     FROM fit
 """
+
+
+def q_qte(spark, sf_dir):
+    """Quantile treatment effects of the orderkey-parity 'treatment' on
+    order value at the quartiles — per-arm exact quantiles from one
+    distinct-value cumulative pass, diffed per level."""
+    from woodwork_spark.operators.causal import quantile_treatment_effects
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    out = quantile_treatment_effects(
+        o, (F.col("o_orderkey") % 2 == 0), "o_totalprice",
+        quantiles=(0.25, 0.5, 0.75),
+    )
+    return out.select(
+        "q", "n_treat", "n_ctrl",
+        _ravg(F.col("treated"), 6).alias("treated"),
+        _ravg(F.col("control"), 6).alias("control"),
+        _ravg(F.col("qte"), 6).alias("qte"),
+    )
+
+
+def q_stream_srm(spark, sf_dir):
+    """Streaming per-hour sample-ratio-mismatch monitor (3-arm equal
+    split on user parity): one watermarked windowed aggregation with
+    the chi-square as a projection; finite stream equals the batch
+    replay — the oracle recomputes the same windows in SQL."""
+    import uuid
+
+    from woodwork_spark.streaming import read_event_stream
+    from woodwork_spark.streaming.events import srm_monitor_stream
+
+    _prep(spark)
+    stream = read_event_stream(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        max_files_per_trigger=10,
+    ).withColumn(
+        "arm",
+        F.when(F.col("user_id") % 3 == 0, "a")
+        .when(F.col("user_id") % 3 == 1, "b")
+        .otherwise("c"),
+    )
+    mon = srm_monitor_stream(
+        stream, "arm", {"a": 1.0, "b": 1.0, "c": 1.0},
+    ).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "n", "n_unknown",
+        _ravg(F.col("chi2"), 6).alias("chi2"),
+    )
+    name = f"stream_srm_{uuid.uuid4().hex[:8]}"
+    q = (
+        mon.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+QUERIES["qte"] = q_qte
+QUERIES["stream_srm"] = q_stream_srm
+
+
+ORACLE["qte"] = """
+    WITH base AS (
+        SELECT (o_orderkey % 2 = 0) AS t, o_totalprice AS v
+        FROM orders
+        WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    vals AS (
+        SELECT t, v, sum(1.0) AS w FROM base GROUP BY t, v
+    ),
+    m AS (
+        SELECT t, v,
+               sum(w) OVER (PARTITION BY t ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY t) AS tw
+        FROM vals
+    ),
+    qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS q),
+    picks AS (
+        SELECT t, q,
+               min(CASE WHEN cw >= q * tw THEN v END) AS value,
+               max(tw) AS tw
+        FROM m CROSS JOIN qs GROUP BY t, q
+    ),
+    piv AS (
+        SELECT q,
+               CAST(max(CASE WHEN t THEN tw END) AS BIGINT) AS n_treat,
+               CAST(max(CASE WHEN NOT t THEN tw END) AS BIGINT) AS n_ctrl,
+               max(CASE WHEN t THEN value END) AS treated,
+               max(CASE WHEN NOT t THEN value END) AS control
+        FROM picks GROUP BY q
+    )
+    SELECT q, n_treat, n_ctrl,
+           round(treated + 0.0000001, 6) AS treated,
+           round(control + 0.0000001, 6) AS control,
+           round((treated - control) + 0.0000001, 6) AS qte
+    FROM piv
+"""
+
+ORACLE["stream_srm"] = """
+    WITH base AS (
+        SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600000000
+                    AS BIGINT) AS window_start_us,
+               CASE WHEN user_id % 3 = 0 THEN 'a'
+                    WHEN user_id % 3 = 1 THEN 'b'
+                    ELSE 'c' END AS arm
+        FROM events WHERE ts IS NOT NULL
+    ),
+    w AS (
+        SELECT window_start_us,
+               sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS nb,
+               sum(CASE WHEN arm = 'c' THEN 1 ELSE 0 END) AS nc,
+               sum(CASE WHEN arm IS NULL THEN 1 ELSE 0 END) AS unk
+        FROM base GROUP BY window_start_us
+    )
+    SELECT window_start_us,
+           CAST(na + nb + nc AS BIGINT) AS n,
+           CAST(unk AS BIGINT) AS n_unknown,
+           CASE WHEN na + nb + nc > 0 THEN round(
+               (na - (na + nb + nc) * (1.0 / 3.0))
+               * (na - (na + nb + nc) * (1.0 / 3.0))
+               / ((na + nb + nc) * (1.0 / 3.0))
+               + (nb - (na + nb + nc) * (1.0 / 3.0))
+               * (nb - (na + nb + nc) * (1.0 / 3.0))
+               / ((na + nb + nc) * (1.0 / 3.0))
+               + (nc - (na + nb + nc) * (1.0 / 3.0))
+               * (nc - (na + nb + nc) * (1.0 / 3.0))
+               / ((na + nb + nc) * (1.0 / 3.0))
+               + 0.0000001, 6) END AS chi2
+    FROM w
+"""

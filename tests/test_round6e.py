@@ -318,3 +318,70 @@ def test_heaps_empty_docs_contribute_no_tokens(spark):
     assert r["n_docs"] == 3          # empty docs still advance the axis
     assert r["total_tokens"] == 2    # no phantom '' tokens
     assert r["vocab"] == 2
+
+
+# ------------------------------------------------------------------ batch 7
+
+
+def test_qte_detects_tail_only_shift(spark):
+    from woodwork_spark.operators.causal import quantile_treatment_effects
+
+    # control: 1..100; treated: same but top decile doubled
+    rows = [(False, float(i)) for i in range(1, 101)]
+    rows += [(True, float(i) if i <= 90 else float(i) * 2)
+             for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "t boolean, y double")
+    out = {r["q"]: r for r in quantile_treatment_effects(
+        df, "t", "y", quantiles=(0.5, 0.95)).collect()}
+    assert out[0.5]["qte"] == pytest.approx(0.0)     # median untouched
+    assert out[0.95]["qte"] == pytest.approx(95.0)   # 95th: 190 vs 95
+    assert out[0.5]["n_treat"] == 100
+
+
+def test_srm_monitor_stream_matches_batch(spark):
+    import os
+    import uuid
+
+    from woodwork_spark.streaming import read_event_stream
+    from woodwork_spark.streaming.events import srm_monitor_stream
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_event_stream(
+        spark, os.path.join(sf, "events.parquet"),
+    ).withColumn(
+        "arm",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b"),
+    )
+    mon = srm_monitor_stream(stream, "arm", {"a": 1, "b": 1},
+                             window="1 day")
+    name = f"t_srm_{uuid.uuid4().hex[:8]}"
+    q = (mon.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["window_start"]: r for r in spark.sql(
+        f"SELECT * FROM {name}").collect()}
+
+    from woodwork_spark.io import read_parquet
+
+    ev = read_parquet(spark, os.path.join(sf, "events.parquet"))
+    batch = ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("user_id") % 2 != 0, 1).otherwise(0)).alias("nb"),
+    ).collect()
+    assert got
+    for r in batch:
+        g = got[r["w"]["start"]]
+        assert g["n"] == r["na"] + r["nb"]
+        e = (r["na"] + r["nb"]) / 2.0
+        expect = (r["na"] - e) ** 2 / e + (r["nb"] - e) ** 2 / e
+        assert g["chi2"] == pytest.approx(expect)
+        assert g["n_unknown"] == 0
+
+
+def test_srm_monitor_stream_counts_unknown_arms(spark):
+    from woodwork_spark.streaming.events import srm_monitor_stream
+
+    with pytest.raises(ValueError, match="must be > 0"):
+        srm_monitor_stream(None, "arm", {"a": 0.0})
+    with pytest.raises(ValueError, match="required"):
+        srm_monitor_stream(None, "arm", {})

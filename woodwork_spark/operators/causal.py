@@ -543,3 +543,45 @@ def regression_discontinuity(
         slope_l.alias("slope_left"),
         slope_r.alias("slope_right"),
     )
+
+
+def quantile_treatment_effects(
+    df: DataFrame,
+    treat_col,
+    y_col: str,
+    quantiles=(0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Quantile treatment effects: the difference of the two arms'
+    EXACT quantiles at each requested level — where in the outcome
+    distribution the treatment acts (a mean shift of +5 looks the
+    same whether the whole distribution moved or one tail exploded;
+    QTE tells them apart).
+
+    Quantiles come from :func:`features.weighted_quantile` with unit
+    weights (rows collapse to distinct values first, one cumulative
+    window per arm, all levels picked in one pass) — the same
+    lower-quantile definition its oracle already proves.  Returns one
+    row per level: ``(q, n_treat, n_ctrl, treated, control, qte)``.
+    """
+    from .features import weighted_quantile
+
+    tr = (
+        F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    ).cast("boolean")
+    y = F.col(y_col).cast("double")
+    base = df.filter(tr.isNotNull() & y.isNotNull()).select(
+        tr.alias("__t"), y.alias("__y"), F.lit(1.0).alias("__one"),
+    )
+    wq = weighted_quantile(base, "__y", "__one", quantiles, ["__t"])
+    out = wq.groupBy("q").agg(
+        F.max(F.when(F.col("__t"), F.col("total_weight")))
+        .cast("long").alias("n_treat"),
+        F.max(F.when(~F.col("__t"), F.col("total_weight")))
+        .cast("long").alias("n_ctrl"),
+        F.max(F.when(F.col("__t"), F.col("value"))).alias("treated"),
+        F.max(F.when(~F.col("__t"), F.col("value"))).alias("control"),
+    )
+    return out.select(
+        "q", "n_treat", "n_ctrl", "treated", "control",
+        (F.col("treated") - F.col("control")).alias("qte"),
+    )

@@ -590,3 +590,70 @@ def match_stream_against_corpus(
     # the two corpus-scale caches ride on the result; call
     # lifecycle.release(result) after the streaming query stops
     return attach_persisted(out, c_sh, c_bands)
+
+
+def srm_monitor_stream(
+    events: DataFrame,
+    arm_col: str,
+    expected: dict,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Continuous sample-ratio-mismatch monitoring: per event-time
+    window, the chi-square of the observed arm counts against the
+    designed ratios — the streaming twin of ``causal.srm_check``, so a
+    broken randomizer pages within a window instead of poisoning a
+    week of data before the batch audit runs.
+
+    ONE watermarked windowed aggregation (conditional counts per
+    designed arm — the arm list is a query parameter, so this stays a
+    single streaming agg; chained aggs are unsupported in streaming);
+    the statistic is a pure projection on top.  Arms NOT in the design
+    can't raise mid-stream — they are counted and reported as
+    ``n_unknown`` (any value > 0 is itself an SRM page).  State is
+    bounded by (watermark + window) per window key.
+
+    Returns a streaming frame: ``(window_start, window_end, n,
+    n_unknown, chi2)``; ``chi2`` null for windows with no known-arm
+    rows.
+    """
+    if not expected:
+        raise ValueError("srm_monitor_stream: expected ratios required")
+    if any(float(r) <= 0 for r in expected.values()):
+        raise ValueError(
+            "srm_monitor_stream: every expected ratio must be > 0",
+        )
+    total_ratio = float(sum(expected.values()))
+    arms = list(expected.keys())
+    aggs = [
+        F.sum(
+            F.when(F.col(arm_col) == F.lit(a), 1).otherwise(0),
+        ).alias(f"__n_{i}")
+        for i, a in enumerate(arms)
+    ]
+    aggs.append(
+        F.sum(
+            F.when(
+                ~F.col(arm_col).isin(arms) | F.col(arm_col).isNull(), 1,
+            ).otherwise(0),
+        ).alias("__unknown"),
+    )
+    counted = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(*aggs)
+    )
+    n_known = sum(F.col(f"__n_{i}") for i in range(len(arms)))
+    chi2 = None
+    for i, a in enumerate(arms):
+        ratio = float(expected[a]) / total_ratio
+        e = n_known * F.lit(ratio)
+        term = (F.col(f"__n_{i}") - e) * (F.col(f"__n_{i}") - e) / e
+        chi2 = term if chi2 is None else chi2 + term
+    return counted.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        n_known.cast("long").alias("n"),
+        F.col("__unknown").cast("long").alias("n_unknown"),
+        F.when(n_known > 0, chi2).alias("chi2"),
+    )
