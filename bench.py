@@ -26,6 +26,11 @@ def main():
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # The driver parses the JSON line from a bounded tail capture of
+        # stdout; stage progress bars overflowed it in round 6
+        # (BENCH_r06 "parsed": null).  Silence them so the result JSON is
+        # the ONLY stdout line this script emits.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "32g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
@@ -97,6 +102,7 @@ def main():
                 "method": f"min_of_{max(reps, 1)}",
             },
         ),
+        flush=True,
     )
     spark.stop()
 

@@ -1,0 +1,261 @@
+"""Round 7: real stdlib multimodal header codecs, is_schema_valid,
+known_count calling conventions (zero probe jobs / no persist),
+rotation of the driver correctness window."""
+
+import struct
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Hand-built media fixtures (every byte written by struct.pack here)
+# ---------------------------------------------------------------------------
+
+def make_png(w, h):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00"
+    )
+
+
+def make_gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 8
+
+
+def make_bmp(w, h):
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 8
+
+
+def make_jpeg(w, h):
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    # a DHT (0xC4) segment first — the scanner must skip it, not read it
+    # as a frame header
+    dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+    sof2 = (
+        b"\xff\xc2"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dht + sof2 + b"\xff\xd9"
+
+
+def make_wav(rate, n_samples, channels=1, bits=16):
+    block_align = channels * bits // 8
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits,
+    )
+    payload = n_samples * block_align
+    # LIST chunk before data — the walker must skip unknown chunks
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size pad
+    data = b"data" + struct.pack("<I", payload) + b"\x00" * payload
+    body = b"WAVE" + fmt + lst + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_sniff_image_meta_formats():
+    from woodwork_spark.operators.multimodal import sniff_image_meta
+
+    assert sniff_image_meta(make_png(640, 480)) == (640, 480, "png")
+    assert sniff_image_meta(make_gif(320, 200)) == (320, 200, "gif")
+    # top-down BMP stores negative height; sniffer reports magnitude
+    assert sniff_image_meta(make_bmp(100, -50)) == (100, 50, "bmp")
+    assert sniff_image_meta(make_jpeg(360, 240)) == (360, 240, "jpeg")
+    # corruption never raises
+    assert sniff_image_meta(None) == (None, None, None)
+    assert sniff_image_meta(b"") == (None, None, None)
+    assert sniff_image_meta(b"notanimageatall") == (None, None, None)
+    assert sniff_image_meta(b"\x89PNG\r\n\x1a\nshort") == (None, None, None)
+    # JPEG with no SOF marker: format detected, dims unknown
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    assert sniff_image_meta(b"\xff\xd8" + app0) == (None, None, "jpeg")
+
+
+def test_sniff_wav_meta():
+    from woodwork_spark.operators.multimodal import sniff_wav_meta
+
+    assert sniff_wav_meta(make_wav(8000, 1000)) == (8000, 1000, "wav")
+    # stereo 16-bit: 4 bytes per sample frame
+    assert sniff_wav_meta(make_wav(44100, 777, channels=2)) == (
+        44100, 777, "wav",
+    )
+    assert sniff_wav_meta(None) == (None, None, None)
+    assert sniff_wav_meta(b"RIFFxxxxJUNK") == (None, None, None)
+    assert sniff_wav_meta(make_png(2, 2)) == (None, None, None)
+
+
+def test_attach_image_metadata_header_spark(spark):
+    from woodwork_spark.operators.multimodal import attach_image_metadata
+
+    rows = [
+        (1, make_png(11, 7)),
+        (2, make_gif(3, 4)),
+        (3, make_jpeg(640, 360)),
+        (4, make_bmp(9, 9)),
+        (5, b"garbage-bytes"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, img binary")
+    out = attach_image_metadata(df, "img", decoder="header")
+    got = {
+        r["id"]: (r["img_meta"]["width"], r["img_meta"]["height"], r["img_meta"]["format"])
+        for r in out.collect()
+    }
+    assert got[1] == (11, 7, "png")
+    assert got[2] == (3, 4, "gif")
+    assert got[3] == (640, 360, "jpeg")
+    assert got[4] == (9, 9, "bmp")
+    assert got[5] == (None, None, None)
+    assert got[6] == (None, None, None)
+    # literal mode unchanged (back-compat default)
+    lit = attach_image_metadata(df, "img", width=1, height=2, fmt="raw")
+    r0 = lit.select("img_meta").first()["img_meta"]
+    assert (r0["width"], r0["height"], r0["format"]) == (1, 2, "raw")
+    with pytest.raises(ValueError):
+        attach_image_metadata(df, "img", decoder="bogus")
+
+
+def test_attach_audio_metadata_spark(spark):
+    from woodwork_spark.operators.multimodal import attach_audio_metadata
+
+    rows = [
+        (1, make_wav(16000, 512)),
+        (2, make_wav(48000, 10, channels=2)),
+        (3, b"not audio"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, aud binary")
+    out = attach_audio_metadata(df, "aud")
+    got = {
+        r["id"]: (
+            r["aud_meta"]["sample_rate"],
+            r["aud_meta"]["n_samples"],
+            r["aud_meta"]["codec"],
+        )
+        for r in out.collect()
+    }
+    assert got[1] == (16000, 512, "wav")
+    assert got[2] == (48000, 10, "wav")
+    assert got[3] == (None, None, None)
+    assert got[4] == (None, None, None)
+
+
+def test_pixel_decode_still_stubbed(spark):
+    """decoder='real' remains the documented NotImplementedError boundary
+    for genuinely codec-bound work (pixels/samples need PIL/ffmpeg)."""
+    from woodwork_spark.operators.multimodal import image_features
+
+    df = spark.createDataFrame([(1, make_png(2, 2))], "doc_id long, img binary")
+    out = image_features(df, "img", "doc_id", decoder="real")
+    with pytest.raises(Exception, match="(?i)not.*implemented|NotImplemented"):
+        out.collect()
+
+
+# ---------------------------------------------------------------------------
+# is_schema_valid (reference accessor_utils.py:131)
+# ---------------------------------------------------------------------------
+
+def test_is_schema_valid(spark):
+    import woodwork_spark as ww
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    t = ww.init(df, index="id", validate=False)
+    schema = t.schema
+    assert ww.is_schema_valid(df, schema) is True
+    assert ww.is_schema_valid(df.withColumnRenamed("name", "x"), schema) is False
+    assert ww.is_schema_valid(
+        df.withColumn("name", F.col("name").cast("binary")), schema,
+    ) is False
+    assert "is_schema_valid" in ww.__all__
+
+
+# ---------------------------------------------------------------------------
+# known_count calling conventions: zero probe jobs, zero persists
+# ---------------------------------------------------------------------------
+
+def test_probe_small_known_count_zero_jobs(spark):
+    """With known_count supplied, _probe_small must issue NO Spark job
+    and persist NOTHING — the 100 TB calling convention every
+    rank-primitive consumer (vocabulary, packing, lift/qini, conformal)
+    relies on: plan construction stays free until the single action."""
+    from woodwork_spark.lifecycle import persisted_frames
+    from woodwork_spark.operators.rank import _probe_small, global_row_number
+
+    df = spark.range(1000).withColumn("v", F.col("id") % 97)
+    sc = spark.sparkContext
+    sc.setJobGroup("probe_known_count", "must stay empty")
+    try:
+        small, src, persisted = _probe_small(df, 100_000, known_count=1000)
+        assert small is True and src is df and persisted is False
+        big, src2, persisted2 = _probe_small(df, 100, known_count=1000)
+        assert big is False and persisted2 is False
+        # a full consumer: building the plan fires no job either
+        out = global_row_number(
+            df, [F.asc("v"), F.asc("id")], known_count=1000,
+        )
+        assert not persisted_frames(out)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("probe_known_count")
+    assert len(jobs) == 0, f"known_count path ran {len(jobs)} probe jobs"
+    # and the plan is still correct when finally executed
+    assert out.agg(F.max("row_number")).first()[0] == 999
+
+
+def test_ivf_index_known_count_skips_count_job(spark):
+    from woodwork_spark.operators.similarity import ivf_index
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf_known_count", "count must be skipped")
+    try:
+        assigned, cents = ivf_index(
+            df, nlist=4, train_sample=50, known_count=300,
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    with_hint = len(sc.statusTracker().getJobIdsForGroup("ivf_known_count"))
+    sc.setJobGroup("ivf_unknown_count", "count runs here")
+    try:
+        ivf_index(df, nlist=4, train_sample=50)
+    finally:
+        sc.setJobGroup(None, None)
+    without_hint = len(sc.statusTracker().getJobIdsForGroup("ivf_unknown_count"))
+    # the bounded limit().collect() is an incremental take (1-3 jobs
+    # regardless of table size); the hint must drop the count scan job.
+    assert with_hint < without_hint, (
+        f"known_count saved no jobs ({with_hint} vs {without_hint})"
+    )
+    assert len(cents) == 4
+    n_assigned = assigned.filter(F.col("__cluster").isNotNull()).count()
+    assert n_assigned == 300
+
+
+# ---------------------------------------------------------------------------
+# Driver-correctness window rotation
+# ---------------------------------------------------------------------------
+
+def test_query_rotation_covers_fresh_window():
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    # same key SETS as the underlying registries, just reordered
+    assert set(q) == set(e.QUERIES)
+    assert set(o) == set(e.ORACLE)
+    # rotation must be consistent: every rotated query keeps its oracle
+    for k in list(q)[:50]:
+        if k in e.ORACLE:
+            assert o[k] == e.ORACLE[k]
+    # with >=5 recorded rounds the window must NOT start at the round-1
+    # head (those 50 are the only ones the driver ever verified)
+    first = next(iter(q))
+    assert first != next(iter(e.QUERIES))

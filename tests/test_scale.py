@@ -257,7 +257,13 @@ def test_spearman_slow_path_batches_count_jobs(spark):
     sc = spark.sparkContext
     sc.setJobGroup("spearman_batch_test", "job-count probe")
     try:
-        out = dependence(t, measures=["spearman"])
+        # every pair shares 0 rows, so the SparseDataWarning is the
+        # EXPECTED signal here — assert it so real warnings stay visible
+        # in an otherwise warning-free suite.
+        from woodwork_spark.exceptions import SparseDataWarning
+
+        with pytest.warns(SparseDataWarning):
+            out = dependence(t, measures=["spearman"])
     finally:
         sc.setJobGroup(None, None)
     jobs = sc.statusTracker().getJobIdsForGroup("spearman_batch_test")

@@ -12,6 +12,7 @@ from woodwork_spark.accessor import (
     init,
     init_with_full_schema,
     get_invalid_schema_message,
+    is_schema_valid,
 )
 from woodwork_spark.schema import ColumnSchema, TableSchema
 from woodwork_spark.type_sys.type_system import type_system
@@ -55,6 +56,7 @@ __all__ = [
     "init",
     "init_with_full_schema",
     "get_invalid_schema_message",
+    "is_schema_valid",
     "WWDataFrame",
     "ColumnSchema",
     "TableSchema",

@@ -238,6 +238,12 @@ def get_invalid_schema_message(df: DataFrame, schema: TableSchema):
     return None
 
 
+def is_schema_valid(df: DataFrame, schema: TableSchema) -> bool:
+    """Boolean wrapper over :func:`get_invalid_schema_message`
+    (reference ``accessor_utils.py:131``, exported top-level)."""
+    return get_invalid_schema_message(df, schema) is None
+
+
 def _dtype_compatible(actual: T.DataType, expected: T.DataType) -> bool:
     numeric_long = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
     if isinstance(expected, T.LongType) and isinstance(actual, numeric_long):

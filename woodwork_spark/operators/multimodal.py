@@ -3,16 +3,27 @@
 Design: media travel as opaque ``binary`` columns with a typed metadata
 struct alongside (SURVEY 'multimodal columns' requirement).  Decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` — the Spark-side
-plumbing (schemas, batch shapes, partitioning) is real and tested; the
-actual codec step is STUBBED (this container has no image/audio libs):
-``decoder="fake"`` produces deterministic synthetic pixels/samples so
-pipelines can be built and tested end-to-end, and ``decoder="real"``
-raises NotImplementedError at the exact point a PIL/ffmpeg call belongs.
+plumbing (schemas, batch shapes, partitioning) is real and tested.
+
+Two codec tiers:
+
+* **Header metadata is REAL**: PNG (IHDR), JPEG (SOFn scan), GIF, BMP
+  dimensions and WAV RIFF sample-rate / sample-count are parsed from the
+  actual bytes with stdlib ``struct`` inside Arrow-batched pandas UDFs —
+  no external image/audio library needed
+  (``attach_image_metadata(decoder="header")``,
+  ``attach_audio_metadata``, ``sniff_image_meta``, ``sniff_wav_meta``).
+* **Pixel/sample decoding is STUBBED** (the container has no
+  PIL/ffmpeg): ``decoder="fake"`` produces deterministic synthetic
+  features so pipelines can be built and tested end-to-end, and
+  ``decoder="real"`` raises NotImplementedError at the exact point a
+  codec call belongs.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import struct
+from typing import Iterator, Optional
 
 import pandas as pd
 
@@ -46,16 +57,158 @@ VIDEO_META_DTYPE = T.StructType(
 )
 
 
-def attach_image_metadata(df: DataFrame, binary_col: str, width=None, height=None, fmt="raw"):
-    """Attach a typed metadata struct next to a binary media column."""
-    return df.withColumn(
-        f"{binary_col}_meta",
-        F.struct(
-            F.lit(width).cast("int").alias("width"),
-            F.lit(height).cast("int").alias("height"),
-            F.lit(fmt).alias("format"),
-        ),
-    )
+# ---------------------------------------------------------------------------
+# Stdlib header codecs (real bytes, no PIL/ffmpeg)
+# ---------------------------------------------------------------------------
+
+def sniff_image_meta(data: Optional[bytes]) -> tuple:
+    """Parse (width, height, format) from real image bytes using only
+    stdlib ``struct``: PNG IHDR, JPEG SOFn marker walk, GIF logical
+    screen descriptor, BMP info header.  Unknown/corrupt payloads yield
+    (None, None, None) instead of raising — at 100 TB a bad file must
+    not kill the stage."""
+    if not data or len(data) < 10:
+        return (None, None, None)
+    try:
+        # PNG: 8-byte signature, then IHDR chunk (len+type at 8..16,
+        # width/height big-endian u32 at 16..24).
+        if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+            if data[12:16] == b"IHDR":
+                w, h = struct.unpack(">II", data[16:24])
+                return (int(w), int(h), "png")
+            return (None, None, "png")
+        # GIF: 6-byte version, then width/height little-endian u16.
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", data[6:10])
+            return (int(w), int(h), "gif")
+        # BMP: 'BM', BITMAPINFOHEADER width/height at 18/22 (LE i32;
+        # height may be negative for top-down rows).
+        if data[:2] == b"BM" and len(data) >= 26:
+            w, h = struct.unpack("<ii", data[18:26])
+            return (int(w), abs(int(h)), "bmp")
+        # JPEG: walk markers from offset 2 until a SOFn frame header
+        # (C0-CF except C4/C8/CC): [len u16][precision u8][h u16][w u16].
+        if data[:2] == b"\xff\xd8":
+            i, n = 2, len(data)
+            while i + 3 < n:
+                if data[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = data[i + 1]
+                if marker == 0xFF:  # fill byte
+                    i += 1
+                    continue
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone marker, no length
+                    continue
+                if i + 4 > n:
+                    break
+                seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
+                if (
+                    0xC0 <= marker <= 0xCF
+                    and marker not in (0xC4, 0xC8, 0xCC)
+                    and i + 9 <= n
+                ):
+                    h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                    return (int(w), int(h), "jpeg")
+                i += 2 + seglen
+            return (None, None, "jpeg")
+    except Exception:
+        return (None, None, None)
+    return (None, None, None)
+
+
+def sniff_wav_meta(data: Optional[bytes]) -> tuple:
+    """Parse (sample_rate, n_samples, codec) from real WAV/RIFF bytes:
+    walk the chunk list for ``fmt `` (sample rate, block align) and
+    ``data`` (payload size → sample count).  Non-WAV/corrupt payloads
+    yield (None, None, None)."""
+    if not data or len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return (None, None, None)
+    try:
+        rate, block_align, data_size = None, None, None
+        i, n = 12, len(data)
+        while i + 8 <= n:
+            cid = data[i : i + 4]
+            csize = struct.unpack("<I", data[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 24 <= n:
+                _fmt, _ch, rate, _br, block_align = struct.unpack(
+                    "<HHIIH", data[i + 8 : i + 22],
+                )
+            elif cid == b"data":
+                data_size = csize
+            # chunks are word-aligned (odd sizes padded by one byte)
+            i += 8 + csize + (csize & 1)
+        n_samples = (
+            data_size // block_align
+            if data_size is not None and block_align
+            else None
+        )
+        return (
+            int(rate) if rate is not None else None,
+            int(n_samples) if n_samples is not None else None,
+            "wav",
+        )
+    except Exception:
+        return (None, None, None)
+
+
+def attach_image_metadata(
+    df: DataFrame,
+    binary_col: str,
+    width=None,
+    height=None,
+    fmt="raw",
+    decoder: str = "literal",
+):
+    """Attach a typed metadata struct next to a binary media column.
+
+    ``decoder="literal"`` stamps caller-supplied width/height/format
+    (cheap column expression, no byte inspection); ``decoder="header"``
+    parses the REAL bytes (PNG/JPEG/GIF/BMP headers, stdlib-only) in an
+    Arrow-batched pandas UDF — unparseable rows get null fields."""
+    if decoder == "literal":
+        return df.withColumn(
+            f"{binary_col}_meta",
+            F.struct(
+                F.lit(width).cast("int").alias("width"),
+                F.lit(height).cast("int").alias("height"),
+                F.lit(fmt).alias("format"),
+            ),
+        )
+    if decoder != "header":
+        raise ValueError("decoder must be 'literal' or 'header'")
+
+    @F.pandas_udf(IMAGE_META_DTYPE)
+    def _img_meta(col: pd.Series) -> pd.DataFrame:
+        metas = [sniff_image_meta(b) for b in col]
+        return pd.DataFrame(
+            {
+                "width": pd.array([m[0] for m in metas], dtype="Int32"),
+                "height": pd.array([m[1] for m in metas], dtype="Int32"),
+                "format": [m[2] for m in metas],
+            },
+        )
+
+    return df.withColumn(f"{binary_col}_meta", _img_meta(F.col(binary_col)))
+
+
+def attach_audio_metadata(df: DataFrame, binary_col: str) -> DataFrame:
+    """Attach (sample_rate, n_samples, codec) parsed from REAL WAV/RIFF
+    bytes (stdlib-only, Arrow-batched); non-WAV rows get null fields."""
+
+    @F.pandas_udf(AUDIO_META_DTYPE)
+    def _wav_meta(col: pd.Series) -> pd.DataFrame:
+        metas = [sniff_wav_meta(b) for b in col]
+        return pd.DataFrame(
+            {
+                "sample_rate": pd.array([m[0] for m in metas], dtype="Int32"),
+                "n_samples": pd.array([m[1] for m in metas], dtype="Int64"),
+                "codec": [m[2] for m in metas],
+            },
+        )
+
+    return df.withColumn(f"{binary_col}_meta", _wav_meta(F.col(binary_col)))
 
 
 def _fake_decode(data: bytes, n: int = 16) -> list:

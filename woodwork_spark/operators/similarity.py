@@ -131,6 +131,7 @@ def ivf_index(
     iterations: int = 5,
     train_sample: int = 10_000,
     sample_mode: str = "random",
+    known_count: int | None = None,
 ) -> tuple[DataFrame, list]:
     """Build an IVF index: train centroids with k-means++/Lloyd on a
     bounded sample, then assign every vector to its nearest centroid in
@@ -145,13 +146,18 @@ def ivf_index(
       head rows only: on source-sorted data centroids model only the
       head and tail-cluster recall degrades.
 
+    ``known_count``: callers that already know (or have counted) the
+    table size pass it here so random-sample training skips the extra
+    full count scan — the same 100 TB calling convention as
+    ``rank._probe_small(known_count=...)``.
+
     Training collects at most ``train_sample`` vectors (10k x d doubles
     — a few MB on the driver); assignment is one full scan."""
     import numpy as np
 
     src = df.select(vec_col)
     if sample_mode == "random":
-        total = src.count()
+        total = known_count if known_count is not None else src.count()
         if total > train_sample:
             fraction = min(1.0, train_sample / total * 1.2)
             src = src.sample(withReplacement=False, fraction=fraction, seed=seed)
