@@ -12402,7 +12402,7 @@ def q_srm(spark, sf_dir):
     return out.select(
         "n", "n_arms",
         _ravg(F.col("chi2"), 6).alias("chi2"),
-        "dof",
+        "dof", "n_unknown",
     )
 
 
@@ -12570,7 +12570,8 @@ ORACLE["srm"] = """
            CAST(count(*) AS BIGINT) AS n_arms,
            round(sum((observed - e) * (observed - e) / e)
                  + 0.0000001, 6) AS chi2,
-           CAST(count(*) - 1 AS BIGINT) AS dof
+           CAST(count(*) - 1 AS BIGINT) AS dof,
+           CAST(0 AS BIGINT) AS n_unknown
     FROM cells, t
 """
 

@@ -65,10 +65,16 @@ def test_srm_golden_chi2(spark):
     assert r["chi2"] == pytest.approx((60 - 50) ** 2 / 50 + (40 - 50) ** 2 / 50)
 
 
-def test_srm_unexpected_arm_raises(spark):
+def test_srm_unexpected_arm_surfaces_as_count(spark):
+    """Arms outside the design no longer raise at BUILD time (the
+    operator stays lazy); they surface as n_unknown > 0 at action time,
+    excluded from n/chi2 — same convention as srm_monitor_stream."""
     df = spark.createDataFrame([("a",), ("zzz",)], "arm string")
-    with pytest.raises(ValueError, match="observed but"):
-        srm_check(df, "arm", {"a": 1, "b": 1})
+    r = srm_check(df, "arm", {"a": 1, "b": 1}).first()
+    assert r["n_unknown"] == 1
+    assert r["n"] == 1  # designed arms only
+    # balanced design, one 'a' observed, none 'b': chi2 = .5 + .5
+    assert r["chi2"] == pytest.approx((1 - 0.5) ** 2 / 0.5 + 0.5)
 
 
 def test_srm_unobserved_arm_contributes_expectation(spark):

@@ -259,3 +259,71 @@ def test_query_rotation_covers_fresh_window():
     # head (those 50 are the only ones the driver ever verified)
     first = next(iter(q))
     assert first != next(iter(e.QUERIES))
+
+
+# ---------------------------------------------------------------------------
+# Advice fixes: srm_check laziness, conformal null-flag exclusion,
+# srm_monitor_stream ts_col
+# ---------------------------------------------------------------------------
+
+def test_srm_check_is_lazy(spark):
+    """srm_check must not run a Spark job at construction — same
+    lazy-DataFrame contract as every other operator in causal.py."""
+    from woodwork_spark.operators.causal import srm_check
+
+    df = spark.createDataFrame([("a",)] * 10 + [("b",)] * 10, "arm string")
+    sc = spark.sparkContext
+    sc.setJobGroup("srm_lazy", "must stay empty")
+    try:
+        out = srm_check(df, "arm", {"a": 1, "b": 1})
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("srm_lazy")
+    assert len(jobs) == 0, f"srm_check ran {len(jobs)} jobs at build time"
+    r = out.first()
+    assert r["chi2"] == pytest.approx(0.0)
+    assert r["n_unknown"] == 0
+
+
+def test_conformal_null_flag_rows_excluded(spark):
+    """Rows with a NULL calibration flag belong to NEITHER split: they
+    must not inflate the test-coverage denominator."""
+    from woodwork_spark.operators.evaluation import conformal_intervals
+    from woodwork_spark.lifecycle import release
+
+    rows = (
+        [(float(i), 0.0, True) for i in range(1, 20)]   # calib resid 1..19
+        + [(5.0, 0.0, False)] * 4                        # test, covered
+        + [(100.0, 0.0, False)]                          # test, not covered
+        + [(0.5, 0.0, None)] * 7                         # unknown split
+    )
+    df = spark.createDataFrame(rows, "pred double, actual double, cal boolean")
+    out = conformal_intervals(df, "pred", "actual", "cal", alpha=0.1)
+    r = out.first()
+    release(out)
+    assert r["n_calib"] == 19
+    assert r["n_test"] == 5  # the 7 NULL-flag rows are excluded
+    assert r["covered"] == 4
+    assert r["coverage"] == pytest.approx(0.8)
+
+
+def test_srm_monitor_stream_custom_ts_col(spark):
+    """The streaming SRM monitor accepts a non-'ts' event-time column,
+    matching the module's ts_col convention."""
+    from woodwork_spark.streaming.events import srm_monitor_stream
+
+    df = (
+        spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+        .withColumnRenamed("timestamp", "event_time")
+        .withColumn(
+            "arm", F.when(F.col("value") % 2 == 0, "a").otherwise("b"),
+        )
+    )
+    out = srm_monitor_stream(
+        df, "arm", {"a": 1, "b": 1},
+        watermark="10 seconds", window="5 seconds", ts_col="event_time",
+    )
+    assert out.isStreaming
+    assert set(out.columns) == {
+        "window_start", "window_end", "n", "n_unknown", "chi2",
+    }

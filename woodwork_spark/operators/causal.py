@@ -253,11 +253,17 @@ def srm_check(
     logging is broken and every downstream readout is suspect).
 
     ``expected`` maps arm value -> designed ratio (normalized
-    internally).  ONE grouped count; arms observed but not in
-    ``expected`` raise (that IS a mismatch worth a hard stop); arms
-    expected but unobserved contribute their full expectation to the
-    statistic.  Returns one row: ``(n, n_arms, chi2, dof)`` — compare
-    chi2 against the chi-square(dof) tail at your alerting level.
+    internally).  Fully LAZY and relational, like every other operator
+    in this module: the observed arm counts join a literal design frame
+    (full outer, so designed-but-unobserved arms contribute their whole
+    expectation and observed-but-undesigned arms are counted), and the
+    statistic folds over that ≤(#designed + #observed-distinct)-row
+    frame — ONE grouped count plus a bounded window, no driver collect,
+    no Spark job until the caller acts.  Returns one row
+    ``(n, n_arms, chi2, dof, n_unknown)``: ``n``/``chi2`` cover the
+    designed arms only; ``n_unknown`` counts rows in arms OUTSIDE the
+    design (any value > 0 means assignment/logging is broken — the same
+    surfacing convention as ``streaming.events.srm_monitor_stream``).
     """
     if not expected:
         raise ValueError("srm_check: expected ratios are required")
@@ -265,40 +271,48 @@ def srm_check(
         raise ValueError(
             "srm_check: every expected ratio must be > 0 — a retired "
             "(0-ratio) arm receiving traffic is an infinite mismatch; "
-            "drop it from the design and let the unknown-arm check flag "
+            "drop it from the design and let the unknown-arm count flag "
             "its rows",
         )
+    from pyspark.sql import Window as W
+
     total_ratio = float(sum(expected.values()))
-    counts = {
-        r[0]: r[1]
-        for r in df.filter(F.col(arm_col).isNotNull())
-        .groupBy(arm_col).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    unknown = set(counts) - set(expected)
-    if unknown:
-        raise ValueError(
-            f"srm_check: arms {sorted(map(str, unknown))} observed but "
-            f"not in the expected design — assignment is broken",
-        )
-    n = sum(counts.values())
     spark = df.sparkSession
-    rows = [
-        (
-            str(arm),
-            int(counts.get(arm, 0)),
-            n * (float(ratio) / total_ratio),
-        )
-        for arm, ratio in expected.items()
-    ]
-    cells = spark.createDataFrame(rows, "arm string, observed long, e double")
+    design = spark.createDataFrame(
+        [(str(a), float(r) / total_ratio) for a, r in expected.items()],
+        "arm string, __p double",
+    )
+    obs = (
+        df.filter(F.col(arm_col).isNotNull())
+        .groupBy(F.col(arm_col).cast("string").alias("arm"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    joined = design.join(obs, "arm", "full_outer").select(
+        "arm",
+        F.coalesce(F.col("__o"), F.lit(0)).alias("__o"),
+        "__p",
+    )
+    # n (designed-arm total) per row via a window over the tiny joined
+    # frame (bounded by the arm count), so e = n * p stays relational.
+    w = W.partitionBy(F.lit(1))
+    known = F.col("__p").isNotNull()
+    cells = joined.withColumn(
+        "__n",
+        F.sum(F.when(known, F.col("__o")).otherwise(F.lit(0))).over(w),
+    )
+    e = F.col("__n") * F.col("__p")
+    term = F.when(
+        known & (e > 0),
+        (F.col("__o") - e) * (F.col("__o") - e) / e,
+    )
     return cells.agg(
-        F.lit(n).cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("n_arms"),
-        F.sum(
-            (F.col("observed") - F.col("e"))
-            * (F.col("observed") - F.col("e")) / F.col("e"),
-        ).alias("chi2"),
-        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.sum(F.when(known, F.col("__o")).otherwise(F.lit(0)))
+        .cast("long").alias("n"),
+        F.sum(known.cast("long")).cast("long").alias("n_arms"),
+        F.sum(term).alias("chi2"),
+        (F.sum(known.cast("long")) - 1).cast("long").alias("dof"),
+        F.sum(F.when(~known, F.col("__o")).otherwise(F.lit(0)))
+        .cast("long").alias("n_unknown"),
     )
 
 

@@ -430,8 +430,10 @@ def conformal_intervals(
     The scalar joins back by broadcast; coverage is one aggregate.
 
     Returns one row ``(n_calib, qhat, n_test, covered, coverage)``.
-    Rows with null pred/actual are excluded; null ``calib_col`` rows
-    count as test rows.
+    Rows with null pred/actual are excluded, and so are rows whose
+    ``calib_col`` flag is null: a row of UNKNOWN split belongs to
+    neither half — counting it as test would silently inflate the
+    coverage denominator with rows the calibration never saw.
     """
     if not (0.0 < alpha < 1.0):
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
@@ -443,8 +445,8 @@ def conformal_intervals(
     resid = F.abs(
         F.col(actual_col).cast("double") - F.col(pred_col).cast("double"),
     )
-    base = df.filter(resid.isNotNull()).select(
-        resid.alias("__r"), F.coalesce(flag, F.lit(False)).alias("__cal"),
+    base = df.filter(resid.isNotNull() & flag.isNotNull()).select(
+        resid.alias("__r"), flag.alias("__cal"),
     ).persist()
     n_calib = base.filter("__cal").count()
     if n_calib == 0:

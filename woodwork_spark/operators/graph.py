@@ -185,10 +185,20 @@ def pagerank(
                 "pagerank",
                 F.col("pagerank") + F.lit(damping * leaked / n),
             )
+        # Broadcast path: materializing the broadcast rank vector at
+        # iteration t+1 re-executes every uncheckpointed prior iteration
+        # (rv nests the previous contribs), so edge-scan work grows
+        # quadratically between checkpoints — and the broadcast forces a
+        # full evaluation each iteration ANYWAY, so checkpointing the
+        # node-sized vector every time is free.  Shuffle path:
         # checkpoint_every > 1 trades lineage depth for fewer
         # materialization jobs — right for shallow runs (<= ~5
-        # iterations); the default 1 keeps the plan flat for long runs
-        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+        # iterations); the default 1 keeps the plan flat for long runs.
+        if (
+            broadcast_ranks
+            or (it + 1) % checkpoint_every == 0
+            or it == iterations - 1
+        ):
             ranks = new_ranks.localCheckpoint(eager=True)
         else:
             ranks = new_ranks

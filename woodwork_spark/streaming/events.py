@@ -598,6 +598,7 @@ def srm_monitor_stream(
     expected: dict,
     watermark: str = "2 hours",
     window: str = "1 hour",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Continuous sample-ratio-mismatch monitoring: per event-time
     window, the chi-square of the observed arm counts against the
@@ -612,6 +613,9 @@ def srm_monitor_stream(
     can't raise mid-stream — they are counted and reported as
     ``n_unknown`` (any value > 0 is itself an SRM page).  State is
     bounded by (watermark + window) per window key.
+
+    ``ts_col`` names the event-time column for watermark/window —
+    the same convention as the sibling helpers in this module.
 
     Returns a streaming frame: ``(window_start, window_end, n,
     n_unknown, chi2)``; ``chi2`` null for windows with no known-arm
@@ -639,8 +643,8 @@ def srm_monitor_stream(
         ).alias("__unknown"),
     )
     counted = (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"))
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"))
         .agg(*aggs)
     )
     n_known = sum(F.col(f"__n_{i}") for i in range(len(arms)))
