@@ -13111,3 +13111,169 @@ ORACLE["multimodal_header_meta"] = """
            'wav' AS codec
     FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7: two-sample ECDF battery (KS test w/ p, Cramér–von Mises,
+# 1-D Wasserstein)
+# ---------------------------------------------------------------------------
+
+
+def q_ks_2samp(spark, sf_dir):
+    """Two-sample KS test (returned vs non-returned line items on
+    extended price): D statistic + asymptotic p folded as expressions
+    on one aggregate; both ECDFs come from ONE shared range-partitioned
+    prefix-sum pass over the distinct-value table."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import ks_test_2samp
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = ks_test_2samp(
+        li, "l_extendedprice", F.col("l_returnflag") == "R", p_terms=25,
+    )
+    return attach_persisted(out.select(
+        "n_a", "n_b",
+        _ravg(F.col("d_stat"), 6).alias("d_stat"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+    ), *persisted_frames(out))
+
+
+def q_cvm_2samp(spark, sf_dir):
+    """Cramér–von Mises two-sample statistic (open vs filled line
+    items on discount): the integral-squared drift companion to KS,
+    same one-pass distributed ECDF scaffold."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import cvm_test_2samp
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = cvm_test_2samp(li, "l_discount", F.col("l_linestatus") == "O")
+    return attach_persisted(out.select(
+        "n_a", "n_b",
+        _ravg(F.col("t_stat"), 6).alias("t_stat"),
+    ), *persisted_frames(out))
+
+
+def q_wasserstein(spark, sf_dir):
+    """1-D Wasserstein-1 distance between even and odd line numbers'
+    extended-price distributions — drift in the value's own units.
+    The consecutive-distinct-value pairing is a keyed join on the
+    range-partitioned global row number, not a lead() window."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import wasserstein_1d
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = wasserstein_1d(li, "l_extendedprice", F.col("l_linenumber") % 2 == 0)
+    return attach_persisted(out.select(
+        "n_a", "n_b",
+        _ravg(F.col("w1"), 6).alias("w1"),
+    ), *persisted_frames(out))
+
+
+QUERIES["ks_2samp"] = q_ks_2samp
+QUERIES["cvm_2samp"] = q_cvm_2samp
+QUERIES["wasserstein"] = q_wasserstein
+
+
+def _ks_oracle() -> str:
+    terms = " + ".join(
+        f"({float((-1) ** (j - 1))}) * exp(-2.0 * {j * j} * lam * lam)"
+        for j in range(1, 26)
+    )
+    return f"""
+    WITH base AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+               (l_returnflag = 'R') AS a
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    cells AS (
+        SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS xa,
+               sum(CASE WHEN a THEN 0 ELSE 1 END) AS xb
+        FROM base GROUP BY v
+    ),
+    cum AS (
+        SELECT v, sum(xa) OVER (ORDER BY v) AS ca,
+               sum(xb) OVER (ORDER BY v) AS cb
+        FROM cells
+    ),
+    t AS (SELECT sum(xa) AS ta, sum(xb) AS tb FROM cells),
+    d AS (
+        SELECT max(abs(ca * 1.0 / ta - cb * 1.0 / tb)) AS dd
+        FROM cum, t
+    ),
+    l AS (
+        SELECT dd,
+               (sqrt(ta * 1.0 * tb / (ta + tb)) + 0.12
+                + 0.11 / sqrt(ta * 1.0 * tb / (ta + tb))) * dd AS lam,
+               ta, tb
+        FROM d, t
+    )
+    SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+           round(dd + 0.0000001, 6) AS d_stat,
+           round(least(1.0, greatest(0.0, 2.0 * ({terms})))
+                 + 0.0000001, 6) AS p_approx
+    FROM l
+"""
+
+
+ORACLE["ks_2samp"] = _ks_oracle()
+
+ORACLE["cvm_2samp"] = """
+    WITH base AS (
+        SELECT CAST(l_discount AS DOUBLE) AS v,
+               (l_linestatus = 'O') AS a
+        FROM lineitem WHERE l_discount IS NOT NULL
+    ),
+    cells AS (
+        SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS xa,
+               sum(CASE WHEN a THEN 0 ELSE 1 END) AS xb
+        FROM base GROUP BY v
+    ),
+    cum AS (
+        SELECT v, xa + xb AS cnt,
+               sum(xa) OVER (ORDER BY v) AS ca,
+               sum(xb) OVER (ORDER BY v) AS cb
+        FROM cells
+    ),
+    t AS (SELECT sum(xa) AS ta, sum(xb) AS tb FROM cells),
+    s AS (
+        SELECT sum(cnt * (ca * 1.0 / ta - cb * 1.0 / tb)
+                       * (ca * 1.0 / ta - cb * 1.0 / tb)) AS ss
+        FROM cum, t
+    )
+    SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+           round(ta * 1.0 * tb / ((ta + tb) * 1.0 * (ta + tb)) * ss
+                 + 0.0000001, 6) AS t_stat
+    FROM s, t
+"""
+
+ORACLE["wasserstein"] = """
+    WITH base AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+               (l_linenumber % 2 = 0) AS a
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    cells AS (
+        SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS xa,
+               sum(CASE WHEN a THEN 0 ELSE 1 END) AS xb
+        FROM base GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               sum(xa) OVER (ORDER BY v) AS ca,
+               sum(xb) OVER (ORDER BY v) AS cb,
+               lead(v) OVER (ORDER BY v) AS v_next
+        FROM cells
+    ),
+    t AS (SELECT sum(xa) AS ta, sum(xb) AS tb FROM cells),
+    s AS (
+        SELECT sum(abs(ca * 1.0 / ta - cb * 1.0 / tb)
+                   * (v_next - v)) AS w
+        FROM cum, t WHERE v_next IS NOT NULL
+    )
+    SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+           round(coalesce(w, 0.0) + 0.0000001, 6) AS w1
+    FROM s, t
+"""

@@ -327,3 +327,94 @@ def test_srm_monitor_stream_custom_ts_col(spark):
     assert set(out.columns) == {
         "window_start", "window_end", "n", "n_unknown", "chi2",
     }
+
+
+# ---------------------------------------------------------------------------
+# Two-sample ECDF battery: KS w/ p, Cramér–von Mises, Wasserstein-1
+# ---------------------------------------------------------------------------
+
+def _ecdf_expected(va, vb):
+    import numpy as np
+
+    allv = np.sort(np.unique(np.concatenate([va, vb])))
+    fa = np.searchsorted(np.sort(va), allv, side="right") / len(va)
+    fb = np.searchsorted(np.sort(vb), allv, side="right") / len(vb)
+    d = float(np.max(np.abs(fa - fb)))
+    w1 = float(np.sum(np.abs(fa - fb)[:-1] * np.diff(allv)))
+    cnt = np.array([(va == x).sum() + (vb == x).sum() for x in allv])
+    t = float(
+        len(va) * len(vb) / (len(va) + len(vb)) ** 2
+        * np.sum(cnt * (fa - fb) ** 2)
+    )
+    return d, t, w1
+
+
+def test_two_sample_battery_matches_numpy(spark):
+    import numpy as np
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.stats_tests import (
+        cvm_test_2samp,
+        ks_test_2samp,
+        wasserstein_1d,
+    )
+
+    va = np.array([i % 37 for i in range(300)], float)
+    vb = np.array([(i % 41) * 1.5 + 2 for i in range(200)], float)
+    rows = [(float(v), True) for v in va] + [(float(v), False) for v in vb]
+    # null value and null flag rows must be ignored
+    rows += [(None, True), (1.0, None)]
+    df = spark.createDataFrame(rows, "v double, a boolean")
+    d_exp, t_exp, w_exp = _ecdf_expected(va, vb)
+
+    ks = ks_test_2samp(df, "v", "a").first()
+    assert (ks["n_a"], ks["n_b"]) == (300, 200)
+    assert ks["d_stat"] == pytest.approx(d_exp)
+    # Stephens-corrected asymptotic p
+    ne = 300 * 200 / 500
+    lam = (ne**0.5 + 0.12 + 0.11 / ne**0.5) * d_exp
+    import math
+
+    p_exp = 2 * sum(
+        (-1) ** (j - 1) * math.exp(-2 * j * j * lam * lam)
+        for j in range(1, 26)
+    )
+    assert ks["p_approx"] == pytest.approx(min(1.0, max(0.0, p_exp)))
+
+    cvm = cvm_test_2samp(df, "v", "a").first()
+    assert cvm["t_stat"] == pytest.approx(t_exp)
+
+    w = wasserstein_1d(df, "v", "a")
+    r = w.first()
+    release(w)
+    assert r["w1"] == pytest.approx(w_exp)
+
+
+def test_wasserstein_known_shift(spark):
+    """Pure location shift by c => W1 == c exactly."""
+    from woodwork_spark.operators.stats_tests import wasserstein_1d
+
+    rows = [(float(i), True) for i in range(100)] + [
+        (float(i) + 7.25, False) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "v double, a boolean")
+    assert wasserstein_1d(df, "v", "a").first()["w1"] == pytest.approx(7.25)
+
+
+def test_wasserstein_single_value_is_zero(spark):
+    from woodwork_spark.operators.stats_tests import wasserstein_1d
+
+    df = spark.createDataFrame(
+        [(3.0, True), (3.0, False), (3.0, False)], "v double, a boolean",
+    )
+    assert wasserstein_1d(df, "v", "a").first()["w1"] == 0.0
+
+
+def test_ks_identical_samples(spark):
+    from woodwork_spark.operators.stats_tests import ks_test_2samp
+
+    rows = [(float(i % 10), (i // 10) % 2 == 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "v double, a boolean")
+    r = ks_test_2samp(df, "v", "a").first()
+    assert r["d_stat"] == pytest.approx(0.0)
+    assert r["p_approx"] == pytest.approx(1.0)

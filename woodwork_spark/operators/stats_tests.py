@@ -884,3 +884,180 @@ def bh_fdr(
         out_col, F.least(F.lit(1.0), F.col("__q")),
     ).drop("__i", "__raw", "__q")
     return attach_persisted(out, base, *persisted_frames(suff))
+
+
+# ---------------------------------------------------------------------------
+# Two-sample ECDF battery: KS with asymptotic p, Cramér–von Mises,
+# 1-D Wasserstein.  One shared scaffold: per-distinct-value conditional
+# counts (map-side combinable), BOTH inclusive cumulative counts from one
+# range-partitioned prefix-sum pass, totals broadcast from one tiny agg.
+# ---------------------------------------------------------------------------
+
+
+def _two_sample_cells(df, value_col, sample_a, small_threshold):
+    """(cells, n-dropped-expr): per-distinct-value frame with
+    ``__v, __a, __b`` (side counts), ``__ca, __cb`` (inclusive
+    cumulatives) and ``__ta, __tb`` (totals, broadcast onto every row).
+    ``sample_a`` is a boolean column/expression naming side A; rows
+    with null value or null flag are excluded."""
+    flag = (
+        F.col(sample_a) if isinstance(sample_a, str) else sample_a
+    ).cast("boolean")
+    v = F.col(value_col).cast("double")
+    cells = (
+        df.filter(v.isNotNull() & flag.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(
+            F.sum(flag.cast("long")).alias("__a"),
+            F.sum((~flag).cast("long")).alias("__b"),
+        )
+    )
+    cum = global_prefix_sums(
+        cells, [F.asc("__v")], ["__a", "__b"], ["__ca", "__cb"],
+        inclusive=True, small_threshold=small_threshold,
+    )
+    tot = cum.agg(
+        F.max("__ca").alias("__ta"), F.max("__cb").alias("__tb"),
+    )
+    return cum.crossJoin(F.broadcast(tot))
+
+
+def ks_test_2samp(
+    df: DataFrame,
+    value_col: str,
+    sample_a,
+    p_terms: int = 25,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov TEST on one frame: D statistic
+    plus the asymptotic two-sided p-value — the single-frame,
+    inferential sibling of ``curation.ks_drift`` (which compares two
+    corpora and reports only the distance).
+
+    ``p_approx`` uses the Kolmogorov asymptotic series with the
+    Stephens small-sample correction: ``lambda = (sqrt(ne) + 0.12 +
+    0.11/sqrt(ne)) * D`` with ``ne = n_a n_b / (n_a + n_b)``, ``p = 2
+    * sum_{j>=1} (-1)^(j-1) exp(-2 j^2 lambda^2)`` truncated at
+    ``p_terms`` terms (the series converges like exp(-2j^2); 25 terms
+    is far past double precision) and clamped to [0, 1].  The whole
+    statistic folds as column expressions on a one-row aggregate — no
+    driver math, so the result composes lazily like every test here.
+
+    Returns one row ``(n_a, n_b, d_stat, p_approx)``.
+    """
+    cells = _two_sample_cells(df, value_col, sample_a, small_threshold)
+    gap = F.abs(
+        F.col("__ca") / F.col("__ta") - F.col("__cb") / F.col("__tb"),
+    )
+    agg = cells.agg(
+        F.max("__ta").cast("long").alias("n_a"),
+        F.max("__tb").cast("long").alias("n_b"),
+        F.max(gap).alias("d_stat"),
+    )
+    ne = (
+        F.col("n_a").cast("double") * F.col("n_b")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    lam = (
+        (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne))
+        * F.col("d_stat")
+    )
+    series = None
+    for j in range(1, max(int(p_terms), 1) + 1):
+        term = F.lit(float((-1) ** (j - 1))) * F.exp(
+            F.lit(-2.0 * j * j) * lam * lam,
+        )
+        series = term if series is None else series + term
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.lit(2.0) * series))
+    out = agg.select(
+        "n_a", "n_b", "d_stat",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), p)
+        .alias("p_approx"),
+    )
+    return attach_persisted(out, *persisted_frames(cells))
+
+
+def cvm_test_2samp(
+    df: DataFrame,
+    value_col: str,
+    sample_a,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic in its ECDF form:
+    ``T = (n_a n_b / (n_a + n_b)^2) * sum_x (F_a(x) - F_b(x))^2``
+    summed over every OBSERVATION x (ties weighted by their
+    multiplicity) — the integral-squared companion to KS: KS sees only
+    the worst single gap, CvM accumulates shift across the whole
+    distribution, so it catches broad small drifts a KS max misses.
+
+    Same one-pass distributed shape as :func:`ks_test_2samp`.  Returns
+    one row ``(n_a, n_b, t_stat)`` (compare against the CvM tail table
+    for your alerting level; the null distribution is not a simple
+    closed form, so no p column rather than a wrong one).
+    """
+    cells = _two_sample_cells(df, value_col, sample_a, small_threshold)
+    gap = (
+        F.col("__ca") / F.col("__ta") - F.col("__cb") / F.col("__tb")
+    )
+    agg = cells.agg(
+        F.max("__ta").cast("long").alias("n_a"),
+        F.max("__tb").cast("long").alias("n_b"),
+        F.sum((F.col("__a") + F.col("__b")) * gap * gap).alias("__s"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    out = agg.select(
+        "n_a", "n_b",
+        (na * nb / ((na + nb) * (na + nb)) * F.col("__s")).alias("t_stat"),
+    )
+    return attach_persisted(out, *persisted_frames(cells))
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    sample_a,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between the two
+    samples' distributions: ``W1 = integral |F_a(x) - F_b(x)| dx =
+    sum_i |F_a(v_i) - F_b(v_i)| * (v_{i+1} - v_i)`` over the sorted
+    distinct values — the drift measure that reports HOW FAR mass
+    moved in the value's own units (PSI/KS/JS are all unitless).
+
+    The consecutive-value pairing joins the cells frame to itself on
+    ``position + 1`` using the range-partitioned global row number —
+    a keyed sort-merge join on an already-aggregated distinct-value
+    table, no single-reducer lead() window.  Returns one row
+    ``(n_a, n_b, w1)``.
+    """
+    from .rank import global_row_number
+
+    cells = _two_sample_cells(df, value_col, sample_a, small_threshold)
+    ranked = global_row_number(
+        cells, [F.asc("__v")], out_col="__i",
+        small_threshold=small_threshold,
+    )
+    cur = ranked.select(
+        "__i", "__v",
+        F.abs(
+            F.col("__ca") / F.col("__ta") - F.col("__cb") / F.col("__tb"),
+        ).alias("__gap"),
+        "__ta", "__tb",
+    )
+    nxt = ranked.select(
+        (F.col("__i") - 1).alias("__i"), F.col("__v").alias("__v_next"),
+    )
+    agg = cur.join(nxt, "__i").agg(
+        F.max("__ta").cast("long").alias("n_a"),
+        F.max("__tb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("__gap") * (F.col("__v_next") - F.col("__v")),
+        ).alias("__w"),
+    )
+    # single-distinct-value inputs have no consecutive pair: W1 = 0
+    out = agg.select(
+        "n_a", "n_b", F.coalesce(F.col("__w"), F.lit(0.0)).alias("w1"),
+    )
+    return attach_persisted(
+        out, *persisted_frames(cells), *persisted_frames(ranked),
+    )
