@@ -13277,3 +13277,274 @@ ORACLE["wasserstein"] = """
            round(coalesce(w, 0.0) + 0.0000001, 6) AS w1
     FROM s, t
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7: retrieval evaluation (ranking metrics, RRF), FK join health,
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def q_ranking_metrics(spark, sf_dir):
+    """Macro-averaged retrieval metrics at k=5 treating each order as a
+    query, its line items as ranked candidates (score = extended
+    price), and the discount grade as relevance — per-query windows
+    (parallelism = #queries, no global sort), one per-query aggregate,
+    one fold."""
+    from woodwork_spark.operators.evaluation import ranking_metrics
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_linenumber",
+        F.round(F.col("l_discount") * 100).alias("rel"),
+    )
+    out = ranking_metrics(
+        li, "l_orderkey", "l_extendedprice", "rel", k=5,
+        tiebreak="l_linenumber",
+    )
+    return out.select(
+        "n_queries", "n_queries_no_rel",
+        _ravg(F.col("mrr"), 6).alias("mrr"),
+        _ravg(F.col("precision_at_k"), 6).alias("precision_at_k"),
+        _ravg(F.col("recall_at_k"), 6).alias("recall_at_k"),
+        _ravg(F.col("ndcg_at_k"), 6).alias("ndcg_at_k"),
+    )
+
+
+def q_rrf_fuse(spark, sf_dir):
+    """Reciprocal-rank fusion of two rankers (price-ranked and
+    quantity-ranked line items per order), then the fused top-1 per
+    order for the first 30 orders — one map-side-combinable fuse agg,
+    per-query windows only."""
+    from woodwork_spark.operators.evaluation import rrf_fuse
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    w1 = W.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber"),
+    )
+    w2 = W.partitionBy("l_orderkey").orderBy(
+        F.desc("l_quantity"), F.asc("l_linenumber"),
+    )
+    sys1 = li.select(
+        "l_orderkey", "l_linenumber", F.row_number().over(w1).alias("rank"),
+    )
+    sys2 = li.select(
+        "l_orderkey", "l_linenumber", F.row_number().over(w2).alias("rank"),
+    )
+    fused = rrf_fuse(
+        sys1.unionByName(sys2), "l_orderkey", "l_linenumber", "rank", k=60,
+    )
+    top = W.partitionBy("query").orderBy(
+        F.desc("rrf_score"), F.asc("item"),
+    )
+    return (
+        fused.withColumn("__rn", F.row_number().over(top))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("query").alias("o_key"),
+            F.col("item").cast("long").alias("best_line"),
+            _ravg(F.col("rrf_score"), 6).alias("rrf_score"),
+            "n_systems",
+        )
+    )
+
+
+def q_join_health(spark, sf_dir):
+    """FK health between lineitem and a deliberately-broken part dim
+    (every third key dropped -> orphans, every fifth duplicated ->
+    fan-out; every seventh fact key nulled): two per-key count aggs,
+    one keyed join of key-cardinality frames, one fold."""
+    from woodwork_spark.operators.quality_checks import join_health_report
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "fk",
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("l_partkey"),
+        ),
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 != 0)
+    dim = part.unionByName(part.filter(F.col("p_partkey") % 5 == 0))
+    out = join_health_report(li, dim, "fk", "p_partkey")
+    return out.select(
+        "n_fact", "n_fact_null_key", "n_fact_orphan", "n_dim",
+        "n_dim_keys", "n_dim_dup_keys", "max_fanout", "inner_join_rows",
+    )
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embeddings table —
+    pure array expressions (no UDF, no shuffle); the oracle replays the
+    same arithmetic with DuckDB list functions and checks the code
+    checksums and the max dequantization error per vector."""
+    from woodwork_spark.operators.embedding import quantize_embeddings
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb, "embedding", "vec_id")
+    return out.select(
+        "vec_id",
+        _ravg(F.col("scale"), 8).alias("scale"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, x: a + x,
+        ).alias("q_sum"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, x: a + F.abs(x),
+        ).alias("q_l1"),
+        _ravg(F.col("max_abs_err"), 8).alias("max_abs_err"),
+    )
+
+
+QUERIES["ranking_metrics"] = q_ranking_metrics
+QUERIES["rrf_fuse"] = q_rrf_fuse
+QUERIES["join_health"] = q_join_health
+QUERIES["quantize_embeddings"] = q_quantize_embeddings
+
+ORACLE["ranking_metrics"] = """
+    WITH base AS (
+        SELECT l_orderkey AS q, CAST(l_extendedprice AS DOUBLE) AS s,
+               CAST(round(l_discount * 100) AS DOUBLE) AS r,
+               l_linenumber AS tb
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL
+    ),
+    ranked AS (
+        SELECT q, r,
+               row_number() OVER (PARTITION BY q ORDER BY s DESC, tb) AS rk,
+               row_number() OVER (PARTITION BY q ORDER BY r DESC, tb) AS irk
+        FROM base
+    ),
+    perq AS (
+        SELECT q,
+               sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS nrel,
+               min(CASE WHEN r > 0 THEN rk END) AS fr,
+               sum(CASE WHEN rk <= 5 AND r > 0 THEN 1 ELSE 0 END) AS hits,
+               sum(CASE WHEN rk <= 5
+                   THEN (pow(2.0, r) - 1) / log2(rk + 1.0) ELSE 0 END) AS dcg,
+               sum(CASE WHEN irk <= 5
+                   THEN (pow(2.0, r) - 1) / log2(irk + 1.0) ELSE 0 END) AS idcg
+        FROM ranked GROUP BY q
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN nrel = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_queries_no_rel,
+           round(avg(CASE WHEN nrel > 0 THEN 1.0 / fr END)
+                 + 0.0000001, 6) AS mrr,
+           round(avg(hits / 5.0) + 0.0000001, 6) AS precision_at_k,
+           round(avg(CASE WHEN nrel > 0 THEN hits * 1.0 / nrel END)
+                 + 0.0000001, 6) AS recall_at_k,
+           round(avg(CASE WHEN nrel > 0 AND idcg > 0 THEN dcg / idcg END)
+                 + 0.0000001, 6) AS ndcg_at_k
+    FROM perq
+"""
+
+ORACLE["rrf_fuse"] = """
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        FROM lineitem WHERE l_orderkey < 1000
+    ),
+    s1 AS (
+        SELECT l_orderkey, l_linenumber,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_extendedprice DESC, l_linenumber
+               ) AS rank
+        FROM li
+    ),
+    s2 AS (
+        SELECT l_orderkey, l_linenumber,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_quantity DESC, l_linenumber
+               ) AS rank
+        FROM li
+    ),
+    votes AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+    fused AS (
+        SELECT l_orderkey AS query, l_linenumber AS item,
+               sum(1.0 / (60.0 + rank)) AS rrf_score,
+               count(*) AS n_systems
+        FROM votes GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query ORDER BY rrf_score DESC, item
+        ) AS rn
+        FROM fused
+    )
+    SELECT query AS o_key, CAST(item AS BIGINT) AS best_line,
+           round(rrf_score + 0.0000001, 6) AS rrf_score,
+           CAST(n_systems AS BIGINT) AS n_systems
+    FROM top WHERE rn = 1
+"""
+
+ORACLE["join_health"] = """
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                    ELSE l_partkey END AS k
+        FROM lineitem
+    ),
+    dim0 AS (SELECT p_partkey FROM part WHERE p_partkey % 3 <> 0),
+    dim AS (
+        SELECT p_partkey FROM dim0
+        UNION ALL
+        SELECT p_partkey FROM dim0 WHERE p_partkey % 5 = 0
+    ),
+    fk AS (SELECT k, count(*) AS nf FROM fact GROUP BY k),
+    dk AS (SELECT p_partkey AS k, count(*) AS nd FROM dim GROUP BY 1),
+    j AS (
+        SELECT coalesce(fk.nf, 0) AS nf, dk.nd,
+               (fk.k IS NULL AND fk.nf IS NOT NULL) AS null_key
+        FROM fk FULL OUTER JOIN dk ON fk.k = dk.k
+    )
+    SELECT CAST(sum(nf) AS BIGINT) AS n_fact,
+           CAST(sum(CASE WHEN null_key THEN nf ELSE 0 END) AS BIGINT)
+               AS n_fact_null_key,
+           CAST(sum(CASE WHEN nd IS NULL AND NOT coalesce(null_key, false)
+                    THEN nf ELSE 0 END) AS BIGINT) AS n_fact_orphan,
+           CAST(sum(coalesce(nd, 0)) AS BIGINT) AS n_dim,
+           CAST(sum(CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dim_keys,
+           CAST(sum(CASE WHEN coalesce(nd, 0) > 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dim_dup_keys,
+           CAST(max(nd) AS BIGINT) AS max_fanout,
+           CAST(sum(CASE WHEN nd IS NOT NULL AND NOT coalesce(null_key, false)
+                    THEN nf * nd ELSE 0 END) AS BIGINT) AS inner_join_rows
+    FROM j
+"""
+
+ORACLE["quantize_embeddings"] = """
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, v,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+               END AS scale
+        FROM base
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale IS NOT NULL
+                    THEN list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+               END AS qv,
+               v
+        FROM scaled
+    )
+    SELECT vec_id,
+           round(scale + 0.0000001, 8) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           round(list_max(
+               list_transform(
+                   list_zip(v, qv),
+                   p -> abs(p[1] - p[2] * scale)
+               )
+           ) + 0.0000001, 8) AS max_abs_err
+    FROM q
+"""

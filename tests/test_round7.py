@@ -418,3 +418,85 @@ def test_ks_identical_samples(spark):
     r = ks_test_2samp(df, "v", "a").first()
     assert r["d_stat"] == pytest.approx(0.0)
     assert r["p_approx"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval metrics, RRF fusion, join health, int8 quantization
+# ---------------------------------------------------------------------------
+
+def test_ranking_metrics_golden(spark):
+    from woodwork_spark.operators.evaluation import ranking_metrics
+
+    # q1: rel docs at system ranks 2 and 4 (of 4); q2: none relevant
+    rows = [
+        ("q1", 4.0, 0.0, 1), ("q1", 3.0, 2.0, 2),
+        ("q1", 2.0, 0.0, 3), ("q1", 1.0, 1.0, 4),
+        ("q2", 9.0, 0.0, 1), ("q2", 8.0, 0.0, 2),
+    ]
+    df = spark.createDataFrame(rows, "q string, s double, r double, tb int")
+    m = ranking_metrics(df, "q", "s", "r", k=2, tiebreak="tb").first()
+    assert (m["n_queries"], m["n_queries_no_rel"]) == (2, 1)
+    assert m["mrr"] == pytest.approx(0.5)          # first rel at rank 2
+    # P@2: q1 has 1 hit in top2 -> 0.5; q2 0 -> avg 0.25
+    assert m["precision_at_k"] == pytest.approx(0.25)
+    assert m["recall_at_k"] == pytest.approx(0.5)  # q1: 1 of 2 rel in top2
+    # q1 DCG@2 = (2^0-1)/log2(2) + (2^2-1)/log2(3); IDCG@2 = 3/1 + 1/log2(3)
+    import math
+
+    dcg = 3 / math.log2(3)
+    idcg = 3.0 + 1 / math.log2(3)
+    assert m["ndcg_at_k"] == pytest.approx(dcg / idcg)
+
+
+def test_rrf_fuse_golden(spark):
+    from woodwork_spark.operators.evaluation import rrf_fuse
+
+    rows = [
+        ("q", "a", 1), ("q", "b", 2),   # system 1
+        ("q", "b", 1), ("q", "a", 3),   # system 2
+    ]
+    df = spark.createDataFrame(rows, "q string, item string, rank int")
+    got = {r["item"]: r for r in rrf_fuse(df, "q", "item", "rank", k=60).collect()}
+    assert got["a"]["rrf_score"] == pytest.approx(1 / 61 + 1 / 63)
+    assert got["b"]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61)
+    assert got["a"]["n_systems"] == 2
+    # b outranks a under RRF (1/62+1/61 > 1/61+1/63)
+    assert got["b"]["rrf_score"] > got["a"]["rrf_score"]
+
+
+def test_join_health_golden(spark):
+    from woodwork_spark.operators.quality_checks import join_health_report
+
+    fact = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k long",
+    )
+    dim = spark.createDataFrame([(1,), (2,), (2,), (9,)], "k long")
+    r = join_health_report(fact, dim, "k").first()
+    assert r["n_fact"] == 5
+    assert r["n_fact_null_key"] == 1
+    assert r["n_fact_orphan"] == 1          # key 3
+    assert r["n_dim"] == 4
+    assert r["n_dim_keys"] == 3
+    assert r["n_dim_dup_keys"] == 1         # key 2
+    assert r["max_fanout"] == 2
+    assert r["inner_join_rows"] == 2 * 1 + 1 * 2  # k=1 (2x1) + k=2 (1x2)
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from woodwork_spark.operators.embedding import quantize_embeddings
+
+    rows = [
+        (1, [1.0, -0.5, 0.25]),
+        (2, [0.0, 0.0, 0.0]),      # all-zero -> null scale/codes
+        (3, [127.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in quantize_embeddings(
+        df, "embedding", "vec_id",
+    ).collect()}
+    r1 = got[1]
+    assert r1["scale"] == pytest.approx(1.0 / 127)
+    assert r1["q"] == [127, -64, 32]  # round(-63.5)=-64 HALF_UP away from 0
+    assert r1["max_abs_err"] <= r1["scale"] / 2 + 1e-12
+    assert got[2]["scale"] is None and got[2]["q"] is None
+    assert got[3]["q"] == [127] and got[3]["max_abs_err"] == pytest.approx(0.0)

@@ -904,3 +904,136 @@ def qini_uplift(
         ).alias("qini"),
     )
     return _attach(out, *_pf(tiled))
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    tiebreak: str = None,
+) -> DataFrame:
+    """Macro-averaged retrieval metrics at ``k`` — MRR, precision@k,
+    recall@k, nDCG@k — for evaluating a retriever/ranker from a frame
+    of ``(query, candidate score, graded relevance)`` rows.
+
+    Scale shape: candidate lists are bounded per query (a retriever
+    returns tens..thousands of rows), so the ranks come from windows
+    PARTITIONED BY QUERY — parallelism scales with query count and no
+    reducer ever sees more than one candidate list.  Two windows (one
+    by score for the system ranking, one by relevance for the ideal
+    DCG), one per-query aggregate, one global fold.
+
+    Conventions: relevance > 0 counts as relevant for MRR/P/R; nDCG
+    uses the graded form ``(2^rel - 1) / log2(rank + 1)``.  Queries
+    with NO relevant candidate are excluded from MRR/recall/nDCG
+    averages (undefined) but reported in ``n_queries_no_rel``;
+    precision@k averages over ALL queries.  ``tiebreak`` (a column
+    name) makes the ranking deterministic under score ties — it
+    defaults to the relevance-pessimal order being unspecified, so
+    PASS ONE for reproducible numbers.
+
+    Returns one row: ``(n_queries, n_queries_no_rel, mrr,
+    precision_at_k, recall_at_k, ndcg_at_k)``.
+    """
+    from pyspark.sql import Window as W
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    score = F.col(score_col).cast("double")
+    rel = F.col(rel_col).cast("double")
+    extra = (
+        [F.col(tiebreak).alias("__tb")] if tiebreak is not None else []
+    )
+    tb = [F.asc("__tb")] if tiebreak is not None else []
+    base = df.filter(
+        F.col(query_col).isNotNull() & score.isNotNull() & rel.isNotNull(),
+    ).select(
+        F.col(query_col).alias("__q"), score.alias("__s"), rel.alias("__r"),
+        *extra,
+    )
+    w_sys = W.partitionBy("__q").orderBy(F.desc("__s"), *tb)
+    w_ideal = W.partitionBy("__q").orderBy(F.desc("__r"), *tb)
+    ranked = base.select(
+        "__q", "__r",
+        F.row_number().over(w_sys).alias("__rank"),
+        F.row_number().over(w_ideal).alias("__irank"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("__r")) - 1.0
+    per_q = ranked.groupBy("__q").agg(
+        F.sum((F.col("__r") > 0).cast("long")).alias("__n_rel"),
+        F.min(
+            F.when(F.col("__r") > 0, F.col("__rank")),
+        ).alias("__first_rel"),
+        F.sum(
+            F.when(
+                (F.col("__rank") <= k) & (F.col("__r") > 0), F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).alias("__hits_k"),
+        F.sum(
+            F.when(
+                F.col("__rank") <= k,
+                gain / F.log2(F.col("__rank") + 1.0),
+            ).otherwise(F.lit(0.0)),
+        ).alias("__dcg"),
+        F.sum(
+            F.when(
+                F.col("__irank") <= k,
+                gain / F.log2(F.col("__irank") + 1.0),
+            ).otherwise(F.lit(0.0)),
+        ).alias("__idcg"),
+    )
+    has_rel = F.col("__n_rel") > 0
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum((~has_rel).cast("long")).cast("long").alias("n_queries_no_rel"),
+        F.avg(
+            F.when(has_rel, F.lit(1.0) / F.col("__first_rel")),
+        ).alias("mrr"),
+        F.avg(F.col("__hits_k") / F.lit(float(k))).alias("precision_at_k"),
+        F.avg(
+            F.when(has_rel, F.col("__hits_k") / F.col("__n_rel")),
+        ).alias("recall_at_k"),
+        F.avg(
+            F.when(
+                has_rel & (F.col("__idcg") > 0),
+                F.col("__dcg") / F.col("__idcg"),
+            ),
+        ).alias("ndcg_at_k"),
+    )
+
+
+def rrf_fuse(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    rank_col: str,
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of multiple rankers' candidate lists:
+    each input row is one (query, item, rank-in-some-system) vote and
+    the fused score is ``sum over systems of 1 / (k + rank)`` — the
+    standard zero-tuning way to combine lexical + vector retrievers.
+
+    ONE map-side-combinable groupBy on (query, item); no window, no
+    per-system join.  Returns ``(query, item, rrf_score, n_systems)``
+    — order by ``rrf_score`` desc downstream for the fused ranking.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    r = F.col(rank_col).cast("double")
+    return (
+        df.filter(
+            F.col(query_col).isNotNull()
+            & F.col(item_col).isNotNull()
+            & r.isNotNull(),
+        )
+        .groupBy(
+            F.col(query_col).alias("query"), F.col(item_col).alias("item"),
+        )
+        .agg(
+            F.sum(F.lit(1.0) / (F.lit(float(k)) + r)).alias("rrf_score"),
+            F.count(F.lit(1)).cast("long").alias("n_systems"),
+        )
+    )

@@ -403,3 +403,60 @@ def t_closeness_report(
         emd.alias("emd"),
         (emd <= t).alias("t_close"),
     )
+
+
+def join_health_report(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str = None,
+) -> DataFrame:
+    """Foreign-key health between a fact table and a dimension — the
+    numbers to read BEFORE running the join that silently drops or
+    multiplies rows: null-key rate on the fact side, orphan fact rows
+    (key absent from the dimension), duplicate keys in the dimension
+    (each one multiplies matching fact rows), the worst fan-out, and
+    the exact row count the inner join would produce.
+
+    Scale shape: both sides collapse to per-key counts first (two
+    map-side-combinable groupBys; shuffle bytes scale with key
+    cardinality, not row count), then ONE keyed join of those two
+    key-cardinality frames and one fold.  Nothing driver-side.
+
+    Returns one row: ``(n_fact, n_fact_null_key, n_fact_orphan,
+    n_dim, n_dim_keys, n_dim_dup_keys, max_fanout, inner_join_rows)``.
+    """
+    dim_key = dim_key or fact_key
+    fk = fact.groupBy(
+        F.col(fact_key).alias("__k"),
+    ).agg(F.count(F.lit(1)).alias("__nf"))
+    dk = dim.groupBy(
+        F.col(dim_key).alias("__k"),
+    ).agg(F.count(F.lit(1)).alias("__nd"))
+    j = fk.join(dk, "__k", "full_outer").select(
+        "__k",
+        F.coalesce("__nf", F.lit(0)).alias("__nf"),
+        F.col("__nd"),
+    )
+    null_key = F.col("__k").isNull()
+    matched = F.col("__nd").isNotNull() & ~null_key
+    return j.agg(
+        F.sum("__nf").cast("long").alias("n_fact"),
+        F.sum(F.when(null_key, F.col("__nf")).otherwise(F.lit(0)))
+        .cast("long").alias("n_fact_null_key"),
+        F.sum(
+            F.when(
+                F.col("__nd").isNull() & ~null_key, F.col("__nf"),
+            ).otherwise(F.lit(0)),
+        ).cast("long").alias("n_fact_orphan"),
+        F.sum(F.coalesce("__nd", F.lit(0))).cast("long").alias("n_dim"),
+        F.sum((F.col("__nd").isNotNull()).cast("long"))
+        .cast("long").alias("n_dim_keys"),
+        F.sum((F.coalesce("__nd", F.lit(0)) > 1).cast("long"))
+        .cast("long").alias("n_dim_dup_keys"),
+        F.max("__nd").cast("long").alias("max_fanout"),
+        F.sum(
+            F.when(matched, F.col("__nf") * F.col("__nd"))
+            .otherwise(F.lit(0)),
+        ).cast("long").alias("inner_join_rows"),
+    )
