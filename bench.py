@@ -91,6 +91,7 @@ def main():
     valid = [v for v in timings.values() if v is not None]
     total = round(sum(valid), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -98,8 +99,38 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "method": f"min_of_{max(reps, 1)}",
+            },
+        ),
+        flush=True,
+    )
+    # The driver captures a BOUNDED TAIL of stdout and parses the last
+    # complete JSON object it finds.  With 260 queries the full line
+    # above is itself longer than that window (BENCH_r07 arrived
+    # front-truncated, "parsed": null), so ALSO print a compact summary
+    # line with no per-query map — only the slowest 15 — guaranteed to
+    # fit whole inside any reasonable tail capture.  Printed LAST so a
+    # tail parser that takes the final JSON line gets this one.
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v is not None),
+            key=lambda kv: -kv[1],
+        )[:15]
+    )
+    errored = sorted(k for k, v in timings.items() if v is None)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(valid),
+                "n_errors": len(errored),
+                "errors": errored[:10],
+                "sf": sf_val,
+                "method": f"min_of_{max(reps, 1)}",
+                "slowest": slowest,
             },
         ),
         flush=True,

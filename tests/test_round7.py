@@ -407,7 +407,11 @@ def test_wasserstein_single_value_is_zero(spark):
     df = spark.createDataFrame(
         [(3.0, True), (3.0, False), (3.0, False)], "v double, a boolean",
     )
-    assert wasserstein_1d(df, "v", "a").first()["w1"] == 0.0
+    r = wasserstein_1d(df, "v", "a").first()
+    assert r["w1"] == 0.0
+    # the (n_a, n_b, w1) contract must hold even though the
+    # consecutive-pair join is empty: counts come from the cells frame
+    assert r["n_a"] == 1 and r["n_b"] == 2
 
 
 def test_ks_identical_samples(spark):

@@ -1,0 +1,248 @@
+"""Round 8: advisor-fix regressions (two-sample lifecycle, srm_check
+plan shape, join-health fan-out semantics, rotation freshness) plus the
+new URL-governance and paragraph-dedup operators."""
+
+import pytest
+
+
+def _executed_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# Advice fixes
+# ---------------------------------------------------------------------------
+
+
+def test_two_sample_cells_release_lifecycle(spark):
+    """ks/cvm/wasserstein results must carry the persisted frames their
+    shared cells scaffold created, so callers can release() them —
+    the crossJoin used to strip the lifecycle attrs (r7 advice)."""
+    from woodwork_spark.lifecycle import persisted_frames, release
+    from woodwork_spark.operators.stats_tests import (
+        cvm_test_2samp,
+        ks_test_2samp,
+        wasserstein_1d,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i % 17), i % 3 == 0) for i in range(300)],
+        "v double, a boolean",
+    )
+    for fn in (ks_test_2samp, cvm_test_2samp, wasserstein_1d):
+        out = fn(df, "v", "a")
+        frames = persisted_frames(out)
+        assert frames, f"{fn.__name__} lost its persisted frames"
+        out.collect()
+        assert release(out) >= 1
+    # distributed path (range-partitioned prefix sums) too
+    out = ks_test_2samp(df, "v", "a", small_threshold=4)
+    assert persisted_frames(out)
+    out.collect()
+    assert release(out) >= 1
+
+
+def test_srm_check_no_window_in_plan(spark):
+    """The designed-arm total is a one-row broadcast fold, not a
+    partitionBy(lit(1)) window — a corrupted high-cardinality arm_col
+    must not funnel every distinct arm through one reducer."""
+    from woodwork_spark.operators.causal import srm_check
+
+    df = spark.createDataFrame(
+        [(f"arm{i % 4}",) for i in range(100)], "arm string",
+    )
+    out = srm_check(df, "arm", {"arm0": 1, "arm1": 1, "arm2": 1, "arm3": 1})
+    plan = _executed_plan(out)
+    assert "Window" not in plan
+    r = out.first()
+    assert r["n"] == 100 and r["n_arms"] == 4 and r["n_unknown"] == 0
+    assert r["dof"] == 3 and abs(r["chi2"]) < 1e-9
+
+
+def test_srm_check_unknown_arm_still_counted(spark):
+    from woodwork_spark.operators.causal import srm_check
+
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50 + [("zz",)] * 7, "arm string",
+    )
+    r = srm_check(df, "arm", {"a": 1, "b": 1}).first()
+    assert r["n"] == 100 and r["n_unknown"] == 7
+    assert abs(r["chi2"]) < 1e-9
+
+
+def test_join_health_fanout_only_counts_matched_keys(spark):
+    """A duplicated dim key with zero matching fact rows multiplies
+    nothing, so it must not win max_fanout (r7 advice)."""
+    from woodwork_spark.operators.quality_checks import join_health_report
+
+    fact = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    # key 9 is triplicated in the dim but absent from the fact;
+    # key 1 is duplicated and matched -> the real worst fan-out is 2
+    dim = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (9,), (9,)], "k long",
+    )
+    r = join_health_report(fact, dim, "k").first()
+    assert r["max_fanout"] == 2
+    assert r["inner_join_rows"] == 2 * 2 + 1
+    assert r["n_dim_dup_keys"] == 2
+
+
+def test_rotation_prepends_never_verified_queries():
+    """Queries with no CORRECTNESS_r* row ever must come FIRST (newest
+    registration first), so work added this round or last round lands
+    inside the driver's 50-query window instead of shipping unverified."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    here = os.path.dirname(os.path.abspath(e.__file__))
+    verified = set()
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        with open(p) as f:
+            verified |= set(json.load(f))
+    if not (verified & set(e.QUERIES)) or verified >= set(e.QUERIES):
+        pytest.skip("no recorded rounds, or every query already verified")
+    keys = list(e.queries())
+    n_fresh = sum(1 for k in keys if k not in verified)
+    assert all(k not in verified for k in keys[:n_fresh])
+    assert all(k in verified for k in keys[n_fresh:])
+    # oracle ordering must mirror queries() so the driver pairs them
+    o = list(e.oracle_sql())
+    assert o == [k for k in keys if k in e.ORACLE]
+
+
+# ---------------------------------------------------------------------------
+# URL / domain governance
+# ---------------------------------------------------------------------------
+
+
+def test_canonicalize_url_golden(spark):
+    from woodwork_spark.operators.web import canonicalize_url_expr
+
+    cases = [
+        # tracking params stripped, params sorted, www/case/default port
+        # /duplicate slash/trailing slash/fragment all normalized
+        ("https://WWW.Example.com:443//a//b/?utm_source=x&b=2&a=1#f",
+         "https://example.com/a/b?a=1&b=2"),
+        ("https://example.com/a/b?a=1&b=2",
+         "https://example.com/a/b?a=1&b=2"),
+        # non-default port kept; default http port dropped
+        ("http://shop.example.co.uk:8080/p/",
+         "http://shop.example.co.uk:8080/p"),
+        ("http://Example.co.uk:80/p", "http://example.co.uk/p"),
+        # userinfo dropped
+        ("https://user:pw@example.com/a?gclid=z&b=2&a=1",
+         "https://example.com/a?a=1&b=2"),
+        # empty path -> /
+        ("https://sub.example.com", "https://sub.example.com/"),
+        # only tracking params -> query dropped entirely
+        ("https://example.com/x?utm_campaign=a&fbclid=b",
+         "https://example.com/x"),
+        # schemeless -> NULL
+        ("not a url", None),
+        ("/relative/only", None),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    got = df.select("want", canonicalize_url_expr("url").alias("got"))
+    for r in got.collect():
+        assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+def test_registered_domain_golden(spark):
+    from woodwork_spark.operators.web import registered_domain_expr
+
+    cases = [
+        ("https://www.example.com/x", "example.com"),
+        ("https://a.b.deep.example.com/x", "example.com"),
+        ("http://shop.example.co.uk/x", "example.co.uk"),
+        ("http://example.co.uk/x", "example.co.uk"),
+        ("http://192.168.0.1/x", "192.168.0.1"),
+        ("http://localhost/x", "localhost"),
+        ("nota url", None),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    got = df.select("want", registered_domain_expr("url").alias("got"))
+    for r in got.collect():
+        assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+def test_canonical_url_dedup_and_report(spark):
+    from woodwork_spark.operators.web import (
+        canonical_url_dedup,
+        domain_governance_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://WWW.Example.com/a?utm_source=x&b=2&a=1"),
+            (2, "https://example.com/a?a=1&b=2"),  # dup of 1
+            (3, "https://example.com/other"),
+            (4, "garbage"),  # unparsed: kept as its own row
+        ],
+        "id long, url string",
+    )
+    kept = canonical_url_dedup(df, "url", ["id"])
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3, 4]
+    rep = {
+        r["domain"]: r
+        for r in domain_governance_report(df, "url").collect()
+    }
+    ex = rep["example.com"]
+    assert ex["n_urls"] == 3 and ex["n_canonical"] == 2
+    assert ex["n_dup"] == 1 and abs(ex["dup_rate"] - 1 / 3) < 1e-9
+    assert rep[None]["n_unparsed"] == 1
+
+
+def test_cap_per_domain_subdomains_share_cap(spark):
+    from woodwork_spark.operators.web import cap_per_domain
+
+    rows = [
+        (i, f"https://sub{i % 7}.example.com/p/{i}") for i in range(40)
+    ] + [(100 + i, f"https://other.org/q/{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = cap_per_domain(df, "url", 10, ["id"])
+    got = sorted(r["id"] for r in out.collect())
+    # 7 subdomains can't evade the example.com cap of 10
+    assert got == list(range(10)) + [100, 101, 102]
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level cross-doc dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_paragraphs_global(spark):
+    from woodwork_spark.lifecycle import persisted_frames, release
+    from woodwork_spark.operators.cleaning import dedup_paragraphs_global
+
+    rows = [
+        (1, "alpha one\n\nshared plate\n\nbeta two"),
+        # extra blank lines / horizontal whitespace between paragraphs
+        (2, "gamma three\n  \n\t\nshared plate\n\ndelta four"),
+        (3, "shared plate"),
+        (4, None),
+        (5, "unique only"),
+        # intra-document repetition dedups too
+        (6, "solo para\n\nsolo para"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = dedup_paragraphs_global(df, "t", "id")
+    got = {r["id"]: r["t"] for r in out.collect()}
+    assert got[1] == "alpha one\n\nshared plate\n\nbeta two"
+    assert got[2] == "gamma three\n\ndelta four"
+    assert got[3] == ""
+    assert got[4] is None
+    assert got[5] == "unique only"
+    assert got[6] == "solo para"
+    assert persisted_frames(out)
+    assert release(out) >= 1
+
+
+def test_dedup_paragraphs_plan_no_python_udf(spark):
+    from woodwork_spark.operators.cleaning import dedup_paragraphs_global
+
+    df = spark.createDataFrame([(1, "a\n\nb")], "id long, t string")
+    plan = _executed_plan(dedup_paragraphs_global(df, "t", "id"))
+    assert "BatchEvalPython" not in plan

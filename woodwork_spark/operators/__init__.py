@@ -1,3 +1,3 @@
-from woodwork_spark.operators import dedup, similarity, text, multimodal
+from woodwork_spark.operators import dedup, similarity, text, multimodal, web
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "similarity", "text", "multimodal", "web"]

@@ -258,7 +258,9 @@ def srm_check(
     (full outer, so designed-but-unobserved arms contribute their whole
     expectation and observed-but-undesigned arms are counted), and the
     statistic folds over that ≤(#designed + #observed-distinct)-row
-    frame — ONE grouped count plus a bounded window, no driver collect,
+    frame — ONE grouped count plus a one-row total broadcast back onto
+    the cells (no single-reducer window even under a corrupted
+    high-cardinality arm_col), no driver collect,
     no Spark job until the caller acts.  Returns one row
     ``(n, n_arms, chi2, dof, n_unknown)``: ``n``/``chi2`` cover the
     designed arms only; ``n_unknown`` counts rows in arms OUTSIDE the
@@ -274,8 +276,6 @@ def srm_check(
             "drop it from the design and let the unknown-arm count flag "
             "its rows",
         )
-    from pyspark.sql import Window as W
-
     total_ratio = float(sum(expected.values()))
     spark = df.sparkSession
     design = spark.createDataFrame(
@@ -292,14 +292,16 @@ def srm_check(
         F.coalesce(F.col("__o"), F.lit(0)).alias("__o"),
         "__p",
     )
-    # n (designed-arm total) per row via a window over the tiny joined
-    # frame (bounded by the arm count), so e = n * p stays relational.
-    w = W.partitionBy(F.lit(1))
+    # n (designed-arm total) as a ONE-ROW aggregate broadcast back onto
+    # the cells — not a partitionBy(lit(1)) window: the joined frame is
+    # only "tiny" while arm cardinality is bounded, and a corrupted
+    # high-cardinality arm_col (exactly the failure this check exists to
+    # detect) would funnel every distinct arm through a single reducer.
     known = F.col("__p").isNotNull()
-    cells = joined.withColumn(
-        "__n",
-        F.sum(F.when(known, F.col("__o")).otherwise(F.lit(0))).over(w),
+    tot = joined.agg(
+        F.sum(F.when(known, F.col("__o")).otherwise(F.lit(0))).alias("__n"),
     )
+    cells = joined.crossJoin(F.broadcast(tot))
     e = F.col("__n") * F.col("__p")
     term = F.when(
         known & (e > 0),

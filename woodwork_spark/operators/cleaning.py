@@ -415,6 +415,89 @@ def dedup_lines_global(
     return attach_persisted(out, exploded)
 
 
+def dedup_paragraphs_global(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = None,
+) -> DataFrame:
+    """Corpus-global PARAGRAPH deduplication — the middle ground between
+    line dedup (too fine: drops repeated short lines that are ordinary
+    prose) and whole-document MinHash (too coarse: misses a boilerplate
+    paragraph pasted into thousands of otherwise-distinct pages).
+    Documents split on blank lines (one or more, any surrounding
+    horizontal whitespace); every repeated paragraph — matched on its
+    trimmed text — keeps only its FIRST occurrence ordered by
+    (``id_col``, position); later occurrences in the same or any other
+    document are dropped; survivors reassemble in original order joined
+    by a normalized ``\\n\\n``.
+
+    Same scale shape as :func:`dedup_lines_global`: one posexplode ->
+    min(struct(id, pos)) per 128-bit paragraph hash (map-side partials;
+    the shuffle carries hashes + two longs, never paragraph text) ->
+    hash join back to keep winners -> array_sort regroup.  No windows,
+    no single reducer.
+
+    Empty/whitespace-only fragments (split artifacts) are dropped from
+    the reassembly; NULL text stays NULL; a document whose every
+    paragraph loses becomes the empty string.
+    """
+    out_col = out_col or text_col
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.col(text_col), r"[ \t]*\n[ \t]*(\n[ \t]*)+"),
+            ).alias("__pos", "__para"),
+        )
+        .withColumn("__t", F.trim("__para"))
+        .filter(F.col("__t") != "")
+        # 2x64-bit composite key, same birthday-bound rationale as
+        # dedup_lines_global
+        .withColumn("__key", F.xxhash64("__t"))
+        .withColumn("__key2", F.xxhash64("__t", F.lit(1)))
+        .persist()
+    )
+    first = (
+        exploded.groupBy("__key", "__key2")
+        .agg(F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"))
+        .select(
+            "__key",
+            "__key2",
+            F.col(f"__first.{id_col}").alias("__fid"),
+            F.col("__first.__pos").alias("__fpos"),
+        )
+    )
+    kept = (
+        exploded.join(first, ["__key", "__key2"], "left")
+        .filter(
+            (F.col(id_col) == F.col("__fid"))
+            & (F.col("__pos") == F.col("__fpos")),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                    lambda s: F.trim(s["__para"]),
+                ),
+                "\n\n",
+            ).alias("__clean"),
+        )
+    )
+    out = (
+        df.join(kept, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+                F.coalesce("__clean", F.lit("")),
+            ),
+        )
+        .drop("__clean")
+    )
+    return attach_persisted(out, exploded)
+
+
 def normalize_unicode_expr(text_col: str, form: str = "NFC",
                            strip_accents: bool = False):
     """Unicode normalization as an Arrow-batched pandas UDF — mojibake

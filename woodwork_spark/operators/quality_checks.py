@@ -454,7 +454,11 @@ def join_health_report(
         .cast("long").alias("n_dim_keys"),
         F.sum((F.coalesce("__nd", F.lit(0)) > 1).cast("long"))
         .cast("long").alias("n_dim_dup_keys"),
-        F.max("__nd").cast("long").alias("max_fanout"),
+        # worst fan-out only over keys the join would actually multiply:
+        # a duplicate dim key with ZERO matching fact rows (or the dim's
+        # null-key group) multiplies nothing and must not win the max.
+        F.max(F.when(matched & (F.col("__nf") > 0), F.col("__nd")))
+        .cast("long").alias("max_fanout"),
         F.sum(
             F.when(matched, F.col("__nf") * F.col("__nd"))
             .otherwise(F.lit(0)),

@@ -919,7 +919,14 @@ def _two_sample_cells(df, value_col, sample_a, small_threshold):
     tot = cum.agg(
         F.max("__ca").alias("__ta"), F.max("__cb").alias("__tb"),
     )
-    return cum.crossJoin(F.broadcast(tot))
+    # attach_persisted: lifecycle attrs do not survive the crossJoin
+    # transform, so re-attach the prefix-sum pass's persisted frames to
+    # the returned cells frame — otherwise every ks/cvm/wasserstein call
+    # would leak a distinct-value-cardinality cached frame into the
+    # session with no way for callers to release it.
+    return attach_persisted(
+        cum.crossJoin(F.broadcast(tot)), *persisted_frames(cum),
+    )
 
 
 def ks_test_2samp(
@@ -1047,15 +1054,20 @@ def wasserstein_1d(
     nxt = ranked.select(
         (F.col("__i") - 1).alias("__i"), F.col("__v").alias("__v_next"),
     )
-    agg = cur.join(nxt, "__i").agg(
-        F.max("__ta").cast("long").alias("n_a"),
-        F.max("__tb").cast("long").alias("n_b"),
+    pair = cur.join(nxt, "__i").agg(
         F.sum(
             F.col("__gap") * (F.col("__v_next") - F.col("__v")),
         ).alias("__w"),
     )
-    # single-distinct-value inputs have no consecutive pair: W1 = 0
-    out = agg.select(
+    # n_a/n_b come from the CELLS frame, not the consecutive-pair join:
+    # a single-distinct-value input has no pair at all, so the join is
+    # empty and a max() over it would return NULL counts — the totals
+    # agg keeps the (n_a, n_b, w1) contract intact with w1 = 0.
+    tot = cells.agg(
+        F.max("__ta").cast("long").alias("n_a"),
+        F.max("__tb").cast("long").alias("n_b"),
+    )
+    out = tot.crossJoin(F.broadcast(pair)).select(
         "n_a", "n_b", F.coalesce(F.col("__w"), F.lit(0.0)).alias("w1"),
     )
     return attach_persisted(

@@ -1,0 +1,295 @@
+"""URL / domain governance for web-crawl corpora.
+
+The reference (woodwork) has no URL tooling; this module is part of the
+beyond-reference training-data surface: canonicalize crawl URLs so the
+same page fetched under tracking-param / case / slash variants dedups to
+one row, and aggregate per REGISTERED domain (eTLD+1) so crawl caps and
+quality reports operate on the owner, not the subdomain.
+
+Everything here is pure Column expressions (regexp + array functions,
+JVM-side, whole-stage-codegen friendly): canonicalization adds zero
+shuffles, and the governance reports are single map-side-combinable
+aggregations keyed on the canonical form or the registered domain —
+shuffle bytes scale with domain cardinality, not corpus size.  At 100 TB
+the canonical key is hashed (xxhash64) before any join so shuffle rows
+stay fixed-width.
+
+Canonicalization is deliberately regex-based rather than
+``F.parse_url`` so the semantics are EXACTLY reproducible in the DuckDB
+oracles (and in any other engine) from the same regex definitions —
+``parse_url`` delegates to java.net.URI quirks no other engine matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "DEFAULT_TRACKING_PARAMS",
+    "MULTIPART_SUFFIXES",
+    "canonicalize_url_expr",
+    "url_host_expr",
+    "registered_domain_expr",
+    "canonical_url_dedup",
+    "domain_governance_report",
+    "cap_per_domain",
+]
+
+# Tracking / click-id query parameters that never change page content.
+# ``utm_*`` is a prefix family; the rest are exact keys.
+DEFAULT_TRACKING_PARAMS = (
+    "utm_[A-Za-z0-9_]*",
+    "gclid",
+    "fbclid",
+    "msclkid",
+    "yclid",
+    "igshid",
+    "mc_eid",
+    "_ga",
+    "ref",
+    "ref_src",
+    "spm",
+)
+
+# Common multi-part public suffixes, so ``registered_domain_expr`` keeps
+# three labels for shop.example.co.uk -> example.co.uk.  A deliberate
+# bounded subset of the public-suffix list (the full list is a data file,
+# not code — pass your own ``extra_suffixes`` to extend); documented
+# heuristic, NOT a PSL replacement.
+MULTIPART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in",
+    "co.za", "org.za", "com.mx", "org.mx",
+    "com.sg", "com.tr", "com.ar", "com.co",
+    "co.kr", "or.kr", "com.tw", "com.hk", "com.my",
+    "co.th", "co.id", "com.vn", "com.ph",
+    "co.il", "org.il", "com.ua",
+)
+
+# Shared regex vocabulary — the DuckDB oracles use these SAME patterns.
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_STRIP_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+_AUTHORITY_RE = r"^([^/?#]*)"
+_USERINFO_RE = r"^.*@"
+_PORT_RE = r":([0-9]+)$"
+_HOST_RE = r"^([^:]*)"
+_PATH_RE = r"^([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def tracking_param_regex(params=DEFAULT_TRACKING_PARAMS) -> str:
+    """Full-match regex for one ``key=value`` (or bare ``key``) query
+    token naming a tracking parameter."""
+    return "^(" + "|".join(params) + ")(=.*)?$"
+
+
+def _parts(url_col):
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _STRIP_SCHEME_RE, "")
+    authority = F.regexp_extract(rest, _AUTHORITY_RE, 1)
+    hostport = F.regexp_replace(authority, _USERINFO_RE, "")
+    host = F.lower(F.regexp_extract(hostport, _HOST_RE, 1))
+    port = F.regexp_extract(hostport, _PORT_RE, 1)
+    pathqf = F.regexp_replace(rest, r"^[^/?#]*", "")
+    path = F.regexp_extract(pathqf, _PATH_RE, 1)
+    query = F.regexp_extract(pathqf, _QUERY_RE, 1)
+    return u, scheme, host, port, path, query
+
+
+def url_host_expr(url_col) -> Column:
+    """Lower-cased host of an absolute URL (userinfo and port stripped);
+    NULL when the value has no ``scheme://``."""
+    u, scheme, host, _, _, _ = _parts(url_col)
+    return F.when(scheme != "", host)
+
+
+def canonicalize_url_expr(
+    url_col,
+    tracking_params=DEFAULT_TRACKING_PARAMS,
+    strip_www: bool = True,
+) -> Column:
+    """Canonical form of an absolute URL, as one column expression:
+
+    - scheme and host lower-cased, userinfo dropped, leading ``www.``
+      dropped (``strip_www``), default ports (http:80 / https:443)
+      dropped, other ports kept;
+    - path: duplicate slashes collapsed, trailing slashes stripped,
+      empty path -> ``/``;
+    - query: tracking params (``tracking_params`` full-match families)
+      and empty tokens removed, remaining ``key=value`` tokens sorted
+      bytewise, rejoined; dropped entirely when nothing survives;
+    - fragment always dropped.
+
+    Relative / schemeless values canonicalize to NULL (a crawl URL
+    without a scheme is not fetchable).  Pure string expressions —
+    no UDF, no shuffle.
+    """
+    u, scheme, host, port, path, query = _parts(url_col)
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    path_c = F.regexp_replace(path, r"/{2,}", "/")
+    path_c = F.regexp_replace(path_c, r"/+$", "")
+    path_c = F.when(path_c == "", F.lit("/")).otherwise(path_c)
+    track = tracking_param_regex(tracking_params)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != "") & ~x.rlike(track),
+        ),
+    )
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(F.lit(""))
+    portpart = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    return F.when(
+        (scheme != "") & (host != ""),
+        F.concat(scheme, F.lit("://"), host, portpart, path_c, qpart),
+    )
+
+
+def registered_domain_expr(
+    url_col,
+    extra_suffixes=(),
+    from_host: bool = False,
+) -> Column:
+    """Registered domain (approximate eTLD+1) of a URL (or of a host
+    column when ``from_host``): the last two host labels, or three when
+    the last two form a known multi-part public suffix
+    (``MULTIPART_SUFFIXES`` + ``extra_suffixes``).  ``www.`` never
+    matters — it falls out of the label slicing.  Hosts with one label
+    (``localhost``) and IPv4 literals pass through unchanged."""
+    if from_host:
+        host = F.lower(
+            F.col(url_col) if isinstance(url_col, str) else url_col,
+        )
+    else:
+        host = url_host_expr(url_col)
+    suffixes = list(MULTIPART_SUFFIXES) + list(extra_suffixes)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    ipv4 = host.rlike(r"^[0-9]+(\.[0-9]+){3}$")
+    last2 = F.concat_ws(
+        ".", F.try_element_at(labels, F.lit(-2)),
+        F.try_element_at(labels, F.lit(-1)),
+    )
+    last3 = F.concat_ws(
+        ".", F.try_element_at(labels, F.lit(-3)),
+        F.try_element_at(labels, F.lit(-2)),
+        F.try_element_at(labels, F.lit(-1)),
+    )
+    return F.when(host.isNull(), F.lit(None)).when(
+        (n <= 2) | ipv4, host,
+    ).when(last2.isin(suffixes), last3).otherwise(last2)
+
+
+def canonical_url_dedup(
+    df: DataFrame,
+    url_col: str,
+    order,
+    canonical_col: str = "canonical_url",
+) -> DataFrame:
+    """Keep ONE row per canonical URL — the first by ``order`` (a list
+    of columns forming a deterministic total order, e.g. ``[crawl_ts,
+    doc_id]``); rows whose URL does not canonicalize (no scheme) are
+    kept as-is, each its own group.
+
+    Scale shape: the canonical string is folded to a 128-bit composite
+    hash key (two independent xxhash64s) before the aggregation, so the
+    min-of-struct groupBy and the winner semi-join shuffle fixed-width
+    rows, never URL text.  Same shape as exact document dedup
+    (``dedup.dedup_exact``).
+    """
+    order = [order] if isinstance(order, str) else list(order)
+    canon = canonicalize_url_expr(url_col)
+    with_c = df.withColumn(canonical_col, canon)
+    keyed = with_c.withColumn(
+        "__k1", F.xxhash64(canonical_col),
+    ).withColumn("__k2", F.xxhash64(canonical_col, F.lit(1)))
+    winners = (
+        keyed.filter(F.col(canonical_col).isNotNull())
+        .groupBy("__k1", "__k2")
+        .agg(F.min(F.struct(*order)).alias("__w"))
+        .select(
+            "__k1", "__k2",
+            *[F.col(f"__w.{c}").alias(f"__w_{c}") for c in order],
+        )
+    )
+    is_winner = F.lit(True)
+    for c in order:
+        is_winner = is_winner & (F.col(c) == F.col(f"__w_{c}"))
+    kept = keyed.join(winners, ["__k1", "__k2"], "left").filter(
+        F.col(canonical_col).isNull() | is_winner,
+    )
+    return kept.drop("__k1", "__k2", *[f"__w_{c}" for c in order])
+
+
+def domain_governance_report(
+    df: DataFrame,
+    url_col: str,
+    extra_suffixes=(),
+) -> DataFrame:
+    """Per-registered-domain crawl governance numbers: raw URL count,
+    distinct canonical pages, duplicate count and rate (how much of the
+    domain's crawl volume is tracking-param/case/slash noise).  Rows
+    whose URL doesn't parse land in a NULL-domain row so volume is
+    never silently dropped.
+
+    ONE aggregation: map-side partial counts + count_distinct on the
+    canonical hash per domain; shuffle scales with domain cardinality.
+    Feed the output to ``curation.source_quality_report`` /
+    ``packing.cap_per_group`` for enforcement.
+    """
+    canon = canonicalize_url_expr(url_col)
+    base = df.select(
+        registered_domain_expr(url_col, extra_suffixes).alias("domain"),
+        F.xxhash64(canon).alias("__ck"),
+        canon.isNotNull().alias("__ok"),
+    )
+    return base.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.count_distinct(
+            F.when(F.col("__ok"), F.col("__ck")),
+        ).alias("n_canonical"),
+        F.sum((~F.col("__ok")).cast("long")).alias("n_unparsed"),
+    ).select(
+        "domain", "n_urls", "n_canonical", "n_unparsed",
+        (F.col("n_urls") - F.col("n_unparsed") - F.col("n_canonical"))
+        .alias("n_dup"),
+        (
+            (F.col("n_urls") - F.col("n_unparsed") - F.col("n_canonical"))
+            / F.greatest(F.col("n_urls") - F.col("n_unparsed"), F.lit(1))
+        ).alias("dup_rate"),
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    url_col: str,
+    k: int,
+    order,
+    extra_suffixes=(),
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Keep at most ``k`` rows per registered domain, chosen
+    deterministically by ``order`` — the standard anti-monoculture cap
+    for crawl corpora, keyed on the OWNER (eTLD+1) so a thousand
+    subdomains can't evade it.  Composes ``registered_domain_expr``
+    with ``packing.cap_per_group`` (one partitioned window)."""
+    from .packing import cap_per_group
+
+    with_d = df.withColumn(
+        domain_col, registered_domain_expr(url_col, extra_suffixes),
+    )
+    return cap_per_group(with_d, domain_col, k, order)
