@@ -13,11 +13,16 @@ Two codec tiers:
   no external image/audio library needed
   (``attach_image_metadata(decoder="header")``,
   ``attach_audio_metadata``, ``sniff_image_meta``, ``sniff_wav_meta``).
-* **Pixel/sample decoding is STUBBED** (the container has no
-  PIL/ffmpeg): ``decoder="fake"`` produces deterministic synthetic
-  features so pipelines can be built and tested end-to-end, and
-  ``decoder="real"`` raises NotImplementedError at the exact point a
-  codec call belongs.
+* **Pixel/sample decoding is OPPORTUNISTIC**: ``decoder="real"``
+  try-imports the codec AT CALL TIME in the executor — images decode
+  for real wherever the Pillow wheel exists (``_try_pil``), video
+  demuxes wherever PyAV exists (``_try_pyav``), and WAV/PCM audio
+  decodes for REAL with only stdlib ``wave`` + numpy
+  (``_real_audio_features``), dependency-free.  Where the codec is
+  absent (this container has no PIL/ffmpeg), image/video ``"real"``
+  raises the documented NotImplementedError at the exact codec
+  boundary; ``decoder="fake"`` always produces deterministic synthetic
+  features so pipelines build and test end-to-end either way.
 """
 
 from __future__ import annotations
@@ -224,6 +229,89 @@ def _fake_decode(data: bytes, n: int = 16) -> list:
     return out
 
 
+def _try_pil():
+    """Opportunistic codec import, evaluated AT CALL TIME inside the
+    executor process: returns PIL's Image module when the wheel exists
+    there, else None.  The same code therefore does real pixel decode
+    on clusters that ship Pillow and degrades to the documented
+    NotImplementedError in containers (like this one) that don't."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _try_pyav():
+    """Opportunistic PyAV import for the video demuxer boundary."""
+    try:
+        import av
+
+        return av
+    except ImportError:
+        return None
+
+
+def _real_image_features(data, n: int, Image) -> Optional[list]:
+    """Real pixel features via a supplied PIL Image module: grayscale,
+    resize to the smallest square grid covering ``n``, normalized
+    intensities (pad with 0).  Corrupt/undecodable rows return None
+    instead of raising — at 100 TB a bad file must not kill the stage."""
+    if data is None:
+        return None
+    import io
+    import math
+
+    try:
+        img = Image.open(io.BytesIO(bytes(data))).convert("L")
+        side = max(1, int(math.ceil(math.sqrt(n))))
+        img = img.resize((side, side))
+        px = list(img.getdata())
+        return [
+            float(px[i]) / 255.0 if i < len(px) else 0.0 for i in range(n)
+        ]
+    except Exception:
+        return None
+
+
+def _real_audio_features(data, n: int) -> Optional[list]:
+    """REAL sample-level audio features for WAV/PCM using only stdlib
+    ``wave`` + numpy: decode the PCM payload, mix channels down, and
+    return ``n`` per-segment RMS energies in [0, 1] — no external codec
+    needed, so the 'real' tier genuinely works for WAV in this
+    container.  Non-WAV / compressed / corrupt rows return None."""
+    if data is None:
+        return None
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(bytes(data))) as w:
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+        if dtype is None:
+            return None
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if sw == 1:
+            x = x - 128.0  # 8-bit WAV is unsigned
+        x = x / float(2 ** (8 * sw - 1))
+        if nch > 1 and x.size % nch == 0:
+            x = x.reshape(-1, nch).mean(axis=1)
+        if x.size == 0:
+            return [0.0] * n
+        return [
+            float(np.sqrt(np.mean(s * s))) if s.size else 0.0
+            for s in np.array_split(x, n)
+        ]
+    except Exception:
+        return None
+
+
 def image_features(
     df: DataFrame,
     binary_col: str,
@@ -232,8 +320,11 @@ def image_features(
     decoder: str = "fake",
 ) -> DataFrame:
     """Extract a fixed-size feature vector per image via Arrow-batched
-    mapInPandas.  Schema: (id, features array<float>).  The decode step
-    is the stub boundary."""
+    mapInPandas.  Schema: (id, features array<float>).
+    ``decoder="real"`` uses Pillow when importable in the executor
+    (grayscale-resize intensity grid; corrupt rows get NULL features)
+    and raises the documented NotImplementedError where it isn't;
+    ``decoder="fake"`` is the deterministic byte-derived stand-in."""
     if decoder not in ("fake", "real"):
         raise ValueError("decoder must be 'fake' or 'real'")
     schema = T.StructType(
@@ -244,13 +335,23 @@ def image_features(
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # codec lookup at call time IN THE EXECUTOR: real decode wherever
+        # the Pillow wheel exists, the documented stub error where not
+        Image = _try_pil() if decoder == "real" else None
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real image decode requires PIL/opencv — not available in "
-                    "this container; plug the codec call here",
-                )
-            feats = [_fake_decode(b, n_features) for b in pdf[binary_col]]
+                if Image is None:
+                    raise NotImplementedError(
+                        "real image decode requires PIL/opencv — not "
+                        "available in this container; plug the codec "
+                        "call here",
+                    )
+                feats = [
+                    _real_image_features(b, n_features, Image)
+                    for b in pdf[binary_col]
+                ]
+            else:
+                feats = [_fake_decode(b, n_features) for b in pdf[binary_col]]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, binary_col).mapInPandas(extract, schema=schema)
@@ -275,13 +376,29 @@ def frame_sample(
     )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        av = _try_pyav() if decoder == "real" else None
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for _, row in pdf.iterrows():
                 if decoder == "real":
-                    raise NotImplementedError(
-                        "real video decode requires ffmpeg — plug the demuxer here",
-                    )
+                    if av is None:
+                        raise NotImplementedError(
+                            "real video decode requires ffmpeg — plug the demuxer here",
+                        )
+                    import io
+
+                    try:
+                        with av.open(io.BytesIO(bytes(row[binary_col]))) as c:
+                            for fi, frame in enumerate(c.decode(video=0)):
+                                if fi % every_n == 0:
+                                    ids.append(row[id_col])
+                                    idxs.append(fi)
+                                    frames.append(
+                                        bytes(frame.to_ndarray().tobytes()),
+                                    )
+                    except Exception:
+                        pass  # corrupt container: contribute no frames
+                    continue
                 data = row[binary_col] or b""
                 n_pseudo_frames = max(1, len(data) // 64)
                 for fi in range(0, n_pseudo_frames, every_n):
@@ -300,8 +417,11 @@ def audio_features(
     n_features: int = 8,
     decoder: str = "fake",
 ) -> DataFrame:
-    """Audio feature extraction plumbing (same contract as
-    image_features)."""
+    """Audio feature extraction (same contract as image_features).
+    ``decoder="real"`` genuinely decodes WAV/PCM payloads with stdlib
+    ``wave`` and returns per-segment RMS energies; non-WAV/corrupt rows
+    get NULL features.  ``decoder="fake"`` is the deterministic
+    byte-derived stand-in."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -312,10 +432,14 @@ def audio_features(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real audio decode requires soundfile/librosa — plug here",
-                )
-            feats = [_fake_decode(b, n_features) for b in pdf[binary_col]]
+                # WAV/PCM decodes for real with stdlib wave — no
+                # external codec; non-WAV rows yield None features
+                feats = [
+                    _real_audio_features(b, n_features)
+                    for b in pdf[binary_col]
+                ]
+            else:
+                feats = [_fake_decode(b, n_features) for b in pdf[binary_col]]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, binary_col).mapInPandas(extract, schema=schema)
