@@ -13866,3 +13866,269 @@ ORACLE["paragraph_dedup"] = """
 QUERIES["url_governance"] = q_url_governance
 QUERIES["domain_cap"] = q_domain_cap
 QUERIES["paragraph_dedup"] = q_paragraph_dedup
+
+
+# ---------------------------------------------------------------------------
+# Round 8: two-sample battery completion — Mann-Whitney U, Anderson-
+# Darling, energy distance, Q-Q shift profile (all on the shared
+# distinct-value-cells scaffold)
+# ---------------------------------------------------------------------------
+
+# The A&S 7.1.26 erf polynomial as oracle SQL (identical constants to
+# stats_tests._std_normal_two_sided_p): two-sided normal p from z.
+_ERF_P_SQL = """
+        least(1.0, greatest(0.0,
+            (0.254829592 * tt - 0.284496736 * tt * tt
+             + 1.421413741 * tt * tt * tt
+             - 1.453152027 * tt * tt * tt * tt
+             + 1.061405429 * tt * tt * tt * tt * tt) * exp(-x * x)))
+"""
+
+
+def q_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U on line-item quantity, returned vs not: heavy
+    ties (50 distinct values), so the midrank + tie-corrected variance
+    path is fully exercised; the rank sum folds integer-valued for
+    engine-exact reproduction."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import mannwhitney_u
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = mannwhitney_u(li, "l_quantity", F.col("l_returnflag") == "R")
+    return attach_persisted(out.select(
+        "n_a", "n_b",
+        _ravg(F.col("u_a"), 2).alias("u_a"),
+        _ravg(F.col("u_b"), 2).alias("u_b"),
+        _ravg(F.col("z"), 6).alias("z"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+    ), *persisted_frames(out))
+
+
+ORACLE["mannwhitney"] = """
+    WITH base AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS v,
+               (l_returnflag = 'R') AS a
+        FROM lineitem WHERE l_quantity IS NOT NULL
+    ),
+    cells AS (
+        SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS xa,
+               sum(CASE WHEN a THEN 0 ELSE 1 END) AS xb
+        FROM base GROUP BY v
+    ),
+    cum AS (
+        SELECT v, xa, xb, xa + xb AS t,
+               sum(xa + xb) OVER (ORDER BY v) AS c
+        FROM cells
+    ),
+    tot AS (SELECT sum(xa) AS ta, sum(xb) AS tb FROM cells),
+    s AS (
+        SELECT sum(xa * (2.0 * c - t + 1.0)) AS ra2,
+               sum(t * 1.0 * t * t - t) AS ties
+        FROM cum
+    ),
+    u AS (
+        SELECT ta, tb, ra2 / 2.0 - ta * (ta + 1.0) / 2.0 AS ua,
+               ta * 1.0 * tb / 12.0 * ((ta + tb + 1.0)
+                   - ties / ((ta + tb) * (ta + tb - 1.0))) AS sig2
+        FROM s, tot
+    ),
+    zz AS (
+        SELECT ta, tb, ua, sig2,
+               (ua - ta * 1.0 * tb / 2.0) / sqrt(sig2) AS z
+        FROM u
+    ),
+    pp AS (
+        SELECT ta, tb, ua, sig2, z,
+               abs(z) / sqrt(2.0) AS x,
+               1.0 / (1.0 + 0.3275911 * abs(z) / sqrt(2.0)) AS tt
+        FROM zz
+    )
+    SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+           round(ua + 0.0000001, 2) AS u_a,
+           round(ta * 1.0 * tb - ua + 0.0000001, 2) AS u_b,
+           CASE WHEN ta > 0 AND tb > 0 AND sig2 > 0
+                THEN round(z + 0.0000001, 6) END AS z,
+           CASE WHEN ta > 0 AND tb > 0 AND sig2 > 0
+                THEN round(""" + _ERF_P_SQL + """ + 0.0000001, 6)
+           END AS p_approx
+    FROM pp
+"""
+
+
+def q_ad_2samp(spark, sf_dir):
+    """Two-sample Anderson-Darling on extended price split by a
+    synthetic supplier cohort — the tail-weighted member of the
+    two-sample battery, same one-pass cells scaffold."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import ad_test_2samp
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = ad_test_2samp(li, "l_extendedprice", F.col("l_suppkey") % 3 == 0)
+    return attach_persisted(out.select(
+        "n_a", "n_b", _ravg(F.col("a2_stat"), 6).alias("a2_stat"),
+    ), *persisted_frames(out))
+
+
+ORACLE["ad_2samp"] = """
+    WITH base AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+               (l_suppkey % 3 = 0) AS a
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    cells AS (
+        SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS xa,
+               sum(CASE WHEN a THEN 0 ELSE 1 END) AS xb
+        FROM base GROUP BY v
+    ),
+    cum AS (
+        SELECT v, xa + xb AS l,
+               sum(xa) OVER (ORDER BY v) AS ca,
+               sum(xb) OVER (ORDER BY v) AS cb
+        FROM cells
+    ),
+    tot AS (SELECT sum(xa) AS ta, sum(xb) AS tb FROM cells),
+    s AS (
+        SELECT
+          sum(CASE WHEN ca + cb < ta + tb THEN
+            l * ((ta + tb) * 1.0 * ca - ta * 1.0 * (ca + cb))
+              * ((ta + tb) * 1.0 * ca - ta * 1.0 * (ca + cb))
+              / ((ca + cb) * 1.0 * (ta + tb - ca - cb) * (ta + tb))
+          END) AS sa,
+          sum(CASE WHEN ca + cb < ta + tb THEN
+            l * ((ta + tb) * 1.0 * cb - tb * 1.0 * (ca + cb))
+              * ((ta + tb) * 1.0 * cb - tb * 1.0 * (ca + cb))
+              / ((ca + cb) * 1.0 * (ta + tb - ca - cb) * (ta + tb))
+          END) AS sb
+        FROM cum, tot
+    )
+    SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+           CASE WHEN ta > 0 AND tb > 0 THEN
+             round(coalesce(sa, 0.0) / ta + coalesce(sb, 0.0) / tb
+                   + 0.0000001, 6) END AS a2_stat
+    FROM s, tot
+"""
+
+
+def q_energy_dist(spark, sf_dir):
+    """1-D energy distance on discount split by part parity: every
+    O(n^2) pairwise mean folds over consecutive distinct-value gaps —
+    linear work, keyed gap join, no single-reducer lead()."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import energy_distance_1d
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = energy_distance_1d(li, "l_discount", F.col("l_partkey") % 2 == 0)
+    return attach_persisted(out.select(
+        "n_a", "n_b",
+        _ravg(F.col("e2"), 8).alias("e2"),
+        _ravg(F.col("e_dist"), 8).alias("e_dist"),
+    ), *persisted_frames(out))
+
+
+ORACLE["energy_dist"] = """
+    WITH base AS (
+        SELECT CAST(l_discount AS DOUBLE) AS v,
+               (l_partkey % 2 = 0) AS a
+        FROM lineitem WHERE l_discount IS NOT NULL
+    ),
+    cells AS (
+        SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS xa,
+               sum(CASE WHEN a THEN 0 ELSE 1 END) AS xb
+        FROM base GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               sum(xa) OVER (ORDER BY v) AS ca,
+               sum(xb) OVER (ORDER BY v) AS cb,
+               lead(v) OVER (ORDER BY v) AS v_next
+        FROM cells
+    ),
+    tot AS (SELECT sum(xa) AS ta, sum(xb) AS tb FROM cells),
+    s AS (
+        SELECT
+          sum((v_next - v) * (ca * 1.0 * (tb - cb) + cb * 1.0 * (ta - ca)))
+              AS sxy,
+          sum((v_next - v) * ca * 1.0 * (ta - ca)) AS sxx,
+          sum((v_next - v) * cb * 1.0 * (tb - cb)) AS syy
+        FROM cum, tot WHERE v_next IS NOT NULL
+    ),
+    e AS (
+        SELECT ta, tb,
+               2.0 * coalesce(sxy, 0.0) / (ta * 1.0 * tb)
+               - 2.0 * coalesce(sxx, 0.0) / (ta * 1.0 * ta)
+               - 2.0 * coalesce(syy, 0.0) / (tb * 1.0 * tb) AS e2
+        FROM s, tot
+    )
+    SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+           CASE WHEN ta > 0 AND tb > 0
+                THEN round(e2 + 0.0000001, 8) END AS e2,
+           CASE WHEN ta > 0 AND tb > 0
+                THEN round(sqrt(greatest(e2, 0.0)) + 0.0000001, 8)
+           END AS e_dist
+    FROM e
+"""
+
+
+def q_qq_shift(spark, sf_dir):
+    """Q-Q shift profile of extended price, returned-'A' vs rest: the
+    per-quantile drilldown behind the scalar two-sample tests — one
+    aggregation over the shared cells, inline-unpivoted to 5 rows."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import qq_shift_2samp
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = qq_shift_2samp(
+        li, "l_extendedprice", F.col("l_returnflag") == "A",
+        ps=(0.1, 0.25, 0.5, 0.75, 0.9),
+    )
+    return attach_persisted(out.select(
+        _ravg(F.col("p"), 2).alias("p"),
+        _ravg(F.col("q_a"), 2).alias("q_a"),
+        _ravg(F.col("q_b"), 2).alias("q_b"),
+        _ravg(F.col("shift"), 2).alias("shift"),
+    ), *persisted_frames(out))
+
+
+ORACLE["qq_shift"] = """
+    WITH base AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+               (l_returnflag = 'A') AS a
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    cells AS (
+        SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS xa,
+               sum(CASE WHEN a THEN 0 ELSE 1 END) AS xb
+        FROM base GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               sum(xa) OVER (ORDER BY v) AS ca,
+               sum(xb) OVER (ORDER BY v) AS cb
+        FROM cells
+    ),
+    tot AS (SELECT sum(xa) AS ta, sum(xb) AS tb FROM cells),
+    ps AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS DOUBLE)
+               AS p),
+    q AS (
+        SELECT p,
+               min(CASE WHEN ca * 1.0 / ta >= p THEN v END) AS qa,
+               min(CASE WHEN cb * 1.0 / tb >= p THEN v END) AS qb
+        FROM cum, tot, ps
+        GROUP BY p
+    )
+    SELECT round(p + 0.0000001, 2) AS p,
+           round(qa + 0.0000001, 2) AS q_a,
+           round(qb + 0.0000001, 2) AS q_b,
+           round(qb - qa + 0.0000001, 2) AS shift
+    FROM q
+"""
+
+
+QUERIES["mannwhitney"] = q_mannwhitney
+QUERIES["ad_2samp"] = q_ad_2samp
+QUERIES["energy_dist"] = q_energy_dist
+QUERIES["qq_shift"] = q_qq_shift

@@ -374,3 +374,177 @@ def test_audio_real_decode_stereo_downmix():
     wav = _stdlib_wav(rate=8000, n=200, channels=2)
     feats = _real_audio_features(wav, 4)
     assert feats is not None and len(feats) == 4 and max(feats) > 0.1
+
+
+# ---------------------------------------------------------------------------
+# Two-sample battery completion: Mann-Whitney / AD / energy / QQ shift
+# ---------------------------------------------------------------------------
+
+
+def _two_samples():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    a = np.round(rng.gamma(2.0, 2.0, 120), 1)  # rounding forces ties
+    b = np.round(rng.gamma(2.0, 2.4, 90) + 0.3, 1)
+    return a, b
+
+
+def _spark_two_sample_df(spark, a, b):
+    rows = [(float(v), True) for v in a] + [(float(v), False) for v in b]
+    return spark.createDataFrame(rows, "v double, a boolean")
+
+
+def test_mannwhitney_matches_brute_force(spark):
+    import math
+
+    import numpy as np
+
+    from woodwork_spark.operators.stats_tests import mannwhitney_u
+
+    a, b = _two_samples()
+    pooled = np.concatenate([a, b])
+    # midranks with average ties, numpy-only
+    order = np.argsort(pooled, kind="mergesort")
+    ranks = np.empty(len(pooled))
+    sorted_v = pooled[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    ra = ranks[: len(a)].sum()
+    na, nb = len(a), len(b)
+    ua = ra - na * (na + 1) / 2.0
+    n = na + nb
+    _, counts = np.unique(pooled, return_counts=True)
+    ties = (counts.astype(float) ** 3 - counts).sum()
+    sig2 = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (ua - na * nb / 2.0) / math.sqrt(sig2)
+    p = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(z) / math.sqrt(2.0))))
+
+    r = mannwhitney_u(
+        _spark_two_sample_df(spark, a, b), "v", "a",
+    ).first()
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["u_a"] == pytest.approx(ua)
+    assert r["u_b"] == pytest.approx(na * nb - ua)
+    assert r["z"] == pytest.approx(z, abs=1e-9)
+    # p folds through the A&S erf polynomial (max abs err 1.5e-7)
+    assert r["p_approx"] == pytest.approx(p, abs=1e-6)
+
+
+def test_mannwhitney_all_tied_is_null(spark):
+    from woodwork_spark.operators.stats_tests import mannwhitney_u
+
+    df = spark.createDataFrame(
+        [(1.0, True)] * 5 + [(1.0, False)] * 5, "v double, a boolean",
+    )
+    r = mannwhitney_u(df, "v", "a").first()
+    assert r["u_a"] == pytest.approx(12.5)  # all midranks 5.5
+    assert r["z"] is None and r["p_approx"] is None
+
+
+def test_ad_2samp_matches_brute_force(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.stats_tests import ad_test_2samp
+
+    a, b = _two_samples()
+    # Scholz-Stephens eq. 3, k=2, computed independently from sorted
+    # pooled distinct values
+    pooled = np.concatenate([a, b])
+    vals = np.unique(pooled)
+    N, na, nb = len(pooled), len(a), len(b)
+    a2 = 0.0
+    for arr, ni in ((a, na), (b, nb)):
+        s = 0.0
+        for v in vals:
+            bj = (pooled <= v).sum()
+            if bj >= N:
+                continue
+            lj = (pooled == v).sum()
+            mij = (arr <= v).sum()
+            s += lj * (N * mij - ni * bj) ** 2 / (bj * (N - bj) * N)
+        a2 += s / ni
+    r = ad_test_2samp(_spark_two_sample_df(spark, a, b), "v", "a").first()
+    assert r["a2_stat"] == pytest.approx(a2, rel=1e-9)
+
+
+def test_ad_2samp_identical_samples_is_zero(spark):
+    from woodwork_spark.operators.stats_tests import ad_test_2samp
+
+    rows = [(float(v), s) for v in (1.0, 2.0, 3.0) for s in (True, False)]
+    df = spark.createDataFrame(rows, "v double, a boolean")
+    assert ad_test_2samp(df, "v", "a").first()["a2_stat"] == pytest.approx(0.0)
+
+
+def test_energy_distance_matches_pairwise_brute_force(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.stats_tests import energy_distance_1d
+
+    a, b = _two_samples()
+    exy = np.abs(a[:, None] - b[None, :]).mean()
+    exx = np.abs(a[:, None] - a[None, :]).mean()
+    eyy = np.abs(b[:, None] - b[None, :]).mean()
+    e2 = 2 * exy - exx - eyy
+    r = energy_distance_1d(
+        _spark_two_sample_df(spark, a, b), "v", "a",
+    ).first()
+    assert r["e2"] == pytest.approx(e2, rel=1e-9)
+    assert r["e_dist"] == pytest.approx(e2 ** 0.5, rel=1e-9)
+
+
+def test_energy_distance_single_value_zero(spark):
+    from woodwork_spark.operators.stats_tests import energy_distance_1d
+
+    df = spark.createDataFrame(
+        [(2.0, True), (2.0, False)], "v double, a boolean",
+    )
+    r = energy_distance_1d(df, "v", "a").first()
+    assert r["n_a"] == 1 and r["n_b"] == 1
+    assert r["e2"] == 0.0 and r["e_dist"] == 0.0
+
+
+def test_qq_shift_matches_lower_quantiles(spark):
+    import math
+
+    import numpy as np
+
+    from woodwork_spark.operators.stats_tests import qq_shift_2samp
+
+    a, b = _two_samples()
+    ps = (0.1, 0.5, 0.9)
+    out = qq_shift_2samp(
+        _spark_two_sample_df(spark, a, b), "v", "a", ps=ps,
+    )
+    got = {round(r["p"], 6): r for r in out.collect()}
+    assert len(got) == len(ps)
+    for p in ps:
+        qa = float(np.sort(a)[math.ceil(p * len(a)) - 1])
+        qb = float(np.sort(b)[math.ceil(p * len(b)) - 1])
+        r = got[p]
+        assert r["q_a"] == qa and r["q_b"] == qb
+        assert r["shift"] == pytest.approx(qb - qa)
+
+
+def test_new_two_sample_ops_release_lifecycle(spark):
+    from woodwork_spark.lifecycle import persisted_frames, release
+    from woodwork_spark.operators.stats_tests import (
+        ad_test_2samp,
+        energy_distance_1d,
+        mannwhitney_u,
+        qq_shift_2samp,
+    )
+
+    a, b = _two_samples()
+    df = _spark_two_sample_df(spark, a, b)
+    for fn in (mannwhitney_u, ad_test_2samp, energy_distance_1d,
+               qq_shift_2samp):
+        out = fn(df, "v", "a")
+        assert persisted_frames(out), fn.__name__
+        out.collect()
+        assert release(out) >= 1

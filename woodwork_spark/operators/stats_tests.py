@@ -1073,3 +1073,237 @@ def wasserstein_1d(
     return attach_persisted(
         out, *persisted_frames(cells), *persisted_frames(ranked),
     )
+
+
+def _std_normal_two_sided_p(z):
+    """Two-sided p-value ``2 * (1 - Phi(|z|)) = 1 - erf(|z| / sqrt(2))``
+    folded as column expressions via the Abramowitz & Stegun 7.1.26
+    rational erf approximation (max abs error 1.5e-7 — far below any
+    decision threshold) — Spark has no erf builtin, and this exact
+    polynomial reproduces bit-comparably in the SQL oracles."""
+    x = F.abs(z) / F.lit(2.0 ** 0.5)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * t * t
+        + F.lit(1.421413741) * t * t * t
+        - F.lit(1.453152027) * t * t * t * t
+        + F.lit(1.061405429) * t * t * t * t * t
+    )
+    # 1 - erf(x) = poly * exp(-x^2)
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), poly * F.exp(-x * x)))
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    value_col: str,
+    sample_a,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test on one frame: the
+    workhorse nonparametric location test.  Midranks handle ties; the
+    normal approximation uses the tie-corrected variance
+    ``sigma^2 = n_a n_b / 12 * ((N + 1) - sum(t^3 - t) / (N (N - 1)))``
+    and no continuity correction (documented; at corpus scale the 0.5
+    shift is noise).  ``p_approx`` folds through the A&S erf polynomial
+    — the whole test is column expressions on the shared
+    distinct-value-cells scaffold, no driver math, no new shuffle
+    beyond :func:`_two_sample_cells`.
+
+    Returns one row ``(n_a, n_b, u_a, u_b, z, p_approx)``; ``z``/``p``
+    are NULL when every value is tied (zero variance) or a side is
+    empty.
+    """
+    cells = _two_sample_cells(df, value_col, sample_a, small_threshold)
+    t_v = (F.col("__a") + F.col("__b")).cast("double")
+    c_v = (F.col("__ca") + F.col("__cb")).cast("double")
+    # midrank = c - (t-1)/2; sum 2*midrank instead so every summand is
+    # INTEGER-valued (exact in double to 2^53) — the rank sum then has
+    # no float-accumulation-order dependence and reproduces bitwise in
+    # any engine
+    agg = cells.agg(
+        F.max("__ta").cast("long").alias("n_a"),
+        F.max("__tb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("__a").cast("double") * (2.0 * c_v - t_v + 1.0),
+        ).alias("__ra2"),
+        F.sum(t_v * t_v * t_v - t_v).alias("__ties"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("__ra2") / 2.0 - na * (na + 1.0) / 2.0
+    sig2 = (
+        na * nb / 12.0
+        * ((n + 1.0) - F.col("__ties") / (n * (n - 1.0)))
+    )
+    z = (u_a - na * nb / 2.0) / F.sqrt(sig2)
+    valid = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (sig2 > 0)
+    out = agg.select(
+        "n_a", "n_b",
+        u_a.alias("u_a"),
+        (na * nb - u_a).alias("u_b"),
+        F.when(valid, z).alias("z"),
+        F.when(valid, _std_normal_two_sided_p(z)).alias("p_approx"),
+    )
+    return attach_persisted(out, *persisted_frames(cells))
+
+
+def ad_test_2samp(
+    df: DataFrame,
+    value_col: str,
+    sample_a,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Two-sample Anderson–Darling statistic in the tie-aware discrete
+    ECDF form (Scholz & Stephens 1987, eq. 3, k = 2):
+
+    ``A2 = sum_i (1/n_i) * sum_{j : B_j < N}
+            l_j * (N M_ij - n_i B_j)^2 / (B_j (N - B_j) N)``
+
+    over the distinct values, where ``l_j`` is the value's multiplicity,
+    ``B_j`` the pooled inclusive cumulative count and ``M_ij`` sample
+    i's inclusive cumulative count.  AD weights the ECDF gap by the
+    inverse pooled variance, so it is the tail-sensitive member of the
+    battery: KS sees the worst gap, CvM the integrated gap, AD the
+    integrated gap with tails amplified.
+
+    Same single-scaffold shape as the others.  Returns one row
+    ``(n_a, n_b, a2_stat)``; compare against the Scholz–Stephens
+    critical table for alerting (the standardizing variance needs
+    O(N)-term harmonic sums, so no p column rather than a wrong one —
+    the same contract as :func:`cvm_test_2samp`).
+    """
+    cells = _two_sample_cells(df, value_col, sample_a, small_threshold)
+    n_tot = (F.col("__ta") + F.col("__tb")).cast("double")
+    b_j = (F.col("__ca") + F.col("__cb")).cast("double")
+    l_j = (F.col("__a") + F.col("__b")).cast("double")
+    denom = b_j * (n_tot - b_j) * n_tot
+    interior = b_j < n_tot
+    num_a = n_tot * F.col("__ca") - F.col("__ta") * b_j
+    num_b = n_tot * F.col("__cb") - F.col("__tb") * b_j
+    agg = cells.agg(
+        F.max("__ta").cast("long").alias("n_a"),
+        F.max("__tb").cast("long").alias("n_b"),
+        F.sum(F.when(interior, l_j * num_a * num_a / denom)).alias("__sa"),
+        F.sum(F.when(interior, l_j * num_b * num_b / denom)).alias("__sb"),
+    )
+    out = agg.select(
+        "n_a", "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.coalesce(F.col("__sa"), F.lit(0.0)) / F.col("n_a")
+            + F.coalesce(F.col("__sb"), F.lit(0.0)) / F.col("n_b"),
+        ).alias("a2_stat"),
+    )
+    return attach_persisted(out, *persisted_frames(cells))
+
+
+def energy_distance_1d(
+    df: DataFrame,
+    value_col: str,
+    sample_a,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """1-D energy distance between the two samples:
+    ``D = sqrt(2 E|X-Y| - E|X-X'| - E|Y-Y'|)`` (V-statistic
+    convention, iid copies).  Like Wasserstein it reports drift in the
+    value's own units, but as a proper metric with a characteristic-
+    function characterization — zero iff the distributions match.
+
+    Every pairwise mean folds over CONSECUTIVE distinct-value gaps:
+    the pairs straddling gap ``(v_i, v_{i+1})`` contribute
+    ``gap * (#below * #above)``, so the three O(n^2) double sums become
+    one linear pass — the gap pairing reuses the same keyed
+    global-row-number join as :func:`wasserstein_1d` (no single-reducer
+    lead()).  Returns one row ``(n_a, n_b, e2, e_dist)``.
+    """
+    from .rank import global_row_number
+
+    cells = _two_sample_cells(df, value_col, sample_a, small_threshold)
+    ranked = global_row_number(
+        cells, [F.asc("__v")], out_col="__i",
+        small_threshold=small_threshold,
+    )
+    cur = ranked.select(
+        "__i", "__v", "__ca", "__cb", "__ta", "__tb",
+    )
+    nxt = ranked.select(
+        (F.col("__i") - 1).alias("__i"), F.col("__v").alias("__v_next"),
+    )
+    gap = F.col("__v_next") - F.col("__v")
+    ca, cb = F.col("__ca").cast("double"), F.col("__cb").cast("double")
+    ta, tb = F.col("__ta").cast("double"), F.col("__tb").cast("double")
+    pair = cur.join(nxt, "__i").agg(
+        F.sum(gap * (ca * (tb - cb) + cb * (ta - ca))).alias("__sxy"),
+        F.sum(gap * ca * (ta - ca)).alias("__sxx"),
+        F.sum(gap * cb * (tb - cb)).alias("__syy"),
+    )
+    tot = cells.agg(
+        F.max("__ta").cast("long").alias("n_a"),
+        F.max("__tb").cast("long").alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    e2 = (
+        F.lit(2.0) * F.coalesce(F.col("__sxy"), F.lit(0.0)) / (na * nb)
+        - F.lit(2.0) * F.coalesce(F.col("__sxx"), F.lit(0.0)) / (na * na)
+        - F.lit(2.0) * F.coalesce(F.col("__syy"), F.lit(0.0)) / (nb * nb)
+    )
+    out = tot.crossJoin(F.broadcast(pair)).select(
+        "n_a", "n_b",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), e2).alias("e2"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.sqrt(F.greatest(e2, F.lit(0.0))),
+        ).alias("e_dist"),
+    )
+    return attach_persisted(
+        out, *persisted_frames(cells), *persisted_frames(ranked),
+    )
+
+
+def qq_shift_2samp(
+    df: DataFrame,
+    value_col: str,
+    sample_a,
+    ps=(0.1, 0.25, 0.5, 0.75, 0.9),
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Quantile–quantile shift profile: for each probability ``p`` the
+    lower ECDF-inverse quantile of each side (``min { v : F(v) >= p }``,
+    the exact type-1 quantile) and their difference — WHERE in the
+    distribution the two samples diverge, in value units, the drilldown
+    you read after KS/AD/energy says "they differ".
+
+    One aggregation over the shared cells scaffold produces every
+    quantile as ``min(when(F >= p, v))`` scalars; ``inline`` unpivots
+    them to ``(p, q_a, q_b, shift)`` rows — len(ps) output rows, no
+    extra shuffle.
+    """
+    ps = [float(p) for p in ps]
+    if not ps or any(not (0.0 < p <= 1.0) for p in ps):
+        raise ValueError("qq_shift_2samp: every p must be in (0, 1]")
+    cells = _two_sample_cells(df, value_col, sample_a, small_threshold)
+    fa = F.col("__ca") / F.col("__ta")
+    fb = F.col("__cb") / F.col("__tb")
+    aggs = []
+    for i, p in enumerate(ps):
+        aggs.append(
+            F.min(F.when(fa >= F.lit(p), F.col("__v"))).alias(f"__qa_{i}"),
+        )
+        aggs.append(
+            F.min(F.when(fb >= F.lit(p), F.col("__v"))).alias(f"__qb_{i}"),
+        )
+    agg = cells.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"),
+                F.col(f"__qa_{i}").alias("q_a"),
+                F.col(f"__qb_{i}").alias("q_b"),
+                (F.col(f"__qb_{i}") - F.col(f"__qa_{i}")).alias("shift"),
+            )
+            for i, p in enumerate(ps)
+        ],
+    )
+    out = agg.select(F.inline(rows))
+    return attach_persisted(out, *persisted_frames(cells))
