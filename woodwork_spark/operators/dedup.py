@@ -570,6 +570,7 @@ def ngram_jaccard_pairs(
     # candidates further at the cost of two more shuffles.)
     prefix = g.select(
         id_col,
+        F.size("__g").alias("__n"),
         F.explode(
             F.slice(
                 "__g",
@@ -579,11 +580,22 @@ def ngram_jaccard_pairs(
         ).alias("gram"),
     )
 
-    a = prefix.select(F.col(id_col).alias("id_a"), "gram")
-    b = prefix.select(F.col(id_col).alias("id_b"), "gram")
+    a = prefix.select(F.col(id_col).alias("id_a"), "gram",
+                      F.col("__n").alias("__na"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "gram",
+                      F.col("__n").alias("__nb"))
+    # AllPairs LENGTH filter, applied inside the gram join: jaccard >= t
+    # forces t * max(|A|, |B|) <= min(|A|, |B|), so size-incompatible
+    # pairs drop before the distinct and the verify join — lossless, and
+    # it bounds the candidate blowup from ultra-frequent grams joining
+    # long docs to short ones.
     cand = (
         a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__na") >= threshold * F.col("__nb"))
+            & (F.col("__nb") >= threshold * F.col("__na")),
+        )
         .select("id_a", "id_b")
         .distinct()
     )
