@@ -14132,3 +14132,270 @@ QUERIES["mannwhitney"] = q_mannwhitney
 QUERIES["ad_2samp"] = q_ad_2samp
 QUERIES["energy_dist"] = q_energy_dist
 QUERIES["qq_shift"] = q_qq_shift
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (batch 2): batch sessionization, snapshot drift, always-valid
+# sequential test, vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+def q_session_stats(spark, sf_dir):
+    """Batch sessionization of the event stream (30-min inactivity gap)
+    + per-session rollup: one user-partitioned window and one grouped
+    agg sharing the user-key shuffle."""
+    from woodwork_spark.operators.funnel import session_stats
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = session_stats(ev, "user_id", "ts", gap_seconds=1800.0)
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        _ravg(F.col("session_start").cast("double"), 3).alias("start_s"),
+        _ravg(F.col("session_end").cast("double"), 3).alias("end_s"),
+        _ravg(F.col("duration_sec"), 3).alias("duration_sec"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+ORACLE["session_stats"] = """
+    WITH e AS (
+        SELECT user_id, ts, epoch_us(ts) / 1000000.0 AS tsd
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    m AS (
+        SELECT user_id, ts, tsd,
+               CASE WHEN lag(tsd) OVER w IS NULL
+                         OR tsd - lag(tsd) OVER w > 1800.0
+                    THEN 1 ELSE 0 END AS ns
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsd)
+    ),
+    s AS (
+        SELECT user_id, ts, tsd,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY tsd) - 1
+                   AS session_idx
+        FROM m
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           round(min(tsd) + 0.0000001, 3) AS start_s,
+           round(max(tsd) + 0.0000001, 3) AS end_s,
+           round(max(tsd) - min(tsd) + 0.0000001, 3) AS duration_sec,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_snapshot_drift(spark, sf_dir):
+    """Schema + per-column drift between two synthesized snapshots of
+    orders (a column dropped, one added, one type-changed + null-
+    injected, one mean-shifted): one aggregation per snapshot, the two
+    1-row frames broadcast-crossJoin, inline unpivots — fully lazy,
+    no per-column jobs."""
+    from woodwork_spark.operators.quality_checks import snapshot_drift_report
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    before = o.filter(F.col("o_orderkey") % 5 < 4).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_custkey",
+    )
+    after = o.filter(F.col("o_orderkey") % 7 < 6).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.02).alias("o_totalprice"),
+        "o_orderpriority",
+        F.when(F.col("o_custkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey").cast("string")).alias("o_custkey"),
+    )
+    out = snapshot_drift_report(before, after)
+    return out.select(
+        "column", "status", "dtype_before", "dtype_after",
+        _ravg(F.col("null_rate_before"), 6).alias("null_rate_before"),
+        _ravg(F.col("null_rate_after"), 6).alias("null_rate_after"),
+        _ravg(F.col("mean_before"), 4).alias("mean_before"),
+        _ravg(F.col("mean_after"), 4).alias("mean_after"),
+        _ravg(F.col("mean_shift"), 4).alias("mean_shift"),
+    )
+
+
+ORACLE["snapshot_drift"] = """
+    WITH b AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus, o_custkey
+        FROM orders WHERE o_orderkey % 5 < 4
+    ),
+    a AS (
+        SELECT o_orderkey, o_totalprice * 1.02 AS o_totalprice,
+               o_orderpriority,
+               CASE WHEN o_custkey % 3 = 0 THEN NULL
+                    ELSE CAST(o_custkey AS VARCHAR) END AS o_custkey
+        FROM orders WHERE o_orderkey % 7 < 6
+    ),
+    bs AS (
+        SELECT count(*) AS n,
+          sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              * 1.0 / greatest(count(*), 1) AS nr_ok,
+          avg(o_orderkey * 1.0) AS mu_ok,
+          sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+              * 1.0 / greatest(count(*), 1) AS nr_tp,
+          avg(o_totalprice * 1.0) AS mu_tp,
+          sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+              * 1.0 / greatest(count(*), 1) AS nr_os,
+          sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              * 1.0 / greatest(count(*), 1) AS nr_ck,
+          avg(o_custkey * 1.0) AS mu_ck
+        FROM b
+    ),
+    asx AS (
+        SELECT count(*) AS n,
+          sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              * 1.0 / greatest(count(*), 1) AS nr_ok,
+          avg(o_orderkey * 1.0) AS mu_ok,
+          sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+              * 1.0 / greatest(count(*), 1) AS nr_tp,
+          avg(o_totalprice * 1.0) AS mu_tp,
+          sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+              * 1.0 / greatest(count(*), 1) AS nr_op,
+          sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              * 1.0 / greatest(count(*), 1) AS nr_ck
+        FROM a
+    )
+    SELECT 'o_custkey' AS "column", 'type_changed' AS status,
+           'bigint' AS dtype_before, 'string' AS dtype_after,
+           round(bs.nr_ck + 0.0000001, 6) AS null_rate_before,
+           round(asx.nr_ck + 0.0000001, 6) AS null_rate_after,
+           round(bs.mu_ck + 0.0000001, 4) AS mean_before,
+           CAST(NULL AS DOUBLE) AS mean_after,
+           CAST(NULL AS DOUBLE) AS mean_shift
+    FROM bs, asx
+    UNION ALL
+    SELECT 'o_orderkey', 'common', 'bigint', 'bigint',
+           round(bs.nr_ok + 0.0000001, 6), round(asx.nr_ok + 0.0000001, 6),
+           round(bs.mu_ok + 0.0000001, 4), round(asx.mu_ok + 0.0000001, 4),
+           round(asx.mu_ok - bs.mu_ok + 0.0000001, 4)
+    FROM bs, asx
+    UNION ALL
+    SELECT 'o_orderpriority', 'added', NULL, 'string',
+           NULL, round(asx.nr_op + 0.0000001, 6), NULL, NULL, NULL
+    FROM bs, asx
+    UNION ALL
+    SELECT 'o_orderstatus', 'dropped', 'string', NULL,
+           round(bs.nr_os + 0.0000001, 6), NULL, NULL, NULL, NULL
+    FROM bs, asx
+    UNION ALL
+    SELECT 'o_totalprice', 'common', 'double', 'double',
+           round(bs.nr_tp + 0.0000001, 6), round(asx.nr_tp + 0.0000001, 6),
+           round(bs.mu_tp + 0.0000001, 4), round(asx.mu_tp + 0.0000001, 4),
+           round(asx.mu_tp - bs.mu_tp + 0.0000001, 4)
+    FROM bs, asx
+"""
+
+
+def q_msprt(spark, sf_dir):
+    """Always-valid sequential test (mSPRT, Gaussian mixture prior) on
+    order totals split by key parity: the peeking-safe p-value, one
+    moment aggregation + pure column arithmetic."""
+    from woodwork_spark.operators.causal import msprt_always_valid
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "y", F.col("o_totalprice") / 1000.0,
+    )
+    out = msprt_always_valid(o, F.col("o_orderkey") % 2 == 0, "y", tau=5.0)
+    return out.select(
+        "n_t", "n_c",
+        _ravg(F.col("effect"), 6).alias("effect"),
+        _ravg(F.col("v_n"), 6).alias("v_n"),
+        _ravg(F.col("lambda_n"), 6).alias("lambda_n"),
+        _ravg(F.col("p_always_valid"), 6).alias("p_always_valid"),
+    )
+
+
+ORACLE["msprt"] = """
+    WITH base AS (
+        SELECT (o_orderkey % 2 = 0) AS t, o_totalprice / 1000.0 AS y
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    m AS (
+        SELECT sum(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
+               sum(CASE WHEN t THEN 0 ELSE 1 END) AS nc,
+               sum(CASE WHEN t THEN y ELSE 0 END) AS st,
+               sum(CASE WHEN t THEN 0 ELSE y END) AS sc,
+               sum(CASE WHEN t THEN y * y ELSE 0 END) AS qt,
+               sum(CASE WHEN t THEN 0 ELSE y * y END) AS qc
+        FROM base
+    ),
+    d AS (
+        SELECT nt, nc,
+               st / nt AS mt, sc / nc AS mc,
+               (qt - nt * (st / nt) * (st / nt)) / (nt - 1.0) AS vt,
+               (qc - nc * (sc / nc) * (sc / nc)) / (nc - 1.0) AS vc
+        FROM m
+    ),
+    v AS (
+        SELECT nt, nc, mt - mc AS theta, vt / nt + vc / nc AS vn
+        FROM d
+    ),
+    l AS (
+        SELECT nt, nc, theta, vn,
+               sqrt(vn / (vn + 25.0))
+               * exp(theta * theta * 25.0 / (2.0 * vn * (vn + 25.0)))
+                   AS lam
+        FROM v
+    )
+    SELECT CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+           round(theta + 0.0000001, 6) AS effect,
+           round(vn + 0.0000001, 6) AS v_n,
+           round(lam + 0.0000001, 6) AS lambda_n,
+           round(least(1.0, 1.0 / lam) + 0.0000001, 6) AS p_always_valid
+    FROM l
+"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Good-Turing / Chao1 vocabulary coverage of the documents corpus:
+    unseen-type mass and richness floor from the frequency spectrum —
+    one explode, one token groupBy, one fold."""
+    from woodwork_spark.operators.text import vocabulary_coverage
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = vocabulary_coverage(docs, "text")
+    return out.select(
+        "n_tokens", "n_types", "n1", "n2",
+        _ravg(F.col("gt_unseen_mass"), 8).alias("gt_unseen_mass"),
+        _ravg(F.col("coverage"), 8).alias("coverage"),
+        _ravg(F.col("chao1_types"), 4).alias("chao1_types"),
+    )
+
+
+ORACLE["vocab_coverage"] = """
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+            AS token
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT token, count(*) AS c FROM toks
+        WHERE token <> '' GROUP BY token
+    ),
+    s AS (
+        SELECT sum(c) AS n_tokens, count(*) AS n_types,
+               sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+        FROM c
+    )
+    SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(n1 * 1.0 / n_tokens + 0.0000001, 8) AS gt_unseen_mass,
+           round(1.0 - n1 * 1.0 / n_tokens + 0.0000001, 8) AS coverage,
+           round(n_types + n1 * 1.0 * (n1 - 1.0) / (2.0 * (n2 + 1.0))
+                 + 0.0000001, 4) AS chao1_types
+    FROM s
+"""
+
+
+QUERIES["session_stats"] = q_session_stats
+QUERIES["snapshot_drift"] = q_snapshot_drift
+QUERIES["msprt"] = q_msprt
+QUERIES["vocab_coverage"] = q_vocab_coverage

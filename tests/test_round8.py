@@ -548,3 +548,129 @@ def test_new_two_sample_ops_release_lifecycle(spark):
         assert persisted_frames(out), fn.__name__
         out.collect()
         assert release(out) >= 1
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionize / snapshot drift / mSPRT / vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_and_stats(spark):
+    from datetime import datetime, timedelta
+
+    from woodwork_spark.operators.funnel import session_stats, sessionize
+
+    t = lambda s: datetime(2024, 1, 1) + timedelta(seconds=s)  # noqa: E731
+    rows = [
+        (1, t(0)), (1, t(10)), (1, t(20)),       # session 0
+        (1, t(2000)), (1, t(2005)),              # session 1 (gap > 30)
+        (2, t(0)),                                # lone event
+        (None, t(5)), (3, None),                  # null user / ts
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    s = sessionize(df, "user_id", "ts", gap_seconds=30.0)
+    got = [
+        (r["user_id"], r["session_idx"])
+        for r in s.orderBy("user_id", "ts").collect()
+    ]
+    assert got == [
+        (None, None), (1, 0), (1, 0), (1, 0), (1, 1), (1, 1),
+        (2, 0), (3, None),
+    ]
+    st = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_stats(df, "user_id", "ts", 30.0).collect()
+    }
+    assert st[(1, 0)]["n_events"] == 3
+    assert st[(1, 0)]["duration_sec"] == pytest.approx(20.0)
+    assert st[(1, 1)]["n_events"] == 2
+    assert st[(2, 0)]["n_events"] == 1
+    assert st[(2, 0)]["duration_sec"] == 0.0
+    assert len(st) == 3  # null rows form no session
+
+
+def test_snapshot_drift_report(spark):
+    from woodwork_spark.operators.quality_checks import snapshot_drift_report
+
+    before = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, None), (3, None, "z")],
+        "id long, v double, s string",
+    )
+    after = spark.createDataFrame(
+        [(1, 13.0, True), (2, 23.0, False)],
+        "id long, v double, b boolean",
+    )
+    rep = {r["column"]: r for r in snapshot_drift_report(before, after).collect()}
+    assert rep["s"]["status"] == "dropped"
+    assert rep["s"]["null_rate_before"] == pytest.approx(1 / 3)
+    assert rep["s"]["null_rate_after"] is None
+    assert rep["b"]["status"] == "added"
+    assert rep["v"]["status"] == "common"
+    assert rep["v"]["mean_before"] == pytest.approx(15.0)
+    assert rep["v"]["mean_after"] == pytest.approx(18.0)
+    assert rep["v"]["mean_shift"] == pytest.approx(3.0)
+    assert rep["v"]["null_rate_before"] == pytest.approx(1 / 3)
+    assert rep["id"]["status"] == "common"
+    # type change
+    after2 = after.withColumn("id", (F_col("id")).cast("string"))
+    rep2 = {
+        r["column"]: r for r in snapshot_drift_report(before, after2).collect()
+    }
+    assert rep2["id"]["status"] == "type_changed"
+    assert rep2["id"]["mean_before"] == pytest.approx(2.0)
+    assert rep2["id"]["mean_after"] is None
+
+
+def F_col(name):
+    from pyspark.sql import functions as F
+
+    return F.col(name)
+
+
+def test_msprt_known_values(spark):
+    import math
+
+    from woodwork_spark.operators.causal import msprt_always_valid
+
+    rows = [(True, float(v)) for v in (10, 12, 14, 16)] + [
+        (False, float(v)) for v in (9, 11, 13)
+    ]
+    df = spark.createDataFrame(rows, "t boolean, y double")
+    r = msprt_always_valid(df, "t", "y", tau=2.0).first()
+    nt, nc = 4, 3
+    mt, mc = 13.0, 11.0
+    vt = sum((v - mt) ** 2 for v in (10, 12, 14, 16)) / (nt - 1)
+    vc = sum((v - mc) ** 2 for v in (9, 11, 13)) / (nc - 1)
+    vn = vt / nt + vc / nc
+    tau2 = 4.0
+    lam = math.sqrt(vn / (vn + tau2)) * math.exp(
+        (mt - mc) ** 2 * tau2 / (2 * vn * (vn + tau2)),
+    )
+    assert r["n_t"] == nt and r["n_c"] == nc
+    assert r["effect"] == pytest.approx(2.0)
+    assert r["v_n"] == pytest.approx(vn)
+    assert r["lambda_n"] == pytest.approx(lam)
+    assert r["p_always_valid"] == pytest.approx(min(1.0, 1.0 / lam))
+    # null effect -> lambda ~ sqrt(vn/(vn+tau2)) < 1 -> p clamps to 1
+    null_rows = [(i % 2 == 0, float(i % 5)) for i in range(40)]
+    df0 = spark.createDataFrame(null_rows, "t boolean, y double")
+    assert msprt_always_valid(df0, "t", "y", 2.0).first()[
+        "p_always_valid"
+    ] == 1.0
+    with pytest.raises(ValueError):
+        msprt_always_valid(df, "t", "y", tau=0.0)
+
+
+def test_vocabulary_coverage_golden(spark):
+    from woodwork_spark.operators.text import vocabulary_coverage
+
+    # tokens: a a a b b c d  -> N=7 V=4 n1=2 (c,d) n2=1 (b)
+    df = spark.createDataFrame(
+        [(1, "a A a b"), (2, "B c d")], "id long, t string",
+    )
+    r = vocabulary_coverage(df, "t").first()
+    assert r["n_tokens"] == 7 and r["n_types"] == 4
+    assert r["n1"] == 2 and r["n2"] == 1
+    assert r["gt_unseen_mass"] == pytest.approx(2 / 7)
+    assert r["coverage"] == pytest.approx(5 / 7)
+    assert r["chao1_types"] == pytest.approx(4 + 2 * 1 / (2 * 2))

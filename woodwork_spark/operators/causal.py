@@ -601,3 +601,66 @@ def quantile_treatment_effects(
         "q", "n_treat", "n_ctrl", "treated", "control",
         (F.col("treated") - F.col("control")).alias("qte"),
     )
+
+
+def msprt_always_valid(
+    df: DataFrame,
+    treat_col,
+    y_col: str,
+    tau: float = 1.0,
+) -> DataFrame:
+    """Always-valid sequential test (mixture SPRT, normal approximation
+    with a N(0, tau^2) mixing prior on the effect): the p-value that
+    stays valid under CONTINUOUS MONITORING — peeking at a classic
+    t-test inflates false positives, while the mSPRT's
+    ``p = min(1, 1/Lambda_n)`` is a supermartingale bound at every n
+    (Johari et al., "Peeking at A/B tests", KDD 2017).
+
+    ``Lambda_n = sqrt(V_n / (V_n + tau^2)) *
+    exp(theta_n^2 tau^2 / (2 V_n (V_n + tau^2)))`` with
+    ``theta_n = mean_t - mean_c`` and Welch variance
+    ``V_n = s_t^2/n_t + s_c^2/n_c``.  ``tau`` encodes the expected
+    effect magnitude; overly small tau loses power, large tau is
+    conservative — pass your MDE.
+
+    ONE aggregation (counts, sums, sums of squares fold map-side); the
+    statistic is pure column arithmetic on the 1-row result.  Returns
+    ``(n_t, n_c, effect, v_n, lambda_n, p_always_valid)``; NULL
+    lambda/p when either arm has < 2 observations or variance is zero.
+    """
+    if float(tau) <= 0:
+        raise ValueError("msprt_always_valid: tau must be > 0")
+    t = (F.col(treat_col) if isinstance(treat_col, str) else treat_col).cast(
+        "boolean",
+    )
+    y = F.col(y_col).cast("double")
+    base = df.filter(t.isNotNull() & y.isNotNull())
+    agg = base.agg(
+        F.sum(t.cast("long")).alias("n_t"),
+        F.sum((~t).cast("long")).alias("n_c"),
+        F.sum(F.when(t, y).otherwise(F.lit(0.0))).alias("__st"),
+        F.sum(F.when(~t, y).otherwise(F.lit(0.0))).alias("__sc"),
+        F.sum(F.when(t, y * y).otherwise(F.lit(0.0))).alias("__qt"),
+        F.sum(F.when(~t, y * y).otherwise(F.lit(0.0))).alias("__qc"),
+    )
+    nt, nc = F.col("n_t").cast("double"), F.col("n_c").cast("double")
+    mt, mc = F.col("__st") / nt, F.col("__sc") / nc
+    vt = (F.col("__qt") - nt * mt * mt) / (nt - 1.0)
+    vc = (F.col("__qc") - nc * mc * mc) / (nc - 1.0)
+    v_n = vt / nt + vc / nc
+    theta = mt - mc
+    tau2 = F.lit(float(tau) * float(tau))
+    lam = F.sqrt(v_n / (v_n + tau2)) * F.exp(
+        theta * theta * tau2 / (F.lit(2.0) * v_n * (v_n + tau2)),
+    )
+    valid = (F.col("n_t") >= 2) & (F.col("n_c") >= 2) & (v_n > 0)
+    return agg.select(
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.when((F.col("n_t") > 0) & (F.col("n_c") > 0), theta)
+        .alias("effect"),
+        F.when(valid, v_n).alias("v_n"),
+        F.when(valid, lam).alias("lambda_n"),
+        F.when(valid, F.least(F.lit(1.0), F.lit(1.0) / lam))
+        .alias("p_always_valid"),
+    )

@@ -551,3 +551,71 @@ def frequent_subsequences(
         )
     )
     return out2.unionAll(out3)
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: float = 1800.0,
+    session_col: str = "session_idx",
+) -> DataFrame:
+    """BATCH sessionization by inactivity gap — the offline twin of
+    ``streaming.sessionize_stream``: an event starts a new session when
+    it follows the user's previous event by more than ``gap_seconds``
+    (or is the user's first).  Adds ``session_col`` (0-based per-user
+    session index) next to the input columns; compose with
+    :func:`session_stats` for the per-session rollup.
+
+    Shape: ONE window partitioned by user (lag + running sum share the
+    same sort) — one shuffle on the user key, per-reducer state bounded
+    by a single user's history, never global.  Rows with a null user or
+    timestamp are passed through with a null session index (they belong
+    to no session; dropping them silently would hide logging defects).
+    """
+    w = W.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (
+            F.col(ts_col).cast("double") - prev.cast("double")
+            > F.lit(float(gap_seconds))
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    idx = F.sum(new_sess).over(w) - 1
+    return df.withColumn(
+        session_col,
+        F.when(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull(),
+            idx,
+        ).cast("long"),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: float = 1800.0,
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: start, end, duration
+    (seconds) and event count per (user, session index) — one grouped
+    aggregation on top of the sessionizing window, so the whole operator
+    is two stages that share the user-key partitioning (the groupBy can
+    reuse the window's shuffle).  Null-user/timestamp rows are excluded
+    (they have no session)."""
+    s = sessionize(df, user_col, ts_col, gap_seconds)
+    return (
+        s.filter(F.col("session_idx").isNotNull())
+        .groupBy(F.col(user_col), F.col("session_idx"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            (
+                F.max(F.col(ts_col).cast("double"))
+                - F.min(F.col(ts_col).cast("double"))
+            ).alias("duration_sec"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

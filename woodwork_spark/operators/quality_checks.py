@@ -464,3 +464,98 @@ def join_health_report(
             .otherwise(F.lit(0)),
         ).cast("long").alias("inner_join_rows"),
     )
+
+
+def snapshot_drift_report(
+    before: DataFrame,
+    after: DataFrame,
+) -> DataFrame:
+    """Schema + per-column statistical drift between two snapshots of
+    the same logical table — the pre-flight diff before swapping a
+    pipeline onto a new data drop: added/dropped/type-changed columns
+    (from schema METADATA, zero jobs), and for columns present in both,
+    the null-rate on each side plus, for numerics, the mean on each
+    side and the shift.
+
+    Scale shape: ONE aggregation per snapshot (every column's null
+    count and mean folds map-side into a single 1-row frame), the two
+    1-row frames broadcast-crossJoin, and a pure ``inline`` unpivots to
+    one row per column — no per-column jobs, no collect, fully lazy.
+
+    Returns rows ``(column, status, dtype_before, dtype_after,
+    null_rate_before, null_rate_after, mean_before, mean_after,
+    mean_shift)`` where status is 'added' | 'dropped' | 'type_changed'
+    | 'common'; stats are NULL on the side a column is absent from and
+    means are NULL for non-numerics.
+    """
+    numeric = (
+        "int", "bigint", "smallint", "tinyint", "double", "float",
+    )
+
+    def _types(d):
+        return {f.name: f.dataType.simpleString() for f in d.schema.fields}
+
+    tb, ta = _types(before), _types(after)
+    cols = sorted(set(tb) | set(ta))
+
+    def _aggs(d, types, side):
+        out = []
+        n = F.count(F.lit(1))
+        for c in cols:
+            if c in types:
+                out.append(
+                    (
+                        F.sum(F.col(c).isNull().cast("long"))
+                        / F.greatest(n, F.lit(1))
+                    ).alias(f"__nr_{side}_{c}"),
+                )
+                if types[c] in numeric or types[c].startswith("decimal"):
+                    out.append(
+                        F.avg(F.col(c).cast("double")).alias(
+                            f"__mu_{side}_{c}",
+                        ),
+                    )
+        return d.agg(*out) if out else d.sparkSession.range(1).select(
+            F.lit(1).alias(f"__dummy_{side}"),
+        )
+
+    joined = _aggs(before, tb, "b").crossJoin(
+        F.broadcast(_aggs(after, ta, "a")),
+    )
+
+    def _stat(side, kind, c, types):
+        name = f"__{kind}_{side}_{c}"
+        if c in types and (
+            kind == "nr"
+            or types[c] in numeric
+            or types[c].startswith("decimal")
+        ):
+            return F.col(name)
+        return F.lit(None).cast("double")
+
+    rows = []
+    for c in cols:
+        if c not in ta:
+            status = "dropped"
+        elif c not in tb:
+            status = "added"
+        elif tb[c] != ta[c]:
+            status = "type_changed"
+        else:
+            status = "common"
+        mu_b = _stat("b", "mu", c, tb)
+        mu_a = _stat("a", "mu", c, ta)
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(status).alias("status"),
+                F.lit(tb.get(c)).cast("string").alias("dtype_before"),
+                F.lit(ta.get(c)).cast("string").alias("dtype_after"),
+                _stat("b", "nr", c, tb).alias("null_rate_before"),
+                _stat("a", "nr", c, ta).alias("null_rate_after"),
+                mu_b.alias("mean_before"),
+                mu_a.alias("mean_after"),
+                (mu_a - mu_b).alias("mean_shift"),
+            ),
+        )
+    return joined.select(F.inline(F.array(*rows)))

@@ -884,3 +884,55 @@ def heaps_fit(
         F.exp(F.col("__sy") / m - beta * (F.col("__sx") / m)).alias("k"),
     )
     return attach_persisted(out, toks, *persisted_frames(ranked))
+
+
+def vocabulary_coverage(
+    df: DataFrame,
+    text_col: str,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Good-Turing / Chao1 vocabulary-coverage estimate: how much of the
+    corpus's type space has the crawl already seen — the "is more data
+    still buying new vocabulary" readout behind Heaps-law curves.
+
+    From the token-frequency spectrum alone: ``n1``/``n2`` (singleton /
+    doubleton type counts), the Good-Turing unseen-mass estimate
+    ``P(next token is a new type) = n1 / N``, its complement coverage,
+    and the bias-corrected Chao1 richness floor
+    ``V + n1 (n1 - 1) / (2 (n2 + 1))`` (estimated total types
+    including the never-seen).
+
+    One explode -> one token groupBy (map-side combinable; the shuffle
+    carries (token, count)) -> ONE fold over the spectrum.  Returns one
+    row: ``(n_tokens, n_types, n1, n2, gt_unseen_mass, coverage,
+    chao1_types)``.
+    """
+    toks = tokens_expr(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = counts.agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("__c") == 1).cast("long")).cast("long").alias("n1"),
+        F.sum((F.col("__c") == 2).cast("long")).cast("long").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    unseen = F.when(
+        F.col("n_tokens") > 0, n1d / F.col("n_tokens"),
+    )
+    return agg.select(
+        "n_tokens", "n_types", "n1", "n2",
+        unseen.alias("gt_unseen_mass"),
+        (F.lit(1.0) - unseen).alias("coverage"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_types")
+            + n1d * (n1d - 1.0) / (2.0 * (F.col("n2").cast("double") + 1.0)),
+        ).alias("chao1_types"),
+    )
