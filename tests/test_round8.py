@@ -674,3 +674,59 @@ def test_vocabulary_coverage_golden(spark):
     assert r["gt_unseen_mass"] == pytest.approx(2 / 7)
     assert r["coverage"] == pytest.approx(5 / 7)
     assert r["chao1_types"] == pytest.approx(4 + 2 * 1 / (2 * 2))
+
+
+def test_fellegi_sunter_score(spark):
+    import math
+
+    from woodwork_spark.operators.dedup import fellegi_sunter_score
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "p1", "p1", 7, 7),     # both agree -> match
+            (3, 4, "p2", "zz", 7, 8),     # both disagree -> non_match
+            (5, 6, None, "p3", 7, 7),     # phone missing -> weight 0
+        ],
+        "a long, b long, ph_a string, ph_b string, nat_a long, nat_b long",
+    )
+    out = fellegi_sunter_score(
+        pairs,
+        [(("ph_a", "ph_b"), 0.9, 0.001), (("nat_a", "nat_b"), 0.95, 0.04)],
+        prior=0.01, upper=0.9, lower=0.1,
+    )
+    got = {r["a"]: r for r in out.collect()}
+    w1 = math.log2(0.9 / 0.001) + math.log2(0.95 / 0.04)
+    assert got[1]["fs_weight"] == pytest.approx(w1)
+    odds = 0.01 / 0.99 * 2 ** w1
+    assert got[1]["match_prob"] == pytest.approx(odds / (1 + odds))
+    assert got[1]["fs_class"] == "match"
+    assert got[3]["fs_class"] == "non_match"
+    # missing field contributes zero evidence
+    assert got[5]["fs_weight"] == pytest.approx(math.log2(0.95 / 0.04))
+    with pytest.raises(ValueError):
+        fellegi_sunter_score(pairs, [(("ph_a", "ph_b"), 0.5, 0.9)])
+
+
+def test_record_linkage_end_to_end(spark):
+    from woodwork_spark.operators.dedup import record_linkage
+
+    left = spark.createDataFrame(
+        [(1, "alice smith", "111", 5), (2, "bob jones", "222", 6),
+         (3, "carol zhu", "333", 7)],
+        "lid long, name string, phone string, nat long",
+    )
+    right = spark.createDataFrame(
+        [(10, "alice smitx", "111", 5),   # 1-typo name, fields agree
+         (20, "bob jonse", "999", 1),     # typo name, fields disagree
+         (30, "zzzzzz yyyy", "333", 7)],  # name unblockable
+        "rid long, name string, phone string, nat long",
+    )
+    out = record_linkage(
+        left, right, "lid", "rid", "name",
+        {"phone": (0.9, 0.001), "nat": (0.95, 0.04)},
+        max_dist=2,
+    )
+    got = {(r["lid"], r["rid"]): r for r in out.collect()}
+    assert got[(1, 10)]["fs_class"] == "match"
+    assert got[(2, 20)]["fs_class"] == "non_match"
+    assert (3, 30) not in got  # blocking never pairs them
