@@ -113,5 +113,47 @@ kept.groupBy("source").agg(
 ).orderBy("source").show(5)
 release(kept)
 
+# ---- 7. URL / domain governance (round 8) ----------------------------------
+# Crawl URLs synthesized from doc ids: canonicalization collapses
+# tracking-param/case/slash variants; caps apply per REGISTERED domain.
+from woodwork_spark.operators.web import (
+    cap_per_domain,
+    domain_governance_report,
+)
+
+crawl = docs.select(
+    "doc_id",
+    F.concat(
+        F.lit("https://WWW.src"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM/p/"), (F.col("doc_id") % 40).cast("string"),
+        F.lit("/?utm_source=feed&q="), (F.col("doc_id") % 10).cast("string"),
+    ).alias("url"),
+)
+print("per-domain crawl governance (dup_rate = canonicalization noise):")
+domain_governance_report(crawl, "url").orderBy("domain").show(truncate=False)
+
+capped = cap_per_domain(crawl, "url", 100, ["doc_id"])
+print(f"rows kept under a 100/registered-domain cap: {capped.count()}")
+
+# ---- 8. paragraph-level cross-doc dedup (round 8) ---------------------------
+from woodwork_spark.operators.cleaning import dedup_paragraphs_global
+
+with_boiler = docs.select(
+    "doc_id",
+    F.concat(
+        F.substring("text", 1, 80),
+        F.lit("\n\nSubscribe to our newsletter for updates."),
+    ).alias("text"),
+)
+deduped = dedup_paragraphs_global(with_boiler, "text", "doc_id")
+shrunk = deduped.select(
+    F.avg(F.length("text")).alias("avg_chars_after"),
+).first()
+print(
+    "avg chars after paragraph dedup (boilerplate kept once corpus-wide): "
+    f"{shrunk['avg_chars_after']:.1f}",
+)
+release(deduped)
+
 print("governance walkthrough complete.")
 spark.stop()
