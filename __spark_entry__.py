@@ -14497,3 +14497,249 @@ ORACLE["record_linkage"] = """
 
 
 QUERIES["record_linkage"] = q_record_linkage
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (batch 3): crawl-policy evaluation, slice finder, off-policy value
+# ---------------------------------------------------------------------------
+
+
+def q_url_policy(spark, sf_dir):
+    """Robots-style crawl-policy gate over the synthesized URLs:
+    longest-matching path-prefix rule wins (allow beats deny on ties),
+    rules broadcast per registered domain, unparseable URLs denied;
+    reported as decision x matched-prefix counts."""
+    from woodwork_spark.operators.web import apply_url_policies
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url().alias("url"),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("example.com", "/a", False),
+            ("example.com", "/a/1", True),
+            ("shop.co.uk", "//b", False),
+            ("example.co.uk", "/img", True),
+            ("example.co.uk", "/img/1", False),
+        ],
+        "domain string, path_prefix string, allow boolean",
+    )
+    out = apply_url_policies(docs, "url", "doc_id", rules)
+    return out.groupBy("crawl_allowed", "matched_prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+ORACLE["url_policy"] = (
+    "WITH raw AS (SELECT doc_id, " + _SYNTH_URL_SQL + """ AS url
+        FROM documents),
+    parts AS (
+        SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+             AS scheme,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+        FROM raw
+    ),
+    p2 AS (
+        SELECT doc_id, scheme,
+         regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1), '^.*@', '')
+             AS hostport,
+         regexp_extract(regexp_replace(rest, '^[^/?#]*', ''),
+                        '^([^?#]*)', 1) AS rawpath
+        FROM parts
+    ),
+    p3 AS (
+        SELECT doc_id, scheme,
+         lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+         CASE WHEN scheme <> '' THEN
+              CASE WHEN rawpath = '' THEN '/' ELSE rawpath END END AS path
+        FROM p2
+    ),
+    dom AS (
+        SELECT doc_id, path,
+         CASE WHEN scheme = '' OR host = '' THEN NULL
+              WHEN len(string_split(host, '.')) <= 2
+                   OR regexp_matches(host, '^[0-9]+(\\.[0-9]+){3}$')
+                THEN host
+              WHEN (string_split(host, '.')[-2] || '.' ||
+                    string_split(host, '.')[-1]) IN
+                   ('co.uk', 'com.au', 'co.jp')
+                THEN string_split(host, '.')[-3] || '.' ||
+                     string_split(host, '.')[-2] || '.' ||
+                     string_split(host, '.')[-1]
+              ELSE string_split(host, '.')[-2] || '.' ||
+                   string_split(host, '.')[-1] END AS domain
+        FROM p3
+    ),
+    rules(rdomain, pfx, allow) AS (
+        VALUES ('example.com', '/a', false),
+               ('example.com', '/a/1', true),
+               ('shop.co.uk', '//b', false),
+               ('example.co.uk', '/img', true),
+               ('example.co.uk', '/img/1', false)
+    ),
+    cand AS (
+        SELECT d.doc_id, d.path, r.pfx, r.allow,
+               (r.pfx IS NOT NULL AND d.path IS NOT NULL
+                AND starts_with(d.path, r.pfx)) AS hit
+        FROM dom d LEFT JOIN rules r ON d.domain = r.rdomain
+    ),
+    ranked AS (
+        SELECT doc_id, path, pfx, allow, hit,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY hit DESC, length(pfx) DESC, allow DESC,
+                            pfx DESC) AS rn
+        FROM cand
+    ),
+    decided AS (
+        SELECT doc_id,
+               CASE WHEN path IS NULL THEN false
+                    WHEN hit THEN allow ELSE true END AS crawl_allowed,
+               CASE WHEN hit THEN pfx END AS matched_prefix
+        FROM ranked WHERE rn = 1
+    )
+    SELECT crawl_allowed, matched_prefix,
+           CAST(count(*) AS BIGINT) AS n
+    FROM decided GROUP BY 1, 2
+"""
+)
+
+
+def q_worst_slices(spark, sf_dir):
+    """One-pass slice finder on line-item discount across the
+    returnflag / linestatus / shipmode dimensions: one melt + one
+    grouped agg; the complement's stats derive from broadcast global
+    sums (rest = global - slice), no anti-join."""
+    from woodwork_spark.operators.evaluation import worst_slices
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = worst_slices(
+        li, ["l_returnflag", "l_linestatus"], "l_discount", min_n=30,
+    )
+    return out.select(
+        "dim", "value", "n",
+        _ravg(F.col("mean"), 6).alias("mean"),
+        _ravg(F.col("mean_rest"), 6).alias("mean_rest"),
+        _ravg(F.col("z"), 4).alias("z"),
+    )
+
+
+ORACLE["worst_slices"] = """
+    WITH base AS (
+        SELECT CAST(l_discount AS DOUBLE) AS y, l_returnflag, l_linestatus
+        FROM lineitem WHERE l_discount IS NOT NULL
+    ),
+    melted AS (
+        SELECT 'l_returnflag' AS dim,
+               coalesce(CAST(l_returnflag AS VARCHAR), 'NULL') AS value, y
+        FROM base
+        UNION ALL
+        SELECT 'l_linestatus',
+               coalesce(CAST(l_linestatus AS VARCHAR), 'NULL'), y
+        FROM base
+    ),
+    cells AS (
+        SELECT dim, value, count(*) AS n, sum(y) AS s, sum(y * y) AS q
+        FROM melted GROUP BY dim, value
+    ),
+    tot AS (SELECT count(*) AS gn, sum(y) AS gs, sum(y * y) AS gq FROM base),
+    j AS (
+        SELECT dim, value, n, s, q, gn, gs, gq,
+               s / n AS mean_s, (gs - s) / (gn - n) AS mean_r
+        FROM cells, tot
+    ),
+    v AS (
+        SELECT dim, value, n, mean_s, mean_r,
+               (q - n * mean_s * mean_s) / (n - 1.0) AS var_s,
+               ((gq - q) - (gn - n) * mean_r * mean_r) / (gn - n - 1.0)
+                   AS var_r,
+               gn - n AS nr
+        FROM j
+    )
+    SELECT dim, value, CAST(n AS BIGINT) AS n,
+           round(mean_s + 0.0000001, 6) AS mean,
+           round(mean_r + 0.0000001, 6) AS mean_rest,
+           CASE WHEN var_s / n + var_r / nr > 0 THEN
+             round((mean_s - mean_r) / sqrt(var_s / n + var_r / nr)
+                   + 0.0000001, 4) END AS z
+    FROM v WHERE n >= 30 AND nr >= 2
+"""
+
+
+def q_off_policy(spark, sf_dir):
+    """Off-policy evaluation of a deterministic target policy on logged
+    events: IPS / SNIPS values, effective sample size, and a
+    bad-propensity counter — one aggregation, weights as pure
+    expressions (propensities synthesized deterministically; every
+    11th row gets a broken propensity to exercise the counter)."""
+    from woodwork_spark.operators.evaluation import off_policy_value
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        (F.least(F.col("value"), F.lit(500.0)) / 500.0).alias("reward"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(0.0)).otherwise(
+            0.1 + (F.col("event_id") % 5).cast("double") / 10.0,
+        ).alias("prop"),
+    )
+    tgt = F.when(F.col("user_id") % 2 == 0, F.lit("purchase")).otherwise(
+        F.lit("click"),
+    )
+    out = off_policy_value(
+        ev, "event_type", "reward", "prop", tgt, clip=8.0,
+    )
+    return out.select(
+        "n", "n_matched", "n_bad_prop",
+        _ravg(F.col("value_logged"), 6).alias("value_logged"),
+        _ravg(F.col("value_ips"), 6).alias("value_ips"),
+        _ravg(F.col("value_snips"), 6).alias("value_snips"),
+        _ravg(F.col("ess"), 4).alias("ess"),
+    )
+
+
+ORACLE["off_policy"] = """
+    WITH base AS (
+        SELECT event_type AS a,
+               least(value, 500.0) / 500.0 AS r,
+               CASE WHEN event_id % 11 = 0 THEN 0.0
+                    ELSE 0.1 + (event_id % 5) / 10.0 END AS p,
+               CASE WHEN user_id % 2 = 0 THEN 'purchase'
+                    ELSE 'click' END AS tgt
+        FROM events
+    ),
+    w AS (
+        SELECT a, r, p, tgt,
+               (p IS NOT NULL AND p > 0 AND r IS NOT NULL
+                AND a IS NOT NULL) AS ok,
+               CASE WHEN p IS NOT NULL AND p > 0 AND r IS NOT NULL
+                         AND a IS NOT NULL AND a = tgt
+                    THEN least(1.0 / p, 8.0) ELSE 0.0 END AS wgt
+        FROM base
+    )
+    SELECT CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN ok AND a = tgt THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+           CAST(sum(CASE WHEN a IS NOT NULL AND r IS NOT NULL
+                    AND NOT (p IS NOT NULL AND p > 0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad_prop,
+           round(avg(CASE WHEN ok THEN r END) + 0.0000001, 6)
+               AS value_logged,
+           round(sum(CASE WHEN ok THEN wgt * r ELSE 0 END)
+                 / sum(CASE WHEN ok THEN 1 ELSE 0 END) + 0.0000001, 6)
+               AS value_ips,
+           round(sum(CASE WHEN ok THEN wgt * r ELSE 0 END)
+                 / sum(CASE WHEN ok THEN wgt ELSE 0 END) + 0.0000001, 6)
+               AS value_snips,
+           round(sum(CASE WHEN ok THEN wgt ELSE 0 END)
+                 * sum(CASE WHEN ok THEN wgt ELSE 0 END)
+                 / sum(CASE WHEN ok THEN wgt * wgt ELSE 0 END)
+                 + 0.0000001, 4) AS ess
+    FROM w
+"""
+
+
+QUERIES["url_policy"] = q_url_policy
+QUERIES["worst_slices"] = q_worst_slices
+QUERIES["off_policy"] = q_off_policy

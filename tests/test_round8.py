@@ -730,3 +730,95 @@ def test_record_linkage_end_to_end(spark):
     assert got[(1, 10)]["fs_class"] == "match"
     assert got[(2, 20)]["fs_class"] == "non_match"
     assert (3, 30) not in got  # blocking never pairs them
+
+
+def test_apply_url_policies_longest_match(spark):
+    from woodwork_spark.operators.web import apply_url_policies
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.example.com/a/2/x"),    # /a deny
+            (2, "https://sub.example.com/a/1/x"),    # /a/1 allow (longer)
+            (3, "https://example.com/c"),            # no rule -> default
+            (4, "https://other.org/a/2"),            # no domain rules
+            (5, "not a url"),                        # unparseable -> deny
+        ],
+        "id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [("example.com", "/a", False), ("example.com", "/a/1", True)],
+        "domain string, path_prefix string, allow boolean",
+    )
+    got = {
+        r["id"]: (r["crawl_allowed"], r["matched_prefix"])
+        for r in apply_url_policies(df, "url", "id", rules).collect()
+    }
+    assert got[1] == (False, "/a")
+    assert got[2] == (True, "/a/1")
+    assert got[3] == (True, None)
+    assert got[4] == (True, None)
+    assert got[5] == (False, None)
+    # default_allow=False flips only the unmatched parseable rows
+    got2 = {
+        r["id"]: r["crawl_allowed"]
+        for r in apply_url_policies(
+            df, "url", "id", rules, default_allow=False,
+        ).collect()
+    }
+    assert got2[3] is False and got2[4] is False
+    assert got2[2] is True and got2[1] is False
+
+
+def test_worst_slices_finds_planted_slice(spark):
+    from woodwork_spark.operators.evaluation import worst_slices
+
+    rows = []
+    for i in range(400):
+        seg = "bad" if i % 4 == 0 else f"ok{i % 3}"
+        dev = f"d{i % 2}"
+        # the 'bad' segment scores systematically lower
+        y = (0.2 if seg == "bad" else 0.8) + (i % 7) * 0.01
+        rows.append((seg, dev, y))
+    df = spark.createDataFrame(rows, "seg string, dev string, y double")
+    out = worst_slices(df, ["seg", "dev"], "y", min_n=30)
+    worst = out.orderBy("z").first()
+    assert worst["dim"] == "seg" and worst["value"] == "bad"
+    assert worst["z"] < -10
+    assert worst["mean"] < worst["mean_rest"]
+    # null dimension values form their own slice
+    df2 = df.withColumn(
+        "seg", F_col("seg"),
+    ).replace("bad", None, subset=["seg"])
+    vals = {r["value"] for r in worst_slices(df2, ["seg"], "y", 30).collect()}
+    assert "NULL" in vals
+
+
+def test_off_policy_value_golden(spark):
+    from woodwork_spark.operators.evaluation import off_policy_value
+
+    # logged uniform over 2 actions (p=0.5); target always 'a'
+    rows = [
+        ("a", 1.0, 0.5), ("a", 0.0, 0.5), ("b", 1.0, 0.5), ("b", 1.0, 0.5),
+        ("a", 1.0, 0.0),   # broken propensity -> excluded + counted
+        ("a", 1.0, None),  # broken propensity -> excluded + counted
+    ]
+    df = spark.createDataFrame(rows, "a string, r double, p double")
+    out = off_policy_value(df, "a", "r", "p", F_lit("a")).first()
+    assert out["n"] == 4 and out["n_matched"] == 2
+    assert out["n_bad_prop"] == 2
+    assert out["value_logged"] == pytest.approx(3 / 4)
+    # IPS: (2*1 + 2*0)/4 = 0.5 ; SNIPS: (2*1+2*0)/(2+2) = 0.5
+    assert out["value_ips"] == pytest.approx(0.5)
+    assert out["value_snips"] == pytest.approx(0.5)
+    assert out["ess"] == pytest.approx((2 + 2) ** 2 / (4 + 4))
+    # clipping caps the weight
+    clipped = off_policy_value(df, "a", "r", "p", F_lit("a"), clip=1.0)
+    assert clipped.first()["value_ips"] == pytest.approx(
+        (1.0 * 1 + 1.0 * 0) / 4,
+    )
+
+
+def F_lit(v):
+    from pyspark.sql import functions as F
+
+    return F.lit(v)

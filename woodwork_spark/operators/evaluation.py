@@ -1037,3 +1037,138 @@ def rrf_fuse(
             F.count(F.lit(1)).cast("long").alias("n_systems"),
         )
     )
+
+
+def worst_slices(
+    df: DataFrame,
+    dim_cols,
+    metric_col: str,
+    min_n: int = 30,
+) -> DataFrame:
+    """One-pass slice finder: for every value of every dimension column,
+    the slice's metric mean vs the REST of the data, with a two-sample
+    z-score — "which user/country/device segment is this model (or data
+    drop) failing on", the first debugging sweep after an aggregate
+    metric dips.
+
+    Scale shape: the input melts once (one struct-array inline per row
+    emits (dim, value) pairs) into ONE grouped aggregation keyed by
+    (dim, value) — k dimensions cost one explode factor k, never k
+    passes.  The complement's count/mean/variance are derived from the
+    slice and GLOBAL moment sums (one 1-row agg broadcast back), so no
+    anti-join is needed: ``rest = global - slice`` in sufficient
+    statistics.  Slices with fewer than ``min_n`` rows are dropped
+    (micro-slices are noise).  NULL dimension values form the 'NULL'
+    slice — a failing null segment is a real defect.
+
+    Returns ``(dim, value, n, mean, mean_rest, z)`` with z < 0 meaning
+    the slice underperforms; order by z ascending for the worst.
+    """
+    dim_cols = [dim_cols] if isinstance(dim_cols, str) else list(dim_cols)
+    if not dim_cols:
+        raise ValueError("worst_slices: dim_cols are required")
+    y = F.col(metric_col).cast("double")
+    base = df.filter(y.isNotNull())
+    melted = base.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        F.coalesce(F.col(d).cast("string"), F.lit("NULL"))
+                        .alias("value"),
+                    )
+                    for d in dim_cols
+                ],
+            ),
+        ),
+        y.alias("__y"),
+    )
+    cells = melted.groupBy("dim", "value").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("__s"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__q"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("__gn"),
+        F.sum(y).alias("__gs"),
+        F.sum(y * y).alias("__gq"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    ns = F.col("n").cast("double")
+    nr = (F.col("__gn") - F.col("n")).cast("double")
+    mean_s = F.col("__s") / ns
+    mean_r = (F.col("__gs") - F.col("__s")) / nr
+    var_s = (F.col("__q") - ns * mean_s * mean_s) / (ns - 1.0)
+    var_r = (
+        (F.col("__gq") - F.col("__q")) - nr * mean_r * mean_r
+    ) / (nr - 1.0)
+    z = (mean_s - mean_r) / F.sqrt(var_s / ns + var_r / nr)
+    return (
+        j.filter((F.col("n") >= int(min_n)) & (nr >= 2))
+        .select(
+            "dim", "value",
+            F.col("n").cast("long").alias("n"),
+            mean_s.alias("mean"),
+            mean_r.alias("mean_rest"),
+            F.when(var_s / ns + var_r / nr > 0, z).alias("z"),
+        )
+    )
+
+
+def off_policy_value(
+    df: DataFrame,
+    action_col: str,
+    reward_col: str,
+    logging_prob_col: str,
+    target_action,
+    clip: float = None,
+) -> DataFrame:
+    """Off-policy evaluation of a DETERMINISTIC target policy from
+    logged bandit data (action, reward, logging propensity): the IPS
+    estimate ``mean(r * 1[a = pi(x)] / p)``, the self-normalized SNIPS
+    estimate ``sum(w r) / sum(w)`` (lower variance, slight bias), the
+    effective sample size ``(sum w)^2 / sum w^2`` (how much data the
+    target policy actually reuses), and the raw logged-policy value for
+    reference.  ``target_action`` is a Column computing the target
+    policy's action from the row's features.  ``clip`` caps the
+    importance weight (standard variance control; documented bias).
+
+    ONE aggregation; weights are pure expressions.  Rows with null /
+    non-positive propensity are excluded and counted (``n_bad_prop``) —
+    broken logging must surface, not skew the estimate.
+
+    Returns one row ``(n, n_matched, n_bad_prop, value_logged,
+    value_ips, value_snips, ess)``.
+    """
+    a = F.col(action_col)
+    r = F.col(reward_col).cast("double")
+    p = F.col(logging_prob_col).cast("double")
+    tgt = target_action
+    ok = p.isNotNull() & (p > 0) & r.isNotNull() & a.isNotNull()
+    w0 = F.when(ok & (a == tgt), F.lit(1.0) / p).otherwise(F.lit(0.0))
+    w = F.least(w0, F.lit(float(clip))) if clip is not None else w0
+    agg = df.agg(
+        F.sum(ok.cast("long")).cast("long").alias("n"),
+        F.sum((ok & (a == tgt)).cast("long")).cast("long")
+        .alias("n_matched"),
+        F.sum(
+            (a.isNotNull() & r.isNotNull() & ~(p.isNotNull() & (p > 0)))
+            .cast("long"),
+        ).cast("long").alias("n_bad_prop"),
+        F.avg(F.when(ok, r)).alias("value_logged"),
+        F.sum(F.when(ok, w * r).otherwise(F.lit(0.0))).alias("__swr"),
+        F.sum(F.when(ok, w).otherwise(F.lit(0.0))).alias("__sw"),
+        F.sum(F.when(ok, w * w).otherwise(F.lit(0.0))).alias("__sww"),
+    )
+    return agg.select(
+        "n", "n_matched", "n_bad_prop", "value_logged",
+        F.when(F.col("n") > 0, F.col("__swr") / F.col("n"))
+        .alias("value_ips"),
+        F.when(F.col("__sw") > 0, F.col("__swr") / F.col("__sw"))
+        .alias("value_snips"),
+        F.when(
+            F.col("__sww") > 0,
+            F.col("__sw") * F.col("__sw") / F.col("__sww"),
+        ).alias("ess"),
+    )

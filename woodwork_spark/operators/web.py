@@ -34,6 +34,8 @@ __all__ = [
     "canonical_url_dedup",
     "domain_governance_report",
     "cap_per_domain",
+    "apply_url_policies",
+    "tracking_param_regex",
 ]
 
 # Tracking / click-id query parameters that never change page content.
@@ -293,3 +295,70 @@ def cap_per_domain(
         domain_col, registered_domain_expr(url_col, extra_suffixes),
     )
     return cap_per_group(with_d, domain_col, k, order)
+
+
+def apply_url_policies(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    rules: DataFrame,
+    default_allow: bool = True,
+    extra_suffixes=(),
+) -> DataFrame:
+    """Robots-style crawl-policy evaluation: decide allow/deny per URL
+    from per-registered-domain path-prefix rules, with the standard
+    longest-match-wins resolution (and allow winning exact-length ties,
+    the Google robots convention).  URLs whose registered domain has no
+    matching rule get ``default_allow``; unparseable URLs are DENIED
+    (an unfetchable URL must not pass a crawl gate).
+
+    ``rules`` is a frame ``(domain string, path_prefix string, allow
+    boolean)``.  Scale shape: the corpus projects to (id, domain,
+    path) — pure column expressions; the rules frame is policy-sized
+    (thousands of rows, not corpus-sized) and joins BROADCAST on
+    domain, so no corpus shuffle happens at all until the per-id
+    winner aggregation, which groups on the corpus's own id key.
+    Returns the input plus ``crawl_allowed`` (boolean) and
+    ``matched_prefix``.
+    """
+    u, scheme, host, port, path, query = _parts(url_col)
+    parsed = df.select(
+        F.col(id_col),
+        registered_domain_expr(url_col, extra_suffixes).alias("__dom"),
+        F.when(scheme != "", F.when(path == "", "/").otherwise(path))
+        .alias("__path"),
+    )
+    r = rules.select(
+        F.col("domain").alias("__dom"),
+        F.col("path_prefix").alias("__pfx"),
+        F.col("allow").cast("boolean").alias("__allow"),
+    )
+    cand = parsed.join(F.broadcast(r), "__dom", "left").withColumn(
+        "__hit",
+        F.col("__pfx").isNotNull()
+        & F.col("__path").isNotNull()
+        & F.col("__path").startswith(F.col("__pfx")),
+    )
+    # longest matching prefix wins; allow beats deny at equal length
+    winner = cand.groupBy(id_col).agg(
+        F.max(
+            F.when(
+                F.col("__hit"),
+                F.struct(
+                    F.length("__pfx").alias("l"),
+                    F.col("__allow").cast("int").alias("a"),
+                    F.col("__pfx").alias("p"),
+                ),
+            ),
+        ).alias("__w"),
+        F.first("__path", ignorenulls=False).alias("__anypath"),
+        F.max(F.col("__path").isNotNull().cast("int")).alias("__parsed"),
+    )
+    decided = winner.select(
+        id_col,
+        F.when(F.col("__parsed") == 0, F.lit(False))
+        .when(F.col("__w").isNotNull(), F.col("__w.a") == 1)
+        .otherwise(F.lit(bool(default_allow))).alias("crawl_allowed"),
+        F.col("__w.p").alias("matched_prefix"),
+    )
+    return df.join(decided, id_col)
