@@ -14743,3 +14743,114 @@ ORACLE["off_policy"] = """
 QUERIES["url_policy"] = q_url_policy
 QUERIES["worst_slices"] = q_worst_slices
 QUERIES["off_policy"] = q_off_policy
+
+
+def q_yuen_trimmed(spark, sf_dir):
+    """Yuen's 20%-trimmed robust two-sample test on extended price by
+    line-number cohort: trimmed sums from per-row rank-window
+    intersections over the shared cells scaffold, winsorized variances
+    assembled from the same single aggregation."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import yuen_trimmed_test
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = yuen_trimmed_test(
+        li, "l_extendedprice", F.col("l_linenumber") % 3 == 0, trim=0.2,
+    )
+    return attach_persisted(out.select(
+        "n_a", "n_b", "h_a", "h_b",
+        _ravg(F.col("tmean_a"), 4).alias("tmean_a"),
+        _ravg(F.col("tmean_b"), 4).alias("tmean_b"),
+        _ravg(F.col("t_stat"), 4).alias("t_stat"),
+        _ravg(F.col("df"), 2).alias("df"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+    ), *persisted_frames(out))
+
+
+ORACLE["yuen_trimmed"] = """
+    WITH base AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+               (l_linenumber % 3 = 0) AS a
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    cells AS (
+        SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS xa,
+               sum(CASE WHEN a THEN 0 ELSE 1 END) AS xb
+        FROM base GROUP BY v
+    ),
+    cum AS (
+        SELECT v, xa, xb,
+               sum(xa) OVER (ORDER BY v) AS ca,
+               sum(xb) OVER (ORDER BY v) AS cb
+        FROM cells
+    ),
+    tot AS (SELECT sum(xa) AS ta, sum(xb) AS tb FROM cells),
+    s AS (
+        SELECT
+          sum(v * greatest(0.0, least(ca * 1.0, ta - floor(0.2 * ta))
+              - greatest(ca * 1.0 - xa, floor(0.2 * ta)))) AS tsa,
+          sum(v * v * greatest(0.0, least(ca * 1.0, ta - floor(0.2 * ta))
+              - greatest(ca * 1.0 - xa, floor(0.2 * ta)))) AS tqa,
+          min(CASE WHEN ca >= floor(0.2 * ta) + 1 THEN v END) AS loa,
+          min(CASE WHEN ca >= ta - floor(0.2 * ta) THEN v END) AS hia,
+          sum(v * greatest(0.0, least(cb * 1.0, tb - floor(0.2 * tb))
+              - greatest(cb * 1.0 - xb, floor(0.2 * tb)))) AS tsb,
+          sum(v * v * greatest(0.0, least(cb * 1.0, tb - floor(0.2 * tb))
+              - greatest(cb * 1.0 - xb, floor(0.2 * tb)))) AS tqb,
+          min(CASE WHEN cb >= floor(0.2 * tb) + 1 THEN v END) AS lob,
+          min(CASE WHEN cb >= tb - floor(0.2 * tb) THEN v END) AS hib
+        FROM cum, tot
+    ),
+    d AS (
+        SELECT ta, tb,
+               floor(0.2 * ta) AS ka, floor(0.2 * tb) AS kb,
+               ta - 2 * floor(0.2 * ta) AS ha,
+               tb - 2 * floor(0.2 * tb) AS hb,
+               tsa, tqa, loa, hia, tsb, tqb, lob, hib
+        FROM s, tot
+    ),
+    m AS (
+        SELECT ta, tb, ha, hb,
+               tsa / ha AS mta, tsb / hb AS mtb,
+               ((tqa + ka * (loa * loa + hia * hia))
+                - ta * ((tsa + ka * (loa + hia)) / ta)
+                     * ((tsa + ka * (loa + hia)) / ta)) / (ta - 1.0)
+                   AS s2wa,
+               ((tqb + kb * (lob * lob + hib * hib))
+                - tb * ((tsb + kb * (lob + hib)) / tb)
+                     * ((tsb + kb * (lob + hib)) / tb)) / (tb - 1.0)
+                   AS s2wb
+        FROM d
+    ),
+    t AS (
+        SELECT ta, tb, ha, hb, mta, mtb,
+               s2wa * (ta - 1.0) / (ha * (ha - 1.0)) AS da,
+               s2wb * (tb - 1.0) / (hb * (hb - 1.0)) AS db
+        FROM m
+    ),
+    z AS (
+        SELECT ta, tb, ha, hb, mta, mtb, da, db,
+               (mta - mtb) / sqrt(da + db) AS tstat,
+               (da + db) * (da + db)
+               / (da * da / (ha - 1.0) + db * db / (hb - 1.0)) AS dfree
+        FROM t
+    ),
+    pp AS (
+        SELECT *, abs(tstat) / sqrt(2.0) AS x,
+               1.0 / (1.0 + 0.3275911 * abs(tstat) / sqrt(2.0)) AS tt
+        FROM z
+    )
+    SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+           CAST(ha AS BIGINT) AS h_a, CAST(hb AS BIGINT) AS h_b,
+           round(mta + 0.0000001, 4) AS tmean_a,
+           round(mtb + 0.0000001, 4) AS tmean_b,
+           round(tstat + 0.0000001, 4) AS t_stat,
+           round(dfree + 0.0000001, 2) AS df,
+           round(""" + _ERF_P_SQL.replace("x * x", "x * x") + """
+                 + 0.0000001, 6) AS p_approx
+    FROM pp
+"""
+
+
+QUERIES["yuen_trimmed"] = q_yuen_trimmed

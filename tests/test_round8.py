@@ -822,3 +822,42 @@ def F_lit(v):
     from pyspark.sql import functions as F
 
     return F.lit(v)
+
+
+def test_yuen_trimmed_matches_brute_force(spark):
+    import math
+
+    import numpy as np
+
+    from woodwork_spark.operators.stats_tests import yuen_trimmed_test
+
+    a, b = _two_samples()
+
+    def side(x, g=0.2):
+        x = np.sort(x)
+        n = len(x)
+        k = int(math.floor(g * n))
+        h = n - 2 * k
+        trimmed = x[k:n - k]
+        tmean = trimmed.mean()
+        wins = np.concatenate([[x[k]] * k, trimmed, [x[n - k - 1]] * k])
+        s2w = wins.var(ddof=1)
+        d = s2w * (n - 1) / (h * (h - 1))
+        return n, h, tmean, d
+
+    na, ha, ma, da = side(a)
+    nb, hb, mb, db = side(b)
+    t = (ma - mb) / math.sqrt(da + db)
+    dfree = (da + db) ** 2 / (da ** 2 / (ha - 1) + db ** 2 / (hb - 1))
+    r = yuen_trimmed_test(
+        _spark_two_sample_df(spark, a, b), "v", "a", trim=0.2,
+    ).first()
+    assert (r["n_a"], r["n_b"], r["h_a"], r["h_b"]) == (na, nb, ha, hb)
+    assert r["tmean_a"] == pytest.approx(ma, rel=1e-9)
+    assert r["tmean_b"] == pytest.approx(mb, rel=1e-9)
+    assert r["t_stat"] == pytest.approx(t, rel=1e-9)
+    assert r["df"] == pytest.approx(dfree, rel=1e-9)
+    p = 2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(t) / math.sqrt(2.0))))
+    assert r["p_approx"] == pytest.approx(p, abs=1e-6)
+    with pytest.raises(ValueError):
+        yuen_trimmed_test(_spark_two_sample_df(spark, a, b), "v", "a", 0.5)
