@@ -14854,3 +14854,142 @@ ORACLE["yuen_trimmed"] = """
 
 
 QUERIES["yuen_trimmed"] = q_yuen_trimmed
+
+
+def q_ks_by_group(spark, sf_dir):
+    """Per-segment KS drift sweep: the returned-vs-not extended-price
+    KS test computed for EVERY linestatus segment in one pass — grouped
+    conditional cells + one grouped range-partitioned prefix-sum pass +
+    a per-group fold; no per-segment job loop, no whole-group
+    reducer."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import ks_test_2samp_by
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = ks_test_2samp_by(
+        li, ["l_linestatus"], "l_extendedprice",
+        F.col("l_returnflag") == "R",
+    )
+    return attach_persisted(out.select(
+        "l_linestatus", "n_a", "n_b",
+        _ravg(F.col("d_stat"), 6).alias("d_stat"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+    ), *persisted_frames(out))
+
+
+def _ks_by_oracle(p_terms: int = 25) -> str:
+    series = " + ".join(
+        f"({float((-1) ** (j - 1))}) * exp(-2.0 * {j * j} * lam * lam)"
+        for j in range(1, p_terms + 1)
+    )
+    return f"""
+    WITH base AS (
+        SELECT l_linestatus AS grp,
+               CAST(l_extendedprice AS DOUBLE) AS v,
+               (l_returnflag = 'R') AS a
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    cells AS (
+        SELECT grp, v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS xa,
+               sum(CASE WHEN a THEN 0 ELSE 1 END) AS xb
+        FROM base GROUP BY grp, v
+    ),
+    cum AS (
+        SELECT grp, v,
+               sum(xa) OVER (PARTITION BY grp ORDER BY v) AS ca,
+               sum(xb) OVER (PARTITION BY grp ORDER BY v) AS cb
+        FROM cells
+    ),
+    tot AS (
+        SELECT grp, sum(xa) AS ta, sum(xb) AS tb FROM cells GROUP BY grp
+    ),
+    d AS (
+        SELECT c.grp, max(t.ta) AS ta, max(t.tb) AS tb,
+               max(abs(c.ca * 1.0 / t.ta - c.cb * 1.0 / t.tb)) AS dstat
+        FROM cum c JOIN tot t ON c.grp = t.grp
+        GROUP BY c.grp
+    ),
+    lamt AS (
+        SELECT grp, ta, tb, dstat,
+               (sqrt(ta * 1.0 * tb / (ta + tb)) + 0.12
+                + 0.11 / sqrt(ta * 1.0 * tb / (ta + tb))) * dstat AS lam
+        FROM d
+    )
+    SELECT grp AS l_linestatus,
+           CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+           CASE WHEN ta > 0 AND tb > 0
+                THEN round(dstat + 0.0000001, 6) END AS d_stat,
+           CASE WHEN ta > 0 AND tb > 0 THEN
+             round(least(1.0, greatest(0.0, 2.0 * ({series})))
+                   + 0.0000001, 6) END AS p_approx
+    FROM lamt
+"""
+
+
+ORACLE["ks_by_group"] = _ks_by_oracle()
+
+
+def q_kruskal(spark, sf_dir):
+    """Kruskal-Wallis rank test of discount across the returnflag
+    groups: one per-value prefix-sum pass, integer-valued midrank sums
+    (engine-exact), grouped fold."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import kruskal_wallis
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = kruskal_wallis(li, "l_discount", "l_returnflag")
+    return attach_persisted(out.select(
+        "k_groups", "n",
+        _ravg(F.col("h_stat"), 6).alias("h_stat"),
+        "df",
+        _ravg(F.col("tie_correction"), 8).alias("tie_correction"),
+    ), *persisted_frames(out))
+
+
+ORACLE["kruskal"] = """
+    WITH base AS (
+        SELECT l_returnflag AS g, CAST(l_discount AS DOUBLE) AS v
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+    ),
+    gcells AS (
+        SELECT g, v, count(*) AS c FROM base GROUP BY g, v
+    ),
+    vcells AS (SELECT v, sum(c) AS t FROM gcells GROUP BY v),
+    cum AS (
+        SELECT v, t, sum(t) OVER (ORDER BY v) AS ct FROM vcells
+    ),
+    j AS (
+        SELECT gc.g, gc.c, cu.t, cu.ct
+        FROM gcells gc JOIN cum cu ON gc.v = cu.v
+    ),
+    pg AS (
+        SELECT g, sum(c) AS ng,
+               sum(c * (2.0 * ct - t + 1.0)) AS r2
+        FROM j GROUP BY g
+    ),
+    ties AS (SELECT sum(t * 1.0 * t * t - t) AS tiesum FROM vcells),
+    agg AS (
+        SELECT count(*) AS k, sum(ng) AS n,
+               sum((r2 / 2.0) * (r2 / 2.0) / ng) AS rsum
+        FROM pg
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+           CASE WHEN k >= 2 AND n > k
+                     AND 1.0 - tiesum / (n * 1.0 * n * n - n) > 0
+                THEN round(
+                  (12.0 / (n * (n + 1.0)) * rsum - 3.0 * (n + 1.0))
+                  / (1.0 - tiesum / (n * 1.0 * n * n - n))
+                  + 0.0000001, 6) END AS h_stat,
+           CAST(k - 1 AS BIGINT) AS df,
+           CASE WHEN n > 1 THEN
+             round(1.0 - tiesum / (n * 1.0 * n * n - n)
+                   + 0.0000001, 8) END AS tie_correction
+    FROM agg, ties
+"""
+
+
+QUERIES["ks_by_group"] = q_ks_by_group
+QUERIES["kruskal"] = q_kruskal

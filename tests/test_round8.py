@@ -861,3 +861,118 @@ def test_yuen_trimmed_matches_brute_force(spark):
     assert r["p_approx"] == pytest.approx(p, abs=1e-6)
     with pytest.raises(ValueError):
         yuen_trimmed_test(_spark_two_sample_df(spark, a, b), "v", "a", 0.5)
+
+
+def test_grouped_prefix_sums_both_paths(spark):
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.rank import grouped_prefix_sums
+
+    rows = [(g, i, 1, i % 3) for g in ("x", "y") for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, o long, one long, w long")
+    for thr in (100_000, 5):  # small-input window path + distributed path
+        out = grouped_prefix_sums(
+            df, "g", [F_col("o").asc()], ["one", "w"], ["c1", "cw"],
+            inclusive=True, small_threshold=thr,
+        )
+        got = {
+            (r["g"], r["o"]): (r["c1"], r["cw"])
+            for r in out.collect()
+        }
+        for g in ("x", "y"):
+            for i in range(40):
+                want1 = i + 1
+                wantw = sum(j % 3 for j in range(i + 1))
+                assert got[(g, i)] == (want1, wantw), (thr, g, i)
+        release(out)
+
+
+def test_ks_by_group_matches_global(spark):
+    """Each group's (d, p) must equal ks_test_2samp run on that group
+    alone."""
+    from woodwork_spark.operators.stats_tests import (
+        ks_test_2samp,
+        ks_test_2samp_by,
+    )
+
+    a, b = _two_samples()
+    rows = [
+        (f"g{i % 3}", float(v), True) for i, v in enumerate(a)
+    ] + [(f"g{i % 3}", float(v), False) for i, v in enumerate(b)]
+    df = spark.createDataFrame(rows, "g string, v double, a boolean")
+    by = {
+        r["g"]: r
+        for r in ks_test_2samp_by(df, "g", "v", "a").collect()
+    }
+    assert len(by) == 3
+    for gname in ("g0", "g1", "g2"):
+        solo = ks_test_2samp(
+            df.filter(F_col("g") == gname), "v", "a",
+        ).first()
+        assert by[gname]["n_a"] == solo["n_a"]
+        assert by[gname]["n_b"] == solo["n_b"]
+        assert by[gname]["d_stat"] == pytest.approx(solo["d_stat"])
+        assert by[gname]["p_approx"] == pytest.approx(solo["p_approx"])
+
+
+def test_ks_by_group_one_sided_group_is_null(spark):
+    from woodwork_spark.operators.stats_tests import ks_test_2samp_by
+
+    rows = [("g", 1.0, True), ("g", 2.0, True), ("h", 1.0, True),
+            ("g", 1.5, False)]
+    df = spark.createDataFrame(rows, "g string, v double, a boolean")
+    got = {r["g"]: r for r in ks_test_2samp_by(df, "g", "v", "a").collect()}
+    assert got["h"]["d_stat"] is None and got["h"]["p_approx"] is None
+    assert got["g"]["d_stat"] is not None
+
+
+def test_kruskal_wallis_matches_brute_force(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.stats_tests import kruskal_wallis
+
+    rng = np.random.RandomState(3)
+    groups = {
+        "a": np.round(rng.gamma(2, 2, 80), 1),
+        "b": np.round(rng.gamma(2, 2.5, 60) + 0.2, 1),
+        "c": np.round(rng.gamma(2, 1.8, 70), 1),
+    }
+    pooled = np.concatenate(list(groups.values()))
+    order = np.argsort(pooled, kind="mergesort")
+    ranks = np.empty(len(pooled))
+    sv = pooled[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    n = len(pooled)
+    h = 0.0
+    off = 0
+    for arr in groups.values():
+        rg = ranks[off:off + len(arr)].sum()
+        h += rg * rg / len(arr)
+        off += len(arr)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, counts = np.unique(pooled, return_counts=True)
+    c = 1.0 - ((counts.astype(float) ** 3 - counts).sum()) / (n ** 3 - n)
+    want = h / c
+
+    rows = [
+        (g, float(v)) for g, arr in groups.items() for v in arr
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "v", "g").first()
+    assert r["k_groups"] == 3 and r["n"] == n and r["df"] == 2
+    assert r["tie_correction"] == pytest.approx(c, rel=1e-12)
+    assert r["h_stat"] == pytest.approx(want, rel=1e-9)
+
+
+def test_kruskal_all_tied_is_null(spark):
+    from woodwork_spark.operators.stats_tests import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 1.0)] * 4 + [("b", 1.0)] * 4, "g string, v double",
+    )
+    assert kruskal_wallis(df, "v", "g").first()["h_stat"] is None

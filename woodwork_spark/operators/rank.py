@@ -504,3 +504,109 @@ def global_running_max(
         out_col, F.greatest(F.max(value_col).over(w), off),
     ).drop(_PID)
     return attach_persisted(out, parted, src if persisted else None)
+
+
+def grouped_prefix_sums(
+    df: DataFrame,
+    group_cols,
+    order,
+    value_cols,
+    out_cols=None,
+    inclusive: bool = False,
+    num_partitions: int = None,
+    small_threshold: int = 100_000,
+    known_count: int = None,
+) -> DataFrame:
+    """Running sums of SEVERAL value columns within each group in one
+    ``order`` — the grouped sibling of :func:`global_prefix_sums`, with
+    :func:`grouped_prefix_sum`'s scale shape: range shuffle on (group,
+    order) so a dominant group spans many partitions, per-(group,
+    partition) subtotals folded into ONE offsets job for every column,
+    null-safe broadcast join back.  ``inclusive=True`` includes the
+    current row (the grouped-ECDF shape)."""
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    value_cols = (
+        [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    )
+    out_cols = out_cols or [f"{c}_cum" for c in value_cols]
+    if len(out_cols) != len(value_cols):
+        raise ValueError("out_cols must match value_cols")
+    hi = 0 if inclusive else -1
+    spark = df.sparkSession
+    small, src, persisted = _probe_small(df, small_threshold, known_count)
+    if small:
+        w = (
+            W.partitionBy(*group_cols)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, hi)
+        )
+        out = src
+        for vc, oc in zip(value_cols, out_cols):
+            out = out.withColumn(
+                oc, F.coalesce(F.sum(vc).over(w), F.lit(0)),
+            )
+        return attach_persisted(out, src if persisted else None)
+    keys = [F.col(g) for g in group_cols]
+    parted = _range_partitioned(src, keys + list(order), num_partitions)
+    totals_df = parted.groupBy(_PID, *group_cols).agg(
+        *[F.sum(vc).alias(f"__t_{i}") for i, vc in enumerate(value_cols)],
+    )
+    totals = totals_df.collect()
+    acc: dict = {}
+    rows = []
+    for r in sorted(totals, key=lambda r: (r[_PID])):
+        g = tuple(r[g_] for g_ in group_cols)
+        prev = acc.get(g, [0] * len(value_cols))
+        rows.append((r[_PID],) + g + tuple(prev))
+        acc[g] = [
+            p + (r[f"__t_{i}"] or 0) for i, p in enumerate(prev)
+        ]
+    from pyspark.sql import types as T
+
+    base = parted.select(_PID, *group_cols).schema
+    off_fields = list(base.fields)
+    for i in range(len(value_cols)):
+        off_type = totals_df.schema[f"__t_{i}"].dataType
+        off_fields.append(T.StructField(f"__off_{i}", off_type))
+        if isinstance(off_type, (T.DoubleType, T.FloatType)):
+            rows = [
+                r[: len(base.fields) + i]
+                + (float(r[len(base.fields) + i]),)
+                + r[len(base.fields) + i + 1:]
+                for r in rows
+            ]
+    off_df = spark.createDataFrame(rows, schema=T.StructType(off_fields))
+    w = (
+        W.partitionBy(_PID, *group_cols)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, hi)
+    )
+    off_aliased = off_df.select(
+        F.col(_PID).alias("__opid"),
+        *[F.col(g).alias(f"__og_{i}") for i, g in enumerate(group_cols)],
+        *[f"__off_{i}" for i in range(len(value_cols))],
+    )
+    cond = F.col(_PID) == F.col("__opid")
+    for i, g in enumerate(group_cols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{i}"))
+    out = parted
+    for i, vc in enumerate(value_cols):
+        out = out.withColumn(
+            f"__local_{i}", F.coalesce(F.sum(vc).over(w), F.lit(0)),
+        )
+    out = out.join(F.broadcast(off_aliased), on=cond, how="left")
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(
+            oc,
+            F.col(f"__local_{i}")
+            + F.coalesce(F.col(f"__off_{i}"), F.lit(0)),
+        )
+    out = out.drop(
+        _PID, "__opid",
+        *[f"__local_{i}" for i in range(len(value_cols))],
+        *[f"__off_{i}" for i in range(len(value_cols))],
+        *[f"__og_{i}" for i in range(len(group_cols))],
+    )
+    return attach_persisted(out, parted, src if persisted else None)

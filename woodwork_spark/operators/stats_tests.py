@@ -1402,3 +1402,171 @@ def yuen_trimmed_test(
         F.when(valid, _std_normal_two_sided_p(t)).alias("p_approx"),
     )
     return attach_persisted(out, *persisted_frames(cells))
+
+
+def ks_test_2samp_by(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    sample_a,
+    p_terms: int = 25,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """PER-GROUP two-sample KS test: :func:`ks_test_2samp` run
+    simultaneously for every segment (source, language, date...) in ONE
+    pass — the drift sweep a corpus owner runs per source, without a
+    per-segment job loop.
+
+    Scale shape: per-(group, distinct-value) conditional counts (one
+    map-side-combinable groupBy), BOTH inclusive cumulatives from one
+    :func:`rank.grouped_prefix_sums` range shuffle on (group, value) —
+    a dominant segment spans many partitions, never one reducer — then
+    one grouped fold to (D, totals) per segment and the same
+    Stephens-corrected asymptotic p as the global test, all column
+    expressions.
+
+    Returns one row per group: ``(group..., n_a, n_b, d_stat,
+    p_approx)``; groups missing a side get NULL d/p (no distribution
+    to compare).
+    """
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    from .rank import grouped_prefix_sums
+
+    flag = (
+        F.col(sample_a) if isinstance(sample_a, str) else sample_a
+    ).cast("boolean")
+    v = F.col(value_col).cast("double")
+    cells = (
+        df.filter(v.isNotNull() & flag.isNotNull())
+        .groupBy(*group_cols, v.alias("__v"))
+        .agg(
+            F.sum(flag.cast("long")).alias("__a"),
+            F.sum((~flag).cast("long")).alias("__b"),
+        )
+    )
+    cum = grouped_prefix_sums(
+        cells, group_cols, [F.asc("__v")], ["__a", "__b"],
+        ["__ca", "__cb"], inclusive=True, small_threshold=small_threshold,
+    )
+    # per-group totals as a group-cardinality frame joined back (AQE
+    # broadcasts it when small) — NOT a partitionBy(group) window, which
+    # would put each whole group through one reducer
+    tot = cells.groupBy(*group_cols).agg(
+        F.sum("__a").alias("__ta"), F.sum("__b").alias("__tb"),
+    )
+    joined = cum.join(tot, group_cols)
+    # try_divide: a one-sided group has total 0, and ANSI mode errors on
+    # division by zero — NULL ECDF values collapse to a NULL d_stat for
+    # that group (masked to NULL in the output either way)
+    per = joined.groupBy(*group_cols).agg(
+        F.max("__ta").cast("long").alias("n_a"),
+        F.max("__tb").cast("long").alias("n_b"),
+        F.max(
+            F.abs(
+                F.try_divide(F.col("__ca"), F.col("__ta"))
+                - F.try_divide(F.col("__cb"), F.col("__tb")),
+            ),
+        ).alias("d_stat"),
+    )
+    ne = (
+        F.col("n_a").cast("double") * F.col("n_b")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    lam = (
+        (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne))
+        * F.col("d_stat")
+    )
+    series = None
+    for j in range(1, max(int(p_terms), 1) + 1):
+        term = F.lit(float((-1) ** (j - 1))) * F.exp(
+            F.lit(-2.0 * j * j) * lam * lam,
+        )
+        series = term if series is None else series + term
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.lit(2.0) * series))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    out = per.select(
+        *group_cols, "n_a", "n_b",
+        F.when(ok, F.col("d_stat")).alias("d_stat"),
+        F.when(ok, p).alias("p_approx"),
+    )
+    return attach_persisted(out, *persisted_frames(cum))
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    small_threshold: int = 100_000,
+) -> DataFrame:
+    """Kruskal–Wallis k-sample rank test — the nonparametric one-way
+    ANOVA: ``H = 12 / (N (N+1)) * sum_g R_g^2 / n_g - 3 (N+1)`` over
+    midranks, divided by the tie correction
+    ``C = 1 - sum(t^3 - t) / (N^3 - N)``.  Compare ``h_stat`` against
+    chi-square with ``df = k - 1`` (no closed-form p without the
+    incomplete gamma; statistic-only contract like CvM/AD).
+
+    Scale shape: per-(group, value) counts collapse to per-value
+    totals; ONE range-partitioned prefix-sum pass gives every midrank
+    (``2*midrank = 2c - t + 1`` stays integer-valued, so rank sums are
+    exact in double and engine-reproducible); the per-group rank sums
+    come from joining the group-value cells back on the value key and
+    one grouped fold.  No window over a whole group anywhere.
+
+    Returns one row ``(k_groups, n, h_stat, df, tie_correction)``;
+    NULL h when every value ties (C = 0) or k < 2.
+    """
+    from .rank import global_prefix_sums
+
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    gcells = (
+        df.filter(v.isNotNull() & g.isNotNull())
+        .groupBy(g.alias("__g"), v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    vcells = gcells.groupBy("__v").agg(F.sum("__c").alias("__t"))
+    cum = global_prefix_sums(
+        vcells, [F.asc("__v")], ["__t"], ["__ct"],
+        inclusive=True, small_threshold=small_threshold,
+    )
+    joined = gcells.join(
+        cum.select("__v", "__t", "__ct"), "__v",
+    )
+    two_mid = (
+        2.0 * F.col("__ct").cast("double")
+        - F.col("__t").cast("double") + 1.0
+    )
+    per_group = joined.groupBy("__g").agg(
+        F.sum("__c").alias("__ng"),
+        F.sum(F.col("__c").cast("double") * two_mid).alias("__r2"),
+    )
+    ties = cum.agg(
+        F.sum(
+            F.col("__t").cast("double") * F.col("__t") * F.col("__t")
+            - F.col("__t"),
+        ).alias("__ties"),
+    )
+    agg = per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__ng").cast("long").alias("n"),
+        F.sum(
+            (F.col("__r2") / 2.0) * (F.col("__r2") / 2.0)
+            / F.col("__ng"),
+        ).alias("__rsum"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    c = F.lit(1.0) - F.col("__ties") / (n * n * n - n)
+    h = (
+        F.lit(12.0) / (n * (n + 1.0)) * F.col("__rsum")
+        - 3.0 * (n + 1.0)
+    )
+    valid = (F.col("k_groups") >= 2) & (n > F.col("k_groups")) & (c > 0)
+    out = agg.select(
+        "k_groups", "n",
+        F.when(valid, h / c).alias("h_stat"),
+        (F.col("k_groups") - 1).cast("long").alias("df"),
+        F.when(n > 1, c).alias("tie_correction"),
+    )
+    return attach_persisted(out, *persisted_frames(cum))
