@@ -976,3 +976,35 @@ def test_kruskal_all_tied_is_null(spark):
         [("a", 1.0)] * 4 + [("b", 1.0)] * 4, "g string, v double",
     )
     assert kruskal_wallis(df, "v", "g").first()["h_stat"] is None
+
+
+def test_round8_queries_no_python_udf(spark):
+    """Every round-8 query stays JVM-side (Arrow pandas UDFs allowed,
+    row-at-a-time BatchEvalPython never)."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "url_governance", "paragraph_dedup", "mannwhitney", "energy_dist",
+        "session_stats", "snapshot_drift", "record_linkage", "url_policy",
+        "worst_slices", "off_policy", "yuen_trimmed", "ks_by_group",
+        "kruskal",
+    ):
+        plan = _executed_plan(e.QUERIES[name](spark, sf))
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_grouped_prefix_sums_distributed_plan_no_single_reducer(spark):
+    """Above the small threshold the grouped prefix sums must range-
+    partition on (group, order) — no partitionBy(group)-only window
+    that would single-reduce a dominant group."""
+    from woodwork_spark.operators.rank import grouped_prefix_sums
+
+    rows = [("g", i, 1) for i in range(50)] + [("h", i, 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    out = grouped_prefix_sums(
+        df, "g", [F_col("o").asc()], ["v"], ["cv"],
+        inclusive=True, small_threshold=5,
+    )
+    plan = _executed_plan(out)
+    assert "rangepartitioning" in plan.lower()
