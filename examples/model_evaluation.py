@@ -141,5 +141,37 @@ ci = conformal_intervals(
 ci.show(truncate=False)
 release(ci)
 
+# ---- 8. slice debugging (round 8) -------------------------------------------
+# The sweep you run when the aggregate metric dips: which segment is
+# failing?  One melt + one grouped agg; rest-of-data stats derive from
+# broadcast global sums.
+from woodwork_spark.operators.evaluation import worst_slices
+
+print("worst event segments by value (z vs rest, one pass):")
+worst_slices(ev, ["event_type"], "value", min_n=50).orderBy("z").show(
+    5, truncate=False,
+)
+
+# ---- 9. peeking-safe sequential test (round 8) ------------------------------
+from woodwork_spark.operators.causal import msprt_always_valid
+
+print("mSPRT always-valid p (safe to read every day of the experiment):")
+msprt_always_valid(
+    ev, F.col("user_id") % 2 == 0, "value", tau=20.0,
+).show(truncate=False)
+
+# ---- 10. off-policy evaluation (round 8) ------------------------------------
+from woodwork_spark.operators.evaluation import off_policy_value
+
+logged = ev.select(
+    "event_type",
+    (F.least(F.col("value"), F.lit(500.0)) / 500.0).alias("reward"),
+    (0.1 + (F.col("event_id") % 5).cast("double") / 10.0).alias("prop"),
+)
+print("IPS/SNIPS value of an always-'purchase' policy from logged data:")
+off_policy_value(
+    logged, "event_type", "reward", "prop", F.lit("purchase"), clip=8.0,
+).show(truncate=False)
+
 print("done.")
 spark.stop()

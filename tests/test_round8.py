@@ -1008,3 +1008,17 @@ def test_grouped_prefix_sums_distributed_plan_no_single_reducer(spark):
     )
     plan = _executed_plan(out)
     assert "rangepartitioning" in plan.lower()
+
+
+def test_try_pyav_dispatch_with_fake_module(monkeypatch):
+    """frame_sample's real path resolves PyAV at call time, mirroring
+    the PIL dispatch — absent here (stub raises), present -> module."""
+    import sys
+    import types
+
+    from woodwork_spark.operators import multimodal as mm
+
+    assert mm._try_pyav() is None
+    fake_av = types.ModuleType("av")
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+    assert mm._try_pyav() is fake_av
