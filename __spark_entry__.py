@@ -14418,7 +14418,7 @@ def q_record_linkage(spark, sf_dir):
         F.col("c_acctbal").alias("bal"),
         F.col("c_mktsegment").alias("seg"),
     )
-    right = c.filter(F.col("c_custkey") % 2 == 0).select(
+    right = c.filter(F.col("c_custkey") % 6 == 0).select(
         (F.col("c_custkey") + 1000000).alias("rid"),
         F.when(
             F.col("c_custkey") % 3 == 0,
@@ -14438,7 +14438,7 @@ def q_record_linkage(spark, sf_dir):
     scored = record_linkage(
         left, right, "lid", "rid", "name",
         {"bal": (0.95, 0.0001), "seg": (0.9, 0.2)},
-        max_dist=2, prior=0.01, upper=0.9, lower=0.1,
+        max_dist=1, prior=0.01, upper=0.9, lower=0.1,
     )
     return scored.groupBy("fs_class").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -14463,11 +14463,11 @@ ORACLE["record_linkage"] = """
                     ELSE c_acctbal END AS rbal,
                CASE WHEN c_custkey % 7 = 0 THEN 'CORRUPT'
                     ELSE c_mktsegment END AS rseg
-        FROM customer WHERE c_custkey % 2 = 0
+        FROM customer WHERE c_custkey % 6 = 0
     ),
     cand AS (
         SELECT lid, rid, lbal, rbal, lseg, rseg
-        FROM l, r WHERE levenshtein(lname, rname) <= 2
+        FROM l, r WHERE levenshtein(lname, rname) <= 1
     ),
     w AS (
         SELECT lid, rid,
