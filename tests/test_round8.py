@@ -1022,3 +1022,68 @@ def test_try_pyav_dispatch_with_fake_module(monkeypatch):
     fake_av = types.ModuleType("av")
     monkeypatch.setitem(sys.modules, "av", fake_av)
     assert mm._try_pyav() is fake_av
+
+
+# ---------------------------------------------------------------------------
+# Preference analytics (Bradley-Terry, transitivity)
+# ---------------------------------------------------------------------------
+
+
+def test_bradley_terry_matches_mm_reference(spark):
+    import numpy as np
+
+    from woodwork_spark.operators.preferences import bradley_terry
+
+    wins = {("a", "b"): (8, 2), ("b", "c"): (7, 3), ("a", "c"): (9, 1)}
+    rows = []
+    for (x, y), (wx, wy) in wins.items():
+        rows += [(x, y)] * wx + [(y, x)] * wy
+    df = spark.createDataFrame(rows, "w string, l string")
+    items = ["a", "b", "c"]
+    idx = {it: i for i, it in enumerate(items)}
+    n = np.zeros((3, 3))
+    wtot = np.zeros(3)
+    for (x, y), (wx, wy) in wins.items():
+        n[idx[x], idx[y]] = n[idx[y], idx[x]] = wx + wy
+        wtot[idx[x]] += wx
+        wtot[idx[y]] += wy
+    s = np.ones(3)
+    for _ in range(12):
+        denom = np.array([
+            sum(n[i, j] / (s[i] + s[j]) for j in range(3) if j != i)
+            for i in range(3)
+        ])
+        s = wtot / denom
+    s = s * 3 / s.sum()
+    got = {
+        r["item"]: r
+        for r in bradley_terry(df, "w", "l", iters=12).collect()
+    }
+    for it in items:
+        assert got[it]["strength"] == pytest.approx(s[idx[it]], rel=1e-9)
+    assert got["a"]["n_wins"] == 17 and got["a"]["n_games"] == 20
+    # ranking follows dominance
+    assert got["a"]["strength"] > got["b"]["strength"] > got["c"]["strength"]
+
+
+def test_transitivity_report_cycle_detection(spark):
+    from woodwork_spark.operators.preferences import transitivity_report
+
+    consistent = [("a", "b")] * 3 + [("b", "c")] * 3 + [("a", "c")] * 3
+    r = transitivity_report(
+        spark.createDataFrame(consistent, "w string, l string"), "w", "l",
+    ).first()
+    assert r["n_triangles"] == 1 and r["n_cycles"] == 0
+    assert r["cycle_rate"] == 0.0
+
+    cyclic = [("a", "b")] * 3 + [("b", "c")] * 3 + [("c", "a")] * 3
+    r = transitivity_report(
+        spark.createDataFrame(cyclic, "w string, l string"), "w", "l",
+    ).first()
+    assert r["n_cycles"] == 1 and r["cycle_rate"] == 1.0
+    # ties drop out of the majority-edge set
+    tied = cyclic + [("b", "a")] * 3
+    r = transitivity_report(
+        spark.createDataFrame(tied, "w string, l string"), "w", "l",
+    ).first()
+    assert r["n_edges"] == 2 and r["n_triangles"] == 0
