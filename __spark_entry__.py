@@ -15189,3 +15189,79 @@ ORACLE["chunk_documents"] = """
 
 
 QUERIES["chunk_documents"] = q_chunk_documents
+
+
+def q_stream_domain_rate(spark, sf_dir):
+    """Streaming per-registered-domain crawl-rate windows over
+    synthesized URLs on the event stream, run to completion with
+    AvailableNow into a memory sink — a finite stream must equal the
+    batch windows, so the oracle IS the batch SQL."""
+    import uuid
+
+    from woodwork_spark.streaming import domain_rate_stream, read_event_stream
+
+    _prep(spark)
+    stream = read_event_stream(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        max_files_per_trigger=10,
+    )
+    with_url = stream.withColumn(
+        "url",
+        F.when(
+            F.col("user_id") % 3 == 0,
+            F.concat(
+                F.lit("https://s"), (F.col("user_id") % 5).cast("string"),
+                F.lit(".example.com/p/"), F.col("event_id").cast("string"),
+            ),
+        )
+        .when(
+            F.col("user_id") % 3 == 1,
+            F.concat(
+                F.lit("https://shop"), (F.col("user_id") % 4).cast("string"),
+                F.lit(".co.uk/x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://cdn.site"),
+                (F.col("user_id") % 3).cast("string"), F.lit(".org/y"),
+            ),
+        ),
+    )
+    rated = domain_rate_stream(with_url, "url").select(
+        "domain",
+        F.unix_micros("window_start").alias("window_start_us"),
+        "n_urls",
+    )
+    name = f"stream_domrate_{uuid.uuid4().hex[:8]}"
+    q = (
+        rated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+ORACLE["stream_domain_rate"] = """
+    WITH u AS (
+        SELECT ts,
+               CASE
+                 WHEN user_id % 3 = 0 THEN 'example.com'
+                 WHEN user_id % 3 = 1 THEN
+                      'shop' || CAST(user_id % 4 AS VARCHAR) || '.co.uk'
+                 ELSE 'site' || CAST(user_id % 3 AS VARCHAR) || '.org'
+               END AS domain
+        FROM events
+    )
+    SELECT domain,
+           CAST(floor(epoch_us(ts) / 3600000000.0) * 3600000000
+                AS BIGINT) AS window_start_us,
+           CAST(count(*) AS BIGINT) AS n_urls
+    FROM u GROUP BY 1, 2
+"""
+
+
+QUERIES["stream_domain_rate"] = q_stream_domain_rate

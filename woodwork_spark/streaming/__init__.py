@@ -1,6 +1,7 @@
 from woodwork_spark.streaming.events import (
     read_event_stream,
     hourly_rollup_stream,
+    domain_rate_stream,
     sessionize_stream,
     dedup_event_stream,
     enrich_stream_with_scd,
@@ -13,6 +14,7 @@ from woodwork_spark.streaming.events import (
 __all__ = [
     "read_event_stream",
     "hourly_rollup_stream",
+    "domain_rate_stream",
     "sessionize_stream",
     "dedup_event_stream",
     "enrich_stream_with_scd",

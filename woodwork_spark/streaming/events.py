@@ -661,3 +661,35 @@ def srm_monitor_stream(
         F.col("__unknown").cast("long").alias("n_unknown"),
         F.when(n_known > 0, chi2).alias("chi2"),
     )
+
+
+def domain_rate_stream(
+    stream: DataFrame,
+    url_col: str,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    extra_suffixes=(),
+) -> DataFrame:
+    """Windowed crawl-rate monitor per REGISTERED domain — the
+    politeness/abuse gate a live crawler reads: URL volume per eTLD+1
+    per tumbling window, with late fetch logs dropped past the
+    watermark.  Composes ``operators.web.registered_domain_expr`` (pure
+    column expression, evaluated in the stream's projection) with the
+    standard watermarked window aggregation; state is bounded by
+    (watermark + window) x active-domain cardinality."""
+    from woodwork_spark.operators.web import registered_domain_expr
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("win"),
+            registered_domain_expr(url_col, extra_suffixes).alias("domain"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .select(
+            "domain",
+            F.col("win.start").alias("window_start"),
+            "n_urls",
+        )
+    )
