@@ -14928,71 +14928,7 @@ def _ks_by_oracle(p_terms: int = 25) -> str:
 
 
 ORACLE["ks_by_group"] = _ks_by_oracle()
-
-
-def q_kruskal(spark, sf_dir):
-    """Kruskal-Wallis rank test of discount across the returnflag
-    groups: one per-value prefix-sum pass, integer-valued midrank sums
-    (engine-exact), grouped fold."""
-    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
-    from woodwork_spark.operators.stats_tests import kruskal_wallis
-
-    _prep(spark)
-    li = _t(spark, sf_dir, "lineitem")
-    out = kruskal_wallis(li, "l_discount", "l_returnflag")
-    return attach_persisted(out.select(
-        "k_groups", "n",
-        _ravg(F.col("h_stat"), 6).alias("h_stat"),
-        "df",
-        _ravg(F.col("tie_correction"), 8).alias("tie_correction"),
-    ), *persisted_frames(out))
-
-
-ORACLE["kruskal"] = """
-    WITH base AS (
-        SELECT l_returnflag AS g, CAST(l_discount AS DOUBLE) AS v
-        FROM lineitem
-        WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
-    ),
-    gcells AS (
-        SELECT g, v, count(*) AS c FROM base GROUP BY g, v
-    ),
-    vcells AS (SELECT v, sum(c) AS t FROM gcells GROUP BY v),
-    cum AS (
-        SELECT v, t, sum(t) OVER (ORDER BY v) AS ct FROM vcells
-    ),
-    j AS (
-        SELECT gc.g, gc.c, cu.t, cu.ct
-        FROM gcells gc JOIN cum cu ON gc.v = cu.v
-    ),
-    pg AS (
-        SELECT g, sum(c) AS ng,
-               sum(c * (2.0 * ct - t + 1.0)) AS r2
-        FROM j GROUP BY g
-    ),
-    ties AS (SELECT sum(t * 1.0 * t * t - t) AS tiesum FROM vcells),
-    agg AS (
-        SELECT count(*) AS k, sum(ng) AS n,
-               sum((r2 / 2.0) * (r2 / 2.0) / ng) AS rsum
-        FROM pg
-    )
-    SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
-           CASE WHEN k >= 2 AND n > k
-                     AND 1.0 - tiesum / (n * 1.0 * n * n - n) > 0
-                THEN round(
-                  (12.0 / (n * (n + 1.0)) * rsum - 3.0 * (n + 1.0))
-                  / (1.0 - tiesum / (n * 1.0 * n * n - n))
-                  + 0.0000001, 6) END AS h_stat,
-           CAST(k - 1 AS BIGINT) AS df,
-           CASE WHEN n > 1 THEN
-             round(1.0 - tiesum / (n * 1.0 * n * n - n)
-                   + 0.0000001, 8) END AS tie_correction
-    FROM agg, ties
-"""
-
-
 QUERIES["ks_by_group"] = q_ks_by_group
-QUERIES["kruskal"] = q_kruskal
 
 
 # ---------------------------------------------------------------------------

@@ -964,9 +964,8 @@ def test_kruskal_wallis_matches_brute_force(spark):
     ]
     df = spark.createDataFrame(rows, "g string, v double")
     r = kruskal_wallis(df, "v", "g").first()
-    assert r["k_groups"] == 3 and r["n"] == n and r["df"] == 2
-    assert r["tie_correction"] == pytest.approx(c, rel=1e-12)
-    assert r["h_stat"] == pytest.approx(want, rel=1e-9)
+    assert r["k_groups"] == 3 and r["n_total"] == n
+    assert r["h_corrected"] == pytest.approx(want, rel=1e-9)
 
 
 def test_kruskal_all_tied_is_null(spark):
@@ -975,7 +974,7 @@ def test_kruskal_all_tied_is_null(spark):
     df = spark.createDataFrame(
         [("a", 1.0)] * 4 + [("b", 1.0)] * 4, "g string, v double",
     )
-    assert kruskal_wallis(df, "v", "g").first()["h_stat"] is None
+    assert kruskal_wallis(df, "v", "g").first()["h_corrected"] is None
 
 
 def test_round8_queries_no_python_udf(spark):
@@ -988,7 +987,7 @@ def test_round8_queries_no_python_udf(spark):
         "url_governance", "paragraph_dedup", "mannwhitney", "energy_dist",
         "session_stats", "snapshot_drift", "record_linkage", "url_policy",
         "worst_slices", "off_policy", "yuen_trimmed", "ks_by_group",
-        "kruskal",
+        "kruskal_wallis",
     ):
         plan = _executed_plan(e.QUERIES[name](spark, sf))
         assert "BatchEvalPython" not in plan, name

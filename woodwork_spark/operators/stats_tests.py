@@ -1492,81 +1492,3 @@ def ks_test_2samp_by(
         F.when(ok, p).alias("p_approx"),
     )
     return attach_persisted(out, *persisted_frames(cum))
-
-
-def kruskal_wallis(
-    df: DataFrame,
-    value_col: str,
-    group_col: str,
-    small_threshold: int = 100_000,
-) -> DataFrame:
-    """Kruskal–Wallis k-sample rank test — the nonparametric one-way
-    ANOVA: ``H = 12 / (N (N+1)) * sum_g R_g^2 / n_g - 3 (N+1)`` over
-    midranks, divided by the tie correction
-    ``C = 1 - sum(t^3 - t) / (N^3 - N)``.  Compare ``h_stat`` against
-    chi-square with ``df = k - 1`` (no closed-form p without the
-    incomplete gamma; statistic-only contract like CvM/AD).
-
-    Scale shape: per-(group, value) counts collapse to per-value
-    totals; ONE range-partitioned prefix-sum pass gives every midrank
-    (``2*midrank = 2c - t + 1`` stays integer-valued, so rank sums are
-    exact in double and engine-reproducible); the per-group rank sums
-    come from joining the group-value cells back on the value key and
-    one grouped fold.  No window over a whole group anywhere.
-
-    Returns one row ``(k_groups, n, h_stat, df, tie_correction)``;
-    NULL h when every value ties (C = 0) or k < 2.
-    """
-    from .rank import global_prefix_sums
-
-    v = F.col(value_col).cast("double")
-    g = F.col(group_col)
-    gcells = (
-        df.filter(v.isNotNull() & g.isNotNull())
-        .groupBy(g.alias("__g"), v.alias("__v"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    vcells = gcells.groupBy("__v").agg(F.sum("__c").alias("__t"))
-    cum = global_prefix_sums(
-        vcells, [F.asc("__v")], ["__t"], ["__ct"],
-        inclusive=True, small_threshold=small_threshold,
-    )
-    joined = gcells.join(
-        cum.select("__v", "__t", "__ct"), "__v",
-    )
-    two_mid = (
-        2.0 * F.col("__ct").cast("double")
-        - F.col("__t").cast("double") + 1.0
-    )
-    per_group = joined.groupBy("__g").agg(
-        F.sum("__c").alias("__ng"),
-        F.sum(F.col("__c").cast("double") * two_mid).alias("__r2"),
-    )
-    ties = cum.agg(
-        F.sum(
-            F.col("__t").cast("double") * F.col("__t") * F.col("__t")
-            - F.col("__t"),
-        ).alias("__ties"),
-    )
-    agg = per_group.agg(
-        F.count(F.lit(1)).cast("long").alias("k_groups"),
-        F.sum("__ng").cast("long").alias("n"),
-        F.sum(
-            (F.col("__r2") / 2.0) * (F.col("__r2") / 2.0)
-            / F.col("__ng"),
-        ).alias("__rsum"),
-    ).crossJoin(F.broadcast(ties))
-    n = F.col("n").cast("double")
-    c = F.lit(1.0) - F.col("__ties") / (n * n * n - n)
-    h = (
-        F.lit(12.0) / (n * (n + 1.0)) * F.col("__rsum")
-        - 3.0 * (n + 1.0)
-    )
-    valid = (F.col("k_groups") >= 2) & (n > F.col("k_groups")) & (c > 0)
-    out = agg.select(
-        "k_groups", "n",
-        F.when(valid, h / c).alias("h_stat"),
-        (F.col("k_groups") - 1).cast("long").alias("df"),
-        F.when(n > 1, c).alias("tie_correction"),
-    )
-    return attach_persisted(out, *persisted_frames(cum))
