@@ -15083,50 +15083,6 @@ QUERIES["bradley_terry"] = q_bradley_terry
 QUERIES["pref_transitivity"] = q_pref_transitivity
 
 
-def q_chunk_documents(spark, sf_dir):
-    """RAG chunking: 32-token windows advancing by 24 (8-token overlap)
-    as pure array expressions + one posexplode — chunk text md5'd for
-    the value compare."""
-    from woodwork_spark.operators.text import chunk_documents
-
-    _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
-    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
-    return out.select(
-        "doc_id", "chunk_idx", "n_tokens_chunk",
-        F.md5(F.col("chunk_text")).alias("chunk_md5"),
-    )
-
-
-ORACLE["chunk_documents"] = """
-    WITH toks AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(trim(text), '\\s+'),
-                           x -> x <> '') AS ts
-        FROM documents WHERE text IS NOT NULL
-    ),
-    nn AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
-    k AS (
-        SELECT doc_id, ts, n,
-               unnest(range(CAST(ceil(greatest(n - 8, 1) / 24.0)
-                   AS INT))) AS ki
-        FROM nn
-    ),
-    c AS (
-        SELECT doc_id, ki AS chunk_idx,
-               ts[ki * 24 + 1 : ki * 24 + 32] AS chunk
-        FROM k
-    )
-    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-           CAST(len(chunk) AS BIGINT) AS n_tokens_chunk,
-           md5(array_to_string(chunk, ' ')) AS chunk_md5
-    FROM c
-"""
-
-
-QUERIES["chunk_documents"] = q_chunk_documents
-
-
 def q_stream_domain_rate(spark, sf_dir):
     """Streaming per-registered-domain crawl-rate windows over
     synthesized URLs on the event stream, run to completion with

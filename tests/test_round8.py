@@ -1107,28 +1107,3 @@ def test_grouped_prefix_sums_null_group_distributed(spark):
         for g in (None, "g"):
             for i in range(20):
                 assert got[(g, i)] == i, (thr, g, i)
-
-
-def test_chunk_documents_golden(spark):
-    from woodwork_spark.operators.text import chunk_documents
-
-    df = spark.createDataFrame(
-        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b"), (3, ""),
-         (4, None)],
-        "id long, t string",
-    )
-    out = chunk_documents(df, "id", "t", chunk_tokens=4, overlap=1)
-    got = [
-        (r["id"], r["chunk_idx"], r["chunk_text"], r["n_tokens_chunk"])
-        for r in out.orderBy("id", "chunk_idx").collect()
-    ]
-    assert got == [
-        (1, 0, "t0 t1 t2 t3", 4),
-        (1, 1, "t3 t4 t5 t6", 4),   # 1-token overlap
-        (1, 2, "t6 t7 t8 t9", 4),
-        (2, 0, "a b", 2),           # short doc -> one short chunk
-    ]
-    plan = _executed_plan(out)
-    assert "BatchEvalPython" not in plan
-    with pytest.raises(ValueError):
-        chunk_documents(df, "id", "t", chunk_tokens=4, overlap=4)

@@ -936,56 +936,3 @@ def vocabulary_coverage(
             + n1d * (n1d - 1.0) / (2.0 * (F.col("n2").cast("double") + 1.0)),
         ).alias("chao1_types"),
     )
-
-
-def chunk_documents(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    chunk_tokens: int = 128,
-    overlap: int = 16,
-    lowercase: bool = False,
-) -> DataFrame:
-    """Split documents into fixed-size token windows with overlap — the
-    standard RAG / embedding-index chunking step: windows of
-    ``chunk_tokens`` whitespace tokens advancing by ``chunk_tokens -
-    overlap`` (so consecutive chunks share ``overlap`` tokens and no
-    boundary sentence is lost to both sides).
-
-    One projection computes every chunk as a pure array expression
-    (sequence -> slice -> array_join, whole-stage codegen) and one
-    posexplode emits ``(id, chunk_idx, chunk_text, n_tokens_chunk)``
-    rows — no UDF, no shuffle; the output is ready for
-    ``embedding``/``similarity`` indexing.  Empty/NULL documents emit
-    nothing; a document shorter than one window emits exactly one
-    (short) chunk.
-    """
-    chunk_tokens, overlap = int(chunk_tokens), int(overlap)
-    if chunk_tokens < 1 or not (0 <= overlap < chunk_tokens):
-        raise ValueError(
-            "need chunk_tokens >= 1 and 0 <= overlap < chunk_tokens",
-        )
-    stride = chunk_tokens - overlap
-    toks = tokens_expr(text_col)
-    if lowercase:
-        toks = F.transform(toks, lambda t: F.lower(t))
-    toks = F.filter(toks, lambda t: t != "")
-    n = F.size(toks)
-    n_chunks = F.ceil(
-        F.greatest(n - F.lit(overlap), F.lit(1)).cast("double")
-        / F.lit(float(stride)),
-    ).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda k: F.slice(toks, k * stride + 1, chunk_tokens),
-    )
-    exploded = df.select(
-        F.col(id_col),
-        F.posexplode(F.when(n > 0, chunks)).alias("chunk_idx", "__ts"),
-    )
-    return exploded.select(
-        id_col,
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.array_join("__ts", " ").alias("chunk_text"),
-        F.size("__ts").cast("long").alias("n_tokens_chunk"),
-    )
