@@ -351,7 +351,6 @@ def apply_url_policies(
                 ),
             ),
         ).alias("__w"),
-        F.first("__path", ignorenulls=False).alias("__anypath"),
         F.max(F.col("__path").isNotNull().cast("int")).alias("__parsed"),
     )
     decided = winner.select(
