@@ -13812,12 +13812,14 @@ def q_paragraph_dedup(spark, sf_dir):
             F.lit("\n\n"), F.substring("text", 61, 60),
         ).alias("t"),
     )
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
     out = dedup_paragraphs_global(docs, "t", "doc_id")
-    return out.select(
+    return attach_persisted(out.select(
         "doc_id",
         F.col("t").alias("clean_text"),
         F.length("t").cast("long").alias("n_chars_clean"),
-    )
+    ), *persisted_frames(out))
 
 
 ORACLE["paragraph_dedup"] = """
@@ -14440,11 +14442,13 @@ def q_record_linkage(spark, sf_dir):
         {"bal": (0.95, 0.0001), "seg": (0.9, 0.2)},
         max_dist=1, prior=0.01, upper=0.9, lower=0.1,
     )
-    return scored.groupBy("fs_class").agg(
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
+    return attach_persisted(scored.groupBy("fs_class").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         _ravg(F.sum("fs_weight"), 4).alias("sum_weight"),
         _ravg(F.sum("match_prob"), 4).alias("sum_prob"),
-    )
+    ), *persisted_frames(scored))
 
 
 ORACLE["record_linkage"] = """

@@ -1107,3 +1107,21 @@ def test_grouped_prefix_sums_null_group_distributed(spark):
         for g in (None, "g"):
             for i in range(20):
                 assert got[(g, i)] == i, (thr, g, i)
+
+
+def test_record_linkage_carries_persisted_frames(spark):
+    from woodwork_spark.lifecycle import persisted_frames, release
+    from woodwork_spark.operators.dedup import record_linkage
+
+    left = spark.createDataFrame(
+        [(1, "alice smith", "111")], "lid long, name string, ph string",
+    )
+    right = spark.createDataFrame(
+        [(10, "alice smitx", "111")], "rid long, name string, ph string",
+    )
+    out = record_linkage(
+        left, right, "lid", "rid", "name", {"ph": (0.9, 0.01)},
+    )
+    assert persisted_frames(out), "blocking-join caches lost"
+    out.collect()
+    assert release(out) >= 1

@@ -1466,7 +1466,14 @@ def record_linkage(
         [((c, f"{c}_r"), m, u) for c, (m, u) in fields.items()],
         prior=prior, upper=upper, lower=lower,
     )
-    return scored.select(
-        left_id, right_id, "distance", "fs_weight", "match_prob",
-        "fs_class",
+    # lifecycle attrs do not survive the field joins — re-attach the
+    # blocking join's persisted frames so callers can release() them
+    from woodwork_spark.lifecycle import persisted_frames
+
+    return attach_persisted(
+        scored.select(
+            left_id, right_id, "distance", "fs_weight", "match_prob",
+            "fs_class",
+        ),
+        *persisted_frames(cand),
     )
