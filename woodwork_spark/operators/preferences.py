@@ -157,9 +157,11 @@ def transitivity_report(
     any directed triangle over majority edges and ``cycle_rate`` is
     cycles / triangles (0 when no triangles).
     """
+    # persisted: four bounded actions below (two triangle counts, two
+    # cardinality counts) must not re-run the judgment aggregation
     pairs = pairwise_win_matrix(df, winner_col, loser_col).filter(
         F.col("n") >= int(min_n),
-    )
+    ).persist()
     edges = pairs.filter(F.col("wins_a") != F.col("wins_b")).select(
         F.when(F.col("wins_a") > F.col("wins_b"), F.col("item_a"))
         .otherwise(F.col("item_b")).alias("src"),
@@ -181,6 +183,7 @@ def transitivity_report(
     n_pairs = pairs.count()
     n_edges = edges.count()
     edges.unpersist()
+    pairs.unpersist()
     spark = df.sparkSession
     # each directed 3-cycle is counted once per rotation (3 wedges close
     # cyclically); each transitive triangle closes exactly one wedge

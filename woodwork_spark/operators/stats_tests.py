@@ -1452,9 +1452,11 @@ def ks_test_2samp_by(
     )
     # per-group totals as a group-cardinality frame joined back (AQE
     # broadcasts it when small) — NOT a partitionBy(group) window, which
-    # would put each whole group through one reducer
-    tot = cells.groupBy(*group_cols).agg(
-        F.sum("__a").alias("__ta"), F.sum("__b").alias("__tb"),
+    # would put each whole group through one reducer.  Derived from CUM
+    # (max of the inclusive cumulatives), not from cells: cum's range
+    # pass persisted its input, so the corpus scan happens once.
+    tot = cum.groupBy(*group_cols).agg(
+        F.max("__ca").alias("__ta"), F.max("__cb").alias("__tb"),
     )
     joined = cum.join(tot, group_cols)
     # try_divide: a one-sided group has total 0, and ANSI mode errors on
