@@ -13673,7 +13673,25 @@ _CANON_SQL = """
     ),
     p4 AS (
         SELECT *,
-         regexp_replace(host, '^www\\.', '') AS host_c,
+         CASE WHEN host LIKE 'www.%'
+                   AND len(string_split(host, '.')) >= 3
+                   AND NOT (len(string_split(host, '.')) = 3
+                            AND (string_split(host, '.')[-2] || '.' ||
+                                 string_split(host, '.')[-1]) IN
+                                ('co.uk','org.uk','ac.uk','gov.uk',
+                                 'net.uk','co.jp','ne.jp','or.jp',
+                                 'ac.jp','go.jp','com.au','net.au',
+                                 'org.au','edu.au','gov.au','co.nz',
+                                 'net.nz','org.nz','com.br','net.br',
+                                 'org.br','com.cn','net.cn','org.cn',
+                                 'gov.cn','co.in','net.in','org.in',
+                                 'co.za','org.za','com.mx','org.mx',
+                                 'com.sg','com.tr','com.ar','com.co',
+                                 'co.kr','or.kr','com.tw','com.hk',
+                                 'com.my','co.th','co.id','com.vn',
+                                 'com.ph','co.il','org.il','com.ua'))
+              THEN regexp_replace(host, '^www\\.', '')
+              ELSE host END AS host_c,
          CASE WHEN regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'),
                                   '/+$', '') = '' THEN '/'
               ELSE regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'),

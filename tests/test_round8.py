@@ -1125,3 +1125,78 @@ def test_record_linkage_carries_persisted_frames(spark):
     assert persisted_frames(out), "blocking-join caches lost"
     out.collect()
     assert release(out) >= 1
+
+
+# ---------------------------------------------------------------------------
+# Property: URL canonicalization is idempotent and domain-stable
+# ---------------------------------------------------------------------------
+
+
+def _url_strategy():
+    from hypothesis import strategies as st
+
+    label = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+        min_size=1, max_size=8,
+    ).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+    host = st.lists(label, min_size=1, max_size=4).map(".".join)
+    seg = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-", max_size=6,
+    )
+    path = st.lists(seg, max_size=4).map(
+        lambda parts: "/" + "/".join(parts) if parts else "",
+    )
+    key = st.one_of(
+        st.sampled_from(["a", "b", "q", "utm_source", "gclid", "ref"]),
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1,
+                max_size=6),
+    )
+    param = st.tuples(key, seg).map(lambda kv: f"{kv[0]}={kv[1]}")
+    query = st.lists(param, max_size=4).map("&".join)
+    return st.builds(
+        lambda scheme, www, h, port, p, slashes, q, frag: (
+            scheme + "://" + ("WWW." if www else "") + h
+            + (f":{port}" if port else "")
+            + p + ("/" * slashes)
+            + (f"?{q}" if q else "")
+            + (f"#{frag}" if frag else "")
+        ),
+        st.sampled_from(["http", "https", "HTTP", "HttpS"]),
+        st.booleans(),
+        host,
+        st.one_of(st.none(), st.sampled_from([80, 443, 8080])),
+        path,
+        st.integers(min_value=0, max_value=2),
+        query,
+        st.sampled_from(["", "frag", "x=1"]),
+    )
+
+
+def test_canonicalize_url_idempotent_property(spark):
+    from hypothesis import given, settings
+
+    from woodwork_spark.operators.web import (
+        canonicalize_url_expr,
+        registered_domain_expr,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(_url_strategy())
+    def check(url):
+        df = spark.createDataFrame([(url,)], "url string")
+        once = df.select(
+            canonicalize_url_expr("url").alias("c1"),
+            registered_domain_expr("url").alias("d0"),
+        )
+        r = once.select(
+            "c1", "d0",
+            canonicalize_url_expr("c1").alias("c2"),
+            registered_domain_expr("c1").alias("d1"),
+        ).first()
+        # canonicalization is idempotent
+        assert r["c2"] == r["c1"], (url, r["c1"], r["c2"])
+        # the registered domain survives canonicalization (modulo the
+        # canonical form's www-strip, which never changes eTLD+1)
+        assert r["d1"] == r["d0"], (url, r["d0"], r["d1"])
+
+    check()

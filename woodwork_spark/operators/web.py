@@ -116,11 +116,16 @@ def canonicalize_url_expr(
     url_col,
     tracking_params=DEFAULT_TRACKING_PARAMS,
     strip_www: bool = True,
+    extra_suffixes=(),
 ) -> Column:
     """Canonical form of an absolute URL, as one column expression:
 
     - scheme and host lower-cased, userinfo dropped, leading ``www.``
-      dropped (``strip_www``), default ports (http:80 / https:443)
+      dropped (``strip_www``) — but ONLY when stripping cannot change
+      the registered domain (never for two-label hosts like ``www.com``
+      or when the remainder is itself a public suffix like
+      ``www.co.uk``; found by the idempotence/domain-stability property
+      test), default ports (http:80 / https:443)
       dropped, other ports kept;
     - path: duplicate slashes collapsed, trailing slashes stripped,
       empty path -> ``/``;
@@ -135,7 +140,21 @@ def canonicalize_url_expr(
     """
     u, scheme, host, port, path, query = _parts(url_col)
     if strip_www:
-        host = F.regexp_replace(host, r"^www\.", "")
+        suffixes = list(MULTIPART_SUFFIXES) + list(extra_suffixes)
+        labels = F.split(host, r"\.")
+        n = F.size(labels)
+        last2 = F.concat_ws(
+            ".", F.try_element_at(labels, F.lit(-2)),
+            F.try_element_at(labels, F.lit(-1)),
+        )
+        can_strip = (
+            host.startswith("www.")
+            & (n >= 3)
+            & ~((n == 3) & last2.isin(suffixes))
+        )
+        host = F.when(
+            can_strip, F.regexp_replace(host, r"^www\.", ""),
+        ).otherwise(host)
     path_c = F.regexp_replace(path, r"/{2,}", "/")
     path_c = F.regexp_replace(path_c, r"/+$", "")
     path_c = F.when(path_c == "", F.lit("/")).otherwise(path_c)
