@@ -13668,7 +13668,8 @@ _CANON_SQL = """
          lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
          regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
          regexp_extract(pathqf, '^([^?#]*)', 1) AS path,
-         regexp_extract(pathqf, '\\?([^#]*)', 1) AS query
+         regexp_extract(regexp_replace(pathqf, '#.*$', ''),
+                        '\\?(.*)$', 1) AS query
         FROM p2
     ),
     p4 AS (

@@ -14,6 +14,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    # 1-min load average at bench START: host contention can inflate
+    # sf0.1 timings up to ~8x (round-8 adjudication re-timed five
+    # "regressions" back to normal in isolation) — record it so a
+    # future reader can tell load from regression without a rerun.
+    try:
+        load_hint = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_hint = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     from pyspark.sql import SparkSession
@@ -101,6 +109,7 @@ def main():
                 "queries": timings,
                 "sf": sf_val,
                 "method": f"min_of_{max(reps, 1)}",
+                "load_hint": load_hint,
             },
         ),
         flush=True,
@@ -130,6 +139,7 @@ def main():
                 "errors": errored[:10],
                 "sf": sf_val,
                 "method": f"min_of_{max(reps, 1)}",
+                "load_hint": load_hint,
                 "slowest": slowest,
             },
         ),

@@ -575,7 +575,10 @@ def sessionize(
     """
     w = W.partitionBy(user_col).orderBy(ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
-    new_sess = F.when(
+    # null-ts rows contribute 0 to the running sum (they get a null
+    # session index below); without the gate each null-ts row would
+    # shift the user's REAL session indices off their documented 0 base
+    new_sess = F.when(F.col(ts_col).isNull(), F.lit(0)).when(
         prev.isNull()
         | (
             F.col(ts_col).cast("double") - prev.cast("double")

@@ -82,7 +82,8 @@ _USERINFO_RE = r"^.*@"
 _PORT_RE = r":([0-9]+)$"
 _HOST_RE = r"^([^:]*)"
 _PATH_RE = r"^([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+_FRAGMENT_RE = r"#.*$"
+_QUERY_RE = r"\?(.*)$"
 
 
 def tracking_param_regex(params=DEFAULT_TRACKING_PARAMS) -> str:
@@ -101,7 +102,12 @@ def _parts(url_col):
     port = F.regexp_extract(hostport, _PORT_RE, 1)
     pathqf = F.regexp_replace(rest, r"^[^/?#]*", "")
     path = F.regexp_extract(pathqf, _PATH_RE, 1)
-    query = F.regexp_extract(pathqf, _QUERY_RE, 1)
+    # fragment dropped BEFORE query extraction: for a URL with a
+    # fragment but no query (…/p#sec?tab=2) the '?' lives inside the
+    # fragment and must not survive as a query string
+    query = F.regexp_extract(
+        F.regexp_replace(pathqf, _FRAGMENT_RE, ""), _QUERY_RE, 1,
+    )
     return u, scheme, host, port, path, query
 
 
@@ -247,9 +253,12 @@ def canonical_url_dedup(
             *[F.col(f"__w.{c}").alias(f"__w_{c}") for c in order],
         )
     )
+    # eqNullSafe: a NULL order column must still identify its winner
+    # row (plain = would yield NULL, the filter would drop the whole
+    # canonical group silently)
     is_winner = F.lit(True)
     for c in order:
-        is_winner = is_winner & (F.col(c) == F.col(f"__w_{c}"))
+        is_winner = is_winner & F.col(c).eqNullSafe(F.col(f"__w_{c}"))
     kept = keyed.join(winners, ["__k1", "__k2"], "left").filter(
         F.col(canonical_col).isNull() | is_winner,
     )
@@ -276,12 +285,17 @@ def domain_governance_report(
     base = df.select(
         registered_domain_expr(url_col, extra_suffixes).alias("domain"),
         F.xxhash64(canon).alias("__ck"),
+        F.xxhash64(canon, F.lit(1)).alias("__ck2"),
         canon.isNotNull().alias("__ok"),
     )
+    # distinct over the 128-bit two-hash composite (same collision
+    # bound as canonical_url_dedup); COUNT(DISTINCT a, b) skips rows
+    # where either is NULL, so unparsed rows fall out via the __ok gate
     return base.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_urls"),
         F.count_distinct(
             F.when(F.col("__ok"), F.col("__ck")),
+            F.when(F.col("__ok"), F.col("__ck2")),
         ).alias("n_canonical"),
         F.sum((~F.col("__ok")).cast("long")).alias("n_unparsed"),
     ).select(
