@@ -15180,3 +15180,136 @@ ORACLE["stream_domain_rate"] = """
 
 
 QUERIES["stream_domain_rate"] = q_stream_domain_rate
+
+
+# ---------------------------------------------------------------------------
+# Round 9: Fellegi-Sunter EM, PSL-as-data registered domains, robots.txt
+# parsing, cross-doc k-gram span dedup, OR-blocking record linkage
+# ---------------------------------------------------------------------------
+
+
+def q_estimate_m_u(spark, sf_dir):
+    """Unsupervised Fellegi-Sunter parameter learning: EM over
+    nation-blocked customer-vs-dirty-registry candidate pairs (3
+    comparison fields with planted corruption).  Agreement bits are
+    computed once and persisted; each of the 3 EM rounds is ONE
+    map-side-combinable aggregation collecting 14 doubles — parameters
+    are scalars, nothing joins back.  Oracle = the same 3 rounds
+    unrolled as DuckDB CTEs."""
+    from woodwork_spark.operators.dedup import estimate_m_u
+
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    left = c.select(
+        F.col("c_custkey").alias("lid"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    right = c.filter(F.col("c_custkey") % 6 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("rid"),
+        F.col("c_nationkey").alias("nk"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+        .when(F.col("c_custkey") % 5 == 0, F.concat(F.lit("X"), "c_name"))
+        .otherwise(F.col("c_name")).alias("name_r"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("CORRUPT"))
+        .otherwise(F.col("c_mktsegment")).alias("seg_r"),
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal")).alias("bal_r"),
+    )
+    pairs = left.join(right, "nk")
+    out = estimate_m_u(pairs, ["name", "seg", "bal"], iters=3)
+    return out.select(
+        "field",
+        _ravg(F.col("m"), 6).alias("m"),
+        _ravg(F.col("u"), 6).alias("u"),
+        _ravg(F.col("lam"), 6).alias("lam"),
+    )
+
+
+def _em_oracle_sql(iters=3, fields=("name", "seg", "bal")) -> str:
+    """The estimate_m_u oracle: EM unrolled to ``iters`` DuckDB CTE
+    rounds over the SAME blocked pairs, each round one aggregate over
+    the MATERIALIZED agreement bits — the exact arithmetic of
+    dedup.estimate_m_u (E-step posterior, M-step ratios, [1e-4,
+    1-1e-4] clamp), so parity checks the learner, not a reimpl."""
+
+    def factor(p, f):
+        return (
+            f"(CASE WHEN NOT obs_{f} THEN 1.0 "
+            f"WHEN agr_{f} THEN {p}_{f} ELSE 1.0 - {p}_{f} END)"
+        )
+
+    def clamp(x):
+        return f"least(greatest({x}, 0.0001), 0.9999)"
+
+    obs = ",\n         ".join(
+        f"(l.{f} IS NOT NULL AND r.{f}_r IS NOT NULL) AS obs_{f},\n"
+        f"         (l.{f} IS NOT NULL AND r.{f}_r IS NOT NULL "
+        f"AND l.{f} = r.{f}_r) AS agr_{f}"
+        for f in fields
+    )
+    sql = f"""
+    WITH l AS (
+        SELECT c_custkey AS lid, c_nationkey AS nk, c_name AS name,
+               c_mktsegment AS seg, c_acctbal AS bal
+        FROM customer
+    ),
+    r AS (
+        SELECT c_custkey + 1000000 AS rid, c_nationkey AS nk,
+               CASE WHEN c_custkey % 11 = 0 THEN NULL
+                    WHEN c_custkey % 5 = 0 THEN 'X' || c_name
+                    ELSE c_name END AS name_r,
+               CASE WHEN c_custkey % 7 = 0 THEN 'CORRUPT'
+                    ELSE c_mktsegment END AS seg_r,
+               CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS bal_r
+        FROM customer WHERE c_custkey % 6 = 0
+    ),
+    p AS MATERIALIZED (
+        SELECT {obs}
+        FROM l JOIN r ON l.nk = r.nk
+    ),
+    par0 AS (SELECT 0.1::DOUBLE AS lam, """
+    sql += ", ".join(
+        f"0.9::DOUBLE AS m_{f}, 0.1::DOUBLE AS u_{f}" for f in fields
+    )
+    sql += ")"
+    for i in range(1, iters + 1):
+        pm = " * ".join(factor("m", f) for f in fields)
+        pu = " * ".join(factor("u", f) for f in fields)
+        sql += f""",
+    e{i} AS (
+        SELECT p.*, lam * {pm} AS pm, (1.0 - lam) * {pu} AS pu
+        FROM p, par{i - 1}
+    ),
+    par{i} AS (
+        SELECT {clamp("sum(pm / (pm + pu)) / count(*)")} AS lam, """
+        sql += ", ".join(
+            clamp(
+                f"sum(CASE WHEN agr_{f} THEN pm / (pm + pu) "
+                f"ELSE 0.0 END) / sum(CASE WHEN obs_{f} THEN "
+                f"pm / (pm + pu) ELSE 0.0 END)",
+            )
+            + f" AS m_{f}, "
+            + clamp(
+                f"sum(CASE WHEN agr_{f} THEN 1.0 - pm / (pm + pu) "
+                f"ELSE 0.0 END) / sum(CASE WHEN obs_{f} THEN "
+                f"1.0 - pm / (pm + pu) ELSE 0.0 END)",
+            )
+            + f" AS u_{f}"
+            for f in fields
+        )
+        sql += f"\n        FROM e{i}\n    )"
+    sql += "\n    " + "\n    UNION ALL ".join(
+        f"SELECT '{f}' AS field, round(m_{f} + 0.0000001, 6) AS m, "
+        f"round(u_{f} + 0.0000001, 6) AS u, "
+        f"round(lam + 0.0000001, 6) AS lam FROM par{iters}"
+        for f in fields
+    )
+    return sql
+
+
+ORACLE["estimate_m_u"] = _em_oracle_sql()
+QUERIES["estimate_m_u"] = q_estimate_m_u

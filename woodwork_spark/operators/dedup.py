@@ -1477,3 +1477,139 @@ def record_linkage(
         ),
         *persisted_frames(cand),
     )
+
+
+def estimate_m_u(
+    pairs: DataFrame,
+    fields,
+    iters: int = 5,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_lambda: float = 0.1,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """EM estimation of the Fellegi–Sunter parameters from a candidate-
+    pairs frame — the classic unsupervised completion (Fellegi & Sunter
+    1969; Winkler 1988) that turns :func:`fellegi_sunter_score` from
+    "scoring given m/u" into a learner: no labeled matches needed, the
+    mixture structure of the agreement patterns identifies the
+    parameters.
+
+    ``fields`` is a list of field names (the pair frame carries ``f``
+    and ``f_r``, the :func:`record_linkage` convention) or ``(col_a,
+    col_b)`` tuples.  Per EM round, with current ``m_k``/``u_k`` and
+    match prior ``lambda``:
+
+    - E-step: posterior ``g = lam*prod_k P(gamma_k|M) / (lam*prod_k
+      P(gamma_k|M) + (1-lam)*prod_k P(gamma_k|U))`` where an agreeing
+      field contributes ``m_k`` (match) / ``u_k`` (non-match), a
+      disagreeing one ``1-m_k`` / ``1-u_k``, and a field with either
+      side NULL contributes 1 to both (missing is no evidence — the
+      same convention :func:`fellegi_sunter_score` uses).
+    - M-step: ``m_k = sum(g*agree_k)/sum(g over observed_k)``, ``u_k =
+      sum((1-g)*agree_k)/sum((1-g) over observed_k)``, ``lambda =
+      mean(g)`` — each a ratio of sufficient statistics.
+
+    Scale shape: the agreement pattern per field is computed ONCE as a
+    boolean column and the projected (2 bits per field) frame is
+    persisted; every EM round is then ONE map-side-combinable
+    aggregation over it (the E-step posterior is a pure column
+    expression in the current scalar parameters), collecting a single
+    row of ``4*k + 2`` doubles to the driver — parameters are scalars,
+    so unlike :func:`~woodwork_spark.operators.preferences.bradley_terry`
+    (item-sized state, broadcast-join rounds) there is nothing to join
+    back.  ``iters`` bounded rounds, no growing lineage.  Parameters
+    are clamped to ``[eps, 1-eps]`` (an empty expectation keeps its
+    previous value), so degenerate fields cannot produce log(0) weights
+    downstream.
+
+    Returns one row per field: ``(field, m, u, lam)`` (``lam`` — the
+    estimated match prior — repeated on every row), ready to feed back
+    into :func:`fellegi_sunter_score` / :func:`record_linkage`.
+    """
+    if not fields:
+        raise ValueError("estimate_m_u: fields are required")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not (0.0 < eps < 0.5):
+        raise ValueError("eps must be in (0, 0.5)")
+
+    def norm(f):
+        if isinstance(f, (tuple, list)):
+            return str(f[0]), F.col(f[0]), F.col(f[1])
+        return str(f), F.col(f), F.col(f"{f}_r")
+
+    named = [norm(f) for f in fields]
+    proj = pairs.select(
+        *[
+            c
+            for name, ca, cb in named
+            for c in (
+                (ca.isNotNull() & cb.isNotNull()).alias(f"__obs_{name}"),
+                (ca.isNotNull() & cb.isNotNull() & (ca == cb)).alias(
+                    f"__agr_{name}",
+                ),
+            )
+        ],
+    ).persist()
+
+    def clamp(x: float, lo: float) -> float:
+        return min(max(float(x), lo), 1.0 - lo)
+
+    m = {name: clamp(init_m, eps) for name, _, _ in named}
+    u = {name: clamp(init_u, eps) for name, _, _ in named}
+    lam = clamp(init_lambda, eps)
+    try:
+        for _ in range(int(iters)):
+            pm, pu = F.lit(float(lam)), F.lit(1.0 - float(lam))
+            for name, _, _ in named:
+                obs, agr = F.col(f"__obs_{name}"), F.col(f"__agr_{name}")
+                pm = pm * F.when(~obs, F.lit(1.0)).when(
+                    agr, F.lit(m[name]),
+                ).otherwise(F.lit(1.0 - m[name]))
+                pu = pu * F.when(~obs, F.lit(1.0)).when(
+                    agr, F.lit(u[name]),
+                ).otherwise(F.lit(1.0 - u[name]))
+            g = pm / (pm + pu)
+            aggs = [
+                F.sum(g).alias("__sg"),
+                F.count(F.lit(1)).alias("__n"),
+            ]
+            for name, _, _ in named:
+                obs, agr = F.col(f"__obs_{name}"), F.col(f"__agr_{name}")
+                aggs += [
+                    F.sum(F.when(agr, g).otherwise(F.lit(0.0))).alias(
+                        f"__ga_{name}",
+                    ),
+                    F.sum(F.when(obs, g).otherwise(F.lit(0.0))).alias(
+                        f"__go_{name}",
+                    ),
+                    F.sum(
+                        F.when(agr, 1.0 - g).otherwise(F.lit(0.0)),
+                    ).alias(f"__ua_{name}"),
+                    F.sum(
+                        F.when(obs, 1.0 - g).otherwise(F.lit(0.0)),
+                    ).alias(f"__uo_{name}"),
+                ]
+            row = proj.agg(*aggs).collect()[0]
+            if not row["__n"]:
+                raise ValueError(
+                    "estimate_m_u: the candidate-pairs frame is empty",
+                )
+            lam = clamp(row["__sg"] / row["__n"], eps)
+            for name, _, _ in named:
+                if row[f"__go_{name}"] and row[f"__go_{name}"] > 0.0:
+                    m[name] = clamp(
+                        row[f"__ga_{name}"] / row[f"__go_{name}"], eps,
+                    )
+                if row[f"__uo_{name}"] and row[f"__uo_{name}"] > 0.0:
+                    u[name] = clamp(
+                        row[f"__ua_{name}"] / row[f"__uo_{name}"], eps,
+                    )
+    finally:
+        proj.unpersist()
+    spark = pairs.sparkSession
+    return spark.createDataFrame(
+        [(name, m[name], u[name], lam) for name, _, _ in named],
+        "field string, m double, u double, lam double",
+    )

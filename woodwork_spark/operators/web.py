@@ -394,3 +394,86 @@ def apply_url_policies(
         F.col("__w.p").alias("matched_prefix"),
     )
     return df.join(decided, id_col)
+
+
+def with_registered_domain(
+    df: DataFrame,
+    url_col: str,
+    suffixes: DataFrame = None,
+    out_col: str = "domain",
+    suffix_col: str = "suffix",
+    from_host: bool = False,
+    max_suffix_labels: int = 4,
+) -> DataFrame:
+    """Add the registered domain (eTLD+1), resolving public suffixes
+    FROM DATA when ``suffixes`` is given: the full public-suffix list
+    is a data file, not code, so a real crawl passes it as a one-column
+    frame (``suffix_col``, lower-case label sequences like ``co.uk``,
+    ``github.io``) and gets exact eTLD+1; with ``suffixes=None`` this
+    is exactly ``registered_domain_expr`` (the bounded built-in
+    heuristic) as a column.
+
+    Matching is the PSL prevailing rule: the LONGEST listed suffix
+    matching the host's trailing labels wins, and the registered domain
+    is that suffix plus one label (a host with no listed suffix falls
+    back to the implicit ``*`` rule — last label is the suffix).  A
+    host that IS a listed suffix, a single label, or an IPv4 literal
+    passes through unchanged (same conventions as the expression path).
+    Wildcard (``*.ck``) and exception (``!www.ck``) PSL rows are NOT
+    interpreted — expand them to plain rows upstream.
+
+    Scale shape: one broadcast left join per candidate suffix length
+    (``2..max_suffix_labels``; length 1 needs no join — it resolves to
+    the same last-2-label answer as the implicit rule) — the corpus
+    never shuffles, the suffix frame is list-sized (~10k rows) and is
+    deduplicated before broadcast.  Candidate keys are pure split/slice
+    column expressions.
+    """
+    if max_suffix_labels < 2:
+        raise ValueError("max_suffix_labels must be >= 2")
+    if suffixes is None:
+        return df.withColumn(
+            out_col, registered_domain_expr(url_col, from_host=from_host),
+        )
+    if from_host:
+        host = F.lower(F.col(url_col))
+    else:
+        host = url_host_expr(url_col)
+    tmp = "__rd_host"
+    out = df.withColumn(tmp, host)
+    labels = F.split(F.col(tmp), r"\.")
+    n = F.size(labels)
+    lens = list(range(2, int(max_suffix_labels) + 1))
+    for L in lens:
+        cand = F.when(
+            n >= L, F.concat_ws(".", F.slice(labels, -L, L)),
+        )
+        sfx = (
+            suffixes.select(F.lower(F.col(suffix_col)).alias(f"__sfx{L}"))
+            .filter(F.length(f"__sfx{L}") - F.length(
+                F.regexp_replace(f"__sfx{L}", r"\.", ""),
+            ) == L - 1)
+            .distinct()
+        )
+        out = out.join(
+            F.broadcast(sfx),
+            cand.eqNullSafe(F.col(f"__sfx{L}")),
+            "left",
+        )
+    matched = F.greatest(
+        F.lit(1),
+        *[
+            F.when(F.col(f"__sfx{L}").isNotNull(), F.lit(L)).otherwise(1)
+            for L in lens
+        ],
+    )
+    reg_len = F.least(matched + 1, n)
+    ipv4 = F.col(tmp).rlike(r"^[0-9]+(\.[0-9]+){3}$")
+    reg = (
+        F.when(F.col(tmp).isNull(), F.lit(None))
+        .when((n <= 1) | ipv4, F.col(tmp))
+        .otherwise(F.concat_ws(".", F.slice(labels, -reg_len, reg_len)))
+    )
+    return out.withColumn(out_col, reg).drop(
+        tmp, *[f"__sfx{L}" for L in lens],
+    )
