@@ -15313,3 +15313,148 @@ def _em_oracle_sql(iters=3, fields=("name", "seg", "bal")) -> str:
 
 ORACLE["estimate_m_u"] = _em_oracle_sql()
 QUERIES["estimate_m_u"] = q_estimate_m_u
+
+
+# wildcard-free subset of real public-suffix-list rows (plus two
+# 1-label TLD rows that the L>=2 joins must IGNORE — the implicit
+# last-label rule already covers them, proving the label-count filter)
+_PSL_ROWS = (
+    "co.uk", "github.io", "k12.va.us", "com.au", "blogspot.com",
+    "com", "io",
+)
+
+
+def _synth_host():
+    """Deterministic host column over documents exercising every PSL
+    resolution branch: a listed 2-label suffix (github.io), a listed
+    ccTLD pair (co.uk), a listed 3-label suffix (k12.va.us), unlisted
+    TLDs through the implicit rule, deep subdomains, IPv4 literals and
+    single-label hosts."""
+    d = F.col("doc_id")
+    s = F.col("source")
+    return (
+        F.when(d % 5 == 0, F.concat(s, F.lit(".github.io")))
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("a"), (d % 7).cast("string"), F.lit(".b."), s,
+                F.lit(".example.co.uk"),
+            ),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(
+                F.lit("www."), s, F.lit(".example"),
+                (d % 3).cast("string"), F.lit(".com"),
+            ),
+        )
+        .when(
+            d % 5 == 3,
+            F.when(
+                d % 10 == 3,
+                F.concat(F.lit("10.0."), (d % 4).cast("string"), F.lit(".7")),
+            ).otherwise(
+                F.concat(
+                    F.lit("x"), (d % 6).cast("string"), F.lit(".y.k12.va.us"),
+                ),
+            ),
+        )
+        .otherwise(
+            F.when(d % 7 == 0, F.lit("localhost")).otherwise(
+                F.concat(
+                    F.lit("cdn"), (d % 9).cast("string"), F.lit(".site"),
+                    (d % 4).cast("string"), F.lit(".io"),
+                ),
+            ),
+        )
+    )
+
+
+_SYNTH_HOST_SQL = """
+        CASE
+          WHEN doc_id % 5 = 0 THEN source || '.github.io'
+          WHEN doc_id % 5 = 1 THEN
+            'a' || CAST(doc_id % 7 AS VARCHAR) || '.b.' || source ||
+            '.example.co.uk'
+          WHEN doc_id % 5 = 2 THEN
+            'www.' || source || '.example' ||
+            CAST(doc_id % 3 AS VARCHAR) || '.com'
+          WHEN doc_id % 5 = 3 THEN
+            CASE WHEN doc_id % 10 = 3 THEN
+              '10.0.' || CAST(doc_id % 4 AS VARCHAR) || '.7'
+            ELSE
+              'x' || CAST(doc_id % 6 AS VARCHAR) || '.y.k12.va.us'
+            END
+          WHEN doc_id % 7 = 0 THEN 'localhost'
+          ELSE 'cdn' || CAST(doc_id % 9 AS VARCHAR) || '.site' ||
+               CAST(doc_id % 4 AS VARCHAR) || '.io'
+        END
+"""
+
+
+def q_psl_domains(spark, sf_dir):
+    """Registered domains resolved against a public-suffix LIST AS
+    DATA (wildcard-free real PSL rows in a one-column frame): longest
+    listed suffix wins via per-length broadcast joins — the corpus
+    never shuffles until the final domain rollup."""
+    from woodwork_spark.operators.web import with_registered_domain
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _synth_host().alias("host"),
+    )
+    sfx = spark.createDataFrame([(s,) for s in _PSL_ROWS], "suffix string")
+    out = with_registered_domain(docs, "host", suffixes=sfx, from_host=True)
+    return out.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+    )
+
+
+ORACLE["psl_domains"] = """
+    WITH raw AS (
+        SELECT doc_id, """ + _SYNTH_HOST_SQL + """ AS host
+        FROM documents
+    ),
+    sfx AS (
+        SELECT * FROM (VALUES ('co.uk'), ('github.io'), ('k12.va.us'),
+                              ('com.au'), ('blogspot.com')) t(suffix)
+    ),
+    lab AS (
+        SELECT doc_id, host, string_split(host, '.') AS l,
+               len(string_split(host, '.')) AS n
+        FROM raw
+    ),
+    m AS (
+        SELECT doc_id, host, l, n,
+          CASE
+            WHEN n >= 5 AND (l[-4] || '.' || l[-3] || '.' || l[-2] ||
+                 '.' || l[-1]) IN (SELECT suffix FROM sfx) THEN 4
+            WHEN n >= 4 AND (l[-3] || '.' || l[-2] || '.' || l[-1])
+                 IN (SELECT suffix FROM sfx) THEN 3
+            WHEN n >= 3 AND (l[-2] || '.' || l[-1])
+                 IN (SELECT suffix FROM sfx) THEN 2
+            WHEN n >= 2 AND l[-1] IN (SELECT suffix FROM sfx) THEN 1
+            ELSE 1
+          END AS ml
+        FROM lab
+    ),
+    dom AS (
+        SELECT doc_id,
+          CASE
+            WHEN host IS NULL THEN NULL
+            WHEN n <= 1 OR regexp_matches(host, '^[0-9]+(\\.[0-9]+){3}$')
+              THEN host
+            WHEN ml + 1 >= n THEN host
+            WHEN ml = 1 THEN l[-2] || '.' || l[-1]
+            WHEN ml = 2 THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+            WHEN ml = 3 THEN l[-4] || '.' || l[-3] || '.' || l[-2] ||
+                             '.' || l[-1]
+            ELSE l[-5] || '.' || l[-4] || '.' || l[-3] || '.' || l[-2]
+                 || '.' || l[-1]
+          END AS domain
+        FROM m
+    )
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_hosts
+    FROM dom GROUP BY domain
+"""
+QUERIES["psl_domains"] = q_psl_domains

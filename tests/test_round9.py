@@ -208,3 +208,88 @@ def test_estimate_m_u_validates(spark):
         estimate_m_u(df, ["a"], iters=0)
     with pytest.raises(ValueError):
         estimate_m_u(df.filter(F.lit(False)), ["a"])
+
+
+# ---------------------------------------------------------------------------
+# Public-suffix list as data (with_registered_domain)
+# ---------------------------------------------------------------------------
+
+
+def _psl_frame(spark, extra=()):
+    from woodwork_spark.operators.web import MULTIPART_SUFFIXES
+
+    rows = list(MULTIPART_SUFFIXES) + list(extra)
+    return spark.createDataFrame([(s,) for s in rows], "suffix string")
+
+
+def test_with_registered_domain_matches_expr_on_builtin_subset(spark):
+    """Feeding the built-in suffix subset as a DATA frame must
+    reproduce the literal-expression path exactly."""
+    from woodwork_spark.operators.web import with_registered_domain
+
+    hosts = [
+        "shop.example.co.uk", "a.b.deep.example.com", "example.com",
+        "co.uk", "localhost", "10.1.2.3", "www.example.com",
+        "x.org.uk", "a.b.com.au", None,
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    via_data = with_registered_domain(
+        df, "host", suffixes=_psl_frame(spark), from_host=True,
+    ).select("host", "domain")
+    via_expr = with_registered_domain(
+        df, "host", suffixes=None, from_host=True,
+    ).select("host", "domain")
+    assert via_data.exceptAll(via_expr).count() == 0
+    assert via_expr.exceptAll(via_data).count() == 0
+
+
+def test_with_registered_domain_real_psl_rows(spark):
+    """Longest listed suffix wins: github.io (2-label) and k12.va.us
+    (3-label) resolve the registered domain one label deeper; 1-label
+    rows are ignored by the joins (the implicit rule covers them)."""
+    from woodwork_spark.operators.web import with_registered_domain
+
+    df = spark.createDataFrame(
+        [
+            ("myblog.github.io",),
+            ("deep.sub.myblog.github.io",),
+            ("x.y.k12.va.us",),
+            ("github.io",),          # host IS a suffix: passthrough
+            ("plain.example.org",),  # implicit rule
+        ],
+        "host string",
+    )
+    got = {
+        r["host"]: r["domain"]
+        for r in with_registered_domain(
+            df, "host",
+            suffixes=_psl_frame(
+                spark, ("github.io", "k12.va.us", "com", "io"),
+            ),
+            from_host=True,
+        ).collect()
+    }
+    assert got["myblog.github.io"] == "myblog.github.io"
+    assert got["deep.sub.myblog.github.io"] == "myblog.github.io"
+    assert got["x.y.k12.va.us"] == "y.k12.va.us"
+    assert got["github.io"] == "github.io"
+    assert got["plain.example.org"] == "example.org"
+
+
+def test_with_registered_domain_plan_is_broadcast_only(spark):
+    """The corpus side must not shuffle: every suffix join is a
+    BroadcastHashJoin, no Exchange on the corpus plan side."""
+    from woodwork_spark.operators.web import with_registered_domain
+
+    df = spark.range(1000).select(
+        F.concat(
+            F.lit("s"), (F.col("id") % 50).cast("string"),
+            F.lit(".example.co.uk"),
+        ).alias("host"),
+    )
+    out = with_registered_domain(
+        df, "host", suffixes=_psl_frame(spark), from_host=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

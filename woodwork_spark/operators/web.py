@@ -31,6 +31,7 @@ __all__ = [
     "canonicalize_url_expr",
     "url_host_expr",
     "registered_domain_expr",
+    "with_registered_domain",
     "canonical_url_dedup",
     "domain_governance_report",
     "cap_per_domain",
