@@ -15458,3 +15458,140 @@ ORACLE["psl_domains"] = """
     FROM dom GROUP BY domain
 """
 QUERIES["psl_domains"] = q_psl_domains
+
+
+def _synth_robots():
+    """Deterministic robots.txt payload per nation-derived domain:
+    comments, an ignored pre-group rule and unknown directive, a ``*``
+    group, a MyBot group (even keys), a two-UA group (keys %4==1), an
+    OtherBot-only group (keys %5==2), and an empty Allow value."""
+    k = F.col("n_nationkey")
+    nl = "\n"
+    return F.concat(
+        F.lit("# robots for d"), k.cast("string"), F.lit(nl),
+        F.lit("Crawl-delay: 10" + nl),
+        F.lit("User-agent: *" + nl),
+        F.lit("Disallow: /private" + nl),
+        F.when(k % 3 == 0, F.lit("Allow: /private/ok" + nl))
+        .otherwise(F.lit("")),
+        F.when(
+            k % 2 == 0,
+            F.lit(
+                "User-agent: MyBot" + nl + "Disallow: /mybot" + nl
+                + "Allow:" + nl,
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 4 == 1,
+            F.lit(
+                "User-agent: OtherBot" + nl + "User-agent: MyBot" + nl
+                + "Disallow: /shared" + nl,
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 5 == 2,
+            F.lit("User-agent: OtherBot" + nl + "Disallow: /other" + nl),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_robots_rules(spark, sf_dir):
+    """robots.txt parsing to the policy-rules frame: RFC 9309 group
+    semantics (most-specific agent token wins, ``*`` fallback, group
+    merge, pre-group rules ignored) as pure explode+window SQL over the
+    domain-sized robots corpus — the output feeds apply_url_policies'
+    broadcast join."""
+    from woodwork_spark.operators.web import parse_robots_rules
+
+    _prep(spark)
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lit("d"), F.col("n_nationkey").cast("string"),
+            F.lit(".example.com"),
+        ).alias("domain"),
+        _synth_robots().alias("robots"),
+    )
+    return parse_robots_rules(n, "domain", "robots", agent="MyBot-News")
+
+
+ORACLE["robots_rules"] = """
+    WITH rob AS (
+        SELECT 'd' || CAST(n_nationkey AS VARCHAR) || '.example.com'
+                   AS domain,
+               '# robots for d' || CAST(n_nationkey AS VARCHAR) || chr(10)
+               || 'Crawl-delay: 10' || chr(10)
+               || 'User-agent: *' || chr(10)
+               || 'Disallow: /private' || chr(10)
+               || CASE WHEN n_nationkey % 3 = 0
+                       THEN 'Allow: /private/ok' || chr(10) ELSE '' END
+               || CASE WHEN n_nationkey % 2 = 0
+                       THEN 'User-agent: MyBot' || chr(10) ||
+                            'Disallow: /mybot' || chr(10) ||
+                            'Allow:' || chr(10) ELSE '' END
+               || CASE WHEN n_nationkey % 4 = 1
+                       THEN 'User-agent: OtherBot' || chr(10) ||
+                            'User-agent: MyBot' || chr(10) ||
+                            'Disallow: /shared' || chr(10) ELSE '' END
+               || CASE WHEN n_nationkey % 5 = 2
+                       THEN 'User-agent: OtherBot' || chr(10) ||
+                            'Disallow: /other' || chr(10) ELSE '' END
+                   AS txt
+        FROM nation
+    ),
+    lines AS (
+        SELECT domain, p.i AS pos,
+               trim(replace(regexp_replace(
+                   string_split(txt, chr(10))[p.i], '#.*$', ''),
+                   chr(13), '')) AS line
+        FROM rob, LATERAL (
+            SELECT unnest(generate_series(
+                1, len(string_split(txt, chr(10))))) AS i
+        ) p
+    ),
+    typed AS (
+        SELECT domain, pos,
+               lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+                   AS key,
+               trim(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)$', 1))
+                   AS val
+        FROM lines
+    ),
+    m AS (
+        SELECT *,
+               (key = 'user-agent') AND NOT coalesce(
+                   lag(key = 'user-agent') OVER (
+                       PARTITION BY domain ORDER BY pos), FALSE)
+                   AS new_g
+        FROM typed
+    ),
+    g AS (
+        SELECT *, sum(CASE WHEN new_g THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY domain ORDER BY pos) AS gid
+        FROM m
+    ),
+    ua AS (
+        SELECT domain, gid,
+               CASE WHEN lower(val) = '*' THEN 0
+                    WHEN val <> '' AND
+                         starts_with('mybot-news', lower(val))
+                    THEN length(val) END AS score
+        FROM g WHERE key = 'user-agent'
+    ),
+    best AS (
+        SELECT domain, max(score) AS best FROM ua GROUP BY domain
+    ),
+    win AS (
+        SELECT DISTINCT ua.domain, ua.gid
+        FROM ua JOIN best
+          ON ua.domain = best.domain AND ua.score = best.best
+    ),
+    rules AS (
+        SELECT DISTINCT g.domain, g.val AS path_prefix,
+               (g.key = 'allow') AS allow
+        FROM g JOIN win ON g.domain = win.domain AND g.gid = win.gid
+        WHERE g.key IN ('allow', 'disallow') AND g.gid > 0
+          AND g.val <> ''
+    )
+    SELECT domain, path_prefix, allow FROM rules
+"""
+QUERIES["robots_rules"] = q_robots_rules

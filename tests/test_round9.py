@@ -293,3 +293,87 @@ def test_with_registered_domain_plan_is_broadcast_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing (parse_robots_rules)
+# ---------------------------------------------------------------------------
+
+
+_ROBOTS = """# corp crawl policy
+Disallow: /pre-group-ignored
+Crawl-delay: 10
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+
+User-agent: OtherBot
+User-agent: MyBot
+Disallow: /shared
+Allow:
+
+User-agent: OtherBot
+Disallow: /other
+"""
+
+
+def test_robots_specific_agent_beats_star(spark):
+    """MyBot (prefix of the target agent) outscores '*'; only groups
+    containing the winning token contribute; empty Allow and pre-group
+    rules carry nothing."""
+    from woodwork_spark.operators.web import parse_robots_rules
+
+    df = spark.createDataFrame([("d1", _ROBOTS)], "domain string, robots string")
+    got = {
+        (r["path_prefix"], r["allow"])
+        for r in parse_robots_rules(
+            df, "domain", "robots", agent="MyBot-News/1.0",
+        ).collect()
+    }
+    assert got == {("/shared", False)}
+
+
+def test_robots_star_fallback_and_no_match(spark):
+    from woodwork_spark.operators.web import parse_robots_rules
+
+    df = spark.createDataFrame([("d1", _ROBOTS)], "domain string, robots string")
+    # unknown agent falls back to the '*' group
+    got = {
+        (r["path_prefix"], r["allow"])
+        for r in parse_robots_rules(
+            df, "domain", "robots", agent="SomeSpider",
+        ).collect()
+    }
+    assert got == {("/private", False), ("/private/ok", True)}
+    # a robots file with no '*' group and no matching token yields
+    # NO rules for that domain (default_allow decides downstream)
+    only = "User-agent: GoogleBot\nDisallow: /g\n"
+    df2 = spark.createDataFrame([("d2", only)], "domain string, robots string")
+    assert parse_robots_rules(df2, "domain", "robots", agent="SomeSpider").count() == 0
+
+
+def test_robots_feeds_policy_gate(spark):
+    """End-to-end: parsed rules drive apply_url_policies with the
+    longest-match / allow-wins-ties convention."""
+    from woodwork_spark.operators.web import (
+        apply_url_policies,
+        parse_robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("example.com", _ROBOTS)], "domain string, robots string",
+    )
+    rules = parse_robots_rules(robots, "domain", "robots", agent="SomeSpider")
+    urls = spark.createDataFrame(
+        [
+            (1, "https://www.example.com/private/x"),
+            (2, "https://sub.example.com/private/ok/y"),
+            (3, "https://example.com/public"),
+        ],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["crawl_allowed"]
+        for r in apply_url_policies(urls, "url", "id", rules).collect()
+    }
+    assert got == {1: False, 2: True, 3: True}

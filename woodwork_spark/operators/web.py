@@ -23,6 +23,7 @@ oracles (and in any other engine) from the same regex definitions —
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -36,6 +37,7 @@ __all__ = [
     "domain_governance_report",
     "cap_per_domain",
     "apply_url_policies",
+    "parse_robots_rules",
     "tracking_param_regex",
 ]
 
@@ -477,4 +479,101 @@ def with_registered_domain(
     )
     return out.withColumn(out_col, reg).drop(
         tmp, *[f"__sfx{L}" for L in lens],
+    )
+
+
+def parse_robots_rules(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    agent: str,
+) -> DataFrame:
+    """Parse fetched robots.txt payloads into the ``(domain,
+    path_prefix, allow)`` rules frame :func:`apply_url_policies`
+    consumes.  Implements the group semantics of the robots exclusion
+    protocol (RFC 9309 / the Google convention, which the reference has
+    no analog of):
+
+    - lines split on newline, ``#`` comments stripped, whitespace
+      trimmed; directives matched case-insensitively;
+    - a run of consecutive ``User-agent`` lines opens a group; the
+      following ``Allow``/``Disallow`` lines belong to it; rule lines
+      before any ``User-agent`` line are ignored, as are unknown
+      directives (``Crawl-delay``, ``Sitemap``);
+    - group selection per domain: the MOST SPECIFIC matching agent
+      token wins — a token that is a case-insensitive prefix of
+      ``agent`` scores its length, ``*`` scores 0, anything else
+      doesn't match; ALL groups containing a winning token contribute
+      (the spec's merge rule for repeated groups);
+    - ``Disallow:`` / ``Allow:`` with an empty value carry no rule;
+    - rule paths are emitted verbatim as prefixes — ``*`` / ``$``
+      wildcard patterns are NOT interpreted (expand upstream if you
+      need them; :func:`apply_url_policies` is longest-prefix-match).
+
+    Scale shape: one posexplode over the robots corpus (which is
+    domain-cardinality-sized — thousandsfold smaller than the crawl),
+    two windows partitioned by domain (group numbering, winning-score),
+    one semi join back.  Nothing here ever touches crawl-corpus rows;
+    the output is exactly the broadcast-sized frame the policy gate
+    wants."""
+    if not agent:
+        raise ValueError("agent is required (use '*' for the default)")
+    target = F.lit(str(agent).lower())
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "domain", "pos",
+        F.trim(F.regexp_replace(F.regexp_replace("raw", "#.*$", ""),
+                                "\r", "")).alias("line"),
+    )
+    key = F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))
+    val = F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1))
+    typed = lines.select(
+        "domain", "pos",
+        (key == "user-agent").alias("is_ua"),
+        F.when(key.isin("allow", "disallow"), key).alias("rule_kind"),
+        val.alias("val"),
+    )
+    w = W.partitionBy("domain").orderBy("pos")
+    grouped = typed.withColumn(
+        "gid",
+        F.sum(
+            (
+                F.col("is_ua")
+                & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))
+            ).cast("int"),
+        ).over(w),
+    )
+    ua = grouped.filter("is_ua").select(
+        "domain", "gid",
+        F.when(F.lower("val") == "*", F.lit(0))
+        .when(
+            target.startswith(F.lower(F.col("val")))
+            & (F.col("val") != ""),
+            F.length("val"),
+        ).alias("score"),
+    )
+    wd = W.partitionBy("domain")
+    winners = (
+        ua.withColumn("best", F.max("score").over(wd))
+        .filter(
+            F.col("score").isNotNull()
+            & (F.col("score") == F.col("best")),
+        )
+        .select("domain", "gid")
+        .distinct()
+    )
+    rules = grouped.filter(
+        F.col("rule_kind").isNotNull() & (F.col("gid") > 0)
+        & (F.col("val") != ""),
+    )
+    return (
+        rules.join(winners, ["domain", "gid"], "left_semi")
+        .select(
+            "domain",
+            F.col("val").alias("path_prefix"),
+            (F.col("rule_kind") == "allow").alias("allow"),
+        )
+        .distinct()
     )
