@@ -15595,3 +15595,97 @@ ORACLE["robots_rules"] = """
     SELECT domain, path_prefix, allow FROM rules
 """
 QUERIES["robots_rules"] = q_robots_rules
+
+
+def q_span_dedup(spark, sf_dir):
+    """Cross-document substring dedup at 6-token granularity: a license
+    header planted mid-document in every third doc (straddling both
+    real-text neighbours, so paragraph dedup cannot see it) survives
+    only in its first occurrence; window fingerprints shuffle as
+    128-bit hashes, interval unions resolve in one per-doc running-max
+    sweep.  Oracle groups on the exact gram text."""
+    from woodwork_spark.operators.cleaning import dedup_spans_global
+
+    _prep(spark)
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80), F.lit(" "),
+            F.when(
+                d % 3 == 0,
+                F.lit("COMMON LICENSE HEADER TOKENS APPEAR HERE VERBATIM"),
+            ).otherwise(
+                F.concat(F.lit("unique tail "), d.cast("string")),
+            ),
+            F.lit(" "), F.substring("text", 81, 60),
+        ).alias("text"),
+    )
+    out = dedup_spans_global(docs, "text", "doc_id", k=6)
+    return out.select("doc_id", "text")
+
+
+ORACLE["span_dedup"] = """
+    WITH raw AS (
+        SELECT doc_id,
+               substring(text, 1, 80) || ' ' ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'COMMON LICENSE HEADER TOKENS APPEAR HERE VERBATIM'
+                    ELSE 'unique tail ' || CAST(doc_id AS VARCHAR) END
+               || ' ' || substring(text, 81, 60) AS text
+        FROM documents
+    ),
+    tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t <> '') AS t
+        FROM raw
+    ),
+    toks AS (
+        SELECT doc_id, p.i - 1 AS pos, t[p.i] AS tok
+        FROM tk, LATERAL (
+            SELECT unnest(generate_series(1, len(t))) AS i
+        ) p
+    ),
+    wins AS (
+        SELECT doc_id, p.i - 1 AS wpos,
+               array_to_string(t[p.i:p.i+5], ' ') AS gram
+        FROM tk, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 5)) AS i
+        ) p
+    ),
+    firsts AS (
+        SELECT gram, doc_id AS fid, wpos AS fpos
+        FROM (
+            SELECT gram, doc_id, wpos,
+                   row_number() OVER (
+                       PARTITION BY gram ORDER BY doc_id, wpos) AS rn
+            FROM wins
+        ) WHERE rn = 1
+    ),
+    dup AS (
+        SELECT w.doc_id, w.wpos AS ws, w.wpos + 5 AS we
+        FROM wins w JOIN firsts f ON w.gram = f.gram
+        WHERE NOT (w.doc_id = f.fid AND w.wpos = f.fpos)
+    ),
+    removed AS (
+        SELECT DISTINCT t.doc_id, t.pos
+        FROM toks t JOIN dup d
+          ON t.doc_id = d.doc_id AND t.pos BETWEEN d.ws AND d.we
+    ),
+    keptt AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t LEFT JOIN removed r
+          ON t.doc_id = r.doc_id AND t.pos = r.pos
+        WHERE r.doc_id IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean
+        FROM keptt GROUP BY doc_id
+    )
+    SELECT r.doc_id,
+           CASE WHEN r.text IS NULL THEN NULL
+                ELSE coalesce(a.clean, '') END AS text
+    FROM raw r LEFT JOIN agg a ON r.doc_id = a.doc_id
+"""
+QUERIES["span_dedup"] = q_span_dedup

@@ -377,3 +377,106 @@ def test_robots_feeds_policy_gate(spark):
         for r in apply_url_policies(urls, "url", "id", rules).collect()
     }
     assert got == {1: False, 2: True, 3: True}
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc substring dedup (dedup_spans_global)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_spans_global_semantics(spark):
+    """First occurrence survives; later cross-doc AND same-doc
+    occurrences of any k-token window vanish; overlapping duplicate
+    windows erase their union; short/null docs untouched."""
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.cleaning import dedup_spans_global
+
+    rows = [
+        (1, "alpha beta THE QUICK BROWN FOX JUMPS gamma delta"),
+        (2, "prefix words THE QUICK BROWN FOX JUMPS suffix words here"),
+        (3, "totally unrelated text with no duplicate content at all"),
+        (4, "THE QUICK BROWN FOX JUMPS"),
+        (5, None),
+        (6, "short doc"),
+        (7, "x THE QUICK BROWN FOX JUMPS y THE QUICK BROWN FOX JUMPS z"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = dedup_spans_global(df, "text", "id", k=5, out_col="clean")
+    got = {r["id"]: r["clean"] for r in out.collect()}
+    release(out)
+    assert got[1] == "alpha beta THE QUICK BROWN FOX JUMPS gamma delta"
+    assert got[2] == "prefix words suffix words here"
+    assert got[3] == rows[2][1]
+    assert got[4] == ""
+    assert got[5] is None
+    assert got[6] == "short doc"
+    # non-first occurrences removed even inside one doc
+    assert got[7] == "x y z"
+
+
+def test_dedup_spans_global_long_repeat_removed_in_full(spark):
+    """A shared span LONGER than k is covered by its sliding windows
+    and removed in full from the non-first doc."""
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.cleaning import dedup_spans_global
+
+    span = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, f"keep {span} keep2"), (2, f"pre {span} post")],
+        "id long, text string",
+    )
+    out = dedup_spans_global(df, "text", "id", k=3, out_col="clean")
+    got = {r["id"]: r["clean"] for r in out.collect()}
+    release(out)
+    assert got[1] == f"keep {span} keep2"
+    assert got[2] == "pre post"
+
+
+def test_dedup_spans_global_properties(spark):
+    """Reassembly invariants on generated corpora (hypothesis):
+    (1) every output token sequence is an in-order subsequence of its
+    input; (2) a doc sharing no token with any other doc and with no
+    internal repeat is a fixpoint modulo whitespace normalization.
+    (Idempotence is deliberately NOT asserted — removal can create new
+    adjacencies that match a window elsewhere, so a second pass may
+    legitimately remove more.)"""
+    from hypothesis import given, settings, strategies as st
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.cleaning import dedup_spans_global
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=30),
+                min_size=0, max_size=12,
+            ),
+            min_size=1, max_size=6,
+        ),
+        k=st.integers(min_value=2, max_value=4),
+    )
+    def run(docs, k):
+        rows = [
+            (i, " ".join(f"t{v}" for v in toks))
+            for i, toks in enumerate(docs)
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        once = dedup_spans_global(df, "text", "id", k=k, out_col="clean")
+        got = {r["id"]: r["clean"] for r in once.collect()}
+        release(once)
+        # token mass: every output token multiset is a sub-multiset of
+        # the input's, in input order
+        for i, toks in enumerate(docs):
+            src = [f"t{v}" for v in toks]
+            out_toks = got[i].split() if got[i] else []
+            it = iter(src)
+            assert all(t in it for t in out_toks), (src, out_toks)
+            if len(set(toks)) == len(toks) and all(
+                set(toks).isdisjoint(set(o))
+                for j, o in enumerate(docs) if j != i
+            ):
+                # fully unique doc is untouched (modulo whitespace)
+                assert out_toks == src
+
+    run()

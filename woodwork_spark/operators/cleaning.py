@@ -956,3 +956,147 @@ def gopher_report(
             for k in exprs
         ],
     )
+
+
+def dedup_spans_global(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    out_col: str = None,
+) -> DataFrame:
+    """Cross-document SUBSTRING deduplication at k-token granularity —
+    the Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", ExactSubstr) gap that paragraph dedup leaves open:
+    boilerplate that straddles paragraph boundaries, license headers
+    glued to prose, navigation chrome.  Every k-token window is
+    fingerprinted corpus-wide; a window occurrence that is not the
+    global FIRST occurrence of its fingerprint (ordered by (``id_col``,
+    position)) marks its k tokens for removal; survivors rejoin in
+    order.  Documents shorter than ``k`` tokens are untouched; removal
+    regions merge (overlapping duplicate windows erase their union);
+    each duplicated span keeps its first occurrence.
+
+    This is the shuffle-friendly approximation of suffix-array
+    ExactSubstr: windows rather than maximal repeats (a repeat of
+    length L >= k is covered by its L-k+1 windows, so it IS removed in
+    full from every non-first document), and the winner's copy is kept
+    intact unless another duplicated span overlaps it.  Output text is
+    whitespace-normalized (tokens rejoined with single spaces) — the
+    cost of token-level reassembly, shared with tokenize/detokenize
+    round trips.
+
+    Scale shape: ONE projection builds the token array; windows explode
+    as (id, pos, 2x64-bit hash) — the shuffle never carries text; the
+    winner groupBy is map-side combinable; the removal mask is a
+    per-document RUNNING-MAX sweep (one window partitioned by doc id
+    over tokens + duplicate-interval rows — interval unions WITHOUT the
+    k-fold explode of enumerating covered positions); reassembly is the
+    same array_sort regroup as paragraph dedup.  No single reducer; per
+    reducer state is one document's tokens.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    out_col = out_col or text_col
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda t: t != "",
+        ).alias("__toks"),
+    ).persist()
+    n = F.size("__toks")
+    wins = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.struct(
+                        F.xxhash64(
+                            F.concat_ws(" ", F.slice("__toks", i, k)),
+                        ).alias("h1"),
+                        F.xxhash64(
+                            F.concat_ws(" ", F.slice("__toks", i, k)),
+                            F.lit(1),
+                        ).alias("h2"),
+                        (i - 1).alias("p"),
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("__w"),
+    ).select(
+        id_col,
+        F.col("__w.h1").alias("__h1"),
+        F.col("__w.h2").alias("__h2"),
+        F.col("__w.p").alias("__wpos"),
+    ).persist()
+    first = wins.groupBy("__h1", "__h2").agg(
+        F.min(F.struct(F.col(id_col), F.col("__wpos"))).alias("__f"),
+    ).select(
+        "__h1", "__h2",
+        F.col(f"__f.{id_col}").alias("__fid"),
+        F.col("__f.__wpos").alias("__fpos"),
+    )
+    dup = (
+        wins.join(first, ["__h1", "__h2"])
+        .filter(
+            (F.col(id_col) != F.col("__fid"))
+            | (F.col("__wpos") != F.col("__fpos")),
+        )
+        .select(
+            id_col,
+            F.col("__wpos").alias("__pos"),
+            (F.col("__wpos") + F.lit(k - 1)).alias("__end"),
+            F.lit(None).cast("string").alias("__tok"),
+            F.lit(0).alias("__is_tok"),
+        )
+    )
+    toks = base.select(
+        id_col,
+        F.posexplode("__toks").alias("__pos", "__tok"),
+    ).select(
+        id_col, "__pos",
+        F.lit(None).cast("long").alias("__end"),
+        "__tok", F.lit(1).alias("__is_tok"),
+    )
+    # running max of duplicate-interval ends: a token at __pos is erased
+    # iff some duplicate window starting at or before it still covers it
+    sweep_w = (
+        W.partitionBy(id_col)
+        .orderBy("__pos", "__is_tok")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    swept = toks.unionByName(dup).withColumn(
+        "__cov", F.max("__end").over(sweep_w),
+    )
+    kept = (
+        swept.filter(
+            (F.col("__is_tok") == 1)
+            & (F.col("__cov").isNull() | (F.col("__cov") < F.col("__pos"))),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ).alias("__clean"),
+        )
+    )
+    out = (
+        df.join(kept, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+                F.coalesce("__clean", F.lit("")),
+            ),
+        )
+        .drop("__clean")
+    )
+    return attach_persisted(out, base, wins)
