@@ -15689,3 +15689,109 @@ ORACLE["span_dedup"] = """
     FROM raw r LEFT JOIN agg a ON r.doc_id = a.doc_id
 """
 QUERIES["span_dedup"] = q_span_dedup
+
+
+def q_or_blocking(spark, sf_dir):
+    """Multi-field OR-blocking record linkage: names corrupted PAST the
+    ED-Join radius (distance 3) are still linked through the exact-
+    balance blocker — the union of a lossless distance-1 ED-Join and a
+    128-bit-hashed exact join, deduped by id pair, then Fellegi-Sunter
+    scoring.  Oracle = quadratic levenshtein-OR-equality join."""
+    from woodwork_spark.operators.dedup import record_linkage
+
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    left = c.select(
+        F.col("c_custkey").alias("lid"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    right = c.filter(F.col("c_custkey") % 6 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("rid"),
+        F.when(
+            F.col("c_custkey") % 9 == 0,
+            F.concat(F.lit("Q"), F.col("c_name"), F.lit("zz")),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.substring(
+                    "c_name", 1, F.length("c_name").cast("int") - 1,
+                ),
+                F.lit("x"),
+            ),
+        )
+        .otherwise(F.col("c_name")).alias("name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal")).alias("bal"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("CORRUPT"))
+        .otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    scored = record_linkage(
+        left, right, "lid", "rid", "name",
+        {"bal": (0.95, 0.0001), "seg": (0.9, 0.2)},
+        prior=0.01, upper=0.9, lower=0.1,
+        blockers=[("edit", "name", 1), ("exact", "bal")],
+    )
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
+    return attach_persisted(
+        scored.groupBy("fs_class").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _ravg(F.sum("fs_weight"), 4).alias("sum_weight"),
+            _ravg(F.sum("match_prob"), 4).alias("sum_prob"),
+        ),
+        *persisted_frames(scored),
+    )
+
+
+ORACLE["or_blocking"] = """
+    WITH l AS (
+        SELECT c_custkey AS lid, c_name AS lname, c_acctbal AS lbal,
+               c_mktsegment AS lseg
+        FROM customer
+    ),
+    r AS (
+        SELECT c_custkey + 1000000 AS rid,
+               CASE WHEN c_custkey % 9 = 0 THEN 'Q' || c_name || 'zz'
+                    WHEN c_custkey % 3 = 0 THEN
+                    substring(c_name, 1, length(c_name) - 1) || 'x'
+                    ELSE c_name END AS rname,
+               CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS rbal,
+               CASE WHEN c_custkey % 7 = 0 THEN 'CORRUPT'
+                    ELSE c_mktsegment END AS rseg
+        FROM customer WHERE c_custkey % 6 = 0
+    ),
+    cand AS (
+        SELECT lid, rid, lbal, rbal, lseg, rseg
+        FROM l, r
+        WHERE levenshtein(lname, rname) <= 1 OR lbal = rbal
+    ),
+    w AS (
+        SELECT lid, rid,
+          (CASE WHEN lbal IS NULL OR rbal IS NULL THEN 0.0
+                WHEN lbal = rbal THEN log2(0.95 / 0.0001)
+                ELSE log2((1.0 - 0.95) / (1.0 - 0.0001)) END
+         + CASE WHEN lseg IS NULL OR rseg IS NULL THEN 0.0
+                WHEN lseg = rseg THEN log2(0.9 / 0.2)
+                ELSE log2((1.0 - 0.9) / (1.0 - 0.2)) END) AS wgt
+        FROM cand
+    ),
+    p AS (
+        SELECT wgt,
+               ((0.01 / 0.99) * pow(2.0, wgt))
+               / (1.0 + (0.01 / 0.99) * pow(2.0, wgt)) AS mp
+        FROM w
+    )
+    SELECT CASE WHEN mp >= 0.9 THEN 'match'
+                WHEN mp < 0.1 THEN 'non_match'
+                ELSE 'possible' END AS fs_class,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(wgt) + 0.0000001, 4) AS sum_weight,
+           round(sum(mp) + 0.0000001, 4) AS sum_prob
+    FROM p
+    GROUP BY 1
+"""
+QUERIES["or_blocking"] = q_or_blocking

@@ -480,3 +480,108 @@ def test_dedup_spans_global_properties(spark):
                 assert out_toks == src
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# OR-blocking (blocked_candidates / record_linkage blockers)
+# ---------------------------------------------------------------------------
+
+
+def _linkage_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "alice anderson", "555-0101", 10.0),
+            (2, "bob brown", "555-0202", 20.0),
+            (3, "carol clark", "555-0303", 30.0),
+        ],
+        "lid long, name string, phone string, bal double",
+    )
+    right = spark.createDataFrame(
+        [
+            # name off by one char: ED blocker finds it
+            (101, "alice andersen", "555-9999", 11.0),
+            # name wrecked (distance >> 1) but phone intact: ONLY the
+            # exact-phone blocker can find it
+            (102, "XXX mangled XXX", "555-0202", 21.0),
+            # nothing matches
+            (103, "dave dunn", "555-0404", 40.0),
+        ],
+        "rid long, name string, phone string, bal double",
+    )
+    return left, right
+
+
+def test_blocked_candidates_union_of_blockers(spark):
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.dedup import blocked_candidates
+
+    left, right = _linkage_frames(spark)
+    ed_only = blocked_candidates(
+        left, right, "lid", "rid", [("edit", "name", 1)],
+    )
+    got_ed = {(r["lid"], r["rid"]) for r in ed_only.collect()}
+    release(ed_only)
+    assert (1, 101) in got_ed
+    assert (2, 102) not in got_ed, "distance-1 ED-Join cannot see this pair"
+
+    both = blocked_candidates(
+        left, right, "lid", "rid",
+        [("edit", "name", 1), ("exact", "phone")],
+    )
+    got = {(r["lid"], r["rid"]) for r in both.collect()}
+    release(both)
+    assert {(1, 101), (2, 102)} <= got
+    assert (3, 103) not in got
+    # dedup: a pair found by BOTH blockers appears once
+    dup_side = blocked_candidates(
+        left, right, "lid", "rid",
+        [("exact", "phone"), ("prefix", "name", 4)],
+    )
+    rows = dup_side.collect()
+    release(dup_side)
+    assert len(rows) == len({(r["lid"], r["rid"]) for r in rows})
+
+
+def test_blocked_candidates_callable_and_validation(spark):
+    import pytest
+
+    from woodwork_spark.operators.dedup import blocked_candidates
+
+    left, right = _linkage_frames(spark)
+
+    def manual(l, r):
+        return l.crossJoin(r).select("lid", "rid").limit(1)
+
+    out = blocked_candidates(left, right, "lid", "rid", [manual])
+    assert out.count() == 1
+    with pytest.raises(ValueError):
+        blocked_candidates(left, right, "lid", "rid", [])
+    with pytest.raises(ValueError):
+        blocked_candidates(left, right, "lid", "rid", [("nope", "x")])
+
+
+def test_record_linkage_with_blockers_finds_cross_field_match(spark):
+    """End-to-end: the corrupted-name/intact-phone record scores as a
+    match only when the second blocker is in play."""
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.dedup import record_linkage
+
+    left, right = _linkage_frames(spark)
+    fields = {"phone": (0.95, 0.001)}
+    solo = record_linkage(
+        left, right, "lid", "rid", "name", fields, max_dist=1,
+        prior=0.1,
+    )
+    got_solo = {(r["lid"], r["rid"]) for r in solo.collect()}
+    release(solo)
+    assert (2, 102) not in got_solo
+
+    ored = record_linkage(
+        left, right, "lid", "rid", "name", fields, prior=0.1,
+        blockers=[("edit", "name", 1), ("exact", "phone")],
+    )
+    rows = {(r["lid"], r["rid"]): r for r in ored.collect()}
+    release(ored)
+    assert (2, 102) in rows
+    assert rows[(2, 102)]["fs_class"] == "match"
+    assert rows[(2, 102)]["distance"] is None

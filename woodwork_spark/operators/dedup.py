@@ -1365,6 +1365,94 @@ def blocking_quality_report(
     )
 
 
+def blocked_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    strategies,
+) -> DataFrame:
+    """OR-blocking for record linkage: union the candidate pairs of
+    several cheap blockers, deduped by (left_id, right_id) — real
+    linkage blocks on (name-ED OR phone-exact OR zip+street) because a
+    single key misses every record whose ONE blocking field is the
+    corrupted one.  Recall of the union is 1 - prod(miss_i): three
+    blockers each missing 20% of true matches miss 0.8% together.
+
+    Each strategy is either a callable ``(left, right) -> DataFrame``
+    with the two id columns (compose anything — an LSH join, a
+    sorted-neighborhood pass), or a spec tuple:
+
+    - ``("exact", col)`` / ``("exact", col_l, col_r)`` — equi-join on
+      the field, NULLs never block;
+    - ``("prefix", col, n)`` / ``("prefix", col_l, col_r, n)`` — equi-
+      join on the first ``n`` characters (the classic blocking-key
+      truncation);
+    - ``("edit", col, max_dist)`` / ``("edit", col_l, col_r,
+      max_dist)`` — lossless ED-Join (:func:`edit_distance_join`).
+
+    Scale shape: exact/prefix blockers join on a 128-bit two-hash
+    composite of the key, so candidate generation shuffles fixed-width
+    rows; the final dedup is ONE distinct on the id pair.  Persisted
+    intermediates of inner blockers are re-attached for
+    ``lifecycle.release``.  Returns ``(left_id, right_id)``.
+    """
+    from woodwork_spark.lifecycle import persisted_frames
+
+    strategies = list(strategies)
+    if not strategies:
+        raise ValueError("blocked_candidates: strategies are required")
+
+    def keyed(df, id_c, expr):
+        return df.filter(expr.isNotNull()).select(
+            F.col(id_c),
+            F.xxhash64(expr).alias("__k1"),
+            F.xxhash64(expr, F.lit(1)).alias("__k2"),
+        )
+
+    frames, persisted = [], []
+    for s in strategies:
+        if callable(s):
+            cand = s(left, right)
+        else:
+            kind = s[0]
+            if kind == "exact":
+                cl = s[1]
+                cr = s[2] if len(s) > 2 else s[1]
+                cand = keyed(left, left_id, F.col(cl)).join(
+                    keyed(right, right_id, F.col(cr)), ["__k1", "__k2"],
+                )
+            elif kind == "prefix":
+                if len(s) == 3:
+                    cl = cr = s[1]
+                    n = int(s[2])
+                else:
+                    cl, cr, n = s[1], s[2], int(s[3])
+                cand = keyed(left, left_id, F.substring(cl, 1, n)).join(
+                    keyed(right, right_id, F.substring(cr, 1, n)),
+                    ["__k1", "__k2"],
+                )
+            elif kind == "edit":
+                if len(s) == 3:
+                    cl = cr = s[1]
+                    k = int(s[2])
+                else:
+                    cl, cr, k = s[1], s[2], int(s[3])
+                cand = edit_distance_join(
+                    left, right, left_id, right_id, cl,
+                    max_dist=k, right_text_col=cr,
+                )
+            else:
+                raise ValueError(f"unknown blocking strategy {s!r}")
+        frames.append(cand.select(left_id, right_id))
+        persisted.extend(persisted_frames(cand))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return attach_persisted(out.distinct(), *persisted)
+
+
+
 def fellegi_sunter_score(
     pairs: DataFrame,
     fields,
@@ -1440,6 +1528,7 @@ def record_linkage(
     upper: float = 0.9,
     lower: float = 0.1,
     right_name_col: str = None,
+    blockers=None,
 ) -> DataFrame:
     """End-to-end probabilistic record linkage: ED-Join blocking on the
     name (exact, lossless — :func:`edit_distance_join`), then both
@@ -1450,12 +1539,24 @@ def record_linkage(
     inputs (the right side's columns are suffixed ``_r`` in the pair
     frame).  Returns ``(left_id, right_id, distance, fs_weight,
     match_prob, fs_class)``.
+
+    ``blockers`` switches candidate generation to OR-blocking
+    (:func:`blocked_candidates` over the given strategies) — the
+    multi-key union that still finds a record whose name is corrupted
+    past ``max_dist`` but whose phone/zip survived.  With blockers the
+    ``distance`` column is NULL (candidates are no longer
+    distance-verified pairs; the FS fields are the evidence).
     """
     fields = dict(fields)
-    cand = edit_distance_join(
-        left, right, left_id, right_id, name_col,
-        max_dist=max_dist, right_text_col=right_name_col,
-    )
+    if blockers is not None:
+        cand = blocked_candidates(
+            left, right, left_id, right_id, blockers,
+        ).withColumn("distance", F.lit(None).cast("int"))
+    else:
+        cand = edit_distance_join(
+            left, right, left_id, right_id, name_col,
+            max_dist=max_dist, right_text_col=right_name_col,
+        )
     lf = left.select(left_id, *fields)
     rf = right.select(
         right_id, *[F.col(c).alias(f"{c}_r") for c in fields],
