@@ -585,3 +585,105 @@ def test_record_linkage_with_blockers_finds_cross_field_match(spark):
     assert (2, 102) in rows
     assert rows[(2, 102)]["fs_class"] == "match"
     assert rows[(2, 102)]["distance"] is None
+
+
+# ---------------------------------------------------------------------------
+# Two-sample battery property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+
+def _two_sample_df(spark, xs, ys):
+    rows = [(float(v), True) for v in xs] + [(float(v), False) for v in ys]
+    return spark.createDataFrame(rows, "v double, a boolean")
+
+
+def test_two_sample_battery_properties(spark):
+    """Invariants over generated samples (the URL idempotence property
+    found a real bug in round 8 — same technique):
+    - KS D in [0,1], CvM/AD/energy >= 0, W1 >= 0;
+    - all of them == 0 on IDENTICAL samples;
+    - KS D invariant under a strictly monotone transform;
+    - W1 translation-invariant and positively scale-equivariant."""
+    from hypothesis import given, settings, strategies as st
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.stats_tests import (
+        cvm_test_2samp,
+        energy_distance_1d,
+        ks_test_2samp,
+        wasserstein_1d,
+    )
+
+    def one(fn, df, *cols):
+        out = fn(df, "v", F.col("a"))
+        row = out.collect()[0]
+        release(out)
+        return [row[c] for c in cols]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        xs=st.lists(st.integers(-20, 20), min_size=1, max_size=10),
+        ys=st.lists(st.integers(-20, 20), min_size=1, max_size=10),
+    )
+    def run(xs, ys):
+        df = _two_sample_df(spark, xs, ys)
+        (d,) = one(ks_test_2samp, df, "d_stat")
+        assert 0.0 <= d <= 1.0
+        (t,) = one(cvm_test_2samp, df, "t_stat")
+        assert t >= -1e-12
+        (w1,) = one(wasserstein_1d, df, "w1")
+        assert w1 >= 0.0
+        e2, ed = one(energy_distance_1d, df, "e2", "e_dist")
+        assert ed >= 0.0 and e2 >= -1e-9
+
+        # monotone-transform invariance of KS (2v+1 is exact in floats)
+        df_m = _two_sample_df(
+            spark, [2 * v + 1 for v in xs], [2 * v + 1 for v in ys],
+        )
+        (d_m,) = one(ks_test_2samp, df_m, "d_stat")
+        assert abs(d_m - d) < 1e-12
+
+        # W1 translation invariance + scale equivariance (exact consts)
+        df_t = _two_sample_df(
+            spark, [v + 7 for v in xs], [v + 7 for v in ys],
+        )
+        (w1_t,) = one(wasserstein_1d, df_t, "w1")
+        assert abs(w1_t - w1) < 1e-9
+        df_s = _two_sample_df(
+            spark, [2 * v for v in xs], [2 * v for v in ys],
+        )
+        (w1_s,) = one(wasserstein_1d, df_s, "w1")
+        assert abs(w1_s - 2 * w1) < 1e-9
+
+    run()
+
+
+def test_two_sample_battery_zero_on_identical(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.stats_tests import (
+        ad_test_2samp,
+        cvm_test_2samp,
+        energy_distance_1d,
+        ks_test_2samp,
+        wasserstein_1d,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(xs=st.lists(st.integers(-15, 15), min_size=2, max_size=10))
+    def run(xs):
+        df = _two_sample_df(spark, xs, xs)
+        for fn, col in (
+            (ks_test_2samp, "d_stat"),
+            (cvm_test_2samp, "t_stat"),
+            (wasserstein_1d, "w1"),
+            (energy_distance_1d, "e_dist"),
+            (ad_test_2samp, "a2_stat"),
+        ):
+            out = fn(df, "v", F.col("a"))
+            val = out.collect()[0][col]
+            release(out)
+            assert abs(val) < 1e-9, (fn.__name__, val)
+
+    run()
