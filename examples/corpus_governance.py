@@ -155,5 +155,58 @@ print(
 )
 release(deduped)
 
+# ---- 9. robots.txt -> crawl-policy gate (round 9) ---------------------------
+from woodwork_spark.operators.web import apply_url_policies, parse_robots_rules
+
+# the crawl URLs all resolve to the REGISTERED domain example.com —
+# robots rules key on the owner, exactly like the cap and the report
+robots = spark.createDataFrame(
+    [(
+        "example.com",
+        "User-agent: *\nDisallow: /p/1\n\n"
+        "User-agent: MyBot\nDisallow: /p/2\nAllow: /p/2/ok\n",
+    )],
+    "domain string, robots string",
+)
+rules = parse_robots_rules(robots, "domain", "robots", agent="MyBot/2.0")
+print("parsed robots rules (MyBot group wins over *):")
+rules.orderBy("domain", "path_prefix").show(5, truncate=False)
+gated = apply_url_policies(crawl, "url", "doc_id", rules)
+n_denied = gated.filter(~F.col("crawl_allowed")).count()
+print(f"URLs denied by robots-derived policy: {n_denied}")
+
+# ---- 10. exact eTLD+1 from a public-suffix table (round 9) ------------------
+from woodwork_spark.operators.web import with_registered_domain
+
+psl = spark.createDataFrame(
+    [("co.uk",), ("github.io",), ("com.au",)], "suffix string",
+)
+hosts = docs.select(
+    F.concat(F.lit("u"), (F.col("doc_id") % 9).cast("string"),
+             F.lit(".pages.github.io")).alias("host"),
+)
+resolved = with_registered_domain(hosts, "host", suffixes=psl, from_host=True)
+print("registered domains under the github.io PUBLIC suffix:")
+resolved.groupBy("domain").count().orderBy("domain").show(3, truncate=False)
+
+# ---- 11. cross-doc substring dedup (round 9) --------------------------------
+from woodwork_spark.operators.cleaning import dedup_spans_global
+
+with_license = docs.select(
+    "doc_id",
+    F.concat(
+        F.substring("text", 1, 60),
+        F.lit(" This content is provided AS IS without warranty of any kind "),
+        F.substring("text", 61, 60),
+    ).alias("text"),
+)
+despanned = dedup_spans_global(with_license, "text", "doc_id", k=6)
+shrunk2 = despanned.select(F.avg(F.length("text")).alias("c")).first()
+print(
+    "avg chars after cross-doc 6-token span dedup (license kept once): "
+    f"{shrunk2['c']:.1f}",
+)
+release(despanned)
+
 print("governance walkthrough complete.")
 spark.stop()

@@ -89,5 +89,64 @@ print("sample merged entities (survivor name = highest-balance member):")
 merged.orderBy("entity").show(5, truncate=False)
 assert merged.count() > 0
 
+# ---- 5. Fellegi-Sunter with EM-learned parameters (round 9) ------------------
+from woodwork_spark.operators.dedup import (
+    blocked_candidates,
+    estimate_m_u,
+    fellegi_sunter_score,
+)
+
+# a second dirty feed: every 9th name is wrecked PAST the ED radius,
+# but the balance survives — only the exact-balance blocker sees those
+full = read_parquet(spark, f"{SF}/customer.parquet").select(
+    "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+)
+feed = full.filter(F.col("c_custkey") % 4 == 0).select(
+    (F.col("c_custkey") + 20_000_000).alias("did"),
+    F.when(
+        F.col("c_custkey") % 9 == 0,
+        F.concat(F.lit("##"), F.col("c_name"), F.lit("##")),
+    ).otherwise(
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X"),
+        ),
+    ).alias("c_name"),
+    F.col("c_acctbal"),
+    F.col("c_mktsegment"),
+)
+cand = blocked_candidates(
+    full, feed, "c_custkey", "did",
+    [("edit", "c_name", 1), ("exact", "c_acctbal")],
+)
+lf = full.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+rf = feed.select(
+    "did",
+    F.col("c_name").alias("c_name_r"),
+    F.col("c_acctbal").alias("c_acctbal_r"),
+    F.col("c_mktsegment").alias("c_mktsegment_r"),
+)
+pairs = cand.join(lf, "c_custkey").join(rf, "did")
+print(f"OR-blocked candidate pairs: {pairs.count()}")
+
+# learn m/u + the match prior from the UNLABELED pairs, then score
+params = estimate_m_u(
+    pairs, ["c_name", "c_acctbal", "c_mktsegment"], iters=5,
+)
+print("EM-estimated Fellegi-Sunter parameters:")
+params.show(truncate=False)
+learned = {r["field"]: (r["m"], r["u"], r["lam"]) for r in params.collect()}
+lam = max(1e-4, min(1 - 1e-4, next(iter(learned.values()))[2]))
+scored = fellegi_sunter_score(
+    pairs,
+    [
+        ((f, f + "_r"), max(u + 1e-6, min(m, 1 - 1e-6)), max(u, 1e-6))
+        for f, (m, u, _) in learned.items()
+    ],
+    prior=lam,
+)
+print("decision classes from learned parameters:")
+scored.groupBy("fs_class").count().orderBy("fs_class").show(truncate=False)
+release(cand)
+
 spark.stop()
 print("linkage complete")

@@ -797,3 +797,66 @@ def test_session5_batch5_plan_shapes(spark):
     ))
     assert "BroadcastHashJoin" in plan
     assert "PythonUDF" not in plan
+
+
+def test_round9_operator_plan_shapes(spark):
+    """Round 9: robots parsing never exchanges more than the domain-
+    keyed explode, span dedup's sweep windows partition by the doc id
+    (never a single reducer), PSL resolution is broadcast-only on the
+    corpus side, OR-blocked candidates shuffle hashed fixed-width keys,
+    and none of them evaluate Python."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.operators.cleaning import dedup_spans_global
+    from woodwork_spark.operators.dedup import blocked_candidates
+    from woodwork_spark.operators.web import (
+        parse_robots_rules,
+        with_registered_domain,
+    )
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+
+    # PSL-as-data: corpus side broadcast-joins only
+    sfx = spark.createDataFrame(
+        [("co.uk",), ("github.io",)], "suffix string",
+    )
+    plan = _executed_plan(with_registered_domain(
+        docs.select(F.concat("source", F.lit(".example.co.uk"))
+                    .alias("host")),
+        "host", suffixes=sfx, from_host=True,
+    ))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PythonUDF" not in plan
+
+    # robots parsing: windows keyed on domain, no lit partition
+    robots = docs.select(
+        F.col("source").alias("domain"),
+        F.concat(F.lit("User-agent: *\nDisallow: /"), "source")
+        .alias("robots"),
+    )
+    plan = _executed_plan(parse_robots_rules(
+        robots, "domain", "robots", agent="bot",
+    ))
+    assert "partitionBy(1" not in plan.lower()
+    assert "PythonUDF" not in plan
+
+    # span dedup: the sweep window partitions by the doc id
+    out = dedup_spans_global(docs.limit(50), "text", "doc_id", k=8)
+    plan = _executed_plan(out)
+    assert "doc_id" in plan
+    assert "PythonUDF" not in plan
+    from woodwork_spark.lifecycle import release
+
+    release(out)
+
+    # OR-blocked exact candidates: the join keys are xxhash64 pairs
+    left = docs.select(F.col("doc_id").alias("lid"), "source")
+    right = docs.select((F.col("doc_id") + 1).alias("rid"), "source")
+    cand = blocked_candidates(
+        left, right, "lid", "rid", [("exact", "source")],
+    )
+    plan = _executed_plan(cand)
+    assert "xxhash64" in plan
+    assert "PythonUDF" not in plan
