@@ -15795,3 +15795,87 @@ ORACLE["or_blocking"] = """
     GROUP BY 1
 """
 QUERIES["or_blocking"] = q_or_blocking
+
+
+def q_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha over synthesized multi-rater event scores
+    (partial overlap + missing ratings), at BOTH the nominal and the
+    interval level: one contingency agg, one per-unit rollup, one
+    one-row finale per level — the missing-data-tolerant completion of
+    the kappa agreement family."""
+    from woodwork_spark.operators.evaluation import krippendorff_alpha
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 1500).cast("long").alias("unit"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.least(F.floor(F.col("value") / 50.0), F.lit(5)),
+        ).cast("long").alias("score"),
+    )
+    parts = []
+    for level in ("nominal", "interval"):
+        out = krippendorff_alpha(ev, "unit", "score", level)
+        parts.append(
+            out.select(
+                F.lit(level).alias("level"),
+                "n_units", "n_ratings",
+                _ravg(F.col("d_o"), 6).alias("d_o"),
+                _ravg(F.col("d_e"), 6).alias("d_e"),
+                _ravg(F.col("alpha"), 6).alias("alpha"),
+            ),
+        )
+    return parts[0].unionByName(parts[1])
+
+
+ORACLE["krippendorff"] = """
+    WITH base AS (
+        SELECT CAST(event_id % 1500 AS BIGINT) AS u,
+               CASE WHEN event_id % 13 = 0 THEN NULL
+                    ELSE least(CAST(floor(value / 50.0) AS BIGINT), 5)
+               END AS v
+        FROM events
+    ),
+    b2 AS (SELECT u, v FROM base WHERE v IS NOT NULL),
+    cells AS (SELECT u, v, count(*) AS n FROM b2 GROUP BY u, v),
+    units AS (
+        SELECT u, sum(n) AS m, sum(n * (n - 1)) AS agree,
+               sum(n * v) AS s1, sum(n * v * v) AS s2
+        FROM cells GROUP BY u HAVING sum(n) >= 2
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(m) AS BIGINT) AS n_ratings,
+               sum(agree * 1.0 / (m - 1)) AS oa,
+               sum((m * s2 - s1 * s1) * 1.0 / (m - 1)) AS do_sum,
+               CAST(sum(s1) AS DOUBLE) AS t1,
+               CAST(sum(s2) AS DOUBLE) AS t2
+        FROM units
+    ),
+    marg AS (
+        SELECT CAST(sum(nc * nc) AS DOUBLE) AS sc2 FROM (
+            SELECT c.v, sum(c.n) AS nc
+            FROM cells c JOIN units un ON c.u = un.u
+            GROUP BY c.v
+        )
+    ),
+    nom AS (
+        SELECT 'nominal' AS level, n_units, n_ratings,
+               (n_ratings - oa) / n_ratings AS d_o,
+               (n_ratings * 1.0 * n_ratings - sc2)
+                   / (n_ratings * (n_ratings - 1.0)) AS d_e
+        FROM g, marg
+    ),
+    itv AS (
+        SELECT 'interval' AS level, n_units, n_ratings,
+               2.0 * do_sum / n_ratings AS d_o,
+               2.0 * (n_ratings * t2 - t1 * t1)
+                   / (n_ratings * (n_ratings - 1.0)) AS d_e
+        FROM g
+    )
+    SELECT level, n_units, n_ratings,
+           round(d_o + 0.0000001, 6) AS d_o,
+           round(d_e + 0.0000001, 6) AS d_e,
+           round(1.0 - d_o / d_e + 0.0000001, 6) AS alpha
+    FROM (SELECT * FROM nom UNION ALL SELECT * FROM itv)
+"""
+QUERIES["krippendorff"] = q_krippendorff

@@ -687,3 +687,91 @@ def test_two_sample_battery_zero_on_identical(spark):
             assert abs(val) < 1e-9, (fn.__name__, val)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha
+# ---------------------------------------------------------------------------
+
+
+def _alpha_reference(ratings, level):
+    """Independent pairwise-coincidence implementation (the textbook
+    construction, NOT the moments identity the operator uses)."""
+    from collections import defaultdict
+
+    by_unit = defaultdict(list)
+    for u, v in ratings:
+        if u is not None and v is not None:
+            by_unit[u].append(v)
+    o = defaultdict(float)
+    for vals in by_unit.values():
+        m = len(vals)
+        if m < 2:
+            continue
+        for i in range(m):
+            for j in range(m):
+                if i != j:
+                    o[(vals[i], vals[j])] += 1.0 / (m - 1)
+    n_c = defaultdict(float)
+    for (c, k), w in o.items():
+        n_c[c] += w
+    n = sum(n_c.values())
+    if n <= 1:
+        return None
+
+    def delta(c, k):
+        if level == "nominal":
+            return 0.0 if c == k else 1.0
+        return (float(c) - float(k)) ** 2
+
+    d_o = sum(w * delta(c, k) for (c, k), w in o.items()) / n
+    d_e = sum(
+        n_c[c] * n_c[k] * delta(c, k)
+        for c in n_c for k in n_c
+    ) / (n * (n - 1))
+    if d_e == 0:
+        return None
+    return 1.0 - d_o / d_e
+
+
+def test_krippendorff_alpha_matches_reference(spark):
+    from woodwork_spark.operators.evaluation import krippendorff_alpha
+
+    # partial rater overlap, missing values, a singleton unit (dropped)
+    ratings = [
+        (1, 1), (1, 1), (1, 2),
+        (2, 2), (2, 2), (2, 2),
+        (3, 3), (3, 3),
+        (4, 1), (4, 3), (4, 3), (4, 3),
+        (5, 2),            # unpairable
+        (6, 1), (6, 1),
+        (None, 1), (7, None),
+    ]
+    df = spark.createDataFrame(ratings, "unit int, value int")
+    for level in ("nominal", "interval"):
+        row = krippendorff_alpha(df, "unit", "value", level).collect()[0]
+        expect = _alpha_reference(ratings, level)
+        assert abs(row["alpha"] - expect) < 1e-12, (level, row["alpha"], expect)
+    # pairable mass: units 1,2,3,4,6 -> 14 ratings
+    row = krippendorff_alpha(df, "unit", "value", "nominal").collect()[0]
+    assert row["n_units"] == 5 and row["n_ratings"] == 14
+
+
+def test_krippendorff_alpha_edges(spark):
+    import pytest
+
+    from woodwork_spark.operators.evaluation import krippendorff_alpha
+
+    # perfect agreement within every unit, >1 distinct value overall
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b")], "unit int, value string",
+    )
+    row = krippendorff_alpha(df, "unit", "value").collect()[0]
+    assert abs(row["alpha"] - 1.0) < 1e-12
+    # all pairable values identical -> D_e = 0 -> alpha NULL
+    df2 = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "a")], "unit int, value string",
+    )
+    assert krippendorff_alpha(df2, "unit", "value").collect()[0]["alpha"] is None
+    with pytest.raises(ValueError):
+        krippendorff_alpha(df, "unit", "value", level="ordinal")

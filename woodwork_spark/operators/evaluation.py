@@ -1172,3 +1172,100 @@ def off_policy_value(
             F.col("__sw") * F.col("__sw") / F.col("__sww"),
         ).alias("ess"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    level: str = "nominal",
+) -> DataFrame:
+    """Krippendorff's alpha — the missing-data-tolerant generalization
+    of the kappa family (:func:`cohens_kappa` needs exactly 2 fixed
+    raters, :func:`fleiss_kappa` assumes exchangeable nominal raters;
+    alpha handles any number of raters, arbitrary missingness, and
+    metric OR categorical values, so it is THE agreement number for
+    real annotation pipelines where raters overlap partially).
+
+    Input is long form: one row per rating ``(unit, value)`` — the
+    rater identity is irrelevant to alpha by construction.  Units with
+    fewer than 2 ratings are unpairable and drop out entirely (the
+    Krippendorff convention).  ``level``:
+
+    - ``"nominal"``: disagreement ``delta = 1{c != k}``; ``alpha = 1 -
+      (n-1) * sum_u sum_{c!=k} n_uc n_uk/(m_u-1) / (n^2 - sum_c
+      n_c^2)`` via the coincidence-matrix identities;
+    - ``"interval"``: ``delta = (c-k)^2``; both D_o and D_e fold to
+      sum/sum-of-squares moments, so the whole statistic needs no
+      value-marginal table at all.
+
+    Shape: one (unit, value) contingency aggregation, one per-unit
+    rollup, one global one-row aggregate (plus, for nominal, a
+    category-marginal aggregate over the pairable cells — category-
+    cardinality-sized).  Everything map-side combinable; no windows,
+    no driver math beyond the one-row finale.  Returns one row
+    ``(n_units, n_ratings, d_o, d_e, alpha)``; alpha is NULL when
+    ``D_e = 0`` (all pairable values identical — agreement is
+    undefined, not perfect, per Krippendorff).
+    """
+    if level not in ("nominal", "interval"):
+        raise ValueError(f"level must be nominal or interval, got {level!r}")
+    v = F.col(value_col)
+    base = df.filter(F.col(unit_col).isNotNull() & v.isNotNull()).select(
+        F.col(unit_col).alias("__u"),
+        (v.cast("double") if level == "interval" else v.cast("string"))
+        .alias("__v"),
+    )
+    if level == "interval":
+        units = base.groupBy("__u").agg(
+            F.count(F.lit(1)).alias("__m"),
+            F.sum("__v").alias("__s1"),
+            F.sum(F.col("__v") * F.col("__v")).alias("__s2"),
+        ).filter(F.col("__m") >= 2)
+        g = units.agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("__m").cast("long").alias("n_ratings"),
+            F.sum(
+                (F.col("__m") * F.col("__s2") - F.col("__s1") * F.col("__s1"))
+                / (F.col("__m") - 1),
+            ).alias("__do_sum"),
+            F.sum("__s1").alias("__t1"),
+            F.sum("__s2").alias("__t2"),
+        )
+        n = F.col("n_ratings").cast("double")
+        d_o = F.lit(2.0) * F.col("__do_sum") / n
+        de_sum = n * F.col("__t2") - F.col("__t1") * F.col("__t1")
+        d_e = F.lit(2.0) * de_sum / (n * (n - 1))
+        return g.select(
+            "n_units", "n_ratings",
+            d_o.alias("d_o"), d_e.alias("d_e"),
+            F.when(de_sum > 0, F.lit(1.0) - d_o / d_e).alias("alpha"),
+        )
+    cells = base.groupBy("__u", "__v").agg(F.count(F.lit(1)).alias("__n"))
+    units = cells.groupBy("__u").agg(
+        F.sum("__n").alias("__m"),
+        F.sum(F.col("__n") * (F.col("__n") - 1)).alias("__agree"),
+    ).filter(F.col("__m") >= 2)
+    # category marginals over PAIRABLE units only
+    pairable_cells = cells.join(units.select("__u"), "__u", "left_semi")
+    marg = pairable_cells.groupBy("__v").agg(F.sum("__n").alias("__nc"))
+    g = units.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("__m").cast("long").alias("n_ratings"),
+        F.sum(F.col("__agree") / (F.col("__m") - 1)).alias("__oa"),
+    ).crossJoin(
+        F.broadcast(
+            marg.agg(
+                F.sum(F.col("__nc") * F.col("__nc")).alias("__sc2"),
+            ),
+        ),
+    )
+    n = F.col("n_ratings").cast("double")
+    d_o = (n - F.col("__oa")) / n
+    de_sum = n * n - F.col("__sc2")
+    d_e = de_sum / (n * (n - 1))
+    return g.select(
+        "n_units", "n_ratings",
+        d_o.alias("d_o"), d_e.alias("d_e"),
+        F.when(de_sum > 0, F.lit(1.0) - d_o / d_e).alias("alpha"),
+    )
