@@ -15879,3 +15879,68 @@ ORACLE["krippendorff"] = """
     FROM (SELECT * FROM nom UNION ALL SELECT * FROM itv)
 """
 QUERIES["krippendorff"] = q_krippendorff
+
+
+def q_span_corruption(spark, sf_dir):
+    """T5-style span corruption over documents: 4-token blocks, an
+    arithmetic hash rule both engines replay exactly (~15% of blocks),
+    input/target with ordinal <extra_id_K> sentinels — one projection
+    of array transform+aggregate, zero shuffles, zero Python."""
+    from woodwork_spark.operators.text import span_corruption
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def rule(idc, b):
+        return F.pmod((idc % 100003) * 31 + b, F.lit(97)) < 15
+
+    out = span_corruption(
+        docs, "text", "doc_id", block_len=4, mask_expr=rule,
+    )
+    return out.select("doc_id", "input_text", "target_text")
+
+
+ORACLE["span_corruption"] = """
+    WITH tk AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t <> '') AS t
+        FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, p.b,
+               array_to_string(t[p.b * 4 + 1 : p.b * 4 + 4], ' ') AS btxt,
+               ((doc_id % 100003) * 31 + p.b) % 97 < 15 AS m
+        FROM tk, LATERAL (
+            SELECT unnest(generate_series(
+                0, CAST(ceil(len(t) / 4.0) AS BIGINT) - 1)) AS b
+        ) p
+        WHERE len(t) > 0
+    ),
+    k AS (
+        SELECT *,
+               sum(CASE WHEN m THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY b
+                   ROWS UNBOUNDED PRECEDING)
+               - CASE WHEN m THEN 1 ELSE 0 END AS kk
+        FROM blocks
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(
+                   CASE WHEN m THEN '<extra_id_' || kk || '>'
+                        ELSE btxt END, ' ' ORDER BY b) AS input_text,
+               string_agg(
+                   CASE WHEN m
+                        THEN '<extra_id_' || kk || '>' || ' ' || btxt
+                   END, ' ' ORDER BY b) AS target_text
+        FROM k GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(a.input_text, '') END AS input_text,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(a.target_text, '') END AS target_text
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+QUERIES["span_corruption"] = q_span_corruption

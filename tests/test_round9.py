@@ -775,3 +775,76 @@ def test_krippendorff_alpha_edges(spark):
     assert krippendorff_alpha(df2, "unit", "value").collect()[0]["alpha"] is None
     with pytest.raises(ValueError):
         krippendorff_alpha(df, "unit", "value", level="ordinal")
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption
+# ---------------------------------------------------------------------------
+
+
+def test_span_corruption_layout(spark):
+    """Sentinel ordinals count per doc in order; unmasked blocks pass
+    through; target concatenates sentinel + masked tokens; null/empty
+    docs behave."""
+    from woodwork_spark.operators.text import span_corruption
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "one two"), (3, None)],
+        "id long, text string",
+    )
+
+    def rule(idc, b):
+        return (idc == 1) & b.isin(1, 3)
+
+    got = {
+        r["id"]: (r["input_text"], r["target_text"])
+        for r in span_corruption(
+            df, "text", "id", block_len=3, mask_expr=rule,
+        ).collect()
+    }
+    assert got[1] == (
+        "a b c <extra_id_0> g h i <extra_id_1>",
+        "<extra_id_0> d e f <extra_id_1> j k l",
+    )
+    assert got[2] == ("one two", "")
+    assert got[3] == (None, None)
+
+
+def test_span_corruption_default_mask_is_deterministic(spark):
+    """The default xxhash mask re-derives identically across runs and
+    masks roughly mask_rate of blocks."""
+    from woodwork_spark.operators.text import span_corruption
+
+    df = spark.range(200).select(
+        F.col("id"),
+        F.concat_ws(" ", *[F.lit(f"w{i}") for i in range(24)]).alias("text"),
+    )
+    a = span_corruption(df, "text", "id", block_len=4, mask_rate=0.25)
+    b = span_corruption(df, "text", "id", block_len=4, mask_rate=0.25)
+    assert a.exceptAll(b).count() == 0
+    # 200 docs x 6 blocks, expect ~25% masked: count sentinels
+    n_sent = a.select(
+        F.sum(
+            F.size(F.split("target_text", "<extra_id_")) - 1,
+        ).alias("s"),
+    ).collect()[0]["s"]
+    assert 200 < n_sent < 400, n_sent
+    # every token of the original reappears exactly once across the pair
+    row = a.filter(F.col("id") == 7).collect()[0]
+    merged = sorted(
+        t for t in (row["input_text"] + " " + row["target_text"]).split()
+        if not t.startswith("<extra_id_")
+    )
+    assert merged == sorted(f"w{i}" for i in range(24))
+
+
+def test_span_corruption_validates(spark):
+    import pytest
+
+    from woodwork_spark.operators.text import span_corruption
+
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    with pytest.raises(ValueError):
+        span_corruption(df, "text", "id", block_len=0)
+    with pytest.raises(ValueError):
+        span_corruption(df, "text", "id", mask_rate=1.5)

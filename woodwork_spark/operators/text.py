@@ -936,3 +936,102 @@ def vocabulary_coverage(
             + n1d * (n1d - 1.0) / (2.0 * (F.col("n2").cast("double") + 1.0)),
         ).alias("chao1_types"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_len: int = 3,
+    mask_rate: float = 0.15,
+    seed: int = 0,
+    mask_expr=None,
+    input_col: str = "input_text",
+    target_col: str = "target_text",
+) -> DataFrame:
+    """T5-style span-corruption data prep (Raffel et al. 2020): split
+    each document into consecutive ``block_len``-token blocks, mask a
+    deterministic ``mask_rate`` fraction of blocks, and emit the
+    denoising pair — ``input_col`` with each masked block replaced by
+    its ordinal sentinel ``<extra_id_K>`` (K counts masked blocks
+    within the document, 0-based, in order), ``target_col`` as the
+    concatenation ``<extra_id_K> masked tokens ...`` — the standard
+    span-corruption objective layout.
+
+    Masking is HASH-derived, not RNG-state-derived: block ``b`` of a
+    document masks iff ``xxhash64(id, b, seed) % 1e6 < mask_rate *
+    1e6``, so the corpus re-derives identically on retry/recompute (a
+    shuffled-RNG mask would silently differ across task re-executions
+    — the same reason every sampler in this repo keys on hashes).
+    ``mask_expr`` overrides the decision with any ``(id_column,
+    block_index_column) -> boolean Column`` (e.g. an arithmetic rule
+    another engine can replay exactly).
+
+    Scale shape: ZERO shuffles and zero Python — tokens, blocks, and
+    the sentinel fold are one projection of array expressions
+    (``transform`` + ``aggregate`` run inside the JVM per row; state is
+    one document's tokens).  Block boundaries never span documents, so
+    the operator is embarrassingly parallel.  NULL text yields NULL
+    pairs; documents shorter than one block pass through unmasked when
+    their single block misses the rate.
+    """
+    if block_len < 1:
+        raise ValueError(f"block_len must be >= 1, got {block_len}")
+    if not (0.0 <= mask_rate <= 1.0):
+        raise ValueError(f"mask_rate must be in [0, 1], got {mask_rate}")
+    if mask_expr is None:
+        cut = int(round(mask_rate * 1_000_000))
+
+        def mask_expr(idc, b):
+            return F.pmod(
+                F.xxhash64(idc, b, F.lit(int(seed))), F.lit(1_000_000),
+            ) < F.lit(cut)
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "",
+    )
+    n = F.size(toks)
+    nb = F.ceil(n / F.lit(block_len)).cast("int")
+
+    def sentinel(k):
+        return F.concat(
+            F.lit("<extra_id_"), k.cast("string"), F.lit(">"),
+        )
+
+    blocks = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda b: F.struct(
+            mask_expr(F.col(id_col), b).alias("m"),
+            F.slice(toks, b * block_len + 1, block_len).alias("t"),
+        ),
+    )).otherwise(F.array().cast("array<struct<m:boolean,t:array<string>>>"))
+    zero = F.struct(
+        F.lit(0).alias("k"),
+        F.array().cast("array<string>").alias("inp"),
+        F.array().cast("array<string>").alias("tgt"),
+    )
+    folded = F.aggregate(
+        blocks,
+        zero,
+        lambda a, blk: F.struct(
+            (a["k"] + blk["m"].cast("int")).alias("k"),
+            F.when(
+                blk["m"],
+                F.concat(a["inp"], F.array(sentinel(a["k"]))),
+            ).otherwise(F.concat(a["inp"], blk["t"])).alias("inp"),
+            F.when(
+                blk["m"],
+                F.concat(a["tgt"], F.array(sentinel(a["k"])), blk["t"]),
+            ).otherwise(a["tgt"]).alias("tgt"),
+        ),
+    )
+    return df.withColumns({
+        input_col: F.when(
+            F.col(text_col).isNotNull(),
+            F.array_join(folded["inp"], " "),
+        ),
+        target_col: F.when(
+            F.col(text_col).isNotNull(),
+            F.array_join(folded["tgt"], " "),
+        ),
+    })
