@@ -15944,3 +15944,140 @@ ORACLE["span_corruption"] = """
     FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 QUERIES["span_corruption"] = q_span_corruption
+
+
+def q_generation_eval(spark, sf_dir):
+    """Corpus BLEU-4 + SQuAD token-F1/EM of a synthesized generation
+    run (prediction = first 20 tokens with every 6th replaced, single
+    reference = first 25 tokens): every clipped count is a per-row
+    array expression, the whole scorecard is ONE aggregation, the two
+    one-row frames cross-join to a single row."""
+    from woodwork_spark.operators.evaluation import (
+        bleu_corpus,
+        generation_token_f1,
+    )
+
+    _prep(spark)
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "",
+    )
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull(),
+    ).select(
+        F.array_join(
+            F.transform(
+                F.slice(toks, 1, 20),
+                lambda t, i: F.when((i + 1) % 6 == 0, F.lit("X"))
+                .otherwise(t),
+            ),
+            " ",
+        ).alias("pred"),
+        F.array_join(F.slice(toks, 1, 25), " ").alias("ref"),
+    )
+    bleu = bleu_corpus(docs, "pred", "ref")
+    f1 = generation_token_f1(docs, "pred", "ref")
+    return bleu.crossJoin(f1.select("exact_match", "token_f1")).select(
+        "n_pairs", "c_len", "r_len",
+        _ravg(F.col("bp"), 6).alias("bp"),
+        *[_ravg(F.col(f"p{n}"), 6).alias(f"p{n}") for n in (1, 2, 3, 4)],
+        _ravg(F.col("bleu"), 6).alias("bleu"),
+        _ravg(F.col("exact_match"), 6).alias("exact_match"),
+        _ravg(F.col("token_f1"), 6).alias("token_f1"),
+    )
+
+
+def _gen_eval_oracle() -> str:
+    def clip(c, r):
+        return (
+            f"coalesce(list_sum(list_transform(list_distinct({c}), "
+            f"g -> least(len(list_filter({c}, x -> x = g)), "
+            f"len(list_filter({r}, y -> y = g))))), 0)"
+        )
+
+    def grams(src, n):
+        return (
+            f"[array_to_string({src}[i:i+{n - 1}], ' ') "
+            f"FOR i IN range(1, len({src}) - {n} + 2)]"
+        )
+
+    gram_cols = ", ".join(
+        f"{grams('p', n)} AS p{n}, {grams('r', n)} AS r{n}"
+        for n in (2, 3, 4)
+    )
+    stat_cols = ", ".join(
+        f"{clip(f'p{n}' if n > 1 else 'p', f'r{n}' if n > 1 else 'r')} "
+        f"AS c{n}, len({f'p{n}' if n > 1 else 'p'}) AS t{n}"
+        for n in (1, 2, 3, 4)
+    )
+    return f"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pr AS (
+        SELECT doc_id,
+               [CASE WHEN i % 6 = 0 THEN 'X' ELSE t[i] END
+                FOR i IN range(1, least(len(t), 20) + 1)] AS p,
+               t[1:25] AS r
+        FROM tk
+    ),
+    gr AS (
+        SELECT doc_id, p, r, {gram_cols} FROM pr
+    ),
+    rs AS (
+        SELECT len(p) AS cl, len(r) AS rl,
+               CASE WHEN p = r THEN 1.0 ELSE 0.0 END AS em,
+               {stat_cols}
+        FROM gr
+    ),
+    rs2 AS (
+        SELECT *,
+               CASE WHEN cl = 0 AND rl = 0 THEN 1.0
+                    WHEN cl = 0 OR rl = 0 THEN 0.0
+                    WHEN c1 = 0 THEN 0.0
+                    ELSE 2.0 * (c1 * 1.0 / cl) * (c1 * 1.0 / rl)
+                         / ((c1 * 1.0 / cl) + (c1 * 1.0 / rl)) END AS f1
+        FROM rs
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(cl) AS BIGINT) AS c_len,
+               CAST(sum(rl) AS BIGINT) AS r_len,
+               CAST(sum(c1) AS DOUBLE) AS C1, CAST(sum(t1) AS DOUBLE) AS T1,
+               CAST(sum(c2) AS DOUBLE) AS C2, CAST(sum(t2) AS DOUBLE) AS T2,
+               CAST(sum(c3) AS DOUBLE) AS C3, CAST(sum(t3) AS DOUBLE) AS T3,
+               CAST(sum(c4) AS DOUBLE) AS C4, CAST(sum(t4) AS DOUBLE) AS T4,
+               avg(em) AS em, avg(f1) AS f1
+        FROM rs2
+    ),
+    fin AS (
+        SELECT *,
+               CASE WHEN T1 > 0 THEN C1 / T1 ELSE 0.0 END AS p1,
+               CASE WHEN T2 > 0 THEN C2 / T2 ELSE 0.0 END AS p2,
+               CASE WHEN T3 > 0 THEN C3 / T3 ELSE 0.0 END AS p3,
+               CASE WHEN T4 > 0 THEN C4 / T4 ELSE 0.0 END AS p4,
+               CASE WHEN c_len > 0 AND c_len < r_len
+                    THEN exp(1.0 - r_len * 1.0 / c_len)
+                    ELSE 1.0 END AS bp
+        FROM g
+    )
+    SELECT n_pairs, c_len, r_len,
+           round(bp + 0.0000001, 6) AS bp,
+           round(p1 + 0.0000001, 6) AS p1,
+           round(p2 + 0.0000001, 6) AS p2,
+           round(p3 + 0.0000001, 6) AS p3,
+           round(p4 + 0.0000001, 6) AS p4,
+           round(CASE WHEN p1 <= 0 OR p2 <= 0 OR p3 <= 0 OR p4 <= 0
+                        OR c_len <= 0 THEN 0.0
+                 ELSE bp * exp((ln(p1) + ln(p2) + ln(p3) + ln(p4)) / 4.0)
+                 END + 0.0000001, 6) AS bleu,
+           round(em + 0.0000001, 6) AS exact_match,
+           round(f1 + 0.0000001, 6) AS token_f1
+    FROM fin
+"""
+
+
+ORACLE["generation_eval"] = _gen_eval_oracle()
+QUERIES["generation_eval"] = q_generation_eval

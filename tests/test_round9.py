@@ -848,3 +848,82 @@ def test_span_corruption_validates(spark):
         span_corruption(df, "text", "id", block_len=0)
     with pytest.raises(ValueError):
         span_corruption(df, "text", "id", mask_rate=1.5)
+
+
+# ---------------------------------------------------------------------------
+# Generation eval: corpus BLEU + token F1
+# ---------------------------------------------------------------------------
+
+
+def _ref_bleu(pairs, max_n=4):
+    """Independent corpus-BLEU (clipped counts pooled before ratios)."""
+    import math
+    from collections import Counter
+
+    def grams(toks, n):
+        return Counter(
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        )
+
+    c_len = r_len = 0
+    clip = [0] * max_n
+    tot = [0] * max_n
+    for p, r in pairs:
+        pt, rt = p.split(), r.split()
+        c_len += len(pt)
+        r_len += len(rt)
+        for n in range(1, max_n + 1):
+            cg, rg = grams(pt, n), grams(rt, n)
+            tot[n - 1] += sum(cg.values())
+            clip[n - 1] += sum(min(v, rg[g]) for g, v in cg.items())
+    ps = [c / t if t else 0.0 for c, t in zip(clip, tot)]
+    if any(p <= 0 for p in ps) or c_len == 0:
+        return 0.0
+    bp = math.exp(1 - r_len / c_len) if c_len < r_len else 1.0
+    return bp * math.exp(sum(math.log(p) for p in ps) / max_n)
+
+
+def test_bleu_corpus_matches_reference(spark):
+    from woodwork_spark.operators.evaluation import bleu_corpus
+
+    pairs = [
+        ("the cat sat on the mat", "the cat sat on the mat"),
+        ("the the the cat on a mat", "the cat sat on the mat"),
+        ("a quick brown fox jumps over things", "the quick brown fox jumps"),
+        ("short one", "a much longer reference than that"),
+    ]
+    df = spark.createDataFrame(pairs, "pred string, ref string")
+    row = bleu_corpus(df, "pred", "ref").collect()[0]
+    assert abs(row["bleu"] - _ref_bleu(pairs)) < 1e-12
+    # clipping: "the" capped at its reference count
+    clip_df = spark.createDataFrame(
+        [("the the the the", "the cat")], "pred string, ref string",
+    )
+    r2 = bleu_corpus(clip_df, "pred", "ref").collect()[0]
+    assert abs(r2["p1"] - 1 / 4) < 1e-12
+    # zero 4-gram level -> BLEU exactly 0
+    assert r2["bleu"] == 0.0
+    # identical corpus -> 1.0
+    ident = spark.createDataFrame(
+        [("a b c d e", "a b c d e")], "pred string, ref string",
+    )
+    assert bleu_corpus(ident, "pred", "ref").collect()[0]["bleu"] == 1.0
+
+
+def test_generation_token_f1_conventions(spark):
+    from woodwork_spark.operators.evaluation import generation_token_f1
+
+    df = spark.createDataFrame(
+        [
+            ("a b c", "a b c"),     # EM 1, F1 1
+            ("a b x", "a b c"),     # F1 = 2/3... overlap 2, p=r=2/3
+            ("", ""),               # both empty -> 1, 1
+            ("a", ""),              # one empty -> 0, 0
+            (None, "a"),            # dropped
+        ],
+        "pred string, ref string",
+    )
+    row = generation_token_f1(df, "pred", "ref").collect()[0]
+    assert row["n"] == 4
+    assert abs(row["exact_match"] - 0.5) < 1e-12
+    assert abs(row["token_f1"] - (1.0 + 2 / 3 + 1.0 + 0.0) / 4) < 1e-12

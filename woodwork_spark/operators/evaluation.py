@@ -1269,3 +1269,138 @@ def krippendorff_alpha(
         d_o.alias("d_o"), d_e.alias("d_e"),
         F.when(de_sum > 0, F.lit(1.0) - d_o / d_e).alias("alpha"),
     )
+
+
+def _tok(col):
+    return F.filter(
+        F.split(F.trim(col), r"\s+"), lambda t: t != "",
+    )
+
+
+def _clipped_overlap(cand, ref):
+    """Multiset intersection size of two token/n-gram arrays — for each
+    DISTINCT candidate item, min(count in cand, count in ref), folded
+    as pure array expressions (per-row cost O(distinct * len), fine for
+    the answer/sentence-length strings generation eval compares)."""
+    return F.aggregate(
+        F.array_distinct(cand),
+        F.lit(0),
+        lambda acc, t: acc + F.least(
+            F.size(F.filter(cand, lambda x: x == t)),
+            F.size(F.filter(ref, lambda x: x == t)),
+        ),
+    )
+
+
+def generation_token_f1(
+    df: DataFrame,
+    pred_col: str,
+    ref_col: str,
+) -> DataFrame:
+    """SQuAD-style generation eval: corpus-mean EXACT MATCH (token
+    sequences identical) and token-level F1 (precision/recall of the
+    token MULTISET overlap) between a prediction and a single
+    reference.  Tokenization is whitespace; normalize upstream if the
+    benchmark demands (lower/strip-punct are one ``regexp_replace``
+    away and belong to the benchmark, not the metric).
+
+    Conventions: both sides empty -> EM 1, F1 1; exactly one side
+    empty -> 0; NULL on either side drops the row (count it upstream).
+
+    Scale shape: the per-row scores are pure array expressions; the
+    corpus rollup is ONE map-side-combinable aggregation.  Returns one
+    row ``(n, exact_match, token_f1)``.
+    """
+    pt, rt = _tok(F.col(pred_col)), _tok(F.col(ref_col))
+    both = F.col(pred_col).isNotNull() & F.col(ref_col).isNotNull()
+    ov = _clipped_overlap(pt, rt).cast("double")
+    p = ov / F.size(pt)
+    r = ov / F.size(rt)
+    f1 = (
+        F.when((F.size(pt) == 0) & (F.size(rt) == 0), F.lit(1.0))
+        .when((F.size(pt) == 0) | (F.size(rt) == 0), F.lit(0.0))
+        .when(ov == 0, F.lit(0.0))
+        .otherwise(2.0 * p * r / (p + r))
+    )
+    em = (pt == rt).cast("double")
+    return df.filter(both).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(em).alias("exact_match"),
+        F.avg(f1).alias("token_f1"),
+    )
+
+
+def bleu_corpus(
+    df: DataFrame,
+    pred_col: str,
+    ref_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level BLEU (Papineni et al. 2002) against a single
+    reference per row: modified (clipped) n-gram precisions pooled over
+    the WHOLE corpus (numerators and denominators summed before the
+    ratio — corpus BLEU, not a mean of sentence BLEUs), geometric mean
+    over ``1..max_n``, times the brevity penalty ``exp(1 - r/c)`` for
+    ``c < r``.  No smoothing: any empty pooled n-gram level makes BLEU
+    0 (the standard corpus-level convention; at corpus scale a zero
+    4-gram level means something is genuinely wrong).
+
+    Scale shape: every clipped count and length is a per-row array
+    expression; the whole metric is ONE aggregation producing one row
+    ``(n_pairs, c_len, r_len, bp, p1..pN, bleu)``.  NULL rows drop.
+    """
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    pt, rt = _tok(F.col(pred_col)), _tok(F.col(ref_col))
+    both = F.col(pred_col).isNotNull() & F.col(ref_col).isNotNull()
+
+    def grams(toks, n):
+        if n == 1:
+            return toks
+        m = F.size(toks) - (n - 1)
+        return F.when(
+            m >= 1,
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i, n),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.size(pt)).cast("long").alias("c_len"),
+        F.sum(F.size(rt)).cast("long").alias("r_len"),
+    ]
+    for n in range(1, int(max_n) + 1):
+        cg, rg = grams(pt, n), grams(rt, n)
+        aggs.append(
+            F.sum(_clipped_overlap(cg, rg)).cast("long").alias(f"__c{n}"),
+        )
+        aggs.append(F.sum(F.size(cg)).cast("long").alias(f"__t{n}"))
+    g = df.filter(both).agg(*aggs)
+    ps = [
+        F.when(
+            F.col(f"__t{n}") > 0,
+            F.col(f"__c{n}").cast("double") / F.col(f"__t{n}"),
+        ).otherwise(F.lit(0.0)).alias(f"p{n}")
+        for n in range(1, int(max_n) + 1)
+    ]
+    g = g.select("n_pairs", "c_len", "r_len", *ps)
+    c, r = F.col("c_len").cast("double"), F.col("r_len").cast("double")
+    bp = F.when((c > 0) & (c < r), F.exp(1.0 - r / c)).otherwise(F.lit(1.0))
+    log_sum = None
+    any_zero = F.lit(False)
+    for n in range(1, int(max_n) + 1):
+        any_zero = any_zero | (F.col(f"p{n}") <= 0.0)
+        term = F.log(F.col(f"p{n}"))
+        log_sum = term if log_sum is None else log_sum + term
+    bleu = F.when(any_zero | (c <= 0), F.lit(0.0)).otherwise(
+        bp * F.exp(log_sum / float(max_n)),
+    )
+    return g.select(
+        "n_pairs", "c_len", "r_len", bp.alias("bp"),
+        *[f"p{n}" for n in range(1, int(max_n) + 1)],
+        bleu.alias("bleu"),
+    )
