@@ -16081,3 +16081,48 @@ def _gen_eval_oracle() -> str:
 
 ORACLE["generation_eval"] = _gen_eval_oracle()
 QUERIES["generation_eval"] = q_generation_eval
+
+
+def q_token_budget(spark, sf_dir):
+    """Per-language token budget of the documents corpus: doc/char/
+    whitespace-token mass, chars-per-token fertility proxy, tokens per
+    doc, corpus token share — one aggregation + a one-row broadcast.
+    The bpe_ish column is projected out here: its Java-regex lookaround
+    has no RE2 equivalent, so it is Spark-only by documented design."""
+    from woodwork_spark.operators.text import token_budget_report
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = token_budget_report(docs, "text", "lang")
+    return out.select(
+        F.col("group").alias("lang"),
+        "n_docs", "n_null", "n_chars", "ws_tokens",
+        _ravg(F.col("chars_per_token"), 6).alias("chars_per_token"),
+        _ravg(F.col("tokens_per_doc"), 6).alias("tokens_per_doc"),
+        _ravg(F.col("token_share"), 8).alias("token_share"),
+    )
+
+
+ORACLE["token_budget"] = """
+    WITH per AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars,
+               CAST(sum(coalesce(len(string_split_regex(trim(text),
+                    '\\s+')), 0)) AS BIGINT) AS ws_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(ws_tokens) AS t FROM per)
+    SELECT lang, n_docs, n_null, n_chars, ws_tokens,
+           round(CASE WHEN ws_tokens > 0
+                      THEN n_chars * 1.0 / ws_tokens END
+                 + 0.0000001, 6) AS chars_per_token,
+           round(ws_tokens * 1.0 / greatest(n_docs - n_null, 1)
+                 + 0.0000001, 6) AS tokens_per_doc,
+           round(CASE WHEN t > 0 THEN ws_tokens * 1.0 / t END
+                 + 0.0000001, 8) AS token_share
+    FROM per, tot
+"""
+QUERIES["token_budget"] = q_token_budget

@@ -927,3 +927,27 @@ def test_generation_token_f1_conventions(spark):
     assert row["n"] == 4
     assert abs(row["exact_match"] - 0.5) < 1e-12
     assert abs(row["token_f1"] - (1.0 + 2 / 3 + 1.0 + 0.0) / 4) < 1e-12
+
+
+def test_token_budget_report(spark):
+    from woodwork_spark.operators.text import token_budget_report
+
+    df = spark.createDataFrame(
+        [
+            ("en", "one two three"),
+            ("en", None),
+            ("de", "eins zwei"),
+        ],
+        "lang string, text string",
+    )
+    got = {
+        r["group"]: r
+        for r in token_budget_report(df, "text", "lang").collect()
+    }
+    assert got["en"]["n_docs"] == 2 and got["en"]["n_null"] == 1
+    assert got["en"]["ws_tokens"] == 3
+    assert abs(got["en"]["token_share"] - 3 / 5) < 1e-12
+    assert abs(got["de"]["tokens_per_doc"] - 2.0) < 1e-12
+    # corpus-level single row when group_col omitted
+    row = token_budget_report(df, "text").collect()
+    assert len(row) == 1 and row[0]["ws_tokens"] == 5

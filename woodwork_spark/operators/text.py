@@ -1035,3 +1035,65 @@ def span_corruption(
             F.array_join(folded["tgt"], " "),
         ),
     })
+
+
+def token_budget_report(
+    df: DataFrame,
+    text_col: str,
+    group_col: str = None,
+) -> DataFrame:
+    """Per-group (usually per-language or per-source) token budget — the
+    first number a 100 TB pretraining-mix discussion needs: document
+    and token mass per group, characters per token (tokenizer-fertility
+    proxy: CJK and code skew low/high), tokens per document, and each
+    group's share of the corpus's total tokens.
+
+    ``ws_tokens`` is the whitespace count (engine-portable);
+    ``bpe_ish_tokens`` adds the punctuation-splitting proxy
+    (:func:`bpe_ish_token_count_expr` — Java-regex lookaround, NOT
+    reproducible in RE2-based engines, so budget gates should key on it
+    only when the whole pipeline is Spark).  NULL texts are counted in
+    ``n_null`` and contribute nothing else; with ``group_col=None`` the
+    report is a single corpus row (group NULL).
+
+    Shape: ONE map-side-combinable aggregation plus a one-row broadcast
+    cross join for the corpus share — shuffle scales with group
+    cardinality.
+    """
+    g = (
+        F.col(group_col) if group_col
+        else F.lit(None).cast("string")
+    )
+    base = df.select(
+        g.alias("group"),
+        F.col(text_col).alias("__t"),
+        token_count_expr(text_col).alias("__wt"),
+        bpe_ish_token_count_expr(text_col).alias("__bt"),
+    )
+    per = base.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("__t").isNull().cast("long")).alias("n_null"),
+        F.sum(F.coalesce(F.length("__t"), F.lit(0))).cast("long")
+        .alias("n_chars"),
+        F.sum(F.coalesce(F.col("__wt"), F.lit(0))).cast("long")
+        .alias("ws_tokens"),
+        F.sum(F.coalesce(F.col("__bt"), F.lit(0))).cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+    tot = per.agg(F.sum("ws_tokens").alias("__tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "group", "n_docs", "n_null", "n_chars", "ws_tokens",
+        "bpe_ish_tokens",
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.col("n_chars").cast("double") / F.col("ws_tokens"),
+        ).alias("chars_per_token"),
+        (
+            F.col("ws_tokens").cast("double")
+            / F.greatest(F.col("n_docs") - F.col("n_null"), F.lit(1))
+        ).alias("tokens_per_doc"),
+        F.when(
+            F.col("__tot") > 0,
+            F.col("ws_tokens").cast("double") / F.col("__tot"),
+        ).alias("token_share"),
+    )
