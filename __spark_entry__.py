@@ -16126,3 +16126,69 @@ ORACLE["token_budget"] = """
     FROM per, tot
 """
 QUERIES["token_budget"] = q_token_budget
+
+
+def q_domain_boilerplate(spark, sf_dir):
+    """Per-SOURCE boilerplate removal (the C4/CCNet per-site
+    convention): a nav line planted in every doc of a source is
+    ubiquitous within the group but would also be caught globally —
+    the per-group key keeps cross-source identical prose intact while
+    the group shuffle key stays (source, 8-byte line hash)."""
+    from woodwork_spark.operators.cleaning import remove_boilerplate_lines
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.concat(
+            F.lit("NAV "), F.col("source"), F.lit(" MENU\n"),
+            F.substring("text", 1, 100), F.lit("\nunique "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(
+        docs, "text", "doc_id", min_docs=2, group_col="source",
+    )
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
+    return attach_persisted(
+        out.select("doc_id", "text"), *persisted_frames(out),
+    )
+
+
+ORACLE["domain_boilerplate"] = """
+    WITH raw AS (
+        SELECT doc_id, source,
+               'NAV ' || source || ' MENU' || chr(10) ||
+               substring(text, 1, 100) || chr(10) ||
+               'unique ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, source, p.i AS pos,
+               string_split(text, chr(10))[p.i] AS line
+        FROM raw, LATERAL (
+            SELECT unnest(generate_series(
+                1, len(string_split(text, chr(10))))) AS i
+        ) p
+    ),
+    freq AS (
+        SELECT source, trim(line) AS key,
+               count(DISTINCT doc_id) AS docs
+        FROM lines WHERE trim(line) <> '' GROUP BY 1, 2
+    ),
+    kept AS (
+        SELECT l.doc_id, l.pos, l.line
+        FROM lines l LEFT JOIN freq f
+          ON l.source = f.source AND trim(l.line) = f.key
+        WHERE f.docs IS NULL OR f.docs < 2
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT r.doc_id,
+           CASE WHEN r.text IS NULL THEN NULL
+                ELSE coalesce(a.clean, '') END AS text
+    FROM raw r LEFT JOIN agg a ON r.doc_id = a.doc_id
+"""
+QUERIES["domain_boilerplate"] = q_domain_boilerplate

@@ -951,3 +951,31 @@ def test_token_budget_report(spark):
     # corpus-level single row when group_col omitted
     row = token_budget_report(df, "text").collect()
     assert len(row) == 1 and row[0]["ws_tokens"] == 5
+
+
+def test_remove_boilerplate_lines_per_group(spark):
+    """A line ubiquitous within ONE group but rare corpus-wide is
+    removed with group_col and survives without it."""
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.cleaning import remove_boilerplate_lines
+
+    rows = [
+        (1, "a", "NAV A\nbody one"),
+        (2, "a", "NAV A\nbody two"),
+        (3, "b", "NAV A\nbody three"),   # same line, different group
+        (4, "b", "other\nbody four"),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, text string")
+    grouped = remove_boilerplate_lines(
+        df, "text", "id", min_docs=2, group_col="grp",
+    )
+    got = {r["id"]: r["text"] for r in grouped.collect()}
+    release(grouped)
+    assert got[1] == "body one" and got[2] == "body two"
+    # only one doc in group b carries the line -> kept there
+    assert got[3] == "NAV A\nbody three"
+    # global counting would have removed it from doc 3 as well
+    global_ = remove_boilerplate_lines(df, "text", "id", min_docs=2)
+    got_g = {r["id"]: r["text"] for r in global_.collect()}
+    release(global_)
+    assert got_g[3] == "body three"

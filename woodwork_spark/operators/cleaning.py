@@ -257,6 +257,7 @@ def remove_boilerplate_lines(
     min_docs: int = 2,
     sep: str = "\n",
     out_col: str = None,
+    group_col: str = None,
 ) -> DataFrame:
     """Cross-document boilerplate removal: drop every line that appears
     (exact match after trim) in at least ``min_docs`` DISTINCT documents
@@ -275,6 +276,13 @@ def remove_boilerplate_lines(
     xxhash64(trimmed line) so the shuffle carries 8-byte longs, not line
     text -> join back, keep below threshold, reassemble in original
     order via array_sort over (pos, line) structs.
+
+    ``group_col`` scopes the frequency count to a group (usually the
+    registered domain): nav chrome is ubiquitous within ONE site but
+    rare corpus-wide, so per-domain counting catches it without
+    inflating the global threshold — the C4/CCNet per-site convention.
+    The shuffle key gains the group column; the shape is otherwise
+    identical.
     """
     out_col = out_col or text_col
     # \Q...\E: the separator is a LITERAL, not a regex — split and the
@@ -283,9 +291,11 @@ def remove_boilerplate_lines(
     # blank lines); only the trimmed form is the boilerplate KEY, and
     # blank lines are never counted as boilerplate.
     sep_lit = "\\Q" + sep + "\\E"
+    gcols = [group_col] if group_col else []
     exploded = (
         df.select(
             F.col(id_col),
+            *[F.col(c) for c in gcols],
             F.posexplode(F.split(F.col(text_col), sep_lit)).alias(
                 "__pos", "__line",
             ),
@@ -297,11 +307,11 @@ def remove_boilerplate_lines(
     )
     freq = (
         exploded.filter(F.trim("__line") != "")
-        .groupBy("__key")
+        .groupBy(*gcols, "__key")
         .agg(F.count_distinct(id_col).alias("__docs"))
     )
     kept = (
-        exploded.join(freq, "__key", "left")
+        exploded.join(freq, gcols + ["__key"], "left")
         .filter(F.col("__docs").isNull() | (F.col("__docs") < min_docs))
         .groupBy(id_col)
         .agg(
