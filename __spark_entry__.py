@@ -16192,3 +16192,88 @@ ORACLE["domain_boilerplate"] = """
     FROM raw r LEFT JOIN agg a ON r.doc_id = a.doc_id
 """
 QUERIES["domain_boilerplate"] = q_domain_boilerplate
+
+
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap.xml parsing to a crawl-seed frame over synthesized
+    per-domain sitemaps (XML-escaped locs, optional lastmod, loc-less
+    blocks dropped, whitespace-trimmed): one regexp_extract_all +
+    posexplode over the domain-sized sitemap corpus."""
+    from woodwork_spark.operators.web import parse_sitemap_urls
+
+    _prep(spark)
+    k = F.col("n_nationkey")
+    xml = F.concat(
+        F.lit("<urlset><url><loc> https://d"), k.cast("string"),
+        F.lit(".example.com/a?x=1&amp;y="), (k % 3).cast("string"),
+        F.lit(" </loc><lastmod>2024-01-0"), (k % 9 + 1).cast("string"),
+        F.lit("</lastmod></url>"),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lit("<url>\n<loc>https://d"), k.cast("string"),
+                F.lit(".example.com/b</loc>\n</url>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 5 == 0, F.lit("<url><lastmod>2024</lastmod></url>"),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lit("d"), k.cast("string"), F.lit(".example.com"),
+        ).alias("domain"),
+        xml.alias("xml"),
+    )
+    out = parse_sitemap_urls(n, "domain", "xml")
+    return out.select("domain", F.col("pos").cast("long").alias("pos"),
+                      "url", "lastmod")
+
+
+ORACLE["sitemap_urls"] = """
+    WITH sm AS (
+        SELECT 'd' || CAST(n_nationkey AS VARCHAR) || '.example.com'
+                   AS domain,
+               '<urlset><url><loc> https://d' ||
+               CAST(n_nationkey AS VARCHAR) ||
+               '.example.com/a?x=1&amp;y=' ||
+               CAST(n_nationkey % 3 AS VARCHAR) ||
+               ' </loc><lastmod>2024-01-0' ||
+               CAST(n_nationkey % 9 + 1 AS VARCHAR) ||
+               '</lastmod></url>' ||
+               CASE WHEN n_nationkey % 2 = 0 THEN
+                   '<url>' || chr(10) || '<loc>https://d' ||
+                   CAST(n_nationkey AS VARCHAR) ||
+                   '.example.com/b</loc>' || chr(10) || '</url>'
+               ELSE '' END ||
+               CASE WHEN n_nationkey % 5 = 0 THEN
+                   '<url><lastmod>2024</lastmod></url>'
+               ELSE '' END || '</urlset>' AS xml
+        FROM nation
+    ),
+    blk AS (
+        SELECT domain, p.i - 1 AS pos,
+               regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)[p.i]
+                   AS b
+        FROM sm, LATERAL (
+            SELECT unnest(generate_series(1, len(
+                regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1))))
+                AS i
+        ) p
+    ),
+    ext AS (
+        SELECT domain, pos,
+               replace(replace(replace(replace(replace(
+                   regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1),
+                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&apos;', chr(39)) AS url,
+               regexp_extract(b, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>',
+                              1) AS lm
+        FROM blk
+    )
+    SELECT domain, CAST(pos AS BIGINT) AS pos, url,
+           CASE WHEN lm <> '' THEN lm END AS lastmod
+    FROM ext WHERE url <> ''
+"""
+QUERIES["sitemap_urls"] = q_sitemap_urls

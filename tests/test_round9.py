@@ -979,3 +979,44 @@ def test_remove_boilerplate_lines_per_group(spark):
     got_g = {r["id"]: r["text"] for r in global_.collect()}
     release(global_)
     assert got_g[3] == "body three"
+
+
+# ---------------------------------------------------------------------------
+# Sitemap parsing
+# ---------------------------------------------------------------------------
+
+
+def test_parse_sitemap_urls(spark):
+    import pytest
+
+    from woodwork_spark.operators.web import parse_sitemap_urls
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://a.com/p?x=1&amp;y=2 </loc>"
+        "<lastmod>2024-01-02</lastmod></url>"
+        "<url>\n<loc>https://a.com/q</loc>\n</url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # loc-less: dropped
+        "</urlset>"
+    )
+    idx = (
+        "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.com", xml), ("b.com", idx)], "domain string, xml string",
+    )
+    rows = {
+        (r["domain"], r["pos"]): (r["url"], r["lastmod"])
+        for r in parse_sitemap_urls(df, "domain", "xml").collect()
+    }
+    assert rows == {
+        ("a.com", 0): ("https://a.com/p?x=1&y=2", "2024-01-02"),
+        ("a.com", 1): ("https://a.com/q", None),
+    }
+    got_idx = parse_sitemap_urls(df, "domain", "xml", tag="sitemap").collect()
+    assert [(r["domain"], r["url"]) for r in got_idx] == [
+        ("b.com", "https://a.com/s1.xml"),
+    ]
+    with pytest.raises(ValueError):
+        parse_sitemap_urls(df, "domain", "xml", tag="loc")

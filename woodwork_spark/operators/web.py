@@ -38,6 +38,7 @@ __all__ = [
     "cap_per_domain",
     "apply_url_policies",
     "parse_robots_rules",
+    "parse_sitemap_urls",
     "tracking_param_regex",
 ]
 
@@ -581,3 +582,54 @@ def parse_robots_rules(
         )
         .distinct()
     )
+
+
+def parse_sitemap_urls(
+    df: DataFrame,
+    domain_col: str,
+    xml_col: str,
+    tag: str = "url",
+) -> DataFrame:
+    """Parse sitemap.xml payloads into a crawl-seed frame ``(domain,
+    url, lastmod)`` — the discovery-side companion of
+    :func:`parse_robots_rules` (robots says what MAY be fetched,
+    sitemaps say what EXISTS).  ``tag="sitemap"`` parses a sitemap
+    INDEX instead (the child-sitemap URLs, for the fetch frontier).
+
+    Parsing is regex-based over the standard sitemap vocabulary —
+    ``<url>``/``<sitemap>`` blocks, ``<loc>``, ``<lastmod>`` — with
+    the five predefined XML entities unescaped in ``loc`` (sitemap
+    locs are XML-escaped URLs).  Deliberately NOT a full XML parser:
+    namespaces/CDATA are out of scope (documented), and the regex
+    semantics reproduce exactly in any RE2/Java engine, same rationale
+    as the URL canonicalizer.  Blocks without a ``<loc>`` are dropped;
+    ``lastmod`` is passed through verbatim (W3C datetime, parse
+    downstream with ``try_cast``).
+
+    Scale shape: one regexp_extract_all + posexplode over the sitemap
+    corpus (domain-cardinality-sized, like the robots corpus), then
+    pure column extraction — no windows, no joins.
+    """
+    if tag not in ("url", "sitemap"):
+        raise ValueError(f"tag must be 'url' or 'sitemap', got {tag!r}")
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(rf"(?s)<{tag}>(.*?)</{tag}>"), 1,
+    )
+    out = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(blocks).alias("pos", "__blk"),
+    )
+    loc = F.regexp_extract("__blk", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&apos;", "'"),
+    ):
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    lastmod = F.regexp_extract(
+        "__blk", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1,
+    )
+    return out.select(
+        "domain", "pos",
+        loc.alias("url"),
+        F.when(lastmod != "", lastmod).alias("lastmod"),
+    ).filter(F.col("url") != "")
