@@ -16277,3 +16277,105 @@ ORACLE["sitemap_urls"] = """
     FROM ext WHERE url <> ''
 """
 QUERIES["sitemap_urls"] = q_sitemap_urls
+
+
+def q_bitext_qa(spark, sf_dir):
+    """Bitext-pair QA over synthesized translation pairs (copies,
+    length-ratio failures, digit corruption, plausible translations):
+    every signal is one projection of column expressions; the rollup
+    groups by the reject-reason tuple so governance keeps reasons."""
+    from woodwork_spark.operators.cleaning import bitext_filter
+
+    _prep(spark)
+    d = F.col("doc_id")
+    src = F.substring("text", 1, 120)
+    toks = F.filter(F.split(F.trim(src), r"\s+"), lambda t: t != "")
+    tgt = (
+        F.when(d % 4 == 0, src)
+        .when(
+            d % 4 == 1,
+            F.array_join(
+                F.transform(toks, lambda t: F.concat(F.lit("x"), t)), " ",
+            ),
+        )
+        .when(d % 4 == 2, F.array_join(F.slice(toks, 1, 5), " "))
+        .otherwise(F.concat(src, F.lit(" 4242")))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", src.alias("src"), tgt.alias("tgt"),
+    )
+    out = bitext_filter(docs, "src", "tgt")
+    return out.groupBy(
+        "bitext_keep", "is_copy", "ratio_ok", "digit_mismatch",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _ravg(F.avg("token_overlap"), 6).alias("avg_overlap"),
+    )
+
+
+ORACLE["bitext_qa"] = """
+    WITH raw AS (
+        SELECT doc_id, substring(text, 1, 120) AS src,
+               list_filter(string_split_regex(trim(substring(text, 1,
+                   120)), '\\s+'), t -> t <> '') AS stoks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, src,
+               CASE
+                 WHEN doc_id % 4 = 0 THEN src
+                 WHEN doc_id % 4 = 1 THEN
+                   array_to_string(
+                       list_transform(stoks, t -> 'x' || t), ' ')
+                 WHEN doc_id % 4 = 2 THEN
+                   array_to_string(stoks[1:5], ' ')
+                 ELSE src || ' 4242'
+               END AS tgt
+        FROM raw
+    ),
+    sig AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(trim(src), '\\s+'),
+                   t -> t <> '')) AS src_tokens,
+               len(list_filter(string_split_regex(trim(tgt), '\\s+'),
+                   t -> t <> '')) AS tgt_tokens,
+               length(trim(src)) AS ls, length(trim(tgt)) AS lt,
+               (lower(trim(src)) = lower(trim(tgt))
+                AND length(trim(src)) > 0) AS is_copy,
+               list_distinct(list_filter(string_split_regex(trim(src),
+                   '\\s+'), t -> t <> '')) AS sd,
+               list_distinct(list_filter(string_split_regex(trim(tgt),
+                   '\\s+'), t -> t <> '')) AS td,
+               list_sort(regexp_extract_all(trim(src), '[0-9]+'))
+                   AS dsrc,
+               list_sort(regexp_extract_all(trim(tgt), '[0-9]+'))
+                   AS dtgt
+        FROM pairs
+    ),
+    sig2 AS (
+        SELECT doc_id, src_tokens, tgt_tokens, is_copy,
+               CASE WHEN least(ls, lt) > 0
+                    THEN greatest(ls, lt) * 1.0 / least(ls, lt)
+                         <= 2.0
+                    ELSE FALSE END AS ratio_ok,
+               CASE WHEN least(len(sd), len(td)) > 0
+                    THEN len(list_intersect(sd, td)) * 1.0
+                         / least(len(sd), len(td)) END AS token_overlap,
+               NOT (dsrc = dtgt) AS digit_mismatch
+        FROM sig
+    ),
+    dec AS (
+        SELECT *,
+               (src_tokens BETWEEN 1 AND 250
+                AND tgt_tokens BETWEEN 1 AND 250
+                AND ratio_ok AND NOT is_copy
+                AND (token_overlap IS NULL OR token_overlap <= 0.6)
+                AND NOT digit_mismatch) AS bitext_keep
+        FROM sig2
+    )
+    SELECT bitext_keep, is_copy, ratio_ok, digit_mismatch,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(token_overlap) + 0.0000001, 6) AS avg_overlap
+    FROM dec GROUP BY 1, 2, 3, 4
+"""
+QUERIES["bitext_qa"] = q_bitext_qa

@@ -1020,3 +1020,35 @@ def test_parse_sitemap_urls(spark):
     ]
     with pytest.raises(ValueError):
         parse_sitemap_urls(df, "domain", "xml", tag="loc")
+
+
+# ---------------------------------------------------------------------------
+# Bitext QA
+# ---------------------------------------------------------------------------
+
+
+def test_bitext_filter_reasons(spark):
+    from woodwork_spark.operators.cleaning import bitext_filter
+
+    rows = [
+        (1, "the cat sat.", "le chat est assis."),            # keep
+        (2, "the cat sat.", "the cat sat."),                  # copy
+        (3, "the cat sat on the mat today fine.", "chat."),   # ratio
+        (4, "price is 42 dollars.", "le prix est 43 dollars."),  # digits
+        (5, "the cat sat here.", "the cat sat la."),          # overlap
+        (6, None, "x"),                                       # null side
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, tgt string")
+    got = {
+        r["id"]: r for r in bitext_filter(df, "src", "tgt").collect()
+    }
+    assert [got[i]["bitext_keep"] for i in range(1, 7)] == [
+        True, False, False, False, False, False,
+    ]
+    assert got[2]["is_copy"] and not got[3]["ratio_ok"]
+    assert got[4]["digit_mismatch"]
+    assert got[5]["token_overlap"] == 0.75
+    import pytest
+
+    with pytest.raises(ValueError):
+        bitext_filter(df, "src", "tgt", max_len_ratio=1.0)

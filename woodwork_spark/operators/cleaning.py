@@ -1110,3 +1110,104 @@ def dedup_spans_global(
         .drop("__clean")
     )
     return attach_persisted(out, base, wins)
+
+
+def bitext_qa_exprs(
+    src_col: str,
+    tgt_col: str,
+    max_len_ratio: float = 2.0,
+) -> dict[str, Column]:
+    """Parallel-corpus (bitext) QA signals for translation training
+    pairs — the standard pre-filters every MT pipeline runs before
+    alignment-model scoring (length-ratio and copy heuristics per
+    Moses/OPUS cleaning conventions):
+
+    - ``src_tokens`` / ``tgt_tokens``: whitespace token counts;
+    - ``len_ratio``: longer/shorter CHARACTER length (NULL when either
+      side is empty — emptiness is its own flag);
+    - ``ratio_ok``: len_ratio <= ``max_len_ratio``;
+    - ``is_copy``: case-folded trimmed equality (untranslated rows);
+    - ``token_overlap``: |distinct src tokens ∩ distinct tgt tokens| /
+      min(distinct counts) — near-1 on same-script pairs means the
+      "translation" is mostly the source;
+    - ``digit_mismatch``: the sorted multisets of digit runs differ
+      (numbers must survive translation verbatim);
+    - ``terminal_punct_match``: both sides end in terminal punctuation
+      or both don't.
+
+    All pure column expressions (one projection, no shuffle, RE2-safe
+    regexes), composable with :func:`~woodwork_spark.operators.text.
+    lang_id_expr` for the language-pair check.
+    """
+    if max_len_ratio <= 1.0:
+        raise ValueError("max_len_ratio must be > 1")
+
+    def toks(c):
+        return F.filter(
+            F.split(F.trim(F.col(c)), r"\s+"), lambda t: t != "",
+        )
+
+    s, t = F.trim(F.col(src_col)), F.trim(F.col(tgt_col))
+    st, tt = toks(src_col), toks(tgt_col)
+    ls, lt = F.length(s), F.length(t)
+    longer = F.greatest(ls, lt).cast("double")
+    shorter = F.least(ls, lt)
+    sd = F.array_distinct(st)
+    td = F.array_distinct(tt)
+    inter = F.size(F.array_intersect(sd, td))
+    min_d = F.least(F.size(sd), F.size(td))
+    digits = lambda c: F.array_sort(  # noqa: E731
+        F.regexp_extract_all(c, F.lit("[0-9]+"), 0),
+    )
+    term = lambda c: c.rlike(r"[.!?]$")  # noqa: E731
+    return {
+        "src_tokens": F.size(st),
+        "tgt_tokens": F.size(tt),
+        "len_ratio": F.when(shorter > 0, longer / shorter),
+        "ratio_ok": F.when(
+            shorter > 0, longer / shorter <= F.lit(float(max_len_ratio)),
+        ).otherwise(F.lit(False)),
+        "is_copy": (F.lower(s) == F.lower(t)) & (ls > 0),
+        "token_overlap": F.when(
+            min_d > 0, inter.cast("double") / min_d,
+        ),
+        "digit_mismatch": ~digits(s).eqNullSafe(digits(t)),
+        "terminal_punct_match": term(s) == term(t),
+    }
+
+
+def bitext_filter(
+    df: DataFrame,
+    src_col: str,
+    tgt_col: str,
+    max_len_ratio: float = 2.0,
+    min_tokens: int = 1,
+    max_tokens: int = 250,
+    max_overlap: float = 0.6,
+    require_digit_parity: bool = True,
+    keep_col: str = "bitext_keep",
+) -> DataFrame:
+    """Apply :func:`bitext_qa_exprs` and decide: keep a pair iff both
+    sides are non-null with token counts in ``[min_tokens,
+    max_tokens]``, the length ratio passes, it is not a copy, the
+    distinct-token overlap is <= ``max_overlap``, and (when
+    ``require_digit_parity``) the digit runs agree.  Adds every signal
+    column plus ``keep_col`` — filter downstream so the rejects stay
+    countable per reason (governance wants reject REASONS, not a
+    silently smaller corpus).  One projection, no shuffle."""
+    exprs = bitext_qa_exprs(src_col, tgt_col, max_len_ratio)
+    out = df.withColumns(exprs)
+    keep = (
+        F.col(src_col).isNotNull() & F.col(tgt_col).isNotNull()
+        & F.col("src_tokens").between(min_tokens, max_tokens)
+        & F.col("tgt_tokens").between(min_tokens, max_tokens)
+        & F.col("ratio_ok")
+        & ~F.col("is_copy")
+        & (
+            F.col("token_overlap").isNull()
+            | (F.col("token_overlap") <= F.lit(float(max_overlap)))
+        )
+    )
+    if require_digit_parity:
+        keep = keep & ~F.col("digit_mismatch")
+    return out.withColumn(keep_col, keep)
