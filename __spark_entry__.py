@@ -16379,3 +16379,225 @@ ORACLE["bitext_qa"] = """
     FROM dec GROUP BY 1, 2, 3, 4
 """
 QUERIES["bitext_qa"] = q_bitext_qa
+
+
+def q_instruction_qa(spark, sf_dir):
+    """Instruction-pair QA over synthesized prompt/response pairs
+    (refusal heads, template leaks, prompt echoes, unbalanced code
+    fences, normal answers): one projection of column expressions,
+    rolled up by flag tuple."""
+    from woodwork_spark.operators.chat import instruction_qa_exprs
+
+    _prep(spark)
+    d = F.col("doc_id")
+    prompt = F.substring("text", 1, 60)
+    resp = (
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit("I'm sorry, I can't help with "),
+                     F.substring("text", 61, 40)),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(F.lit("As an AI language model I note: "),
+                     F.substring("text", 61, 60)),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit("You asked: "), prompt,
+                     F.lit(" — here is more.")),
+        )
+        .when(
+            d % 5 == 3,
+            F.concat(F.lit("Use this: ``` code "),
+                     F.substring("text", 61, 30)),
+        )
+        .otherwise(F.concat(F.lit("Answer: "), F.substring("text", 61, 80)))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", prompt.alias("prompt"), resp.alias("resp"),
+    )
+    out = docs.withColumns(instruction_qa_exprs("prompt", "resp"))
+    return out.groupBy(
+        "is_refusal", "template_leak", "prompt_echo",
+        "code_fences_balanced",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _ravg(F.avg("resp_prompt_ratio"), 6).alias("avg_ratio"),
+    )
+
+
+ORACLE["instruction_qa"] = """
+    WITH pairs AS (
+        SELECT doc_id, substring(text, 1, 60) AS prompt,
+               CASE
+                 WHEN doc_id % 5 = 0 THEN
+                   'I''m sorry, I can''t help with ' ||
+                   substring(text, 61, 40)
+                 WHEN doc_id % 5 = 1 THEN
+                   'As an AI language model I note: ' ||
+                   substring(text, 61, 60)
+                 WHEN doc_id % 5 = 2 THEN
+                   'You asked: ' || substring(text, 1, 60) ||
+                   ' — here is more.'
+                 WHEN doc_id % 5 = 3 THEN
+                   'Use this: ``` code ' || substring(text, 61, 30)
+                 ELSE 'Answer: ' || substring(text, 61, 80)
+               END AS resp
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(trim(prompt),
+                   '\\s+'), t -> t <> '')) AS pt,
+               len(list_filter(string_split_regex(trim(resp),
+                   '\\s+'), t -> t <> '')) AS rt,
+               (contains(lower(substring(trim(resp), 1, 80)), 'i can''t')
+                OR contains(lower(substring(trim(resp), 1, 80)),
+                            'i cannot')
+                OR contains(lower(substring(trim(resp), 1, 80)),
+                            'i won''t')
+                OR contains(lower(substring(trim(resp), 1, 80)),
+                            'i''m sorry')
+                OR contains(lower(substring(trim(resp), 1, 80)),
+                            'i am sorry')
+                OR contains(lower(substring(trim(resp), 1, 80)),
+                            'as an ai')
+                OR contains(lower(substring(trim(resp), 1, 80)),
+                            'as a language model')
+                OR contains(lower(substring(trim(resp), 1, 80)),
+                            'i''m not able to')
+                OR contains(lower(substring(trim(resp), 1, 80)),
+                            'i am not able to')) AS is_refusal,
+               contains(lower(trim(resp)), 'as an ai language model')
+                   AS template_leak,
+               (length(trim(prompt)) > 0 AND
+                contains(lower(trim(resp)), lower(trim(prompt))))
+                   AS prompt_echo,
+               (len(string_split(trim(resp), '```')) - 1) % 2 = 0
+                   AS code_fences_balanced
+        FROM pairs
+    )
+    SELECT is_refusal, template_leak, prompt_echo,
+           code_fences_balanced,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(CASE WHEN pt > 0 THEN rt * 1.0 / pt END)
+                 + 0.0000001, 6) AS avg_ratio
+    FROM sig GROUP BY 1, 2, 3, 4
+"""
+QUERIES["instruction_qa"] = q_instruction_qa
+
+
+def q_chat_protocol(spark, sf_dir):
+    """Multi-turn chat-protocol validation over synthesized
+    conversations (leading system messages, role inversions,
+    consecutive-role violations, blank contents): filter/forall over
+    the struct array per row, grouped by the check tuple."""
+    from woodwork_spark.operators.chat import chat_turn_checks
+
+    _prep(spark)
+    d = F.col("doc_id")
+
+    def m(role, content):
+        return F.struct(
+            F.lit(role).alias("role"), content.alias("content"),
+        )
+
+    c1 = F.substring("text", 1, 30)
+    c2 = F.substring("text", 31, 30)
+    msgs = (
+        F.when(d % 5 == 0, F.array(
+            m("user", c1), m("assistant", c2),
+        ))
+        .when(d % 5 == 1, F.array(
+            m("system", F.lit("be helpful")), m("user", c1),
+            m("assistant", c2), m("user", F.lit("more?")),
+            m("assistant", F.lit("sure")),
+        ))
+        .when(d % 5 == 2, F.array(
+            m("assistant", c1), m("user", c2),
+        ))
+        .when(d % 5 == 3, F.array(
+            m("user", c1), m("user", c2), m("assistant", c2),
+        ))
+        .otherwise(F.array(
+            m("user", c1), m("assistant", F.lit(" ")),
+        ))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", msgs.alias("messages"),
+    )
+    out = chat_turn_checks(docs, "messages")
+    return out.groupBy(
+        F.col("n_turns").cast("long").alias("n_turns"),
+        "starts_with_user", "ends_with_assistant", "roles_alternate",
+        "has_empty_content", "chat_valid",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+ORACLE["chat_protocol"] = """
+    WITH conv AS (
+        SELECT doc_id,
+               CASE
+                 WHEN doc_id % 5 = 0 THEN
+                   [{'role': 'user', 'content': substring(text, 1, 30)},
+                    {'role': 'assistant',
+                     'content': substring(text, 31, 30)}]
+                 WHEN doc_id % 5 = 1 THEN
+                   [{'role': 'system', 'content': 'be helpful'},
+                    {'role': 'user', 'content': substring(text, 1, 30)},
+                    {'role': 'assistant',
+                     'content': substring(text, 31, 30)},
+                    {'role': 'user', 'content': 'more?'},
+                    {'role': 'assistant', 'content': 'sure'}]
+                 WHEN doc_id % 5 = 2 THEN
+                   [{'role': 'assistant',
+                     'content': substring(text, 1, 30)},
+                    {'role': 'user', 'content': substring(text, 31, 30)}]
+                 WHEN doc_id % 5 = 3 THEN
+                   [{'role': 'user', 'content': substring(text, 1, 30)},
+                    {'role': 'user', 'content': substring(text, 31, 30)},
+                    {'role': 'assistant',
+                     'content': substring(text, 31, 30)}]
+                 ELSE
+                   [{'role': 'user', 'content': substring(text, 1, 30)},
+                    {'role': 'assistant', 'content': ' '}]
+               END AS msgs
+        FROM documents
+    ),
+    body AS (
+        SELECT doc_id,
+               CASE WHEN len(msgs) > 0
+                         AND lower(msgs[1].role) = 'system'
+                    THEN msgs[2:] ELSE msgs END AS b
+        FROM conv
+    ),
+    checks AS (
+        SELECT doc_id, len(b) AS n_turns,
+               CASE WHEN len(b) > 0
+                    THEN lower(b[1].role) = 'user' END
+                   AS starts_with_user,
+               CASE WHEN len(b) > 0
+                    THEN lower(b[-1].role) = 'assistant' END
+                   AS ends_with_assistant,
+               CASE WHEN len(b) >= 2 THEN
+                 len(list_filter(range(2, len(b) + 1),
+                     i -> lower(b[i].role) = lower(b[i - 1].role))) = 0
+               ELSE TRUE END AS roles_alternate,
+               len(list_filter(b, m -> lower(m.role) NOT IN
+                   ('user', 'assistant', 'system'))) = 0 AS roles_known,
+               len(list_filter(b, m -> m.content IS NULL
+                   OR trim(m.content) = '')) > 0 AS has_empty_content
+        FROM body
+    )
+    SELECT CAST(n_turns AS BIGINT) AS n_turns, starts_with_user,
+           ends_with_assistant, roles_alternate, has_empty_content,
+           coalesce(n_turns >= 2 AND starts_with_user
+                    AND ends_with_assistant AND roles_alternate
+                    AND roles_known AND NOT has_empty_content, FALSE)
+               AS chat_valid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM checks
+    GROUP BY 1, 2, 3, 4, 5, 6
+"""
+QUERIES["chat_protocol"] = q_chat_protocol

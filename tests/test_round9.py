@@ -1052,3 +1052,68 @@ def test_bitext_filter_reasons(spark):
 
     with pytest.raises(ValueError):
         bitext_filter(df, "src", "tgt", max_len_ratio=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Instruction / chat QA
+# ---------------------------------------------------------------------------
+
+
+def test_instruction_qa_signals(spark):
+    from woodwork_spark.operators.chat import instruction_qa_exprs
+
+    df = spark.createDataFrame(
+        [
+            (1, "Explain AQE.", "AQE replans at runtime."),
+            (2, "Do a thing.", "I'm sorry, I can't help with that."),
+            (3, "Write code.", "Sure: ```py\nx=1\n``` done"),
+            (4, "Echo me.", "you said: echo me. here it is"),
+            (5, "Q", "as an AI language model I cannot say"),
+            (6, "Q", "broken ``` fence"),
+        ],
+        "id long, prompt string, response string",
+    )
+    got = {
+        r["id"]: r
+        for r in df.withColumns(
+            instruction_qa_exprs("prompt", "response"),
+        ).collect()
+    }
+    assert not got[1]["is_refusal"] and not got[1]["template_leak"]
+    assert got[2]["is_refusal"]
+    assert got[3]["code_fences_balanced"] and not got[6]["code_fences_balanced"]
+    assert got[4]["prompt_echo"] and not got[1]["prompt_echo"]
+    assert got[5]["template_leak"] and got[5]["is_refusal"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        instruction_qa_exprs("prompt", "response", head_chars=0)
+
+
+def test_chat_turn_checks_protocol(spark):
+    from woodwork_spark.operators.chat import chat_turn_checks
+
+    def mk(*rc):
+        return [{"role": a, "content": b} for a, b in rc]
+
+    chats = [
+        (1, mk(("user", "hi"), ("assistant", "hello"))),
+        # leading system message is legal and excluded from the checks
+        (2, mk(("system", "be nice"), ("user", "hi"), ("assistant", "yo"))),
+        (3, mk(("assistant", "hi first"), ("user", "?"))),
+        (4, mk(("user", "a"), ("user", "b"), ("assistant", "c"))),
+        (5, mk(("user", "a"), ("assistant", "  "))),
+        (6, None),
+        (7, mk(("user", "a"), ("robot", "b"))),
+    ]
+    df = spark.createDataFrame(
+        chats, "id long, messages array<struct<role string, content string>>",
+    )
+    got = {r["id"]: r for r in chat_turn_checks(df, "messages").collect()}
+    assert got[1]["chat_valid"] and got[2]["chat_valid"]
+    assert got[2]["n_turns"] == 2, "system message must not count"
+    assert not got[3]["chat_valid"] and not got[3]["starts_with_user"]
+    assert not got[4]["roles_alternate"]
+    assert got[5]["has_empty_content"]
+    assert not got[6]["chat_valid"] and got[6]["n_turns"] is None
+    assert not got[7]["roles_known"] and not got[7]["chat_valid"]
