@@ -16601,3 +16601,144 @@ ORACLE["chat_protocol"] = """
     GROUP BY 1, 2, 3, 4, 5, 6
 """
 QUERIES["chat_protocol"] = q_chat_protocol
+
+
+def q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle prep over documents with arithmetic cut
+    points both engines replay exactly: character-level PSM sentinel
+    layout, one projection, zero shuffles."""
+    from woodwork_spark.operators.text import fim_transform
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def ca(idc, ln):
+        return F.pmod((idc % 9973) * 31 + 7, ln + 1)
+
+    def cb(idc, ln):
+        return F.pmod((idc % 9973) * 53 + 11, ln + 1)
+
+    out = fim_transform(docs, "text", "doc_id", cut_exprs=(ca, cb))
+    return out.select("doc_id", "fim_text")
+
+
+ORACLE["fim_transform"] = """
+    WITH t AS (
+        SELECT doc_id, text, length(text) AS n FROM documents
+    ),
+    c AS (
+        SELECT doc_id, text, n,
+               ((doc_id % 9973) * 31 + 7) % (n + 1) AS a,
+               ((doc_id % 9973) * 53 + 11) % (n + 1) AS b
+        FROM t
+    ),
+    o AS (
+        SELECT doc_id, text, n, least(a, b) AS p1, greatest(a, b) AS p2
+        FROM c
+    )
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE
+             '<fim_prefix>' || substring(text, 1, p1) ||
+             '<fim_suffix>' || substring(text, p2 + 1, n - p2) ||
+             '<fim_middle>' || substring(text, p1 + 1, p2 - p1)
+           END AS fim_text
+    FROM o
+"""
+QUERIES["fim_transform"] = q_fim_transform
+
+
+def q_code_qa(spark, sf_dir):
+    """Source-file QA signals over synthesized code-shaped documents
+    (comment headers, autogen markers, tab/space mixes): one projection
+    of RE2-safe expressions, rolled up by flag tuple."""
+    from woodwork_spark.operators.cleaning import code_qa_exprs
+
+    _prep(spark)
+    d = F.col("doc_id")
+    code = F.concat(
+        F.lit("# header\n"),
+        F.when(
+            d % 3 == 0, F.lit("# auto-generated do not edit\n"),
+        ).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("\tdef f():\n\t  pass\n"))
+        .otherwise(F.lit("x = 1\n")),
+        F.when(d % 4 == 0, F.lit("    y = 2\n")).otherwise(F.lit("")),
+        F.lit("// "), F.substring("text", 1, 40), F.lit("\n"),
+        F.substring("text", 41, 60),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", code.alias("text"),
+    )
+    out = docs.withColumns(code_qa_exprs("text"))
+    return out.groupBy("is_autogenerated", "mixed_indentation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_lines").cast("long").alias("sum_lines"),
+        F.max("max_line_len").cast("long").alias("max_line"),
+        _ravg(F.avg("alnum_frac"), 6).alias("avg_alnum"),
+        _ravg(F.avg("comment_line_frac"), 6).alias("avg_comment"),
+        _ravg(F.avg("avg_line_len"), 6).alias("avg_line_len"),
+    )
+
+
+ORACLE["code_qa"] = """
+    WITH raw AS (
+        SELECT doc_id,
+               '# header' || chr(10) ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN '# auto-generated do not edit' || chr(10)
+                    ELSE '' END ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN chr(9) || 'def f():' || chr(10) || chr(9) ||
+                         '  pass' || chr(10)
+                    ELSE 'x = 1' || chr(10) END ||
+               CASE WHEN doc_id % 4 = 0
+                    THEN '    y = 2' || chr(10) ELSE '' END ||
+               '// ' || substring(text, 1, 40) || chr(10) ||
+               substring(text, 41, 60) AS text
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, chr(10)),
+                           l -> trim(l) <> '') AS ne,
+               string_split(text, chr(10)) AS alllines
+        FROM raw
+    ),
+    s2 AS (
+        SELECT doc_id,
+               len(ne) AS n_lines,
+               list_max(list_transform(ne, l -> length(l)))
+                   AS max_line_len,
+               CASE WHEN len(ne) > 0 THEN
+                 list_sum(list_transform(ne, l -> length(l))) * 1.0
+                 / len(ne) END AS avg_line_len,
+               CASE WHEN length(text) > 0 THEN
+                 length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                 * 1.0 / length(text) END AS alnum_frac,
+               CASE WHEN len(ne) > 0 THEN
+                 len(list_filter(ne, l -> regexp_matches(trim(l),
+                     '^(#|//|/\\*|\\*|--)'))) * 1.0 / len(ne)
+               END AS comment_line_frac,
+               (contains(lower(substring(text, 1, 500)),
+                         'auto-generated')
+                OR contains(lower(substring(text, 1, 500)),
+                            'autogenerated')
+                OR contains(lower(substring(text, 1, 500)),
+                            'do not edit')) AS is_autogenerated,
+               (len(list_filter(alllines,
+                    l -> starts_with(l, chr(9)))) > 0
+                AND len(list_filter(alllines,
+                    l -> regexp_matches(l, '^ +\\S'))) > 0)
+                   AS mixed_indentation
+        FROM sig
+    )
+    SELECT is_autogenerated, mixed_indentation,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_lines) AS BIGINT) AS sum_lines,
+           CAST(max(max_line_len) AS BIGINT) AS max_line,
+           round(avg(alnum_frac) + 0.0000001, 6) AS avg_alnum,
+           round(avg(comment_line_frac) + 0.0000001, 6) AS avg_comment,
+           round(avg(avg_line_len) + 0.0000001, 6) AS avg_line_len
+    FROM s2 GROUP BY 1, 2
+"""
+QUERIES["code_qa"] = q_code_qa

@@ -1117,3 +1117,65 @@ def test_chat_turn_checks_protocol(spark):
     assert got[5]["has_empty_content"]
     assert not got[6]["chat_valid"] and got[6]["n_turns"] is None
     assert not got[7]["roles_known"] and not got[7]["chat_valid"]
+
+
+# ---------------------------------------------------------------------------
+# FIM + code QA
+# ---------------------------------------------------------------------------
+
+
+def test_fim_transform_layouts(spark):
+    import pytest
+
+    from woodwork_spark.operators.text import fim_transform
+
+    df = spark.createDataFrame(
+        [(1, "0123456789"), (2, None), (3, "")], "id long, text string",
+    )
+
+    def ca(idc, ln):
+        return (idc * 3) % (ln + 1)
+
+    def cb(idc, ln):
+        return (idc * 7) % (ln + 1)
+
+    got = {
+        r["id"]: r["fim_text"]
+        for r in fim_transform(df, "text", "id", cut_exprs=(ca, cb)).collect()
+    }
+    assert got[1] == "<fim_prefix>012<fim_suffix>789<fim_middle>3456"
+    assert got[2] is None
+    assert got[3] == "<fim_prefix><fim_suffix><fim_middle>"
+    # every char survives exactly once, any cut points
+    parts = got[1].replace("<fim_prefix>", "|").replace(
+        "<fim_suffix>", "|").replace("<fim_middle>", "|").split("|")
+    assert sorted("".join(parts)) == sorted("0123456789")
+    # default hash cuts are deterministic
+    a = fim_transform(df, "text", "id").collect()
+    b = fim_transform(df, "text", "id").collect()
+    assert a == b
+    spm = fim_transform(
+        df, "text", "id", mode="spm", cut_exprs=(ca, cb),
+    ).collect()[0]["fim_text"]
+    assert spm.startswith("<fim_suffix>")
+    with pytest.raises(ValueError):
+        fim_transform(df, "text", "id", mode="pms")
+
+
+def test_code_qa_exprs(spark):
+    from woodwork_spark.operators.cleaning import code_qa_exprs
+
+    code = (
+        "#!/usr/bin/env python\n# auto-generated - do not edit\n"
+        "def f():\n\treturn 1\n   x = 2\n// c-style\n"
+    )
+    df = spark.createDataFrame(
+        [(1, code), (2, "x" * 200), (3, None)], "id long, text string",
+    )
+    got = {r["id"]: r for r in df.withColumns(code_qa_exprs("text")).collect()}
+    assert got[1]["n_lines"] == 6
+    assert got[1]["is_autogenerated"] and got[1]["mixed_indentation"]
+    assert abs(got[1]["comment_line_frac"] - 0.5) < 1e-12
+    assert got[2]["max_line_len"] == 200 and not got[2]["is_autogenerated"]
+    assert got[2]["alnum_frac"] == 1.0
+    assert got[3]["n_lines"] is None

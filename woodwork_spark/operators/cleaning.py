@@ -1211,3 +1211,60 @@ def bitext_filter(
     if require_digit_parity:
         keep = keep & ~F.col("digit_mismatch")
     return out.withColumn(keep_col, keep)
+
+
+def code_qa_exprs(text_col: str) -> dict[str, Column]:
+    """Source-file quality signals (The Stack / StarCoder-style
+    pre-filters for code corpora), one projection:
+
+    - ``n_lines`` / ``max_line_len`` / ``avg_line_len``: minified or
+      data-blob files show up as few huge lines;
+    - ``alnum_frac``: alphanumeric characters / all characters —
+      binary-ish or symbol-soup files sit low;
+    - ``comment_line_frac``: lines whose trimmed head is a comment
+      marker (``#``, ``//``, ``/*``, ``*``, ``--``) — near-1 means a
+      license-header shell, near-0 on large files means generated code;
+    - ``is_autogenerated``: the canonical "auto-generated / do not
+      edit" markers anywhere in the first 500 chars;
+    - ``mixed_indentation``: some lines open with tabs and others with
+      spaces.
+
+    All RE2-safe regex/array expressions — the same engine-portability
+    contract as the PII patterns.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    nonempty = F.filter(lines, lambda l: F.trim(l) != "")
+    line_lens = F.transform(nonempty, lambda l: F.length(l))
+    n_lines = F.size(nonempty)
+    total_len = F.aggregate(
+        line_lens, F.lit(0), lambda a, x: a + x,
+    )
+    comment = F.filter(
+        nonempty,
+        lambda l: F.trim(l).rlike(r"^(#|//|/\*|\*|--)"),
+    )
+    head = F.lower(F.substring(t, 1, 500))
+    return {
+        "n_lines": n_lines,
+        "max_line_len": F.array_max(line_lens),
+        "avg_line_len": F.when(
+            n_lines > 0, total_len.cast("double") / n_lines,
+        ),
+        "alnum_frac": F.when(
+            F.length(t) > 0,
+            F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+            / F.length(t).cast("double"),
+        ),
+        "comment_line_frac": F.when(
+            n_lines > 0, F.size(comment).cast("double") / n_lines,
+        ),
+        "is_autogenerated": (
+            F.contains(head, F.lit("auto-generated"))
+            | F.contains(head, F.lit("autogenerated"))
+            | F.contains(head, F.lit("do not edit"))
+        ),
+        "mixed_indentation": F.exists(
+            lines, lambda l: l.startswith("\t"),
+        ) & F.exists(lines, lambda l: l.rlike(r"^ +\S")),
+    }

@@ -1097,3 +1097,69 @@ def token_budget_report(
             F.col("ws_tokens").cast("double") / F.col("__tot"),
         ).alias("token_share"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    mode: str = "psm",
+    seed: int = 0,
+    cut_exprs=None,
+    out_col: str = "fim_text",
+) -> DataFrame:
+    """Fill-in-the-middle transformation for code/infilling pretraining
+    (Bavarian et al. 2022): split each document at two character
+    positions into (prefix, middle, suffix) and emit the sentinel
+    layout — PSM ``<fim_prefix>P<fim_suffix>S<fim_middle>M`` or SPM
+    ``<fim_prefix><fim_suffix>S<fim_middle>P M``-style reordering
+    (``mode="spm"``: suffix first, then prefix, then middle — the
+    variant that trains suffix-conditioned completion).
+
+    Cut points are HASH-derived (``xxhash64(id, k, seed)`` modulo
+    length+1, ordered), so the corpus re-derives identically on
+    recompute — the same determinism argument as
+    :func:`span_corruption`.  ``cut_exprs`` overrides with two
+    ``(id_column, length_column) -> position Column`` callables (e.g.
+    plain modular arithmetic another engine replays exactly); positions
+    clamp into ``[0, len]`` and order themselves.  NULL text yields
+    NULL; character-level splitting is deliberate (the published FIM
+    recipe splits raw text so the model learns token-boundary-free
+    joins).
+
+    One projection, zero shuffles, zero Python.
+    """
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"mode must be psm or spm, got {mode!r}")
+    t = F.col(text_col)
+    n = F.length(t)
+    if cut_exprs is None:
+        def c1(idc, ln):
+            return F.pmod(F.xxhash64(idc, F.lit(1), F.lit(int(seed))),
+                          ln + 1)
+
+        def c2(idc, ln):
+            return F.pmod(F.xxhash64(idc, F.lit(2), F.lit(int(seed))),
+                          ln + 1)
+        cut_exprs = (c1, c2)
+    a = F.least(F.greatest(cut_exprs[0](F.col(id_col), n), F.lit(0)), n)
+    b = F.least(F.greatest(cut_exprs[1](F.col(id_col), n), F.lit(0)), n)
+    p1, p2 = F.least(a, b), F.greatest(a, b)
+    prefix = F.substring(t, 1, p1)
+    middle = F.substring(t, p1 + 1, p2 - p1)
+    suffix = F.substring(t, p2 + 1, n - p2)
+    if mode == "psm":
+        fim = F.concat(
+            F.lit("<fim_prefix>"), prefix,
+            F.lit("<fim_suffix>"), suffix,
+            F.lit("<fim_middle>"), middle,
+        )
+    else:
+        fim = F.concat(
+            F.lit("<fim_suffix>"), suffix,
+            F.lit("<fim_prefix>"), prefix,
+            F.lit("<fim_middle>"), middle,
+        )
+    return df.withColumn(
+        out_col, F.when(t.isNotNull(), fim),
+    )
