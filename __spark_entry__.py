@@ -16742,3 +16742,195 @@ ORACLE["code_qa"] = """
     FROM s2 GROUP BY 1, 2
 """
 QUERIES["code_qa"] = q_code_qa
+
+
+def q_embedding_health(spark, sf_dir):
+    """Embedding pre-flight audit with planted defects (null vectors,
+    empty arrays, NaN components, zero norms): ONE aggregation of array
+    expressions; defect classes counted, norm moments over healthy
+    rows."""
+    from woodwork_spark.operators.embedding import embedding_health_report
+
+    _prep(spark)
+    k = F.col("vec_id")
+    v = (
+        F.when(k % 97 == 0, F.lit(None))
+        .when(k % 89 == 0, F.array().cast("array<float>"))
+        .when(
+            k % 83 == 0,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("float")),
+                F.slice("embedding", 2, 63),
+            ),
+        )
+        .when(
+            k % 79 == 0,
+            F.transform("embedding", lambda x: F.lit(0.0).cast("float")),
+        )
+        .otherwise(F.col("embedding"))
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", v.alias("v"))
+    out = embedding_health_report(emb, "v")
+    return out.select(
+        "n", "n_null", "n_empty", "n_nonfinite", "n_zero_norm",
+        "n_dims", F.col("modal_dim").cast("long").alias("modal_dim"),
+        _ravg(F.col("norm_min"), 6).alias("norm_min"),
+        _ravg(F.col("norm_max"), 6).alias("norm_max"),
+        _ravg(F.col("norm_avg"), 6).alias("norm_avg"),
+    )
+
+
+ORACLE["embedding_health"] = """
+    WITH raw AS (
+        SELECT vec_id,
+               CASE
+                 WHEN vec_id % 97 = 0 THEN NULL
+                 WHEN vec_id % 89 = 0 THEN []::FLOAT[]
+                 WHEN vec_id % 83 = 0 THEN
+                   list_prepend(CAST('NaN' AS FLOAT), embedding[2:])
+                 WHEN vec_id % 79 = 0 THEN
+                   list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+                 ELSE embedding
+               END AS v
+        FROM embeddings
+    ),
+    sig AS (
+        SELECT v,
+               v IS NULL AS is_null,
+               v IS NOT NULL AND len(v) = 0 AS is_empty,
+               v IS NOT NULL AND len(list_filter(v,
+                   x -> x IS NULL OR isnan(x) OR abs(x) > 1e300)) > 0
+                   AS bad,
+               CASE WHEN v IS NOT NULL THEN
+                 list_sum(list_transform(v,
+                     x -> CAST(x AS DOUBLE) * x)) END AS sq
+        FROM raw
+    ),
+    s2 AS (
+        SELECT *,
+               (NOT is_null AND NOT is_empty AND NOT bad) AS healthy,
+               sqrt(sq) AS nrm
+        FROM sig
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(sum(CASE WHEN is_empty THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty,
+           CAST(sum(CASE WHEN NOT is_null AND bad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_nonfinite,
+           CAST(sum(CASE WHEN healthy AND sq = 0.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_zero_norm,
+           CAST(count(DISTINCT CASE WHEN v IS NOT NULL THEN len(v) END)
+               AS BIGINT) AS n_dims,
+           CAST(mode(CASE WHEN v IS NOT NULL THEN len(v) END)
+               AS BIGINT) AS modal_dim,
+           round(min(CASE WHEN healthy THEN nrm END) + 0.0000001, 6)
+               AS norm_min,
+           round(max(CASE WHEN healthy THEN nrm END) + 0.0000001, 6)
+               AS norm_max,
+           round(avg(CASE WHEN healthy THEN nrm END) + 0.0000001, 6)
+               AS norm_avg
+    FROM s2
+"""
+QUERIES["embedding_health"] = q_embedding_health
+
+
+def q_matryoshka(spark, sf_dir):
+    """Matryoshka truncation audit: cosine drift of 8/16/32-dim
+    prefixes vs the full 64 dims over an arithmetic-sampled pair set
+    (consecutive-rank pairing via the range-partitioned row number —
+    no single-reducer window)."""
+    from woodwork_spark.operators.embedding import matryoshka_report
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = matryoshka_report(
+        emb, "vec_id", "embedding", dims=[8, 16, 32, 64],
+        sample_expr=lambda idc: idc % 7 == 0,
+    )
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
+    return attach_persisted(
+        out.select(
+            "n_pairs", F.col("dim").cast("long").alias("dim"),
+            _ravg(F.col("mae"), 6).alias("mae"),
+            _ravg(F.col("max_err"), 6).alias("max_err"),
+            _ravg(F.col("bias"), 6).alias("bias"),
+        ),
+        *persisted_frames(out),
+    )
+
+
+ORACLE["matryoshka"] = """
+    WITH s AS (
+        SELECT vec_id, embedding AS v,
+               row_number() OVER (ORDER BY vec_id) AS i
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id % 7 = 0
+    ),
+    pairs AS (
+        SELECT a.v AS va, b.v AS vb
+        FROM s a JOIN s b ON a.i = b.i + 1
+    ),
+    c AS (
+        SELECT
+          list_sum(list_transform(list_zip(va, vb),
+              p -> CAST(p[1] AS DOUBLE) * p[2]))
+          / sqrt(list_sum(list_transform(va,
+                x -> CAST(x AS DOUBLE) * x))
+               * list_sum(list_transform(vb,
+                x -> CAST(x AS DOUBLE) * x))) AS cf,
+          list_sum(list_transform(list_zip(va[1:8], vb[1:8]),
+              p -> CAST(p[1] AS DOUBLE) * p[2]))
+          / sqrt(list_sum(list_transform(va[1:8],
+                x -> CAST(x AS DOUBLE) * x))
+               * list_sum(list_transform(vb[1:8],
+                x -> CAST(x AS DOUBLE) * x))) AS c8,
+          list_sum(list_transform(list_zip(va[1:16], vb[1:16]),
+              p -> CAST(p[1] AS DOUBLE) * p[2]))
+          / sqrt(list_sum(list_transform(va[1:16],
+                x -> CAST(x AS DOUBLE) * x))
+               * list_sum(list_transform(vb[1:16],
+                x -> CAST(x AS DOUBLE) * x))) AS c16,
+          list_sum(list_transform(list_zip(va[1:32], vb[1:32]),
+              p -> CAST(p[1] AS DOUBLE) * p[2]))
+          / sqrt(list_sum(list_transform(va[1:32],
+                x -> CAST(x AS DOUBLE) * x))
+               * list_sum(list_transform(vb[1:32],
+                x -> CAST(x AS DOUBLE) * x))) AS c32,
+          list_sum(list_transform(list_zip(va[1:64], vb[1:64]),
+              p -> CAST(p[1] AS DOUBLE) * p[2]))
+          / sqrt(list_sum(list_transform(va[1:64],
+                x -> CAST(x AS DOUBLE) * x))
+               * list_sum(list_transform(vb[1:64],
+                x -> CAST(x AS DOUBLE) * x))) AS c64
+        FROM pairs
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               avg(abs(c8 - cf)) AS mae8, max(abs(c8 - cf)) AS max8,
+               avg(c8 - cf) AS bias8,
+               avg(abs(c16 - cf)) AS mae16, max(abs(c16 - cf)) AS max16,
+               avg(c16 - cf) AS bias16,
+               avg(abs(c32 - cf)) AS mae32, max(abs(c32 - cf)) AS max32,
+               avg(c32 - cf) AS bias32,
+               avg(abs(c64 - cf)) AS mae64, max(abs(c64 - cf)) AS max64,
+               avg(c64 - cf) AS bias64
+        FROM c
+    )
+    SELECT n_pairs, CAST(8 AS BIGINT) AS dim,
+           round(mae8 + 0.0000001, 6) AS mae,
+           round(max8 + 0.0000001, 6) AS max_err,
+           round(bias8 + 0.0000001, 6) AS bias FROM g
+    UNION ALL SELECT n_pairs, 16, round(mae16 + 0.0000001, 6),
+           round(max16 + 0.0000001, 6), round(bias16 + 0.0000001, 6)
+    FROM g
+    UNION ALL SELECT n_pairs, 32, round(mae32 + 0.0000001, 6),
+           round(max32 + 0.0000001, 6), round(bias32 + 0.0000001, 6)
+    FROM g
+    UNION ALL SELECT n_pairs, 64, round(mae64 + 0.0000001, 6),
+           round(max64 + 0.0000001, 6), round(bias64 + 0.0000001, 6)
+    FROM g
+"""
+QUERIES["matryoshka"] = q_matryoshka

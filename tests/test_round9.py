@@ -1179,3 +1179,53 @@ def test_code_qa_exprs(spark):
     assert got[2]["max_line_len"] == 200 and not got[2]["is_autogenerated"]
     assert got[2]["alnum_frac"] == 1.0
     assert got[3]["n_lines"] is None
+
+
+# ---------------------------------------------------------------------------
+# Embedding health + matryoshka
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_health_report(spark):
+    from woodwork_spark.operators.embedding import embedding_health_report
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, None),
+        (3, []),
+        (4, [float("nan"), 1.0]),
+        (5, [0.0, 0.0]),
+        (6, [3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    r = embedding_health_report(df, "v").collect()[0]
+    assert r["n"] == 6 and r["n_null"] == 1 and r["n_empty"] == 1
+    assert r["n_nonfinite"] == 1 and r["n_zero_norm"] == 1
+    assert r["n_dims"] == 2  # lengths 0 and 2
+    assert r["modal_dim"] == 2
+    assert abs(r["norm_max"] - 5.0) < 1e-12
+
+
+def test_matryoshka_report_full_prefix_is_exact(spark):
+    import pytest
+
+    from woodwork_spark.lifecycle import release
+    from woodwork_spark.operators.embedding import matryoshka_report
+
+    df = spark.range(40).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 100) / 50.0 - 1.0),
+        ).alias("v"),
+    )
+    out = matryoshka_report(
+        df, "id", "v", dims=[2, 8], sample_expr=lambda c: c % 2 == 0,
+    )
+    rows = {r["dim"]: r for r in out.collect()}
+    release(out)
+    assert rows[8]["mae"] == 0.0 and rows[8]["max_err"] == 0.0
+    assert rows[2]["mae"] > 0.0
+    assert rows[2]["n_pairs"] == 19
+    with pytest.raises(ValueError):
+        matryoshka_report(df, "id", "v", dims=[])

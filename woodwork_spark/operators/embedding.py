@@ -351,3 +351,141 @@ def quantize_embeddings(
         F.when(scale.isNotNull(), q).alias(out_col),
         F.when(scale.isNotNull(), err).alias("max_abs_err"),
     )
+
+
+def embedding_health_report(df: DataFrame, vec_col: str) -> DataFrame:
+    """Pre-flight health check for an embedding column — the audit that
+    runs BEFORE any ANN/dedup/quantization job commits cluster time:
+    row counts by defect class (NULL vector, empty, NaN/Inf components,
+    all-zero norm), dimension consistency (distinct lengths + the modal
+    dimension), and L2-norm moments/extremes over the healthy rows
+    (collapsed or exploding norms break cosine retrieval silently).
+
+    ONE aggregation of pure array expressions; returns one row.
+    """
+    v = F.col(vec_col)
+    has_bad = F.exists(
+        v, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) > F.lit(1e300)),
+    )
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda a, x: a + x.cast("double") * x,
+    )
+    norm = F.sqrt(sq)
+    healthy = v.isNotNull() & (F.size(v) > 0) & ~has_bad
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v.isNull().cast("long")).alias("n_null"),
+        F.sum((v.isNotNull() & (F.size(v) == 0)).cast("long"))
+        .alias("n_empty"),
+        F.sum(F.when(v.isNotNull() & has_bad, 1).otherwise(0))
+        .cast("long").alias("n_nonfinite"),
+        F.sum(
+            F.when(healthy & (sq == 0.0), 1).otherwise(0),
+        ).cast("long").alias("n_zero_norm"),
+        F.count_distinct(F.when(v.isNotNull(), F.size(v)))
+        .cast("long").alias("n_dims"),
+        F.mode(F.when(v.isNotNull(), F.size(v))).alias("modal_dim"),
+        F.min(F.when(healthy, norm)).alias("norm_min"),
+        F.max(F.when(healthy, norm)).alias("norm_max"),
+        F.avg(F.when(healthy, norm)).alias("norm_avg"),
+    )
+
+
+def matryoshka_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims,
+    n_pairs_mod: int = 20,
+    sample_expr=None,
+) -> DataFrame:
+    """How much cosine structure survives truncating embeddings to each
+    prefix length in ``dims`` — the go/no-go number for Matryoshka-style
+    dimension cuts (Kusupati et al. 2022) before switching ANN/dedup to
+    a cheaper prefix.  For a deterministic hash-sample of vector pairs
+    (both ids hash to 0 mod ``n_pairs_mod``; consecutive ranks pair up,
+    so the sample needs no self-join over the corpus), reports per
+    prefix length: mean |cos_full - cos_prefix|, the worst pair, and
+    the mean signed bias.
+
+    Shape: the sampled rows get a range-partitioned global row number
+    (``rank.global_row_number`` — no single-reducer window) and pair
+    with their predecessor via ONE keyed self-join on ``i = i - 1``,
+    the same consecutive-pairing shape as ``wasserstein_1d``; each
+    prefix cosine is a pure slice + aggregate expression; the rollup is
+    one aggregation.  Sampling is hash-derived (reproducible); pass a
+    larger ``n_pairs_mod`` to shrink the sample at bigger corpora, or
+    ``sample_expr`` (an ``id_column -> boolean Column``) to replace the
+    xxhash64 predicate with one another engine can replay.
+    """
+    from woodwork_spark.lifecycle import persisted_frames, release
+    from woodwork_spark.operators.rank import global_row_number
+
+    dims = [int(d) for d in dims]
+    if not dims or any(d < 1 for d in dims):
+        raise ValueError("dims must be positive prefix lengths")
+    v = F.col(vec_col)
+    if sample_expr is None:
+        def sample_expr(idc):
+            return F.pmod(
+                F.xxhash64(idc), F.lit(int(n_pairs_mod)),
+            ) == 0
+    sampled = df.filter(
+        v.isNotNull() & sample_expr(F.col(id_col)),
+    ).select(F.col(id_col).alias("__id"), v.alias("__v"))
+    ranked = global_row_number(sampled, [F.asc("__id")], out_col="__i")
+    cur = ranked.select("__i", "__v")
+    prv = ranked.select(
+        (F.col("__i") + 1).alias("__i"), F.col("__v").alias("__pv"),
+    )
+    pairs = cur.join(prv, "__i")
+
+    def dot(a, b, d=None):
+        aa = F.slice(a, 1, d) if d else a
+        bb = F.slice(b, 1, d) if d else b
+        return F.aggregate(
+            F.zip_with(aa, bb, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    def cos(a, b, d=None):
+        return dot(a, b, d) / F.sqrt(
+            dot(a, a, d) * dot(b, b, d),
+        )
+
+    full = cos(F.col("__v"), F.col("__pv"))
+    scored = pairs.select(
+        *[
+            (cos(F.col("__v"), F.col("__pv"), d) - full).alias(f"__e{d}")
+            for d in dims
+        ],
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_pairs")]
+    rows = []
+    g = scored.agg(
+        *aggs,
+        *[
+            a
+            for d in dims
+            for a in (
+                F.avg(F.abs(F.col(f"__e{d}"))).alias(f"__mae{d}"),
+                F.max(F.abs(F.col(f"__e{d}"))).alias(f"__max{d}"),
+                F.avg(F.col(f"__e{d}")).alias(f"__bias{d}"),
+            )
+        ],
+    )
+    parts = [
+        F.struct(
+            F.lit(d).alias("dim"),
+            F.col(f"__mae{d}").alias("mae"),
+            F.col(f"__max{d}").alias("max_err"),
+            F.col(f"__bias{d}").alias("bias"),
+        )
+        for d in dims
+    ]
+    out = g.select(
+        "n_pairs", F.inline(F.array(*parts)),
+    )
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(out, *persisted_frames(ranked))
