@@ -16934,3 +16934,94 @@ ORACLE["matryoshka"] = """
     FROM g
 """
 QUERIES["matryoshka"] = q_matryoshka
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML text extraction + markup QA over synthesized crawl pages
+    (script/style blocks with decoy tags inside, comments, entities,
+    link/paragraph structure): pure RE2-safe regex expressions, one
+    projection — per-doc visible text and structural signals."""
+    from woodwork_spark.operators.web import html_qa_exprs, html_strip_expr
+
+    _prep(spark)
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"), F.lit("</title>"),
+        F.when(
+            d % 4 == 0,
+            F.lit('<script>var x = "<p>ignored</p>";</script>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0, F.lit("<style>p { color: red }</style>"),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><!-- c --><h1>"),
+        F.substring("text", 1, 40), F.lit(" &amp; more</h1><p>"),
+        F.substring("text", 41, 60), F.lit("</p>"),
+        F.when(
+            d % 2 == 0,
+            F.lit('<p>Hello&nbsp;world</p><a href="/x">l</a>'),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", html.alias("html"),
+    )
+    qa = html_qa_exprs("html")
+    return docs.select(
+        "doc_id",
+        html_strip_expr("html").alias("text"),
+        qa["n_tags"].cast("long").alias("n_tags"),
+        qa["n_links"].cast("long").alias("n_links"),
+        qa["n_paragraphs"].cast("long").alias("n_paragraphs"),
+        qa["has_script"].alias("has_script"),
+        _ravg(qa["text_ratio"], 6).alias("text_ratio"),
+    )
+
+
+ORACLE["html_extract"] = """
+    WITH raw AS (
+        SELECT doc_id,
+               '<html><head><title>' || source || '</title>' ||
+               CASE WHEN doc_id % 4 = 0 THEN
+                 '<script>var x = "<p>ignored</p>";</script>'
+               ELSE '' END ||
+               CASE WHEN doc_id % 3 = 0 THEN
+                 '<style>p { color: red }</style>' ELSE '' END ||
+               '</head><body><!-- c --><h1>' ||
+               substring(text, 1, 40) || ' &amp; more</h1><p>' ||
+               substring(text, 41, 60) || '</p>' ||
+               CASE WHEN doc_id % 2 = 0 THEN
+                 '<p>Hello&nbsp;world</p><a href="/x">l</a>'
+               ELSE '' END || '</body></html>' AS html
+        FROM documents
+    ),
+    body AS (
+        SELECT doc_id, html,
+               regexp_replace(regexp_replace(regexp_replace(html,
+                   '(?si)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                   '(?si)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g') AS b
+        FROM raw
+    ),
+    vis AS (
+        SELECT doc_id, html, b,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(b, '(?s)<[^>]*>', ' ', 'g'),
+                   '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                   '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)),
+                 '\\s+', ' ', 'g')) AS text
+        FROM body
+    )
+    SELECT doc_id, text,
+           len(regexp_extract_all(b, '(?s)<[^>]*>')) AS n_tags,
+           len(regexp_extract_all(lower(b), '<a[\\s>]')) AS n_links,
+           len(regexp_extract_all(lower(b), '<p[\\s>]'))
+               AS n_paragraphs,
+           regexp_matches(lower(html), '<script\\b') AS has_script,
+           round(CASE WHEN length(html) > 0 THEN
+                 length(text) * 1.0 / length(html) END + 0.0000001, 6)
+               AS text_ratio
+    FROM vis
+"""
+QUERIES["html_extract"] = q_html_extract

@@ -1229,3 +1229,36 @@ def test_matryoshka_report_full_prefix_is_exact(spark):
     assert rows[2]["n_pairs"] == 19
     with pytest.raises(ValueError):
         matryoshka_report(df, "id", "v", dims=[])
+
+
+# ---------------------------------------------------------------------------
+# HTML strip + QA
+# ---------------------------------------------------------------------------
+
+
+def test_html_strip_and_qa(spark):
+    from woodwork_spark.operators.web import html_qa_exprs, html_strip_expr
+
+    html = (
+        '<html><head><style>p{color:red}</style>'
+        '<script>var x="<p>decoy</p>";</script></head>'
+        "<body><!-- note --><h1>Title &amp; More</h1>"
+        "<p>Hello&nbsp;world.</p><p>Second   para</p>"
+        '<a href="/x">link</a></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, None), (3, "plain text")], "id long, h string",
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in df.select("id", html_strip_expr("h").alias("t")).collect()
+    }
+    assert got[1] == "Title & More Hello world. Second para link"
+    assert got[2] is None
+    assert got[3] == "plain text"
+    r = df.withColumns(html_qa_exprs("h")).filter("id=1").collect()[0]
+    # the <p> inside the script string is code, not structure
+    assert r["n_paragraphs"] == 2
+    assert r["n_links"] == 1
+    assert r["has_script"] and r["has_style"]
+    assert 0 < r["text_ratio"] < 1

@@ -39,6 +39,8 @@ __all__ = [
     "apply_url_policies",
     "parse_robots_rules",
     "parse_sitemap_urls",
+    "html_strip_expr",
+    "html_qa_exprs",
     "tracking_param_regex",
 ]
 
@@ -633,3 +635,81 @@ def parse_sitemap_urls(
         loc.alias("url"),
         F.when(lastmod != "", lastmod).alias("lastmod"),
     ).filter(F.col("url") != "")
+
+
+def html_strip_expr(html_col) -> Column:
+    """Visible text of an HTML payload as one column expression: drops
+    ``<script>``/``<style>`` blocks (their CONTENT is code, not text),
+    comments, then all remaining tags; unescapes the five predefined
+    XML entities plus ``&nbsp;`` and numeric ``&#NN;`` for the common
+    ASCII range is NOT attempted (document: entity coverage is the
+    predefined set — full entity tables are data, not code); collapses
+    whitespace runs and trims.
+
+    Regex-based by the module's engine-portability contract (RE2-safe:
+    no lookaround, non-greedy + (?s) only) — a real DOM parser is a
+    different tradeoff (correct on pathological markup, 100x the cost,
+    and engine-specific).  Good enough for crawl-scale text extraction
+    where the next stages (quality, dedup) tolerate extraction noise.
+    """
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    t = F.regexp_replace(c, r"(?si)<script\b[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?si)<style\b[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_qa_exprs(html_col) -> dict[str, Column]:
+    """Markup-quality signals for crawled HTML, one projection:
+
+    - ``visible_chars`` / ``raw_chars`` and ``text_ratio`` (visible /
+      raw) — chrome-heavy or script-only pages sit near 0;
+    - ``n_tags``, ``n_links``, ``link_density`` (links per 100 visible
+      chars — boilerplate nav pages are link-dense);
+    - ``has_script`` / ``has_style``;
+    - ``n_paragraphs``: ``<p`` opening tags, the cheapest
+      content-structure proxy.
+
+    Composable with :func:`html_strip_expr` (shares its extraction)
+    and the text-quality signals downstream.
+    """
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    visible = html_strip_expr(c)
+    raw_len = F.length(c)
+    # structural counts run on the DE-SCRIPTED markup: a '<p>' inside
+    # a script string literal is code, not structure
+    body = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, r"(?si)<script\b[^>]*>.*?</script>", " "),
+            r"(?si)<style\b[^>]*>.*?</style>", " ",
+        ),
+        r"(?s)<!--.*?-->", " ",
+    )
+    n_tags = F.size(F.regexp_extract_all(body, F.lit(r"(?s)<[^>]*>"), 0))
+    n_links = F.size(
+        F.regexp_extract_all(F.lower(body), F.lit(r"<a[\s>]"), 0),
+    )
+    vis_len = F.length(visible)
+    return {
+        "raw_chars": raw_len,
+        "visible_chars": vis_len,
+        "text_ratio": F.when(
+            raw_len > 0, vis_len.cast("double") / raw_len,
+        ),
+        "n_tags": n_tags,
+        "n_links": n_links,
+        "link_density": F.when(
+            vis_len > 0, n_links * F.lit(100.0) / vis_len,
+        ),
+        "has_script": F.lower(c).rlike(r"<script\b"),
+        "has_style": F.lower(c).rlike(r"<style\b"),
+        "n_paragraphs": F.size(
+            F.regexp_extract_all(F.lower(body), F.lit(r"<p[\s>]"), 0),
+        ),
+    }
