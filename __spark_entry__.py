@@ -17025,3 +17025,123 @@ ORACLE["html_extract"] = """
     FROM vis
 """
 QUERIES["html_extract"] = q_html_extract
+
+
+def q_preference_pair_qa(spark, sf_dir):
+    """DPO preference-pair QA over synthesized chosen/rejected pairs
+    (identical pairs, containment truncations, refusal-as-chosen leaks,
+    extreme length gaps): one projection, rolled up by flag tuple."""
+    from woodwork_spark.operators.chat import preference_pair_qa_exprs
+
+    _prep(spark)
+    d = F.col("doc_id")
+    chosen = (
+        F.when(d % 6 == 0, F.substring("text", 1, 80))
+        .when(
+            d % 6 == 1,
+            F.concat(F.lit("I'm sorry, I can't do that about "),
+                     F.substring("text", 1, 30)),
+        )
+        .when(d % 6 == 2, F.substring("text", 1, 120))
+        .otherwise(F.concat(F.lit("Good: "), F.substring("text", 1, 90)))
+    )
+    rejected = (
+        F.when(d % 6 == 0, F.substring("text", 1, 80))      # identical
+        .when(d % 6 == 2, F.substring("text", 1, 60))       # containment
+        .when(d % 6 == 3, F.substring("text", 121, 12))     # big gap
+        .otherwise(F.concat(F.lit("Bad: "), F.substring("text", 61, 80)))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", chosen.alias("chosen"), rejected.alias("rejected"),
+    )
+    out = docs.withColumns(
+        preference_pair_qa_exprs("chosen", "rejected"),
+    )
+    return out.groupBy(
+        "pair_valid", "identical_pair", "one_contains_other",
+        "len_gap_ok", "chosen_refusal",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("chosen_tokens").cast("long").alias("sum_chosen_toks"),
+        F.sum("rejected_tokens").cast("long").alias("sum_rejected_toks"),
+    )
+
+
+ORACLE["preference_pair_qa"] = """
+    WITH pairs AS (
+        SELECT doc_id,
+               CASE
+                 WHEN doc_id % 6 = 0 THEN substring(text, 1, 80)
+                 WHEN doc_id % 6 = 1 THEN
+                   'I''m sorry, I can''t do that about ' ||
+                   substring(text, 1, 30)
+                 WHEN doc_id % 6 = 2 THEN substring(text, 1, 120)
+                 ELSE 'Good: ' || substring(text, 1, 90)
+               END AS chosen,
+               CASE
+                 WHEN doc_id % 6 = 0 THEN substring(text, 1, 80)
+                 WHEN doc_id % 6 = 2 THEN substring(text, 1, 60)
+                 WHEN doc_id % 6 = 3 THEN substring(text, 121, 12)
+                 ELSE 'Bad: ' || substring(text, 61, 80)
+               END AS rejected
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, chosen, rejected,
+               len(list_filter(string_split_regex(trim(chosen),
+                   '\\s+'), t -> t <> '')) AS ct,
+               len(list_filter(string_split_regex(trim(rejected),
+                   '\\s+'), t -> t <> '')) AS rt,
+               lower(trim(chosen)) = lower(trim(rejected)) AS ident,
+               (length(trim(chosen)) > 0 AND length(trim(rejected)) > 0
+                AND (contains(lower(trim(chosen)),
+                              lower(trim(rejected)))
+                     OR contains(lower(trim(rejected)),
+                                 lower(trim(chosen))))
+                AND NOT lower(trim(chosen)) = lower(trim(rejected)))
+                   AS contains_other,
+               (contains(lower(substring(trim(chosen), 1, 80)),
+                         'i can''t')
+                OR contains(lower(substring(trim(chosen), 1, 80)),
+                            'i cannot')
+                OR contains(lower(substring(trim(chosen), 1, 80)),
+                            'i won''t')
+                OR contains(lower(substring(trim(chosen), 1, 80)),
+                            'i''m sorry')
+                OR contains(lower(substring(trim(chosen), 1, 80)),
+                            'i am sorry')
+                OR contains(lower(substring(trim(chosen), 1, 80)),
+                            'as an ai')
+                OR contains(lower(substring(trim(chosen), 1, 80)),
+                            'as a language model')
+                OR contains(lower(substring(trim(chosen), 1, 80)),
+                            'i''m not able to')
+                OR contains(lower(substring(trim(chosen), 1, 80)),
+                            'i am not able to')) AS chosen_refusal
+        FROM pairs
+    ),
+    s2 AS (
+        SELECT *,
+               greatest(ct, rt) * 1.0 / greatest(least(ct, rt), 1)
+                   <= 4.0 AS len_gap_ok,
+               ident AND length(trim(chosen)) > 0 AS identical_pair
+        FROM sig
+    ),
+    s3 AS (
+        SELECT *,
+               coalesce(chosen IS NOT NULL AND rejected IS NOT NULL
+                        AND ct > 0 AND rt > 0 AND NOT identical_pair
+                        AND NOT ident
+                        AND NOT contains_other AND len_gap_ok, FALSE)
+                   AS pair_valid
+        FROM s2
+    )
+    SELECT pair_valid, identical_pair,
+           contains_other AS one_contains_other, len_gap_ok,
+           chosen_refusal,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ct) AS BIGINT) AS sum_chosen_toks,
+           CAST(sum(rt) AS BIGINT) AS sum_rejected_toks
+    FROM s3 GROUP BY 1, 2, 3, 4, 5
+"""
+QUERIES["preference_pair_qa"] = q_preference_pair_qa

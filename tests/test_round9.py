@@ -1262,3 +1262,34 @@ def test_html_strip_and_qa(spark):
     assert r["n_links"] == 1
     assert r["has_script"] and r["has_style"]
     assert 0 < r["text_ratio"] < 1
+
+
+def test_preference_pair_qa(spark):
+    import pytest
+
+    from woodwork_spark.operators.chat import preference_pair_qa_exprs
+
+    rows = [
+        (1, "Good long answer here.", "A different bad answer."),
+        (2, "same text", "same text"),
+        (3, "a longer text that contains it", "contains it"),
+        (4, "word " * 40, "w"),
+        (5, "I'm sorry, I can't help.", "Here is how to do it."),
+        (6, None, "x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, chosen string, rejected string")
+    got = {
+        r["id"]: r
+        for r in df.withColumns(
+            preference_pair_qa_exprs("chosen", "rejected"),
+        ).collect()
+    }
+    assert got[1]["pair_valid"]
+    assert got[2]["identical_pair"] and not got[2]["pair_valid"]
+    assert got[3]["one_contains_other"] and not got[3]["pair_valid"]
+    assert not got[4]["len_gap_ok"] and not got[4]["pair_valid"]
+    assert got[5]["chosen_refusal"] and not got[5]["rejected_refusal"]
+    assert got[5]["pair_valid"], "refusal flags, does not invalidate"
+    assert not got[6]["pair_valid"]
+    with pytest.raises(ValueError):
+        preference_pair_qa_exprs("chosen", "rejected", max_len_gap=1.0)

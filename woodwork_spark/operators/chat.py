@@ -25,6 +25,7 @@ __all__ = [
     "DEFAULT_REFUSAL_PHRASES",
     "instruction_qa_exprs",
     "chat_turn_checks",
+    "preference_pair_qa_exprs",
 ]
 
 DEFAULT_REFUSAL_PHRASES = (
@@ -156,3 +157,72 @@ def chat_turn_checks(
     return out.withColumn(
         "chat_valid", F.coalesce(valid, F.lit(False)),
     )
+
+
+def preference_pair_qa_exprs(
+    chosen_col: str,
+    rejected_col: str,
+    refusal_phrases=DEFAULT_REFUSAL_PHRASES,
+    max_len_gap: float = 4.0,
+    head_chars: int = 80,
+) -> dict[str, Column]:
+    """QA signals for DPO/RLHF preference pairs — the artifacts that
+    quietly teach a reward model the wrong thing:
+
+    - ``identical_pair``: chosen == rejected after trim+casefold (no
+      gradient signal; a join bug upstream);
+    - ``chosen_tokens`` / ``rejected_tokens`` and ``len_gap_ok``:
+      longer/shorter token ratio <= ``max_len_gap`` — extreme gaps
+      train a length heuristic, not a preference;
+    - ``chosen_refusal`` / ``rejected_refusal``: refusal template in
+      the response HEAD (a pair whose CHOSEN side is the refusal is
+      usually a safety-label leak into a helpfulness dataset —
+      segregate, don't mix);
+    - ``one_contains_other``: either full trimmed text inside the
+      other (truncation/regeneration artifacts);
+    - ``pair_valid``: non-null, non-identical, both non-empty, length
+      gap ok, no containment.
+
+    One projection of pure column expressions, shares the refusal
+    vocabulary with :func:`instruction_qa_exprs`.
+    """
+    if max_len_gap <= 1.0:
+        raise ValueError("max_len_gap must be > 1")
+    c, r = F.trim(F.col(chosen_col)), F.trim(F.col(rejected_col))
+
+    def toks(x):
+        return F.size(F.filter(F.split(x, r"\s+"), lambda t: t != ""))
+
+    def refusal(x):
+        head = F.lower(F.substring(x, 1, int(head_chars)))
+        out = F.lit(False)
+        for ph in refusal_phrases:
+            out = out | F.contains(head, F.lit(str(ph).lower()))
+        return out
+
+    ct, rt = toks(c), toks(r)
+    gap = F.greatest(ct, rt).cast("double") / F.greatest(
+        F.least(ct, rt), F.lit(1),
+    )
+    identical = (F.lower(c) == F.lower(r))
+    contains = (
+        (F.length(c) > 0) & (F.length(r) > 0)
+        & (F.contains(F.lower(c), F.lower(r))
+           | F.contains(F.lower(r), F.lower(c)))
+        & ~identical
+    )
+    len_gap_ok = gap <= F.lit(float(max_len_gap))
+    valid = (
+        F.col(chosen_col).isNotNull() & F.col(rejected_col).isNotNull()
+        & (ct > 0) & (rt > 0) & ~identical & ~contains & len_gap_ok
+    )
+    return {
+        "chosen_tokens": ct,
+        "rejected_tokens": rt,
+        "identical_pair": identical & (F.length(c) > 0),
+        "len_gap_ok": len_gap_ok,
+        "chosen_refusal": refusal(c),
+        "rejected_refusal": refusal(r),
+        "one_contains_other": contains,
+        "pair_valid": F.coalesce(valid, F.lit(False)),
+    }
