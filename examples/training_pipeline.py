@@ -197,5 +197,36 @@ assert report.filter("NOT passed").count() == 0, "quality gate failed"
 sharded = shuffle_shards(weighted, "doc_id", num_shards=4)
 sharded.groupBy("shard").count().orderBy("shard").show()
 
+# ---- 12. objective-specific data prep (round 9) -----------------------------
+from woodwork_spark.operators.text import (
+    fim_transform,
+    span_corruption,
+    token_budget_report,
+)
+
+budget = token_budget_report(weighted, "text", "lang")
+print("token budget by language (share of corpus tokens):")
+budget.orderBy(F.desc("token_share")).show(5, truncate=False)
+
+denoise = span_corruption(weighted, "text", "doc_id", block_len=4)
+pair = denoise.filter(F.col("target_text") != "").first()
+print("span-corruption sample target:", pair["target_text"][:70], "...")
+
+infill = fim_transform(weighted, "text", "doc_id")
+print(
+    "FIM rows with a non-empty middle:",
+    infill.filter(~F.col("fim_text").endswith("<fim_middle>")).count(),
+)
+
+# ---- 13. embedding pre-flight before ANN/semantic dedup ---------------------
+from woodwork_spark.operators.embedding import embedding_health_report
+
+health = embedding_health_report(emb, "embedding").first()
+assert health["n_null"] == 0 and health["n_nonfinite"] == 0
+print(
+    f"embeddings healthy: {health['n']} rows, dim={health['modal_dim']}, "
+    f"norm avg {health['norm_avg']:.3f}",
+)
+
 spark.stop()
 print("pipeline complete")
