@@ -1293,3 +1293,41 @@ def test_preference_pair_qa(spark):
     assert not got[6]["pair_valid"]
     with pytest.raises(ValueError):
         preference_pair_qa_exprs("chosen", "rejected", max_len_gap=1.0)
+
+
+def test_with_registered_domain_property_parity(spark):
+    """Property: on ANY host built from random labels, resolving with
+    the built-in suffix subset AS DATA equals the literal-expression
+    path (the technique that caught round 8's www-strip bug)."""
+    from hypothesis import given, settings, strategies as st
+
+    from woodwork_spark.operators.web import (
+        MULTIPART_SUFFIXES,
+        with_registered_domain,
+    )
+
+    sfx = spark.createDataFrame(
+        [(s,) for s in MULTIPART_SUFFIXES], "suffix string",
+    )
+    label = st.sampled_from(
+        ["www", "a", "shop", "co", "uk", "com", "example", "x0", "jp"],
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(hosts=st.lists(
+        st.lists(label, min_size=1, max_size=5).map(".".join),
+        min_size=1, max_size=8,
+    ))
+    def run(hosts):
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        via_data = with_registered_domain(
+            df, "host", suffixes=sfx, from_host=True,
+        ).select("host", "domain")
+        via_expr = with_registered_domain(
+            df, "host", suffixes=None, from_host=True,
+        ).select("host", "domain")
+        d1 = sorted(map(tuple, via_data.collect()))
+        d2 = sorted(map(tuple, via_expr.collect()))
+        assert d1 == d2, (d1, d2)
+
+    run()
