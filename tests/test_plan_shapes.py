@@ -860,3 +860,55 @@ def test_round9_operator_plan_shapes(spark):
     plan = _executed_plan(cand)
     assert "xxhash64" in plan
     assert "PythonUDF" not in plan
+
+
+def test_round9_projection_ops_never_shuffle(spark):
+    """The late round-9 signal operators are documented as ONE
+    projection: no Exchange, no Python, for bitext/instruction/chat/
+    preference QA, FIM, span corruption, code QA, HTML strip."""
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.io import read_parquet
+    from woodwork_spark.operators.chat import (
+        chat_turn_checks,
+        instruction_qa_exprs,
+        preference_pair_qa_exprs,
+    )
+    from woodwork_spark.operators.cleaning import (
+        bitext_filter,
+        code_qa_exprs,
+    )
+    from woodwork_spark.operators.text import fim_transform, span_corruption
+    from woodwork_spark.operators.web import html_qa_exprs, html_strip_expr
+
+    docs = read_parquet(spark, f"{SF}/documents.parquet")
+    two = docs.select(
+        "doc_id",
+        F.substring("text", 1, 60).alias("a"),
+        F.substring("text", 61, 60).alias("b"),
+    )
+    frames = [
+        bitext_filter(two, "a", "b"),
+        two.withColumns(instruction_qa_exprs("a", "b")),
+        two.withColumns(preference_pair_qa_exprs("a", "b")),
+        docs.withColumns(code_qa_exprs("text")),
+        fim_transform(docs, "text", "doc_id"),
+        span_corruption(docs, "text", "doc_id"),
+        docs.select(html_strip_expr("text")),
+        docs.withColumns(html_qa_exprs("text")),
+        chat_turn_checks(
+            docs.select(
+                F.array(
+                    F.struct(F.lit("user").alias("role"),
+                             F.col("text").alias("content")),
+                    F.struct(F.lit("assistant").alias("role"),
+                             F.col("source").alias("content")),
+                ).alias("messages"),
+            ),
+            "messages",
+        ),
+    ]
+    for fr in frames:
+        plan = _executed_plan(fr)
+        assert "Exchange" not in plan, plan[:300]
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
