@@ -17145,3 +17145,835 @@ ORACLE["preference_pair_qa"] = """
     FROM s3 GROUP BY 1, 2, 3, 4, 5
 """
 QUERIES["preference_pair_qa"] = q_preference_pair_qa
+
+
+# ---------------------------------------------------------------------------
+# Round 9 (cont.): TPC-H suite completion.  The harness already carried
+# Q1/Q3/Q5/Q6/Q10-style queries; these close the remaining classic shapes
+# (min-cost-supplier, EXISTS priority count, volume shipping, market
+# share, product profit, shipmode split, customer distribution, promo
+# share, top supplier, parts/supplier, small-qty revenue, large orders,
+# OR-bracket revenue, promotion suppliers, waiting suppliers, sales
+# opportunity).  The testdata schema has no partsupp table and no
+# commit/receipt dates, so queries that need them are "-style"
+# adaptations (documented per query) with identical semantics in the
+# DuckDB oracle.  Plan shapes: dims broadcast after their filters,
+# correlated EXISTS/NOT-EXISTS re-expressed as semi/anti joins or one
+# grouped aggregate + join (never a per-row subquery), window argmin
+# with explicit tiebreaks instead of float-equality self-joins.
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-style (no partsupp in schema): for each STANDARD part in
+    a size set, the EUROPE supplier offering the minimum observed unit
+    price (l_extendedprice/l_quantity) over shipped lineitems.  The
+    correlated min-subquery is a row_number window over the candidate
+    join (unit_cost, then s_suppkey as the deterministic tiebreak —
+    float-equality joins across engines are a parity hazard).  part and
+    the region-filtered supplier side are broadcast; the only shuffle is
+    the window on p_partkey."""
+    _prep(spark)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").isin(15, 25, 35, 45),
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cand = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        )
+    )
+    w = W.partitionBy("p_partkey").orderBy(F.asc("unit_cost"), F.asc("s_suppkey"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            _ravg(F.col("unit_cost"), 4).alias("min_unit_cost"),
+        )
+    )
+
+
+ORACLE["tpch_min_cost_supplier"] = """
+    WITH cand AS (
+        SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+               l.l_extendedprice / l.l_quantity AS unit_cost
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_type = 'STANDARD' AND p.p_size IN (15, 25, 35, 45)
+          AND r.r_name = 'EUROPE'
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY p_partkey ORDER BY unit_cost, s_suppkey) AS rn
+        FROM cand
+    )
+    SELECT p_partkey, p_name, s_name, n_name,
+           round(unit_cost + 1e-7, 4) AS min_unit_cost
+    FROM rk WHERE rn = 1
+"""
+QUERIES["tpch_min_cost_supplier"] = q_tpch_min_cost_supplier
+
+
+def q_tpch_order_priority(spark, sf_dir):
+    """TPC-H Q4-style (schema has no commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate + 30 days): per-priority count of Q1-1996
+    orders with at least one late lineitem.  EXISTS becomes a LEFT SEMI
+    join whose condition spans both sides; the quarter filter lands on
+    the orders scan (pushdown) before the join."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+ORACLE["tpch_order_priority"] = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+"""
+QUERIES["tpch_order_priority"] = q_tpch_order_priority
+
+
+def q_tpch_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-style: revenue shipped between NATION_1 and NATION_2 (both
+    directions) by (supplier nation, customer nation, ship year) for
+    1996-1997.  Both nation dims broadcast; the OR-pair filter runs on the
+    joined fact before the aggregate; year() is cast long on both engines
+    (Spark year() is int, DuckDB's is bigint — dtype parity)."""
+    _prep(spark)
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"),
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")),
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2,
+            ).alias("revenue"),
+        )
+    )
+
+
+ORACLE["tpch_volume_shipping"] = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+"""
+QUERIES["tpch_volume_shipping"] = q_tpch_volume_shipping
+
+
+def q_tpch_market_share(spark, sf_dir):
+    """TPC-H Q8-style: NATION_5's share of ECONOMY-part revenue sold to
+    ASIA customers, per order year 1996-1997.  The share is a conditional
+    sum over ONE aggregate (sum(case)/sum), not two scans; part/nation/
+    region broadcast.  ROUND_EPS keeps the 4-dp rounding deterministic
+    across engine summation orders."""
+    _prep(spark)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey")
+    )
+    sup_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"),
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")),
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey, "leftsemi")
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sup_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            _ravg(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE["tpch_market_share"] = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN n1.n_name = 'NATION_5'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)) + 1e-7,
+                 4) AS mkt_share,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    WHERE p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND o.o_custkey IN (
+          SELECT c_custkey FROM customer c
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          JOIN region r ON n2.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA')
+    GROUP BY 1
+"""
+QUERIES["tpch_market_share"] = q_tpch_market_share
+
+
+def q_tpch_product_profit(spark, sf_dir):
+    """TPC-H Q9-style (no partsupp.ps_supplycost in schema; cost proxied
+    as 60% of p_retailprice per unit): profit by (supplier nation, order
+    year) over every-5th part.  part and nation broadcast; one aggregate
+    over the fact join."""
+    _prep(spark)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 0)
+    nation = _t(spark, sf_dir, "nation")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            # The 0.6 * 2-dec-price * integer-qty cost term makes exact
+            # .xx5 third decimals COMMON here, and at ~1e6 sum magnitude
+            # cross-engine summation-order noise is ~1e-7 — ROUND_EPS
+            # (1e-7) can't clear it, so this sum uses a 1e-4 shift
+            # (still 100x below the 2-dp rounding step), mirrored in SQL.
+            F.round(F.sum(profit) + 1e-4, 2).alias("sum_profit"),
+        )
+    )
+
+
+ORACLE["tpch_product_profit"] = """
+    SELECT n.n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity) + 1e-4,
+                 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_partkey % 5 = 0
+    GROUP BY 1, 2
+"""
+QUERIES["tpch_product_profit"] = q_tpch_product_profit
+
+
+def q_tpch_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12-style (schema has no l_shipmode/receiptdate; the category
+    is l_linestatus and "on-time" is shipped within 60 days of the order
+    date): per-status counts of high- vs low-priority orders among 1996
+    on-time shipments.  One join (orders carries both the date and the
+    priority) + one conditional aggregate."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+ORACLE["tpch_shipmode_priority"] = """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+"""
+QUERIES["tpch_shipmode_priority"] = q_tpch_shipmode_priority
+
+
+def q_tpch_customer_distribution(spark, sf_dir):
+    """TPC-H Q13-style: distribution of per-customer order counts
+    (customers with zero qualifying orders included via LEFT join),
+    excluding '4-NOT SPECIFIED' orders.  Two aggregates: count per
+    customer, then histogram of counts — both shuffle-light (second
+    groups ~50 distinct values)."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED",
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+ORACLE["tpch_customer_distribution"] = """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+"""
+QUERIES["tpch_customer_distribution"] = q_tpch_customer_distribution
+
+
+def q_tpch_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-style: percentage of March-1996 revenue from PROMO parts.
+    part broadcast; ONE aggregate computes both the conditional and total
+    sums; 100*ratio rounded at 4 dp with the ROUND_EPS convention."""
+    _prep(spark)
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        _ravg(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+            / F.sum(vol),
+            4,
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+ORACLE["tpch_promo_revenue"] = """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)) + 1e-7,
+                 4) AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+QUERIES["tpch_promo_revenue"] = q_tpch_promo_revenue
+
+
+def q_tpch_top_supplier(spark, sf_dir):
+    """TPC-H Q15-style: the supplier with maximum Q1-1996 revenue.  The
+    classic view+max formulation becomes ONE aggregate + a row_number
+    window with an explicit s_suppkey tiebreak — a float-equality join
+    against max(sum(...)) is a cross-engine parity hazard and a second
+    scan.  Top-3 returned so the shape exercises the window, not limit 1."""
+    _prep(spark)
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")),
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2,
+            ).alias("total_revenue"),
+        )
+    )
+    w = W.orderBy(F.desc("total_revenue"), F.asc("l_suppkey"))
+    return (
+        rev.withColumn("revenue_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("revenue_rank") <= 3)
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue", "revenue_rank")
+    )
+
+
+ORACLE["tpch_top_supplier"] = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (
+            ORDER BY total_revenue DESC, l_suppkey) AS revenue_rank
+        FROM rev
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue,
+           CAST(r.revenue_rank AS BIGINT) AS revenue_rank
+    FROM rk r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.revenue_rank <= 3
+"""
+QUERIES["tpch_top_supplier"] = q_tpch_top_supplier
+
+
+def q_tpch_parts_supplier(spark, sf_dir):
+    """TPC-H Q16-style (no partsupp: supplier-part pairs observed in
+    lineitem stand in for partsupp): distinct-supplier counts per
+    (p_brand, p_type, p_size) excluding Brand#1, a size set, and
+    negative-acctbal suppliers (the "complaints" proxy).  The anti
+    condition is a broadcast anti-join of the tiny bad-supplier frame;
+    the distinct count shuffles pre-projected (brand, type, size, supp)
+    pairs only."""
+    _prep(spark)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49),
+    )
+    bad_sup = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0,
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "leftanti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+ORACLE["tpch_parts_supplier"] = """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+"""
+QUERIES["tpch_parts_supplier"] = q_tpch_parts_supplier
+
+
+def q_tpch_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17-style: yearly-average revenue lost to small orders —
+    lineitems of Brand#3 parts with quantity below half the part's mean
+    quantity.  The correlated avg subquery becomes one grouped aggregate
+    joined back; the threshold test is the EXACT integer form
+    2*qty*cnt < sum_qty (quantities are integral doubles, so both sides
+    are exact in float64 and immune to summation-order noise — comparing
+    against 0.5*avg would coin-flip on engines at the boundary)."""
+    _prep(spark)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    ).withColumnRenamed("l_partkey", "sp_key")
+    return (
+        li.join(F.broadcast(stats), F.col("l_partkey") == F.col("sp_key"))
+        .filter(2.0 * F.col("l_quantity") * F.col("cnt_qty") < F.col("sum_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+        )
+    )
+
+
+ORACLE["tpch_small_qty_revenue"] = """
+    WITH li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#3'
+    ),
+    stats AS (
+        SELECT l_partkey AS sp_key, sum(l_quantity) AS sum_qty,
+               count(*) AS cnt_qty
+        FROM li GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small
+    FROM li JOIN stats ON l_partkey = sp_key
+    WHERE 2.0 * l_quantity * cnt_qty < sum_qty
+"""
+QUERIES["tpch_small_qty_revenue"] = q_tpch_small_qty_revenue
+
+
+def q_tpch_large_orders(spark, sf_dir):
+    """TPC-H Q18-style: top-20 largest-volume orders (sum of quantities
+    > 250) with customer detail.  The HAVING subquery is one grouped
+    aggregate on lineitem; qualifying keys (~1%% of orders) broadcast
+    into the orders/customer join.  Integral quantities make the
+    threshold exact on both engines."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+ORACLE["tpch_large_orders"] = """
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(b.total_qty, 2) AS total_qty
+    FROM orders o
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+"""
+QUERIES["tpch_large_orders"] = q_tpch_large_orders
+
+
+def q_tpch_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19-style: revenue from three OR'd (brand, size-range,
+    quantity-range) brackets — the classic disjunctive-predicate join.
+    The bracket predicate references both sides, so it is applied ON the
+    broadcast hash join output in one pass; Catalyst still pushes the
+    per-side prefilters (size >= 1, qty bounds) to the scans."""
+    _prep(spark)
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(b).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+ORACLE["tpch_bracket_revenue"] = """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+QUERIES["tpch_bracket_revenue"] = q_tpch_bracket_revenue
+
+
+def q_tpch_promo_suppliers(spark, sf_dir):
+    """TPC-H Q20-style (no partsupp.availqty: the "excess availability"
+    test becomes total 1996 shipped quantity > 150): suppliers in
+    NATION_3/NATION_4 who shipped more than 150 units of 'red '-prefixed
+    parts in 1996.  Nested IN-subqueries become: broadcast semi-join on
+    the part prefix, one (suppkey) aggregate, semi-join into supplier.
+    Integral quantities keep the threshold exact."""
+    _prep(spark)
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red "),
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")),
+    )
+    qualifying = (
+        li.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey, "leftsemi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("red_qty"))
+        .filter(F.col("red_qty") > 150)
+    )
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_4"),
+    )
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey,
+    )
+    return (
+        sup.join(
+            F.broadcast(qualifying),
+            sup.s_suppkey == qualifying.l_suppkey,
+        )
+        .select(
+            "s_suppkey", "s_name", "n_name",
+            F.round("red_qty", 2).alias("red_qty"),
+        )
+    )
+
+
+ORACLE["tpch_promo_suppliers"] = """
+    WITH qualifying AS (
+        SELECT l_suppkey, sum(l_quantity) AS red_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+        GROUP BY l_suppkey HAVING sum(l_quantity) > 150
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           round(q.red_qty, 2) AS red_qty
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN qualifying q ON s.s_suppkey = q.l_suppkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_4')
+"""
+QUERIES["tpch_promo_suppliers"] = q_tpch_promo_suppliers
+
+
+def q_tpch_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21-style (no receipt/commit dates: "late" is l_shipdate >
+    o_orderdate + 60 days): top-10 suppliers who were the SOLE late
+    shipper in a multi-supplier order.  The EXISTS/NOT-EXISTS pair is
+    replaced by ONE per-order aggregate (distinct suppliers, distinct
+    late suppliers) joined back to the late lineitems — two shuffles on
+    l_orderkey total, no correlated self-joins."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .withColumn(
+            "is_late",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).cast("int"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey")),
+        ).alias("n_late_supp"),
+    ).withColumnRenamed("l_orderkey", "po_key")
+    sole_late = (
+        li.filter(F.col("is_late") == 1)
+        .join(
+            per_order,
+            (F.col("l_orderkey") == F.col("po_key"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(10)
+    )
+
+
+ORACLE["tpch_waiting_suppliers"] = """
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey,
+               CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS is_late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    per_order AS (
+        SELECT l_orderkey AS po_key,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END)
+                   AS n_late_supp
+        FROM li GROUP BY l_orderkey
+    ),
+    sole_late AS (
+        SELECT DISTINCT li.l_orderkey, li.l_suppkey
+        FROM li JOIN per_order ON li.l_orderkey = po_key
+        WHERE li.is_late = 1 AND n_supp >= 2 AND n_late_supp = 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM sole_late sl JOIN supplier s ON sl.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s.s_suppkey
+    LIMIT 10
+"""
+QUERIES["tpch_waiting_suppliers"] = q_tpch_waiting_suppliers
+
+
+def q_tpch_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22-style (no c_phone: country code is the customer's
+    nation): per-nation count and balance of customers with
+    above-average positive account balance and NO orders after
+    1999-07-01.  The scalar avg broadcasts as a 1-row crossJoin (never a
+    single-reducer window); "no recent orders" is an anti-join against
+    the date-filtered orders scan."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal"),
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-07-01").cast("timestamp"),
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+ORACLE["tpch_sales_opportunity"] = """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1999-07-01')
+    GROUP BY n.n_name
+"""
+QUERIES["tpch_sales_opportunity"] = q_tpch_sales_opportunity
