@@ -17977,3 +17977,419 @@ ORACLE["tpch_sales_opportunity"] = """
     GROUP BY n.n_name
 """
 QUERIES["tpch_sales_opportunity"] = q_tpch_sales_opportunity
+
+
+# ---------------------------------------------------------------------------
+# Round 9 (cont.): classical-test battery extension — Fisher exact,
+# Jarque-Bera, Ljung-Box, Durbin-Watson, Cochran-Armitage, Breusch-Pagan.
+# Every p-value is either CLOSED FORM (chi2 with even df, chi2(1) via the
+# shared A&S erf polynomial) or an exact enumeration (hypergeometric via
+# the engine-portable log-factorial: exact factorial under 20, 3-term
+# Stirling above) — no scipy anywhere, and the oracle repeats the same
+# arithmetic verbatim.
+# ---------------------------------------------------------------------------
+
+_LF_SQL = """CASE WHEN {x} < 20
+         THEN ln(CAST(factorial(CAST({x} AS INTEGER)) AS DOUBLE))
+         ELSE {x} * ln(CAST({x} AS DOUBLE)) - {x}
+              + 0.5 * ln(2.0 * 3.141592653589793 * {x})
+              + 1.0 / (12.0 * {x}) - 1.0 / (360.0 * {x} * {x} * {x}) END"""
+
+
+def _lf_sql(x):
+    return _LF_SQL.format(x=f"CAST({x} AS DOUBLE)")
+
+
+def q_fisher_exact(spark, sf_dir):
+    """Fisher's exact test: among heavy lineitems (quantity >= 48), is
+    being returned associated with a deep discount?  The hypergeometric
+    support is enumerated DISTRIBUTED (spark.range over the margin span,
+    which scales with margins, not rows) and summed once; log-pmfs via
+    the exact-under-20 / Stirling-above log-factorial that the oracle
+    repeats verbatim."""
+    from woodwork_spark.operators.stats_tests import fisher_exact_2x2
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    out = fisher_exact_2x2(
+        li, F.col("l_returnflag") == "R", F.col("l_discount") > 0.05,
+    )
+    return out.select(
+        "a", "b", "c", "d", "n",
+        _ravg(F.col("odds_ratio"), 6).alias("odds_ratio"),
+        _ravg(F.col("p_one_sided"), 6).alias("p_one_sided"),
+        _ravg(F.col("p_two_sided"), 6).alias("p_two_sided"),
+    )
+
+
+ORACLE["fisher_exact"] = f"""
+    WITH cells AS (
+        SELECT CAST(sum(CASE WHEN l_returnflag = 'R' AND l_discount > 0.05
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN l_returnflag = 'R' AND NOT l_discount > 0.05
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_discount > 0.05
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN l_returnflag <> 'R' AND NOT l_discount > 0.05
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM lineitem WHERE l_quantity >= 48
+    ),
+    m AS (
+        SELECT a, b, c, d, a + b + c + d AS n,
+               a + b AS r1, a + c AS c1
+        FROM cells
+    ),
+    grid AS (
+        SELECT m.*, g.k
+        FROM m, LATERAL (
+            SELECT unnest(generate_series(
+                greatest(0, m.r1 + m.c1 - m.n),
+                least(m.r1, m.c1))) AS k) g
+    ),
+    lp AS (
+        SELECT a, b, c, d, n, k,
+               {_lf_sql('r1')} + {_lf_sql('n - r1')}
+               + {_lf_sql('c1')} + {_lf_sql('n - c1')}
+               - {_lf_sql('n')} - {_lf_sql('k')}
+               - {_lf_sql('r1 - k')} - {_lf_sql('c1 - k')}
+               - {_lf_sql('n - r1 - c1 + k')} AS logp,
+               {_lf_sql('r1')} + {_lf_sql('n - r1')}
+               + {_lf_sql('c1')} + {_lf_sql('n - c1')}
+               - {_lf_sql('n')} - {_lf_sql('a')}
+               - {_lf_sql('r1 - a')} - {_lf_sql('c1 - a')}
+               - {_lf_sql('n - r1 - c1 + a')} AS logp_obs
+        FROM grid
+    )
+    SELECT max(a) AS a, max(b) AS b, max(c) AS c, max(d) AS d,
+           max(n) AS n,
+           round(CASE WHEN max(b) * max(c) > 0
+                      THEN CAST(max(a) AS DOUBLE) * max(d)
+                           / (CAST(max(b) AS DOUBLE) * max(c)) END
+                 + 0.0000001, 6) AS odds_ratio,
+           round(sum(CASE WHEN k >= a THEN exp(logp) ELSE 0.0 END)
+                 + 0.0000001, 6) AS p_one_sided,
+           round(sum(CASE WHEN logp <= logp_obs + 9.999999505838704e-08
+                          THEN exp(logp) ELSE 0.0 END)
+                 + 0.0000001, 6) AS p_two_sided
+    FROM lp
+"""
+QUERIES["fisher_exact"] = q_fisher_exact
+
+
+def q_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test of order totals per priority: centered
+    power sums (means broadcast back first — raising money-scale values
+    to the 4th power UNcentered is catastrophic in float64), closed-form
+    chi2(2) p-value exp(-JB/2)."""
+    from woodwork_spark.operators.stats_tests import jarque_bera
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    out = jarque_bera(orders, "o_totalprice", "o_orderpriority")
+    return out.select(
+        "o_orderpriority", "n",
+        _ravg(F.col("skewness"), 6).alias("skewness"),
+        _ravg(F.col("kurtosis_excess"), 6).alias("kurtosis_excess"),
+        _ravg(F.col("jb_stat"), 4).alias("jb_stat"),
+        _ravg(F.col("p_value"), 6).alias("p_value"),
+    )
+
+
+ORACLE["jarque_bera"] = """
+    WITH mu AS (
+        SELECT o_orderpriority, avg(o_totalprice) AS m
+        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    s AS (
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(pow(o_totalprice - m, 2)) AS s2,
+               sum(pow(o_totalprice - m, 3)) AS s3,
+               sum(pow(o_totalprice - m, 4)) AS s4
+        FROM orders o JOIN mu USING (o_orderpriority)
+        WHERE o.o_totalprice IS NOT NULL
+        GROUP BY 1
+    ),
+    g AS (
+        SELECT o_orderpriority, n,
+               (s3 / n) / pow(s2 / n, 1.5) AS g1,
+               (s4 / n) / pow(s2 / n, 2) - 3.0 AS g2
+        FROM s WHERE n >= 8 AND s2 > 0
+    )
+    SELECT o_orderpriority, n,
+           round(g1 + 0.0000001, 6) AS skewness,
+           round(g2 + 0.0000001, 6) AS kurtosis_excess,
+           round(n / 6.0 * (g1 * g1 + g2 * g2 / 4.0) + 0.0000001, 4)
+               AS jb_stat,
+           round(exp(-(n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)) / 2.0)
+                 + 0.0000001, 6) AS p_value
+    FROM g
+"""
+QUERIES["jarque_bera"] = q_jarque_bera
+
+
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau test on the weekly revenue series per
+    priority (lags 1..4): the ACF scaffold's one-sort-per-group plan,
+    then the EXACT even-df chi-squared survival exp(-x/2)(1 + x/2) —
+    closed form, no approximation anywhere."""
+    from woodwork_spark.operators.stats_tests import ljung_box
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        "o_orderpriority",
+        F.floor(F.unix_date(F.col("o_orderdate").cast("date")) / 7)
+        .cast("long").alias("wk"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    out = ljung_box(weekly, "wk", "rev", "o_orderpriority", max_lag=4)
+    return out.select(
+        "o_orderpriority", "n", "df_lags",
+        _ravg(F.col("lb_stat"), 4).alias("lb_stat"),
+        _ravg(F.col("p_value"), 6).alias("p_value"),
+    )
+
+
+ORACLE["ljung_box"] = """
+    WITH weekly AS (
+        SELECT o_orderpriority,
+               CAST(floor(datediff('day', DATE '1970-01-01',
+                                   CAST(o_orderdate AS DATE)) / 7)
+                    AS BIGINT) AS wk,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1, 2
+    ), c AS (
+        SELECT o_orderpriority, rev,
+               avg(rev) OVER (PARTITION BY o_orderpriority) AS mu,
+               lag(rev, 1) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY wk) AS l1,
+               lag(rev, 2) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY wk) AS l2,
+               lag(rev, 3) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY wk) AS l3,
+               lag(rev, 4) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY wk) AS l4
+        FROM weekly
+    ), a AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               sum((rev - mu) * (rev - mu)) AS den,
+               sum((rev - mu) * (l1 - mu)) AS n1,
+               sum((rev - mu) * (l2 - mu)) AS n2,
+               sum((rev - mu) * (l3 - mu)) AS n3,
+               sum((rev - mu) * (l4 - mu)) AS n4
+        FROM c GROUP BY 1
+    ), lb AS (
+        SELECT o_orderpriority, n,
+               n * (n + 2.0) * (
+                   pow(n1 / den, 2) / (n - 1)
+                   + pow(n2 / den, 2) / (n - 2)
+                   + pow(n3 / den, 2) / (n - 3)
+                   + pow(n4 / den, 2) / (n - 4)) AS x
+        FROM a WHERE n > 5 AND den > 0
+    )
+    SELECT o_orderpriority, n, CAST(4 AS BIGINT) AS df_lags,
+           round(x + 0.0000001, 4) AS lb_stat,
+           round(least(1.0, greatest(0.0,
+                     exp(-x / 2.0) * (1.0 + x / 2.0)))
+                 + 0.0000001, 6) AS p_value
+    FROM lb
+"""
+QUERIES["ljung_box"] = q_ljung_box
+
+
+def q_durbin_watson(spark, sf_dir):
+    """Durbin-Watson on the residuals of daily revenue ~ day-index per
+    priority: centered-sums OLS (two aggregates, zero collects), one
+    per-group window for the residual lag."""
+    from woodwork_spark.operators.stats_tests import durbin_watson
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.unix_date(F.col("o_orderdate").cast("date"))
+        .cast("long").alias("day"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    out = durbin_watson(daily, "rev", "day", "day", "o_orderpriority")
+    return out.select(
+        "o_orderpriority", "n",
+        _ravg(F.col("slope"), 4).alias("slope"),
+        _ravg(F.col("intercept"), 2).alias("intercept"),
+        _ravg(F.col("dw_stat"), 6).alias("dw_stat"),
+    )
+
+
+ORACLE["durbin_watson"] = """
+    WITH daily AS (
+        SELECT o_orderpriority,
+               CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    mu AS (
+        SELECT o_orderpriority, avg(rev) AS my, avg(day) AS mx
+        FROM daily GROUP BY 1
+    ),
+    st AS (
+        SELECT d.o_orderpriority,
+               sum((day - mx) * (day - mx)) AS sxx,
+               sum((day - mx) * (rev - my)) AS sxy,
+               max(my) AS my, max(mx) AS mx
+        FROM daily d JOIN mu USING (o_orderpriority)
+        GROUP BY 1
+    ),
+    e AS (
+        SELECT d.o_orderpriority,
+               rev - my - (sxy / sxx) * (day - mx) AS e,
+               lag(rev - my - (sxy / sxx) * (day - mx)) OVER (
+                   PARTITION BY d.o_orderpriority ORDER BY day) AS ep,
+               sxy / sxx AS slope, my - (sxy / sxx) * mx AS icept
+        FROM daily d JOIN st USING (o_orderpriority)
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(max(slope) + 0.0000001, 4) AS slope,
+           round(max(icept) + 0.0000001, 2) AS intercept,
+           round(sum(CASE WHEN ep IS NOT NULL
+                          THEN (e - ep) * (e - ep) ELSE 0.0 END)
+                 / sum(e * e) + 0.0000001, 6) AS dw_stat
+    FROM e GROUP BY 1
+"""
+QUERIES["durbin_watson"] = q_durbin_watson
+
+
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend test: does the return probability trend
+    with the quantity bucket (floor(qty/5))?  ONE aggregate over the raw
+    rows — the row-level T/E/Var formulation is exactly the classic
+    grouped statistic; p through the shared erf polynomial."""
+    from woodwork_spark.operators.stats_tests import cochran_armitage
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qbucket", F.floor(F.col("l_quantity") / 5).cast("double"),
+    )
+    out = cochran_armitage(
+        li, "qbucket", (F.col("l_returnflag") == "R").cast("double"),
+    )
+    return out.select(
+        "n", "n_success",
+        _ravg(F.col("z_stat"), 6).alias("z_stat"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+    )
+
+
+ORACLE["cochran_armitage"] = """
+    WITH base AS (
+        SELECT floor(l_quantity / 5) AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        FROM lineitem
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, sum(y) AS ny,
+               sum(s) AS ss, sum(s * s) AS ss2, sum(s * y) AS t
+        FROM base
+    ),
+    z AS (
+        SELECT n, ny,
+               (t - (ny / n) * ss)
+               / sqrt((ny / n) * (1.0 - ny / n)
+                      * (ss2 - ss * ss / n)) AS zv
+        FROM agg
+    ),
+    p AS (
+        SELECT n, ny, zv, abs(zv) / sqrt(2.0) AS x,
+               1.0 / (1.0 + 0.3275911 * abs(zv) / sqrt(2.0)) AS tt
+        FROM z
+    )
+    SELECT n, CAST(ny AS BIGINT) AS n_success,
+           round(zv + 0.0000001, 6) AS z_stat,
+           round(least(1.0, greatest(0.0,
+               (0.254829592 * tt - 0.284496736 * tt * tt
+                + 1.421413741 * tt * tt * tt
+                - 1.453152027 * tt * tt * tt * tt
+                + 1.061405429 * tt * tt * tt * tt * tt) * exp(-x * x)))
+                 + 0.0000001, 6) AS p_approx
+    FROM p
+"""
+QUERIES["cochran_armitage"] = q_cochran_armitage
+
+
+def q_breusch_pagan(spark, sf_dir):
+    """Breusch-Pagan heteroscedasticity test of daily revenue ~ daily
+    order count: three centered-sums aggregates (means, covariance,
+    auxiliary e^2-on-x), zero collects, chi2(1) p via the exact
+    2(1-Phi(sqrt(x))) identity through the shared erf polynomial.  Runs
+    on the per-day aggregate (~2.4k rows) where the auxiliary sums stay
+    comfortably inside float64."""
+    from woodwork_spark.operators.stats_tests import breusch_pagan
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.unix_date(F.col("o_orderdate").cast("date"))
+        .cast("long").alias("day"),
+    ).agg(
+        F.sum("o_totalprice").alias("rev"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    out = breusch_pagan(daily, "rev", "n_orders")
+    return out.select(
+        "n",
+        _ravg(F.col("slope"), 2).alias("slope"),
+        _ravg(F.col("bp_stat"), 4).alias("bp_stat"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+    )
+
+
+ORACLE["breusch_pagan"] = """
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+               sum(o_totalprice) AS rev,
+               CAST(count(*) AS DOUBLE) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    mu AS (SELECT avg(rev) AS my, avg(n_orders) AS mx FROM daily),
+    st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum((n_orders - mx) * (n_orders - mx)) AS sxx,
+               sum((n_orders - mx) * (rev - my)) AS sxy,
+               max(my) AS my, max(mx) AS mx
+        FROM daily, mu
+    ),
+    aux AS (
+        SELECT max(n) AS n, max(sxy / sxx) AS slope, max(sxx) AS sxx,
+               avg(pow(rev - my - (sxy / sxx) * (n_orders - mx), 2))
+                   AS mu_u,
+               sum((n_orders - mx)
+                   * pow(rev - my - (sxy / sxx) * (n_orders - mx), 2))
+                   AS sxu,
+               sum(pow(rev - my - (sxy / sxx) * (n_orders - mx), 4))
+                   AS suu_raw
+        FROM daily, st
+    ),
+    bp AS (
+        SELECT n, slope,
+               n * (sxu * sxu / (sxx * (suu_raw - n * mu_u * mu_u)))
+                   AS x
+        FROM aux WHERE suu_raw - n * mu_u * mu_u > 0 AND sxx > 0
+    ),
+    p AS (
+        SELECT n, slope, x, sqrt(x) / sqrt(2.0) AS xx,
+               1.0 / (1.0 + 0.3275911 * sqrt(x) / sqrt(2.0)) AS tt
+        FROM bp
+    )
+    SELECT n,
+           round(slope + 0.0000001, 2) AS slope,
+           round(x + 0.0000001, 4) AS bp_stat,
+           round(least(1.0, greatest(0.0,
+               (0.254829592 * tt - 0.284496736 * tt * tt
+                + 1.421413741 * tt * tt * tt
+                - 1.453152027 * tt * tt * tt * tt
+                + 1.061405429 * tt * tt * tt * tt * tt) * exp(-xx * xx)))
+                 + 0.0000001, 6) AS p_approx
+    FROM p
+"""
+QUERIES["breusch_pagan"] = q_breusch_pagan

@@ -1494,3 +1494,402 @@ def ks_test_2samp_by(
         F.when(ok, p).alias("p_approx"),
     )
     return attach_persisted(out, *persisted_frames(cum))
+
+
+def _log_factorial(n):
+    """``ln(n!)`` as a column expression that reproduces bit-comparably
+    across engines: exact ``log(factorial(n))`` for n < 20 (both Spark
+    and DuckDB have an integer factorial builtin), the 3-term Stirling
+    series above (absolute error < 4e-10 at n=20, falling as n^-5 —
+    orders of magnitude below any p-value decision or 6-dp rounding).
+    Neither engine exposes lgamma, and a shared explicit formula is the
+    point: the SQL oracles repeat it verbatim."""
+    n = n.cast("double")
+    stirling = (
+        n * F.log(n) - n
+        + F.lit(0.5) * F.log(F.lit(2.0 * 3.141592653589793) * n)
+        + F.lit(1.0) / (F.lit(12.0) * n)
+        - F.lit(1.0) / (F.lit(360.0) * n * n * n)
+    )
+    return F.when(
+        n < 20, F.log(F.factorial(n.cast("int")).cast("double")),
+    ).otherwise(stirling)
+
+
+# The same helper as oracle SQL (x := the count expression).
+LOG_FACTORIAL_SQL = """
+    CASE WHEN {x} < 20 THEN ln(CAST(factorial(CAST({x} AS INTEGER)) AS DOUBLE))
+         ELSE {x} * ln(CAST({x} AS DOUBLE)) - {x}
+              + 0.5 * ln(2.0 * 3.141592653589793 * {x})
+              + 1.0 / (12.0 * {x})
+              - 1.0 / (360.0 * {x} * {x} * {x})
+    END
+"""
+
+
+def fisher_exact_2x2(
+    df: DataFrame,
+    row_cond,
+    col_cond,
+) -> DataFrame:
+    """Fisher's exact test on the 2x2 table defined by two boolean
+    column conditions.  Returns ONE row ``(a, b, c, d, n, odds_ratio,
+    p_one_sided, p_two_sided)`` — ``a`` counts rows where both hold,
+    ``odds_ratio`` is the sample (not conditional-MLE) ratio.
+
+    Scale shape: ONE aggregate produces the table; the hypergeometric
+    support is then enumerated with ``spark.range`` (distributed — the
+    support size is min(row1, col1) - max(0, row1 + col1 - n), which
+    grows with the MARGINS, not the row count) and summed in one pass.
+    Log-pmfs use :func:`_log_factorial`, so the whole computation is
+    engine-replayable.  The two-sided rule is the scipy convention:
+    include every k whose pmf is <= pmf(observed) * (1 + 1e-7); the
+    tolerance absorbs float noise on STRUCTURAL ties (symmetric
+    tables), where the mathematical difference is exactly zero.  The
+    4 table counts (one row) are collected to build the range — a
+    bounded driver action.  For margins in the billions prefer a
+    chi-squared test: the exact enumeration is meaningful (and its
+    p distinguishable from chi2) only for modest margins.
+    """
+    spark = df.sparkSession
+    row_c = row_cond.cast("boolean")
+    col_c = col_cond.cast("boolean")
+    cells = df.select(
+        F.sum((row_c & col_c).cast("long")).alias("a"),
+        F.sum((row_c & ~col_c).cast("long")).alias("b"),
+        F.sum((~row_c & col_c).cast("long")).alias("c"),
+        F.sum((~row_c & ~col_c).cast("long")).alias("d"),
+    ).collect()[0]
+    a, b, c, d = (int(cells[k] or 0) for k in ("a", "b", "c", "d"))
+    n = a + b + c + d
+    r1, c1 = a + b, a + c
+    if n == 0:
+        raise ValueError("fisher_exact_2x2: empty table")
+    k_lo, k_hi = max(0, r1 + c1 - n), min(r1, c1)
+
+    def _lp(k):
+        return (
+            _log_factorial(F.lit(r1))
+            + _log_factorial(F.lit(n - r1))
+            + _log_factorial(F.lit(c1))
+            + _log_factorial(F.lit(n - c1))
+            - _log_factorial(F.lit(n))
+            - _log_factorial(k)
+            - _log_factorial(F.lit(r1) - k)
+            - _log_factorial(F.lit(c1) - k)
+            - _log_factorial(F.lit(n - r1 - c1) + k)
+        )
+    grid = spark.range(k_lo, k_hi + 1).select(
+        F.col("id").alias("k"), _lp(F.col("id")).alias("lp"),
+    )
+    lp_obs = _lp(F.lit(a))
+    return grid.agg(
+        F.lit(a).cast("long").alias("a"),
+        F.lit(b).cast("long").alias("b"),
+        F.lit(c).cast("long").alias("c"),
+        F.lit(d).cast("long").alias("d"),
+        F.lit(n).cast("long").alias("n"),
+        F.when(
+            F.lit(b * c > 0),
+            F.lit(float(a) * d) / F.lit(float(max(b * c, 1))),
+        ).alias("odds_ratio"),
+        F.sum(
+            F.when(F.col("k") >= a, F.exp("lp")).otherwise(0.0),
+        ).alias("p_one_sided"),
+        F.sum(
+            F.when(
+                F.col("lp") <= lp_obs + F.lit(float(_np_log1p_tol())),
+                F.exp("lp"),
+            ).otherwise(0.0),
+        ).alias("p_two_sided"),
+    )
+
+
+def _np_log1p_tol() -> float:
+    """ln(1 + 1e-7), spelled as a shared constant so the oracle SQL can
+    repeat the literal: the scipy-convention relative tolerance for the
+    two-sided inclusion rule, applied in LOG space."""
+    return 9.999999505838704e-08
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+    group_cols=(),
+) -> DataFrame:
+    """Jarque-Bera normality test per group: skewness / excess kurtosis
+    from CENTERED power sums, ``JB = n/6 * (g1^2 + g2^2/4)``, and the
+    exact chi-squared(2) p-value ``exp(-JB/2)`` (closed form — no
+    approximation).  Two passes: per-group means first (a tiny frame,
+    broadcast back), then one aggregate of (x-mu)^2..4 — centering
+    BEFORE raising to the 4th power is what keeps money-scale columns
+    (1e5^4 = 1e20) inside double precision; the naive raw-moment
+    expansion is catastrophically cancellative there.
+
+    Returns ``(group_cols..., n, skewness, kurtosis_excess, jb_stat,
+    p_value)``; groups with fewer than 8 rows or zero variance yield
+    NULL statistics."""
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, F.col(value_col).cast("double").alias("__v"),
+    )
+    mu = base.groupBy(*group_cols).agg(F.avg("__v").alias("__mu"))
+    joined = (
+        base.join(F.broadcast(mu), group_cols)
+        if group_cols
+        else base.crossJoin(F.broadcast(mu))
+    )
+    dev = F.col("__v") - F.col("__mu")
+    agg = joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dev * dev).alias("s2"),
+        F.sum(dev * dev * dev).alias("s3"),
+        F.sum(dev * dev * dev * dev).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m2, m3, m4 = F.col("s2") / n, F.col("s3") / n, F.col("s4") / n
+    g1 = m3 / F.pow(m2, 1.5)
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (g1 * g1 + g2 * g2 / F.lit(4.0))
+    ok = (F.col("n") >= 8) & (F.col("s2") > 0)
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, g1).alias("skewness"),
+        F.when(ok, g2).alias("kurtosis_excess"),
+        F.when(ok, jb).alias("jb_stat"),
+        F.when(ok, F.exp(-jb / F.lit(2.0))).alias("p_value"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols=(),
+    max_lag: int = 10,
+) -> DataFrame:
+    """Ljung-Box portmanteau test for serial correlation per group:
+    ``LB = n(n+2) * sum_k r_k^2 / (n-k)`` over lags 1..``max_lag`` from
+    :func:`woodwork_spark.operators.timeseries.acf` (one per-group sort
+    produces every lag), with the EXACT chi-squared(max_lag) survival
+    function — closed form for even df: ``exp(-x/2) * sum_{j<df/2}
+    (x/2)^j / j!`` — so ``max_lag`` must be even (no approximation is
+    then needed anywhere).
+
+    Returns ``(group_cols..., n, lb_stat, df_lags, p_value)``."""
+    from woodwork_spark.operators.timeseries import acf
+
+    if max_lag % 2 != 0 or max_lag < 2:
+        raise ValueError(
+            f"ljung_box: max_lag must be even and >= 2 (the exact "
+            f"even-df chi-squared survival is the point), got {max_lag}",
+        )
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    r = acf(df, x_col, y_col, group_cols, max_lag=max_lag)
+    n = F.col("n_points").cast("double")
+    term = (
+        F.col("acf") * F.col("acf")
+        / (n - F.col("lag").cast("double"))
+    )
+    agg = r.groupBy(*group_cols).agg(
+        F.max("n_points").alias("n"),
+        F.sum(term).alias("sum_terms"),
+        F.count(F.when(F.col("acf").isNull(), 1)).alias("n_null"),
+    )
+    nn = F.col("n").cast("double")
+    lb = nn * (nn + F.lit(2.0)) * F.col("sum_terms")
+    half = lb / F.lit(2.0)
+    # sum_{j=0}^{max_lag/2 - 1} half^j / j!, factorials as literals
+    surv = None
+    fact = 1.0
+    for j in range(max_lag // 2):
+        if j > 0:
+            fact *= j
+        t = F.pow(half, F.lit(float(j))) / F.lit(float(fact))
+        surv = t if surv is None else surv + t
+    p = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), F.exp(-half) * surv),
+    )
+    ok = (F.col("n_null") == 0) & (F.col("n") > max_lag + 1)
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, lb).alias("lb_stat"),
+        F.lit(max_lag).cast("long").alias("df_lags"),
+        F.when(ok, p).alias("p_value"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    order_col: str,
+    group_cols=(),
+) -> DataFrame:
+    """Durbin-Watson statistic of the residuals of the simple OLS
+    ``y ~ x`` taken in ``order_col`` order, per group: ``DW =
+    sum_{t>=2}(e_t - e_{t-1})^2 / sum e_t^2``.  The slope comes from
+    CENTERED sums (two aggregates: per-group means broadcast back, then
+    the covariance pass — no raw-moment cancellation, no collect); the
+    lag is one per-group window sort.  Per-group data must fit a
+    partition — true for the aggregated series DW is meaningful on.
+
+    Returns ``(group_cols..., n, slope, intercept, dw_stat)``; DW is in
+    [0, 4], ~2 means no first-order autocorrelation."""
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    base = df.filter(
+        F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+        & F.col(order_col).isNotNull(),
+    ).select(
+        *group_cols,
+        F.col(y_col).cast("double").alias("__y"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(order_col).alias("__t"),
+    )
+    mu = base.groupBy(*group_cols).agg(
+        F.avg("__y").alias("__my"), F.avg("__x").alias("__mx"),
+    )
+    joined = (
+        base.join(F.broadcast(mu), group_cols)
+        if group_cols
+        else base.crossJoin(F.broadcast(mu))
+    )
+    cx, cy = F.col("__x") - F.col("__mx"), F.col("__y") - F.col("__my")
+    stats = joined.groupBy(*group_cols).agg(
+        F.sum(cx * cx).alias("__sxx"), F.sum(cx * cy).alias("__sxy"),
+        F.max("__my").alias("__my"), F.max("__mx").alias("__mx"),
+    )
+    with_fit = (
+        joined.drop("__my", "__mx").join(F.broadcast(stats), group_cols)
+        if group_cols
+        else joined.drop("__my", "__mx").crossJoin(F.broadcast(stats))
+    )
+    slope = F.col("__sxy") / F.col("__sxx")
+    resid = (
+        F.col("__y") - F.col("__my") - slope * (F.col("__x") - F.col("__mx"))
+    )
+    part = (
+        W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+    )
+    e = with_fit.withColumn("__e", resid).withColumn(
+        "__e_prev", F.lag("__e").over(part.orderBy("__t")),
+    )
+    de = F.col("__e") - F.col("__e_prev")
+    out = e.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(slope).alias("slope"),
+        F.max(F.col("__my") - slope * F.col("__mx")).alias("intercept"),
+        (
+            F.sum(F.when(F.col("__e_prev").isNotNull(), de * de)
+                  .otherwise(0.0))
+            / F.sum(F.col("__e") * F.col("__e"))
+        ).alias("dw_stat"),
+    )
+    return out.select(
+        *group_cols, F.col("n").cast("long").alias("n"),
+        "slope", "intercept", "dw_stat",
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    success_col,
+) -> DataFrame:
+    """Cochran-Armitage trend test: does the success probability trend
+    monotonically with an ordinal score?  Row-level formulation (exactly
+    the classic grouped one): ``T = sum(s*y)``, ``Z = (T - p*sum(s)) /
+    sqrt(p(1-p)(sum(s^2) - sum(s)^2/N))`` with the pooled rate p; the
+    two-sided p-value through the shared A&S erf polynomial.  ONE
+    aggregate over (score, outcome) — no per-group pass needed.
+
+    Returns one row ``(n, n_success, z_stat, p_approx)``."""
+    y = success_col.cast("double") if hasattr(success_col, "cast") else (
+        F.col(success_col).cast("boolean").cast("double")
+    )
+    s = F.col(score_col).cast("double")
+    agg = df.filter(s.isNotNull() & y.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("ny"),
+        F.sum(s).alias("ss"),
+        F.sum(s * s).alias("ss2"),
+        F.sum(s * y).alias("t"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("ny") / n
+    var = p * (F.lit(1.0) - p) * (
+        F.col("ss2") - F.col("ss") * F.col("ss") / n
+    )
+    z = (F.col("t") - p * F.col("ss")) / F.sqrt(var)
+    ok = (F.col("ny") > 0) & (F.col("ny") < F.col("n")) & (var > 0)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("ny").cast("long").alias("n_success"),
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
+    )
+
+
+def breusch_pagan(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Breusch-Pagan LM test for heteroscedasticity of the simple OLS
+    ``y ~ x``: regress squared residuals on x, ``BP = n * R^2`` of that
+    auxiliary fit, chi-squared(1) p-value via the EXACT identity
+    ``P(chi2_1 > x) = 2(1 - Phi(sqrt(x)))`` through the shared erf
+    polynomial.  Everything is centered-sums column algebra: means pass,
+    covariance pass, auxiliary pass — three aggregates, zero collects,
+    no windows.
+
+    Returns one row ``(n, slope, bp_stat, p_approx)``."""
+    base = df.filter(
+        F.col(y_col).isNotNull() & F.col(x_col).isNotNull(),
+    ).select(
+        F.col(y_col).cast("double").alias("__y"),
+        F.col(x_col).cast("double").alias("__x"),
+    )
+    mu = base.agg(F.avg("__y").alias("__my"), F.avg("__x").alias("__mx"))
+    j1 = base.crossJoin(F.broadcast(mu))
+    cx, cy = F.col("__x") - F.col("__mx"), F.col("__y") - F.col("__my")
+    stats = j1.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cx * cx).alias("sxx"), F.sum(cx * cy).alias("sxy"),
+        F.max("__my").alias("__my"), F.max("__mx").alias("__mx"),
+    )
+    j2 = base.crossJoin(F.broadcast(stats))
+    slope = F.col("sxy") / F.col("sxx")
+    resid = (
+        F.col("__y") - F.col("__my") - slope * (F.col("__x") - F.col("__mx"))
+    )
+    u = resid * resid
+    cx2 = F.col("__x") - F.col("__mx")
+    aux = j2.agg(
+        F.max("n").alias("n"),
+        F.max(slope).alias("slope"),
+        F.max("sxx").alias("sxx"),
+        F.avg(u).alias("mu_u"),
+        F.sum(cx2 * u).alias("sxu"),
+        F.sum(u * u).alias("suu_raw"),
+    )
+    n = F.col("n").cast("double")
+    # centered aux sums: suu = sum(u^2) - n*mean(u)^2; r2 = sxu^2/(sxx*suu)
+    suu = F.col("suu_raw") - n * F.col("mu_u") * F.col("mu_u")
+    r2 = F.col("sxu") * F.col("sxu") / (F.col("sxx") * suu)
+    bp = n * r2
+    ok = (suu > 0) & (F.col("sxx") > 0)
+    return aux.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, F.col("slope")).alias("slope"),
+        F.when(ok, bp).alias("bp_stat"),
+        F.when(ok, _std_normal_two_sided_p(F.sqrt(bp))).alias("p_approx"),
+    )
