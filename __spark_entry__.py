@@ -18393,3 +18393,200 @@ ORACLE["breusch_pagan"] = """
     FROM p
 """
 QUERIES["breusch_pagan"] = q_breusch_pagan
+
+
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction per document (top-3 phrases): stopword-
+    bounded phrase candidates scored by summed word degree/frequency.
+    Ranking key is INTEGER micro-units (floor(1e6*degree/freq) summed)
+    so near-tied phrases rank identically on every engine; all stages
+    partition by document."""
+    from woodwork_spark.operators.curation import rake_keywords
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = rake_keywords(docs, "doc_id", "text", top_k=3)
+    return out.select(
+        "doc_id", "phrase", "n_words", "n_occ",
+        F.round(F.col("score"), 6).alias("score"), "rank",
+    )
+
+
+ORACLE["rake_keywords"] = """
+    WITH marked AS (
+        SELECT doc_id,
+               array_to_string(list_transform(
+                   string_split_regex(trim(lower(regexp_replace(
+                       text, '[^A-Za-z]+', ' ', 'g'))), '\\s+'),
+                   t -> CASE WHEN t IN (
+                       'a','an','the','and','or','of','to','in','on',
+                       'for','with','as','at','by','it','is','are',
+                       'was','were','be','this','that','from','but',
+                       'not','so','if','then') THEN '~' ELSE t END),
+                   ' ') AS m
+        FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+    ),
+    base AS (
+        SELECT doc_id, trim(p) AS phrase
+        FROM (SELECT doc_id, unnest(string_split(m, '~')) AS p
+              FROM marked)
+        WHERE trim(p) <> ''
+    ),
+    pw AS (
+        SELECT doc_id, phrase,
+               len(string_split(phrase, ' ')) AS wlen
+        FROM base
+    ),
+    words_all AS (
+        SELECT doc_id, wlen, unnest(string_split(phrase, ' ')) AS word
+        FROM pw
+    ),
+    wstats AS (
+        SELECT doc_id, word,
+               CAST(floor(1000000.0 * sum(wlen) / count(*)) AS BIGINT)
+                   AS wscore_micro
+        FROM words_all GROUP BY doc_id, word
+    ),
+    phrase_occ AS (
+        SELECT doc_id, phrase, wlen, count(*) AS n_occ
+        FROM pw GROUP BY doc_id, phrase, wlen
+    ),
+    pwords AS (
+        SELECT doc_id, phrase, wlen, n_occ,
+               unnest(string_split(phrase, ' ')) AS word
+        FROM phrase_occ
+    ),
+    scored AS (
+        SELECT p.doc_id, p.phrase, p.wlen, p.n_occ,
+               sum(w.wscore_micro) AS score_micro
+        FROM pwords p JOIN wstats w
+            ON p.doc_id = w.doc_id AND p.word = w.word
+        GROUP BY 1, 2, 3, 4
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY score_micro DESC, phrase) AS rank
+        FROM scored
+    )
+    SELECT doc_id, phrase,
+           CAST(wlen AS BIGINT) AS n_words,
+           CAST(n_occ AS BIGINT) AS n_occ,
+           round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 3
+"""
+QUERIES["rake_keywords"] = q_rake_keywords
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Per-shard provenance manifest over documents (8 shards): salted
+    md5 shard assignment + order-free dual-modulus content checksums —
+    the run-to-run byte-identity tripwire for corpus exports.  ONE
+    aggregate."""
+    from woodwork_spark.operators.quality_checks import shard_manifest
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return shard_manifest(docs, "doc_id", "text", n_shards=8, salt="prov")
+
+
+ORACLE["shard_manifest"] = """
+    WITH h AS (
+        SELECT CAST(('0x' || substr(md5('prov' || CAST(doc_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % 8 AS shard,
+               doc_id,
+               length(text) AS n_chars,
+               CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS dh
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id,
+           CAST(sum(dh % 1000003) % 1000003 AS BIGINT) AS checksum_a,
+           CAST(sum(dh % 999983) % 999983 AS BIGINT) AS checksum_b
+    FROM h GROUP BY shard
+"""
+QUERIES["shard_manifest"] = q_shard_manifest
+
+
+def q_rouge_l(spark, sf_dir):
+    """ROUGE-L between two overlapping token windows of each document
+    (ref = tokens 1-16, cand = tokens 9-32): the LCS dynamic program
+    runs as ONE Arrow-batched pandas UDF (the documented non-expressible
+    exception); P/R/F are exact integer ratios.  The oracle computes the
+    SAME LCS with a recursive CTE via the prefix-max row recurrence
+    dp'[j] = max(dp[j], max_{k<=j}(dp[k-1] + match_k)) — so this is a
+    full value-checked query, not a rows-only one, despite the UDF."""
+    from woodwork_spark.operators.evaluation import rouge_l_scores
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & F.col("text").isNotNull(),
+    )
+    toks = F.split(F.trim("text"), r"\s+")
+    pairs = docs.select(
+        "doc_id",
+        F.slice(toks, 1, 16).alias("ref"),
+        F.slice(toks, 9, 24).alias("cand"),
+    )
+    out = rouge_l_scores(pairs, "ref", "cand")
+    return out.select(
+        "doc_id",
+        F.size("ref").cast("long").alias("len_ref"),
+        F.size("cand").cast("long").alias("len_cand"),
+        "lcs",
+        F.round("rouge_l_p", 6).alias("rouge_l_p"),
+        F.round("rouge_l_r", 6).alias("rouge_l_r"),
+        F.round("rouge_l_f", 6).alias("rouge_l_f"),
+    )
+
+
+ORACLE["rouge_l"] = """
+    WITH RECURSIVE pairs AS (
+        SELECT doc_id, t[1:16] AS a, t[9:32] AS b
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+              WHERE doc_id < 100 AND text IS NOT NULL)
+    ),
+    dp AS (
+        SELECT doc_id, a, b, 0 AS i,
+               list_transform(range(1, len(b) + 2), x -> 0) AS row
+        FROM pairs
+        UNION ALL
+        SELECT doc_id, a, b, i + 1,
+               list_prepend(0, list_transform(
+                   range(1, len(b) + 1),
+                   j -> greatest(
+                       row[j + 1],
+                       list_max(list_transform(
+                           range(1, j + 1),
+                           k -> row[k] + CASE WHEN a[i + 1] = b[k]
+                                              THEN 1 ELSE 0 END)))))
+        FROM dp WHERE i < len(a)
+    ),
+    fin AS (
+        SELECT doc_id, len(a) AS la, len(b) AS lb,
+               row[len(b) + 1] AS lcs
+        FROM dp WHERE i = len(a)
+    )
+    SELECT doc_id,
+           CAST(la AS BIGINT) AS len_ref,
+           CAST(lb AS BIGINT) AS len_cand,
+           CAST(lcs AS BIGINT) AS lcs,
+           round(CASE WHEN lb > 0 THEN CAST(lcs AS DOUBLE) / lb
+                      ELSE 0.0 END, 6) AS rouge_l_p,
+           round(CASE WHEN la > 0 THEN CAST(lcs AS DOUBLE) / la
+                      ELSE 0.0 END, 6) AS rouge_l_r,
+           round(CASE WHEN lcs > 0
+                      THEN 2.0 * (CAST(lcs AS DOUBLE) / lb)
+                           * (CAST(lcs AS DOUBLE) / la)
+                           / (CAST(lcs AS DOUBLE) / lb
+                              + CAST(lcs AS DOUBLE) / la)
+                      ELSE 0.0 END, 6) AS rouge_l_f
+    FROM fin
+"""
+QUERIES["rouge_l"] = q_rouge_l

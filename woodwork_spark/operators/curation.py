@@ -849,3 +849,103 @@ def lorenz_curve(
         (F.col("__cw") / F.col("__tw")).alias("cum_weight_frac"),
     )
     return attach_persisted(out, *persisted_frames(cum))
+
+
+RAKE_STOPWORDS = (
+    "a", "an", "the", "and", "or", "of", "to", "in", "on", "for",
+    "with", "as", "at", "by", "it", "is", "are", "was", "were", "be",
+    "this", "that", "from", "but", "not", "so", "if", "then",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords=RAKE_STOPWORDS,
+    top_k: int = 5,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) per document: candidate
+    phrases are maximal stopword-free token runs; each word scores
+    degree/frequency over the document's phrases (degree = summed length
+    of the phrases it appears in, i.e. the co-occurrence-matrix row sum
+    including self); a phrase scores the sum of its word scores.
+
+    Determinism across engines: the ranking key is INTEGER micro-units —
+    ``score_micro = sum(floor(1e6 * degree / freq))`` — because a float
+    sum of ratios is summation-order-dependent at 1 ulp, which is enough
+    to flip a top-k rank between near-tied phrases on different engines.
+    floor of an identical double division is bit-stable, and integer
+    sums are order-free.  ``score`` is the micro value scaled back.
+
+    Phrase splitting is pure column algebra: lowercase -> strip
+    non-letters -> token array -> stopwords mapped to a '~' sentinel ->
+    re-join -> split on '~' (no per-row Python).  Returns ``(id_col,
+    phrase, n_words, n_occ, score, rank)``, rank in [1, top_k], ties by
+    phrase ascending.
+
+    Scale: two aggregates keyed (doc, word) / (doc, phrase) and one
+    per-document window — every stage partitions by document, so
+    parallelism scales with the corpus; nothing is global.
+    """
+    from pyspark.sql import Window
+
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z]+", " "))
+    toks = F.split(F.trim(norm), r"\s+")
+    marked = F.transform(
+        toks,
+        lambda t: F.when(F.array_contains(stop_arr, t), F.lit("~"))
+        .otherwise(t),
+    )
+    phrases = F.split(F.array_join(marked, " "), "~")
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.explode(phrases).alias("praw"))
+        .select("id", F.trim("praw").alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    pw = base.withColumn("wlen", F.size(F.split("phrase", " ")))
+    # word stats WITH phrase-occurrence multiplicity
+    words_all = pw.select(
+        "id", "wlen", F.explode(F.split("phrase", " ")).alias("word"),
+    )
+    wstats = words_all.groupBy("id", "word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("wlen").alias("degree"),
+    ).withColumn(
+        "wscore_micro",
+        F.floor(
+            F.lit(1000000.0) * F.col("degree").cast("double")
+            / F.col("freq").cast("double"),
+        ).cast("long"),
+    )
+    # distinct phrases (keep occurrence count), scored once each
+    phrase_occ = pw.groupBy("id", "phrase", "wlen").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    pwords = phrase_occ.select(
+        "id", "phrase", "wlen", "n_occ",
+        F.explode(F.split("phrase", " ")).alias("word"),
+    )
+    scored = (
+        pwords.join(wstats.select("id", "word", "wscore_micro"),
+                    ["id", "word"])
+        .groupBy("id", "phrase", "wlen", "n_occ")
+        .agg(F.sum("wscore_micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score_micro"), F.asc("phrase"),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("id").alias(id_col),
+            "phrase",
+            F.col("wlen").cast("long").alias("n_words"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+            (F.col("score_micro").cast("double") / 1e6).alias("score"),
+            "rank",
+        )
+    )

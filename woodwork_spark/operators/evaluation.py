@@ -1426,3 +1426,73 @@ def bleu_corpus(
         *[f"p{n}" for n in range(1, int(max_n) + 1)],
         bleu.alias("bleu"),
     )
+
+
+def rouge_l_scores(
+    df: DataFrame,
+    ref_col: str,
+    cand_col: str,
+    beta: float = 1.0,
+) -> DataFrame:
+    """ROUGE-L (Lin 2004) per row from two token-array columns: the
+    longest common subsequence length plus precision / recall / F-beta.
+
+    The LCS is an inherently sequential dynamic program — the documented
+    exception class where built-in column functions cannot express the
+    semantics — so it runs as ONE Arrow-batched pandas UDF (never
+    row-at-a-time Python; one JVM<->Python round trip per batch, two
+    token arrays in, one long out).  Everything else (P/R/F) is pure
+    column algebra on exact integers, so the scores are ratios of ints
+    and reproduce bit-identically on any engine.
+
+    Appends ``lcs`` (long), ``rouge_l_p``, ``rouge_l_r``, ``rouge_l_f``
+    to the input frame.  Empty/null token arrays score 0.0 (not null) —
+    the standard convention so corpus averages stay defined.
+
+    Scale: embarrassingly parallel over rows; per-row cost is
+    O(len_ref * len_cand) — cap token lengths upstream (ROUGE is a
+    summary metric; summaries are short by construction).
+    """
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _lcs(refs, cands):
+        out = []
+        for a, b in zip(refs, cands):
+            if a is None or b is None or len(a) == 0 or len(b) == 0:
+                out.append(0)
+                continue
+            a, b = list(a), list(b)
+            m = len(b)
+            prev = [0] * (m + 1)
+            for x in a:
+                cur = [0] * (m + 1)
+                for j in range(1, m + 1):
+                    if x == b[j - 1]:
+                        cur[j] = prev[j - 1] + 1
+                    else:
+                        pj, cj = prev[j], cur[j - 1]
+                        cur[j] = pj if pj >= cj else cj
+                prev = cur
+            out.append(prev[m])
+        return pd.Series(out, dtype="int64")
+
+    lcs = F.col("__lcs").cast("double")
+    n_ref = F.coalesce(F.size(ref_col).cast("double"), F.lit(0.0))
+    n_cand = F.coalesce(F.size(cand_col).cast("double"), F.lit(0.0))
+    p = F.when(n_cand > 0, lcs / n_cand).otherwise(0.0)
+    r = F.when(n_ref > 0, lcs / n_ref).otherwise(0.0)
+    b2 = float(beta) * float(beta)
+    f = F.when(
+        p + r > 0,
+        (F.lit(1.0 + b2) * p * r) / (r + F.lit(b2) * p),
+    ).otherwise(0.0)
+    return (
+        df.withColumn("__lcs", _lcs(F.col(ref_col), F.col(cand_col)))
+        .withColumn("rouge_l_p", p)
+        .withColumn("rouge_l_r", r)
+        .withColumn("rouge_l_f", f)
+        .withColumnRenamed("__lcs", "lcs")
+    )

@@ -559,3 +559,56 @@ def snapshot_drift_report(
             ),
         )
     return joined.select(F.inline(F.array(*rows)))
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    n_shards: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic shard assignment plus a per-shard provenance
+    manifest — the bookkeeping a 100 TB corpus needs to prove that two
+    pipelines (or two runs, or export vs re-import) saw the same bytes.
+
+    Sharding is the salted-md5-prefix convention shared by
+    :func:`~woodwork_spark.operators.sampling.hash_split` (same key ->
+    same shard on any engine, rerun, or partitioning).  Each shard row
+    carries content CHECKSUMS that are mergeable and order-free: the
+    per-doc md5 folds to an integer and is summed under two coprime
+    moduli (1_000_003 and 999_983) — addition commutes, so the result
+    is independent of row order and partitioning, and two moduli push
+    the silent-collision probability to ~1e-12 per shard.  Per-doc
+    residues are < 1e6, so the running sum stays within long range up
+    to ~9e12 docs per shard.  These are drift TRIPWIRES (like rsync's
+    rolling checks), not cryptographic commitments — the manifest also
+    carries doc counts, char mass and id bounds for cheap triage.
+
+    Returns one row per shard: ``(shard, n_docs, n_chars, min_id,
+    max_id, checksum_a, checksum_b)``.  ONE aggregate; nothing global.
+    """
+    hid = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    doc_h = F.conv(
+        F.substring(F.md5(F.col(content_col)), 1, 15), 16, 10,
+    ).cast("long")
+    return (
+        df.filter(F.col(content_col).isNotNull())
+        .groupBy(F.pmod(hid, F.lit(n_shards)).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(content_col)).cast("long").alias("n_chars"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+            F.pmod(F.sum(doc_h % 1000003), F.lit(1000003))
+            .cast("long").alias("checksum_a"),
+            F.pmod(F.sum(doc_h % 999983), F.lit(999983))
+            .cast("long").alias("checksum_b"),
+        )
+    )
