@@ -18590,3 +18590,222 @@ ORACLE["rouge_l"] = """
     FROM fin
 """
 QUERIES["rouge_l"] = q_rouge_l
+
+
+def q_holt_winters(spark, sf_dir):
+    """Holt-Winters additive triple smoothing of weekly revenue per
+    priority (period 4, the monthly-ish cycle): the sequential
+    recurrence fans out per group via applyInPandas and iterates in one
+    Arrow batch; every step is fixed-order elementary IEEE arithmetic,
+    so the recursive-CTE oracle (rolling seasonal LIST in the recursion
+    state) replays it bit-for-bit."""
+    from woodwork_spark.operators.timeseries import holt_winters_fit
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.unix_date(F.col("o_orderdate").cast("date")) / 7)
+        .cast("long").alias("wk"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    out = holt_winters_fit(weekly, "wk", "rev", "g", period=4)
+    eps = 0.000000001
+    return out.select(
+        "g", "n_points",
+        F.round(F.col("level") + eps, 4).alias("level"),
+        F.round(F.col("trend") + eps, 4).alias("trend"),
+        F.round(F.col("s_next") + eps, 4).alias("s_next"),
+        F.round(F.col("forecast_1") + eps, 4).alias("forecast_1"),
+        F.round(F.col("mae") + eps, 4).alias("mae"),
+    )
+
+
+ORACLE["holt_winters"] = """
+    WITH RECURSIVE weekly AS (
+        SELECT o_orderpriority AS g,
+               CAST(floor(datediff('day', DATE '1970-01-01',
+                                   CAST(o_orderdate AS DATE)) / 7)
+                    AS BIGINT) AS wk,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1, 2
+    ), ord AS (
+        SELECT g, wk, rev,
+               row_number() OVER (PARTITION BY g ORDER BY wk) AS rn
+        FROM weekly
+    ), np AS (
+        SELECT g, CAST(max(rn) AS BIGINT) AS n_points FROM ord GROUP BY g
+    ), heads AS (
+        SELECT g, list(rev ORDER BY rn) AS yl
+        FROM ord WHERE rn <= 8 GROUP BY g
+    ), init AS (
+        SELECT g,
+               (yl[1] + yl[2] + yl[3] + yl[4]) / 4.0 AS mean1,
+               (yl[5] + yl[6] + yl[7] + yl[8]) / 4.0 AS mean2,
+               yl
+        FROM heads WHERE len(yl) = 8
+    ), rec(g, rn, level, trend, sl, aes, en) AS (
+        SELECT i.g, CAST(4 AS BIGINT),
+               mean1, (mean2 - mean1) / 4.0,
+               list_transform(yl[1:4], v -> v - mean1),
+               CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)
+        FROM init i JOIN np ON i.g = np.g AND np.n_points >= 9
+        UNION ALL
+        SELECT rec.g, rec.rn + 1,
+               0.5 * (o.rev - rec.sl[1])
+                   + 0.5 * (rec.level + rec.trend),
+               0.3 * ((0.5 * (o.rev - rec.sl[1])
+                       + 0.5 * (rec.level + rec.trend)) - rec.level)
+                   + 0.7 * rec.trend,
+               rec.sl[2:4] || [
+                   0.2 * (o.rev - (0.5 * (o.rev - rec.sl[1])
+                                   + 0.5 * (rec.level + rec.trend)))
+                   + 0.8 * rec.sl[1]],
+               rec.aes + abs(o.rev - (rec.level + rec.trend + rec.sl[1])),
+               rec.en + 1
+        FROM rec JOIN ord o ON o.g = rec.g AND o.rn = rec.rn + 1
+    )
+    SELECT rec.g, np.n_points,
+           round(rec.level + 0.000000001, 4) AS level,
+           round(rec.trend + 0.000000001, 4) AS trend,
+           round(rec.sl[1] + 0.000000001, 4) AS s_next,
+           round(rec.level + rec.trend + rec.sl[1]
+                 + 0.000000001, 4) AS forecast_1,
+           round(rec.aes / rec.en + 0.000000001, 4) AS mae
+    FROM rec JOIN np ON rec.g = np.g AND rec.rn = np.n_points
+"""
+QUERIES["holt_winters"] = q_holt_winters
+
+
+def q_cox_ph(spark, sf_dir):
+    """Cox proportional hazards (time to first purchase ~ log activity,
+    per user cohort): 3 unrolled Newton steps, risk sets via per-group
+    RANGE-frame suffix sums (ties share a risk set), per-group beta
+    broadcast between steps.  Completes the survival stack (KM / NA /
+    log-rank / RMST + regression)."""
+    from woodwork_spark.operators.timeseries import cox_ph_fit
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+        F.count(F.lit(1)).alias("__ne"),
+    )
+    rows = per_user.select(
+        (F.col("user_id") % 3).alias("cohort"),
+        F.floor(
+            (
+                F.unix_micros(F.coalesce("__p", "__last"))
+                - F.unix_micros("__t0")
+            ) / 3.6e9,
+        ).cast("double").alias("dur"),
+        F.col("__p").isNotNull().cast("double").alias("ev"),
+        F.log(F.lit(1.0) + F.col("__ne")).alias("x"),
+    ).filter(F.col("dur") >= 0)
+    out = cox_ph_fit(rows, "dur", "ev", "x", "cohort", iters=3)
+    return out.select(
+        "cohort", "n", "n_events",
+        _ravg(F.col("beta"), 6).alias("beta"),
+        _ravg(F.col("se"), 6).alias("se"),
+        _ravg(F.col("z_stat"), 5).alias("z_stat"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+    )
+
+
+def _cox_oracle() -> str:
+    data = """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(ts) AS t0,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+                   max(ts) AS lastts,
+                   count(*) AS ne
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ),
+        data AS (
+            SELECT user_id % 3 AS cohort,
+                   CAST(floor(epoch_us(coalesce(p, lastts) - t0) / 3.6e9)
+                        AS DOUBLE) AS t,
+                   CASE WHEN p IS NOT NULL THEN 1.0 ELSE 0.0 END AS d,
+                   ln(1.0 + ne) AS x
+            FROM per_user
+            WHERE floor(epoch_us(coalesce(p, lastts) - t0) / 3.6e9) >= 0
+        ),
+        b0 AS (SELECT cohort, 0.0 AS beta FROM data GROUP BY cohort)
+    """
+    steps = []
+    for i in range(3):
+        steps.append(f"""
+        , s{i} AS (
+            SELECT dd.cohort, dd.t, dd.d, dd.x, b.beta,
+                   sum(exp(b.beta * dd.x)) OVER wr AS s0,
+                   sum(dd.x * exp(b.beta * dd.x)) OVER wr AS s1,
+                   sum(dd.x * dd.x * exp(b.beta * dd.x)) OVER wr AS s2
+            FROM data dd JOIN b{i} b USING (cohort)
+            WINDOW wr AS (PARTITION BY dd.cohort ORDER BY dd.t ASC
+                          RANGE BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+        ),
+        b{i + 1} AS (
+            SELECT cohort,
+                   CASE WHEN sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0))) > 0
+                        THEN max(beta)
+                             + sum(d * (x - s1 / s0))
+                               / sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0)))
+                        ELSE 0.0 END AS beta
+            FROM s{i} GROUP BY cohort
+        )""")
+    final = """
+        , fin AS (
+            SELECT dd.cohort, dd.t, dd.d, dd.x, b.beta,
+                   sum(exp(b.beta * dd.x)) OVER wr AS s0,
+                   sum(dd.x * exp(b.beta * dd.x)) OVER wr AS s1,
+                   sum(dd.x * dd.x * exp(b.beta * dd.x)) OVER wr AS s2
+            FROM data dd JOIN b3 b USING (cohort)
+            WINDOW wr AS (PARTITION BY dd.cohort ORDER BY dd.t ASC
+                          RANGE BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+        ),
+        agg AS (
+            SELECT cohort,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(d) AS BIGINT) AS n_events,
+                   max(beta) AS beta,
+                   sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0))) AS info
+            FROM fin GROUP BY cohort
+        ),
+        wald AS (
+            SELECT cohort, n, n_events, beta,
+                   1.0 / sqrt(info) AS se,
+                   beta * sqrt(info) AS zv,
+                   abs(beta * sqrt(info)) / sqrt(2.0) AS xx,
+                   1.0 / (1.0 + 0.3275911
+                          * abs(beta * sqrt(info)) / sqrt(2.0)) AS tt,
+                   info
+            FROM agg
+        )
+        SELECT cohort, n, n_events,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN beta END
+                     + 0.0000001, 6) AS beta,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN se END
+                     + 0.0000001, 6) AS se,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN zv END
+                     + 0.0000001, 5) AS z_stat,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN
+                   least(1.0, greatest(0.0,
+                       (0.254829592 * tt - 0.284496736 * tt * tt
+                        + 1.421413741 * tt * tt * tt
+                        - 1.453152027 * tt * tt * tt * tt
+                        + 1.061405429 * tt * tt * tt * tt * tt)
+                       * exp(-xx * xx))) END
+                     + 0.0000001, 6) AS p_approx
+        FROM wald
+    """
+    return data + "".join(steps) + final
+
+
+ORACLE["cox_ph"] = _cox_oracle()
+QUERIES["cox_ph"] = q_cox_ph

@@ -1174,3 +1174,232 @@ def rmst(
         ).alias("rmst"),
         F.count(F.lit(1)).cast("long").alias("n_times"),
     )
+
+
+_HW_SCHEMA = (
+    "n_points bigint, level double, trend double, s_next double, "
+    "forecast_1 double, mae double"
+)
+
+
+def holt_winters_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols,
+    period: int,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing per group —
+    :func:`holt_fit` plus a seasonal component of length ``period``:
+
+    - ``l_t = a*(y_t - s_{t-m}) + (1-a)*(l_{t-1} + b_{t-1})``
+    - ``b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}``
+    - ``s_t = G*(y_t - l_t) + (1-G)*s_{t-m}``
+
+    Initialization is the textbook two-full-periods scheme: ``l_m`` is
+    the first period's mean, ``b_m`` the mean-to-mean slope between the
+    first two periods divided by m, ``s_i = y_i - l_m`` for the first
+    period.  The recursion starts at t = m+1; the one-step error
+    ``e_t = y_t - (l_{t-1} + b_{t-1} + s_{t-m})`` feeds ``mae``.
+
+    Like :func:`holt_fit`, the recurrence is inherently sequential, so
+    groups fan out via ``applyInPandas`` and each series iterates in
+    one Arrow batch — every arithmetic step is elementary IEEE ops in a
+    fixed order, so a recursive-CTE SQL replay reproduces it bit-for-
+    bit.  Groups with fewer than ``2 * period + 1`` points yield no row
+    (the initializer needs two full periods plus one step).
+
+    Returns ``(group_cols..., n_points, level, trend, s_next,
+    forecast_1, mae)`` where ``s_next`` is the seasonal index that
+    applies to t = n+1 and ``forecast_1 = level + trend + s_next``.
+    """
+    import pandas as pd
+
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if not 0 < alpha <= 1 or not 0 < beta <= 1 or not 0 < gamma <= 1:
+        raise ValueError("alpha, beta, gamma must be in (0, 1]")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    if not group_cols:
+        raise ValueError("holt_winters_fit requires group_cols")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull(),
+    ).select(*group_cols, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    m = int(period)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [*group_cols, "n_points", "level", "trend", "s_next",
+                "forecast_1", "mae"]
+        pdf = pdf.sort_values(["__x", "__y"], kind="mergesort")
+        y = [float(v) for v in pdf["__y"].to_numpy()]
+        keys = pdf.iloc[0][group_cols]
+        n = len(y)
+        if n < 2 * m + 1:
+            return pd.DataFrame(columns=cols)
+        # left-to-right sums so the SQL replay's list_sum matches ulp-
+        # for-ulp (numpy pairwise summation would NOT)
+        mean1 = 0.0
+        for v in y[:m]:
+            mean1 += v
+        mean1 /= m
+        mean2 = 0.0
+        for v in y[m:2 * m]:
+            mean2 += v
+        mean2 /= m
+        level = mean1
+        trend = (mean2 - mean1) / m
+        season = [y[i] - mean1 for i in range(m)]
+        abs_sum, n_err = 0.0, 0
+        for t in range(m, n):
+            s_old = season[t - m]
+            abs_sum += abs(y[t] - (level + trend + s_old))
+            n_err += 1
+            prev_level = level
+            level = alpha * (y[t] - s_old) + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev_level) + (1 - beta) * trend
+            season.append(gamma * (y[t] - level) + (1 - gamma) * s_old)
+        s_next = season[n - m]  # applies to t = n+1
+        return pd.DataFrame(
+            [[*keys, n, level, trend, s_next, level + trend + s_next,
+              abs_sum / n_err]],
+            columns=cols,
+        )
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.select(*group_cols).schema.fields
+    )
+    return base.groupBy(*group_cols).applyInPandas(
+        fit, f"{key_schema}, {_HW_SCHEMA}",
+    )
+
+
+def cox_ph_fit(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_col: str,
+    group_cols=(),
+    iters: int = 3,
+) -> DataFrame:
+    """Cox proportional-hazards fit (single covariate, Breslow ties) per
+    group via ``iters`` unrolled Newton steps from beta = 0 — completing
+    the survival stack (Kaplan-Meier / Nelson-Aalen / log-rank / RMST
+    estimate; this adds the REGRESSION member).
+
+    Each Newton step is pure column algebra: risk-set sums ``S0 = sum
+    e^(bx)``, ``S1 = sum x e^(bx)``, ``S2 = sum x^2 e^(bx)`` over
+    subjects still at risk come from ONE per-group window with a RANGE
+    frame ordered by time (RANGE, not ROWS — subjects tied on time must
+    share the identical risk set), then score ``U = sum_events (x -
+    S1/S0)`` and information ``I = sum_events (S2/S0 - (S1/S0)^2)``
+    fold in one aggregate and ``b' = b + U/I``.  The per-group beta
+    frame (one row per group) broadcasts back for the next step, so the
+    whole fit is ``iters`` sort+aggregate rounds with no driver math
+    and no collect.  Newton on the Cox partial likelihood from 0
+    converges quadratically — 3 steps give ~6 correct digits for
+    |beta| < 1.5, plenty for the Wald readout.
+
+    Returns ``(group_cols..., n, n_events, beta, se, z_stat,
+    p_approx)`` — se = 1/sqrt(I) at the final beta, Wald z and its
+    two-sided normal p via the shared A&S erf polynomial.  Groups with
+    no events or degenerate covariates yield NULL statistics.
+    """
+    from woodwork_spark.operators.stats_tests import (
+        _std_normal_two_sided_p,
+    )
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    base = df.filter(
+        F.col(time_col).isNotNull() & F.col(event_col).isNotNull()
+        & F.col(x_col).isNotNull(),
+    ).select(
+        *group_cols,
+        F.col(time_col).cast("double").alias("__t"),
+        F.col(event_col).cast("double").alias("__d"),
+        F.col(x_col).cast("double").alias("__x"),
+    )
+    part = (
+        W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+    )
+    # RANGE frame, ascending time, current-row..following = everyone
+    # with t >= this row's t (ties included) — the risk set.
+    w_risk = part.orderBy(F.col("__t").asc()).rangeBetween(
+        W.currentRow, W.unboundedFollowing,
+    )
+    beta_df = base.groupBy(*group_cols).agg(
+        F.lit(0.0).alias("__beta"),
+    )
+    for _ in range(int(iters)):
+        if group_cols:
+            cur = base.join(F.broadcast(beta_df), group_cols)
+        else:
+            cur = base.crossJoin(F.broadcast(beta_df))
+        ew = F.exp(F.col("__beta") * F.col("__x"))
+        cur = (
+            cur.withColumn("__s0", F.sum(ew).over(w_risk))
+            .withColumn("__s1", F.sum(F.col("__x") * ew).over(w_risk))
+            .withColumn(
+                "__s2",
+                F.sum(F.col("__x") * F.col("__x") * ew).over(w_risk),
+            )
+        )
+        r1 = F.col("__s1") / F.col("__s0")
+        step = cur.groupBy(*group_cols).agg(
+            F.max("__beta").alias("__b0"),
+            F.sum(F.col("__d") * (F.col("__x") - r1)).alias("__u"),
+            F.sum(
+                F.col("__d") * (F.col("__s2") / F.col("__s0") - r1 * r1),
+            ).alias("__i"),
+        )
+        beta_df = step.select(
+            *group_cols,
+            F.when(
+                F.col("__i") > 0,
+                F.col("__b0") + F.col("__u") / F.col("__i"),
+            ).otherwise(F.lit(0.0)).alias("__beta"),
+        )
+    # final readout: information at the FINAL beta for the Wald se
+    if group_cols:
+        fin = base.join(F.broadcast(beta_df), group_cols)
+    else:
+        fin = base.crossJoin(F.broadcast(beta_df))
+    ew = F.exp(F.col("__beta") * F.col("__x"))
+    fin = (
+        fin.withColumn("__s0", F.sum(ew).over(w_risk))
+        .withColumn("__s1", F.sum(F.col("__x") * ew).over(w_risk))
+        .withColumn(
+            "__s2",
+            F.sum(F.col("__x") * F.col("__x") * ew).over(w_risk),
+        )
+    )
+    r1 = F.col("__s1") / F.col("__s0")
+    out = fin.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__d").alias("__ne"),
+        F.max("__beta").alias("beta"),
+        F.sum(
+            F.col("__d") * (F.col("__s2") / F.col("__s0") - r1 * r1),
+        ).alias("__i"),
+    )
+    ok = (F.col("__ne") > 0) & (F.col("__i") > 0)
+    se = F.lit(1.0) / F.sqrt(F.col("__i"))
+    z = F.col("beta") / se
+    return out.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.col("__ne").cast("long").alias("n_events"),
+        F.when(ok, F.col("beta")).alias("beta"),
+        F.when(ok, se).alias("se"),
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
+    )
