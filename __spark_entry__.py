@@ -18809,3 +18809,341 @@ def _cox_oracle() -> str:
 
 ORACLE["cox_ph"] = _cox_oracle()
 QUERIES["cox_ph"] = q_cox_ph
+
+
+def q_logistic_conversion(spark, sf_dir):
+    """Logistic regression: does activity volume predict purchase
+    conversion per user cohort?  6 unrolled distributed Newton steps —
+    one aggregate each, coefficient frame broadcast between steps (the
+    bradley_terry / cox_ph iteration convention)."""
+    from woodwork_spark.operators.regression import logistic_fit
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("double"),
+        ).alias("converted"),
+        F.count(F.lit(1)).alias("__ne"),
+    )
+    rows = per_user.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        "converted",
+        F.log(F.lit(1.0) + F.col("__ne")).alias("x"),
+    )
+    out = logistic_fit(rows, "converted", "x", "cohort", iters=6)
+    return out.select(
+        "cohort", "n",
+        _ravg(F.col("intercept"), 6).alias("intercept"),
+        _ravg(F.col("slope"), 6).alias("slope"),
+        _ravg(F.col("se_slope"), 6).alias("se_slope"),
+        _ravg(F.col("z_stat"), 5).alias("z_stat"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+        _ravg(F.col("loglik"), 4).alias("loglik"),
+    )
+
+
+def q_poisson_purchases(spark, sf_dir):
+    """Poisson (log-link) regression: purchase count per user ~ log of
+    non-purchase activity, per cohort — same unrolled-Newton shape as
+    the logistic fit with the canonical-link weights mu."""
+    from woodwork_spark.operators.regression import poisson_fit
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            (F.col("event_type") == "purchase").cast("double"),
+        ).alias("n_purch"),
+        F.sum(
+            (F.col("event_type") != "purchase").cast("double"),
+        ).alias("__no"),
+    )
+    rows = per_user.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        "n_purch",
+        F.log(F.lit(1.0) + F.col("__no")).alias("x"),
+    )
+    out = poisson_fit(rows, "n_purch", "x", "cohort", iters=6)
+    return out.select(
+        "cohort", "n",
+        _ravg(F.col("intercept"), 6).alias("intercept"),
+        _ravg(F.col("slope"), 6).alias("slope"),
+        _ravg(F.col("se_slope"), 6).alias("se_slope"),
+        _ravg(F.col("z_stat"), 5).alias("z_stat"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+        _ravg(F.col("loglik"), 4).alias("loglik"),
+    )
+
+
+def _glm_oracle(family: str, data_cte: str) -> str:
+    if family == "logistic":
+        mu = ("1.0 / (1.0 + exp(-least(30.0, greatest(-30.0, "
+              "c.b0 + c.b1 * d.x))))")
+        w = "mu * (1.0 - mu)"
+        ll = "d2.y * ln(mu) + (1.0 - d2.y) * ln(1.0 - mu)"
+    else:
+        mu = "exp(c.b0 + c.b1 * d.x)"
+        w = "mu"
+        ll = "d2.y * (d2.b0 + d2.b1 * d2.x) - mu"
+    parts = [data_cte,
+             ", c0 AS (SELECT cohort, 0.0 AS b0, 0.0 AS b1 "
+             "FROM data GROUP BY cohort)"]
+    for i in range(6):
+        parts.append(f"""
+        , a{i} AS (
+            SELECT cohort, max(b0) AS b0, max(b1) AS b1,
+                   sum(y - mu) AS u0, sum(x * (y - mu)) AS u1,
+                   sum({w}) AS i00, sum(x * {w}) AS i01,
+                   sum(x * x * {w}) AS i11
+            FROM (SELECT d.cohort, d.y, d.x, c.b0, c.b1, {mu} AS mu
+                  FROM data d JOIN c{i} c USING (cohort))
+            GROUP BY cohort
+        ),
+        c{i + 1} AS (
+            SELECT cohort,
+                   CASE WHEN i00 * i11 - i01 * i01 > 0
+                        THEN b0 + (i11 * u0 - i01 * u1)
+                                  / (i00 * i11 - i01 * i01)
+                        ELSE b0 END AS b0,
+                   CASE WHEN i00 * i11 - i01 * i01 > 0
+                        THEN b1 + (i00 * u1 - i01 * u0)
+                                  / (i00 * i11 - i01 * i01)
+                        ELSE b1 END AS b1
+            FROM a{i}
+        )""")
+    parts.append(f"""
+        , fin AS (
+            SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+                   max(b0) AS intercept, max(b1) AS slope,
+                   sum({w}) AS i00, sum(x * {w}) AS i01,
+                   sum(x * x * {w}) AS i11,
+                   sum({ll.replace('d2.', '')}) AS loglik
+            FROM (SELECT d.cohort, d.y, d.x, c.b0, c.b1, {mu} AS mu
+                  FROM data d JOIN c6 c USING (cohort)) d2
+            GROUP BY cohort
+        ),
+        wald AS (
+            SELECT cohort, n, intercept, slope, loglik,
+                   i00 * i11 - i01 * i01 AS det, i00
+            FROM fin
+        ),
+        rd AS (
+            SELECT cohort, n, intercept, slope, loglik, det,
+                   sqrt(i00 / det) AS se,
+                   slope / sqrt(i00 / det) AS zv,
+                   abs(slope / sqrt(i00 / det)) / sqrt(2.0) AS xx,
+                   1.0 / (1.0 + 0.3275911
+                          * abs(slope / sqrt(i00 / det)) / sqrt(2.0)) AS tt
+            FROM wald
+        )
+        SELECT cohort, n,
+               round(CASE WHEN det > 0 THEN intercept END
+                     + 0.0000001, 6) AS intercept,
+               round(CASE WHEN det > 0 THEN slope END
+                     + 0.0000001, 6) AS slope,
+               round(CASE WHEN det > 0 THEN se END
+                     + 0.0000001, 6) AS se_slope,
+               round(CASE WHEN det > 0 THEN zv END
+                     + 0.0000001, 5) AS z_stat,
+               round(CASE WHEN det > 0 THEN
+                   least(1.0, greatest(0.0,
+                       (0.254829592 * tt - 0.284496736 * tt * tt
+                        + 1.421413741 * tt * tt * tt
+                        - 1.453152027 * tt * tt * tt * tt
+                        + 1.061405429 * tt * tt * tt * tt * tt)
+                       * exp(-xx * xx))) END
+                     + 0.0000001, 6) AS p_approx,
+               round(loglik + 0.0000001, 4) AS loglik
+        FROM rd
+    """)
+    return "".join(parts)
+
+
+ORACLE["logistic_conversion"] = _glm_oracle("logistic", """
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase'
+                        THEN 1.0 ELSE 0.0 END) AS converted,
+               count(*) AS ne
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    data AS (
+        SELECT user_id % 2 AS cohort, converted AS y,
+               ln(1.0 + ne) AS x
+        FROM per_user
+    )
+""")
+QUERIES["logistic_conversion"] = q_logistic_conversion
+
+ORACLE["poisson_purchases"] = _glm_oracle("poisson", """
+    WITH per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN 1.0 ELSE 0.0 END) AS n_purch,
+               sum(CASE WHEN event_type <> 'purchase'
+                        THEN 1.0 ELSE 0.0 END) AS no
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    data AS (
+        SELECT user_id % 2 AS cohort, n_purch AS y,
+               ln(1.0 + no) AS x
+        FROM per_user
+    )
+""")
+QUERIES["poisson_purchases"] = q_poisson_purchases
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend of weekly revenue per priority: median of
+    all pairwise slopes via a per-group self-join on an aggregated
+    series (O(n^2) pairs is the documented contract — and the operator
+    fails fast on raw-event-sized groups), exact percentile medians."""
+    from woodwork_spark.operators.regression import theil_sen_fit
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.unix_date(F.col("o_orderdate").cast("date")) / 7)
+        .cast("long").alias("wk"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    out = theil_sen_fit(weekly, "wk", "rev", "g")
+    return out.select(
+        "g", "n", "n_pairs",
+        _ravg(F.col("slope"), 4).alias("slope"),
+        _ravg(F.col("intercept"), 2).alias("intercept"),
+    )
+
+
+ORACLE["theil_sen"] = """
+    WITH weekly AS (
+        SELECT o_orderpriority AS g,
+               CAST(floor(datediff('day', DATE '1970-01-01',
+                                   CAST(o_orderdate AS DATE)) / 7)
+                    AS BIGINT) AS wk,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    rn AS (
+        SELECT g, CAST(wk AS DOUBLE) AS x, rev AS y,
+               row_number() OVER (PARTITION BY g ORDER BY wk, rev) AS r
+        FROM weekly
+    ),
+    pairs AS (
+        SELECT a.g, (b.y - a.y) / (b.x - a.x) AS s
+        FROM rn a JOIN rn b ON a.g = b.g AND a.r < b.r
+        WHERE a.x <> b.x
+    ),
+    med AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+               quantile_cont(s, 0.5) AS slope
+        FROM pairs GROUP BY g
+    )
+    SELECT w.g, CAST(count(*) AS BIGINT) AS n, max(m.n_pairs) AS n_pairs,
+           round(max(m.slope) + 0.0000001, 4) AS slope,
+           round(quantile_cont(w.rev - m.slope * w.wk, 0.5)
+                 + 0.0000001, 2) AS intercept
+    FROM weekly w JOIN med m ON w.g = m.g
+    GROUP BY w.g
+"""
+QUERIES["theil_sen"] = q_theil_sen
+
+
+def q_gmm_em(spark, sf_dir):
+    """Two-component Gaussian mixture of log order totals per priority:
+    5 unrolled EM rounds, deterministic quartile initialization, E-step
+    as per-row column algebra, M-step as ONE aggregate per round with
+    the 6-parameter frame broadcast between rounds."""
+    from woodwork_spark.operators.regression import gmm1d_em
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        F.log("o_totalprice").alias("v"),
+    )
+    out = gmm1d_em(vals, "v", "g", iters=5)
+    return out.select(
+        "g", "n",
+        _ravg(F.col("pi1"), 6).alias("pi1"),
+        _ravg(F.col("mu1"), 6).alias("mu1"),
+        _ravg(F.col("sigma1"), 6).alias("sigma1"),
+        _ravg(F.col("mu2"), 6).alias("mu2"),
+        _ravg(F.col("sigma2"), 6).alias("sigma2"),
+        _ravg(F.col("loglik"), 4).alias("loglik"),
+    )
+
+
+def _gmm_oracle() -> str:
+    pdf1 = ("exp(-0.5 * (d.v - s.mu1) * (d.v - s.mu1) / s.s1)"
+            " / sqrt(2.0 * 3.141592653589793 * s.s1)")
+    pdf2 = ("exp(-0.5 * (d.v - s.mu2) * (d.v - s.mu2) / s.s2)"
+            " / sqrt(2.0 * 3.141592653589793 * s.s2)")
+    r = f"(s.pi1 * {pdf1}) / (s.pi1 * {pdf1} + (1.0 - s.pi1) * {pdf2})"
+    parts = ["""
+    WITH data AS (
+        SELECT o_orderpriority AS g, ln(o_totalprice) AS v
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    st0 AS (
+        SELECT g, 0.5 AS pi1,
+               quantile_cont(v, 0.25) AS mu1,
+               quantile_cont(v, 0.75) AS mu2,
+               var_pop(v) / 2.0 + 1e-12 AS s1,
+               var_pop(v) / 2.0 + 1e-12 AS s2
+        FROM data GROUP BY g
+    )"""]
+    for i in range(5):
+        parts.append(f"""
+        , a{i} AS (
+            SELECT d.g,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum({r}) AS r1,
+                   sum({r} * d.v) AS rx1,
+                   sum({r} * d.v * d.v) AS rxx1,
+                   sum((1.0 - {r}) * d.v) AS rx2,
+                   sum((1.0 - {r}) * d.v * d.v) AS rxx2
+            FROM data d JOIN st{i} s USING (g)
+            GROUP BY d.g
+        ),
+        st{i + 1} AS (
+            SELECT g, r1 / n AS pi1,
+                   rx1 / r1 AS mu1,
+                   rx2 / (n - r1) AS mu2,
+                   greatest(rxx1 / r1 - (rx1 / r1) * (rx1 / r1), 1e-12)
+                       AS s1,
+                   greatest(rxx2 / (n - r1)
+                            - (rx2 / (n - r1)) * (rx2 / (n - r1)), 1e-12)
+                       AS s2
+            FROM a{i}
+        )""")
+    parts.append(f"""
+        , fin AS (
+            SELECT d.g, CAST(count(*) AS BIGINT) AS n,
+                   max(s.pi1) AS pi1, max(s.mu1) AS mu1,
+                   max(s.mu2) AS mu2, max(s.s1) AS s1, max(s.s2) AS s2,
+                   sum(ln(s.pi1 * {pdf1} + (1.0 - s.pi1) * {pdf2}))
+                       AS loglik
+            FROM data d JOIN st5 s USING (g)
+            GROUP BY d.g
+        )
+        SELECT g, n,
+               round(CASE WHEN mu1 <= mu2 THEN pi1 ELSE 1.0 - pi1 END
+                     + 0.0000001, 6) AS pi1,
+               round(CASE WHEN mu1 <= mu2 THEN mu1 ELSE mu2 END
+                     + 0.0000001, 6) AS mu1,
+               round(sqrt(CASE WHEN mu1 <= mu2 THEN s1 ELSE s2 END)
+                     + 0.0000001, 6) AS sigma1,
+               round(CASE WHEN mu1 <= mu2 THEN mu2 ELSE mu1 END
+                     + 0.0000001, 6) AS mu2,
+               round(sqrt(CASE WHEN mu1 <= mu2 THEN s2 ELSE s1 END)
+                     + 0.0000001, 6) AS sigma2,
+               round(loglik + 0.0000001, 4) AS loglik
+        FROM fin
+    """)
+    return "".join(parts)
+
+
+ORACLE["gmm_em"] = _gmm_oracle()
+QUERIES["gmm_em"] = q_gmm_em

@@ -124,3 +124,377 @@ def ols_fit(
         f"coef_{name} double" for name in x_cols
     ) + ", r2 double"
     return spark.createDataFrame([row], schema=schema)
+
+
+def _glm_newton_fit(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    group_cols,
+    iters: int,
+    family: str,
+) -> DataFrame:
+    """Shared unrolled-Newton engine for the two canonical one-covariate
+    GLMs (logistic / Poisson).  Per iteration, ONE aggregate computes
+    the score vector (U0, U1) and the 2x2 Fisher information (I00, I01,
+    I11) — both are plain sums of per-row column expressions under the
+    current (b0, b1) — and the Newton update solves the 2x2 system in
+    closed form (det = I00*I11 - I01^2).  The one-row-per-group
+    coefficient frame broadcasts into the next step, so a k-step fit is
+    k aggregates with no driver math and no collect: the same
+    distributed-iteration convention as bradley_terry / estimate_m_u /
+    cox_ph_fit.
+
+    Newton from (0, 0) on these log-concave likelihoods converges
+    quadratically; 6 steps give ~10 digits for well-conditioned data.
+    The logistic eta is clamped to [-30, 30] (sigmoid saturates there —
+    the guard keeps complete-separation data finite rather than NaN).
+
+    Returns ``(group_cols..., n, intercept, slope, se_slope, z_stat,
+    p_approx, loglik)``; the Wald readout uses the information at the
+    final coefficients and the shared A&S erf polynomial.
+    """
+    from woodwork_spark.operators.stats_tests import (
+        _std_normal_two_sided_p,
+    )
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if family not in ("logistic", "poisson"):
+        raise ValueError(f"unknown family {family!r}")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    base = df.filter(
+        F.col(y_col).isNotNull() & F.col(x_col).isNotNull(),
+    ).select(
+        *group_cols,
+        F.col(y_col).cast("double").alias("__y"),
+        F.col(x_col).cast("double").alias("__x"),
+    )
+
+    def _joined(coef):
+        if group_cols:
+            return base.join(F.broadcast(coef), group_cols)
+        return base.crossJoin(F.broadcast(coef))
+
+    def _mu_w(eta):
+        if family == "logistic":
+            eta = F.least(F.lit(30.0), F.greatest(F.lit(-30.0), eta))
+            mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            return mu, mu * (F.lit(1.0) - mu)
+        mu = F.exp(eta)
+        return mu, mu
+
+    coef = base.groupBy(*group_cols).agg(
+        F.lit(0.0).alias("__b0"), F.lit(0.0).alias("__b1"),
+    )
+    for _ in range(int(iters)):
+        cur = _joined(coef)
+        eta = F.col("__b0") + F.col("__b1") * F.col("__x")
+        mu, w = _mu_w(eta)
+        x = F.col("__x")
+        step = cur.groupBy(*group_cols).agg(
+            F.max("__b0").alias("__b0"),
+            F.max("__b1").alias("__b1"),
+            F.sum(F.col("__y") - mu).alias("__u0"),
+            F.sum(x * (F.col("__y") - mu)).alias("__u1"),
+            F.sum(w).alias("__i00"),
+            F.sum(x * w).alias("__i01"),
+            F.sum(x * x * w).alias("__i11"),
+        )
+        det = (
+            F.col("__i00") * F.col("__i11") - F.col("__i01") * F.col("__i01")
+        )
+        coef = step.select(
+            *group_cols,
+            F.when(
+                det > 0,
+                F.col("__b0")
+                + (F.col("__i11") * F.col("__u0")
+                   - F.col("__i01") * F.col("__u1")) / det,
+            ).otherwise(F.col("__b0")).alias("__b0"),
+            F.when(
+                det > 0,
+                F.col("__b1")
+                + (F.col("__i00") * F.col("__u1")
+                   - F.col("__i01") * F.col("__u0")) / det,
+            ).otherwise(F.col("__b1")).alias("__b1"),
+        )
+    fin = _joined(coef)
+    eta = F.col("__b0") + F.col("__b1") * F.col("__x")
+    mu, w = _mu_w(eta)
+    x = F.col("__x")
+    if family == "logistic":
+        ll = F.col("__y") * F.log(mu) + (
+            F.lit(1.0) - F.col("__y")
+        ) * F.log(F.lit(1.0) - mu)
+    else:
+        # Poisson loglik sans the data-only ln(y!) term (constant in
+        # the coefficients; dropping it is the standard deviance form)
+        ll = F.col("__y") * eta - mu
+    out = fin.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("__b0").alias("intercept"),
+        F.max("__b1").alias("slope"),
+        F.sum(w).alias("__i00"),
+        F.sum(x * w).alias("__i01"),
+        F.sum(x * x * w).alias("__i11"),
+        F.sum(ll).alias("loglik"),
+    )
+    det = F.col("__i00") * F.col("__i11") - F.col("__i01") * F.col("__i01")
+    se = F.sqrt(F.col("__i00") / det)
+    z = F.col("slope") / se
+    ok = det > 0
+    return out.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, F.col("intercept")).alias("intercept"),
+        F.when(ok, F.col("slope")).alias("slope"),
+        F.when(ok, se).alias("se_slope"),
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
+        "loglik",
+    )
+
+
+def logistic_fit(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    group_cols=(),
+    iters: int = 6,
+) -> DataFrame:
+    """Logistic regression of a binary outcome on one covariate with an
+    intercept, per group — unrolled distributed Newton (see
+    :func:`_glm_newton_fit` for the shape).  Returns ``(group_cols...,
+    n, intercept, slope, se_slope, z_stat, p_approx, loglik)``."""
+    return _glm_newton_fit(df, y_col, x_col, group_cols, iters, "logistic")
+
+
+def poisson_fit(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    group_cols=(),
+    iters: int = 6,
+) -> DataFrame:
+    """Poisson (log-link) regression of a count outcome on one covariate
+    with an intercept, per group — unrolled distributed Newton.  Returns
+    ``(group_cols..., n, intercept, slope, se_slope, z_stat, p_approx,
+    loglik)`` (loglik omits the coefficient-free ln(y!) term)."""
+    return _glm_newton_fit(df, y_col, x_col, group_cols, iters, "poisson")
+
+
+def theil_sen_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols=(),
+    max_points: int = 20000,
+) -> DataFrame:
+    """Theil-Sen robust simple regression per group: slope = median of
+    all pairwise slopes (x_i != x_j), intercept = median of
+    ``y - slope * x`` — up to ~29%% breakdown vs OLS's 0%%, the standard
+    robust trend estimator for series with outliers.
+
+    The pairwise set is a per-group self-join (row-number inequality
+    keeps each unordered pair once), so cost is O(n^2) PER GROUP —
+    right for AGGREGATED series (the only kind a trend estimate is
+    meaningful on), wrong for raw events; ``max_points`` fails fast
+    (one cheap count) rather than letting a 1e6-row group explode into
+    1e12 pairs.  Medians are exact ``percentile`` aggregates
+    (``quantile_cont`` in SQL replays).
+
+    Returns ``(group_cols..., n, n_pairs, slope, intercept)``; groups
+    with < 2 distinct x yield NULL slope.
+    """
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull(),
+    ).select(
+        *group_cols,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    biggest = (
+        base.groupBy(*group_cols).count().agg(F.max("count")).collect()[0][0]
+        if group_cols
+        else base.count()
+    )
+    if biggest and biggest > max_points:
+        raise ValueError(
+            f"theil_sen_fit: largest group has {biggest} rows -> "
+            f"{biggest * (biggest - 1) // 2} pairs; aggregate the series "
+            f"first or raise max_points (now {max_points})",
+        )
+    from pyspark.sql import Window as W
+
+    part = (
+        W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+    )
+    rn = base.withColumn(
+        "__rn", F.row_number().over(part.orderBy("__x", "__y")),
+    )
+    left = rn.select(
+        *group_cols, F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"), F.col("__rn").alias("__ra"),
+    )
+    right = rn.select(
+        *group_cols, F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"), F.col("__rn").alias("__rb"),
+    )
+    on = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in group_cols] or [
+        F.lit(True),
+    ]
+    pairs = (
+        left.alias("l")
+        .join(right.alias("r"),
+              on + [F.col("l.__ra") < F.col("r.__rb")])
+        .filter(F.col("l.__xa") != F.col("r.__xb"))
+        .select(
+            *[F.col(f"l.{c}") for c in group_cols],
+            (
+                (F.col("r.__yb") - F.col("l.__ya"))
+                / (F.col("r.__xb") - F.col("l.__xa"))
+            ).alias("__s"),
+        )
+    )
+    med_slope = pairs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(__s, 0.5)").alias("slope"),
+    )
+    if group_cols:
+        j = base.join(F.broadcast(med_slope), group_cols)
+    else:
+        j = base.crossJoin(F.broadcast(med_slope))
+    out = j.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("n_pairs").alias("n_pairs"),
+        F.max("slope").alias("slope"),
+        F.expr(
+            "percentile(__y - slope * __x, 0.5)",
+        ).alias("intercept"),
+    )
+    return out.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        "slope", "intercept",
+    )
+
+
+def gmm1d_em(
+    df: DataFrame,
+    value_col: str,
+    group_cols=(),
+    iters: int = 5,
+) -> DataFrame:
+    """Two-component 1-D Gaussian mixture per group via ``iters``
+    unrolled EM rounds — the distribution-decomposition member of the
+    EM family (:func:`~woodwork_spark.operators.dedup.estimate_m_u` is
+    the record-linkage one).
+
+    Initialization is deterministic and engine-replayable: component
+    means at the exact 25th/75th percentiles, both variances at half
+    the group variance, equal weights.  Each round is pure column
+    algebra: the E-step responsibility is a per-row expression of the
+    current 6 parameters, the M-step ONE aggregate of (r, r*x, r*x^2)
+    per component — variances via E[x^2] - mean^2, which is safe here
+    because callers standardize (the headline query feeds z-scores; the
+    docstring contract, as with jarque_bera, is that raw money-scale
+    columns must be centered first).  The 6-parameter frame (one row
+    per group) broadcasts into the next round.  Components are emitted
+    with mu1 <= mu2 (a final conditional swap) so label order is
+    deterministic.
+
+    Returns ``(group_cols..., n, pi1, mu1, sigma1, mu2, sigma2,
+    loglik)``.
+    """
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, F.col(value_col).cast("double").alias("__v"),
+    )
+    state = base.groupBy(*group_cols).agg(
+        F.lit(0.5).alias("__pi1"),
+        F.expr("percentile(__v, 0.25)").alias("__mu1"),
+        F.expr("percentile(__v, 0.75)").alias("__mu2"),
+        (F.var_pop("__v") / 2.0 + F.lit(1e-12)).alias("__s1"),
+        (F.var_pop("__v") / 2.0 + F.lit(1e-12)).alias("__s2"),
+    )
+
+    def _joined(st):
+        if group_cols:
+            return base.join(F.broadcast(st), group_cols)
+        return base.crossJoin(F.broadcast(st))
+
+    def _pdf(mu, var):
+        z = (F.col("__v") - mu) * (F.col("__v") - mu) / var
+        return F.exp(F.lit(-0.5) * z) / F.sqrt(
+            F.lit(2.0 * 3.141592653589793) * var,
+        )
+
+    for _ in range(int(iters)):
+        cur = _joined(state)
+        p1 = F.col("__pi1") * _pdf(F.col("__mu1"), F.col("__s1"))
+        p2 = (F.lit(1.0) - F.col("__pi1")) * _pdf(
+            F.col("__mu2"), F.col("__s2"),
+        )
+        r = p1 / (p1 + p2)
+        v = F.col("__v")
+        agg = cur.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(r).alias("__r1"),
+            F.sum(r * v).alias("__rx1"),
+            F.sum(r * v * v).alias("__rxx1"),
+            F.sum((F.lit(1.0) - r) * v).alias("__rx2"),
+            F.sum((F.lit(1.0) - r) * v * v).alias("__rxx2"),
+        )
+        n = F.col("__n").cast("double")
+        r2 = n - F.col("__r1")
+        mu1 = F.col("__rx1") / F.col("__r1")
+        mu2 = F.col("__rx2") / r2
+        state = agg.select(
+            *group_cols,
+            (F.col("__r1") / n).alias("__pi1"),
+            mu1.alias("__mu1"),
+            mu2.alias("__mu2"),
+            F.greatest(
+                F.col("__rxx1") / F.col("__r1") - mu1 * mu1, F.lit(1e-12),
+            ).alias("__s1"),
+            F.greatest(
+                F.col("__rxx2") / r2 - mu2 * mu2, F.lit(1e-12),
+            ).alias("__s2"),
+        )
+    fin = _joined(state)
+    p1 = F.col("__pi1") * _pdf(F.col("__mu1"), F.col("__s1"))
+    p2 = (F.lit(1.0) - F.col("__pi1")) * _pdf(F.col("__mu2"), F.col("__s2"))
+    out = fin.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("__pi1").alias("__pi1"),
+        F.max("__mu1").alias("__mu1"),
+        F.max("__mu2").alias("__mu2"),
+        F.max("__s1").alias("__s1"),
+        F.max("__s2").alias("__s2"),
+        F.sum(F.log(p1 + p2)).alias("loglik"),
+    )
+    swap = F.col("__mu1") <= F.col("__mu2")
+    return out.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.when(swap, F.col("__pi1"))
+        .otherwise(F.lit(1.0) - F.col("__pi1")).alias("pi1"),
+        F.when(swap, F.col("__mu1")).otherwise(F.col("__mu2")).alias("mu1"),
+        F.sqrt(
+            F.when(swap, F.col("__s1")).otherwise(F.col("__s2")),
+        ).alias("sigma1"),
+        F.when(swap, F.col("__mu2")).otherwise(F.col("__mu1")).alias("mu2"),
+        F.sqrt(
+            F.when(swap, F.col("__s2")).otherwise(F.col("__s1")),
+        ).alias("sigma2"),
+        "loglik",
+    )
