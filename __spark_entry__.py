@@ -19147,3 +19147,206 @@ def _gmm_oracle() -> str:
 
 ORACLE["gmm_em"] = _gmm_oracle()
 QUERIES["gmm_em"] = q_gmm_em
+
+
+_UNIGRAM_VOCAB = {
+    "a": -2.0, "b": -3.5, "c": -3.0, "d": -3.2, "e": -2.2, "f": -3.4,
+    "g": -3.1, "h": -3.3, "i": -2.8, "j": -4.5, "k": -3.6, "l": -2.9,
+    "m": -3.2, "n": -2.6, "o": -2.4, "p": -3.1, "q": -4.8, "r": -2.5,
+    "s": -2.3, "t": -2.1, "u": -3.0, "v": -3.7, "w": -3.5, "y": -3.8,
+    "ta": -3.0, "ble": -4.0, "table": -5.5, "scan": -5.0, "sort": -5.2,
+    "row": -4.6, "agg": -4.8, "cust": -5.4, "omer": -5.6, "er": -3.2,
+    "qu": -4.0, "ery": -4.4, "win": -4.6, "dow": -4.8, "val": -4.7,
+    "ue": -3.9, "ba": -3.8, "tch": -4.9, "str": -4.5, "eam": -4.9,
+    "jo": -4.2, "in": -3.4, "ha": -3.7, "sh": -3.6, "par": -4.4,
+    "key": -5.0, "me": -3.8, "rge": -4.7, "sl": -4.0, "ow": -3.7,
+    "fa": -3.9, "st": -3.5, "gr": -4.1, "oup": -4.9, "li": -3.9,
+    "ne": -3.6, "da": -3.8, "fil": -4.6, "ter": -4.3, "vec": -4.8,
+    "tor": -4.4, "sm": -4.2, "all": -4.5, "bi": -4.0, "co": -3.9,
+    "lumn": -5.2, "or": -3.3, "der": -4.3, "du": -4.1, "sp": -4.0,
+    "ark": -4.6, "va": -3.9, "lue": -4.5,
+}
+
+
+def q_unigram_tokenize(spark, sf_dir):
+    """SentencePiece-style unigram-LM Viterbi segmentation of the corpus
+    vocabulary: per-word sequential DP as ONE Arrow-batched pandas UDF
+    (longest-piece tie-break), replayed EXACTLY by a two-phase recursive
+    CTE in the oracle (forward best-score/backpointer lists, then a
+    backtrace walk) — like rouge_l, a full value check despite the UDF."""
+    from woodwork_spark.operators.bpe import unigram_viterbi_tokenize
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    out = unigram_viterbi_tokenize(words, "word", _UNIGRAM_VOCAB)
+    return out.select(
+        "word",
+        F.length("word").cast("long").alias("n_chars"),
+        "piece_str",
+        _ravg(F.col("logp"), 6).alias("logp"),
+    )
+
+
+def _unigram_oracle() -> str:
+    rows = ",\n            ".join(
+        f"('{p}', CAST({lp} AS DOUBLE))"
+        for p, lp in _UNIGRAM_VOCAB.items()
+    )
+    # score(L) at DP position p = f.i + 1 reads b[p - L + 1] (the list is
+    # 1-indexed over positions 0..i) and lpflat[(p - 1) * 8 + L]
+    score = ("f.b[f.i + 2 - L] + coalesce(l.lpflat[f.i * 8 + L], "
+             "-1000000000000000000.0)")
+    return f"""
+    WITH RECURSIVE vocab(piece, lp) AS (
+        VALUES {rows}
+    ),
+    words AS (
+        SELECT DISTINCT w FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents WHERE text IS NOT NULL)
+        WHERE w <> ''
+    ),
+    pos AS (
+        SELECT w, length(w) AS n, t.i, u.L
+        FROM words,
+             LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) t,
+             LATERAL (SELECT unnest(range(1, 9)) AS L) u
+    ),
+    withlp AS (
+        SELECT p.w, p.n, p.i, p.L,
+               CASE WHEN p.L > p.i THEN NULL
+                    WHEN v.lp IS NOT NULL THEN v.lp
+                    WHEN p.L = 1 THEN -20.0
+                    ELSE NULL END AS lp
+        FROM pos p LEFT JOIN vocab v
+            ON p.L <= p.i AND substr(p.w, p.i - p.L + 1, p.L) = v.piece
+    ),
+    lps AS (
+        SELECT w, max(n) AS n, list(lp ORDER BY i, L) AS lpflat
+        FROM withlp GROUP BY w
+    ),
+    fwd(w, n, i, b, back) AS (
+        SELECT w, n, 0, [CAST(0.0 AS DOUBLE)], [CAST(0 AS BIGINT)]
+        FROM lps
+        UNION ALL
+        SELECT f.w, f.n, f.i + 1,
+               list_append(f.b, list_max(list_transform(
+                   range(1, least(8, f.i + 1) + 1),
+                   L -> {score}))),
+               list_append(f.back, list_max(list_transform(
+                   range(1, least(8, f.i + 1) + 1),
+                   L -> CASE WHEN {score} = list_max(list_transform(
+                            range(1, least(8, f.i + 1) + 1),
+                            L2 -> f.b[f.i + 2 - L2]
+                                  + coalesce(l.lpflat[f.i * 8 + L2],
+                                             -1000000000000000000.0)))
+                        THEN L ELSE 0 END)))
+        FROM fwd f JOIN lps l USING (w)
+        WHERE f.i < f.n
+    ),
+    fin AS (SELECT w, n, b, back FROM fwd WHERE i = n),
+    bt(w, pos, pieces, logp) AS (
+        SELECT w, CAST(n AS BIGINT), '', b[n + 1] FROM fin
+        UNION ALL
+        SELECT b2.w,
+               b2.pos - f.back[b2.pos + 1],
+               substr(b2.w,
+                      CAST(b2.pos - f.back[b2.pos + 1] + 1 AS INT),
+                      CAST(f.back[b2.pos + 1] AS INT))
+               || CASE WHEN b2.pieces = '' THEN '' ELSE '|' END
+               || b2.pieces,
+               b2.logp
+        FROM bt b2 JOIN fin f USING (w)
+        WHERE b2.pos > 0
+    )
+    SELECT w AS word,
+           CAST(length(w) AS BIGINT) AS n_chars,
+           pieces AS piece_str,
+           round(logp + 0.0000001, 6) AS logp
+    FROM bt WHERE pos = 0
+    """
+
+
+ORACLE["unigram_tokenize"] = _unigram_oracle()
+QUERIES["unigram_tokenize"] = q_unigram_tokenize
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization codes over the embeddings table (4
+    subspaces x 8 centroids, 2 Lloyd iterations): all subspaces train
+    in the SAME jobs via a compound (sub) key; centroid updates
+    quantize to 6 decimals so the oracle replays the exact
+    trajectory."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.embedding import pq_codes
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pq_codes(emb, "vec_id", "embedding", n_subspaces=4, k=8,
+                   iterations=2)
+    return attach_persisted(
+        out.select("vec_id", "code_str", "recon_err"),
+        *persisted_frames(out),
+    )
+
+
+def _pq_oracle(n_sub=4, k=8, dsub=16, iterations=2):
+    parts = [
+        "WITH e AS (SELECT vec_id, s.sub,"
+        f" CAST(embedding AS DOUBLE[])[s.sub * {dsub} + 1:"
+        f" s.sub * {dsub} + {dsub}] AS v"
+        " FROM embeddings,"
+        f" LATERAL (SELECT unnest(range(0, {n_sub})) AS sub) s),",
+        f"c0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, v AS c FROM e"
+        f" WHERE vec_id < {k})",
+    ]
+    dist = ("list_dot_product(e.v, e.v) + list_dot_product(c.c, c.c)"
+            " - 2 * list_dot_product(e.v, c.c)")
+    cur = "c0"
+    for it in range(1, iterations + 1):
+        parts.append(
+            f", a{it} AS (SELECT vec_id, sub, v, cid FROM ("
+            f" SELECT e.vec_id, e.sub, e.v, c.cid,"
+            f" row_number() OVER (PARTITION BY e.vec_id, e.sub"
+            f" ORDER BY {dist}, c.cid) AS rn"
+            f" FROM e JOIN {cur} c USING (sub)) WHERE rn = 1)",
+        )
+        parts.append(
+            f", m{it} AS (SELECT sub, cid, i AS pos,"
+            f" round(avg(v[i]) + 0.0000001, 6) AS x"
+            f" FROM a{it}, generate_series(1, {dsub}) AS g(i)"
+            f" GROUP BY sub, cid, i)",
+        )
+        # empty clusters keep the previous centroid (left join fallback)
+        parts.append(
+            f", c{it} AS ("
+            f" SELECT p.sub, p.cid, coalesce(n.c, p.c) AS c"
+            f" FROM {cur} p LEFT JOIN (SELECT sub, cid,"
+            f" list(x ORDER BY pos) AS c FROM m{it} GROUP BY sub, cid) n"
+            f" ON p.sub = n.sub AND p.cid = n.cid)",
+        )
+        cur = f"c{it}"
+    parts.append(
+        f", fin AS (SELECT vec_id, sub, cid, d FROM ("
+        f" SELECT e.vec_id, e.sub, c.cid, {dist} AS d,"
+        f" row_number() OVER (PARTITION BY e.vec_id, e.sub"
+        f" ORDER BY {dist}, c.cid) AS rn"
+        f" FROM e JOIN {cur} c USING (sub)) WHERE rn = 1)"
+        f" SELECT vec_id,"
+        f" array_to_string(list(CAST(cid AS VARCHAR) ORDER BY sub), '|')"
+        f" AS code_str,"
+        f" round(sum(d) + 0.0000001, 6) AS recon_err"
+        f" FROM fin GROUP BY vec_id",
+    )
+    return "\n".join(parts)
+
+
+ORACLE["pq_codes"] = _pq_oracle()
+QUERIES["pq_codes"] = q_pq_codes

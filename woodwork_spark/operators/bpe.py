@@ -201,3 +201,89 @@ def bpe_apply(
         + [T.StructField(out_col, T.ArrayType(T.StringType()))],
     )
     return df.mapInPandas(fn, schema=schema)
+
+
+def unigram_viterbi_tokenize(
+    df: DataFrame,
+    word_col: str,
+    vocab: dict,
+    unk_logp: float = -20.0,
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) Viterbi segmentation: split each
+    word into the vocabulary pieces maximizing the summed log
+    probability, with single-character UNK fallback at ``unk_logp`` so
+    every word segments.  The BPE pair (:func:`bpe_learn` /
+    :func:`bpe_apply`) covers merge-based tokenizers; this adds the
+    unigram-model member the modern tokenizer stacks standardize on.
+
+    The DP is inherently sequential per word (best[i] depends on
+    best[i-L]) — the documented pandas-UDF exception class — and runs
+    as ONE Arrow-batched UDF with the vocabulary captured in the
+    closure (tokenizer vocabs are driver-side artifacts; Spark
+    broadcasts the closure to executors once).  Ties prefer the LONGEST
+    piece, so segmentations are deterministic and engine-replayable —
+    the harness oracle replays the same DP with a recursive CTE
+    (forward scores + backtrace), score arithmetic being sums of the
+    same literal doubles.
+
+    Appends ``piece_str`` ('|'-joined pieces) and ``logp`` to the
+    input.  Null/empty words yield NULL piece_str and logp.
+
+    Scale: embarrassingly parallel over rows; O(len * max_piece_len)
+    per word with dict lookups — the classic tokenizer inner loop.
+    """
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    if max_piece_len < 1:
+        raise ValueError("max_piece_len must be >= 1")
+    vocab = dict(vocab)
+    unk = float(unk_logp)
+    mpl = int(max_piece_len)
+
+    @pandas_udf("struct<piece_str: string, logp: double>")
+    def _seg(words):
+        outs, outl = [], []
+        for w in words:
+            if w is None or len(w) == 0:
+                outs.append(None)
+                outl.append(None)
+                continue
+            n = len(w)
+            best = [0.0] + [None] * n
+            back = [0] * (n + 1)
+            for i in range(1, n + 1):
+                bs, bl = None, 0
+                for ln in range(1, min(mpl, i) + 1):
+                    prev = best[i - ln]
+                    if prev is None:
+                        continue
+                    lp = vocab.get(w[i - ln:i])
+                    if lp is None:
+                        if ln == 1:
+                            lp = unk
+                        else:
+                            continue
+                    sc = prev + lp
+                    if bs is None or sc > bs or (sc == bs and ln > bl):
+                        bs, bl = sc, ln
+                best[i], back[i] = bs, bl
+            pieces, pos = [], n
+            while pos > 0:
+                ln = back[pos]
+                pieces.append(w[pos - ln:pos])
+                pos -= ln
+            outs.append("|".join(reversed(pieces)))
+            outl.append(best[n])
+        return pd.DataFrame({"piece_str": outs, "logp": outl})
+
+    # one struct column, expanded after — two bare references would risk
+    # evaluating the UDF twice if common-subexpression elimination skips it
+    return (
+        df.withColumn("__seg", _seg(F.col(word_col)))
+        .withColumn("piece_str", F.col("__seg.piece_str"))
+        .withColumn("logp", F.col("__seg.logp"))
+        .drop("__seg")
+    )

@@ -489,3 +489,142 @@ def matryoshka_report(
     from woodwork_spark.lifecycle import attach_persisted
 
     return attach_persisted(out, *persisted_frames(ranked))
+
+
+def pq_codes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    quantize: int = 6,
+) -> DataFrame:
+    """Product quantization: split each vector into ``n_subspaces``
+    contiguous subvectors, k-means each subspace independently, and
+    code every vector as its per-subspace nearest-centroid ids — the
+    standard ANN compression (a d-float vector becomes n_subspaces
+    bytes; at 100 TB of embeddings this is the difference between
+    spilling and RAM-resident search).
+
+    Training mirrors :func:`~woodwork_spark.operators.similarity.
+    kmeans_lloyd` exactly, with (subspace) as a compound key so ALL
+    subspaces train in the same jobs: assignment is one crossJoin of
+    the exploded (id, sub, subvec) frame against the broadcast
+    (sub, cid, centroid) frame (equi-join on sub), dot-form distances,
+    struct-min argmin (ties -> lowest cid); update is one (sub, cid,
+    dim) aggregate whose n_subspaces*k*d_sub partial sums collect to
+    the driver and QUANTIZE to ``quantize`` decimals so any engine
+    replays the identical trajectory.  Seeding: vectors with
+    ``id < k`` provide the initial centroids (deterministic, same rows
+    on any engine).  Empty clusters keep their previous centroid.
+
+    Returns ``(id_col, code_str, recon_err)``: the '|'-joined
+    per-subspace codes and the total squared reconstruction error.
+    Vector length must be divisible by ``n_subspaces``.
+    """
+    from woodwork_spark.operators.similarity import _dot
+
+    spark = df.sparkSession
+    if n_subspaces < 1 or k < 2 or iterations < 0:
+        raise ValueError("pq_codes: bad n_subspaces/k/iterations")
+    first = df.select(F.size(vec_col)).first()
+    d = int(first[0]) if first else 0
+    if d == 0 or d % n_subspaces != 0:
+        raise ValueError(
+            f"pq_codes: vector length {d} not divisible by "
+            f"{n_subspaces} subspaces",
+        )
+    dsub = d // n_subspaces
+    vec = F.col(vec_col).cast("array<double>")
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.slice(vec, s * dsub + 1, dsub).alias("sv"),
+        )
+        for s in range(n_subspaces)
+    ])
+    pts = (
+        df.where(F.col(id_col).isNotNull() & vec.isNotNull())
+        .select(F.col(id_col).alias("__id"), F.explode(subs).alias("p"))
+        .select("__id", F.col("p.sub").alias("__sub"),
+                F.col("p.sv").alias("__v"))
+        .withColumn("__vv", _dot(F.col("__v"), F.col("__v")))
+        .persist()
+    )
+    init_rows = (
+        pts.where(F.col("__id") < k)
+        .select("__sub", F.col("__id").cast("int").alias("__cid"), "__v")
+        .collect()
+    )
+    cents = {(r["__sub"], r["__cid"]): list(r["__v"]) for r in init_rows}
+    if len(cents) < n_subspaces * k:
+        raise ValueError("pq_codes: seeding needs ids 0..k-1 present")
+
+    def centroid_frame(cs):
+        return spark.createDataFrame(
+            [
+                (s, c, v, sum(x * x for x in v))
+                for (s, c), v in sorted(cs.items())
+            ],
+            "__sub int, __cid int, __c array<double>, __cc double",
+        )
+
+    def assign(cs):
+        cf = centroid_frame(cs)
+        dist = (
+            F.col("__vv") + F.col("__cc")
+            - 2.0 * _dot(F.col("__v"), F.col("__c"))
+        )
+        return (
+            pts.join(F.broadcast(cf), "__sub")
+            .withColumn("__d", dist)
+            .groupBy("__id", "__sub")
+            .agg(
+                F.min(F.struct(F.col("__d"), F.col("__cid"))).alias("__m"),
+            )
+            .select(
+                "__id", "__sub",
+                F.col("__m.__cid").alias("__cid"),
+                F.col("__m.__d").alias("__d"),
+            )
+        )
+
+    eps = 1e-7
+    for _ in range(int(iterations)):
+        a = assign(cents)
+        sums = (
+            a.join(pts, ["__id", "__sub"])
+            .select(
+                "__sub", "__cid",
+                F.posexplode("__v").alias("__pos", "__x"),
+            )
+            .groupBy("__sub", "__cid", "__pos")
+            .agg(F.avg("__x").alias("__mean"))
+            .collect()
+        )
+        new = {}
+        for r in sums:
+            new.setdefault((r["__sub"], r["__cid"]), [0.0] * dsub)[
+                r["__pos"]
+            ] = round(r["__mean"] + eps, quantize)
+        for key, v in cents.items():
+            if key not in new:
+                new[key] = v  # empty cluster keeps its centroid
+        cents = new
+    final = assign(cents)
+    out = final.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__sub", "__cid")),
+                ),
+                lambda st: st["__cid"].cast("string"),
+            ),
+            "|",
+        ).alias("code_str"),
+        F.round(F.sum("__d") + eps, quantize).alias("recon_err"),
+    ).select(F.col("__id").alias(id_col), "code_str", "recon_err")
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(out, pts)
