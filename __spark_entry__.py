@@ -19350,3 +19350,95 @@ def _pq_oracle(n_sub=4, k=8, dsub=16, iterations=2):
 
 ORACLE["pq_codes"] = _pq_oracle()
 QUERIES["pq_codes"] = q_pq_codes
+
+
+def q_pq_search(spark, sf_dir):
+    """ADC search over PQ codes: two query vectors (vec 0/1) score the
+    whole corpus via per-subspace lookup tables and a FIXED-ORDER sum
+    (lut0[c0]+lut1[c1]+...) — scan touches only byte codes; top-5 per
+    query with (dist, id) tiebreak."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.embedding import pq_search
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 2).select(
+        "vec_id", "embedding",
+    ).collect()
+    queries = {
+        f"q{r['vec_id']}": [float(x) for x in r["embedding"]]
+        for r in qrows
+    }
+    out = pq_search(emb, "vec_id", "embedding", queries,
+                    n_subspaces=4, k=8, iterations=2, top_k=5)
+    return attach_persisted(
+        out.select("query_id", "vec_id", "approx_dist", "rank"),
+        *persisted_frames(out),
+    )
+
+
+def _pq_search_oracle(n_sub=4, k=8, dsub=16, iterations=2):
+    train = _pq_oracle(n_sub, k, dsub, iterations)
+    # keep everything up to (and including) the final-centroid CTE and
+    # the fin assignment; rebuild the readout for ADC
+    train_body = train[:train.index(", fin AS")]
+    dist = ("list_dot_product(e.v, e.v) + list_dot_product(c.c, c.c)"
+            " - 2 * list_dot_product(e.v, c.c)")
+    lut_joins = []
+    score_terms = []
+    for s in range(n_sub):
+        lut_joins.append(
+            f"JOIN lut l{s} ON l{s}.qid = q.qid AND l{s}.sub = {s}"
+            f" AND l{s}.cid = w.c{s}",
+        )
+        score_terms.append(f"l{s}.dist")
+    wide_cols = ", ".join(
+        f"max(CASE WHEN sub = {s} THEN cid END) AS c{s}"
+        for s in range(n_sub)
+    )
+    score = " + ".join(score_terms)
+    return f"""{train_body}
+    , fin AS (SELECT vec_id, sub, cid FROM (
+        SELECT e.vec_id, e.sub, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id, e.sub
+               ORDER BY {dist}, c.cid) AS rn
+        FROM e JOIN c{iterations} c USING (sub)) WHERE rn = 1),
+    wide AS (
+        SELECT vec_id, {wide_cols} FROM fin GROUP BY vec_id
+    ),
+    qsub AS (
+        SELECT 'q' || CAST(vec_id AS VARCHAR) AS qid, s.sub,
+               CAST(embedding AS DOUBLE[])[s.sub * {dsub} + 1:
+               s.sub * {dsub} + {dsub}] AS qv
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(0, {n_sub})) AS sub) s
+        WHERE vec_id < 2
+    ),
+    lut AS (
+        SELECT q.qid, q.sub, c.cid,
+               round(list_dot_product(q.qv, q.qv)
+                     + list_dot_product(c.c, c.c)
+                     - 2 * list_dot_product(q.qv, c.c)
+                     + 0.0000001, 6) AS dist
+        FROM qsub q JOIN c{iterations} c USING (sub)
+    ),
+    scored AS (
+        SELECT q.qid AS query_id, w.vec_id,
+               round({score} + 0.0000001, 6) AS approx_dist
+        FROM wide w
+        CROSS JOIN (SELECT DISTINCT qid FROM lut) q
+        {' '.join(lut_joins)}
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY approx_dist, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, approx_dist, CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 5
+    """
+
+
+ORACLE["pq_search"] = _pq_search_oracle()
+QUERIES["pq_search"] = q_pq_search

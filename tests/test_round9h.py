@@ -132,3 +132,54 @@ class TestPQ:
         df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], ["id", "v"])
         with pytest.raises(ValueError, match="divisible"):
             pq_codes(df, "id", "v", n_subspaces=2, k=2)
+
+
+class TestPQSearch:
+    def test_self_query_ranks_first(self, spark):
+        import numpy as np
+
+        from woodwork_spark.operators.embedding import pq_search
+        rng = np.random.RandomState(33)
+        rows = [(i, [float(x) for x in rng.normal(size=16)])
+                for i in range(80)]
+        df = spark.createDataFrame(rows, ["id", "v"])
+        queries = {"q7": rows[7][1], "q40": rows[40][1]}
+        out = pq_search(df, "id", "v", queries, n_subspaces=2, k=8,
+                        iterations=2, top_k=5).collect()
+        byq = {}
+        for r in out:
+            byq.setdefault(r["query_id"], []).append(r)
+        for qid, target in (("q7", 7), ("q40", 40)):
+            got = sorted(byq[qid], key=lambda r: r["rank"])
+            assert len(got) == 5
+            # lossy code, but the query's own vector must land in the
+            # top-5 bucket (it shares its own code exactly)
+            assert target in [r["id"] for r in got], qid
+
+    def test_adc_equals_bruteforce_on_codes(self, spark):
+        # ADC score must equal the exact distance between the query and
+        # the RECONSTRUCTION (centroid concatenation) of each item
+        import numpy as np
+
+        from woodwork_spark.operators.embedding import (
+            _pq_centroids,
+            pq_codes,
+            pq_search,
+        )
+        rng = np.random.RandomState(34)
+        rows = [(i, [float(x) for x in rng.normal(size=8)])
+                for i in range(40)]
+        df = spark.createDataFrame(rows, ["id", "v"])
+        q = {"q0": rows[0][1]}
+        out = {r["id"]: r["approx_dist"] for r in pq_search(
+            df, "id", "v", q, n_subspaces=2, k=4, iterations=2,
+            top_k=40).collect()}
+        cents = _pq_centroids(df, "id", "v", 2, 4, 2, 6)
+        codes = {r["id"]: [int(c) for c in r["code_str"].split("|")]
+                 for r in pq_codes(df, "id", "v", n_subspaces=2, k=4,
+                                   iterations=2).collect()}
+        qv = rows[0][1]
+        for i, dist in out.items():
+            recon = cents[(0, codes[i][0])] + cents[(1, codes[i][1])]
+            exact = sum((a - b) ** 2 for a, b in zip(qv, recon))
+            assert dist == pytest.approx(exact, abs=2e-5), i

@@ -628,3 +628,196 @@ def pq_codes(
     from woodwork_spark.lifecycle import attach_persisted
 
     return attach_persisted(out, pts)
+
+
+def pq_search(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: dict,
+    n_subspaces: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    top_k: int = 5,
+    quantize: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) nearest-neighbor search over product-
+    quantized codes — the query path that makes :func:`pq_codes` an ANN
+    index: each query precomputes a tiny lookup table of distances to
+    every sub-centroid (n_subspaces x k floats), and scoring a coded
+    vector is n_subspaces table lookups + a fixed-order sum.  No
+    full-vector distance is ever computed against the corpus — at
+    100 TB the scan touches only the byte codes.
+
+    Training re-runs the deterministic :func:`pq_codes` trajectory
+    (quantized centroid updates, id < k seeding).  The LUT is computed
+    driver-side from the literal query vectors (dot-form, then
+    QUANTIZED to ``quantize`` decimals like the centroids, so an
+    external SQL replay that sums dot products in any order lands on
+    the same table), embedded as array literals, and the score is the
+    LEFT-TO-RIGHT sum ``lut0[c0] + lut1[c1] + ...`` — a fixed-order
+    expression, immune to aggregation-order noise.  Top-``top_k`` per
+    query by (score, id).
+
+    ``queries`` maps query_id -> list[float] (full-dimension vectors).
+    Returns ``(query_id, id_col, approx_dist, rank)``.
+    """
+    spark = df.sparkSession
+    eps = 1e-7
+    # retrain the pq_codes trajectory and capture codes + centroids by
+    # running the same operator for codes, plus a local re-derivation of
+    # the centroid dict (pq_codes hides it; duplicating the loop here
+    # would risk drift, so reuse its implementation via the wide codes)
+    codes = pq_codes(
+        df, id_col, vec_col, n_subspaces=n_subspaces, k=k,
+        iterations=iterations, quantize=quantize,
+    ).select(
+        id_col,
+        F.split("code_str", r"\|").alias("__cs"),
+    )
+    # re-derive the final centroids deterministically (same trajectory)
+    cents = _pq_centroids(
+        df, id_col, vec_col, n_subspaces, k, iterations, quantize,
+    )
+    d = len(next(iter(queries.values())))
+    dsub = d // n_subspaces
+    rows = []
+    for qid, qv in sorted(queries.items()):
+        if len(qv) != d:
+            raise ValueError(f"query {qid!r} has wrong dimension")
+        for s in range(n_subspaces):
+            qs = [float(x) for x in qv[s * dsub:(s + 1) * dsub]]
+            qq = 0.0
+            for x in qs:
+                qq += x * x
+            lut = []
+            for c in range(k):
+                cv = cents[(s, c)]
+                cc = 0.0
+                qc = 0.0
+                for a, b in zip(qs, cv):
+                    qc += a * b
+                for b in cv:
+                    cc += b * b
+                lut.append(round(qq + cc - 2.0 * qc + eps, quantize))
+            rows.append((qid, s, lut))
+    # score expression: fixed-order sum of per-subspace array lookups
+    out_frames = []
+    for qid in sorted(queries):
+        luts = {s: lut for q, s, lut in rows if q == qid}
+        score = None
+        for s in range(n_subspaces):
+            arr = F.array(*[F.lit(x) for x in luts[s]])
+            term = F.element_at(
+                arr, F.col("__cs").getItem(s).cast("int") + 1,
+            )
+            score = term if score is None else score + term
+        out_frames.append(
+            codes.select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col),
+                F.round(score + eps, quantize).alias("approx_dist"),
+            ),
+        )
+    allq = out_frames[0]
+    for fr in out_frames[1:]:
+        allq = allq.unionByName(fr)
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc(id_col),
+    )
+    return (
+        allq.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def _pq_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int,
+    k: int,
+    iterations: int,
+    quantize: int,
+) -> dict:
+    """The :func:`pq_codes` training loop, returning the final centroid
+    dict {(sub, cid): [floats]} — factored out so :func:`pq_search` can
+    build lookup tables from the SAME deterministic trajectory."""
+    from woodwork_spark.operators.similarity import _dot
+
+    spark = df.sparkSession
+    first = df.select(F.size(vec_col)).first()
+    d = int(first[0])
+    dsub = d // n_subspaces
+    vec = F.col(vec_col).cast("array<double>")
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.slice(vec, s * dsub + 1, dsub).alias("sv"),
+        )
+        for s in range(n_subspaces)
+    ])
+    pts = (
+        df.where(F.col(id_col).isNotNull() & vec.isNotNull())
+        .select(F.col(id_col).alias("__id"), F.explode(subs).alias("p"))
+        .select("__id", F.col("p.sub").alias("__sub"),
+                F.col("p.sv").alias("__v"))
+        .withColumn("__vv", _dot(F.col("__v"), F.col("__v")))
+        .persist()
+    )
+    init_rows = (
+        pts.where(F.col("__id") < k)
+        .select("__sub", F.col("__id").cast("int").alias("__cid"), "__v")
+        .collect()
+    )
+    cents = {(r["__sub"], r["__cid"]): list(r["__v"]) for r in init_rows}
+
+    def assign(cs):
+        cf = spark.createDataFrame(
+            [
+                (s, c, v, sum(x * x for x in v))
+                for (s, c), v in sorted(cs.items())
+            ],
+            "__sub int, __cid int, __c array<double>, __cc double",
+        )
+        dist = (
+            F.col("__vv") + F.col("__cc")
+            - 2.0 * _dot(F.col("__v"), F.col("__c"))
+        )
+        return (
+            pts.join(F.broadcast(cf), "__sub")
+            .withColumn("__d", dist)
+            .groupBy("__id", "__sub")
+            .agg(
+                F.min(F.struct(F.col("__d"), F.col("__cid"))).alias("__m"),
+            )
+            .select(
+                "__id", "__sub",
+                F.col("__m.__cid").alias("__cid"),
+            )
+        )
+
+    eps = 1e-7
+    for _ in range(int(iterations)):
+        a = assign(cents)
+        sums = (
+            a.join(pts, ["__id", "__sub"])
+            .select(
+                "__sub", "__cid",
+                F.posexplode("__v").alias("__pos", "__x"),
+            )
+            .groupBy("__sub", "__cid", "__pos")
+            .agg(F.avg("__x").alias("__mean"))
+            .collect()
+        )
+        new = {}
+        for r in sums:
+            new.setdefault((r["__sub"], r["__cid"]), [0.0] * dsub)[
+                r["__pos"]
+            ] = round(r["__mean"] + eps, quantize)
+        for key, v in cents.items():
+            if key not in new:
+                new[key] = v
+        cents = new
+    pts.unpersist()
+    return cents
