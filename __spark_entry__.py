@@ -19442,3 +19442,104 @@ def _pq_search_oracle(n_sub=4, k=8, dsub=16, iterations=2):
 
 ORACLE["pq_search"] = _pq_search_oracle()
 QUERIES["pq_search"] = q_pq_search
+
+
+def q_greedy_tree(spark, sf_dir):
+    """Depth-2 greedy decision tree (gini) predicting high-value
+    lineitems from (quantity, discount): per level, every feature's
+    split search is grouped prefix sums over (node, value) cells; gains
+    fold cell-wise from EXACT integer counts, so the oracle replays the
+    whole tree with no rounding guard; routing is a bounded when-chain
+    from the <= 2^depth collected splits."""
+    from woodwork_spark.operators.tree import greedy_tree_fit
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = greedy_tree_fit(
+        li.withColumn("hi", F.col("l_extendedprice") > 30000.0),
+        ["l_quantity", "l_discount"], "hi", max_depth=2,
+    )
+    return out.select(
+        "node", "kind", "feature",
+        F.round("threshold", 6).alias("threshold"),
+        F.round("gain", 9).alias("gain"),
+        "n", "n_pos",
+    )
+
+
+def _tree_oracle() -> str:
+    gain = ("2.0 * tp * tn / ((tp + tn) * (tp + tn))"
+            " - 2.0 * (cp * cn / (cp + cn)"
+            " + (tp - cp) * (tn - cn) / ((tp - cp) + (tn - cn)))"
+            " / (tp + tn)")
+    levels = []
+    for i in range(2):
+        levels.append(f"""
+        , u{i} AS (
+            SELECT node, 'l_quantity' AS feat, f_q AS v, y FROM n{i}
+            UNION ALL
+            SELECT node, 'l_discount', f_d, y FROM n{i}
+        ),
+        cells{i} AS (
+            SELECT node, feat, v,
+                   CAST(sum(y) AS DOUBLE) AS p,
+                   CAST(sum(1 - y) AS DOUBLE) AS nn
+            FROM u{i} GROUP BY 1, 2, 3
+        ),
+        cum{i} AS (
+            SELECT node, feat, v,
+                   sum(p) OVER (PARTITION BY node, feat ORDER BY v) AS cp,
+                   sum(nn) OVER (PARTITION BY node, feat ORDER BY v) AS cn,
+                   sum(p) OVER (PARTITION BY node, feat) AS tp,
+                   sum(nn) OVER (PARTITION BY node, feat) AS tn,
+                   max(v) OVER (PARTITION BY node, feat) AS vmax
+            FROM cells{i}
+        ),
+        gains{i} AS (
+            SELECT node, feat, v AS thr, {gain} AS gain
+            FROM cum{i} WHERE v < vmax
+        ),
+        best{i} AS (
+            SELECT node, feat, thr, gain FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY node
+                    ORDER BY gain DESC, feat, thr) AS rn
+                FROM gains{i}) WHERE rn = 1 AND gain > 0
+        ),
+        n{i + 1} AS (
+            SELECT CASE WHEN b.node IS NULL THEN n.node
+                        WHEN (b.feat = 'l_quantity' AND n.f_q <= b.thr)
+                          OR (b.feat = 'l_discount' AND n.f_d <= b.thr)
+                        THEN n.node || 'L' ELSE n.node || 'R' END AS node,
+                   n.f_q, n.f_d, n.y
+            FROM n{i} n LEFT JOIN best{i} b ON n.node = b.node
+        )""")
+    return ("""
+    WITH n0 AS (
+        SELECT '' AS node,
+               CAST(l_quantity AS DOUBLE) AS f_q,
+               CAST(l_discount AS DOUBLE) AS f_d,
+               CASE WHEN l_extendedprice > 30000.0 THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL
+    )""" + "".join(levels) + """
+    , allsplits AS (
+        SELECT node, feat, thr, gain FROM best0
+        UNION ALL SELECT node, feat, thr, gain FROM best1
+    )
+    SELECT node, 'split' AS kind, feat AS feature,
+           round(thr, 6) AS threshold, round(gain, 9) AS gain,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS n_pos
+    FROM allsplits
+    UNION ALL
+    SELECT node, 'leaf', NULL, NULL, NULL,
+           CAST(count(*) AS BIGINT), CAST(sum(y) AS BIGINT)
+    FROM n2
+    WHERE node NOT IN (SELECT node FROM allsplits)
+    GROUP BY node
+    """)
+
+
+ORACLE["greedy_tree"] = _tree_oracle()
+QUERIES["greedy_tree"] = q_greedy_tree

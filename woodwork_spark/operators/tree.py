@@ -122,3 +122,157 @@ def best_split(
         (F.col("__b.parent") - F.col("__b.cost")).alias("gain"),
     )
     return attach_persisted(out, *persisted_frames(ranked))
+
+
+def greedy_tree_fit(
+    df: DataFrame,
+    feature_cols,
+    label_col,
+    max_depth: int = 2,
+    criterion: str = "gini",
+) -> DataFrame:
+    """Greedy binary decision tree for a boolean label, depth-limited —
+    :func:`best_split` applied recursively, with two upgrades: splits
+    compete ACROSS features, and the per-node search runs grouped so
+    every tree level is a fixed number of distributed passes regardless
+    of node count.
+
+    Per level: for each feature, (node, value) tallies feed
+    :func:`~woodwork_spark.operators.rank.grouped_prefix_sums` (range
+    shuffle on (node, value) — a dominant node spans partitions; never
+    a per-node single reducer), gains fold cell-wise from EXACT integer
+    counts (pure deterministic double arithmetic — engine-replayable
+    with no rounding guard), and ONE argmax per node picks (gain desc,
+    feature asc, threshold asc).  Nodes whose best gain is <= 0, or
+    with fewer than 2 distinct values in every feature, become leaves.
+    Row routing is a broadcast join of the <= 2^depth chosen splits.
+
+    Returns the tree as rows: ``(node, kind, feature, threshold, gain,
+    n, n_pos)`` where ``node`` is the root-path string ('' root, 'L',
+    'R', 'LL', ...), kind is 'split' or 'leaf', and leaf rows carry the
+    class counts a scorer needs.  Depth is capped at 4 (31 nodes) —
+    deeper trees want a real GBM library, not a SQL plan.
+    """
+    from woodwork_spark.operators.rank import grouped_prefix_sums
+
+    if criterion != "gini":
+        raise ValueError("greedy_tree_fit currently supports gini only")
+    if not 1 <= max_depth <= 4:
+        raise ValueError(f"max_depth must be in [1, 4], got {max_depth}")
+    feature_cols = (
+        [feature_cols] if isinstance(feature_cols, str)
+        else list(feature_cols)
+    )
+    lbl = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    notnull = lbl.isNotNull()
+    for c in feature_cols:
+        notnull = notnull & F.col(c).isNotNull()
+    base = df.filter(notnull).select(
+        F.lit("").alias("__node"),
+        lbl.cast("int").alias("__y"),
+        *[F.col(c).cast("double").alias(f"__f_{c}") for c in feature_cols],
+    ).persist()
+
+    splits = []  # (node, feature, threshold, gain)
+    leaves = {}
+    cur = base
+    for _depth in range(max_depth):
+        per_feature = []
+        for c in feature_cols:
+            cells = cur.groupBy("__node", F.col(f"__f_{c}").alias("__v")).agg(
+                F.sum("__y").alias("__p"),
+                F.sum(1 - F.col("__y")).alias("__n"),
+            )
+            ranked = grouped_prefix_sums(
+                cells, ["__node"], ["__v"], ["__p", "__n"],
+                out_cols=["__cp", "__cn"], inclusive=True,
+            )
+            totals = ranked.groupBy("__node").agg(
+                F.sum("__p").cast("double").alias("__tp"),
+                F.sum("__n").cast("double").alias("__tn"),
+                F.max("__v").alias("__vmax"),
+            )
+            jt = ranked.join(F.broadcast(totals), "__node").filter(
+                F.col("__v") < F.col("__vmax"),  # right side non-empty
+            )
+            pl, nl = F.col("__cp").cast("double"), F.col("__cn").cast("double")
+            pr, nr = F.col("__tp") - pl, F.col("__tn") - nl
+            tl, tr = pl + nl, pr + nr
+            n = F.col("__tp") + F.col("__tn")
+            cost = 2.0 * (pl * nl / tl + pr * nr / tr) / n
+            parent = 2.0 * F.col("__tp") * F.col("__tn") / (n * n)
+            per_feature.append(
+                jt.select(
+                    "__node",
+                    F.lit(c).alias("__feat"),
+                    F.col("__v").alias("__thr"),
+                    (parent - cost).alias("__gain"),
+                ),
+            )
+        allf = per_feature[0]
+        for fr in per_feature[1:]:
+            allf = allf.unionByName(fr)
+        best = allf.groupBy("__node").agg(F.max("__gain").alias("__bg"))
+        chosen = (
+            allf.join(F.broadcast(best), "__node")
+            .filter(
+                (F.col("__gain") == F.col("__bg")) & (F.col("__gain") > 0),
+            )
+            .groupBy("__node")
+            .agg(
+                F.min(F.struct("__feat", "__thr", "__gain")).alias("__c"),
+            )
+            .select(
+                "__node",
+                F.col("__c.__feat").alias("__feat"),
+                F.col("__c.__thr").alias("__thr"),
+                F.col("__c.__gain").alias("__gain"),
+            )
+        )
+        rows = chosen.collect()  # <= 2^depth rows: the model, bounded
+        if not rows:
+            break
+        split_map = {
+            r["__node"]: (r["__feat"], float(r["__thr"]), float(r["__gain"]))
+            for r in rows
+        }
+        splits.extend(
+            (node, f, t, g) for node, (f, t, g) in sorted(split_map.items())
+        )
+        # routing: an explicit per-node when-chain (<= 2^depth arms)
+        expr = F.col("__node")
+        for node, (f, t, g) in sorted(split_map.items()):
+            expr = (
+                F.when(
+                    F.col("__node") == node,
+                    F.concat(
+                        F.col("__node"),
+                        F.when(
+                            F.col(f"__f_{f}") <= F.lit(t), F.lit("L"),
+                        ).otherwise(F.lit("R")),
+                    ),
+                ).otherwise(expr)
+            )
+        cur = cur.withColumn("__node", expr)
+    leaf_stats = cur.groupBy("__node").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+    ).collect()
+    base.unpersist()
+    spark = df.sparkSession
+    split_nodes = {s[0] for s in splits}
+    out_rows = [
+        (node, "split", f, float(t), float(g), None, None)
+        for node, f, t, g in splits
+    ] + [
+        (r["__node"], "leaf", None, None, None, r["n"], r["n_pos"])
+        for r in leaf_stats
+        if r["__node"] not in split_nodes
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "node string, kind string, feature string, threshold double, "
+        "gain double, n bigint, n_pos bigint",
+    )
