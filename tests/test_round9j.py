@@ -1,0 +1,71 @@
+"""Round-9 (continuation): plan-shape guards for the session's queries —
+the Python-boundary and distribution properties PLANS.md documents."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+# pure column-algebra queries: NO Python of any kind in the plan
+PURE = [
+    "fisher_exact", "jarque_bera", "ljung_box", "durbin_watson",
+    "cochran_armitage", "breusch_pagan", "rake_keywords",
+    "shard_manifest", "theil_sen", "gmm_em", "logistic_conversion",
+    "poisson_purchases", "cox_ph", "greedy_tree", "pq_codes",
+    "pq_search",
+]
+
+# the documented sequential-DP exceptions: Arrow-batched ONLY
+ARROW_ONLY = ["rouge_l", "unigram_tokenize", "holt_winters"]
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", PURE)
+def test_no_python_anywhere(spark, name):
+    plan = _plan(entrymod.queries()[name](spark, SF))
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+    assert "FlatMapGroupsInPandas" not in plan, name
+
+
+@pytest.mark.parametrize("name", ARROW_ONLY)
+def test_sequential_dp_is_arrow_batched(spark, name):
+    plan = _plan(entrymod.queries()[name](spark, SF))
+    assert "BatchEvalPython" not in plan, name  # never row-at-a-time
+    assert (
+        "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan
+    ), name
+
+
+def test_fisher_support_enumeration_is_distributed(spark):
+    # the hypergeometric grid must come from a Range scan, not a
+    # driver-materialized local relation
+    plan = _plan(entrymod.queries()["fisher_exact"](spark, SF))
+    assert "Range (" in plan
+
+
+def test_cox_risk_sets_use_range_frame(spark):
+    plan = _plan(entrymod.queries()["cox_ph"](spark, SF))
+    low = plan.lower()
+    assert "rangeframe" in low.replace(" ", ""), (
+        "tied event times must share a risk set (RANGE, not ROWS)"
+    )
+
+
+def test_pq_search_scan_is_broadcast_side(spark):
+    # LUT lookups are literals; the only joins in the scoring path are
+    # broadcast (centroid frame during training)
+    plan = _plan(entrymod.queries()["pq_search"](spark, SF))
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_queries_registered_in_bench_surface():
+    qs = entrymod.queries()
+    for name in ("tpch_min_cost_supplier", "tpch_waiting_suppliers",
+                 "greedy_tree", "pq_search", "unigram_tokenize"):
+        assert name in qs
+        assert name in entrymod.oracle_sql()
