@@ -665,3 +665,123 @@ def test_golden_records_matches_pandas(sp, rows):
         )
         want = None if nn.empty else nn.iloc[0]["f"]
         assert got[c] == (len(grp), want)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: properties of the classical-test battery, the
+# provenance manifest, and the tokenizer/LCS kernels
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.booleans()),
+        min_size=4, max_size=60,
+    ).filter(
+        lambda rs: any(r for r, _ in rs) and any(not r for r, _ in rs),
+    ),
+)
+def test_fisher_exact_p_values_are_probabilities(sp, rows):
+    from woodwork_spark.operators.stats_tests import fisher_exact_2x2
+
+    df = sp.createDataFrame(rows, ["r", "c"])
+    out = fisher_exact_2x2(df, F.col("r"), F.col("c")).collect()[0]
+    assert 0.0 <= out["p_one_sided"] <= 1.0 + 1e-9
+    assert 0.0 <= out["p_two_sided"] <= 1.0 + 1e-9
+    assert out["n"] == len(rows)
+    # two-sided includes at least the observed table's pmf mass of the
+    # one-sided tail's first term, so it can't be 0
+    assert out["p_two_sided"] > 0.0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e3, max_value=1e3,
+                  allow_nan=False, allow_infinity=False),
+        min_size=8, max_size=40,
+    ).filter(lambda v: len(set(v)) > 1),
+)
+def test_jarque_bera_shift_scale_invariant(sp, values):
+    """JB is invariant under x -> a*x + b (skew/kurtosis are
+    standardized moments)."""
+    from woodwork_spark.operators.stats_tests import jarque_bera
+
+    df1 = sp.createDataFrame([(float(v),) for v in values], ["x"])
+    df2 = sp.createDataFrame(
+        [(3.5 * float(v) - 11.0,) for v in values], ["x"])
+    a = jarque_bera(df1, "x").collect()[0]
+    b = jarque_bera(df2, "x").collect()[0]
+    assert a["jb_stat"] == pytest.approx(b["jb_stat"], rel=1e-6, abs=1e-9)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=2, max_value=6), st.data())
+def test_shard_manifest_is_a_disjoint_partition(sp, nsh, data):
+    from woodwork_spark.operators.quality_checks import shard_manifest
+
+    n = data.draw(st.integers(min_value=1, max_value=40))
+    rows = [(i, f"t{i}") for i in range(n)]
+    out = shard_manifest(
+        sp.createDataFrame(rows, ["id", "t"]), "id", "t", nsh, "s",
+    ).collect()
+    assert sum(r["n_docs"] for r in out) == n
+    assert len({r["shard"] for r in out}) == len(out)
+    assert all(0 <= r["shard"] < nsh for r in out)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="tablecsor", min_size=0, max_size=10),
+        min_size=1, max_size=12, unique=True,
+    ),
+)
+def test_unigram_tokenize_reconstructs_and_scores(sp, words):
+    from woodwork_spark.operators.bpe import unigram_viterbi_tokenize
+
+    vocab = {"t": -3.0, "a": -2.0, "table": -5.5, "ta": -3.0,
+             "ble": -4.0, "so": -3.1, "rt": -3.3}
+    df = sp.createDataFrame([(w,) for w in words], "w string")
+    for r in unigram_viterbi_tokenize(df, "w", vocab).collect():
+        if not r["w"]:
+            assert r["piece_str"] is None
+            continue
+        # concatenation invariant
+        assert r["piece_str"].replace("|", "") == r["w"]
+        # score equals the sum of piece scores (unk = -20 fallback)
+        total = sum(
+            vocab.get(p, -20.0) for p in r["piece_str"].split("|")
+        )
+        assert r["logp"] == pytest.approx(total, abs=1e-9)
+        # optimality spot-check: no single merge of adjacent singles
+        # into a known piece may improve the score (local optimality)
+        pieces = r["piece_str"].split("|")
+        for i in range(len(pieces) - 1):
+            merged = pieces[i] + pieces[i + 1]
+            if merged in vocab:
+                alt = total - vocab.get(pieces[i], -20.0) - vocab.get(
+                    pieces[i + 1], -20.0) + vocab[merged]
+                assert alt <= total + 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-50, max_value=50, allow_nan=False),
+             min_size=3, max_size=25),
+    st.lists(st.floats(min_value=-50, max_value=50, allow_nan=False),
+             min_size=3, max_size=25),
+)
+def test_rouge_l_bounds_and_symmetric_f(sp, a, b):
+    """LCS <= min(len); F1 is symmetric under ref<->cand swap."""
+    from woodwork_spark.operators.evaluation import rouge_l_scores
+
+    ta = [str(round(x, 0)) for x in a]
+    tb = [str(round(x, 0)) for x in b]
+    df = sp.createDataFrame([(ta, tb), (tb, ta)], ["ref", "cand"])
+    rows = rouge_l_scores(df, "ref", "cand").collect()
+    r0, r1 = rows[0], rows[1]
+    assert r0["lcs"] == r1["lcs"] <= min(len(ta), len(tb))
+    assert r0["rouge_l_f"] == pytest.approx(r1["rouge_l_f"], abs=1e-12)
+    assert r0["rouge_l_p"] == pytest.approx(r1["rouge_l_r"], abs=1e-12)
