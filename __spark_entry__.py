@@ -19543,3 +19543,159 @@ def _tree_oracle() -> str:
 
 ORACLE["greedy_tree"] = _tree_oracle()
 QUERIES["greedy_tree"] = q_greedy_tree
+
+
+def q_kendall_tau(spark, sf_dir):
+    """Kendall's tau-b between quantity and discount over lineitem:
+    rows collapse to (x, y) value cells (550 here), the pair statistic
+    folds over a broadcast cell self-join — cells^2, never rows^2 —
+    and every count is an exact integer."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import kendall_tau_b
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = kendall_tau_b(li, "l_quantity", "l_discount")
+    return attach_persisted(out.select(
+        "n", "n_cells", "concordant", "discordant",
+        _ravg(F.col("tau_b"), 6).alias("tau_b"),
+        _ravg(F.col("z_approx"), 5).alias("z_approx"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+    ), *persisted_frames(out))
+
+
+ORACLE["kendall_tau"] = """
+    WITH base AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_discount AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    ),
+    cells AS (
+        SELECT x, y, count(*) AS n FROM base GROUP BY x, y
+    ),
+    cd AS (
+        SELECT sum(a.n * b.n * CAST(sign(b.y - a.y) AS BIGINT)) AS cmd,
+               CAST(sum(CASE WHEN b.y > a.y THEN a.n * b.n
+                             ELSE 0 END) AS BIGINT) AS concordant,
+               CAST(sum(CASE WHEN b.y < a.y THEN a.n * b.n
+                             ELSE 0 END) AS BIGINT) AS discordant
+        FROM cells a JOIN cells b ON a.x < b.x
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells
+        FROM base
+    ),
+    t1 AS (SELECT sum(t * (t - 1) / 2.0) AS n1
+           FROM (SELECT count(*) AS t FROM base GROUP BY x)),
+    t2 AS (SELECT sum(t * (t - 1) / 2.0) AS n2
+           FROM (SELECT count(*) AS t FROM base GROUP BY y)),
+    z AS (
+        SELECT m.n, m.n_cells, cd.concordant, cd.discordant,
+               CAST(cd.cmd AS DOUBLE)
+               / sqrt((m.n * (m.n - 1) / 2.0 - t1.n1)
+                      * (m.n * (m.n - 1) / 2.0 - t2.n2)) AS tau,
+               3.0 * CAST(cd.cmd AS DOUBLE)
+               / sqrt(m.n * CAST(m.n - 1 AS DOUBLE)
+                      * (2 * m.n + 5) / 2.0) AS zv,
+               (m.n * (m.n - 1) / 2.0 > t1.n1
+                AND m.n * (m.n - 1) / 2.0 > t2.n2) AS ok
+        FROM cd, m, t1, t2
+    ),
+    p AS (
+        SELECT *, abs(zv) / sqrt(2.0) AS xx,
+               1.0 / (1.0 + 0.3275911 * abs(zv) / sqrt(2.0)) AS tt
+        FROM z
+    )
+    SELECT n, n_cells, concordant, discordant,
+           round(CASE WHEN ok THEN tau END + 0.0000001, 6) AS tau_b,
+           round(CASE WHEN ok THEN zv END + 0.0000001, 5) AS z_approx,
+           round(CASE WHEN ok THEN
+               least(1.0, greatest(0.0,
+                   (0.254829592 * tt - 0.284496736 * tt * tt
+                    + 1.421413741 * tt * tt * tt
+                    - 1.453152027 * tt * tt * tt * tt
+                    + 1.061405429 * tt * tt * tt * tt * tt)
+                   * exp(-xx * xx))) END
+                 + 0.0000001, 6) AS p_approx
+    FROM p
+"""
+QUERIES["kendall_tau"] = q_kendall_tau
+
+
+def q_c_index(spark, sf_dir):
+    """Harrell's C-index of the cox_ph risk direction (log activity) on
+    time-to-first-purchase: comparable pairs via a broadcast (time,
+    score) cell self-join, exact integer counts, score ties half."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.evaluation import concordance_index
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+        F.count(F.lit(1)).alias("__ne"),
+    )
+    rows = per_user.select(
+        F.floor(
+            (
+                F.unix_micros(F.coalesce("__p", "__last"))
+                - F.unix_micros("__t0")
+            ) / 3.6e9,
+        ).cast("double").alias("dur"),
+        F.col("__p").isNotNull().cast("int").alias("ev"),
+        F.round(F.log(F.lit(1.0) + F.col("__ne")), 3).alias("x"),
+    ).filter(F.col("dur") >= 0)
+    out = concordance_index(rows, "dur", "ev", "x")
+    return attach_persisted(out.select(
+        "n", "n_events", "n_pairs", "n_concordant_x2",
+        _ravg(F.col("c_index"), 6).alias("c_index"),
+    ), *persisted_frames(out))
+
+
+ORACLE["c_index"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+               max(ts) AS lastts,
+               count(*) AS ne
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    rows_ AS (
+        SELECT CAST(floor(epoch_us(coalesce(p, lastts) - t0) / 3.6e9)
+                    AS DOUBLE) AS t,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS d,
+               round(ln(1.0 + ne), 3) AS s
+        FROM per_user
+        WHERE floor(epoch_us(coalesce(p, lastts) - t0) / 3.6e9) >= 0
+    ),
+    cells AS (
+        SELECT t, s, sum(d) AS ne, count(*) AS n
+        FROM rows_ GROUP BY t, s
+    ),
+    pairs AS (
+        SELECT CAST(sum(a.ne * b.n) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN a.s > b.s THEN 2 * a.ne * b.n
+                             WHEN a.s = b.s THEN a.ne * b.n
+                             ELSE 0 END) AS BIGINT) AS n_concordant_x2
+        FROM cells a JOIN cells b ON a.t < b.t
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) AS BIGINT) AS n_events
+        FROM rows_
+    )
+    SELECT n, n_events, n_pairs, n_concordant_x2,
+           round(CASE WHEN n_pairs > 0
+                      THEN CAST(n_concordant_x2 AS DOUBLE)
+                           / (2.0 * n_pairs) END
+                 + 0.0000001, 6) AS c_index
+    FROM pairs, tot
+"""
+QUERIES["c_index"] = q_c_index

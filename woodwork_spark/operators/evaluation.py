@@ -1496,3 +1496,88 @@ def rouge_l_scores(
         .withColumn("rouge_l_f", f)
         .withColumnRenamed("__lcs", "lcs")
     )
+
+
+def concordance_index(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    score_col: str,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Harrell's C-index for survival scores — the discrimination
+    readout for :func:`~woodwork_spark.operators.timeseries.cox_ph_fit`
+    (AUC's censoring-aware generalization): over comparable pairs
+    (i experienced the event AND t_i < t_j), the fraction where the
+    HIGHER risk score belongs to the earlier event, ties in score
+    counting half.
+
+    Same cell discipline as :func:`~woodwork_spark.operators.
+    stats_tests.kendall_tau_b`: rows collapse to (time, score) cells
+    with event/censored counts, and the pair fold is a broadcast cell
+    self-join on ``t_a < t_b`` — |cells|^2 work bounded by distinct
+    (time, score) structure, ``max_cells`` fails fast.  All counts are
+    exact integers; the index is one integer ratio.
+
+    Returns one row ``(n, n_events, n_pairs, n_concordant_x2,
+    c_index)`` — ``n_concordant_x2`` counts concordant pairs DOUBLED
+    with score ties counting 1, so everything stays integral.
+    """
+    base = df.filter(
+        F.col(time_col).isNotNull() & F.col(event_col).isNotNull()
+        & F.col(score_col).isNotNull(),
+    ).select(
+        F.col(time_col).cast("double").alias("__t"),
+        F.col(event_col).cast("int").alias("__d"),
+        F.col(score_col).cast("double").alias("__s"),
+    )
+    cells = base.groupBy("__t", "__s").agg(
+        F.sum("__d").alias("__ne"),
+        F.count(F.lit(1)).alias("__n"),
+    ).persist()
+    n_cells = cells.count()
+    if n_cells > max_cells:
+        cells.unpersist()
+        raise ValueError(
+            f"concordance_index: {n_cells} distinct (time, score) "
+            f"cells — bin or round first, or raise max_cells",
+        )
+    a = cells.select(
+        F.col("__t").alias("__ta"), F.col("__s").alias("__sa"),
+        F.col("__ne").alias("__ea"),
+    )
+    b = cells.select(
+        F.col("__t").alias("__tb"), F.col("__s").alias("__sb"),
+        F.col("__n").alias("__nb"),
+    )
+    # comparable: a's event happened strictly before b's time; every
+    # row at b (event or censored) is then a valid later subject
+    pairs = a.join(F.broadcast(b), F.col("__ta") < F.col("__tb")).select(
+        (F.col("__ea") * F.col("__nb")).alias("__np"),
+        (
+            F.when(F.col("__sa") > F.col("__sb"),
+                   2 * F.col("__ea") * F.col("__nb"))
+            .when(F.col("__sa") == F.col("__sb"),
+                  F.col("__ea") * F.col("__nb"))
+            .otherwise(F.lit(0))
+        ).alias("__cx2"),
+    )
+    agg = pairs.agg(
+        F.sum("__np").cast("long").alias("n_pairs"),
+        F.sum("__cx2").cast("long").alias("n_concordant_x2"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__d").cast("long").alias("n_events"),
+    )
+    out = agg.crossJoin(F.broadcast(tot)).select(
+        "n", "n_events", "n_pairs", "n_concordant_x2",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.col("n_concordant_x2").cast("double")
+            / (2.0 * F.col("n_pairs")),
+        ).alias("c_index"),
+    )
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(out, cells)

@@ -1893,3 +1893,112 @@ def breusch_pagan(
         F.when(ok, bp).alias("bp_stat"),
         F.when(ok, _std_normal_two_sided_p(F.sqrt(bp))).alias("p_approx"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation with full tie handling — the
+    third member of the dependence family (Pearson/Spearman live in
+    statistics.dependence).
+
+    Never ranks raw rows: the data collapses to (x, y) VALUE CELLS
+    first (the mann_whitney / threshold_sweep discipline), and the
+    pair statistic folds over the cell self-join — ``C - D =
+    sum_{a.x < b.x} n_a * n_b * sign(b.y - a.y)`` — which is
+    |cells|^2/2 work, NOT |rows|^2.  The contract is therefore about
+    distinct-value structure: ratings, counts, bucketed measures.  For
+    continuous columns, bin first; ``max_cells`` fails fast otherwise.
+    All pair counts are EXACT integers (engine-replayable with no
+    rounding guard); tau is one integer ratio.
+
+    ``z_approx``/``p_approx`` use the classic no-ties normal
+    approximation ``z = 3(C-D) / sqrt(n(n-1)(2n+5)/2)`` — documented
+    as approximate under heavy ties (the tie-corrected variance is a
+    four-term mess nobody replays identically; the tau itself IS
+    tie-corrected).
+
+    Returns one row ``(n, n_cells, concordant, discordant, tau_b,
+    z_approx, p_approx)``.
+    """
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull(),
+    ).select(
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    cells = base.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).alias("__n"),
+    ).persist()
+    n_cells = cells.count()
+    if n_cells > max_cells:
+        cells.unpersist()
+        raise ValueError(
+            f"kendall_tau_b: {n_cells} distinct (x, y) cells — the "
+            f"pair fold is cells^2; bin the columns first or raise "
+            f"max_cells (now {max_cells})",
+        )
+    a = cells.select(
+        F.col("__x").alias("__xa"), F.col("__y").alias("__ya"),
+        F.col("__n").alias("__na"),
+    )
+    b = cells.select(
+        F.col("__x").alias("__xb"), F.col("__y").alias("__yb"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("__xa") < F.col("__xb")).select(
+        (
+            F.col("__na") * F.col("__nb")
+            * F.signum(F.col("__yb") - F.col("__ya")).cast("long")
+        ).alias("__s"),
+        (
+            F.when(F.col("__yb") > F.col("__ya"),
+                   F.col("__na") * F.col("__nb")).otherwise(F.lit(0))
+        ).alias("__c"),
+        (
+            F.when(F.col("__yb") < F.col("__ya"),
+                   F.col("__na") * F.col("__nb")).otherwise(F.lit(0))
+        ).alias("__d"),
+    )
+    cd = pairs.agg(
+        F.sum("__s").alias("__cmd"),
+        F.sum("__c").cast("long").alias("concordant"),
+        F.sum("__d").cast("long").alias("discordant"),
+    )
+    margs = base.agg(F.count(F.lit(1)).alias("n"))
+    tx = (
+        base.groupBy("__x").agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n1"))
+    )
+    ty = (
+        base.groupBy("__y").agg(F.count(F.lit(1)).alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n2"))
+    )
+    j = (
+        cd.crossJoin(F.broadcast(margs))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n = F.col("n").cast("double")
+    n0 = n * (n - 1) / 2.0
+    tau = F.col("__cmd").cast("double") / F.sqrt(
+        (n0 - F.col("n1")) * (n0 - F.col("n2")),
+    )
+    z = 3.0 * F.col("__cmd").cast("double") / F.sqrt(
+        n * (n - 1) * (2 * n + 5) / 2.0,
+    )
+    ok = (n0 > F.col("n1")) & (n0 > F.col("n2"))
+    out = j.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(n_cells).cast("long").alias("n_cells"),
+        "concordant", "discordant",
+        F.when(ok, tau).alias("tau_b"),
+        F.when(ok, z).alias("z_approx"),
+        F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
+    )
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(out, cells)
