@@ -19699,3 +19699,187 @@ ORACLE["c_index"] = """
     FROM pairs, tot
 """
 QUERIES["c_index"] = q_c_index
+
+
+def q_pairwise_welch(spark, sf_dir):
+    """ANOVA post-hoc: all 10 priority-pair Welch comparisons of order
+    totals from ONE grouped moment aggregate self-joined (raw data
+    touched once, k rows squared), Bonferroni-adjusted."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import pairwise_welch
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    out = pairwise_welch(orders, "o_totalprice", "o_orderpriority")
+    return attach_persisted(out.select(
+        "group_a", "group_b", "n_a", "n_b",
+        _ravg(F.col("mean_diff"), 4).alias("mean_diff"),
+        _ravg(F.col("se"), 4).alias("se"),
+        _ravg(F.col("t_stat"), 5).alias("t_stat"),
+        _ravg(F.col("df_ws"), 2).alias("df_ws"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+        _ravg(F.col("p_adj"), 6).alias("p_adj"),
+    ), *persisted_frames(out))
+
+
+ORACLE["pairwise_welch"] = """
+    WITH stats AS (
+        SELECT o_orderpriority AS g,
+               CAST(count(*) AS BIGINT) AS n,
+               avg(o_totalprice) AS m,
+               var_samp(o_totalprice) AS s2
+        FROM orders WHERE o_totalprice IS NOT NULL
+        GROUP BY 1
+    ),
+    np AS (SELECT count(*) * (count(*) - 1) / 2 AS n_pairs FROM stats),
+    pairs AS (
+        SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+               a.m - b.m AS mean_diff,
+               a.s2 / a.n AS va, b.s2 / b.n AS vb
+        FROM stats a JOIN stats b ON a.g < b.g
+    ),
+    t AS (
+        SELECT group_a, group_b, n_a, n_b, mean_diff,
+               sqrt(va + vb) AS se,
+               mean_diff / sqrt(va + vb) AS tv,
+               (va + vb) * (va + vb)
+               / (va * va / (n_a - 1) + vb * vb / (n_b - 1)) AS dfw,
+               (n_a >= 2 AND n_b >= 2 AND va + vb > 0) AS ok
+        FROM pairs
+    ),
+    p AS (
+        SELECT *, abs(tv) / sqrt(2.0) AS xx,
+               1.0 / (1.0 + 0.3275911 * abs(tv) / sqrt(2.0)) AS tt,
+               (SELECT n_pairs FROM np) AS n_pairs
+        FROM t
+    ),
+    e AS (
+        SELECT *, least(1.0, greatest(0.0,
+                   (0.254829592 * tt - 0.284496736 * tt * tt
+                    + 1.421413741 * tt * tt * tt
+                    - 1.453152027 * tt * tt * tt * tt
+                    + 1.061405429 * tt * tt * tt * tt * tt)
+                   * exp(-xx * xx))) AS pv
+        FROM p
+    )
+    SELECT group_a, group_b, n_a, n_b,
+           round(mean_diff + 0.0000001, 4) AS mean_diff,
+           round(CASE WHEN ok THEN se END + 0.0000001, 4) AS se,
+           round(CASE WHEN ok THEN tv END + 0.0000001, 5) AS t_stat,
+           round(CASE WHEN ok THEN dfw END + 0.0000001, 2) AS df_ws,
+           round(CASE WHEN ok THEN pv END + 0.0000001, 6) AS p_approx,
+           round(CASE WHEN ok THEN least(1.0, pv * n_pairs) END
+                 + 0.0000001, 6) AS p_adj
+    FROM e
+"""
+QUERIES["pairwise_welch"] = q_pairwise_welch
+
+
+def q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha of a 3-item document quality battery (chars,
+    tokens, distinct tokens): ONE aggregate, listwise deletion."""
+    from woodwork_spark.operators.stats_tests import cronbach_alpha
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    items = docs.select(
+        F.length("text").cast("double").alias("i_chars"),
+        F.size(toks).cast("double").alias("i_tokens"),
+        F.size(F.array_distinct(toks)).cast("double").alias("i_distinct"),
+    )
+    out = cronbach_alpha(items, ["i_chars", "i_tokens", "i_distinct"])
+    return out.select(
+        "n", "k",
+        _ravg(F.col("sum_item_var"), 4).alias("sum_item_var"),
+        _ravg(F.col("total_var"), 4).alias("total_var"),
+        _ravg(F.col("alpha"), 6).alias("alpha"),
+    )
+
+
+ORACLE["cronbach_alpha"] = """
+    WITH items AS (
+        SELECT CAST(length(text) AS DOUBLE) AS i1,
+               CAST(len(string_split_regex(trim(text), '\\s+'))
+                    AS DOUBLE) AS i2,
+               CAST(len(list_distinct(
+                   string_split_regex(trim(text), '\\s+')))
+                    AS DOUBLE) AS i3
+        FROM documents WHERE text IS NOT NULL
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               var_samp(i1) AS v1, var_samp(i2) AS v2,
+               var_samp(i3) AS v3,
+               var_samp(i1 + i2 + i3) AS total_var
+        FROM items
+    )
+    SELECT n, CAST(3 AS BIGINT) AS k,
+           round(CASE WHEN n >= 2 AND total_var > 0
+                      THEN v1 + v2 + v3 END + 0.0000001, 4)
+               AS sum_item_var,
+           round(CASE WHEN n >= 2 AND total_var > 0
+                      THEN total_var END + 0.0000001, 4) AS total_var,
+           round(CASE WHEN n >= 2 AND total_var > 0
+                      THEN 1.5 * (1.0 - (v1 + v2 + v3) / total_var) END
+                 + 0.0000001, 6) AS alpha
+    FROM agg
+"""
+QUERIES["cronbach_alpha"] = q_cronbach_alpha
+
+
+def q_icc_oneway(spark, sf_dir):
+    """ICC(1,1) of order totals within customers (unbalanced k0): the
+    anova_oneway sufficient statistics read out as a reliability
+    coefficient — two aggregates."""
+    from woodwork_spark.operators.stats_tests import icc_oneway
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    out = icc_oneway(orders, "o_totalprice", "o_custkey")
+    return out.select(
+        "n", "n_groups",
+        _ravg(F.col("k0"), 4).alias("k0"),
+        _ravg(F.col("msb"), 2).alias("msb"),
+        _ravg(F.col("msw"), 2).alias("msw"),
+        _ravg(F.col("icc"), 6).alias("icc"),
+    )
+
+
+ORACLE["icc_oneway"] = """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS cn,
+               sum(o_totalprice) AS s,
+               sum(o_totalprice * o_totalprice) AS ss
+        FROM orders WHERE o_totalprice IS NOT NULL
+        GROUP BY o_custkey
+    ),
+    agg AS (
+        SELECT CAST(sum(cn) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS g,
+               sum(s) AS ts, sum(ss) AS tss,
+               sum(s * s / cn) AS bg,
+               sum(CAST(cn AS DOUBLE) * cn) AS n2
+        FROM per
+    ),
+    d AS (
+        SELECT n, g,
+               (bg - ts * ts / n) / (g - 1) AS msb,
+               (tss - bg) / (n - g) AS msw,
+               (n - n2 / n) / (g - 1) AS k0
+        FROM agg
+    )
+    SELECT n, g AS n_groups,
+           round(CASE WHEN g >= 2 AND n > g AND msw > 0
+                      THEN k0 END + 0.0000001, 4) AS k0,
+           round(CASE WHEN g >= 2 AND n > g AND msw > 0
+                      THEN msb END + 0.0000001, 2) AS msb,
+           round(CASE WHEN g >= 2 AND n > g AND msw > 0
+                      THEN msw END + 0.0000001, 2) AS msw,
+           round(CASE WHEN g >= 2 AND n > g AND msw > 0
+                      THEN (msb - msw) / (msb + (k0 - 1) * msw) END
+                 + 0.0000001, 6) AS icc
+    FROM d
+"""
+QUERIES["icc_oneway"] = q_icc_oneway

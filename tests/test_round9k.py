@@ -115,3 +115,76 @@ class TestCIndex:
         out = concordance_index(df, "t", "d", "s").collect()[0]
         assert out["n_pairs"] in (0, None) or out["n_pairs"] == 0
         assert out["c_index"] is None
+
+
+class TestPosthocReliability:
+    def test_pairwise_welch_matches_single(self, spark):
+        import pyspark.sql.functions as F
+
+        from woodwork_spark.operators.stats_tests import (
+            pairwise_welch,
+            welch_ttest,
+        )
+        rng = np.random.RandomState(23)
+        rows = (
+            [("a", float(v)) for v in rng.normal(0, 1, 80)]
+            + [("b", float(v)) for v in rng.normal(1, 2, 60)]
+            + [("c", float(v)) for v in rng.normal(0.2, 1, 70)]
+        )
+        df = spark.createDataFrame(rows, ["g", "v"])
+        out = {(r["group_a"], r["group_b"]): r for r in
+               pairwise_welch(df, "v", "g").collect()}
+        assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+        # the a-vs-b pair must agree with the standalone welch_ttest
+        ab = welch_ttest(df, "v", "g", "a", "b").collect()[0]
+        pw = out[("a", "b")]
+        assert pw["t_stat"] == pytest.approx(ab["t_stat"], rel=1e-9)
+        # bonferroni: adjusted = 3x raw, capped
+        assert pw["p_adj"] == pytest.approx(
+            min(1.0, pw["p_approx"] * 3), abs=1e-12)
+        # planted separation detected (1-sigma mean gap, n=80/60)
+        assert out[("a", "b")]["p_adj"] < 0.05
+
+    def test_cronbach_known_value(self, spark):
+        rng = np.random.RandomState(29)
+        base = rng.normal(size=200)
+        i1 = base + rng.normal(0, 0.3, 200)
+        i2 = base + rng.normal(0, 0.3, 200)
+        i3 = base + rng.normal(0, 0.3, 200)
+        from woodwork_spark.operators.stats_tests import cronbach_alpha
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c))
+             for a, b, c in zip(i1, i2, i3)], ["i1", "i2", "i3"])
+        out = cronbach_alpha(df, ["i1", "i2", "i3"]).collect()[0]
+        vs = [np.var(x, ddof=1) for x in (i1, i2, i3)]
+        tv = np.var(i1 + i2 + i3, ddof=1)
+        ref = 1.5 * (1 - sum(vs) / tv)
+        assert out["alpha"] == pytest.approx(ref, rel=1e-9)
+        assert out["alpha"] > 0.8  # strongly correlated items
+
+    def test_cronbach_independent_items_near_zero(self, spark):
+        rng = np.random.RandomState(31)
+        from woodwork_spark.operators.stats_tests import cronbach_alpha
+        df = spark.createDataFrame(
+            [tuple(float(x) for x in rng.normal(size=3))
+             for _ in range(300)], ["i1", "i2", "i3"])
+        out = cronbach_alpha(df, ["i1", "i2", "i3"]).collect()[0]
+        assert abs(out["alpha"]) < 0.25
+
+    def test_icc_high_within_group_consistency(self, spark):
+        rng = np.random.RandomState(37)
+        from woodwork_spark.operators.stats_tests import icc_oneway
+        rows = []
+        for g in range(40):
+            mu = rng.normal(0, 5)
+            for _ in range(rng.randint(3, 8)):
+                rows.append((g, float(mu + rng.normal(0, 0.5))))
+        df = spark.createDataFrame(rows, ["g", "v"])
+        out = icc_oneway(df, "v", "g").collect()[0]
+        assert out["icc"] > 0.9  # group effect dominates noise
+        # shuffled groups destroy it
+        shuffled = [(rows[i][0], rows[(i * 17 + 5) % len(rows)][1])
+                    for i in range(len(rows))]
+        df2 = spark.createDataFrame(shuffled, ["g", "v"])
+        out2 = icc_oneway(df2, "v", "g").collect()[0]
+        assert out2["icc"] < 0.3

@@ -2002,3 +2002,175 @@ def kendall_tau_b(
     from woodwork_spark.lifecycle import attach_persisted
 
     return attach_persisted(out, cells)
+
+
+def pairwise_welch(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    max_groups: int = 200,
+) -> DataFrame:
+    """Post-hoc pairwise comparisons after an ANOVA: Welch's t for every
+    group pair from ONE grouped moment aggregate (k rows) self-joined —
+    the raw data is touched once regardless of how many pairs exist.
+    ``p_adj`` is Bonferroni (times k(k-1)/2, capped at 1): exact, monotone,
+    and engine-replayable — unlike Tukey's studentized range, whose
+    quantile has no closed form either engine could share.  The
+    Welch-Satterthwaite df is reported; the p-value uses the normal
+    approximation through the shared erf polynomial (documented — at the
+    harness's per-group sizes the t and normal tails agree to ~1e-3,
+    and the df is there for exact offline lookup).
+
+    Returns one row per unordered pair ``(group_a, group_b, n_a, n_b,
+    mean_diff, se, t_stat, df_ws, p_approx, p_adj)``; a fail-fast
+    ``max_groups`` guard bounds the k^2 pair frame.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull(),
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    stats = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__v").alias("__m"),
+        F.var_samp("__v").alias("__s2"),
+    ).persist()
+    k = stats.count()
+    if k > max_groups:
+        stats.unpersist()
+        raise ValueError(
+            f"pairwise_welch: {k} groups -> {k * (k - 1) // 2} pairs; "
+            f"raise max_groups (now {max_groups}) if intended",
+        )
+    n_pairs = k * (k - 1) // 2
+    a = stats.select(
+        F.col("__g").alias("group_a"), F.col("__n").alias("n_a"),
+        F.col("__m").alias("__ma"), F.col("__s2").alias("__sa"),
+    )
+    b = stats.select(
+        F.col("__g").alias("group_b"), F.col("__n").alias("n_b"),
+        F.col("__m").alias("__mb"), F.col("__s2").alias("__sb"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("group_a") < F.col("group_b"),
+    )
+    va = F.col("__sa") / F.col("n_a")
+    vb = F.col("__sb") / F.col("n_b")
+    se = F.sqrt(va + vb)
+    t = (F.col("__ma") - F.col("__mb")) / se
+    dfw = (va + vb) * (va + vb) / (
+        va * va / (F.col("n_a") - 1) + vb * vb / (F.col("n_b") - 1)
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (va + vb > 0)
+    p = _std_normal_two_sided_p(t)
+    return pairs.select(
+        "group_a", "group_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (F.col("__ma") - F.col("__mb")).alias("mean_diff"),
+        F.when(ok, se).alias("se"),
+        F.when(ok, t).alias("t_stat"),
+        F.when(ok, dfw).alias("df_ws"),
+        F.when(ok, p).alias("p_approx"),
+        F.when(ok, F.least(F.lit(1.0), p * F.lit(float(n_pairs))))
+        .alias("p_adj"),
+    )
+
+
+def cronbach_alpha(df: DataFrame, item_cols) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability over k item
+    columns: ``alpha = k/(k-1) * (1 - sum(var_i) / var(total))`` — ONE
+    aggregate over rows complete in every item (listwise deletion, the
+    standard convention).  Completes the agreement family (Cohen/Fleiss
+    kappa rate CATEGORICAL raters; alpha rates NUMERIC item batteries).
+
+    Returns one row ``(n, k, sum_item_var, total_var, alpha)``;
+    fewer than 2 rows or zero total variance yields NULL alpha.
+    """
+    item_cols = (
+        [item_cols] if isinstance(item_cols, str) else list(item_cols)
+    )
+    if len(item_cols) < 2:
+        raise ValueError("cronbach_alpha needs >= 2 item columns")
+    notnull = F.lit(True)
+    for c in item_cols:
+        notnull = notnull & F.col(c).isNotNull()
+    total = None
+    for c in item_cols:
+        col = F.col(c).cast("double")
+        total = col if total is None else total + col
+    base = df.filter(notnull).select(
+        *[F.col(c).cast("double").alias(c) for c in item_cols],
+        total.alias("__tot"),
+    )
+    k = len(item_cols)
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.var_samp(c).alias(f"__v_{i}") for i, c in enumerate(item_cols)],
+        F.var_samp("__tot").alias("total_var"),
+    )
+    sv = None
+    for i in range(k):
+        v = F.col(f"__v_{i}")
+        sv = v if sv is None else sv + v
+    ok = (F.col("n") >= 2) & (F.col("total_var") > 0)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.when(ok, sv).alias("sum_item_var"),
+        F.when(ok, F.col("total_var")).alias("total_var"),
+        F.when(
+            ok,
+            F.lit(k / (k - 1.0))
+            * (F.lit(1.0) - sv / F.col("total_var")),
+        ).alias("alpha"),
+    )
+
+
+def icc_oneway(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Intraclass correlation ICC(1,1) from the one-way ANOVA
+    decomposition: ``(MSB - MSW) / (MSB + (k0 - 1) * MSW)`` with the
+    unbalanced-design ``k0 = (N - sum(n_i^2)/N) / (g - 1)``.  Two
+    aggregates (per-group, then fold) — the same sufficient statistics
+    as anova_oneway, read out as a reliability coefficient instead of
+    an F test.
+
+    Returns one row ``(n, n_groups, k0, msb, msw, icc)``.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull(),
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    per = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+    )
+    agg = per.agg(
+        F.sum("__n").alias("n"),
+        F.count(F.lit(1)).alias("g"),
+        F.sum("__s").alias("__ts"),
+        F.sum("__ss").alias("__tss"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias("__bg"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__n2"),
+    )
+    n = F.col("n").cast("double")
+    g = F.col("g").cast("double")
+    ssb = F.col("__bg") - F.col("__ts") * F.col("__ts") / n
+    ssw = F.col("__tss") - F.col("__bg")
+    msb = ssb / (g - 1)
+    msw = ssw / (n - g)
+    k0 = (n - F.col("__n2") / n) / (g - 1)
+    icc = (msb - msw) / (msb + (k0 - 1) * msw)
+    ok = (g >= 2) & (n > g) & (msw > 0)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("g").cast("long").alias("n_groups"),
+        F.when(ok, k0).alias("k0"),
+        F.when(ok, msb).alias("msb"),
+        F.when(ok, msw).alias("msw"),
+        F.when(ok, icc).alias("icc"),
+    )
