@@ -668,10 +668,16 @@ def pq_search(
     # running the same operator for codes, plus a local re-derivation of
     # the centroid dict (pq_codes hides it; duplicating the loop here
     # would risk drift, so reuse its implementation via the wide codes)
-    codes = pq_codes(
+    coded = pq_codes(
         df, id_col, vec_col, n_subspaces=n_subspaces, k=k,
         iterations=iterations, quantize=quantize,
-    ).select(
+    )
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
+    # .select() drops the lifecycle attachment — carry the persisted
+    # training frame through to the returned result explicitly
+    code_caches = persisted_frames(coded)
+    codes = coded.select(
         id_col,
         F.split("code_str", r"\|").alias("__cs"),
     )
@@ -725,10 +731,11 @@ def pq_search(
     w = W.partitionBy("query_id").orderBy(
         F.asc("approx_dist"), F.asc(id_col),
     )
-    return (
+    out = (
         allq.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= top_k)
     )
+    return attach_persisted(out, *code_caches)
 
 
 def _pq_centroids(

@@ -2064,7 +2064,7 @@ def pairwise_welch(
     )
     ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (va + vb > 0)
     p = _std_normal_two_sided_p(t)
-    return pairs.select(
+    out = pairs.select(
         "group_a", "group_b",
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
@@ -2076,6 +2076,9 @@ def pairwise_welch(
         F.when(ok, F.least(F.lit(1.0), p * F.lit(float(n_pairs))))
         .alias("p_adj"),
     )
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(out, stats)
 
 
 def cronbach_alpha(df: DataFrame, item_cols) -> DataFrame:
