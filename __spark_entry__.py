@@ -18840,6 +18840,7 @@ def q_logistic_conversion(spark, sf_dir):
         _ravg(F.col("z_stat"), 5).alias("z_stat"),
         _ravg(F.col("p_approx"), 6).alias("p_approx"),
         _ravg(F.col("loglik"), 4).alias("loglik"),
+        _ravg(F.col("dispersion"), 6).alias("dispersion"),
     )
 
 
@@ -18873,6 +18874,7 @@ def q_poisson_purchases(spark, sf_dir):
         _ravg(F.col("z_stat"), 5).alias("z_stat"),
         _ravg(F.col("p_approx"), 6).alias("p_approx"),
         _ravg(F.col("loglik"), 4).alias("loglik"),
+        _ravg(F.col("dispersion"), 6).alias("dispersion"),
     )
 
 
@@ -18918,18 +18920,19 @@ def _glm_oracle(family: str, data_cte: str) -> str:
                    max(b0) AS intercept, max(b1) AS slope,
                    sum({w}) AS i00, sum(x * {w}) AS i01,
                    sum(x * x * {w}) AS i11,
-                   sum({ll.replace('d2.', '')}) AS loglik
+                   sum({ll.replace('d2.', '')}) AS loglik,
+                   sum((y - mu) * (y - mu) / ({w})) AS px2
             FROM (SELECT d.cohort, d.y, d.x, c.b0, c.b1, {mu} AS mu
                   FROM data d JOIN c6 c USING (cohort)) d2
             GROUP BY cohort
         ),
         wald AS (
-            SELECT cohort, n, intercept, slope, loglik,
+            SELECT cohort, n, intercept, slope, loglik, px2,
                    i00 * i11 - i01 * i01 AS det, i00
             FROM fin
         ),
         rd AS (
-            SELECT cohort, n, intercept, slope, loglik, det,
+            SELECT cohort, n, intercept, slope, loglik, px2, det,
                    sqrt(i00 / det) AS se,
                    slope / sqrt(i00 / det) AS zv,
                    abs(slope / sqrt(i00 / det)) / sqrt(2.0) AS xx,
@@ -18954,7 +18957,10 @@ def _glm_oracle(family: str, data_cte: str) -> str:
                         + 1.061405429 * tt * tt * tt * tt * tt)
                        * exp(-xx * xx))) END
                      + 0.0000001, 6) AS p_approx,
-               round(loglik + 0.0000001, 4) AS loglik
+               round(loglik + 0.0000001, 4) AS loglik,
+               round(CASE WHEN det > 0 AND n > 2
+                          THEN px2 / (n - 2.0) END
+                     + 0.0000001, 6) AS dispersion
         FROM rd
     """)
     return "".join(parts)

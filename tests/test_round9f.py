@@ -114,3 +114,25 @@ class TestPoisson:
         df = spark.createDataFrame([(1.0, 1.0)], ["y", "x"])
         with pytest.raises(ValueError):
             poisson_fit(df, "y", "x", iters=0)
+
+
+class TestDispersion:
+    def test_poisson_dispersion_near_one(self, spark):
+        rng = np.random.RandomState(41)
+        x = rng.normal(size=600) * 0.5
+        y = rng.poisson(np.exp(0.2 + 0.7 * x)).astype(float)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(y, x)], ["y", "x"])
+        out = poisson_fit(df, "y", "x", iters=8).collect()[0]
+        assert 0.8 < out["dispersion"] < 1.25  # equidispersed by design
+
+    def test_overdispersion_detected(self, spark):
+        rng = np.random.RandomState(43)
+        x = rng.normal(size=600) * 0.5
+        lam = np.exp(0.2 + 0.7 * x)
+        # negative-binomial-ish: gamma-mixed Poisson, var >> mean
+        y = rng.poisson(lam * rng.gamma(0.3, 1 / 0.3, 600)).astype(float)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(y, x)], ["y", "x"])
+        out = poisson_fit(df, "y", "x", iters=8).collect()[0]
+        assert out["dispersion"] > 1.8  # flags the broken assumption

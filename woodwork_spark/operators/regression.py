@@ -151,8 +151,11 @@ def _glm_newton_fit(
     the guard keeps complete-separation data finite rather than NaN).
 
     Returns ``(group_cols..., n, intercept, slope, se_slope, z_stat,
-    p_approx, loglik)``; the Wald readout uses the information at the
-    final coefficients and the shared A&S erf polynomial.
+    p_approx, loglik, dispersion)``; the Wald readout uses the
+    information at the final coefficients and the shared A&S erf
+    polynomial, and ``dispersion`` is the Pearson X^2/(n-2)
+    quasi-likelihood scale (>> 1 means the family's variance assumption
+    fails and the reported se is optimistic by ~sqrt(dispersion)).
     """
     from woodwork_spark.operators.stats_tests import (
         _std_normal_two_sided_p,
@@ -233,6 +236,7 @@ def _glm_newton_fit(
         # Poisson loglik sans the data-only ln(y!) term (constant in
         # the coefficients; dropping it is the standard deviance form)
         ll = F.col("__y") * eta - mu
+    resid2 = (F.col("__y") - mu) * (F.col("__y") - mu) / w
     out = fin.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
         F.max("__b0").alias("intercept"),
@@ -241,11 +245,16 @@ def _glm_newton_fit(
         F.sum(x * w).alias("__i01"),
         F.sum(x * x * w).alias("__i11"),
         F.sum(ll).alias("loglik"),
+        F.sum(resid2).alias("__px2"),
     )
     det = F.col("__i00") * F.col("__i11") - F.col("__i01") * F.col("__i01")
     se = F.sqrt(F.col("__i00") / det)
     z = F.col("slope") / se
     ok = det > 0
+    # Pearson X^2 / (n - 2): the quasi-likelihood scale.  ~1 when the
+    # family's variance assumption holds; >> 1 flags overdispersion
+    # (the Wald se is then optimistic by ~sqrt(dispersion)).
+    disp = F.col("__px2") / (F.col("n").cast("double") - 2.0)
     return out.select(
         *group_cols,
         F.col("n").cast("long").alias("n"),
@@ -255,6 +264,7 @@ def _glm_newton_fit(
         F.when(ok, z).alias("z_stat"),
         F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
         "loglik",
+        F.when(ok & (F.col("n") > 2), disp).alias("dispersion"),
     )
 
 
