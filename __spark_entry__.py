@@ -19889,3 +19889,68 @@ ORACLE["icc_oneway"] = """
     FROM d
 """
 QUERIES["icc_oneway"] = q_icc_oneway
+
+
+def q_by_fdr(spark, sf_dir):
+    """Benjamini-Yekutieli q-values (arbitrary-dependence FDR) over the
+    heavy-lineitem hypotheses: the bh_fdr machinery with m inflated by
+    the harmonic number c(m), which both engines accumulate in the SAME
+    smallest-terms-first order (Python loop m..1; SQL running sum over
+    i DESC) so the constant is bit-identical."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.stats_tests import bh_fdr
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 48,
+    ).select(
+        "l_orderkey", "l_linenumber", F.col("l_discount").alias("p"),
+    )
+    out = bh_fdr(li, "p", tiebreak=["l_orderkey", "l_linenumber"],
+                 method="by")
+    return attach_persisted(out.select(
+        "l_orderkey", "l_linenumber",
+        _ravg(F.col("p"), 6).alias("p"),
+        _ravg(F.col("q_value"), 6).alias("q_value"),
+    ), *persisted_frames(out))
+
+
+ORACLE["by_fdr"] = """
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_discount AS p
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_quantity >= 48
+    ),
+    r AS (
+        SELECT l_orderkey, l_linenumber, p,
+               row_number() OVER (
+                   ORDER BY p, l_orderkey, l_linenumber) AS i,
+               count(*) OVER () AS m
+        FROM base
+    ),
+    h AS (
+        -- the ranked frame has exactly one row per i = 1..m: the
+        -- harmonic sum accumulates over it in the SAME m..1 order as
+        -- the operator's Python loop (positive terms -> max = total)
+        SELECT max(hsum) AS c FROM (
+            SELECT sum(1.0 / CAST(i AS DOUBLE)) OVER (
+                       ORDER BY i DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS hsum
+            FROM r)
+    ),
+    s AS (
+        SELECT l_orderkey, l_linenumber, p,
+               min(p * CAST(m AS DOUBLE) * (SELECT c FROM h)
+                   / CAST(i AS DOUBLE)) OVER (
+                   ORDER BY i DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS q
+        FROM r
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(p + 0.0000001, 6) AS p,
+           round(least(1.0, q) + 0.0000001, 6) AS q_value
+    FROM s
+"""
+QUERIES["by_fdr"] = q_by_fdr

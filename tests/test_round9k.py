@@ -188,3 +188,32 @@ class TestPosthocReliability:
         df2 = spark.createDataFrame(shuffled, ["g", "v"])
         out2 = icc_oneway(df2, "v", "g").collect()[0]
         assert out2["icc"] < 0.3
+
+
+class TestBYFDR:
+    def test_by_equals_bh_times_harmonic(self, spark):
+        from woodwork_spark.operators.stats_tests import bh_fdr
+        rng = np.random.RandomState(47)
+        rows = [(i, float(p)) for i, p in enumerate(rng.rand(40))]
+        df = spark.createDataFrame(rows, ["id", "p"])
+        bh = {r["id"]: r["q_value"] for r in
+              bh_fdr(df, "p", tiebreak=["id"]).collect()}
+        by = {r["id"]: r["q_value"] for r in
+              bh_fdr(df, "p", tiebreak=["id"], method="by").collect()}
+        c = sum(1.0 / i for i in range(40, 0, -1))
+        checked = 0
+        for i in bh:
+            if bh[i] * c < 1.0:  # uncapped: exact scaling identity
+                assert by[i] == pytest.approx(bh[i] * c, rel=1e-12)
+                checked += 1
+            else:
+                assert by[i] == pytest.approx(1.0, abs=1e-12)
+        assert checked > 0  # the identity was actually exercised
+        # BY is uniformly at least as conservative
+        assert all(by[i] >= bh[i] - 1e-12 for i in bh)
+
+    def test_bad_method_rejected(self, spark):
+        from woodwork_spark.operators.stats_tests import bh_fdr
+        df = spark.createDataFrame([(0.5,)], ["p"])
+        with pytest.raises(ValueError, match="method"):
+            bh_fdr(df, "p", method="holm")

@@ -845,6 +845,7 @@ def bh_fdr(
     p_col: str,
     tiebreak=(),
     out_col: str = "q_value",
+    method: str = "bh",
 ) -> DataFrame:
     """Benjamini-Hochberg FDR adjustment over a frame of p-values —
     the multiple-testing companion to every test in this module:
@@ -859,13 +860,29 @@ def bh_fdr(
     therefore each tie's q) deterministic; rows with a null p are
     excluded (an unrun test is not a hypothesis).
 
+    ``method="by"`` gives the Benjamini-Yekutieli variant: the same
+    trailing-minimum machinery with ``m`` inflated by the harmonic
+    number ``c(m) = sum_{i<=m} 1/i`` — valid under ARBITRARY dependence
+    between the hypotheses (BH assumes independence/PRDS), at the price
+    of ~ln(m)-fold conservatism.  c(m) is a driver-side constant (m is
+    already collected for the rank pass), summed smallest-terms-first
+    so any replayer that does the same lands on the identical double.
+
     Returns the input columns plus ``out_col``.
     """
     from .rank import global_row_number, global_running_min
 
+    if method not in ("bh", "by"):
+        raise ValueError(f"method must be 'bh' or 'by', got {method!r}")
     tiebreak = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
     base = df.filter(F.col(p_col).isNotNull()).persist()
     m = base.count()
+    scale = float(m)
+    if method == "by" and m > 0:
+        c = 0.0
+        for i in range(m, 0, -1):  # ascending magnitude: 1/m first
+            c += 1.0 / i
+        scale = float(m) * c
     ranked = global_row_number(
         base,
         [F.asc(p_col)] + [F.asc(t) for t in tiebreak],
@@ -874,7 +891,7 @@ def bh_fdr(
     )
     raw = ranked.withColumn(
         "__raw",
-        F.col(p_col) * F.lit(float(m)) / (F.col("__i") + 1).cast("double"),
+        F.col(p_col) * F.lit(scale) / (F.col("__i") + 1).cast("double"),
     )
     suff = global_running_min(
         raw, [F.desc("__i")], "__raw", out_col="__q",
