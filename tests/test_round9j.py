@@ -69,3 +69,39 @@ def test_tpch_queries_registered_in_bench_surface():
                  "greedy_tree", "pq_search", "unigram_tokenize"):
         assert name in qs
         assert name in entrymod.oracle_sql()
+
+
+SESSION_ADDITIONS = PURE + ARROW_ONLY + [
+    "kendall_tau", "c_index", "pairwise_welch", "cronbach_alpha",
+    "icc_oneway", "by_fdr",
+    "tpch_min_cost_supplier", "tpch_order_priority",
+    "tpch_volume_shipping", "tpch_market_share", "tpch_product_profit",
+    "tpch_shipmode_priority", "tpch_customer_distribution",
+    "tpch_promo_revenue", "tpch_top_supplier", "tpch_parts_supplier",
+    "tpch_small_qty_revenue", "tpch_large_orders",
+    "tpch_bracket_revenue", "tpch_promo_suppliers",
+    "tpch_waiting_suppliers", "tpch_sales_opportunity",
+]
+
+
+def test_driver_contract_invariants():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    # every query carries a full SQL oracle — zero rows-only checks
+    assert set(qs) == set(oracles)
+    assert len(qs) >= 341
+    # the rotation contract: every never-driver-verified query sorts
+    # BEFORE every verified one (so new work is always inside the
+    # driver's 50-entry correctness window until it gets a row)
+    rec = entrymod._verification_recency()
+    order = list(qs)
+    unverified = [n for n in order if n not in rec]
+    if unverified:
+        last_unverified = max(order.index(n) for n in unverified)
+        assert last_unverified == len(unverified) - 1, (
+            "a verified query sorted ahead of unverified work"
+        )
+        # and this session's additions are (still-unverified -> in
+        # front, or already driver-verified -> exempt)
+        for n in SESSION_ADDITIONS:
+            assert n in rec or order.index(n) < max(50, len(unverified)), n
