@@ -1309,6 +1309,12 @@ def cox_ph_fit(
     p_approx)`` — se = 1/sqrt(I) at the final beta, Wald z and its
     two-sided normal p via the shared A&S erf polynomial.  Groups with
     no events or degenerate covariates yield NULL statistics.
+
+    Scale note: the risk-set window sorts WITHIN each group, so an
+    UNGROUPED fit is one partition's sort — fine for per-entity
+    survival frames (one row per subject; millions fit easily), wrong
+    for raw event logs.  Aggregate to subjects first, or pass
+    ``group_cols`` so the windows partition.
     """
     from woodwork_spark.operators.stats_tests import (
         _std_normal_two_sided_p,
