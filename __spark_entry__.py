@@ -18111,10 +18111,15 @@ ORACLE["jarque_bera"] = """
         GROUP BY 1
     ),
     g AS (
+        -- degenerate groups (n < 8 or zero variance) keep their row
+        -- with NULL statistics, exactly like the operator: the row set
+        -- is data-independent, only the stats go NULL
         SELECT o_orderpriority, n,
-               (s3 / n) / pow(s2 / n, 1.5) AS g1,
-               (s4 / n) / pow(s2 / n, 2) - 3.0 AS g2
-        FROM s WHERE n >= 8 AND s2 > 0
+               CASE WHEN n >= 8 AND s2 > 0
+                    THEN (s3 / n) / pow(s2 / n, 1.5) END AS g1,
+               CASE WHEN n >= 8 AND s2 > 0
+                    THEN (s4 / n) / pow(s2 / n, 2) - 3.0 END AS g2
+        FROM s
     )
     SELECT o_orderpriority, n,
            round(g1 + 0.0000001, 6) AS skewness,
@@ -18180,19 +18185,24 @@ ORACLE["ljung_box"] = """
                sum((rev - mu) * (l4 - mu)) AS n4
         FROM c GROUP BY 1
     ), lb AS (
+        -- degenerate groups (n <= max_lag+1 or zero variance) keep
+        -- their row with NULL statistics, matching the operator's
+        -- data-independent row-set contract
         SELECT o_orderpriority, n,
-               n * (n + 2.0) * (
-                   pow(n1 / den, 2) / (n - 1)
-                   + pow(n2 / den, 2) / (n - 2)
-                   + pow(n3 / den, 2) / (n - 3)
-                   + pow(n4 / den, 2) / (n - 4)) AS x
-        FROM a WHERE n > 5 AND den > 0
+               CASE WHEN n > 5 AND den > 0 THEN
+                   n * (n + 2.0) * (
+                       pow(n1 / den, 2) / (n - 1)
+                       + pow(n2 / den, 2) / (n - 2)
+                       + pow(n3 / den, 2) / (n - 3)
+                       + pow(n4 / den, 2) / (n - 4)) END AS x
+        FROM a
     )
     SELECT o_orderpriority, n, CAST(4 AS BIGINT) AS df_lags,
            round(x + 0.0000001, 4) AS lb_stat,
-           round(least(1.0, greatest(0.0,
-                     exp(-x / 2.0) * (1.0 + x / 2.0)))
-                 + 0.0000001, 6) AS p_value
+           CASE WHEN x IS NULL THEN NULL
+                ELSE round(least(1.0, greatest(0.0,
+                         exp(-x / 2.0) * (1.0 + x / 2.0)))
+                     + 0.0000001, 6) END AS p_value
     FROM lb
 """
 QUERIES["ljung_box"] = q_ljung_box
@@ -18885,7 +18895,8 @@ def _glm_oracle(family: str, data_cte: str) -> str:
         w = "mu * (1.0 - mu)"
         ll = "d2.y * ln(mu) + (1.0 - d2.y) * ln(1.0 - mu)"
     else:
-        mu = "exp(c.b0 + c.b1 * d.x)"
+        # eta clamped at 700 exactly like the operator's overflow guard
+        mu = "exp(least(700.0, c.b0 + c.b1 * d.x))"
         w = "mu"
         ll = "d2.y * (d2.b0 + d2.b1 * d2.x) - mu"
     parts = [data_cte,

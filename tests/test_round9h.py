@@ -162,7 +162,7 @@ class TestPQSearch:
         import numpy as np
 
         from woodwork_spark.operators.embedding import (
-            _pq_centroids,
+            _pq_train,
             pq_codes,
             pq_search,
         )
@@ -174,7 +174,8 @@ class TestPQSearch:
         out = {r["id"]: r["approx_dist"] for r in pq_search(
             df, "id", "v", q, n_subspaces=2, k=4, iterations=2,
             top_k=40).collect()}
-        cents = _pq_centroids(df, "id", "v", 2, 4, 2, 6)
+        cents, pts = _pq_train(df, "id", "v", 2, 4, 2, 6)
+        pts.unpersist()
         codes = {r["id"]: [int(c) for c in r["code_str"].split("|")]
                  for r in pq_codes(df, "id", "v", n_subspaces=2, k=4,
                                    iterations=2).collect()}

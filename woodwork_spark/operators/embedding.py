@@ -523,96 +523,12 @@ def pq_codes(
     per-subspace codes and the total squared reconstruction error.
     Vector length must be divisible by ``n_subspaces``.
     """
-    from woodwork_spark.operators.similarity import _dot
-
-    spark = df.sparkSession
-    if n_subspaces < 1 or k < 2 or iterations < 0:
-        raise ValueError("pq_codes: bad n_subspaces/k/iterations")
-    first = df.select(F.size(vec_col)).first()
-    d = int(first[0]) if first else 0
-    if d == 0 or d % n_subspaces != 0:
-        raise ValueError(
-            f"pq_codes: vector length {d} not divisible by "
-            f"{n_subspaces} subspaces",
-        )
-    dsub = d // n_subspaces
-    vec = F.col(vec_col).cast("array<double>")
-    subs = F.array(*[
-        F.struct(
-            F.lit(s).alias("sub"),
-            F.slice(vec, s * dsub + 1, dsub).alias("sv"),
-        )
-        for s in range(n_subspaces)
-    ])
-    pts = (
-        df.where(F.col(id_col).isNotNull() & vec.isNotNull())
-        .select(F.col(id_col).alias("__id"), F.explode(subs).alias("p"))
-        .select("__id", F.col("p.sub").alias("__sub"),
-                F.col("p.sv").alias("__v"))
-        .withColumn("__vv", _dot(F.col("__v"), F.col("__v")))
-        .persist()
+    cents, pts = _pq_train(
+        df, id_col, vec_col, n_subspaces, k, iterations, quantize,
+        who="pq_codes",
     )
-    init_rows = (
-        pts.where(F.col("__id") < k)
-        .select("__sub", F.col("__id").cast("int").alias("__cid"), "__v")
-        .collect()
-    )
-    cents = {(r["__sub"], r["__cid"]): list(r["__v"]) for r in init_rows}
-    if len(cents) < n_subspaces * k:
-        raise ValueError("pq_codes: seeding needs ids 0..k-1 present")
-
-    def centroid_frame(cs):
-        return spark.createDataFrame(
-            [
-                (s, c, v, sum(x * x for x in v))
-                for (s, c), v in sorted(cs.items())
-            ],
-            "__sub int, __cid int, __c array<double>, __cc double",
-        )
-
-    def assign(cs):
-        cf = centroid_frame(cs)
-        dist = (
-            F.col("__vv") + F.col("__cc")
-            - 2.0 * _dot(F.col("__v"), F.col("__c"))
-        )
-        return (
-            pts.join(F.broadcast(cf), "__sub")
-            .withColumn("__d", dist)
-            .groupBy("__id", "__sub")
-            .agg(
-                F.min(F.struct(F.col("__d"), F.col("__cid"))).alias("__m"),
-            )
-            .select(
-                "__id", "__sub",
-                F.col("__m.__cid").alias("__cid"),
-                F.col("__m.__d").alias("__d"),
-            )
-        )
-
+    final = _pq_assign(pts, cents)
     eps = 1e-7
-    for _ in range(int(iterations)):
-        a = assign(cents)
-        sums = (
-            a.join(pts, ["__id", "__sub"])
-            .select(
-                "__sub", "__cid",
-                F.posexplode("__v").alias("__pos", "__x"),
-            )
-            .groupBy("__sub", "__cid", "__pos")
-            .agg(F.avg("__x").alias("__mean"))
-            .collect()
-        )
-        new = {}
-        for r in sums:
-            new.setdefault((r["__sub"], r["__cid"]), [0.0] * dsub)[
-                r["__pos"]
-            ] = round(r["__mean"] + eps, quantize)
-        for key, v in cents.items():
-            if key not in new:
-                new[key] = v  # empty cluster keeps its centroid
-        cents = new
-    final = assign(cents)
     out = final.groupBy("__id").agg(
         F.array_join(
             F.transform(
@@ -649,8 +565,10 @@ def pq_search(
     full-vector distance is ever computed against the corpus — at
     100 TB the scan touches only the byte codes.
 
-    Training re-runs the deterministic :func:`pq_codes` trajectory
-    (quantized centroid updates, id < k seeding).  The LUT is computed
+    Training runs the deterministic :func:`pq_codes` trajectory ONCE
+    (quantized centroid updates, id < k seeding — the shared
+    :func:`_pq_train`), and both the scanned codes and the LUT
+    centroids come from that single pass.  The LUT is computed
     driver-side from the literal query vectors (dot-form, then
     QUANTIZED to ``quantize`` decimals like the centroids, so an
     external SQL replay that sums dot products in any order lands on
@@ -662,28 +580,27 @@ def pq_search(
     ``queries`` maps query_id -> list[float] (full-dimension vectors).
     Returns ``(query_id, id_col, approx_dist, rank)``.
     """
-    spark = df.sparkSession
     eps = 1e-7
-    # retrain the pq_codes trajectory and capture codes + centroids by
-    # running the same operator for codes, plus a local re-derivation of
-    # the centroid dict (pq_codes hides it; duplicating the loop here
-    # would risk drift, so reuse its implementation via the wide codes)
-    coded = pq_codes(
-        df, id_col, vec_col, n_subspaces=n_subspaces, k=k,
-        iterations=iterations, quantize=quantize,
-    )
-    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
-
-    # .select() drops the lifecycle attachment — carry the persisted
-    # training frame through to the returned result explicitly
-    code_caches = persisted_frames(coded)
-    codes = coded.select(
-        id_col,
-        F.split("code_str", r"\|").alias("__cs"),
-    )
-    # re-derive the final centroids deterministically (same trajectory)
-    cents = _pq_centroids(
+    # ONE training pass feeds both sides — the byte codes the ADC scan
+    # reads and the centroid dict the LUTs are built from — so the two
+    # can never drift and the per-iteration assignment joins + driver
+    # collects run once, not twice
+    cents, pts = _pq_train(
         df, id_col, vec_col, n_subspaces, k, iterations, quantize,
+        who="pq_search",
+    )
+    from woodwork_spark.lifecycle import attach_persisted
+
+    codes = (
+        _pq_assign(pts, cents)
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__sub", "__cid"))),
+                lambda st: st["__cid"],
+            ).alias("__cs"),
+        )
+        .select(F.col("__id").alias(id_col), "__cs")
     )
     d = len(next(iter(queries.values())))
     dsub = d // n_subspaces
@@ -735,26 +652,21 @@ def pq_search(
         allq.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= top_k)
     )
-    return attach_persisted(out, *code_caches)
+    return attach_persisted(out, pts)
 
 
-def _pq_centroids(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    n_subspaces: int,
-    k: int,
-    iterations: int,
-    quantize: int,
-) -> dict:
-    """The :func:`pq_codes` training loop, returning the final centroid
-    dict {(sub, cid): [floats]} — factored out so :func:`pq_search` can
-    build lookup tables from the SAME deterministic trajectory."""
+def _pq_explode(df: DataFrame, id_col, vec_col, n_subspaces):
+    """Explode vectors into the persisted (id, sub, subvec, ||subvec||²)
+    training frame shared by every PQ path.  Returns ``(pts, dsub)``."""
     from woodwork_spark.operators.similarity import _dot
 
-    spark = df.sparkSession
     first = df.select(F.size(vec_col)).first()
-    d = int(first[0])
+    d = int(first[0]) if first else 0
+    if d == 0 or d % n_subspaces != 0:
+        raise ValueError(
+            f"pq: vector length {d} not divisible by "
+            f"{n_subspaces} subspaces",
+        )
     dsub = d // n_subspaces
     vec = F.col(vec_col).cast("array<double>")
     subs = F.array(*[
@@ -772,41 +684,72 @@ def _pq_centroids(
         .withColumn("__vv", _dot(F.col("__v"), F.col("__v")))
         .persist()
     )
+    return pts, dsub
+
+
+def _pq_assign(pts: DataFrame, cents: dict) -> DataFrame:
+    """Nearest-sub-centroid assignment: one broadcast equi-join on the
+    subspace id, dot-form distances, struct-min argmin (ties -> lowest
+    cid).  Returns ``(__id, __sub, __cid, __d)``."""
+    from woodwork_spark.operators.similarity import _dot
+
+    spark = pts.sparkSession
+    cf = spark.createDataFrame(
+        [
+            (s, c, v, sum(x * x for x in v))
+            for (s, c), v in sorted(cents.items())
+        ],
+        "__sub int, __cid int, __c array<double>, __cc double",
+    )
+    dist = (
+        F.col("__vv") + F.col("__cc")
+        - 2.0 * _dot(F.col("__v"), F.col("__c"))
+    )
+    return (
+        pts.join(F.broadcast(cf), "__sub")
+        .withColumn("__d", dist)
+        .groupBy("__id", "__sub")
+        .agg(
+            F.min(F.struct(F.col("__d"), F.col("__cid"))).alias("__m"),
+        )
+        .select(
+            "__id", "__sub",
+            F.col("__m.__cid").alias("__cid"),
+            F.col("__m.__d").alias("__d"),
+        )
+    )
+
+
+def _pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int,
+    k: int,
+    iterations: int,
+    quantize: int,
+    who: str = "pq",
+):
+    """The single PQ k-means training pass shared by :func:`pq_codes`,
+    :func:`pq_search` and :func:`ivf_pq_search` — id < k seeding,
+    quantized centroid means, empty clusters keep their previous
+    centroid.  Returns ``(cents, pts)``: the final {(sub, cid):
+    [floats]} centroid dict and the still-persisted exploded training
+    frame (the caller owns its lifecycle via ``attach_persisted``)."""
+    if n_subspaces < 1 or k < 2 or iterations < 0:
+        raise ValueError(f"{who}: bad n_subspaces/k/iterations")
+    pts, dsub = _pq_explode(df, id_col, vec_col, n_subspaces)
     init_rows = (
         pts.where(F.col("__id") < k)
         .select("__sub", F.col("__id").cast("int").alias("__cid"), "__v")
         .collect()
     )
     cents = {(r["__sub"], r["__cid"]): list(r["__v"]) for r in init_rows}
-
-    def assign(cs):
-        cf = spark.createDataFrame(
-            [
-                (s, c, v, sum(x * x for x in v))
-                for (s, c), v in sorted(cs.items())
-            ],
-            "__sub int, __cid int, __c array<double>, __cc double",
-        )
-        dist = (
-            F.col("__vv") + F.col("__cc")
-            - 2.0 * _dot(F.col("__v"), F.col("__c"))
-        )
-        return (
-            pts.join(F.broadcast(cf), "__sub")
-            .withColumn("__d", dist)
-            .groupBy("__id", "__sub")
-            .agg(
-                F.min(F.struct(F.col("__d"), F.col("__cid"))).alias("__m"),
-            )
-            .select(
-                "__id", "__sub",
-                F.col("__m.__cid").alias("__cid"),
-            )
-        )
-
+    if len(cents) < n_subspaces * k:
+        raise ValueError(f"{who}: seeding needs ids 0..k-1 present")
     eps = 1e-7
     for _ in range(int(iterations)):
-        a = assign(cents)
+        a = _pq_assign(pts, cents)
         sums = (
             a.join(pts, ["__id", "__sub"])
             .select(
@@ -824,7 +767,6 @@ def _pq_centroids(
             ] = round(r["__mean"] + eps, quantize)
         for key, v in cents.items():
             if key not in new:
-                new[key] = v
+                new[key] = v  # empty cluster keeps its centroid
         cents = new
-    pts.unpersist()
-    return cents
+    return cents, pts

@@ -840,6 +840,27 @@ def partial_correlation(
     )
 
 
+def _harmonic_number(m: int, chunk: int = 1 << 22) -> float:
+    """``c(m) = sum_{i=1..m} 1/i`` accumulated smallest-terms-first
+    (``i = m`` down to ``1``) in STRICTLY sequential order — the
+    replayable-summation contract of :func:`bh_fdr`'s BY variant.
+
+    ``np.cumsum`` adds left-to-right with a single accumulator, so
+    seeding each chunk with the running total via ``concatenate`` makes
+    the result bit-identical to the scalar loop ``for i in range(m, 0,
+    -1): c += 1.0 / i`` at every ``m`` and every chunk size, while
+    removing the O(m) pure-Python driver stall at feature-screening
+    scale (m ~ 1e8-1e9: minutes -> seconds)."""
+    import numpy as np
+
+    c = 0.0
+    for hi in range(int(m), 0, -chunk):
+        lo = max(hi - chunk, 0)  # this chunk covers i = hi .. lo+1
+        inv = 1.0 / np.arange(hi, lo, -1, dtype=np.float64)
+        c = float(np.cumsum(np.concatenate(([c], inv)))[-1])
+    return c
+
+
 def bh_fdr(
     df: DataFrame,
     p_col: str,
@@ -866,7 +887,10 @@ def bh_fdr(
     between the hypotheses (BH assumes independence/PRDS), at the price
     of ~ln(m)-fold conservatism.  c(m) is a driver-side constant (m is
     already collected for the rank pass), summed smallest-terms-first
-    so any replayer that does the same lands on the identical double.
+    so any replayer that does the same lands on the identical double —
+    via :func:`_harmonic_number`'s chunked ``np.cumsum``, which keeps
+    the exact sequential add order of the naive loop at ~100x the
+    speed (no O(m) pure-Python stall at screening-scale m).
 
     Returns the input columns plus ``out_col``.
     """
@@ -879,10 +903,7 @@ def bh_fdr(
     m = base.count()
     scale = float(m)
     if method == "by" and m > 0:
-        c = 0.0
-        for i in range(m, 0, -1):  # ascending magnitude: 1/m first
-            c += 1.0 / i
-        scale = float(m) * c
+        scale = float(m) * _harmonic_number(m)
     ranked = global_row_number(
         base,
         [F.asc(p_col)] + [F.asc(t) for t in tiebreak],
@@ -1748,25 +1769,34 @@ def durbin_watson(
     x_col: str,
     order_col: str,
     group_cols=(),
+    tie_cols=(),
 ) -> DataFrame:
     """Durbin-Watson statistic of the residuals of the simple OLS
     ``y ~ x`` taken in ``order_col`` order, per group: ``DW =
     sum_{t>=2}(e_t - e_{t-1})^2 / sum e_t^2``.  The slope comes from
     CENTERED sums (two aggregates: per-group means broadcast back, then
     the covariance pass — no raw-moment cancellation, no collect); the
-    lag is one per-group window sort.  Per-group data must fit a
-    partition — true for the aggregated series DW is meaningful on.
+    lag is one per-group window sort, tie-broken on ``y`` then ``x``
+    then ``tie_cols`` so duplicate ``order_col`` values yield the same
+    DW on every run/partitioning (pass a unique id in ``tie_cols`` for
+    a fully deterministic ordering when (order, y, x) can repeat —
+    the same hazard contract as ``timeseries.detect_anomalies``).
+    Per-group data must fit a partition — true for the aggregated
+    series DW is meaningful on.
 
     Returns ``(group_cols..., n, slope, intercept, dw_stat)``; DW is in
     [0, 4], ~2 means no first-order autocorrelation."""
     group_cols = (
         [group_cols] if isinstance(group_cols, str) else list(group_cols)
     )
+    tie_cols = [tie_cols] if isinstance(tie_cols, str) else list(tie_cols)
+    extra_ties = [c for c in tie_cols if c not in group_cols]
     base = df.filter(
         F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
         & F.col(order_col).isNotNull(),
     ).select(
         *group_cols,
+        *extra_ties,
         F.col(y_col).cast("double").alias("__y"),
         F.col(x_col).cast("double").alias("__x"),
         F.col(order_col).alias("__t"),
@@ -1796,8 +1826,11 @@ def durbin_watson(
     part = (
         W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
     )
+    order_keys = [F.col("__t"), F.col("__y"), F.col("__x")] + [
+        F.col(c) for c in tie_cols
+    ]
     e = with_fit.withColumn("__e", resid).withColumn(
-        "__e_prev", F.lag("__e").over(part.orderBy("__t")),
+        "__e_prev", F.lag("__e").over(part.orderBy(*order_keys)),
     )
     de = F.col("__e") - F.col("__e_prev")
     out = e.groupBy(*group_cols).agg(
