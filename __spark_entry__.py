@@ -19965,3 +19965,460 @@ ORACLE["by_fdr"] = """
     FROM s
 """
 QUERIES["by_fdr"] = q_by_fdr
+
+
+# ---------------------------------------------------------------------------
+# Round 10: multi-covariate GLM (unrolled-Cholesky IRLS) + multi-covariate
+# Cox PH with distributed suffix-sum risk sets
+# ---------------------------------------------------------------------------
+
+
+def q_logistic_multi(spark, sf_dir):
+    """Multi-covariate logistic regression (k = 2): order fulfillment
+    (status = 'F') ~ log order value + order month, per priority-class
+    cohort.  The operator solves each Newton round's 3x3 system IN-PLAN
+    via unrolled Cholesky layers (woodwork_spark.operators.linalg) —
+    the oracle replays the same rounds with an INDEPENDENT algorithm
+    (explicit Cramer 3x3 cofactors); agreement comes from quadratic
+    convergence to the unique optimum, not shared arithmetic."""
+    from woodwork_spark.operators.regression import logistic_fit
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    rows = orders.select(
+        (F.col("o_orderkey") % 2).alias("cohort"),
+        (F.col("o_orderstatus") == "F").cast("double").alias("y"),
+        F.log(F.col("o_totalprice")).alias("x1"),
+        F.month(F.col("o_orderdate").cast("date"))
+        .cast("double").alias("x2"),
+    )
+    out = logistic_fit(rows, "y", ["x1", "x2"], "cohort", iters=6)
+    return out.select(
+        "cohort", "n",
+        _ravg(F.col("intercept"), 6).alias("intercept"),
+        _ravg(F.col("se_intercept"), 6).alias("se_intercept"),
+        _ravg(F.col("coef_x1"), 6).alias("coef_x1"),
+        _ravg(F.col("se_x1"), 6).alias("se_x1"),
+        _ravg(F.col("z_x1"), 5).alias("z_x1"),
+        _ravg(F.col("p_x1"), 6).alias("p_x1"),
+        _ravg(F.col("coef_x2"), 6).alias("coef_x2"),
+        _ravg(F.col("se_x2"), 6).alias("se_x2"),
+        _ravg(F.col("z_x2"), 5).alias("z_x2"),
+        _ravg(F.col("p_x2"), 6).alias("p_x2"),
+        _ravg(F.col("loglik"), 4).alias("loglik"),
+        _ravg(F.col("dispersion"), 6).alias("dispersion"),
+    )
+
+
+def _glm_multi_oracle(family: str, data_cte: str, iters: int = 6) -> str:
+    """Unrolled-CTE replica of _glm_irls_fit at k = 2 (d = 3) using
+    Cramer's rule with explicit cofactors — deliberately a DIFFERENT
+    solve algorithm than the operator's Cholesky; after `iters` Newton
+    rounds both sit at the unique optimum to far below the output
+    rounding.  PD guard = Sylvester's leading principal minors."""
+    if family == "logistic":
+        mu = ("1.0 / (1.0 + exp(-least(30.0, greatest(-30.0, "
+              "c.b0 + c.b1 * d.x1 + c.b2 * d.x2))))")
+        w = "mu * (1.0 - mu)"
+        ll = "y * ln(mu) + (1.0 - y) * ln(1.0 - mu)"
+    else:
+        mu = "exp(least(700.0, c.b0 + c.b1 * d.x1 + c.b2 * d.x2))"
+        w = "mu"
+        ll = "y * (b0 + b1 * x1 + b2 * x2) - mu"
+    det = ("(a00 * (a11 * a22 - a21 * a21)"
+           " - a10 * (a10 * a22 - a21 * a20)"
+           " + a20 * (a10 * a21 - a11 * a20))")
+    pd = (f"a00 > 0 AND (a00 * a11 - a10 * a10) > 0 AND {det} > 0")
+    sums = f"""
+            sum(y - mu) AS u0, sum(x1 * (y - mu)) AS u1,
+            sum(x2 * (y - mu)) AS u2,
+            sum({w}) AS a00, sum(x1 * {w}) AS a10,
+            sum(x2 * {w}) AS a20,
+            sum(x1 * x1 * {w}) AS a11, sum(x2 * x1 * {w}) AS a21,
+            sum(x2 * x2 * {w}) AS a22"""
+    parts = [data_cte,
+             ", c0 AS (SELECT cohort, 0.0 AS b0, 0.0 AS b1, 0.0 AS b2 "
+             "FROM data GROUP BY cohort)"]
+    for i in range(iters):
+        parts.append(f"""
+        , a{i} AS (
+            SELECT cohort, max(b0) AS b0, max(b1) AS b1, max(b2) AS b2,
+                   {sums}
+            FROM (SELECT d.cohort, d.y, d.x1, d.x2, c.b0, c.b1, c.b2,
+                         {mu} AS mu
+                  FROM data d JOIN c{i} c USING (cohort))
+            GROUP BY cohort
+        ),
+        c{i + 1} AS (
+            SELECT cohort,
+              CASE WHEN {pd} THEN b0 +
+                (u0 * (a11 * a22 - a21 * a21)
+                 - u1 * (a10 * a22 - a20 * a21)
+                 + u2 * (a10 * a21 - a20 * a11)) / {det}
+              ELSE b0 END AS b0,
+              CASE WHEN {pd} THEN b1 +
+                (-u0 * (a10 * a22 - a21 * a20)
+                 + u1 * (a00 * a22 - a20 * a20)
+                 - u2 * (a00 * a21 - a20 * a10)) / {det}
+              ELSE b1 END AS b1,
+              CASE WHEN {pd} THEN b2 +
+                (u0 * (a10 * a21 - a11 * a20)
+                 - u1 * (a00 * a21 - a10 * a20)
+                 + u2 * (a00 * a11 - a10 * a10)) / {det}
+              ELSE b2 END AS b2
+            FROM a{i}
+        )""")
+    parts.append(f"""
+        , fin AS (
+            SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+                   max(b0) AS b0, max(b1) AS b1, max(b2) AS b2,
+                   {sums},
+                   sum({ll}) AS loglik,
+                   sum((y - mu) * (y - mu) / ({w})) AS px2
+            FROM (SELECT d.cohort, d.y, d.x1, d.x2, c.b0, c.b1, c.b2,
+                         {mu} AS mu
+                  FROM data d JOIN c{iters} c USING (cohort))
+            GROUP BY cohort
+        ),
+        iv AS (
+            SELECT cohort, n, b0, b1, b2, loglik, px2,
+                   {pd} AS ok,
+                   CASE WHEN {pd} THEN
+                       sqrt((a11 * a22 - a21 * a21) / {det}) END AS se0,
+                   CASE WHEN {pd} THEN
+                       sqrt((a00 * a22 - a20 * a20) / {det}) END AS se1,
+                   CASE WHEN {pd} THEN
+                       sqrt((a00 * a11 - a10 * a10) / {det}) END AS se2
+            FROM fin
+        ),
+        zz AS (
+            SELECT *, b1 / se1 AS z1, b2 / se2 AS z2,
+                   abs(b1 / se1) / sqrt(2.0) AS xx1,
+                   1.0 / (1.0 + 0.3275911 * abs(b1 / se1) / sqrt(2.0))
+                       AS tt1,
+                   abs(b2 / se2) / sqrt(2.0) AS xx2,
+                   1.0 / (1.0 + 0.3275911 * abs(b2 / se2) / sqrt(2.0))
+                       AS tt2
+            FROM iv
+        )
+        SELECT cohort, n,
+               round(CASE WHEN ok THEN b0 END + 0.0000001, 6)
+                   AS intercept,
+               round(CASE WHEN ok THEN se0 END + 0.0000001, 6)
+                   AS se_intercept,
+               round(CASE WHEN ok THEN b1 END + 0.0000001, 6) AS coef_x1,
+               round(CASE WHEN ok THEN se1 END + 0.0000001, 6) AS se_x1,
+               round(CASE WHEN ok THEN z1 END + 0.0000001, 5) AS z_x1,
+               round(CASE WHEN ok THEN
+                   least(1.0, greatest(0.0,
+                       (0.254829592 * tt1 - 0.284496736 * tt1 * tt1
+                        + 1.421413741 * tt1 * tt1 * tt1
+                        - 1.453152027 * tt1 * tt1 * tt1 * tt1
+                        + 1.061405429 * tt1 * tt1 * tt1 * tt1 * tt1)
+                       * exp(-xx1 * xx1))) END
+                     + 0.0000001, 6) AS p_x1,
+               round(CASE WHEN ok THEN b2 END + 0.0000001, 6) AS coef_x2,
+               round(CASE WHEN ok THEN se2 END + 0.0000001, 6) AS se_x2,
+               round(CASE WHEN ok THEN z2 END + 0.0000001, 5) AS z_x2,
+               round(CASE WHEN ok THEN
+                   least(1.0, greatest(0.0,
+                       (0.254829592 * tt2 - 0.284496736 * tt2 * tt2
+                        + 1.421413741 * tt2 * tt2 * tt2
+                        - 1.453152027 * tt2 * tt2 * tt2 * tt2
+                        + 1.061405429 * tt2 * tt2 * tt2 * tt2 * tt2)
+                       * exp(-xx2 * xx2))) END
+                     + 0.0000001, 6) AS p_x2,
+               round(loglik + 0.0000001, 4) AS loglik,
+               round(CASE WHEN ok AND n > 3
+                          THEN px2 / (n - 3.0) END
+                     + 0.0000001, 6) AS dispersion
+        FROM zz
+    """)
+    return "".join(parts)
+
+
+ORACLE["logistic_multi"] = _glm_multi_oracle("logistic", """
+    WITH data AS (
+        SELECT o_orderkey % 2 AS cohort,
+               CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+               ln(o_totalprice) AS x1,
+               CAST(month(CAST(o_orderdate AS DATE)) AS DOUBLE) AS x2
+        FROM orders
+    )
+""")
+QUERIES["logistic_multi"] = q_logistic_multi
+
+
+def q_cox_multi(spark, sf_dir):
+    """Multi-covariate Cox PH (k = 2): time to first purchase ~ log
+    activity volume + log active-span hours, per cohort — the 2x2
+    Newton system solves in-plan (Cholesky layers), risk sets are
+    per-time CELL suffix sums (the rewrite that removed the ungrouped
+    single-partition contract).  Oracle: unrolled CTE with raw-row
+    RANGE-frame risk sets and Cramer 2x2 — independent algorithm,
+    same optimum."""
+    from woodwork_spark.operators.timeseries import cox_ph_fit
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+        F.count(F.lit(1)).alias("__ne"),
+    )
+    rows = per_user.select(
+        (F.col("user_id") % 3).alias("cohort"),
+        F.floor(
+            (
+                F.unix_micros(F.coalesce("__p", "__last"))
+                - F.unix_micros("__t0")
+            ) / 3.6e9,
+        ).cast("double").alias("dur"),
+        F.col("__p").isNotNull().cast("double").alias("ev"),
+        F.log(F.lit(1.0) + F.col("__ne")).alias("x1"),
+        F.log(
+            F.lit(1.0)
+            + (
+                F.unix_micros("__last") - F.unix_micros("__t0")
+            ).cast("double") / 3.6e9,
+        ).alias("x2"),
+    ).filter(F.col("dur") >= 0)
+    out = cox_ph_fit(rows, "dur", "ev", ["x1", "x2"], "cohort", iters=4)
+    return out.select(
+        "cohort", "n", "n_events",
+        _ravg(F.col("beta_x1"), 6).alias("beta_x1"),
+        _ravg(F.col("se_x1"), 6).alias("se_x1"),
+        _ravg(F.col("z_x1"), 5).alias("z_x1"),
+        _ravg(F.col("p_x1"), 6).alias("p_x1"),
+        _ravg(F.col("beta_x2"), 6).alias("beta_x2"),
+        _ravg(F.col("se_x2"), 6).alias("se_x2"),
+        _ravg(F.col("z_x2"), 5).alias("z_x2"),
+        _ravg(F.col("p_x2"), 6).alias("p_x2"),
+    )
+
+
+def _cox_multi_oracle(iters: int = 4) -> str:
+    data = """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(ts) AS t0,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+                   max(ts) AS lastts,
+                   count(*) AS ne
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ),
+        data AS (
+            SELECT user_id % 3 AS cohort,
+                   CAST(floor(epoch_us(coalesce(p, lastts) - t0) / 3.6e9)
+                        AS DOUBLE) AS t,
+                   CASE WHEN p IS NOT NULL THEN 1.0 ELSE 0.0 END AS d,
+                   ln(1.0 + ne) AS x1,
+                   ln(1.0 + epoch_us(lastts - t0) / 3.6e9) AS x2
+            FROM per_user
+            WHERE floor(epoch_us(coalesce(p, lastts) - t0) / 3.6e9) >= 0
+        ),
+        b0 AS (SELECT cohort, 0.0 AS b1, 0.0 AS b2 FROM data
+               GROUP BY cohort)
+    """
+    ew = "exp(least(700.0, b.b1 * dd.x1 + b.b2 * dd.x2))"
+    risk = f"""
+            SELECT dd.cohort, dd.t, dd.d, dd.x1, dd.x2, b.b1, b.b2,
+                   sum({ew}) OVER wr AS s0,
+                   sum(dd.x1 * {ew}) OVER wr AS s1a,
+                   sum(dd.x2 * {ew}) OVER wr AS s1b,
+                   sum(dd.x1 * dd.x1 * {ew}) OVER wr AS s2aa,
+                   sum(dd.x1 * dd.x2 * {ew}) OVER wr AS s2ab,
+                   sum(dd.x2 * dd.x2 * {ew}) OVER wr AS s2bb
+            FROM data dd JOIN b{{i}} b USING (cohort)
+            WINDOW wr AS (PARTITION BY dd.cohort ORDER BY dd.t ASC
+                          RANGE BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)"""
+    fold = """
+            SELECT cohort, max(b1) AS b1, max(b2) AS b2,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(d) AS BIGINT) AS n_events,
+                   sum(d * (x1 - s1a / s0)) AS u0,
+                   sum(d * (x2 - s1b / s0)) AS u1,
+                   sum(d * (s2aa / s0 - (s1a / s0) * (s1a / s0))) AS a00,
+                   sum(d * (s2ab / s0 - (s1a / s0) * (s1b / s0))) AS a10,
+                   sum(d * (s2bb / s0 - (s1b / s0) * (s1b / s0))) AS a11"""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+        , s{i} AS ({risk.replace('{{i}}', str(i)).replace('{i}', str(i))}
+        ),
+        f{i} AS ({fold} FROM s{i} GROUP BY cohort),
+        b{i + 1} AS (
+            SELECT cohort,
+              CASE WHEN a00 > 0 AND a00 * a11 - a10 * a10 > 0
+                   THEN b1 + (u0 * a11 - a10 * u1)
+                             / (a00 * a11 - a10 * a10)
+                   ELSE 0.0 END AS b1,
+              CASE WHEN a00 > 0 AND a00 * a11 - a10 * a10 > 0
+                   THEN b2 + (a00 * u1 - a10 * u0)
+                             / (a00 * a11 - a10 * a10)
+                   ELSE 0.0 END AS b2
+            FROM f{i}
+        )""")
+    final = f"""
+        , sf AS ({risk.replace('{{i}}', str(iters)).replace('{i}', str(iters))}
+        ),
+        agg AS ({fold} FROM sf GROUP BY cohort),
+        iv AS (
+            SELECT cohort, n, n_events, b1, b2,
+                   n_events > 0 AND a00 > 0
+                       AND a00 * a11 - a10 * a10 > 0 AS ok,
+                   CASE WHEN a00 > 0 AND a00 * a11 - a10 * a10 > 0 THEN
+                       sqrt(a11 / (a00 * a11 - a10 * a10)) END AS se1,
+                   CASE WHEN a00 > 0 AND a00 * a11 - a10 * a10 > 0 THEN
+                       sqrt(a00 / (a00 * a11 - a10 * a10)) END AS se2
+            FROM agg
+        ),
+        zz AS (
+            SELECT *, b1 / se1 AS z1, b2 / se2 AS z2,
+                   abs(b1 / se1) / sqrt(2.0) AS xx1,
+                   1.0 / (1.0 + 0.3275911 * abs(b1 / se1) / sqrt(2.0))
+                       AS tt1,
+                   abs(b2 / se2) / sqrt(2.0) AS xx2,
+                   1.0 / (1.0 + 0.3275911 * abs(b2 / se2) / sqrt(2.0))
+                       AS tt2
+            FROM iv
+        )
+        SELECT cohort, n, n_events,
+               round(CASE WHEN ok THEN b1 END + 0.0000001, 6) AS beta_x1,
+               round(CASE WHEN ok THEN se1 END + 0.0000001, 6) AS se_x1,
+               round(CASE WHEN ok THEN z1 END + 0.0000001, 5) AS z_x1,
+               round(CASE WHEN ok THEN
+                   least(1.0, greatest(0.0,
+                       (0.254829592 * tt1 - 0.284496736 * tt1 * tt1
+                        + 1.421413741 * tt1 * tt1 * tt1
+                        - 1.453152027 * tt1 * tt1 * tt1 * tt1
+                        + 1.061405429 * tt1 * tt1 * tt1 * tt1 * tt1)
+                       * exp(-xx1 * xx1))) END
+                     + 0.0000001, 6) AS p_x1,
+               round(CASE WHEN ok THEN b2 END + 0.0000001, 6) AS beta_x2,
+               round(CASE WHEN ok THEN se2 END + 0.0000001, 6) AS se_x2,
+               round(CASE WHEN ok THEN z2 END + 0.0000001, 5) AS z_x2,
+               round(CASE WHEN ok THEN
+                   least(1.0, greatest(0.0,
+                       (0.254829592 * tt2 - 0.284496736 * tt2 * tt2
+                        + 1.421413741 * tt2 * tt2 * tt2
+                        - 1.453152027 * tt2 * tt2 * tt2 * tt2
+                        + 1.061405429 * tt2 * tt2 * tt2 * tt2 * tt2)
+                       * exp(-xx2 * xx2))) END
+                     + 0.0000001, 6) AS p_x2
+        FROM zz
+    """
+    return data + "".join(steps) + final
+
+
+ORACLE["cox_multi"] = _cox_multi_oracle()
+QUERIES["cox_multi"] = q_cox_multi
+
+
+def q_blocking_bucket_cap(spark, sf_dir):
+    """Bucket-cap guard for blocked record linkage: customers split by
+    key parity, OR-blocked on (name-prefix-10, exact nation).  The
+    prefix blocker is DEGENERATE by construction — every TPC-H customer
+    name shares 'Customer#0' — so uncapped it goes quadratic; with
+    max_bucket it is skipped deterministically while the nation blocker
+    keeps its (bounded) buckets.  Returns the capped candidate
+    aggregate plus the skip report, one row per strategy."""
+    from woodwork_spark.operators.dedup import (
+        blocked_candidates,
+        blocking_skip_report,
+    )
+
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("lid"), "c_name", "c_nationkey",
+    )
+    right = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("rid"), "c_name", "c_nationkey",
+    )
+    strategies = [("prefix", "c_name", 10), ("exact", "c_nationkey")]
+    cand = blocked_candidates(
+        left, right, "lid", "rid", strategies, max_bucket=5000,
+    )
+    agg = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("lid"), F.lit(0)).cast("long").alias("sum_lid"),
+        F.coalesce(F.sum("rid"), F.lit(0)).cast("long").alias("sum_rid"),
+    )
+    rep = blocking_skip_report(
+        left, right, "lid", "rid", strategies, max_bucket=5000,
+    )
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
+    out = rep.crossJoin(F.broadcast(agg)).select(
+        "strategy", "kind", "n_buckets_skipped", "n_pairs_skipped",
+        "n_candidates", "sum_lid", "sum_rid",
+    )
+    return attach_persisted(out, *persisted_frames(cand))
+
+
+ORACLE["blocking_bucket_cap"] = """
+    WITH l AS (
+        SELECT c_custkey AS lid, c_name, c_nationkey
+        FROM customer WHERE c_custkey % 2 = 0
+    ),
+    r AS (
+        SELECT c_custkey AS rid, c_name, c_nationkey
+        FROM customer WHERE c_custkey % 2 = 1
+    ),
+    -- strategy 0: prefix(c_name, 10) buckets and their pair counts
+    p0l AS (SELECT substring(c_name, 1, 10) AS k,
+                   CAST(count(*) AS BIGINT) AS nl
+            FROM l WHERE c_name IS NOT NULL GROUP BY 1),
+    p0r AS (SELECT substring(c_name, 1, 10) AS k,
+                   CAST(count(*) AS BIGINT) AS nr
+            FROM r WHERE c_name IS NOT NULL GROUP BY 1),
+    over0 AS (SELECT k, nl, nr FROM p0l JOIN p0r USING (k)
+              WHERE nl * nr > 5000),
+    -- strategy 1: exact c_nationkey buckets
+    p1l AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS nl
+            FROM l WHERE c_nationkey IS NOT NULL GROUP BY 1),
+    p1r AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS nr
+            FROM r WHERE c_nationkey IS NOT NULL GROUP BY 1),
+    over1 AS (SELECT k, nl, nr FROM p1l JOIN p1r USING (k)
+              WHERE nl * nr > 5000),
+    cand AS (
+        SELECT DISTINCT lid, rid FROM (
+            SELECT l.lid, r.rid
+            FROM l JOIN r ON substring(l.c_name, 1, 10)
+                             = substring(r.c_name, 1, 10)
+            WHERE substring(l.c_name, 1, 10) NOT IN
+                  (SELECT k FROM over0)
+            UNION ALL
+            SELECT l.lid, r.rid
+            FROM l JOIN r ON l.c_nationkey = r.c_nationkey
+            WHERE l.c_nationkey NOT IN (SELECT k FROM over1)
+        )
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(coalesce(sum(lid), 0) AS BIGINT) AS sum_lid,
+               CAST(coalesce(sum(rid), 0) AS BIGINT) AS sum_rid
+        FROM cand
+    ),
+    rep AS (
+        SELECT CAST(0 AS BIGINT) AS strategy, 'prefix' AS kind,
+               (SELECT CAST(count(*) AS BIGINT) FROM over0)
+                   AS n_buckets_skipped,
+               (SELECT CAST(coalesce(sum(nl * nr), 0) AS BIGINT)
+                FROM over0) AS n_pairs_skipped
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'exact',
+               (SELECT CAST(count(*) AS BIGINT) FROM over1),
+               (SELECT CAST(coalesce(sum(nl * nr), 0) AS BIGINT)
+                FROM over1)
+    )
+    SELECT strategy, kind, n_buckets_skipped, n_pairs_skipped,
+           n_candidates, sum_lid, sum_rid
+    FROM rep CROSS JOIN agg
+"""
+QUERIES["blocking_bucket_cap"] = q_blocking_bucket_cap

@@ -1365,12 +1365,36 @@ def blocking_quality_report(
     )
 
 
+def _blocking_spec_exprs(s):
+    """Parse an exact/prefix blocking spec tuple into ``(kind,
+    left_expr, right_expr)``; returns None for 'edit' and callables
+    (those are not key-bucket blockers)."""
+    if callable(s):
+        return None
+    kind = s[0]
+    if kind == "exact":
+        cl = s[1]
+        cr = s[2] if len(s) > 2 else s[1]
+        return kind, F.col(cl), F.col(cr)
+    if kind == "prefix":
+        if len(s) == 3:
+            cl = cr = s[1]
+            n = int(s[2])
+        else:
+            cl, cr, n = s[1], s[2], int(s[3])
+        return kind, F.substring(cl, 1, n), F.substring(cr, 1, n)
+    if kind == "edit":
+        return None
+    raise ValueError(f"unknown blocking strategy {s!r}")
+
+
 def blocked_candidates(
     left: DataFrame,
     right: DataFrame,
     left_id: str,
     right_id: str,
     strategies,
+    max_bucket: int = None,
 ) -> DataFrame:
     """OR-blocking for record linkage: union the candidate pairs of
     several cheap blockers, deduped by (left_id, right_id) — real
@@ -1396,12 +1420,25 @@ def blocked_candidates(
     rows; the final dedup is ONE distinct on the id pair.  Persisted
     intermediates of inner blockers are re-attached for
     ``lifecycle.release``.  Returns ``(left_id, right_id)``.
+
+    ``max_bucket`` caps the PAIR COUNT a single blocking bucket may
+    generate: an exact/prefix bucket with ``n_left * n_right >
+    max_bucket`` is skipped deterministically (its pairs never
+    materialize), so a degenerate blocking key — empty-string names,
+    a default phone, a catch-all zip — cannot silently go quadratic at
+    100 TB.  Cost of the guard is two per-key counts + one anti-join
+    per capped blocker (key-cardinality-sized frames).  Skipped
+    buckets are observable via :func:`blocking_skip_report` (same
+    inputs, same criterion); 'edit' and callable strategies are not
+    bucket blockers and are never capped.
     """
     from woodwork_spark.lifecycle import persisted_frames
 
     strategies = list(strategies)
     if not strategies:
         raise ValueError("blocked_candidates: strategies are required")
+    if max_bucket is not None and max_bucket < 1:
+        raise ValueError("max_bucket must be >= 1 when given")
 
     def keyed(df, id_c, expr):
         return df.filter(expr.isNotNull()).select(
@@ -1410,46 +1447,128 @@ def blocked_candidates(
             F.xxhash64(expr, F.lit(1)).alias("__k2"),
         )
 
+    def capped_join(lk, rk):
+        if max_bucket is None:
+            return lk.join(rk, ["__k1", "__k2"])
+        over = _oversized_keys(lk, rk, max_bucket).select("__k1", "__k2")
+        return lk.join(over, ["__k1", "__k2"], "left_anti").join(
+            rk, ["__k1", "__k2"],
+        )
+
     frames, persisted = [], []
     for s in strategies:
-        if callable(s):
+        spec = _blocking_spec_exprs(s)
+        if spec is not None:
+            kind, le, re_ = spec
+            cand = capped_join(
+                keyed(left, left_id, le), keyed(right, right_id, re_),
+            )
+        elif callable(s):
             cand = s(left, right)
         else:
-            kind = s[0]
-            if kind == "exact":
-                cl = s[1]
-                cr = s[2] if len(s) > 2 else s[1]
-                cand = keyed(left, left_id, F.col(cl)).join(
-                    keyed(right, right_id, F.col(cr)), ["__k1", "__k2"],
-                )
-            elif kind == "prefix":
-                if len(s) == 3:
-                    cl = cr = s[1]
-                    n = int(s[2])
-                else:
-                    cl, cr, n = s[1], s[2], int(s[3])
-                cand = keyed(left, left_id, F.substring(cl, 1, n)).join(
-                    keyed(right, right_id, F.substring(cr, 1, n)),
-                    ["__k1", "__k2"],
-                )
-            elif kind == "edit":
-                if len(s) == 3:
-                    cl = cr = s[1]
-                    k = int(s[2])
-                else:
-                    cl, cr, k = s[1], s[2], int(s[3])
-                cand = edit_distance_join(
-                    left, right, left_id, right_id, cl,
-                    max_dist=k, right_text_col=cr,
-                )
+            if len(s) == 3:
+                cl = cr = s[1]
+                k = int(s[2])
             else:
-                raise ValueError(f"unknown blocking strategy {s!r}")
+                cl, cr, k = s[1], s[2], int(s[3])
+            cand = edit_distance_join(
+                left, right, left_id, right_id, cl,
+                max_dist=k, right_text_col=cr,
+            )
         frames.append(cand.select(left_id, right_id))
         persisted.extend(persisted_frames(cand))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
     return attach_persisted(out.distinct(), *persisted)
+
+
+def _oversized_keys(lk, rk, max_bucket: int):
+    """Buckets whose pair count would exceed ``max_bucket``: join the
+    two per-key counts, keep ``n_left * n_right > max_bucket``.
+    Returns ``(__k1, __k2, __nl, __nr)``."""
+    lc = lk.groupBy("__k1", "__k2").agg(F.count(F.lit(1)).alias("__nl"))
+    rc = rk.groupBy("__k1", "__k2").agg(F.count(F.lit(1)).alias("__nr"))
+    return lc.join(rc, ["__k1", "__k2"]).filter(
+        F.col("__nl") * F.col("__nr") > int(max_bucket),
+    )
+
+
+def blocking_skip_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    strategies,
+    max_bucket: int,
+) -> DataFrame:
+    """What :func:`blocked_candidates` with the same ``max_bucket``
+    SKIPPED: one row per strategy with the count of capped buckets and
+    the pair count those buckets would have generated — the governance
+    readout that makes the cap auditable instead of silent (a nonzero
+    row means the blocking key needs cleaning, not that linkage
+    quietly lost recall).
+
+    'edit' / callable strategies are not bucket blockers: their rows
+    carry NULL counts.  Returns ``(strategy, kind, n_buckets_skipped,
+    n_pairs_skipped)``.
+    """
+    strategies = list(strategies)
+    if not strategies:
+        raise ValueError("blocking_skip_report: strategies are required")
+    if max_bucket < 1:
+        raise ValueError("max_bucket must be >= 1")
+
+    def keyed(df, id_c, expr):
+        return df.filter(expr.isNotNull()).select(
+            F.col(id_c),
+            F.xxhash64(expr).alias("__k1"),
+            F.xxhash64(expr, F.lit(1)).alias("__k2"),
+        )
+
+    parts = []
+    for i, s in enumerate(strategies):
+        spec = _blocking_spec_exprs(s)
+        if spec is None:
+            kind = "callable" if callable(s) else str(s[0])
+            parts.append((
+                None,
+                (i, kind),
+            ))
+            continue
+        kind, le, re_ = spec
+        over = _oversized_keys(
+            keyed(left, left_id, le), keyed(right, right_id, re_),
+            max_bucket,
+        )
+        parts.append((
+            over.agg(
+                F.count(F.lit(1)).cast("long").alias("n_buckets_skipped"),
+                F.coalesce(
+                    F.sum(F.col("__nl").cast("long") * F.col("__nr")),
+                    F.lit(0),
+                ).cast("long").alias("n_pairs_skipped"),
+            ),
+            (i, kind),
+        ))
+    spark = left.sparkSession
+    frames = []
+    for agg, (i, kind) in parts:
+        tag = spark.createDataFrame(
+            [(i, kind)], "strategy long, kind string",
+        )
+        if agg is None:
+            frames.append(tag.select(
+                "strategy", "kind",
+                F.lit(None).cast("long").alias("n_buckets_skipped"),
+                F.lit(None).cast("long").alias("n_pairs_skipped"),
+            ))
+        else:
+            frames.append(tag.crossJoin(agg))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 
@@ -1529,6 +1648,7 @@ def record_linkage(
     lower: float = 0.1,
     right_name_col: str = None,
     blockers=None,
+    max_bucket: int = None,
 ) -> DataFrame:
     """End-to-end probabilistic record linkage: ED-Join blocking on the
     name (exact, lossless — :func:`edit_distance_join`), then both
@@ -1546,11 +1666,18 @@ def record_linkage(
     past ``max_dist`` but whose phone/zip survived.  With blockers the
     ``distance`` column is NULL (candidates are no longer
     distance-verified pairs; the FS fields are the evidence).
+    ``max_bucket`` (with blockers) caps the per-bucket pair count of
+    exact/prefix blocking keys — see :func:`blocked_candidates`; audit
+    the skips with :func:`blocking_skip_report`.  Feed capped pairs to
+    :func:`estimate_m_u` the same way: the EM consumes whatever pair
+    frame blocking produced, so the cap is where pair-space blowups
+    are stopped for the whole FS stack.
     """
     fields = dict(fields)
     if blockers is not None:
         cand = blocked_candidates(
             left, right, left_id, right_id, blockers,
+            max_bucket=max_bucket,
         ).withColumn("distance", F.lit(None).cast("int"))
     else:
         cand = edit_distance_join(
@@ -1622,7 +1749,11 @@ def estimate_m_u(
     back.  ``iters`` bounded rounds, no growing lineage.  Parameters
     are clamped to ``[eps, 1-eps]`` (an empty expectation keeps its
     previous value), so degenerate fields cannot produce log(0) weights
-    downstream.
+    downstream.  Pair-space safety: cost is linear in the PAIRS frame,
+    so generate it with :func:`blocked_candidates` ``max_bucket=...`` —
+    a degenerate blocking key then cannot go quadratic before the EM
+    even starts (audit the capped buckets via
+    :func:`blocking_skip_report`).
 
     Returns one row per field: ``(field, m, u, lam)`` (``lam`` — the
     estimated match prior — repeated on every row), ready to feed back

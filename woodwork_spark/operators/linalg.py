@@ -1,0 +1,123 @@
+"""Small-system linear algebra as UNROLLED column expressions.
+
+The multi-covariate fitters (logistic / Poisson IRLS, Cox partial-
+likelihood Newton) need to solve a symmetric positive-definite d x d
+system per group per iteration, where d = covariates + intercept is
+small (<= ~10) but the group count is unbounded.  Collecting the
+sufficient-stat frame to the driver each round would work (one row per
+group), but it forces an action per iteration and puts NumPy in the
+loop; instead this module unrolls a Cholesky factorization + solve as
+LAYERS of named column expressions over the one-row-per-group frame, so
+the whole k-step fit remains ONE lazy Catalyst plan with no driver math
+and no collect — the same "pure column algebra" convention as the
+single-covariate engines (regression._glm_newton_fit).
+
+Layering matters: Cholesky entries reference earlier entries, and
+inlining those references would duplicate subtrees exponentially.  Each
+layer is a list of (name, Column) added via one ``select("*", ...)``;
+later layers reference earlier results BY NAME, which Catalyst keeps as
+shared projections (the ROUGE-L projection-layer trick).
+
+Reference parity note: woodwork (the reference) has no regression
+surface at all; this supports the beyond-reference stats stack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chol_solve_layers(
+    d: int,
+    a_name,
+    rhs: dict,
+    pref: str = "__ch",
+):
+    """Build the layered unrolled Cholesky solve of ``A x = u`` for a
+    symmetric positive-definite ``d x d`` system whose entries live in
+    named columns of a one-row-per-group frame.
+
+    ``a_name(i, j)`` (i >= j) returns the column name holding A[i][j];
+    ``rhs`` maps a tag to its right-hand side: a list of ``d`` column
+    names (strings) or float literals — several tags share one
+    factorization (e.g. the Newton step AND the d unit vectors whose
+    solutions give the inverse diagonal for Wald standard errors).
+
+    Returns ``(layers, sol, pivots)``:
+
+    - ``layers``: list of [(name, Column)] to apply in order via
+      :func:`apply_layers`;
+    - ``sol``: dict tag -> list of d solution column NAMES;
+    - ``pivots``: list of d pivot column names.  All pivots > 0 is
+      EXACTLY Sylvester's positive-definiteness criterion — the caller
+      guards the update with it (a non-PD information matrix means a
+      degenerate/collinear design; the guarded row keeps its previous
+      coefficients, mirroring the 2x2 ``det > 0`` convention).
+
+    Ops per solve are O(d^3): ~36 multiply-adds at d = 3, ~600 at
+    d = 10 — noise next to the per-row aggregate that produced A.
+    """
+
+    def _u(tag, j):
+        v = rhs[tag][j]
+        return F.lit(float(v)) if isinstance(v, (int, float)) else F.col(v)
+
+    ln = lambda i, j: f"{pref}_L_{i}_{j}"          # noqa: E731
+    yn = lambda t, j: f"{pref}_y_{t}_{j}"          # noqa: E731
+    xn = lambda t, j: f"{pref}_x_{t}_{j}"          # noqa: E731
+    pn = lambda j: f"{pref}_p_{j}"                 # noqa: E731
+
+    layers = []
+    for j in range(d):
+        # pivot + diagonal entry: p_j = a_jj - sum_{m<j} L_jm^2
+        p = F.col(a_name(j, j))
+        for m in range(j):
+            p = p - F.col(ln(j, m)) * F.col(ln(j, m))
+        layers.append([(pn(j), p), (ln(j, j), F.sqrt(p))])
+        # column j below the diagonal + forward substitution for every
+        # rhs (both need L_jj, hence the second layer)
+        layer = []
+        for i in range(j + 1, d):
+            e = F.col(a_name(i, j))
+            for m in range(j):
+                e = e - F.col(ln(i, m)) * F.col(ln(j, m))
+            layer.append((ln(i, j), F.try_divide(e, F.col(ln(j, j)))))
+        for t in rhs:
+            e = _u(t, j)
+            for m in range(j):
+                e = e - F.col(ln(j, m)) * F.col(yn(t, m))
+            layer.append((yn(t, j), F.try_divide(e, F.col(ln(j, j)))))
+        layers.append(layer)
+    # back substitution, j = d-1 .. 0, all tags per layer
+    for j in range(d - 1, -1, -1):
+        layer = []
+        for t in rhs:
+            e = F.col(yn(t, j))
+            for m in range(j + 1, d):
+                e = e - F.col(ln(m, j)) * F.col(xn(t, m))
+            layer.append((xn(t, j), F.try_divide(e, F.col(ln(j, j)))))
+        layers.append(layer)
+    sol = {t: [xn(t, j) for j in range(d)] for t in rhs}
+    return layers, sol, [pn(j) for j in range(d)]
+
+
+def apply_layers(df: DataFrame, layers) -> DataFrame:
+    """Apply :func:`chol_solve_layers` output: one ``select("*", ...)``
+    per layer, so intra-layer entries see only earlier layers (named,
+    shared — never inlined)."""
+    for layer in layers:
+        if layer:
+            df = df.select("*", *[e.alias(n) for n, e in layer])
+    return df
+
+
+def pd_ok(pivots) -> "F.Column":
+    """The positive-definite guard: every Cholesky pivot strictly
+    positive (NULL pivots — empty sums — fail the comparison and thus
+    the guard, which is the wanted NULL-propagation)."""
+    ok = None
+    for p in pivots:
+        c = F.col(p) > 0
+        ok = c if ok is None else (ok & c)
+    return ok

@@ -186,6 +186,11 @@ def _glm_newton_fit(
             eta = F.least(F.lit(30.0), F.greatest(F.lit(-30.0), eta))
             mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
             return mu, mu * (F.lit(1.0) - mu)
+        # canonical log link: clamp eta at 700 (exp overflows double
+        # just past e^709.78) so a Newton overshoot on ill-scaled
+        # covariates yields a huge-but-finite mu — NaN would sail
+        # through the det > 0 guard and poison the coefficients
+        eta = F.least(F.lit(700.0), eta)
         mu = F.exp(eta)
         return mu, mu
 
@@ -268,31 +273,215 @@ def _glm_newton_fit(
     )
 
 
+def _glm_irls_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols,
+    group_cols,
+    iters: int,
+    family: str,
+) -> DataFrame:
+    """k-covariate generalization of :func:`_glm_newton_fit`: per Newton
+    round ONE aggregate folds the d-vector score ``U_j = sum x_j (y -
+    mu)`` and the d(d+1)/2 lower-triangle entries of the Fisher
+    information ``A_ij = sum x_i x_j w`` (d = k + 1, ``x_0 = 1``), and
+    the d x d system solves IN SPARK via the unrolled-Cholesky layers of
+    :mod:`~woodwork_spark.operators.linalg` over the one-row-per-group
+    frame — so the whole fit is still one lazy plan with no driver math
+    and no collect, exactly like the single-covariate engine (which
+    stays on its closed-form 2x2 path).
+
+    The positive-definite guard (every Cholesky pivot > 0 — Sylvester's
+    criterion, the d-dim analogue of ``det > 0``) keeps a group's
+    previous coefficients when its design goes degenerate/collinear for
+    a round, and NULLs the readout when the FINAL information is not
+    PD.  Family clamps match the 1-covariate engine: logistic eta in
+    [-30, 30], Poisson eta <= 700.
+
+    Returns ``(group_cols..., n, intercept, se_intercept, coef_<x>,
+    se_<x>, z_<x>, p_<x> per covariate..., loglik, dispersion)`` —
+    Wald standard errors come from the inverse-information diagonal
+    (the same factorization solves the d unit vectors), and dispersion
+    is Pearson X^2 / (n - d).
+    """
+    from woodwork_spark.operators.linalg import (
+        apply_layers,
+        chol_solve_layers,
+        pd_ok,
+    )
+    from woodwork_spark.operators.stats_tests import (
+        _std_normal_two_sided_p,
+    )
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if family not in ("logistic", "poisson"):
+        raise ValueError(f"unknown family {family!r}")
+    x_cols = list(x_cols)
+    if not x_cols or len(set(x_cols)) != len(x_cols):
+        raise ValueError("x_cols must be a non-empty list of unique names")
+    d = len(x_cols) + 1
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    cond = F.col(y_col).isNotNull()
+    for c in x_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond).select(
+        *group_cols,
+        F.col(y_col).cast("double").alias("__y"),
+        *[
+            F.col(c).cast("double").alias(f"__x{j + 1}")
+            for j, c in enumerate(x_cols)
+        ],
+    )
+
+    def _joined(coef):
+        if group_cols:
+            return base.join(F.broadcast(coef), group_cols)
+        return base.crossJoin(F.broadcast(coef))
+
+    def _xs():
+        return [F.lit(1.0)] + [
+            F.col(f"__x{j + 1}") for j in range(len(x_cols))
+        ]
+
+    def _mu_w(eta):
+        if family == "logistic":
+            eta = F.least(F.lit(30.0), F.greatest(F.lit(-30.0), eta))
+            mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            return mu, mu * (F.lit(1.0) - mu)
+        # same exp-overflow clamp as the 1-covariate Poisson path
+        eta = F.least(F.lit(700.0), eta)
+        mu = F.exp(eta)
+        return mu, mu
+
+    def _suff_aggs(mu, w, xs):
+        aggs = [
+            F.sum(xs[j] * (F.col("__y") - mu)).alias(f"__u{j}")
+            for j in range(d)
+        ]
+        for i in range(d):
+            for j in range(i + 1):
+                aggs.append(F.sum(xs[i] * xs[j] * w).alias(f"__a_{i}_{j}"))
+        return aggs
+
+    a_name = lambda i, j: f"__a_{i}_{j}"  # noqa: E731
+    coef = base.groupBy(*group_cols).agg(
+        *[F.lit(0.0).alias(f"__b{j}") for j in range(d)],
+    )
+    for it in range(int(iters)):
+        cur = _joined(coef)
+        eta = F.col("__b0")
+        for j in range(len(x_cols)):
+            eta = eta + F.col(f"__b{j + 1}") * F.col(f"__x{j + 1}")
+        mu, w = _mu_w(eta)
+        step = cur.groupBy(*group_cols).agg(
+            *[F.max(f"__b{j}").alias(f"__b{j}") for j in range(d)],
+            *_suff_aggs(mu, w, _xs()),
+        )
+        layers, sol, piv = chol_solve_layers(
+            d, a_name, {"s": [f"__u{j}" for j in range(d)]},
+            pref=f"__it{it}",
+        )
+        solved = apply_layers(step, layers)
+        ok = pd_ok(piv)
+        coef = solved.select(
+            *group_cols,
+            *[
+                F.when(
+                    ok, F.col(f"__b{j}") + F.col(sol["s"][j]),
+                ).otherwise(F.col(f"__b{j}")).alias(f"__b{j}")
+                for j in range(d)
+            ],
+        )
+    # final readout at the converged coefficients
+    fin = _joined(coef)
+    eta = F.col("__b0")
+    for j in range(len(x_cols)):
+        eta = eta + F.col(f"__b{j + 1}") * F.col(f"__x{j + 1}")
+    mu, w = _mu_w(eta)
+    if family == "logistic":
+        ll = F.col("__y") * F.log(mu) + (
+            F.lit(1.0) - F.col("__y")
+        ) * F.log(F.lit(1.0) - mu)
+    else:
+        ll = F.col("__y") * eta - mu
+    resid2 = (F.col("__y") - mu) * (F.col("__y") - mu) / w
+    out = fin.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.max(f"__b{j}").alias(f"__b{j}") for j in range(d)],
+        *_suff_aggs(mu, w, _xs()),
+        F.sum(ll).alias("loglik"),
+        F.sum(resid2).alias("__px2"),
+    )
+    # one factorization, d unit-vector solves -> inverse diagonal
+    rhs = {
+        f"e{j}": [1.0 if m == j else 0.0 for m in range(d)]
+        for j in range(d)
+    }
+    layers, sol, piv = chol_solve_layers(d, a_name, rhs, pref="__se")
+    solved = apply_layers(out, layers)
+    ok = pd_ok(piv)
+    ses = [F.sqrt(F.col(sol[f"e{j}"][j])) for j in range(d)]
+    cols = [
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, F.col("__b0")).alias("intercept"),
+        F.when(ok, ses[0]).alias("se_intercept"),
+    ]
+    for j, name in enumerate(x_cols):
+        b = F.col(f"__b{j + 1}")
+        z = b / ses[j + 1]
+        cols += [
+            F.when(ok, b).alias(f"coef_{name}"),
+            F.when(ok, ses[j + 1]).alias(f"se_{name}"),
+            F.when(ok, z).alias(f"z_{name}"),
+            F.when(ok, _std_normal_two_sided_p(z)).alias(f"p_{name}"),
+        ]
+    disp = F.col("__px2") / (F.col("n").cast("double") - F.lit(float(d)))
+    cols += [
+        F.col("loglik"),
+        F.when(ok & (F.col("n") > d), disp).alias("dispersion"),
+    ]
+    return solved.select(*group_cols, *cols)
+
+
 def logistic_fit(
     df: DataFrame,
     y_col: str,
-    x_col: str,
+    x_col,
     group_cols=(),
     iters: int = 6,
 ) -> DataFrame:
-    """Logistic regression of a binary outcome on one covariate with an
-    intercept, per group — unrolled distributed Newton (see
-    :func:`_glm_newton_fit` for the shape).  Returns ``(group_cols...,
-    n, intercept, slope, se_slope, z_stat, p_approx, loglik)``."""
+    """Logistic regression of a binary outcome on one or more covariates
+    with an intercept, per group — unrolled distributed Newton.
+
+    ``x_col`` may be a single column name (closed-form 2x2 path, see
+    :func:`_glm_newton_fit`; returns ``(group_cols..., n, intercept,
+    slope, se_slope, z_stat, p_approx, loglik, dispersion)``) or a LIST
+    of names (unrolled-Cholesky IRLS, see :func:`_glm_irls_fit`;
+    returns the wide per-covariate schema)."""
+    if isinstance(x_col, (list, tuple)):
+        return _glm_irls_fit(df, y_col, x_col, group_cols, iters,
+                             "logistic")
     return _glm_newton_fit(df, y_col, x_col, group_cols, iters, "logistic")
 
 
 def poisson_fit(
     df: DataFrame,
     y_col: str,
-    x_col: str,
+    x_col,
     group_cols=(),
     iters: int = 6,
 ) -> DataFrame:
-    """Poisson (log-link) regression of a count outcome on one covariate
-    with an intercept, per group — unrolled distributed Newton.  Returns
-    ``(group_cols..., n, intercept, slope, se_slope, z_stat, p_approx,
-    loglik)`` (loglik omits the coefficient-free ln(y!) term)."""
+    """Poisson (log-link) regression of a count outcome on one or more
+    covariates with an intercept, per group — unrolled distributed
+    Newton.  ``x_col``: a name (closed-form 2x2 path) or a list of
+    names (unrolled-Cholesky IRLS, :func:`_glm_irls_fit`).  loglik
+    omits the coefficient-free ln(y!) term in both shapes."""
+    if isinstance(x_col, (list, tuple)):
+        return _glm_irls_fit(df, y_col, x_col, group_cols, iters,
+                             "poisson")
     return _glm_newton_fit(df, y_col, x_col, group_cols, iters, "poisson")
 
 

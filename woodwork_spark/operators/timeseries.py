@@ -1283,129 +1283,247 @@ def cox_ph_fit(
     df: DataFrame,
     time_col: str,
     event_col: str,
-    x_col: str,
+    x_col,
     group_cols=(),
     iters: int = 3,
 ) -> DataFrame:
-    """Cox proportional-hazards fit (single covariate, Breslow ties) per
-    group via ``iters`` unrolled Newton steps from beta = 0 — completing
-    the survival stack (Kaplan-Meier / Nelson-Aalen / log-rank / RMST
-    estimate; this adds the REGRESSION member).
+    """Cox proportional-hazards fit (Breslow ties) per group via
+    ``iters`` unrolled Newton steps from beta = 0 — completing the
+    survival stack (Kaplan-Meier / Nelson-Aalen / log-rank / RMST
+    estimate; this adds the REGRESSION member).  ``x_col`` may be one
+    column name or a LIST of names (multi-covariate).
 
-    Each Newton step is pure column algebra: risk-set sums ``S0 = sum
-    e^(bx)``, ``S1 = sum x e^(bx)``, ``S2 = sum x^2 e^(bx)`` over
-    subjects still at risk come from ONE per-group window with a RANGE
-    frame ordered by time (RANGE, not ROWS — subjects tied on time must
-    share the identical risk set), then score ``U = sum_events (x -
-    S1/S0)`` and information ``I = sum_events (S2/S0 - (S1/S0)^2)``
-    fold in one aggregate and ``b' = b + U/I``.  The per-group beta
-    frame (one row per group) broadcasts back for the next step, so the
-    whole fit is ``iters`` sort+aggregate rounds with no driver math
-    and no collect.  Newton on the Cox partial likelihood from 0
-    converges quadratically — 3 steps give ~6 correct digits for
-    |beta| < 1.5, plenty for the Wald readout.
+    At fixed beta the Breslow risk-set sums are SUFFIX sums over time
+    order, so each Newton step first collapses rows to one CELL per
+    (group, distinct time) — ``sum e^(b'x)``, ``sum x_j e^(b'x)``,
+    ``sum x_i x_j e^(b'x)``, the event count d_t and the event-weighted
+    covariate sums — then running-sums the cells in descending time
+    (tied subjects share a cell, hence the identical risk set the RANGE
+    frame used to provide), and folds score ``U_j = sum_t (dx_j - d_t
+    S1_j/S0)`` and information ``I_ij = sum_t d_t (S2_ij/S0 -
+    (S1_i/S0)(S1_j/S0))`` in one aggregate.  The window input is
+    DISTINCT TIMES, not rows.  Single covariate: closed-form ``b' = b
+    + U/I``; multi-covariate: the d x d system solves in-plan via the
+    unrolled-Cholesky layers of :mod:`~woodwork_spark.operators.linalg`
+    (eta clamped at 700 against exp overflow), guarded by Sylvester's
+    pivots-positive criterion (a degenerate round keeps the previous
+    beta).  The per-group beta frame broadcasts back each step — no
+    driver math beyond the ungrouped offsets rows.
+
+    Scale shape: GROUPED fits sort cells within each group (one window
+    per group over its distinct times).  UNGROUPED fits use the
+    distributed suffix-sum machinery of :mod:`~woodwork_spark.operators.
+    rank` (``global_prefix_sums`` ordered by time DESCENDING — one range
+    shuffle + per-bucket windows + driver-folded bucket offsets), so no
+    SinglePartition exchange appears anywhere in the plan; the old
+    "ungrouped = one partition's sort" contract is gone.
 
     Returns ``(group_cols..., n, n_events, beta, se, z_stat,
-    p_approx)`` — se = 1/sqrt(I) at the final beta, Wald z and its
-    two-sided normal p via the shared A&S erf polynomial.  Groups with
-    no events or degenerate covariates yield NULL statistics.
-
-    Scale note: the risk-set window sorts WITHIN each group, so an
-    UNGROUPED fit is one partition's sort — fine for per-entity
-    survival frames (one row per subject; millions fit easily), wrong
-    for raw event logs.  Aggregate to subjects first, or pass
-    ``group_cols`` so the windows partition.
+    p_approx)`` for a single covariate, or ``(group_cols..., n,
+    n_events, beta_<x>, se_<x>, z_<x>, p_<x> per covariate...)`` for a
+    list — se from the inverse-information diagonal, Wald z, two-sided
+    normal p via the shared A&S erf polynomial.  Groups with no events
+    or a degenerate (non-PD) information matrix yield NULL statistics.
     """
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.rank import global_prefix_sums
     from woodwork_spark.operators.stats_tests import (
         _std_normal_two_sided_p,
     )
 
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    multi = isinstance(x_col, (list, tuple))
+    xs = list(x_col) if multi else [x_col]
+    if not xs or len(set(xs)) != len(xs):
+        raise ValueError("x_col must be a name or non-empty unique list")
+    k = len(xs)
     group_cols = (
         [group_cols] if isinstance(group_cols, str) else list(group_cols)
     )
-    base = df.filter(
-        F.col(time_col).isNotNull() & F.col(event_col).isNotNull()
-        & F.col(x_col).isNotNull(),
-    ).select(
+    cond = F.col(time_col).isNotNull() & F.col(event_col).isNotNull()
+    for c in xs:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond).select(
         *group_cols,
         F.col(time_col).cast("double").alias("__t"),
         F.col(event_col).cast("double").alias("__d"),
-        F.col(x_col).cast("double").alias("__x"),
+        *[
+            F.col(c).cast("double").alias(f"__x{j + 1}")
+            for j, c in enumerate(xs)
+        ],
     )
-    part = (
-        W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
-    )
-    # RANGE frame, ascending time, current-row..following = everyone
-    # with t >= this row's t (ties included) — the risk set.
-    w_risk = part.orderBy(F.col("__t").asc()).rangeBetween(
-        W.currentRow, W.unboundedFollowing,
-    )
-    beta_df = base.groupBy(*group_cols).agg(
-        F.lit(0.0).alias("__beta"),
-    )
-    for _ in range(int(iters)):
+    bnames = [f"__b{j + 1}" for j in range(k)]
+    caches = []
+
+    def _risk_cells(bdf):
+        """Collapse to (group, t) cells at the broadcast beta, then
+        suffix-sum the risk quantities in descending time."""
         if group_cols:
-            cur = base.join(F.broadcast(beta_df), group_cols)
+            cur = base.join(F.broadcast(bdf), group_cols)
         else:
-            cur = base.crossJoin(F.broadcast(beta_df))
-        ew = F.exp(F.col("__beta") * F.col("__x"))
-        cur = (
-            cur.withColumn("__s0", F.sum(ew).over(w_risk))
-            .withColumn("__s1", F.sum(F.col("__x") * ew).over(w_risk))
-            .withColumn(
-                "__s2",
-                F.sum(F.col("__x") * F.col("__x") * ew).over(w_risk),
+            cur = base.crossJoin(F.broadcast(bdf))
+        eta = None
+        for j in range(k):
+            term = F.col(bnames[j]) * F.col(f"__x{j + 1}")
+            eta = term if eta is None else eta + term
+        if multi:
+            # exp-overflow clamp, mirroring the GLM engines; the
+            # 1-covariate path keeps its exact legacy arithmetic
+            eta = F.least(F.lit(700.0), eta)
+        ew = F.exp(eta)
+        cell_aggs = [
+            F.count(F.lit(1)).alias("__nc"),
+            F.sum("__d").alias("__dt"),
+            F.sum(ew).alias("__c0"),
+        ]
+        vcols, scols = ["__c0"], ["__S0"]
+        for j in range(k):
+            cell_aggs.append(
+                F.sum(F.col("__d") * F.col(f"__x{j + 1}")).alias(f"__dx{j}"),
             )
+            cell_aggs.append(F.sum(F.col(f"__x{j + 1}") * ew).alias(f"__c1_{j}"))
+            vcols.append(f"__c1_{j}")
+            scols.append(f"__S1_{j}")
+        for i in range(k):
+            for j in range(i + 1):
+                cell_aggs.append(
+                    F.sum(
+                        F.col(f"__x{i + 1}") * F.col(f"__x{j + 1}") * ew,
+                    ).alias(f"__c2_{i}_{j}"),
+                )
+                vcols.append(f"__c2_{i}_{j}")
+                scols.append(f"__S2_{i}_{j}")
+        cells = cur.groupBy(*group_cols, "__t").agg(
+            *[F.max(b).alias(b) for b in bnames],
+            *cell_aggs,
         )
-        r1 = F.col("__s1") / F.col("__s0")
-        step = cur.groupBy(*group_cols).agg(
-            F.max("__beta").alias("__b0"),
-            F.sum(F.col("__d") * (F.col("__x") - r1)).alias("__u"),
-            F.sum(
-                F.col("__d") * (F.col("__s2") / F.col("__s0") - r1 * r1),
-            ).alias("__i"),
+        if group_cols:
+            w = (
+                W.partitionBy(*group_cols)
+                .orderBy(F.desc("__t"))
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            for vc, sc in zip(vcols, scols):
+                cells = cells.withColumn(sc, F.sum(vc).over(w))
+            return cells
+        # ungrouped: distributed suffix sums — range shuffle + bucket
+        # windows + driver offsets, never a SinglePartition exchange
+        out = global_prefix_sums(
+            cells, [F.desc("__t")], vcols, out_cols=scols,
+            inclusive=True, small_threshold=0,
         )
-        beta_df = step.select(
+        caches.extend(persisted_frames(out))
+        return out
+
+    def _fold_aggs():
+        r1 = [F.col(f"__S1_{j}") / F.col("__S0") for j in range(k)]
+        aggs = [
+            F.sum("__nc").alias("__n"),
+            F.sum("__dt").alias("__ne"),
+        ]
+        for j in range(k):
+            aggs.append(
+                F.sum(
+                    F.col(f"__dx{j}") - F.col("__dt") * r1[j],
+                ).alias(f"__u{j}"),
+            )
+        for i in range(k):
+            for j in range(i + 1):
+                aggs.append(
+                    F.sum(
+                        F.col("__dt")
+                        * (F.col(f"__S2_{i}_{j}") / F.col("__S0")
+                           - r1[i] * r1[j]),
+                    ).alias(f"__a_{i}_{j}"),
+                )
+        return aggs
+
+    beta_df = base.groupBy(*group_cols).agg(
+        *[F.lit(0.0).alias(b) for b in bnames],
+    )
+    a_name = lambda i, j: f"__a_{i}_{j}"  # noqa: E731
+    for it in range(int(iters)):
+        cells = _risk_cells(beta_df)
+        step = cells.groupBy(*group_cols).agg(
+            *[F.max(b).alias(b) for b in bnames],
+            *_fold_aggs(),
+        )
+        if not multi:
+            beta_df = step.select(
+                *group_cols,
+                F.when(
+                    F.col("__a_0_0") > 0,
+                    F.col("__b1") + F.col("__u0") / F.col("__a_0_0"),
+                ).otherwise(F.lit(0.0)).alias("__b1"),
+            )
+            continue
+        from woodwork_spark.operators.linalg import (
+            apply_layers,
+            chol_solve_layers,
+            pd_ok,
+        )
+
+        layers, sol, piv = chol_solve_layers(
+            k, a_name, {"s": [f"__u{j}" for j in range(k)]},
+            pref=f"__it{it}",
+        )
+        solved = apply_layers(step, layers)
+        ok = pd_ok(piv)
+        beta_df = solved.select(
             *group_cols,
-            F.when(
-                F.col("__i") > 0,
-                F.col("__b0") + F.col("__u") / F.col("__i"),
-            ).otherwise(F.lit(0.0)).alias("__beta"),
+            *[
+                F.when(
+                    ok, F.col(bnames[j]) + F.col(sol["s"][j]),
+                ).otherwise(F.col(bnames[j])).alias(bnames[j])
+                for j in range(k)
+            ],
         )
     # final readout: information at the FINAL beta for the Wald se
-    if group_cols:
-        fin = base.join(F.broadcast(beta_df), group_cols)
-    else:
-        fin = base.crossJoin(F.broadcast(beta_df))
-    ew = F.exp(F.col("__beta") * F.col("__x"))
-    fin = (
-        fin.withColumn("__s0", F.sum(ew).over(w_risk))
-        .withColumn("__s1", F.sum(F.col("__x") * ew).over(w_risk))
-        .withColumn(
-            "__s2",
-            F.sum(F.col("__x") * F.col("__x") * ew).over(w_risk),
+    cells = _risk_cells(beta_df)
+    out = cells.groupBy(*group_cols).agg(
+        *[F.max(b).alias(b) for b in bnames],
+        *_fold_aggs(),
+    )
+    if not multi:
+        ok = (F.col("__ne") > 0) & (F.col("__a_0_0") > 0)
+        se = F.lit(1.0) / F.sqrt(F.col("__a_0_0"))
+        z = F.col("__b1") / se
+        res = out.select(
+            *group_cols,
+            F.col("__n").cast("long").alias("n"),
+            F.col("__ne").cast("long").alias("n_events"),
+            F.when(ok, F.col("__b1")).alias("beta"),
+            F.when(ok, se).alias("se"),
+            F.when(ok, z).alias("z_stat"),
+            F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
         )
+        return attach_persisted(res, *caches) if caches else res
+    from woodwork_spark.operators.linalg import (
+        apply_layers,
+        chol_solve_layers,
+        pd_ok,
     )
-    r1 = F.col("__s1") / F.col("__s0")
-    out = fin.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("__d").alias("__ne"),
-        F.max("__beta").alias("beta"),
-        F.sum(
-            F.col("__d") * (F.col("__s2") / F.col("__s0") - r1 * r1),
-        ).alias("__i"),
-    )
-    ok = (F.col("__ne") > 0) & (F.col("__i") > 0)
-    se = F.lit(1.0) / F.sqrt(F.col("__i"))
-    z = F.col("beta") / se
-    return out.select(
-        *group_cols,
-        F.col("n").cast("long").alias("n"),
+
+    rhs = {
+        f"e{j}": [1.0 if m == j else 0.0 for m in range(k)]
+        for j in range(k)
+    }
+    layers, sol, piv = chol_solve_layers(k, a_name, rhs, pref="__se")
+    solved = apply_layers(out, layers)
+    ok = pd_ok(piv) & (F.col("__ne") > 0)
+    cols = [
+        F.col("__n").cast("long").alias("n"),
         F.col("__ne").cast("long").alias("n_events"),
-        F.when(ok, F.col("beta")).alias("beta"),
-        F.when(ok, se).alias("se"),
-        F.when(ok, z).alias("z_stat"),
-        F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
-    )
+    ]
+    for j, name in enumerate(xs):
+        se = F.sqrt(F.col(sol[f"e{j}"][j]))
+        z = F.col(bnames[j]) / se
+        cols += [
+            F.when(ok, F.col(bnames[j])).alias(f"beta_{name}"),
+            F.when(ok, se).alias(f"se_{name}"),
+            F.when(ok, z).alias(f"z_{name}"),
+            F.when(ok, _std_normal_two_sided_p(z)).alias(f"p_{name}"),
+        ]
+    res = solved.select(*group_cols, *cols)
+    return attach_persisted(res, *caches) if caches else res
