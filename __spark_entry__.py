@@ -20422,3 +20422,171 @@ ORACLE["blocking_bucket_cap"] = """
     FROM rep CROSS JOIN agg
 """
 QUERIES["blocking_bucket_cap"] = q_blocking_bucket_cap
+
+
+def q_ivf_pq_search(spark, sf_dir):
+    """IVF-PQ search over the embeddings table: 4-cell coarse inverted
+    file (kmeans_lloyd, id < 4 seeding, 1 quantized Lloyd iteration),
+    one shared PQ codebook on the coarse RESIDUALS (4 x 8, 1
+    iteration), 2-probe ADC scan with per-cell residual LUTs — the
+    composition that turns pq_search's exhaustive scan into the actual
+    100 TB ANN shape.  Every stage quantizes its trajectory so the
+    DuckDB oracle replays it exactly."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.embedding import ivf_pq_search
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 2).select(
+        "vec_id", "embedding",
+    ).collect()
+    queries = {
+        f"q{r['vec_id']}": [float(x) for x in r["embedding"]]
+        for r in qrows
+    }
+    out = ivf_pq_search(
+        emb, "vec_id", "embedding", queries,
+        nlist=4, n_probe=2, n_subspaces=4, k=8,
+        coarse_iterations=1, pq_iterations=1, top_k=5,
+    )
+    return attach_persisted(
+        out.select(
+            "query_id", "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            "approx_dist", "rank",
+        ),
+        *persisted_frames(out),
+    )
+
+
+def _ivf_pq_oracle(nlist=4, n_probe=2, n_sub=4, k=8, d=64, top_k=5):
+    """DuckDB replay of the full IVF-PQ trajectory: 1 coarse Lloyd
+    iteration (quantized means, lowest-cid ties), residuals, 1 PQ
+    iteration on residual subvectors, 2-probe per-cell residual LUT
+    scoring.  Distances in dot-product form throughout, every rounding
+    identical to the operator (round(x + 1e-7, 6))."""
+    dsub = d // n_sub
+    dist_c = ("list_dot_product(f.fv, f.fv) + list_dot_product(c.c, c.c)"
+              " - 2 * list_dot_product(f.fv, c.c)")
+    dist_p = ("list_dot_product(e.v, e.v) + list_dot_product(c.c, c.c)"
+              " - 2 * list_dot_product(e.v, c.c)")
+    return f"""
+    WITH fullv AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings
+    ),
+    -- coarse quantizer: id < nlist seeds, ONE quantized Lloyd round
+    cc0 AS (SELECT CAST(vec_id AS INT) AS cid, fv AS c FROM fullv
+            WHERE vec_id < {nlist}),
+    ca1 AS (SELECT vec_id, fv, cid FROM (
+        SELECT f.vec_id, f.fv, c.cid,
+               row_number() OVER (PARTITION BY f.vec_id
+                                  ORDER BY {dist_c}, c.cid) AS rn
+        FROM fullv f JOIN cc0 c ON TRUE) WHERE rn = 1),
+    cm1 AS (SELECT cid, i AS pos,
+                   round(sum(fv[i]) / count(*) + 0.0000001, 6) AS x
+            FROM ca1, generate_series(1, {d}) AS g(i)
+            GROUP BY cid, i),
+    cc1 AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+            FROM cc0 p LEFT JOIN (
+                SELECT cid, list(x ORDER BY pos) AS c
+                FROM cm1 GROUP BY cid) n ON p.cid = n.cid),
+    -- final coarse assignment + residuals
+    cfin AS (SELECT vec_id, fv, cid AS cluster FROM (
+        SELECT f.vec_id, f.fv, c.cid,
+               row_number() OVER (PARTITION BY f.vec_id
+                                  ORDER BY {dist_c}, c.cid) AS rn
+        FROM fullv f JOIN cc1 c ON TRUE) WHERE rn = 1),
+    res AS (SELECT a.vec_id, a.cluster,
+                   list_transform(range(1, {d + 1}),
+                                  i -> a.fv[i] - c.c[i]) AS rv
+            FROM cfin a JOIN cc1 c ON c.cid = a.cluster),
+    -- PQ on residual subvectors: id < k seeds, ONE quantized round
+    e AS (SELECT vec_id, cluster, s.sub,
+                 rv[s.sub * {dsub} + 1: s.sub * {dsub} + {dsub}] AS v
+          FROM res,
+               LATERAL (SELECT unnest(range(0, {n_sub})) AS sub) s),
+    pc0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, v AS c FROM e
+            WHERE vec_id < {k}),
+    pa1 AS (SELECT vec_id, sub, v, cid FROM (
+        SELECT e.vec_id, e.sub, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id, e.sub
+                                  ORDER BY {dist_p}, c.cid) AS rn
+        FROM e JOIN pc0 c USING (sub)) WHERE rn = 1),
+    pm1 AS (SELECT sub, cid, i AS pos,
+                   round(avg(v[i]) + 0.0000001, 6) AS x
+            FROM pa1, generate_series(1, {dsub}) AS g(i)
+            GROUP BY sub, cid, i),
+    pc1 AS (SELECT p.sub, p.cid, coalesce(n.c, p.c) AS c
+            FROM pc0 p LEFT JOIN (
+                SELECT sub, cid, list(x ORDER BY pos) AS c
+                FROM pm1 GROUP BY sub, cid) n
+            ON p.sub = n.sub AND p.cid = n.cid),
+    pfin AS (SELECT vec_id, sub, cid FROM (
+        SELECT e.vec_id, e.sub, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id, e.sub
+                                  ORDER BY {dist_p}, c.cid) AS rn
+        FROM e JOIN pc1 c USING (sub)) WHERE rn = 1),
+    wide AS (
+        SELECT f.vec_id, r.cluster,
+               {", ".join(
+                   f"max(CASE WHEN f.sub = {s} THEN f.cid END) AS c{s}"
+                   for s in range(n_sub))}
+        FROM pfin f JOIN res r USING (vec_id)
+        GROUP BY f.vec_id, r.cluster
+    ),
+    -- query path: coarse probe by (rounded dist, cid), then per-cell
+    -- residual LUTs against the PQ centroids
+    qf AS (SELECT 'q' || CAST(vec_id AS VARCHAR) AS qid,
+                  CAST(embedding AS DOUBLE[]) AS fv
+           FROM embeddings WHERE vec_id < 2),
+    probe AS (SELECT qid, cid AS cell, qr FROM (
+        SELECT q.qid, c.cid,
+               list_transform(range(1, {d + 1}),
+                              i -> q.fv[i] - c.c[i]) AS qr,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                   round(list_dot_product(q.fv, q.fv)
+                         + list_dot_product(c.c, c.c)
+                         - 2 * list_dot_product(q.fv, c.c)
+                         + 0.0000001, 6), c.cid) AS rn
+        FROM qf q JOIN cc1 c ON TRUE) WHERE rn <= {n_probe}),
+    lut AS (
+        SELECT p.qid, p.cell, c.sub, c.cid,
+               round(list_dot_product(qs, qs)
+                     + list_dot_product(c.c, c.c)
+                     - 2 * list_dot_product(qs, c.c)
+                     + 0.0000001, 6) AS dist
+        FROM (SELECT qid, cell, s.sub,
+                     qr[s.sub * {dsub} + 1:
+                        s.sub * {dsub} + {dsub}] AS qs
+              FROM probe,
+                   LATERAL (SELECT unnest(range(0, {n_sub})) AS sub) s
+             ) p
+        JOIN pc1 c ON c.sub = p.sub
+    ),
+    scored AS (
+        SELECT pr.qid AS query_id, w.vec_id,
+               CAST(w.cluster AS BIGINT) AS cluster,
+               round({" + ".join(f"l{s}.dist" for s in range(n_sub))}
+                     + 0.0000001, 6) AS approx_dist
+        FROM wide w
+        JOIN probe pr ON pr.cell = w.cluster
+        {" ".join(
+            f"JOIN lut l{s} ON l{s}.qid = pr.qid"
+            f" AND l{s}.cell = w.cluster"
+            f" AND l{s}.sub = {s} AND l{s}.cid = w.c{s}"
+            for s in range(n_sub))}
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY approx_dist, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cluster, approx_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= {top_k}
+    """
+
+
+ORACLE["ivf_pq_search"] = _ivf_pq_oracle()
+QUERIES["ivf_pq_search"] = q_ivf_pq_search

@@ -494,3 +494,74 @@ class TestBlockingBucketCap:
         assert len(out) == 5  # only the phone-blocked pairs survive
         # one agreeing field: positive FS evidence on every kept pair
         assert all(r["fs_weight"] > 0 for r in out)
+
+
+class TestIvfPq:
+    def test_recall_vs_bruteforce_l2(self, spark):
+        """Probing all cells must contain the exact-L2 top-1 for most
+        queries (PQ is lossy, so rank-1 identity is not guaranteed —
+        top-5 containment at full probe is the right contract); at
+        n_probe < nlist the query's own vector still ranks first."""
+        from woodwork_spark.io import read_parquet
+        from woodwork_spark.operators.embedding import ivf_pq_search
+
+        emb = read_parquet(
+            spark, "/root/testdata/sf0.001/embeddings.parquet")
+        qrows = emb.filter("vec_id < 4").select(
+            "vec_id", "embedding").collect()
+        queries = {f"q{r['vec_id']}": [float(x) for x in r["embedding"]]
+                   for r in qrows}
+        out = ivf_pq_search(
+            emb, "vec_id", "embedding", queries,
+            nlist=4, n_probe=4, n_subspaces=4, k=8,
+            coarse_iterations=1, pq_iterations=1, top_k=5)
+        byq = {}
+        for r in out.collect():
+            byq.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"]))
+        # exact L2 top-1 of each query is itself (distance 0)
+        hits = sum(
+            1 for qid, got in byq.items()
+            if int(qid[1:]) in [v for _, v in got]
+        )
+        assert hits >= 3, byq  # >= 3 of 4 queries self-recover in top-5
+
+    def test_partial_probe_subsets_full_probe_cells(self, spark):
+        """n_probe=1 results must be exactly the full-probe results
+        restricted to each query's nearest cell (same codes, same
+        LUTs — the probe only prunes)."""
+        from woodwork_spark.io import read_parquet
+        from woodwork_spark.operators.embedding import ivf_pq_search
+
+        emb = read_parquet(
+            spark, "/root/testdata/sf0.001/embeddings.parquet")
+        qrows = emb.filter("vec_id < 2").select(
+            "vec_id", "embedding").collect()
+        queries = {f"q{r['vec_id']}": [float(x) for x in r["embedding"]]
+                   for r in qrows}
+        kw = dict(nlist=4, n_subspaces=4, k=8, coarse_iterations=1,
+                  pq_iterations=1, top_k=50)
+        one = ivf_pq_search(emb, "vec_id", "embedding", queries,
+                            n_probe=1, **kw).collect()
+        four = ivf_pq_search(emb, "vec_id", "embedding", queries,
+                             n_probe=4, **kw).collect()
+        cells1 = {r["query_id"]: r["cluster"] for r in one}
+        f_scores = {(r["query_id"], r["vec_id"]): r["approx_dist"]
+                    for r in four}
+        for r in one:
+            key = (r["query_id"], r["vec_id"])
+            # every 1-probe hit in the full-probe map has the same dist
+            if key in f_scores:
+                assert f_scores[key] == pytest.approx(
+                    r["approx_dist"], abs=1e-9)
+            assert r["cluster"] == cells1[r["query_id"]]
+
+    def test_bad_probe_params_raise(self, spark):
+        from woodwork_spark.io import read_parquet
+        from woodwork_spark.operators.embedding import ivf_pq_search
+
+        emb = read_parquet(
+            spark, "/root/testdata/sf0.001/embeddings.parquet")
+        with pytest.raises(ValueError, match="n_probe"):
+            ivf_pq_search(emb, "vec_id", "embedding",
+                          {"q": [0.0] * 64}, nlist=4, n_probe=5)

@@ -770,3 +770,164 @@ def _pq_train(
                 new[key] = v  # empty cluster keeps its centroid
         cents = new
     return cents, pts
+
+
+def ivf_pq_search(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: dict,
+    nlist: int = 4,
+    n_probe: int = 2,
+    n_subspaces: int = 4,
+    k: int = 8,
+    coarse_iterations: int = 1,
+    pq_iterations: int = 1,
+    top_k: int = 5,
+    quantize: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the actual 100-TB-shape ANN index — a coarse inverted
+    file prunes the scan to ``n_probe`` of ``nlist`` cells, and within
+    the probed cells the asymmetric-distance LUT scan of
+    :func:`pq_search` runs over byte codes of the RESIDUALS (vector
+    minus its coarse centroid, the FAISS ``IVFPQ by_residual``
+    formulation with one shared codebook): scan cost drops by
+    ~``n_probe / nlist`` on top of PQ's byte-per-subspace compression,
+    and residual quantization is finer than raw-vector quantization
+    because residual norms are a fraction of vector norms.
+
+    Deterministic trajectory, replayable by an external engine:
+
+    - coarse quantizer: :func:`~woodwork_spark.operators.similarity.
+      kmeans_lloyd` seeded from vectors with ``id < nlist``, quantized
+      mean updates;
+    - PQ codebook: :func:`_pq_train` on the residual frame, seeded
+      from residuals with ``id < k``, quantized updates;
+    - query path: coarse probing picks the ``n_probe`` cells by
+      (rounded distance, cell id); per probed cell the query RESIDUAL
+      builds the n_subspaces x k LUT driver-side from the literal
+      centroids (rounded like :func:`pq_search`), and the cell's codes
+      score with the fixed-order lookup sum.
+
+    ``queries`` maps query_id -> full-dimension list[float].  Returns
+    ``(query_id, id_col, cluster, approx_dist, rank)`` — top ``top_k``
+    per query by (approx_dist, id) over the probed cells only.
+    """
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.similarity import kmeans_lloyd
+
+    if not queries:
+        raise ValueError("ivf_pq_search: queries are required")
+    if not (1 <= n_probe <= nlist):
+        raise ValueError("need 1 <= n_probe <= nlist")
+    eps = 1e-7
+    # --- coarse quantizer (deterministic id < nlist seeding) ---------
+    seed_rows = (
+        df.where(F.col(id_col) < nlist)
+        .select(F.col(id_col).cast("int"), vec_col)
+        .collect()
+    )
+    if len(seed_rows) < nlist:
+        raise ValueError("ivf_pq_search: seeding needs ids 0..nlist-1")
+    init = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows]
+    assigned, coarse = kmeans_lloyd(
+        df, id_col, vec_col, init, iterations=coarse_iterations,
+        quantize=quantize, return_centroids=True,
+    )
+    caches = list(persisted_frames(assigned))
+    cmap = {int(c): [float(x) for x in v] for c, v in coarse}
+    d = len(init[0][1])
+    # --- residual frame: v - centroid[cluster] ------------------------
+    cent_arr = F.array(*[
+        F.lit(cmap[c]).cast("array<double>") for c in sorted(cmap)
+    ])
+    resid = F.zip_with(
+        F.col("__fv"), F.element_at(cent_arr, F.col("cluster") + 1),
+        lambda a, b: a - b,
+    )
+    rdf = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__fv"),
+        )
+        .join(assigned.select(id_col, "cluster"), id_col)
+        .select(id_col, "cluster", resid.alias("__resv"))
+    )
+    # --- shared PQ codebook on residuals ------------------------------
+    cents, pts = _pq_train(
+        rdf, id_col, "__resv", n_subspaces, k, pq_iterations, quantize,
+        who="ivf_pq_search",
+    )
+    caches.append(pts)
+    codes = (
+        _pq_assign(pts, cents)
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__sub", "__cid"))),
+                lambda st: st["__cid"],
+            ).alias("__cs"),
+        )
+        .select(F.col("__id").alias(id_col), "__cs")
+        .join(rdf.select(id_col, "cluster"), id_col)
+    )
+    dsub = d // n_subspaces
+    # --- query path: probe cells, per-cell residual LUTs --------------
+    out_frames = []
+    for qid in sorted(queries):
+        qv = [float(x) for x in queries[qid]]
+        if len(qv) != d:
+            raise ValueError(f"query {qid!r} has wrong dimension")
+        # coarse probe: nearest n_probe cells by (rounded dist, cid)
+        cd = []
+        for c in sorted(cmap):
+            cv = cmap[c]
+            dist = 0.0
+            for a, b in zip(qv, cv):
+                dist += (a - b) * (a - b)
+            cd.append((round(dist + eps, quantize), c))
+        cd.sort()
+        probe = [c for _, c in cd[:n_probe]]
+        for cell in probe:
+            cv = cmap[cell]
+            qr = [a - b for a, b in zip(qv, cv)]
+            score = None
+            for s in range(n_subspaces):
+                qs = qr[s * dsub:(s + 1) * dsub]
+                qq = 0.0
+                for x in qs:
+                    qq += x * x
+                lut = []
+                for cid in range(k):
+                    pv = cents[(s, cid)]
+                    cc = 0.0
+                    qc = 0.0
+                    for a, b in zip(qs, pv):
+                        qc += a * b
+                    for b in pv:
+                        cc += b * b
+                    lut.append(round(qq + cc - 2.0 * qc + eps, quantize))
+                arr = F.array(*[F.lit(x) for x in lut])
+                term = F.element_at(
+                    arr, F.col("__cs").getItem(s).cast("int") + 1,
+                )
+                score = term if score is None else score + term
+            out_frames.append(
+                codes.filter(F.col("cluster") == cell).select(
+                    F.lit(qid).alias("query_id"),
+                    F.col(id_col),
+                    F.col("cluster"),
+                    F.round(score + eps, quantize).alias("approx_dist"),
+                ),
+            )
+    allq = out_frames[0]
+    for fr in out_frames[1:]:
+        allq = allq.unionByName(fr)
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc(id_col),
+    )
+    out = (
+        allq.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )
+    return attach_persisted(out, *caches)

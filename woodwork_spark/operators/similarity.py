@@ -563,7 +563,8 @@ def kmeans_lloyd(
     init_centroids,
     iterations: int = 2,
     quantize: int = 6,
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """Distributed Lloyd k-means over an embedding column: full-data
     assignment + mean-update iterations (the refinement step after
     ``ivf_index``'s sampled k-means++ seeding, or a standalone
@@ -585,6 +586,11 @@ def kmeans_lloyd(
 
     Returns the FINAL assignment: ``(id_col, cluster, dist_sq)`` under
     the last updated centroids.  Null ids/vectors are excluded.
+    ``return_centroids=True`` returns ``(assignment, centroids)`` with
+    the final ``[(cluster_id, [floats])]`` list — the coarse-quantizer
+    calling convention of :func:`~woodwork_spark.operators.embedding.
+    ivf_pq_search`, which needs the centroids for residuals and query
+    probing.
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
@@ -661,7 +667,10 @@ def kmeans_lloyd(
     )
     from ..lifecycle import attach_persisted
 
-    return attach_persisted(out, pts)
+    out = attach_persisted(out, pts)
+    if return_centroids:
+        return out, cents
+    return out
 
 
 def cluster_agreement(
