@@ -20590,3 +20590,173 @@ def _ivf_pq_oracle(nlist=4, n_probe=2, n_sub=4, k=8, d=64, top_k=5):
 
 ORACLE["ivf_pq_search"] = _ivf_pq_oracle()
 QUERIES["ivf_pq_search"] = q_ivf_pq_search
+
+
+def q_unigram_train(spark, sf_dir):
+    """Unigram-LM vocabulary TRAINING (SentencePiece-style hard EM, 2
+    rounds) over the corpus word frequencies: substring seed (top-60 +
+    all single chars), Viterbi E-step (Arrow-batched DP), one grouped
+    M-step per round with min_count pruning, quantized log-probs so
+    the DuckDB oracle replays BOTH DP rounds as recursive CTEs over
+    the derived vocab tables."""
+    from woodwork_spark.operators.bpe import unigram_lm_train
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    out = unigram_lm_train(
+        words, "word", seed_size=60, rounds=2, max_piece_len=8,
+        min_count=2,
+    )
+    return out.select(
+        "piece", "count",
+        _ravg(F.col("logp"), 6).alias("logp"),
+    )
+
+
+def _unigram_dp_cte(tag: str, words_cte: str, vocab_cte: str) -> str:
+    """One Viterbi-DP replay round as recursive CTE fragments: forward
+    best-score/backpointer lists + backtrace, identical to the
+    unigram_tokenize oracle but parameterized on the words/vocab CTE
+    names so trained (derived) vocabularies slot in.  Emits
+    ``seg_{tag}(w, wcnt, pieces)``."""
+    score = (f"f.b[f.i + 2 - L] + coalesce(l.lpflat[f.i * 8 + L], "
+             f"-1000000000000000000.0)")
+    return f"""
+    pos_{tag} AS (
+        SELECT w, wcnt, length(w) AS n, t.i, u.L
+        FROM {words_cte},
+             LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) t,
+             LATERAL (SELECT unnest(range(1, 9)) AS L) u
+    ),
+    withlp_{tag} AS (
+        SELECT p.w, p.wcnt, p.n, p.i, p.L,
+               CASE WHEN p.L > p.i THEN NULL
+                    WHEN v.lp IS NOT NULL THEN v.lp
+                    WHEN p.L = 1 THEN -20.0
+                    ELSE NULL END AS lp
+        FROM pos_{tag} p LEFT JOIN {vocab_cte} v
+            ON p.L <= p.i AND substr(p.w, p.i - p.L + 1, p.L) = v.piece
+    ),
+    lps_{tag} AS MATERIALIZED (
+        SELECT w, max(wcnt) AS wcnt, max(n) AS n,
+               list(lp ORDER BY i, L) AS lpflat
+        FROM withlp_{tag} GROUP BY w
+    ),
+    fwd_{tag}(w, n, i, b, back) AS (
+        SELECT w, n, 0, [CAST(0.0 AS DOUBLE)], [CAST(0 AS BIGINT)]
+        FROM lps_{tag}
+        UNION ALL
+        SELECT f.w, f.n, f.i + 1,
+               list_append(f.b, list_max(list_transform(
+                   range(1, least(8, f.i + 1) + 1),
+                   L -> {score}))),
+               list_append(f.back, list_max(list_transform(
+                   range(1, least(8, f.i + 1) + 1),
+                   L -> CASE WHEN {score} = list_max(list_transform(
+                            range(1, least(8, f.i + 1) + 1),
+                            L2 -> f.b[f.i + 2 - L2]
+                                  + coalesce(l.lpflat[f.i * 8 + L2],
+                                             -1000000000000000000.0)))
+                        THEN L ELSE 0 END)))
+        FROM fwd_{tag} f JOIN lps_{tag} l USING (w)
+        WHERE f.i < f.n
+    ),
+    fin_{tag} AS (SELECT w, n, b, back FROM fwd_{tag} WHERE i = n),
+    bt_{tag}(w, pos, pieces) AS (
+        SELECT w, CAST(n AS BIGINT), '' FROM fin_{tag}
+        UNION ALL
+        SELECT b2.w,
+               b2.pos - f.back[b2.pos + 1],
+               substr(b2.w,
+                      CAST(b2.pos - f.back[b2.pos + 1] + 1 AS INT),
+                      CAST(f.back[b2.pos + 1] AS INT))
+               || CASE WHEN b2.pieces = '' THEN '' ELSE '|' END
+               || b2.pieces
+        FROM bt_{tag} b2 JOIN fin_{tag} f USING (w)
+        WHERE b2.pos > 0
+    ),
+    seg_{tag} AS MATERIALIZED (
+        SELECT b.w, l.wcnt, b.pieces
+        FROM bt_{tag} b JOIN lps_{tag} l USING (w)
+        WHERE b.pos = 0
+    )"""
+
+
+def _unigram_train_oracle(seed_size=60, min_count=2) -> str:
+    mstep = """
+    mstep_{t} AS MATERIALIZED (
+        SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split(pieces, '|')) AS piece, wcnt
+            FROM seg_{t})
+        GROUP BY piece)"""
+    keep = f"""
+        SELECT m.piece, m.cnt FROM mstep_{{t}} m
+        WHERE length(m.piece) = 1 OR m.cnt >= {min_count}
+        UNION ALL
+        SELECT s.piece, CAST(0 AS BIGINT) AS cnt
+        FROM singles s
+        WHERE s.piece NOT IN (SELECT piece FROM mstep_{{t}})"""
+    vocab = """
+        SELECT piece, cnt,
+               CASE WHEN cnt > 0 THEN
+                   round(ln(CAST(cnt AS DOUBLE)
+                            / (SELECT sum(cnt) FROM kept_{t}))
+                         + 0.0000001, 6)
+               ELSE -20.0 END AS lp
+        FROM kept_{t}"""
+    return f"""
+    WITH RECURSIVE words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wcnt FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents WHERE text IS NOT NULL)
+        WHERE w <> '' GROUP BY w
+    ),
+    subs AS MATERIALIZED (
+        SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS piece,
+               CAST(sum(wcnt) AS BIGINT) AS cnt
+        FROM words,
+             LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) t,
+             LATERAL (SELECT unnest(range(1,
+                 least(8, length(w) - i + 1) + 1)) AS L) u
+        GROUP BY 1
+    ),
+    topn AS (
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt, row_number() OVER (
+                ORDER BY cnt DESC, piece) AS rk FROM subs)
+        WHERE rk <= {seed_size}
+    ),
+    singles AS (SELECT piece, cnt FROM subs WHERE length(piece) = 1),
+    sel AS (
+        SELECT piece, max(cnt) AS cnt FROM (
+            SELECT * FROM topn UNION ALL SELECT * FROM singles)
+        GROUP BY piece
+    ),
+    vocab0 AS MATERIALIZED (
+        SELECT piece,
+               round(ln(CAST(cnt AS DOUBLE)
+                        / (SELECT sum(cnt) FROM sel))
+                     + 0.0000001, 6) AS lp
+        FROM sel
+    ),
+    {_unigram_dp_cte('r1', 'words', 'vocab0')},
+    {mstep.replace('{t}', 'r1')},
+    kept_r1 AS MATERIALIZED ({keep.replace('{t}', 'r1')}),
+    vocab1 AS MATERIALIZED ({vocab.replace('{t}', 'r1')}),
+    {_unigram_dp_cte('r2', 'words', 'vocab1')},
+    {mstep.replace('{t}', 'r2')},
+    kept_r2 AS MATERIALIZED ({keep.replace('{t}', 'r2')}),
+    vocab2 AS MATERIALIZED ({vocab.replace('{t}', 'r2')})
+    SELECT piece, cnt AS count, lp AS logp
+    FROM vocab2
+    """
+
+
+ORACLE["unigram_train"] = _unigram_train_oracle()
+QUERIES["unigram_train"] = q_unigram_train

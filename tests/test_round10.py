@@ -565,3 +565,64 @@ class TestIvfPq:
         with pytest.raises(ValueError, match="n_probe"):
             ivf_pq_search(emb, "vec_id", "embedding",
                           {"q": [0.0] * 64}, nlist=4, n_probe=5)
+
+
+class TestUnigramLmTrain:
+    def test_recovers_planted_vocabulary(self, spark):
+        """Words composed of the pieces {ab, cde, fg}: after 2 hard-EM
+        rounds the trained vocab must carry all three with dominant
+        counts, and segmentation under it must use them."""
+        import random
+
+        from woodwork_spark.operators.bpe import (
+            unigram_lm_train,
+            unigram_viterbi_tokenize,
+        )
+
+        random.seed(0)
+        units = ["ab", "cde", "fg"]
+        rows = [
+            ("".join(random.choice(units)
+                     for _ in range(random.randint(2, 4))),
+             random.randint(1, 5))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(rows, ["word", "cnt"])
+        out = unigram_lm_train(
+            df, "word", "cnt", seed_size=50, rounds=2,
+            max_piece_len=4, min_count=1)
+        res = {r["piece"]: (r["count"], r["logp"]) for r in out.collect()}
+        for p in units:
+            assert p in res and res[p][0] > 50, (p, res.get(p))
+        # every piece's logp is a proper log-probability
+        assert all(lp <= 0 for _, lp in res.values())
+        # segmentation under the trained vocab covers a fresh composite
+        vocab = {p: lp for p, (_, lp) in res.items()}
+        seg = unigram_viterbi_tokenize(
+            spark.createDataFrame([("abcdefg",)], ["w"]), "w", vocab,
+            max_piece_len=4,
+        ).collect()[0]
+        assert set(seg["piece_str"].split("|")) <= set(vocab)
+
+    def test_single_chars_always_survive(self, spark):
+        from woodwork_spark.operators.bpe import unigram_lm_train
+
+        df = spark.createDataFrame(
+            [("aaaa", 10), ("bbbb", 10), ("zq", 1)], ["word", "cnt"])
+        out = unigram_lm_train(
+            df, "word", "cnt", seed_size=3, rounds=2,
+            max_piece_len=4, min_count=5)
+        res = {r["piece"]: r for r in out.collect()}
+        # every corpus character survives even under aggressive pruning
+        for ch in "abzq":
+            assert ch in res, ch
+        # an unused single char sits at the unk floor
+        floor = [r for r in res.values() if r["count"] == 0]
+        assert all(r["logp"] == -20.0 for r in floor)
+
+    def test_rounds_validation(self, spark):
+        from woodwork_spark.operators.bpe import unigram_lm_train
+
+        df = spark.createDataFrame([("ab", 1)], ["word", "cnt"])
+        with pytest.raises(ValueError, match="rounds"):
+            unigram_lm_train(df, "word", "cnt", rounds=0)

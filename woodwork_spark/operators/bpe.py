@@ -287,3 +287,137 @@ def unigram_viterbi_tokenize(
         .withColumn("logp", F.col("__seg.logp"))
         .drop("__seg")
     )
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    word_col: str,
+    count_col: str = None,
+    seed_size: int = 200,
+    rounds: int = 2,
+    max_piece_len: int = 8,
+    unk_logp: float = -20.0,
+    min_count: int = 1,
+    quantize: int = 6,
+) -> DataFrame:
+    """SentencePiece-style unigram-LM vocabulary TRAINING — the EM loop
+    that completes the tokenizer stack (:func:`bpe_learn` is the
+    merge-based member, :func:`unigram_viterbi_tokenize` the inference
+    member this trains a vocabulary for).
+
+    Hard (Viterbi) EM over a word-frequency frame:
+
+    - seed: every substring of length 1..``max_piece_len`` counts once
+      per word occurrence (one JVM-side explode + grouped agg); the top
+      ``seed_size`` pieces by (count desc, piece asc) PLUS every single
+      character form vocab 0, with ``logp = round(ln(cnt / total), q)``
+      over the selected set;
+    - E-step: segment every distinct word under the broadcast vocab
+      with the existing Arrow-batched Viterbi DP (longest-piece ties);
+    - M-step: ONE groupBy(piece) aggregation of frequency-weighted
+      piece counts; multi-character pieces with ``count < min_count``
+      are pruned (unused seeds die here — the lowest-logp prune),
+      single characters always survive (unused ones at the
+      ``unk_logp`` floor) so segmentation stays total;
+    - bounded ``rounds``; per round the only driver state is the
+      vocab itself (<= seed_size + alphabet rows — model-sized, the
+      PQ-centroid convention), and log-probabilities QUANTIZE to
+      ``quantize`` decimals so an external engine replays the exact
+      trajectory (the harness oracle re-runs both DP rounds as
+      recursive CTEs over the derived vocab tables).
+
+    ``count_col``: per-row word frequency (default 1 per row).
+    Returns the trained vocabulary: ``(piece, count, logp)`` where
+    ``count`` is the final-round segmented frequency.
+
+    Scale shape: the seed explode is O(total chars * max_piece_len)
+    rows through one grouped agg; each round is one embarrassingly
+    parallel UDF pass over DISTINCT words + one model-sized agg — at
+    100 TB the distinct-word frame (not the corpus) is the working
+    set, exactly how production tokenizer training preprocesses.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if seed_size < 1 or max_piece_len < 1 or min_count < 0:
+        raise ValueError("bad seed_size/max_piece_len/min_count")
+    spark = df.sparkSession
+    w = F.col(word_col)
+    weight = (
+        F.col(count_col).cast("long") if count_col else F.lit(1).cast("long")
+    )
+    words = (
+        df.filter(w.isNotNull() & (F.length(w) > 0))
+        .groupBy(w.alias("__w"))
+        .agg(F.sum(weight).alias("__cnt"))
+        .persist()
+    )
+    # ---- seed: all substrings, one explode + one agg -----------------
+    n = F.length("__w")
+    subs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(max_piece_len), n - i + 1)),
+            lambda ln: F.col("__w").substr(i, ln),
+        ),
+    ))
+    seed_counts = (
+        words.select(F.explode(subs).alias("piece"), "__cnt")
+        .groupBy("piece")
+        .agg(F.sum("__cnt").alias("cnt"))
+    )
+    # top-N via orderBy().limit() = TakeOrderedAndProject (per-partition
+    # heaps, never a single-partition window), singles unioned back in
+    top = seed_counts.orderBy(F.desc("cnt"), F.asc("piece")).limit(
+        int(seed_size),
+    )
+    selected = top.unionByName(
+        seed_counts.filter(F.length("piece") == 1),
+    ).groupBy("piece").agg(F.max("cnt").alias("cnt"))
+    sel_rows = selected.collect()  # model-sized: <= seed_size + alphabet
+    total = sum(r["cnt"] for r in sel_rows)
+    import math as _math
+
+    eps = 1e-7
+    vocab = {
+        r["piece"]: round(_math.log(r["cnt"] / total) + eps, quantize)
+        for r in sel_rows
+    }
+    singles = {p for p in vocab if len(p) == 1}
+    counts = {r["piece"]: int(r["cnt"]) for r in sel_rows}
+    # ---- hard-EM rounds ----------------------------------------------
+    for _ in range(int(rounds)):
+        seg = unigram_viterbi_tokenize(
+            words, "__w", vocab, unk_logp=unk_logp,
+            max_piece_len=max_piece_len,
+        )
+        mrows = (
+            seg.select(
+                F.explode(F.split("piece_str", r"\|")).alias("piece"),
+                "__cnt",
+            )
+            .groupBy("piece")
+            .agg(F.sum("__cnt").alias("cnt"))
+            .collect()  # bounded by the current vocab size
+        )
+        mcnt = {r["piece"]: int(r["cnt"]) for r in mrows}
+        kept = {
+            p: c for p, c in mcnt.items()
+            if len(p) == 1 or c >= min_count
+        }
+        for p in singles:  # unused single chars survive at the floor
+            kept.setdefault(p, 0)
+        total = sum(kept.values())
+        vocab = {
+            p: (
+                round(_math.log(c / total) + eps, quantize)
+                if c > 0 else float(unk_logp)
+            )
+            for p, c in kept.items()
+        }
+        counts = kept
+    words.unpersist()
+    out = spark.createDataFrame(
+        sorted((p, counts[p], vocab[p]) for p in vocab),
+        "piece string, count long, logp double",
+    )
+    return out
