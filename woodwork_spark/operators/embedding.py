@@ -870,7 +870,12 @@ def ivf_pq_search(
         )
         .select(F.col("__id").alias(id_col), "__cs")
         .join(rdf.select(id_col, "cluster"), id_col)
+        # every (query, probed cell) branch below scans this frame —
+        # without the persist each branch re-runs the PQ assignment
+        # join AND the coarse k-means assignment feeding the residuals
+        .persist()
     )
+    caches.append(codes)
     dsub = d // n_subspaces
     # --- query path: probe cells, per-cell residual LUTs --------------
     out_frames = []

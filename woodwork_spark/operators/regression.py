@@ -29,6 +29,8 @@ column relationships, one step further to a fitted model.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +42,7 @@ def ols_fit(
     y_col: str,
     x_cols,
     ridge_lambda: float = 0.0,
+    inference: bool = False,
 ) -> DataFrame:
     """Ordinary least squares (optionally ridge) of ``y_col`` on
     ``x_cols`` with an intercept, fully distributed.
@@ -54,6 +57,17 @@ def ols_fit(
     Raises on: no surviving rows, more features than
     ``_MAX_AGG_FEATURES``, or a singular centered gram (perfectly
     collinear features) when ``ridge_lambda == 0``.
+
+    ``inference=True`` (classical OLS only — raises with ridge) adds
+    the Wald readout from the SAME two passes, no extra scan:
+    ``sigma2 = SSE / (n - d - 1)``, slope variances from the inverse
+    centered gram (``se_j = sqrt(sigma2 * (G^-1)_jj)``), intercept
+    variance ``sigma2 * (1/n + m' G^-1 m)``, t statistics and their
+    two-sided p through the shared A&S normal approximation (documented
+    z-approx — exact for the n this engine targets; see
+    ``stats_tests._std_normal_two_sided_p``).  Output gains
+    ``se_intercept`` and per-covariate ``se_<x>, t_<x>, p_<x>`` plus
+    ``df_resid``.  All NULL when ``n <= d + 1`` or the fit is exact.
     """
     import numpy as np
 
@@ -119,11 +133,62 @@ def ols_fit(
     for name, coef in zip(x_cols, b):
         row[f"coef_{name}"] = float(coef)
     row["r2"] = r2
-    spark = df.sparkSession
-    schema = "n long, intercept double, " + ", ".join(
+    schema_cols = ["n long", "intercept double"] + [
         f"coef_{name} double" for name in x_cols
-    ) + ", r2 double"
-    return spark.createDataFrame([row], schema=schema)
+    ] + ["r2 double"]
+    if inference:
+        if ridge_lambda != 0.0:
+            raise ValueError(
+                "ols_fit: inference requires ridge_lambda == 0 — the "
+                "classical Wald readout is not valid for shrunk "
+                "coefficients",
+            )
+        dof = int(n) - d - 1
+        ok = dof > 0 and sse > 0
+        sigma2 = sse / dof if ok else None
+        try:
+            ginv = np.linalg.inv(g)
+        except np.linalg.LinAlgError:
+            ok = False
+            ginv = None
+        mvec = np.array([means[f"m{i}"] for i in range(d)])
+        row["df_resid"] = dof if dof > 0 else None
+        se0 = (
+            math.sqrt(sigma2 * (1.0 / n + float(mvec @ ginv @ mvec)))
+            if ok else None
+        )
+        row["se_intercept"] = se0
+        schema_cols += ["df_resid long", "se_intercept double"]
+        for j, name in enumerate(x_cols):
+            se = math.sqrt(sigma2 * float(ginv[j, j])) if ok else None
+            t = float(b[j]) / se if se else None
+            row[f"se_{name}"] = se
+            row[f"t_{name}"] = t
+            row[f"p_{name}"] = (
+                _norm_two_sided_p_scalar(t) if t is not None else None
+            )
+            schema_cols += [
+                f"se_{name} double", f"t_{name} double",
+                f"p_{name} double",
+            ]
+    spark = df.sparkSession
+    return spark.createDataFrame([row], schema=", ".join(schema_cols))
+
+
+def _norm_two_sided_p_scalar(z: float) -> float:
+    """Driver-side scalar twin of ``stats_tests._std_normal_two_sided_p``
+    — the SAME A&S 7.1.26 polynomial, so driver-computed p-values and
+    SQL-replayed ones agree to the approximation's own precision."""
+    x = abs(z) / math.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * t * t
+        + 1.421413741 * t * t * t
+        - 1.453152027 * t * t * t * t
+        + 1.061405429 * t * t * t * t * t
+    )
+    return min(1.0, max(0.0, poly * math.exp(-x * x)))
 
 
 def _glm_newton_fit(
@@ -133,6 +198,7 @@ def _glm_newton_fit(
     group_cols,
     iters: int,
     family: str,
+    exposure_col: str = None,
 ) -> DataFrame:
     """Shared unrolled-Newton engine for the two canonical one-covariate
     GLMs (logistic / Poisson).  Per iteration, ONE aggregate computes
@@ -165,16 +231,29 @@ def _glm_newton_fit(
         raise ValueError(f"iters must be >= 1, got {iters}")
     if family not in ("logistic", "poisson"):
         raise ValueError(f"unknown family {family!r}")
+    if exposure_col is not None and family != "poisson":
+        raise ValueError("exposure_col is a Poisson-rate concept")
     group_cols = (
         [group_cols] if isinstance(group_cols, str) else list(group_cols)
     )
-    base = df.filter(
-        F.col(y_col).isNotNull() & F.col(x_col).isNotNull(),
-    ).select(
+    cond = F.col(y_col).isNotNull() & F.col(x_col).isNotNull()
+    off_cols = []
+    if exposure_col is not None:
+        # rate model: eta = b0 + b1 x + ln(exposure) — rows with a
+        # null or non-positive exposure carry no rate information
+        cond = cond & (F.col(exposure_col) > 0)
+        off_cols = [
+            F.log(F.col(exposure_col).cast("double")).alias("__off"),
+        ]
+    base = df.filter(cond).select(
         *group_cols,
         F.col(y_col).cast("double").alias("__y"),
         F.col(x_col).cast("double").alias("__x"),
+        *off_cols,
     )
+
+    def _eta_of(e):
+        return e + F.col("__off") if exposure_col is not None else e
 
     def _joined(coef):
         if group_cols:
@@ -199,7 +278,7 @@ def _glm_newton_fit(
     )
     for _ in range(int(iters)):
         cur = _joined(coef)
-        eta = F.col("__b0") + F.col("__b1") * F.col("__x")
+        eta = _eta_of(F.col("__b0") + F.col("__b1") * F.col("__x"))
         mu, w = _mu_w(eta)
         x = F.col("__x")
         step = cur.groupBy(*group_cols).agg(
@@ -230,7 +309,7 @@ def _glm_newton_fit(
             ).otherwise(F.col("__b1")).alias("__b1"),
         )
     fin = _joined(coef)
-    eta = F.col("__b0") + F.col("__b1") * F.col("__x")
+    eta = _eta_of(F.col("__b0") + F.col("__b1") * F.col("__x"))
     mu, w = _mu_w(eta)
     x = F.col("__x")
     if family == "logistic":
@@ -280,6 +359,8 @@ def _glm_irls_fit(
     group_cols,
     iters: int,
     family: str,
+    exposure_col: str = None,
+    ridge_lambda: float = 0.0,
 ) -> DataFrame:
     """k-covariate generalization of :func:`_glm_newton_fit`: per Newton
     round ONE aggregate folds the d-vector score ``U_j = sum x_j (y -
@@ -324,9 +405,22 @@ def _glm_irls_fit(
     group_cols = (
         [group_cols] if isinstance(group_cols, str) else list(group_cols)
     )
+    if exposure_col is not None and family != "poisson":
+        raise ValueError("exposure_col is a Poisson-rate concept")
+    if ridge_lambda < 0:
+        raise ValueError("ridge_lambda must be >= 0")
     cond = F.col(y_col).isNotNull()
     for c in x_cols:
         cond = cond & F.col(c).isNotNull()
+    off_cols = []
+    if exposure_col is not None:
+        cond = cond & (F.col(exposure_col) > 0)
+        off_cols = [
+            F.log(F.col(exposure_col).cast("double")).alias("__off"),
+        ]
+    # persisted: every Newton round (and its eager checkpoint) re-reads
+    # this frame — without the cache a k-round fit scans the input k+1
+    # times through whatever upstream aggregation produced it
     base = df.filter(cond).select(
         *group_cols,
         F.col(y_col).cast("double").alias("__y"),
@@ -334,7 +428,8 @@ def _glm_irls_fit(
             F.col(c).cast("double").alias(f"__x{j + 1}")
             for j, c in enumerate(x_cols)
         ],
-    )
+        *off_cols,
+    ).persist()
 
     def _joined(coef):
         if group_cols:
@@ -370,16 +465,42 @@ def _glm_irls_fit(
     coef = base.groupBy(*group_cols).agg(
         *[F.lit(0.0).alias(f"__b{j}") for j in range(d)],
     )
+    lam = float(ridge_lambda)
+
+    def _penalized(step):
+        """Ridge: A + lam*I on the SLOPES only (never the intercept),
+        score U - lam*b on the slopes — the standard penalized Newton
+        step, so complete separation stays finite without clamps."""
+        if lam == 0.0:
+            return step
+        reps = []
+        for j in range(1, d):
+            reps.append(
+                (F.col(f"__u{j}") - F.lit(lam) * F.col(f"__b{j}"))
+                .alias(f"__u{j}"),
+            )
+            reps.append(
+                (F.col(f"__a_{j}_{j}") + F.lit(lam)).alias(f"__a_{j}_{j}"),
+            )
+        named = {f"__u{j}" for j in range(1, d)} | {
+            f"__a_{j}_{j}" for j in range(1, d)
+        }
+        return step.select(
+            *[c for c in step.columns if c not in named], *reps,
+        )
+
     for it in range(int(iters)):
         cur = _joined(coef)
         eta = F.col("__b0")
         for j in range(len(x_cols)):
             eta = eta + F.col(f"__b{j + 1}") * F.col(f"__x{j + 1}")
+        if exposure_col is not None:
+            eta = eta + F.col("__off")
         mu, w = _mu_w(eta)
-        step = cur.groupBy(*group_cols).agg(
+        step = _penalized(cur.groupBy(*group_cols).agg(
             *[F.max(f"__b{j}").alias(f"__b{j}") for j in range(d)],
             *_suff_aggs(mu, w, _xs()),
-        )
+        ))
         layers, sol, piv = chol_solve_layers(
             d, a_name, {"s": [f"__u{j}" for j in range(d)]},
             pref=f"__it{it}",
@@ -392,14 +513,22 @@ def _glm_irls_fit(
                 F.when(
                     ok, F.col(f"__b{j}") + F.col(sol["s"][j]),
                 ).otherwise(F.col(f"__b{j}")).alias(f"__b{j}")
-                for j in range(d)
+            for j in range(d)
             ],
         )
+        # eager checkpoint of the GROUP-sized coefficient frame per
+        # round — the bradley_terry convention: without it each
+        # round's plan embeds the previous one (join + agg + 3d solve
+        # layers) and Catalyst analysis time grows superlinearly in
+        # iters (17 s of planning for a 6-round k=2 fit at tiny SF)
+        coef = coef.localCheckpoint(eager=True)
     # final readout at the converged coefficients
     fin = _joined(coef)
     eta = F.col("__b0")
     for j in range(len(x_cols)):
         eta = eta + F.col(f"__b{j + 1}") * F.col(f"__x{j + 1}")
+    if exposure_col is not None:
+        eta = eta + F.col("__off")
     mu, w = _mu_w(eta)
     if family == "logistic":
         ll = F.col("__y") * F.log(mu) + (
@@ -443,7 +572,9 @@ def _glm_irls_fit(
         F.col("loglik"),
         F.when(ok & (F.col("n") > d), disp).alias("dispersion"),
     ]
-    return solved.select(*group_cols, *cols)
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(solved.select(*group_cols, *cols), base)
 
 
 def logistic_fit(
@@ -452,6 +583,7 @@ def logistic_fit(
     x_col,
     group_cols=(),
     iters: int = 6,
+    ridge_lambda: float = 0.0,
 ) -> DataFrame:
     """Logistic regression of a binary outcome on one or more covariates
     with an intercept, per group — unrolled distributed Newton.
@@ -460,10 +592,19 @@ def logistic_fit(
     :func:`_glm_newton_fit`; returns ``(group_cols..., n, intercept,
     slope, se_slope, z_stat, p_approx, loglik, dispersion)``) or a LIST
     of names (unrolled-Cholesky IRLS, see :func:`_glm_irls_fit`;
-    returns the wide per-covariate schema)."""
+    returns the wide per-covariate schema).
+
+    ``ridge_lambda > 0`` (IRLS path only) penalizes the SLOPES with L2
+    in every Newton step (``A + lam I`` on slope rows, ``U - lam b``)
+    — the standard fix that keeps completely-separated data finite;
+    the Wald readout then describes the penalized fit."""
     if isinstance(x_col, (list, tuple)):
         return _glm_irls_fit(df, y_col, x_col, group_cols, iters,
-                             "logistic")
+                             "logistic", ridge_lambda=ridge_lambda)
+    if ridge_lambda:
+        raise ValueError(
+            "ridge_lambda needs the IRLS path — pass x_col as a list",
+        )
     return _glm_newton_fit(df, y_col, x_col, group_cols, iters, "logistic")
 
 
@@ -473,16 +614,23 @@ def poisson_fit(
     x_col,
     group_cols=(),
     iters: int = 6,
+    exposure_col: str = None,
 ) -> DataFrame:
     """Poisson (log-link) regression of a count outcome on one or more
     covariates with an intercept, per group — unrolled distributed
     Newton.  ``x_col``: a name (closed-form 2x2 path) or a list of
     names (unrolled-Cholesky IRLS, :func:`_glm_irls_fit`).  loglik
-    omits the coefficient-free ln(y!) term in both shapes."""
+    omits the coefficient-free ln(y!) term in both shapes.
+
+    ``exposure_col`` turns the count model into a RATE model: the
+    classic offset formulation ``eta = b'x + ln(exposure)`` (counts
+    per observed hour/page/session); rows with null or non-positive
+    exposure are excluded."""
     if isinstance(x_col, (list, tuple)):
         return _glm_irls_fit(df, y_col, x_col, group_cols, iters,
-                             "poisson")
-    return _glm_newton_fit(df, y_col, x_col, group_cols, iters, "poisson")
+                             "poisson", exposure_col=exposure_col)
+    return _glm_newton_fit(df, y_col, x_col, group_cols, iters,
+                           "poisson", exposure_col=exposure_col)
 
 
 def theil_sen_fit(
@@ -696,4 +844,72 @@ def gmm1d_em(
             F.when(swap, F.col("__s2")).otherwise(F.col("__s1")),
         ).alias("sigma2"),
         "loglik",
+    )
+
+
+def glm_predict(
+    df: DataFrame,
+    model: DataFrame,
+    x_col,
+    group_cols=(),
+    family: str = "logistic",
+    out_col: str = "mu",
+    exposure_col: str = None,
+) -> DataFrame:
+    """Score a frame with a fitted GLM: broadcast-join the
+    one-row-per-group coefficient frame (the output of
+    :func:`logistic_fit` / :func:`poisson_fit`, either schema) and add
+    the predicted mean as a pure column expression — at 100 TB the
+    scoring pass costs exactly one projection on top of the scan, the
+    model being model-sized by construction.
+
+    ``x_col``: the same name-or-list passed to the fit.  The slim
+    (single-covariate) schema reads ``intercept``/``slope``; the wide
+    IRLS schema reads ``intercept``/``coef_<x>``.  Link inverses use
+    the SAME clamps as the fit engines (logistic eta in [-30, 30],
+    Poisson eta <= 700), and ``exposure_col`` applies the rate offset
+    symmetric to :func:`poisson_fit`.  Rows of groups absent from the
+    model (or with NULL coefficients — degenerate fits) get NULL
+    ``out_col``; input rows are never dropped.
+    """
+    multi = isinstance(x_col, (list, tuple))
+    xs = list(x_col) if multi else [x_col]
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    if family not in ("logistic", "poisson"):
+        raise ValueError(f"unknown family {family!r}")
+    if exposure_col is not None and family != "poisson":
+        raise ValueError("exposure_col is a Poisson-rate concept")
+    coef_names = (
+        ["intercept"] + [f"coef_{c}" for c in xs] if multi
+        else ["intercept", "slope"]
+    )
+    missing = [c for c in coef_names if c not in model.columns]
+    if missing:
+        raise ValueError(
+            f"glm_predict: model frame lacks {missing} — pass the fit "
+            "output that matches x_col's shape",
+        )
+    sel = model.select(
+        *group_cols,
+        *[F.col(c).alias(f"__m_{c}") for c in coef_names],
+    )
+    joined = (
+        df.join(F.broadcast(sel), group_cols, "left")
+        if group_cols else df.crossJoin(F.broadcast(sel))
+    )
+    eta = F.col("__m_intercept")
+    for j, c in enumerate(xs):
+        b = F.col("__m_slope") if not multi else F.col(f"__m_coef_{c}")
+        eta = eta + b * F.col(c).cast("double")
+    if exposure_col is not None:
+        eta = eta + F.log(F.col(exposure_col).cast("double"))
+    if family == "logistic":
+        eta = F.least(F.lit(30.0), F.greatest(F.lit(-30.0), eta))
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    else:
+        mu = F.exp(F.least(F.lit(700.0), eta))
+    return joined.withColumn(out_col, mu).drop(
+        *[f"__m_{c}" for c in coef_names],
     )

@@ -1344,6 +1344,9 @@ def cox_ph_fit(
     cond = F.col(time_col).isNotNull() & F.col(event_col).isNotNull()
     for c in xs:
         cond = cond & F.col(c).isNotNull()
+    # persisted: every Newton round's risk-cell pass (and the final
+    # readout) re-reads this frame — one upstream scan instead of
+    # iters + 1
     base = df.filter(cond).select(
         *group_cols,
         F.col(time_col).cast("double").alias("__t"),
@@ -1352,9 +1355,9 @@ def cox_ph_fit(
             F.col(c).cast("double").alias(f"__x{j + 1}")
             for j, c in enumerate(xs)
         ],
-    )
+    ).persist()
     bnames = [f"__b{j + 1}" for j in range(k)]
-    caches = []
+    caches = [base]
 
     def _risk_cells(bdf):
         """Collapse to (group, t) cells at the broadcast beta, then
@@ -1479,6 +1482,10 @@ def cox_ph_fit(
                 for j in range(k)
             ],
         )
+        # eager checkpoint of the group-sized beta frame per round —
+        # truncates the nested risk-cells lineage so Catalyst analysis
+        # stays constant per round (bradley_terry convention)
+        beta_df = beta_df.localCheckpoint(eager=True)
     # final readout: information at the FINAL beta for the Wald se
     cells = _risk_cells(beta_df)
     out = cells.groupBy(*group_cols).agg(
@@ -1498,7 +1505,7 @@ def cox_ph_fit(
             F.when(ok, z).alias("z_stat"),
             F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
         )
-        return attach_persisted(res, *caches) if caches else res
+        return attach_persisted(res, *caches)
     from woodwork_spark.operators.linalg import (
         apply_layers,
         chol_solve_layers,
@@ -1526,4 +1533,4 @@ def cox_ph_fit(
             F.when(ok, _std_normal_two_sided_p(z)).alias(f"p_{name}"),
         ]
     res = solved.select(*group_cols, *cols)
-    return attach_persisted(res, *caches) if caches else res
+    return attach_persisted(res, *caches)
