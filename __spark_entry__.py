@@ -21001,3 +21001,111 @@ def _logistic_predict_oracle() -> str:
 
 ORACLE["logistic_predict"] = _logistic_predict_oracle()
 QUERIES["logistic_predict"] = q_logistic_predict
+
+
+def q_cox_hazard(spark, sf_dir):
+    """Breslow baseline cumulative hazard at the cox_ph fit: fit beta
+    (3 unrolled Newton steps, the cox_ph trajectory), then one cell
+    collapse per (cohort, distinct duration), descending suffix sums
+    for the at-risk denominators, ascending prefix sums for H0(t),
+    baseline survival exp(-H0).  Oracle replays the fit CTEs then the
+    same two cumulative passes with RANGE/ROWS windows."""
+    from woodwork_spark.operators.timeseries import (
+        cox_baseline_hazard,
+        cox_ph_fit,
+    )
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+        F.count(F.lit(1)).alias("__ne"),
+    )
+    rows = per_user.select(
+        (F.col("user_id") % 3).alias("cohort"),
+        F.floor(
+            (
+                F.unix_micros(F.coalesce("__p", "__last"))
+                - F.unix_micros("__t0")
+            ) / 3.6e9,
+        ).cast("double").alias("dur"),
+        F.col("__p").isNotNull().cast("double").alias("ev"),
+        F.log(F.lit(1.0) + F.col("__ne")).alias("x"),
+    ).filter(F.col("dur") >= 0)
+    model = cox_ph_fit(rows, "dur", "ev", "x", "cohort", iters=3)
+    out = cox_baseline_hazard(rows, "dur", "ev", "x", model, "cohort")
+    # log1p readout: with tiny-n cohorts the fitted |beta| can be large
+    # and Breslow tail hazards reach 1e8+, where 6-decimal rounding
+    # cannot absorb engine fp noise; log1p bounds the absolute noise by
+    # the RELATIVE error at every magnitude (d log1p(v) = dv/(1+v))
+    return out.select(
+        "cohort", "t", "n_events",
+        _ravg(F.log1p(F.col("s0")), 6).alias("ln1p_s0"),
+        _ravg(F.log1p(F.col("h_step")), 6).alias("ln1p_h_step"),
+        _ravg(F.log1p(F.col("cum_hazard")), 6).alias("ln1p_cum_hazard"),
+        _ravg(F.col("baseline_surv"), 6).alias("baseline_surv"),
+    )
+
+
+def _cox_hazard_oracle() -> str:
+    train = _cox_oracle()
+    body = train[:train.index(", fin AS")]
+    return f"""{body}
+    , okf AS (
+        -- the operator's model carries NULL beta for degenerate
+        -- cohorts (no events / non-PD information); replicate the
+        -- guard so hazard columns null identically
+        SELECT s.cohort,
+               CASE WHEN sum(s.d) > 0 AND
+                    sum(s.d * (s.s2 / s.s0 - (s.s1 / s.s0)
+                               * (s.s1 / s.s0))) > 0
+                    THEN max(s.beta) END AS beta
+        FROM (
+            SELECT dd.cohort, dd.d, b.beta,
+                   sum(exp(b.beta * dd.x)) OVER wr AS s0,
+                   sum(dd.x * exp(b.beta * dd.x)) OVER wr AS s1,
+                   sum(dd.x * dd.x * exp(b.beta * dd.x)) OVER wr AS s2
+            FROM data dd JOIN b3 b USING (cohort)
+            WINDOW wr AS (PARTITION BY dd.cohort ORDER BY dd.t ASC
+                          RANGE BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+        ) s GROUP BY s.cohort
+    ),
+    sfz AS (
+        SELECT dd.cohort, dd.t, dd.d,
+               sum(exp(o.beta * dd.x)) OVER wr AS s0
+        FROM data dd JOIN okf o USING (cohort)
+        WINDOW wr AS (PARTITION BY dd.cohort ORDER BY dd.t ASC
+                      RANGE BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING)
+    ),
+    cells AS (
+        SELECT cohort, t, sum(d) AS dt, max(s0) AS s0
+        FROM sfz GROUP BY cohort, t
+    ),
+    evr AS (
+        SELECT cohort, t, dt, s0, dt / s0 AS h
+        FROM cells WHERE dt > 0
+    ),
+    cum AS (
+        SELECT cohort, t, dt, s0, h,
+               sum(h) OVER (PARTITION BY cohort ORDER BY t ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS bigh
+        FROM evr
+    )
+    SELECT cohort, t, CAST(dt AS BIGINT) AS n_events,
+           round(ln(1.0 + s0) + 0.0000001, 6) AS ln1p_s0,
+           round(ln(1.0 + h) + 0.0000001, 6) AS ln1p_h_step,
+           round(ln(1.0 + bigh) + 0.0000001, 6) AS ln1p_cum_hazard,
+           round(exp(-bigh) + 0.0000001, 6) AS baseline_surv
+    FROM cum
+"""
+
+
+ORACLE["cox_hazard"] = _cox_hazard_oracle()
+QUERIES["cox_hazard"] = q_cox_hazard

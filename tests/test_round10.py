@@ -626,3 +626,83 @@ class TestUnigramLmTrain:
         df = spark.createDataFrame([("ab", 1)], ["word", "cnt"])
         with pytest.raises(ValueError, match="rounds"):
             unigram_lm_train(df, "word", "cnt", rounds=0)
+
+
+class TestCoxBaselineHazard:
+    def test_matches_numpy_breslow(self, spark):
+        from woodwork_spark.operators.timeseries import (
+            cox_baseline_hazard,
+            cox_ph_fit,
+            cox_risk_score,
+        )
+
+        rng = np.random.RandomState(21)
+        n = 300
+        x = rng.normal(size=n)
+        t_ev = np.ceil(rng.exponential(1.0 / np.exp(0.6 * x)) * 3)
+        c = np.ceil(rng.exponential(2.0, n) * 3)
+        obs = np.minimum(t_ev, c)
+        d = (t_ev <= c).astype(float)
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(e))
+             for a, b, e in zip(obs, d, x)], ["t", "d", "x"])
+        model = cox_ph_fit(df, "t", "d", "x", iters=4)
+        out = {r["t"]: r for r in cox_baseline_hazard(
+            df, "t", "d", "x", model).collect()}
+        beta = model.collect()[0]["beta"]
+        # numpy Breslow at the same beta
+        ew = np.exp(beta * x)
+        times = sorted({float(tv) for tv, dv in zip(obs, d) if dv > 0})
+        H = 0.0
+        for tv in times:
+            s0 = ew[obs >= tv].sum()
+            dt = d[(obs == tv)].sum()
+            H += dt / s0
+            r = out[tv]
+            assert r["n_events"] == int(dt)
+            assert r["s0"] == pytest.approx(s0, rel=1e-9)
+            assert r["cum_hazard"] == pytest.approx(H, rel=1e-9)
+            assert r["baseline_surv"] == pytest.approx(
+                math.exp(-H), rel=1e-9)
+        # h_step is the per-time increment, NOT the cumulative (the
+        # __h/__H case-collision regression)
+        ts = sorted(out)
+        if len(ts) > 1:
+            assert out[ts[1]]["cum_hazard"] == pytest.approx(
+                out[ts[0]]["h_step"] + out[ts[1]]["h_step"], rel=1e-9)
+        # risk scoring: exp(beta x) per row
+        scored = cox_risk_score(df, model, "x").collect()
+        for r in scored[:20]:
+            assert r["risk"] == pytest.approx(
+                math.exp(beta * r["x"]), rel=1e-9)
+
+    def test_grouped_and_degenerate(self, spark):
+        from woodwork_spark.operators.timeseries import (
+            cox_baseline_hazard,
+            cox_ph_fit,
+        )
+
+        rng = np.random.RandomState(5)
+        rows = []
+        for i in range(100):
+            x = float(rng.normal())
+            rows.append(("ok", float(np.ceil(
+                rng.exponential(1.0 / math.exp(0.5 * x)) * 2)), 1.0, x))
+        # degenerate group: no events at all -> NULL beta
+        for i in range(10):
+            rows.append(("bad", float(i + 1), 0.0, float(rng.normal())))
+        df = spark.createDataFrame(rows, ["g", "t", "d", "x"])
+        model = cox_ph_fit(df, "t", "d", "x", "g", iters=3)
+        out = cox_baseline_hazard(df, "t", "d", "x", model, "g")
+        rowsb = out.collect()
+        ok_rows = [r for r in rowsb if r["g"] == "ok"]
+        bad_rows = [r for r in rowsb if r["g"] == "bad"]
+        assert ok_rows and all(r["cum_hazard"] is not None
+                               for r in ok_rows)
+        # no events in 'bad' -> no event rows at all (row set is event
+        # times; a group with zero events contributes none)
+        assert bad_rows == []
+        # monotone cumulative hazard within the healthy group
+        hs = [r["cum_hazard"] for r in sorted(ok_rows,
+                                              key=lambda r: r["t"])]
+        assert all(b >= a for a, b in zip(hs, hs[1:]))

@@ -1534,3 +1534,165 @@ def cox_ph_fit(
         ]
     res = solved.select(*group_cols, *cols)
     return attach_persisted(res, *caches)
+
+
+def cox_risk_score(
+    df: DataFrame,
+    model: DataFrame,
+    x_col,
+    group_cols=(),
+    out_col: str = "risk",
+) -> DataFrame:
+    """Relative-risk scoring for a fitted Cox model: broadcast-join the
+    one-row-per-group coefficient frame (:func:`cox_ph_fit` output,
+    either schema) and add ``exp(beta' x)`` — the hazard ratio versus
+    the baseline subject — as one projection.  Rows of groups with a
+    degenerate (NULL-coefficient) fit get NULL risk; no rows drop."""
+    multi = isinstance(x_col, (list, tuple))
+    xs = list(x_col) if multi else [x_col]
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    coef_names = [f"beta_{c}" for c in xs] if multi else ["beta"]
+    missing = [c for c in coef_names if c not in model.columns]
+    if missing:
+        raise ValueError(
+            f"cox_risk_score: model frame lacks {missing} — pass the "
+            "cox_ph_fit output matching x_col's shape",
+        )
+    sel = model.select(
+        *group_cols, *[F.col(c).alias(f"__m_{c}") for c in coef_names],
+    )
+    joined = (
+        df.join(F.broadcast(sel), group_cols, "left")
+        if group_cols else df.crossJoin(F.broadcast(sel))
+    )
+    eta = None
+    for c, name in zip(xs, coef_names):
+        term = F.col(f"__m_{name}") * F.col(c).cast("double")
+        eta = term if eta is None else eta + term
+    if multi:
+        eta = F.least(F.lit(700.0), eta)  # the fit engine's clamp
+    return joined.withColumn(out_col, F.exp(eta)).drop(
+        *[f"__m_{c}" for c in coef_names],
+    )
+
+
+def cox_baseline_hazard(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_col,
+    model: DataFrame,
+    group_cols=(),
+) -> DataFrame:
+    """Breslow baseline cumulative hazard at fitted Cox coefficients —
+    the piece that turns :func:`cox_ph_fit` into a full survival
+    predictor: ``H0(t) = sum_{event times t_i <= t} d_i / S0(t_i)``
+    with ``S0`` the at-risk sum of ``exp(beta' x)``, and the baseline
+    survival ``S0(t) = exp(-H0(t))``; an individual's curve is then
+    ``S(t|x) = exp(-H0(t) * risk)`` with :func:`cox_risk_score`'s
+    relative risk.
+
+    Same scale shape as the fit: one cell collapse per (group, distinct
+    time), DESCENDING suffix sums for the risk denominators and
+    ASCENDING prefix sums for the cumulative hazard — per-group windows
+    over cells when grouped, the distributed
+    :func:`~woodwork_spark.operators.rank.global_prefix_sums` machinery
+    when ungrouped (no SinglePartition anywhere).  ``model`` is the
+    :func:`cox_ph_fit` output; groups with a degenerate (NULL) fit
+    keep their event rows with NULL hazard columns (the row set is
+    data-independent, only the estimates go NULL).
+
+    Returns one row per (group, distinct EVENT time): ``(group_cols...,
+    t, n_events, s0, h_step, cum_hazard, baseline_surv)``.
+    """
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.rank import global_prefix_sums
+
+    multi = isinstance(x_col, (list, tuple))
+    xs = list(x_col) if multi else [x_col]
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    coef_names = [f"beta_{c}" for c in xs] if multi else ["beta"]
+    missing = [c for c in coef_names if c not in model.columns]
+    if missing:
+        raise ValueError(
+            f"cox_baseline_hazard: model frame lacks {missing}",
+        )
+    cond = F.col(time_col).isNotNull() & F.col(event_col).isNotNull()
+    for c in xs:
+        cond = cond & F.col(c).isNotNull()
+    sel = model.select(
+        *group_cols, *[F.col(c).alias(f"__m_{c}") for c in coef_names],
+    )
+    base = df.filter(cond).select(
+        *group_cols,
+        F.col(time_col).cast("double").alias("__t"),
+        F.col(event_col).cast("double").alias("__d"),
+        *[F.col(c).cast("double").alias(f"__x{j + 1}")
+          for j, c in enumerate(xs)],
+    )
+    joined = (
+        base.join(F.broadcast(sel), group_cols, "left")
+        if group_cols else base.crossJoin(F.broadcast(sel))
+    )
+    eta = None
+    for j, name in enumerate(coef_names):
+        term = F.col(f"__m_{name}") * F.col(f"__x{j + 1}")
+        eta = term if eta is None else eta + term
+    if multi:
+        eta = F.least(F.lit(700.0), eta)
+    ew = F.exp(eta)
+    cells = joined.groupBy(*group_cols, "__t").agg(
+        F.sum("__d").alias("__dt"),
+        F.sum(ew).alias("__c0"),
+    )
+    caches = []
+    if group_cols:
+        w_desc = (
+            W.partitionBy(*group_cols).orderBy(F.desc("__t"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cells = cells.withColumn("__S0", F.sum("__c0").over(w_desc))
+    else:
+        cells = global_prefix_sums(
+            cells, [F.desc("__t")], ["__c0"], out_cols=["__S0"],
+            inclusive=True, small_threshold=0,
+        )
+        caches.extend(persisted_frames(cells))
+    ev = cells.filter(F.col("__dt") > 0).withColumn(
+        "__h", F.col("__dt") / F.col("__S0"),
+    )
+    # the cumulative column must NOT be named "__H": Spark resolves
+    # column names case-insensitively by default, so withColumn("__H")
+    # silently REPLACES "__h" and the step column becomes cumulative
+    if group_cols:
+        w_asc = (
+            W.partitionBy(*group_cols).orderBy(F.asc("__t"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        ev = ev.withColumn("__cumh", F.sum("__h").over(w_asc))
+    else:
+        ev = global_prefix_sums(
+            ev, [F.asc("__t")], ["__h"], out_cols=["__cumh"],
+            inclusive=True, small_threshold=0,
+        )
+        caches.extend(persisted_frames(ev))
+    # a NULL step (degenerate fit) must null the cumulative column too:
+    # the ungrouped prefix-sum machinery coalesces all-null sums to 0,
+    # which would read as "hazard exactly zero" instead of "unknown"
+    big_h = F.when(F.col("__h").isNull(), F.lit(None)).otherwise(
+        F.col("__cumh"),
+    )
+    out = ev.select(
+        *group_cols,
+        F.col("__t").alias("t"),
+        F.col("__dt").cast("long").alias("n_events"),
+        F.col("__S0").alias("s0"),
+        F.col("__h").alias("h_step"),
+        big_h.alias("cum_hazard"),
+        F.exp(-big_h).alias("baseline_surv"),
+    )
+    return attach_persisted(out, *caches) if caches else out
