@@ -21109,3 +21109,68 @@ def _cox_hazard_oracle() -> str:
 
 ORACLE["cox_hazard"] = _cox_hazard_oracle()
 QUERIES["cox_hazard"] = q_cox_hazard
+
+
+def q_cox_strata(spark, sf_dir):
+    """Stratified Cox: time to first purchase ~ log activity with
+    per-(user_id %% 2) STRATA — each stratum forms its own risk sets
+    (own baseline hazard), the coefficient is shared; score and
+    information sum across strata.  Oracle: the cox_ph unrolled CTEs
+    with the stratum added to every risk-set window PARTITION BY."""
+    from woodwork_spark.operators.timeseries import cox_ph_fit
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+        F.count(F.lit(1)).alias("__ne"),
+    )
+    rows = per_user.select(
+        (F.col("user_id") % 3).alias("cohort"),
+        (F.col("user_id") % 2).alias("seg"),
+        F.floor(
+            (
+                F.unix_micros(F.coalesce("__p", "__last"))
+                - F.unix_micros("__t0")
+            ) / 3.6e9,
+        ).cast("double").alias("dur"),
+        F.col("__p").isNotNull().cast("double").alias("ev"),
+        F.log(F.lit(1.0) + F.col("__ne")).alias("x"),
+    ).filter(F.col("dur") >= 0)
+    out = cox_ph_fit(rows, "dur", "ev", "x", "cohort", iters=3,
+                     strata_cols="seg")
+    return out.select(
+        "cohort", "n", "n_events",
+        _ravg(F.col("beta"), 6).alias("beta"),
+        _ravg(F.col("se"), 6).alias("se"),
+        _ravg(F.col("z_stat"), 5).alias("z_stat"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+    )
+
+
+def _cox_strata_oracle() -> str:
+    """The _cox_oracle trajectory with (cohort, seg) risk-set windows
+    and per-cohort folds — textual transform of the shared replica so
+    the two stay in lockstep."""
+    sql = _cox_oracle()
+    sql = sql.replace(
+        "SELECT user_id % 3 AS cohort,",
+        "SELECT user_id % 3 AS cohort, user_id % 2 AS seg,",
+    )
+    sql = sql.replace(
+        "WINDOW wr AS (PARTITION BY dd.cohort ORDER BY dd.t ASC",
+        "WINDOW wr AS (PARTITION BY dd.cohort, dd.seg ORDER BY dd.t ASC",
+    )
+    sql = sql.replace(
+        "SELECT dd.cohort, dd.t, dd.d, dd.x, b.beta,",
+        "SELECT dd.cohort, dd.seg, dd.t, dd.d, dd.x, b.beta,",
+    )
+    return sql
+
+
+ORACLE["cox_strata"] = _cox_strata_oracle()
+QUERIES["cox_strata"] = q_cox_strata

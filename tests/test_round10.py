@@ -706,3 +706,78 @@ class TestCoxBaselineHazard:
         hs = [r["cum_hazard"] for r in sorted(ok_rows,
                                               key=lambda r: r["t"])]
         assert all(b >= a for a, b in zip(hs, hs[1:]))
+
+
+class TestCoxStrata:
+    def test_matches_numpy_stratified_newton(self, spark):
+        from woodwork_spark.operators.timeseries import cox_ph_fit
+
+        rng = np.random.RandomState(17)
+        n = 400
+        x = rng.normal(size=n)
+        strat = rng.randint(0, 3, n)
+        scale = np.array([0.5, 1.5, 4.0])[strat]
+        t = np.ceil(rng.exponential(scale / np.exp(0.6 * x)) * 8)
+        d = np.ones(n)
+        df = spark.createDataFrame(
+            [(int(s), float(tv), float(dv), float(xv))
+             for s, tv, dv, xv in zip(strat, t, d, x)],
+            ["seg", "t", "d", "x"])
+        out = cox_ph_fit(df, "t", "d", "x", iters=4,
+                         strata_cols="seg").collect()[0]
+
+        def ref(iters):
+            b = 0.0
+            info = None
+            for r in range(iters + 1):
+                U = I = 0.0
+                for sv in set(strat):
+                    m = strat == sv
+                    ts, ds, xs_ = t[m], d[m], x[m]
+                    o = np.argsort(-ts)
+                    ts, ds, xs_ = ts[o], ds[o], xs_[o]
+                    ew = np.exp(b * xs_)
+                    S0, S1 = np.cumsum(ew), np.cumsum(xs_ * ew)
+                    S2 = np.cumsum(xs_ * xs_ * ew)
+                    i = 0
+                    while i < len(ts):
+                        j = i
+                        while j + 1 < len(ts) and ts[j + 1] == ts[i]:
+                            j += 1
+                        s0, s1, s2 = S0[j], S1[j], S2[j]
+                        dt = ds[i:j + 1].sum()
+                        dx = (ds[i:j + 1] * xs_[i:j + 1]).sum()
+                        U += dx - dt * s1 / s0
+                        I += dt * (s2 / s0 - (s1 / s0) ** 2)
+                        i = j + 1
+                info = I
+                if r < iters and I > 0:
+                    b += U / I
+            return b, info
+
+        bref, info = ref(4)
+        assert out["beta"] == pytest.approx(bref, abs=1e-8)
+        assert out["se"] == pytest.approx(1 / math.sqrt(info), rel=1e-8)
+        # unattenuated fixture: planted 0.6 recoverable
+        assert 0.4 < out["beta"] < 0.8
+
+    def test_single_stratum_equals_plain_fit(self, spark):
+        from woodwork_spark.operators.timeseries import cox_ph_fit
+
+        rng = np.random.RandomState(3)
+        rows = [(0, float(tv), 1.0, float(xv)) for tv, xv in zip(
+            np.ceil(rng.exponential(1, 200) * 4), rng.normal(size=200))]
+        df = spark.createDataFrame(rows, ["one", "t", "d", "x"])
+        a = cox_ph_fit(df, "t", "d", "x", iters=3).collect()[0]
+        b = cox_ph_fit(df, "t", "d", "x", iters=3,
+                       strata_cols="one").collect()[0]
+        assert a["beta"] == pytest.approx(b["beta"], abs=1e-10)
+        assert a["se"] == pytest.approx(b["se"], abs=1e-10)
+
+    def test_strata_group_overlap_rejected(self, spark):
+        from woodwork_spark.operators.timeseries import cox_ph_fit
+
+        df = spark.createDataFrame([(0, 1.0, 1.0, 0.1)],
+                                   ["g", "t", "d", "x"])
+        with pytest.raises(ValueError, match="disjoint"):
+            cox_ph_fit(df, "t", "d", "x", "g", strata_cols="g")

@@ -1286,6 +1286,7 @@ def cox_ph_fit(
     x_col,
     group_cols=(),
     iters: int = 3,
+    strata_cols=(),
 ) -> DataFrame:
     """Cox proportional-hazards fit (Breslow ties) per group via
     ``iters`` unrolled Newton steps from beta = 0 — completing the
@@ -1318,6 +1319,16 @@ def cox_ph_fit(
     SinglePartition exchange appears anywhere in the plan; the old
     "ungrouped = one partition's sort" contract is gone.
 
+    ``strata_cols`` gives the STRATIFIED Cox model: risk sets form
+    WITHIN each stratum (each stratum has its own baseline hazard) but
+    the coefficients are SHARED — the partial-likelihood score and
+    information simply sum across strata, so stratification costs
+    nothing beyond extra keys in the cell collapse and suffix-sum
+    partitioning.  This is the standard fix when a confounder (site,
+    device, era) violates proportional hazards: stratify on it instead
+    of modeling it.  Per-stratum baseline curves come from
+    :func:`cox_baseline_hazard` with the strata in ``group_cols``.
+
     Returns ``(group_cols..., n, n_events, beta, se, z_stat,
     p_approx)`` for a single covariate, or ``(group_cols..., n,
     n_events, beta_<x>, se_<x>, z_<x>, p_<x> per covariate...)`` for a
@@ -1341,6 +1352,13 @@ def cox_ph_fit(
     group_cols = (
         [group_cols] if isinstance(group_cols, str) else list(group_cols)
     )
+    strata_cols = (
+        [strata_cols] if isinstance(strata_cols, str)
+        else list(strata_cols)
+    )
+    if set(strata_cols) & set(group_cols):
+        raise ValueError("strata_cols must be disjoint from group_cols")
+    part_cols = group_cols + strata_cols  # risk sets form within these
     cond = F.col(time_col).isNotNull() & F.col(event_col).isNotNull()
     for c in xs:
         cond = cond & F.col(c).isNotNull()
@@ -1348,7 +1366,7 @@ def cox_ph_fit(
     # readout) re-reads this frame — one upstream scan instead of
     # iters + 1
     base = df.filter(cond).select(
-        *group_cols,
+        *part_cols,
         F.col(time_col).cast("double").alias("__t"),
         F.col(event_col).cast("double").alias("__d"),
         *[
@@ -1397,21 +1415,22 @@ def cox_ph_fit(
                 )
                 vcols.append(f"__c2_{i}_{j}")
                 scols.append(f"__S2_{i}_{j}")
-        cells = cur.groupBy(*group_cols, "__t").agg(
+        cells = cur.groupBy(*part_cols, "__t").agg(
             *[F.max(b).alias(b) for b in bnames],
             *cell_aggs,
         )
-        if group_cols:
+        if part_cols:
             w = (
-                W.partitionBy(*group_cols)
+                W.partitionBy(*part_cols)
                 .orderBy(F.desc("__t"))
                 .rowsBetween(W.unboundedPreceding, W.currentRow)
             )
             for vc, sc in zip(vcols, scols):
                 cells = cells.withColumn(sc, F.sum(vc).over(w))
             return cells
-        # ungrouped: distributed suffix sums — range shuffle + bucket
-        # windows + driver offsets, never a SinglePartition exchange
+        # ungrouped/unstratified: distributed suffix sums — range
+        # shuffle + bucket windows + driver offsets, never a
+        # SinglePartition exchange
         out = global_prefix_sums(
             cells, [F.desc("__t")], vcols, out_cols=scols,
             inclusive=True, small_threshold=0,
