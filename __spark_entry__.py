@@ -21174,3 +21174,115 @@ def _cox_strata_oracle() -> str:
 
 ORACLE["cox_strata"] = _cox_strata_oracle()
 QUERIES["cox_strata"] = q_cox_strata
+
+
+def q_competing_risks(spark, sf_dir):
+    """Aalen-Johansen cumulative incidence of PURCHASE vs ERROR as
+    competing terminal events per user (censored at last activity if
+    neither): all-cause KM survival prefix + at-risk suffix over
+    distinct times, per-cause increments S(t-) d_k/r accumulated — the
+    correct competing-risks curve ('1 - KM per cause' overestimates).
+    Pure window algebra, no iteration; the oracle replays it with the
+    same three SQL windows."""
+    from woodwork_spark.operators.timeseries import cumulative_incidence
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts")),
+        ).alias("__e"),
+        F.max("ts").alias("__last"),
+    )
+    first_term = F.least(
+        F.coalesce("__p", "__last"), F.coalesce("__e", "__last"),
+    )
+    cause = F.when(
+        F.col("__p").isNotNull()
+        & (F.col("__p") <= F.coalesce("__e", "__p")), F.lit(1),
+    ).when(F.col("__e").isNotNull(), F.lit(2)).otherwise(F.lit(0))
+    rows = per_user.select(
+        F.floor(
+            (
+                F.unix_micros(first_term) - F.unix_micros("__t0")
+            ) / 3.6e9,
+        ).cast("double").alias("dur"),
+        cause.alias("cause"),
+    ).filter(F.col("dur") >= 0)
+    out = cumulative_incidence(rows, "dur", "cause")
+    return out.select(
+        "cause", F.col("duration"), "n_events", "at_risk",
+        _ravg(F.col("surv_before"), 6).alias("surv_before"),
+        _ravg(F.col("cif"), 6).alias("cif"),
+    )
+
+
+ORACLE["competing_risks"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS e,
+               max(ts) AS lastts
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    data AS (
+        SELECT CAST(floor(epoch_us(
+                   least(coalesce(p, lastts), coalesce(e, lastts)) - t0)
+                   / 3.6e9) AS DOUBLE) AS dur,
+               CASE WHEN p IS NOT NULL AND p <= coalesce(e, p) THEN 1
+                    WHEN e IS NOT NULL THEN 2 ELSE 0 END AS cause
+        FROM per_user
+        WHERE floor(epoch_us(
+                  least(coalesce(p, lastts), coalesce(e, lastts)) - t0)
+                  / 3.6e9) >= 0
+    ),
+    cells AS (
+        SELECT dur, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN cause <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dtot
+        FROM data GROUP BY dur
+    ),
+    staged AS (
+        SELECT dur, n, dtot,
+               CAST(sum(n) OVER (ORDER BY dur DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS at_risk
+        FROM cells
+    ),
+    surv AS (
+        SELECT dur, dtot, at_risk,
+               exp(coalesce(sum(
+                   CASE WHEN dtot > 0 THEN
+                       CASE WHEN 1.0 - CAST(dtot AS DOUBLE) / at_risk > 0
+                            THEN ln(1.0 - CAST(dtot AS DOUBLE) / at_risk)
+                            ELSE -745.0 END
+                   ELSE 0.0 END
+               ) OVER (ORDER BY dur ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0.0)) AS surv_before
+        FROM staged
+    ),
+    cc AS (
+        SELECT dur, CAST(cause AS BIGINT) AS cause,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM data WHERE cause <> 0 GROUP BY dur, cause
+    ),
+    inc AS (
+        SELECT c.cause, c.dur, c.n_events, s.at_risk, s.surv_before,
+               s.surv_before * c.n_events / s.at_risk AS step
+        FROM cc c JOIN surv s USING (dur)
+    )
+    SELECT cause, dur AS duration, n_events, at_risk,
+           round(surv_before + 0.0000001, 6) AS surv_before,
+           round(sum(step) OVER (PARTITION BY cause ORDER BY dur ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)
+                 + 0.0000001, 6) AS cif
+    FROM inc
+"""
+QUERIES["competing_risks"] = q_competing_risks

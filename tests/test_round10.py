@@ -781,3 +781,81 @@ class TestCoxStrata:
                                    ["g", "t", "d", "x"])
         with pytest.raises(ValueError, match="disjoint"):
             cox_ph_fit(df, "t", "d", "x", "g", strata_cols="g")
+
+
+class TestCumulativeIncidence:
+    def test_matches_numpy_aalen_johansen(self, spark):
+        from woodwork_spark.operators.timeseries import (
+            cumulative_incidence,
+        )
+
+        rng = np.random.RandomState(9)
+        n = 500
+        t1 = rng.exponential(2.0, n)
+        t2 = rng.exponential(3.0, n)
+        c = rng.exponential(4.0, n)
+        t = np.ceil(np.minimum.reduce([t1, t2, c]) * 2)
+        cause = np.where(t1 <= np.minimum(t2, c), 1,
+                         np.where(t2 <= c, 2, 0))
+        df = spark.createDataFrame(
+            [(float(tv), int(cv)) for tv, cv in zip(t, cause)],
+            ["dur", "cause"])
+        out = cumulative_incidence(df, "dur", "cause").collect()
+        times = np.sort(np.unique(t))
+        S = 1.0
+        cif = {1: 0.0, 2: 0.0}
+        ref = {}
+        for tv in times:
+            r = (t >= tv).sum()
+            d_all = ((t == tv) & (cause != 0)).sum()
+            for kk in (1, 2):
+                dk = ((t == tv) & (cause == kk)).sum()
+                if dk > 0:
+                    cif[kk] += S * dk / r
+                    ref[(kk, tv)] = cif[kk]
+            if d_all > 0:
+                S *= 1 - d_all / r
+        assert len(out) == len(ref)
+        for row in out:
+            key = (row["cause"], row["duration"])
+            assert row["cif"] == pytest.approx(ref[key], abs=1e-9)
+        # partition of unity: sum_k CIF_k(inf) + S(inf) = 1
+        total = cif[1] + cif[2] + S
+        assert total == pytest.approx(1.0, abs=1e-9)
+
+    def test_single_cause_equals_one_minus_km(self, spark):
+        """With ONE cause and no competition, CIF = 1 - KM exactly."""
+        from woodwork_spark.operators.timeseries import (
+            cumulative_incidence,
+            kaplan_meier,
+        )
+
+        rng = np.random.RandomState(4)
+        t = np.ceil(rng.exponential(2.0, 300) * 3)
+        d = (rng.uniform(size=300) < 0.7).astype(int)
+        df = spark.createDataFrame(
+            [(float(tv), int(dv)) for tv, dv in zip(t, d)],
+            ["dur", "cause"])
+        cif = {r["duration"]: r["cif"] for r in
+               cumulative_incidence(df, "dur", "cause").collect()}
+        km = {r["duration"]: r["survival"] for r in
+              kaplan_meier(df, "dur", "cause").collect()}
+        assert set(cif) == set(km)
+        for tv in cif:
+            assert cif[tv] == pytest.approx(1.0 - km[tv], abs=1e-9)
+
+    def test_grouped(self, spark):
+        from woodwork_spark.operators.timeseries import (
+            cumulative_incidence,
+        )
+
+        rows = [("a", 1.0, 1), ("a", 2.0, 2), ("a", 3.0, 0),
+                ("b", 1.0, 2), ("b", 2.0, 0)]
+        df = spark.createDataFrame(rows, ["g", "dur", "cause"])
+        out = {(r["g"], r["cause"], r["duration"]): r["cif"]
+               for r in cumulative_incidence(
+                   df, "dur", "cause", "g").collect()}
+        assert out[("a", 1, 1.0)] == pytest.approx(1 / 3)
+        # S(2-) = 2/3, d=1, r=2 -> CIF2(2) = 2/3 * 1/2 = 1/3
+        assert out[("a", 2, 2.0)] == pytest.approx(1 / 3)
+        assert out[("b", 2, 1.0)] == pytest.approx(1 / 2)
