@@ -21286,3 +21286,81 @@ ORACLE["competing_risks"] = """
     FROM inc
 """
 QUERIES["competing_risks"] = q_competing_risks
+
+
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic recalibration of the pseudo-probability against the
+    'F' label: exact isotonic least squares over 20 bins via the
+    minimax characterization fit_b = max_{j<=b} min_{k>=b} mean(j..k)
+    — interval means from prefix-sum subtraction, one running-min and
+    one running-max window over <= bins^2 interval rows, no
+    driver-side PAV pooling.  Oracle replays the identical windows."""
+    from woodwork_spark.operators.evaluation import isotonic_calibration
+
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "score", F.least(F.col("o_totalprice") / 400000.0, F.lit(1.0)),
+    )
+    out = isotonic_calibration(
+        o, "score", F.col("o_orderstatus") == "F", bins=20,
+    )
+    return out.select(
+        "bin", "n",
+        _ravg(F.col("mean_score"), 6).alias("mean_score"),
+        _ravg(F.col("raw_rate"), 6).alias("raw_rate"),
+        _ravg(F.col("calibrated"), 6).alias("calibrated"),
+    )
+
+
+ORACLE["isotonic_calibration"] = """
+    WITH base AS (
+        SELECT least(greatest(least(o_totalprice / 400000.0, 1.0), 0.0),
+                     1.0) AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+    ),
+    cells AS (
+        SELECT least(CAST(floor(s * 20) AS INT), 19) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(s) AS ssum,
+               CAST(sum(y) AS BIGINT) AS ysum
+        FROM base GROUP BY 1
+    ),
+    pre AS (
+        SELECT bin, n, ssum, ysum,
+               CAST(sum(n) OVER w AS BIGINT) AS cn,
+               CAST(sum(ysum) OVER w AS BIGINT) AS cy
+        FROM cells
+        WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    ivals AS (
+        SELECT l.bin AS j, h.bin AS k,
+               CAST(h.cy - (l.cy - l.ysum) AS DOUBLE)
+                   / (h.cn - (l.cn - l.n)) AS a
+        FROM pre l JOIN pre h ON l.bin <= h.bin
+    ),
+    inner_min AS (
+        SELECT j, k AS bin,
+               min(a) OVER (PARTITION BY j ORDER BY k DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS m
+        FROM ivals
+    ),
+    fit AS (
+        SELECT bin, j,
+               max(m) OVER (PARTITION BY bin ORDER BY j ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS f
+        FROM inner_min
+    )
+    SELECT c.bin, c.n,
+           round(c.ssum / c.n + 0.0000001, 6) AS mean_score,
+           round(CAST(c.ysum AS DOUBLE) / c.n + 0.0000001, 6)
+               AS raw_rate,
+           round(f.f + 0.0000001, 6) AS calibrated
+    FROM cells c JOIN (SELECT bin, f FROM fit WHERE j = bin) f
+         USING (bin)
+"""
+QUERIES["isotonic_calibration"] = q_isotonic_calibration

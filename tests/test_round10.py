@@ -859,3 +859,66 @@ class TestCumulativeIncidence:
         # S(2-) = 2/3, d=1, r=2 -> CIF2(2) = 2/3 * 1/2 = 1/3
         assert out[("a", 2, 2.0)] == pytest.approx(1 / 3)
         assert out[("b", 2, 1.0)] == pytest.approx(1 / 2)
+
+
+class TestIsotonicCalibration:
+    def test_minimax_equals_classic_pav(self, spark):
+        from woodwork_spark.operators.evaluation import (
+            isotonic_calibration,
+        )
+
+        rng = np.random.RandomState(0)
+        n = 5000
+        s = rng.uniform(size=n)
+        y = (rng.uniform(size=n) < s ** 2).astype(int)
+        df = spark.createDataFrame(
+            [(float(a), int(b)) for a, b in zip(s, y)], ["score", "y"])
+        out = sorted(
+            isotonic_calibration(df, "score", "y", bins=20).collect(),
+            key=lambda r: r["bin"])
+        cal = [r["calibrated"] for r in out]
+        assert all(b >= a - 1e-12 for a, b in zip(cal, cal[1:]))
+        # classic pool-adjacent-violators on the same binned means
+        bins = np.minimum((s * 20).astype(int), 19)
+        wts = np.array([(bins == b).sum() for b in range(20)], float)
+        ys = np.array([y[bins == b].sum() for b in range(20)], float)
+        means = ys / wts
+        stack = []
+        for b in range(20):
+            stack.append([means[b], wts[b], 1])
+            while len(stack) > 1 and stack[-2][0] >= stack[-1][0]:
+                m2, w2, c2 = stack.pop()
+                m1, w1, c1 = stack.pop()
+                stack.append(
+                    [(m1 * w1 + m2 * w2) / (w1 + w2), w1 + w2, c1 + c2])
+        pav = []
+        for m, w, c in stack:
+            pav.extend([m] * c)
+        for a, b in zip(cal, pav):
+            assert a == pytest.approx(b, abs=1e-9)
+        # the recalibrated curve tracks the true s^2 relationship
+        mids = [(r["bin"] + 0.5) / 20 for r in out]
+        err = float(np.mean([abs(c - m ** 2)
+                             for c, m in zip(cal, mids)]))
+        assert err < 0.05
+
+    def test_already_isotonic_is_identity(self, spark):
+        """Perfectly calibrated data: the fit equals the raw bin rates
+        (the case where parallel-PAV block merging degenerates to an
+        unbounded driver collect — here it is just bins rows)."""
+        from woodwork_spark.operators.evaluation import (
+            isotonic_calibration,
+        )
+
+        rng = np.random.RandomState(7)
+        s = rng.uniform(size=8000)
+        y = (rng.uniform(size=8000) < s).astype(int)
+        out = isotonic_calibration(
+            spark.createDataFrame(
+                [(float(a), int(b)) for a, b in zip(s, y)],
+                ["score", "y"]),
+            "score", "y", bins=10).collect()
+        # isotonic projection never moves a monotone sequence much:
+        # each calibrated value stays within sampling noise of its rate
+        for r in out:
+            assert abs(r["calibrated"] - r["raw_rate"]) < 0.05

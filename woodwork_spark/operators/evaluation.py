@@ -24,6 +24,7 @@ unlabeled row carries no evaluation signal).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .rank import global_prefix_sums
@@ -1581,3 +1582,80 @@ def concordance_index(
     from woodwork_spark.lifecycle import attach_persisted
 
     return attach_persisted(out, cells)
+
+
+def isotonic_calibration(
+    df: DataFrame, score_col: str, label_col, bins: int = 50,
+) -> DataFrame:
+    """Isotonic (monotone nondecreasing) calibration of a probabilistic
+    score against a boolean label — the standard nonparametric
+    recalibrator when Platt scaling's sigmoid shape is wrong.
+
+    Scores bucket into ``bins`` equal-width cells
+    (:func:`_binned_calibration_cells`), and the EXACT isotonic
+    least-squares fit over the cell means comes from the minimax
+    characterization ``fit_b = max_{j <= b} min_{k >= b}
+    mean(y[j..k])`` instead of pool-adjacent-violators: with prefix
+    sums of (count, positives) the interval mean is a subtraction, the
+    inner min is one running-min window over k DESCENDING per j, and
+    the outer max one running-max window over j ASCENDING per b.
+    Everything runs on <= bins^2 interval rows — bounded regardless of
+    input size, no driver-side pooling (the classic parallel-PAV
+    block-merge collects an UNBOUNDED block list when the data is
+    already isotonic), and every step is plain window algebra an
+    external SQL engine replays verbatim.
+
+    Returns one row per non-empty bin: ``(bin, n, mean_score, raw_rate,
+    calibrated)`` with ``calibrated`` monotone in ``bin`` by
+    construction.  Apply the mapping by bucketing new scores the same
+    way and joining.
+    """
+    cells = _binned_calibration_cells(df, score_col, label_col, bins)
+    w_pre = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = cells.select(
+        "bin", "__n", "__ssum", "__ysum",
+        F.sum("__n").over(w_pre).alias("__cn"),
+        F.sum("__ysum").over(w_pre).alias("__cy"),
+    )
+    lo = pre.select(
+        F.col("bin").alias("__j"),
+        (F.col("__cn") - F.col("__n")).alias("__cn_lo"),
+        (F.col("__cy") - F.col("__ysum")).alias("__cy_lo"),
+    )
+    hi = pre.select(
+        F.col("bin").alias("__k"),
+        F.col("__cn").alias("__cn_hi"),
+        F.col("__cy").alias("__cy_hi"),
+    )
+    ivals = lo.join(hi, F.col("__j") <= F.col("__k")).select(
+        "__j", "__k",
+        (
+            (F.col("__cy_hi") - F.col("__cy_lo"))
+            / (F.col("__cn_hi") - F.col("__cn_lo"))
+        ).alias("__avg"),
+    )
+    w_min = (
+        W.partitionBy("__j").orderBy(F.desc("__k"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    inner = ivals.select(
+        "__j", F.col("__k").alias("bin"),
+        F.min("__avg").over(w_min).alias("__m"),
+    )
+    w_max = (
+        W.partitionBy("bin").orderBy(F.asc("__j"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fit = inner.select(
+        "bin", "__j", F.max("__m").over(w_max).alias("__fit"),
+    ).filter(F.col("__j") == F.col("bin"))
+    return (
+        cells.join(fit.select("bin", "__fit"), "bin")
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("__n").cast("long").alias("n"),
+            (F.col("__ssum") / F.col("__n")).alias("mean_score"),
+            (F.col("__ysum") / F.col("__n")).alias("raw_rate"),
+            F.col("__fit").alias("calibrated"),
+        )
+    )
