@@ -21364,3 +21364,122 @@ ORACLE["isotonic_calibration"] = """
          USING (bin)
 """
 QUERIES["isotonic_calibration"] = q_isotonic_calibration
+
+
+def q_cox_ph_check(spark, sf_dir):
+    """Proportional-hazards screen on the cox_ph fit: Schoenfeld
+    residuals (subject covariate minus risk-set weighted mean at the
+    fitted beta) correlated against event time, with the t-test normal
+    approximation — a drifting hazard ratio shows up as a trend.
+    Oracle: replay the fit trajectory, the risk-set windows and the
+    centered-sums correlation."""
+    from woodwork_spark.operators.timeseries import (
+        cox_ph_diagnostic,
+        cox_ph_fit,
+    )
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+        F.count(F.lit(1)).alias("__ne"),
+    )
+    rows = per_user.select(
+        (F.col("user_id") % 3).alias("cohort"),
+        F.floor(
+            (
+                F.unix_micros(F.coalesce("__p", "__last"))
+                - F.unix_micros("__t0")
+            ) / 3.6e9,
+        ).cast("double").alias("dur"),
+        F.col("__p").isNotNull().cast("double").alias("ev"),
+        F.log(F.lit(1.0) + F.col("__ne")).alias("x"),
+    ).filter(F.col("dur") >= 0)
+    model = cox_ph_fit(rows, "dur", "ev", "x", "cohort", iters=3)
+    out = cox_ph_diagnostic(rows, "dur", "ev", "x", model, "cohort")
+    return out.select(
+        "cohort", "covariate", "n_events",
+        _ravg(F.col("corr"), 6).alias("corr"),
+        _ravg(F.col("z_stat"), 5).alias("z_stat"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+    )
+
+
+def _cox_ph_check_oracle() -> str:
+    train = _cox_oracle()
+    body = train[:train.index(", fin AS")]
+    return f"""{body}
+    , okf AS (
+        SELECT s.cohort,
+               CASE WHEN sum(s.d) > 0 AND
+                    sum(s.d * (s.s2 / s.s0 - (s.s1 / s.s0)
+                               * (s.s1 / s.s0))) > 0
+                    THEN max(s.beta) END AS beta
+        FROM (
+            SELECT dd.cohort, dd.d, b.beta,
+                   sum(exp(b.beta * dd.x)) OVER wr AS s0,
+                   sum(dd.x * exp(b.beta * dd.x)) OVER wr AS s1,
+                   sum(dd.x * dd.x * exp(b.beta * dd.x)) OVER wr AS s2
+            FROM data dd JOIN b3 b USING (cohort)
+            WINDOW wr AS (PARTITION BY dd.cohort ORDER BY dd.t ASC
+                          RANGE BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+        ) s GROUP BY s.cohort
+    ),
+    resid AS (
+        SELECT dd.cohort, dd.t, dd.d,
+               dd.x - sum(dd.x * exp(o.beta * dd.x)) OVER wr
+                      / sum(exp(o.beta * dd.x)) OVER wr AS r
+        FROM data dd JOIN okf o USING (cohort)
+        WINDOW wr AS (PARTITION BY dd.cohort ORDER BY dd.t ASC
+                      RANGE BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING)
+    ),
+    agg AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n_events,
+               avg(t) AS mt, avg(r) AS mr,
+               sum(t * r) AS str, sum(t * t) AS stt, sum(r * r) AS srr
+        FROM resid WHERE d > 0 GROUP BY cohort
+    ),
+    cc AS (
+        SELECT cohort, n_events,
+               (str - n_events * mt * mr)
+                   / sqrt((stt - n_events * mt * mt)
+                          * (srr - n_events * mr * mr)) AS corr,
+               n_events > 2
+                   AND stt - n_events * mt * mt > 0
+                   AND srr - n_events * mr * mr > 0 AS ok
+        FROM agg
+    ),
+    zz AS (
+        SELECT cohort, n_events, corr, ok,
+               corr * sqrt(n_events - 2.0)
+                   / sqrt(1.0 - corr * corr) AS z
+        FROM cc
+    ),
+    pp AS (
+        SELECT *, abs(z) / sqrt(2.0) AS xx,
+               1.0 / (1.0 + 0.3275911 * abs(z) / sqrt(2.0)) AS tt
+        FROM zz
+    )
+    SELECT cohort, 'x' AS covariate, n_events,
+           round(CASE WHEN ok THEN corr END + 0.0000001, 6) AS corr,
+           round(CASE WHEN ok THEN z END + 0.0000001, 5) AS z_stat,
+           round(CASE WHEN ok THEN
+               least(1.0, greatest(0.0,
+                   (0.254829592 * tt - 0.284496736 * tt * tt
+                    + 1.421413741 * tt * tt * tt
+                    - 1.453152027 * tt * tt * tt * tt
+                    + 1.061405429 * tt * tt * tt * tt * tt)
+                   * exp(-xx * xx))) END
+                 + 0.0000001, 6) AS p_approx
+    FROM pp
+"""
+
+
+ORACLE["cox_ph_check"] = _cox_ph_check_oracle()
+QUERIES["cox_ph_check"] = q_cox_ph_check

@@ -922,3 +922,43 @@ class TestIsotonicCalibration:
         # each calibrated value stays within sampling noise of its rate
         for r in out:
             assert abs(r["calibrated"] - r["raw_rate"]) < 0.05
+
+
+class TestCoxPhDiagnostic:
+    def test_matches_numpy_and_detects_violation(self, spark):
+        from woodwork_spark.operators.timeseries import (
+            cox_ph_diagnostic,
+            cox_ph_fit,
+        )
+
+        rng = np.random.RandomState(13)
+        n = 600
+        x = rng.normal(size=n)
+        t = np.ceil(rng.exponential(1.0 / np.exp(0.6 * x)) * 5)
+        df = spark.createDataFrame(
+            [(float(a), 1.0, float(b)) for a, b in zip(t, x)],
+            ["t", "d", "x"])
+        m = cox_ph_fit(df, "t", "d", "x", iters=4)
+        out = cox_ph_diagnostic(df, "t", "d", "x", m).collect()[0]
+        assert out["p_approx"] > 0.01  # PH holds -> quiet
+        beta = m.collect()[0]["beta"]
+        ew = np.exp(beta * x)
+        rs = np.array([
+            xi - (x[t >= ti] * ew[t >= ti]).sum() / ew[t >= ti].sum()
+            for ti, xi in zip(t, x)
+        ])
+        cref = np.corrcoef(t, rs)[0, 1]
+        assert out["corr"] == pytest.approx(cref, abs=1e-9)
+        # planted violation: effect vanishes after t = 1
+        t3 = []
+        for xi in x:
+            tv = rng.exponential(1.0 / math.exp(1.2 * xi))
+            if tv > 1.0:
+                tv = 1.0 + rng.exponential(1.0)
+            t3.append(math.ceil(tv * 5))
+        df2 = spark.createDataFrame(
+            [(float(a), 1.0, float(b)) for a, b in zip(t3, x)],
+            ["t", "d", "x"])
+        m2 = cox_ph_fit(df2, "t", "d", "x", iters=4)
+        out2 = cox_ph_diagnostic(df2, "t", "d", "x", m2).collect()[0]
+        assert out2["p_approx"] < 0.01  # violation flagged

@@ -1808,3 +1808,126 @@ def cumulative_incidence(
         F.col("at_risk").cast("long").alias("at_risk"),
         "surv_before", "cif",
     )
+
+
+def cox_ph_diagnostic(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_col,
+    model: DataFrame,
+    group_cols=(),
+) -> DataFrame:
+    """Proportional-hazards diagnostic from Schoenfeld residuals: under
+    PH the per-event residual ``r_i = x_i - xbar(t_i)`` (observed
+    covariate of the subject failing at t_i minus the risk-set weighted
+    mean ``S1/S0`` at the fitted beta) is uncorrelated with time; a
+    systematic trend means the hazard ratio DRIFTS and the Cox
+    coefficient is a time-average, not a constant effect.  This is the
+    correlation form of the classic cox.zph screen with the identity
+    time transform ``g(t) = t`` (documented choice — the plot-based
+    screen, not Grambsch-Therneau's scaled variant): ``corr(t, r)``
+    over event subjects and the t-test normal approximation ``z =
+    corr * sqrt(d - 2) / sqrt(1 - corr^2)``.
+
+    Shape: the same per-(group, time) cell collapse + descending
+    suffix sums as :func:`cox_ph_fit` provide ``xbar(t)``; event
+    subjects join their cell (one broadcast-size model join + one
+    cell join) and everything folds in ONE centered-sums aggregate per
+    (group, covariate).  Returns ``(group_cols..., covariate,
+    n_events, corr, z_stat, p_approx)``; degenerate groups (NULL beta,
+    < 3 events, zero variance) yield NULL statistics.
+    """
+    from woodwork_spark.operators.stats_tests import (
+        _std_normal_two_sided_p,
+    )
+
+    multi = isinstance(x_col, (list, tuple))
+    xs = list(x_col) if multi else [x_col]
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    coef_names = [f"beta_{c}" for c in xs] if multi else ["beta"]
+    missing = [c for c in coef_names if c not in model.columns]
+    if missing:
+        raise ValueError(f"cox_ph_diagnostic: model frame lacks {missing}")
+    cond = F.col(time_col).isNotNull() & F.col(event_col).isNotNull()
+    for c in xs:
+        cond = cond & F.col(c).isNotNull()
+    sel = model.select(
+        *group_cols, *[F.col(c).alias(f"__m_{c}") for c in coef_names],
+    )
+    base = df.filter(cond).select(
+        *group_cols,
+        F.col(time_col).cast("double").alias("__t"),
+        F.col(event_col).cast("double").alias("__d"),
+        *[F.col(c).cast("double").alias(f"__x{j + 1}")
+          for j, c in enumerate(xs)],
+    )
+    joined = (
+        base.join(F.broadcast(sel), group_cols, "left")
+        if group_cols else base.crossJoin(F.broadcast(sel))
+    )
+    eta = None
+    for j, name in enumerate(coef_names):
+        term = F.col(f"__m_{name}") * F.col(f"__x{j + 1}")
+        eta = term if eta is None else eta + term
+    if multi:
+        eta = F.least(F.lit(700.0), eta)
+    ew = F.exp(eta)
+    cells = joined.groupBy(*group_cols, "__t").agg(
+        F.sum(ew).alias("__c0"),
+        *[F.sum(F.col(f"__x{j + 1}") * ew).alias(f"__c1_{j}")
+          for j in range(len(xs))],
+    )
+    w_desc = (
+        W.partitionBy(*group_cols).orderBy(F.desc("__t"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+        if group_cols else
+        W.partitionBy(F.lit(1)).orderBy(F.desc("__t"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # cell count = distinct times (already collapsed); a bounded frame,
+    # so the lit(1) partition in the ungrouped case is fine here
+    cells = cells.withColumn("__S0", F.sum("__c0").over(w_desc))
+    for j in range(len(xs)):
+        cells = cells.withColumn(
+            f"__S1_{j}", F.sum(f"__c1_{j}").over(w_desc),
+        )
+    events = joined.filter(F.col("__d") > 0).join(
+        cells.select(
+            *group_cols, "__t", "__S0",
+            *[f"__S1_{j}" for j in range(len(xs))],
+        ),
+        group_cols + ["__t"],
+    )
+    frames = []
+    for j, name in enumerate(xs):
+        r = F.col(f"__x{j + 1}") - F.col(f"__S1_{j}") / F.col("__S0")
+        agg = events.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("__t").alias("__mt"),
+            F.avg(r).alias("__mr"),
+            F.sum(F.col("__t") * r).alias("__str"),
+            F.sum(F.col("__t") * F.col("__t")).alias("__stt"),
+            F.sum(r * r).alias("__srr"),
+        )
+        n = F.col("n_events").cast("double")
+        cov = F.col("__str") - n * F.col("__mt") * F.col("__mr")
+        vt = F.col("__stt") - n * F.col("__mt") * F.col("__mt")
+        vr = F.col("__srr") - n * F.col("__mr") * F.col("__mr")
+        corr = cov / F.sqrt(vt * vr)
+        z = corr * F.sqrt(n - 2.0) / F.sqrt(F.lit(1.0) - corr * corr)
+        ok = (F.col("n_events") > 2) & (vt > 0) & (vr > 0)
+        frames.append(agg.select(
+            *group_cols,
+            F.lit(name).alias("covariate"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.when(ok, corr).alias("corr"),
+            F.when(ok, z).alias("z_stat"),
+            F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
+        ))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
