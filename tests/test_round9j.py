@@ -48,12 +48,21 @@ def test_fisher_support_enumeration_is_distributed(spark):
     assert "Range (" in plan
 
 
-def test_cox_risk_sets_use_range_frame(spark):
+def test_cox_risk_sets_share_tied_times(spark):
+    """Round 10 rewrote cox risk sets: rows collapse to one CELL per
+    (group, distinct time) BEFORE the suffix-sum window, so tied
+    subjects share a risk set by construction (the round-9 RANGE frame
+    achieved the same over raw rows).  Assert the new mechanism: a
+    pre-window aggregate keyed on the time column feeding ROWS-frame
+    running sums — and no RANGE frame needed anywhere.  Value-level tie
+    semantics are covered by test_round9e
+    TestCoxPH::test_tied_times_share_risk_set."""
     plan = _plan(entrymod.queries()["cox_ph"](spark, SF))
-    low = plan.lower()
-    assert "rangeframe" in low.replace(" ", ""), (
-        "tied event times must share a risk set (RANGE, not ROWS)"
-    )
+    low = plan.lower().replace(" ", "")
+    assert "rowframe" in low and "rangeframe" not in low
+    # the cell collapse: an aggregate whose grouping keys include the
+    # internal time column
+    assert "__t" in plan
 
 
 def test_pq_search_scan_is_broadcast_side(spark):
