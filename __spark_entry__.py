@@ -21483,3 +21483,173 @@ def _cox_ph_check_oracle() -> str:
 
 ORACLE["cox_ph_check"] = _cox_ph_check_oracle()
 QUERIES["cox_ph_check"] = q_cox_ph_check
+
+
+def q_mantel_haenszel(spark, sf_dir):
+    """Confounder-adjusted association: is a discounted line item more
+    likely to be returned, holding the ship MONTH fixed?  Per-month 2x2
+    cells -> MH common odds ratio + CMH chi-squared (exact erf
+    p-value), one cell agg + one fold."""
+    from woodwork_spark.operators.stats_tests import mantel_haenszel
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.month(F.col("l_shipdate").cast("date")),
+    )
+    out = mantel_haenszel(
+        li,
+        F.col("l_discount") >= 0.05,
+        F.col("l_returnflag") == "R",
+        ["ship_month"],
+    )
+    return out.select(
+        "n", "n_strata",
+        _ravg(F.col("or_mh"), 6).alias("or_mh"),
+        _ravg(F.col("chi2"), 5).alias("chi2"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+    )
+
+
+ORACLE["mantel_haenszel"] = """
+    WITH base AS (
+        SELECT month(CAST(l_shipdate AS DATE)) AS s,
+               CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS e,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS o
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+    ),
+    cells AS (
+        SELECT s,
+               CAST(sum(e * o) AS BIGINT) AS a,
+               CAST(sum(e * (1 - o)) AS BIGINT) AS b,
+               CAST(sum((1 - e) * o) AS BIGINT) AS c,
+               CAST(sum((1 - e) * (1 - o)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY s
+    ),
+    fold AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_strata,
+               sum(CAST(a AS DOUBLE) * d / n) AS ad,
+               sum(CAST(b AS DOUBLE) * c / n) AS bc,
+               sum(CAST(a AS DOUBLE)) AS sa,
+               sum(CASE WHEN n >= 2 AND a + b > 0 AND c + d > 0
+                        AND a + c > 0 AND b + d > 0
+                   THEN CAST(a + b AS DOUBLE) * (a + c) / n
+                   ELSE 0.0 END) AS se,
+               sum(CASE WHEN n >= 2 AND a + b > 0 AND c + d > 0
+                        AND a + c > 0 AND b + d > 0
+                   THEN CAST(a + b AS DOUBLE) * (c + d) * (a + c)
+                        * (b + d)
+                        / (CAST(n AS DOUBLE) * n * (n - 1.0))
+                   ELSE 0.0 END) AS sv
+        FROM cells
+    ),
+    zz AS (
+        SELECT n, n_strata, ad, bc,
+               (sa - se) * (sa - se) / sv AS chi2, sv
+        FROM fold
+    )
+    SELECT n, n_strata,
+           round(CASE WHEN bc > 0 THEN ad / bc END + 0.0000001, 6)
+               AS or_mh,
+           round(CASE WHEN sv > 0 THEN chi2 END + 0.0000001, 5) AS chi2,
+           round(CASE WHEN sv > 0 THEN
+               least(1.0, greatest(0.0,
+                   (0.254829592 * tt - 0.284496736 * tt * tt
+                    + 1.421413741 * tt * tt * tt
+                    - 1.453152027 * tt * tt * tt * tt
+                    + 1.061405429 * tt * tt * tt * tt * tt)
+                   * exp(-xx * xx))) END
+                 + 0.0000001, 6) AS p_approx
+    FROM (SELECT *, abs(sqrt(chi2)) / sqrt(2.0) AS xx,
+                 1.0 / (1.0 + 0.3275911 * abs(sqrt(chi2)) / sqrt(2.0))
+                     AS tt
+          FROM zz)
+"""
+QUERIES["mantel_haenszel"] = q_mantel_haenszel
+
+
+def q_mcnemar(spark, sf_dir):
+    """Paired binary shift: per user, 'purchased in the first half of
+    their activity' vs 'purchased in the second half' — McNemar on
+    the discordant pairs (did behavior change within subjects?).  One
+    per-user agg + one fold."""
+    from woodwork_spark.operators.stats_tests import mcnemar_test
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # join events back to the per-user activity midpoint, then flag
+    # purchase-before / purchase-after per subject
+    mid = ev.groupBy("user_id").agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .alias("__mid"),
+    )
+    flags = ev.join(mid, "user_id").groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.unix_micros("ts") <= F.col("__mid"))
+            ).cast("int"),
+        ).alias("before"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.unix_micros("ts") > F.col("__mid"))
+            ).cast("int"),
+        ).alias("after"),
+    )
+    out = mcnemar_test(flags, F.col("before") == 1, F.col("after") == 1)
+    return out.select(
+        "n", "n_discordant", "b", "c",
+        _ravg(F.col("chi2"), 5).alias("chi2"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+    )
+
+
+ORACLE["mcnemar"] = """
+    WITH mid AS (
+        SELECT user_id,
+               (epoch_us(min(ts)) + epoch_us(max(ts))) / 2 AS m
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    flags AS (
+        SELECT e.user_id,
+               max(CASE WHEN e.event_type = 'purchase'
+                        AND epoch_us(e.ts) <= m.m THEN 1 ELSE 0 END)
+                   AS before,
+               max(CASE WHEN e.event_type = 'purchase'
+                        AND epoch_us(e.ts) > m.m THEN 1 ELSE 0 END)
+                   AS after
+        FROM events e JOIN mid m USING (user_id)
+        WHERE e.user_id IS NOT NULL
+        GROUP BY e.user_id
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(before * (1 - after)) AS BIGINT) AS b,
+               CAST(sum((1 - before) * after) AS BIGINT) AS c
+        FROM flags
+    ),
+    zz AS (
+        SELECT n, b, c,
+               CAST(b - c AS DOUBLE) * (b - c) / (b + c) AS chi2
+        FROM agg
+    )
+    SELECT n, CAST(b + c AS BIGINT) AS n_discordant, b, c,
+           round(CASE WHEN b + c > 0 THEN chi2 END + 0.0000001, 5)
+               AS chi2,
+           round(CASE WHEN b + c > 0 THEN
+               least(1.0, greatest(0.0,
+                   (0.254829592 * tt - 0.284496736 * tt * tt
+                    + 1.421413741 * tt * tt * tt
+                    - 1.453152027 * tt * tt * tt * tt
+                    + 1.061405429 * tt * tt * tt * tt * tt)
+                   * exp(-xx * xx))) END
+                 + 0.0000001, 6) AS p_approx
+    FROM (SELECT *, abs(sqrt(chi2)) / sqrt(2.0) AS xx,
+                 1.0 / (1.0 + 0.3275911 * abs(sqrt(chi2)) / sqrt(2.0))
+                     AS tt
+          FROM zz)
+"""
+QUERIES["mcnemar"] = q_mcnemar

@@ -962,3 +962,71 @@ class TestCoxPhDiagnostic:
         m2 = cox_ph_fit(df2, "t", "d", "x", iters=4)
         out2 = cox_ph_diagnostic(df2, "t", "d", "x", m2).collect()[0]
         assert out2["p_approx"] < 0.01  # violation flagged
+
+
+class TestMantelHaenszel:
+    def test_matches_hand_computation(self, spark):
+        from woodwork_spark.operators.stats_tests import mantel_haenszel
+
+        # classic two-stratum example with a planted common OR ~ 2.5
+        rows = []
+        tables = {
+            "s1": (25, 10, 15, 20),  # a, b, c, d
+            "s2": (30, 12, 18, 28),
+        }
+        for s, (a, b, c, d) in tables.items():
+            rows += [(s, 1, 1)] * a + [(s, 1, 0)] * b
+            rows += [(s, 0, 1)] * c + [(s, 0, 0)] * d
+        df = spark.createDataFrame(rows, ["s", "e", "o"])
+        out = mantel_haenszel(
+            df, F.col("e") == 1, F.col("o") == 1, "s").collect()[0]
+        num = den = sa = se = sv = 0.0
+        for a, b, c, d in tables.values():
+            n = a + b + c + d
+            num += a * d / n
+            den += b * c / n
+            sa += a
+            r1, r0, c1, c0 = a + b, c + d, a + c, b + d
+            se += r1 * c1 / n
+            sv += r1 * r0 * c1 * c0 / (n * n * (n - 1))
+        assert out["or_mh"] == pytest.approx(num / den, rel=1e-12)
+        assert out["chi2"] == pytest.approx(
+            (sa - se) ** 2 / sv, rel=1e-12)
+        assert out["or_mh"] > 1.5  # planted positive association
+        assert out["n_strata"] == 2
+
+    def test_no_discordance_nulls(self, spark):
+        from woodwork_spark.operators.stats_tests import mantel_haenszel
+
+        # b = c = 0 in every stratum -> OR undefined
+        rows = [("s", 1, 1)] * 5 + [("s", 0, 0)] * 5
+        df = spark.createDataFrame(rows, ["s", "e", "o"])
+        out = mantel_haenszel(
+            df, F.col("e") == 1, F.col("o") == 1, "s").collect()[0]
+        assert out["or_mh"] is None
+
+
+class TestMcNemar:
+    def test_matches_hand_computation(self, spark):
+        from woodwork_spark.operators.stats_tests import mcnemar_test
+
+        rows = (
+            [(1, 1)] * 40 + [(0, 0)] * 30 + [(1, 0)] * 25 + [(0, 1)] * 10
+        )
+        df = spark.createDataFrame(rows, ["before", "after"])
+        out = mcnemar_test(
+            df, F.col("before") == 1, F.col("after") == 1).collect()[0]
+        assert out["b"] == 25 and out["c"] == 10
+        assert out["chi2"] == pytest.approx((25 - 10) ** 2 / 35,
+                                            rel=1e-12)
+        assert out["p_approx"] < 0.05  # real shift
+        assert out["n_discordant"] == 35
+
+    def test_no_discordance_nulls(self, spark):
+        from woodwork_spark.operators.stats_tests import mcnemar_test
+
+        df = spark.createDataFrame([(1, 1)] * 5 + [(0, 0)] * 5,
+                                   ["before", "after"])
+        out = mcnemar_test(
+            df, F.col("before") == 1, F.col("after") == 1).collect()[0]
+        assert out["chi2"] is None and out["p_approx"] is None

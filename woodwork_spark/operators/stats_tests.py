@@ -2227,3 +2227,131 @@ def icc_oneway(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
         F.when(ok, msw).alias("msw"),
         F.when(ok, icc).alias("icc"),
     )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    exposure_col,
+    outcome_col,
+    strata_cols,
+) -> DataFrame:
+    """Mantel-Haenszel common odds ratio across stratified 2x2 tables —
+    THE classic confounder-adjusted association test (does exposure
+    relate to outcome once site/age-band/era is held fixed?): per
+    stratum i with cells (a=exposed outcome, b=exposed no-outcome,
+    c=unexposed outcome, d=unexposed no-outcome, n=total),
+
+    ``OR_MH = sum(a d / n) / sum(b c / n)``, and the CMH chi-squared
+    (1 df, no continuity correction) ``X^2 = (sum a - sum E[a])^2 /
+    sum Var(a)`` with the hypergeometric ``E[a] = r1 c1 / n`` and
+    ``Var(a) = r1 r0 c1 c0 / (n^2 (n-1))``; its p-value via the exact
+    identity ``P(chi2_1 > x) = 2 (1 - Phi(sqrt(x)))`` through the
+    shared erf polynomial.
+
+    ONE (strata, exposure, outcome) cell aggregation + one fold —
+    stratum count never touches the driver.  Strata with n < 2 or an
+    empty margin contribute nothing to the variance sum (standard).
+    Returns one row: ``(n, n_strata, or_mh, chi2, p_approx)``; OR is
+    NULL when ``sum(b c / n) = 0`` (no discordant evidence).
+    """
+    exp_c = (
+        F.col(exposure_col) if isinstance(exposure_col, str)
+        else exposure_col
+    ).cast("boolean")
+    out_c = (
+        F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    ).cast("boolean")
+    strata_cols = (
+        [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
+    )
+    base = df.filter(exp_c.isNotNull() & out_c.isNotNull()).select(
+        *strata_cols,
+        exp_c.cast("int").alias("__e"),
+        out_c.cast("int").alias("__o"),
+    )
+    cells = base.groupBy(*strata_cols).agg(
+        F.sum(F.col("__e") * F.col("__o")).alias("a"),
+        F.sum(F.col("__e") * (1 - F.col("__o"))).alias("b"),
+        F.sum((1 - F.col("__e")) * F.col("__o")).alias("c"),
+        F.sum((1 - F.col("__e")) * (1 - F.col("__o"))).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    nn = F.col("n").cast("double")
+    r1 = (F.col("a") + F.col("b")).cast("double")
+    r0 = (F.col("c") + F.col("d")).cast("double")
+    c1 = (F.col("a") + F.col("c")).cast("double")
+    c0 = (F.col("b") + F.col("d")).cast("double")
+    usable = (F.col("n") >= 2) & (r1 > 0) & (r0 > 0) & (c1 > 0) & (c0 > 0)
+    fold = cells.agg(
+        F.sum("n").alias("n"),
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.col("a") * F.col("d") / nn).alias("__ad"),
+        F.sum(F.col("b") * F.col("c") / nn).alias("__bc"),
+        F.sum(F.col("a").cast("double")).alias("__sa"),
+        F.sum(F.when(usable, r1 * c1 / nn).otherwise(0.0)).alias("__se"),
+        F.sum(
+            F.when(
+                usable,
+                r1 * r0 * c1 * c0 / (nn * nn * (nn - 1.0)),
+            ).otherwise(0.0),
+        ).alias("__sv"),
+    )
+    chi2 = (
+        (F.col("__sa") - F.col("__se"))
+        * (F.col("__sa") - F.col("__se")) / F.col("__sv")
+    )
+    z = F.sqrt(chi2)
+    ok = F.col("__sv") > 0
+    return fold.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.when(F.col("__bc") > 0, F.col("__ad") / F.col("__bc"))
+        .alias("or_mh"),
+        F.when(ok, chi2).alias("chi2"),
+        F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    before_col,
+    after_col,
+) -> DataFrame:
+    """McNemar test for PAIRED binary outcomes (same subject judged
+    twice: model A vs model B on the same examples, before/after an
+    intervention): only the discordant pairs carry information,
+    ``X^2 = (b - c)^2 / (b + c)`` over b = yes->no and c = no->yes
+    counts (no continuity correction; documented — at the pair counts
+    this engine targets the correction is noise), chi-squared(1)
+    p-value via the exact erf identity.
+
+    ONE aggregation.  Returns ``(n, n_discordant, b, c, chi2,
+    p_approx)``; NULL statistics when no discordant pairs exist.
+    """
+    bc = (
+        F.col(before_col) if isinstance(before_col, str) else before_col
+    ).cast("boolean")
+    ac = (
+        F.col(after_col) if isinstance(after_col, str) else after_col
+    ).cast("boolean")
+    base = df.filter(bc.isNotNull() & ac.isNotNull()).select(
+        bc.cast("int").alias("__b"), ac.cast("int").alias("__a"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__b") * (1 - F.col("__a"))).alias("b"),
+        F.sum((1 - F.col("__b")) * F.col("__a")).alias("c"),
+    )
+    disc = (F.col("b") + F.col("c")).cast("double")
+    diff = (F.col("b") - F.col("c")).cast("double")
+    chi2 = diff * diff / disc
+    z = F.sqrt(chi2)
+    ok = disc > 0
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        (F.col("b") + F.col("c")).cast("long").alias("n_discordant"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.when(ok, chi2).alias("chi2"),
+        F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
+    )
