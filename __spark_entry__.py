@@ -21653,3 +21653,126 @@ ORACLE["mcnemar"] = """
           FROM zz)
 """
 QUERIES["mcnemar"] = q_mcnemar
+
+
+def q_weibull_fit(spark, sf_dir):
+    """Weibull probability-plot fit of time-to-first-purchase per
+    cohort: KM curve -> ln(-ln S) ~ shape * ln t linearization ->
+    event-weighted closed-form least squares; shape/scale/R² say how
+    hazard evolves and how Weibull-like the curve is.  Oracle: the
+    kaplan_meier window replay + the same weighted centered sums."""
+    from woodwork_spark.operators.timeseries import weibull_fit_km
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+    )
+    durs = per_user.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(
+            F.col("__p").isNotNull(),
+            F.floor(
+                (F.unix_micros("__p") - F.unix_micros("__t0")) / 3.6e9,
+            ),
+        ).otherwise(
+            F.floor(
+                (F.unix_micros("__last") - F.unix_micros("__t0")) / 3.6e9,
+            ),
+        ).alias("dur_h"),
+        F.col("__p").isNotNull().cast("int").alias("purchased"),
+    )
+    out = weibull_fit_km(durs, "dur_h", "purchased", ["cohort"])
+    return out.select(
+        "cohort", "n_points", "n_events_used",
+        _ravg(F.col("shape"), 6).alias("shape"),
+        _ravg(F.col("scale"), 5).alias("scale"),
+        _ravg(F.col("r2"), 6).alias("r2"),
+    )
+
+
+ORACLE["weibull_fit"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+               max(ts) AS lastts
+        FROM events GROUP BY user_id
+    ), durs AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
+               CASE WHEN p IS NOT NULL
+                    THEN CAST(floor((epoch_us(p) - epoch_us(t0))
+                                    / 3600000000.0) AS BIGINT)
+                    ELSE CAST(floor((epoch_us(lastts) - epoch_us(t0))
+                                    / 3600000000.0) AS BIGINT)
+               END AS dur_h,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM durs_src
+    ), counts AS (
+        SELECT cohort, dur_h AS duration,
+               sum(ev) AS n_events,
+               count(*) AS nn
+        FROM durs GROUP BY cohort, dur_h
+    ), staged AS (
+        SELECT cohort, duration, n_events,
+               sum(nn) OVER (PARTITION BY cohort ORDER BY duration DESC
+                             ROWS UNBOUNDED PRECEDING) AS at_risk
+        FROM counts
+    ), surv AS (
+        SELECT cohort, duration, n_events,
+               exp(sum(CASE WHEN n_events > 0 THEN
+                           CASE WHEN 1.0 - n_events
+                                     / CAST(at_risk AS DOUBLE) > 0
+                                THEN ln(1.0 - n_events
+                                        / CAST(at_risk AS DOUBLE))
+                                ELSE -745.0 END
+                           ELSE 0.0 END)
+                   OVER (PARTITION BY cohort ORDER BY duration ASC
+                         ROWS UNBOUNDED PRECEDING)) AS survival
+        FROM staged
+    ), pts AS (
+        SELECT cohort,
+               ln(CAST(duration AS DOUBLE)) AS x,
+               ln(-ln(survival)) AS y,
+               CAST(n_events AS DOUBLE) AS w
+        FROM surv
+        WHERE n_events > 0 AND survival > 0 AND survival < 1
+          AND duration > 0
+    ), agg AS (
+        SELECT cohort,
+               CAST(count(*) AS BIGINT) AS n_points,
+               sum(w) AS sw, sum(w * x) AS sx, sum(w * y) AS sy,
+               sum(w * x * x) AS sxx, sum(w * x * y) AS sxy,
+               sum(w * y * y) AS syy
+        FROM pts GROUP BY cohort
+    ), fit AS (
+        SELECT cohort, n_points, sw,
+               (sxy - sx * sy / sw) / (sxx - sx * sx / sw) AS shape,
+               sxx - sx * sx / sw AS vx,
+               syy - sy * sy / sw AS vy,
+               sxy - sx * sy / sw AS cxy,
+               sx, sy
+        FROM agg
+    )
+    SELECT cohort, n_points, CAST(sw AS BIGINT) AS n_events_used,
+           round(CASE WHEN n_points >= 2 AND vx > 0 AND vy > 0
+                      AND cxy > 0 THEN shape END + 0.0000001, 6)
+               AS shape,
+           round(CASE WHEN n_points >= 2 AND vx > 0 AND vy > 0
+                      AND cxy > 0
+                 THEN exp(-((sy - shape * sx) / sw) / shape) END
+                 + 0.0000001, 5) AS scale,
+           round(CASE WHEN n_points >= 2 AND vx > 0 AND vy > 0
+                      AND cxy > 0
+                 THEN cxy * cxy / (vx * vy) END + 0.0000001, 6) AS r2
+    FROM fit
+"""
+ORACLE["weibull_fit"] = ORACLE["weibull_fit"].replace(
+    "FROM durs_src",
+    "FROM per_user",
+)
+QUERIES["weibull_fit"] = q_weibull_fit

@@ -1030,3 +1030,44 @@ class TestMcNemar:
         out = mcnemar_test(
             df, F.col("before") == 1, F.col("after") == 1).collect()[0]
         assert out["chi2"] is None and out["p_approx"] is None
+
+
+class TestWeibullFitKm:
+    def test_recovers_planted_parameters(self, spark):
+        from woodwork_spark.operators.timeseries import weibull_fit_km
+
+        rng = np.random.RandomState(3)
+        n = 4000
+        t = 5 * rng.weibull(1.8, n)
+        c = rng.exponential(20.0, n)
+        obs = np.round(np.minimum(t, c), 1)
+        d = (t <= c).astype(int)
+        df = spark.createDataFrame(
+            [(float(a), int(b)) for a, b in zip(obs, d)], ["t", "d"])
+        out = weibull_fit_km(df, "t", "d").collect()[0]
+        assert 1.6 < out["shape"] < 2.0   # planted 1.8
+        assert 4.5 < out["scale"] < 5.5   # planted 5.0
+        assert out["r2"] > 0.98
+
+    def test_exponential_has_unit_shape(self, spark):
+        from woodwork_spark.operators.timeseries import weibull_fit_km
+
+        rng = np.random.RandomState(8)
+        obs = np.round(rng.exponential(3.0, 3000), 1)
+        df = spark.createDataFrame(
+            [(float(a) + 0.1, 1) for a in obs], ["t", "d"])
+        out = weibull_fit_km(df, "t", "d").collect()[0]
+        assert 0.85 < out["shape"] < 1.15  # exponential = Weibull k=1
+
+    def test_degenerate_groups_null(self, spark):
+        from woodwork_spark.operators.timeseries import weibull_fit_km
+
+        df = spark.createDataFrame(
+            [("a", 1.0, 1), ("b", 2.0, 1), ("b", 2.0, 1)],
+            ["g", "t", "d"])
+        out = {r["g"]: r for r in
+               weibull_fit_km(df, "t", "d", "g").collect()}
+        # group a: single event time -> S = 0 at it -> zero usable
+        # points; group b: one distinct time -> < 2 points
+        for g in out:
+            assert out[g]["shape"] is None

@@ -1931,3 +1931,69 @@ def cox_ph_diagnostic(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+def weibull_fit_km(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols=(),
+) -> DataFrame:
+    """Weibull survival fit from the Kaplan-Meier curve — the classic
+    probability-plot estimator: under ``S(t) = exp(-(t/scale)^shape)``
+    the transform ``ln(-ln S(t)) = shape * ln t - shape * ln scale`` is
+    LINEAR in ``ln t``, so an event-weighted least squares over the KM
+    points per group gives the parametric completion of the survival
+    stack (KM says what happened; Weibull extrapolates and summarizes:
+    shape < 1 infant mortality, > 1 wear-out).
+
+    Closed-form on top of :func:`kaplan_meier`: event times with
+    ``0 < S < 1`` and ``t > 0`` contribute ``(ln t, ln(-ln S))``
+    weighted by their event count, and one centered-sums aggregate per
+    group yields slope (= shape), intercept and the weighted R² (how
+    Weibull-like the curve actually is — always inspect it; this is a
+    plotting-position estimator, not the censoring-aware MLE, the
+    documented trade for a collect-free closed form).
+
+    Returns ``(group_cols..., n_points, n_events_used, shape, scale,
+    r2)``; groups with < 2 usable points or zero variance yield NULLs.
+    """
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    km = kaplan_meier(df, duration_col, event_col, group_cols)
+    pts = km.filter(
+        (F.col("survival") > 0) & (F.col("survival") < 1)
+        & (F.col("duration").cast("double") > 0),
+    ).select(
+        *group_cols,
+        F.log(F.col("duration").cast("double")).alias("__x"),
+        F.log(-F.log("survival")).alias("__yv"),
+        F.col("n_events").cast("double").alias("__w"),
+    )
+    agg = pts.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("__w").alias("__sw"),
+        F.sum(F.col("__w") * F.col("__x")).alias("__sx"),
+        F.sum(F.col("__w") * F.col("__yv")).alias("__sy"),
+        F.sum(F.col("__w") * F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__w") * F.col("__x") * F.col("__yv")).alias("__sxy"),
+        F.sum(F.col("__w") * F.col("__yv") * F.col("__yv")).alias("__syy"),
+    )
+    sw = F.col("__sw")
+    vx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / sw
+    vy = F.col("__syy") - F.col("__sy") * F.col("__sy") / sw
+    cxy = F.col("__sxy") - F.col("__sx") * F.col("__sy") / sw
+    shape = cxy / vx
+    intercept = (F.col("__sy") - shape * F.col("__sx")) / sw
+    scale = F.exp(-intercept / shape)
+    r2 = cxy * cxy / (vx * vy)
+    ok = (F.col("n_points") >= 2) & (vx > 0) & (vy > 0) & (cxy > 0)
+    return agg.select(
+        *group_cols,
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("__sw").cast("long").alias("n_events_used"),
+        F.when(ok, shape).alias("shape"),
+        F.when(ok, scale).alias("scale"),
+        F.when(ok, r2).alias("r2"),
+    )
