@@ -20110,11 +20110,11 @@ def _glm_multi_oracle(family: str, data_cte: str, iters: int = 6) -> str:
             FROM iv
         )
         SELECT cohort, n,
-               round(CASE WHEN ok THEN b0 END + 0.0000001, 6)
+               round(CASE WHEN cok THEN b0 END + 0.0000001, 6)
                    AS intercept,
                round(CASE WHEN ok THEN se0 END + 0.0000001, 6)
                    AS se_intercept,
-               round(CASE WHEN ok THEN b1 END + 0.0000001, 6) AS coef_x1,
+               round(CASE WHEN cok THEN b1 END + 0.0000001, 6) AS coef_x1,
                round(CASE WHEN ok THEN se1 END + 0.0000001, 6) AS se_x1,
                round(CASE WHEN ok THEN z1 END + 0.0000001, 5) AS z_x1,
                round(CASE WHEN ok THEN
@@ -20296,7 +20296,7 @@ def _cox_multi_oracle(iters: int = 4) -> str:
             FROM iv
         )
         SELECT cohort, n, n_events,
-               round(CASE WHEN ok THEN b1 END + 0.0000001, 6) AS beta_x1,
+               round(CASE WHEN cok THEN b1 END + 0.0000001, 6) AS beta_x1,
                round(CASE WHEN ok THEN se1 END + 0.0000001, 6) AS se_x1,
                round(CASE WHEN ok THEN z1 END + 0.0000001, 5) AS z_x1,
                round(CASE WHEN ok THEN
@@ -21776,3 +21776,130 @@ ORACLE["weibull_fit"] = ORACLE["weibull_fit"].replace(
     "FROM per_user",
 )
 QUERIES["weibull_fit"] = q_weibull_fit
+
+
+def q_ols_by_group(spark, sf_dir):
+    """Per-group OLS with Wald inference: price ~ quantity + discount
+    per return-flag group, fitted for EVERY group in one plan — means
+    broadcast back, centered moments folded per group, the 2x2 solve +
+    inverse diagonal as in-plan Cholesky layers (no collect at any
+    group count).  Oracle: per-group Cramer 2x2 closed form."""
+    from woodwork_spark.operators.regression import ols_fit_by
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = ols_fit_by(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        ["l_returnflag"],
+    )
+    return out.select(
+        "l_returnflag", "n", "df_resid",
+        _ravg(F.col("intercept"), 4).alias("intercept"),
+        _ravg(F.col("se_intercept"), 4).alias("se_intercept"),
+        _ravg(F.col("coef_l_quantity"), 4).alias("coef_l_quantity"),
+        _ravg(F.col("se_l_quantity"), 4).alias("se_l_quantity"),
+        _ravg(F.col("t_l_quantity"), 3).alias("t_l_quantity"),
+        _ravg(F.col("p_l_quantity"), 6).alias("p_l_quantity"),
+        _ravg(F.col("coef_l_discount"), 4).alias("coef_l_discount"),
+        _ravg(F.col("se_l_discount"), 4).alias("se_l_discount"),
+        _ravg(F.col("t_l_discount"), 3).alias("t_l_discount"),
+        _ravg(F.col("p_l_discount"), 6).alias("p_l_discount"),
+        _ravg(F.col("r2"), 6).alias("r2"),
+    )
+
+
+ORACLE["ols_by_group"] = """
+    WITH base AS (
+        SELECT l_returnflag AS g,
+               CAST(l_extendedprice AS DOUBLE) AS y,
+               CAST(l_quantity AS DOUBLE) AS x0,
+               CAST(l_discount AS DOUBLE) AS x1
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_discount IS NOT NULL
+    ),
+    m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 avg(x0) AS m0, avg(x1) AS m1, avg(y) AS my
+          FROM base GROUP BY g),
+    s AS (
+        SELECT b.g, m.n, m.m0, m.m1, m.my,
+               sum((x0 - m0) * (x0 - m0)) AS s00,
+               sum((x0 - m0) * (x1 - m1)) AS s01,
+               sum((x1 - m1) * (x1 - m1)) AS s11,
+               sum((x0 - m0) * (y - my)) AS sy0,
+               sum((x1 - m1) * (y - my)) AS sy1,
+               sum((y - my) * (y - my)) AS syy
+        FROM base b JOIN m ON b.g = m.g
+        GROUP BY b.g, m.n, m.m0, m.m1, m.my
+    ),
+    fit AS (
+        SELECT *, s00 * s11 - s01 * s01 AS det,
+               (sy0 * s11 - s01 * sy1) / (s00 * s11 - s01 * s01) AS b0,
+               (s00 * sy1 - s01 * sy0) / (s00 * s11 - s01 * s01) AS b1
+        FROM s
+    ),
+    sse AS (
+        SELECT *, my - b0 * m0 - b1 * m1 AS icept,
+               syy - (b0 * sy0 + b1 * sy1) AS e2
+        FROM fit
+    ),
+    iv AS (
+        SELECT *, e2 / (n - 3) AS sig2,
+               s11 / det AS i00, s00 / det AS i11, -s01 / det AS i01,
+               s00 > 0 AND det > 0 AND syy > 0 AS cok,
+               s00 > 0 AND det > 0 AND syy > 0 AND n > 3 AND e2 > 0
+                   AS ok
+        FROM sse
+    ),
+    rd AS (
+        SELECT g, n, CASE WHEN n > 3 THEN CAST(n - 3 AS BIGINT) END AS df_resid, icept, cok, ok,
+               CASE WHEN ok THEN sqrt(sig2 * (1.0 / n
+                    + (m0 * (m0 * i00 + m1 * i01)
+                       + m1 * (m0 * i01 + m1 * i11)))) END AS se_i,
+               b0, CASE WHEN ok THEN sqrt(sig2 * i00) END AS se0,
+               b1, CASE WHEN ok THEN sqrt(sig2 * i11) END AS se1,
+               1.0 - e2 / syy AS r2
+        FROM iv
+    ),
+    zz AS (
+        SELECT *, b0 / se0 AS t0, b1 / se1 AS t1,
+               abs(b0 / se0) / sqrt(2.0) AS xx0,
+               1.0 / (1.0 + 0.3275911 * abs(b0 / se0) / sqrt(2.0)) AS tt0,
+               abs(b1 / se1) / sqrt(2.0) AS xx1,
+               1.0 / (1.0 + 0.3275911 * abs(b1 / se1) / sqrt(2.0)) AS tt1
+        FROM rd
+    )
+    SELECT g AS l_returnflag, n, df_resid,
+           round(CASE WHEN cok THEN icept END + 0.0000001, 4)
+               AS intercept,
+           round(se_i + 0.0000001, 4) AS se_intercept,
+           round(CASE WHEN cok THEN b0 END + 0.0000001, 4)
+               AS coef_l_quantity,
+           round(se0 + 0.0000001, 4) AS se_l_quantity,
+           round(CASE WHEN ok THEN t0 END + 0.0000001, 3)
+               AS t_l_quantity,
+           round(CASE WHEN ok THEN
+               least(1.0, greatest(0.0,
+                   (0.254829592 * tt0 - 0.284496736 * tt0 * tt0
+                    + 1.421413741 * tt0 * tt0 * tt0
+                    - 1.453152027 * tt0 * tt0 * tt0 * tt0
+                    + 1.061405429 * tt0 * tt0 * tt0 * tt0 * tt0)
+                   * exp(-xx0 * xx0))) END + 0.0000001, 6)
+               AS p_l_quantity,
+           round(CASE WHEN cok THEN b1 END + 0.0000001, 4)
+               AS coef_l_discount,
+           round(se1 + 0.0000001, 4) AS se_l_discount,
+           round(CASE WHEN ok THEN t1 END + 0.0000001, 3)
+               AS t_l_discount,
+           round(CASE WHEN ok THEN
+               least(1.0, greatest(0.0,
+                   (0.254829592 * tt1 - 0.284496736 * tt1 * tt1
+                    + 1.421413741 * tt1 * tt1 * tt1
+                    - 1.453152027 * tt1 * tt1 * tt1 * tt1
+                    + 1.061405429 * tt1 * tt1 * tt1 * tt1 * tt1)
+                   * exp(-xx1 * xx1))) END + 0.0000001, 6)
+               AS p_l_discount,
+           round(CASE WHEN cok THEN r2 END + 0.0000001, 6) AS r2
+    FROM zz
+"""
+QUERIES["ols_by_group"] = q_ols_by_group

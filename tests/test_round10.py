@@ -1071,3 +1071,49 @@ class TestWeibullFitKm:
         # points; group b: one distinct time -> < 2 points
         for g in out:
             assert out[g]["shape"] is None
+
+
+class TestOlsFitBy:
+    def test_per_group_matches_numpy_lstsq(self, spark):
+        from woodwork_spark.operators.regression import ols_fit_by
+
+        rng = np.random.RandomState(2)
+        rows = []
+        planted = {"a": (1.0, 2.0, -1.0), "b": (-0.5, 0.3, 0.8)}
+        for g, (b0, b1, b2) in planted.items():
+            for _ in range(800):
+                x1, x2 = rng.normal(), rng.uniform(-1, 1)
+                y = b0 + b1 * x1 + b2 * x2 + rng.normal(0, 0.4)
+                rows.append((g, float(y), float(x1), float(x2)))
+        for i in range(30):  # collinear group
+            v = float(rng.normal())
+            rows.append(("bad", float(i), v, v))
+        df = spark.createDataFrame(rows, ["g", "y", "x1", "x2"])
+        out = {r["g"]: r for r in
+               ols_fit_by(df, "y", ["x1", "x2"], "g").collect()}
+        for g in planted:
+            sub = [(y, x1, x2) for gg, y, x1, x2 in rows if gg == g]
+            Y = np.array([a for a, _, _ in sub])
+            X = np.column_stack([
+                np.ones(len(sub)),
+                [b for _, b, _ in sub], [c for _, _, c in sub]])
+            bh, *_ = np.linalg.lstsq(X, Y, rcond=None)
+            e = Y - X @ bh
+            cov = float(e @ e) / (len(sub) - 3) * np.linalg.inv(X.T @ X)
+            r = out[g]
+            assert r["intercept"] == pytest.approx(bh[0], abs=1e-8)
+            assert r["coef_x1"] == pytest.approx(bh[1], abs=1e-8)
+            assert r["coef_x2"] == pytest.approx(bh[2], abs=1e-8)
+            assert r["se_intercept"] == pytest.approx(
+                math.sqrt(cov[0, 0]), abs=1e-8)
+            assert r["se_x1"] == pytest.approx(
+                math.sqrt(cov[1, 1]), abs=1e-8)
+        assert out["bad"]["coef_x1"] is None
+        assert out["bad"]["intercept"] is None
+
+    def test_requires_groups(self, spark):
+        from woodwork_spark.operators.regression import ols_fit_by
+
+        df = spark.createDataFrame([(1.0, 1.0)], ["y", "x"])
+        with pytest.raises(ValueError, match="group_cols"):
+            ols_fit_by(df, "y", ["x"], [])

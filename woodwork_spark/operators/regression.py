@@ -913,3 +913,133 @@ def glm_predict(
     return joined.withColumn(out_col, mu).drop(
         *[f"__m_{c}" for c in coef_names],
     )
+
+
+def ols_fit_by(
+    df: DataFrame,
+    y_col: str,
+    x_cols,
+    group_cols,
+    inference: bool = True,
+) -> DataFrame:
+    """Per-GROUP ordinary least squares with the Wald readout —
+    :func:`ols_fit` fits one global model with a driver-side solve;
+    this fits every group in ONE plan with the same in-plan
+    unrolled-Cholesky machinery as the multi-covariate GLMs: a means
+    pass broadcasts per-group centers back (centered grams condition
+    like the correlation matrix — the module-docstring rationale), one
+    aggregate folds the d(d+1)/2 centered moments + cross terms per
+    group, and the solve + inverse-diagonal run as column expressions
+    over the one-row-per-group frame.  No collect at any group count.
+
+    Returns ``(group_cols..., n, intercept, coef_<x>..., r2)`` plus —
+    with ``inference`` (default) — ``df_resid, se_intercept`` and
+    per-covariate ``se_<x>, t_<x>, p_<x>`` (normal-approximation p via
+    the shared A&S polynomial, like :func:`ols_fit`).  Groups with a
+    singular centered gram, fewer than d+2 rows, or zero residual
+    variance yield NULL statistics (coefficients included — there is
+    no meaningful fit to report).
+    """
+    from woodwork_spark.operators.linalg import (
+        apply_layers,
+        chol_solve_layers,
+        pd_ok,
+    )
+    from woodwork_spark.operators.stats_tests import (
+        _std_normal_two_sided_p,
+    )
+
+    x_cols = [x_cols] if isinstance(x_cols, str) else list(x_cols)
+    if not x_cols or len(set(x_cols)) != len(x_cols):
+        raise ValueError("x_cols must be a non-empty unique list")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    if not group_cols:
+        raise ValueError("ols_fit_by needs group_cols — use ols_fit "
+                         "for the global model")
+    d = len(x_cols)
+    cond = F.col(y_col).isNotNull()
+    for c in x_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond).select(
+        *group_cols,
+        F.col(y_col).cast("double").alias("__y"),
+        *[
+            F.col(c).cast("double").alias(f"__x{j}")
+            for j in range(d)
+            for c in [x_cols[j]]
+        ],
+    )
+    means = base.groupBy(*group_cols).agg(
+        F.avg("__y").alias("__my"),
+        *[F.avg(f"__x{j}").alias(f"__m{j}") for j in range(d)],
+    )
+    cur = base.join(F.broadcast(means), group_cols)
+    cx = [F.col(f"__x{j}") - F.col(f"__m{j}") for j in range(d)]
+    cy = F.col("__y") - F.col("__my")
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.max("__my").alias("__my"),
+        F.sum(cy * cy).alias("__syy"),
+    ]
+    for j in range(d):
+        aggs.append(F.max(f"__m{j}").alias(f"__m{j}"))
+        aggs.append(F.sum(cx[j] * cy).alias(f"__u{j}"))
+        for i in range(j + 1):
+            aggs.append(F.sum(cx[j] * cx[i]).alias(f"__a_{j}_{i}"))
+    mom = cur.groupBy(*group_cols).agg(*aggs)
+    a_name = lambda i, j: f"__a_{i}_{j}"  # noqa: E731
+    rhs = {"s": [f"__u{j}" for j in range(d)]}
+    if inference:
+        for j in range(d):
+            rhs[f"e{j}"] = [1.0 if m == j else 0.0 for m in range(d)]
+    layers, sol, piv = chol_solve_layers(d, a_name, rhs, pref="__ols")
+    solved = apply_layers(mom, layers)
+    bs = [F.col(sol["s"][j]) for j in range(d)]
+    # SSE = Syy - b'u (exact at the optimum of the centered system)
+    sse = F.col("__syy")
+    for j in range(d):
+        sse = sse - bs[j] * F.col(f"__u{j}")
+    icept = F.col("__my")
+    for j in range(d):
+        icept = icept - bs[j] * F.col(f"__m{j}")
+    r2 = F.lit(1.0) - sse / F.col("__syy")
+    ok = pd_ok(piv) & (F.col("__syy") > 0)
+    cols = [
+        F.col("__n").cast("long").alias("n"),
+        F.when(ok, icept).alias("intercept"),
+        *[F.when(ok, bs[j]).alias(f"coef_{x_cols[j]}") for j in range(d)],
+        F.when(ok, r2).alias("r2"),
+    ]
+    if inference:
+        dof = F.col("__n").cast("double") - F.lit(float(d + 1))
+        sig2 = sse / dof
+        iok = ok & (dof > 0) & (sse > 0)
+        # se_intercept needs m' G^-1 m: fold the unit-vector solutions
+        mgm = None
+        for i in range(d):
+            for j in range(d):
+                term = (
+                    F.col(f"__m{i}") * F.col(sol[f"e{j}"][i])
+                    * F.col(f"__m{j}")
+                )
+                mgm = term if mgm is None else mgm + term
+        cols.insert(1, F.col("__n").cast("long") - F.lit(d + 1))
+        cols[1] = F.when(dof > 0, cols[1]).alias("df_resid")
+        cols.append(
+            F.when(
+                iok,
+                F.sqrt(sig2 * (F.lit(1.0) / F.col("__n") + mgm)),
+            ).alias("se_intercept"),
+        )
+        for j in range(d):
+            se = F.sqrt(sig2 * F.col(sol[f"e{j}"][j]))
+            t = bs[j] / se
+            cols += [
+                F.when(iok, se).alias(f"se_{x_cols[j]}"),
+                F.when(iok, t).alias(f"t_{x_cols[j]}"),
+                F.when(iok, _std_normal_two_sided_p(t))
+                .alias(f"p_{x_cols[j]}"),
+            ]
+    return solved.select(*group_cols, *cols)
