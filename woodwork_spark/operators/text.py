@@ -171,14 +171,20 @@ def build_vocabulary(
         .agg(F.count(F.lit(1)).alias("count"))
         .filter(F.col("count") >= min_count)
     )
-    out = global_row_number(
-        counts, [F.desc("count"), F.asc("token")], out_col="token_id",
-    )
+    order = [F.desc("count"), F.asc("token")]
     if top_n:
-        out = attach_persisted(
-            out.filter(F.col("token_id") < top_n), *persisted_frames(out),
+        # bounded output: orderBy().limit() is TakeOrderedAndProject
+        # (per-partition heaps, one job, no probe/persist), and the id
+        # window runs over <= top_n rows — strictly cheaper than the
+        # general distributed ranking for the common top-N vocabulary
+        from pyspark.sql import Window as _W
+
+        top = counts.orderBy(*order).limit(int(top_n))
+        return top.withColumn(
+            "token_id",
+            F.row_number().over(_W.orderBy(*order)).cast("long") - 1,
         )
-    return out
+    return global_row_number(counts, order, out_col="token_id")
 
 
 def filter_by_quality(
