@@ -20110,11 +20110,11 @@ def _glm_multi_oracle(family: str, data_cte: str, iters: int = 6) -> str:
             FROM iv
         )
         SELECT cohort, n,
-               round(CASE WHEN cok THEN b0 END + 0.0000001, 6)
+               round(CASE WHEN ok THEN b0 END + 0.0000001, 6)
                    AS intercept,
                round(CASE WHEN ok THEN se0 END + 0.0000001, 6)
                    AS se_intercept,
-               round(CASE WHEN cok THEN b1 END + 0.0000001, 6) AS coef_x1,
+               round(CASE WHEN ok THEN b1 END + 0.0000001, 6) AS coef_x1,
                round(CASE WHEN ok THEN se1 END + 0.0000001, 6) AS se_x1,
                round(CASE WHEN ok THEN z1 END + 0.0000001, 5) AS z_x1,
                round(CASE WHEN ok THEN
@@ -20296,7 +20296,7 @@ def _cox_multi_oracle(iters: int = 4) -> str:
             FROM iv
         )
         SELECT cohort, n, n_events,
-               round(CASE WHEN cok THEN b1 END + 0.0000001, 6) AS beta_x1,
+               round(CASE WHEN ok THEN b1 END + 0.0000001, 6) AS beta_x1,
                round(CASE WHEN ok THEN se1 END + 0.0000001, 6) AS se_x1,
                round(CASE WHEN ok THEN z1 END + 0.0000001, 5) AS z_x1,
                round(CASE WHEN ok THEN
