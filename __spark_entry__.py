@@ -21288,13 +21288,15 @@ ORACLE["competing_risks"] = """
 QUERIES["competing_risks"] = q_competing_risks
 
 
-def q_isotonic_calibration(spark, sf_dir):
+def q_isotonic_minimax(spark, sf_dir):
     """Isotonic recalibration of the pseudo-probability against the
-    'F' label: exact isotonic least squares over 20 bins via the
-    minimax characterization fit_b = max_{j<=b} min_{k>=b} mean(j..k)
-    — interval means from prefix-sum subtraction, one running-min and
-    one running-max window over <= bins^2 interval rows, no
-    driver-side PAV pooling.  Oracle replays the identical windows."""
+    'F' label — the FULLY DISTRIBUTED companion to the driver-kernel
+    isotonic_calibration query: exact isotonic least squares over 20
+    bins via the minimax characterization fit_b = max_{j<=b}
+    min_{k>=b} mean(j..k) — interval means from prefix-sum
+    subtraction, one running-min and one running-max window over
+    <= bins^2 interval rows, no driver-side PAV pooling.  Oracle
+    replays the identical windows."""
     from woodwork_spark.operators.evaluation import isotonic_calibration
 
     _prep(spark)
@@ -21312,7 +21314,7 @@ def q_isotonic_calibration(spark, sf_dir):
     )
 
 
-ORACLE["isotonic_calibration"] = """
+ORACLE["isotonic_minimax"] = """
     WITH base AS (
         SELECT least(greatest(least(o_totalprice / 400000.0, 1.0), 0.0),
                      1.0) AS s,
@@ -21363,7 +21365,7 @@ ORACLE["isotonic_calibration"] = """
     FROM cells c JOIN (SELECT bin, f FROM fit WHERE j = bin) f
          USING (bin)
 """
-QUERIES["isotonic_calibration"] = q_isotonic_calibration
+QUERIES["isotonic_minimax"] = q_isotonic_minimax
 
 
 def q_cox_ph_check(spark, sf_dir):
