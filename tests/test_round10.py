@@ -1215,3 +1215,27 @@ class TestCoxStrataMulti:
         common = sorted(set(h0) & set(h1))[2:]  # past the noisy head
         assert common
         assert np.median([h0[t] - h1[t] for t in common]) > 0
+
+
+def test_no_duplicate_query_registrations():
+    """A second QUERIES[key] assignment silently REPLACES the first in
+    the registry (dict semantics) — exactly how the round-10 minimax
+    query shadowed the driver-kernel isotonic_calibration until a
+    count mismatch surfaced it.  Scan the source for duplicate
+    registrations of either form (subscript or dict literal)."""
+    import collections
+    import re
+
+    src = open("/root/repo/__spark_entry__.py").read()
+    keys = re.findall(r'QUERIES\["([a-z0-9_]+)"\]\s*=', src)
+    keys += re.findall(r'^\s+"([a-z0-9_]+)": q_', src, re.M)
+    dups = [k for k, c in collections.Counter(keys).items() if c > 1]
+    assert not dups, f"duplicate QUERIES registrations: {dups}"
+    okeys = re.findall(r'ORACLE\["([a-z0-9_]+)"\]\s*=', src)
+    odups = [k for k, c in collections.Counter(okeys).items() if c > 1]
+    # ORACLE self-reassignment (build-then-patch) is allowed only when
+    # it patches its OWN key immediately (the weibull_fit replace);
+    # flag anything registered from two distinct sites
+    assert all(k == "weibull_fit" for k in odups), (
+        f"duplicate ORACLE registrations: {odups}"
+    )
