@@ -320,7 +320,13 @@ def _glm_newton_fit(
         # Poisson loglik sans the data-only ln(y!) term (constant in
         # the coefficients; dropping it is the standard deviance form)
         ll = F.col("__y") * eta - mu
-    resid2 = (F.col("__y") - mu) * (F.col("__y") - mu) / w
+    # w > 0 guard: a Poisson row whose eta underflows (~ -745 on
+    # ill-scaled covariates) has mu = w = 0.0 exactly; dividing gives
+    # Inf/NaN and poisons the whole group's dispersion.  Skip such
+    # rows (sum ignores NULL) so dispersion degrades gracefully.
+    resid2 = F.when(
+        w > 0, (F.col("__y") - mu) * (F.col("__y") - mu) / w,
+    )
     out = fin.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
         F.max("__b0").alias("intercept"),
@@ -382,8 +388,11 @@ def _glm_irls_fit(
     Returns ``(group_cols..., n, intercept, se_intercept, coef_<x>,
     se_<x>, z_<x>, p_<x> per covariate..., loglik, dispersion)`` —
     Wald standard errors come from the inverse-information diagonal
-    (the same factorization solves the d unit vectors), and dispersion
-    is Pearson X^2 / (n - d).
+    (the same factorization solves the d unit vectors; with
+    ``ridge_lambda > 0`` the readout information carries the same
+    ``+ lam`` slope diagonal the Newton steps solved, so the SEs are
+    the penalized-estimator covariance), and dispersion is Pearson
+    X^2 / (n - d).
     """
     from woodwork_spark.operators.linalg import (
         apply_layers,
@@ -536,7 +545,10 @@ def _glm_irls_fit(
         ) * F.log(F.lit(1.0) - mu)
     else:
         ll = F.col("__y") * eta - mu
-    resid2 = (F.col("__y") - mu) * (F.col("__y") - mu) / w
+    # same w > 0 underflow guard as the 1-covariate readout
+    resid2 = F.when(
+        w > 0, (F.col("__y") - mu) * (F.col("__y") - mu) / w,
+    )
     out = fin.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
         *[F.max(f"__b{j}").alias(f"__b{j}") for j in range(d)],
@@ -544,6 +556,19 @@ def _glm_irls_fit(
         F.sum(ll).alias("loglik"),
         F.sum(resid2).alias("__px2"),
     )
+    if lam:
+        # ridge: the Newton steps solved (A + lam I); the Wald/PD
+        # readout must use the SAME penalized information — the raw A
+        # at the converged beta is near-singular in exactly the
+        # separation cases ridge exists for, inflating the SEs.
+        diag = {f"__a_{j}_{j}" for j in range(1, d)}
+        out = out.select(
+            *[c for c in out.columns if c not in diag],
+            *[
+                (F.col(f"__a_{j}_{j}") + F.lit(lam)).alias(f"__a_{j}_{j}")
+                for j in range(1, d)
+            ],
+        )
     # one factorization, d unit-vector solves -> inverse diagonal
     rhs = {
         f"e{j}": [1.0 if m == j else 0.0 for m in range(d)]

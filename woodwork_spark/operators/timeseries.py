@@ -1742,13 +1742,24 @@ def cumulative_incidence(
     two windows over DISTINCT TIMES, the :func:`kaplan_meier`
     convention) and separately to per-(group, duration, cause) event
     counts; one join lines them up and a per-(group, cause) ascending
-    prefix sum accumulates the increments.  Returns one row per
-    (group, cause != 0, event time of that cause): ``(group_cols...,
-    cause, duration, n_events, at_risk, surv_before, cif)``.
+    prefix sum accumulates the increments.  With NO group columns the
+    two all-cause sums route through
+    :func:`~woodwork_spark.operators.rank.global_prefix_sums` (range
+    shuffle + per-bucket windows — the cox_ph_fit convention, no
+    SinglePartition exchange); the CIF accumulation always has
+    ``cause`` as a partition key, so its per-partition bound is one
+    cause's distinct event times, parallel across causes.  Returns one
+    row per (group, cause != 0, event time of that cause):
+    ``(group_cols..., cause, duration, n_events, at_risk,
+    surv_before, cif)``.
     """
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.rank import global_prefix_sums
+
     group_cols = (
         [group_cols] if isinstance(group_cols, str) else list(group_cols)
     )
+    caches = []
     cause = F.col(cause_col).cast("long")
     base = df.filter(
         F.col(duration_col).isNotNull() & cause.isNotNull(),
@@ -1761,12 +1772,19 @@ def cumulative_incidence(
         F.count(F.lit(1)).alias("__n"),
         F.sum((F.col("__cause") != 0).cast("long")).alias("__dtot"),
     )
-    w_desc = (
-        W.partitionBy(*group_cols)
-        .orderBy(F.desc("duration"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    cells = cells.withColumn("at_risk", F.sum("__n").over(w_desc))
+    if group_cols:
+        w_desc = (
+            W.partitionBy(*group_cols)
+            .orderBy(F.desc("duration"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cells = cells.withColumn("at_risk", F.sum("__n").over(w_desc))
+    else:
+        cells = global_prefix_sums(
+            cells, [F.desc("duration")], ["__n"], out_cols=["at_risk"],
+            inclusive=True, small_threshold=0,
+        )
+        caches.extend(persisted_frames(cells))
     # exclusive all-cause survival prefix: S(t-) — the log(0) guard is
     # kaplan_meier's exp-underflow encoding
     frac = 1.0 - F.col("__dtot") / F.col("at_risk")
@@ -1774,15 +1792,24 @@ def cumulative_incidence(
         F.col("__dtot") > 0,
         F.when(frac > 0, F.log(frac)).otherwise(F.lit(-745.0)),
     ).otherwise(F.lit(0.0))
-    w_excl = (
-        W.partitionBy(*group_cols)
-        .orderBy(F.asc("duration"))
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    cells = cells.withColumn(
-        "surv_before",
-        F.exp(F.coalesce(F.sum(step).over(w_excl), F.lit(0.0))),
-    )
+    if group_cols:
+        w_excl = (
+            W.partitionBy(*group_cols)
+            .orderBy(F.asc("duration"))
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        cells = cells.withColumn(
+            "surv_before",
+            F.exp(F.coalesce(F.sum(step).over(w_excl), F.lit(0.0))),
+        )
+    else:
+        cells = global_prefix_sums(
+            cells.withColumn("__lstep", step),
+            [F.asc("duration")], ["__lstep"], out_cols=["__lsb"],
+            inclusive=False, small_threshold=0,
+        )
+        caches.extend(persisted_frames(cells))
+        cells = cells.withColumn("surv_before", F.exp(F.col("__lsb")))
     ccounts = (
         base.filter(F.col("__cause") != 0)
         .groupBy(*group_cols, "duration", F.col("__cause").alias("cause"))
@@ -1800,7 +1827,7 @@ def cumulative_incidence(
         .orderBy(F.asc("duration"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return joined.withColumn(
+    out = joined.withColumn(
         "cif", F.sum("__inc").over(w_cif),
     ).select(
         *group_cols, "cause", "duration",
@@ -1808,6 +1835,7 @@ def cumulative_incidence(
         F.col("at_risk").cast("long").alias("at_risk"),
         "surv_before", "cif",
     )
+    return attach_persisted(out, *caches) if caches else out
 
 
 def cox_ph_diagnostic(
