@@ -21905,3 +21905,292 @@ ORACLE["ols_by_group"] = """
     FROM zz
 """
 QUERIES["ols_by_group"] = q_ols_by_group
+
+
+def q_glm_lrt(spark, sf_dir):
+    """Likelihood-ratio test between nested logistic fits: does order
+    MONTH add predictive power for fulfillment over log order value,
+    per priority cohort?  Both fits are the in-plan unrolled-Cholesky
+    IRLS engine; glm_lrt joins the two model-sized frames and pushes
+    2*(ll_full - ll_reduced) through the exact integer-df chi-square
+    survival function (stats_tests._chi2_sf).  The oracle replays BOTH
+    fits with independent solve algebra (Cramer cofactors 3x3 / closed
+    2x2) — agreement comes from convergence to the shared optimum."""
+    from woodwork_spark.operators.regression import glm_lrt, logistic_fit
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    rows = orders.select(
+        (F.col("o_orderkey") % 2).alias("cohort"),
+        (F.col("o_orderstatus") == "F").cast("double").alias("y"),
+        F.log(F.col("o_totalprice")).alias("x1"),
+        F.month(F.col("o_orderdate").cast("date"))
+        .cast("double").alias("x2"),
+    )
+    full = logistic_fit(rows, "y", ["x1", "x2"], "cohort", iters=6)
+    reduced = logistic_fit(rows, "y", ["x1"], "cohort", iters=6)
+    out = glm_lrt(full, reduced, df_diff=1, group_cols="cohort")
+    return out.select(
+        "cohort", "n",
+        _ravg(F.col("loglik_full"), 4).alias("loglik_full"),
+        _ravg(F.col("loglik_reduced"), 4).alias("loglik_reduced"),
+        _ravg(F.col("lrt_stat"), 4).alias("lrt_stat"),
+        "df_diff",
+        _ravg(F.col("p_value"), 6).alias("p_value"),
+    )
+
+
+def _glm_lrt_oracle() -> str:
+    """Both nested logistic fits unrolled as CTE Newton loops (3x3 via
+    Cramer cofactors, 2x2 closed-form), then the dof=1 chi-square
+    survival through the shared A&S erf polynomial."""
+    mu3 = ("1.0 / (1.0 + exp(-least(30.0, greatest(-30.0, "
+           "c.b0 + c.b1 * d.x1 + c.b2 * d.x2))))")
+    mu2 = ("1.0 / (1.0 + exp(-least(30.0, greatest(-30.0, "
+           "c.b0 + c.b1 * d.x1))))")
+    det3 = ("(a00 * (a11 * a22 - a21 * a21)"
+            " - a10 * (a10 * a22 - a21 * a20)"
+            " + a20 * (a10 * a21 - a11 * a20))")
+    pd3 = f"a00 > 0 AND (a00 * a11 - a10 * a10) > 0 AND {det3} > 0"
+    sums3 = """
+            sum(y - mu) AS u0, sum(x1 * (y - mu)) AS u1,
+            sum(x2 * (y - mu)) AS u2,
+            sum(mu * (1.0 - mu)) AS a00,
+            sum(x1 * mu * (1.0 - mu)) AS a10,
+            sum(x2 * mu * (1.0 - mu)) AS a20,
+            sum(x1 * x1 * mu * (1.0 - mu)) AS a11,
+            sum(x2 * x1 * mu * (1.0 - mu)) AS a21,
+            sum(x2 * x2 * mu * (1.0 - mu)) AS a22"""
+    parts = ["""
+    WITH data AS (
+        SELECT o_orderkey % 2 AS cohort,
+               CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+               ln(o_totalprice) AS x1,
+               CAST(month(CAST(o_orderdate AS DATE)) AS DOUBLE) AS x2
+        FROM orders
+    ),
+    f0 AS (SELECT cohort, 0.0 AS b0, 0.0 AS b1, 0.0 AS b2
+           FROM data GROUP BY cohort),
+    g0 AS (SELECT cohort, 0.0 AS b0, 0.0 AS b1
+           FROM data GROUP BY cohort)"""]
+    for i in range(6):
+        parts.append(f"""
+        , fa{i} AS (
+            SELECT cohort, max(b0) AS b0, max(b1) AS b1, max(b2) AS b2,
+                   {sums3}
+            FROM (SELECT d.cohort, d.y, d.x1, d.x2, c.b0, c.b1, c.b2,
+                         {mu3} AS mu
+                  FROM data d JOIN f{i} c USING (cohort))
+            GROUP BY cohort
+        ),
+        f{i + 1} AS (
+            SELECT cohort,
+              CASE WHEN {pd3} THEN b0 +
+                (u0 * (a11 * a22 - a21 * a21)
+                 - u1 * (a10 * a22 - a20 * a21)
+                 + u2 * (a10 * a21 - a20 * a11)) / {det3}
+              ELSE b0 END AS b0,
+              CASE WHEN {pd3} THEN b1 +
+                (-u0 * (a10 * a22 - a21 * a20)
+                 + u1 * (a00 * a22 - a20 * a20)
+                 - u2 * (a00 * a21 - a20 * a10)) / {det3}
+              ELSE b1 END AS b1,
+              CASE WHEN {pd3} THEN b2 +
+                (u0 * (a10 * a21 - a11 * a20)
+                 - u1 * (a00 * a21 - a10 * a20)
+                 + u2 * (a00 * a11 - a10 * a10)) / {det3}
+              ELSE b2 END AS b2
+            FROM fa{i}
+        ),
+        ga{i} AS (
+            SELECT cohort, max(b0) AS b0, max(b1) AS b1,
+                   sum(y - mu) AS u0, sum(x1 * (y - mu)) AS u1,
+                   sum(mu * (1.0 - mu)) AS i00,
+                   sum(x1 * mu * (1.0 - mu)) AS i01,
+                   sum(x1 * x1 * mu * (1.0 - mu)) AS i11
+            FROM (SELECT d.cohort, d.y, d.x1, c.b0, c.b1,
+                         {mu2} AS mu
+                  FROM data d JOIN g{i} c USING (cohort))
+            GROUP BY cohort
+        ),
+        g{i + 1} AS (
+            SELECT cohort,
+                   CASE WHEN i00 * i11 - i01 * i01 > 0
+                        THEN b0 + (i11 * u0 - i01 * u1)
+                                  / (i00 * i11 - i01 * i01)
+                        ELSE b0 END AS b0,
+                   CASE WHEN i00 * i11 - i01 * i01 > 0
+                        THEN b1 + (i00 * u1 - i01 * u0)
+                                  / (i00 * i11 - i01 * i01)
+                        ELSE b1 END AS b1
+            FROM ga{i}
+        )""")
+    parts.append(f"""
+        , lf AS (
+            SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+                   sum(y * ln(mu) + (1.0 - y) * ln(1.0 - mu))
+                       AS loglik_full
+            FROM (SELECT d.cohort, d.y,
+                         {mu3} AS mu
+                  FROM data d JOIN f6 c USING (cohort))
+            GROUP BY cohort
+        ),
+        lg AS (
+            SELECT cohort,
+                   sum(y * ln(mu) + (1.0 - y) * ln(1.0 - mu))
+                       AS loglik_reduced
+            FROM (SELECT d.cohort, d.y,
+                         {mu2} AS mu
+                  FROM data d JOIN g6 c USING (cohort))
+            GROUP BY cohort
+        ),
+        st AS (
+            SELECT lf.cohort, lf.n, lf.loglik_full, lg.loglik_reduced,
+                   2.0 * (lf.loglik_full - lg.loglik_reduced) AS raw
+            FROM lf JOIN lg USING (cohort)
+        ),
+        zz AS (
+            SELECT *, greatest(0.0, raw) AS stat,
+                   sqrt(greatest(0.0, raw)) / sqrt(2.0) AS xx,
+                   1.0 / (1.0 + 0.3275911
+                          * sqrt(greatest(0.0, raw)) / sqrt(2.0)) AS tt
+            FROM st
+        )
+        SELECT cohort, n,
+               round(loglik_full + 0.0000001, 4) AS loglik_full,
+               round(loglik_reduced + 0.0000001, 4) AS loglik_reduced,
+               round(CASE WHEN raw > -0.000001 THEN stat END
+                     + 0.0000001, 4) AS lrt_stat,
+               CAST(1 AS BIGINT) AS df_diff,
+               round(CASE WHEN raw > -0.000001 THEN
+                   least(1.0, greatest(0.0,
+                       (0.254829592 * tt - 0.284496736 * tt * tt
+                        + 1.421413741 * tt * tt * tt
+                        - 1.453152027 * tt * tt * tt * tt
+                        + 1.061405429 * tt * tt * tt * tt * tt)
+                       * exp(-xx * xx))) END
+                     + 0.0000001, 6) AS p_value
+        FROM zz
+    """)
+    return "".join(parts)
+
+
+ORACLE["glm_lrt"] = _glm_lrt_oracle()
+QUERIES["glm_lrt"] = q_glm_lrt
+
+
+def q_glm_deviance(spark, sf_dir):
+    """Per-row GLM deviance + Pearson residuals (glm_residuals — a pure
+    broadcast-join projection over the scan) for the Poisson purchases
+    model, folded to the per-cohort model deviance / Pearson X2 / worst
+    row.  The oracle replays the 2x2 Newton fit and the same residual
+    algebra inline."""
+    from woodwork_spark.operators.regression import (
+        glm_residuals,
+        poisson_fit,
+    )
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            (F.col("event_type") == "purchase").cast("double"),
+        ).alias("n_purch"),
+        F.sum(
+            (F.col("event_type") != "purchase").cast("double"),
+        ).alias("__no"),
+    )
+    rows = per_user.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        "n_purch",
+        F.log(F.lit(1.0) + F.col("__no")).alias("x"),
+    ).persist()
+    model = poisson_fit(rows, "n_purch", "x", "cohort", iters=6)
+    dev = glm_residuals(
+        rows, model, "n_purch", "x", group_cols="cohort",
+        family="poisson", kind="deviance", out_col="r_dev",
+    )
+    both = glm_residuals(
+        dev, model, "n_purch", "x", group_cols="cohort",
+        family="poisson", kind="pearson", out_col="r_pear",
+    )
+    out = both.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        _ravg(F.sum(F.col("r_dev") * F.col("r_dev")), 4).alias("deviance"),
+        _ravg(F.max(F.abs(F.col("r_dev"))), 5).alias("max_abs_dev"),
+        _ravg(
+            F.sum(F.col("r_pear") * F.col("r_pear")), 4,
+        ).alias("pearson_x2"),
+    )
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(out, rows)
+
+
+def _glm_deviance_oracle() -> str:
+    mu = "exp(least(700.0, c.b0 + c.b1 * d.x))"
+    parts = ["""
+    WITH per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN 1.0 ELSE 0.0 END) AS n_purch,
+               sum(CASE WHEN event_type <> 'purchase'
+                        THEN 1.0 ELSE 0.0 END) AS no
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    data AS (
+        SELECT user_id % 2 AS cohort, n_purch AS y,
+               ln(1.0 + no) AS x
+        FROM per_user
+    ),
+    c0 AS (SELECT cohort, 0.0 AS b0, 0.0 AS b1
+           FROM data GROUP BY cohort)"""]
+    for i in range(6):
+        parts.append(f"""
+        , a{i} AS (
+            SELECT cohort, max(b0) AS b0, max(b1) AS b1,
+                   sum(y - mu) AS u0, sum(x * (y - mu)) AS u1,
+                   sum(mu) AS i00, sum(x * mu) AS i01,
+                   sum(x * x * mu) AS i11
+            FROM (SELECT d.cohort, d.y, d.x, c.b0, c.b1,
+                         {mu} AS mu
+                  FROM data d JOIN c{i} c USING (cohort))
+            GROUP BY cohort
+        ),
+        c{i + 1} AS (
+            SELECT cohort,
+                   CASE WHEN i00 * i11 - i01 * i01 > 0
+                        THEN b0 + (i11 * u0 - i01 * u1)
+                                  / (i00 * i11 - i01 * i01)
+                        ELSE b0 END AS b0,
+                   CASE WHEN i00 * i11 - i01 * i01 > 0
+                        THEN b1 + (i00 * u1 - i01 * u0)
+                                  / (i00 * i11 - i01 * i01)
+                        ELSE b1 END AS b1
+            FROM a{i}
+        )""")
+    parts.append(f"""
+        , scored AS (
+            SELECT d.cohort, d.y, {mu} AS mu
+            FROM data d JOIN c6 c USING (cohort)
+        ),
+        res AS (
+            SELECT cohort, y, mu,
+                   greatest(0.0, 2.0 * ((CASE WHEN y > 0
+                                 THEN y * ln(y / mu) ELSE 0.0 END)
+                            - (y - mu))) AS dev2,
+                   (y - mu) * (y - mu) / mu AS pear2
+            FROM scored
+        )
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+               round(sum(dev2) + 0.0000001, 4) AS deviance,
+               round(max(sqrt(dev2)) + 0.0000001, 5) AS max_abs_dev,
+               round(sum(pear2) + 0.0000001, 4) AS pearson_x2
+        FROM res
+        GROUP BY cohort
+    """)
+    return "".join(parts)
+
+
+ORACLE["glm_deviance"] = _glm_deviance_oracle()
+QUERIES["glm_deviance"] = q_glm_deviance

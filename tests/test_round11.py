@@ -135,3 +135,152 @@ class TestCumulativeIncidencePlanShape:
             assert (ne, ar) == (ne2, ar2)
             assert sb == pytest.approx(sb2, rel=1e-12)
             assert cif == pytest.approx(cif2, rel=1e-12)
+
+
+class TestChi2Sf:
+    def test_matches_exact_formulas(self, spark):
+        """_chi2_sf unrolls the exact integer-df survival recurrence;
+        check dof 1..6 against math.erfc / exact series references."""
+        import math
+
+        import pyspark.sql.functions as F
+        from woodwork_spark.operators.stats_tests import _chi2_sf
+
+        def ref(x, k):
+            # same recurrence evaluated in python floats
+            if k % 2:
+                q = math.erfc(math.sqrt(x / 2.0))
+                j = 1
+            else:
+                q = math.exp(-x / 2.0)
+                j = 2
+            while j + 2 <= k:
+                q += (x / 2.0) ** (j / 2.0) * math.exp(-x / 2.0) \
+                    / math.gamma(j / 2.0 + 1.0)
+                j += 2
+            return min(1.0, max(0.0, q))
+
+        xs = [0.1, 0.5, 1.0, 2.5, 3.84, 7.0, 15.0]
+        df = spark.createDataFrame([(float(v),) for v in xs], ["x"])
+        for k in range(1, 7):
+            got = {r["x"]: r["p"] for r in df.select(
+                "x", _chi2_sf(F.col("x"), k).alias("p")).collect()}
+            for v in xs:
+                # A&S erf polynomial is 1.5e-7 absolute; even dfs exact
+                assert got[v] == pytest.approx(ref(v, k), abs=2e-7)
+
+
+class TestGlmLrt:
+    def test_nested_logistic_against_numpy(self, spark):
+        from woodwork_spark.operators.regression import glm_lrt, logistic_fit
+
+        rng = np.random.RandomState(19)
+        n = 400
+        x1 = rng.normal(size=n)
+        x2 = rng.normal(size=n)
+        eta = -0.3 + 0.8 * x1 + 0.5 * x2
+        y = (rng.uniform(size=n) < 1 / (1 + np.exp(-eta))).astype(float)
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c))
+             for a, b, c in zip(x1, x2, y)], ["x1", "x2", "y"])
+        full = logistic_fit(df, "y", ["x1", "x2"], iters=8)
+        red = logistic_fit(df, "y", ["x1"], iters=8)
+        out = glm_lrt(full, red, df_diff=1).collect()[0]
+
+        def irls_ll(X):
+            beta = np.zeros(X.shape[1])
+            for _ in range(8):
+                e = np.clip(X @ beta, -30, 30)
+                mu = 1 / (1 + np.exp(-e))
+                w = mu * (1 - mu)
+                beta = beta + np.linalg.solve(
+                    X.T @ (w[:, None] * X), X.T @ (y - mu))
+            e = np.clip(X @ beta, -30, 30)
+            mu = 1 / (1 + np.exp(-e))
+            return float(np.sum(y * np.log(mu) + (1 - y) * np.log(1 - mu)))
+
+        X_full = np.column_stack([np.ones(n), x1, x2])
+        X_red = np.column_stack([np.ones(n), x1])
+        llf, llr = irls_ll(X_full), irls_ll(X_red)
+        stat = 2 * (llf - llr)
+        import math
+        p = math.erfc(math.sqrt(stat / 2.0))
+        assert out["loglik_full"] == pytest.approx(llf, abs=1e-6)
+        assert out["loglik_reduced"] == pytest.approx(llr, abs=1e-6)
+        assert out["lrt_stat"] == pytest.approx(stat, abs=1e-5)
+        assert out["p_value"] == pytest.approx(p, abs=2e-7)
+        assert out["df_diff"] == 1
+
+    def test_degenerate_and_nonnested_guard(self, spark):
+        import pyspark.sql.functions as F
+        from woodwork_spark.operators.regression import glm_lrt
+
+        a = spark.createDataFrame([(1, 10, -5.0)], ["g", "n", "loglik"])
+        b = spark.createDataFrame([(1, -4.0)], ["g", "loglik"]) \
+            .select("g", F.col("loglik"))
+        # full fits WORSE than reduced by more than noise -> NULL
+        out = glm_lrt(a, b.withColumnRenamed("loglik", "loglik"),
+                      df_diff=1, group_cols="g").collect()[0]
+        assert out["lrt_stat"] is None and out["p_value"] is None
+
+
+class TestGlmResiduals:
+    def test_poisson_deviance_and_pearson(self, spark):
+        from woodwork_spark.operators.regression import (
+            glm_residuals,
+            poisson_fit,
+        )
+
+        rng = np.random.RandomState(23)
+        n = 300
+        x = rng.uniform(0, 2, size=n)
+        y = rng.poisson(np.exp(0.3 + 0.9 * x)).astype(float)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(x, y)], ["x", "y"])
+        model = poisson_fit(df, "y", "x", iters=8)
+        rd = glm_residuals(df, model, "y", "x", family="poisson",
+                           kind="deviance", out_col="r").collect()
+        rp = glm_residuals(df, model, "y", "x", family="poisson",
+                           kind="pearson", out_col="r").collect()
+
+        X = np.column_stack([np.ones(n), x])
+        beta = np.zeros(2)
+        for _ in range(8):
+            mu = np.exp(np.minimum(X @ beta, 700))
+            beta = beta + np.linalg.solve(
+                X.T @ (mu[:, None] * X), X.T @ (y - mu))
+        mu = np.exp(np.minimum(X @ beta, 700))
+        by_x = {}
+        for a, m in zip(x, mu):
+            by_x[round(float(a), 9)] = m
+        for row in rd:
+            m = by_x[round(row["x"], 9)]
+            yy = row["y"]
+            t = yy * np.log(yy / m) if yy > 0 else 0.0
+            ref = np.sign(yy - m) * np.sqrt(max(0.0, 2 * (t - (yy - m))))
+            assert row["r"] == pytest.approx(ref, abs=1e-7)
+        for row in rp:
+            m = by_x[round(row["x"], 9)]
+            ref = (row["y"] - m) / np.sqrt(m)
+            assert row["r"] == pytest.approx(ref, abs=1e-7)
+
+    def test_logistic_deviance_sums_to_model_deviance(self, spark):
+        import pyspark.sql.functions as F
+        from woodwork_spark.operators.regression import (
+            glm_residuals,
+            logistic_fit,
+        )
+
+        rng = np.random.RandomState(29)
+        n = 250
+        x = rng.normal(size=n)
+        y = (rng.uniform(size=n) < 1 / (1 + np.exp(-x))).astype(float)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(x, y)], ["x", "y"])
+        model = logistic_fit(df, "y", ["x"], iters=8)
+        r = glm_residuals(df, model, "y", ["x"], family="logistic",
+                          kind="deviance", out_col="r")
+        got = r.agg(F.sum(F.col("r") * F.col("r"))).collect()[0][0]
+        ll = model.collect()[0]["loglik"]
+        # sum of squared deviance residuals == -2 loglik for y in {0,1}
+        assert got == pytest.approx(-2.0 * ll, rel=1e-9)

@@ -940,6 +940,125 @@ def glm_predict(
     )
 
 
+def glm_lrt(
+    fit_full: DataFrame,
+    fit_reduced: DataFrame,
+    df_diff: int,
+    group_cols=(),
+) -> DataFrame:
+    """Likelihood-ratio test between two NESTED GLM fits — "does adding
+    those covariates matter?", the standard question after a
+    multi-covariate fit.  ``lrt_stat = 2 (loglik_full -
+    loglik_reduced)`` is asymptotically chi-square with ``df_diff``
+    (the number of extra free coefficients); the p-value goes through
+    the exact integer-df survival function
+    :func:`~woodwork_spark.operators.stats_tests._chi2_sf`.
+
+    Both inputs are one-row-per-group fit frames from
+    :func:`logistic_fit` / :func:`poisson_fit` (either schema) — the
+    join is model-sized, so the test itself costs nothing at any data
+    scale.  CALLER CONTRACT: the fits must be nested AND evaluated on
+    the same rows — the fit engines drop rows with nulls in their OWN
+    covariate list, so if the extra covariates have nulls, pre-filter
+    before fitting both.  Both engines drop the same data-only loglik
+    constants (Poisson ln(y!)), so the difference is exact.
+
+    Returns ``(group_cols..., n, loglik_full, loglik_reduced,
+    lrt_stat, df_diff, p_value)``; NULL stat/p where either fit was
+    degenerate (NULL loglik) or the full model fits worse by more than
+    float noise (non-nested misuse).  A tiny negative difference from
+    finite Newton rounds clamps to 0 (p = 1).
+    """
+    from woodwork_spark.operators.stats_tests import _chi2_sf
+
+    df_diff = int(df_diff)
+    if df_diff < 1:
+        raise ValueError(f"df_diff must be >= 1, got {df_diff}")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    lf = fit_full.select(
+        *group_cols, "n", F.col("loglik").alias("loglik_full"),
+    )
+    lr = fit_reduced.select(
+        *group_cols, F.col("loglik").alias("loglik_reduced"),
+    )
+    joined = (
+        lf.join(lr, group_cols) if group_cols
+        else lf.crossJoin(F.broadcast(lr))
+    )
+    raw = F.lit(2.0) * (F.col("loglik_full") - F.col("loglik_reduced"))
+    ok = (
+        F.col("loglik_full").isNotNull()
+        & F.col("loglik_reduced").isNotNull()
+        # more than float noise below 0 => the models are not nested
+        # (or did not converge); refuse to report a p for that
+        & (raw > F.lit(-1e-6))
+    )
+    stat = F.greatest(F.lit(0.0), raw)
+    return joined.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        "loglik_full", "loglik_reduced",
+        F.when(ok, stat).alias("lrt_stat"),
+        F.lit(df_diff).cast("long").alias("df_diff"),
+        F.when(ok, _chi2_sf(stat, df_diff)).alias("p_value"),
+    )
+
+
+def glm_residuals(
+    df: DataFrame,
+    model: DataFrame,
+    y_col: str,
+    x_col,
+    group_cols=(),
+    family: str = "logistic",
+    kind: str = "deviance",
+    out_col: str = "resid",
+    exposure_col: str = None,
+) -> DataFrame:
+    """Per-row GLM residuals as a PURE PROJECTION on top of
+    :func:`glm_predict` — broadcast the model-sized coefficient frame,
+    compute ``mu``, and emit the residual column; at 100 TB this costs
+    one scan, no shuffle.
+
+    ``kind='deviance'`` (default): ``sign(y - mu) * sqrt(d_i)`` with
+    the unit deviance ``d_i = -2 [y ln mu + (1-y) ln(1-mu)]``
+    (logistic, y in {0,1}) or ``2 [y ln(y/mu) - (y - mu)]`` (Poisson,
+    ``y ln(y/mu) := 0`` at y = 0) — the residual whose squares sum to
+    the model deviance, the standard outlier/fit diagnostic.
+    ``kind='pearson'``: ``(y - mu) / sqrt(V(mu))``, ``V = mu (1-mu)``
+    or ``mu`` — squares sum to the dispersion numerator.  Rows with
+    NULL y, a missing group, a degenerate fit, or an underflowed
+    variance get NULL (never dropped)."""
+    if kind not in ("deviance", "pearson"):
+        raise ValueError(f"unknown kind {kind!r}")
+    if family not in ("logistic", "poisson"):
+        raise ValueError(f"unknown family {family!r}")
+    scored = glm_predict(
+        df, model, x_col, group_cols=group_cols, family=family,
+        out_col="__mu", exposure_col=exposure_col,
+    )
+    y = F.col(y_col).cast("double")
+    mu = F.col("__mu")
+    if kind == "pearson":
+        v = mu * (F.lit(1.0) - mu) if family == "logistic" else mu
+        r = F.when(v > 0, (y - mu) / F.sqrt(v))
+    elif family == "logistic":
+        # the fit clamp keeps mu in (9e-14, 1 - 9e-14): logs are safe
+        dev = F.lit(-2.0) * (
+            y * F.log(mu) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - mu)
+        )
+        r = F.signum(y - mu) * F.sqrt(F.greatest(F.lit(0.0), dev))
+    else:
+        ylog = F.when(y > 0, y * F.log(y / mu)).otherwise(F.lit(0.0))
+        dev = F.lit(2.0) * (ylog - (y - mu))
+        r = F.when(
+            mu > 0, F.signum(y - mu) * F.sqrt(F.greatest(F.lit(0.0), dev)),
+        )
+    return scored.withColumn(out_col, r).drop("__mu")
+
+
 def ols_fit_by(
     df: DataFrame,
     y_col: str,

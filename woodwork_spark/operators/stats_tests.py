@@ -1132,6 +1132,37 @@ def _std_normal_two_sided_p(z):
     return F.least(F.lit(1.0), F.greatest(F.lit(0.0), poly * F.exp(-x * x)))
 
 
+def _chi2_sf(x, dof: int):
+    """``P(chi2_dof > x)`` for a PLAN-TIME integer ``dof`` — the exact
+    integer-df survival function unrolled as column expressions via the
+    recurrence ``Q(k+2, x) = Q(k, x) + (x/2)^(k/2) e^(-x/2) /
+    Gamma(k/2 + 1)`` from the bases ``Q(1, x) = erfc(sqrt(x/2))`` (the
+    shared A&S polynomial of :func:`_std_normal_two_sided_p`) and
+    ``Q(2, x) = e^(-x/2)``.  Gamma at integer/half-integer arguments
+    folds to Python float literals at plan time, so for any given dof
+    the whole thing is a fixed closed-form expression the SQL oracles
+    repeat verbatim — no incomplete-gamma builtin needed in either
+    engine."""
+    import math
+
+    dof = int(dof)
+    if dof < 1:
+        raise ValueError(f"dof must be >= 1, got {dof}")
+    x = x.cast("double")
+    half = x / F.lit(2.0)
+    if dof % 2:
+        q = _std_normal_two_sided_p(F.sqrt(x))
+        k = 1
+    else:
+        q = F.exp(-half)
+        k = 2
+    while k + 2 <= dof:
+        g = math.gamma(k / 2.0 + 1.0)
+        q = q + F.pow(half, F.lit(k / 2.0)) * F.exp(-half) / F.lit(g)
+        k += 2
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), q))
+
+
 def mannwhitney_u(
     df: DataFrame,
     value_col: str,
