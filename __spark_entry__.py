@@ -15218,7 +15218,21 @@ def q_estimate_m_u(spark, sf_dir):
         F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100.0)
         .otherwise(F.col("c_acctbal")).alias("bal_r"),
     )
-    pairs = left.join(right, "nk")
+    # candidate generation through the capped blocker instead of a raw
+    # equi-join: same pairs on these fixtures (the cap does not bind),
+    # but a degenerate nation key can no longer go quadratic — the EM
+    # consumes whatever pair frame blocking produced.
+    from woodwork_spark.operators.dedup import blocked_candidates
+
+    cand = blocked_candidates(
+        left, right, "lid", "rid", [("exact", "nk")],
+        max_bucket=1_000_000,
+    )
+    pairs = cand.join(
+        left.select("lid", "name", "seg", "bal"), "lid",
+    ).join(
+        right.select("rid", "name_r", "seg_r", "bal_r"), "rid",
+    )
     out = estimate_m_u(pairs, ["name", "seg", "bal"], iters=3)
     return out.select(
         "field",
@@ -15267,9 +15281,18 @@ def _em_oracle_sql(iters=3, fields=("name", "seg", "bal")) -> str:
                     ELSE c_acctbal END AS bal_r
         FROM customer WHERE c_custkey % 6 = 0
     ),
+    okk AS (
+        SELECT nk FROM
+            (SELECT nk, count(*) AS nl FROM l GROUP BY nk) a
+        JOIN
+            (SELECT nk, count(*) AS nr FROM r GROUP BY nk) b
+        USING (nk)
+        WHERE nl * nr <= 1000000
+    ),
     p AS MATERIALIZED (
         SELECT {obs}
         FROM l JOIN r ON l.nk = r.nk
+        WHERE l.nk IN (SELECT nk FROM okk)
     ),
     par0 AS (SELECT 0.1::DOUBLE AS lam, """
     sql += ", ".join(
@@ -15728,11 +15751,17 @@ def q_or_blocking(spark, sf_dir):
         F.when(F.col("c_custkey") % 7 == 0, F.lit("CORRUPT"))
         .otherwise(F.col("c_mktsegment")).alias("seg"),
     )
+    # max_bucket: the degenerate-blocking-key guard every production
+    # linkage run should carry — a default/corrupt balance shared by
+    # millions of records would otherwise go quadratic.  The oracle
+    # encodes the same nl*nr cap on the exact blocker (it does not
+    # bind on these fixtures; blocking_skip_report audits the skips).
     scored = record_linkage(
         left, right, "lid", "rid", "name",
         {"bal": (0.95, 0.0001), "seg": (0.9, 0.2)},
         prior=0.01, upper=0.9, lower=0.1,
         blockers=[("edit", "name", 1), ("exact", "bal")],
+        max_bucket=1_000_000,
     )
     from woodwork_spark.lifecycle import attach_persisted, persisted_frames
 
@@ -15764,10 +15793,21 @@ ORACLE["or_blocking"] = """
                     ELSE c_mktsegment END AS rseg
         FROM customer WHERE c_custkey % 6 = 0
     ),
+    okb AS (
+        SELECT kb FROM
+            (SELECT lbal AS kb, count(*) AS nl FROM l
+             WHERE lbal IS NOT NULL GROUP BY 1) a
+        JOIN
+            (SELECT rbal AS kb, count(*) AS nr FROM r
+             WHERE rbal IS NOT NULL GROUP BY 1) b
+        USING (kb)
+        WHERE nl * nr <= 1000000
+    ),
     cand AS (
         SELECT lid, rid, lbal, rbal, lseg, rseg
         FROM l, r
-        WHERE levenshtein(lname, rname) <= 1 OR lbal = rbal
+        WHERE levenshtein(lname, rname) <= 1
+           OR (lbal = rbal AND lbal IN (SELECT kb FROM okb))
     ),
     w AS (
         SELECT lid, rid,
@@ -20467,12 +20507,40 @@ def q_ivf_pq_search(spark, sf_dir):
     )
 
 
-def _ivf_pq_oracle(nlist=4, n_probe=2, n_sub=4, k=8, d=64, top_k=5):
+def _ivf_pq_oracle(nlist=4, n_probe=2, n_sub=4, k=8, d=64, top_k=5,
+                   rerank_k=0):
     """DuckDB replay of the full IVF-PQ trajectory: 1 coarse Lloyd
     iteration (quantized means, lowest-cid ties), residuals, 1 PQ
     iteration on residual subvectors, 2-probe per-cell residual LUT
     scoring.  Distances in dot-product form throughout, every rounding
     identical to the operator (round(x + 1e-7, 6))."""
+    if not rerank_k:
+        tail = f"""
+    SELECT query_id, vec_id, cluster, approx_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= {top_k}"""
+    else:
+        tail = f""",
+    ex AS (
+        SELECT query_id, vec_id, cluster, approx_dist,
+               round(list_dot_product(dv, dv) + 0.0000001, 6)
+                   AS exact_dist
+        FROM (SELECT r.query_id, r.vec_id, r.cluster, r.approx_dist,
+                     list_transform(range(1, {d + 1}),
+                                    i -> f.fv[i] - q.fv[i]) AS dv
+              FROM rk r JOIN fullv f USING (vec_id)
+              JOIN qf q ON q.qid = r.query_id
+              WHERE r.rank <= {rerank_k})
+    ),
+    rk2 AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY exact_dist, vec_id) AS rank2
+        FROM ex
+    )
+    SELECT query_id, vec_id, cluster, approx_dist, exact_dist,
+           CAST(rank2 AS BIGINT) AS rank
+    FROM rk2 WHERE rank2 <= {top_k}"""
     dsub = d // n_sub
     dist_c = ("list_dot_product(f.fv, f.fv) + list_dot_product(c.c, c.c)"
               " - 2 * list_dot_product(f.fv, c.c)")
@@ -20589,10 +20657,7 @@ def _ivf_pq_oracle(nlist=4, n_probe=2, n_sub=4, k=8, d=64, top_k=5):
             PARTITION BY query_id
             ORDER BY approx_dist, vec_id) AS rank
         FROM scored
-    )
-    SELECT query_id, vec_id, cluster, approx_dist,
-           CAST(rank AS BIGINT) AS rank
-    FROM rk WHERE rank <= {top_k}
+    ){tail}
     """
 
 
@@ -22194,3 +22259,98 @@ def _glm_deviance_oracle() -> str:
 
 ORACLE["glm_deviance"] = _glm_deviance_oracle()
 QUERIES["glm_deviance"] = q_glm_deviance
+
+
+def q_ivf_pq_rerank(spark, sf_dir):
+    """Two-stage IVF-PQ with exact re-ranking: the LUT scan nominates
+    the top 12 candidates per query, a candidate-sized broadcast join
+    back to the raw vectors re-scores them exactly, and the final top
+    5 sorts by exact distance — the standard fix for PQ's quantization
+    recall ceiling, at the cost of one query x rerank_k projection.
+    The oracle replays the whole trajectory plus the exact re-scoring."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.embedding import ivf_pq_search
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 2).select(
+        "vec_id", "embedding",
+    ).collect()
+    queries = {
+        f"q{r['vec_id']}": [float(x) for x in r["embedding"]]
+        for r in qrows
+    }
+    out = ivf_pq_search(
+        emb, "vec_id", "embedding", queries,
+        nlist=4, n_probe=2, n_subspaces=4, k=8,
+        coarse_iterations=1, pq_iterations=1, top_k=5, rerank_k=12,
+    )
+    return attach_persisted(
+        out.select(
+            "query_id", "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            "approx_dist", "exact_dist", "rank",
+        ),
+        *persisted_frames(out),
+    )
+
+
+ORACLE["ivf_pq_rerank"] = _ivf_pq_oracle(rerank_k=12)
+QUERIES["ivf_pq_rerank"] = q_ivf_pq_rerank
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Trainable (fastText-shaped) quality classifier, wholly in-plan:
+    feature-hashed token shares (portable md5 buckets, k = 3) feed the
+    unrolled-Cholesky logistic IRLS, per doc_id-parity cohort, with
+    y = (lang = 'en') as the planted separation to recover.  The
+    oracle rebuilds the SAME hashed features in SQL and replays the
+    fit with independent Cramer-cofactor solves."""
+    from woodwork_spark.operators.text import quality_classifier_fit
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        (F.col("doc_id") % 2).alias("cohort"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+        "text",
+    )
+    out = quality_classifier_fit(
+        labeled, "text", "y", k=3, group_cols="cohort", iters=6,
+    )
+    return out.select(
+        "cohort", "n",
+        _ravg(F.col("intercept"), 6).alias("intercept"),
+        _ravg(F.col("se_intercept"), 6).alias("se_intercept"),
+        _ravg(F.col("coef_f0"), 6).alias("coef_x1"),
+        _ravg(F.col("se_f0"), 6).alias("se_x1"),
+        _ravg(F.col("z_f0"), 5).alias("z_x1"),
+        _ravg(F.col("p_f0"), 6).alias("p_x1"),
+        _ravg(F.col("coef_f1"), 6).alias("coef_x2"),
+        _ravg(F.col("se_f1"), 6).alias("se_x2"),
+        _ravg(F.col("z_f1"), 5).alias("z_x2"),
+        _ravg(F.col("p_f1"), 6).alias("p_x2"),
+        _ravg(F.col("loglik"), 4).alias("loglik"),
+        _ravg(F.col("dispersion"), 6).alias("dispersion"),
+    )
+
+
+ORACLE["quality_classifier"] = _glm_multi_oracle("logistic", """
+    WITH hb AS (
+        SELECT doc_id, lang,
+               list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT
+                                   % 3) AS hb
+        FROM documents
+    ),
+    data AS (
+        SELECT doc_id % 2 AS cohort,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               len(list_filter(hb, b -> b = 0)) * 1.0
+                   / greatest(len(hb), 1) AS x1,
+               len(list_filter(hb, b -> b = 1)) * 1.0
+                   / greatest(len(hb), 1) AS x2
+        FROM hb
+    )
+""")
+QUERIES["quality_classifier"] = q_quality_classifier

@@ -115,9 +115,19 @@ def main():
     # used to rely on the 15-entry `slowest` list alone.  Persist the
     # COMPLETE per-query map to a file next to this script so the next
     # round's judge can diff all queries without a rerun.
+    # A loaded host (the driver sometimes re-runs bench concurrently
+    # with other Spark work at load > 4) must NOT clobber the committed
+    # SOLO per-query map — per-query times inflate up to 3x under
+    # contention and the cross-round diff becomes noise.  Loaded runs
+    # land in a load-suffixed variant instead.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_full.json"), "w") as f:
+        contended = load_hint is not None and load_hint > 2.0
+        fname = (
+            f"BENCH_full_load{load_hint:g}.json" if contended
+            else "BENCH_full.json"
+        )
+        with open(os.path.join(here, fname), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
     except OSError as e:
         print(f"# could not write BENCH_full.json: {e}", file=sys.stderr)

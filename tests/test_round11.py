@@ -284,3 +284,134 @@ class TestGlmResiduals:
         ll = model.collect()[0]["loglik"]
         # sum of squared deviance residuals == -2 loglik for y in {0,1}
         assert got == pytest.approx(-2.0 * ll, rel=1e-9)
+
+
+class TestQualityClassifier:
+    def test_recovers_planted_separation(self, spark):
+        """Golden: docs whose tokens decide the label — the hashed-
+        feature logistic fit must rank held-out docs correctly."""
+        import pyspark.sql.functions as F
+        from woodwork_spark.operators.text import (
+            quality_classifier_fit,
+            quality_classifier_predict,
+        )
+
+        rng = np.random.RandomState(31)
+        good_w = ["fine", "great", "solid", "clear", "useful"]
+        bad_w = ["spam", "junk", "noise", "clickbait", "garbage"]
+        rows = []
+        for i in range(400):
+            y = i % 2
+            pool = good_w if y else bad_w
+            toks = [pool[rng.randint(5)] for _ in range(12)]
+            # 15% label noise so the data is not perfectly separable
+            if rng.uniform() < 0.15:
+                y = 1 - y
+            rows.append((i, " ".join(toks), float(y)))
+        df = spark.createDataFrame(rows, ["id", "text", "y"])
+        # near-separable hashed features diverge under raw Newton (the
+        # numpy fit does too) — ridge is the documented fix
+        m = quality_classifier_fit(
+            df, "text", "y", k=8, iters=8, ridge_lambda=0.3)
+        p = quality_classifier_predict(df, m, "text", k=8)
+        agg = {
+            r["y"]: r["mp"] for r in p.groupBy("y").agg(
+                F.avg("quality_prob").alias("mp")).collect()
+        }
+        assert agg[1.0] > 0.7 and agg[0.0] < 0.3
+
+    def test_features_sum_to_one(self, spark):
+        import pyspark.sql.functions as F
+        from woodwork_spark.operators.text import hashed_token_features
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "one token"), (3, "x")],
+            ["id", "text"])
+        f = hashed_token_features(df, "text", k=5)
+        tot = f.select(
+            sum([F.col(f"f{j}") for j in range(5)]).alias("s")).collect()
+        for r in tot:
+            assert r["s"] == pytest.approx(1.0, abs=1e-12)
+
+
+class TestBlockingSkipReportThreaded:
+    def test_entry_fixture_cap_skips_nothing_and_caps_degenerate(
+            self, spark):
+        """Verdict #4: the flagship linkage queries now pass an
+        explicit max_bucket; assert the skip report is empty on the
+        healthy fixture and nonzero once a degenerate key is planted."""
+        import pyspark.sql.functions as F
+        from woodwork_spark.operators.dedup import blocking_skip_report
+
+        left = spark.createDataFrame(
+            [(i, i % 25) for i in range(500)], ["lid", "nk"])
+        right = spark.createDataFrame(
+            [(1000 + i, i % 25) for i in range(100)], ["rid", "nk"])
+        rep = blocking_skip_report(
+            left, right, "lid", "rid", [("exact", "nk")],
+            max_bucket=1_000_000).collect()
+        assert len(rep) == 1
+        assert rep[0]["n_buckets_skipped"] == 0
+        # plant a degenerate key: every left row shares nk = -1
+        bad_l = left.withColumn("nk", F.lit(-1))
+        rep2 = blocking_skip_report(
+            bad_l, right.withColumn("nk", F.lit(-1)),
+            "lid", "rid", [("exact", "nk")], max_bucket=1000).collect()
+        assert rep2[0]["n_buckets_skipped"] == 1
+        assert rep2[0]["n_pairs_skipped"] == 500 * 100
+
+
+class TestIvfPqRerank:
+    def _data(self, spark, rng, n=160, d=16):
+        vecs = rng.normal(size=(n, d)).round(3)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            ["vec_id", "embedding"])
+        return df, vecs
+
+    def test_rerank_recall_at_least_non_reranked(self, spark):
+        """Verdict #3: exact re-ranking must not lose recall vs the
+        plain LUT ranking (same probed cells, exact re-scoring)."""
+        from woodwork_spark.operators.embedding import ivf_pq_search
+
+        rng = np.random.RandomState(37)
+        df, vecs = self._data(spark, rng)
+        queries = {f"q{i}": [float(x) for x in vecs[i]] for i in range(6)}
+        kw = dict(nlist=4, n_probe=2, n_subspaces=4, k=8,
+                  coarse_iterations=1, pq_iterations=1, top_k=5)
+        plain = ivf_pq_search(
+            df, "vec_id", "embedding", queries, **kw).collect()
+        rr = ivf_pq_search(
+            df, "vec_id", "embedding", queries, rerank_k=20, **kw
+        ).collect()
+        # brute-force ground truth
+        recalls = {}
+        for which, got in (("plain", plain), ("rerank", rr)):
+            hits = tot = 0
+            for qid, qv in queries.items():
+                dists = ((vecs - np.array(qv)) ** 2).sum(axis=1)
+                truth = set(np.argsort(dists, kind="stable")[:5])
+                mine = {r["vec_id"] for r in got if r["query_id"] == qid}
+                hits += len(truth & mine)
+                tot += 5
+            recalls[which] = hits / tot
+        assert recalls["rerank"] >= recalls["plain"]
+        # identity queries: the query vector itself must be rank 1
+        for qid in queries:
+            top = [r for r in rr if r["query_id"] == qid and r["rank"] == 1]
+            assert top and top[0]["vec_id"] == int(qid[1:])
+            assert top[0]["exact_dist"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_rerank_exact_dist_matches_numpy(self, spark):
+        from woodwork_spark.operators.embedding import ivf_pq_search
+
+        rng = np.random.RandomState(41)
+        df, vecs = self._data(spark, rng, n=120)
+        queries = {"q0": [float(x) for x in vecs[3]]}
+        out = ivf_pq_search(
+            df, "vec_id", "embedding", queries, nlist=4, n_probe=2,
+            n_subspaces=4, k=8, coarse_iterations=1, pq_iterations=1,
+            top_k=5, rerank_k=15).collect()
+        for r in out:
+            ref = float(((vecs[r["vec_id"]] - vecs[3]) ** 2).sum())
+            assert r["exact_dist"] == pytest.approx(ref, abs=1e-5)

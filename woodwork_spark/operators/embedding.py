@@ -785,6 +785,7 @@ def ivf_pq_search(
     pq_iterations: int = 1,
     top_k: int = 5,
     quantize: int = 6,
+    rerank_k: int = 0,
 ) -> DataFrame:
     """IVF-PQ: the actual 100-TB-shape ANN index — a coarse inverted
     file prunes the scan to ``n_probe`` of ``nlist`` cells, and within
@@ -812,6 +813,14 @@ def ivf_pq_search(
     ``queries`` maps query_id -> full-dimension list[float].  Returns
     ``(query_id, id_col, cluster, approx_dist, rank)`` — top ``top_k``
     per query by (approx_dist, id) over the probed cells only.
+
+    ``rerank_k > 0`` adds the standard two-stage exact RE-RANKING that
+    lifts PQ's quantization recall ceiling at negligible cost: the top
+    ``rerank_k`` candidates per query by LUT distance broadcast-join
+    back to the raw vectors (a candidate-sized join — queries x
+    rerank_k rows against the scan) and re-score with the exact
+    squared distance; the final top ``top_k`` sorts by (exact, id) and
+    the output gains an ``exact_dist`` column after ``approx_dist``.
     """
     from woodwork_spark.lifecycle import attach_persisted, persisted_frames
     from woodwork_spark.operators.similarity import kmeans_lloyd
@@ -931,8 +940,47 @@ def ivf_pq_search(
     w = W.partitionBy("query_id").orderBy(
         F.asc("approx_dist"), F.asc(id_col),
     )
+    if not rerank_k:
+        out = (
+            allq.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= top_k)
+        )
+        return attach_persisted(out, *caches)
+    if rerank_k < top_k:
+        raise ValueError("rerank_k must be >= top_k (or 0 to disable)")
+    cands = (
+        allq.withColumn("__arank", F.row_number().over(w))
+        .filter(F.col("__arank") <= rerank_k)
+        .drop("__arank")
+    )
+    qmap = F.map_from_arrays(
+        F.array(*[F.lit(q) for q in sorted(queries)]),
+        F.array(*[
+            F.lit([float(x) for x in queries[q]]).cast("array<double>")
+            for q in sorted(queries)
+        ]),
+    )
+    fullv = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__fv"),
+    )
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("__fv"), qmap[F.col("query_id")],
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    wex = W.partitionBy("query_id").orderBy(
+        F.asc("exact_dist"), F.asc(id_col),
+    )
     out = (
-        allq.withColumn("rank", F.row_number().over(w).cast("long"))
+        fullv.join(F.broadcast(cands), id_col)
+        .withColumn("exact_dist", F.round(exact + F.lit(eps), quantize))
+        .withColumn("rank", F.row_number().over(wex).cast("long"))
         .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id", id_col, "cluster", "approx_dist", "exact_dist",
+            "rank",
+        )
     )
     return attach_persisted(out, *caches)

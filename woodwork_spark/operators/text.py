@@ -1169,3 +1169,128 @@ def fim_transform(
     return df.withColumn(
         out_col, F.when(t.isNotNull(), fim),
     )
+
+
+def hashed_token_features(
+    df: DataFrame,
+    text_col: str,
+    k: int = 16,
+    prefix: str = "f",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Feature-hashed token frequencies — the fastText featurization:
+    bucket ``b(t) = hash(lower(token)) mod k``, feature ``j`` = the
+    share of the document's tokens landing in bucket ``j``.  Fixed
+    width regardless of vocabulary (no fit, no dictionary, no OOV),
+    and pure array expressions: ONE projection computes the bucket
+    array once and folds the k shares — no explode, no shuffle, no
+    UDF, so at 100 TB featurization rides the scan.
+
+    ``hash_fn='md5'`` (default) uses the portable 60-bit md5 prefix
+    (:func:`~woodwork_spark.operators.dedup.simhash_expr` convention:
+    ``('0x'||substr(md5(t),1,15))::BIGINT`` reproduces it in DuckDB);
+    ``'xxhash64'`` is the faster JVM-only path.  Adds columns
+    ``{prefix}0 .. {prefix}{k-1}``; rows with no tokens get all-zero
+    features.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if hash_fn == "md5":
+        tok_hash = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+    elif hash_fn == "xxhash64":
+        tok_hash = "xxhash64(t)"
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    buckets = F.expr(
+        f"transform(split(trim(lower({text_col})), '\\\\s+'), "
+        f"t -> pmod({tok_hash}, {int(k)}))",
+    )
+    tmp = df.withColumn("__hb", buckets)
+    n = F.size(F.col("__hb"))
+
+    def _eq(j):
+        # a plain 1-arg lambda per bucket: a 2-arg lambda would make
+        # the higher-order filter pass the ARRAY INDEX as the second
+        # argument, shadowing the bucket id
+        return lambda b: b == F.lit(j)
+
+    feats = [
+        (
+            F.size(F.filter(F.col("__hb"), _eq(j)))
+            / F.greatest(n, F.lit(1))
+        ).alias(f"{prefix}{j}")
+        for j in range(int(k))
+    ]
+    return tmp.select(*df.columns, *feats)
+
+
+def quality_classifier_fit(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    k: int = 16,
+    group_cols=(),
+    iters: int = 6,
+    ridge_lambda: float = 0.0,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """fastText-shaped linear quality classifier, trained WHOLLY
+    in-plan: feature-hashed token shares (:func:`hashed_token_features`)
+    feed the unrolled-Cholesky logistic IRLS of
+    :func:`~woodwork_spark.operators.regression.logistic_fit` — no
+    driver math, no collect, one aggregate per Newton round.  The
+    trainable member of the quality-filter family next to the
+    rule-based gopher/C4 heuristics (cleaning.gopher_rules_exprs).
+
+    Covariates are buckets ``0 .. k-2`` — the shares of all k buckets
+    sum to 1 on every non-empty document, so the full set is collinear
+    with the intercept; dropping the last bucket is the standard
+    reference-level coding.  ``k - 1 <= ~32`` keeps the in-plan solve
+    cheap.  ``ridge_lambda > 0`` keeps perfectly-separable labels
+    finite.  Returns the wide fit frame (``coef_{prefix}{j}`` per
+    bucket); score new text with :func:`quality_classifier_predict`.
+    """
+    from woodwork_spark.operators.regression import logistic_fit
+
+    feats = hashed_token_features(
+        df, text_col, k=k, prefix="__qf", hash_fn=hash_fn,
+    )
+    xcols = [f"__qf{j}" for j in range(int(k) - 1)]
+    out = logistic_fit(
+        feats, label_col, xcols, group_cols, iters=iters,
+        ridge_lambda=ridge_lambda,
+    )
+    # the model frame names carry the internal prefix; surface them as
+    # bucket names a caller can read
+    ren = {}
+    for c in out.columns:
+        ren[c] = c.replace("__qf", "f")
+    return out.select(*[F.col(c).alias(n) for c, n in ren.items()])
+
+
+def quality_classifier_predict(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str,
+    k: int = 16,
+    group_cols=(),
+    out_col: str = "quality_prob",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Score text with a :func:`quality_classifier_fit` model: hash the
+    same k-bucket features and apply
+    :func:`~woodwork_spark.operators.regression.glm_predict` — one
+    projection + one broadcast join of the model-sized frame on top of
+    the scan.  Must be called with the SAME ``k``/``hash_fn`` the fit
+    used."""
+    from woodwork_spark.operators.regression import glm_predict
+
+    feats = hashed_token_features(
+        df, text_col, k=k, prefix="f", hash_fn=hash_fn,
+    )
+    xcols = [f"f{j}" for j in range(int(k) - 1)]
+    out = glm_predict(
+        feats, model, xcols, group_cols=group_cols, family="logistic",
+        out_col=out_col,
+    )
+    return out.drop(*[f"f{j}" for j in range(int(k))])

@@ -266,10 +266,18 @@ def medcouple_dict(ww_df, column, sample_mode="random", max_values=None):
             "low_values": [],
             "high_values": [],
         }
+    q = {qq: row[f"q{int(qq * 100)}"] for qq in _QUANTILES}
+    return _medcouple_result(nonnull, c, q, values, max_values)
+
+
+def _medcouple_result(nonnull, c, q, values, max_values):
+    """Medcouple bounds + outlier collect from an ALREADY-computed
+    quantile dict and sample — shared by :func:`medcouple_dict` and
+    :func:`get_outliers`, which folds its method-choice agg/sample
+    into the readout instead of re-scanning."""
     mc = round(_medcouple(values), 3)
     skew = _sample_skewness(values) if values.size > 2 else 0.0
     coeff = min(abs(skew), 3.5)
-    q = {qq: row[f"q{int(qq * 100)}"] for qq in _QUANTILES}
     iqr = q[0.75] - q[0.25]
     # Coefficient signs flip with the skew direction (reference
     # _determine_coefficients: mc>=0 -> (-coeff, +coeff); mc<0 -> (+coeff, -coeff)).
@@ -308,9 +316,28 @@ def get_outliers(ww_df, column, method="best", sample_mode="random", max_values=
     c = F.col(column)
     nonnull = ww_df.raw.filter(c.isNotNull())
     sample_size = config.get_option("medcouple_sample_size")
-    values = _sampled_values(nonnull, c, sample_size, sample_mode)
+    # ONE shared agg feeds everything downstream: the sample-sizing
+    # count, the method-choice medcouple sample, and the quantiles BOTH
+    # readouts need — 'best' used to pay a count job + its chosen
+    # method's full agg + (medcouple path) a second sample over the
+    # same column.
+    row = nonnull.agg(
+        F.count(c).alias("n"),
+        *[
+            F.percentile(c, F.lit(qq)).alias(f"q{int(qq * 100)}")
+            for qq in _QUANTILES
+        ],
+    ).collect()[0]
+    if row["n"] == 0:
+        return box_plot_dict(ww_df, column, max_values=max_values)
+    values = _sampled_values(
+        nonnull, c, sample_size, sample_mode, known_total=row["n"],
+    )
     mc = _medcouple(values) if values.size else float("nan")
     threshold = config.get_option("medcouple_threshold")
+    q = {qq: row[f"q{int(qq * 100)}"] for qq in _QUANTILES}
     if np.isnan(mc) or abs(mc) < threshold:
-        return box_plot_dict(ww_df, column, max_values=max_values)
-    return medcouple_dict(ww_df, column, sample_mode=sample_mode, max_values=max_values)
+        return box_plot_dict(
+            ww_df, column, quantiles=q, max_values=max_values,
+        )
+    return _medcouple_result(nonnull, c, q, values, max_values)
