@@ -4174,7 +4174,10 @@ def q_stream_match(spark, sf_dir):
     # per-call temp dir: a shared fixed path would let two concurrent
     # sessions overwrite each other's file-source mid-listing
     path = f"/tmp/ww_stream_match_{uuid.uuid4().hex[:8]}"
-    planted.write.mode("overwrite").parquet(path)
+    # 16 files, not 1: the availableNow batch parallelizes by FILE, and
+    # a single-file source would shingle+MinHash the whole stream side
+    # in one task (the solo wall was trigger-side serialism, not LSH)
+    planted.repartition(16).write.mode("overwrite").parquet(path)
     stream = spark.readStream.schema("sid long, text string").parquet(path)
     matches = match_stream_against_corpus(
         stream, docs, "sid", "doc_id", "text", threshold=0.9,
