@@ -20299,7 +20299,7 @@ def _cox_multi_oracle(iters: int = 4) -> str:
     steps = []
     for i in range(iters):
         steps.append(f"""
-        , s{i} AS ({risk.replace('{{i}}', str(i)).replace('{i}', str(i))}
+        , s{i} AS ({risk.replace('{i}', str(i)).replace('{i}', str(i))}
         ),
         f{i} AS ({fold} FROM s{i} GROUP BY cohort),
         b{i + 1} AS (
@@ -20315,7 +20315,7 @@ def _cox_multi_oracle(iters: int = 4) -> str:
             FROM f{i}
         )""")
     final = f"""
-        , sf AS ({risk.replace('{{i}}', str(iters)).replace('{i}', str(iters))}
+        , sf AS ({risk.replace('{i}', str(iters)).replace('{i}', str(iters))}
         ),
         agg AS ({fold} FROM sf GROUP BY cohort),
         iv AS (
@@ -22357,3 +22357,193 @@ ORACLE["quality_classifier"] = _glm_multi_oracle("logistic", """
     )
 """)
 QUERIES["quality_classifier"] = q_quality_classifier
+
+
+def q_cox_lrt(spark, sf_dir):
+    """Likelihood-ratio test between NESTED Cox fits: does active-span
+    (x2) add explanatory power over activity volume (x1) for time to
+    first purchase, per cohort?  cox_ph_fit now folds the Breslow
+    partial log-likelihood in the same readout aggregate, so glm_lrt
+    consumes the two model-sized fit frames verbatim — the chi-square
+    survival is the exact integer-df unrolled form.  The oracle
+    replays BOTH Newton loops with range-frame risk sets."""
+    from woodwork_spark.operators.regression import glm_lrt
+    from woodwork_spark.operators.timeseries import cox_ph_fit
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+        F.count(F.lit(1)).alias("__ne"),
+    )
+    rows = per_user.select(
+        (F.col("user_id") % 3).alias("cohort"),
+        F.floor(
+            (
+                F.unix_micros(F.coalesce("__p", "__last"))
+                - F.unix_micros("__t0")
+            ) / 3.6e9,
+        ).cast("double").alias("dur"),
+        F.col("__p").isNotNull().cast("double").alias("ev"),
+        F.log(F.lit(1.0) + F.col("__ne")).alias("x1"),
+        F.log(
+            F.lit(1.0)
+            + (
+                F.unix_micros("__last") - F.unix_micros("__t0")
+            ).cast("double") / 3.6e9,
+        ).alias("x2"),
+    ).filter(F.col("dur") >= 0).persist()
+    full = cox_ph_fit(rows, "dur", "ev", ["x1", "x2"], "cohort", iters=4)
+    reduced = cox_ph_fit(rows, "dur", "ev", ["x1"], "cohort", iters=4)
+    out = glm_lrt(full, reduced, df_diff=1, group_cols="cohort")
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(out.select(
+        "cohort", "n",
+        _ravg(F.col("loglik_full"), 4).alias("loglik_full"),
+        _ravg(F.col("loglik_reduced"), 4).alias("loglik_reduced"),
+        _ravg(F.col("lrt_stat"), 4).alias("lrt_stat"),
+        "df_diff",
+        _ravg(F.col("p_value"), 6).alias("p_value"),
+    ), rows)
+
+
+def _cox_lrt_oracle(iters: int = 4) -> str:
+    """Both nested Cox Newton loops unrolled with raw-row RANGE-frame
+    risk sets (full 2x2 Cramer, reduced closed-form), Breslow partial
+    loglik at the converged betas, dof=1 chi-square survival."""
+    data = """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(ts) AS t0,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+                   max(ts) AS lastts,
+                   count(*) AS ne
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ),
+        data AS (
+            SELECT user_id % 3 AS cohort,
+                   CAST(floor(epoch_us(coalesce(p, lastts) - t0) / 3.6e9)
+                        AS DOUBLE) AS t,
+                   CASE WHEN p IS NOT NULL THEN 1.0 ELSE 0.0 END AS d,
+                   ln(1.0 + ne) AS x1,
+                   ln(1.0 + epoch_us(lastts - t0) / 3.6e9) AS x2
+            FROM per_user
+            WHERE floor(epoch_us(coalesce(p, lastts) - t0) / 3.6e9) >= 0
+        ),
+        f0 AS (SELECT cohort, 0.0 AS b1, 0.0 AS b2 FROM data
+               GROUP BY cohort),
+        g0 AS (SELECT cohort, 0.0 AS b1 FROM data GROUP BY cohort)
+    """
+    ew = "exp(least(700.0, b.b1 * dd.x1 + b.b2 * dd.x2))"
+    ewr = "exp(least(700.0, b.b1 * dd.x1))"
+    frisk = f"""
+            SELECT dd.cohort, dd.t, dd.d, dd.x1, dd.x2, b.b1, b.b2,
+                   sum({ew}) OVER wr AS s0,
+                   sum(dd.x1 * {ew}) OVER wr AS s1a,
+                   sum(dd.x2 * {ew}) OVER wr AS s1b,
+                   sum(dd.x1 * dd.x1 * {ew}) OVER wr AS s2aa,
+                   sum(dd.x1 * dd.x2 * {ew}) OVER wr AS s2ab,
+                   sum(dd.x2 * dd.x2 * {ew}) OVER wr AS s2bb
+            FROM data dd JOIN f{{i}} b USING (cohort)
+            WINDOW wr AS (PARTITION BY dd.cohort ORDER BY dd.t ASC
+                          RANGE BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)"""
+    grisk = f"""
+            SELECT dd.cohort, dd.t, dd.d, dd.x1, b.b1,
+                   sum({ewr}) OVER wr AS s0,
+                   sum(dd.x1 * {ewr}) OVER wr AS s1,
+                   sum(dd.x1 * dd.x1 * {ewr}) OVER wr AS s2
+            FROM data dd JOIN g{{i}} b USING (cohort)
+            WINDOW wr AS (PARTITION BY dd.cohort ORDER BY dd.t ASC
+                          RANGE BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+        , fs{i} AS ({frisk.replace('{i}', str(i))}
+        ),
+        ff{i} AS (
+            SELECT cohort, max(b1) AS b1, max(b2) AS b2,
+                   sum(d * (x1 - s1a / s0)) AS u0,
+                   sum(d * (x2 - s1b / s0)) AS u1,
+                   sum(d * (s2aa / s0 - (s1a / s0) * (s1a / s0))) AS a00,
+                   sum(d * (s2ab / s0 - (s1a / s0) * (s1b / s0))) AS a10,
+                   sum(d * (s2bb / s0 - (s1b / s0) * (s1b / s0))) AS a11
+            FROM fs{i} GROUP BY cohort
+        ),
+        f{i + 1} AS (
+            SELECT cohort,
+              CASE WHEN a00 > 0 AND a00 * a11 - a10 * a10 > 0
+                   THEN b1 + (u0 * a11 - a10 * u1)
+                             / (a00 * a11 - a10 * a10)
+                   ELSE b1 END AS b1,
+              CASE WHEN a00 > 0 AND a00 * a11 - a10 * a10 > 0
+                   THEN b2 + (a00 * u1 - a10 * u0)
+                             / (a00 * a11 - a10 * a10)
+                   ELSE b2 END AS b2
+            FROM ff{i}
+        ),
+        gs{i} AS ({grisk.replace('{i}', str(i))}
+        ),
+        g{i + 1} AS (
+            SELECT cohort,
+                   CASE WHEN sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0))) > 0
+                        THEN max(b1)
+                             + sum(d * (x1 - s1 / s0))
+                               / sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0)))
+                        ELSE max(b1) END AS b1
+            FROM gs{i} GROUP BY cohort
+        )""")
+    final = f"""
+        , fsf AS ({frisk.replace('{i}', str(iters))}
+        ),
+        lf AS (
+            SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+                   sum(d * (b1 * x1 + b2 * x2 - ln(s0))) AS loglik_full
+            FROM fsf GROUP BY cohort
+        ),
+        gsf AS ({grisk.replace('{i}', str(iters))}
+        ),
+        lg AS (
+            SELECT cohort,
+                   sum(d * (b1 * x1 - ln(s0))) AS loglik_reduced
+            FROM gsf GROUP BY cohort
+        ),
+        st AS (
+            SELECT lf.cohort, lf.n, lf.loglik_full, lg.loglik_reduced,
+                   2.0 * (lf.loglik_full - lg.loglik_reduced) AS raw
+            FROM lf JOIN lg USING (cohort)
+        ),
+        zz AS (
+            SELECT *, greatest(0.0, raw) AS stat,
+                   sqrt(greatest(0.0, raw)) / sqrt(2.0) AS xx,
+                   1.0 / (1.0 + 0.3275911
+                          * sqrt(greatest(0.0, raw)) / sqrt(2.0)) AS tt
+            FROM st
+        )
+        SELECT cohort, n,
+               round(loglik_full + 0.0000001, 4) AS loglik_full,
+               round(loglik_reduced + 0.0000001, 4) AS loglik_reduced,
+               round(CASE WHEN raw > -0.000001 THEN stat END
+                     + 0.0000001, 4) AS lrt_stat,
+               CAST(1 AS BIGINT) AS df_diff,
+               round(CASE WHEN raw > -0.000001 THEN
+                   least(1.0, greatest(0.0,
+                       (0.254829592 * tt - 0.284496736 * tt * tt
+                        + 1.421413741 * tt * tt * tt
+                        - 1.453152027 * tt * tt * tt * tt
+                        + 1.061405429 * tt * tt * tt * tt * tt)
+                       * exp(-xx * xx))) END
+                     + 0.0000001, 6) AS p_value
+        FROM zz
+    """
+    return data + "".join(steps) + final
+
+
+ORACLE["cox_lrt"] = _cox_lrt_oracle()
+QUERIES["cox_lrt"] = q_cox_lrt

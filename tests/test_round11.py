@@ -415,3 +415,88 @@ class TestIvfPqRerank:
         for r in out:
             ref = float(((vecs[r["vec_id"]] - vecs[3]) ** 2).sum())
             assert r["exact_dist"] == pytest.approx(ref, abs=1e-5)
+
+
+class TestCoxLoglikAndLrt:
+    @staticmethod
+    def _cox_np(t, d, X, iters):
+        """Breslow Newton replica returning (beta, partial loglik)."""
+        n, k = X.shape
+        beta = np.zeros(k)
+        order = np.argsort(-t, kind="stable")
+        ts, ds, Xs = t[order], d[order], X[order]
+
+        def risk_sums(b):
+            ew = np.exp(np.minimum(Xs @ b, 700))
+            s0 = np.cumsum(ew)
+            s1 = np.cumsum(Xs * ew[:, None], axis=0)
+            s2 = np.cumsum(
+                np.einsum("ni,nj->nij", Xs, Xs) * ew[:, None, None], axis=0)
+            # map each row to the LAST index sharing its time (ties
+            # share the full risk set)
+            idx = np.zeros(n, dtype=int)
+            last = 0
+            for i in range(n):
+                j = i
+                while j + 1 < n and ts[j + 1] == ts[i]:
+                    j += 1
+                idx[i] = j
+                last = j
+            _ = last
+            return ew, s0[idx], s1[idx], s2[idx]
+
+        for _ in range(iters):
+            ew, s0, s1, s2 = risk_sums(beta)
+            r1 = s1 / s0[:, None]
+            U = (ds[:, None] * (Xs - r1)).sum(axis=0)
+            A = (
+                ds[:, None, None]
+                * (s2 / s0[:, None, None]
+                   - np.einsum("ni,nj->nij", r1, r1))
+            ).sum(axis=0)
+            beta = beta + np.linalg.solve(A, U)
+        ew, s0, s1, s2 = risk_sums(beta)
+        ll = float((ds * (Xs @ beta - np.log(s0))).sum())
+        return beta, ll
+
+    def test_loglik_matches_numpy(self, spark):
+        from woodwork_spark.operators.timeseries import cox_ph_fit
+
+        rng = np.random.RandomState(43)
+        n = 250
+        x1 = rng.normal(size=n)
+        x2 = rng.normal(size=n)
+        t = np.ceil(rng.exponential(1.0 / np.exp(0.6 * x1)) * 5)
+        d = (rng.uniform(size=n) < 0.8).astype(float)
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c), float(e))
+             for a, b, c, e in zip(t, d, x1, x2)], ["t", "d", "x1", "x2"])
+        out = cox_ph_fit(df, "t", "d", ["x1", "x2"], iters=4).collect()[0]
+        _, ll = self._cox_np(t, d, np.column_stack([x1, x2]), 4)
+        assert out["loglik"] == pytest.approx(ll, abs=1e-6)
+        # single-covariate path surfaces loglik too
+        out1 = cox_ph_fit(df, "t", "d", "x1", iters=4).collect()[0]
+        _, ll1 = self._cox_np(t, d, x1[:, None], 4)
+        assert out1["loglik"] == pytest.approx(ll1, abs=1e-6)
+
+    def test_cox_lrt_null_covariate_large_p(self, spark):
+        """x2 is pure noise: the LRT must not reject (p not tiny), and
+        stat must equal 2 * (llf - llr) exactly."""
+        from woodwork_spark.operators.regression import glm_lrt
+        from woodwork_spark.operators.timeseries import cox_ph_fit
+
+        rng = np.random.RandomState(47)
+        n = 300
+        x1 = rng.normal(size=n)
+        x2 = rng.normal(size=n)
+        t = np.ceil(rng.exponential(1.0 / np.exp(0.5 * x1)) * 4)
+        d = np.ones(n)
+        df = spark.createDataFrame(
+            [(float(a), 1.0, float(b), float(c))
+             for a, b, c in zip(t, x1, x2)], ["t", "d", "x1", "x2"])
+        full = cox_ph_fit(df, "t", "d", ["x1", "x2"], iters=4)
+        red = cox_ph_fit(df, "t", "d", ["x1"], iters=4)
+        out = glm_lrt(full, red, df_diff=1).collect()[0]
+        assert out["lrt_stat"] == pytest.approx(
+            2.0 * (out["loglik_full"] - out["loglik_reduced"]), abs=1e-9)
+        assert out["p_value"] > 0.01

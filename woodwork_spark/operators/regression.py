@@ -955,9 +955,11 @@ def glm_lrt(
     :func:`~woodwork_spark.operators.stats_tests._chi2_sf`.
 
     Both inputs are one-row-per-group fit frames from
-    :func:`logistic_fit` / :func:`poisson_fit` (either schema) — the
-    join is model-sized, so the test itself costs nothing at any data
-    scale.  CALLER CONTRACT: the fits must be nested AND evaluated on
+    :func:`logistic_fit` / :func:`poisson_fit` (either schema), or
+    nested :func:`~woodwork_spark.operators.timeseries.cox_ph_fit`
+    fits (whose ``loglik`` is the Breslow partial log-likelihood —
+    the partial-likelihood ratio test) — the join is model-sized, so
+    the test itself costs nothing at any data scale.  CALLER CONTRACT: the fits must be nested AND evaluated on
     the same rows — the fit engines drop rows with nulls in their OWN
     covariate list, so if the extra covariates have nulls, pre-filter
     before fitting both.  Both engines drop the same data-only loglik

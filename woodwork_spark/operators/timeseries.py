@@ -1330,11 +1330,15 @@ def cox_ph_fit(
     :func:`cox_baseline_hazard` with the strata in ``group_cols``.
 
     Returns ``(group_cols..., n, n_events, beta, se, z_stat,
-    p_approx)`` for a single covariate, or ``(group_cols..., n,
-    n_events, beta_<x>, se_<x>, z_<x>, p_<x> per covariate...)`` for a
-    list — se from the inverse-information diagonal, Wald z, two-sided
-    normal p via the shared A&S erf polynomial.  Groups with no events
-    or a degenerate (non-PD) information matrix yield NULL statistics.
+    p_approx, loglik)`` for a single covariate, or ``(group_cols...,
+    n, n_events, beta_<x>, se_<x>, z_<x>, p_<x> per covariate...,
+    loglik)`` for a list — se from the inverse-information diagonal,
+    Wald z, two-sided normal p via the shared A&S erf polynomial,
+    ``loglik`` the Breslow partial log-likelihood at the converged
+    beta (nested fits feed
+    :func:`~woodwork_spark.operators.regression.glm_lrt` verbatim).
+    Groups with no events or a degenerate (non-PD) information matrix
+    yield NULL statistics.
     """
     from woodwork_spark.lifecycle import attach_persisted, persisted_frames
     from woodwork_spark.operators.rank import global_prefix_sums
@@ -1440,9 +1444,24 @@ def cox_ph_fit(
 
     def _fold_aggs():
         r1 = [F.col(f"__S1_{j}") / F.col("__S0") for j in range(k)]
+        # Breslow partial loglik at the current beta: sum over event
+        # cells of (beta'dx - d_t ln S0) — free from the same cell
+        # quantities the score/information fold reads, and the input
+        # to cox likelihood-ratio tests (glm_lrt works verbatim on
+        # these fits)
+        lterm = None
+        for j in range(k):
+            t = F.col(bnames[j]) * F.col(f"__dx{j}")
+            lterm = t if lterm is None else lterm + t
         aggs = [
             F.sum("__nc").alias("__n"),
             F.sum("__dt").alias("__ne"),
+            F.sum(
+                F.when(
+                    F.col("__dt") > 0,
+                    lterm - F.col("__dt") * F.log(F.col("__S0")),
+                ).otherwise(F.lit(0.0)),
+            ).alias("__ll"),
         ]
         for j in range(k):
             aggs.append(
@@ -1523,6 +1542,7 @@ def cox_ph_fit(
             F.when(ok, se).alias("se"),
             F.when(ok, z).alias("z_stat"),
             F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
+            F.col("__ll").alias("loglik"),
         )
         return attach_persisted(res, *caches)
     from woodwork_spark.operators.linalg import (
@@ -1551,6 +1571,7 @@ def cox_ph_fit(
             F.when(ok, z).alias(f"z_{name}"),
             F.when(ok, _std_normal_two_sided_p(z)).alias(f"p_{name}"),
         ]
+    cols.append(F.col("__ll").alias("loglik"))
     res = solved.select(*group_cols, *cols)
     return attach_persisted(res, *caches)
 
