@@ -22547,3 +22547,120 @@ def _cox_lrt_oracle(iters: int = 4) -> str:
 
 ORACLE["cox_lrt"] = _cox_lrt_oracle()
 QUERIES["cox_lrt"] = q_cox_lrt
+
+
+def q_km_ci(spark, sf_dir):
+    """Kaplan-Meier with the Greenwood standard error and log-log
+    (Kalbfleisch-Prentice) 95% confidence band: the Greenwood sum
+    rides the SAME ascending running sum as the survival telescoping,
+    so the band costs no extra pass.  Oracle replays both running sums
+    and the band algebra over the identical distinct-duration cells."""
+    from woodwork_spark.operators.timeseries import kaplan_meier
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+    )
+    durs = per_user.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(
+            F.col("__p").isNotNull(),
+            F.floor(
+                (F.unix_micros("__p") - F.unix_micros("__t0")) / 3.6e9,
+            ),
+        ).otherwise(
+            F.floor(
+                (F.unix_micros("__last") - F.unix_micros("__t0")) / 3.6e9,
+            ),
+        ).alias("dur_h"),
+        F.col("__p").isNotNull().cast("int").alias("purchased"),
+    )
+    km = kaplan_meier(durs, "dur_h", "purchased", ["cohort"], ci=True)
+    return km.select(
+        "cohort", "duration", "n_events", "at_risk",
+        _ravg(F.col("survival"), 6).alias("survival"),
+        _ravg(F.col("se_surv"), 6).alias("se_surv"),
+        _ravg(F.col("ci_low"), 6).alias("ci_low"),
+        _ravg(F.col("ci_high"), 6).alias("ci_high"),
+    )
+
+
+ORACLE["km_ci"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+               max(ts) AS lastts
+        FROM events GROUP BY user_id
+    ), durs AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
+               CASE WHEN p IS NOT NULL
+                    THEN CAST(floor((epoch_us(p) - epoch_us(t0))
+                                    / 3600000000.0) AS BIGINT)
+                    ELSE CAST(floor((epoch_us(lastts) - epoch_us(t0))
+                                    / 3600000000.0) AS BIGINT)
+               END AS dur_h,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per_user
+    ), counts AS (
+        SELECT cohort, dur_h AS duration,
+               sum(ev) AS n_events,
+               count(*) AS nn
+        FROM durs GROUP BY cohort, dur_h
+    ), staged AS (
+        SELECT cohort, duration, n_events,
+               sum(nn) OVER (PARTITION BY cohort ORDER BY duration DESC
+                             ROWS UNBOUNDED PRECEDING) AS at_risk
+        FROM counts
+    ), cum AS (
+        SELECT cohort, duration, n_events, at_risk,
+               sum(CASE WHEN n_events > 0 THEN
+                       CASE WHEN 1.0 - n_events
+                                 / CAST(at_risk AS DOUBLE) > 0
+                            THEN ln(1.0 - n_events
+                                    / CAST(at_risk AS DOUBLE))
+                            ELSE -745.0 END
+                       ELSE 0.0 END)
+                   OVER wa AS ls,
+               sum(CASE WHEN n_events > 0 THEN
+                       CASE WHEN at_risk > n_events
+                            THEN n_events / (CAST(at_risk AS DOUBLE)
+                                 * (at_risk - n_events))
+                            ELSE 'infinity'::DOUBLE END
+                       ELSE 0.0 END)
+                   OVER wa AS g
+        FROM staged
+        WINDOW wa AS (PARTITION BY cohort ORDER BY duration ASC
+                      ROWS UNBOUNDED PRECEDING)
+    ), band AS (
+        SELECT cohort, duration, n_events, at_risk,
+               exp(ls) AS survival,
+               CASE WHEN g < 'infinity'::DOUBLE
+                    THEN exp(ls) * sqrt(g) END AS se_surv,
+               CASE WHEN g < 'infinity'::DOUBLE AND ls < 0
+                         AND exp(ls) > 0
+                    THEN pow(exp(ls),
+                             exp(1.959964 * sqrt(g) / abs(ls))) END
+                   AS ci_low,
+               CASE WHEN g < 'infinity'::DOUBLE AND ls < 0
+                         AND exp(ls) > 0
+                    THEN pow(exp(ls),
+                             exp(-1.959964 * sqrt(g) / abs(ls))) END
+                   AS ci_high
+        FROM cum
+        WHERE n_events > 0
+    )
+    SELECT cohort, duration, CAST(n_events AS BIGINT) AS n_events,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           round(survival + 0.0000001, 6) AS survival,
+           round(se_surv + 0.0000001, 6) AS se_surv,
+           round(ci_low + 0.0000001, 6) AS ci_low,
+           round(ci_high + 0.0000001, 6) AS ci_high
+    FROM band
+"""
+QUERIES["km_ci"] = q_km_ci

@@ -500,3 +500,57 @@ class TestCoxLoglikAndLrt:
         assert out["lrt_stat"] == pytest.approx(
             2.0 * (out["loglik_full"] - out["loglik_reduced"]), abs=1e-9)
         assert out["p_value"] > 0.01
+
+
+class TestKaplanMeierCi:
+    def test_greenwood_loglog_matches_numpy(self, spark):
+        from woodwork_spark.operators.timeseries import kaplan_meier
+
+        rng = np.random.RandomState(53)
+        n = 200
+        t = np.ceil(rng.exponential(5, n))
+        d = (rng.uniform(size=n) < 0.7).astype(int)
+        df = spark.createDataFrame(
+            [(float(a), int(b)) for a, b in zip(t, d)], ["t", "d"])
+        out = {r["duration"]: r for r in kaplan_meier(
+            df, "t", "d", ci=True).collect()}
+
+        times = np.unique(t[d == 1])
+        s, g = 1.0, 0.0
+        ls = 0.0
+        for tt in sorted(np.unique(t)):
+            r = int((t >= tt).sum())
+            de = int(((t == tt) & (d == 1)).sum())
+            if de == 0:
+                continue
+            frac = 1.0 - de / r
+            ls += np.log(frac) if frac > 0 else -745.0
+            s = np.exp(ls)
+            g += de / (r * (r - de)) if r > de else np.inf
+            if tt in times:
+                row = out[tt]
+                assert row["survival"] == pytest.approx(s, rel=1e-10)
+                if np.isfinite(g) and ls < 0 and s > 0:
+                    se = s * np.sqrt(g)
+                    sll = np.sqrt(g) / abs(ls)
+                    lo = s ** np.exp(1.959964 * sll)
+                    hi = s ** np.exp(-1.959964 * sll)
+                    assert row["se_surv"] == pytest.approx(se, rel=1e-9)
+                    assert row["ci_low"] == pytest.approx(lo, rel=1e-9)
+                    assert row["ci_high"] == pytest.approx(hi, rel=1e-9)
+                    assert row["ci_low"] <= row["survival"] <= row["ci_high"]
+                else:
+                    assert row["ci_low"] is None and row["ci_high"] is None
+
+    def test_ungrouped_km_no_single_partition_window(self, spark):
+        from woodwork_spark.operators.timeseries import kaplan_meier
+
+        rng = np.random.RandomState(59)
+        rows = [(float(np.ceil(v * 3)), int(e)) for v, e in zip(
+            rng.exponential(1, 300), rng.uniform(size=300) < 0.8)]
+        df = spark.createDataFrame(rows, ["t", "d"])
+        res = kaplan_meier(df, "t", "d", ci=True)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan
+        for c in _single_partition_consumers(plan):
+            assert "Window" not in c and "Sort" not in c, c

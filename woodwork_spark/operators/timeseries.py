@@ -352,6 +352,8 @@ def kaplan_meier(
     duration_col: str,
     event_col: str,
     group_cols=(),
+    ci: bool = False,
+    z: float = 1.959964,
 ) -> DataFrame:
     """Kaplan-Meier survival estimate per group — time-to-event
     analytics (time to churn/conversion/failure) with right-censoring
@@ -364,30 +366,49 @@ def kaplan_meier(
     censor counts FIRST (map-side combine — the windows below run over
     DISTINCT TIMES, not rows), the at-risk count is a suffix sum over
     one partitioned window, and the product telescopes as
-    ``exp(sum(log))`` over the same sort.  Censored rows reduce the
-    at-risk set but never the survival step.  Returns one row per
-    (group, duration with >= 1 event): ``(group..., duration, n_events,
-    n_censored, at_risk, survival)``.
+    ``exp(sum(log))`` over the same sort.  With NO group columns both
+    running sums route through
+    :func:`~woodwork_spark.operators.rank.global_prefix_sums` (range
+    shuffle + per-bucket windows — no SinglePartition exchange, the
+    cox_ph_fit convention).  Censored rows reduce the at-risk set but
+    never the survival step.  Returns one row per (group, duration
+    with >= 1 event): ``(group..., duration, n_events, n_censored,
+    at_risk, survival)``.
+
+    ``ci=True`` appends the Greenwood standard error and the LOG-LOG
+    confidence band (``se_surv``, ``ci_low``, ``ci_high`` at the
+    two-sided level of ``z``; default 95%): the Greenwood sum ``g(t) =
+    sum d_i / (r_i (r_i - d_i))`` rides the SAME ascending running
+    sum as the survival telescoping, so the band costs no extra pass.
+    Log-log (Kalbfleisch-Prentice) bounds ``S^exp(+-z sqrt(g)/|ln S|)``
+    stay inside (0, 1) by construction; rows where S = 0 (last at-risk
+    subject had the event) or S = 1 get NULL bounds — the band is
+    undefined there.
     """
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.rank import global_prefix_sums
+
     group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    caches = []
     ev = F.col(event_col).cast("int")
     counts = df.groupBy(*group_cols, F.col(duration_col).alias("duration")).agg(
         F.sum(ev).alias("n_events"),
         F.sum(1 - ev).alias("n_censored"),
         F.count(F.lit(1)).alias("__n"),
     )
-    w_desc = (
-        W.partitionBy(*group_cols)
-        .orderBy(F.desc("duration"))
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    at_risk = F.sum("__n").over(w_desc)
-    staged = counts.withColumn("at_risk", at_risk)
-    w_asc = (
-        W.partitionBy(*group_cols)
-        .orderBy(F.asc("duration"))
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
+    if group_cols:
+        w_desc = (
+            W.partitionBy(*group_cols)
+            .orderBy(F.desc("duration"))
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        staged = counts.withColumn("at_risk", F.sum("__n").over(w_desc))
+    else:
+        staged = global_prefix_sums(
+            counts, [F.desc("duration")], ["__n"], out_cols=["at_risk"],
+            inclusive=True, small_threshold=0,
+        )
+        caches.extend(persisted_frames(staged))
     frac = 1.0 - F.col("n_events") / F.col("at_risk")
     # the last at-risk subject having the event drives S to exactly 0;
     # Spark's log(0) is NULL and would poison the telescoping sum, so
@@ -396,14 +417,56 @@ def kaplan_meier(
         F.col("n_events") > 0,
         F.when(frac > 0, F.log(frac)).otherwise(F.lit(-745.0)),
     ).otherwise(F.lit(0.0))
-    return (
-        staged.withColumn("survival", F.exp(F.sum(step).over(w_asc)))
-        .where(F.col("n_events") > 0)
-        .select(
-            *group_cols, "duration", "n_events", "n_censored",
-            "at_risk", "survival",
+    # Greenwood increment; +inf at r = d so the running sum poisons
+    # every later cell deliberately (the band is undefined past S = 0)
+    gterm = F.when(
+        F.col("n_events") > 0,
+        F.when(
+            F.col("at_risk") > F.col("n_events"),
+            F.col("n_events")
+            / (F.col("at_risk")
+               * (F.col("at_risk") - F.col("n_events"))),
+        ).otherwise(F.lit(float("inf"))),
+    ).otherwise(F.lit(0.0))
+    staged = staged.withColumn("__lstep", step).withColumn("__gt", gterm)
+    sum_cols = ["__lstep"] + (["__gt"] if ci else [])
+    out_cols = ["__ls"] + (["__g"] if ci else [])
+    if group_cols:
+        w_asc = (
+            W.partitionBy(*group_cols)
+            .orderBy(F.asc("duration"))
+            .rowsBetween(W.unboundedPreceding, 0)
         )
-    )
+        for sc, oc in zip(sum_cols, out_cols):
+            staged = staged.withColumn(oc, F.sum(sc).over(w_asc))
+    else:
+        staged = global_prefix_sums(
+            staged, [F.asc("duration")], sum_cols, out_cols=out_cols,
+            inclusive=True, small_threshold=0,
+        )
+        caches.extend(persisted_frames(staged))
+    surv = F.exp(F.col("__ls"))
+    cols = [
+        *group_cols, "duration", "n_events", "n_censored", "at_risk",
+        surv.alias("survival"),
+    ]
+    if ci:
+        g = F.col("__g")
+        band_ok = (
+            (g < F.lit(float("inf"))) & (F.col("__ls") < 0)
+            & (surv > 0)
+        )
+        se_ll = F.sqrt(g) / F.abs(F.col("__ls"))
+        cols += [
+            F.when(g < F.lit(float("inf")), surv * F.sqrt(g))
+            .alias("se_surv"),
+            F.when(band_ok, F.pow(surv, F.exp(F.lit(float(z)) * se_ll)))
+            .alias("ci_low"),
+            F.when(band_ok, F.pow(surv, F.exp(F.lit(-float(z)) * se_ll)))
+            .alias("ci_high"),
+        ]
+    out = staged.where(F.col("n_events") > 0).select(*cols)
+    return attach_persisted(out, *caches) if caches else out
 
 
 def fill_gaps(
