@@ -22664,3 +22664,151 @@ ORACLE["km_ci"] = """
     FROM band
 """
 QUERIES["km_ci"] = q_km_ci
+
+
+def q_cox_residuals(spark, sf_dir):
+    """Martingale + deviance residuals for the cox_ph model (time to
+    first purchase ~ log activity, per cohort), folded per cohort.
+    The martingale sum is EXACTLY zero per group under the Breslow
+    baseline (sum_i H0(t_i) r_i telescopes to the event count at any
+    beta) — a structural identity the oracle reproduces via its own
+    ASOF join, so parity checks the whole fit + baseline + residual
+    composition."""
+    from woodwork_spark.operators.timeseries import (
+        cox_baseline_hazard,
+        cox_ph_fit,
+        cox_residuals,
+    )
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+        F.count(F.lit(1)).alias("__ne"),
+    )
+    rows = per_user.select(
+        (F.col("user_id") % 3).alias("cohort"),
+        F.floor(
+            (
+                F.unix_micros(F.coalesce("__p", "__last"))
+                - F.unix_micros("__t0")
+            ) / 3.6e9,
+        ).cast("double").alias("dur"),
+        F.col("__p").isNotNull().cast("double").alias("ev"),
+        F.log(F.lit(1.0) + F.col("__ne")).alias("x"),
+    ).filter(F.col("dur") >= 0).persist()
+    model = cox_ph_fit(rows, "dur", "ev", "x", "cohort", iters=3)
+    base = cox_baseline_hazard(rows, "dur", "ev", "x", model, "cohort")
+    mart = cox_residuals(
+        rows, "dur", "ev", "x", model, base, "cohort",
+        kind="martingale", out_col="m",
+    )
+    dev = cox_residuals(
+        mart, "dur", "ev", "x", model, base, "cohort",
+        kind="deviance", out_col="r_dev",
+    )
+    out = dev.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ev").cast("long").alias("n_events"),
+        _ravg(F.sum("m"), 6).alias("sum_mart"),
+        _ravg(F.max(F.abs(F.col("m"))), 5).alias("max_abs_mart"),
+        _ravg(F.sum(F.col("r_dev") * F.col("r_dev")), 4).alias("sum_dev2"),
+    )
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(out, rows)
+
+
+def _cox_residuals_oracle(iters: int = 3) -> str:
+    """3-step Newton replay (range-frame risk sets), Breslow baseline
+    per distinct event time, ASOF join back to subjects, the same
+    residual algebra."""
+    data = """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(ts) AS t0,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+                   max(ts) AS lastts,
+                   count(*) AS ne
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ),
+        data AS (
+            SELECT user_id % 3 AS cohort,
+                   CAST(floor(epoch_us(coalesce(p, lastts) - t0) / 3.6e9)
+                        AS DOUBLE) AS t,
+                   CASE WHEN p IS NOT NULL THEN 1.0 ELSE 0.0 END AS d,
+                   ln(1.0 + ne) AS x
+            FROM per_user
+            WHERE floor(epoch_us(coalesce(p, lastts) - t0) / 3.6e9) >= 0
+        ),
+        b0 AS (SELECT cohort, 0.0 AS beta FROM data GROUP BY cohort)
+    """
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+        , s{i} AS (
+            SELECT dd.cohort, dd.t, dd.d, dd.x, b.beta,
+                   sum(exp(b.beta * dd.x)) OVER wr AS s0,
+                   sum(dd.x * exp(b.beta * dd.x)) OVER wr AS s1,
+                   sum(dd.x * dd.x * exp(b.beta * dd.x)) OVER wr AS s2
+            FROM data dd JOIN b{i} b USING (cohort)
+            WINDOW wr AS (PARTITION BY dd.cohort ORDER BY dd.t ASC
+                          RANGE BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+        ),
+        b{i + 1} AS (
+            SELECT cohort,
+                   CASE WHEN sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0))) > 0
+                        THEN max(beta)
+                             + sum(d * (x - s1 / s0))
+                               / sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0)))
+                        ELSE 0.0 END AS beta
+            FROM s{i} GROUP BY cohort
+        )""")
+    final = f"""
+        , fin AS (
+            SELECT dd.cohort, dd.t, dd.d, dd.x, b.beta,
+                   sum(exp(b.beta * dd.x)) OVER wr AS s0
+            FROM data dd JOIN b{iters} b USING (cohort)
+            WINDOW wr AS (PARTITION BY dd.cohort ORDER BY dd.t ASC
+                          RANGE BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+        ),
+        ch AS (
+            SELECT cohort, t,
+                   sum(dt / s0c) OVER (PARTITION BY cohort
+                                       ORDER BY t ASC
+                                       ROWS UNBOUNDED PRECEDING) AS h0
+            FROM (SELECT cohort, t, sum(d) AS dt, max(s0) AS s0c
+                  FROM fin GROUP BY cohort, t HAVING sum(d) > 0)
+        ),
+        res AS (
+            SELECT f.cohort, f.d,
+                   f.d - coalesce(c.h0, 0.0) * exp(f.beta * f.x) AS m
+            FROM fin f ASOF LEFT JOIN ch c
+                ON f.cohort = c.cohort AND f.t >= c.t
+        ),
+        res2 AS (
+            SELECT cohort, d, m,
+                   greatest(0.0, -2.0 * (m +
+                       CASE WHEN d > 0 AND d - m > 0
+                            THEN d * ln(d - m) ELSE 0.0 END)) AS dev2
+            FROM res
+        )
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) AS BIGINT) AS n_events,
+               round(sum(m) + 0.0000001, 6) AS sum_mart,
+               round(max(abs(m)) + 0.0000001, 5) AS max_abs_mart,
+               round(sum(dev2) + 0.0000001, 4) AS sum_dev2
+        FROM res2
+        GROUP BY cohort
+    """
+    return data + "".join(steps) + final
+
+
+ORACLE["cox_residuals"] = _cox_residuals_oracle()
+QUERIES["cox_residuals"] = q_cox_residuals

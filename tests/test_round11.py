@@ -554,3 +554,44 @@ class TestKaplanMeierCi:
         assert "Window" in plan
         for c in _single_partition_consumers(plan):
             assert "Window" not in c and "Sort" not in c, c
+
+
+class TestCoxResiduals:
+    def test_martingale_identity_and_deviance(self, spark):
+        import pyspark.sql.functions as F
+        from woodwork_spark.operators.timeseries import (
+            cox_baseline_hazard,
+            cox_ph_fit,
+            cox_residuals,
+        )
+
+        rng = np.random.RandomState(61)
+        n = 200
+        x = rng.normal(size=n)
+        t = np.ceil(rng.exponential(1.0 / np.exp(0.5 * x)) * 4)
+        d = (rng.uniform(size=n) < 0.75).astype(float)
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c)) for a, b, c in zip(t, d, x)],
+            ["t", "d", "x"])
+        model = cox_ph_fit(df, "t", "d", "x", iters=3)
+        base = cox_baseline_hazard(df, "t", "d", "x", model)
+        mart = cox_residuals(df, "t", "d", "x", model, base,
+                             kind="martingale", out_col="m")
+        s = mart.agg(F.sum("m")).collect()[0][0]
+        # Breslow identity: martingale residuals sum to exactly zero
+        assert s == pytest.approx(0.0, abs=1e-9)
+        dev = cox_residuals(df, "t", "d", "x", model, base,
+                            kind="deviance", out_col="r")
+        rows = dev.select("d", "m", "r").collect() if "m" in dev.columns \
+            else None
+        # deviance sign matches martingale sign; censored-before-first-
+        # event rows (m == 0) give r == 0
+        got = cox_residuals(mart, "t", "d", "x", model, base,
+                            kind="deviance", out_col="r").collect()
+        _ = rows
+        for row in got:
+            ref = -2.0 * (row["m"] + (
+                row["d"] * np.log(row["d"] - row["m"])
+                if row["d"] > 0 and row["d"] - row["m"] > 0 else 0.0))
+            refr = np.sign(row["m"]) * np.sqrt(max(0.0, ref))
+            assert row["r"] == pytest.approx(refr, abs=1e-9)

@@ -2109,3 +2109,72 @@ def weibull_fit_km(
         F.when(ok, scale).alias("scale"),
         F.when(ok, r2).alias("r2"),
     )
+
+
+def cox_residuals(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_col,
+    model: DataFrame,
+    baseline: DataFrame,
+    group_cols=(),
+    kind: str = "martingale",
+    out_col: str = "resid",
+) -> DataFrame:
+    """Per-subject martingale / deviance residuals for a fitted Cox
+    model — the outlier/functional-form diagnostic that pairs with the
+    Schoenfeld PH check: ``m_i = d_i - H0(t_i) exp(beta' x_i)`` (the
+    observed-minus-expected event count under the fit), and
+    ``kind='deviance'`` symmetrizes it as ``sign(m) sqrt(-2 (m + d
+    ln(d - m)))`` (``d ln(d - m) := 0`` at d = 0).
+
+    Scale shape: the relative risk is :func:`cox_risk_score`'s
+    broadcast projection; ``H0(t_i)`` attaches by a BACKWARD as-of
+    join (:func:`~woodwork_spark.operators.relational.asof_join`)
+    against the ``baseline`` frame — :func:`cox_baseline_hazard`
+    output, one row per distinct EVENT time, so the join's right side
+    is cell-sized.  Subjects censored before the first event time get
+    ``H0 = 0`` (martingale 0).  ``group_cols`` supports at most one
+    column (the as-of ``by`` key); rows with NULL risk (degenerate
+    fit) or NULL inputs keep NULL residuals, nothing drops.
+    """
+    from woodwork_spark.operators.relational import asof_join
+
+    if kind not in ("martingale", "deviance"):
+        raise ValueError(f"unknown kind {kind!r}")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    if len(group_cols) > 1:
+        raise ValueError(
+            "cox_residuals supports at most one group column (the "
+            "as-of join's by key)",
+        )
+    scored = cox_risk_score(
+        df, model, x_col, group_cols=group_cols, out_col="__risk",
+    ).withColumn("__ct", F.col(time_col).cast("double"))
+    base = baseline.select(
+        *group_cols, F.col("t").cast("double").alias("__ct"),
+        F.col("cum_hazard").alias("__H0"),
+    )
+    joined = asof_join(
+        scored, base, on="__ct",
+        by=(group_cols[0] if group_cols else None),
+        direction="backward",
+    )
+    h0 = F.coalesce(F.col("__H0_right"), F.lit(0.0))
+    d = F.col(event_col).cast("double")
+    m = d - h0 * F.col("__risk")
+    if kind == "martingale":
+        r = m
+    else:
+        dterm = F.when(
+            (d > 0) & (d - m > 0), d * F.log(d - m),
+        ).otherwise(F.lit(0.0))
+        dev = F.lit(-2.0) * (m + dterm)
+        r = F.signum(m) * F.sqrt(F.greatest(F.lit(0.0), dev))
+    return (
+        joined.withColumn(out_col, r)
+        .drop("__risk", "__ct", "__H0_right")
+    )
