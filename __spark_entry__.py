@@ -2965,6 +2965,7 @@ def q_cramers_v(spark, sf_dir):
         "n", "r_levels", "c_levels", "dof",
         _ravg(F.col("chi2"), 6).alias("chi2"),
         _ravg(F.col("cramers_v"), 6).alias("cramers_v"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
     )
 
 
@@ -7953,14 +7954,42 @@ ORACLE = {
                    sum(n * n / CAST(rr * cc AS DOUBLE)) AS s
             FROM j
         )
-        SELECT n, r_levels, c_levels,
-               (r_levels - 1) * (c_levels - 1) AS dof,
-               round(n * s - n + 0.0000001, 6) AS chi2,
+        SELECT n, r_levels, c_levels, dof,
+               round(chi2 + 0.0000001, 6) AS chi2,
                round(sqrt(greatest(
-                   (n * s - n)
+                   chi2
                    / (n * greatest(least(r_levels, c_levels) - 1, 1)),
-                   0.0)) + 0.0000001, 6) AS cramers_v
-        FROM agg
+                   0.0)) + 0.0000001, 6) AS cramers_v,
+               round(CASE WHEN dof >= 1 THEN
+                   CASE WHEN zwh >= 0 THEN tsp / 2
+                        ELSE 1.0 - tsp / 2 END END
+                     + 0.0000001, 6) AS p_approx
+        FROM (
+            SELECT *,
+                   least(1.0, greatest(0.0,
+                       (0.254829592 * tt - 0.284496736 * tt * tt
+                        + 1.421413741 * tt * tt * tt
+                        - 1.453152027 * tt * tt * tt * tt
+                        + 1.061405429 * tt * tt * tt * tt * tt)
+                       * exp(-xx * xx))) AS tsp
+            FROM (
+                SELECT *, abs(zwh) / sqrt(2.0) AS xx,
+                       1.0 / (1.0 + 0.3275911 * abs(zwh) / sqrt(2.0)) AS tt
+                FROM (
+                    SELECT n, r_levels, c_levels,
+                           (r_levels - 1) * (c_levels - 1) AS dof,
+                           n * s - n AS chi2,
+                           (pow(greatest(n * s - n, 0.0)
+                                / ((r_levels - 1) * (c_levels - 1)),
+                                1.0 / 3.0)
+                            - (1.0 - 2.0 / (9.0 * (r_levels - 1)
+                                            * (c_levels - 1))))
+                           * sqrt(9.0 * (r_levels - 1)
+                                  * (c_levels - 1) / 2.0) AS zwh
+                    FROM agg
+                )
+            )
+        )
     """,
     "benford": """
         WITH d AS (

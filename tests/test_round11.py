@@ -595,3 +595,23 @@ class TestCoxResiduals:
                 if row["d"] > 0 and row["d"] - row["m"] > 0 else 0.0))
             refr = np.sign(row["m"]) * np.sqrt(max(0.0, ref))
             assert row["r"] == pytest.approx(refr, abs=1e-9)
+
+
+class TestCramersVP:
+    def test_wilson_hilferty_p(self, spark):
+        import math
+
+        from woodwork_spark.statistics.dependence import cramers_v
+
+        rows = [("A", "X")] * 50 + [("A", "Y")] * 10 + \
+               [("B", "X")] * 15 + [("B", "Y")] * 45
+        df = spark.createDataFrame(rows, ["a", "b"])
+        out = cramers_v(df, "a", "b").collect()[0]
+        k = out["dof"]
+        x = out["chi2"]
+        zwh = ((x / k) ** (1 / 3) - (1 - 2 / (9 * k))) \
+            * math.sqrt(9 * k / 2)
+        ref = 0.5 * math.erfc(zwh / math.sqrt(2))
+        assert out["p_approx"] == pytest.approx(ref, abs=2e-7)
+        # strong association on this table: p should be tiny
+        assert out["p_approx"] < 1e-6

@@ -620,7 +620,16 @@ def cramers_v(df, col_a: str, col_b: str) -> "DataFrame":
     chi-square uses the observed-cells identity
     ``chi2 = N * sum(n_ij^2 / (r_i * c_j)) - N`` so absent cells need
     no densification.  Null categories count as a real level.  Returns
-    one row: ``(n, r_levels, c_levels, dof, chi2, cramers_v)``.
+    one row: ``(n, r_levels, c_levels, dof, chi2, cramers_v,
+    p_approx)``.
+
+    ``p_approx`` is the Wilson-Hilferty cube-root normal approximation
+    ``P(chi2_dof > x) ~= 1 - Phi(((x/k)^(1/3) - 1 + 2/(9k)) *
+    sqrt(9k/2))`` through the shared A&S erf polynomial — chosen over
+    the exact unrolled form of ``_chi2_sf`` because the dof here is a
+    RUNTIME column (category cardinalities), not a plan-time constant;
+    accuracy ~1e-3 in p, ample for an independence screen.  NULL when
+    dof < 1 (a degenerate 1-level table).
     """
     cells = (
         df.groupBy(
@@ -655,6 +664,25 @@ def cramers_v(df, col_a: str, col_b: str) -> "DataFrame":
                 F.lit(0.0),
             ),
         ).alias("cramers_v"),
+    )
+    from woodwork_spark.operators.stats_tests import (
+        _std_normal_two_sided_p,
+    )
+
+    kk = F.col("dof").cast("double")
+    x2 = F.greatest(F.col("chi2"), F.lit(0.0))
+    zwh = (
+        (F.pow(x2 / kk, F.lit(1.0 / 3.0))
+         - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * kk)))
+        * F.sqrt(F.lit(9.0) * kk / F.lit(2.0))
+    )
+    ts = _std_normal_two_sided_p(zwh)
+    out = out.withColumn(
+        "p_approx",
+        F.when(
+            F.col("dof") >= 1,
+            F.when(zwh >= 0, ts / 2).otherwise(F.lit(1.0) - ts / 2),
+        ),
     )
     from woodwork_spark.lifecycle import attach_persisted
 
