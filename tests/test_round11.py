@@ -615,3 +615,77 @@ class TestCramersVP:
         assert out["p_approx"] == pytest.approx(ref, abs=2e-7)
         # strong association on this table: p should be tiny
         assert out["p_approx"] < 1e-6
+
+
+class TestHashedNgramFeatures:
+    def test_bigram_shares_and_short_docs(self, spark):
+        import hashlib
+
+        import pyspark.sql.functions as F
+        from woodwork_spark.operators.text import hashed_token_features
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "solo"), (3, "x y")],
+            ["id", "text"])
+        f = hashed_token_features(df, "text", k=5, ngram=2)
+        rows = {r["id"]: r for r in f.collect()}
+        # 3 bigrams in doc 1 -> shares sum to 1
+        assert sum(rows[1][f"f{j}"] for j in range(5)) \
+            == pytest.approx(1.0, abs=1e-12)
+        # fewer tokens than n -> all-zero features
+        assert all(rows[2][f"f{j}"] == 0.0 for j in range(5))
+
+        # bucket placement matches the portable md5 convention
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 5
+
+        expected = {}
+        for g in ["x y"]:
+            expected[bucket(g)] = expected.get(bucket(g), 0) + 1
+        for j in range(5):
+            assert rows[3][f"f{j}"] == pytest.approx(
+                expected.get(j, 0) / 1.0, abs=1e-12)
+
+
+class TestStreamingQualityScore:
+    def test_classifier_scores_a_stream(self, spark):
+        """The trained quality model is a batch frame; scoring a
+        document STREAM is the same broadcast projection — stream-
+        static composition with zero streaming state."""
+        import shutil
+        import uuid
+
+        import pyspark.sql.functions as F
+        from woodwork_spark.operators.text import (
+            quality_classifier_fit,
+            quality_classifier_predict,
+        )
+        from woodwork_spark.streaming.events import run_stream_to_memory
+
+        rng = np.random.RandomState(67)
+        good_w = ["fine", "great", "solid", "clear", "useful"]
+        bad_w = ["spam", "junk", "noise", "clickbait", "garbage"]
+        rows = []
+        for i in range(200):
+            y = i % 2
+            pool = good_w if y else bad_w
+            rows.append((i, " ".join(
+                pool[rng.randint(5)] for _ in range(10)), float(y)))
+        train = spark.createDataFrame(rows, ["id", "text", "y"])
+        model = quality_classifier_fit(
+            train, "text", "y", k=8, iters=8, ridge_lambda=0.3)
+
+        path = f"/tmp/ww_qstream_{uuid.uuid4().hex[:8]}"
+        try:
+            train.select("id", "text", "y").write.mode(
+                "overwrite").parquet(path)
+            stream = spark.readStream.schema(
+                "id long, text string, y double").parquet(path)
+            scored = quality_classifier_predict(stream, model, "text", k=8)
+            agg = scored.groupBy("y").agg(
+                F.avg("quality_prob").alias("mp"))
+            res = {r["y"]: r["mp"] for r in run_stream_to_memory(
+                agg, f"qscore_{uuid.uuid4().hex[:8]}").collect()}
+            assert res[1.0] > 0.7 and res[0.0] < 0.3
+        finally:
+            shutil.rmtree(path, ignore_errors=True)

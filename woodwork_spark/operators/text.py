@@ -1177,6 +1177,7 @@ def hashed_token_features(
     k: int = 16,
     prefix: str = "f",
     hash_fn: str = "md5",
+    ngram: int = 1,
 ) -> DataFrame:
     """Feature-hashed token frequencies — the fastText featurization:
     bucket ``b(t) = hash(lower(token)) mod k``, feature ``j`` = the
@@ -1192,19 +1193,40 @@ def hashed_token_features(
     ``'xxhash64'`` is the faster JVM-only path.  Adds columns
     ``{prefix}0 .. {prefix}{k-1}``; rows with no tokens get all-zero
     features.
+
+    ``ngram > 1`` hashes token n-grams (space-joined windows of n
+    consecutive tokens — the word-order signal unigram bags lose);
+    documents with fewer than n tokens get all-zero features.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
     if hash_fn == "md5":
-        tok_hash = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+        tok_hash = "cast(conv(substring(md5({t}), 1, 15), 16, 10) as bigint)"
     elif hash_fn == "xxhash64":
-        tok_hash = "xxhash64(t)"
+        tok_hash = "xxhash64({t})"
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    buckets = F.expr(
-        f"transform(split(trim(lower({text_col})), '\\\\s+'), "
-        f"t -> pmod({tok_hash}, {int(k)}))",
-    )
+    toks = f"split(trim(lower({text_col})), '\\\\s+')"
+    if ngram == 1:
+        buckets = F.expr(
+            f"transform({toks}, "
+            f"t -> pmod({tok_hash.format(t='t')}, {int(k)}))",
+        )
+    else:
+        n = int(ngram)
+        gram = "concat_ws(' ', slice(ts, i, {n}))".format(n=n)
+        # bind the token array ONCE via the array-wrapper trick (the
+        # simhash_expr convention) so the split is not re-evaluated
+        # per n-gram position
+        buckets = F.expr(
+            f"transform(array({toks}), ts -> "
+            f"IF(size(ts) >= {n}, "
+            f"transform(sequence(1, size(ts) - {n} + 1), "
+            f"i -> pmod({tok_hash.format(t=gram)}, {int(k)})), "
+            f"cast(array() as array<bigint>)))[0]",
+        )
     tmp = df.withColumn("__hb", buckets)
     n = F.size(F.col("__hb"))
 
