@@ -22732,20 +22732,17 @@ def q_cox_residuals(spark, sf_dir):
     ).filter(F.col("dur") >= 0).persist()
     model = cox_ph_fit(rows, "dur", "ev", "x", "cohort", iters=3)
     base = cox_baseline_hazard(rows, "dur", "ev", "x", model, "cohort")
-    mart = cox_residuals(
-        rows, "dur", "ev", "x", model, base, "cohort",
-        kind="martingale", out_col="m",
+    both = cox_residuals(
+        rows, "dur", "ev", "x", model, base, "cohort", kind="both",
     )
-    dev = cox_residuals(
-        mart, "dur", "ev", "x", model, base, "cohort",
-        kind="deviance", out_col="r_dev",
-    )
-    out = dev.groupBy("cohort").agg(
+    out = both.groupBy("cohort").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("ev").cast("long").alias("n_events"),
-        _ravg(F.sum("m"), 6).alias("sum_mart"),
-        _ravg(F.max(F.abs(F.col("m"))), 5).alias("max_abs_mart"),
-        _ravg(F.sum(F.col("r_dev") * F.col("r_dev")), 4).alias("sum_dev2"),
+        _ravg(F.sum("martingale"), 6).alias("sum_mart"),
+        _ravg(F.max(F.abs(F.col("martingale"))), 5).alias("max_abs_mart"),
+        _ravg(
+            F.sum(F.col("deviance") * F.col("deviance")), 4,
+        ).alias("sum_dev2"),
     )
     from woodwork_spark.lifecycle import attach_persisted
 

@@ -2138,10 +2138,13 @@ def cox_residuals(
     ``H0 = 0`` (martingale 0).  ``group_cols`` supports at most one
     column (the as-of ``by`` key); rows with NULL risk (degenerate
     fit) or NULL inputs keep NULL residuals, nothing drops.
+    ``kind='both'`` emits BOTH diagnostics (columns ``martingale``
+    and ``deviance``) from the single scan + as-of join — half the
+    passes of two separate calls.
     """
     from woodwork_spark.operators.relational import asof_join
 
-    if kind not in ("martingale", "deviance"):
+    if kind not in ("martingale", "deviance", "both"):
         raise ValueError(f"unknown kind {kind!r}")
     group_cols = (
         [group_cols] if isinstance(group_cols, str) else list(group_cols)
@@ -2166,15 +2169,19 @@ def cox_residuals(
     h0 = F.coalesce(F.col("__H0_right"), F.lit(0.0))
     d = F.col(event_col).cast("double")
     m = d - h0 * F.col("__risk")
+    dterm = F.when(
+        (d > 0) & (d - m > 0), d * F.log(d - m),
+    ).otherwise(F.lit(0.0))
+    dev = F.lit(-2.0) * (m + dterm)
+    rdev = F.signum(m) * F.sqrt(F.greatest(F.lit(0.0), dev))
     if kind == "martingale":
-        r = m
+        out = joined.withColumn(out_col, m)
+    elif kind == "deviance":
+        out = joined.withColumn(out_col, rdev)
     else:
-        dterm = F.when(
-            (d > 0) & (d - m > 0), d * F.log(d - m),
-        ).otherwise(F.lit(0.0))
-        dev = F.lit(-2.0) * (m + dterm)
-        r = F.signum(m) * F.sqrt(F.greatest(F.lit(0.0), dev))
-    return (
-        joined.withColumn(out_col, r)
-        .drop("__risk", "__ct", "__H0_right")
-    )
+        # 'both': one scan + one as-of join emits both diagnostics —
+        # out_col is ignored, columns are `martingale` and `deviance`
+        out = joined.withColumn("martingale", m).withColumn(
+            "deviance", rdev,
+        )
+    return out.drop("__risk", "__ct", "__H0_right")
