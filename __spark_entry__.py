@@ -22838,3 +22838,144 @@ def _cox_residuals_oracle(iters: int = 3) -> str:
 
 ORACLE["cox_residuals"] = _cox_residuals_oracle()
 QUERIES["cox_residuals"] = q_cox_residuals
+
+
+def q_glm_lrt2(spark, sf_dir):
+    """2-dof likelihood-ratio test: the full (x1, x2) logistic model
+    against the intercept-only NULL model, whose MLE loglik is closed
+    form (n [p ln p + (1-p) ln(1-p)] at the group base rate) — so the
+    reduced 'fit' is one aggregate, demonstrating that glm_lrt
+    consumes ANY (group, loglik) frame.  dof = 2 exercises the EVEN
+    branch of the exact chi-square survival: p = exp(-stat/2),
+    replayed literally in the oracle."""
+    from woodwork_spark.operators.regression import glm_lrt, logistic_fit
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    rows = orders.select(
+        (F.col("o_orderkey") % 2).alias("cohort"),
+        (F.col("o_orderstatus") == "F").cast("double").alias("y"),
+        F.log(F.col("o_totalprice")).alias("x1"),
+        F.month(F.col("o_orderdate").cast("date"))
+        .cast("double").alias("x2"),
+    ).persist()
+    full = logistic_fit(rows, "y", ["x1", "x2"], "cohort", iters=6)
+    pbar = F.avg("y")
+    ll0 = F.when(
+        (pbar > 0) & (pbar < 1),
+        F.count(F.lit(1))
+        * (pbar * F.log(pbar)
+           + (F.lit(1.0) - pbar) * F.log(F.lit(1.0) - pbar)),
+    ).otherwise(F.lit(0.0))
+    null_fit = rows.groupBy("cohort").agg(ll0.alias("loglik"))
+    out = glm_lrt(full, null_fit, df_diff=2, group_cols="cohort")
+    from woodwork_spark.lifecycle import attach_persisted
+
+    return attach_persisted(out.select(
+        "cohort", "n",
+        _ravg(F.col("loglik_full"), 4).alias("loglik_full"),
+        _ravg(F.col("loglik_reduced"), 4).alias("loglik_reduced"),
+        _ravg(F.col("lrt_stat"), 4).alias("lrt_stat"),
+        "df_diff",
+        _ravg(F.col("p_value"), 6).alias("p_value"),
+    ), rows)
+
+
+def _glm_lrt2_oracle() -> str:
+    """Full 3x3 Cramer Newton loop + closed-form null loglik; the even
+    dof = 2 chi-square survival is exactly exp(-stat/2)."""
+    mu3 = ("1.0 / (1.0 + exp(-least(30.0, greatest(-30.0, "
+           "c.b0 + c.b1 * d.x1 + c.b2 * d.x2))))")
+    det3 = ("(a00 * (a11 * a22 - a21 * a21)"
+            " - a10 * (a10 * a22 - a21 * a20)"
+            " + a20 * (a10 * a21 - a11 * a20))")
+    pd3 = f"a00 > 0 AND (a00 * a11 - a10 * a10) > 0 AND {det3} > 0"
+    sums3 = """
+            sum(y - mu) AS u0, sum(x1 * (y - mu)) AS u1,
+            sum(x2 * (y - mu)) AS u2,
+            sum(mu * (1.0 - mu)) AS a00,
+            sum(x1 * mu * (1.0 - mu)) AS a10,
+            sum(x2 * mu * (1.0 - mu)) AS a20,
+            sum(x1 * x1 * mu * (1.0 - mu)) AS a11,
+            sum(x2 * x1 * mu * (1.0 - mu)) AS a21,
+            sum(x2 * x2 * mu * (1.0 - mu)) AS a22"""
+    parts = ["""
+    WITH data AS (
+        SELECT o_orderkey % 2 AS cohort,
+               CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+               ln(o_totalprice) AS x1,
+               CAST(month(CAST(o_orderdate AS DATE)) AS DOUBLE) AS x2
+        FROM orders
+    ),
+    f0 AS (SELECT cohort, 0.0 AS b0, 0.0 AS b1, 0.0 AS b2
+           FROM data GROUP BY cohort)"""]
+    for i in range(6):
+        parts.append(f"""
+        , fa{i} AS (
+            SELECT cohort, max(b0) AS b0, max(b1) AS b1, max(b2) AS b2,
+                   {sums3}
+            FROM (SELECT d.cohort, d.y, d.x1, d.x2, c.b0, c.b1, c.b2,
+                         {mu3} AS mu
+                  FROM data d JOIN f{i} c USING (cohort))
+            GROUP BY cohort
+        ),
+        f{i + 1} AS (
+            SELECT cohort,
+              CASE WHEN {pd3} THEN b0 +
+                (u0 * (a11 * a22 - a21 * a21)
+                 - u1 * (a10 * a22 - a20 * a21)
+                 + u2 * (a10 * a21 - a20 * a11)) / {det3}
+              ELSE b0 END AS b0,
+              CASE WHEN {pd3} THEN b1 +
+                (-u0 * (a10 * a22 - a21 * a20)
+                 + u1 * (a00 * a22 - a20 * a20)
+                 - u2 * (a00 * a21 - a20 * a10)) / {det3}
+              ELSE b1 END AS b1,
+              CASE WHEN {pd3} THEN b2 +
+                (u0 * (a10 * a21 - a11 * a20)
+                 - u1 * (a00 * a21 - a10 * a20)
+                 + u2 * (a00 * a11 - a10 * a10)) / {det3}
+              ELSE b2 END AS b2
+            FROM fa{i}
+        )""")
+    parts.append(f"""
+        , lf AS (
+            SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+                   sum(y * ln(mu) + (1.0 - y) * ln(1.0 - mu))
+                       AS loglik_full
+            FROM (SELECT d.cohort, d.y,
+                         {mu3} AS mu
+                  FROM data d JOIN f6 c USING (cohort))
+            GROUP BY cohort
+        ),
+        lg AS (
+            SELECT cohort,
+                   CASE WHEN avg(y) > 0 AND avg(y) < 1
+                        THEN count(*) * (avg(y) * ln(avg(y))
+                             + (1.0 - avg(y)) * ln(1.0 - avg(y)))
+                        ELSE 0.0 END AS loglik_reduced
+            FROM data GROUP BY cohort
+        ),
+        st AS (
+            SELECT lf.cohort, lf.n, lf.loglik_full, lg.loglik_reduced,
+                   2.0 * (lf.loglik_full - lg.loglik_reduced) AS raw
+            FROM lf JOIN lg USING (cohort)
+        )
+        SELECT cohort, n,
+               round(loglik_full + 0.0000001, 4) AS loglik_full,
+               round(loglik_reduced + 0.0000001, 4) AS loglik_reduced,
+               round(CASE WHEN raw > -0.000001
+                          THEN greatest(0.0, raw) END
+                     + 0.0000001, 4) AS lrt_stat,
+               CAST(2 AS BIGINT) AS df_diff,
+               round(CASE WHEN raw > -0.000001 THEN
+                   least(1.0, greatest(0.0,
+                       exp(-greatest(0.0, raw) / 2.0))) END
+                     + 0.0000001, 6) AS p_value
+        FROM st
+    """)
+    return "".join(parts)
+
+
+ORACLE["glm_lrt2"] = _glm_lrt2_oracle()
+QUERIES["glm_lrt2"] = q_glm_lrt2
