@@ -22979,3 +22979,154 @@ def _glm_lrt2_oracle() -> str:
 
 ORACLE["glm_lrt2"] = _glm_lrt2_oracle()
 QUERIES["glm_lrt2"] = q_glm_lrt2
+
+
+def q_rmst_diff(spark, sf_dir):
+    """RMST difference at a 48-hour horizon between user cohorts
+    (time to first purchase, right-censored at last activity) — the
+    censoring-safe A/B effect size with the Greenwood-type RMST
+    variance (sum A_i^2 d_i / (r_i (r_i - d_i)) over event cells
+    inside the horizon).  Oracle replays KM, the step-area segments,
+    the per-cell remaining-area A_i, and the Wald combine in SQL
+    windows over the same distinct-duration cells."""
+    from woodwork_spark.operators.timeseries import rmst_diff
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+    )
+    durs = per_user.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(
+            F.col("__p").isNotNull(),
+            F.floor(
+                (F.unix_micros("__p") - F.unix_micros("__t0")) / 3.6e9,
+            ),
+        ).otherwise(
+            F.floor(
+                (F.unix_micros("__last") - F.unix_micros("__t0")) / 3.6e9,
+            ),
+        ).cast("double").alias("dur_h"),
+        F.col("__p").isNotNull().cast("int").alias("purchased"),
+    )
+    out = rmst_diff(durs, "dur_h", "purchased", 48.0, "cohort", 0, 1)
+    return out.select(
+        "horizon",
+        _ravg(F.col("rmst_a"), 6).alias("rmst_a"),
+        _ravg(F.col("rmst_b"), 6).alias("rmst_b"),
+        _ravg(F.col("diff"), 6).alias("diff"),
+        _ravg(F.col("se_diff"), 6).alias("se_diff"),
+        _ravg(F.col("z_stat"), 5).alias("z_stat"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+    )
+
+
+ORACLE["rmst_diff"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+               max(ts) AS lastts
+        FROM events GROUP BY user_id
+    ), durs AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
+               CASE WHEN p IS NOT NULL
+                    THEN CAST(floor((epoch_us(p) - epoch_us(t0))
+                                    / 3600000000.0) AS DOUBLE)
+                    ELSE CAST(floor((epoch_us(lastts) - epoch_us(t0))
+                                    / 3600000000.0) AS DOUBLE)
+               END AS t,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per_user
+    ), counts AS (
+        SELECT cohort, t, sum(ev) AS d, count(*) AS nn
+        FROM durs GROUP BY cohort, t
+    ), staged AS (
+        SELECT cohort, t, d,
+               sum(nn) OVER (PARTITION BY cohort ORDER BY t DESC
+                             ROWS UNBOUNDED PRECEDING) AS r
+        FROM counts
+    ), surv AS (
+        SELECT cohort, t, d, r,
+               exp(sum(CASE WHEN d > 0 THEN
+                           CASE WHEN 1.0 - d / CAST(r AS DOUBLE) > 0
+                                THEN ln(1.0 - d / CAST(r AS DOUBLE))
+                                ELSE -745.0 END
+                           ELSE 0.0 END)
+                   OVER (PARTITION BY cohort ORDER BY t ASC
+                         ROWS UNBOUNDED PRECEDING)) AS s
+        FROM staged
+    ), cells AS (
+        SELECT * FROM surv WHERE d > 0
+    ), segs AS (
+        SELECT cohort, t, d, r, s,
+               coalesce(lag(s, 1) OVER wt, 1.0)
+               * (least(t, 48.0)
+                  - least(coalesce(lag(t, 1) OVER wt, 0.0), 48.0)) AS seg
+        FROM cells
+        WINDOW wt AS (PARTITION BY cohort ORDER BY t ASC)
+    ), areas AS (
+        SELECT cohort, t, d, r,
+               sum(seg) OVER wf
+               + last_value(s) OVER wf
+                 * (48.0 - least(max(t) OVER wf, 48.0))
+               - sum(seg) OVER (PARTITION BY cohort ORDER BY t ASC
+                                ROWS UNBOUNDED PRECEDING) AS a_i,
+               sum(seg) OVER wf
+               + last_value(s) OVER wf
+                 * (48.0 - least(max(t) OVER wf, 48.0)) AS tot
+        FROM segs
+        WINDOW wf AS (PARTITION BY cohort ORDER BY t ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+    ), folded AS (
+        SELECT cohort, max(tot) AS rmst,
+               sum(CASE WHEN t >= 48.0 THEN 0.0
+                        WHEN r > d THEN a_i * a_i * d
+                             / (CAST(r AS DOUBLE) * (r - d))
+                        ELSE 'infinity'::DOUBLE END) AS v
+        FROM areas GROUP BY cohort
+    ), piv AS (
+        SELECT CAST(48.0 AS DOUBLE) AS horizon,
+               max(CASE WHEN cohort = 0 THEN rmst END) AS rmst_a,
+               max(CASE WHEN cohort = 1 THEN rmst END) AS rmst_b,
+               max(CASE WHEN cohort = 0 AND v < 'infinity'::DOUBLE
+                        THEN sqrt(v) END) AS sa,
+               max(CASE WHEN cohort = 1 AND v < 'infinity'::DOUBLE
+                        THEN sqrt(v) END) AS sb
+        FROM folded
+    ), zz AS (
+        SELECT *,
+               rmst_a - rmst_b AS diff,
+               sqrt(sa * sa + sb * sb) AS se,
+               (rmst_a - rmst_b) / sqrt(sa * sa + sb * sb) AS zv,
+               rmst_a IS NOT NULL AND rmst_b IS NOT NULL
+                   AND sa IS NOT NULL AND sb IS NOT NULL
+                   AND sqrt(sa * sa + sb * sb) > 0 AS ok
+        FROM piv
+    )
+    SELECT horizon,
+           round(rmst_a + 0.0000001, 6) AS rmst_a,
+           round(rmst_b + 0.0000001, 6) AS rmst_b,
+           round(CASE WHEN rmst_a IS NOT NULL AND rmst_b IS NOT NULL
+                      THEN diff END + 0.0000001, 6) AS diff,
+           round(CASE WHEN ok THEN se END + 0.0000001, 6) AS se_diff,
+           round(CASE WHEN ok THEN zv END + 0.0000001, 5) AS z_stat,
+           round(CASE WHEN ok THEN
+               least(1.0, greatest(0.0,
+                   (0.254829592 * tt - 0.284496736 * tt * tt
+                    + 1.421413741 * tt * tt * tt
+                    - 1.453152027 * tt * tt * tt * tt
+                    + 1.061405429 * tt * tt * tt * tt * tt)
+                   * exp(-xx * xx))) END
+                 + 0.0000001, 6) AS p_approx
+    FROM (SELECT *, abs(zv) / sqrt(2.0) AS xx,
+                 1.0 / (1.0 + 0.3275911 * abs(zv) / sqrt(2.0)) AS tt
+          FROM zz)
+"""
+QUERIES["rmst_diff"] = q_rmst_diff

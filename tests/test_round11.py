@@ -689,3 +689,80 @@ class TestStreamingQualityScore:
             assert res[1.0] > 0.7 and res[0.0] < 0.3
         finally:
             shutil.rmtree(path, ignore_errors=True)
+
+
+class TestRmstCiAndDiff:
+    @staticmethod
+    def _rmst_np(t, d, tau):
+        """KM step-area RMST + Greenwood-type variance reference."""
+        s, ls = 1.0, 0.0
+        area, prev_t, prev_s = 0.0, 0.0, 1.0
+        cells = []
+        for tt in sorted(np.unique(t)):
+            r = int((t >= tt).sum())
+            de = int(((t == tt) & (d == 1)).sum())
+            if de == 0:
+                continue
+            seg = prev_s * (min(tt, tau) - min(prev_t, tau))
+            area += seg
+            frac = 1.0 - de / r
+            ls += np.log(frac) if frac > 0 else -745.0
+            s = np.exp(ls)
+            cells.append((tt, de, r, seg))
+            prev_t, prev_s = tt, s
+        total = area + s * (tau - min(prev_t, tau))
+        # A_i = remaining area after t_i
+        cum = 0.0
+        var = 0.0
+        for tt, de, r, seg in cells:
+            cum += seg
+            a_i = total - cum
+            if tt >= tau:
+                continue
+            var += a_i * a_i * de / (r * (r - de))
+        return total, np.sqrt(var)
+
+    def test_rmst_ci_matches_numpy(self, spark):
+        from woodwork_spark.operators.timeseries import rmst
+
+        rng = np.random.RandomState(71)
+        n = 250
+        t = np.ceil(rng.exponential(8, n))
+        d = (rng.uniform(size=n) < 0.75).astype(int)
+        tau = 12.0
+        df = spark.createDataFrame(
+            [(float(a), int(b)) for a, b in zip(t, d)], ["t", "d"])
+        out = rmst(df, "t", "d", tau, ci=True).collect()[0]
+        ref_rmst, ref_se = self._rmst_np(t, d, tau)
+        assert out["rmst"] == pytest.approx(ref_rmst, rel=1e-10)
+        assert out["se_rmst"] == pytest.approx(ref_se, rel=1e-9)
+
+    def test_rmst_diff_two_groups(self, spark):
+        from woodwork_spark.operators.timeseries import rmst_diff
+
+        rng = np.random.RandomState(73)
+        n = 300
+        rows = []
+        parts = {0: [], 1: []}
+        for i in range(n):
+            g = i % 2
+            # group 0 survives longer
+            tt = float(np.ceil(rng.exponential(10 if g == 0 else 5)))
+            dd = int(rng.uniform() < 0.8)
+            rows.append((g, tt, dd))
+            parts[g].append((tt, dd))
+        df = spark.createDataFrame(rows, ["g", "t", "d"])
+        out = rmst_diff(df, "t", "d", 15.0, "g", 0, 1).collect()[0]
+        refs = {}
+        for g, pr in parts.items():
+            ta = np.array([x for x, _ in pr])
+            da = np.array([y for _, y in pr])
+            refs[g] = self._rmst_np(ta, da, 15.0)
+        assert out["rmst_a"] == pytest.approx(refs[0][0], rel=1e-10)
+        assert out["rmst_b"] == pytest.approx(refs[1][0], rel=1e-10)
+        assert out["diff"] == pytest.approx(
+            refs[0][0] - refs[1][0], rel=1e-10)
+        se = np.sqrt(refs[0][1] ** 2 + refs[1][1] ** 2)
+        assert out["se_diff"] == pytest.approx(se, rel=1e-9)
+        # longer-surviving group should test significantly higher here
+        assert out["diff"] > 0 and out["p_approx"] < 0.05

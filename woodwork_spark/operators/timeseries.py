@@ -1197,6 +1197,7 @@ def rmst(
     event_col: str,
     horizon: float,
     group_cols=(),
+    ci: bool = False,
 ) -> DataFrame:
     """Restricted Mean Survival Time per group: the area under the
     Kaplan-Meier curve up to ``horizon`` — "expected event-free time in
@@ -1212,6 +1213,15 @@ def rmst(
     n_times)``; groups with zero observed events contribute no row
     (their KM curve is flat 1.0 — RMST is trivially ``horizon``;
     documented over fabricating rows).
+
+    ``ci=True`` appends ``se_rmst``, the standard Greenwood-type RMST
+    standard error ``sqrt(sum_i A_i^2 d_i / (r_i (r_i - d_i)))`` where
+    ``A_i`` is the area under the curve from ``t_i`` to the horizon —
+    computed from the SAME per-cell frame with one extra full-frame
+    window (cells are distinct event times, never rows).  NULL when
+    any contributing cell has ``r_i = d_i`` (S hits 0 — the classic
+    undefined-variance case).  :func:`rmst_diff` builds the two-group
+    contrast on top.
     """
     if horizon <= 0:
         raise ValueError(f"horizon must be > 0, got {horizon}")
@@ -1228,7 +1238,38 @@ def rmst(
         F.least(t, tau) - F.least(F.coalesce(prev_t, F.lit(0.0)), tau)
     )
     staged = km.withColumn("__seg", seg)
-    return staged.groupBy(*group_cols).agg(
+    if not ci:
+        return staged.groupBy(*group_cols).agg(
+            F.lit(float(horizon)).alias("horizon"),
+            (
+                F.sum("__seg")
+                + F.max_by("survival", t)
+                * (tau - F.least(F.max(t), tau))
+            ).alias("rmst"),
+            F.count(F.lit(1)).cast("long").alias("n_times"),
+        )
+    # A_i = area from t_i to tau = (total segs + tail) - cum segs(<=i);
+    # one ordered cumulative + one full-frame window over CELLS
+    w_cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_full = (
+        W.partitionBy(*group_cols).orderBy("duration")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    tail = F.last("survival").over(w_full) * (
+        tau - F.least(F.max(t).over(w_full), tau)
+    )
+    a_i = (
+        F.sum("__seg").over(w_full) + tail - F.sum("__seg").over(w_cum)
+    )
+    d = F.col("n_events").cast("double")
+    r = F.col("at_risk").cast("double")
+    # cells at/past the horizon contribute no area (A_i = 0) and must
+    # not poison the variance even when their r_i = d_i
+    vterm = F.when(t >= tau, F.lit(0.0)).when(
+        r > d, a_i * a_i * d / (r * (r - d)),
+    ).otherwise(F.lit(float("inf")))
+    staged = staged.withColumn("__vt", vterm)
+    out = staged.groupBy(*group_cols).agg(
         F.lit(float(horizon)).alias("horizon"),
         (
             F.sum("__seg")
@@ -1236,6 +1277,73 @@ def rmst(
             * (tau - F.least(F.max(t), tau))
         ).alias("rmst"),
         F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("__vt").alias("__v"),
+    )
+    return out.select(
+        *group_cols, "horizon", "rmst", "n_times",
+        F.when(
+            F.col("__v") < F.lit(float("inf")), F.sqrt(F.col("__v")),
+        ).alias("se_rmst"),
+    )
+
+
+def rmst_diff(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    horizon: float,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Between-group RMST difference at a horizon — the standard
+    censoring-safe effect size for time-to-event A/B comparisons when
+    hazards cross or medians are undefined (where the log-rank test
+    loses power or interpretability): ``diff = RMST_a - RMST_b``,
+    ``se = sqrt(se_a^2 + se_b^2)`` (independent groups), Wald z and
+    two-sided normal p via the shared A&S polynomial.
+
+    One :func:`rmst` pass with ``ci=True`` over both groups (cells =
+    distinct event times per group), then a 2-row pivot — model-sized
+    after the KM collapse.  Returns ONE row: ``(horizon, rmst_a,
+    rmst_b, diff, se_diff, z_stat, p_approx)``; NULL inference when
+    either group's variance is undefined or either group has no
+    events."""
+    from woodwork_spark.operators.stats_tests import (
+        _std_normal_two_sided_p,
+    )
+
+    sub = df.filter(F.col(group_col).isin([group_a, group_b]))
+    per = rmst(
+        sub, duration_col, event_col, horizon, [group_col], ci=True,
+    )
+    g = F.col(group_col)
+    folded = per.agg(
+        F.lit(float(horizon)).alias("horizon"),
+        F.max(F.when(g == group_a, F.col("rmst"))).alias("rmst_a"),
+        F.max(F.when(g == group_b, F.col("rmst"))).alias("rmst_b"),
+        F.max(F.when(g == group_a, F.col("se_rmst"))).alias("__sa"),
+        F.max(F.when(g == group_b, F.col("se_rmst"))).alias("__sb"),
+    )
+    diff = F.col("rmst_a") - F.col("rmst_b")
+    se = F.sqrt(
+        F.col("__sa") * F.col("__sa") + F.col("__sb") * F.col("__sb"),
+    )
+    ok = (
+        F.col("rmst_a").isNotNull() & F.col("rmst_b").isNotNull()
+        & F.col("__sa").isNotNull() & F.col("__sb").isNotNull()
+        & (se > 0)
+    )
+    z = diff / se
+    return folded.select(
+        "horizon", "rmst_a", "rmst_b",
+        F.when(
+            F.col("rmst_a").isNotNull() & F.col("rmst_b").isNotNull(),
+            diff,
+        ).alias("diff"),
+        F.when(ok, se).alias("se_diff"),
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
     )
 
 

@@ -266,9 +266,14 @@ def late_data_counts_stream(
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120):
+def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 600):
     """Run a streaming query to completion with Trigger.AvailableNow into
-    an in-memory sink; returns the result rows (test/bench harness)."""
+    an in-memory sink; returns the result rows (test/bench harness).
+
+    Raises instead of returning a PARTIAL/empty table when the query
+    has not terminated by ``timeout_sec`` — a silently-empty result on
+    a slow batch is a correctness bug, not a timeout policy (the old
+    120 s soft return produced exactly that on a 10x corpus)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -276,7 +281,13 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 120
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise RuntimeError(
+            f"run_stream_to_memory({name!r}): availableNow batch still "
+            f"running after {timeout_sec}s — refusing to return a "
+            "partial result",
+        )
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
