@@ -4961,6 +4961,7 @@ def q_logrank(spark, sf_dir):
         _ravg(F.col("o_minus_e"), 6).alias("o_minus_e"),
         _ravg(F.col("variance"), 6).alias("variance"),
         _ravg(F.col("chi2"), 6).alias("chi2"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
     ), *persisted_frames(out))
 
 
@@ -10742,8 +10743,20 @@ ORACLE["logrank"] = """
            (SELECT CAST(sum(db) AS BIGINT) FROM r) AS events_b,
            round(ome + 0.0000001, 6) AS o_minus_e,
            round(var + 0.0000001, 6) AS variance,
-           round(ome * ome / var + 0.0000001, 6) AS chi2
-    FROM agg, tot
+           round(ome * ome / var + 0.0000001, 6) AS chi2,
+           round(CASE WHEN var > 0 THEN
+               least(1.0, greatest(0.0,
+                   (0.254829592 * tt - 0.284496736 * tt * tt
+                    + 1.421413741 * tt * tt * tt
+                    - 1.453152027 * tt * tt * tt * tt
+                    + 1.061405429 * tt * tt * tt * tt * tt)
+                   * exp(-xx * xx))) END
+                 + 0.0000001, 6) AS p_approx
+    FROM (SELECT *,
+                 sqrt(ome * ome / var) / sqrt(2.0) AS xx,
+                 1.0 / (1.0 + 0.3275911
+                        * sqrt(ome * ome / var) / sqrt(2.0)) AS tt
+          FROM agg), tot
 """
 
 ORACLE["bfs_hops"] = """
@@ -23130,3 +23143,124 @@ ORACLE["rmst_diff"] = """
           FROM zz)
 """
 QUERIES["rmst_diff"] = q_rmst_diff
+
+
+def q_logrank_wilcoxon(spark, sf_dir):
+    """Gehan-Breslow-Wilcoxon weighted log-rank between the purchase
+    cohorts: each event time's (O - E) weighted by the pooled at-risk
+    count (V by its square) — the early-difference-sensitive variant
+    for curves that separate early and re-converge.  Same plan as
+    q:logrank plus one multiplication per distinct-duration cell."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.timeseries import logrank_test
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+    )
+    durs = per_user.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(
+            F.col("__p").isNotNull(),
+            F.floor(
+                (F.unix_micros("__p") - F.unix_micros("__t0")) / 3.6e9,
+            ),
+        ).otherwise(
+            F.floor(
+                (F.unix_micros("__last") - F.unix_micros("__t0")) / 3.6e9,
+            ),
+        ).alias("dur_h"),
+        F.col("__p").isNotNull().cast("int").alias("purchased"),
+    )
+    out = logrank_test(
+        durs, "dur_h", "purchased", "cohort", 0, 1, weights="wilcoxon",
+    )
+    return attach_persisted(out.select(
+        "n_a", "n_b", "events_a", "events_b",
+        _ravg(F.col("o_minus_e"), 4).alias("o_minus_e"),
+        _ravg(F.col("variance"), 4).alias("variance"),
+        _ravg(F.col("chi2"), 6).alias("chi2"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+    ), *persisted_frames(out))
+
+
+ORACLE["logrank_wilcoxon"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+               max(ts) AS lastts
+        FROM events GROUP BY user_id
+    ), durs AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS g,
+               CASE WHEN p IS NOT NULL
+                    THEN CAST(floor((epoch_us(p) - epoch_us(t0))
+                                    / 3600000000.0) AS BIGINT)
+                    ELSE CAST(floor((epoch_us(lastts) - epoch_us(t0))
+                                    / 3600000000.0) AS BIGINT)
+               END AS t,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+        FROM per_user
+    ), cells AS (
+        SELECT t,
+               sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS ra,
+               sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS rb,
+               sum(CASE WHEN g = 0 THEN e ELSE 0 END) AS da,
+               sum(CASE WHEN g = 1 THEN e ELSE 0 END) AS db
+        FROM durs GROUP BY 1
+    ), r AS (
+        SELECT t, ra, rb, da, db,
+               coalesce(sum(ra) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS ba,
+               coalesce(sum(rb) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS bb
+        FROM cells
+    ), tot AS (
+        SELECT CAST(sum(ra) AS BIGINT) AS n_a,
+               CAST(sum(rb) AS BIGINT) AS n_b
+        FROM r
+    ), terms AS (
+        SELECT CAST(da + db AS DOUBLE) AS d,
+               CAST(n_a - ba AS DOUBLE) AS n1,
+               CAST(n_b - bb AS DOUBLE) AS n2,
+               da
+        FROM r, tot
+    ), agg AS (
+        SELECT sum(CASE WHEN d > 0
+                        THEN (n1 + n2) * (da - d * n1 / (n1 + n2))
+                        ELSE 0.0 END) AS ome,
+               sum(CASE WHEN d > 0 AND n1 + n2 > 1
+                        THEN (n1 + n2) * (n1 + n2)
+                             * d * (n1 / (n1 + n2)) * (n2 / (n1 + n2))
+                             * (n1 + n2 - d) / (n1 + n2 - 1)
+                        ELSE 0.0 END) AS var
+        FROM terms
+    )
+    SELECT tot.n_a, tot.n_b,
+           (SELECT CAST(sum(da) AS BIGINT) FROM r) AS events_a,
+           (SELECT CAST(sum(db) AS BIGINT) FROM r) AS events_b,
+           round(ome + 0.0000001, 4) AS o_minus_e,
+           round(var + 0.0000001, 4) AS variance,
+           round(ome * ome / var + 0.0000001, 6) AS chi2,
+           round(CASE WHEN var > 0 THEN
+               least(1.0, greatest(0.0,
+                   (0.254829592 * tt - 0.284496736 * tt * tt
+                    + 1.421413741 * tt * tt * tt
+                    - 1.453152027 * tt * tt * tt * tt
+                    + 1.061405429 * tt * tt * tt * tt * tt)
+                   * exp(-xx * xx))) END
+                 + 0.0000001, 6) AS p_approx
+    FROM (SELECT *,
+                 sqrt(ome * ome / var) / sqrt(2.0) AS xx,
+                 1.0 / (1.0 + 0.3275911
+                        * sqrt(ome * ome / var) / sqrt(2.0)) AS tt
+          FROM agg), tot
+"""
+QUERIES["logrank_wilcoxon"] = q_logrank_wilcoxon

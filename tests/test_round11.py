@@ -766,3 +766,43 @@ class TestRmstCiAndDiff:
         assert out["se_diff"] == pytest.approx(se, rel=1e-9)
         # longer-surviving group should test significantly higher here
         assert out["diff"] > 0 and out["p_approx"] < 0.05
+
+
+class TestWeightedLogrank:
+    def test_wilcoxon_matches_hand_computation(self, spark):
+        from woodwork_spark.operators.timeseries import logrank_test
+
+        rng = np.random.RandomState(79)
+        rows = []
+        data = []
+        for i in range(160):
+            g = i % 2
+            t = float(np.ceil(rng.exponential(6 if g == 0 else 4)))
+            e = int(rng.uniform() < 0.8)
+            rows.append((g, t, e))
+            data.append((g, t, e))
+        df = spark.createDataFrame(rows, ["g", "t", "e"])
+        out = logrank_test(
+            df, "t", "e", "g", 0, 1, weights="wilcoxon").collect()[0]
+
+        import math
+        ts = sorted({t for _, t, _ in data})
+        ome = var = 0.0
+        for tt in ts:
+            n1 = sum(1 for g, t, _ in data if g == 0 and t >= tt)
+            n2 = sum(1 for g, t, _ in data if g == 1 and t >= tt)
+            d1 = sum(e for g, t, e in data if g == 0 and t == tt)
+            d2 = sum(e for g, t, e in data if g == 1 and t == tt)
+            d, nt = d1 + d2, n1 + n2
+            if d == 0:
+                continue
+            ome += nt * (d1 - d * n1 / nt)
+            if nt > 1:
+                var += nt * nt * d * (n1 / nt) * (n2 / nt) \
+                    * (nt - d) / (nt - 1)
+        chi2 = ome * ome / var
+        assert out["o_minus_e"] == pytest.approx(ome, rel=1e-9)
+        assert out["variance"] == pytest.approx(var, rel=1e-9)
+        assert out["chi2"] == pytest.approx(chi2, rel=1e-9)
+        assert out["p_approx"] == pytest.approx(
+            math.erfc(math.sqrt(chi2 / 2.0)), abs=2e-7)

@@ -1112,6 +1112,7 @@ def logrank_test(
     group_col: str,
     group_a,
     group_b,
+    weights: str = "logrank",
 ) -> DataFrame:
     """Two-group log-rank test — "do these survival curves actually
     differ", the hypothesis-test companion to :func:`kaplan_meier`.
@@ -1129,13 +1130,25 @@ def logrank_test(
     terms fold in one aggregate.  Rows with a null duration are
     excluded; censored rows (event = 0) shrink the at-risk set only.
 
+    ``weights='wilcoxon'`` gives the Gehan-Breslow-Wilcoxon variant:
+    each event time's (O - E) and V are weighted by the pooled at-risk
+    count ``n_t`` (and ``n_t^2`` for V) — up-weighting EARLY
+    differences, the standard choice when curves separate early and
+    re-converge (where the unweighted log-rank loses power).  Same
+    plan, one extra multiplication per cell.
+
     Returns one row: ``(n_a, n_b, events_a, events_b, o_minus_e,
-    variance, chi2)`` where ``o_minus_e`` is group-a observed minus
-    expected; ``chi2`` is null when the variance is 0 (no overlap in
-    at-risk windows or a degenerate group).
+    variance, chi2, p_approx)`` where ``o_minus_e`` is group-a
+    observed minus expected (weighted); ``chi2`` and the exact 1-dof
+    survival ``p_approx`` are null when the variance is 0 (no overlap
+    in at-risk windows or a degenerate group).
     """
     from .rank import global_prefix_sums
     from ..lifecycle import attach_persisted, persisted_frames
+    from .stats_tests import _chi2_sf
+
+    if weights not in ("logrank", "wilcoxon"):
+        raise ValueError(f"unknown weights {weights!r}")
 
     ev = F.col(event_col).cast("int")
     isa = (F.col(group_col) == F.lit(group_a)).cast("int")
@@ -1171,22 +1184,27 @@ def logrank_test(
         nt > 1,
         d * (n1 / nt) * (n2 / nt) * (nt - d) / (nt - 1),
     ).otherwise(F.lit(0.0))
+    wgt = F.lit(1.0) if weights == "logrank" else nt
     agg = j.agg(
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),
         F.sum("__da").cast("long").alias("events_a"),
         F.sum("__db").cast("long").alias("events_b"),
         F.sum(
-            F.when(d > 0, F.col("__da") - e1).otherwise(F.lit(0.0)),
+            F.when(d > 0, wgt * (F.col("__da") - e1))
+            .otherwise(F.lit(0.0)),
         ).alias("o_minus_e"),
-        F.sum(F.when(d > 0, v).otherwise(F.lit(0.0))).alias("variance"),
+        F.sum(
+            F.when(d > 0, wgt * wgt * v).otherwise(F.lit(0.0)),
+        ).alias("variance"),
     )
+    chi2 = F.col("o_minus_e") * F.col("o_minus_e") / F.col("variance")
     out = agg.select(
         "n_a", "n_b", "events_a", "events_b", "o_minus_e", "variance",
+        F.when(F.col("variance") > 0, chi2).alias("chi2"),
         F.when(
-            F.col("variance") > 0,
-            F.col("o_minus_e") * F.col("o_minus_e") / F.col("variance"),
-        ).alias("chi2"),
+            F.col("variance") > 0, _chi2_sf(chi2, 1),
+        ).alias("p_approx"),
     )
     return attach_persisted(out, *persisted_frames(ranked))
 
