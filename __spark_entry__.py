@@ -22383,9 +22383,12 @@ def q_quality_classifier(spark, sf_dir):
 ORACLE["quality_classifier"] = _glm_multi_oracle("logistic", """
     WITH hb AS (
         SELECT doc_id, lang,
-               list_transform(string_split_regex(trim(lower(text)), '\\s+'),
-                              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT
-                                   % 3) AS hb
+               list_transform(
+                   list_filter(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> t <> ''),
+                   t -> ('0x' || substr(md5(t), 1, 15))::BIGINT
+                        % 3) AS hb
         FROM documents
     ),
     data AS (

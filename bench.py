@@ -22,6 +22,24 @@ def main():
         load_hint = round(os.getloadavg()[0], 2)
     except OSError:
         load_hint = None
+    # Stamp the git commit so a stale committed map is detectable
+    # without archaeology (round-11 verdict ask #2); '+dirty' marks
+    # uncommitted changes in the benched tree.
+    try:
+        import subprocess
+
+        here_ = os.path.dirname(os.path.abspath(__file__))
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=here_, capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+        if commit and subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=here_, capture_output=True, text=True, timeout=10,
+        ).stdout.strip():
+            commit += "+dirty"
+    except Exception:
+        commit = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     from pyspark.sql import SparkSession
@@ -108,6 +126,7 @@ def main():
         "sf": sf_val,
         "method": f"min_of_{max(reps, 1)}",
         "load_hint": load_hint,
+        "commit": commit,
     }
     print(json.dumps(full), flush=True)
     # The stdout line above gets front-truncated by the driver's bounded
@@ -122,11 +141,24 @@ def main():
     # land in a load-suffixed variant instead.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        contended = load_hint is not None and load_hint > 2.0
+        # Contention cutoff scales with the host: loadavg 2 on a
+        # 32-core box is near-idle, so an absolute 2.0 misclassified
+        # routine runs and silently stopped refreshing the solo map
+        # (round-11 advice).  1/4 of the bench's own core count marks
+        # genuine pre-existing load without tripping on background
+        # daemons; floor of 4 keeps small-CPU runs sane.
+        load_cutoff = max(4.0, int(cpus) / 4.0) if cpus.isdigit() else 4.0
+        contended = load_hint is not None and load_hint > load_cutoff
         fname = (
             f"BENCH_full_load{load_hint:g}.json" if contended
             else "BENCH_full.json"
         )
+        if contended:
+            print(
+                f"# load {load_hint} > cutoff {load_cutoff}: writing "
+                f"{fname} instead of BENCH_full.json",
+                file=sys.stderr,
+            )
         with open(os.path.join(here, fname), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
     except OSError as e:
@@ -157,6 +189,7 @@ def main():
                 "sf": sf_val,
                 "method": f"min_of_{max(reps, 1)}",
                 "load_hint": load_hint,
+                "commit": commit,
                 "slowest": slowest,
             },
         ),

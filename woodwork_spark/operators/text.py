@@ -1191,8 +1191,11 @@ def hashed_token_features(
     (:func:`~woodwork_spark.operators.dedup.simhash_expr` convention:
     ``('0x'||substr(md5(t),1,15))::BIGINT`` reproduces it in DuckDB);
     ``'xxhash64'`` is the faster JVM-only path.  Adds columns
-    ``{prefix}0 .. {prefix}{k-1}``; rows with no tokens get all-zero
-    features.
+    ``{prefix}0 .. {prefix}{k-1}``; empty tokens are filtered before
+    hashing (Spark's ``split('', '\\s+')`` yields ``['']``), so
+    empty / whitespace-only documents genuinely get all-zero
+    features; NULL text yields NULL features (nothing to hash —
+    distinct from "no tokens", and preserved rather than imputed).
 
     ``ngram > 1`` hashes token n-grams (space-joined windows of n
     consecutive tokens — the word-order signal unigram bags lose);
@@ -1208,7 +1211,9 @@ def hashed_token_features(
         tok_hash = "xxhash64({t})"
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    toks = f"split(trim(lower({text_col})), '\\\\s+')"
+    toks = (
+        f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != '')"
+    )
     if ngram == 1:
         buckets = F.expr(
             f"transform({toks}, "

@@ -1241,12 +1241,17 @@ def rmst(
     undefined-variance case).  :func:`rmst_diff` builds the two-group
     contrast on top.
     """
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
     if horizon <= 0:
         raise ValueError(f"horizon must be > 0, got {horizon}")
     group_cols = (
         [group_cols] if isinstance(group_cols, str) else list(group_cols)
     )
     km = kaplan_meier(df, duration_col, event_col, group_cols)
+    # the ungrouped KM path persists global_prefix_sums intermediates;
+    # re-attach them so lifecycle.release on OUR result frees them too
+    caches = persisted_frames(km)
     w = W.partitionBy(*group_cols).orderBy("duration")
     t = F.col("duration").cast("double")
     tau = F.lit(float(horizon))
@@ -1257,7 +1262,7 @@ def rmst(
     )
     staged = km.withColumn("__seg", seg)
     if not ci:
-        return staged.groupBy(*group_cols).agg(
+        out = staged.groupBy(*group_cols).agg(
             F.lit(float(horizon)).alias("horizon"),
             (
                 F.sum("__seg")
@@ -1266,6 +1271,7 @@ def rmst(
             ).alias("rmst"),
             F.count(F.lit(1)).cast("long").alias("n_times"),
         )
+        return attach_persisted(out, *caches) if caches else out
     # A_i = area from t_i to tau = (total segs + tail) - cum segs(<=i);
     # one ordered cumulative + one full-frame window over CELLS
     w_cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -1297,12 +1303,13 @@ def rmst(
         F.count(F.lit(1)).cast("long").alias("n_times"),
         F.sum("__vt").alias("__v"),
     )
-    return out.select(
+    res = out.select(
         *group_cols, "horizon", "rmst", "n_times",
         F.when(
             F.col("__v") < F.lit(float("inf")), F.sqrt(F.col("__v")),
         ).alias("se_rmst"),
     )
+    return attach_persisted(res, *caches) if caches else res
 
 
 def rmst_diff(
@@ -1327,6 +1334,7 @@ def rmst_diff(
     rmst_b, diff, se_diff, z_stat, p_approx)``; NULL inference when
     either group's variance is undefined or either group has no
     events."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
     from woodwork_spark.operators.stats_tests import (
         _std_normal_two_sided_p,
     )
@@ -1353,7 +1361,7 @@ def rmst_diff(
         & (se > 0)
     )
     z = diff / se
-    return folded.select(
+    res = folded.select(
         "horizon", "rmst_a", "rmst_b",
         F.when(
             F.col("rmst_a").isNotNull() & F.col("rmst_b").isNotNull(),
@@ -1363,6 +1371,8 @@ def rmst_diff(
         F.when(ok, z).alias("z_stat"),
         F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
     )
+    caches = persisted_frames(per)
+    return attach_persisted(res, *caches) if caches else res
 
 
 _HW_SCHEMA = (
@@ -1731,7 +1741,10 @@ def cox_ph_fit(
             F.when(ok, se).alias("se"),
             F.when(ok, z).alias("z_stat"),
             F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
-            F.col("__ll").alias("loglik"),
+            # gated by the SAME ok predicate as the Wald columns: a
+            # degenerate group's loglik is evaluated at an un-updated
+            # beta and must not silently feed glm_lrt
+            F.when(ok, F.col("__ll")).alias("loglik"),
         )
         return attach_persisted(res, *caches)
     from woodwork_spark.operators.linalg import (
@@ -1760,7 +1773,8 @@ def cox_ph_fit(
             F.when(ok, z).alias(f"z_{name}"),
             F.when(ok, _std_normal_two_sided_p(z)).alias(f"p_{name}"),
         ]
-    cols.append(F.col("__ll").alias("loglik"))
+    # same gating as the Wald readout — see the single-covariate branch
+    cols.append(F.when(ok, F.col("__ll")).alias("loglik"))
     res = solved.select(*group_cols, *cols)
     return attach_persisted(res, *caches)
 
@@ -2196,10 +2210,13 @@ def weibull_fit_km(
     Returns ``(group_cols..., n_points, n_events_used, shape, scale,
     r2)``; groups with < 2 usable points or zero variance yield NULLs.
     """
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
     group_cols = (
         [group_cols] if isinstance(group_cols, str) else list(group_cols)
     )
     km = kaplan_meier(df, duration_col, event_col, group_cols)
+    caches = persisted_frames(km)
     pts = km.filter(
         (F.col("survival") > 0) & (F.col("survival") < 1)
         & (F.col("duration").cast("double") > 0),
@@ -2227,7 +2244,7 @@ def weibull_fit_km(
     scale = F.exp(-intercept / shape)
     r2 = cxy * cxy / (vx * vy)
     ok = (F.col("n_points") >= 2) & (vx > 0) & (vy > 0) & (cxy > 0)
-    return agg.select(
+    res = agg.select(
         *group_cols,
         F.col("n_points").cast("long").alias("n_points"),
         F.col("__sw").cast("long").alias("n_events_used"),
@@ -2235,6 +2252,7 @@ def weibull_fit_km(
         F.when(ok, scale).alias("scale"),
         F.when(ok, r2).alias("r2"),
     )
+    return attach_persisted(res, *caches) if caches else res
 
 
 def cox_residuals(

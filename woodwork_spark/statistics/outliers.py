@@ -270,12 +270,15 @@ def medcouple_dict(ww_df, column, sample_mode="random", max_values=None):
     return _medcouple_result(nonnull, c, q, values, max_values)
 
 
-def _medcouple_result(nonnull, c, q, values, max_values):
+def _medcouple_result(nonnull, c, q, values, max_values, mc=None):
     """Medcouple bounds + outlier collect from an ALREADY-computed
     quantile dict and sample — shared by :func:`medcouple_dict` and
     :func:`get_outliers`, which folds its method-choice agg/sample
-    into the readout instead of re-scanning."""
-    mc = round(_medcouple(values), 3)
+    into the readout instead of re-scanning.  ``mc`` accepts the raw
+    medcouple if the caller already ran the O(n log n) kernel for its
+    method choice (get_outliers does) — rounding happens here either
+    way, so both paths report identically."""
+    mc = round(_medcouple(values) if mc is None else mc, 3)
     skew = _sample_skewness(values) if values.size > 2 else 0.0
     coeff = min(abs(skew), 3.5)
     iqr = q[0.75] - q[0.25]
@@ -340,4 +343,4 @@ def get_outliers(ww_df, column, method="best", sample_mode="random", max_values=
         return box_plot_dict(
             ww_df, column, quantiles=q, max_values=max_values,
         )
-    return _medcouple_result(nonnull, c, q, values, max_values)
+    return _medcouple_result(nonnull, c, q, values, max_values, mc=mc)
