@@ -23267,3 +23267,55 @@ ORACLE["logrank_wilcoxon"] = """
           FROM agg), tot
 """
 QUERIES["logrank_wilcoxon"] = q_logrank_wilcoxon
+
+
+# ---------------------------------------------------------------------------
+# Round 12: approximate-percentile profiling (the 100 TB describe path)
+# ---------------------------------------------------------------------------
+
+
+def q_profile_approx(spark, sf_dir):
+    """numeric_profile_df in percentile_mode='approx' — the bounded-state
+    profiling path (percentile_approx KLL-style sketch instead of exact
+    percentile's distinct-value buffers; round-11 verdict ask #1).  On
+    the low-cardinality lineitem columns the sketch's <=1e-4 rank error
+    never crosses a value boundary, so the quartiles replay EXACTLY as
+    DuckDB quantile_disc (both return an observed value, no
+    interpolation).  nunique is approx_count_distinct (HLL) in this
+    mode and deliberately excluded from the readout — sketch estimates
+    are engine-specific."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = numeric_profile_df(
+        li, ["l_quantity", "l_discount", "l_tax"],
+        round_to=4, percentile_mode="approx",
+    )
+    return out.select(
+        "column_name", "count", "nan_count", "mean", "std",
+        "min", "q1", "median", "q3", "max",
+    ).orderBy("column_name")
+
+
+ORACLE["profile_approx"] = """
+    WITH cols(column_name) AS (VALUES ('l_quantity'), ('l_discount'), ('l_tax'))
+    SELECT column_name,
+           count(*) AS count,
+           CAST(0 AS BIGINT) AS nan_count,
+           round(avg(v), 4) AS mean,
+           round(stddev_samp(v), 4) AS std,
+           round(min(v), 4) AS min,
+           round(quantile_disc(v, 0.25), 4) AS q1,
+           round(quantile_disc(v, 0.5), 4) AS median,
+           round(quantile_disc(v, 0.75), 4) AS q3,
+           round(max(v), 4) AS max
+    FROM (
+        SELECT c.column_name,
+               CASE c.column_name
+                   WHEN 'l_quantity' THEN l_quantity
+                   WHEN 'l_discount' THEN l_discount
+                   WHEN 'l_tax' THEN l_tax
+               END AS v
+        FROM lineitem CROSS JOIN cols c
+    ) GROUP BY column_name ORDER BY column_name
+"""
+QUERIES["profile_approx"] = q_profile_approx

@@ -1,0 +1,232 @@
+"""Round-12 additions.
+
+1. Approximate-percentile escape hatch for the profiling stack
+   (``profile_percentile_mode`` config option): approx within tolerance
+   of exact on the fixtures, default stays exact for reference parity.
+2. Round-11 ADVICE regression guards: persist-leak propagation in
+   rmst / rmst_diff / weibull_fit_km, degenerate-group loglik gating in
+   cox_ph_fit, all-zero hashed features on empty documents, medcouple
+   single-kernel path in get_outliers.
+"""
+
+import numpy as np
+import pytest
+
+import woodwork_spark as ww
+from woodwork_spark.config import config
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def gauss_table(spark):
+    import random
+
+    random.seed(7)
+    vals = [random.gauss(100.0, 15.0) for _ in range(5000)] + [None] * 50
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "idx long, x double",
+    )
+    return ww.init(df, index="idx")
+
+
+class TestApproxPercentiles:
+    def test_default_is_exact(self):
+        assert config.get_option("profile_percentile_mode") == "exact"
+
+    def test_describe_approx_within_tolerance(self, gauss_table):
+        exact = gauss_table.describe_dict()["x"]
+        with config.with_options(profile_percentile_mode="approx"):
+            approx = gauss_table.describe_dict()["x"]
+        # sketch rank error <= n/accuracy = 5050/10000 < 1 rank; on a
+        # continuous sample adjacent order statistics differ by < 0.1
+        for k in ("first_quartile", "second_quartile", "third_quartile"):
+            assert approx[k] == pytest.approx(exact[k], abs=0.1)
+        # non-percentile stats identical in both modes
+        for k in ("count", "nan_count", "mean", "std", "min", "max"):
+            assert approx[k] == exact[k]
+
+    def test_box_plot_approx_within_tolerance(self, gauss_table):
+        from woodwork_spark.statistics.outliers import box_plot_dict
+
+        exact = box_plot_dict(gauss_table, "x", max_values=5)
+        with config.with_options(profile_percentile_mode="approx"):
+            approx = box_plot_dict(gauss_table, "x", max_values=5)
+        assert approx["low_bound"] == pytest.approx(
+            exact["low_bound"], abs=0.5,
+        )
+        assert approx["high_bound"] == pytest.approx(
+            exact["high_bound"], abs=0.5,
+        )
+        # min/max quantiles are exact in BOTH modes (true min/max)
+        assert approx["quantiles"][0.0] == exact["quantiles"][0.0]
+        assert approx["quantiles"][1.0] == exact["quantiles"][1.0]
+
+    def test_box_plot_stats_df_approx(self, spark, gauss_table):
+        from woodwork_spark.statistics.outliers import box_plot_stats_df
+
+        raw = gauss_table.raw.select("x")
+        e = box_plot_stats_df(raw, "x").collect()[0]
+        with config.with_options(profile_percentile_mode="approx"):
+            a = box_plot_stats_df(raw, "x").collect()[0]
+        for k in ("q1", "median", "q3"):
+            assert a[k] == pytest.approx(e[k], abs=0.1)
+        # outlier counts computed from near-identical bounds
+        assert abs(a["n_outliers"] - e["n_outliers"]) <= 2
+
+    def test_get_outliers_best_approx_mode(self, gauss_table):
+        from woodwork_spark.statistics.outliers import get_outliers
+
+        with config.with_options(profile_percentile_mode="approx"):
+            out = get_outliers(gauss_table, "x", method="best", max_values=5)
+        assert {"low_bound", "high_bound", "quantiles"} <= set(out)
+
+    def test_invalid_mode_raises(self, gauss_table):
+        with config.with_options(profile_percentile_mode="kll"):
+            with pytest.raises(ValueError, match="exact.*approx"):
+                gauss_table.describe_dict()
+
+    def test_exact_unchanged_golden(self, spark):
+        """The parity-critical exact path still interpolates like pandas."""
+        import pandas as pd
+
+        vals = [10.0, 20.0, 17.0, 32.0, None, 1.0, 56.0, 10.0]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "idx long, v double",
+        )
+        t = ww.init(df, index="idx")
+        d = t.describe_dict()["v"]
+        s = pd.Series(vals, dtype="float64")
+        assert d["first_quartile"] == pytest.approx(s.quantile(0.25))
+        assert d["third_quartile"] == pytest.approx(s.quantile(0.75))
+
+
+class TestAdviceRegressions:
+    def test_rmst_propagates_km_caches_ungrouped(self, spark):
+        """Ungrouped rmst/weibull_fit_km re-attach the persisted
+        global_prefix_sums intermediates so lifecycle.release frees
+        them (round-11 advice: they were dropped)."""
+        from woodwork_spark.lifecycle import persisted_frames, release
+        from woodwork_spark.operators.timeseries import (
+            kaplan_meier,
+            rmst,
+            weibull_fit_km,
+        )
+
+        rows = [(float(i % 40 + 1), i % 3 != 0) for i in range(300)]
+        df = spark.createDataFrame(rows, "dur double, ev boolean")
+        km = kaplan_meier(df, "dur", "ev")
+        n_km = len(persisted_frames(km))
+        release(km)
+        assert n_km > 0, "ungrouped KM should persist prefix-sum caches"
+
+        for fn in (
+            lambda: rmst(df, "dur", "ev", horizon=20.0),
+            lambda: rmst(df, "dur", "ev", horizon=20.0, ci=True),
+            lambda: weibull_fit_km(df, "dur", "ev"),
+        ):
+            out = fn()
+            out.collect()
+            assert len(persisted_frames(out)) == n_km
+            assert release(out) == n_km
+
+    def test_cox_loglik_gated_on_degenerate_group(self, spark):
+        """A group with zero events gets NULL loglik (same gate as the
+        Wald columns), so glm_lrt cannot silently consume a loglik
+        evaluated at an un-updated beta."""
+        from woodwork_spark.operators.timeseries import cox_ph_fit
+
+        rows = []
+        for i in range(60):
+            # group 'ok': events present; group 'none': all censored
+            rows.append(("ok", float(i % 17 + 1), i % 2 == 0, float(i % 5)))
+            rows.append(("none", float(i % 13 + 1), False, float(i % 7)))
+        df = spark.createDataFrame(rows, "g string, t double, e boolean, x double")
+        out = cox_ph_fit(df, "t", "e", "x", group_cols="g").collect()
+        by_g = {r["g"]: r for r in out}
+        assert by_g["ok"]["loglik"] is not None
+        assert by_g["ok"]["beta"] is not None
+        assert by_g["none"]["loglik"] is None
+        assert by_g["none"]["beta"] is None
+
+    def test_cox_loglik_gated_multi(self, spark):
+        from woodwork_spark.operators.timeseries import cox_ph_fit
+
+        rows = []
+        for i in range(60):
+            rows.append(("ok", float(i % 17 + 1), i % 2 == 0,
+                         float(i % 5), float(i % 3)))
+            rows.append(("none", float(i % 13 + 1), False,
+                         float(i % 7), float(i % 4)))
+        df = spark.createDataFrame(
+            rows, "g string, t double, e boolean, x1 double, x2 double",
+        )
+        out = cox_ph_fit(
+            df, "t", "e", ["x1", "x2"], group_cols="g",
+        ).collect()
+        by_g = {r["g"]: r for r in out}
+        assert by_g["ok"]["loglik"] is not None
+        assert by_g["none"]["loglik"] is None
+
+    def test_hashed_features_empty_doc_all_zero(self, spark):
+        """Empty / whitespace-only text now genuinely produces all-zero
+        features; NULL text produces NULL features (round-11 advice:
+        split('','\\s+') hashed the empty token into a real bucket)."""
+        from woodwork_spark.operators.text import hashed_token_features
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, ""), (3, "   "), (4, None)],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in hashed_token_features(df, "text", k=4).collect()
+        }
+        assert sum(rows[1][f"f{j}"] for j in range(4)) == pytest.approx(1.0)
+        for doc in (2, 3):
+            assert all(rows[doc][f"f{j}"] == 0.0 for j in range(4))
+        assert all(rows[4][f"f{j}"] is None for j in range(4))
+
+    def test_hashed_features_ngram_empty_doc(self, spark):
+        from woodwork_spark.operators.text import hashed_token_features
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, ""), (3, "only")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in hashed_token_features(df, "text", k=4, ngram=2).collect()
+        }
+        assert sum(rows[1][f"f{j}"] for j in range(4)) == pytest.approx(1.0)
+        # empty doc AND sub-n doc: all-zero
+        for doc in (2, 3):
+            assert all(rows[doc][f"f{j}"] == 0.0 for j in range(4))
+
+    def test_get_outliers_medcouple_single_kernel(self, gauss_table, monkeypatch):
+        """get_outliers('best') runs the O(n log n)+ medcouple kernel
+        ONCE when it picks the medcouple path (round-11 advice: the
+        readout used to recompute it on the same sample)."""
+        import woodwork_spark.statistics.outliers as out_mod
+
+        calls = {"n": 0}
+        real = out_mod._medcouple
+
+        def counting(values):
+            calls["n"] += 1
+            return real(values)
+
+        monkeypatch.setattr(out_mod, "_medcouple", counting)
+        # skewed data so |mc| >= threshold chooses the medcouple path
+        import random
+
+        random.seed(3)
+        vals = [random.expovariate(1.0) ** 2 for _ in range(2000)]
+        spark = gauss_table.raw.sparkSession
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "idx long, x double",
+        )
+        t = ww.init(df, index="idx")
+        out = out_mod.get_outliers(t, "x", method="best", max_values=3)
+        assert calls["n"] == 1
+        assert "medcouple_stat" in out

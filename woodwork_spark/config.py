@@ -87,6 +87,17 @@ CONFIG_DEFAULTS = {
     # woodwork_spark additions (distributed-execution knobs; not in reference)
     "inference_sample_size": 100_000,
     "frequency_inference_collect_limit": 2_000_000,
+    # Percentile engine for the profiling stack (describe / box plot /
+    # medcouple bounds).  "exact" (default) is Spark `percentile` —
+    # pandas linear interpolation, required for reference parity — but
+    # its aggregation state holds every distinct value, the one
+    # unbounded-state aggregate left in the headline describe() path at
+    # 100 TB of high-cardinality doubles.  "approx" routes the same
+    # quartiles through `percentile_approx` (KLL-style sketch, bounded
+    # state of ~`profile_approx_accuracy` entries per column) — rank
+    # error <= 1/accuracy, no interpolation (returns an observed value).
+    "profile_percentile_mode": "exact",
+    "profile_approx_accuracy": 10_000,
 }
 
 

@@ -8,7 +8,11 @@ pandas ops; here ALL per-column statistics are computed in ONE wide
 ``df.agg`` (count/nunique/mean/std/min/max/exact percentiles/bool
 counts), plus ONE melt-based job for modes — two Spark jobs total for any
 table width.  Exact `percentile` matches pandas linear interpolation
-(reference `percentile` helper _get_describe_dict.py:27-48).
+(reference `percentile` helper _get_describe_dict.py:27-48); set the
+``profile_percentile_mode="approx"`` config option to route quartiles
+through the bounded-state `percentile_approx` sketch instead (the
+100 TB path for high-cardinality doubles; default stays exact for
+reference parity).
 """
 
 from __future__ import annotations
@@ -19,6 +23,8 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from woodwork_spark.statistics import profile_percentile as _pctl
 
 STAT_ORDER = [
     "physical_type",
@@ -88,7 +94,7 @@ def describe_dict(ww_df, include=None, callback=None, results_callback=None):
                 F.stddev_samp(col).alias(f"{c}__std"),
                 F.min(col).alias(f"{c}__min"),
                 F.max(col).alias(f"{c}__max"),
-                F.percentile(col, F.lit([0.25, 0.5, 0.75])).alias(f"{c}__quartiles"),
+                _pctl(col, [0.25, 0.5, 0.75]).alias(f"{c}__quartiles"),
             ]
         elif kind == "datetime":
             aggs += [

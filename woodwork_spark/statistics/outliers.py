@@ -9,6 +9,11 @@ outlier values come back as filters on the bounds (predicate-pushed
 scans), never a full collect.  The medcouple kernel is O(N²) memory by
 construction, so — exactly like the reference — it runs on a bounded
 sample (config medcouple_sample_size, default 10k) on the driver.
+
+Every quantile here honors the ``profile_percentile_mode`` config
+option: "exact" (default, reference parity) buffers distinct values;
+"approx" swaps in the bounded-state ``percentile_approx`` sketch for
+the 100 TB path (see statistics/__init__.py).
 """
 
 from __future__ import annotations
@@ -19,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from woodwork_spark.config import config
+from woodwork_spark.statistics import profile_percentile as _pctl
 
 _QUANTILES = [0.0, 0.25, 0.5, 0.75, 1.0]
 
@@ -45,9 +51,9 @@ def box_plot_stats_df(df: DataFrame, column: str, whisker=1.5) -> DataFrame:
     c = F.col(column)
     stats = df.agg(
         F.min(c).cast("double").alias("min"),
-        F.percentile(c, F.lit(0.25)).alias("q1"),
-        F.percentile(c, F.lit(0.5)).alias("median"),
-        F.percentile(c, F.lit(0.75)).alias("q3"),
+        _pctl(c, 0.25).alias("q1"),
+        _pctl(c, 0.5).alias("median"),
+        _pctl(c, 0.75).alias("q3"),
         F.max(c).cast("double").alias("max"),
     ).withColumn("iqr", F.col("q3") - F.col("q1"))
     stats = stats.withColumn(
@@ -161,7 +167,7 @@ def box_plot_dict(
         row = nonnull.agg(
             F.count(c).alias("n"),
             *[
-                F.percentile(c, F.lit(qq)).alias(f"q{int(qq * 100)}")
+                _pctl(c, qq).alias(f"q{int(qq * 100)}")
                 for qq in _QUANTILES
             ],
         ).collect()[0]
@@ -252,7 +258,7 @@ def medcouple_dict(ww_df, column, sample_mode="random", max_values=None):
     # percentile job serially re-scanning the column
     row = nonnull.agg(
         F.count(c).alias("n"),
-        *[F.percentile(c, F.lit(q)).alias(f"q{int(q * 100)}") for q in _QUANTILES],
+        *[_pctl(c, q).alias(f"q{int(q * 100)}") for q in _QUANTILES],
     ).collect()[0]
     values = _sampled_values(
         nonnull, c, sample_size, sample_mode, known_total=row["n"],
@@ -327,7 +333,7 @@ def get_outliers(ww_df, column, method="best", sample_mode="random", max_values=
     row = nonnull.agg(
         F.count(c).alias("n"),
         *[
-            F.percentile(c, F.lit(qq)).alias(f"q{int(qq * 100)}")
+            _pctl(c, qq).alias(f"q{int(qq * 100)}")
             for qq in _QUANTILES
         ],
     ).collect()[0]
