@@ -633,6 +633,238 @@ def logistic_fit(
     return _glm_newton_fit(df, y_col, x_col, group_cols, iters, "logistic")
 
 
+def _balanced_fold(exprs, op):
+    """Fold a list of column expressions with ``op`` as a BALANCED
+    binary tree (depth log2 n) instead of a left-leaning chain (depth
+    n): Catalyst analysis walks expression trees recursively, and a
+    256-term chained sum overflows the JVM stack before the plan even
+    resolves.  Semantics identical for the associative ops used here
+    (+, &)."""
+    items = list(exprs)
+    if not items:
+        raise ValueError("empty fold")
+    while len(items) > 1:
+        nxt = [op(a, b) for a, b in zip(items[0::2], items[1::2])]
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0]
+
+
+def logistic_fit_diag(
+    df: DataFrame,
+    y_col: str,
+    x_cols,
+    group_cols=(),
+    iters: int = 24,
+    ridge_lambda: float = 1.0,
+    damping: float = 1.0,
+) -> DataFrame:
+    """WIDE logistic regression (hundreds of covariates) per group via
+    diagonal-scaled IRLS — the scale path past :func:`_glm_irls_fit`'s
+    unrolled-Cholesky ceiling (~32 covariates): each round folds only
+    the d-vector score ``U_j = sum x_j (y - mu)`` and the INFORMATION
+    DIAGONAL ``D_j = sum x_j^2 w`` — O(d) aggregate state instead of
+    O(d^2) — then steps ``b_j += damping * (U_j - lam b_j) / (D_j +
+    lam)`` (Jacobi-scaled Newton; lam never touches the intercept).
+
+    ARRAY-NATIVE plan shape: coefficients, covariates and the per-row
+    score/diagonal contributions travel as single ``array<double>`` /
+    ml-Vector columns, and the cross-row elementwise sums run through
+    ``pyspark.ml.stat.Summarizer`` (JVM vector aggregate with map-side
+    partials) — so plan size and Catalyst analysis time are O(1) in d
+    (the first cut carried d wide columns and 2d sum expressions per
+    round; at d = 255 ANALYSIS alone took ~35 s/round and duplicated
+    eta into every aggregate).  Same broadcast-coefficient join and
+    per-round eager ``localCheckpoint`` cadence as the exact engine.
+
+    Covariates are MEAN-CENTERED per group before the loop (one extra
+    up-front aggregate + broadcast join): centering orthogonalizes the
+    intercept against the slopes, which is what makes the diagonal
+    approximation converge on share-style features whose means are far
+    from zero; the readout un-centers the intercept exactly
+    (``b0 - sum_j b_j mean_j``), so coefficients are in the ORIGINAL
+    feature space and :func:`glm_predict` applies unchanged.
+
+    Trade versus the exact engine, stated honestly: no Wald standard
+    errors (the inverse-information diagonal needs the full matrix),
+    and more rounds to converge (diagonal steps ignore cross-coupling
+    — default 24 vs Newton's 6).  ``ridge_lambda`` defaults to 1.0
+    because wide hashed designs are near-separable almost by
+    construction.  Returns ``(group_cols..., n, intercept,
+    coef_<x>..., loglik)``.
+    """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    from woodwork_spark.lifecycle import attach_persisted
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if ridge_lambda < 0:
+        raise ValueError("ridge_lambda must be >= 0")
+    if not 0 < damping <= 1:
+        raise ValueError("damping must be in (0, 1]")
+    x_cols = list(x_cols)
+    if not x_cols or len(set(x_cols)) != len(x_cols):
+        raise ValueError("x_cols must be a non-empty list of unique names")
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    d = len(x_cols)
+    lam = float(ridge_lambda)
+    damp = float(damping)
+    cond = _balanced_fold(
+        [F.col(y_col).isNotNull()]
+        + [F.col(c).isNotNull() for c in x_cols],
+        lambda a, b: a & b,
+    )
+    raw = df.filter(cond).select(
+        *group_cols,
+        F.col(y_col).cast("double").alias("__y"),
+        F.array(
+            *[F.col(c).cast("double") for c in x_cols]
+        ).alias("__xv"),
+    )
+    # group-sized mean frame (kept for the readout un-centering);
+    # checkpointed so neither the loop nor the readout re-derives it
+    means = (
+        raw.withColumn("__xvec", array_to_vector("__xv"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            Summarizer.mean(F.col("__xvec")).alias("__mvec"),
+        )
+        .select(
+            *group_cols, "__n",
+            vector_to_array(F.col("__mvec")).alias("__mv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    joined0 = (
+        raw.join(F.broadcast(means), group_cols)
+        if group_cols else raw.crossJoin(F.broadcast(means))
+    )
+    # centered base frame: persisted once, re-read every round
+    base = joined0.select(
+        *group_cols,
+        "__y",
+        F.zip_with(
+            F.col("__xv"), F.col("__mv"), lambda x, m: x - m,
+        ).alias("__cv"),
+    ).persist()
+
+    def _joined(coef):
+        if group_cols:
+            return base.join(F.broadcast(coef), group_cols)
+        return base.crossJoin(F.broadcast(coef))
+
+    def _with_mu(frame):
+        """eta = b0 + slopes . cv as ONE fold expression, clamped; mu
+        projected as a named column so downstream aggregates reference
+        a leaf, never a copy of the dot-product tree."""
+        eta = F.element_at(F.col("__bv"), 1) + F.aggregate(
+            F.zip_with(
+                F.col("__cv"),
+                F.slice(F.col("__bv"), 2, d),
+                lambda x, b: x * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        eta = F.least(F.lit(30.0), F.greatest(F.lit(-30.0), eta))
+        return frame.withColumn(
+            "__mu", F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)),
+        )
+
+    coef = means.select(
+        *group_cols,
+        F.expr(f"array_repeat(0.0d, {d + 1})").alias("__bv"),
+    )
+    for _ in range(int(iters)):
+        cur = _with_mu(_joined(coef))
+        r = F.col("__y") - F.col("__mu")
+        w = F.col("__mu") * (F.lit(1.0) - F.col("__mu"))
+        # score and diagonal contributions as vectors: index 0 is the
+        # intercept (x_0 = 1), 1..d the centered covariates
+        cur = cur.select(
+            *group_cols,
+            F.col("__bv"),
+            array_to_vector(
+                F.concat(
+                    F.array(r),
+                    F.transform(F.col("__cv"), lambda x: x * r),
+                ),
+            ).alias("__ucv"),
+            array_to_vector(
+                F.concat(
+                    F.array(w),
+                    F.transform(F.col("__cv"), lambda x: x * x * w),
+                ),
+            ).alias("__dcv"),
+        )
+        step = cur.groupBy(*group_cols).agg(
+            F.first("__bv").alias("bv"),
+            Summarizer.sum(F.col("__ucv")).alias("__usum"),
+            Summarizer.sum(F.col("__dcv")).alias("__dsum"),
+        ).select(
+            *group_cols, "bv",
+            vector_to_array(F.col("__usum")).alias("uv"),
+            vector_to_array(F.col("__dsum")).alias("dv"),
+        )
+        # elementwise Jacobi step over the zipped (b, U, D) triples;
+        # the 2-arg transform lambda receives (element, index)
+        upd = F.expr(
+            "transform(arrays_zip(bv, uv, dv), (s, i) -> CASE "
+            "WHEN i = 0 THEN IF(s.dv > 0d, "
+            f"s.bv + {damp}d * s.uv / s.dv, s.bv) "
+            f"WHEN s.dv + {lam}d > 0d THEN s.bv + {damp}d "
+            f"* (s.uv - {lam}d * s.bv) / (s.dv + {lam}d) "
+            "ELSE s.bv END)",
+        )
+        coef = step.select(*group_cols, upd.alias("__bv"))
+        # eager checkpoint of the GROUP-sized coefficient frame per
+        # round — the bradley_terry convention: without it each round's
+        # plan embeds the previous one and Catalyst analysis time grows
+        # superlinearly in iters
+        coef = coef.localCheckpoint(eager=True)
+    # readout: n + loglik at the final beta, intercept un-centered
+    fin = _with_mu(_joined(coef))
+    mu = F.col("__mu")
+    ll = F.col("__y") * F.log(mu) + (
+        F.lit(1.0) - F.col("__y")
+    ) * F.log(F.lit(1.0) - mu)
+    out = fin.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("__bv").alias("__bv"),
+        F.sum(ll).alias("loglik"),
+    )
+    withm = (
+        out.join(F.broadcast(means.drop("__n")), group_cols)
+        if group_cols else out.crossJoin(F.broadcast(means.drop("__n")))
+    )
+    raw_b0 = F.element_at(F.col("__bv"), 1) - F.aggregate(
+        F.zip_with(
+            F.slice(F.col("__bv"), 2, d),
+            F.col("__mv"),
+            lambda b, m: b * m,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    res = withm.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        raw_b0.alias("intercept"),
+        *[
+            F.element_at(F.col("__bv"), j + 2).alias(f"coef_{x_cols[j]}")
+            for j in range(d)
+        ],
+        F.col("loglik"),
+    )
+    return attach_persisted(res, base)
+
+
 def poisson_fit(
     df: DataFrame,
     y_col: str,

@@ -1257,9 +1257,10 @@ def quality_classifier_fit(
     label_col: str,
     k: int = 16,
     group_cols=(),
-    iters: int = 6,
+    iters: int = None,
     ridge_lambda: float = 0.0,
     hash_fn: str = "md5",
+    solver: str = "auto",
 ) -> DataFrame:
     """fastText-shaped linear quality classifier, trained WHOLLY
     in-plan: feature-hashed token shares (:func:`hashed_token_features`)
@@ -1272,27 +1273,59 @@ def quality_classifier_fit(
     Covariates are buckets ``0 .. k-2`` — the shares of all k buckets
     sum to 1 on every non-empty document, so the full set is collinear
     with the intercept; dropping the last bucket is the standard
-    reference-level coding.  ``k - 1 <= ~32`` keeps the in-plan solve
-    cheap.  ``ridge_lambda > 0`` keeps perfectly-separable labels
-    finite.  Returns the wide fit frame (``coef_{prefix}{j}`` per
-    bucket); score new text with :func:`quality_classifier_predict`.
-    """
-    from woodwork_spark.operators.regression import logistic_fit
+    reference-level coding.  ``ridge_lambda > 0`` keeps
+    perfectly-separable labels finite.  Returns the wide fit frame
+    (``coef_{prefix}{j}`` per bucket); score new text with
+    :func:`quality_classifier_predict`.
 
+    ``solver``: "exact" is the unrolled-Cholesky IRLS (full Wald
+    readout, ``k - 1 <= ~32`` — the in-plan solve renders O(k^2)
+    named projections); "diag" is
+    :func:`~woodwork_spark.operators.regression.logistic_fit_diag`,
+    diagonal-scaled IRLS with O(k) aggregate state per round — the
+    path for a real fastText-shaped filter at k in the hundreds
+    (coefficients + loglik, no standard errors; ``iters=None`` takes
+    the solver's own default — 6 Newton rounds exact, 24 diagonal
+    rounds diag — and a zero ridge is raised to 1.0 on the diag path
+    because wide hashed designs are near-separable by construction).
+    "auto" (default) picks exact for ``k - 1 <= 32``, else diag — so
+    small-k callers keep the full inference readout unchanged.
+    """
+    from woodwork_spark.operators.regression import (
+        logistic_fit,
+        logistic_fit_diag,
+    )
+
+    if solver not in ("auto", "exact", "diag"):
+        raise ValueError(f"unknown solver {solver!r}")
+    if solver == "auto":
+        solver = "exact" if int(k) - 1 <= 32 else "diag"
     feats = hashed_token_features(
         df, text_col, k=k, prefix="__qf", hash_fn=hash_fn,
     )
     xcols = [f"__qf{j}" for j in range(int(k) - 1)]
-    out = logistic_fit(
-        feats, label_col, xcols, group_cols, iters=iters,
-        ridge_lambda=ridge_lambda,
-    )
+    if solver == "diag":
+        out = logistic_fit_diag(
+            feats, label_col, xcols, group_cols,
+            iters=24 if iters is None else int(iters),
+            ridge_lambda=ridge_lambda if ridge_lambda > 0 else 1.0,
+        )
+    else:
+        out = logistic_fit(
+            feats, label_col, xcols, group_cols,
+            iters=6 if iters is None else int(iters),
+            ridge_lambda=ridge_lambda,
+        )
     # the model frame names carry the internal prefix; surface them as
-    # bucket names a caller can read
+    # bucket names a caller can read (re-attaching the fit's persisted
+    # base frame — the rename select would otherwise drop it and leak)
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+
     ren = {}
     for c in out.columns:
         ren[c] = c.replace("__qf", "f")
-    return out.select(*[F.col(c).alias(n) for c, n in ren.items()])
+    res = out.select(*[F.col(c).alias(n) for c, n in ren.items()])
+    return attach_persisted(res, *persisted_frames(out))
 
 
 def quality_classifier_predict(
