@@ -334,3 +334,181 @@ class TestWideQualityClassifier:
         model = quality_classifier_fit(df, "text", "y", k=4, iters=4)
         assert "se_f0" in model.columns  # exact solver's Wald readout
         release(model)
+
+
+def _single_partition_consumers(plan):
+    """Parent plan line of every Exchange SinglePartition node."""
+    def indent(s):
+        i = 0
+        while i < len(s) and s[i] in " +-:*(0123456789)":
+            i += 1
+        return i
+
+    lines = plan.split("\n")
+    out = []
+    for idx, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            dep = indent(ln)
+            for j in range(idx - 1, -1, -1):
+                if lines[j].strip() and indent(lines[j]) < dep:
+                    out.append(lines[j])
+                    break
+    return out
+
+
+def _cox_tv_numpy(rows, iters, k):
+    """Counting-process Cox Newton reference: explicit risk sets
+    (start < t <= stop), Breslow ties, readout at the final beta."""
+    t0 = np.array([r[0] for r in rows])
+    t1 = np.array([r[1] for r in rows])
+    d = np.array([r[2] for r in rows])
+    X = np.array([[r[3 + j] for j in range(k)] for r in rows])
+    beta = np.zeros(k)
+    evt = np.sort(np.unique(t1[d == 1]))
+    last = None
+    for _ in range(iters + 1):
+        U = np.zeros(k)
+        A = np.zeros((k, k))
+        ll = 0.0
+        w = np.exp(np.minimum(X @ beta, 700))
+        for t in evt:
+            at = (t0 < t) & (t1 >= t)
+            dm = (t1 == t) & (d == 1)
+            dt = dm.sum()
+            S0 = w[at].sum()
+            S1 = (w[at, None] * X[at]).sum(0)
+            S2 = np.einsum("i,ij,il->jl", w[at], X[at], X[at])
+            U += X[dm].sum(0) - dt * S1 / S0
+            A += dt * (S2 / S0 - np.outer(S1 / S0, S1 / S0))
+            ll += (X[dm] @ beta).sum() - dt * np.log(S0)
+        last = (beta.copy(), A.copy(), ll)
+        beta = beta + np.linalg.solve(A, U)
+    b, A, ll = last
+    return b, np.sqrt(np.diag(np.linalg.inv(A))), ll
+
+
+def _mk_episodes(rng, n, k=1, split_p=0.6):
+    rows = []
+    for _ in range(n):
+        xs = [round(rng.gauss(0, 1), 3) for _ in range(k)]
+        dur = rng.expovariate(0.1) + 1
+        ev = rng.random() < 0.6
+        if rng.random() < split_p and dur > 3:
+            mid = round(dur * rng.uniform(0.3, 0.7), 3)
+            xs2 = [round(x + 0.3, 3) for x in xs]
+            rows.append((0.0, mid, 0.0, *xs))
+            rows.append((mid, round(dur, 3), float(ev), *xs2))
+        else:
+            rows.append((0.0, round(dur, 3), float(ev), *xs))
+    return rows
+
+
+class TestCoxTimeVarying:
+    def test_single_covariate_numpy_golden(self, spark):
+        import random
+
+        from woodwork_spark.operators.timeseries import cox_ph_fit_tv
+
+        rng = random.Random(42)
+        rows = _mk_episodes(rng, 200, k=1)
+        b, se, ll = _cox_tv_numpy(rows, 6, 1)
+        df = spark.createDataFrame(
+            rows, "tstart double, tstop double, ev double, x double",
+        )
+        r = cox_ph_fit_tv(df, "tstart", "tstop", "ev", "x", iters=6).collect()[0]
+        assert r["beta"] == pytest.approx(b[0], abs=1e-9)
+        assert r["se"] == pytest.approx(se[0], abs=1e-9)
+        assert r["loglik"] == pytest.approx(ll, abs=1e-8)
+        assert r["n"] == len(rows)
+
+    def test_multi_covariate_grouped_numpy_golden(self, spark):
+        import random
+
+        from woodwork_spark.operators.timeseries import cox_ph_fit_tv
+
+        rng = random.Random(7)
+        ga = _mk_episodes(rng, 150, k=2)
+        gb = _mk_episodes(rng, 120, k=2)
+        na = _cox_tv_numpy(ga, 6, 2)
+        nb = _cox_tv_numpy(gb, 6, 2)
+        rows = [("a", *r) for r in ga] + [("b", *r) for r in gb]
+        df = spark.createDataFrame(
+            rows,
+            "g string, tstart double, tstop double, ev double, "
+            "x1 double, x2 double",
+        )
+        out = {
+            r["g"]: r
+            for r in cox_ph_fit_tv(
+                df, "tstart", "tstop", "ev", ["x1", "x2"],
+                group_cols="g", iters=6,
+            ).collect()
+        }
+        for g, (b, se, ll) in (("a", na), ("b", nb)):
+            r = out[g]
+            for j, nm in enumerate(["x1", "x2"]):
+                assert r[f"beta_{nm}"] == pytest.approx(b[j], abs=1e-9)
+                assert r[f"se_{nm}"] == pytest.approx(se[j], abs=1e-9)
+            assert r["loglik"] == pytest.approx(ll, abs=1e-8)
+
+    def test_time_fixed_reduces_to_cox_ph_fit(self, spark):
+        """With every episode starting at 0, the counting-process fit
+        IS the standard fit — same beta/se/loglik."""
+        import random
+
+        from woodwork_spark.operators.timeseries import (
+            cox_ph_fit,
+            cox_ph_fit_tv,
+        )
+
+        rng = random.Random(3)
+        rows = _mk_episodes(rng, 150, k=1, split_p=0.0)
+        df = spark.createDataFrame(
+            rows, "tstart double, tstop double, ev double, x double",
+        )
+        tv = cox_ph_fit_tv(df, "tstart", "tstop", "ev", "x", iters=5).collect()[0]
+        std = cox_ph_fit(df, "tstop", "ev", "x", iters=5).collect()[0]
+        assert tv["beta"] == pytest.approx(std["beta"], abs=1e-9)
+        assert tv["se"] == pytest.approx(std["se"], abs=1e-9)
+        assert tv["loglik"] == pytest.approx(std["loglik"], abs=1e-8)
+        assert tv["n_events"] == std["n_events"]
+
+    def test_degenerate_rows_dropped_and_gating(self, spark):
+        from woodwork_spark.operators.timeseries import cox_ph_fit_tv
+
+        rows = [
+            ("ok", 0.0, 5.0, 1.0, 0.5),
+            ("ok", 0.0, 7.0, 1.0, -0.5),
+            ("ok", 2.0, 9.0, 0.0, 0.1),
+            ("ok", 3.0, 3.0, 1.0, 9.9),   # zero-length: dropped
+            ("ok", 5.0, 4.0, 1.0, 9.9),   # inverted: dropped
+            ("none", 0.0, 4.0, 0.0, 0.2),  # no events: NULL stats
+            ("none", 1.0, 6.0, 0.0, 0.3),
+        ]
+        df = spark.createDataFrame(
+            rows, "g string, tstart double, tstop double, ev double, x double",
+        )
+        out = {
+            r["g"]: r
+            for r in cox_ph_fit_tv(
+                df, "tstart", "tstop", "ev", "x", group_cols="g", iters=3,
+            ).collect()
+        }
+        assert out["ok"]["n"] == 3
+        assert out["none"]["beta"] is None
+        assert out["none"]["loglik"] is None
+
+    def test_ungrouped_plan_no_singlepartition_windows(self, spark):
+        import random
+
+        from woodwork_spark.operators.timeseries import cox_ph_fit_tv
+
+        rng = random.Random(9)
+        rows = _mk_episodes(rng, 300, k=1)
+        df = spark.createDataFrame(
+            rows, "tstart double, tstop double, ev double, x double",
+        )
+        res = cox_ph_fit_tv(df, "tstart", "tstop", "ev", "x", iters=2)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        for c in _single_partition_consumers(plan):
+            assert "Window" not in c and "Sort" not in c, c

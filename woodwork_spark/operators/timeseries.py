@@ -1779,6 +1779,272 @@ def cox_ph_fit(
     return attach_persisted(res, *caches)
 
 
+def cox_ph_fit_tv(
+    df: DataFrame,
+    start_col: str,
+    stop_col: str,
+    event_col: str,
+    x_col,
+    group_cols=(),
+    iters: int = 6,
+) -> DataFrame:
+    """Cox proportional-hazards fit with TIME-VARYING covariates —
+    counting-process ``(start, stop]`` rows, the standard Andersen-Gill
+    formulation: a subject whose covariates change contributes one row
+    per constant-covariate episode, at risk for event times ``t`` with
+    ``start < t <= stop``, with the event flag on its FINAL episode.
+    This is the canonical next step after the residual/LRT stack —
+    "does the hazard follow the covariate as it changes?" (treatment
+    switches, cumulative exposure, lagged activity).
+
+    Distributed design — the risk-set identity that makes it ride
+    :func:`cox_ph_fit`'s exact machinery: the counting-process risk
+    set decomposes as two SUFFIX sums,
+
+    ``sum_{start < t <= stop} f  =  sum_{stop >= t} f - sum_{start >= t} f``
+
+    so each episode row becomes TWO rows of a signed LEDGER — ``(+f``
+    at ``t = stop``, ``-f`` at ``t = start)`` — built ONCE (it does
+    not depend on beta) and persisted.  Each Newton round then
+    collapses the ledger to one cell per (group, distinct time) with
+    SIGNED weights (``sum sgn*e^(b'x)``, ``sum sgn*x_j e^(b'x)``,
+    ``sum sgn*x_i x_j e^(b'x)``; event counts ``d_t`` ride only the
+    positive rows) and suffix-sums in descending time — identical
+    window shape, score/information fold, in-plan Cholesky step,
+    per-round eager localCheckpoint, and ungrouped
+    ``global_prefix_sums`` path (no SinglePartition) as the standard
+    fit.  At 100 TB the only cost over plain Cox is 2x the cell-ledger
+    rows.
+
+    Ties are Breslow, as in :func:`cox_ph_fit`.  Rows with
+    ``start >= stop`` (zero-length episodes) or any NULL are dropped.
+    Returns the same schema as :func:`cox_ph_fit` — slim
+    ``(group..., n, n_events, beta, se, z_stat, p_approx, loglik)``
+    for a single name, wide ``beta_<x>/se_<x>/z_<x>/p_<x>`` for a
+    list; ``n`` counts EPISODE rows.  Groups with no events or non-PD
+    information yield NULL statistics (loglik gated identically).
+    """
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.linalg import (
+        apply_layers,
+        chol_solve_layers,
+        pd_ok,
+    )
+    from woodwork_spark.operators.rank import global_prefix_sums
+    from woodwork_spark.operators.stats_tests import (
+        _std_normal_two_sided_p,
+    )
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    multi = isinstance(x_col, (list, tuple))
+    xs = list(x_col) if multi else [x_col]
+    if not xs or len(set(xs)) != len(xs):
+        raise ValueError("x_col must be a name or non-empty unique list")
+    k = len(xs)
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    cond = (
+        F.col(start_col).isNotNull()
+        & F.col(stop_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & (F.col(start_col).cast("double") < F.col(stop_col).cast("double"))
+    )
+    for c in xs:
+        cond = cond & F.col(c).isNotNull()
+    episodes = df.filter(cond).select(
+        *group_cols,
+        F.col(start_col).cast("double").alias("__t0"),
+        F.col(stop_col).cast("double").alias("__t1"),
+        F.col(event_col).cast("double").alias("__d"),
+        *[
+            F.col(c).cast("double").alias(f"__x{j + 1}")
+            for j, c in enumerate(xs)
+        ],
+    )
+    xnames = [f"__x{j + 1}" for j in range(k)]
+    # the signed ledger (beta-free): persisted once, re-read per round
+    plus = episodes.select(
+        *group_cols,
+        F.col("__t1").alias("__t"),
+        F.lit(1.0).alias("__sgn"),
+        "__d",
+        *xnames,
+    )
+    minus = episodes.select(
+        *group_cols,
+        F.col("__t0").alias("__t"),
+        F.lit(-1.0).alias("__sgn"),
+        F.lit(0.0).alias("__d"),
+        *xnames,
+    )
+    base = plus.unionByName(minus).persist()
+    bnames = [f"__b{j + 1}" for j in range(k)]
+    caches = [base]
+
+    def _risk_cells(bdf):
+        if group_cols:
+            cur = base.join(F.broadcast(bdf), group_cols)
+        else:
+            cur = base.crossJoin(F.broadcast(bdf))
+        eta = None
+        for j in range(k):
+            term = F.col(bnames[j]) * F.col(xnames[j])
+            eta = term if eta is None else eta + term
+        eta = F.least(F.lit(700.0), eta)
+        sew = F.col("__sgn") * F.exp(eta)
+        cell_aggs = [
+            F.sum(F.when(F.col("__sgn") > 0, 1).otherwise(0)).alias("__nc"),
+            F.sum("__d").alias("__dt"),
+            F.sum(sew).alias("__c0"),
+        ]
+        vcols, scols = ["__c0"], ["__S0"]
+        for j in range(k):
+            cell_aggs.append(
+                F.sum(F.col("__d") * F.col(xnames[j])).alias(f"__dx{j}"),
+            )
+            cell_aggs.append(F.sum(F.col(xnames[j]) * sew).alias(f"__c1_{j}"))
+            vcols.append(f"__c1_{j}")
+            scols.append(f"__S1_{j}")
+        for i in range(k):
+            for j in range(i + 1):
+                cell_aggs.append(
+                    F.sum(
+                        F.col(xnames[i]) * F.col(xnames[j]) * sew,
+                    ).alias(f"__c2_{i}_{j}"),
+                )
+                vcols.append(f"__c2_{i}_{j}")
+                scols.append(f"__S2_{i}_{j}")
+        cells = cur.groupBy(*group_cols, "__t").agg(
+            *[F.max(b).alias(b) for b in bnames],
+            *cell_aggs,
+        )
+        if group_cols:
+            w = (
+                W.partitionBy(*group_cols)
+                .orderBy(F.desc("__t"))
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            for vc, sc in zip(vcols, scols):
+                cells = cells.withColumn(sc, F.sum(vc).over(w))
+            return cells
+        out = global_prefix_sums(
+            cells, [F.desc("__t")], vcols, out_cols=scols,
+            inclusive=True, small_threshold=0,
+        )
+        caches.extend(persisted_frames(out))
+        return out
+
+    def _fold_aggs():
+        # guard every S0 division behind the event gate: suffix
+        # cancellation drives S0 to exactly 0 past the last exit, and
+        # those cells carry no events
+        s0 = F.col("__S0")
+        r1 = [
+            F.when(F.col("__dt") > 0, F.col(f"__S1_{j}") / s0)
+            .otherwise(F.lit(0.0))
+            for j in range(k)
+        ]
+        lterm = None
+        for j in range(k):
+            t = F.col(bnames[j]) * F.col(f"__dx{j}")
+            lterm = t if lterm is None else lterm + t
+        aggs = [
+            F.sum("__nc").alias("__n"),
+            F.sum("__dt").alias("__ne"),
+            F.sum(
+                F.when(
+                    F.col("__dt") > 0,
+                    lterm - F.col("__dt") * F.log(s0),
+                ).otherwise(F.lit(0.0)),
+            ).alias("__ll"),
+        ]
+        for j in range(k):
+            aggs.append(
+                F.sum(
+                    F.col(f"__dx{j}") - F.col("__dt") * r1[j],
+                ).alias(f"__u{j}"),
+            )
+        for i in range(k):
+            for j in range(i + 1):
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            F.col("__dt") > 0,
+                            F.col("__dt")
+                            * (F.col(f"__S2_{i}_{j}") / s0
+                               - r1[i] * r1[j]),
+                        ).otherwise(F.lit(0.0)),
+                    ).alias(f"__a_{i}_{j}"),
+                )
+        return aggs
+
+    beta_df = base.groupBy(*group_cols).agg(
+        *[F.lit(0.0).alias(b) for b in bnames],
+    )
+    a_name = lambda i, j: f"__a_{i}_{j}"  # noqa: E731
+    for it in range(int(iters)):
+        cells = _risk_cells(beta_df)
+        step = cells.groupBy(*group_cols).agg(
+            *[F.max(b).alias(b) for b in bnames],
+            *_fold_aggs(),
+        )
+        layers, sol, piv = chol_solve_layers(
+            k, a_name, {"s": [f"__u{j}" for j in range(k)]},
+            pref=f"__tv{it}",
+        )
+        solved = apply_layers(step, layers)
+        ok = pd_ok(piv)
+        beta_df = solved.select(
+            *group_cols,
+            *[
+                F.when(
+                    ok, F.col(bnames[j]) + F.col(sol["s"][j]),
+                ).otherwise(F.col(bnames[j])).alias(bnames[j])
+                for j in range(k)
+            ],
+        ).localCheckpoint(eager=True)
+    cells = _risk_cells(beta_df)
+    out = cells.groupBy(*group_cols).agg(
+        *[F.max(b).alias(b) for b in bnames],
+        *_fold_aggs(),
+    )
+    rhs = {
+        f"e{j}": [1.0 if m == j else 0.0 for m in range(k)]
+        for j in range(k)
+    }
+    layers, sol, piv = chol_solve_layers(k, a_name, rhs, pref="__se")
+    solved = apply_layers(out, layers)
+    ok = pd_ok(piv) & (F.col("__ne") > 0)
+    cols = [
+        F.col("__n").cast("long").alias("n"),
+        F.col("__ne").cast("long").alias("n_events"),
+    ]
+    if not multi:
+        se = F.sqrt(F.col(sol["e0"][0]))
+        z = F.col(bnames[0]) / se
+        cols += [
+            F.when(ok, F.col(bnames[0])).alias("beta"),
+            F.when(ok, se).alias("se"),
+            F.when(ok, z).alias("z_stat"),
+            F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
+        ]
+    else:
+        for j, name in enumerate(xs):
+            se = F.sqrt(F.col(sol[f"e{j}"][j]))
+            z = F.col(bnames[j]) / se
+            cols += [
+                F.when(ok, F.col(bnames[j])).alias(f"beta_{name}"),
+                F.when(ok, se).alias(f"se_{name}"),
+                F.when(ok, z).alias(f"z_{name}"),
+                F.when(ok, _std_normal_two_sided_p(z)).alias(f"p_{name}"),
+            ]
+    cols.append(F.when(ok, F.col("__ll")).alias("loglik"))
+    res = solved.select(*group_cols, *cols)
+    return attach_persisted(res, *caches)
+
+
 def cox_risk_score(
     df: DataFrame,
     model: DataFrame,
