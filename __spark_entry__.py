@@ -23319,3 +23319,228 @@ ORACLE["profile_approx"] = """
     ) GROUP BY column_name ORDER BY column_name
 """
 QUERIES["profile_approx"] = q_profile_approx
+
+
+def q_cox_timevarying(spark, sf_dir):
+    """Time-varying covariates Cox (Andersen-Gill counting-process
+    rows): does CURRENT-period activity intensity predict the purchase
+    hazard, per cohort?  Each user contributes two (start, stop]
+    episodes split at the midpoint of their observation span, with the
+    episode covariate = log1p(events in that half) — the covariate
+    CHANGES mid-follow-up, which plain cox_ph cannot express.  The
+    risk set {start < t <= stop} decomposes into two suffix sums, so
+    the fit rides the exact cox_ph cell machinery on a signed two-row
+    ledger (timeseries.cox_ph_fit_tv).  The oracle replays all Newton
+    rounds with the SAME signed ledger under DuckDB RANGE-frame
+    windows."""
+    from woodwork_spark.operators.timeseries import cox_ph_fit_tv
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+    )
+    spans = per_user.select(
+        "user_id", "__t0",
+        (
+            (
+                F.unix_micros(F.coalesce(F.col("__p"), F.col("__last")))
+                - F.unix_micros(F.col("__t0"))
+            ) / F.lit(3.6e9)
+        ).alias("__T"),
+        F.col("__p").isNotNull().cast("double").alias("__d"),
+    ).filter(F.col("__T") > 0)
+    # per-half activity counts: events in (t0, t0+T/2] vs (t0+T/2, t0+T]
+    halves = ev.join(spans, "user_id").groupBy("user_id").agg(
+        F.first("__T").alias("__T"),
+        F.first("__d").alias("__d"),
+        F.sum(
+            F.when(
+                (F.unix_micros("ts") - F.unix_micros("__t0"))
+                / F.lit(3.6e9)
+                <= F.col("__T") / 2,
+                1,
+            ).otherwise(0),
+        ).alias("__n1"),
+        F.sum(
+            F.when(
+                (
+                    (F.unix_micros("ts") - F.unix_micros("__t0"))
+                    / F.lit(3.6e9)
+                    > F.col("__T") / 2
+                )
+                & (
+                    (F.unix_micros("ts") - F.unix_micros("__t0"))
+                    / F.lit(3.6e9)
+                    <= F.col("__T")
+                ),
+                1,
+            ).otherwise(0),
+        ).alias("__n2"),
+    )
+    ep1 = halves.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.lit(0.0).alias("tstart"),
+        (F.col("__T") / 2).alias("tstop"),
+        F.lit(0.0).alias("d"),
+        F.log1p(F.col("__n1").cast("double")).alias("x"),
+    )
+    ep2 = halves.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        (F.col("__T") / 2).alias("tstart"),
+        F.col("__T").alias("tstop"),
+        F.col("__d").alias("d"),
+        F.log1p(F.col("__n2").cast("double")).alias("x"),
+    )
+    episodes = ep1.unionByName(ep2)
+    out = cox_ph_fit_tv(
+        episodes, "tstart", "tstop", "d", "x",
+        group_cols="cohort", iters=4,
+    )
+    return out.select(
+        "cohort", "n", "n_events",
+        _ravg(F.col("beta"), 6).alias("beta"),
+        _ravg(F.col("se"), 6).alias("se"),
+        _ravg(F.col("z_stat"), 5).alias("z_stat"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+        _ravg(F.col("loglik"), 4).alias("loglik"),
+    ).orderBy("cohort")
+
+
+def _cox_tv_oracle(iters: int = 4) -> str:
+    data = """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(ts) AS t0,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+                   max(ts) AS lastts
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ),
+        spans AS (
+            SELECT user_id, t0,
+                   epoch_us(coalesce(p, lastts) - t0) / 3.6e9 AS T,
+                   CASE WHEN p IS NOT NULL THEN 1.0 ELSE 0.0 END AS d
+            FROM per_user
+            WHERE epoch_us(coalesce(p, lastts) - t0) / 3.6e9 > 0
+        ),
+        halves AS MATERIALIZED (
+            SELECT e.user_id, any_value(s.T) AS T, any_value(s.d) AS d,
+                   sum(CASE WHEN epoch_us(e.ts - s.t0) / 3.6e9 <= s.T / 2
+                            THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN epoch_us(e.ts - s.t0) / 3.6e9 > s.T / 2
+                             AND epoch_us(e.ts - s.t0) / 3.6e9 <= s.T
+                            THEN 1 ELSE 0 END) AS n2
+            FROM events e JOIN spans s USING (user_id)
+            GROUP BY e.user_id
+        ),
+        ledger AS MATERIALIZED (
+            -- signed counting-process ledger: +row at stop (carries the
+            -- event flag), -row at start; risk set at t = suffix over
+            -- ledger keys >= t (RANGE frame)
+            SELECT * FROM (
+                SELECT user_id % 2 AS cohort, T / 2 AS t, 1.0 AS sgn,
+                       0.0 AS d, ln(1.0 + n1) AS x
+                FROM halves
+                UNION ALL
+                SELECT user_id % 2, 0.0, -1.0, 0.0, ln(1.0 + n1)
+                FROM halves
+                UNION ALL
+                SELECT user_id % 2, T, 1.0, d, ln(1.0 + n2)
+                FROM halves
+                UNION ALL
+                SELECT user_id % 2, T / 2, -1.0, 0.0, ln(1.0 + n2)
+                FROM halves
+            )
+        ),
+        b0 AS (SELECT cohort, 0.0 AS beta FROM ledger GROUP BY cohort)
+    """
+    win = """
+            WINDOW wr AS (PARTITION BY dd.cohort ORDER BY dd.t ASC
+                          RANGE BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+    """
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+        , s{i} AS (
+            SELECT dd.cohort, dd.t, dd.d, dd.x, b.beta,
+                   sum(dd.sgn * exp(b.beta * dd.x)) OVER wr AS s0,
+                   sum(dd.sgn * dd.x * exp(b.beta * dd.x)) OVER wr AS s1,
+                   sum(dd.sgn * dd.x * dd.x * exp(b.beta * dd.x))
+                       OVER wr AS s2
+            FROM ledger dd JOIN b{i} b USING (cohort)
+            {win}
+        ),
+        b{i + 1} AS (
+            SELECT cohort,
+                   CASE WHEN sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0))) > 0
+                        THEN max(beta)
+                             + sum(d * (x - s1 / s0))
+                               / sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0)))
+                        ELSE max(beta) END AS beta
+            FROM s{i} WHERE d > 0 GROUP BY cohort
+        )""")
+    final = f"""
+        , fin AS (
+            SELECT dd.cohort, dd.t, dd.d, dd.x, dd.sgn, b.beta,
+                   sum(dd.sgn * exp(b.beta * dd.x)) OVER wr AS s0,
+                   sum(dd.sgn * dd.x * exp(b.beta * dd.x)) OVER wr AS s1,
+                   sum(dd.sgn * dd.x * dd.x * exp(b.beta * dd.x))
+                       OVER wr AS s2
+            FROM ledger dd JOIN b{iters} b USING (cohort)
+            {win}
+        ),
+        agg AS (
+            SELECT cohort,
+                   CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n,
+                   CAST(sum(d) AS BIGINT) AS n_events,
+                   max(beta) AS beta,
+                   -- CASE-gated: s0 is exactly 0 at the minimum start
+                   -- key (nobody is at risk at t = min start under
+                   -- (start, stop]) and those rows carry no events
+                   sum(CASE WHEN d > 0 THEN
+                       d * (s2 / s0 - (s1 / s0) * (s1 / s0))
+                       ELSE 0.0 END) AS info,
+                   sum(CASE WHEN d > 0 THEN d * (beta * x - ln(s0))
+                       ELSE 0.0 END) AS ll
+            FROM fin GROUP BY cohort
+        ),
+        wald AS (
+            SELECT cohort, n, n_events, beta, ll,
+                   1.0 / sqrt(info) AS se,
+                   beta * sqrt(info) AS zv,
+                   abs(beta * sqrt(info)) / sqrt(2.0) AS xx,
+                   1.0 / (1.0 + 0.3275911
+                          * abs(beta * sqrt(info)) / sqrt(2.0)) AS tt,
+                   info
+            FROM agg
+        )
+        SELECT cohort, n, n_events,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN beta END
+                     + 0.0000001, 6) AS beta,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN se END
+                     + 0.0000001, 6) AS se,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN zv END
+                     + 0.0000001, 5) AS z_stat,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN
+                   least(1.0, greatest(0.0,
+                       (0.254829592 * tt - 0.284496736 * tt * tt
+                        + 1.421413741 * tt * tt * tt
+                        - 1.453152027 * tt * tt * tt * tt
+                        + 1.061405429 * tt * tt * tt * tt * tt)
+                       * exp(-xx * xx))) END
+                     + 0.0000001, 6) AS p_approx,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN ll END
+                     + 0.0000001, 4) AS loglik
+        FROM wald ORDER BY cohort
+    """
+    return data + "".join(steps) + final
+
+
+ORACLE["cox_timevarying"] = _cox_tv_oracle()
+QUERIES["cox_timevarying"] = q_cox_timevarying
