@@ -12,7 +12,8 @@ EVENT TIMES (never raw rows past the first groupBy):
   ratio test: does the extra covariate matter?)  ->  prediction
   (Breslow baseline + relative risk)  ->  diagnostics (Schoenfeld PH
   screen; martingale/deviance residuals)  ->  competing risks
-  (Aalen-Johansen) -> parametric summary (Weibull fit).
+  (Aalen-Johansen) -> parametric summary (Weibull fit) ->
+  time-varying covariates (Andersen-Gill counting-process episodes).
 """
 
 import os
@@ -41,6 +42,7 @@ from woodwork_spark.operators.timeseries import (  # noqa: E402
     cox_baseline_hazard,
     cox_ph_diagnostic,
     cox_ph_fit,
+    cox_ph_fit_tv,
     cox_residuals,
     cox_risk_score,
     cumulative_incidence,
@@ -128,6 +130,46 @@ cumulative_incidence(competing, "dur", "cause").orderBy(
 
 print("=== 9. Parametric summary: Weibull fit from the KM curve ===")
 weibull_fit_km(subjects, "dur", "ev").show()
+
+print("=== 10. Time-varying covariates (Andersen-Gill counting process) ===")
+# The covariate CHANGES mid-follow-up: split each subject at the
+# midpoint of their span into two (start, stop] episodes whose
+# covariate is that half's activity count — "does the hazard follow
+# CURRENT activity?", which sections 4-7's time-fixed model cannot ask.
+spans = per_user.select(
+    "user_id", "t0",
+    (
+        (F.unix_micros(F.coalesce("p", "last")) - F.unix_micros("t0"))
+        / 3.6e9
+    ).alias("T"),
+    F.col("p").isNotNull().cast("double").alias("d"),
+).filter(F.col("T") > 0)
+halves = events.join(spans, "user_id").groupBy("user_id").agg(
+    F.first("T").alias("T"),
+    F.first("d").alias("d"),
+    F.sum(
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros("t0")) / 3.6e9
+            <= F.col("T") / 2, 1,
+        ).otherwise(0),
+    ).alias("n1"),
+    F.sum(
+        F.when(
+            ((F.unix_micros("ts") - F.unix_micros("t0")) / 3.6e9
+             > F.col("T") / 2)
+            & ((F.unix_micros("ts") - F.unix_micros("t0")) / 3.6e9
+               <= F.col("T")), 1,
+        ).otherwise(0),
+    ).alias("n2"),
+)
+episodes = halves.select(
+    F.lit(0.0).alias("tstart"), (F.col("T") / 2).alias("tstop"),
+    F.lit(0.0).alias("d"), F.log1p("n1").alias("x"),
+).unionByName(halves.select(
+    (F.col("T") / 2).alias("tstart"), F.col("T").alias("tstop"),
+    F.col("d"), F.log1p("n2").alias("x"),
+))
+cox_ph_fit_tv(episodes, "tstart", "tstop", "d", "x", iters=4).show()
 
 spark.stop()
 print("survival_analysis: OK")
