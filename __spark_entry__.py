@@ -23544,3 +23544,223 @@ def _cox_tv_oracle(iters: int = 4) -> str:
 
 ORACLE["cox_timevarying"] = _cox_tv_oracle()
 QUERIES["cox_timevarying"] = q_cox_timevarying
+
+
+def q_cox_recurrent(spark, sf_dir):
+    """Andersen-Gill RECURRENT-events Cox: every purchase (not just the
+    first) is an event; each user contributes one (start, stop]
+    episode per inter-purchase gap (plus the trailing censored gap),
+    with the episode covariate = log1p(cumulative prior purchases) —
+    "does each purchase raise the hazard of the next?"  This is the
+    standard recurrent-events formulation and drops straight onto
+    cox_ph_fit_tv's counting-process ledger: total time scale, risk
+    set {start < t <= stop}.  The oracle rebuilds the episodes with a
+    lag window and replays the Newton rounds on the signed ledger."""
+    from woodwork_spark.operators.timeseries import cox_ph_fit_tv
+    from pyspark.sql import Window as W
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"), F.max("ts").alias("__last"),
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(per_user, "user_id")
+        .select(
+            "user_id",
+            (
+                (F.unix_micros("ts") - F.unix_micros("__t0")) / F.lit(3.6e9)
+            ).alias("__t"),
+        )
+        .filter(F.col("__t") > 0)
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("__t")
+    ep_ev = purch.select(
+        "user_id",
+        F.coalesce(
+            F.lag("__t").over(w), F.lit(0.0),
+        ).alias("tstart"),
+        F.col("__t").alias("tstop"),
+        F.lit(1.0).alias("d"),
+        F.log1p(
+            (F.row_number().over(w) - F.lit(1)).cast("double"),
+        ).alias("x"),
+    )
+    # trailing censored episode: from the last purchase (or 0) to the
+    # end of observation
+    last_p = purch.groupBy("user_id").agg(
+        F.max("__t").alias("__lp"),
+        F.count(F.lit(1)).alias("__np"),
+    )
+    tail = (
+        per_user.join(last_p, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce(F.col("__lp"), F.lit(0.0)).alias("tstart"),
+            (
+                (F.unix_micros("__last") - F.unix_micros("__t0"))
+                / F.lit(3.6e9)
+            ).alias("tstop"),
+            F.lit(0.0).alias("d"),
+            F.log1p(
+                F.coalesce(F.col("__np"), F.lit(0)).cast("double"),
+            ).alias("x"),
+        )
+    )
+    episodes = ep_ev.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        "tstart", "tstop", "d", "x",
+    ).unionByName(
+        tail.select(
+            (F.col("user_id") % 2).alias("cohort"),
+            "tstart", "tstop", "d", "x",
+        ),
+    )
+    out = cox_ph_fit_tv(
+        episodes, "tstart", "tstop", "d", "x",
+        group_cols="cohort", iters=4,
+    )
+    return out.select(
+        "cohort", "n", "n_events",
+        _ravg(F.col("beta"), 6).alias("beta"),
+        _ravg(F.col("se"), 6).alias("se"),
+        _ravg(F.col("z_stat"), 5).alias("z_stat"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+        _ravg(F.col("loglik"), 4).alias("loglik"),
+    ).orderBy("cohort")
+
+
+def _cox_recurrent_oracle(iters: int = 4) -> str:
+    data = """
+        WITH per_user AS (
+            SELECT user_id, min(ts) AS t0, max(ts) AS lastts
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ),
+        purch AS MATERIALIZED (
+            SELECT DISTINCT e.user_id,
+                   epoch_us(e.ts - u.t0) / 3.6e9 AS t
+            FROM events e JOIN per_user u USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts - u.t0) / 3.6e9 > 0
+        ),
+        ep_ev AS (
+            SELECT user_id,
+                   coalesce(lag(t) OVER (PARTITION BY user_id ORDER BY t),
+                            0.0) AS tstart,
+                   t AS tstop, 1.0 AS d,
+                   ln(1.0 + CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY t) - 1 AS DOUBLE))
+                       AS x
+            FROM purch
+        ),
+        last_p AS (
+            SELECT user_id, max(t) AS lp, count(*) AS np
+            FROM purch GROUP BY user_id
+        ),
+        tail AS (
+            SELECT u.user_id,
+                   coalesce(l.lp, 0.0) AS tstart,
+                   epoch_us(u.lastts - u.t0) / 3.6e9 AS tstop,
+                   0.0 AS d,
+                   ln(1.0 + CAST(coalesce(l.np, 0) AS DOUBLE)) AS x
+            FROM per_user u LEFT JOIN last_p l USING (user_id)
+        ),
+        episodes AS (
+            SELECT user_id % 2 AS cohort, tstart, tstop, d, x FROM ep_ev
+            UNION ALL
+            SELECT user_id % 2, tstart, tstop, d, x FROM tail
+        ),
+        ledger AS MATERIALIZED (
+            SELECT cohort, tstop AS t, 1.0 AS sgn, d, x
+            FROM episodes WHERE tstart < tstop
+            UNION ALL
+            SELECT cohort, tstart, -1.0, 0.0, x
+            FROM episodes WHERE tstart < tstop
+        ),
+        b0 AS (SELECT cohort, 0.0 AS beta FROM ledger GROUP BY cohort)
+    """
+    win = """
+            WINDOW wr AS (PARTITION BY dd.cohort ORDER BY dd.t ASC
+                          RANGE BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+    """
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+        , s{i} AS (
+            SELECT dd.cohort, dd.t, dd.d, dd.x, b.beta,
+                   sum(dd.sgn * exp(b.beta * dd.x)) OVER wr AS s0,
+                   sum(dd.sgn * dd.x * exp(b.beta * dd.x)) OVER wr AS s1,
+                   sum(dd.sgn * dd.x * dd.x * exp(b.beta * dd.x))
+                       OVER wr AS s2
+            FROM ledger dd JOIN b{i} b USING (cohort)
+            {win}
+        ),
+        b{i + 1} AS (
+            SELECT cohort,
+                   CASE WHEN sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0))) > 0
+                        THEN max(beta)
+                             + sum(d * (x - s1 / s0))
+                               / sum(d * (s2 / s0 - (s1 / s0) * (s1 / s0)))
+                        ELSE max(beta) END AS beta
+            FROM s{i} WHERE d > 0 GROUP BY cohort
+        )""")
+    final = f"""
+        , fin AS (
+            SELECT dd.cohort, dd.t, dd.d, dd.x, dd.sgn, b.beta,
+                   sum(dd.sgn * exp(b.beta * dd.x)) OVER wr AS s0,
+                   sum(dd.sgn * dd.x * exp(b.beta * dd.x)) OVER wr AS s1,
+                   sum(dd.sgn * dd.x * dd.x * exp(b.beta * dd.x))
+                       OVER wr AS s2
+            FROM ledger dd JOIN b{iters} b USING (cohort)
+            {win}
+        ),
+        agg AS (
+            SELECT cohort,
+                   CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n,
+                   CAST(sum(d) AS BIGINT) AS n_events,
+                   max(beta) AS beta,
+                   sum(CASE WHEN d > 0 THEN
+                       d * (s2 / s0 - (s1 / s0) * (s1 / s0))
+                       ELSE 0.0 END) AS info,
+                   sum(CASE WHEN d > 0 THEN d * (beta * x - ln(s0))
+                       ELSE 0.0 END) AS ll
+            FROM fin GROUP BY cohort
+        ),
+        wald AS (
+            SELECT cohort, n, n_events, beta, ll,
+                   1.0 / sqrt(info) AS se,
+                   beta * sqrt(info) AS zv,
+                   abs(beta * sqrt(info)) / sqrt(2.0) AS xx,
+                   1.0 / (1.0 + 0.3275911
+                          * abs(beta * sqrt(info)) / sqrt(2.0)) AS tt,
+                   info
+            FROM agg
+        )
+        SELECT cohort, n, n_events,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN beta END
+                     + 0.0000001, 6) AS beta,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN se END
+                     + 0.0000001, 6) AS se,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN zv END
+                     + 0.0000001, 5) AS z_stat,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN
+                   least(1.0, greatest(0.0,
+                       (0.254829592 * tt - 0.284496736 * tt * tt
+                        + 1.421413741 * tt * tt * tt
+                        - 1.453152027 * tt * tt * tt * tt
+                        + 1.061405429 * tt * tt * tt * tt * tt)
+                       * exp(-xx * xx))) END
+                     + 0.0000001, 6) AS p_approx,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN ll END
+                     + 0.0000001, 4) AS loglik
+        FROM wald ORDER BY cohort
+    """
+    return data + "".join(steps) + final
+
+
+ORACLE["cox_recurrent"] = _cox_recurrent_oracle()
+QUERIES["cox_recurrent"] = q_cox_recurrent
