@@ -23764,3 +23764,130 @@ def _cox_recurrent_oracle(iters: int = 4) -> str:
 
 ORACLE["cox_recurrent"] = _cox_recurrent_oracle()
 QUERIES["cox_recurrent"] = q_cox_recurrent
+
+
+def q_wide_classifier(spark, sf_dir):
+    """Driver-verified correctness row for the WIDE-k diagonal-scaled
+    IRLS solver (regression.logistic_fit_diag — the scale path past
+    the unrolled-Cholesky ceiling): k = 2 here so the oracle can
+    replay the EXACT penalized Newton with Cramer cofactors — a
+    different algorithm whose agreement comes from both sitting at the
+    unique ridge-penalized optimum (the convergence-verification
+    convention), while the Spark side runs the very same
+    array-native + Summarizer plan that scales to k in the
+    hundreds."""
+    from woodwork_spark.operators.regression import logistic_fit_diag
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t != "",
+    )
+    # x1/x2 deliberately near-orthogonal (corr ~ -0.02): the Jacobi
+    # iteration's convergence rate is ~|corr| per round, so a
+    # correlated pair (log-chars vs log-tokens, corr 0.99) would need
+    # thousands of rounds to reach the 5-decimal readout
+    data = docs.select(
+        (F.col("doc_id") % 2).alias("cohort"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.log1p(F.length("text").cast("double")).alias("x1"),
+        (
+            F.size(F.filter(toks, lambda t: t == F.lit("the")))
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("x2"),
+    )
+    out = logistic_fit_diag(
+        data, "y", ["x1", "x2"], group_cols="cohort",
+        iters=8, ridge_lambda=1.0,
+    )
+    return out.select(
+        "cohort", "n",
+        _ravg(F.col("intercept"), 5).alias("intercept"),
+        _ravg(F.col("coef_x1"), 5).alias("coef_x1"),
+        _ravg(F.col("coef_x2"), 5).alias("coef_x2"),
+        _ravg(F.col("loglik"), 4).alias("loglik"),
+    ).orderBy("cohort")
+
+
+def _ridge_logistic_oracle(iters: int = 8, lam: float = 1.0) -> str:
+    """Exact RIDGE-penalized logistic Newton at k = 2, Cramer
+    cofactors: score (u - lam b) on slopes, information + lam on the
+    slope diagonal, intercept unpenalized — the estimator
+    logistic_fit_diag's Jacobi iteration converges to."""
+    mu = ("1.0 / (1.0 + exp(-least(30.0, greatest(-30.0, "
+          "c.b0 + c.b1 * d.x1 + c.b2 * d.x2))))")
+    w = "mu * (1.0 - mu)"
+    det = ("(a00 * (a11 * a22 - a21 * a21)"
+           " - a10 * (a10 * a22 - a21 * a20)"
+           " + a20 * (a10 * a21 - a11 * a20))")
+    pd = (f"a00 > 0 AND (a00 * a11 - a10 * a10) > 0 AND {det} > 0")
+    sums = f"""
+            sum(y - mu) AS u0,
+            sum(x1 * (y - mu)) - {lam} * max(b1) AS u1,
+            sum(x2 * (y - mu)) - {lam} * max(b2) AS u2,
+            sum({w}) AS a00, sum(x1 * {w}) AS a10,
+            sum(x2 * {w}) AS a20,
+            sum(x1 * x1 * {w}) + {lam} AS a11,
+            sum(x2 * x1 * {w}) AS a21,
+            sum(x2 * x2 * {w}) + {lam} AS a22"""
+    parts = ["""
+        WITH data AS (
+            SELECT doc_id % 2 AS cohort,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                   ln(1.0 + length(text)) AS x1,
+                   len(list_filter(list_filter(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> t <> ''), t -> t = 'the')) * 1.0
+                   / greatest(len(list_filter(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> t <> '')), 1) AS x2
+            FROM documents
+        )""",
+             ", c0 AS (SELECT cohort, 0.0 AS b0, 0.0 AS b1, 0.0 AS b2 "
+             "FROM data GROUP BY cohort)"]
+    for i in range(iters):
+        parts.append(f"""
+        , a{i} AS (
+            SELECT cohort, max(b0) AS b0, max(b1) AS b1, max(b2) AS b2,
+                   {sums}
+            FROM (SELECT d.cohort, d.y, d.x1, d.x2, c.b0, c.b1, c.b2,
+                         {mu} AS mu
+                  FROM data d JOIN c{i} c USING (cohort))
+            GROUP BY cohort
+        ),
+        c{i + 1} AS (
+            SELECT cohort,
+              CASE WHEN {pd} THEN b0 +
+                (u0 * (a11 * a22 - a21 * a21)
+                 - u1 * (a10 * a22 - a20 * a21)
+                 + u2 * (a10 * a21 - a20 * a11)) / {det}
+              ELSE b0 END AS b0,
+              CASE WHEN {pd} THEN b1 +
+                (-u0 * (a10 * a22 - a21 * a20)
+                 + u1 * (a00 * a22 - a20 * a20)
+                 - u2 * (a00 * a21 - a20 * a10)) / {det}
+              ELSE b1 END AS b1,
+              CASE WHEN {pd} THEN b2 +
+                (u0 * (a10 * a21 - a11 * a20)
+                 - u1 * (a00 * a21 - a10 * a20)
+                 + u2 * (a00 * a11 - a10 * a10)) / {det}
+              ELSE b2 END AS b2
+            FROM a{i}
+        )""")
+    parts.append(f"""
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+               round(max(b0) + 0.0000001, 5) AS intercept,
+               round(max(b1) + 0.0000001, 5) AS coef_x1,
+               round(max(b2) + 0.0000001, 5) AS coef_x2,
+               round(sum(y * ln(mu) + (1.0 - y) * ln(1.0 - mu))
+                     + 0.0000001, 4) AS loglik
+        FROM (SELECT d.cohort, d.y, c.b0, c.b1, c.b2, {mu} AS mu
+              FROM data d JOIN c{iters} c USING (cohort))
+        GROUP BY cohort ORDER BY cohort
+    """)
+    return "".join(parts)
+
+
+ORACLE["wide_classifier"] = _ridge_logistic_oracle()
+QUERIES["wide_classifier"] = q_wide_classifier

@@ -781,37 +781,68 @@ def logistic_fit_diag(
         *group_cols,
         F.expr(f"array_repeat(0.0d, {d + 1})").alias("__bv"),
     )
+    # Small-d fast path: below ~16 covariates the per-round sums run
+    # as plain codegen column aggregates (2d + 2 buffers — no ml-Vector
+    # conversion round trips, measured ~2x faster per round); the
+    # array + Summarizer path takes over where O(d) wide aggregates
+    # would bloat the plan.  The Jacobi update expression is SHARED, so
+    # both paths are the same algorithm by construction.
+    small_d = d + 1 <= 16
     for _ in range(int(iters)):
         cur = _with_mu(_joined(coef))
         r = F.col("__y") - F.col("__mu")
         w = F.col("__mu") * (F.lit(1.0) - F.col("__mu"))
-        # score and diagonal contributions as vectors: index 0 is the
-        # intercept (x_0 = 1), 1..d the centered covariates
-        cur = cur.select(
-            *group_cols,
-            F.col("__bv"),
-            array_to_vector(
-                F.concat(
-                    F.array(r),
-                    F.transform(F.col("__cv"), lambda x: x * r),
-                ),
-            ).alias("__ucv"),
-            array_to_vector(
-                F.concat(
-                    F.array(w),
-                    F.transform(F.col("__cv"), lambda x: x * x * w),
-                ),
-            ).alias("__dcv"),
-        )
-        step = cur.groupBy(*group_cols).agg(
-            F.first("__bv").alias("bv"),
-            Summarizer.sum(F.col("__ucv")).alias("__usum"),
-            Summarizer.sum(F.col("__dcv")).alias("__dsum"),
-        ).select(
-            *group_cols, "bv",
-            vector_to_array(F.col("__usum")).alias("uv"),
-            vector_to_array(F.col("__dsum")).alias("dv"),
-        )
+        if small_d:
+            el = [F.lit(1.0)] + [
+                F.element_at(F.col("__cv"), j + 1) for j in range(d)
+            ]
+            step = cur.groupBy(*group_cols).agg(
+                F.first("__bv").alias("bv"),
+                *[
+                    F.sum(el[j] * r).alias(f"__u{j}")
+                    for j in range(d + 1)
+                ],
+                *[
+                    F.sum(el[j] * el[j] * w).alias(f"__w{j}")
+                    for j in range(d + 1)
+                ],
+            ).select(
+                *group_cols, "bv",
+                F.array(
+                    *[F.col(f"__u{j}") for j in range(d + 1)],
+                ).alias("uv"),
+                F.array(
+                    *[F.col(f"__w{j}") for j in range(d + 1)],
+                ).alias("dv"),
+            )
+        else:
+            # score and diagonal contributions as vectors: index 0 is
+            # the intercept (x_0 = 1), 1..d the centered covariates
+            vec = cur.select(
+                *group_cols,
+                F.col("__bv"),
+                array_to_vector(
+                    F.concat(
+                        F.array(r),
+                        F.transform(F.col("__cv"), lambda x: x * r),
+                    ),
+                ).alias("__ucv"),
+                array_to_vector(
+                    F.concat(
+                        F.array(w),
+                        F.transform(F.col("__cv"), lambda x: x * x * w),
+                    ),
+                ).alias("__dcv"),
+            )
+            step = vec.groupBy(*group_cols).agg(
+                F.first("__bv").alias("bv"),
+                Summarizer.sum(F.col("__ucv")).alias("__usum"),
+                Summarizer.sum(F.col("__dcv")).alias("__dsum"),
+            ).select(
+                *group_cols, "bv",
+                vector_to_array(F.col("__usum")).alias("uv"),
+                vector_to_array(F.col("__dsum")).alias("dv"),
+            )
         # elementwise Jacobi step over the zipped (b, U, D) triples;
         # the 2-arg transform lambda receives (element, index)
         upd = F.expr(
