@@ -597,3 +597,187 @@ class TestStreamingProfileBoundary:
                     <= 5.0
         finally:
             shutil.rmtree(path, ignore_errors=True)
+
+
+def _fg_numpy(rows, iters, k):
+    """Independent Fine-Gray reference: per-subject IPCW risk-set loops
+    (weights G(t-)/G(T_i-), left-limit censoring KM), Breslow ties,
+    readout at final beta — deliberately NOT the suffix+prefix
+    decomposition the operator uses."""
+    T = np.array([r[0] for r in rows])
+    C = np.array([r[1] for r in rows])
+    X = np.array([[r[2 + j] for j in range(k)] for r in rows])
+    times = np.sort(np.unique(T))
+    Gm = {}
+    g = 1.0
+    for t in times:
+        Gm[t] = g
+        r = (T >= t).sum()
+        c = ((T == t) & (C == 0)).sum()
+        if c > 0:
+            frac = 1 - c / r
+            g = g * frac if frac > 0 else g * np.exp(-745)
+    beta = np.zeros(k)
+    ev_times = np.sort(np.unique(T[C == 1]))
+    last = None
+    for _ in range(iters + 1):
+        U = np.zeros(k)
+        A = np.zeros((k, k))
+        ll = 0.0
+        w = np.exp(np.minimum(X @ beta, 700))
+        for t in ev_times:
+            wt = np.where(T >= t, 1.0, 0.0)
+            late = (C == 2) & (T < t)
+            wt[late] = Gm[t] / np.array([Gm[ti] for ti in T[late]])
+            dm = (T == t) & (C == 1)
+            dt = dm.sum()
+            ww = wt * w
+            S0 = ww.sum()
+            S1 = (ww[:, None] * X).sum(0)
+            S2 = np.einsum("i,ij,il->jl", ww, X, X)
+            U += X[dm].sum(0) - dt * S1 / S0
+            A += dt * (S2 / S0 - np.outer(S1 / S0, S1 / S0))
+            ll += (X[dm] @ beta).sum() - dt * np.log(S0)
+        last = (beta.copy(), A.copy(), ll)
+        beta = beta + np.linalg.solve(A, U)
+    b, A, ll = last
+    return b, np.sqrt(np.diag(np.linalg.inv(A))), ll
+
+
+def _mk_competing(rng, n, k=1):
+    rows = []
+    for _ in range(n):
+        xs = [round(rng.gauss(0, 1), 3) for _ in range(k)]
+        t = round(rng.expovariate(0.15) + 0.5, 3)
+        u = rng.random()
+        cause = 1 if u < 0.4 else (2 if u < 0.65 else 0)
+        rows.append((t, cause, *xs))
+    return rows
+
+
+class TestFineGray:
+    def test_single_covariate_numpy_golden(self, spark):
+        import random
+
+        from woodwork_spark.operators.timeseries import fine_gray_fit
+
+        rng = random.Random(21)
+        rows = _mk_competing(rng, 250)
+        b, se, ll = _fg_numpy(rows, 6, 1)
+        df = spark.createDataFrame(rows, "t double, cause int, x double")
+        r = fine_gray_fit(df, "t", "cause", "x", iters=6).collect()[0]
+        assert r["beta"] == pytest.approx(b[0], abs=1e-9)
+        assert r["se"] == pytest.approx(se[0], abs=1e-9)
+        assert r["loglik"] == pytest.approx(ll, abs=1e-8)
+        assert r["n"] == 250
+
+    def test_multi_covariate_grouped_numpy_golden(self, spark):
+        import random
+
+        from woodwork_spark.operators.timeseries import fine_gray_fit
+
+        rng = random.Random(31)
+        ga = _mk_competing(rng, 220, k=2)
+        gb = _mk_competing(rng, 180, k=2)
+        na = _fg_numpy(ga, 5, 2)
+        nb = _fg_numpy(gb, 5, 2)
+        rows = [("a", *r) for r in ga] + [("b", *r) for r in gb]
+        df = spark.createDataFrame(
+            rows, "g string, t double, cause int, x1 double, x2 double",
+        )
+        out = {
+            r["g"]: r
+            for r in fine_gray_fit(
+                df, "t", "cause", ["x1", "x2"], group_cols="g", iters=5,
+            ).collect()
+        }
+        for g, (b, se, ll) in (("a", na), ("b", nb)):
+            r = out[g]
+            for j, nm in enumerate(["x1", "x2"]):
+                assert r[f"beta_{nm}"] == pytest.approx(b[j], abs=1e-9)
+                assert r[f"se_{nm}"] == pytest.approx(se[j], abs=1e-9)
+            assert r["loglik"] == pytest.approx(ll, abs=1e-8)
+
+    def test_no_competing_reduces_to_cox(self, spark):
+        """With zero competing events the Fine-Gray risk set IS the Cox
+        risk set — the fits must agree exactly."""
+        import random
+
+        from woodwork_spark.operators.timeseries import (
+            cox_ph_fit,
+            fine_gray_fit,
+        )
+
+        rng = random.Random(5)
+        rows = [
+            (round(rng.expovariate(0.1) + 1, 3),
+             1 if rng.random() < 0.6 else 0,
+             round(rng.gauss(0, 1), 3))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(rows, "t double, cause int, x double")
+        fg = fine_gray_fit(df, "t", "cause", "x", iters=5).collect()[0]
+        cox = cox_ph_fit(
+            df.withColumn("ev", (F.col("cause") == 1).cast("double")),
+            "t", "ev", "x", iters=5,
+        ).collect()[0]
+        assert fg["beta"] == pytest.approx(cox["beta"], abs=1e-9)
+        assert fg["se"] == pytest.approx(cox["se"], abs=1e-9)
+        assert fg["loglik"] == pytest.approx(cox["loglik"], abs=1e-8)
+
+    def test_no_censoring_equals_infinite_followup_cox(self, spark):
+        """With no censoring, every IPCW weight is 1: Fine-Gray equals
+        a standard Cox where competing subjects stay at risk forever
+        (time pushed past the last event, event flag 0)."""
+        import random
+
+        from woodwork_spark.operators.timeseries import (
+            cox_ph_fit,
+            fine_gray_fit,
+        )
+
+        rng = random.Random(13)
+        rows = [
+            (round(rng.expovariate(0.15) + 0.5, 3),
+             1 if rng.random() < 0.55 else 2,
+             round(rng.gauss(0, 1), 3))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(rows, "t double, cause int, x double")
+        fg = fine_gray_fit(df, "t", "cause", "x", iters=5).collect()[0]
+        tmax = max(r[0] for r in rows)
+        shifted = df.select(
+            F.when(F.col("cause") == 2, F.lit(tmax + 100.0))
+            .otherwise(F.col("t")).alias("t"),
+            (F.col("cause") == 1).cast("double").alias("ev"),
+            "x",
+        )
+        cox = cox_ph_fit(shifted, "t", "ev", "x", iters=5).collect()[0]
+        assert fg["beta"] == pytest.approx(cox["beta"], abs=1e-9)
+        assert fg["se"] == pytest.approx(cox["se"], abs=1e-9)
+
+    def test_ungrouped_plan_no_singlepartition_windows(self, spark):
+        import random
+
+        from woodwork_spark.operators.timeseries import fine_gray_fit
+
+        rng = random.Random(9)
+        rows = _mk_competing(rng, 300)
+        df = spark.createDataFrame(rows, "t double, cause int, x double")
+        res = fine_gray_fit(df, "t", "cause", "x", iters=2)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        for c in _single_partition_consumers(plan):
+            assert "Window" not in c and "Sort" not in c, c
+
+    def test_release_frees_caches(self, spark):
+        import random
+
+        from woodwork_spark.lifecycle import release
+        from woodwork_spark.operators.timeseries import fine_gray_fit
+
+        rng = random.Random(3)
+        rows = _mk_competing(rng, 100)
+        df = spark.createDataFrame(rows, "t double, cause int, x double")
+        out = fine_gray_fit(df, "t", "cause", "x", iters=2)
+        out.collect()
+        assert release(out) >= 1

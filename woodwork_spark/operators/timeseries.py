@@ -2045,6 +2045,337 @@ def cox_ph_fit_tv(
     return attach_persisted(res, *caches)
 
 
+def fine_gray_fit(
+    df: DataFrame,
+    time_col: str,
+    cause_col: str,
+    x_col,
+    group_cols=(),
+    iters: int = 6,
+    event_cause=1,
+    censor_cause=0,
+) -> DataFrame:
+    """Fine-Gray competing-risks REGRESSION — the subdistribution-hazard
+    model behind "which covariates move the CUMULATIVE INCIDENCE of
+    cause 1 when cause 2 competes?"  (:func:`cumulative_incidence` is
+    the estimator; this is its regression member, the standard
+    complement to cause-specific Cox when the question is absolute
+    risk.)  ``cause_col``: ``censor_cause`` = censored,
+    ``event_cause`` = the event modeled, anything else = competing.
+
+    The Fine-Gray risk set keeps competing-event subjects at risk
+    FOREVER after their event, down-weighted by the IPCW censoring
+    weight ``w_i(t) = G(t-) / G(T_i-)`` (G = censoring Kaplan-Meier,
+    left limits).  The distributed insight: those weighted risk sums
+    split into
+
+    ``S*(t) = sum_{T_i >= t} e^(b'x)            (a SUFFIX sum)
+            + G(t-) * sum_{competing, T_i < t}
+                      e^(b'x) / G(T_i-)          (a PREFIX sum)``
+
+    so each Newton round is ONE cell collapse per (group, distinct
+    time) + TWO window passes over cells (descending-inclusive for the
+    at-risk part, ascending-EXCLUSIVE for the competing part) — the
+    exact :func:`cox_ph_fit` shape plus one extra window; ``G(t-)``
+    itself is beta-free, computed ONCE via the KM log-sum telescoping
+    and joined onto the persisted base.  Ungrouped fits route every
+    running sum through ``rank.global_prefix_sums`` (no
+    SinglePartition except the final one-row fold).
+
+    ``G(T_i-) > 0`` always holds at observed times (subject i is
+    itself still at risk at ``T_i-``), so the weights are finite by
+    construction.  Ties are Breslow.  Returns the :func:`cox_ph_fit`
+    schema (slim for one covariate, wide for a list); the reported
+    ``se`` is the MODEL-BASED (inverse-information) standard error of
+    the pseudo-partial likelihood — Fine & Gray's sandwich variance
+    (which accounts for the estimated weights) is not implemented, so
+    treat p-values as approximate; betas solve the exact Fine-Gray
+    estimating equation.  ``loglik`` is the pseudo-partial
+    log-likelihood (feeds :func:`~woodwork_spark.operators.regression.
+    glm_lrt` for nested-model screens, same caveat).
+    """
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.linalg import (
+        apply_layers,
+        chol_solve_layers,
+        pd_ok,
+    )
+    from woodwork_spark.operators.rank import global_prefix_sums
+    from woodwork_spark.operators.stats_tests import (
+        _std_normal_two_sided_p,
+    )
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    multi = isinstance(x_col, (list, tuple))
+    xs = list(x_col) if multi else [x_col]
+    if not xs or len(set(xs)) != len(xs):
+        raise ValueError("x_col must be a name or non-empty unique list")
+    k = len(xs)
+    group_cols = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    cond = F.col(time_col).isNotNull() & F.col(cause_col).isNotNull()
+    for c in xs:
+        cond = cond & F.col(c).isNotNull()
+    rows = df.filter(cond).select(
+        *group_cols,
+        F.col(time_col).cast("double").alias("__t"),
+        (F.col(cause_col) == F.lit(event_cause))
+        .cast("double").alias("__d1"),
+        (
+            (F.col(cause_col) != F.lit(event_cause))
+            & (F.col(cause_col) != F.lit(censor_cause))
+        ).cast("double").alias("__d2"),
+        (F.col(cause_col) == F.lit(censor_cause))
+        .cast("double").alias("__dc"),
+        *[
+            F.col(c).cast("double").alias(f"__x{j + 1}")
+            for j, c in enumerate(xs)
+        ],
+    )
+    caches = []
+    # ---- censoring KM: G(t-) per distinct-time cell (beta-free) ----
+    ccells = rows.groupBy(*group_cols, "__t").agg(
+        F.count(F.lit(1)).alias("__nt"),
+        F.sum("__dc").alias("__ct"),
+    )
+    if group_cols:
+        w_desc = (
+            W.partitionBy(*group_cols).orderBy(F.desc("__t"))
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        ccells = ccells.withColumn("__rt", F.sum("__nt").over(w_desc))
+    else:
+        ccells = global_prefix_sums(
+            ccells, [F.desc("__t")], ["__nt"], out_cols=["__rt"],
+            inclusive=True, small_threshold=0,
+        )
+        caches.extend(persisted_frames(ccells))
+    frac = 1.0 - F.col("__ct") / F.col("__rt")
+    gstep = F.when(
+        F.col("__ct") > 0,
+        F.when(frac > 0, F.log(frac)).otherwise(F.lit(-745.0)),
+    ).otherwise(F.lit(0.0))
+    ccells = ccells.withColumn("__gstep", gstep)
+    if group_cols:
+        w_asc_ex = (
+            W.partitionBy(*group_cols).orderBy(F.asc("__t"))
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        ccells = ccells.withColumn(
+            "__lgm", F.coalesce(F.sum("__gstep").over(w_asc_ex), F.lit(0.0)),
+        )
+    else:
+        ccells = global_prefix_sums(
+            ccells, [F.asc("__t")], ["__gstep"], out_cols=["__lgm"],
+            inclusive=False, small_threshold=0,
+        )
+        caches.extend(persisted_frames(ccells))
+    gm = ccells.select(
+        *group_cols, "__t", F.exp(F.col("__lgm")).alias("__gm"),
+    )
+    # persisted base: subject rows + their cell's G(t-) — every Newton
+    # round re-reads this frame
+    base = rows.join(gm, [*group_cols, "__t"]).persist()
+    caches.append(base)
+    bnames = [f"__b{j + 1}" for j in range(k)]
+
+    def _risk_cells(bdf):
+        if group_cols:
+            cur = base.join(F.broadcast(bdf), group_cols)
+        else:
+            cur = base.crossJoin(F.broadcast(bdf))
+        eta = None
+        for j in range(k):
+            term = F.col(bnames[j]) * F.col(f"__x{j + 1}")
+            eta = term if eta is None else eta + term
+        eta = F.least(F.lit(700.0), eta)
+        ew = F.exp(eta)
+        mw = F.col("__d2") * ew / F.col("__gm")
+        cell_aggs = [
+            F.count(F.lit(1)).alias("__nc"),
+            F.sum("__d1").alias("__dt"),
+            F.max("__gm").alias("__gm"),
+            F.sum(ew).alias("__e0"),
+            F.sum(mw).alias("__m0"),
+        ]
+        ecols, acols = ["__e0"], ["__A0"]
+        mcols, bcols = ["__m0"], ["__B0"]
+        for j in range(k):
+            cell_aggs.append(
+                F.sum(F.col("__d1") * F.col(f"__x{j + 1}"))
+                .alias(f"__dx{j}"),
+            )
+            cell_aggs.append(
+                F.sum(F.col(f"__x{j + 1}") * ew).alias(f"__e1_{j}"),
+            )
+            cell_aggs.append(
+                F.sum(F.col(f"__x{j + 1}") * mw).alias(f"__m1_{j}"),
+            )
+            ecols.append(f"__e1_{j}")
+            acols.append(f"__A1_{j}")
+            mcols.append(f"__m1_{j}")
+            bcols.append(f"__B1_{j}")
+        for i in range(k):
+            for j in range(i + 1):
+                xx = F.col(f"__x{i + 1}") * F.col(f"__x{j + 1}")
+                cell_aggs.append(F.sum(xx * ew).alias(f"__e2_{i}_{j}"))
+                cell_aggs.append(F.sum(xx * mw).alias(f"__m2_{i}_{j}"))
+                ecols.append(f"__e2_{i}_{j}")
+                acols.append(f"__A2_{i}_{j}")
+                mcols.append(f"__m2_{i}_{j}")
+                bcols.append(f"__B2_{i}_{j}")
+        cells = cur.groupBy(*group_cols, "__t").agg(
+            *[F.max(b).alias(b) for b in bnames],
+            *cell_aggs,
+        )
+        if group_cols:
+            w_desc = (
+                W.partitionBy(*group_cols).orderBy(F.desc("__t"))
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+            w_asc_ex = (
+                W.partitionBy(*group_cols).orderBy(F.asc("__t"))
+                .rowsBetween(W.unboundedPreceding, -1)
+            )
+            for vc, oc in zip(ecols, acols):
+                cells = cells.withColumn(oc, F.sum(vc).over(w_desc))
+            for vc, oc in zip(mcols, bcols):
+                cells = cells.withColumn(
+                    oc,
+                    F.coalesce(F.sum(vc).over(w_asc_ex), F.lit(0.0)),
+                )
+        else:
+            cells = global_prefix_sums(
+                cells, [F.desc("__t")], ecols, out_cols=acols,
+                inclusive=True, small_threshold=0,
+            )
+            caches.extend(persisted_frames(cells))
+            cells = global_prefix_sums(
+                cells, [F.asc("__t")], mcols, out_cols=bcols,
+                inclusive=False, small_threshold=0,
+            )
+            caches.extend(persisted_frames(cells))
+        # S* = A* + G(t-) * B*
+        s_exprs = [
+            (F.col(a) + F.col("__gm") * F.col(b)).alias(
+                a.replace("__A", "__S"),
+            )
+            for a, b in zip(acols, bcols)
+        ]
+        return cells.select(
+            *group_cols, "__t", *bnames, "__nc", "__dt",
+            *[f"__dx{j}" for j in range(k)],
+            *s_exprs,
+        )
+
+    def _fold_aggs():
+        s0 = F.col("__S0")
+        r1 = [
+            F.when(F.col("__dt") > 0, F.col(f"__S1_{j}") / s0)
+            .otherwise(F.lit(0.0))
+            for j in range(k)
+        ]
+        lterm = None
+        for j in range(k):
+            t = F.col(bnames[j]) * F.col(f"__dx{j}")
+            lterm = t if lterm is None else lterm + t
+        aggs = [
+            F.sum("__nc").alias("__n"),
+            F.sum("__dt").alias("__ne"),
+            F.sum(
+                F.when(
+                    F.col("__dt") > 0,
+                    lterm - F.col("__dt") * F.log(s0),
+                ).otherwise(F.lit(0.0)),
+            ).alias("__ll"),
+        ]
+        for j in range(k):
+            aggs.append(
+                F.sum(
+                    F.col(f"__dx{j}") - F.col("__dt") * r1[j],
+                ).alias(f"__u{j}"),
+            )
+        for i in range(k):
+            for j in range(i + 1):
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            F.col("__dt") > 0,
+                            F.col("__dt")
+                            * (F.col(f"__S2_{i}_{j}") / s0
+                               - r1[i] * r1[j]),
+                        ).otherwise(F.lit(0.0)),
+                    ).alias(f"__a_{i}_{j}"),
+                )
+        return aggs
+
+    beta_df = base.groupBy(*group_cols).agg(
+        *[F.lit(0.0).alias(b) for b in bnames],
+    )
+    a_name = lambda i, j: f"__a_{i}_{j}"  # noqa: E731
+    for it in range(int(iters)):
+        cells = _risk_cells(beta_df)
+        step = cells.groupBy(*group_cols).agg(
+            *[F.max(b).alias(b) for b in bnames],
+            *_fold_aggs(),
+        )
+        layers, sol, piv = chol_solve_layers(
+            k, a_name, {"s": [f"__u{j}" for j in range(k)]},
+            pref=f"__fg{it}",
+        )
+        solved = apply_layers(step, layers)
+        ok = pd_ok(piv)
+        beta_df = solved.select(
+            *group_cols,
+            *[
+                F.when(
+                    ok, F.col(bnames[j]) + F.col(sol["s"][j]),
+                ).otherwise(F.col(bnames[j])).alias(bnames[j])
+                for j in range(k)
+            ],
+        ).localCheckpoint(eager=True)
+    cells = _risk_cells(beta_df)
+    out = cells.groupBy(*group_cols).agg(
+        *[F.max(b).alias(b) for b in bnames],
+        *_fold_aggs(),
+    )
+    rhs = {
+        f"e{j}": [1.0 if m == j else 0.0 for m in range(k)]
+        for j in range(k)
+    }
+    layers, sol, piv = chol_solve_layers(k, a_name, rhs, pref="__se")
+    solved = apply_layers(out, layers)
+    ok = pd_ok(piv) & (F.col("__ne") > 0)
+    cols = [
+        F.col("__n").cast("long").alias("n"),
+        F.col("__ne").cast("long").alias("n_events"),
+    ]
+    if not multi:
+        se = F.sqrt(F.col(sol["e0"][0]))
+        z = F.col(bnames[0]) / se
+        cols += [
+            F.when(ok, F.col(bnames[0])).alias("beta"),
+            F.when(ok, se).alias("se"),
+            F.when(ok, z).alias("z_stat"),
+            F.when(ok, _std_normal_two_sided_p(z)).alias("p_approx"),
+        ]
+    else:
+        for j, name in enumerate(xs):
+            se = F.sqrt(F.col(sol[f"e{j}"][j]))
+            z = F.col(bnames[j]) / se
+            cols += [
+                F.when(ok, F.col(bnames[j])).alias(f"beta_{name}"),
+                F.when(ok, se).alias(f"se_{name}"),
+                F.when(ok, z).alias(f"z_{name}"),
+                F.when(ok, _std_normal_two_sided_p(z)).alias(f"p_{name}"),
+            ]
+    cols.append(F.when(ok, F.col("__ll")).alias("loglik"))
+    res = solved.select(*group_cols, *cols)
+    return attach_persisted(res, *caches)
+
+
 def cox_risk_score(
     df: DataFrame,
     model: DataFrame,
