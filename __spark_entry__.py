@@ -23891,3 +23891,211 @@ def _ridge_logistic_oracle(iters: int = 8, lam: float = 1.0) -> str:
 
 ORACLE["wide_classifier"] = _ridge_logistic_oracle()
 QUERIES["wide_classifier"] = q_wide_classifier
+
+
+def q_fine_gray(spark, sf_dir):
+    """Fine-Gray subdistribution-hazard regression: does activity
+    volume move the CUMULATIVE INCIDENCE of purchase when
+    heavy-browsing churn competes?  Causes: 1 = purchased, 2 =
+    churned (no purchase, event count divisible by 3 — a
+    deterministic competing subset), 0 = censored.  Competing
+    subjects stay in the risk set after their event with IPCW weight
+    G(t-)/G(T_i-) — the risk sums split into a suffix window (at
+    risk) plus G(t-) x an ascending-EXCLUSIVE prefix window
+    (weighted competing mass), which is how the operator distributes
+    (timeseries.fine_gray_fit).  The oracle replays the censoring KM
+    and every Newton round over the identical distinct-time cells."""
+    from woodwork_spark.operators.timeseries import fine_gray_fit
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+        F.count(F.lit(1)).alias("__ne"),
+    )
+    data = per_user.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(
+            F.col("__p").isNotNull(),
+            (F.unix_micros("__p") - F.unix_micros("__t0")) / F.lit(3.6e9),
+        ).otherwise(
+            (F.unix_micros("__last") - F.unix_micros("__t0"))
+            / F.lit(3.6e9),
+        ).alias("t"),
+        F.when(F.col("__p").isNotNull(), F.lit(1))
+        .when(F.col("__ne") % 3 == 0, F.lit(2))
+        .otherwise(F.lit(0)).alias("cause"),
+        F.log1p(F.col("__ne").cast("double")).alias("x"),
+    ).filter(F.col("t") > 0)
+    out = fine_gray_fit(
+        data, "t", "cause", "x", group_cols="cohort", iters=4,
+    )
+    return out.select(
+        "cohort", "n", "n_events",
+        _ravg(F.col("beta"), 6).alias("beta"),
+        _ravg(F.col("se"), 6).alias("se"),
+        _ravg(F.col("z_stat"), 5).alias("z_stat"),
+        _ravg(F.col("p_approx"), 6).alias("p_approx"),
+        _ravg(F.col("loglik"), 4).alias("loglik"),
+    ).orderBy("cohort")
+
+
+def _fine_gray_oracle(iters: int = 4) -> str:
+    data = """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(ts) AS t0,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+                   max(ts) AS lastts,
+                   count(*) AS ne
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ),
+        data0 AS (
+            SELECT user_id % 2 AS cohort,
+                   epoch_us(coalesce(p, lastts) - t0) / 3.6e9 AS t,
+                   CASE WHEN p IS NOT NULL THEN 1
+                        WHEN ne % 3 = 0 THEN 2 ELSE 0 END AS cause,
+                   ln(1.0 + ne) AS x
+            FROM per_user
+            WHERE epoch_us(coalesce(p, lastts) - t0) / 3.6e9 > 0
+        ),
+        -- censoring KM, left limits: G(t-) per distinct-time cell
+        gcells AS (
+            SELECT cohort, t, count(*) AS nt,
+                   sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS ct
+            FROM data0 GROUP BY cohort, t
+        ),
+        grisk AS (
+            SELECT cohort, t, ct,
+                   sum(nt) OVER (PARTITION BY cohort ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS rt
+            FROM gcells
+        ),
+        gkm AS MATERIALIZED (
+            SELECT cohort, t,
+                   exp(coalesce(sum(
+                       CASE WHEN ct > 0 THEN
+                           CASE WHEN 1.0 - ct * 1.0 / rt > 0
+                                THEN ln(1.0 - ct * 1.0 / rt)
+                                ELSE -745.0 END
+                       ELSE 0.0 END) OVER (
+                       PARTITION BY cohort ORDER BY t ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0.0)) AS gm
+            FROM grisk
+        ),
+        data AS MATERIALIZED (
+            SELECT d.cohort, d.t, d.cause, d.x, g.gm
+            FROM data0 d JOIN gkm g ON d.cohort = g.cohort AND d.t = g.t
+        ),
+        b0 AS (SELECT cohort, 0.0 AS beta FROM data GROUP BY cohort)
+    """
+    cell_step = """
+            SELECT d.cohort, d.t, max(b.beta) AS beta,
+                   max(d.gm) AS gm,
+                   count(*) AS nc,
+                   sum(CASE WHEN d.cause = 1 THEN 1.0 ELSE 0.0 END) AS dt,
+                   sum(CASE WHEN d.cause = 1 THEN d.x ELSE 0.0 END) AS dx,
+                   sum(exp(b.beta * d.x)) AS e0,
+                   sum(d.x * exp(b.beta * d.x)) AS e1,
+                   sum(d.x * d.x * exp(b.beta * d.x)) AS e2,
+                   sum(CASE WHEN d.cause = 2
+                       THEN exp(b.beta * d.x) / d.gm ELSE 0.0 END) AS m0,
+                   sum(CASE WHEN d.cause = 2
+                       THEN d.x * exp(b.beta * d.x) / d.gm
+                       ELSE 0.0 END) AS m1,
+                   sum(CASE WHEN d.cause = 2
+                       THEN d.x * d.x * exp(b.beta * d.x) / d.gm
+                       ELSE 0.0 END) AS m2
+            FROM data d JOIN b{i} b USING (cohort)
+            GROUP BY d.cohort, d.t
+    """
+    wind = """
+            SELECT cohort, t, beta, gm, nc, dt, dx,
+                   sum(e0) OVER wd + gm * coalesce(
+                       sum(m0) OVER wa, 0.0) AS s0,
+                   sum(e1) OVER wd + gm * coalesce(
+                       sum(m1) OVER wa, 0.0) AS s1,
+                   sum(e2) OVER wd + gm * coalesce(
+                       sum(m2) OVER wa, 0.0) AS s2
+            FROM cell{i}
+            WINDOW wd AS (PARTITION BY cohort ORDER BY t DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW),
+                   wa AS (PARTITION BY cohort ORDER BY t ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING)
+    """
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+        , cell{i} AS ({cell_step.format(i=i)})
+        , wind{i} AS ({wind.format(i=i).replace('cell{i}', f'cell{i}')})
+        , b{i + 1} AS (
+            SELECT cohort,
+                   CASE WHEN sum(CASE WHEN dt > 0 THEN
+                                 dt * (s2 / s0 - (s1 / s0) * (s1 / s0))
+                                 ELSE 0.0 END) > 0
+                        THEN max(beta)
+                             + sum(dx - dt * CASE WHEN dt > 0
+                                   THEN s1 / s0 ELSE 0.0 END)
+                               / sum(CASE WHEN dt > 0 THEN
+                                     dt * (s2 / s0 - (s1 / s0) * (s1 / s0))
+                                     ELSE 0.0 END)
+                        ELSE max(beta) END AS beta
+            FROM wind{i} GROUP BY cohort
+        )""")
+    final = f"""
+        , cellF AS ({cell_step.format(i=iters)})
+        , windF AS ({wind.replace('cell{i}', 'cellF')})
+        , agg AS (
+            SELECT cohort,
+                   CAST(sum(nc) AS BIGINT) AS n,
+                   CAST(sum(dt) AS BIGINT) AS n_events,
+                   max(beta) AS beta,
+                   sum(CASE WHEN dt > 0 THEN
+                       dt * (s2 / s0 - (s1 / s0) * (s1 / s0))
+                       ELSE 0.0 END) AS info,
+                   sum(CASE WHEN dt > 0 THEN beta * dx - dt * ln(s0)
+                       ELSE 0.0 END) AS ll
+            FROM windF GROUP BY cohort
+        ),
+        wald AS (
+            SELECT cohort, n, n_events, beta, ll,
+                   1.0 / sqrt(info) AS se,
+                   beta * sqrt(info) AS zv,
+                   abs(beta * sqrt(info)) / sqrt(2.0) AS xx,
+                   1.0 / (1.0 + 0.3275911
+                          * abs(beta * sqrt(info)) / sqrt(2.0)) AS tt,
+                   info
+            FROM agg
+        )
+        SELECT cohort, n, n_events,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN beta END
+                     + 0.0000001, 6) AS beta,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN se END
+                     + 0.0000001, 6) AS se,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN zv END
+                     + 0.0000001, 5) AS z_stat,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN
+                   least(1.0, greatest(0.0,
+                       (0.254829592 * tt - 0.284496736 * tt * tt
+                        + 1.421413741 * tt * tt * tt
+                        - 1.453152027 * tt * tt * tt * tt
+                        + 1.061405429 * tt * tt * tt * tt * tt)
+                       * exp(-xx * xx))) END
+                     + 0.0000001, 6) AS p_approx,
+               round(CASE WHEN n_events > 0 AND info > 0 THEN ll END
+                     + 0.0000001, 4) AS loglik
+        FROM wald ORDER BY cohort
+    """
+    return data + "".join(steps) + final
+
+
+ORACLE["fine_gray"] = _fine_gray_oracle()
+QUERIES["fine_gray"] = q_fine_gray
