@@ -24099,3 +24099,152 @@ def _fine_gray_oracle(iters: int = 4) -> str:
 
 ORACLE["fine_gray"] = _fine_gray_oracle()
 QUERIES["fine_gray"] = q_fine_gray
+
+
+def q_gray_test(spark, sf_dir):
+    """Gray-type test for equality of purchase CUMULATIVE INCIDENCE
+    between cohorts under competing churn — the question q:logrank
+    cannot answer (log-rank compares cause-specific hazards; the
+    competing cause can silently differ).  Fine-Gray score test at
+    beta = 0: IPCW-weighted counts through the suffix + prefix window
+    pair, exact 1-df chi-square p.  Same cause construction as
+    q:fine_gray; the oracle replays the pooled censoring KM and the
+    single window pass over identical distinct-time cells."""
+    from woodwork_spark.operators.timeseries import gray_score_test
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+        ).alias("__p"),
+        F.max("ts").alias("__last"),
+        F.count(F.lit(1)).alias("__ne"),
+    )
+    data = per_user.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(
+            F.col("__p").isNotNull(),
+            (F.unix_micros("__p") - F.unix_micros("__t0")) / F.lit(3.6e9),
+        ).otherwise(
+            (F.unix_micros("__last") - F.unix_micros("__t0"))
+            / F.lit(3.6e9),
+        ).alias("t"),
+        F.when(F.col("__p").isNotNull(), F.lit(1))
+        .when(F.col("__ne") % 3 == 0, F.lit(2))
+        .otherwise(F.lit(0)).alias("cause"),
+    ).filter(F.col("t") > 0)
+    out = gray_score_test(data, "t", "cause", "cohort", 0, 1)
+    return out.select(
+        "n_a", "n_b", "events_a", "events_b",
+        _ravg(F.col("o_minus_e"), 6).alias("o_minus_e"),
+        _ravg(F.col("variance"), 6).alias("variance"),
+        _ravg(F.col("chi2"), 6).alias("chi2"),
+        _ravg(F.col("p_value"), 6).alias("p_value"),
+    )
+
+
+ORACLE["gray_test"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+               max(ts) AS lastts,
+               count(*) AS ne
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    data0 AS (
+        SELECT user_id % 2 AS cohort,
+               epoch_us(coalesce(p, lastts) - t0) / 3.6e9 AS t,
+               CASE WHEN p IS NOT NULL THEN 1
+                    WHEN ne % 3 = 0 THEN 2 ELSE 0 END AS cause
+        FROM per_user
+        WHERE epoch_us(coalesce(p, lastts) - t0) / 3.6e9 > 0
+    ),
+    gcells AS (
+        SELECT t, count(*) AS nt,
+               sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS ct
+        FROM data0 GROUP BY t
+    ),
+    grisk AS (
+        SELECT t, ct,
+               sum(nt) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS rt
+        FROM gcells
+    ),
+    gkm AS MATERIALIZED (
+        SELECT t,
+               exp(coalesce(sum(
+                   CASE WHEN ct > 0 THEN
+                       CASE WHEN 1.0 - ct * 1.0 / rt > 0
+                            THEN ln(1.0 - ct * 1.0 / rt)
+                            ELSE -745.0 END
+                   ELSE 0.0 END) OVER (ORDER BY t ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0.0)) AS gm
+        FROM grisk
+    ),
+    cells AS (
+        SELECT d.t, max(g.gm) AS gm,
+               sum(CASE WHEN d.cause = 1 THEN 1.0 ELSE 0.0 END) AS dt,
+               sum(CASE WHEN d.cause = 1 AND d.cohort = 1
+                   THEN 1.0 ELSE 0.0 END) AS dxb,
+               count(*) AS e0,
+               sum(CASE WHEN d.cohort = 1 THEN 1.0 ELSE 0.0 END) AS e1,
+               sum(CASE WHEN d.cause = 2 THEN 1.0 / g.gm
+                   ELSE 0.0 END) AS m0,
+               sum(CASE WHEN d.cause = 2 AND d.cohort = 1
+                   THEN 1.0 / g.gm ELSE 0.0 END) AS m1,
+               sum(CASE WHEN d.cohort = 0 THEN 1 ELSE 0 END) AS na_c,
+               sum(CASE WHEN d.cohort = 1 THEN 1 ELSE 0 END) AS nb_c,
+               sum(CASE WHEN d.cause = 1 AND d.cohort = 0
+                   THEN 1 ELSE 0 END) AS ea_c,
+               sum(CASE WHEN d.cause = 1 AND d.cohort = 1
+                   THEN 1 ELSE 0 END) AS eb_c
+        FROM data0 d JOIN gkm g USING (t)
+        GROUP BY d.t
+    ),
+    wind AS (
+        SELECT t, gm, dt, dxb, na_c, nb_c, ea_c, eb_c,
+               sum(e0) OVER wd + gm * coalesce(sum(m0) OVER wa, 0.0) AS s0,
+               sum(e1) OVER wd + gm * coalesce(sum(m1) OVER wa, 0.0) AS s1
+        FROM cells
+        WINDOW wd AS (ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wa AS (ORDER BY t ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    agg AS (
+        SELECT CAST(sum(na_c) AS BIGINT) AS n_a,
+               CAST(sum(nb_c) AS BIGINT) AS n_b,
+               CAST(sum(ea_c) AS BIGINT) AS events_a,
+               CAST(sum(eb_c) AS BIGINT) AS events_b,
+               sum(dxb - dt * CASE WHEN dt > 0 THEN s1 / s0
+                                   ELSE 0.0 END) AS u,
+               sum(CASE WHEN dt > 0 THEN
+                   dt * (s1 / s0) * (1.0 - s1 / s0)
+                   ELSE 0.0 END) AS v
+        FROM wind
+    )
+    SELECT n_a, n_b, events_a, events_b,
+           round(u + 0.0000001, 6) AS o_minus_e,
+           round(CASE WHEN v > 0 THEN v END + 0.0000001, 6) AS variance,
+           round(CASE WHEN v > 0 THEN u * u / v END
+                 + 0.0000001, 6) AS chi2,
+           round(CASE WHEN v > 0 THEN
+               least(1.0, greatest(0.0,
+                   (0.254829592 * tt - 0.284496736 * tt * tt
+                    + 1.421413741 * tt * tt * tt
+                    - 1.453152027 * tt * tt * tt * tt
+                    + 1.061405429 * tt * tt * tt * tt * tt)
+                   * exp(-xx * xx))) END
+                 + 0.0000001, 6) AS p_value
+    FROM (SELECT *,
+                 sqrt(u * u / v) / sqrt(2.0) AS xx,
+                 1.0 / (1.0 + 0.3275911 * sqrt(u * u / v)
+                        / sqrt(2.0)) AS tt
+          FROM agg)
+"""
+QUERIES["gray_test"] = q_gray_test

@@ -781,3 +781,85 @@ class TestFineGray:
         out = fine_gray_fit(df, "t", "cause", "x", iters=2)
         out.collect()
         assert release(out) >= 1
+
+
+class TestGrayScoreTest:
+    def test_matches_numpy_ipcw_reference(self, spark):
+        import random
+
+        from woodwork_spark.operators.timeseries import gray_score_test
+
+        rng = random.Random(77)
+        rows = []
+        for i in range(300):
+            g = "a" if i % 2 else "b"
+            t = round(rng.expovariate(0.2 if g == "a" else 0.15) + 0.5, 3)
+            u = rng.random()
+            cause = (
+                1 if u < (0.45 if g == "b" else 0.35)
+                else (2 if u < 0.65 else 0)
+            )
+            rows.append((g, t, cause))
+        T = np.array([r[1] for r in rows])
+        C = np.array([r[2] for r in rows])
+        XB = np.array([1.0 if r[0] == "b" else 0.0 for r in rows])
+        Gm, g = {}, 1.0
+        for t in np.sort(np.unique(T)):
+            Gm[t] = g
+            r = (T >= t).sum()
+            c = ((T == t) & (C == 0)).sum()
+            if c > 0:
+                frac = 1 - c / r
+                g = g * frac if frac > 0 else g * np.exp(-745)
+        U = V = 0.0
+        for t in np.sort(np.unique(T[C == 1])):
+            wt = np.where(T >= t, 1.0, 0.0)
+            late = (C == 2) & (T < t)
+            wt[late] = Gm[t] / np.array([Gm[ti] for ti in T[late]])
+            dm = (T == t) & (C == 1)
+            dt = dm.sum()
+            S0, S1 = wt.sum(), (wt * XB).sum()
+            U += XB[dm].sum() - dt * S1 / S0
+            V += dt * (S1 / S0) * (1 - S1 / S0)
+        df = spark.createDataFrame(rows, "g string, t double, cause int")
+        r = gray_score_test(df, "t", "cause", "g", "a", "b").collect()[0]
+        assert r["o_minus_e"] == pytest.approx(U, abs=1e-9)
+        assert r["variance"] == pytest.approx(V, abs=1e-9)
+        assert r["chi2"] == pytest.approx(U * U / V, abs=1e-9)
+        assert r["n_a"] == 150 and r["n_b"] == 150
+
+    def test_no_competing_equals_logrank_chi2_direction(self, spark):
+        """With zero competing events the Gray score test IS the
+        log-rank score test (same U; the variance is the score-test
+        form, equal to the hypergeometric one without ties-correction
+        when each cell has d <= 1)."""
+        import random
+
+        from woodwork_spark.operators.timeseries import gray_score_test, logrank_test
+
+        rng = random.Random(41)
+        rows = []
+        used = set()
+        for i in range(240):
+            g = "a" if i % 2 else "b"
+            # unique times -> every cell has d = 1, where the
+            # information and hypergeometric variances coincide
+            while True:
+                t = round(rng.expovariate(0.2) + rng.random() * 1e-3, 6)
+                if t not in used:
+                    used.add(t)
+                    break
+            cause = 1 if rng.random() < 0.6 else 0
+            rows.append((g, t, cause))
+        df = spark.createDataFrame(rows, "g string, t double, cause int")
+        gray = gray_score_test(df, "t", "cause", "g", "a", "b").collect()[0]
+        lr = logrank_test(
+            df.withColumn("ev", (F.col("cause") == 1).cast("int")),
+            "t", "ev", "g", "a", "b",
+        ).collect()[0]
+        # logrank folds O-E on group a; the score test uses group b —
+        # same magnitude, opposite sign
+        assert abs(gray["o_minus_e"]) == pytest.approx(
+            abs(lr["o_minus_e"]), abs=1e-9,
+        )
+        assert gray["chi2"] == pytest.approx(lr["chi2"], abs=1e-9)

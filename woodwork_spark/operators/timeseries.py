@@ -2376,6 +2376,127 @@ def fine_gray_fit(
     return attach_persisted(res, *caches)
 
 
+def gray_score_test(
+    df: DataFrame,
+    time_col: str,
+    cause_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    event_cause=1,
+    censor_cause=0,
+) -> DataFrame:
+    """Gray-type two-group test for equality of CUMULATIVE INCIDENCE
+    functions under competing risks — the question log-rank cannot
+    answer (log-rank compares cause-specific hazards; two groups can
+    share those yet differ in incidence when the competing cause
+    differs).  Implemented as the SCORE TEST of the Fine-Gray model
+    with the group indicator as its single covariate, evaluated at
+    ``beta = 0``: with ``e^(beta x) = 1`` the subdistribution risk
+    sums collapse to IPCW-weighted COUNTS, so the whole statistic is
+    one cell collapse + the suffix/prefix window pair + one fold —
+    ``U = sum_t (d_bt - d_t S1/S0)``, ``V = sum_t d_t (S1/S0)(1 -
+    S1/S0)``, ``chi2 = U^2 / V`` with the exact 1-df chi-square
+    survival.  (Gray's 1988 statistic uses a martingale variance; the
+    information variance here is the standard score-test form —
+    asymptotically equivalent, documented.)  Returns ONE row:
+    ``(n_a, n_b, events_a, events_b, o_minus_e, variance, chi2,
+    p_value)``."""
+    from woodwork_spark.lifecycle import attach_persisted, persisted_frames
+    from woodwork_spark.operators.rank import global_prefix_sums
+    from woodwork_spark.operators.stats_tests import _chi2_sf
+
+    sub = df.filter(F.col(group_col).isin([group_a, group_b]))
+    rows = sub.filter(
+        F.col(time_col).isNotNull() & F.col(cause_col).isNotNull(),
+    ).select(
+        F.col(time_col).cast("double").alias("__t"),
+        (F.col(cause_col) == F.lit(event_cause))
+        .cast("double").alias("__d1"),
+        (
+            (F.col(cause_col) != F.lit(event_cause))
+            & (F.col(cause_col) != F.lit(censor_cause))
+        ).cast("double").alias("__d2"),
+        (F.col(cause_col) == F.lit(censor_cause))
+        .cast("double").alias("__dc"),
+        (F.col(group_col) == F.lit(group_b))
+        .cast("double").alias("__xb"),
+    )
+    caches = []
+    # censoring KM left limits over the POOLED sample (the Fine-Gray
+    # weight convention for the two-group test)
+    ccells = rows.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__nt"),
+        F.sum("__dc").alias("__ct"),
+    )
+    ccells = global_prefix_sums(
+        ccells, [F.desc("__t")], ["__nt"], out_cols=["__rt"],
+        inclusive=True, small_threshold=0,
+    )
+    caches.extend(persisted_frames(ccells))
+    frac = 1.0 - F.col("__ct") / F.col("__rt")
+    gstep = F.when(
+        F.col("__ct") > 0,
+        F.when(frac > 0, F.log(frac)).otherwise(F.lit(-745.0)),
+    ).otherwise(F.lit(0.0))
+    ccells = ccells.withColumn("__gstep", gstep)
+    ccells = global_prefix_sums(
+        ccells, [F.asc("__t")], ["__gstep"], out_cols=["__lgm"],
+        inclusive=False, small_threshold=0,
+    )
+    caches.extend(persisted_frames(ccells))
+    gm = ccells.select("__t", F.exp(F.col("__lgm")).alias("__gm"))
+    base = rows.join(gm, "__t")
+    # at beta = 0 every e^(beta x) is 1: the cell sums are counts
+    cells = base.groupBy("__t").agg(
+        F.max("__gm").alias("__gm"),
+        F.sum("__d1").alias("__dt"),
+        F.sum(F.col("__d1") * F.col("__xb")).alias("__dxb"),
+        F.count(F.lit(1)).alias("__e0"),
+        F.sum("__xb").alias("__e1"),
+        F.sum(F.col("__d2") / F.col("__gm")).alias("__m0"),
+        F.sum(F.col("__d2") * F.col("__xb") / F.col("__gm")).alias("__m1"),
+        F.sum(F.lit(1.0) - F.col("__xb")).alias("__na_c"),
+        F.sum("__xb").alias("__nb_c"),
+        F.sum(F.col("__d1") * (F.lit(1.0) - F.col("__xb")))
+        .alias("__ea_c"),
+        F.sum(F.col("__d1") * F.col("__xb")).alias("__eb_c"),
+    )
+    cells = global_prefix_sums(
+        cells, [F.desc("__t")], ["__e0", "__e1"],
+        out_cols=["__A0", "__A1"], inclusive=True, small_threshold=0,
+    )
+    caches.extend(persisted_frames(cells))
+    cells = global_prefix_sums(
+        cells, [F.asc("__t")], ["__m0", "__m1"],
+        out_cols=["__B0", "__B1"], inclusive=False, small_threshold=0,
+    )
+    caches.extend(persisted_frames(cells))
+    s0 = F.col("__A0") + F.col("__gm") * F.col("__B0")
+    s1 = F.col("__A1") + F.col("__gm") * F.col("__B1")
+    r1 = F.when(F.col("__dt") > 0, s1 / s0).otherwise(F.lit(0.0))
+    folded = cells.agg(
+        F.sum("__na_c").cast("long").alias("n_a"),
+        F.sum("__nb_c").cast("long").alias("n_b"),
+        F.sum("__ea_c").cast("long").alias("events_a"),
+        F.sum("__eb_c").cast("long").alias("events_b"),
+        F.sum(F.col("__dxb") - F.col("__dt") * r1).alias("__u"),
+        F.sum(
+            F.col("__dt") * r1 * (F.lit(1.0) - r1),
+        ).alias("__v"),
+    )
+    chi2 = F.col("__u") * F.col("__u") / F.col("__v")
+    ok = F.col("__v") > 0
+    res = folded.select(
+        "n_a", "n_b", "events_a", "events_b",
+        F.col("__u").alias("o_minus_e"),
+        F.when(ok, F.col("__v")).alias("variance"),
+        F.when(ok, chi2).alias("chi2"),
+        F.when(ok, _chi2_sf(chi2, 1)).alias("p_value"),
+    )
+    return attach_persisted(res, *caches) if caches else res
+
+
 def cox_risk_score(
     df: DataFrame,
     model: DataFrame,
