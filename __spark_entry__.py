@@ -24248,3 +24248,100 @@ ORACLE["gray_test"] = """
           FROM agg)
 """
 QUERIES["gray_test"] = q_gray_test
+
+
+def q_dsir(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): score every document by
+    the hashed-ngram log importance ratio toward the English-language
+    target slice, then draw a 15-doc Gumbel-top-n importance RESAMPLE
+    — both halves fully deterministic (portable md5 buckets; Gumbel
+    noise from the content-hash uniform), so the oracle replays the
+    models, the per-doc scores AND the exact sample."""
+    from woodwork_spark.operators.sampling import (
+        dsir_log_weights,
+        dsir_sample,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_log_weights(docs, target, "text", "doc_id", k=4096)
+    samp = dsir_sample(w, 15)
+    return samp.select(
+        "id", "n_grams",
+        _ravg(F.col("log_weight"), 6).alias("log_weight"),
+    ).orderBy("id")
+
+
+ORACLE["dsir"] = """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> t <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+               [('0x' || substr(md5(g), 1, 15))::BIGINT % 4096
+                FOR g IN list_concat(
+                    [array_to_string(t[i:i], ' ')
+                     FOR i IN range(1, len(t) + 1)],
+                    CASE WHEN len(t) >= 2 THEN
+                        [array_to_string(t[i:i+1], ' ')
+                         FOR i IN range(1, len(t))]
+                    ELSE [] END)] AS bs
+        FROM toks
+    ),
+    raw_b AS (
+        SELECT unnest(bs) AS b FROM grams
+    ),
+    tgt_b AS (
+        SELECT unnest(bs) AS b FROM grams WHERE lang = 'en'
+    ),
+    rc AS (SELECT b, count(*) AS cr FROM raw_b GROUP BY b),
+    tc AS (SELECT b, count(*) AS ct FROM tgt_b GROUP BY b),
+    models AS MATERIALIZED (
+        SELECT coalesce(rc.b, tc.b) AS b,
+               coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+        FROM rc FULL OUTER JOIN tc USING (b)
+    ),
+    tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM models),
+    ratio AS MATERIALIZED (
+        SELECT b,
+               ln((ct + 1.0) / (tt + 4096.0))
+               - ln((cr + 1.0) / (tr + 4096.0)) AS lr
+        FROM models, tot
+    ),
+    doc_b AS (
+        SELECT g.doc_id, u.b
+        FROM grams g, unnest(g.bs) AS u(b)
+    ),
+    scored AS (
+        SELECT d.doc_id AS id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               sum(r.lr) AS log_weight
+        FROM doc_b d JOIN ratio r ON d.b = r.b
+        GROUP BY d.doc_id
+    ),
+    allscored AS (
+        SELECT g.doc_id AS id,
+               coalesce(s.n_grams, 0) AS n_grams,
+               coalesce(s.log_weight, 0.0) AS log_weight
+        FROM grams g LEFT JOIN scored s ON g.doc_id = s.id
+    ),
+    keyed AS (
+        SELECT *,
+               log_weight - ln(-ln(
+                   least(greatest(
+                       ('0x' || substr(md5('dsir' || CAST(id AS VARCHAR)),
+                                       1, 8))::BIGINT / 4294967296.0,
+                       1e-12), 1.0 - 1e-12))) AS k
+        FROM allscored
+    )
+    SELECT id, n_grams,
+           round(log_weight + 0.0000001, 6) AS log_weight
+    FROM keyed
+    ORDER BY k DESC, id ASC
+    LIMIT 15
+"""
+QUERIES["dsir"] = q_dsir

@@ -863,3 +863,64 @@ class TestGrayScoreTest:
             abs(lr["o_minus_e"]), abs=1e-9,
         )
         assert gray["chi2"] == pytest.approx(lr["chi2"], abs=1e-9)
+
+
+class TestDsir:
+    def test_weights_favor_target_distribution(self, spark):
+        """Documents drawn from the target vocabulary must out-score
+        documents from a disjoint vocabulary."""
+        import random
+
+        from woodwork_spark.operators.sampling import dsir_log_weights
+
+        rng = random.Random(19)
+        tgt_vocab = [f"good{i}" for i in range(50)]
+        oth_vocab = [f"junk{i}" for i in range(50)]
+        raw = []
+        for i in range(300):
+            vocab = tgt_vocab if i % 2 == 0 else oth_vocab
+            raw.append((i, " ".join(rng.choices(vocab, k=12))))
+        target = [
+            (1000 + i, " ".join(rng.choices(tgt_vocab, k=12)))
+            for i in range(100)
+        ]
+        raw_df = spark.createDataFrame(raw, "doc_id long, text string")
+        tgt_df = spark.createDataFrame(target, "doc_id long, text string")
+        w = dsir_log_weights(raw_df, tgt_df, "text", "doc_id", k=512)
+        rows = {r["id"]: r["log_weight"] for r in w.collect()}
+        tgt_like = [rows[i] for i in range(0, 300, 2)]
+        oth_like = [rows[i] for i in range(1, 300, 2)]
+        assert min(tgt_like) > max(oth_like)
+
+    def test_empty_and_null_docs_score_zero(self, spark):
+        from woodwork_spark.operators.sampling import dsir_log_weights
+
+        raw = spark.createDataFrame(
+            [(1, "alpha beta"), (2, ""), (3, None)],
+            "doc_id long, text string",
+        )
+        tgt = spark.createDataFrame(
+            [(9, "alpha beta alpha")], "doc_id long, text string",
+        )
+        rows = {
+            r["id"]: r
+            for r in dsir_log_weights(
+                raw, tgt, "text", "doc_id", k=64,
+            ).collect()
+        }
+        assert rows[2]["n_grams"] == 0 and rows[2]["log_weight"] == 0.0
+        assert rows[3]["n_grams"] == 0 and rows[3]["log_weight"] == 0.0
+        assert rows[1]["n_grams"] == 3  # 2 unigrams + 1 bigram
+
+    def test_sample_deterministic_and_weighted(self, spark):
+        from woodwork_spark.operators.sampling import dsir_sample
+
+        w = spark.createDataFrame(
+            [(i, 4, float(5.0 if i < 20 else -5.0)) for i in range(200)],
+            "id long, n_grams long, log_weight double",
+        )
+        s1 = sorted(r["id"] for r in dsir_sample(w, 25).collect())
+        s2 = sorted(r["id"] for r in dsir_sample(w, 25).collect())
+        assert s1 == s2  # hash-deterministic, no RNG state
+        # the 20 high-weight docs dominate the 25-draw sample
+        assert sum(1 for i in s1 if i < 20) >= 18

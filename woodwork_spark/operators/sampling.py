@@ -512,3 +512,139 @@ def negative_sample(
     from ..lifecycle import attach_persisted, persisted_frames
 
     return attach_persisted(out, *persisted_frames(indexed))
+
+
+def dsir_log_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10_000,
+    ngrams=(1, 2),
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): score every RAW document by how much more likely its hashed
+    n-gram bag is under the TARGET distribution than under the raw
+    distribution, ``log w(doc) = sum_grams (ln p_target[b(g)] - ln
+    p_raw[b(g)])`` — the standard cheap proxy for "select pretraining
+    data that looks like the high-quality target corpus".  Buckets are
+    the portable 60-bit md5 hash mod ``k`` (the simhash convention, so
+    a SQL oracle replays placement verbatim); both bag-of-grams models
+    are Laplace-smoothed (``(count + a) / (total + a k)``).
+
+    Scale shape: two explode + bucket-count aggregations build the
+    k-row models (map-side combinable; k is thousands — model-sized);
+    the scoring pass explodes raw grams ONCE and broadcast-joins the
+    k-row log-ratio table, then one regroup folds the per-document
+    sum — no token strings shuffle (grams travel as hashed longs), no
+    driver collect.  Returns ``(id, n_grams, log_weight)``; documents
+    with no grams score 0.
+
+    Pair with :func:`dsir_sample` for the Gumbel-top-n resampling
+    step.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    orders = sorted(set(int(n) for n in ngrams))
+    if not orders or orders[0] < 1:
+        raise ValueError(f"ngrams must be positive ints, got {ngrams}")
+
+    def gram_buckets(col_name):
+        toks = (
+            f"filter(split(trim(lower({col_name})), '\\\\s+'), "
+            "t -> t != '')"
+        )
+        parts = []
+        for n in orders:
+            gram = f"concat_ws(' ', slice(ts, i, {n}))"
+            ghash = (
+                f"cast(conv(substring(md5({gram}), 1, 15), 16, 10) "
+                "as bigint)"
+            )
+            parts.append(
+                f"IF(size(ts) >= {n}, "
+                f"transform(sequence(1, size(ts) - {n} + 1), "
+                f"i -> pmod({ghash}, {int(k)})), "
+                "cast(array() as array<bigint>))",
+            )
+        body = f"concat({', '.join(parts)})" if len(parts) > 1 else parts[0]
+        return F.expr(f"transform(array({toks}), ts -> {body})[0]")
+
+    def bucket_counts(df):
+        return (
+            df.select(F.explode(gram_buckets(text_col)).alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+
+    a = float(smoothing)
+    raw_counts = bucket_counts(raw_df)
+    tgt_counts = bucket_counts(target_df)
+    # full outer on the k-row model frames: buckets unseen in one
+    # corpus still get their smoothed mass
+    models = raw_counts.withColumnRenamed("__c", "__cr").join(
+        tgt_counts.withColumnRenamed("__c", "__ct"), "__b", "full",
+    ).select(
+        "__b",
+        F.coalesce(F.col("__cr"), F.lit(0)).alias("__cr"),
+        F.coalesce(F.col("__ct"), F.lit(0)).alias("__ct"),
+    )
+    totals = models.agg(
+        F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt"),
+    )
+    ratio = models.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log(
+                (F.col("__ct") + F.lit(a))
+                / (F.col("__tt") + F.lit(a * k)),
+            )
+            - F.log(
+                (F.col("__cr") + F.lit(a))
+                / (F.col("__tr") + F.lit(a * k)),
+            )
+        ).alias("__lr"),
+    )
+    doc_grams = raw_df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(gram_buckets(text_col)).alias("__b"),
+    )
+    scored = doc_grams.join(F.broadcast(ratio), "__b", "left")
+    return scored.groupBy("id").agg(
+        F.count("__b").cast("long").alias("n_grams"),
+        F.coalesce(F.sum("__lr"), F.lit(0.0)).alias("log_weight"),
+    )
+
+
+def dsir_sample(
+    weights: DataFrame,
+    n: int,
+    salt: str = "dsir",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """The resampling half of DSIR: draw ``n`` documents WITHOUT
+    replacement with probability proportional to ``exp(log_weight /
+    temperature)`` via the Gumbel-top-n trick — ``key = log_weight/T +
+    Gumbel(0,1)``, take the n largest keys.  The Gumbel noise comes
+    from the module's deterministic content hash (``-ln(-ln(u))``,
+    u = hash-uniform of the id), so the sample is REPRODUCIBLE across
+    reruns and partitionings and replayable by a SQL oracle — no RNG
+    state anywhere.  One projection + ``orderBy().limit(n)``
+    (per-partition top-n heaps, no global sort materialization).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    u = hash_uniform_expr(F.col("id"), salt=salt)
+    # clamp away exact 0/1 so the double log stays finite
+    u = F.least(F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    gumbel = -F.log(-F.log(u))
+    key = F.col("log_weight") / F.lit(float(temperature)) + gumbel
+    return (
+        weights.withColumn("__key", key)
+        .orderBy(F.desc("__key"), F.asc("id"))
+        .limit(int(n))
+        .drop("__key")
+    )
