@@ -41,6 +41,11 @@ def main():
         .config("spark.sql.shuffle.partitions", str(args.cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # match bench.py: AQE re-planning over persisted frames
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_CACHED_AQE", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -67,8 +72,9 @@ def main():
             tracker.getJobIdsForGroup("") or [])
 
     def job_count():
-        # jobIds across all groups: use the allJobs REST-less proxy
-        return sc._jsc.sc().dagScheduler().nextJobId().get()
+        # monotone job counter: the DAGScheduler's next job id
+        nj = sc._jsc.sc().dagScheduler().nextJobId()
+        return nj if isinstance(nj, int) else nj.get()
 
     for name in args.names:
         if name not in qs:
