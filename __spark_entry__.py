@@ -45,6 +45,15 @@ def _prep(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # Persisted plans keep their raw shuffle partitioning unless AQE is
+    # allowed to re-plan over caches (default false).  The iterative
+    # fits (pagerank/Cox/GLM Newton rounds) re-scan small persisted
+    # ledgers dozens of times per query; without this every scan pays a
+    # full-width task wave for kilobytes.  Scale-adaptive: AQE sizes
+    # cache partitions by bytes, so big caches keep their parallelism.
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true",
+    )
     try:
         cores = spark.sparkContext.defaultParallelism
         spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
@@ -55,6 +64,27 @@ def _prep(spark: SparkSession) -> SparkSession:
 
 def _t(spark, sf_dir, name) -> DataFrame:
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _overlap(*thunks):
+    """Construct INDEPENDENT eager DataFrames concurrently.
+
+    The iterative fit engines run their Newton/IRLS rounds at
+    construction time (eager per-round checkpoints), so building two
+    nested fits sequentially serializes jobs that share no data
+    dependency; submitting them from two driver threads lets the second
+    fit's tasks back-fill executors the first leaves idle (Spark
+    schedules concurrent jobs FIFO).  Results are unchanged — each fit
+    is deterministic and self-contained."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [
+            pool.submit(inheritable_thread_target(t)) for t in thunks
+        ]
+        return [f.result() for f in futures]
 
 
 def _bip_node_label():
@@ -19287,7 +19317,11 @@ def q_unigram_tokenize(spark, sf_dir):
     from woodwork_spark.operators.bpe import unigram_viterbi_tokenize
 
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
+    from woodwork_spark.operators.scale import fan_out_scan
+
+    # tokenize runs fused into the scan stage; fan out the narrow
+    # single-row-group scan so the split/explode parallelizes
+    docs = fan_out_scan(_t(spark, sf_dir, "documents"))
     words = (
         docs.select(
             F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
@@ -20720,7 +20754,11 @@ def q_unigram_train(spark, sf_dir):
     from woodwork_spark.operators.bpe import unigram_lm_train
 
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
+    from woodwork_spark.operators.scale import fan_out_scan
+
+    # tokenize runs fused into the scan stage; fan out the narrow
+    # single-row-group scan so the split/explode parallelizes
+    docs = fan_out_scan(_t(spark, sf_dir, "documents"))
     words = (
         docs.select(
             F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
@@ -22037,8 +22075,12 @@ def q_glm_lrt(spark, sf_dir):
         F.month(F.col("o_orderdate").cast("date"))
         .cast("double").alias("x2"),
     )
-    full = logistic_fit(rows, "y", ["x1", "x2"], "cohort", iters=6)
-    reduced = logistic_fit(rows, "y", ["x1"], "cohort", iters=6)
+    # the two nested fits are independent: overlap their eager IRLS
+    # rounds from two driver threads (guide §2.6) — results unchanged
+    full, reduced = _overlap(
+        lambda: logistic_fit(rows, "y", ["x1", "x2"], "cohort", iters=6),
+        lambda: logistic_fit(rows, "y", ["x1"], "cohort", iters=6),
+    )
     out = glm_lrt(full, reduced, df_diff=1, group_cols="cohort")
     return out.select(
         "cohort", "n",
@@ -22442,8 +22484,15 @@ def q_cox_lrt(spark, sf_dir):
             ).cast("double") / 3.6e9,
         ).alias("x2"),
     ).filter(F.col("dur") >= 0).persist()
-    full = cox_ph_fit(rows, "dur", "ev", ["x1", "x2"], "cohort", iters=4)
-    reduced = cox_ph_fit(rows, "dur", "ev", ["x1"], "cohort", iters=4)
+    # warm the shared per-user cache once, then overlap the two
+    # independent nested Newton loops from two driver threads
+    # (guide §2.6) — results unchanged
+    rows.count()
+    full, reduced = _overlap(
+        lambda: cox_ph_fit(rows, "dur", "ev", ["x1", "x2"], "cohort",
+                           iters=4),
+        lambda: cox_ph_fit(rows, "dur", "ev", ["x1"], "cohort", iters=4),
+    )
     out = glm_lrt(full, reduced, df_diff=1, group_cols="cohort")
     from woodwork_spark.lifecycle import attach_persisted
 

@@ -50,6 +50,18 @@ def main():
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Let AQE re-plan (coalesce) the stages ABOVE persisted frames.
+        # Defaults to false, which pins every scan of a cached plan to
+        # the cache's raw shuffle partitioning — the iterative fits
+        # (pagerank/cox/GLM Newton rounds) re-scan tiny persisted
+        # ledgers dozens of times, each scan paying a full-width
+        # task wave for kilobytes of data.  Scale-adaptive by
+        # construction: AQE sizes partitions by bytes, so large caches
+        # keep their parallelism.  (guide section 2.2/2.4)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # The driver parses the JSON line from a bounded tail capture of

@@ -736,9 +736,14 @@ def repeated_spans(
         raise ValueError(f"span_len must be >= 2, got {span_len}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    from .scale import fan_out_scan
+
     gram = F.substr(F.col(text_col), F.col("span_start"), F.lit(span_len))
+    # the per-char window explode + double xxhash64 is the expensive
+    # stage; a single-row-group input would fuse it all into ONE scan
+    # task (fan_out_scan is a no-op once the scan parallelizes)
     win = (
-        df.filter(F.length(text_col) >= span_len)
+        fan_out_scan(df.filter(F.length(text_col) >= span_len))
         .select(
             F.col(id_col),
             F.explode(

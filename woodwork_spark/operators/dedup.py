@@ -263,7 +263,12 @@ def minhash_dedup_pairs(
         # num_perm to bands*rows or the S-curve shifts off the optimum
         bands, rows, _ = lsh_tune(threshold, num_perm, fn_weight=2.0)
         num_perm = bands * rows
-    shingled = df.select(
+    from .scale import fan_out_scan
+
+    # shingling + the 64-permutation signature pass downstream are the
+    # per-row-heavy stages; a single-row-group scan would fuse them into
+    # ONE task and cache ONE partition (no-op once the scan parallelizes)
+    shingled = fan_out_scan(df).select(
         F.col(id_col),
         shingles_expr(text_col, shingle_k, use_words).alias("__sh"),
     ).persist()
@@ -491,9 +496,13 @@ def simhash_dedup_pairs(
     chunks (pigeonhole: hamming <= bands-1 guarantees an exact chunk
     match), bucket-join on matching chunks, verify exact hamming via
     bit_count(xor)."""
+    from .scale import fan_out_scan
+
     nbits = 60 if hash_fn == "md5" else 64
     width = nbits // bands
-    sh = df.select(
+    # the per-token bit-vote fold is the heavy stage; parallelize the
+    # narrow scan (no-op once the scan already has enough splits)
+    sh = fan_out_scan(df).select(
         F.col(id_col), simhash_expr(text_col, hash_fn=hash_fn).alias("__sh"),
     )
     chunks = sh.select(
@@ -914,9 +923,12 @@ def similarity_join(
         )
 
     def _grams(df, id_c, t_col, out_id):
+        from .scale import fan_out_scan
+
         return (
-            df.select(F.col(id_c).alias(out_id),
-                      shingles_expr(t_col, k, use_words).alias("__gs"))
+            fan_out_scan(df)
+            .select(F.col(id_c).alias(out_id),
+                    shingles_expr(t_col, k, use_words).alias("__gs"))
             .filter(F.size("__gs") > 0)
             .select(
                 out_id,
@@ -1085,8 +1097,10 @@ def edit_distance_join(
                 ),
             ),
         ).otherwise(F.array())
+        from .scale import fan_out_scan
+
         return (
-            df.filter(s.isNotNull() & (F.length(s) > short_max))
+            fan_out_scan(df.filter(s.isNotNull() & (F.length(s) > short_max)))
             .select(
                 F.col(id_c).alias(out_id),
                 F.length(s).alias(f"{out_id}_len"),

@@ -65,7 +65,12 @@ def _probe_small(df: DataFrame, small_threshold, known_count):
     Returns (is_small, source frame to build on, whether we persisted).
     """
     if not small_threshold:
-        return False, df, False
+        # Forced-distributed path (the ungrouped survival fits): STILL
+        # persist — repartitionByRange's boundary-sampling job would
+        # otherwise re-execute the whole upstream plan (a join + wide
+        # agg per Newton round) once more than needed.  The persist is
+        # released through the same attach_persisted lifecycle.
+        return False, df.persist(), True
     if known_count is not None:
         return known_count <= small_threshold, df, False
     src = df.persist()

@@ -449,3 +449,30 @@ def auto_salted_join(
         return fact.join(dim, key, how)
     salt = int(min(max(r["salt_factor"], 2), max_salt))
     return salted_join(fact, dim, key, salt=salt, how=how)
+
+
+def fan_out_scan(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Spread a NARROW scan across the cluster before per-row-heavy
+    work (char-window explodes, q-gram generation, tokenization).
+
+    A single-row-group parquet file scans as ONE task no matter how
+    many cores exist, so everything fused into that scan stage —
+    splits, explodes, hashes — runs on one core while the rest idle
+    (guide §2.5: "one huge unsplittable file — repartition immediately
+    after the read").  This helper is a NO-OP whenever the plan
+    already carries at least ``defaultParallelism * multiplier``
+    partitions: a production-scale scan has thousands of splits, so no
+    reshuffle is ever added there.  Call it on scan-level frames
+    (before shuffles), where partition count is known without running
+    jobs.  Row order changes; callers must be order-insensitive (every
+    aggregate/join/window operator here is).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * max(int(multiplier), 1)
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive
+        return df
+    if cur >= target:
+        return df
+    return df.repartition(target)

@@ -455,21 +455,41 @@ def bootstrap_mean_ci(
         F.col(value_col).cast("double").alias("__v"),
         F.col(key_col).cast("string").alias("__k"),
     )
+    from .sampling import hash_bucket_expr
+
+    # Factor each replicate's weight through TWO narrow projections
+    # (hash column, then weight column) instead of inlining the md5
+    # expression into every aggregate: the aggregate used to embed each
+    # replicate's hash subtree ~16x (8 CDF comparisons x 2 sums), a
+    # >10k-node Catalyst tree re-analyzed on every execution.  Same
+    # arithmetic, same draws, ~10x smaller plan.
+    hashed = base.select(
+        *group_cols, "__v",
+        *[
+            hash_bucket_expr(F.col("__k"), f"{salt}|{r}|").alias(f"__h_{r}")
+            for r in range(n_replicates)
+        ],
+    )
+    weights = hashed.select(
+        *group_cols, "__v",
+        *[
+            sum(
+                (F.col(f"__h_{r}") >= F.lit(t)).cast("int")
+                for t in thresholds
+            ).alias(f"__w_{r}")
+            for r in range(n_replicates)
+        ],
+    )
     aggs = [
         F.count(F.lit(1)).alias("__n"),
         F.sum("__v").alias("__s"),
     ]
-    from .sampling import hash_bucket_expr
-
     for r in range(n_replicates):
-        h = hash_bucket_expr(F.col("__k"), f"{salt}|{r}|")
-        w = None
-        for t in thresholds:
-            term = (h >= F.lit(t)).cast("int")
-            w = term if w is None else w + term
-        aggs.append(F.sum(w * F.col("__v")).alias(f"__ws_{r}"))
-        aggs.append(F.sum(w).alias(f"__ww_{r}"))
-    wide = base.groupBy(*group_cols).agg(*aggs)
+        aggs.append(
+            F.sum(F.col(f"__w_{r}") * F.col("__v")).alias(f"__ws_{r}"),
+        )
+        aggs.append(F.sum(f"__w_{r}").alias(f"__ww_{r}"))
+    wide = weights.groupBy(*group_cols).agg(*aggs)
     stack_expr = "stack({}, {}) as (replicate, __ws, __ww)".format(
         n_replicates,
         ", ".join(
@@ -894,7 +914,9 @@ def bh_fdr(
 
     Returns the input columns plus ``out_col``.
     """
-    from .rank import global_row_number, global_running_min
+    from pyspark.sql import Window as W
+
+    from .rank import _PID, _offset_expr, _range_partitioned
 
     if method not in ("bh", "by"):
         raise ValueError(f"method must be 'bh' or 'by', got {method!r}")
@@ -904,24 +926,50 @@ def bh_fdr(
     scale = float(m)
     if method == "by" and m > 0:
         scale = float(m) * _harmonic_number(m)
-    ranked = global_row_number(
-        base,
-        [F.asc(p_col)] + [F.asc(t) for t in tiebreak],
-        out_col="__i",
-        known_count=m,
-    )
-    raw = ranked.withColumn(
+    # ONE range shuffle serves both passes: a range partition by
+    # ascending (p, tiebreak) is simultaneously a range partition by
+    # DESCENDING rank, so the trailing minimum never needs the second
+    # shuffle the global_running_min primitive would pay (guide §2.4 —
+    # operations keyed the same way share one exchange).  The rank
+    # offsets and the per-bucket suffix minima are two tiny
+    # bucket-count-sized collects folded driver-side.
+    order = [F.asc(p_col)] + [F.asc(t) for t in tiebreak]
+    parted = _range_partitioned(base, order)
+    off = _offset_expr(parted, F.count(F.lit(1)))
+    w_rn = W.partitionBy(_PID).orderBy(*order)
+    raw = parted.withColumn(
+        "__i", (F.row_number().over(w_rn).cast("long") - 1) + off,
+    ).withColumn(
         "__raw",
         F.col(p_col) * F.lit(scale) / (F.col("__i") + 1).cast("double"),
     )
-    suff = global_running_min(
-        raw, [F.desc("__i")], "__raw", out_col="__q",
-        inclusive=True, known_count=m,
+    # min of __raw over STRICTLY LATER buckets, folded right-to-left
+    brows = sorted(
+        raw.groupBy(_PID).agg(F.min("__raw").alias("__bm")).collect(),
+        key=lambda r: r[_PID],
     )
-    out = suff.withColumn(
-        out_col, F.least(F.lit(1.0), F.col("__q")),
-    ).drop("__i", "__raw", "__q")
-    return attach_persisted(out, base, *persisted_frames(suff))
+    items, running = [], None
+    for r in reversed(brows):
+        if running is not None:
+            items += [F.lit(r[_PID]), F.lit(running)]
+        v = r["__bm"]
+        if v is not None:
+            running = v if running is None else min(running, v)
+    suffix_off = (
+        F.create_map(*items)[F.col(_PID)] if items
+        else F.lit(None).cast("double")
+    )
+    w_desc = (
+        W.partitionBy(_PID)
+        .orderBy(F.desc("__i"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # least() skips nulls, so first-from-the-end buckets need no sentinel
+    out = raw.withColumn(
+        out_col,
+        F.least(F.lit(1.0), F.min("__raw").over(w_desc), suffix_off),
+    ).drop(_PID, "__i", "__raw")
+    return attach_persisted(out, base, parted)
 
 
 # ---------------------------------------------------------------------------

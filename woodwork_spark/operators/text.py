@@ -1300,8 +1300,14 @@ def quality_classifier_fit(
         raise ValueError(f"unknown solver {solver!r}")
     if solver == "auto":
         solver = "exact" if int(k) - 1 <= 32 else "diag"
+    from .scale import fan_out_scan
+
+    # the per-token md5 featurization is the heavy stage feeding the
+    # IRLS base cache; fan the narrow scan out so it parallelizes and
+    # the cache carries >1 partition (no-op at production scan widths;
+    # the fit output is an aggregate, so row order is immaterial)
     feats = hashed_token_features(
-        df, text_col, k=k, prefix="__qf", hash_fn=hash_fn,
+        fan_out_scan(df), text_col, k=k, prefix="__qf", hash_fn=hash_fn,
     )
     xcols = [f"__qf{j}" for j in range(int(k) - 1)]
     if solver == "diag":

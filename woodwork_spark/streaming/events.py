@@ -546,8 +546,13 @@ def match_stream_against_corpus(
             ],
         )
 
+    from woodwork_spark.operators.scale import fan_out_scan
+
+    # the corpus signature pass (shingles + num_perm minhashes per doc)
+    # is per-row-heavy; fan the narrow scan out so it parallelizes and
+    # the persisted signature/bucket caches carry >1 partition
     c_sh = (
-        corpus.select(
+        fan_out_scan(corpus).select(
             F.col(corpus_id).alias("__cid"),
             shingles_expr(corpus_text_col, shingle_k, use_words).alias("__csh"),
         )
