@@ -52,7 +52,8 @@ def _prep(spark: SparkSession) -> SparkSession:
     # full-width task wave for kilobytes.  Scale-adaptive: AQE sizes
     # cache partitions by bytes, so big caches keep their parallelism.
     spark.conf.set(
-        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        os.environ.get("SPARK_GRAFT_CACHED_AQE", "true"),
     )
     try:
         cores = spark.sparkContext.defaultParallelism

@@ -263,12 +263,12 @@ def minhash_dedup_pairs(
         # num_perm to bands*rows or the S-curve shifts off the optimum
         bands, rows, _ = lsh_tune(threshold, num_perm, fn_weight=2.0)
         num_perm = bands * rows
-    from .scale import fan_out_scan
-
-    # shingling + the 64-permutation signature pass downstream are the
-    # per-row-heavy stages; a single-row-group scan would fuse them into
-    # ONE task and cache ONE partition (no-op once the scan parallelizes)
-    shingled = fan_out_scan(df).select(
+    # note: fanning the scan out (repartition to core count) before the
+    # shingle pass was measured a net LOSS here (r12: +1–2 s/query at
+    # sf0.1) — the signature/verify joins downstream dominate, so the
+    # extra round-robin exchange of the text payload never pays for
+    # itself; the scan's own split count governs parallelism
+    shingled = df.select(
         F.col(id_col),
         shingles_expr(text_col, shingle_k, use_words).alias("__sh"),
     ).persist()
@@ -496,13 +496,9 @@ def simhash_dedup_pairs(
     chunks (pigeonhole: hamming <= bands-1 guarantees an exact chunk
     match), bucket-join on matching chunks, verify exact hamming via
     bit_count(xor)."""
-    from .scale import fan_out_scan
-
     nbits = 60 if hash_fn == "md5" else 64
     width = nbits // bands
-    # the per-token bit-vote fold is the heavy stage; parallelize the
-    # narrow scan (no-op once the scan already has enough splits)
-    sh = fan_out_scan(df).select(
+    sh = df.select(
         F.col(id_col), simhash_expr(text_col, hash_fn=hash_fn).alias("__sh"),
     )
     chunks = sh.select(
@@ -923,10 +919,8 @@ def similarity_join(
         )
 
     def _grams(df, id_c, t_col, out_id):
-        from .scale import fan_out_scan
-
         return (
-            fan_out_scan(df)
+            df
             .select(F.col(id_c).alias(out_id),
                     shingles_expr(t_col, k, use_words).alias("__gs"))
             .filter(F.size("__gs") > 0)
@@ -1097,10 +1091,8 @@ def edit_distance_join(
                 ),
             ),
         ).otherwise(F.array())
-        from .scale import fan_out_scan
-
         return (
-            fan_out_scan(df.filter(s.isNotNull() & (F.length(s) > short_max)))
+            df.filter(s.isNotNull() & (F.length(s) > short_max))
             .select(
                 F.col(id_c).alias(out_id),
                 F.length(s).alias(f"{out_id}_len"),

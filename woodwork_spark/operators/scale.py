@@ -467,6 +467,10 @@ def fan_out_scan(df: DataFrame, multiplier: int = 1) -> DataFrame:
     jobs.  Row order changes; callers must be order-insensitive (every
     aggregate/join/window operator here is).
     """
+    import os
+
+    if os.environ.get("WW_FAN_OUT_SCAN", "1") == "0":  # A/B kill-switch
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * max(int(multiplier), 1)
     try:

@@ -1300,14 +1300,12 @@ def quality_classifier_fit(
         raise ValueError(f"unknown solver {solver!r}")
     if solver == "auto":
         solver = "exact" if int(k) - 1 <= 32 else "diag"
-    from .scale import fan_out_scan
-
-    # the per-token md5 featurization is the heavy stage feeding the
-    # IRLS base cache; fan the narrow scan out so it parallelizes and
-    # the cache carries >1 partition (no-op at production scan widths;
-    # the fit output is an aggregate, so row order is immaterial)
+    # note: fanning the scan out before featurization was measured a
+    # net LOSS here (r12: 10.4 s vs 5.7 s solo at sf0.1) — the IRLS
+    # rounds over the cached feature frame dominate, and the extra
+    # exchange + wider cache slowed every round's re-scan
     feats = hashed_token_features(
-        fan_out_scan(df), text_col, k=k, prefix="__qf", hash_fn=hash_fn,
+        df, text_col, k=k, prefix="__qf", hash_fn=hash_fn,
     )
     xcols = [f"__qf{j}" for j in range(int(k) - 1)]
     if solver == "diag":

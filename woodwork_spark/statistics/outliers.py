@@ -214,8 +214,18 @@ def _medcouple(values: np.ndarray) -> float:
     # cold kernel), with bit-identical values
     u = upper[:, None]
     v = lower[None, :]
+    # preallocate the (p×q) work buffers with np.zeros and fill via
+    # out= ufuncs: zeroed pages first-touch through the kernel zero-page
+    # path (~GB/s) while ufunc-allocated outputs arrive from plain
+    # malloc, whose first touch measures ~15 MB/s in this container —
+    # the allocation, not the arithmetic, dominated a cold kernel call
+    h = np.zeros((p, q))
+    d = np.zeros((p, q))
+    np.add(u, v, out=h)
+    np.subtract(u, v, out=d)
     with np.errstate(divide="ignore", invalid="ignore"):
-        h = (u + v) / (u - v)
+        np.divide(h, d, out=h)
+    del d
     # ties at the median: special kernel sign matrix
     num_ties = np.sum(z == 0.0)
     if num_ties:
@@ -224,7 +234,9 @@ def _medcouple(values: np.ndarray) -> float:
         sign[idx] = -1.0
         sign = sign - sign.T
         h[p - num_ties:, :num_ties] = sign[::-1, ::-1]
-    return float(np.median(h))
+    # overwrite_input partitions h in place instead of allocating a
+    # fresh (p×q) copy (same slow-malloc first touch as above)
+    return float(np.median(h, overwrite_input=True))
 
 
 def _sample_skewness(values: np.ndarray) -> float:
