@@ -53,6 +53,11 @@ def main():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
+    # ad-hoc A/B confs: SPARK_GRAFT_EXTRA_CONF="key=val;key2=val2"
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            spark.conf.set(k.strip(), v.strip())
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
 
