@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from woodwork_spark.io import read_parquet  # noqa: E402
@@ -544,7 +546,7 @@ def q_typing_profile(spark, sf_dir):
         (c, type(t.logical_types[c]).__name__, t.physical_types[c].simpleString())
         for c in t.columns
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, schema="column_name string, logical_type string, physical_type string",
     )
 
@@ -674,7 +676,7 @@ def q_spearman_lineitem(spark, sf_dir):
     rows = [
         (a, b, round(row[f"corr_{i}"] + ROUND_EPS, 4)) for i, (a, b) in enumerate(pairs)
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, schema="column_a string, column_b string, spearman double",
     )
 
@@ -1524,7 +1526,7 @@ def q_outlier_methods(spark, sf_dir):
             len(d["high_values"]),
         ))
     planted.unpersist()  # all three flows consumed eagerly above
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         schema=(
             "method string, medcouple_stat double, low_bound double,"
@@ -1577,7 +1579,7 @@ def q_dependence_measures(spark, sf_dir):
         )
         for r in pdf.itertuples(index=False)
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         schema=(
             "column_1 string, column_2 string, pearson double,"
@@ -1613,7 +1615,7 @@ def q_temporal_frequency(spark, sf_dir):
     )
     t = ww.init(base, validate=False)
     freqs = infer_temporal_frequencies(t)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         sorted(freqs.items()),
         schema="column_name string, frequency string",
     )
@@ -1665,7 +1667,7 @@ def q_validate_types(spark, sf_dir):
         validate=False,
     )
     counts = t.validate_logical_types()
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         sorted(counts.items()),
         schema="column_name string, n_invalid long",
     )
@@ -1701,7 +1703,7 @@ def q_schema_roundtrip(spark, sf_dir):
         ]
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         schema=(
             "column_name string, logical_type string, semantic_tags string,"
@@ -1823,7 +1825,7 @@ def q_stream_scd_join(spark, sf_dir):
     for k in range(25):
         dim_rows.append((k, "2024-01-01 00:00:00", cutoff, f"old_{k % 4}"))
         dim_rows.append((k, cutoff, None, f"new_{k % 4}"))
-    dim = spark.createDataFrame(
+    dim = local_rows_df(spark, 
         dim_rows, "grp long, valid_from string, valid_to string, tier string",
     ).select(
         "grp",
@@ -2031,7 +2033,7 @@ def q_schema_drift(spark, sf_dir):
         )
         for d in schema_drift(t_old, t_new)
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         schema=(
             "column string, status string, old_type string, new_type string,"
@@ -2062,7 +2064,7 @@ def q_hll_cardinality(spark, sf_dir):
     merged = merged_cardinality(cardinality_sketches(ev, "user_id", ["event_type"]))
     exact_total = ev.agg(F.count_distinct("user_id")).first()[0]
     total_ok = abs(merged - exact_total) / max(exact_total, 1) <= 0.05
-    total_row = spark.createDataFrame(
+    total_row = local_rows_df(spark, 
         [("__total__", exact_total, bool(total_ok))],
         "event_type string, exact_users long, hll_ok boolean",
     )
@@ -14614,7 +14616,7 @@ def q_url_policy(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", _synth_url().alias("url"),
     )
-    rules = spark.createDataFrame(
+    rules = local_rows_df(spark, 
         [
             ("example.com", "/a", False),
             ("example.com", "/a/1", True),
@@ -15502,7 +15504,7 @@ def q_psl_domains(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", _synth_host().alias("host"),
     )
-    sfx = spark.createDataFrame([(s,) for s in _PSL_ROWS], "suffix string")
+    sfx = local_rows_df(spark, [(s,) for s in _PSL_ROWS], "suffix string")
     out = with_registered_domain(docs, "host", suffixes=sfx, from_host=True)
     return out.groupBy("domain").agg(
         F.count(F.lit(1)).cast("long").alias("n_hosts"),

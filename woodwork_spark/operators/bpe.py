@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 SEP = "\x1f"
 
 
@@ -117,7 +119,7 @@ def bpe_learn(
             "cnt",
         ).localCheckpoint(eager=True)
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         merges, "rank long, left string, right string, pair_count long",
     )
 
@@ -416,7 +418,7 @@ def unigram_lm_train(
         }
         counts = kept
     words.unpersist()
-    out = spark.createDataFrame(
+    out = local_rows_df(spark, 
         sorted((p, counts[p], vocab[p]) for p in vocab),
         "piece string, count long, logp double",
     )

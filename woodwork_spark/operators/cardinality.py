@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 
 def cardinality_sketches(
     df: DataFrame,
@@ -121,7 +123,7 @@ def distinct_set_report(
     }
     import pyspark.sql.types as T
 
-    sk_df = spark.createDataFrame(
+    sk_df = local_rows_df(spark, 
         [(bytearray(sk[group_a]), bytearray(sk[group_b]))],
         T.StructType([
             T.StructField("sa", T.BinaryType()),
@@ -161,7 +163,7 @@ def distinct_set_report(
         )
         for m in ["a", "b", "union", "intersection", "a_minus_b"]
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "measure string, exact long, sketch_ok boolean",
     )
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 
 
 def _pivot_fold(grouped, cases, metric_cols, extra=()):
@@ -278,7 +280,7 @@ def srm_check(
         )
     total_ratio = float(sum(expected.values()))
     spark = df.sparkSession
-    design = spark.createDataFrame(
+    design = local_rows_df(spark, 
         [(str(a), float(r) / total_ratio) for a, r in expected.items()],
         "arm string, __p double",
     )

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 from woodwork_spark.operators.text import quality_score_exprs, tokens_expr
 
 
@@ -217,7 +219,7 @@ def bm25_search(
             terms = [t.lower() for t in terms]
         for t in sorted(set(terms)):
             qrows.append((qid, t))
-    qterms = spark.createDataFrame(qrows, "query_id string, token string")
+    qterms = local_rows_df(spark, qrows, "query_id string, token string")
     qtokens = qterms.select("token").distinct()
 
     # prune the explode to query terms FIRST — everything downstream is

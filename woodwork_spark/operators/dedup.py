@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 from woodwork_spark.lifecycle import attach_persisted
 from woodwork_spark.operators.text import fingerprint_expr
 
@@ -333,7 +335,7 @@ def connected_components(
                         ra, rb = rb, ra
                     parent[rb] = ra
             rows = [(x, find(x)) for x in parent]
-            return spark.createDataFrame(
+            return local_rows_df(spark, 
                 rows, schema=pairs.select(
                     F.col("id_a").alias("id"), F.col("id_b").alias("component"),
                 ).schema,
@@ -647,7 +649,7 @@ def embedding_near_dup_pairs(
     df = df.filter(F.col(vec_col).isNotNull())
     first = df.select(F.size(vec_col).alias("d")).first()
     if first is None:
-        return df.sparkSession.createDataFrame(
+        return local_rows_df(df.sparkSession, 
             [], schema=f"id_a long, id_b long, cosine double",
         )
     dim = first["d"]
@@ -1358,7 +1360,7 @@ def blocking_quality_report(
     n_hit = t.join(c, ["a", "b"], "left_semi").count()
     spark = candidates.sparkSession
     total = float(n_left) * float(n_right)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(
             n_cand, n_truth, n_hit,
             (n_hit / n_truth) if n_truth else None,
@@ -1560,7 +1562,7 @@ def blocking_skip_report(
     spark = left.sparkSession
     frames = []
     for agg, (i, kind) in parts:
-        tag = spark.createDataFrame(
+        tag = local_rows_df(spark, 
             [(i, kind)], "strategy long, kind string",
         )
         if agg is None:
@@ -1847,7 +1849,7 @@ def estimate_m_u(
     finally:
         proj.unpersist()
     spark = pairs.sparkSession
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(name, m[name], u[name], lam) for name, _, _ in named],
         "field string, m double, u double, lam double",
     )

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 
 def _md5_weight(salt: str, i: int, j: int) -> float:
     """Deterministic uniform weight in [-1, 1): the first 8 md5 hex chars
@@ -694,7 +696,7 @@ def _pq_assign(pts: DataFrame, cents: dict) -> DataFrame:
     from woodwork_spark.operators.similarity import _dot
 
     spark = pts.sparkSession
-    cf = spark.createDataFrame(
+    cf = local_rows_df(spark, 
         [
             (s, c, v, sum(x * x for x in v))
             for (s, c), v in sorted(cents.items())

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 from .rank import global_prefix_sums
 from ..lifecycle import attach_persisted, persisted_frames
 
@@ -566,7 +568,7 @@ def isotonic_calibrate(
             DoubleType, IntegerType, LongType, StructField, StructType,
         )
 
-        return spark.createDataFrame([], StructType([
+        return local_rows_df(spark, [], StructType([
             StructField("bin", IntegerType()),
             StructField("n", LongType()),
             StructField("raw_rate", DoubleType()),
@@ -593,7 +595,7 @@ def isotonic_calibrate(
         (int(r["bin"]), int(r["__n"]), int(r["__ysum"]), iso[r["bin"]])
         for r in rows
     ]
-    out = spark.createDataFrame(
+    out = local_rows_df(spark, 
         out_rows, "bin int, n long, __ysum long, iso_rate double",
     )
     return out.select(

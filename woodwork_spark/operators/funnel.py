@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 
 def funnel(
     df: DataFrame,
@@ -57,7 +59,7 @@ def funnel(
     for i, s in enumerate(steps):
         n = sum(v for k, v in by_depth.items() if k >= i + 1)
         rows.append((i + 1, s, n))
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "step_idx long, step string, n_users long",
     )
 

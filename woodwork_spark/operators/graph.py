@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 from woodwork_spark.lifecycle import attach_persisted
 
 # Below this node count the per-iteration rank vector broadcasts into
@@ -349,7 +351,7 @@ def triangle_stats(
         f.unpersist()
     spark = edges.sparkSession
     trans = (3.0 * n_tri / n_wedges) if n_wedges else None
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(n_nodes, n_edges, n_wedges, n_tri, trans)],
         "n_nodes long, n_edges long, n_wedges long, n_triangles long, "
         "transitivity double",
@@ -547,7 +549,7 @@ def kcore(
                 (n, sum(1 for m in adj[n] if m in alive))
                 for n in sorted(alive)
             ]
-            return spark.createDataFrame(rows, out_schema)
+            return local_rows_df(spark, rows, out_schema)
     live = e.localCheckpoint(eager=True)
     if small_threshold:
         e.unpersist()
@@ -627,7 +629,7 @@ def bfs_hops(
         node_type = edges.schema[src_col].dataType
         from pyspark.sql import types as T
 
-        seed_df = spark.createDataFrame(
+        seed_df = local_rows_df(spark, 
             [(s,) for s in seeds],
             T.StructType([T.StructField("node", node_type)]),
         ).distinct()
@@ -706,7 +708,7 @@ def shortest_paths(
         node_type = edges.schema[src_col].dataType
         from pyspark.sql import types as T
 
-        seed_df = spark.createDataFrame(
+        seed_df = local_rows_df(spark, 
             [(s,) for s in seeds],
             T.StructType([T.StructField("node", node_type)]),
         ).distinct()

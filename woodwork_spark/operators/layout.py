@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 from ..lifecycle import attach_persisted, persisted_frames
 from .rank import global_ntile
 
@@ -295,7 +297,7 @@ def run_length_report(
             (n_rows / runs) if runs else None,
             int(distincts[f"__d_{i}"]),
         ))
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         "probe_col string, n_rows long, n_runs long, "
         "avg_run_len double, n_distinct long",

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 
 def pairwise_win_matrix(
     df: DataFrame,
@@ -189,7 +191,7 @@ def transitivity_report(
     # cyclically); each transitive triangle closes exactly one wedge
     n_cycles = cycles // 3
     n_tri = n_cycles + closed
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(
             n_pairs, n_edges, n_tri, n_cycles,
             (float(n_cycles) / n_tri) if n_tri else 0.0,

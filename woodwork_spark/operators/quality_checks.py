@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 
 class Check:
     """One declarative constraint: a label, the aggregate expressions it
@@ -178,7 +180,7 @@ def run_checks(df: DataFrame, checks) -> DataFrame:
         (c.name, bool(c.verdict(row)), float(c.metric(row)))
         for c in checks
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         out_rows, "check string, passed boolean, metric double",
     )
 

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 from woodwork_spark.lifecycle import attach_persisted, persisted_frames
 
 _PID = "__ww_pid"
@@ -224,7 +226,7 @@ def grouped_prefix_sum(
     off_schema = T.StructType(
         list(base.fields) + [T.StructField("__off", off_type)],
     )
-    off_df = spark.createDataFrame(rows, schema=off_schema)
+    off_df = local_rows_df(spark, rows, schema=off_schema)
     w = (
         W.partitionBy(_PID, *group_cols)
         .orderBy(*order)
@@ -582,7 +584,7 @@ def grouped_prefix_sums(
                 + r[len(base.fields) + i + 1:]
                 for r in rows
             ]
-    off_df = spark.createDataFrame(rows, schema=T.StructType(off_fields))
+    off_df = local_rows_df(spark, rows, schema=T.StructType(off_fields))
     w = (
         W.partitionBy(_PID, *group_cols)
         .orderBy(*order)

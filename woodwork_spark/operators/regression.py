@@ -34,6 +34,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 _MAX_AGG_FEATURES = 200
 
 
@@ -172,7 +174,7 @@ def ols_fit(
                 f"p_{name} double",
             ]
     spark = df.sparkSession
-    return spark.createDataFrame([row], schema=", ".join(schema_cols))
+    return local_rows_df(spark, [row], schema=", ".join(schema_cols))
 
 
 def _norm_two_sided_p_scalar(z: float) -> float:

@@ -480,3 +480,137 @@ def fan_out_scan(df: DataFrame, multiplier: int = 1) -> DataFrame:
     if cur >= target:
         return df
     return df.repartition(target)
+
+
+def _arrow_local_safe(rows, st):
+    """True when every value is a plain Python scalar (or a flat numeric
+    list for an array<numeric> field) whose pandas->Arrow round trip is
+    EXACTLY the stock verifier's conversion: no None (pandas would
+    silently float-promote/NaN it), no NaN (pyarrow's from_pandas
+    semantics turn float NaN into NULL), no Decimal/date/bytes/nested
+    structs (each has its own conversion quirks).  Anything outside the
+    safe set routes to the 1-slice parallelize fallback, which keeps
+    the stock row-verifier semantics bit-for-bit."""
+    from pyspark.sql import types as T
+
+    # each checker mirrors the stock row verifier's accepted Python type
+    # for the field EXACTLY (e.g. DoubleType rejects a plain int there,
+    # so it must not silently pass through Arrow's widening cast), plus
+    # excludes None and float NaN, whose pandas round trip differs
+    def _int_ok(v):
+        return type(v) is int
+
+    def _float_ok(v):
+        return type(v) is float and v == v
+
+    def _str_ok(v):
+        return type(v) is str
+
+    def _bool_ok(v):
+        return type(v) is bool
+
+    checker = {
+        T.LongType: _int_ok, T.IntegerType: _int_ok,
+        T.ShortType: _int_ok, T.ByteType: _int_ok,
+        T.DoubleType: _float_ok, T.FloatType: _float_ok,
+        T.StringType: _str_ok, T.BooleanType: _bool_ok,
+    }
+    fields = st.fields
+    names = [f.name for f in fields]
+    if len(set(names)) != len(names):
+        return False
+    kinds = []
+    for f in fields:
+        dt = f.dataType
+        chk = checker.get(type(dt))
+        if chk is not None:
+            kinds.append(chk)
+        elif isinstance(dt, T.ArrayType):
+            echk = checker.get(type(dt.elementType))
+            if echk is None or isinstance(
+                    dt.elementType, (T.StringType, T.BooleanType)):
+                return False
+            kinds.append(("a", echk))
+        else:
+            return False
+    nf = len(fields)
+    for r in rows:
+        if not isinstance(r, (tuple, list)) or len(r) != nf:
+            return False
+        for v, k in zip(r, kinds):
+            if isinstance(k, tuple):
+                if not isinstance(v, (list, tuple)):
+                    return False
+                echk = k[1]
+                for x in v:
+                    if not echk(x):
+                        return False
+            elif not k(v):
+                return False
+    return True
+
+
+def local_rows_df(spark, rows, schema):
+    """Create a DataFrame from a SMALL driver-side row list without the
+    stock list path's per-core PythonRDD fan-out (guide §4: the default
+    ``createDataFrame(list)`` parallelizes into ``defaultParallelism``
+    slices, so EVERY materialization of the frame runs one Python
+    worker task per core — measured ~0.3 s warm and ~4 s on the
+    session's first use for a 3k-row frame on local[32]).
+
+    Fast path: plain-scalar rows (int/float/str/bool, plus flat numeric
+    arrays) with a resolvable schema go through Arrow
+    (``createDataFrame(pandas)``) — JVM-only batches, no Python worker
+    at any materialization, ~10x faster warm.  Everything else (None,
+    NaN, Decimal, dates, binary, nested structs, schema-less calls)
+    falls back to a ONE-slice parallelize: the identical row-verifier
+    conversion, one Python task per materialization instead of one per
+    core.  Row order is preserved by both paths.
+
+    ``WW_LOCAL_ROWS_FAST=0`` routes to the verbatim stock call — the
+    A/B control used for the measurements in OPTIMIZATION_r12.md and an
+    escape hatch if a future Spark changes either path's semantics."""
+    import os
+
+    if os.environ.get("WW_LOCAL_ROWS_FAST", "1") == "0":
+        if schema is None:
+            return spark.createDataFrame(rows)
+        return spark.createDataFrame(rows, schema)
+    rows = rows if isinstance(rows, list) else list(rows)
+    if schema is None:
+        return spark.createDataFrame(rows)
+    from pyspark.sql import types as T
+
+    st = schema
+    if isinstance(st, str):
+        try:
+            st = T._parse_datatype_string(st)
+        except Exception:
+            st = None
+    if (
+        rows
+        and isinstance(st, T.StructType)
+        and spark.conf.get(
+            "spark.sql.execution.arrow.pyspark.enabled", "false",
+        ).lower() == "true"
+        and _arrow_local_safe(rows, st)
+    ):
+        try:
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                [tuple(r) for r in rows],
+                columns=[f.name for f in st.fields],
+            )
+            # createDataFrame(pandas) slices the frame into
+            # defaultParallelism Arrow batches, so a 33-row frame
+            # becomes a 32-partition RDD and every materialization
+            # pays a full task wave; these frames are driver-local
+            # smalls, so one partition (order-preserving concat) is
+            # the right width, matching the fallback path
+            return spark.createDataFrame(pdf, schema=st).coalesce(1)
+        except Exception:
+            pass
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema,
+    )

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -215,7 +217,7 @@ def ivf_topk(
         for c in np.argsort(d)[:nprobe]:
             probe_rows.append((r["query_id"], [float(x) for x in qv], int(c)))
     spark = assigned.sparkSession
-    probes = spark.createDataFrame(
+    probes = local_rows_df(spark, 
         probe_rows, schema="query_id long, __qv array<double>, __cluster long",
     )
     joined = assigned.join(
@@ -479,7 +481,7 @@ def mmr_select(
     remaining = cand
     for step in range(k):
         if picked:
-            sel = spark.createDataFrame(
+            sel = local_rows_df(spark, 
                 [(p[0], p[1], p[2]) for p in picked],
                 schema=remaining.select("__id", "__v", "__n").schema,
             ).select(
@@ -542,7 +544,7 @@ def mmr_select(
         DoubleType, IntegerType, StructField, StructType,
     )
 
-    out = spark.createDataFrame(
+    out = local_rows_df(spark, 
         [(i + 1, p[0], p[3], p[4]) for i, p in enumerate(picked)],
         StructType([
             StructField("rank", IntegerType()),
@@ -611,7 +613,7 @@ def kmeans_lloyd(
     ).withColumn("__vv", _dot(F.col("__v"), F.col("__v"))).persist()
 
     def centroid_frame(cs):
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             [(c, v, sum(x * x for x in v)) for c, v in cs],
             "__cid int, __c array<double>, __cc double",
         )
@@ -805,7 +807,7 @@ def silhouette_simplified(
             f"silhouette_simplified needs >= 2 centroids, got {len(cents)}",
         )
     spark = df.sparkSession
-    cf = spark.createDataFrame(
+    cf = local_rows_df(spark, 
         [(c, v, sum(x * x for x in v)) for c, v in cents],
         "__cid int, __c array<double>, __cc double",
     )

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 from .rank import global_prefix_sums
 from ..lifecycle import attach_persisted, persisted_frames
 
@@ -389,7 +391,7 @@ def theils_u(
     # (col_x, col_y, NULL, NULL) instead of silently vanishing (a
     # square association matrix must keep its cells)
     spark = df.sparkSession
-    expected = spark.createDataFrame(
+    expected = local_rows_df(spark, 
         [(x, y) for x in cols for y in cols if x != y],
         "col_x string, col_y string",
     )
@@ -854,7 +856,7 @@ def partial_correlation(
             partial = None
     r_xy = None if np.isnan(r[0, 1]) else float(r[0, 1])
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [(int(n), r_xy, partial)],
         "n long, r_xy double, partial_r double",
     )

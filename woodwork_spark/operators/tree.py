@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from woodwork_spark.operators.scale import local_rows_df
+
 from .rank import global_prefix_sums
 from ..lifecycle import attach_persisted, persisted_frames
 
@@ -271,7 +273,7 @@ def greedy_tree_fit(
         for r in leaf_stats
         if r["__node"] not in split_nodes
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         out_rows,
         "node string, kind string, feature string, threshold double, "
         "gain double, n bigint, n_pos bigint",
