@@ -30,6 +30,13 @@ spark = (
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    # the diagnostics sections chain un-checkpointed model + baseline
+    # frames, so the executed plans are deep; Spark renders every
+    # executed plan to a string for the SQL-start event, and at the
+    # default (unbounded) spark.sql.maxPlanStringLength that rendering
+    # alone overflows a default-sized driver heap — cap it (truncates
+    # the DESCRIPTION only, never changes the plan or results)
+    .config("spark.sql.maxPlanStringLength", "1000000")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
