@@ -57,6 +57,16 @@ def _prep(spark: SparkSession) -> SparkSession:
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         os.environ.get("SPARK_GRAFT_CACHED_AQE", "true"),
     )
+    # Arrow driver transfers (guide §6): OSS Spark defaults this OFF,
+    # silently taking pickled-row paths for createDataFrame(pandas) —
+    # including local_rows_df's JVM local-relation fast path, which
+    # needs it.  Every tested configuration (bench.py, conftest,
+    # profiler) already pins it on; setting it here makes an unknown
+    # driver session run the exact configuration the oracles verified.
+    spark.conf.set(
+        "spark.sql.execution.arrow.pyspark.enabled",
+        os.environ.get("SPARK_GRAFT_ARROW", "true"),
+    )
     try:
         cores = spark.sparkContext.defaultParallelism
         spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))

@@ -985,3 +985,35 @@ class TestMedcoupleKernelPreallocated:
         from woodwork_spark.statistics.outliers import _medcouple
 
         assert np.isnan(_medcouple(np.array([])))
+
+
+class TestPrepPinsArrow:
+    """_prep must pin Arrow driver transfers ON in an unknown driver
+    session (OSS default is off): local_rows_df's JVM local-relation
+    fast path gates on the session conf, and every oracle-verified
+    configuration (bench.py, conftest, profiler) runs with it on."""
+
+    def test_prep_sets_arrow_conf(self, spark):
+        import __spark_entry__ as entry
+
+        key = "spark.sql.execution.arrow.pyspark.enabled"
+        prev = spark.conf.get(key, "false")
+        try:
+            spark.conf.set(key, "false")
+            entry._prep(spark)
+            assert spark.conf.get(key) == "true"
+        finally:
+            spark.conf.set(key, prev)
+
+    def test_local_rows_fast_path_engages_after_prep(self, spark):
+        import __spark_entry__ as entry
+        from woodwork_spark.operators.scale import local_rows_df
+
+        entry._prep(spark)
+        df = local_rows_df(
+            spark, [(1, "a"), (2, "b")], "id bigint, s string",
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # JVM local relation, not a pickled PythonRDD scan
+        assert "LocalRelation" in plan or "LocalTableScan" in plan
+        assert df.rdd.getNumPartitions() == 1
