@@ -17,11 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from woodwork_spark.operators.scale import local_rows_df
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from woodwork_spark.io import read_parquet  # noqa: E402
+from woodwork_spark.operators.scale import local_rows_df  # noqa: E402
 from woodwork_spark.statistics.profile import numeric_profile_df  # noqa: E402
 from woodwork_spark.statistics.value_counts import value_counts_df  # noqa: E402
 

@@ -175,38 +175,80 @@ def main():
             json.dump(full, f, indent=1, sort_keys=True)
     except OSError as e:
         print(f"# could not write BENCH_full.json: {e}", file=sys.stderr)
-    # The driver captures a BOUNDED TAIL of stdout and parses the last
-    # complete JSON object it finds.  With 260 queries the full line
-    # above is itself longer than that window (BENCH_r07 arrived
-    # front-truncated, "parsed": null), so ALSO print a compact summary
-    # line with no per-query map — only the slowest 15 — guaranteed to
-    # fit whole inside any reasonable tail capture.  Printed LAST so a
-    # tail parser that takes the final JSON line gets this one.
-    slowest = dict(
-        sorted(
-            ((k, v) for k, v in timings.items() if v is not None),
-            key=lambda kv: -kv[1],
-        )[:15]
+    # The driver captures a BOUNDED TAIL of stdout (~2000 chars across
+    # r08-r12 artifacts) and parses the LAST complete JSON object it
+    # finds.  With 260+ queries the full line above is itself longer
+    # than that window (BENCH_r07 arrived front-truncated,
+    # "parsed": null), which left PERF_r12 with n_common: 0 — the
+    # driver never saw a per-query map (round-12 verdict ask #2).
+    # Two additions, both driver-safe because the compact summary is
+    # still the final, guaranteed-to-fit JSON line:
+    #
+    # 1. Self-contained CHUNK lines carrying the COMPLETE per-query map
+    #    in ~1500-char pieces, printed before the summary: a tail parser
+    #    that merges every complete JSON object in its window recovers
+    #    the trailing chunks; a last-object parser skips them unharmed.
+    # 2. The summary line itself now carries a "queries" map with as
+    #    many entries as fit the tail budget (descending by time, 2dp —
+    #    the slow tail is where regressions live), restoring the
+    #    parsed["queries"] contract that rounds 1-5 had, for the subset
+    #    that matters.  All pre-existing keys (incl. "slowest") kept.
+    sorted_q = sorted(
+        ((k, v) for k, v in timings.items() if v is not None),
+        key=lambda kv: -kv[1],
     )
+    slowest = dict(sorted_q[:15])
     errored = sorted(k for k, v in timings.items() if v is None)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(valid),
-                "n_errors": len(errored),
-                "errors": errored[:10],
-                "sf": sf_val,
-                "method": f"min_of_{max(reps, 1)}",
-                "load_hint": load_hint,
-                "commit": commit,
-                "slowest": slowest,
-            },
-        ),
-        flush=True,
-    )
+
+    chunk, chunk_rows, nchunks = [], [], 0
+    items = sorted(timings.items())
+    for k, v in items:
+        chunk.append((k, v))
+        if len(json.dumps(dict(chunk))) > 1400:
+            chunk_rows.append(dict(chunk))
+            chunk = []
+    if chunk:
+        chunk_rows.append(dict(chunk))
+    nchunks = len(chunk_rows)
+    for i, rows in enumerate(chunk_rows, 1):
+        print(
+            json.dumps(
+                {
+                    "metric": "per_query_chunk",
+                    "chunk": i,
+                    "chunks": nchunks,
+                    "commit": commit,
+                    "queries": rows,
+                },
+            ),
+            flush=True,
+        )
+
+    summary = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(valid),
+        "n_errors": len(errored),
+        "errors": errored[:10],
+        "sf": sf_val,
+        "method": f"min_of_{max(reps, 1)}",
+        "load_hint": load_hint,
+        "commit": commit,
+        "slowest": slowest,
+        "queries": {},
+    }
+    try:
+        tail_budget = int(os.environ.get("SPARK_GRAFT_TAIL_BUDGET", "2000"))
+    except ValueError:
+        tail_budget = 2000
+    budget = tail_budget - 60  # slack for the trailing newline / partial env
+    for k, v in sorted_q:
+        summary["queries"][k] = round(v, 2)
+        if len(json.dumps(summary)) > budget:
+            del summary["queries"][k]
+            break
+    print(json.dumps(summary), flush=True)
     spark.stop()
 
 

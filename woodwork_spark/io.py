@@ -198,7 +198,9 @@ def read_file(spark: SparkSession, filepath: str, content_type=None, **ww_init_k
     elif ext in ("feather", "arrow"):
         import pandas as pd
 
-        df = spark.createDataFrame(pd.read_feather(filepath))
+        # pinned-Arrow conversion: NaN -> NULL identically under any
+        # session conf (see pandas_to_spark)
+        df = pandas_to_spark(spark, pd.read_feather(filepath))
     else:
         raise RuntimeError(f"Content type '{ext}' not supported.")
     return init(df, **ww_init_kwargs)
@@ -218,5 +220,24 @@ def arrow_to_pandas(df: DataFrame):
     spark.conf.set(key, "true")
     try:
         return df.toPandas()
+    finally:
+        spark.conf.set(key, prev)
+
+
+def pandas_to_spark(spark, pdf) -> DataFrame:
+    """``createDataFrame(pandas)`` with Arrow transfer pinned on.
+
+    The Arrow and pickled-row paths diverge on float NaN (Arrow's
+    from_pandas yields SQL NULL, the row path keeps NaN), so a feather
+    deserialize would change meaning with the session's Arrow conf.
+    Pinning Arrow ON makes every session produce the configuration the
+    oracles verified (bench.py/conftest always enable it), and NaN
+    consistently means "missing" — matching the pandas reference, where
+    NaN IS the missing marker for feather frames."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        return spark.createDataFrame(pdf)
     finally:
         spark.conf.set(key, prev)

@@ -66,18 +66,28 @@ def _probe_small(df: DataFrame, small_threshold, known_count):
 
     Returns (is_small, source frame to build on, whether we persisted).
     """
+    # A frame the CALLER already persisted must not be re-persisted and
+    # flagged for release here: DataFrame.persist() dedupes to the
+    # caller's cache entry, so releasing it would unpersist the cache
+    # out from under the caller's later use (silent recomputation, and
+    # a hazard under concurrent _overlap fits).
+    already_cached = (
+        df.storageLevel.useMemory or df.storageLevel.useDisk
+    )
     if not small_threshold:
         # Forced-distributed path (the ungrouped survival fits): STILL
         # persist — repartitionByRange's boundary-sampling job would
         # otherwise re-execute the whole upstream plan (a join + wide
         # agg per Newton round) once more than needed.  The persist is
         # released through the same attach_persisted lifecycle.
+        if already_cached:
+            return False, df, False
         return False, df.persist(), True
     if known_count is not None:
         return known_count <= small_threshold, df, False
-    src = df.persist()
+    src = df if already_cached else df.persist()
     n = src.limit(small_threshold + 1).count()
-    return n <= small_threshold, src, True
+    return n <= small_threshold, src, not already_cached
 
 
 def global_row_number(

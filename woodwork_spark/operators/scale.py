@@ -497,8 +497,20 @@ def _arrow_local_safe(rows, st):
     # for the field EXACTLY (e.g. DoubleType rejects a plain int there,
     # so it must not silently pass through Arrow's widening cast), plus
     # excludes None and float NaN, whose pandas round trip differs
-    def _int_ok(v):
-        return type(v) is int
+    # Width-aware int checks: the stock verifier RAISES on an
+    # out-of-range value for the declared width, while Arrow's unsafe
+    # cast (convertToArrowArraySafely defaults false) silently wraps —
+    # e.g. 2**40 into an 'int' field.  Out-of-range rows must therefore
+    # route to the verifier fallback, not the Arrow fast path.
+    def _int_range(lo, hi):
+        def _ok(v):
+            return type(v) is int and lo <= v <= hi
+        return _ok
+
+    _long_ok = _int_range(-(2 ** 63), 2 ** 63 - 1)
+    _int_ok = _int_range(-(2 ** 31), 2 ** 31 - 1)
+    _short_ok = _int_range(-(2 ** 15), 2 ** 15 - 1)
+    _byte_ok = _int_range(-(2 ** 7), 2 ** 7 - 1)
 
     def _float_ok(v):
         return type(v) is float and v == v
@@ -510,8 +522,8 @@ def _arrow_local_safe(rows, st):
         return type(v) is bool
 
     checker = {
-        T.LongType: _int_ok, T.IntegerType: _int_ok,
-        T.ShortType: _int_ok, T.ByteType: _int_ok,
+        T.LongType: _long_ok, T.IntegerType: _int_ok,
+        T.ShortType: _short_ok, T.ByteType: _byte_ok,
         T.DoubleType: _float_ok, T.FloatType: _float_ok,
         T.StringType: _str_ok, T.BooleanType: _bool_ok,
     }

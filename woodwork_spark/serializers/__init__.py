@@ -210,7 +210,11 @@ def from_disk(spark: SparkSession, path, validate=True):
             if not files:
                 raise ValueError(f"no feather/arrow file under {local}")
             local = files[0]
-        df = spark.createDataFrame(feather.read_table(local).to_pandas())
+        from woodwork_spark.io import pandas_to_spark
+
+        # pinned-Arrow conversion: NaN -> NULL identically under any
+        # session conf (see io.pandas_to_spark)
+        df = pandas_to_spark(spark, feather.read_table(local).to_pandas())
     else:
         raise ValueError(f"could not determine format: {fmt}")
 
