@@ -5,6 +5,84 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# ---------------------------------------------------------------------------
+# Time-budgeted default selection (round-12 verdict ask #1): the full
+# suite outgrew the driver's pytest wall-clock budget (timed out at ~62%
+# with zero failures).  The heavyweights below — measured >= ~6 s each
+# with --durations on an idle-ish host, ~1500 s combined — carry the
+# `slow` marker and are EXCLUDED BY DEFAULT via pytest.ini's
+# `-m "not slow"`.  Nothing is deleted: `pytest -m slow` runs exactly
+# these, `pytest -m "slow or not slow"` runs everything.  Centralized
+# here (instead of per-file decorators) so the budget list is one
+# auditable block.  Fast representatives of the same features stay in
+# the default set (edit_distance_join_basic, connected_components
+# union-find match, record_linkage end-to-end, the no-python-udf plan
+# guard, and tests/test_parity_smoke.py's per-family oracle checks).
+# ---------------------------------------------------------------------------
+SLOW_TESTS = {
+    "tests/test_driver_simulation.py::test_every_query_runs_and_every_oracle_parses",
+    "tests/test_streaming.py::test_custom_stateful_sessionizer",
+    "tests/test_round11.py::TestQualityClassifier::test_recovers_planted_separation",
+    "tests/test_round12.py::TestWideQualityClassifier::test_diag_matches_exact_on_small_k",
+    "tests/test_properties.py::test_edit_distance_join_matches_bruteforce",
+    "tests/test_round12.py::TestWideQualityClassifier::test_k256_recovers_planted_separation",
+    "tests/test_round12.py::TestFineGray::test_no_competing_reduces_to_cox",
+    "tests/test_round11.py::TestStreamingQualityScore::test_classifier_scores_a_stream",
+    "tests/test_round9.py::test_two_sample_battery_properties",
+    "tests/test_round11.py::TestCoxResiduals::test_martingale_identity_and_deviance",
+    "tests/test_round10.py::TestCoxBaselineHazard::test_matches_numpy_breslow",
+    "tests/test_round12.py::TestFineGray::test_no_censoring_equals_infinite_followup_cox",
+    "tests/test_properties.py::test_ks_drift_bounds_and_extremes",
+    "tests/test_round12.py::TestCoxTimeVarying::test_time_fixed_reduces_to_cox_ph_fit",
+    "tests/test_properties.py::test_global_prefix_sums_matches_single_window",
+    "tests/test_round9.py::test_two_sample_battery_zero_on_identical",
+    "tests/test_round10.py::TestCoxPhDiagnostic::test_matches_numpy_and_detects_violation",
+    "tests/test_round12.py::TestFineGray::test_single_covariate_numpy_golden",
+    "tests/test_round8.py::test_canonicalize_url_idempotent_property",
+    "tests/test_operators.py::test_edit_distance_join_exhaustive_against_bruteforce",
+    "tests/test_round12.py::TestCoxTimeVarying::test_multi_covariate_grouped_numpy_golden",
+    "tests/test_properties.py::test_global_rank_property",
+    "tests/test_operators.py::test_bootstrap_mean_ci_coverage_and_determinism",
+    "tests/test_round9.py::test_blocked_candidates_union_of_blockers",
+    "tests/test_round12.py::TestGrayScoreTest::test_no_competing_equals_logrank_chi2_direction",
+    "tests/test_round11.py::TestGlmLrt::test_nested_logistic_against_numpy",
+    "tests/test_round11.py::TestCoxLoglikAndLrt::test_loglik_matches_numpy",
+    "tests/test_operators.py::test_embedding_near_dup_pairs",
+    "tests/test_round12.py::TestFineGray::test_multi_covariate_grouped_numpy_golden",
+    "tests/test_round9.py::test_record_linkage_with_blockers_finds_cross_field_match",
+    "tests/test_round11.py::TestIvfPqRerank::test_rerank_recall_at_least_non_reranked",
+    "tests/test_properties.py::test_merge_upsert_idempotent_and_total",
+    "tests/test_operators.py::test_bfs_hops_manual",
+    "tests/test_round11.py::TestCoxLoglikAndLrt::test_cox_lrt_null_covariate_large_p",
+    "tests/test_round9.py::test_estimate_m_u_recovers_planted_parameters",
+    "tests/test_round11.py::TestGlmResiduals::test_poisson_deviance_and_pearson",
+    "tests/test_properties.py::test_quantile_normalize_invariants",
+    "tests/test_properties.py::test_fisher_exact_p_values_are_probabilities",
+    "tests/test_round12.py::TestCoxTimeVarying::test_single_covariate_numpy_golden",
+    "tests/test_round12.py::TestAdviceRegressions::test_cox_loglik_gated_multi",
+    "tests/test_operators.py::test_shortest_paths_manual",
+    "tests/test_round12.py::TestFineGray::test_ungrouped_plan_no_singlepartition_windows",
+    "tests/test_accessor.py::test_demo_retail",
+    "tests/test_round9.py::test_with_registered_domain_property_parity",
+    "tests/test_round9.py::test_estimate_m_u_feeds_fellegi_sunter",
+    "tests/test_operators.py::test_edit_distance_join_short_strings",
+    "tests/test_properties.py::test_jarque_bera_shift_scale_invariant",
+    "tests/test_inference.py::test_engine_parity_pandas_vs_spark",
+    "tests/test_curation.py::test_dedup_against_corpus_near",
+    "tests/test_properties.py::test_rolling_distinct_matches_bruteforce",
+    "tests/test_round12.py::TestFineGray::test_release_frees_caches",
+    "tests/test_round8.py::test_record_linkage_carries_persisted_frames",
+    "tests/test_operators.py::test_pca_moments_collect_bounded_by_fanin",
+    "tests/test_round11.py::TestPoissonUnderflowGuard::test_dispersion_survives_zero_weight_rows",
+    "tests/test_round9.py::test_estimate_m_u_missing_is_no_evidence",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

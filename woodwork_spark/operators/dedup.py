@@ -311,8 +311,21 @@ def connected_components(
         # when the probe overflows into the distributed path that same
         # lineage feeds the edges frame — without the persist it would
         # execute twice on exactly the large inputs the threshold guards
-        pairs = pairs.persist()
-        head = pairs.select("id_a", "id_b").limit(small_threshold + 1).collect()
+        from woodwork_spark.operators.scale import aqe_fanout_floor
+
+        # the persist+collect MATERIALIZE the pair cache — typically an
+        # LSH/edit-join candidate+verify pipeline whose per-pair CPU
+        # work AQE would otherwise squeeze onto 1-2 tasks at small byte
+        # sizes; the scope must include persist() because the cached
+        # plan captures the session conf at InMemoryRelation creation
+        # (see aqe_fanout_floor)
+        with aqe_fanout_floor(spark):
+            pairs = pairs.persist()
+            head = (
+                pairs.select("id_a", "id_b")
+                .limit(small_threshold + 1)
+                .collect()
+            )
         if len(head) <= small_threshold:
             pairs.unpersist()
             parent: dict = {}

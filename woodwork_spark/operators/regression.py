@@ -452,15 +452,26 @@ def _glm_irls_fit(
             F.col(f"__x{j + 1}") for j in range(len(x_cols))
         ]
 
-    def _mu_w(eta):
+    def _mu_of(eta):
         if family == "logistic":
             eta = F.least(F.lit(30.0), F.greatest(F.lit(-30.0), eta))
-            mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-            return mu, mu * (F.lit(1.0) - mu)
+            return F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
         # same exp-overflow clamp as the 1-covariate Poisson path
-        eta = F.least(F.lit(700.0), eta)
-        mu = F.exp(eta)
-        return mu, mu
+        return F.exp(F.least(F.lit(700.0), eta))
+
+    def _w_of(mu):
+        return mu * (F.lit(1.0) - mu) if family == "logistic" else mu
+
+    def _eta_mu_cols(cur, eta):
+        """Factor eta and mu through NAMED projections (the
+        logistic_fit_diag/bootstrap convention): the mu tree used to
+        inline into every one of the d + d(d+1)/2 sufficient-stat
+        aggregates, so each Newton round re-analyzed a plan ~(d^2)x
+        bigger than needed.  Same arithmetic — the aggregates now
+        reference a leaf column.  CollapseProject keeps multi-use
+        non-cheap projections, so the layering survives optimization."""
+        cur = cur.select("*", eta.alias("__eta"))
+        return cur.select("*", _mu_of(F.col("__eta")).alias("__mu"))
 
     def _suff_aggs(mu, w, xs):
         aggs = [
@@ -507,7 +518,8 @@ def _glm_irls_fit(
             eta = eta + F.col(f"__b{j + 1}") * F.col(f"__x{j + 1}")
         if exposure_col is not None:
             eta = eta + F.col("__off")
-        mu, w = _mu_w(eta)
+        cur = _eta_mu_cols(cur, eta)
+        mu, w = F.col("__mu"), _w_of(F.col("__mu"))
         step = _penalized(cur.groupBy(*group_cols).agg(
             *[F.max(f"__b{j}").alias(f"__b{j}") for j in range(d)],
             *_suff_aggs(mu, w, _xs()),
@@ -540,7 +552,9 @@ def _glm_irls_fit(
         eta = eta + F.col(f"__b{j + 1}") * F.col(f"__x{j + 1}")
     if exposure_col is not None:
         eta = eta + F.col("__off")
-    mu, w = _mu_w(eta)
+    fin = _eta_mu_cols(fin, eta)
+    eta = F.col("__eta")
+    mu, w = F.col("__mu"), _w_of(F.col("__mu"))
     if family == "logistic":
         ll = F.col("__y") * F.log(mu) + (
             F.lit(1.0) - F.col("__y")

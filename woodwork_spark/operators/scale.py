@@ -482,6 +482,62 @@ def fan_out_scan(df: DataFrame, multiplier: int = 1) -> DataFrame:
     return df.repartition(target)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def aqe_fanout_floor(spark, min_size: str = None):
+    """Scoped AQE coalesce floor for materializing SMALL caches whose
+    in-plan work is per-ROW-heavy (candidate verify joins, levenshtein,
+    MinHash banding).
+
+    With ``canChangeCachedPlanOutputPartitioning=true``, AQE sizes a
+    cached plan's shuffle stages by BYTES with a 1 MB minimum partition
+    size — correct for data-bound work, but a ~1.5 MB candidate-pair
+    cache then materializes through 1-2 tasks and the expensive
+    per-pair CPU work serializes (the round-12 entity_resolution
+    regression).  Inside this scope the floor drops (default 16k, env
+    ``WW_AQE_FANOUT_MIN_SIZE``) so AQE's parallelism-first sizing
+    (total bytes / defaultParallelism) wins for small caches.  Scale
+    safe: at production cache sizes bytes/parallelism dominates any
+    floor, so the scope changes nothing; it is also strictly an AQE
+    sizing hint — results are identical.  Scoped (set-and-restore)
+    rather than global because the opposite preference holds for
+    iteration-wave caches (pagerank/ppr measured ~2 s slower per query
+    under a GLOBAL 64k floor in round 12).
+
+    MUST wrap the ``persist()`` call, not (only) the materializing
+    action: the cached plan's QueryExecution captures the session conf
+    when the InMemoryRelation is created, so a floor set after
+    persist() is invisible to the cache build (verified empirically:
+    floor-before-persist -> 32 cache partitions, floor-after -> 1).
+
+    The floor defaults to 1k — with AQE's parallelism-first sizing the
+    partition target is max(bytes/defaultParallelism, floor), so the
+    count stays capped at defaultParallelism; the tiny floor only stops
+    the 1 MB default from squeezing a kilobyte-sized cache into one
+    task."""
+    import os
+
+    key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    size = min_size or os.environ.get("WW_AQE_FANOUT_MIN_SIZE", "1k")
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, size)
+    try:
+        yield
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(key, prev)
+
+
 def _arrow_local_safe(rows, st):
     """True when every value is a plain Python scalar (or a flat numeric
     list for an array<numeric> field) whose pandas->Arrow round trip is

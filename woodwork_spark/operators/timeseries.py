@@ -1595,7 +1595,14 @@ def cox_ph_fit(
             # exp-overflow clamp, mirroring the GLM engines; the
             # 1-covariate path keeps its exact legacy arithmetic
             eta = F.least(F.lit(700.0), eta)
-        ew = F.exp(eta)
+        # factor e^(b'x) through a NAMED projection (the bootstrap/
+        # logistic_fit_diag convention): the exp(dot-product) tree used
+        # to inline into every one of the 1 + k + k(k+1)/2 cell
+        # aggregates, so each Newton round re-analyzed a plan ~k^2
+        # bigger than needed.  Same arithmetic; aggregates reference a
+        # leaf column.
+        cur = cur.select("*", F.exp(eta).alias("__ew"))
+        ew = F.col("__ew")
         cell_aggs = [
             F.count(F.lit(1)).alias("__nc"),
             F.sum("__d").alias("__dt"),
@@ -1893,7 +1900,11 @@ def cox_ph_fit_tv(
             term = F.col(bnames[j]) * F.col(xnames[j])
             eta = term if eta is None else eta + term
         eta = F.least(F.lit(700.0), eta)
-        sew = F.col("__sgn") * F.exp(eta)
+        # factor sgn*e^(b'x) through a NAMED projection — see cox_ph_fit
+        cur = cur.select(
+            "*", (F.col("__sgn") * F.exp(eta)).alias("__sew"),
+        )
+        sew = F.col("__sew")
         cell_aggs = [
             F.sum(F.when(F.col("__sgn") > 0, 1).otherwise(0)).alias("__nc"),
             F.sum("__d").alias("__dt"),
@@ -2191,8 +2202,15 @@ def fine_gray_fit(
             term = F.col(bnames[j]) * F.col(f"__x{j + 1}")
             eta = term if eta is None else eta + term
         eta = F.least(F.lit(700.0), eta)
-        ew = F.exp(eta)
-        mw = F.col("__d2") * ew / F.col("__gm")
+        # factor e^(b'x) and the mass-shifted weight through NAMED
+        # projections — see cox_ph_fit
+        cur = cur.select("*", F.exp(eta).alias("__ew"))
+        cur = cur.select(
+            "*",
+            (F.col("__d2") * F.col("__ew") / F.col("__gm")).alias("__mw"),
+        )
+        ew = F.col("__ew")
+        mw = F.col("__mw")
         cell_aggs = [
             F.count(F.lit(1)).alias("__nc"),
             F.sum("__d1").alias("__dt"),

@@ -550,20 +550,33 @@ def match_stream_against_corpus(
 
     # the corpus signature pass (shingles + num_perm minhashes per doc)
     # is per-row-heavy; fan the narrow scan out so it parallelizes and
-    # the persisted signature/bucket caches carry >1 partition
+    # the persisted signature/bucket caches carry >1 partition.
+    # The 16-entry band-hash ARRAY is computed once per document here
+    # (__cbh/__sbh) and the num_perm-long signature never leaves this
+    # projection: the min-colliding-band filter used to re-derive BOTH
+    # band arrays from the joined signatures per CANDIDATE row — 2 x
+    # bands x (slice + hash of a 64-long array) of interpreted
+    # expression work per pair, measured as the dominant cost of the
+    # whole query (guide §1/§4: per-task work; §2.3: the join now
+    # carries 16 ints instead of 64 longs per side).
     c_sh = (
         fan_out_scan(corpus).select(
             F.col(corpus_id).alias("__cid"),
             shingles_expr(corpus_text_col, shingle_k, use_words).alias("__csh"),
         )
         .filter(F.size("__csh") > 0)
+        # bind the signature to a NAME before slicing it into bands —
+        # passing the expression to band_hashes directly would inline
+        # the whole num_perm-hash tree once per band
         .withColumn("__csig", minhash_signature_expr("__csh", num_perm))
+        .withColumn("__cbh", band_hashes(F.col("__csig")))
+        .drop("__csig")
         .persist()
     )
     c_bands = (
         c_sh.select(
             "__cid",
-            F.posexplode(band_hashes(F.col("__csig"))).alias("band", "bh"),
+            F.posexplode(F.col("__cbh")).alias("band", "bh"),
         )
         .persist()
     )
@@ -574,16 +587,18 @@ def match_stream_against_corpus(
         )
         .filter(F.size("__ssh") > 0)
         .withColumn("__ssig", minhash_signature_expr("__ssh", num_perm))
+        .withColumn("__sbh", band_hashes(F.col("__ssig")))
+        .drop("__ssig")
     )
     s_bands = s.select(
-        "__sid", "__ssh", "__ssig",
-        F.posexplode(band_hashes(F.col("__ssig"))).alias("band", "bh"),
+        "__sid", "__ssh", "__sbh",
+        F.posexplode(F.col("__sbh")).alias("band", "bh"),
     )
     cand = s_bands.join(F.broadcast(c_bands), ["band", "bh"]).join(
-        F.broadcast(c_sh.select("__cid", "__csh", "__csig")), "__cid",
+        F.broadcast(c_sh.select("__cid", "__csh", "__cbh")), "__cid",
     )
-    sbh = band_hashes(F.col("__ssig"))
-    cbh = band_hashes(F.col("__csig"))
+    sbh = F.col("__sbh")
+    cbh = F.col("__cbh")
     colliding = F.filter(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.element_at(sbh, b + 1) == F.element_at(cbh, b + 1),
