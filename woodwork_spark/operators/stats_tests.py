@@ -945,18 +945,32 @@ def bh_fdr(
         "__raw",
         F.col(p_col) * F.lit(scale) / (F.col("__i") + 1).cast("double"),
     )
-    # min of __raw over STRICTLY LATER buckets.  Computed LAZILY as part
-    # of the final plan: a bucket-count-sized aggregate, a single-row
-    # suffix-min window over it (<= shuffle-partition-count rows), and a
-    # broadcast join back on the bucket id.  The r12 version collected
-    # the bucket minima to the driver and folded them into a literal
-    # map, which cost one extra ACTION per call (a full job over the
-    # cache at build time) — measured as by_fdr's +0.4 s regression.
-    # Same doubles, same min fold; one action instead of two.
-    bm = raw.groupBy(_PID).agg(F.min("__raw").alias("__bm"))
-    w_suf = W.orderBy(F.desc(_PID)).rowsBetween(W.unboundedPreceding, -1)
-    suf = bm.select(
-        _PID, F.min("__bm").over(w_suf).alias("__sfx"),
+    # min of __raw over STRICTLY LATER buckets.  The RANKED frame is
+    # persisted, so the per-bucket row_number window (the expensive sort
+    # inside each range bucket) executes exactly ONCE: the bucket-minima
+    # collect below materializes the cache, and the final query reads
+    # ranked rows back without re-sorting.  The r12 in-plan variant
+    # (bucket agg + suffix window + broadcast join inside one action)
+    # re-executed that window in the broadcast subtree and measured
+    # 1.75x SLOWER on bh_fdr in a same-session interleaved A/B; the
+    # r11 collect-from-parted variant ran the window twice as well.
+    # The driver fold is bucket-count-sized (scales with partition
+    # count, not rows — fine at 100 TB).
+    raw = raw.persist()
+    brows = sorted(
+        raw.groupBy(_PID).agg(F.min("__raw").alias("__bm")).collect(),
+        key=lambda r: r[_PID],
+    )
+    items, running = [], None
+    for r in reversed(brows):
+        if running is not None:
+            items += [F.lit(r[_PID]), F.lit(running)]
+        v = r["__bm"]
+        if v is not None:
+            running = v if running is None else min(running, v)
+    suffix_off = (
+        F.create_map(*items)[F.col(_PID)] if items
+        else F.lit(None).cast("double")
     )
     w_desc = (
         W.partitionBy(_PID)
@@ -964,15 +978,11 @@ def bh_fdr(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     # least() skips nulls, so first-from-the-end buckets need no sentinel
-    out = (
-        raw.join(F.broadcast(suf), _PID, "left")
-        .withColumn(
-            out_col,
-            F.least(F.lit(1.0), F.min("__raw").over(w_desc), F.col("__sfx")),
-        )
-        .drop(_PID, "__i", "__raw", "__sfx")
-    )
-    return attach_persisted(out, base, parted)
+    out = raw.withColumn(
+        out_col,
+        F.least(F.lit(1.0), F.min("__raw").over(w_desc), suffix_off),
+    ).drop(_PID, "__i", "__raw")
+    return attach_persisted(out, base, parted, raw)
 
 
 # ---------------------------------------------------------------------------
