@@ -869,14 +869,9 @@ def q_stream_hourly(spark, sf_dir):
         F.round("sum_value", 2).alias("sum_value"),
     )
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        rolled.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    from woodwork_spark.streaming.events import run_available_now
+
+    run_available_now(rolled, name, "complete")
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -1309,14 +1304,9 @@ def q_stream_dedup(spark, sf_dir):
     )
     deduped = dedup_event_stream(replayed, keys=("event_id",))
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    from woodwork_spark.streaming.events import run_available_now
+
+    run_available_now(deduped, name, "append")
     return spark.sql(
         f"""
         SELECT event_type,
@@ -1848,14 +1838,9 @@ def q_stream_scd_join(spark, sf_dir):
         stream, dim, "grp", event_key=F.col("user_id") % 25,
     )
     name = f"scd_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    from woodwork_spark.streaming.events import run_available_now
+
+    run_available_now(enriched, name, "append")
     return spark.sql(
         f"""
         SELECT tier,
@@ -2875,14 +2860,9 @@ def q_stream_distinct(spark, sf_dir):
         replayed, "user_id", watermark="2 hours", window="1 day",
     )
     name = f"stream_distinct_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    from woodwork_spark.streaming.events import run_available_now
+
+    run_available_now(out, name, "append")
     return spark.sql(
         f"""
         SELECT unix_micros(window_start) AS window_start_us,
@@ -4487,14 +4467,9 @@ def q_stream_hopping(spark, sf_dir):
         F.round("sum_value", 2).alias("sum_value"),
     )
     name = f"stream_hopping_{uuid.uuid4().hex[:8]}"
-    q = (
-        rolled.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    from woodwork_spark.streaming.events import run_available_now
+
+    run_available_now(rolled, name, "complete")
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -13048,14 +13023,9 @@ def q_stream_srm(spark, sf_dir):
         _ravg(F.col("chi2"), 6).alias("chi2"),
     )
     name = f"stream_srm_{uuid.uuid4().hex[:8]}"
-    q = (
-        mon.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    from woodwork_spark.streaming.events import run_available_now
+
+    run_available_now(mon, name, "complete")
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -15236,14 +15206,9 @@ def q_stream_domain_rate(spark, sf_dir):
         "n_urls",
     )
     name = f"stream_domrate_{uuid.uuid4().hex[:8]}"
-    q = (
-        rated.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    from woodwork_spark.streaming.events import run_available_now
+
+    run_available_now(rated, name, "complete")
     return spark.sql(f"SELECT * FROM {name}")
 
 

@@ -266,6 +266,76 @@ def late_data_counts_stream(
     )
 
 
+def _ephemeral_checkpoint_dir(name: str):
+    """tmpfs checkpoint directory for a FINITE availableNow replay, or
+    None to keep Spark's default temp checkpoint.
+
+    The memory-sink harness queries run Trigger.AvailableNow with a
+    throwaway checkpoint; its only I/O is the offset/commit WAL plus
+    one state-store delta per stateful-operator partition per
+    micro-batch — dozens of tiny files whose create+rename+CRC dance
+    lands on the journaling root filesystem by default.  Measured on
+    the bench host (4-rep interleaved A/B): per-task state commit of
+    300-600 ms under ambient disk pressure, stream_distinct median
+    8.4 s -> 4.6 s and dedup 5.4 -> 3.5 with the checkpoint on tmpfs,
+    best-case times unchanged (guide §6: I/O layout; the win is the
+    heavy tail, which min-of-2 benching otherwise eats ~half the
+    time).  PRODUCTION streams need durable checkpoints and must NOT
+    use this — it only replaces checkpoints that were already
+    temporary.  Env: ``WW_STREAM_EPHEMERAL_CKPT=auto|off|<base dir>``
+    (default auto = /dev/shm when present and writable)."""
+    import os
+    import uuid
+
+    mode = os.environ.get("WW_STREAM_EPHEMERAL_CKPT", "auto")
+    if mode == "off":
+        return None
+    base = "/dev/shm" if mode == "auto" else mode
+    if not os.path.isdir(base) or not os.access(base, os.W_OK):
+        return None
+    return os.path.join(base, f"ww_ckpt_{name}_{uuid.uuid4().hex[:8]}")
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    timeout_sec: int = 180,
+    strict: bool = False,
+):
+    """Start ``stream_df`` as an availableNow memory-sink query with an
+    ephemeral tmpfs checkpoint (see :func:`_ephemeral_checkpoint_dir`),
+    await termination, clean the checkpoint up, and return the
+    terminated query.  ``strict=True`` raises on timeout instead of
+    returning (the :func:`run_stream_to_memory` contract)."""
+    import shutil
+
+    w = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    ckpt = _ephemeral_checkpoint_dir(name)
+    if ckpt:
+        w = w.option("checkpointLocation", ckpt)
+    q = w.start()
+    try:
+        done = q.awaitTermination(timeout_sec)
+        if strict and not done:
+            q.stop()
+            raise RuntimeError(
+                f"run_available_now({name!r}): availableNow batch still "
+                f"running after {timeout_sec}s — refusing to return a "
+                "partial result",
+            )
+    finally:
+        # never delete a live query's checkpoint out from under it
+        if ckpt and not q.isActive:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return q
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 600):
     """Run a streaming query to completion with Trigger.AvailableNow into
     an in-memory sink; returns the result rows (test/bench harness).
@@ -274,20 +344,13 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, timeout_sec: int = 600
     has not terminated by ``timeout_sec`` — a silently-empty result on
     a slow batch is a correctness bug, not a timeout policy (the old
     120 s soft return produced exactly that on a 10x corpus)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append" if "session" in name else "complete")
-        .trigger(availableNow=True)
-        .start()
+    run_available_now(
+        stream_df,
+        name,
+        "append" if "session" in name else "complete",
+        timeout_sec=timeout_sec,
+        strict=True,
     )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise RuntimeError(
-            f"run_stream_to_memory({name!r}): availableNow batch still "
-            f"running after {timeout_sec}s — refusing to return a "
-            "partial result",
-        )
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
