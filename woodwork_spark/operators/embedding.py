@@ -657,13 +657,16 @@ def pq_search(
     return attach_persisted(out, pts)
 
 
-def _pq_explode(df: DataFrame, id_col, vec_col, n_subspaces):
+def _pq_explode(df: DataFrame, id_col, vec_col, n_subspaces, d: int = None):
     """Explode vectors into the persisted (id, sub, subvec, ||subvec||²)
-    training frame shared by every PQ path.  Returns ``(pts, dsub)``."""
+    training frame shared by every PQ path.  Returns ``(pts, dsub)``.
+    Pass ``d`` when the caller already knows the dimension to skip the
+    probe job."""
     from woodwork_spark.operators.similarity import _dot
 
-    first = df.select(F.size(vec_col)).first()
-    d = int(first[0]) if first else 0
+    if d is None:
+        first = df.select(F.size(vec_col)).first()
+        d = int(first[0]) if first else 0
     if d == 0 or d % n_subspaces != 0:
         raise ValueError(
             f"pq: vector length {d} not divisible by "
@@ -722,6 +725,61 @@ def _pq_assign(pts: DataFrame, cents: dict) -> DataFrame:
     )
 
 
+def _pq_train_local(sub_rows: dict, k: int, iterations: int,
+                    quantize: int, who: str):
+    """Driver-local PQ training over BOUNDED collected subvectors —
+    per-subspace :func:`~woodwork_spark.operators.similarity.
+    _lloyd_local` with the PQ conventions (id < k seeding, fixed
+    ``eps = 1e-7`` mean shift, empty clusters keep their centroid).
+    ``sub_rows`` maps subspace -> [(id, [float, ...])] sorted by id.
+    Subspaces train independently in both formulations, so replaying
+    them one by one is the same trajectory the single batched
+    distributed job walks."""
+    from woodwork_spark.operators.similarity import _lloyd_local
+
+    cents: dict = {}
+    for s, rows in sorted(sub_rows.items()):
+        init = {int(i): v for i, v in rows if i < k}
+        if len(init) < k:
+            raise ValueError(f"{who}: seeding needs ids 0..k-1 present")
+        trained = _lloyd_local(
+            rows, sorted(init.items()), iterations, quantize, shift=1e-7,
+        )
+        for c, v in trained:
+            cents[(s, c)] = v
+    return cents
+
+
+def _pq_bounded_sub_rows(pts, max_rows: int, n_subspaces: int, dsub: int):
+    """Collect the exploded training frame when the ORIGINAL row count
+    fits ``max_rows`` (exploded bound = max_rows x n_subspaces), else
+    None.  Mirrors ``similarity._bounded_local_rows``: non-finite
+    values or ragged subvectors keep the distributed path."""
+    import math
+
+    if not max_rows or max_rows <= 0:
+        return None
+    head = (
+        pts.select("__id", "__sub", "__v")
+        .limit(max_rows * n_subspaces + 1)
+        .collect()
+    )
+    if len(head) > max_rows * n_subspaces:
+        return None
+    sub_rows: dict = {s: [] for s in range(n_subspaces)}
+    for r in head:
+        v = r["__v"]
+        if v is None or len(v) != dsub or r["__sub"] not in sub_rows:
+            return None
+        vals = [float(x) for x in v]
+        if not all(math.isfinite(x) for x in vals):
+            return None
+        sub_rows[r["__sub"]].append((r["__id"], vals))
+    for rows in sub_rows.values():
+        rows.sort(key=lambda t: t[0])
+    return sub_rows
+
+
 def _pq_train(
     df: DataFrame,
     id_col: str,
@@ -731,16 +789,32 @@ def _pq_train(
     iterations: int,
     quantize: int,
     who: str = "pq",
+    d: int = None,
 ):
     """The single PQ k-means training pass shared by :func:`pq_codes`,
     :func:`pq_search` and :func:`ivf_pq_search` — id < k seeding,
     quantized centroid means, empty clusters keep their previous
     centroid.  Returns ``(cents, pts)``: the final {(sub, cid):
     [floats]} centroid dict and the still-persisted exploded training
-    frame (the caller owns its lifecycle via ``attach_persisted``)."""
+    frame (the caller owns its lifecycle via ``attach_persisted``).
+
+    Bounded inputs train DRIVER-LOCALLY (same quantized trajectory,
+    see :func:`_pq_train_local`): one bounded collect through the pts
+    cache replaces the seeding collect plus one assignment+update job
+    per iteration.  Above ``WW_ANN_LOCAL_TRAIN_MAX`` (default 100k
+    source rows) the distributed loop below runs unchanged — the
+    100 TB regime never collects."""
+    import os
+
     if n_subspaces < 1 or k < 2 or iterations < 0:
         raise ValueError(f"{who}: bad n_subspaces/k/iterations")
-    pts, dsub = _pq_explode(df, id_col, vec_col, n_subspaces)
+    pts, dsub = _pq_explode(df, id_col, vec_col, n_subspaces, d=d)
+    max_local = int(os.environ.get("WW_ANN_LOCAL_TRAIN_MAX", "100000"))
+    sub_rows = _pq_bounded_sub_rows(pts, max_local, n_subspaces, dsub)
+    if sub_rows is not None:
+        return _pq_train_local(
+            sub_rows, k, iterations, quantize, who,
+        ), pts
     init_rows = (
         pts.where(F.col("__id") < k)
         .select("__sub", F.col("__id").cast("int").alias("__cid"), "__v")
@@ -824,8 +898,16 @@ def ivf_pq_search(
     squared distance; the final top ``top_k`` sorts by (exact, id) and
     the output gains an ``exact_dist`` column after ``approx_dist``.
     """
+    import os
+
     from woodwork_spark.lifecycle import attach_persisted, persisted_frames
-    from woodwork_spark.operators.similarity import kmeans_lloyd
+    from woodwork_spark.operators.scale import local_rows_df
+    from woodwork_spark.operators.similarity import (
+        _bounded_local_rows,
+        _lloyd_assign_local,
+        _lloyd_local,
+        kmeans_lloyd,
+    )
 
     if not queries:
         raise ValueError("ivf_pq_search: queries are required")
@@ -841,35 +923,102 @@ def ivf_pq_search(
     if len(seed_rows) < nlist:
         raise ValueError("ivf_pq_search: seeding needs ids 0..nlist-1")
     init = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows]
-    assigned, coarse = kmeans_lloyd(
-        df, id_col, vec_col, init, iterations=coarse_iterations,
-        quantize=quantize, return_centroids=True,
-    )
-    caches = list(persisted_frames(assigned))
-    cmap = {int(c): [float(x) for x in v] for c, v in coarse}
     d = len(init[0][1])
-    # --- residual frame: v - centroid[cluster] ------------------------
-    cent_arr = F.array(*[
-        F.lit(cmap[c]).cast("array<double>") for c in sorted(cmap)
-    ])
-    resid = F.zip_with(
-        F.col("__fv"), F.element_at(cent_arr, F.col("cluster") + 1),
-        lambda a, b: a - b,
+    fv = F.col(vec_col).cast("array<double>")
+    # Bounded driver-local TRAINING fast path (round-13 verdict #6,
+    # guide §1.2 step 1): the whole training state is nlist + Sxk tiny
+    # centroid vectors, but walking it through Spark costs ~6 actions
+    # (seed/init collects, one assignment+update job per Lloyd/PQ
+    # round, a d-probe) each with its own Catalyst analysis gap —
+    # measured as the bulk of the query's wall at bench scale.  When
+    # the corpus fits the driver bound, ONE bounded collect feeds the
+    # identical quantized trajectory locally (bit-identical dot folds;
+    # see similarity._lloyd_local), the coarse ASSIGNMENT ships back
+    # as a broadcast local frame (no shuffle of the vectors, where the
+    # distributed path joins the full-width table by id), and the code
+    # table + every query branch below stay distributed.  Above
+    # WW_ANN_LOCAL_TRAIN_MAX (default 100k rows) nothing collects and
+    # the established distributed path runs unchanged.
+    max_local = int(os.environ.get("WW_ANN_LOCAL_TRAIN_MAX", "100000"))
+    base = df.where(F.col(id_col).isNotNull() & fv.isNotNull()).select(
+        F.col(id_col).alias("__id"), fv.alias("__v"),
     )
-    rdf = (
-        df.select(
-            F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("__fv"),
+    local = _bounded_local_rows(base, max_local, d=d)
+    caches = []
+    if local is not None:
+        coarse = _lloyd_local(local, init, coarse_iterations, quantize)
+        cmap = {int(c): [float(x) for x in v] for c, v in coarse}
+        asg = _lloyd_assign_local(local, coarse)
+        cmap_sorted = sorted(cmap)
+        # residuals locally, elementwise a - b like the zip_with
+        resid_by_id = {
+            rid: [a - b for a, b in zip(vals, cmap[cl])]
+            for (rid, vals), (_, cl, _d) in zip(local, asg)
+        }
+        sub_rows = {
+            s: [
+                (rid, rv[s * (d // n_subspaces):(s + 1) * (d // n_subspaces)])
+                for rid, rv in sorted(resid_by_id.items())
+            ]
+            for s in range(n_subspaces)
+        }
+        cents = _pq_train_local(
+            sub_rows, k, pq_iterations, quantize, who="ivf_pq_search",
         )
-        .join(assigned.select(id_col, "cluster"), id_col)
-        .select(id_col, "cluster", resid.alias("__resv"))
-    )
-    # --- shared PQ codebook on residuals ------------------------------
-    cents, pts = _pq_train(
-        rdf, id_col, "__resv", n_subspaces, k, pq_iterations, quantize,
-        who="ivf_pq_search",
-    )
-    caches.append(pts)
+        id_field = base.schema["__id"]
+        from pyspark.sql import types as T
+
+        asg_df = local_rows_df(
+            df.sparkSession,
+            [(rid, int(cl)) for rid, cl, _d in asg],
+            schema=T.StructType([
+                T.StructField(id_col, id_field.dataType),
+                T.StructField("cluster", T.IntegerType()),
+            ]),
+        )
+        cent_arr = F.array(*[
+            F.lit(cmap[c]).cast("array<double>") for c in cmap_sorted
+        ])
+        resid = F.zip_with(
+            F.col("__fv"), F.element_at(cent_arr, F.col("cluster") + 1),
+            lambda a, b: a - b,
+        )
+        rdf = (
+            df.select(F.col(id_col), fv.alias("__fv"))
+            .join(F.broadcast(asg_df), id_col)
+            .select(id_col, "cluster", resid.alias("__resv"))
+        )
+        pts, _dsub = _pq_explode(rdf, id_col, "__resv", n_subspaces, d=d)
+        caches.append(pts)
+    else:
+        assigned, coarse = kmeans_lloyd(
+            df, id_col, vec_col, init, iterations=coarse_iterations,
+            quantize=quantize, return_centroids=True,
+        )
+        caches = list(persisted_frames(assigned))
+        cmap = {int(c): [float(x) for x in v] for c, v in coarse}
+        # --- residual frame: v - centroid[cluster] --------------------
+        cent_arr = F.array(*[
+            F.lit(cmap[c]).cast("array<double>") for c in sorted(cmap)
+        ])
+        resid = F.zip_with(
+            F.col("__fv"), F.element_at(cent_arr, F.col("cluster") + 1),
+            lambda a, b: a - b,
+        )
+        rdf = (
+            df.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("__fv"),
+            )
+            .join(assigned.select(id_col, "cluster"), id_col)
+            .select(id_col, "cluster", resid.alias("__resv"))
+        )
+        # --- shared PQ codebook on residuals --------------------------
+        cents, pts = _pq_train(
+            rdf, id_col, "__resv", n_subspaces, k, pq_iterations,
+            quantize, who="ivf_pq_search",
+        )
+        caches.append(pts)
     codes = (
         _pq_assign(pts, cents)
         .groupBy("__id")

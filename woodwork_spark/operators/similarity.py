@@ -558,6 +558,115 @@ def mmr_select(
     return attach_persisted(out, cand)
 
 
+def _lloyd_local(rows, cents, iterations, quantize, shift=None):
+    """Driver-local replay of the distributed Lloyd trajectory over a
+    BOUNDED row set (the :func:`kmeans_lloyd` small-input fast path —
+    same pattern as ``dedup.connected_components``'s driver-side
+    union-find).  ``rows`` is ``[(id, [float, ...])]`` SORTED by id;
+    ``cents`` is ``[(cid, [float, ...])]`` in caller order (ties break
+    by lowest cid exactly like the distributed struct-min).  Returns
+    updated cents in the input order.
+
+    Arithmetic contract: every dot/norm is the identical left-to-right
+    fold the column expressions evaluate (``np.cumsum`` adds with a
+    single sequential accumulator, and ``0.0 + p0 == p0`` exactly), so
+    assignment distances are BIT-IDENTICAL to the distributed pass.
+    Only the mean's SUM ORDER differs (here: ascending id; distributed:
+    partial-aggregation order, itself nondeterministic) and both paths
+    pass it through the same ``round(s/n + shift, quantize)`` — the
+    engine-reproducibility tolerance the DuckDB oracle replay already
+    depends on."""
+    import numpy as np
+
+    if shift is None:
+        shift = 10.0 ** (-(quantize + 1))
+    if not rows:
+        return cents
+    V = np.asarray([v for _, v in rows], dtype=np.float64)
+    n = V.shape[0]
+    VV = np.cumsum(V * V, axis=1)[:, -1]
+    for _ in range(int(iterations)):
+        order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+        D = np.empty((n, len(cents)), dtype=np.float64)
+        for col, i in enumerate(order):
+            _, cv = cents[i]
+            cc = 0.0
+            for x in cv:
+                cc += x * x
+            dot = np.cumsum(V * np.asarray(cv, dtype=np.float64), axis=1)[:, -1]
+            D[:, col] = (VV + cc) - (2.0 * dot)
+        pick = np.argmin(D, axis=1)  # ties -> first col = lowest cid
+        new = {}
+        for col, i in enumerate(order):
+            cid, _ = cents[i]
+            members = V[pick == col]
+            if len(members):
+                ms = np.cumsum(members, axis=0)[-1]
+                new[cid] = [
+                    round(float(s) / len(members) + shift, quantize)
+                    for s in ms
+                ]
+        cents = [(cid, new.get(cid, v)) for cid, v in cents]
+    return cents
+
+
+def _lloyd_assign_local(rows, cents):
+    """Assignment under literal centroids, driver-local: the same
+    bit-identical dot-form distances as :func:`_lloyd_local`, ties ->
+    lowest cid.  Returns ``[(id, cid, dist)]`` in ``rows`` order."""
+    import numpy as np
+
+    if not rows:
+        return []
+    V = np.asarray([v for _, v in rows], dtype=np.float64)
+    n = V.shape[0]
+    VV = np.cumsum(V * V, axis=1)[:, -1]
+    order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+    cids = [int(cents[i][0]) for i in order]
+    D = np.empty((n, len(cents)), dtype=np.float64)
+    for col, i in enumerate(order):
+        _, cv = cents[i]
+        cc = 0.0
+        for x in cv:
+            cc += x * x
+        dot = np.cumsum(V * np.asarray(cv, dtype=np.float64), axis=1)[:, -1]
+        D[:, col] = (VV + cc) - (2.0 * dot)
+    pick = np.argmin(D, axis=1)
+    return [
+        (rid, cids[pick[i]], float(D[i, pick[i]]))
+        for i, (rid, _) in enumerate(rows)
+    ]
+
+
+def _bounded_local_rows(pts, max_rows, d=None):
+    """Collect ``(__id, __v)`` rows through the persisted frame when
+    they fit the driver bound, else None (distributed path).  Rejects
+    non-finite values and ragged vectors — those keep the distributed
+    path's exact expression semantics instead of numpy's."""
+    import math
+
+    if not max_rows or max_rows <= 0:
+        return None
+    head = pts.select("__id", "__v").limit(max_rows + 1).collect()
+    if len(head) > max_rows:
+        return None
+    rows = []
+    for r in head:
+        v = r["__v"]
+        if v is None:
+            return None
+        if d is None:
+            d = len(v)
+        if len(v) != d:
+            return None
+        vals = [float(x) for x in v]
+        if not all(math.isfinite(x) for x in vals):
+            return None
+        rows.append((r["__id"], vals))
+    rows.sort(key=lambda t: t[0])
+    return rows
+
+
 def kmeans_lloyd(
     df: DataFrame,
     id_col: str,
@@ -574,12 +683,13 @@ def kmeans_lloyd(
     of ``(cluster_id, [floats])`` or a 2-column DataFrame collected to
     the driver (k x d — the model, bounded and small by definition).
 
-    Per iteration, everything is relational: ASSIGN is a crossJoin of
-    the (cached) points against the broadcast k-row centroid frame
-    with the squared distance in dot-product form (``|v|^2 + |c|^2 -
-    2 v.c`` — |v|^2 computed once per point, the same expression an
-    external replayer uses) and a struct-min argmin (ties -> lowest
-    cluster id); UPDATE is one (cluster, dim) grouped aggregation
+    Per iteration, everything is relational: ASSIGN is a pure per-row
+    PROJECTION — the k centroids are literals, so the squared distance
+    in dot-product form (``|v|^2 + |c|^2 - 2 v.c`` — |v|^2 computed
+    once per point, the same expression an external replayer uses)
+    feeds an ``array_min`` over k (dist, cid) structs (ties -> lowest
+    cluster id), no shuffle or join anywhere in the assignment;
+    UPDATE is one (cluster, dim) grouped aggregation
     whose k x d partial sums collect to the driver.  New centroids are
     QUANTIZED to ``quantize`` decimals (after a +1e-7 tie-shift), so
     partial-sum ordering noise can never flip a later assignment —
@@ -596,7 +706,6 @@ def kmeans_lloyd(
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
-    spark = df.sparkSession
     if isinstance(init_centroids, DataFrame):
         init_centroids = [
             (r[0], list(r[1])) for r in init_centroids.collect()
@@ -612,58 +721,76 @@ def kmeans_lloyd(
         F.col("__id").isNotNull() & F.col("__v").isNotNull(),
     ).withColumn("__vv", _dot(F.col("__v"), F.col("__v"))).persist()
 
-    def centroid_frame(cs):
-        return local_rows_df(spark, 
-            [(c, v, sum(x * x for x in v)) for c, v in cs],
-            "__cid int, __c array<double>, __cc double",
-        )
-
     def assign(cs):
-        cf = centroid_frame(cs)
-        dist = (
-            F.col("__vv") + F.col("__cc")
-            - 2.0 * _dot(F.col("__v"), F.col("__c"))
-        )
-        return (
-            pts.crossJoin(F.broadcast(cf))
-            .select(
-                "__id", "__v",
-                F.struct(
-                    dist.alias("d"), F.col("__cid").alias("cid"),
-                ).alias("__dc"),
+        # PURE PROJECTION: the model is k literal centroids, so the
+        # argmin is a per-row expression — array_min over k (dist, cid)
+        # structs, the same (d, cid) total order the old
+        # crossJoin + groupBy(__id) struct-min produced, with identical
+        # dot-form distances (__cc is the same Python float sum the
+        # broadcast centroid frame carried).  Removes the per-iteration
+        # full-data shuffle outright (guide §2.4): assignment was a
+        # crossJoin against a k-row frame followed by a groupBy(__id)
+        # exchange of every row; at 100 TB that exchange moved the
+        # whole corpus once per Lloyd round for no information gain.
+        structs = F.array(*[
+            F.struct(
+                (
+                    F.col("__vv") + F.lit(sum(x * x for x in v))
+                    - 2.0 * _dot(
+                        F.col("__v"), F.lit(v).cast("array<double>"),
+                    )
+                ).alias("d"),
+                F.lit(int(c)).cast("int").alias("cid"),
             )
-            .groupBy("__id")
-            .agg(
-                F.first("__v").alias("__v"),
-                F.min("__dc").alias("__best"),
-            )
-            .select(
-                "__id", "__v",
-                F.col("__best.cid").alias("cluster"),
-                F.col("__best.d").alias("dist_sq"),
-            )
+            for c, v in cs
+        ])
+        best = F.array_min(structs)
+        return pts.select(
+            "__id", "__v",
+            best["cid"].alias("cluster"),
+            best["d"].alias("dist_sq"),
         )
 
     shift = 10.0 ** (-(quantize + 1))
-    for _ in range(iterations):
-        a = assign(cents)
-        sums = (
-            a.select(
-                "cluster",
-                F.posexplode("__v").alias("__pos", "__x"),
+    # Bounded driver-local training (guide §1.2 step 1 via §5: the
+    # model update is k x d numbers; iterating it through full Spark
+    # jobs pays one action + plan analysis per round for kilobytes).
+    # When the training rows fit the driver bound, the SAME quantized
+    # trajectory runs locally — one bounded collect through the pts
+    # cache replaces `iterations` update jobs; the final assignment
+    # (and everything downstream) stays distributed.  Above the bound
+    # (the 100 TB regime) the distributed loop below is unchanged.
+    import os
+
+    max_local = int(os.environ.get("WW_ANN_LOCAL_TRAIN_MAX", "100000"))
+    local = (
+        _bounded_local_rows(pts, max_local, d=d) if iterations else None
+    )
+    if local is not None:
+        cents = _lloyd_local(local, cents, iterations, quantize)
+    else:
+        for _ in range(iterations):
+            a = assign(cents)
+            sums = (
+                a.select(
+                    "cluster",
+                    F.posexplode("__v").alias("__pos", "__x"),
+                )
+                .groupBy("cluster", "__pos")
+                .agg(
+                    F.sum("__x").alias("__s"),
+                    F.count(F.lit(1)).alias("__n"),
+                )
+                .collect()
             )
-            .groupBy("cluster", "__pos")
-            .agg(F.sum("__x").alias("__s"), F.count(F.lit(1)).alias("__n"))
-            .collect()
-        )
-        by_cid = {}
-        for r in sums:
-            by_cid.setdefault(r["cluster"], [0.0] * d)[r["__pos"]] = round(
-                r["__s"] / r["__n"] + shift, quantize,
-            )
-        cents = [
-            (c, by_cid.get(c, v)) for c, v in cents
-        ]
+            by_cid = {}
+            for r in sums:
+                by_cid.setdefault(r["cluster"], [0.0] * d)[r["__pos"]] = (
+                    round(r["__s"] / r["__n"] + shift, quantize)
+                )
+            cents = [
+                (c, by_cid.get(c, v)) for c, v in cents
+            ]
     out = assign(cents).select(
         F.col("__id").alias(id_col), "cluster", "dist_sq",
     )
