@@ -98,3 +98,70 @@ def test_feather_nan_semantics_identical_arrow_on_off(spark, tmp_path):
         isinstance(v, float) and math.isnan(v)
         for v, _ in results["true"]
     )
+
+
+def test_chol_solve_local_bit_identical_to_layers(spark):
+    """The driver-side Newton solver reproduces the layered unrolled
+    Cholesky column expressions BIT-FOR-BIT — solutions and pivots —
+    including the non-PD (negative pivot -> NaN sqrt) and NULL-stat
+    (None propagation, try_divide-by-zero) edge cases."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from woodwork_spark.operators.linalg import (
+        apply_layers,
+        chol_solve_layers,
+        chol_solve_local,
+    )
+
+    rng = random.Random(13)
+    cases = []
+    for d in (2, 3, 4):
+        # PD system: A = B B^T + small diagonal
+        b = [[rng.uniform(-2, 2) for _ in range(d)] for _ in range(d)]
+        a = {
+            (i, j): sum(b[i][m] * b[j][m] for m in range(d))
+            + (0.5 if i == j else 0.0)
+            for i in range(d) for j in range(d) if i >= j
+        }
+        u = [rng.uniform(-3, 3) for _ in range(d)]
+        cases.append((d, a, u))
+    # non-PD: negative diagonal
+    cases.append((2, {(0, 0): -1.0, (1, 0): 0.3, (1, 1): 2.0}, [1.0, 2.0]))
+    # NULL stats: an aggregate over an empty group
+    cases.append((2, {(0, 0): None, (1, 0): None, (1, 1): None}, [None, None]))
+    # zero pivot -> try_divide null
+    cases.append((2, {(0, 0): 0.0, (1, 0): 1.0, (1, 1): 1.0}, [1.0, 1.0]))
+
+    for d, a, u in cases:
+        row = {f"a_{i}_{j}": v for (i, j), v in a.items()}
+        for j in range(d):
+            row[f"u{j}"] = u[j]
+        sdf = spark.createDataFrame(
+            [row],
+            ", ".join(f"{k} double" for k in row),
+        )
+        layers, sol, piv = chol_solve_layers(
+            d, lambda i, j: f"a_{i}_{j}", {"s": [f"u{j}" for j in range(d)]},
+        )
+        got = apply_layers(sdf, layers).select(
+            *[F.col(c) for c in sol["s"]], *[F.col(p) for p in piv],
+        ).collect()[0]
+        spark_sol = [got[i] for i in range(d)]
+        spark_piv = [got[d + i] for i in range(d)]
+        lsol, lpiv = chol_solve_local(
+            d, lambda i, j: a[(i, j)], {"s": u},
+        )
+
+        def same(x, y):
+            if x is None or y is None:
+                return x is None and y is None
+            if math.isnan(x) or math.isnan(y):
+                return math.isnan(x) and math.isnan(y)
+            return x == y  # exact doubles, no tolerance
+
+        assert all(same(x, y) for x, y in zip(spark_sol, lsol["s"])), (
+            d, spark_sol, lsol["s"])
+        assert all(same(x, y) for x, y in zip(spark_piv, lpiv)), (
+            d, spark_piv, lpiv)

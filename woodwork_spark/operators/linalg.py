@@ -102,6 +102,119 @@ def chol_solve_layers(
     return layers, sol, [pn(j) for j in range(d)]
 
 
+def chol_solve_local(d: int, a, rhs: dict):
+    """Pure-Python twin of :func:`chol_solve_layers` for the DRIVER-side
+    Newton solve over collected sufficient stats (one tiny row per
+    group): identical formulas, identical left-to-right evaluation
+    order, identical NULL/zero-divide semantics (``try_divide`` -> None
+    on a zero divisor, None propagates through +-*), so given the same
+    double inputs it produces BIT-IDENTICAL solutions and pivots to the
+    layered column expressions.  ``a(i, j)`` returns A[i][j] (i >= j,
+    float or None); ``rhs`` maps tag -> list of d floats/None.
+
+    Returns ``(sol, pivots)``: sol tag -> list of d values, pivots list
+    of d values.  The caller applies the same Sylvester guard as
+    :func:`pd_ok` (every pivot not-None and > 0; NaN fails)."""
+    import math
+
+    def sub(x, y):
+        return None if x is None or y is None else x - y
+
+    def mul(x, y):
+        return None if x is None or y is None else x * y
+
+    def tdiv(x, y):
+        if x is None or y is None or y == 0.0:
+            return None
+        return x / y
+
+    L: dict = {}
+    Y = {t: [None] * d for t in rhs}
+    X = {t: [None] * d for t in rhs}
+    P = [None] * d
+    for j in range(d):
+        p = a(j, j)
+        for m in range(j):
+            p = sub(p, mul(L.get((j, m)), L.get((j, m))))
+        P[j] = p
+        if p is None:
+            ljj = None
+        elif p < 0:
+            ljj = float("nan")  # F.sqrt(negative) -> NaN, not an error
+        else:
+            ljj = math.sqrt(p)  # sqrt(nan) -> nan, matching Spark
+        L[(j, j)] = ljj
+        for i in range(j + 1, d):
+            e = a(i, j)
+            for m in range(j):
+                e = sub(e, mul(L.get((i, m)), L.get((j, m))))
+            L[(i, j)] = tdiv(e, ljj)
+        for t in rhs:
+            e = rhs[t][j]
+            for m in range(j):
+                e = sub(e, mul(L.get((j, m)), Y[t][m]))
+            Y[t][j] = tdiv(e, ljj)
+    for j in range(d - 1, -1, -1):
+        for t in rhs:
+            e = Y[t][j]
+            for m in range(j + 1, d):
+                e = sub(e, mul(L.get((m, j)), X[t][m]))
+            X[t][j] = tdiv(e, L[(j, j)])
+    return X, P
+
+
+def newton_step_local(step, group_cols, bnames, a_name, u_names):
+    """One DRIVER-side Newton update over the collected sufficient-stat
+    frame ``step`` (one tiny row per group): collect bounded by
+    ``WW_GLM_LOCAL_SOLVE_MAX_GROUPS`` (default 10k), solve each group
+    with :func:`chol_solve_local` (bit-identical to the layered
+    expressions), guard with :func:`pd_ok_local`, and return the new
+    coefficient frame as a broadcast-ready local frame.  Returns None
+    when the group count exceeds the bound — the caller falls back to
+    the layered + localCheckpoint path for the rest of the fit."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from woodwork_spark.operators.scale import local_rows_df
+
+    max_groups = int(
+        os.environ.get("WW_GLM_LOCAL_SOLVE_MAX_GROUPS", "10000"),
+    )
+    if max_groups <= 0:
+        return None
+    rows = step.limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        return None
+    k = len(bnames)
+    out_rows = []
+    for r in rows:
+        sol, piv = chol_solve_local(
+            k,
+            lambda i, j, r=r: r[a_name(i, j)],
+            {"s": [r[u] for u in u_names]},
+        )
+        ok = pd_ok_local(piv)
+        out_rows.append(
+            tuple(r[g] for g in group_cols)
+            + tuple(
+                (r[b] + sol["s"][j]) if ok else r[b]
+                for j, b in enumerate(bnames)
+            ),
+        )
+    schema = T.StructType(
+        [step.schema[g] for g in group_cols]
+        + [T.StructField(b, T.DoubleType()) for b in bnames],
+    )
+    return local_rows_df(step.sparkSession, out_rows, schema=schema)
+
+
+def pd_ok_local(pivots) -> bool:
+    """Driver-side twin of :func:`pd_ok`: every pivot present and
+    strictly positive (NaN compares False, like the SQL guard)."""
+    return all(p is not None and p > 0 for p in pivots)
+
+
 def apply_layers(df: DataFrame, layers) -> DataFrame:
     """Apply :func:`chol_solve_layers` output: one ``select("*", ...)``
     per layer, so intra-layer entries see only earlier layers (named,

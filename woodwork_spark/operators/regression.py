@@ -511,6 +511,36 @@ def _glm_irls_fit(
             *[c for c in step.columns if c not in named], *reps,
         )
 
+    # Driver-local Newton solve (guide §1.2 step 1): the per-round
+    # state is d + d(d+1)/2 numbers PER GROUP, so when the group count
+    # fits the driver bound the round's sufficient stats collect and
+    # the Cholesky solve runs in Python via linalg.chol_solve_local —
+    # BIT-IDENTICAL formulas/order/NULL semantics to the layered
+    # column expressions, so the trajectory is unchanged double for
+    # double.  This removes the per-round localCheckpoint job and the
+    # Catalyst analysis of the d^3 unrolled solve layers; the
+    # aggregates themselves stay distributed.  Above the bound
+    # (WW_GLM_LOCAL_SOLVE_MAX_GROUPS, default 10k — feature-screening
+    # scale keeps millions of groups distributed) the layered path
+    # below runs unchanged, checkpointing per round as before.
+    import os
+
+    from pyspark.sql import types as T
+
+    from woodwork_spark.operators.linalg import (
+        chol_solve_local,
+        pd_ok_local,
+    )
+
+    max_groups = int(
+        os.environ.get("WW_GLM_LOCAL_SOLVE_MAX_GROUPS", "10000"),
+    )
+    coef_schema = T.StructType(
+        [base.schema[g] for g in group_cols]
+        + [T.StructField(f"__b{j}", T.DoubleType()) for j in range(d)],
+    )
+    local_solve = max_groups > 0
+    spark = df.sparkSession
     for it in range(int(iters)):
         cur = _joined(coef)
         eta = F.col("__b0")
@@ -524,6 +554,29 @@ def _glm_irls_fit(
             *[F.max(f"__b{j}").alias(f"__b{j}") for j in range(d)],
             *_suff_aggs(mu, w, _xs()),
         ))
+        if local_solve:
+            rows = step.limit(max_groups + 1).collect()
+            if len(rows) > max_groups:
+                local_solve = False  # fall through to the layered path
+            else:
+                out_rows = []
+                for r in rows:
+                    sol, piv = chol_solve_local(
+                        d,
+                        lambda i, j, r=r: r[a_name(i, j)],
+                        {"s": [r[f"__u{j}"] for j in range(d)]},
+                    )
+                    ok = pd_ok_local(piv)
+                    out_rows.append(
+                        tuple(r[g] for g in group_cols)
+                        + tuple(
+                            r[f"__b{j}"] + sol["s"][j]
+                            if ok else r[f"__b{j}"]
+                            for j in range(d)
+                        ),
+                    )
+                coef = local_rows_df(spark, out_rows, schema=coef_schema)
+                continue
         layers, sol, piv = chol_solve_layers(
             d, a_name, {"s": [f"__u{j}" for j in range(d)]},
             pref=f"__it{it}",

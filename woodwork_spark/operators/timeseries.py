@@ -1708,9 +1708,20 @@ def cox_ph_fit(
         from woodwork_spark.operators.linalg import (
             apply_layers,
             chol_solve_layers,
+            newton_step_local,
             pd_ok,
         )
 
+        # driver-local Newton step when the group count is bounded —
+        # bit-identical solve (see linalg.chol_solve_local), one collect
+        # replaces the layered plan + eager checkpoint per round
+        nb = newton_step_local(
+            step, group_cols, bnames, a_name,
+            [f"__u{j}" for j in range(k)],
+        )
+        if nb is not None:
+            beta_df = nb
+            continue
         layers, sol, piv = chol_solve_layers(
             k, a_name, {"s": [f"__u{j}" for j in range(k)]},
             pref=f"__it{it}",
@@ -2001,6 +2012,16 @@ def cox_ph_fit_tv(
             *[F.max(b).alias(b) for b in bnames],
             *_fold_aggs(),
         )
+        from woodwork_spark.operators.linalg import newton_step_local
+
+        # driver-local Newton step under the group bound (see cox_ph_fit)
+        nb = newton_step_local(
+            step, group_cols, bnames, a_name,
+            [f"__u{j}" for j in range(k)],
+        )
+        if nb is not None:
+            beta_df = nb
+            continue
         layers, sol, piv = chol_solve_layers(
             k, a_name, {"s": [f"__u{j}" for j in range(k)]},
             pref=f"__tv{it}",
@@ -2339,6 +2360,16 @@ def fine_gray_fit(
             *[F.max(b).alias(b) for b in bnames],
             *_fold_aggs(),
         )
+        from woodwork_spark.operators.linalg import newton_step_local
+
+        # driver-local Newton step under the group bound (see cox_ph_fit)
+        nb = newton_step_local(
+            step, group_cols, bnames, a_name,
+            [f"__u{j}" for j in range(k)],
+        )
+        if nb is not None:
+            beta_df = nb
+            continue
         layers, sol, piv = chol_solve_layers(
             k, a_name, {"s": [f"__u{j}" for j in range(k)]},
             pref=f"__fg{it}",
@@ -2351,7 +2382,7 @@ def fine_gray_fit(
                 F.when(
                     ok, F.col(bnames[j]) + F.col(sol["s"][j]),
                 ).otherwise(F.col(bnames[j])).alias(bnames[j])
-                for j in range(k)
+            for j in range(k)
             ],
         ).localCheckpoint(eager=True)
     cells = _risk_cells(beta_df)
